@@ -1,0 +1,76 @@
+"""Parquet sinks — otlpexporter analog (``/root/reference/exporter/
+otlpexporter/otlp.go:93-173``) with router fan-out.
+
+Fan-out design (SURVEY.md §2.7): the collector's fanout consumer clones
+batches per mutating downstream (``internal/fanoutconsumer/logs.go:21-78``);
+with immutable Arrow blocks a single pass computes ``route`` and the sink
+partitions by it — each route becomes a Hive-style subdirectory, written
+as many part files (never one giant file → resumable, parallel).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+
+def write_routed(ds: ray.data.Dataset, out_dir: str, route_col: str = "route",
+                 **kwargs) -> None:
+    """Single-pass fan-out: Hive-partitioned write by route column.
+
+    Falls back to per-route filtered writes if this Ray build lacks
+    ``partition_cols`` (K extra passes, K = #sinks — still streaming).
+    """
+    try:
+        ds.write_parquet(out_dir, partition_cols=[route_col], **kwargs)
+        return
+    except TypeError:
+        pass
+    import pyarrow.compute as pc
+
+    for route in sorted(set(
+            r[route_col] for r in ds.select_columns([route_col]).unique(route_col))):
+        sub = ds.filter(expr=f"{route_col} == '{route}'")
+        sub.write_parquet(os.path.join(out_dir, f"{route_col}={route}"), **kwargs)
+
+
+class DebugSink:
+    """debugexporter analog (``/root/reference/exporter/debugexporter/
+    exporter.go:20-105``): basic → one summary line per batch; detailed →
+    otlptext-style per-record lines. Consumes via iter_batches (streaming,
+    driver-side print like the reference's stderr writer)."""
+
+    def __init__(self, verbosity: str = "basic", max_rows: int = 20):
+        if verbosity not in ("basic", "normal", "detailed"):
+            raise ValueError(verbosity)
+        self.verbosity = verbosity
+        self.max_rows = max_rows
+
+    def consume(self, ds: ray.data.Dataset, out=None) -> int:
+        import sys
+
+        out = out or sys.stderr
+        total = 0
+        shown = 0
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            total += batch.num_rows
+            print(f"LogsExporter\t#records: {batch.num_rows}", file=out)
+            if self.verbosity == "detailed":
+                for row in batch.slice(0, max(0, self.max_rows - shown)).to_pylist():
+                    print("    " + " ".join(f"{k}={v!r}" for k, v in row.items()),
+                          file=out)
+                    shown += 1
+        print(f"LogsExporter\ttotal: {total}", file=out)
+        return total
+
+
+def sorted_partition_write(ds: ray.data.Dataset, out_dir: str,
+                           keys=("conv_id", "turn_idx"), **kwargs) -> None:
+    """Verification-grade sink: stable (conv_id, turn_idx) order within each
+    output file (north-rule byte-equality ordering). Sort is an all-to-all
+    range shuffle — used at verification time, not in the hot path
+    (SURVEY.md §2.6)."""
+    ds.sort(list(keys)).write_parquet(out_dir, **kwargs)

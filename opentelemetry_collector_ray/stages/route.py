@@ -1,0 +1,82 @@
+"""Routing stage: first-match rule evaluation adding a ``route`` column.
+
+Collector analog: the routing-connector pattern — a connector used as an
+exporter in one pipeline and a receiver in others, choosing a subset of
+downstream pipelines per record (``/root/reference/connector/
+logs_router.go:19-71``; left/right routing semantics tested in
+``service/internal/graph/graph_test.go:1173-1410`` with
+``testcomponents/example_router.go:33-90``). Predicates use the two modes
+of the reference filter library (``/root/reference/filter/config.go:12-34``):
+**strict** (exact set membership) or **regex**.
+
+Because Arrow blocks are immutable, the fan-out consumer's clone-per-
+mutating-branch machinery (``internal/fanoutconsumer/logs.go:21-78``)
+dissolves: one vectorized pass computes ``route`` and sinks either filter
+by route or write partitioned by it (single-pass fan-out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class RouteRule:
+    """One ordered predicate → sink name. All present conditions AND
+    together; rules evaluate in order; first match wins."""
+
+    sink: str
+    strict: dict[str, tuple[str, ...]] = field(default_factory=dict)  # col -> allowed set
+    regex: dict[str, str] = field(default_factory=dict)  # col -> RE2 pattern
+
+
+# Fixture router (FIXTURES.md route_rules.yaml): three sinks `left`,
+# `right`, `default` mirroring the reference's left/right router test.
+DEFAULT_ROUTE_RULES: tuple[RouteRule, ...] = (
+    RouteRule(sink="left", strict={"level": ("ERROR",)}),
+    RouteRule(sink="right", strict={"tool": ("purchase", "signup", "python", "bash")}),
+    RouteRule(sink="views", regex={"text": r"viewed page"}),
+)
+DEFAULT_SINK = "default"
+
+
+class RouteStage:
+    """Stateless-shaped callable (kept as a class so rules compile once per
+    actor when used with concurrency=N). Appends ``route: string``."""
+
+    def __init__(self, rules: tuple[RouteRule, ...] = DEFAULT_ROUTE_RULES,
+                 default_sink: str = DEFAULT_SINK):
+        self.rules = tuple(rules)
+        self.default_sink = default_sink
+        self.sinks = tuple(dict.fromkeys([r.sink for r in rules] + [default_sink]))
+
+    def _rule_mask(self, batch: pa.Table, rule: RouteRule) -> pa.Array:
+        mask = None
+        for col, allowed in rule.strict.items():
+            m = pc.is_in(batch.column(col), value_set=pa.array(allowed, pa.string()))
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        for col, pattern in rule.regex.items():
+            m = pc.match_substring_regex(batch.column(col), pattern=pattern)
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is None:  # a rule with no conditions matches everything
+            mask = pa.array(np.ones(batch.num_rows, dtype=bool))
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return mask
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        route = np.full(n, self.default_sink, dtype=object)
+        claimed = np.zeros(n, dtype=bool)
+        for rule in self.rules:
+            m = self._rule_mask(batch, rule).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool) & ~claimed
+            route[m] = rule.sink
+            claimed |= m
+        return batch.append_column("route", pa.array(route, pa.string()))
