@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→route→aggregate pipeline on
+sf0.001. ``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 over the driver's testdata tables; ``oracle_sql()`` gives the
+DuckDB mirror for each SQL-expressible one. Ray is initialised by the
+driver BEFORE import: nothing here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name discipline: every computed column is named identically in the
+Ray pipeline and the SQL (the driver's compare sorts columns by name and
+hashes values). Float-sum aggregates use integer cents
+(``floor(x*100+0.5)``) so the hash compare is exact under reordering.
 """
 
 from __future__ import annotations
@@ -18,27 +17,480 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------------ helpers
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _side_table(sf_dir: str, name: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(col):
+    """Exact integer cents: floor(x*100+0.5) — same expression in SQL."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# ------------------------------------------------------ transcript pipeline
+
+def _turns(sf_dir: str):
+    from opentelemetry_collector_ray.sources.transcripts import read_derived_turns
+
+    return read_derived_turns(sf_dir)
+
+
+def _q_turns_derive(sf_dir: str):
+    return _turns(sf_dir)
+
+
+_PARSE_OUT = ["conv_id", "turn_idx", "parse_rule", "level", "tool_attr",
+              "latency_ms", "status", "trace", "rest"]
+
+
+def _parsed(sf_dir: str):
+    from opentelemetry_collector_ray.stages.parse import ParseStage
+
+    ds = _turns(sf_dir).map_batches(ParseStage(), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: t.set_column(t.column_names.index("parse_rule"), "parse_rule",
+                               t.column("parse_rule").cast(pa.int32())),
+        batch_format="pyarrow")
+
+
+def _q_turns_parse(sf_dir: str):
+    return _parsed(sf_dir).select_columns(_PARSE_OUT)
+
+
+def _q_turns_enrich(sf_dir: str):
+    from opentelemetry_collector_ray.stages.enrich import EnrichStage
+
+    ds = _turns(sf_dir).map_batches(EnrichStage(), batch_format="pyarrow")
+    return ds.select_columns(["conv_id", "turn_idx", "role", "tool",
+                              "tool_family", "tool_cost_class", "role_kind",
+                              "tenant", "env"])
+
+
+def _routed(sf_dir: str):
+    from opentelemetry_collector_ray.pipelines.flagship import build_routed
+
+    return build_routed(_turns(sf_dir))
+
+
+def _q_turns_route(sf_dir: str):
+    return _routed(sf_dir).select_columns(["conv_id", "turn_idx", "route"])
+
+
+def _q_turns_agg(sf_dir: str):
+    from opentelemetry_collector_ray.pipelines.flagship import build_aggregate
+
+    return build_aggregate(_routed(sf_dir))
+
+
+# ------------------------------------------------------------ events family
+
+def _q_events_parse_props(sf_dir: str):
+    def extract(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t.column("props"), pattern=r'"k": (?P<k>\d+)')
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        k = pc.struct_field(ext, "k").cast(pa.int64())
+        return pa.table({"event_id": t.column("event_id"), "k": k})
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        extract, batch_format="pyarrow")
+
+
+def _q_events_agg(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pc.floor_temporal(t.column("ts"), unit="hour"),
+            "value_cents": _cents(t.column("value")),
+        })
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return grouped_count(ds, ["event_type", "bucket"], count_name="n_events",
+                         sum_cols={"sum_value_cents": "value_cents"})
+
+
+def _q_events_sessionize(sf_dir: str):
+    from opentelemetry_collector_ray.stages.sessionize import session_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return session_stats(ev, key="user_id", ts_col="ts", gap_minutes=30)
+
+
+def _q_events_topk_users(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = grouped_count(ds, ["user_id"], count_name="n_events")
+    return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+
+
+# ------------------------------------------------------------- tpch family
+
+def _q_tpch_q1(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t.column("l_shipdate"),
+                             pa.scalar(np.datetime64("1998-09-02", "us")))
+        t = t.filter(keep)
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": t.column("l_quantity").cast(pa.int64()),
+            "base_cents": _cents(t.column("l_extendedprice")),
+            "disc_cents": _cents(t.column("l_discount")),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        prep, batch_format="pyarrow")
+    return grouped_count(
+        ds, ["l_returnflag", "l_linestatus"], count_name="count_order",
+        sum_cols={"sum_qty": "qty", "sum_base_cents": "base_cents",
+                  "sum_disc_cents": "disc_cents"})
+
+
+def _q_nation_revenue(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import broadcast_join
+
+    cust = _side_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _side_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    j1 = broadcast_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    j2 = broadcast_join(j1, nation, key="c_nationkey", right_key="n_nationkey")
+    prepped = j2.map_batches(
+        lambda t: pa.table({"n_name": t.column("n_name"),
+                            "price_cents": _cents(t.column("o_totalprice"))}),
+        batch_format="pyarrow")
+    return grouped_count(prepped, ["n_name"], count_name="n_orders",
+                         sum_cols={"revenue_cents": "price_cents"})
+
+
+def _q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def _q_filter_highvalue(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_quantity"), 45.0)),
+        batch_format="pyarrow")
+    return grouped_count(ds.select_columns(["l_returnflag"]), ["l_returnflag"],
+                         count_name="n")
+
+
+def _q_distinct_segments(sf_dir: str):
+    import pandas as pd
+
+    vals = sorted(_read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+# --------------------------------------------------------- documents family
+
+def _q_docs_exact_dedup(sf_dir: str):
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       text_col="text", id_col="doc_id")
+
+
+def _q_docs_token_count(sf_dir: str):
+    from opentelemetry_collector_ray.functions.text import token_count
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": token_count(t.column("text")).cast(pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    from opentelemetry_collector_ray.functions.text import md5_hex
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp": md5_hex(t.column("text"))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_docs_quality(sf_dir: str):
+    from opentelemetry_collector_ray.functions.text import lang_id, quality_features
+
+    def f(t: pa.Table) -> pa.Table:
+        feats = quality_features(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_pred": lang_id(t.column("text")), **feats})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_docs_minhash_dedup(sf_dir: str):
+    from opentelemetry_collector_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         threshold=0.5)
+
+
+def _q_docs_simhash(sf_dir: str):
+    from opentelemetry_collector_ray.stages.dedup import SimHashStage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        SimHashStage(), batch_format="pyarrow")
+
+
+# -------------------------------------------------------- embeddings family
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = _side_table(sf_dir, "embeddings")
+    idx = pc.index(t.column("vec_id"), pa.scalar(0)).as_py()
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _q_emb_knn(sf_dir: str):
+    from opentelemetry_collector_ray.stages.similarity import knn_topk
+
+    return knn_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    _query_vec(sf_dir), k=20)
+
+
+def _q_emb_ann_lsh(sf_dir: str):
+    from opentelemetry_collector_ray.stages.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        _query_vec(sf_dir), k=10, n_bits=6, multiprobe=1)
+
+
+# ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (Ray pre-initialised)."""
+    return _q_turns_agg("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "turns_derive": _q_turns_derive,
+        "turns_parse": _q_turns_parse,
+        "turns_enrich": _q_turns_enrich,
+        "turns_route": _q_turns_route,
+        "turns_agg": _q_turns_agg,
+        "events_parse_props": _q_events_parse_props,
+        "events_agg": _q_events_agg,
+        "events_sessionize": _q_events_sessionize,
+        "events_topk_users": _q_events_topk_users,
+        "tpch_q1": _q_tpch_q1,
+        "nation_revenue": _q_nation_revenue,
+        "topk_orders": _q_topk_orders,
+        "filter_highvalue": _q_filter_highvalue,
+        "distinct_segments": _q_distinct_segments,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_token_count": _q_docs_token_count,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_quality": _q_docs_quality,
+        "docs_minhash_dedup": _q_docs_minhash_dedup,
+        "docs_simhash": _q_docs_simhash,
+        "emb_knn": _q_emb_knn,
+        "emb_ann_lsh": _q_emb_ann_lsh,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+def _sql_case_map(col: str, mapping: dict, default: str, idx: int | None = None) -> str:
+    parts = [f"CASE {col}"]
+    for k, v in mapping.items():
+        val = v[idx] if idx is not None else v
+        parts.append(f"WHEN '{k}' THEN '{val}'")
+    parts.append(f"ELSE '{default}' END")
+    return " ".join(parts)
+
+
+def _sql_prefix_case(col: str, prefixes, idx: int, default: str) -> str:
+    parts = ["CASE"]
+    for row in prefixes:
+        parts.append(f"WHEN starts_with({col}, '{row[0]}') THEN '{row[idx]}'")
+    parts.append(f"ELSE '{default}' END")
+    return " ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opentelemetry_collector_ray.sources.transcripts import TURNS_CTE
+    from opentelemetry_collector_ray.stages.enrich import (
+        RESOURCE_PREFIXES, ROLE_DICT, TOOL_DICT)
+    from opentelemetry_collector_ray.stages.parse import DEFAULT_PARSE_RULES
+
+    r0 = DEFAULT_PARSE_RULES[0].pattern
+    r1 = DEFAULT_PARSE_RULES[1].pattern
+    with_turns = "WITH " + TURNS_CTE.strip()
+
+    parse_sql = f"""
+{with_turns}
+SELECT conv_id, turn_idx,
+  CASE WHEN regexp_matches(text, '{r0}') THEN 0
+       WHEN regexp_matches(text, '{r1}') THEN 1 ELSE -1 END AS parse_rule,
+  CASE WHEN regexp_matches(text, '{r0}') OR regexp_matches(text, '{r1}')
+       THEN regexp_extract(text, '{r1}', 1) END AS level,
+  CASE WHEN regexp_matches(text, '{r0}')
+       THEN regexp_extract(text, '{r0}', 2) END AS tool_attr,
+  CASE WHEN regexp_matches(text, '{r0}')
+       THEN CAST(regexp_extract(text, '{r0}', 3) AS BIGINT) END AS latency_ms,
+  CASE WHEN regexp_matches(text, '{r0}')
+       THEN regexp_extract(text, '{r0}', 4) END AS status,
+  CASE WHEN regexp_matches(text, '{r0}')
+       THEN regexp_extract(text, '{r0}', 5) END AS trace,
+  CASE WHEN NOT regexp_matches(text, '{r0}') AND regexp_matches(text, '{r1}')
+       THEN regexp_extract(text, '{r1}', 2) END AS rest
+FROM turns
+"""
+
+    tool_fam = _sql_case_map("tool", TOOL_DICT, "unknown", 0)
+    tool_cost = _sql_case_map("tool", TOOL_DICT, "unknown", 1)
+    role_kind = _sql_case_map("role", ROLE_DICT, "unknown")
+    tenant = _sql_prefix_case("conv_id", RESOURCE_PREFIXES, 1, "tenant-unknown")
+    env = _sql_prefix_case("conv_id", RESOURCE_PREFIXES, 2, "none")
+
+    enrich_sql = f"""
+{with_turns}
+SELECT conv_id, turn_idx, role, tool,
+  {tool_fam} AS tool_family,
+  {tool_cost} AS tool_cost_class,
+  {role_kind} AS role_kind,
+  {tenant} AS tenant,
+  {env} AS env
+FROM turns
+"""
+
+    # Route rules (stages/route.py DEFAULT_ROUTE_RULES), first match wins.
+    route_expr = f"""
+  CASE WHEN regexp_matches(text, '{r0}') OR regexp_matches(text, '{r1}')
+            THEN regexp_extract(text, '{r1}', 1) END = 'ERROR'"""
+    route_sql = f"""
+{with_turns},
+routed AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts,
+    CASE WHEN COALESCE({route_expr}, FALSE) THEN 'left'
+         WHEN tool IN ('purchase', 'signup', 'python', 'bash') THEN 'right'
+         WHEN regexp_matches(text, 'viewed page') THEN 'views'
+         ELSE 'default' END AS route
+  FROM turns
+)
+SELECT conv_id, turn_idx, route FROM routed
+"""
+
+    agg_sql = f"""
+{with_turns},
+routed AS (
+  SELECT role, tool, ts,
+    CASE WHEN COALESCE({route_expr}, FALSE) THEN 'left'
+         WHEN tool IN ('purchase', 'signup', 'python', 'bash') THEN 'right'
+         WHEN regexp_matches(text, 'viewed page') THEN 'views'
+         ELSE 'default' END AS route
+  FROM turns
+)
+SELECT route, role, tool, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_turns
+FROM routed GROUP BY route, role, tool, bucket
+"""
+
+    return {
+        "turns_derive": f"{with_turns} SELECT * FROM turns",
+        "turns_parse": parse_sql,
+        "turns_enrich": enrich_sql,
+        "turns_route": route_sql,
+        "turns_agg": agg_sql,
+        "events_parse_props": (
+            "SELECT event_id, CAST(NULLIF(regexp_extract(props, "
+            "'\"k\": (\\d+)', 1), '') AS BIGINT) AS k FROM events"),
+        "events_agg": """
+SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY event_type, bucket
+""",
+        "events_sessionize": """
+WITH gaps AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+""",
+        "events_topk_users": """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sum_disc_cents
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "nation_revenue": """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "filter_highvalue": """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_quantity > 45 GROUP BY l_returnflag
+""",
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "docs_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "docs_token_count": r"""
+SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+""",
+        "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "emb_knn": """
+SELECT vec_id,
+       CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+FROM embeddings ORDER BY cos_sim_e6 DESC, vec_id LIMIT 20
+""",
+        # docs_quality, docs_minhash_dedup, docs_simhash, emb_ann_lsh,
+        # turns-family non-SQL ops: intentionally omitted (rows-only check) —
+        # heuristic scoring / sketch / ANN semantics are not SQL-expressible.
+    }

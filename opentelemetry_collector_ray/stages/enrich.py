@@ -38,6 +38,11 @@ TOOL_DICT: dict[str, tuple[str, str]] = {
     "files": ("data", "low"),
     "translate": ("nlp", "medium"),
     "vision": ("nlp", "high"),
+    # event-derived tool vocabulary (sources/transcripts.py)
+    "click": ("ui", "low"),
+    "purchase": ("commerce", "high"),
+    "signup": ("account", "medium"),
+    "error": ("diagnostics", "high"),
 }
 ROLE_DICT: dict[str, str] = {
     "user": "human",

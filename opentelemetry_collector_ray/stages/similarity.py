@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix, emitting only each batch's local top-k; the tiny
+partial set merges at the end (tree-reduce shape: O(batches × k) rows move,
+never the corpus). Scale path: LSH-bucketed ANN — signed random
+projections assign each vector to a bucket; queries probe their own bucket
+(+ multiprobe neighbors), turning the scan into a bucket-local matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _stack(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy flat read."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norm, 1e-12)
+
+
+SIM_SCALE = 1_000_000  # similarities reported as integer micro-units so
+# cross-engine comparisons (and the driver's value hash) are FP-exact.
+
+
+def _to_e6(sims: np.ndarray) -> np.ndarray:
+    return np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+
+
+class BruteForceTopK:
+    """Per-batch local top-k against a broadcast (or inline) query vector.
+    Emits integer micro-cosine (cos_sim_e6) with (−sim, id) tie-break so the
+    global merge is deterministic."""
+
+    def __init__(self, query: np.ndarray | None = None, query_ref=None,
+                 k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+        if query is None:
+            import ray
+
+            query = ray.get(query_ref)  # broadcast fetch, once per actor
+        self.q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = _normalize(_stack(t.column(self.vec_col)))
+        e6 = _to_e6(x @ self.q)
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -e6))[: min(self.k, len(e6))]
+        return pa.table({self.id_col: pa.array(ids[order]),
+                         "cos_sim_e6": pa.array(e6[order])})
+
+
+def knn_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Brute-force cosine top-k of `query` over the corpus. Returns a small
+    Arrow table (vec_id, cos_sim_e6) sorted by (-cos_sim_e6, vec_id)."""
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        BruteForceTopK(query=query, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow")
+    merged = partials.to_pandas()  # O(num_batches × k) rows — tiny by design
+    merged = merged.sort_values(["cos_sim_e6", id_col], ascending=[False, True],
+                                kind="mergesort").head(k)
+    return pa.Table.from_pandas(merged.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------- LSH ANN
+
+def _projection_matrix(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+class LshBucketStage:
+    """Assign each vector a signed-random-projection bucket id (n_bits)."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.proj = _projection_matrix(dim, n_bits, seed)  # built once per actor
+        self.id_col, self.vec_col = id_col, vec_col
+        self.pow2 = 2 ** np.arange(n_bits, dtype=np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = _stack(t.column(self.vec_col))
+        bits = (x @ self.proj) > 0
+        bucket = bits @ self.pow2
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+
+def ann_topk_lsh(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
+                 n_bits: int = 8, multiprobe: int = 1, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Approximate top-k: scan only the query's LSH bucket (plus buckets at
+    Hamming distance ≤ multiprobe). Recall grows with multiprobe; exact scan
+    is the `knn_topk` baseline. The bucket column is computed once and can
+    be persisted as a partition key for repeated queries (IVF-style)."""
+    q = np.asarray(query, dtype=np.float64).ravel()
+    proj = _projection_matrix(len(q), n_bits, seed)
+    qbits = (q @ proj) > 0
+    pow2 = 2 ** np.arange(n_bits, dtype=np.int64)
+    targets = {int(qbits @ pow2)}
+    if multiprobe >= 1:
+        for i in range(n_bits):
+            fb = qbits.copy()
+            fb[i] = ~fb[i]
+            targets.add(int(fb @ pow2))
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        LshBucketStage, fn_constructor_kwargs=dict(
+            dim=len(q), n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=2)
+    target_arr = pa.array(sorted(targets), pa.int64())
+    probe = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=target_arr)),
+        batch_format="pyarrow")
+    return knn_topk(probe, q, k=k, id_col=id_col, vec_col=vec_col)
