@@ -1,0 +1,160 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline: the north-rule flagship pipeline (parse → enrich → route →
+aggregate) over a transcript table derived deterministically from the
+``$GRAFT_SF_DIR`` events table and replicated to ~BENCH_TARGET_ROWS turns
+(replicas get distinct conv_id suffixes, preserving per-conversation
+structure). Secondary: per-query timings of representative operators.
+
+``--scaling`` runs the headline twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the SAME cached input and reports
+throughput at both plus efficiency = (t_lo/t_hi)/(hi/lo) — the sandbox
+stand-in for the N-vs-4N-node cluster criterion (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TARGET_ROWS = int(os.environ.get("BENCH_TARGET_ROWS", "2000000"))
+CACHE_ROOT = os.environ.get("BENCH_CACHE", "/tmp/graft_bench")
+
+
+def _prepare_turns(sf_dir: str) -> tuple[str, int]:
+    """Derive turns from events once and replicate to ~TARGET_ROWS; cached
+    across runs (both scaling levels read identical input)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    events_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    k = max(1, TARGET_ROWS // max(1, events_rows))
+    # ≥128 files so the read stage can saturate 32+ workers (4× max CPUs);
+    # at real scale these are the input fragments, many per node.
+    chunks_per_replica = max(1, -(-128 // k))
+    out_dir = os.path.join(CACHE_ROOT, f"turns_{tag}_x{k}_c{chunks_per_replica}")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir, events_rows * k
+    import ray
+
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_ray.sources.transcripts import read_derived_turns
+
+    os.makedirs(out_dir, exist_ok=True)
+    refs = read_derived_turns(sf_dir).to_arrow_refs()
+    base = pa.concat_tables([ray.get(r) for r in refs])  # small base, once
+    conv = base.column("conv_id")
+
+    nrows = base.num_rows
+    per = -(-nrows // chunks_per_replica)
+    for i in range(k):
+        t = base.set_column(base.column_names.index("conv_id"), "conv_id",
+                            pc.binary_join_element_wise(
+                                conv.cast(pa.string()), f"-r{i:03d}", ""))
+        for c in range(chunks_per_replica):
+            part = t.slice(c * per, per)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(
+                    out_dir, f"turns-{i:04d}-{c:02d}.parquet"))
+    with open(done, "w") as f:
+        f.write(str(base.num_rows * k))
+    return out_dir, base.num_rows * k
+
+
+def run_flagship(turns_dir: str) -> tuple[float, int, int]:
+    """Timed: read → parse → enrich → route → two-phase aggregate."""
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.flagship import (
+        build_aggregate, build_routed)
+
+    t0 = time.time()
+    turns = ray.data.read_parquet(turns_dir)
+    agg = build_aggregate(build_routed(turns))
+    pdf = agg.to_pandas()  # final aggregate is small (≤ ~50k groups)
+    wall = time.time() - t0
+    return wall, int(pdf["n_turns"].sum()), len(pdf)
+
+
+def run_secondary(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as m
+
+    out: dict[str, float] = {}
+    names = ["events_agg", "events_sessionize", "tpch_q1", "nation_revenue",
+             "docs_token_count", "docs_quality", "docs_exact_dedup", "emb_knn"]
+    q = m.queries()
+    for name in names:
+        t0 = time.time()
+        res = q[name](sf_dir)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    turns_dir, n_rows = _prepare_turns(SF_DIR)
+    run_flagship(turns_dir)  # warm page cache / JIT, untimed
+    wall, n_turns, n_groups = run_flagship(turns_dir)
+    assert n_turns == n_rows, (n_turns, n_rows)
+    queries = run_secondary(SF_DIR) if "--headline-only" not in sys.argv else {}
+    print(json.dumps({
+        "metric": "flagship_parse_enrich_route_aggregate_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1),
+        "agg_groups": n_groups,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPUS,
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    import subprocess
+
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, "bench.py", "--headline-only"],
+                             env=env, capture_output=True, text=True, check=True)
+        line = json.loads(out.stdout.strip().splitlines()[-1])
+        results[ncpu] = line
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t8, "sec_32": t32,
+        "turns_per_sec_8": results[8]["turns_per_sec"],
+        "turns_per_sec_32": results[32]["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "turns": results[32]["turns"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

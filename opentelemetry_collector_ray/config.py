@@ -1,0 +1,202 @@
+"""Pipeline configuration — the confmap/otelcol analog.
+
+The reference resolves YAML from URI providers with ``${scheme:uri}``
+expansion (``/root/reference/confmap/expand.go:19-23,110-194``), merges
+sources (``confmap/resolver.go:88-164``), validates
+(``confmap/validation.go``), and builds a graph of components from
+factories keyed by ``component.ID`` (``service/internal/graph/
+graph.go:101-206``; factories ``component/component.go:182-200``).
+
+Here: YAML (or dict) config with ``${env:NAME}`` / ``${env:NAME:-default}``
+interpolation, a factory registry mapping type names → stage builders, and
+a validated Pipeline spec with the collector's section names retained
+(receivers / processors / exporters / connectors).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+_ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def expand_env(node: Any) -> Any:
+    """${env:NAME} / ${env:NAME:-default} expansion, recursively (expand.go
+    semantics: unset without default is an error)."""
+    if isinstance(node, str):
+        def sub(m: re.Match) -> str:
+            name, default = m.group(1), m.group(2)
+            val = os.environ.get(name, default)
+            if val is None:
+                raise ConfigError(f"environment variable {name} not set "
+                                  "and no default given")
+            return val
+
+        return _ENV_RE.sub(sub, node)
+    if isinstance(node, dict):
+        return {k: expand_env(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [expand_env(v) for v in node]
+    return node
+
+
+# ------------------------------------------------------------- registry
+
+@dataclass
+class Factory:
+    """Component factory (component.go:182-200 analog): default config +
+    builder ``(config_dict) -> stage`` where a stage is a callable for
+    map_batches or a (kind-specific) builder object."""
+
+    kind: str  # receiver | processor | exporter | connector
+    create: Callable[[dict], Any]
+    default_config: dict = field(default_factory=dict)
+
+
+_REGISTRY: dict[str, Factory] = {}
+
+
+def register(type_name: str, factory: Factory) -> None:
+    if type_name in _REGISTRY:
+        raise ConfigError(f"duplicate factory: {type_name}")
+    _REGISTRY[type_name] = factory
+
+
+def get_factory(type_name: str) -> Factory:
+    if type_name not in _REGISTRY:
+        raise ConfigError(f"unknown component type: {type_name!r} "
+                          f"(known: {sorted(_REGISTRY)})")
+    return _REGISTRY[type_name]
+
+
+def _register_builtins() -> None:
+    from .stages.enrich import EnrichStage
+    from .stages.filterstage import FilterConfig, FilterStage
+    from .stages.parse import DEFAULT_PARSE_RULES, ParseRule, ParseStage
+    from .stages.route import DEFAULT_ROUTE_RULES, RouteRule, RouteStage
+
+    def make_parse(cfg: dict):
+        rules = tuple(
+            ParseRule(r["name"], r["pattern"], r.get("casts", {}))
+            for r in cfg.get("rules", [])) or DEFAULT_PARSE_RULES
+        return ParseStage(rules, text_col=cfg.get("text_col", "text"))
+
+    def make_route(cfg: dict):
+        rules = tuple(
+            RouteRule(sink=r["sink"],
+                      strict={k: tuple(v) for k, v in r.get("strict", {}).items()},
+                      regex=dict(r.get("regex", {})))
+            for r in cfg.get("rules", [])) or DEFAULT_ROUTE_RULES
+        return RouteStage(rules, default_sink=cfg.get("default_sink", "default"))
+
+    def make_filter(cfg: dict):
+        def fc(d):
+            if d is None:
+                return None
+            return FilterConfig(column=d["column"],
+                                strict=tuple(d["strict"]) if "strict" in d else None,
+                                regex=d.get("regex"))
+
+        return FilterStage(include=fc(cfg.get("include")),
+                           exclude=fc(cfg.get("exclude")))
+
+    register("parquet", Factory("receiver", lambda cfg: cfg))  # paths config
+    register("parse", Factory("processor", make_parse))
+    register("enrich", Factory("processor", lambda cfg: EnrichStage(cfg.get("refs"))))
+    register("route", Factory("connector", make_route))
+    register("filter", Factory("processor", make_filter))
+    register("parquet_sink", Factory("exporter", lambda cfg: cfg))
+    register("debug", Factory("exporter", lambda cfg: cfg))
+
+
+_register_builtins()
+
+
+# ------------------------------------------------------------- pipeline cfg
+
+@dataclass
+class PipelineConfig:
+    receivers: dict[str, dict]
+    processors: dict[str, dict]
+    exporters: dict[str, dict]
+    pipeline: dict  # {"receivers": [...], "processors": [...], "exporters": [...]}
+
+    @staticmethod
+    def from_dict(raw: dict) -> "PipelineConfig":
+        raw = expand_env(raw)
+        for section in ("receivers", "exporters", "service"):
+            if section not in raw:
+                raise ConfigError(f"missing config section: {section}")
+        pipelines = raw["service"].get("pipelines", {})
+        if len(pipelines) != 1:
+            raise ConfigError("exactly one service.pipelines entry supported")
+        (pipe,) = pipelines.values()
+        cfg = PipelineConfig(
+            receivers=raw.get("receivers", {}),
+            processors=raw.get("processors", {}),
+            exporters=raw.get("exporters", {}),
+            pipeline=pipe,
+        )
+        cfg.validate()
+        return cfg
+
+    @staticmethod
+    def from_yaml(path: str) -> "PipelineConfig":
+        import yaml
+
+        with open(path) as f:
+            return PipelineConfig.from_dict(yaml.safe_load(f))
+
+    def validate(self) -> None:
+        """Validate() semantics (confmap/validation.go): every pipeline
+        reference must name a configured component of a known type."""
+        for kind, section in (("receivers", self.receivers),
+                              ("processors", self.processors),
+                              ("exporters", self.exporters)):
+            for name in self.pipeline.get(kind, []):
+                if name not in section:
+                    raise ConfigError(f"pipeline references unconfigured "
+                                      f"{kind[:-1]} {name!r}")
+                type_name = name.split("/")[0]
+                get_factory(type_name)
+        if not self.pipeline.get("receivers") or not self.pipeline.get("exporters"):
+            raise ConfigError("pipeline needs at least one receiver and one exporter")
+
+
+# ------------------------------------------------------------- feature gates
+
+class FeatureGateRegistry:
+    """featuregate/registry.go:30-75 analog: named alpha/beta/stable flags."""
+
+    STAGES = ("alpha", "beta", "stable")
+
+    def __init__(self):
+        self._gates: dict[str, dict] = {}
+
+    def register(self, name: str, stage: str = "alpha", enabled: bool | None = None):
+        if stage not in self.STAGES:
+            raise ConfigError(f"bad stage {stage}")
+        if name in self._gates:
+            raise ConfigError(f"duplicate gate {name}")
+        default = (stage != "alpha") if enabled is None else enabled
+        self._gates[name] = {"stage": stage, "enabled": default}
+
+    def set(self, name: str, enabled: bool):
+        if name not in self._gates:
+            raise ConfigError(f"unknown gate {name}")
+        if self._gates[name]["stage"] == "stable" and not enabled:
+            raise ConfigError(f"stable gate {name} cannot be disabled")
+        self._gates[name]["enabled"] = enabled
+
+    def enabled(self, name: str) -> bool:
+        return self._gates[name]["enabled"]
+
+
+gates = FeatureGateRegistry()

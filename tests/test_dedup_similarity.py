@@ -1,0 +1,128 @@
+"""Dedup (exact / minhash / simhash) and similarity search on corpora with
+planted duplicates and known neighbors."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts, ids = [], []
+    base_docs = []
+    for i in range(30):
+        base = " ".join(rng.choice(vocab, 30))
+        base_docs.append(base)
+        texts.append(base)
+        ids.append(i)
+    # planted exact dups
+    texts += [base_docs[0], base_docs[1]]
+    ids += [100, 101]
+    # planted near-dups (edit a couple words)
+    w = base_docs[2].split()
+    w[5] = "CHANGED"
+    texts.append(" ".join(w))
+    ids.append(200)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return ray.data.from_arrow(t)
+
+
+def test_exact_dedup(docs_ds):
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+
+    kept = sorted(exact_dedup(docs_ds).to_pandas()["doc_id"])
+    assert 100 not in kept and 101 not in kept  # exact dups dropped
+    assert 200 in kept  # near-dup kept by exact pass
+    assert set(range(30)) <= set(kept)
+
+
+def test_minhash_finds_planted_neardups(docs_ds):
+    from opentelemetry_collector_ray.stages.dedup import minhash_dedup
+
+    clusters = minhash_dedup(docs_ds, threshold=0.5)
+    as_map = dict(zip(clusters["doc_id"], clusters["rep_id"]))
+    assert as_map.get(100) == 0  # exact dup of doc 0
+    assert as_map.get(101) == 1
+    assert as_map.get(200) == 2  # near-dup of doc 2
+    # no false merges between unrelated base docs
+    reps = {as_map.get(i, i) for i in range(3, 30)}
+    assert reps == set(range(3, 30))
+
+
+def test_simhash_close_for_neardups(docs_ds):
+    from opentelemetry_collector_ray.stages.dedup import SimHashStage
+
+    out = docs_ds.map_batches(SimHashStage(), batch_format="pyarrow").to_pandas()
+    h = dict(zip(out["doc_id"], out["simhash"]))
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h[0], h[100]) == 0  # identical text
+    assert ham(h[2], h[200]) <= 12  # near-dup: small distance
+    dists = [ham(h[3], h[j]) for j in range(4, 30)]
+    assert np.median(dists) > 12  # unrelated: large distance
+
+
+def test_knn_vs_numpy_ground_truth(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import SIM_SCALE, knn_topk
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(200), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(x[5], dtype=np.float64)
+    got = knn_topk(ds, q, k=10).to_pandas()
+    xn = x.astype(np.float64)
+    xn = xn / np.linalg.norm(xn, axis=1, keepdims=True)
+    sims = xn @ (q / np.linalg.norm(q))
+    e6 = np.floor(sims * SIM_SCALE + 0.5).astype(np.int64)
+    order = np.lexsort((np.arange(200), -e6))[:10]
+    assert got["vec_id"].tolist() == order.tolist()
+    assert got["cos_sim_e6"].tolist() == e6[order].tolist()
+    assert got["vec_id"].iloc[0] == 5  # self is nearest
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import ann_topk_lsh, knn_topk
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(500), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    q = np.asarray(x[7], dtype=np.float64)
+    exact = set(knn_topk(ds, q, k=10).to_pandas()["vec_id"])
+    approx = set(ann_topk_lsh(ds, q, k=10, n_bits=4, multiprobe=1)
+                 .to_pandas()["vec_id"])
+    assert 7 in approx
+    assert len(exact & approx) >= 3  # recall with aggressive bucketing
+
+
+def test_sessionize_oracle(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sessionize import session_stats
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",
+        "2024-01-01 01:20", "2024-01-02 00:00",
+    ])
+    df = pd.DataFrame({"user_id": [1] * 5, "event_id": range(5), "ts": ts})
+    ds = ray.data.from_pandas(df)
+    out = session_stats(ds, gap_minutes=30).to_pandas() \
+        .sort_values("session_id").reset_index(drop=True)
+    assert out["session_id"].tolist() == [0, 1, 2]
+    assert out["n_events"].tolist() == [2, 2, 1]

@@ -1,0 +1,99 @@
+"""Checkpoint-resume idempotence — the exporter contract-checker analog
+(/root/reference/exporter/exportertest/contract_checker.go:45-110): tag
+every record with its unique id (conv_id, turn_idx), kill the job partway,
+rerun, and assert every id appears in exactly one sink exactly once."""
+
+import glob
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from opentelemetry_collector_ray.config import PipelineConfig
+from opentelemetry_collector_ray.pipelines.builder import run_pipeline
+from opentelemetry_collector_ray.state.manifest import (
+    ManifestStore, PartitionTask, run_resumable)
+from opentelemetry_collector_ray.synth import synth_turns, write_turns_parquet
+
+
+def _cfg(src):
+    return PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": src}},
+        "processors": {"parse": {}, "enrich": {}, "route": {}},
+        "exporters": {"parquet_sink/out": {"path": "sinks"}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["parse", "enrich", "route"],
+            "exporters": ["parquet_sink/out"],
+        }}},
+    })
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def test_kill_and_resume_exactly_once(ray_session, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    write_turns_parquet(src, sf=0.05, shards=4)
+    cfg = _cfg(src)
+
+    # Crash after 2 partitions: wrap run_resumable's process fn via a killing
+    # manifest-store run (mirrors a worker dying mid-job).
+    from opentelemetry_collector_ray.pipelines import builder as B
+
+    calls = {"n": 0}
+    orig = B.run_exporters
+
+    def dying(cfg_, ds, root):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Boom("simulated crash mid-job")
+        return orig(cfg_, ds, root)
+
+    B.run_exporters = dying
+    try:
+        with pytest.raises(Boom):
+            run_pipeline(cfg, out)
+    finally:
+        B.run_exporters = orig
+
+    store = ManifestStore(out)
+    committed_before = store.committed_ids()
+    assert len(committed_before) == 2  # two committed, third died pre-commit
+
+    # No partial output leaked into final dirs for uncommitted partitions.
+    final_parts = {p.split("/")[-1].replace("part-", "")
+                   for p in glob.glob(f"{out}/part-*") if not p.endswith(".staging")}
+    assert final_parts == committed_before
+
+    r = run_pipeline(cfg, out)  # resume
+    assert sorted(r["skipped"]) == sorted(committed_before)
+    assert len(r["ran"]) == 2
+
+    # Exactly-once: every input (conv_id, turn_idx) appears in exactly one
+    # sink exactly once.
+    outs = []
+    for f in glob.glob(f"{out}/part-*/**/*.parquet", recursive=True):
+        if ".staging" in f:
+            continue
+        outs.append(pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas())
+    got = pd.concat(outs, ignore_index=True)
+    expect = synth_turns(sf=0.05).select(["conv_id", "turn_idx"]).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = expect.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_torn_manifest_is_not_committed(tmp_path):
+    store = ManifestStore(str(tmp_path))
+    with open(store._path("x"), "w") as f:
+        f.write('{"status": "comm')  # torn write
+    assert not store.is_committed("x")
+    ran = run_resumable(store, [PartitionTask("x", [])],
+                        lambda t, d: {"ok": 1}, "h")
+    assert ran["ran"] == ["x"]
+    assert store.is_committed("x", "h")
+    assert not store.is_committed("x", "other-hash")
