@@ -1,0 +1,162 @@
+"""OTLP/JSON logs source and sink — the plog JSON wire format analog.
+
+The reference marshals/unmarshals the three-level ResourceLogs →
+ScopeLogs → LogRecord hierarchy to OTLP JSON
+(``/root/reference/pdata/plog/json.go:14-44``) and the HTTP exporter can
+emit it (``exporter/otlphttpexporter/otlp.go:176-265``). Here one JSON
+line = one ExportLogsServiceRequest (the unit one OTLP/HTTP request
+carries); reading flattens the hierarchy into one row per LogRecord with
+resource/scope context denormalized into columns (SURVEY.md §1.5 — Arrow
+dictionary encoding recovers the sharing the nesting provided);
+writing re-nests grouped by (resource, scope).
+
+Attribute values are restricted to the string case of ``pcommon.Value``
+in columns (``attributes`` map<string,string>); non-string OTLP values are
+JSON-encoded strings — the documented engine-level simplification.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray.data
+
+LOG_COLUMNS = ["time_unix_nano", "observed_time_unix_nano", "severity_number",
+               "severity_text", "body", "trace_id", "span_id", "event_name",
+               "resource_attributes", "scope_name", "scope_version",
+               "attributes"]
+
+
+def _attr_list_to_pairs(attrs: list | None) -> list[tuple[str, str]]:
+    out = []
+    for kv in attrs or []:
+        v = kv.get("value", {})
+        if "stringValue" in v:
+            s = v["stringValue"]
+        else:
+            s = json.dumps(v, sort_keys=True)
+        out.append((kv.get("key", ""), s))
+    return out
+
+
+def _pairs_to_attr_list(pairs) -> list[dict]:
+    return [{"key": k, "value": {"stringValue": v}} for k, v in (pairs or [])]
+
+
+def parse_request_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One JSON line (ExportLogsServiceRequest) → N flat LogRecord rows."""
+    rows = {c: [] for c in LOG_COLUMNS}
+    for line in batch.column(text_col).to_pylist():
+        if not line or not line.strip():
+            continue
+        req = json.loads(line)
+        for rl in req.get("resourceLogs", []):
+            res_attrs = _attr_list_to_pairs(rl.get("resource", {}).get("attributes"))
+            for sl in rl.get("scopeLogs", []):
+                scope = sl.get("scope", {})
+                for lr in sl.get("logRecords", []):
+                    body = lr.get("body", {})
+                    rows["time_unix_nano"].append(int(lr.get("timeUnixNano", 0)))
+                    rows["observed_time_unix_nano"].append(
+                        int(lr.get("observedTimeUnixNano", 0)))
+                    rows["severity_number"].append(int(lr.get("severityNumber", 0)))
+                    rows["severity_text"].append(lr.get("severityText", ""))
+                    rows["body"].append(body.get("stringValue",
+                                                 json.dumps(body, sort_keys=True)
+                                                 if body else ""))
+                    rows["trace_id"].append(lr.get("traceId", ""))
+                    rows["span_id"].append(lr.get("spanId", ""))
+                    rows["event_name"].append(lr.get("eventName", ""))
+                    rows["resource_attributes"].append(res_attrs)
+                    rows["scope_name"].append(scope.get("name", ""))
+                    rows["scope_version"].append(scope.get("version", ""))
+                    rows["attributes"].append(_attr_list_to_pairs(lr.get("attributes")))
+    return pa.table({
+        "time_unix_nano": pa.array(rows["time_unix_nano"], pa.uint64()),
+        "observed_time_unix_nano": pa.array(rows["observed_time_unix_nano"], pa.uint64()),
+        "severity_number": pa.array(rows["severity_number"], pa.int32()),
+        "severity_text": pa.array(rows["severity_text"], pa.string()),
+        "body": pa.array(rows["body"], pa.string()),
+        "trace_id": pa.array(rows["trace_id"], pa.string()),
+        "span_id": pa.array(rows["span_id"], pa.string()),
+        "event_name": pa.array(rows["event_name"], pa.string()),
+        "resource_attributes": pa.array(rows["resource_attributes"],
+                                        pa.map_(pa.string(), pa.string())),
+        "scope_name": pa.array(rows["scope_name"], pa.string()),
+        "scope_version": pa.array(rows["scope_version"], pa.string()),
+        "attributes": pa.array(rows["attributes"], pa.map_(pa.string(), pa.string())),
+    })
+
+
+def read_otlp_json_logs(paths) -> ray.data.Dataset:
+    """Read OTLP/JSON log lines into the flat LogRecord table."""
+    return ray.data.read_text(paths).map_batches(
+        lambda t: parse_request_lines(t, "text"), batch_format="pyarrow")
+
+
+def records_to_request(batch: pa.Table) -> str:
+    """Flat rows → one ExportLogsServiceRequest JSON line, re-nested by
+    (resource_attributes, scope)."""
+    groups: dict = {}
+    for row in batch.to_pylist():
+        # keep attribute order: pcommon.Map is an ORDERED kv-list (map.go)
+        res_key = tuple(row.get("resource_attributes") or [])
+        scope_key = (row.get("scope_name", ""), row.get("scope_version", ""))
+        groups.setdefault(res_key, {}).setdefault(scope_key, []).append(row)
+    resource_logs = []
+    for res_key, scopes in groups.items():
+        scope_logs = []
+        for (sname, sver), recs in scopes.items():
+            log_records = []
+            for r in recs:
+                lr = {
+                    "timeUnixNano": str(r["time_unix_nano"]),
+                    "severityNumber": r["severity_number"],
+                    "severityText": r["severity_text"],
+                    "body": {"stringValue": r["body"]},
+                }
+                if r.get("observed_time_unix_nano"):
+                    lr["observedTimeUnixNano"] = str(r["observed_time_unix_nano"])
+                if r.get("trace_id"):
+                    lr["traceId"] = r["trace_id"]
+                if r.get("span_id"):
+                    lr["spanId"] = r["span_id"]
+                if r.get("event_name"):
+                    lr["eventName"] = r["event_name"]
+                if r.get("attributes"):
+                    lr["attributes"] = _pairs_to_attr_list(r["attributes"])
+                log_records.append(lr)
+            scope_logs.append({"scope": {"name": sname, "version": sver},
+                               "logRecords": log_records})
+        resource_logs.append({
+            "resource": {"attributes": _pairs_to_attr_list(list(res_key))},
+            "scopeLogs": scope_logs,
+        })
+    return json.dumps({"resourceLogs": resource_logs}, sort_keys=True)
+
+
+def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Each block → one JSON-line request file (request = batch, mirroring
+    the 1-request-per-batch push model). Filenames are unique per run
+    (uuid); rerun idempotence is provided one level up by the manifest
+    runner's staging-dir wipe + atomic rename (state/manifest.py), matching
+    how the persistent queue owns delivery state rather than the wire
+    encoder. Returns total records written."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        line = records_to_request(batch)
+        name = uuid.uuid4().hex[:24]
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, os.path.join(out_dir, f"req-{name}.jsonl"))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    return int(counts["n"].sum())

@@ -56,18 +56,53 @@ class PartialCountStage:
         return t.select(names)
 
 
+class CombineStage:
+    """Merge partial count/sum rows: pyarrow group_by + sum, names preserved
+    (the delta→cumulative merge discipline)."""
+
+    def __init__(self, keys: list[str], value_cols: list[str]):
+        self.keys, self.value_cols = list(keys), list(value_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = batch.group_by(self.keys, use_threads=False).aggregate(
+            [(c, "sum") for c in self.value_cols])
+        cols = {k: g.column(k) for k in self.keys}
+        for c in self.value_cols:
+            cols[c] = g.column(f"{c}_sum")
+        return pa.table(cols).select(self.keys + self.value_cols)
+
+
 def grouped_count(ds: Dataset, keys: list[str], count_name: str = "n_turns",
-                  sum_cols: dict[str, str] | None = None) -> Dataset:
-    """Two-phase grouped count/sum: vectorized per-batch partials →
-    hash-shuffle of partials only → final Sum merge."""
+                  sum_cols: dict[str, str] | None = None,
+                  strategy: str = "tree", fanin: int = 16) -> Dataset:
+    """Two-phase grouped count/sum.
+
+    strategy="tree" (default): per-batch partials → coalesce (repartition,
+    no sort) → combine → single final combine. Map-only; nothing is ever
+    sorted or hash-shuffled. Correct whenever the DISTINCT KEY SET fits one
+    task (true for bounded roll-up keys like route×role×tool×time-bucket —
+    the north-star aggregate; a 10^12-turn input still reduces to
+    |keys| rows before the final step, and each intermediate block holds at
+    most |keys| rows after its combine).
+
+    strategy="shuffle": fall back to Ray's hash-partitioned
+    groupby().aggregate(Sum) for unbounded key cardinality (e.g. grouping
+    by conv_id itself); partials still shrink the shuffle to ≤|keys per
+    batch| rows per block.
+    """
+    value_cols = [count_name] + list(sum_cols or {})
     partial = ds.map_batches(
         PartialCountStage(keys, count_name=count_name, sum_cols=sum_cols),
         batch_format="pyarrow",
     )
-    aggs = [Sum(count_name, alias_name=count_name)]
-    for out in (sum_cols or {}):
-        aggs.append(Sum(out, alias_name=out))
-    return partial.groupby(keys).aggregate(*aggs)
+    if strategy == "shuffle":
+        aggs = [Sum(c, alias_name=c) for c in value_cols]
+        return partial.groupby(keys).aggregate(*aggs)
+    combine = CombineStage(keys, value_cols)
+    lvl1 = partial.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
 
 
 def add_time_bucket(batch: pa.Table, ts_col: str = "ts", unit: str = "hour",
