@@ -207,6 +207,75 @@ def _q_distinct_segments(sf_dir: str):
     return pd.DataFrame({"c_mktsegment": vals})
 
 
+# ---------------------------------------------------- more events operators
+
+def _q_events_route(sf_dir: str):
+    """RouteStage directly over events (strict + regex modes)."""
+    from opentelemetry_collector_ray.stages.route import RouteRule, RouteStage
+
+    rules = (
+        RouteRule(sink="left", strict={"event_type": ("error",)}),
+        RouteRule(sink="right", strict={"event_type": ("purchase", "signup")}),
+        RouteRule(sink="zero", regex={"props": r'"k": 0\}'}),
+    )
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    return ds.map_batches(RouteStage(rules), batch_format="pyarrow") \
+        .select_columns(["event_id", "route"])
+
+
+def _q_events_sample(sf_dir: str):
+    """Deterministic systematic sample (SQL-mirrorable; the probabilistic
+    sampler analog uses ds.random_sample(seed) — not oracle-checkable)."""
+    def pick(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(eid % 20 == 0))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _q_events_window(sf_dir: str):
+    """Tumbling event-time window counts per user."""
+    from opentelemetry_collector_ray.stages.sessionize import tumbling_window_count
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return tumbling_window_count(ev, key="user_id", ts_col="ts", unit="hour")
+
+
+def _q_supplier_revenue(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import broadcast_join
+
+    supp = _side_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    j = broadcast_join(li, supp, key="l_suppkey", right_key="s_suppkey")
+    prepped = j.map_batches(
+        lambda t: pa.table({"s_name": t.column("s_name"),
+                            "price_cents": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow")
+    return grouped_count(prepped, ["s_name"], count_name="n_items",
+                         sum_cols={"revenue_cents": "price_cents"})
+
+
+def _q_docs_attr_ops(sf_dir: str):
+    """OTTL-style mutations (set/copy/rename/replace_match/keep_keys) with a
+    SQL mirror — the attributes-processor surface."""
+    from opentelemetry_collector_ray.functions import attrs
+
+    def f(t: pa.Table) -> pa.Table:
+        t = attrs.copy_attr(t, "lang", "lang_orig")
+        t = attrs.set_attr(t, "lang", pc.utf8_upper(t.column("lang")))
+        t = attrs.rename_attr(t, "source", "source_sys")
+        t = attrs.replace_match(t, "text", r"data", "DATA")
+        t = attrs.set_attr(t, "n_after",
+                           pc.utf8_length(t.column("text")).cast(pa.int64()))
+        return attrs.keep_keys(t, ["doc_id", "lang", "lang_orig",
+                                   "source_sys", "n_after"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -304,6 +373,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_agg": _q_events_agg,
         "events_sessionize": _q_events_sessionize,
         "events_topk_users": _q_events_topk_users,
+        "events_route": _q_events_route,
+        "events_sample": _q_events_sample,
+        "events_window": _q_events_window,
+        "supplier_revenue": _q_supplier_revenue,
+        "docs_attr_ops": _q_docs_attr_ops,
         "tpch_q1": _q_tpch_q1,
         "nation_revenue": _q_nation_revenue,
         "topk_orders": _q_topk_orders,
@@ -452,6 +526,33 @@ FROM s GROUP BY user_id, session_id
         "events_topk_users": """
 SELECT user_id, count(*) AS n_events FROM events
 GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+""",
+        "events_route": r"""
+SELECT event_id,
+  CASE WHEN event_type = 'error' THEN 'left'
+       WHEN event_type IN ('purchase', 'signup') THEN 'right'
+       WHEN regexp_matches(props, '"k": 0\}') THEN 'zero'
+       ELSE 'default' END AS route
+FROM events
+""",
+        "events_sample": """
+SELECT event_id, event_type, value FROM events WHERE event_id % 20 = 0
+""",
+        "events_window": """
+SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
+FROM events GROUP BY user_id, bucket
+""",
+        "supplier_revenue": """
+SELECT s_name, count(*) AS n_items,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+        "docs_attr_ops": """
+SELECT doc_id, upper(lang) AS lang, lang AS lang_orig,
+       source AS source_sys,
+       length(regexp_replace(text, 'data', 'DATA', 'g')) AS n_after
+FROM documents
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
