@@ -94,10 +94,33 @@ def run_pipeline(cfg: PipelineConfig, out_root: str, resume: bool = True) -> dic
     tasks = [PartitionTask(f"{i:05d}", [p]) for i, p in enumerate(paths)]
 
     def process(task: PartitionTask, staging: str) -> dict:
-        ds = build_dataset(cfg, paths=task.inputs)
-        rows_in = ds.count()
+        from ..state.metrics import parquet_rows, routed_counts
+
+        rows_in = sum(parquet_rows(p) for p in task.inputs)  # metadata only
         ds = build_dataset(cfg, paths=task.inputs)
         sink_counts = run_exporters(cfg, ds, staging)
-        return {"rows_in": rows_in, "sinks": {k: str(v) for k, v in sink_counts.items()}}
+        per_route: dict[str, int] = {}
+        rows_out = 0
+        for name in cfg.pipeline["exporters"]:
+            if name.split("/")[0] != "parquet_sink":
+                continue
+            sink_dir = os.path.join(staging, cfg.exporters[name].get(
+                "path", name.replace("/", "_")))
+            rc = routed_counts(sink_dir)
+            if rc:
+                per_route.update(rc)
+                rows_out += sum(rc.values())
+            else:
+                rows_out += parquet_rows(sink_dir)
+        has_filter = any(n.split("/")[0] == "filter"
+                         for n in cfg.pipeline.get("processors", []))
+        metrics = {"rows_in": rows_in, "rows_out": rows_out,
+                   "per_route": per_route,
+                   "sinks": {k: str(v) for k, v in sink_counts.items()}}
+        if not has_filter and per_route:
+            from ..state.metrics import check_identities
+
+            check_identities(rows_in, per_route)  # produced == consumed
+        return metrics
 
     return run_resumable(store, tasks, process, chash, force=not resume)

@@ -1,0 +1,73 @@
+"""Incremental fragment source — the scraper/scraperhelper analog.
+
+The reference's pull-based source runs ``ScrapeFunc(ctx)`` on a
+``collection_interval`` ticker with partial-error accumulation
+(``/root/reference/scraper/scraperhelper/controller.go:88-182``,
+``scraper/scrapererror/scrapeerror.go:17-29``). The batch analog
+(SURVEY.md §2.1): each driver-loop tick reads only the Parquet fragments
+that appeared since the last committed watermark, recorded in a small
+state file (the storage-extension client analog).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PartialScrapeError(Exception):
+    """Partial-error accumulation: some fragments failed, the rest flow on
+    (scrapererror semantics: Scrape returns data AND an error)."""
+
+    failed: dict[str, str] = field(default_factory=dict)
+
+    def __str__(self):
+        return f"partial scrape failure: {self.failed}"
+
+
+class IncrementalParquetSource:
+    def __init__(self, pattern: str, state_path: str):
+        self.pattern = pattern
+        self.state_path = state_path
+
+    def _load_seen(self) -> set[str]:
+        try:
+            with open(self.state_path) as f:
+                return set(json.load(f)["seen"])
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return set()
+
+    def _commit_seen(self, seen: set[str]) -> None:
+        tmp = self.state_path + ".tmp"
+        os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"seen": sorted(seen)}, f)
+        os.replace(tmp, self.state_path)
+
+    def scrape(self):
+        """One tick → ``(dataset | None, new_paths, failed)``.
+
+        Mirrors scrapererror: data AND errors are both returned — fragments
+        that fail the validity probe are reported in ``failed`` (wrap in
+        PartialScrapeError if the caller wants to raise) and retried next
+        tick; good fragments are committed to the watermark immediately.
+        """
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        seen = self._load_seen()
+        candidates = sorted(set(glob.glob(self.pattern)) - seen)
+        good, failed = [], {}
+        for p in candidates:
+            try:
+                pq.read_metadata(p)  # cheap validity probe
+                good.append(p)
+            except Exception as e:  # noqa: BLE001 - accumulate, don't abort
+                failed[p] = str(e)
+        ds = ray.data.read_parquet(good) if good else None
+        self._commit_seen(seen | set(good))
+        return ds, good, failed

@@ -1,0 +1,130 @@
+"""Retry sender schedule, permanent/throttle classification, incremental
+(scraper-analog) source, counter identities."""
+
+import os
+
+import pytest
+
+from opentelemetry_collector_ray.sinks.reliability import (
+    PermanentError, RetryConfig, ThrottleError, is_permanent, retry_call)
+from opentelemetry_collector_ray.sources.incremental import IncrementalParquetSource
+from opentelemetry_collector_ray.state.metrics import check_identities
+
+
+def test_retry_backoff_schedule():
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 5:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = retry_call(flaky, RetryConfig(), sleep=sleeps.append,
+                     clock=lambda: 0.0)
+    assert out == "ok"
+    # reference schedule: 5, 7.5, 11.25, 16.875 (×1.5, capped at 30)
+    assert sleeps == [5.0, 7.5, 11.25, 16.875]
+
+
+def test_retry_cap_and_budget():
+    sleeps = []
+    t = {"now": 0.0}
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        sleeps.append(s)
+        t["now"] += s
+
+    def always_fails():
+        raise RuntimeError("down")
+
+    with pytest.raises(TimeoutError):
+        retry_call(always_fails, RetryConfig(), sleep=sleep, clock=clock)
+    assert max(sleeps) == 30.0  # max_interval cap
+    assert sum(sleeps) <= 300.0  # give-up budget
+
+
+def test_permanent_short_circuits():
+    calls = {"n": 0}
+
+    def bad():
+        calls["n"] += 1
+        raise PermanentError("schema violation")
+
+    with pytest.raises(PermanentError):
+        retry_call(bad, sleep=lambda s: None, clock=lambda: 0.0)
+    assert calls["n"] == 1
+    assert is_permanent(PermanentError("x")) and not is_permanent(ValueError())
+
+
+def test_throttle_delay_honored():
+    sleeps = []
+    calls = {"n": 0}
+
+    def throttled():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ThrottleError(12.5)
+        return 1
+
+    assert retry_call(throttled, sleep=sleeps.append, clock=lambda: 0.0) == 1
+    assert sleeps == [12.5]  # server delay, not the 5s backoff
+
+
+def test_incremental_source_watermark(ray_session, tmp_path):
+    from opentelemetry_collector_ray.synth import write_turns_parquet
+
+    src = tmp_path / "frags"
+    state = str(tmp_path / "state.json")
+    write_turns_parquet(str(src), sf=0.02, shards=2)
+    s = IncrementalParquetSource(str(src / "*.parquet"), state)
+    ds, new, failed = s.scrape()
+    assert len(new) == 2 and not failed and ds.count() > 0
+    ds2, new2, _ = s.scrape()  # nothing new
+    assert ds2 is None and new2 == []
+    # a new fragment appears + one corrupt file
+    write_turns_parquet(str(tmp_path / "more"), sf=0.01, shards=1)
+    os.rename(str(tmp_path / "more" / "turns-0000.parquet"),
+              str(src / "turns-9999.parquet"))
+    (src / "corrupt.parquet").write_bytes(b"not a parquet file")
+    ds3, new3, failed3 = s.scrape()
+    assert len(new3) == 1 and ds3.count() > 0
+    assert list(failed3) == [str(src / "corrupt.parquet")]
+    # failed fragment is retried next tick (still not in watermark)
+    _, _, failed4 = s.scrape()
+    assert list(failed4) == [str(src / "corrupt.parquet")]
+
+
+def test_counter_identities():
+    check_identities(10, {"a": 7, "b": 3})
+    check_identities(10, {"a": 7}, dropped=3)
+    with pytest.raises(AssertionError):
+        check_identities(10, {"a": 7, "b": 2})
+
+
+def test_manifest_records_per_route(ray_session, tmp_path):
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import run_pipeline
+    from opentelemetry_collector_ray.state.manifest import ManifestStore
+    from opentelemetry_collector_ray.synth import write_turns_parquet
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    write_turns_parquet(src, sf=0.03, shards=1)
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": src}},
+        "processors": {"parse": {}, "enrich": {}, "route": {}},
+        "exporters": {"parquet_sink/out": {"path": "sinks"}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["parse", "enrich", "route"],
+            "exporters": ["parquet_sink/out"]}}},
+    })
+    run_pipeline(cfg, out)
+    m = ManifestStore(out).load("00000")
+    assert m["status"] == "committed"
+    assert m["metrics"]["rows_in"] == m["metrics"]["rows_out"] > 0
+    assert sum(m["metrics"]["per_route"].values()) == m["metrics"]["rows_in"]
