@@ -95,6 +95,17 @@ def _q_turns_agg(sf_dir: str):
     return build_aggregate(_routed(sf_dir))
 
 
+def _q_conv_stats(sf_dir: str):
+    """Unbounded-key grouped aggregate (per-conversation stats) — exercises
+    the hash-shuffle strategy with per-batch partials (skew-neutralizing)."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    turns = _turns(sf_dir).select_columns(["conv_id", "ts"])
+    return grouped_agg(turns, ["conv_id"], count_name="n_turns",
+                       min_cols={"first_ts": "ts"}, max_cols={"last_ts": "ts"},
+                       strategy="shuffle")
+
+
 # ------------------------------------------------------------ events family
 
 def _q_events_parse_props(sf_dir: str):
@@ -369,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_enrich": _q_turns_enrich,
         "turns_route": _q_turns_route,
         "turns_agg": _q_turns_agg,
+        "conv_stats": _q_conv_stats,
         "events_parse_props": _q_events_parse_props,
         "events_agg": _q_events_agg,
         "events_sessionize": _q_events_sessionize,
@@ -498,6 +510,11 @@ FROM routed GROUP BY route, role, tool, bucket
         "turns_enrich": enrich_sql,
         "turns_route": route_sql,
         "turns_agg": agg_sql,
+        "conv_stats": f"""
+{with_turns}
+SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
+FROM turns GROUP BY conv_id
+""",
         "events_parse_props": (
             "SELECT event_id, CAST(NULLIF(regexp_extract(props, "
             "'\"k\": (\\d+)', 1), '') AS BIGINT) AS k FROM events"),

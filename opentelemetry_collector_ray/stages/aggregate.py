@@ -56,20 +56,105 @@ class PartialCountStage:
         return t.select(names)
 
 
-class CombineStage:
-    """Merge partial count/sum rows: pyarrow group_by + sum, names preserved
-    (the delta→cumulative merge discipline)."""
+class PartialAggStage:
+    """General combiner: per-batch group_by with count/sum/min/max partials
+    (all mergeable: count+sum merge by sum, min by min, max by max)."""
 
-    def __init__(self, keys: list[str], value_cols: list[str]):
-        self.keys, self.value_cols = list(keys), list(value_cols)
+    def __init__(self, keys: list[str], count_name: str | None = None,
+                 sum_cols: dict[str, str] | None = None,
+                 min_cols: dict[str, str] | None = None,
+                 max_cols: dict[str, str] | None = None):
+        self.keys = list(keys)
+        self.count_name = count_name
+        self.sum_cols = dict(sum_cols or {})
+        self.min_cols = dict(min_cols or {})
+        self.max_cols = dict(max_cols or {})
+
+    @property
+    def out_cols(self) -> list[str]:
+        return ([self.count_name] if self.count_name else []) + \
+            list(self.sum_cols) + list(self.min_cols) + list(self.max_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aggs = []
+        if self.count_name:
+            aggs.append(([], "count_all"))
+        for src in self.sum_cols.values():
+            aggs.append((src, "sum"))
+        for src in self.min_cols.values():
+            aggs.append((src, "min"))
+        for src in self.max_cols.values():
+            aggs.append((src, "max"))
+        g = batch.group_by(self.keys, use_threads=False).aggregate(aggs)
+        cols = {k: g.column(k) for k in self.keys}
+        if self.count_name:
+            cols[self.count_name] = g.column("count_all").cast(pa.int64())
+        for out, src in self.sum_cols.items():
+            cols[out] = g.column(f"{src}_sum")
+        for out, src in self.min_cols.items():
+            cols[out] = g.column(f"{src}_min")
+        for out, src in self.max_cols.items():
+            cols[out] = g.column(f"{src}_max")
+        return pa.table(cols).select(self.keys + self.out_cols)
+
+
+class CombineStage:
+    """Merge partial rows: sum for counts/sums, min/max for extrema, names
+    preserved (the delta→cumulative merge discipline)."""
+
+    def __init__(self, keys: list[str], value_cols: list[str],
+                 min_cols: tuple[str, ...] = (), max_cols: tuple[str, ...] = ()):
+        self.keys = list(keys)
+        self.min_cols, self.max_cols = set(min_cols), set(max_cols)
+        self.value_cols = list(value_cols)
+
+    def _fn(self, c: str) -> str:
+        return "min" if c in self.min_cols else \
+            "max" if c in self.max_cols else "sum"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = batch.group_by(self.keys, use_threads=False).aggregate(
-            [(c, "sum") for c in self.value_cols])
+            [(c, self._fn(c)) for c in self.value_cols])
         cols = {k: g.column(k) for k in self.keys}
         for c in self.value_cols:
-            cols[c] = g.column(f"{c}_sum")
+            cols[c] = g.column(f"{c}_{self._fn(c)}")
         return pa.table(cols).select(self.keys + self.value_cols)
+
+
+def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
+                sum_cols: dict[str, str] | None = None,
+                min_cols: dict[str, str] | None = None,
+                max_cols: dict[str, str] | None = None,
+                strategy: str = "tree", fanin: int = 16) -> Dataset:
+    """General two-phase grouped aggregate (count/sum/min/max).
+
+    strategy="tree": map-only reduce — requires the distinct key set to fit
+    one task (bounded roll-up keys). strategy="shuffle": Ray hash
+    groupby over the partials — for unbounded keys (e.g. conv_id at 10^12
+    scale); the partials bound the shuffle to ≤ |keys in batch| rows per
+    block, which also neutralizes hot-key skew for these mergeable
+    aggregates (a hot key contributes one partial row per batch, so the
+    per-key reduce input is #blocks, not #rows — batch-index-as-salt).
+    """
+    stage = PartialAggStage(keys, count_name, sum_cols, min_cols, max_cols)
+    partial = ds.map_batches(stage, batch_format="pyarrow")
+    combine = CombineStage(keys, stage.out_cols,
+                           min_cols=tuple(min_cols or {}),
+                           max_cols=tuple(max_cols or {}))
+    if strategy == "shuffle":
+        aggs = []
+        for c in stage.out_cols:
+            if min_cols and c in min_cols:
+                aggs.append(Min(c, alias_name=c))
+            elif max_cols and c in max_cols:
+                aggs.append(Max(c, alias_name=c))
+            else:
+                aggs.append(Sum(c, alias_name=c))
+        return partial.groupby(keys).aggregate(*aggs)
+    lvl1 = partial.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
 
 
 def grouped_count(ds: Dataset, keys: list[str], count_name: str = "n_turns",

@@ -1,0 +1,77 @@
+"""Graph/topology semantics (SURVEY.md §2.7, reference
+service/internal/graph/graph_test.go): multi-receiver fan-in union,
+forward-connector identity, fan-out branch equivalence to single-pass
+partitioned write, grouped_agg tree==shuffle equivalence."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_multi_receiver_union(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.synth import synth_turns
+
+    t = synth_turns(sf=0.05)
+    a = ray.data.from_arrow(t.slice(0, 200))
+    b = ray.data.from_arrow(t.slice(200))
+    merged = a.union(b)  # implicit fan-in (graph.go:271-273)
+    assert merged.count() == t.num_rows
+
+
+def test_forward_connector_is_identity(ray_session):
+    # forwardconnector (forward.go:57-90) = datasets compose directly; a
+    # no-op stage preserves content exactly.
+    import ray.data
+
+    from opentelemetry_collector_ray.synth import synth_turns
+
+    t = synth_turns(sf=0.03)
+    ds = ray.data.from_arrow(t)
+    fwd = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    got = fwd.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_fanout_branches_equal_partitioned_write(ray_session, tmp_path):
+    """K filtered branches (fanout consumer) and the single-pass partitioned
+    write must produce identical per-sink row sets (fanoutconsumer clone
+    semantics dissolved by immutability)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.flagship import build_routed
+    from opentelemetry_collector_ray.sinks.parquet_sink import write_routed
+    from opentelemetry_collector_ray.synth import synth_turns
+
+    t = synth_turns(sf=0.1)
+    routed = build_routed(ray.data.from_arrow(t))
+    out = str(tmp_path / "fanout")
+    write_routed(routed, out)
+    single_pass = {}
+    for d in (tmp_path / "fanout").glob("route=*"):
+        route = d.name.split("=", 1)[1]
+        rows = pq.read_table(str(d)).to_pandas()
+        single_pass[route] = set(zip(rows["conv_id"], rows["turn_idx"]))
+
+    branches = {}
+    routed_df = build_routed(ray.data.from_arrow(t)).to_pandas()
+    for route, g in routed_df.groupby("route"):
+        branches[route] = set(zip(g["conv_id"], g["turn_idx"]))
+    assert single_pass == branches
+
+
+def test_grouped_agg_tree_equals_shuffle(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.synth import synth_turns
+
+    ds = ray.data.from_arrow(synth_turns(sf=0.1)).repartition(5)
+    kw = dict(count_name="n", min_cols={"first": "ts"}, max_cols={"last": "ts"})
+    tree = grouped_agg(ds, ["role"], strategy="tree", **kw).to_pandas()
+    shuf = grouped_agg(ds, ["role"], strategy="shuffle", **kw).to_pandas()
+    tree = tree.sort_values("role").reset_index(drop=True)
+    shuf = shuf.sort_values("role").reset_index(drop=True)[tree.columns]
+    pd.testing.assert_frame_equal(tree, shuf, check_dtype=False)
