@@ -359,6 +359,42 @@ def _q_emb_knn(sf_dir: str):
                     _query_vec(sf_dir), k=20)
 
 
+def _q_users_distinct(sf_dir: str):
+    from opentelemetry_collector_ray.stages.aggregate import count_distinct
+
+    return count_distinct(_read(sf_dir, "events", ["user_id"]), ["user_id"],
+                          out_name="n_users")
+
+
+def _q_emb_centroids(sf_dir: str):
+    """Element-wise mean embedding per label (two-phase vector-sum tree
+    reduce), exploded to (label, i, c_e6) rows for the SQL mirror."""
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.aggregate import vector_mean_by
+
+    cent = vector_mean_by(_read(sf_dir, "embeddings", ["label", "embedding"]),
+                          key="label").to_pandas()
+    rows = {"label": [], "i": [], "c_e6": []}
+    for _, r in cent.iterrows():
+        v = np.asarray(r["centroid"], dtype=np.float64)
+        rows["label"].extend([r["label"]] * len(v))
+        rows["i"].extend(range(1, len(v) + 1))  # 1-based like generate_subscripts
+        rows["c_e6"].extend(np.floor(v * 1_000_000 + 0.5).astype(np.int64))
+    import pandas as pd
+
+    return pd.DataFrame({"label": pd.array(rows["label"], dtype="int32"),
+                         "i": pd.array(rows["i"], dtype="int64"),
+                         "c_e6": pd.array(rows["c_e6"], dtype="int64")})
+
+
+def _q_docs_ngram_jaccard(sf_dir: str):
+    from opentelemetry_collector_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               threshold=0.3)
+
+
 def _q_emb_ann_lsh(sf_dir: str):
     from opentelemetry_collector_ray.stages.similarity import ann_topk_lsh
 
@@ -403,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _q_docs_simhash,
         "emb_knn": _q_emb_knn,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "users_distinct": _q_users_distinct,
+        "emb_centroids": _q_emb_centroids,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
     }
 
 
@@ -608,7 +647,14 @@ SELECT vec_id,
               WHERE vec_id = 0)) * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
 FROM embeddings ORDER BY cos_sim_e6 DESC, vec_id LIMIT 20
 """,
-        # docs_quality, docs_minhash_dedup, docs_simhash, emb_ann_lsh,
-        # turns-family non-SQL ops: intentionally omitted (rows-only check) —
-        # heuristic scoring / sketch / ANN semantics are not SQL-expressible.
+        "users_distinct": "SELECT count(DISTINCT user_id) AS n_users FROM events",
+        "emb_centroids": """
+SELECT label, i, CAST(floor(avg(e) * 1000000 + 0.5) AS BIGINT) AS c_e6
+FROM (SELECT label, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS i FROM embeddings)
+GROUP BY label, i
+""",
+        # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
+        # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
+        # scoring / sketch / ANN semantics are not SQL-expressible.
     }

@@ -195,6 +195,98 @@ def add_time_bucket(batch: pa.Table, ts_col: str = "ts", unit: str = "hour",
     return batch.append_column(out, pc.floor_temporal(batch.column(ts_col), unit=unit))
 
 
+def count_distinct(ds: Dataset, cols: list[str], out_name: str = "n_distinct",
+                   fanin: int = 16) -> Dataset:
+    """Exact distinct count, two-phase: per-batch distinct key rows (the
+    mergeable 'sketch' for exact distinct) → tree-merged distinct → count.
+    Shuffle-free; requires the distinct set to fit one task (else use the
+    grouped shuffle path or an approximate sketch)."""
+    def distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(cols, use_threads=False).aggregate([])
+
+    partial = ds.select_columns(cols).map_batches(distinct, batch_format="pyarrow")
+    merged = partial.repartition(fanin).map_batches(
+        distinct, batch_format="pyarrow", batch_size=None)
+    final = merged.repartition(1).map_batches(
+        lambda t: pa.table({out_name: pa.array(
+            [t.group_by(cols, use_threads=False).aggregate([]).num_rows],
+            pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return final
+
+
+class VectorSumStage:
+    """Per-batch partial for element-wise vector aggregation: per key, the
+    vector SUM and row count (mergeable → mean at the end)."""
+
+    def __init__(self, key: str, vec_col: str = "embedding"):
+        self.key, self.vec_col = key, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = batch.column(self.vec_col).combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        dim = len(flat) // n if n else 0
+        x = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        keys = batch.column(self.key).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, x)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            self.key: pa.array(uniq),
+            "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(counts),
+        })
+
+
+def vector_mean_by(ds: Dataset, key: str, vec_col: str = "embedding",
+                   fanin: int = 8) -> Dataset:
+    """Element-wise mean vector per key (embedding centroids), two-phase
+    partial-sum tree reduce."""
+    import numpy as np
+
+    partial = ds.select_columns([key, vec_col]).map_batches(
+        VectorSumStage(key, vec_col), batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        col = batch.column("vec_sum").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        dim = len(flat) // n if n else 0
+        x = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        cnt = batch.column("n").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, x)
+        counts = np.zeros(len(uniq), np.int64)
+        np.add.at(counts, inv, cnt)
+        return pa.table({key: pa.array(uniq),
+                         "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                         "n": pa.array(counts)})
+
+    merged = partial.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None).repartition(1) \
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+    def to_mean(batch: pa.Table) -> pa.Table:
+        col = batch.column("vec_sum").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        dim = len(flat) // n if n else 0
+        x = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        cnt = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        means = x / cnt[:, None] if n else x
+        return pa.table({batch.column_names[0]: batch.column(0),
+                         "centroid": pa.array(list(means), pa.list_(pa.float64())),
+                         "n": batch.column("n")})
+
+    return merged.map_batches(to_mean, batch_format="pyarrow", batch_size=None)
+
+
 __all__ = [
     "PartialCountStage", "grouped_count", "add_time_bucket",
     "Count", "Sum", "Mean", "Min", "Max",
