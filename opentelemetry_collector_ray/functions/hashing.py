@@ -59,8 +59,8 @@ def hash64(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
 def hash64_ints(a: np.ndarray, seed: int = 0) -> np.ndarray:
     """Stable splitmix64 over an integer ndarray (minhash permutations etc.;
     pure numpy, version-independent)."""
-    x = a.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
     with np.errstate(over="ignore"):
+        x = a.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))

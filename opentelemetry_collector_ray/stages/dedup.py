@@ -131,9 +131,11 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].unique())
         if len(ids) < 2 or len(ids) > 200:  # cardinality guard for degenerate buckets
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        return pd.DataFrame({"id_a": ids[a].astype("int64"),
+                             "id_b": ids[b].astype("int64")})
 
     cand = triples.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
