@@ -559,7 +559,7 @@ FROM turns GROUP BY conv_id
             "'\"k\": (\\d+)', 1), '') AS BIGINT) AS k FROM events"),
         "events_agg": """
 SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type, bucket
 """,
         "events_sessionize": """
@@ -571,8 +571,8 @@ WITH gaps AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -600,7 +600,7 @@ FROM events GROUP BY user_id, bucket
 """,
         "supplier_revenue": """
 SELECT s_name, count(*) AS n_items,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 """,
@@ -613,15 +613,15 @@ FROM documents
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sum_disc_cents
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
         "nation_revenue": """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
