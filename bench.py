@@ -116,6 +116,20 @@ def main() -> None:
     run_flagship(turns_dir)  # warm page cache / JIT, untimed
     wall, n_turns, n_groups = run_flagship(turns_dir)
     assert n_turns == n_rows, (n_turns, n_rows)
+    routed_write = None
+    if "--headline-only" not in sys.argv:
+        import shutil
+
+        import ray.data
+
+        from opentelemetry_collector_ray.pipelines.flagship import build_routed
+        from opentelemetry_collector_ray.sinks.parquet_sink import write_routed
+
+        sink = "/tmp/graft_bench/routed_sink"
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.time()
+        write_routed(build_routed(ray.data.read_parquet(turns_dir)), sink)
+        routed_write = round(time.time() - t0, 3)
     queries = run_secondary(SF_DIR) if "--headline-only" not in sys.argv else {}
     print(json.dumps({
         "metric": "flagship_parse_enrich_route_aggregate_sec",
@@ -124,6 +138,7 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
         "agg_groups": n_groups,
+        "routed_write_sec": routed_write,
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NCPUS,

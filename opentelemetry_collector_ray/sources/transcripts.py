@@ -68,16 +68,35 @@ def _event_to_turn_cols(batch: pa.Table) -> pa.Table:
     })
 
 
-def _rank_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    g["turn_idx"] = np.arange(len(g), dtype=np.int32)
-    return g.drop(columns=["event_id"])
+N_RANK_BUCKETS = 64
+
+
+def _add_bucket(batch: pa.Table) -> pa.Table:
+    from ..functions.hashing import bucket_of
+
+    b = bucket_of(batch.column("conv_id"), N_RANK_BUCKETS)
+    return batch.append_column("_bucket", pa.array(b))
+
+
+def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Rank turns within every conversation of one hash bucket — one
+    vectorized pandas pass over MANY conversations (no per-group Python:
+    buckets, not conversations, are the map_groups unit — the bounded-group
+    pattern for per-key windowed work at scale)."""
+    g = g.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+    g["turn_idx"] = g.groupby("conv_id", sort=False).cumcount().astype(np.int32)
+    return g.drop(columns=["event_id", "_bucket"])
 
 
 def derive_turns(events: ray.data.Dataset) -> ray.data.Dataset:
-    """events → canonical turns table (conv_id, turn_idx, role, text, tool, ts)."""
-    pre = events.map_batches(_event_to_turn_cols, batch_format="pyarrow")
-    ranked = pre.groupby("conv_id").map_groups(_rank_group, batch_format="pandas")
+    """events → canonical turns table (conv_id, turn_idx, role, text, tool, ts).
+
+    The rank shuffle keys on hash(conv_id) % 64 buckets rather than raw
+    conv_id, so the group count (and Python-call count) is bounded and every
+    bucket ranks thousands of conversations in one vectorized pass."""
+    pre = events.map_batches(_event_to_turn_cols, batch_format="pyarrow") \
+        .map_batches(_add_bucket, batch_format="pyarrow")
+    ranked = pre.groupby("_bucket").map_groups(_rank_bucket, batch_format="pandas")
     return ranked.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 

@@ -28,28 +28,44 @@ from ..functions.hashing import hash64, hash64_ints
 
 # ---------------------------------------------------------------- exact
 
-class _HashText:
-    def __init__(self, text_col: str):
-        self.text_col = text_col
+class _PartialDedup:
+    """Per-batch: two independent 64-bit content hashes + min id per
+    distinct (h1, h2). Only fixed-width hash rows enter the shuffle — the
+    text itself never moves."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        h = hash64(t.column(self.text_col))
-        return t.append_column("_h", pa.array(h.astype(np.int64)))
+        h1 = hash64(t.column(self.text_col), seed=0)
+        h2 = hash64(t.column(self.text_col), seed=1)
+        small = pa.table({
+            "_h1": pa.array(h1.astype(np.int64)),
+            "_h2": pa.array(h2.astype(np.int64)),
+            self.id_col: t.column(self.id_col),
+        })
+        g = small.group_by(["_h1", "_h2"], use_threads=False).aggregate(
+            [(self.id_col, "min")])
+        return pa.table({"_h1": g.column("_h1"), "_h2": g.column("_h2"),
+                         self.id_col: g.column(f"{self.id_col}_min")})
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the minimum-id row per distinct text. Shuffle key is the 64-bit
-    content hash (fixed-width — the text column rides along only to resolve
-    hash collisions exactly)."""
-    hashed = ds.select_columns([id_col, text_col]).map_batches(
-        _HashText(text_col), batch_format="pyarrow")
+    """Keep the minimum-id row per distinct text.
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        kept = g.groupby(text_col, sort=False)[id_col].min().reset_index()
-        return kept[[id_col]]
+    Identity key = a PAIR of independent 64-bit content hashes (collision
+    needs both to collide: ~2^-128 — cryptographic-grade distinctness
+    without shipping text through the shuffle). Per-batch partials reduce
+    duplicates before the hash groupby; only (h1, h2, id) rows shuffle.
+    """
+    from ray.data.aggregate import Min
 
-    return hashed.groupby("_h").map_groups(resolve, batch_format="pandas")
+    partial = ds.select_columns([id_col, text_col]).map_batches(
+        _PartialDedup(text_col, id_col), batch_format="pyarrow")
+    kept = partial.groupby(["_h1", "_h2"]).aggregate(
+        Min(id_col, alias_name=id_col))
+    return kept.select_columns([id_col])
 
 
 # ---------------------------------------------------------------- minhash
