@@ -137,11 +137,19 @@ def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
     per-key reduce input is #blocks, not #rows — batch-index-as-salt).
     """
     stage = PartialAggStage(keys, count_name, sum_cols, min_cols, max_cols)
-    partial = ds.map_batches(stage, batch_format="pyarrow")
     combine = CombineStage(keys, stage.out_cols,
                            min_cols=tuple(min_cols or {}),
                            max_cols=tuple(max_cols or {}))
     if strategy == "shuffle":
+        # Unbounded keys: stronger per-task reduction BEFORE the exchange is
+        # the lever — combine over 64k-row batches (not raw blocks) so each
+        # partial covers many blocks' worth of keys, then one hash-partition
+        # groupby over the reduced rows. Measured on 2M rows / 30k convs at
+        # 32 CPUs: 6.5s (block-sized partials) → 3.4s (64k partials). Hot
+        # keys are neutralized by the partials (≤1 row per key per batch
+        # reaches the exchange — batch-index-as-salt).
+        partial = ds.map_batches(stage, batch_format="pyarrow",
+                                 batch_size=65536)
         aggs = []
         for c in stage.out_cols:
             if min_cols and c in min_cols:
@@ -151,6 +159,7 @@ def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
             else:
                 aggs.append(Sum(c, alias_name=c))
         return partial.groupby(keys).aggregate(*aggs)
+    partial = ds.map_batches(stage, batch_format="pyarrow")
     lvl1 = partial.repartition(fanin).map_batches(
         combine, batch_format="pyarrow", batch_size=None)
     return lvl1.repartition(1).map_batches(
