@@ -90,26 +90,59 @@ class ParseStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
         n = batch.num_rows
         out: dict[str, pa.Array] = {
             g: pa.nulls(n, pa.string()) for g in self.all_groups
         }
         rule_ix = np.full(n, -1, dtype=np.int8)
-        unclaimed = pa.array(np.ones(n, dtype=bool))
+        unclaimed_np = np.ones(n, dtype=bool)
         for i, rule in enumerate(self.rules):
-            ext = pc.extract_regex(text, pattern=rule.pattern)
-            if isinstance(ext, pa.ChunkedArray):
-                ext = ext.combine_chunks()
-            matched = ext.is_valid()
-            wins = pc.and_(matched, unclaimed)
-            wins_np = wins.to_numpy(zero_copy_only=False)
-            if not wins_np.any():
-                continue
-            rule_ix[wins_np] = i
-            for g in self.rule_groups[i]:
-                vals = pc.struct_field(ext, g)
-                out[g] = pc.if_else(wins, vals, out[g])
-            unclaimed = pc.and_(unclaimed, pc.invert(matched))
+            n_open = int(unclaimed_np.sum())
+            if n_open == 0:
+                break
+            if n_open > 0.9 * n:
+                # full-column pass (vectorized if_else merge)
+                ext = pc.extract_regex(text, pattern=rule.pattern)
+                if isinstance(ext, pa.ChunkedArray):
+                    ext = ext.combine_chunks()
+                matched_np = ext.is_valid().to_numpy(zero_copy_only=False)
+                wins_np = matched_np & unclaimed_np
+                if wins_np.any():
+                    rule_ix[wins_np] = i
+                    wins = pa.array(wins_np)
+                    for g in self.rule_groups[i]:
+                        out[g] = pc.if_else(wins, pc.struct_field(ext, g), out[g])
+                unclaimed_np &= ~matched_np
+            else:
+                # fast path: run the regex only on still-unclaimed rows and
+                # scatter winners back (later rules usually see a small
+                # residue after the first rule claims the bulk)
+                idx = np.nonzero(unclaimed_np)[0]
+                sub = text.take(pa.array(idx))
+                ext = pc.extract_regex(sub, pattern=rule.pattern)
+                if isinstance(ext, pa.ChunkedArray):
+                    ext = ext.combine_chunks()
+                matched_sub = ext.is_valid().to_numpy(zero_copy_only=False)
+                if matched_sub.any():
+                    win_global = idx[matched_sub]
+                    rule_ix[win_global] = i
+                    for g in self.rule_groups[i]:
+                        vals = pc.struct_field(ext, g).to_numpy(zero_copy_only=False)
+                        full = np.full(n, None, dtype=object)
+                        full[win_global] = vals[matched_sub]
+                        merged = pa.array(full, pa.string())
+                        # rows outside win_global keep their previous value
+                        keep_prev = pa.array(rule_ix != i) if g in {
+                            h for j in range(i) for h in self.rule_groups[j]} \
+                            else None
+                        if keep_prev is not None:
+                            merged = pc.if_else(keep_prev, out[g], merged)
+                        out[g] = merged
+                    unclaimed_np[idx] &= ~matched_sub
+                else:
+                    continue
         for g, typ in self.casts.items():
             out[g] = out[g].cast(pa.type_for_alias(typ))
         res = batch
