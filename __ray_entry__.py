@@ -268,6 +268,42 @@ def _q_supplier_revenue(sf_dir: str):
                          sum_cols={"revenue_cents": "price_cents"})
 
 
+def _q_customers_no_orders(sf_dir: str):
+    """Anti join: broadcast the key set of finished orders, filter customers
+    without a match (semi/anti pattern — broadcast key set, never a
+    shuffle). Restricted to status 'F' so the result is non-empty."""
+    ot = _side_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    ot = ot.filter(pc.equal(ot.column("o_orderstatus"), "F"))
+    key_set = pc.unique(ot.column("o_custkey").combine_chunks())
+
+    def anti(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("c_custkey"), value_set=key_set)
+        return t.filter(pc.invert(m))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow")
+
+
+def _q_docs_top_terms(sf_dir: str):
+    """Corpus word count (flat_map → two-phase count → top-k): per-batch
+    term explode + count partials, tree merge, deterministic (-n, term)
+    top 20."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(pc.utf8_lower(t.column("text")),
+                                       pattern="[^a-z]+")
+        flat = split.combine_chunks().flatten() \
+            if isinstance(split, pa.ChunkedArray) else split.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return pa.table({"term": flat})
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        explode, batch_format="pyarrow")
+    counts = grouped_count(ds, ["term"], count_name="n")
+    return counts.sort(["n", "term"], descending=[True, False]).limit(20)
+
+
 def _q_docs_attr_ops(sf_dir: str):
     """OTTL-style mutations (set/copy/rename/replace_match/keep_keys) with a
     SQL mirror — the attributes-processor surface."""
@@ -426,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "supplier_revenue": _q_supplier_revenue,
         "docs_attr_ops": _q_docs_attr_ops,
+        "customers_no_orders": _q_customers_no_orders,
+        "docs_top_terms": _q_docs_top_terms,
         "tpch_q1": _q_tpch_q1,
         "nation_revenue": _q_nation_revenue,
         "topk_orders": _q_topk_orders,
@@ -609,6 +647,16 @@ SELECT doc_id, upper(lang) AS lang, lang AS lang_orig,
        source AS source_sys,
        length(regexp_replace(text, 'data', 'DATA', 'g')) AS n_after
 FROM documents
+""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+""",
+        "docs_top_terms": """
+SELECT term, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
