@@ -84,3 +84,28 @@ def validate_turns(table: pa.Table, strict: bool = True) -> pa.Table:
     for n in extra:
         out = out.append_column(n, table.column(n))
     return out
+
+
+def check_unique_turn_ids(ds) -> int:
+    """Global validation: (conv_id, turn_idx) must be unique — the unique
+    record-id contract the reference's contract checker relies on
+    (exporter/exportertest/contract_checker.go:27-31). Distributed check:
+    two-phase count on the id pair; any group with n > 1 is a violation.
+    Raises SchemaError (permanent); returns total rows otherwise."""
+    from .stages.aggregate import grouped_count
+
+    counts = grouped_count(ds.select_columns(["conv_id", "turn_idx"]),
+                           ["conv_id", "turn_idx"], count_name="n",
+                           strategy="shuffle")
+    import pyarrow.compute as pc2
+
+    dups = counts.map_batches(
+        lambda t: t.filter(pc2.greater(t.column("n"), 1)),
+        batch_format="pyarrow").take(5)
+    if dups:
+        raise SchemaError(f"duplicate (conv_id, turn_idx) ids: {dups}")
+    totals = counts.map_batches(
+        lambda t: pa.table({"s": pa.array([pc2.sum(t.column("n")).as_py() or 0],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return int(totals["s"].sum())
