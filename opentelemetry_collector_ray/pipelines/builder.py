@@ -82,7 +82,11 @@ def config_hash(cfg: PipelineConfig) -> str:
 def run_pipeline(cfg: PipelineConfig, out_root: str, resume: bool = True) -> dict:
     """Partition-per-input-file resumable execution: each input fragment
     group is one manifest unit (persistent-queue item analog)."""
-    (rname,) = cfg.pipeline["receivers"][:1]
+    if len(cfg.pipeline["receivers"]) != 1:
+        raise ValueError("the resumable runner partitions by input fragment "
+                         "and supports exactly one receiver; union multiple "
+                         "sources upstream or run one pipeline per source")
+    (rname,) = cfg.pipeline["receivers"]
     paths = sorted(
         p for pat in ([cfg.receivers[rname]["paths"]]
                       if isinstance(cfg.receivers[rname]["paths"], str)

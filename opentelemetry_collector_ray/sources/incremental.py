@@ -54,6 +54,13 @@ class IncrementalParquetSource:
         that fail the validity probe are reported in ``failed`` (wrap in
         PartialScrapeError if the caller wants to raise) and retried next
         tick; good fragments are committed to the watermark immediately.
+
+        Delivery note: the watermark advances at scrape time (the returned
+        Dataset is lazy), so this source alone is at-most-once per
+        fragment. End-to-end at-least-once comes from the partition
+        manifests downstream (state/manifest.py): a fragment whose
+        partition never commits is reprocessed by rerunning the job over
+        the manifest store, not by rewinding this watermark.
         """
         import pyarrow.parquet as pq
 

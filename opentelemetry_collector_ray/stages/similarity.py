@@ -23,6 +23,9 @@ def _stack(col: pa.ChunkedArray) -> np.ndarray:
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n and len(flat) % n != 0:
+        raise ValueError("embedding column has ragged list lengths — "
+                         "fixed dimensionality required")
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
