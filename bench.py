@@ -49,7 +49,10 @@ def _prepare_turns(sf_dir: str) -> tuple[str, int]:
 
     os.makedirs(out_dir, exist_ok=True)
     refs = read_derived_turns(sf_dir).to_arrow_refs()
-    base = pa.concat_tables([ray.get(r) for r in refs])  # small base, once
+    # Ray's groupby/map_groups can emit empty zero-column sentinel blocks;
+    # drop them before concat (they have no schema).
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows > 0]
+    base = pa.concat_tables(tables)  # small base, once
     conv = base.column("conv_id")
 
     nrows = base.num_rows
