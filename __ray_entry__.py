@@ -402,6 +402,17 @@ def _q_users_distinct(sf_dir: str):
                           out_name="n_users")
 
 
+def _q_users_distinct_approx(sf_dir: str):
+    """HLL sketch estimate of distinct users (rows-only: approximate by
+    design; accuracy envelope asserted in tests/test_sketch.py)."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.sketch import approx_distinct
+
+    est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id", p=12)
+    return pd.DataFrame({"n_users_approx": [float(est)]})
+
+
 def _q_emb_centroids(sf_dir: str):
     """Element-wise mean embedding per label (two-phase vector-sum tree
     reduce), exploded to (label, i, c_e6) rows for the SQL mirror."""
@@ -478,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "users_distinct": _q_users_distinct,
+        "users_distinct_approx": _q_users_distinct_approx,
         "emb_centroids": _q_emb_centroids,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
     }

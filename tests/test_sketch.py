@@ -1,0 +1,35 @@
+"""HLL approximate distinct: accuracy envelope + merge associativity."""
+
+import numpy as np
+import pyarrow as pa
+
+from opentelemetry_collector_ray.stages.sketch import (
+    _estimate, _registers, approx_distinct)
+
+
+def test_registers_merge_associative():
+    rng = np.random.default_rng(0)
+    a = pa.array([f"k{v}" for v in rng.integers(0, 5000, 20000)])
+    b = pa.array([f"k{v}" for v in rng.integers(3000, 9000, 20000)])
+    ra, rb = _registers(a, 12), _registers(b, 12)
+    merged = np.maximum(ra, rb)
+    both = _registers(pa.concat_arrays([a, b]), 12)
+    assert (merged == both).all()  # merge == sketch of the union
+
+
+def test_estimate_accuracy():
+    for true_n in (100, 5_000, 50_000):
+        vals = pa.array([f"key-{i}" for i in range(true_n)])
+        est = _estimate(_registers(vals, 12))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_approx_distinct_dataset(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(1)
+    keys = [f"u{v}" for v in rng.integers(0, 1234, 100_000)]
+    true_n = len(set(keys))
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - true_n) / true_n < 0.05, (true_n, est)
