@@ -253,6 +253,18 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_count(ev, key="user_id", ts_col="ts", unit="hour")
 
 
+def _q_events_cumulative(sf_dir: str):
+    """Delta→cumulative temporality conversion: hourly per-user counts, then
+    per-user running total (pmetric AggregationTemporality analog)."""
+    from opentelemetry_collector_ray.stages.sessionize import tumbling_window_count
+    from opentelemetry_collector_ray.stages.temporal import delta_to_cumulative
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    hourly = tumbling_window_count(ev, key="user_id", ts_col="ts", unit="hour")
+    return delta_to_cumulative(hourly, key="user_id", order_col="bucket",
+                               value_col="n_events", out_col="cum_n")
+
+
 def _q_supplier_revenue(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import grouped_count
     from opentelemetry_collector_ray.stages.join import broadcast_join
@@ -471,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_route": _q_events_route,
         "events_sample": _q_events_sample,
         "events_window": _q_events_window,
+        "events_cumulative": _q_events_cumulative,
         "supplier_revenue": _q_supplier_revenue,
         "docs_attr_ops": _q_docs_attr_ops,
         "customers_no_orders": _q_customers_no_orders,
@@ -647,6 +660,14 @@ SELECT event_id, event_type, value FROM events WHERE event_id % 20 = 0
         "events_window": """
 SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
 FROM events GROUP BY user_id, bucket
+""",
+        "events_cumulative": """
+WITH w AS (SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
+           FROM events GROUP BY user_id, bucket)
+SELECT user_id, bucket, n_events,
+       CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+FROM w
 """,
         "supplier_revenue": """
 SELECT s_name, count(*) AS n_items,
