@@ -14,8 +14,14 @@ hashes values). Float-sum aggregates use integer cents
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)  # robust to import from any CWD
 
 import numpy as np
 import pyarrow as pa

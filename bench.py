@@ -19,6 +19,10 @@ import os
 import sys
 import time
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)  # robust to being invoked from any CWD
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TARGET_ROWS = int(os.environ.get("BENCH_TARGET_ROWS", "2000000"))
@@ -162,8 +166,10 @@ def scaling() -> None:
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, "bench.py", "--headline-only"],
-                             env=env, capture_output=True, text=True, check=True)
+        out = subprocess.run(
+            [sys.executable, os.path.join(_REPO_DIR, "bench.py"),
+             "--headline-only"],
+            env=env, capture_output=True, text=True, check=True)
         line = json.loads(out.stdout.strip().splitlines()[-1])
         results[ncpu] = line
         time.sleep(15)  # let the previous session's shm/page-cache churn settle
