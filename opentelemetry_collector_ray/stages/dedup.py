@@ -163,25 +163,49 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
 def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.8,
                   shingle_k: int = 3, bands: int = 16, rows_per_band: int = 4,
-                  ) -> pd.DataFrame:
+                  verify: str = "signature") -> pd.DataFrame:
     """Full near-dup pipeline → DataFrame (doc_id, rep_id) cluster assignment
-    for every doc in a near-dup cluster (rep = min id, via union-find over
-    verified pairs; the candidate set is small after LSH so the final
-    union-find runs driver-side — documented assumption: #verified pairs
-    fits the driver, which banding guarantees for sane thresholds)."""
-    _df = ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(_df[id_col], _df[text_col]))  # id -> text for pair verification
-    # At 100 TB this id->text map must not sit on the driver: ship the texts
-    # through the LSH groupby instead (carry text in the band triples) and
-    # verify inside map_groups. Driver-side here because the verification
-    # corpus for queries()/tests is the documents table (small).
+    for every doc in a near-dup cluster (rep = min id).
+
+    Scale shape: only (band, hash, id) triples shuffle; candidate pairs are
+    small by LSH design; verification then touches ONLY candidate docs —
+    their minhash signatures (num_perm × 8 bytes each) are recomputed on a
+    broadcast-filtered subset and compared on the driver (signature
+    agreement is an unbiased Jaccard estimator). Nothing driver-side grows
+    with corpus size, only with candidate count. ``verify="text"`` swaps in
+    exact shingle-set Jaccard (still candidate-only) for small corpora.
+    """
     cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k, bands,
                                    rows_per_band).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "rep_id": pd.Series([], dtype="int64")})
+    cand_ids = pa.array(sorted(set(cand["id_a"]) | set(cand["id_b"])))
 
-    def shingles(s: str) -> set:
-        w = (s or "").lower().split()
-        return {" ".join(w[i:i + shingle_k]) for i in range(max(0, len(w) - shingle_k + 1))} \
-            or ({" ".join(w)} if w else set())
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return t.filter(pc2.is_in(t.column(id_col), value_set=cand_ids))
+
+    sub = ds.select_columns([id_col, text_col]).map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+    stage = MinHashStage(text_col, id_col, shingle_k, bands, rows_per_band)
+    sims: dict = {}
+    if verify == "signature":
+        sigs = stage.signature(sub[text_col].tolist())
+        by_id = dict(zip(sub[id_col], sigs))
+        for a, b in zip(cand["id_a"], cand["id_b"]):
+            sims[(a, b)] = float((by_id[a] == by_id[b]).mean())
+    else:
+        def shingles(s: str) -> set:
+            w = (s or "").lower().split()
+            return {" ".join(w[i:i + shingle_k])
+                    for i in range(max(0, len(w) - shingle_k + 1))} \
+                or ({" ".join(w)} if w else set())
+
+        texts = dict(zip(sub[id_col], sub[text_col]))
+        for a, b in zip(cand["id_a"], cand["id_b"]):
+            sims[(a, b)] = _jaccard(shingles(texts[a]), shingles(texts[b]))
 
     parent: dict = {}
 
@@ -191,8 +215,8 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
             x = parent[x]
         return x
 
-    for a, b in zip(cand.get("id_a", []), cand.get("id_b", [])):
-        if _jaccard(shingles(texts[a]), shingles(texts[b])) >= threshold:
+    for (a, b), sim in sims.items():
+        if sim >= threshold:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
