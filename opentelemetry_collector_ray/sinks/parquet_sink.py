@@ -72,5 +72,36 @@ def sorted_partition_write(ds: ray.data.Dataset, out_dir: str,
     """Verification-grade sink: stable (conv_id, turn_idx) order within each
     output file (north-rule byte-equality ordering). Sort is an all-to-all
     range shuffle — used at verification time, not in the hot path
-    (SURVEY.md §2.6)."""
+    (SURVEY.md §2.6). For the scalable variant see bucketed_sorted_write."""
     ds.sort(list(keys)).write_parquet(out_dir, **kwargs)
+
+
+def bucketed_sorted_write(ds: ray.data.Dataset, out_dir: str,
+                          key: str = "conv_id",
+                          order=("conv_id", "turn_idx"),
+                          n_buckets: int = 64, **kwargs) -> None:
+    """Scalable ordered sink: hash-partition rows by ``key`` into buckets,
+    sort WITHIN each bucket, one sorted file set per bucket directory.
+
+    Avoids the global range sort: every conversation lands wholly in one
+    bucket (hash partitioning), so per-conversation (conv_id, turn_idx)
+    order — the byte-equality contract — holds inside that bucket's
+    output, and buckets write independently in parallel (also the
+    resume/skip unit). Global total order across buckets is NOT produced;
+    consumers that need it merge bucket streams by key (cheap: buckets are
+    internally sorted)."""
+    import pandas as pd  # noqa: F401 (map_groups pandas path)
+
+    from ..functions.hashing import bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket",
+                               pa.array(bucket_of(t.column(key), n_buckets)))
+
+    def sort_bucket(g):
+        return g.sort_values(list(order), kind="mergesort")
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ordered = bucketed.groupby("_bucket").map_groups(sort_bucket,
+                                                     batch_format="pandas")
+    ordered.write_parquet(out_dir, partition_cols=["_bucket"], **kwargs)

@@ -99,3 +99,31 @@ def test_sorted_partition_write_stable_order(ray_session, tmp_path):
     expect = t.to_pandas().sort_values(["conv_id", "turn_idx"],
                                        kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(back.reset_index(drop=True), expect)
+
+
+def test_bucketed_sorted_write(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from opentelemetry_collector_ray.sinks.parquet_sink import bucketed_sorted_write
+
+    t = synth_turns(sf=0.2)
+    out = str(tmp_path / "bucketed")
+    bucketed_sorted_write(ray.data.from_arrow(t).repartition(6), out, n_buckets=8)
+
+    seen_convs: dict[str, str] = {}
+    total = 0
+    for d in sorted(glob.glob(f"{out}/_bucket=*")):
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        tb = pq.read_table(files).to_pandas() if files else None
+        assert tb is not None and len(tb)
+        total += len(tb)
+        # within-bucket rows are sorted by (conv_id, turn_idx)
+        assert tb[["conv_id", "turn_idx"]].equals(
+            tb.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            [["conv_id", "turn_idx"]].reset_index(drop=True))
+        # no conversation straddles buckets
+        for c in tb["conv_id"].unique():
+            assert seen_convs.setdefault(c, d) == d
+    assert total == t.num_rows
