@@ -322,6 +322,62 @@ def _q_docs_top_terms(sf_dir: str):
     return counts.sort(["n", "term"], descending=[True, False]).limit(20)
 
 
+def _q_orders_histogram(sf_dir: str):
+    """Explicit-bounds histogram aggregation (pmetric Histogram analog):
+    fixed-width price buckets → per-bucket counts, two-phase tree."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t.column("o_totalprice"), 50000.0)),
+                    pa.int64())
+        return pa.table({"price_bucket": b})
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        bucketize, batch_format="pyarrow")
+    return grouped_count(ds, ["price_bucket"], count_name="n_orders")
+
+
+def _q_events_error_rate(sf_dir: str):
+    """Per-user error rate in exact integer permille (two partial counts
+    merged, then integer division — no float hashing risk)."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_err = pc.cast(pc.equal(t.column("event_type"), "error"), pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "is_err": is_err})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    counts = grouped_count(ds, ["user_id"], count_name="n_events",
+                           sum_cols={"n_errors": "is_err"})
+
+    def rate(t: pa.Table) -> pa.Table:
+        import numpy as np2
+
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        e = t.column("n_errors").to_numpy(zero_copy_only=False)
+        permille = (e * 1000) // np2.maximum(n, 1)
+        return t.append_column("err_permille", pa.array(permille.astype("int64")))
+
+    return counts.map_batches(rate, batch_format="pyarrow")
+
+
+def _q_media_pipeline(sf_dir: str):
+    """Multimodal plumbing end-to-end (rows-only): deterministic synthetic
+    binary media → actor-pool decode (fake codec) → feature extraction.
+    sf_dir is unused (no binary table in testdata); determinism via seed."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        DecodeStage, FeatureStage, synth_media)
+
+    media = ray.data.from_arrow(synth_media(256, seed=42, payload_bytes=2048))
+    decoded = media.map_batches(
+        DecodeStage, fn_constructor_kwargs={"codec": "fake", "target": (8, 8)},
+        batch_format="pyarrow", batch_size=64, concurrency=2)
+    return decoded.map_batches(FeatureStage(), batch_format="pyarrow")
+
+
 def _q_docs_attr_ops(sf_dir: str):
     """OTTL-style mutations (set/copy/rename/replace_match/keep_keys) with a
     SQL mirror — the attributes-processor surface."""
@@ -494,6 +550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_attr_ops": _q_docs_attr_ops,
         "customers_no_orders": _q_customers_no_orders,
         "docs_top_terms": _q_docs_top_terms,
+        "orders_histogram": _q_orders_histogram,
+        "events_error_rate": _q_events_error_rate,
+        "media_pipeline": _q_media_pipeline,
         "tpch_q1": _q_tpch_q1,
         "nation_revenue": _q_nation_revenue,
         "topk_orders": _q_topk_orders,
@@ -735,6 +794,19 @@ SELECT vec_id,
 FROM embeddings ORDER BY cos_sim_e6 DESC, vec_id LIMIT 20
 """,
         "users_distinct": "SELECT count(DISTINCT user_id) AS n_users FROM events",
+        "orders_histogram": """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+       count(*) AS n_orders
+FROM orders GROUP BY price_bucket
+""",
+        "events_error_rate": """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000
+            // greatest(count(*), 1) AS BIGINT) AS err_permille
+FROM events GROUP BY user_id
+""",
         "emb_centroids": """
 SELECT label, i, CAST(floor(avg(e) * 1000000 + 0.5) AS BIGINT) AS c_e6
 FROM (SELECT label, unnest(embedding) AS e,
