@@ -454,6 +454,93 @@ def _q_docs_simhash(sf_dir: str):
         SimHashStage(), batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- spans family
+
+def _spans(sf_dir: str):
+    from opentelemetry_collector_ray.sources.spans import read_derived_spans
+
+    return read_derived_spans(sf_dir)
+
+
+def _q_spans_derive(sf_dir: str):
+    return _spans(sf_dir)
+
+
+def _q_spans_service_stats(sf_dir: str):
+    """Per-service span rollup (bounded keys → two-phase tree aggregate):
+    count, errors, total + max duration."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_err = pc.cast(pc.equal(t.column("status_code"), 2), pa.int64())
+        return pa.table({"service": t.column("service"),
+                         "duration_us": t.column("duration_us"),
+                         "is_err": is_err})
+
+    pre = _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return grouped_agg(pre, ["service"], count_name="n_spans",
+                       sum_cols={"sum_duration_us": "duration_us",
+                                 "n_errors": "is_err"},
+                       max_cols={"max_duration_us": "duration_us"})
+
+
+def _q_spans_parent_join(sf_dir: str):
+    """Child → parent service resolution: co-partitioned self-join per
+    trace bucket (never a global shuffle join)."""
+    from opentelemetry_collector_ray.stages.spanops import parent_child_join
+
+    return parent_child_join(_spans(sf_dir))
+
+
+def _q_spans_trace_stats(sf_dir: str):
+    """Per-trace rollup (unbounded keys → partials + hash groupby)."""
+    from opentelemetry_collector_ray.stages.spanops import trace_stats
+
+    return trace_stats(_spans(sf_dir))
+
+
+def _q_spans_duration_quantiles(sf_dir: str):
+    """EXACT per-service duration percentiles via the bounded-integer-
+    domain value-count path (pmetric Summary analog, exact not sketched)."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_exact_quantiles)
+
+    return grouped_exact_quantiles(_spans(sf_dir), key="service",
+                                   value_col="duration_us")
+
+
+def _q_events_exp_histogram(sf_dir: str):
+    """Base-2 exponential histogram of integer cents per event type
+    (pmetric ExponentialHistogram analog; null idx = OTel zero bucket)."""
+    from opentelemetry_collector_ray.stages.metricsops import exp_histogram
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return exp_histogram(pre, keys=["event_type"], value_col="cents", scale=0)
+
+
+def _q_events_gauge_last(sf_dir: str):
+    """Gauge last-value-wins per user (pmetric Gauge analog): the value at
+    the max (ts, event_id), integerized to cents."""
+    from opentelemetry_collector_ray.stages.metricsops import gauge_last
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read(sf_dir, "events",
+                ["user_id", "ts", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return gauge_last(pre, key="user_id", order_cols=["ts", "event_id"],
+                      value_col="cents", out_col="last_cents")
+
+
 # -------------------------------------------------------- embeddings family
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -517,10 +604,26 @@ def _q_docs_ngram_jaccard(sf_dir: str):
 
 
 def _q_emb_ann_lsh(sf_dir: str):
-    from opentelemetry_collector_ray.stages.similarity import ann_topk_lsh
+    """ANN on the PERSISTED LSH index: build once per corpus (cached under
+    /tmp), then batch-query 4 vectors reading only probed bucket
+    partitions (rows-only: approximate by design; recall + scan fraction
+    asserted in tests)."""
+    import hashlib
 
-    return ann_topk_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                        _query_vec(sf_dir), k=10, n_bits=6, multiprobe=1)
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, build_ann_index)
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src}:{os.path.getmtime(src)}:b6s42".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/ann_index/{tag}"
+    if not os.path.exists(f"{index_dir}/_ann_meta.json"):
+        build_ann_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        index_dir, n_bits=6)
+    t = _side_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = np.array([t.column("embedding")[i].as_py() for i in range(4)],
+                       dtype=np.float64)
+    return ann_query_index(index_dir, queries, k=10, multiprobe=1)
 
 
 # ----------------------------------------------------------- driver surface
@@ -564,6 +667,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
         "docs_simhash": _q_docs_simhash,
+        "spans_derive": _q_spans_derive,
+        "spans_service_stats": _q_spans_service_stats,
+        "spans_parent_join": _q_spans_parent_join,
+        "spans_trace_stats": _q_spans_trace_stats,
+        "spans_duration_quantiles": _q_spans_duration_quantiles,
+        "events_exp_histogram": _q_events_exp_histogram,
+        "events_gauge_last": _q_events_gauge_last,
         "emb_knn": _q_emb_knn,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "users_distinct": _q_users_distinct,
@@ -593,6 +703,7 @@ def _sql_prefix_case(col: str, prefixes, idx: int, default: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from opentelemetry_collector_ray.sources.spans import SPANS_CTE
     from opentelemetry_collector_ray.sources.transcripts import TURNS_CTE
     from opentelemetry_collector_ray.stages.enrich import (
         RESOURCE_PREFIXES, ROLE_DICT, TOOL_DICT)
@@ -692,14 +803,14 @@ FROM events GROUP BY event_type, bucket
 """,
         "events_sessionize": """
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM gaps
 )
@@ -812,6 +923,60 @@ SELECT label, i, CAST(floor(avg(e) * 1000000 + 0.5) AS BIGINT) AS c_e6
 FROM (SELECT label, unnest(embedding) AS e,
              generate_subscripts(embedding, 1) AS i FROM embeddings)
 GROUP BY label, i
+""",
+        "spans_derive": f"WITH {SPANS_CTE.strip()} SELECT * FROM spans",
+        "spans_service_stats": f"""
+WITH {SPANS_CTE.strip()}
+SELECT service, count(*) AS n_spans,
+       CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
+       CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       max(duration_us) AS max_duration_us
+FROM spans GROUP BY service
+""",
+        "spans_parent_join": f"""
+WITH {SPANS_CTE.strip()}
+SELECT c.trace_id, c.span_id, c.parent_span_id, p.service AS parent_service
+FROM spans c LEFT JOIN spans p
+  ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+""",
+        "spans_trace_stats": f"""
+WITH {SPANS_CTE.strip()}
+SELECT trace_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       max(CAST(epoch_us(start_ts) AS BIGINT) + duration_us)
+         - min(CAST(epoch_us(start_ts) AS BIGINT)) AS trace_duration_us
+FROM spans GROUP BY trace_id
+""",
+        "spans_duration_quantiles": f"""
+WITH {SPANS_CTE.strip()},
+ranked AS (
+  SELECT service, duration_us,
+         row_number() OVER (PARTITION BY service ORDER BY duration_us) AS rn,
+         count(*) OVER (PARTITION BY service) AS cnt
+  FROM spans
+)
+SELECT service, CAST(max(cnt) AS BIGINT) AS n,
+  max(CASE WHEN rn = CAST(floor((cnt-1)*0.5) AS BIGINT)+1 THEN duration_us END) AS p50,
+  max(CASE WHEN rn = CAST(floor((cnt-1)*0.95) AS BIGINT)+1 THEN duration_us END) AS p95,
+  max(CASE WHEN rn = CAST(floor((cnt-1)*0.99) AS BIGINT)+1 THEN duration_us END) AS p99
+FROM ranked GROUP BY service
+""",
+        "events_exp_histogram": """
+WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)
+               AS cents FROM events)
+SELECT event_type,
+       CASE WHEN cents > 0
+            THEN CAST(floor(log2(CAST(cents AS DOUBLE))) AS BIGINT) END AS idx,
+       count(*) AS n
+FROM c GROUP BY event_type, idx
+""",
+        "events_gauge_last": """
+SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents
+FROM (SELECT user_id, value, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

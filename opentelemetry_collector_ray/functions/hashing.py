@@ -27,12 +27,17 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _fnv1a_fallback(arr: pa.Array) -> np.ndarray:  # pragma: no cover
+def _fnv1a_fallback(arr: pa.Array, seed: int = 0) -> np.ndarray:  # pragma: no cover
     arr = arr.cast(pa.large_string())
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset: arr.offset + len(arr) + 1]
     starts, ends = offsets[:-1].copy(), offsets[1:]
-    h = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    # Mix the seed into the initial offset basis (splitmix64 of seed) so
+    # seed=0 and seed=1 give INDEPENDENT hash families — exact_dedup's
+    # (h1, h2) pair guarantee must hold on the fallback path too.
+    with np.errstate(over="ignore"):
+        offset = _FNV_OFFSET ^ hash64_ints(np.array([seed], np.uint64), seed=seed)[0]
+    h = np.full(len(arr), offset, dtype=np.uint64)
     pos = starts.copy()
     alive = pos < ends
     with np.errstate(over="ignore"):
@@ -53,7 +58,7 @@ def hash64(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
     if _HAVE_POLARS:
         s = pl.Series("h", pl.from_arrow(col))
         return s.hash(seed=seed).to_numpy().astype(np.uint64)
-    return _fnv1a_fallback(col.cast(pa.string()))
+    return _fnv1a_fallback(col.cast(pa.string()), seed=seed)
 
 
 def hash64_ints(a: np.ndarray, seed: int = 0) -> np.ndarray:

@@ -69,6 +69,15 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
     return counts
 
 
+def _partition_id(inputs: list[str]) -> str:
+    """Content-addressed partition id: stable under input-set growth/reorder
+    (the persistent queue keys items by identity, not arrival slot —
+    persistent_queue.go read/write indices are per-item, not positional)."""
+    import hashlib
+
+    return hashlib.sha256("\n".join(sorted(inputs)).encode()).hexdigest()[:16]
+
+
 def config_hash(cfg: PipelineConfig) -> str:
     import hashlib
     import json
@@ -95,7 +104,12 @@ def run_pipeline(cfg: PipelineConfig, out_root: str, resume: bool = True) -> dic
                   if os.path.isdir(pat) else glob.glob(pat)))
     store = ManifestStore(out_root)
     chash = config_hash(cfg)
-    tasks = [PartitionTask(f"{i:05d}", [p]) for i, p in enumerate(paths)]
+    # Partition identity = content-addressed hash of the input path(s), not a
+    # positional index: a new input file that sorts before existing ones must
+    # not shift pids (which would skip the new file as "committed" and write a
+    # displaced file twice). run_resumable additionally cross-checks the
+    # manifest's recorded inputs before skipping.
+    tasks = [PartitionTask(_partition_id([p]), [p]) for p in paths]
 
     def process(task: PartitionTask, staging: str) -> dict:
         from ..state.metrics import parquet_rows, routed_counts

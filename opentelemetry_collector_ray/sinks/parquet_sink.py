@@ -22,17 +22,18 @@ def write_routed(ds: ray.data.Dataset, out_dir: str, route_col: str = "route",
     """Single-pass fan-out: Hive-partitioned write by route column.
 
     Falls back to per-route filtered writes if this Ray build lacks
-    ``partition_cols`` (K extra passes, K = #sinks — still streaming).
+    ``partition_cols`` (K extra passes, K = #sinks — still streaming). The
+    capability check is a signature probe, NOT try/except around execution —
+    a TypeError raised inside a UDF mid-write must surface, not silently
+    trigger the slower fallback.
     """
-    try:
+    import inspect
+
+    if "partition_cols" in inspect.signature(ds.write_parquet).parameters:
         ds.write_parquet(out_dir, partition_cols=[route_col], **kwargs)
         return
-    except TypeError:
-        pass
-    import pyarrow.compute as pc
-
-    for route in sorted(set(
-            r[route_col] for r in ds.select_columns([route_col]).unique(route_col))):
+    # ds.unique() returns scalar values, not row dicts.
+    for route in sorted(ds.select_columns([route_col]).unique(route_col)):
         sub = ds.filter(expr=f"{route_col} == '{route}'")
         sub.write_parquet(os.path.join(out_dir, f"{route_col}={route}"), **kwargs)
 

@@ -1,0 +1,172 @@
+"""Traces signal: derive the canonical ``spans`` table from the driver's
+``events`` table — deterministically, so every span pipeline is
+oracle-checkable in DuckDB.
+
+Span schema mirrors the reference's Span message
+(``/root/reference/pdata/ptrace/generated_span.go:53-178``):
+
+| column           | type            | pdata analog |
+|------------------|-----------------|--------------|
+| trace_id         | string (18ch)   | TraceID (16-byte binary; here a readable surrogate) |
+| span_id          | string (16ch)   | SpanID, %016x of event_id |
+| parent_span_id   | string ('' = root) | ParentSpanID (empty == root, pcommon SpanID.IsEmpty) |
+| service          | string          | Resource attr service.name |
+| name             | string          | Span.Name |
+| kind             | int32 enum      | SpanKind (``ptrace/span_kind.go:16-34``: 1=Internal 2=Server 3=Client) |
+| start_ts         | timestamp       | StartTimestamp |
+| duration_us      | int64           | EndTimestamp - StartTimestamp |
+| status_code      | int32           | Status (``ptrace/status.go``: 1=Ok 2=Error) |
+
+Derivation (one event = one span; the SQL mirror ``SPANS_CTE`` must stay
+byte-equal):
+
+    trace_id       = printf('%08d-%09d', user_id, epoch_hour(ts))
+                     — a trace is one user-hour (all of a user's spans in
+                     one wall-clock hour share a trace)
+    span_id        = printf('%016x', event_id)
+    parent_span_id = span_id of the PREVIOUS event in the trace ordered by
+                     (ts, event_id); '' for the trace's first (root) span
+    service        = signup→auth, purchase→checkout, error→backend,
+                     click/view→frontend
+    kind           = signup/purchase→2 (Server), click/view→3 (Client),
+                     error→1 (Internal)
+    name           = 'op-' || event_type
+    start_ts       = ts;  duration_us = floor(value * 1000)
+    status_code    = 2 if event_type == 'error' else 1
+
+The per-trace lag is the one wide op: a hash shuffle on bucket(trace_id)
+(64 buckets), the same bounded-group map_groups pattern as turn ranking —
+one vectorized pass ranks thousands of traces per bucket.
+"""
+
+from __future__ import annotations
+
+import binascii
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+SERVICE_MAP = {"signup": "auth", "purchase": "checkout", "error": "backend",
+               "click": "frontend", "view": "frontend"}
+KIND_MAP = {"signup": 2, "purchase": 2, "error": 1, "click": 3, "view": 3}
+
+US_PER_HOUR = 3_600_000_000
+
+
+def hex16(ids: np.ndarray) -> pa.Array:
+    """%016x of an int64 ndarray, vectorized (hexlify over the contiguous
+    big-endian buffer, then a |S16 view)."""
+    return pa.array(np.frombuffer(
+        binascii.hexlify(ids.astype(">u8").tobytes()), dtype="S16").astype("U16"))
+
+
+def _event_to_span_cols(batch: pa.Table) -> pa.Table:
+    et = batch.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    ts = batch.column("ts")
+
+    is_err = pc.equal(et, "error")
+    service = pc.if_else(
+        pc.equal(et, "signup"), "auth",
+        pc.if_else(pc.equal(et, "purchase"), "checkout",
+                   pc.if_else(is_err, "backend", "frontend")))
+    kind = pc.if_else(
+        pc.is_in(et, value_set=pa.array(["signup", "purchase"])),
+        pa.scalar(2, pa.int32()),
+        pc.if_else(is_err, pa.scalar(1, pa.int32()), pa.scalar(3, pa.int32())))
+    status_code = pc.if_else(is_err, pa.scalar(2, pa.int32()),
+                             pa.scalar(1, pa.int32()))
+    name = pc.binary_join_element_wise("op-", et, "")
+
+    # trace id: printf('%08d-%09d', user_id, epoch hour index)
+    hour = pc.floor_temporal(ts, unit="hour").cast(pa.int64())  # µs since epoch
+    epoch_hour = pc.divide(hour, US_PER_HOUR)
+    uid_s = pc.utf8_lpad(pc.cast(batch.column("user_id"), pa.string()), 8, "0")
+    hr_s = pc.utf8_lpad(pc.cast(epoch_hour, pa.string()), 9, "0")
+    trace_id = pc.binary_join_element_wise(uid_s, "-", hr_s, "")
+
+    return pa.table({
+        "trace_id": trace_id,
+        "span_id": hex16(eid),
+        "event_id": batch.column("event_id"),
+        "service": service,
+        "name": name,
+        "kind": kind,
+        "start_ts": ts,
+        "duration_us": pa.array(np.floor(val * 1000).astype(np.int64)),
+        "status_code": status_code,
+    })
+
+
+N_TRACE_BUCKETS = 64
+
+
+def _add_bucket(batch: pa.Table) -> pa.Table:
+    from ..functions.hashing import bucket_of
+
+    b = bucket_of(batch.column("trace_id"), N_TRACE_BUCKETS)
+    return batch.append_column("_bucket", pa.array(b))
+
+
+def _parent_bucket(g: pa.Table) -> pa.Table:
+    """Assign parent_span_id = lag(span_id) within each trace of one hash
+    bucket — one vectorized pandas pass over MANY traces (bounded-group
+    map_groups: buckets, not traces, are the Python-call unit)."""
+    df = g.to_pandas()
+    df = df.sort_values(["trace_id", "start_ts", "event_id"], kind="mergesort")
+    par = df.groupby("trace_id", sort=False)["span_id"].shift(1)
+    df["parent_span_id"] = par.fillna("")
+    df = df.drop(columns=["event_id", "_bucket"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SPAN_COLUMNS = ["trace_id", "span_id", "parent_span_id", "service", "name",
+                "kind", "start_ts", "duration_us", "status_code"]
+
+
+def derive_spans(events: ray.data.Dataset) -> ray.data.Dataset:
+    """events → canonical spans table (see module docstring for schema)."""
+    pre = events.map_batches(_event_to_span_cols, batch_format="pyarrow") \
+        .map_batches(_add_bucket, batch_format="pyarrow")
+    linked = pre.groupby("_bucket").map_groups(_parent_bucket,
+                                              batch_format="pyarrow")
+    return linked.select_columns(SPAN_COLUMNS)
+
+
+def read_derived_spans(sf_dir: str) -> ray.data.Dataset:
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return derive_spans(events)
+
+
+# SQL mirror used by oracle_sql() entries (DuckDB; `events` is a view).
+SPANS_CTE = """
+spans AS (
+  SELECT
+    printf('%08d-%09d', user_id,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600) AS trace_id,
+    printf('%016x', event_id) AS span_id,
+    COALESCE(lag(printf('%016x', event_id)) OVER (
+        PARTITION BY user_id,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+        ORDER BY ts, event_id), '') AS parent_span_id,
+    CASE event_type WHEN 'signup' THEN 'auth' WHEN 'purchase' THEN 'checkout'
+                    WHEN 'error' THEN 'backend' ELSE 'frontend' END AS service,
+    'op-' || event_type AS name,
+    CAST(CASE WHEN event_type IN ('signup', 'purchase') THEN 2
+              WHEN event_type = 'error' THEN 1 ELSE 3 END AS INTEGER) AS kind,
+    ts AS start_ts,
+    CAST(floor(value * 1000) AS BIGINT) AS duration_us,
+    CAST(CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS INTEGER)
+        AS status_code
+  FROM events
+)
+"""

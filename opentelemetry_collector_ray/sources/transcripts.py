@@ -32,38 +32,51 @@ ROLE_MAP = {"signup": "system", "error": "tool", "purchase": "assistant",
 
 
 def _event_to_turn_cols(batch: pa.Table) -> pa.Table:
-    """Vectorized text/role/tool construction (stateless map_batches)."""
-    et = batch.column("event_type").to_numpy(zero_copy_only=False)
-    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    """Fully vectorized text/role/tool construction (stateless map_batches):
+    Arrow kernels end to end — ``binary_join_element_wise`` for the format-
+    string assembly, ``binascii.hexlify`` over the contiguous uint64 buffer
+    for the 016x trace id. No per-row Python."""
+    import binascii
+
+    import pyarrow.compute as pc
+
+    et = batch.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
     eid = batch.column("event_id").to_numpy(zero_copy_only=False)
     val = batch.column("value").to_numpy(zero_copy_only=False)
 
-    n = batch.num_rows
-    role = np.array([ROLE_MAP.get(e, "user") for e in et], dtype=object)
-    is_view = et == "view"
-    tool = np.where(is_view, "", et).astype(object)
-    level = np.where(et == "error", "ERROR", "INFO")
-    status = np.where(et == "error", "err", "ok")
-    lat = np.floor(val * 10).astype(np.int64)
-    page = np.floor(val).astype(np.int64)
+    is_err = pc.equal(et, "error")
+    is_view = pc.equal(et, "view")
+    role = pc.if_else(
+        pc.equal(et, "signup"), "system",
+        pc.if_else(is_err, "tool",
+                   pc.if_else(pc.equal(et, "purchase"), "assistant", "user")))
+    tool = pc.if_else(is_view, "", et)
+    level = pc.if_else(is_err, "ERROR", "INFO")
+    status = pc.if_else(is_err, "err", "ok")
+    lat_s = pc.cast(pa.array(np.floor(val * 10).astype(np.int64)), pa.string())
+    page_s = pc.cast(pa.array(np.floor(val).astype(np.int64)), pa.string())
+    uid_s = pc.cast(batch.column("user_id"), pa.string())
+    # %016x: big-endian uint64 bytes → hexlify (one C call) → |S16 view
+    trace = pa.array(np.frombuffer(
+        binascii.hexlify(eid.astype(">u8").tobytes()), dtype="S16").astype("U16"))
 
-    text = np.empty(n, dtype=object)
-    for i in range(n):  # format-string assembly; see note below
-        if is_view[i]:
-            text[i] = f"viewed page p{page[i]} by user {uid[i]}"
-        else:
-            text[i] = (f"[{level[i]}] call tool={et[i]} latency_ms={lat[i]} "
-                       f"status={status[i]} trace={eid[i]:016x}")
-    # NOTE: the f-string loop is the only row loop in the engine; it exists
-    # only in this synthetic-derivation source (not a real pipeline stage).
+    view_text = pc.binary_join_element_wise(
+        "viewed page p", page_s, " by user ", uid_s, "")
+    call_text = pc.binary_join_element_wise(
+        "[", level, "] call tool=", et, " latency_ms=", lat_s,
+        " status=", status, " trace=", trace, "")
+    text = pc.if_else(is_view, view_text, call_text)
 
-    conv_id = np.array([f"conv-{u:08d}" for u in uid], dtype=object)
+    conv_id = pc.binary_join_element_wise(
+        "conv-", pc.utf8_lpad(uid_s, 8, "0"), "")
     return pa.table({
-        "conv_id": pa.array(conv_id, pa.string()),
+        "conv_id": conv_id,
         "event_id": batch.column("event_id"),
-        "role": pa.array(role, pa.string()),
-        "text": pa.array(text, pa.string()),
-        "tool": pa.array(tool, pa.string()),
+        "role": role,
+        "text": text,
+        "tool": tool,
         "ts": batch.column("ts"),
     })
 

@@ -5,9 +5,9 @@ these are the large-scale-corpus operators the engine adds as first-class
 components. All follow the same scale shape: vectorized per-batch sketch →
 shuffle only the (small) sketch rows → grouped resolve.
 
-- exact_dedup: content-hash partition + per-group first (hash collisions
-  resolved by grouping on the actual text inside each hash group, so the
-  result is exact).
+- exact_dedup: double-64-bit content-hash partition + per-group min id
+  (identity key is the (h1, h2) PAIR of independent hashes — a false merge
+  needs both to collide, ~2^-128; the text itself never enters the shuffle).
 - minhash_lsh: word-shingle minhash signatures, banded LSH bucketing
   (shuffle moves (band, hash, id) triples only), candidate verification by
   true Jaccard, then min-label propagation to connected components.
@@ -129,12 +129,6 @@ class MinHashStage:
         })
 
 
-def _jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
-    return len(a & b) / max(1, len(a | b))
-
-
 def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 3,
                             bands: int = 16, rows_per_band: int = 4,
@@ -144,84 +138,320 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
     triples = ds.select_columns([id_col, text_col]).map_batches(
         stage, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow in/out: Ray passes EMPTY blocks through map stages without
+        # calling the UDF, so emitting pandas here would leak pandas blocks
+        # into downstream arrow pipelines (block-type mix is an error).
+        ids = np.unique(g.column(id_col).to_numpy(zero_copy_only=False))
         if len(ids) < 2 or len(ids) > 200:  # cardinality guard for degenerate buckets
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a].astype("int64"),
-                             "id_b": ids[b].astype("int64")})
+        return pa.table({"id_a": pa.array(ids[a].astype(np.int64)),
+                         "id_b": pa.array(ids[b].astype(np.int64))})
 
     cand = triples.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # dedupe pairs found by multiple bands (small table: pairs only)
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+        pairs, batch_format="pyarrow")
+    # dedupe pairs found by multiple bands: groupby-aggregate distinct (one
+    # vectorized pass), NOT per-pair map_groups — a Python call per candidate
+    # pair would not hold at 100 TB candidate volumes.
+    return cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
+# ------------------------------------------------ distributed verify + CC
+
+_BLOOM_SEEDS = (101, 202, 303, 404)
+
+
+def _bloom_build(pairs: ray.data.Dataset, bloom_bits: int) -> np.ndarray:
+    """Candidate-id membership bloom filter, built by streaming OR of
+    per-batch bitmaps: driver memory is O(bloom_bits) — a fixed-size bitmap
+    — never O(candidate count). False positives only cost wasted signature
+    computation downstream (they never join a pair), so correctness is
+    unaffected."""
+    words = np.zeros(bloom_bits // 64, dtype=np.uint64)
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids = np.concatenate([
+            b.column("id_a").to_numpy(zero_copy_only=False),
+            b.column("id_b").to_numpy(zero_copy_only=False)]).astype(np.uint64)
+        for s in _BLOOM_SEEDS:
+            pos = hash64_ints(ids, seed=s) % np.uint64(bloom_bits)
+            np.bitwise_or.at(words, (pos // np.uint64(64)).astype(np.int64),
+                             np.uint64(1) << (pos % np.uint64(64)))
+    return words
+
+
+def _bloom_contains(words: np.ndarray, bloom_bits: int,
+                    ids: np.ndarray) -> np.ndarray:
+    m = np.ones(len(ids), dtype=bool)
+    u = ids.astype(np.uint64)
+    for s in _BLOOM_SEEDS:
+        pos = hash64_ints(u, seed=s) % np.uint64(bloom_bits)
+        bit = (words[(pos // np.uint64(64)).astype(np.int64)]
+               >> (pos % np.uint64(64))) & np.uint64(1)
+        m &= bit.astype(bool)
+    return m
+
+
+class _CandidateSigStage:
+    """Actor-pool stage: bloom broadcast once per actor via ``ray.put`` ref
+    (the enrich.py broadcast pattern); emits (id, sig) for candidate docs
+    only — the full corpus streams through but only candidates' signatures
+    (num_perm × 8 bytes each) continue downstream."""
+
+    def __init__(self, bloom_ref, bloom_bits: int, text_col: str, id_col: str,
+                 shingle_k: int, bands: int, rows_per_band: int):
+        import ray
+
+        self.words = ray.get(bloom_ref)
+        self.bloom_bits = bloom_bits
+        self.text_col, self.id_col = text_col, id_col
+        self.mh = MinHashStage(text_col, id_col, shingle_k, bands, rows_per_band)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        keep = _bloom_contains(self.words, self.bloom_bits, ids)
+        t = t.filter(pa.array(keep))
+        sig = self.mh.signature(t.column(self.text_col).to_pylist())
+        # signatures travel as opaque binary (num_perm × 8 LE bytes), built
+        # zero-copy from the numpy buffer: list/fixed_size_list columns get
+        # mapped to Ray's tensor extension, which breaks grouped-block
+        # pandas conversion — binary passes through untouched.
+        width = self.mh.num_perm * 8
+        vals = pa.py_buffer(sig.astype("<u8").tobytes())
+        offs = pa.py_buffer((np.arange(t.num_rows + 1, dtype=np.int32)
+                             * width).tobytes())
+        return pa.table({
+            "_key": t.column(self.id_col).cast(pa.int64()),
+            "sig": pa.Array.from_buffers(pa.binary(), t.num_rows,
+                                         [None, offs, vals]),
+        })
+
+
+def _bucket_ints(a: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (hash64_ints(a.astype(np.uint64), seed=777)
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _attach_sig(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
+                key_col: str, out_col: str, carry: dict[str, pa.DataType],
+                n_buckets: int) -> ray.data.Dataset:
+    """Co-group join: attach sigs.sig to pairs on pairs[key_col] == sigs._key
+    via hash-bucket map_groups (one vectorized pandas merge per BUCKET, not
+    per key — the bounded-group pattern). Both sides shuffle only bucket-
+    tagged rows; sigs rows are (id, binary sig)."""
+    carry_cols = [c for c in carry if c != key_col]
+    sig_type = pa.binary()
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).cast(pa.int64())
+        cols = {"_key": key, "_kind": pa.array(np.ones(t.num_rows, np.int8))}
+        for c in carry:
+            cols[c] = t.column(c)
+        cols["sig"] = pa.nulls(t.num_rows, sig_type)
+        cols["_bucket"] = pa.array(_bucket_ints(
+            key.to_numpy(zero_copy_only=False), n_buckets))
+        return pa.table(cols)
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        key = t.column("_key")
+        cols = {"_key": key, "_kind": pa.array(np.zeros(t.num_rows, np.int8))}
+        for c, typ in carry.items():
+            cols[c] = pa.nulls(t.num_rows, typ) if c != key_col else key
+        cols["sig"] = t.column("sig")
+        cols["_bucket"] = pa.array(_bucket_ints(
+            key.to_numpy(zero_copy_only=False), n_buckets))
+        return pa.table(cols)
+
+    union = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        labs = g[g["_kind"] == 0][["_key", "sig"]].rename(
+            columns={"sig": out_col})
+        prs = g[g["_kind"] == 1][["_key"] + list(carry)]
+        m = prs.merge(labs, on="_key", how="inner")
+        cols = {key_col: pa.array(m["_key"].to_numpy().astype(np.int64))}
+        for c in carry_cols:
+            v = m[c]
+            typ = carry[c]
+            if pa.types.is_integer(typ) and v.dtype.kind == "f":
+                v = v.astype(np.int64)
+            cols[c] = pa.array(v.tolist(), typ)
+        cols[out_col] = pa.array(m[out_col].tolist(), pa.binary())
+        return pa.table(cols)
+
+    return union.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def minhash_verified_edges(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", threshold: float = 0.8,
+                           shingle_k: int = 3, bands: int = 16,
+                           rows_per_band: int = 4, bloom_bits: int = 1 << 24,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """LSH candidates → DISTRIBUTED signature verification → accepted edge
+    list (id_a, id_b). Signature agreement fraction is an unbiased Jaccard
+    estimator; only candidate docs' signatures move, attached to pairs by
+    two hash-bucket co-group passes. No driver-side step scales with
+    candidate count (the bloom bitmap is fixed-size)."""
+    pairs = minhash_candidate_pairs(ds, text_col, id_col, shingle_k, bands,
+                                    rows_per_band).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+    import ray
+
+    bloom_ref = ray.put(_bloom_build(pairs, bloom_bits))
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        _CandidateSigStage,
+        fn_constructor_kwargs={
+            "bloom_ref": bloom_ref, "bloom_bits": bloom_bits,
+            "text_col": text_col, "id_col": id_col, "shingle_k": shingle_k,
+            "bands": bands, "rows_per_band": rows_per_band},
+        # autoscaling pool (min 1): a fixed-size pool can reserve every CPU
+        # and starve the upstream read task — deadlock on small clusters
+        batch_format="pyarrow", concurrency=(1, 8)).materialize()
+    with_a = _attach_sig(pairs, sigs, "id_a", "sig_a",
+                         {"id_a": pa.int64(), "id_b": pa.int64()}, n_buckets)
+    with_ab = _attach_sig(with_a, sigs, "id_b", "sig_b",
+                          {"id_a": pa.int64(), "id_b": pa.int64(),
+                           "sig_a": pa.binary()}, n_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ab = t.column("sig_a").to_numpy(zero_copy_only=False)
+        bb = t.column("sig_b").to_numpy(zero_copy_only=False)
+        a = np.frombuffer(b"".join(ab), "<u8").reshape(t.num_rows, -1)
+        b = np.frombuffer(b"".join(bb), "<u8").reshape(t.num_rows, -1)
+        sim = (a == b).mean(axis=1)
+        keep = pa.array(sim >= threshold)
+        return pa.table({"id_a": t.column("id_a").filter(keep),
+                         "id_b": t.column("id_b").filter(keep)})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components(edges: ray.data.Dataset, n_buckets: int = 64,
+                         max_rounds: int = 50,
+                         driver_max_edges: int = 200_000,
+                         mode: str = "auto") -> ray.data.Dataset:
+    """Connected components over an undirected edge list (id_a, id_b) →
+    Dataset (node, label), label = min node id of the component, one row for
+    EVERY node incl. representatives.
+
+    Distributed path: iterative min-label (hash-min) propagation expressed
+    as Ray stages — per round, each node's label is min(own, neighbors')
+    via one hash-bucket co-group shuffle + one groupby-min; convergence is
+    detected by the (monotone-decreasing) sum of labels. O(component
+    diameter) rounds; nothing driver-side scales with edge count. The
+    driver union-find fast path serves small graphs (``mode="auto"``
+    switches on ``driver_max_edges``)."""
+    from ray.data.aggregate import Min
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    if mode == "driver" or (mode == "auto" and n_edges <= driver_max_edges):
+        e = edges.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in zip(e["id_a"], e["id_b"]):
+            nodes.update((int(a), int(b)))
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((x, find(x)) for x in nodes)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([r[1] for r in rows], pa.int64())}))
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64())
+        b = t.column("id_b").cast(pa.int64())
+        src = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])
+        dst = pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])
+        return pa.table({"_key": src, "_dst": dst,
+                         "label": pa.nulls(2 * t.num_rows, pa.int64()),
+                         "_kind": pa.array(np.ones(2 * t.num_rows, np.int8)),
+                         "_bucket": pa.array(_bucket_ints(
+                             src.to_numpy(zero_copy_only=False), n_buckets))})
+
+    tagged_edges = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+    labels = tagged_edges.map_batches(
+        lambda t: pa.table({"node": t.column("_key"),
+                            "label": t.column("_key")}),
+        batch_format="pyarrow").groupby("node").aggregate(
+        Min("label", alias_name="label")).materialize()
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        key = t.column("node")
+        return pa.table({"_key": key, "_dst": pa.nulls(t.num_rows, pa.int64()),
+                         "label": t.column("label"),
+                         "_kind": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "_bucket": pa.array(_bucket_ints(
+                             key.to_numpy(zero_copy_only=False), n_buckets))})
+
+    def propagate(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        labs = g[g["_kind"] == 0][["_key", "label"]]
+        eds = g[g["_kind"] == 1][["_key", "_dst"]]
+        m = eds.merge(labs, on="_key", how="inner")
+        return pa.table({
+            "node": pa.array(m["_dst"].to_numpy().astype(np.int64)),
+            "label": pa.array(m["label"].to_numpy().astype(np.int64))})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        union = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        msgs = union.groupby("_bucket").map_groups(
+            propagate, batch_format="pyarrow")
+        labels = msgs.union(labels).groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} "
+                       "rounds (component diameter exceeds max_rounds)")
 
 
 def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.8,
                   shingle_k: int = 3, bands: int = 16, rows_per_band: int = 4,
-                  verify: str = "signature") -> pd.DataFrame:
-    """Full near-dup pipeline → DataFrame (doc_id, rep_id) cluster assignment
-    for every doc in a near-dup cluster (rep = min id).
+                  cc_mode: str = "auto") -> ray.data.Dataset:
+    """Full near-dup pipeline → Dataset (doc_id, rep_id): cluster assignment
+    for EVERY doc in a near-dup cluster, representatives included
+    (rep_id = min doc id of the cluster; a doc is a rep iff doc_id ==
+    rep_id).
 
-    Scale shape: only (band, hash, id) triples shuffle; candidate pairs are
-    small by LSH design; verification then touches ONLY candidate docs —
-    their minhash signatures (num_perm × 8 bytes each) are recomputed on a
-    broadcast-filtered subset and compared on the driver (signature
-    agreement is an unbiased Jaccard estimator). Nothing driver-side grows
-    with corpus size, only with candidate count. ``verify="text"`` swaps in
-    exact shingle-set Jaccard (still candidate-only) for small corpora.
-    """
-    cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k, bands,
-                                   rows_per_band).to_pandas()
-    if not len(cand):
-        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                             "rep_id": pd.Series([], dtype="int64")})
-    cand_ids = pa.array(sorted(set(cand["id_a"]) | set(cand["id_b"])))
+    Scale shape: (band, hash, id) triples shuffle for candidates;
+    distributed signature verification (``minhash_verified_edges``);
+    distributed min-label-propagation connected components
+    (``connected_components``). The only driver-resident state is the
+    fixed-size candidate bloom bitmap."""
+    edges = minhash_verified_edges(ds, text_col, id_col, threshold,
+                                   shingle_k, bands, rows_per_band)
+    labels = connected_components(edges, mode=cc_mode)
 
-    def pick(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column("node"),
+                         "rep_id": t.column("label")})
 
-        return t.filter(pc2.is_in(t.column(id_col), value_set=cand_ids))
-
-    sub = ds.select_columns([id_col, text_col]).map_batches(
-        pick, batch_format="pyarrow").to_pandas()
-    stage = MinHashStage(text_col, id_col, shingle_k, bands, rows_per_band)
-    sims: dict = {}
-    if verify == "signature":
-        sigs = stage.signature(sub[text_col].tolist())
-        by_id = dict(zip(sub[id_col], sigs))
-        for a, b in zip(cand["id_a"], cand["id_b"]):
-            sims[(a, b)] = float((by_id[a] == by_id[b]).mean())
-    else:
-        def shingles(s: str) -> set:
-            w = (s or "").lower().split()
-            return {" ".join(w[i:i + shingle_k])
-                    for i in range(max(0, len(w) - shingle_k + 1))} \
-                or ({" ".join(w)} if w else set())
-
-        texts = dict(zip(sub[id_col], sub[text_col]))
-        for a, b in zip(cand["id_a"], cand["id_b"]):
-            sims[(a, b)] = _jaccard(shingles(texts[a]), shingles(texts[b]))
-
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for (a, b), sim in sims.items():
-        if sim >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((x, find(x)) for x in parent)
-    return pd.DataFrame(rows, columns=[id_col, "rep_id"])
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -259,9 +489,9 @@ class SimHashStage:
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 3,
-                        threshold: float = 0.5) -> pd.DataFrame:
-    """Verified n-gram Jaccard similar pairs via the LSH candidate path with
-    a lower band threshold (exposed separately as the n-gram-Jaccard
+                        threshold: float = 0.5) -> ray.data.Dataset:
+    """Verified n-gram Jaccard near-dup clusters via the LSH candidate path
+    with a lower band threshold (exposed separately as the n-gram-Jaccard
     near-dup operator)."""
     return minhash_dedup(ds, text_col, id_col, threshold=threshold,
                          shingle_k=shingle_k, bands=32, rows_per_band=2)

@@ -1,0 +1,96 @@
+"""Metrics-signal operators completing the pmetric type coverage
+(``/root/reference/pdata/pmetric/metric_type.go:11-17``: Gauge, Sum,
+Histogram, ExponentialHistogram, Summary).
+
+- Sum       → grouped_count/grouped_agg (stages/aggregate.py)
+- Histogram → explicit-bounds bucketize + grouped_count (orders_histogram)
+- **ExponentialHistogram** (here): base-2 exponential bucket mapping per
+  ``pmetric/exponential_histogram_data_point.go`` — lower-inclusive index
+  = floor(log2(v) · 2^scale), with the OTel zero bucket for v == 0 and a
+  sign flag for negative buckets. At scale ≤ 0 over integer inputs the
+  index is computed EXACTLY (frexp exponent arithmetic, no float log), so
+  it is oracle-checkable; scale > 0 uses float log2 (documented
+  approximate at bucket boundaries).
+- **Gauge** (here): last-value-wins aggregation — value at the max
+  (order_cols) per key, the gauge "most recent sample" semantics.
+- Summary   → quantiles: exact bounded-domain path
+  (stages/spanops.grouped_exact_quantiles) or mergeable KLL sketch
+  (stages/sketch.py) for unbounded domains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import bucket_of
+from .aggregate import grouped_count
+
+
+def exp_bucket_index(vals: np.ndarray, scale: int = 0) -> np.ndarray:
+    """Exponential-histogram bucket index of positive values.
+
+    index = floor(log2(v) · 2^scale) (lower-inclusive boundaries, base
+    2^(2^-scale)). scale ≤ 0 is exact: floor(log2(v)) comes from the frexp
+    exponent (v = m·2^e, m ∈ [0.5, 1) ⇒ floor(log2 v) = e-1 for exact
+    powers handled by m == 0.5), then arithmetic-shifted for wider buckets.
+    """
+    v = vals.astype(np.float64)
+    if scale <= 0:
+        m, e = np.frexp(v)
+        l2 = e.astype(np.int64) - 1
+        # exact power of two ⇒ m == 0.5 and log2 is integral (e-1) — already
+        # right; non-powers: floor(log2 v) == e-1 since 2^(e-1) ≤ v < 2^e.
+        return l2 >> (-scale) if scale else l2
+    return np.floor(np.log2(v) * (1 << scale)).astype(np.int64)
+
+
+def exp_histogram(ds: ray.data.Dataset, keys: list[str], value_col: str,
+                  scale: int = 0, strategy: str = "tree") -> ray.data.Dataset:
+    """Per-key exponential histogram → rows (keys..., idx, n) where idx is
+    the bucket index (null = the OTel zero bucket; negative values land in
+    sign-flagged buckets via idx offset NOT applied — callers with signed
+    data should split by sign upstream, as the reference keeps separate
+    positive/negative bucket lists)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        safe = np.where(v > 0, v, 1.0)  # placeholder for masked (≤0) slots
+        idx = np.where(v > 0, exp_bucket_index(safe, scale), 0)
+        arr = pa.array(idx.astype(np.int64), pa.int64(),
+                       mask=~(v > 0))  # null == zero bucket
+        cols = {k: t.column(k) for k in keys}
+        cols["idx"] = arr
+        return pa.table(cols)
+
+    pre = ds.select_columns(keys + [value_col]).map_batches(
+        bucketize, batch_format="pyarrow")
+    return grouped_count(pre, keys + ["idx"], count_name="n",
+                         strategy=strategy)
+
+
+def gauge_last(ds: ray.data.Dataset, key: str, order_cols: list[str],
+               value_col: str, out_col: str = "last_value",
+               n_buckets: int = 64) -> ray.data.Dataset:
+    """Last-value-wins per key: the value at the maximum (order_cols)
+    tuple — pmetric Gauge "latest sample" semantics. Hash-bucket
+    map_groups: one vectorized sort + tail-per-key pass per BUCKET."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            bucket_of(t.column(key), n_buckets)))
+
+    def last_per_key(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([key] + order_cols, kind="mergesort")
+        last = df.drop_duplicates(subset=[key], keep="last")
+        cols = {key: pa.Array.from_pandas(last[key]),
+                out_col: pa.Array.from_pandas(last[value_col])}
+        return pa.table(cols)
+
+    pre = ds.select_columns([key, value_col] + order_cols).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return pre.groupby("_bucket").map_groups(last_per_key,
+                                             batch_format="pyarrow")

@@ -101,6 +101,146 @@ class LshBucketStage:
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
 
+def _probe_buckets(q: np.ndarray, proj: np.ndarray, n_bits: int,
+                   multiprobe: int) -> set[int]:
+    pow2 = 2 ** np.arange(n_bits, dtype=np.int64)
+    qbits = (q @ proj) > 0
+    targets = {int(qbits @ pow2)}
+    if multiprobe >= 1:
+        for i in range(n_bits):
+            fb = qbits.copy()
+            fb[i] = ~fb[i]
+            targets.add(int(fb @ pow2))
+    return targets
+
+
+def build_ann_index(ds: ray.data.Dataset, index_dir: str, n_bits: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Build-ONCE persisted LSH/IVF index: one full scan assigns every
+    vector its signed-random-projection bucket and writes the corpus
+    Hive-partitioned by bucket (``bucket=<b>/`` directories). Queries then
+    read ONLY their probed bucket partitions — the repeated-query cost is
+    sublinear in corpus size, vs. the per-call full rescan of
+    ``ann_topk_lsh``. Metadata (n_bits/seed/dim) is stored next to the
+    partitions; the projection matrix is re-derived from the seed.
+    """
+    import json
+    import os
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        LshBucketStage, fn_constructor_kwargs=dict(
+            dim=dim, n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    # keep bucket as a DATA column too (bucket_id): hive writers strip the
+    # partition column, and multi-bucket query reads need it per row.
+    bucketed = bucketed.map_batches(
+        lambda t: t.append_column("bucket_id", t.column("bucket")),
+        batch_format="pyarrow")
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    meta = {"n_bits": n_bits, "seed": seed, "dim": dim,
+            "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                    multiprobe: int = 1) -> pa.Table:
+    """Batch ANN query against a persisted index: reads only the union of
+    the queries' probed bucket partitions, computes one (rows × queries)
+    matmul per batch, per-query bucket masks, local top-k per (batch,
+    query), final merge. Returns (q, vec_id, cos_sim_e6) with q = query row
+    index. Scan fraction = probed-partition rows / corpus rows — sublinear
+    for selective probes (see ``ann_scan_fraction``)."""
+    import glob
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    n_bits, seed, dim = meta["n_bits"], meta["seed"], meta["dim"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    proj = _projection_matrix(dim, n_bits, seed)
+    per_query = [_probe_buckets(q, proj, n_bits, multiprobe) for q in qm]
+    union = sorted(set().union(*per_query))
+    # explicit file list: this Ray build rejects a LIST of directories
+    paths = [f for b in union
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return pa.table({"q": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cos_sim_e6": pa.array([], pa.int64())})
+    qn = _normalize(qm)
+    target_sets = [np.fromiter(s, dtype=np.int64) for s in per_query]
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        x = _normalize(_stack(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = t.column("bucket_id").to_numpy(zero_copy_only=False)
+        sims = x @ qn.T  # (rows, m) — one matmul for the whole query batch
+        out_q, out_id, out_e6 = [], [], []
+        for j in range(qn.shape[0]):
+            mask = np.isin(buckets, target_sets[j])
+            if not mask.any():
+                continue
+            e6 = _to_e6(sims[mask, j])
+            mids = ids[mask]
+            order = np.lexsort((mids, -e6))[: min(k, len(e6))]
+            out_q.append(np.full(len(order), j, dtype=np.int64))
+            out_id.append(mids[order])
+            out_e6.append(e6[order])
+        if not out_q:
+            return pa.table({"q": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos_sim_e6": pa.array([], pa.int64())})
+        return pa.table({"q": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cos_sim_e6": pa.array(np.concatenate(out_e6))})
+
+    partials = ray.data.read_parquet(paths).map_batches(
+        topk_batch, batch_format="pyarrow")
+    merged = partials.to_pandas()  # O(batches × m × k) rows — tiny by design
+    merged = merged.sort_values(["q", "cos_sim_e6", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort").groupby("q").head(k)
+    return pa.Table.from_pandas(merged.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def ann_scan_fraction(index_dir: str, queries: np.ndarray,
+                      multiprobe: int = 1) -> float:
+    """Fraction of corpus rows a query batch touches (probed partitions /
+    all partitions, by row count from parquet METADATA — no data read)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    proj = _projection_matrix(meta["dim"], meta["n_bits"], meta["seed"])
+    qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    union = sorted(set().union(*[
+        _probe_buckets(q, proj, meta["n_bits"], multiprobe) for q in qm]))
+
+    def rows_under(d: str) -> int:
+        return sum(pq.ParquetFile(p).metadata.num_rows
+                   for p in glob.glob(os.path.join(d, "*.parquet")))
+
+    total = sum(rows_under(d) for d in glob.glob(
+        os.path.join(index_dir, "bucket=*")))
+    probed = sum(rows_under(os.path.join(index_dir, f"bucket={b}"))
+                 for b in union
+                 if os.path.isdir(os.path.join(index_dir, f"bucket={b}")))
+    return probed / max(1, total)
+
+
 def ann_topk_lsh(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
                  n_bits: int = 8, multiprobe: int = 1, seed: int = 42,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:

@@ -1,0 +1,124 @@
+"""Span-native operators over the traces signal (SURVEY.md §1.1 ptrace
+analog; Span fields per ``/root/reference/pdata/ptrace/generated_span.go:
+53-178``).
+
+All three follow the engine's standard scale shapes:
+
+- ``parent_child_join``: co-partitioned SELF-join — every span of a trace
+  lands in one hash bucket (trace_id partitioning), so child→parent
+  resolution is a vectorized merge per BUCKET, never a global shuffle
+  join. The partitioning assumption: one trace fits one bucket task (a
+  trace is one user-hour here; pathological million-span traces would
+  need the bucket count raised, not a different algorithm).
+- ``trace_stats``: unbounded-key grouped aggregate → two-phase partials +
+  hash groupby (the conv_stats shape).
+- ``grouped_exact_quantiles``: EXACT percentiles for a bounded integer
+  domain at any data scale — value-count histogram per (key, value) via
+  the shuffle-strategy grouped count (so a 10^12-row input reduces to
+  |keys|×|distinct values| rows), then the rank r = floor((n-1)·q) element
+  is read off the cumulative counts per key. This is the pmetric Summary
+  quantile analog with exact (not sketched) results; for unbounded/float
+  domains use the mergeable KLL sketch in stages/sketch.py instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import bucket_of
+from .aggregate import grouped_agg, grouped_count
+
+
+def parent_child_join(spans: ray.data.Dataset, n_buckets: int = 64,
+                      ) -> ray.data.Dataset:
+    """Resolve each span's parent service: (trace_id, span_id,
+    parent_span_id, parent_service); roots ('' parent) get null."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            bucket_of(t.column("trace_id"), n_buckets)))
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parents = df[["trace_id", "span_id", "service"]].rename(
+            columns={"span_id": "parent_span_id",
+                     "service": "parent_service"})
+        out = df[["trace_id", "span_id", "parent_span_id"]].merge(
+            parents, on=["trace_id", "parent_span_id"], how="left")
+        return pa.table({
+            "trace_id": pa.array(out["trace_id"], pa.string()),
+            "span_id": pa.array(out["span_id"], pa.string()),
+            "parent_span_id": pa.array(out["parent_span_id"], pa.string()),
+            "parent_service": pa.Array.from_pandas(out["parent_service"],
+                                                   type=pa.string()),
+        })
+
+    pre = spans.select_columns(
+        ["trace_id", "span_id", "parent_span_id", "service"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return pre.groupby("_bucket").map_groups(join_bucket,
+                                             batch_format="pyarrow")
+
+
+def trace_stats(spans: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-trace rollup: span count, error count, wall duration in µs
+    (max span end − min span start). Unbounded keys → shuffle strategy."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        start_us = t.column("start_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        end_us = pc.add(start_us, t.column("duration_us"))
+        is_err = pc.cast(pc.equal(t.column("status_code"), 2), pa.int64())
+        return pa.table({"trace_id": t.column("trace_id"),
+                         "start_us": start_us, "end_us": end_us,
+                         "is_err": is_err})
+
+    pre = spans.select_columns(
+        ["trace_id", "start_ts", "duration_us", "status_code"]).map_batches(
+        prep, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["trace_id"], count_name="n_spans",
+                      sum_cols={"n_errors": "is_err"},
+                      min_cols={"min_start_us": "start_us"},
+                      max_cols={"max_end_us": "end_us"},
+                      strategy="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t.column("max_end_us"), t.column("min_start_us"))
+        return pa.table({"trace_id": t.column("trace_id"),
+                         "n_spans": t.column("n_spans"),
+                         "n_errors": t.column("n_errors"),
+                         "trace_duration_us": dur})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
+                            qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                            ) -> ray.data.Dataset:
+    """Exact per-key quantiles of a bounded integer domain.
+
+    Rank rule (mirrored exactly by the oracle SQL): 0-based rank
+    r = floor((n-1)·q) over ascending order; with duplicate values the
+    answer is the value whose cumulative count first reaches r+1 —
+    identical to row_number()-based selection on the sorted column.
+    """
+    counts = grouped_count(ds.select_columns([key, value_col]),
+                           [key, value_col], count_name="_n",
+                           strategy="shuffle")
+
+    def pick(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(value_col)
+        n = int(df["_n"].sum())
+        cum = df["_n"].cumsum().to_numpy()
+        vals = df[value_col].to_numpy()
+        row: dict = {key: [df[key].iloc[0]], "n": [n]}
+        for q in qs:
+            r = int(np.floor((n - 1) * q))
+            row[f"p{int(round(q * 100))}"] = [int(vals[
+                np.searchsorted(cum, r + 1)])]
+        return pa.table(row)
+
+    return counts.groupby(key).map_groups(pick, batch_format="pyarrow")

@@ -58,11 +58,17 @@ class ManifestStore:
             # re-enqueue path, persistent_queue.go:430-448).
             return None
 
-    def is_committed(self, pid: str, ruleset_hash: str | None = None) -> bool:
+    def is_committed(self, pid: str, ruleset_hash: str | None = None,
+                     inputs: Sequence[str] | None = None) -> bool:
+        """Committed with the same ruleset AND (if given) the same recorded
+        input set — a pid whose manifest lists different inputs is stale and
+        must reprocess (guards against any pid-assignment drift)."""
         m = self.load(pid)
         if m is None or m.get("status") != "committed":
             return False
-        return ruleset_hash is None or m.get("ruleset_hash") == ruleset_hash
+        if ruleset_hash is not None and m.get("ruleset_hash") != ruleset_hash:
+            return False
+        return inputs is None or sorted(m.get("inputs", [])) == sorted(inputs)
 
     def commit(self, pid: str, record: dict) -> None:
         """Atomic commit: write tmp, fsync, rename (rename is atomic on
@@ -104,7 +110,7 @@ def run_resumable(store: ManifestStore, tasks: Sequence[PartitionTask],
     ran, skipped = [], []
     for task in tasks:
         pid = task.partition_id
-        if not force and store.is_committed(pid, ruleset_hash):
+        if not force and store.is_committed(pid, ruleset_hash, task.inputs):
             skipped.append(pid)
             continue
         final_dir = partition_output_dir(store.root, pid)

@@ -46,14 +46,44 @@ def test_exact_dedup(docs_ds):
 def test_minhash_finds_planted_neardups(docs_ds):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
-    clusters = minhash_dedup(docs_ds, threshold=0.5)
+    clusters = minhash_dedup(docs_ds, threshold=0.5).to_pandas()
     as_map = dict(zip(clusters["doc_id"], clusters["rep_id"]))
     assert as_map.get(100) == 0  # exact dup of doc 0
     assert as_map.get(101) == 1
     assert as_map.get(200) == 2  # near-dup of doc 2
+    # representatives are listed too, as their own rep
+    assert as_map.get(0) == 0 and as_map.get(2) == 2
     # no false merges between unrelated base docs
     reps = {as_map.get(i, i) for i in range(3, 30)}
     assert reps == set(range(3, 30))
+
+
+def test_minhash_distributed_cc_path(docs_ds):
+    """Same planted dups through the DISTRIBUTED min-label-propagation CC
+    (mode forced), proving nothing depends on the driver union-find."""
+    from opentelemetry_collector_ray.stages.dedup import minhash_dedup
+
+    clusters = minhash_dedup(docs_ds, threshold=0.5,
+                             cc_mode="distributed").to_pandas()
+    as_map = dict(zip(clusters["doc_id"], clusters["rep_id"]))
+    assert as_map.get(100) == 0 and as_map.get(101) == 1
+    assert as_map.get(200) == 2 and as_map.get(0) == 0
+
+
+def test_connected_components_chain(ray_session):
+    """A 5-node chain + isolated pair: distributed CC must propagate the min
+    label across the whole chain (multi-round convergence)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import connected_components
+
+    edges = pa.table({"id_a": pa.array([1, 2, 3, 4, 10], pa.int64()),
+                      "id_b": pa.array([2, 3, 4, 5, 11], pa.int64())})
+    out = connected_components(ray.data.from_arrow(edges), n_buckets=4,
+                               mode="distributed").to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    assert {lab[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert lab[10] == 10 and lab[11] == 10
 
 
 def test_simhash_close_for_neardups(docs_ds):
@@ -109,6 +139,35 @@ def test_ann_lsh_recall(ray_session):
                  .to_pandas()["vec_id"])
     assert 7 in approx
     assert len(exact & approx) >= 3  # recall with aggressive bucketing
+
+
+def test_ann_persisted_index(ray_session, tmp_path):
+    """Build-once index + batch query: recall vs exact knn, self-hit, and
+    sublinear scan fraction (probed partitions only)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, ann_scan_fraction, build_ann_index, knn_topk)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((600, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(600), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    idx_dir = str(tmp_path / "annidx")
+    meta = build_ann_index(ds, idx_dir, n_bits=4)
+    assert meta["dim"] == 16
+
+    queries = np.asarray(x[[3, 17]], dtype=np.float64)
+    got = ann_query_index(idx_dir, queries, k=10, multiprobe=1).to_pandas()
+    by_q = {q: set(g["vec_id"]) for q, g in got.groupby("q")}
+    assert 3 in by_q[0] and 17 in by_q[1]  # self is found
+    exact0 = set(knn_topk(ds, queries[0], k=10).to_pandas()["vec_id"])
+    assert len(by_q[0] & exact0) >= 3  # recall under aggressive bucketing
+
+    frac = ann_scan_fraction(idx_dir, queries, multiprobe=1)
+    assert 0 < frac < 1.0  # strictly sublinear scan
 
 
 def test_sessionize_oracle(ray_session):

@@ -124,7 +124,9 @@ def test_manifest_records_per_route(ray_session, tmp_path):
             "exporters": ["parquet_sink/out"]}}},
     })
     run_pipeline(cfg, out)
-    m = ManifestStore(out).load("00000")
+    store = ManifestStore(out)
+    (pid,) = store.committed_ids()  # content-addressed partition id
+    m = store.load(pid)
     assert m["status"] == "committed"
     assert m["metrics"]["rows_in"] == m["metrics"]["rows_out"] > 0
     assert sum(m["metrics"]["per_route"].values()) == m["metrics"]["rows_in"]

@@ -1,0 +1,127 @@
+"""Traces signal (span derivation, parent links, trace rollup, exact
+quantiles) and the remaining pmetric types (exponential histogram, gauge
+last-value) on handcrafted fixtures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_events(ray_session):
+    import ray.data
+
+    # one user, 3 events inside one hour (one trace) + 1 in the next hour
+    # (new trace) + a second user's single event
+    ts = pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 10:10:00",
+                         "2024-01-01 10:20:00", "2024-01-01 11:00:01",
+                         "2024-01-01 10:00:00"])
+    t = pa.table({
+        "event_id": pa.array([11, 12, 13, 14, 99], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "event_type": pa.array(["signup", "click", "error", "view",
+                                "purchase"]),
+        "value": pa.array([10.0, 20.5, 30.9, 0.4, 5.0]),
+    })
+    return ray.data.from_arrow(t)
+
+
+def test_span_derivation_and_parent_links(tiny_events):
+    from opentelemetry_collector_ray.sources.spans import derive_spans
+
+    df = derive_spans(tiny_events).to_pandas().sort_values(
+        ["trace_id", "start_ts"]).reset_index(drop=True)
+    assert len(df) == 5
+    u7 = df[df.trace_id.str.startswith("00000007")]
+    traces = sorted(u7.trace_id.unique())
+    assert len(traces) == 2  # hour 10 and hour 11 are separate traces
+    t0 = u7[u7.trace_id == traces[0]].sort_values("start_ts")
+    # root has empty parent; each next span parents on the previous one
+    assert t0.parent_span_id.tolist() == ["", f"{11:016x}", f"{12:016x}"]
+    assert t0.span_id.tolist() == [f"{11:016x}", f"{12:016x}", f"{13:016x}"]
+    # enums per ptrace span_kind.go / status.go
+    assert t0.kind.tolist() == [2, 3, 1]  # signup=Server click=Client error=Internal
+    assert t0.status_code.tolist() == [1, 1, 2]
+    assert t0.service.tolist() == ["auth", "frontend", "backend"]
+    assert t0.duration_us.tolist() == [10000, 20500, 30900]
+
+
+def test_parent_child_join_roots_null(tiny_events):
+    from opentelemetry_collector_ray.sources.spans import derive_spans
+    from opentelemetry_collector_ray.stages.spanops import parent_child_join
+
+    out = parent_child_join(derive_spans(tiny_events)).to_pandas()
+    by_span = dict(zip(out.span_id, out.parent_service))
+    assert pd.isna(by_span[f"{11:016x}"])  # root
+    assert by_span[f"{12:016x}"] == "auth"
+    assert by_span[f"{13:016x}"] == "frontend"
+
+
+def test_trace_stats(tiny_events):
+    from opentelemetry_collector_ray.sources.spans import derive_spans
+    from opentelemetry_collector_ray.stages.spanops import trace_stats
+
+    out = trace_stats(derive_spans(tiny_events)).to_pandas()
+    out = out.set_index("trace_id")
+    big = out[out.n_spans == 3].iloc[0]
+    assert big.n_errors == 1
+    # span 13 starts at 10:20:00 + 30900us; trace starts 10:00:05
+    assert big.trace_duration_us == (20 * 60 - 5) * 1_000_000 + 30900
+
+
+def test_exact_quantiles_rank_rule(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_exact_quantiles)
+
+    vals = list(range(1, 101))  # 1..100
+    t = pa.table({"k": pa.array(["a"] * 100), "v": pa.array(vals, pa.int64())})
+    out = grouped_exact_quantiles(ray.data.from_arrow(t), "k", "v") \
+        .to_pandas().iloc[0]
+    # rank r = floor((n-1)q): p50 → r=49 → value 50; p95 → r=94 → 95; p99 → 98 → 99
+    assert (out.n, out.p50, out.p95, out.p99) == (100, 50, 95, 99)
+
+
+def test_exp_bucket_index_exact():
+    from opentelemetry_collector_ray.stages.metricsops import exp_bucket_index
+
+    v = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 0.5, 0.3])
+    idx = exp_bucket_index(v, scale=0)
+    assert idx.tolist() == [0, 1, 1, 2, 2, 3, 9, 10, -1, -2]
+    # scale=-1: buckets twice as wide, arithmetic shift (floor division)
+    idx2 = exp_bucket_index(np.array([1.0, 2, 4, 8, 0.5, 0.25]), scale=-1)
+    assert idx2.tolist() == [0, 0, 1, 1, -1, -1]
+
+
+def test_exp_histogram_zero_bucket(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import exp_histogram
+
+    t = pa.table({"k": pa.array(["x"] * 6),
+                  "v": pa.array([0, 0, 1, 2, 3, 8], pa.int64())})
+    out = exp_histogram(ray.data.from_arrow(t), ["k"], "v").to_pandas()
+    zero = out[out.idx.isna()]
+    assert zero.n.tolist() == [2]
+    nz = out.dropna(subset=["idx"]).set_index("idx").n.to_dict()
+    assert nz == {0: 1, 1: 2, 3: 1}
+
+
+def test_gauge_last_value(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import gauge_last
+
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                         "2024-01-01 11:00", "2024-01-01 09:00"])
+    t = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                  "ts": pa.array(ts),
+                  "eid": pa.array([5, 6, 7, 1], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40], pa.int64())})
+    out = gauge_last(ray.data.from_arrow(t), key="k",
+                     order_cols=["ts", "eid"], value_col="v").to_pandas()
+    got = dict(zip(out.k, out.last_value))
+    assert got == {1: 30, 2: 40}  # ties on ts broken by eid
