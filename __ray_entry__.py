@@ -397,6 +397,56 @@ def _q_docs_attr_ops(sf_dir: str):
         .map_batches(f, batch_format="pyarrow")
 
 
+def _q_turns_attrs_map(sf_dir: str):
+    """Dynamic map<string,string> attributes column END TO END (SURVEY
+    §1.5 / pcommon.Map): parse emits an attrs MAP, OTTL-style map ops
+    mutate it (put / rename / delete / upsert), a route-style predicate
+    reads it (map_has), and the final extraction reads values back out —
+    all vectorized over MapArray flat buffers (functions/mapattrs.py)."""
+    from opentelemetry_collector_ray.functions import mapattrs as M
+
+    def to_map(t: pa.Table) -> pa.Table:
+        attrs = M.build_map({
+            "level": t.column("level"),
+            "tool": t.column("tool_attr"),
+            "latency_ms": pc.cast(t.column("latency_ms"), pa.string()),
+            "status": t.column("status"),
+            "trace": t.column("trace"),
+        })
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "attrs": attrs})
+
+    def mutate(t: pa.Table) -> pa.Table:
+        m = t.column("attrs")
+        m = M.map_put(m, "engine", "ray")                   # set
+        m = M.map_rename(m, "tool", "tool_name")            # rename
+        m = M.map_delete(m, "trace")                        # delete
+        m = M.map_put(m, "status",                          # upsert
+                      pc.utf8_upper(M.map_get(m, "status")))
+        return t.set_column(t.column_names.index("attrs"), "attrs", m)
+
+    def read_out(t: pa.Table) -> pa.Table:
+        m = t.column("attrs")
+        keep = M.map_has(m, "tool_name")  # route predicate over the map
+        t = t.filter(keep)
+        m = t.column("attrs")
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "level": M.map_get(m, "level"),
+            "tool_name": M.map_get(m, "tool_name"),
+            "latency_ms": pc.cast(M.map_get(m, "latency_ms"), pa.int64()),
+            "status": M.map_get(m, "status"),
+            "engine": M.map_get(m, "engine"),
+            "n_attrs": M.map_len(m),
+        })
+
+    return _parsed(sf_dir).map_batches(to_map, batch_format="pyarrow") \
+        .map_batches(mutate, batch_format="pyarrow") \
+        .map_batches(read_out, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -574,6 +624,20 @@ def _q_users_distinct_approx(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [float(est)]})
 
 
+def _q_orders_quantiles_sketch(sf_dir: str):
+    """KLL mergeable quantile sketch over order prices (pmetric Summary
+    analog for unbounded domains; rows-only — approximate by design,
+    accuracy envelope in tests/test_sketch.py). The exact counterpart is
+    spans_duration_quantiles."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.sketch import approx_quantiles
+
+    qs = approx_quantiles(_read(sf_dir, "orders", ["o_totalprice"]),
+                          "o_totalprice")
+    return pd.DataFrame({k: [v] for k, v in qs.items()})
+
+
 def _q_emb_centroids(sf_dir: str):
     """Element-wise mean embedding per label (two-phase vector-sum tree
     reduce), exploded to (label, i, c_e6) rows for the SQL mirror."""
@@ -651,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": _q_events_cumulative,
         "supplier_revenue": _q_supplier_revenue,
         "docs_attr_ops": _q_docs_attr_ops,
+        "turns_attrs_map": _q_turns_attrs_map,
         "customers_no_orders": _q_customers_no_orders,
         "docs_top_terms": _q_docs_top_terms,
         "orders_histogram": _q_orders_histogram,
@@ -678,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_lsh": _q_emb_ann_lsh,
         "users_distinct": _q_users_distinct,
         "users_distinct_approx": _q_users_distinct_approx,
+        "orders_quantiles_sketch": _q_orders_quantiles_sketch,
         "emb_centroids": _q_emb_centroids,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
     }
@@ -923,6 +989,17 @@ SELECT label, i, CAST(floor(avg(e) * 1000000 + 0.5) AS BIGINT) AS c_e6
 FROM (SELECT label, unnest(embedding) AS e,
              generate_subscripts(embedding, 1) AS i FROM embeddings)
 GROUP BY label, i
+""",
+        "turns_attrs_map": f"""
+{with_turns}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{r0}', 1) AS level,
+  regexp_extract(text, '{r0}', 2) AS tool_name,
+  CAST(regexp_extract(text, '{r0}', 3) AS BIGINT) AS latency_ms,
+  upper(regexp_extract(text, '{r0}', 4)) AS status,
+  'ray' AS engine,
+  CAST(5 AS BIGINT) AS n_attrs
+FROM turns WHERE regexp_matches(text, '{r0}')
 """,
         "spans_derive": f"WITH {SPANS_CTE.strip()} SELECT * FROM spans",
         "spans_service_stats": f"""

@@ -21,30 +21,130 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 _ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+_URI_RE = re.compile(r"\$\{(env|file|yaml|https?):([^}]*)\}")
 
 
 class ConfigError(ValueError):
     pass
 
 
+# --------------------------------------------------------- confmap providers
+
+def _provide_env(uri: str) -> Any:
+    name, sep, default = uri.partition(":-")
+    val = os.environ.get(name, default if sep else None)
+    if val is None:
+        raise ConfigError(f"environment variable {name} not set "
+                          "and no default given")
+    return val
+
+
+def _provide_file(uri: str) -> Any:
+    """file: provider (``confmap/provider/fileprovider``): the file's
+    contents parsed as YAML (a scalar file body stays a scalar)."""
+    import yaml
+
+    try:
+        with open(uri) as f:
+            return yaml.safe_load(f.read())
+    except FileNotFoundError as e:
+        raise ConfigError(f"file provider: {uri} not found") from e
+
+
+def _provide_yaml(uri: str) -> Any:
+    """yaml: provider (``confmap/provider/yamlprovider``): the URI body IS
+    the YAML-encoded value."""
+    import yaml
+
+    try:
+        return yaml.safe_load(uri)
+    except yaml.YAMLError as e:
+        raise ConfigError(f"yaml provider: invalid YAML {uri!r}") from e
+
+
+def _provide_http(uri: str) -> Any:
+    raise ConfigError("http(s) config providers are not available in this "
+                      "deployment (no network); use file:/env:/yaml:")
+
+
+PROVIDERS: dict[str, Callable[[str], Any]] = {
+    "env": _provide_env,
+    "file": _provide_file,
+    "yaml": _provide_yaml,
+    "http": _provide_http,
+    "https": _provide_http,
+}
+
+
+def expand_uris(node: Any, providers: dict[str, Callable[[str], Any]] | None
+                = None) -> Any:
+    """Recursive ``${scheme:uri}`` expansion (``confmap/expand.go:110-194``
+    semantics): a string that IS exactly one reference resolves to the
+    retrieved value with its type preserved (a file:/yaml: map replaces the
+    node); embedded references stringify their (scalar) value in place."""
+    providers = PROVIDERS if providers is None else providers
+    if isinstance(node, str):
+        m = _URI_RE.fullmatch(node)
+        if m:
+            val = providers[m.group(1)](m.group(2))
+            return expand_uris(val, providers)
+
+        def sub(mm: re.Match) -> str:
+            val = providers[mm.group(1)](mm.group(2))
+            if isinstance(val, (dict, list)):
+                raise ConfigError(
+                    f"${{{mm.group(1)}:...}} resolves to a mapping but is "
+                    "embedded inside a string (whole-value references only)")
+            return str(val)
+
+        return _URI_RE.sub(sub, node)
+    if isinstance(node, dict):
+        return {k: expand_uris(v, providers) for k, v in node.items()}
+    if isinstance(node, list):
+        return [expand_uris(v, providers) for v in node]
+    return node
+
+
 def expand_env(node: Any) -> Any:
     """${env:NAME} / ${env:NAME:-default} expansion, recursively (expand.go
-    semantics: unset without default is an error)."""
-    if isinstance(node, str):
-        def sub(m: re.Match) -> str:
-            name, default = m.group(1), m.group(2)
-            val = os.environ.get(name, default)
-            if val is None:
-                raise ConfigError(f"environment variable {name} not set "
-                                  "and no default given")
-            return val
+    semantics: unset without default is an error). Superset: also resolves
+    file:/yaml: references via expand_uris."""
+    return expand_uris(node)
 
-        return _ENV_RE.sub(sub, node)
-    if isinstance(node, dict):
-        return {k: expand_env(v) for k, v in node.items()}
-    if isinstance(node, list):
-        return [expand_env(v) for v in node]
-    return node
+
+def merge_confs(*sources: dict) -> dict:
+    """Resolver merge (``confmap/resolver.go:88-164``): later sources take
+    precedence; mappings merge recursively, scalars and lists replace."""
+    out: dict = {}
+    for src in sources:
+        for k, v in (src or {}).items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = merge_confs(out[k], v)
+            else:
+                out[k] = v
+    return out
+
+
+def resolve_config(uris: list) -> dict:
+    """Multi-source resolve: each element is a dict, a ``scheme:rest`` URI,
+    or a bare file path; retrieved in order and merged (later wins), then
+    ``${scheme:uri}`` expansion over the merged document — the
+    Resolver.Resolve flow."""
+    docs = []
+    for u in uris:
+        if isinstance(u, dict):
+            docs.append(u)
+            continue
+        scheme, sep, rest = u.partition(":")
+        if sep and scheme in PROVIDERS:
+            doc = PROVIDERS[scheme](rest)
+        else:
+            doc = _provide_file(u)
+        if not isinstance(doc, dict):
+            raise ConfigError(f"config source {u!r} did not resolve to a "
+                              "mapping")
+        docs.append(doc)
+    return expand_uris(merge_confs(*docs))
 
 
 # ------------------------------------------------------------- registry
@@ -153,6 +253,12 @@ class PipelineConfig:
 
         with open(path) as f:
             return PipelineConfig.from_dict(yaml.safe_load(f))
+
+    @staticmethod
+    def from_sources(uris: list) -> "PipelineConfig":
+        """Multi-source resolver entry (``--config a.yaml --config b.yaml``
+        CLI semantics): merge in order, later sources override."""
+        return PipelineConfig.from_dict(resolve_config(uris))
 
     def validate(self) -> None:
         """Validate() semantics (confmap/validation.go): every pipeline

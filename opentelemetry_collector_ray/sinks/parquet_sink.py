@@ -80,9 +80,10 @@ def sorted_partition_write(ds: ray.data.Dataset, out_dir: str,
 def bucketed_sorted_write(ds: ray.data.Dataset, out_dir: str,
                           key: str = "conv_id",
                           order=("conv_id", "turn_idx"),
-                          n_buckets: int = 64, **kwargs) -> None:
+                          n_buckets: int | str = "auto", **kwargs) -> None:
     """Scalable ordered sink: hash-partition rows by ``key`` into buckets,
-    sort WITHIN each bucket, one sorted file set per bucket directory.
+    sort WITHIN each bucket (Arrow ``Table.sort_by``, no pandas round
+    trip), one sorted file set per bucket directory.
 
     Avoids the global range sort: every conversation lands wholly in one
     bucket (hash partitioning), so per-conversation (conv_id, turn_idx)
@@ -90,19 +91,15 @@ def bucketed_sorted_write(ds: ray.data.Dataset, out_dir: str,
     output, and buckets write independently in parallel (also the
     resume/skip unit). Global total order across buckets is NOT produced;
     consumers that need it merge bucket streams by key (cheap: buckets are
-    internally sorted)."""
-    import pandas as pd  # noqa: F401 (map_groups pandas path)
+    internally sorted). ``n_buckets="auto"`` sizes bucket tasks to input
+    bytes (stages/bucketing.py) — a fixed count would mean ever-larger
+    bucket tasks as data grows."""
+    from ..stages.bucketing import resolve_n_buckets, with_hash_bucket
 
-    from ..functions.hashing import bucket_of
+    def sort_bucket(g: pa.Table) -> pa.Table:
+        return g.sort_by([(c, "ascending") for c in order])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket",
-                               pa.array(bucket_of(t.column(key), n_buckets)))
-
-    def sort_bucket(g):
-        return g.sort_values(list(order), kind="mergesort")
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    ordered = bucketed.groupby("_bucket").map_groups(sort_bucket,
-                                                     batch_format="pandas")
+    nb = resolve_n_buckets(ds, n_buckets)
+    ordered = with_hash_bucket(ds, key, nb).groupby("_bucket") \
+        .map_groups(sort_bucket, batch_format="pyarrow")
     ordered.write_parquet(out_dir, partition_cols=["_bucket"], **kwargs)

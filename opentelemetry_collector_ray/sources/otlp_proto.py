@@ -1,0 +1,349 @@
+"""OTLP protobuf logs wire format — the reference's PRIMARY wire encoding
+(``/root/reference/pdata/plog/pb.go:8-37``), hand-rolled varint/length-
+delimited codec (no protobuf runtime dependency).
+
+Field numbers mirror the generated marshalers exactly
+(``pdata/internal/generated_proto_logrecord.go:385-530``):
+
+    LogsData:        resource_logs=1
+    ResourceLogs:    resource=1  scope_logs=2  schema_url=3
+    Resource:        attributes=1  dropped_attributes_count=2
+    ScopeLogs:       scope=1  log_records=2  schema_url=3
+    Scope:           name=1  version=2
+    KeyValue:        key=1  value=2(AnyValue)
+    AnyValue:        string_value=1  (string-restricted, SURVEY §1.5)
+    LogRecord:       time_unix_nano=1(I64) severity_number=2(varint)
+                     severity_text=3 body=5(AnyValue) attributes=6(KeyValue*)
+                     dropped_attributes_count=7(varint) flags=8(I32)
+                     trace_id=9(bytes) span_id=10(bytes)
+                     observed_time_unix_nano=11(I64) event_name=12
+
+The flat-table schema is identical to sources/otlp_json.py (one row per
+LogRecord, resource/scope denormalized), so proto and JSON are two
+encodings of the same Dataset — mirroring how plog keeps one pdata model
+with two marshalers. Also provides the byte-based sizer for batching
+(``exporter/exporterhelper/internal/sizer/logs_sizer.go:10-49``): encoded
+LogRecord size + length-delimiter overhead, used to split requests at a
+byte budget (queue-batch MergeSplit semantics,
+``internal/queuebatch/logs_batch.go:18-100``).
+
+This is a WIRE CODEC: per-record Python is inherent to nested-message
+encode/decode (the reference's generated Go marshalers are per-record
+too); it is not a hot analytical path — bulk data uses Parquet.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pyarrow as pa
+
+import ray.data
+
+from .otlp_json import LOG_COLUMNS
+
+# wire types
+_VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, _LEN) + _varint(len(payload)) + payload
+
+
+def _str_field(field: int, s: str) -> bytes:
+    return _len_field(field, s.encode()) if s else b""
+
+
+def _anyvalue_str(s: str) -> bytes:
+    return _len_field(1, s.encode())
+
+
+def _keyvalue(k: str, v: str) -> bytes:
+    return _len_field(1, k.encode()) + _len_field(2, _anyvalue_str(v))
+
+
+def encode_log_record(r: dict) -> bytes:
+    """One flat row → LogRecord message bytes (field order as the
+    reference's marshaler: ascending field number)."""
+    out = bytearray()
+    if r.get("time_unix_nano"):
+        out += _tag(1, _I64) + struct.pack("<Q", int(r["time_unix_nano"]))
+    if r.get("severity_number"):
+        out += _tag(2, _VARINT) + _varint(int(r["severity_number"]))
+    out += _str_field(3, r.get("severity_text", ""))
+    if r.get("body", ""):
+        out += _len_field(5, _anyvalue_str(r["body"]))
+    for k, v in (r.get("attributes") or []):
+        out += _len_field(6, _keyvalue(k, v))
+    if r.get("trace_id"):
+        out += _len_field(9, bytes.fromhex(r["trace_id"]))
+    if r.get("span_id"):
+        out += _len_field(10, bytes.fromhex(r["span_id"]))
+    if r.get("observed_time_unix_nano"):
+        out += _tag(11, _I64) + struct.pack("<Q",
+                                            int(r["observed_time_unix_nano"]))
+    out += _str_field(12, r.get("event_name", ""))
+    return bytes(out)
+
+
+def encode_request(batch: pa.Table) -> bytes:
+    """Flat rows → one ExportLogsServiceRequest/LogsData message, re-nested
+    by (resource attributes, scope) exactly like the JSON writer."""
+    groups: dict = {}
+    for row in batch.to_pylist():
+        res_key = tuple(row.get("resource_attributes") or [])
+        scope_key = (row.get("scope_name", ""), row.get("scope_version", ""))
+        groups.setdefault(res_key, {}).setdefault(scope_key, []).append(row)
+    out = bytearray()
+    for res_key, scopes in groups.items():
+        res_msg = b"".join(_len_field(1, _keyvalue(k, v)) for k, v in res_key)
+        rl = bytearray(_len_field(1, res_msg))
+        for (sname, sver), recs in scopes.items():
+            scope_msg = _str_field(1, sname) + _str_field(2, sver)
+            sl = bytearray(_len_field(1, scope_msg))
+            for r in recs:
+                sl += _len_field(2, encode_log_record(r))
+            rl += _len_field(2, bytes(sl))
+        out += _len_field(1, bytes(rl))
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ decode
+
+def _iter_fields(buf: bytes, start: int = 0, end: int | None = None):
+    """Generic proto field walker → (field, wire, value) where value is an
+    int for VARINT/I64/I32 and a memoryview slice for LEN."""
+    pos = start
+    end = len(buf) if end is None else end
+    mv = memoryview(buf)
+    while pos < end:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            key |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wire = key >> 3, key & 7
+        if wire == _VARINT:
+            val = 0
+            shift = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                val |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        elif wire == _I64:
+            val = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wire == _I32:
+            val = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        elif wire == _LEN:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            val = mv[pos: pos + ln]
+            pos += ln
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _decode_anyvalue(buf) -> str:
+    for f, w, v in _iter_fields(bytes(buf)):
+        if f == 1:
+            return bytes(v).decode()
+    return ""
+
+
+def _decode_kv(buf) -> tuple[str, str]:
+    k = s = ""
+    for f, w, v in _iter_fields(bytes(buf)):
+        if f == 1:
+            k = bytes(v).decode()
+        elif f == 2:
+            s = _decode_anyvalue(v)
+    return k, s
+
+
+def decode_request(buf: bytes) -> pa.Table:
+    """ExportLogsServiceRequest/LogsData bytes → flat LogRecord table (same
+    schema as otlp_json.parse_request_lines)."""
+    rows = {c: [] for c in LOG_COLUMNS}
+    for f, w, rl in _iter_fields(buf):
+        if f != 1:
+            continue
+        res_attrs: list[tuple[str, str]] = []
+        scope_msgs = []
+        for f2, w2, v2 in _iter_fields(bytes(rl)):
+            if f2 == 1:  # Resource
+                for f3, w3, v3 in _iter_fields(bytes(v2)):
+                    if f3 == 1:
+                        res_attrs.append(_decode_kv(v3))
+            elif f2 == 2:
+                scope_msgs.append(bytes(v2))
+        for sl in scope_msgs:
+            sname = sver = ""
+            recs = []
+            for f3, w3, v3 in _iter_fields(sl):
+                if f3 == 1:  # InstrumentationScope
+                    for f4, w4, v4 in _iter_fields(bytes(v3)):
+                        if f4 == 1:
+                            sname = bytes(v4).decode()
+                        elif f4 == 2:
+                            sver = bytes(v4).decode()
+                elif f3 == 2:
+                    recs.append(bytes(v3))
+            for rec in recs:
+                r = {"time_unix_nano": 0, "observed_time_unix_nano": 0,
+                     "severity_number": 0, "severity_text": "", "body": "",
+                     "trace_id": "", "span_id": "", "event_name": "",
+                     "attributes": []}
+                for f4, w4, v4 in _iter_fields(rec):
+                    if f4 == 1:
+                        r["time_unix_nano"] = v4
+                    elif f4 == 2:
+                        r["severity_number"] = v4
+                    elif f4 == 3:
+                        r["severity_text"] = bytes(v4).decode()
+                    elif f4 == 5:
+                        r["body"] = _decode_anyvalue(v4)
+                    elif f4 == 6:
+                        r["attributes"].append(_decode_kv(v4))
+                    elif f4 == 9:
+                        r["trace_id"] = bytes(v4).hex()
+                    elif f4 == 10:
+                        r["span_id"] = bytes(v4).hex()
+                    elif f4 == 11:
+                        r["observed_time_unix_nano"] = v4
+                    elif f4 == 12:
+                        r["event_name"] = bytes(v4).decode()
+                rows["time_unix_nano"].append(int(r["time_unix_nano"]))
+                rows["observed_time_unix_nano"].append(
+                    int(r["observed_time_unix_nano"]))
+                rows["severity_number"].append(int(r["severity_number"]))
+                rows["severity_text"].append(r["severity_text"])
+                rows["body"].append(r["body"])
+                rows["trace_id"].append(r["trace_id"])
+                rows["span_id"].append(r["span_id"])
+                rows["event_name"].append(r["event_name"])
+                rows["resource_attributes"].append(res_attrs)
+                rows["scope_name"].append(sname)
+                rows["scope_version"].append(sver)
+                rows["attributes"].append(r["attributes"])
+    return pa.table({
+        "time_unix_nano": pa.array(rows["time_unix_nano"], pa.uint64()),
+        "observed_time_unix_nano": pa.array(rows["observed_time_unix_nano"],
+                                            pa.uint64()),
+        "severity_number": pa.array(rows["severity_number"], pa.int32()),
+        "severity_text": pa.array(rows["severity_text"], pa.string()),
+        "body": pa.array(rows["body"], pa.string()),
+        "trace_id": pa.array(rows["trace_id"], pa.string()),
+        "span_id": pa.array(rows["span_id"], pa.string()),
+        "event_name": pa.array(rows["event_name"], pa.string()),
+        "resource_attributes": pa.array(rows["resource_attributes"],
+                                        pa.map_(pa.string(), pa.string())),
+        "scope_name": pa.array(rows["scope_name"], pa.string()),
+        "scope_version": pa.array(rows["scope_version"], pa.string()),
+        "attributes": pa.array(rows["attributes"],
+                               pa.map_(pa.string(), pa.string())),
+    })
+
+
+# ------------------------------------------------------------------- sizer
+
+def record_byte_sizes(batch: pa.Table) -> list[int]:
+    """Per-record encoded size INCLUDING the repeated-field length
+    delimiter — the reference's ``logsMarshaler.LogRecordSize`` +
+    ``DeltaSize`` semantics (``sizer/logs_sizer.go:10-49``)."""
+    sizes = []
+    for row in batch.to_pylist():
+        n = len(encode_log_record(row))
+        sizes.append(len(_tag(2, _LEN)) + len(_varint(n)) + n)
+    return sizes
+
+
+def split_by_bytes(batch: pa.Table, max_bytes: int) -> list[pa.Table]:
+    """Greedy split into slices whose summed record sizes stay ≤ max_bytes
+    (at least one record per slice) — MergeSplit's splitting half
+    (``queuebatch/logs_batch.go:18-100``); merging is the batcher's
+    concatenation of table slices."""
+    sizes = record_byte_sizes(batch)
+    out, start, acc = [], 0, 0
+    for i, s in enumerate(sizes):
+        if acc and acc + s > max_bytes:
+            out.append(batch.slice(start, i - start))
+            start, acc = i, 0
+        acc += s
+    if start < batch.num_rows or batch.num_rows == 0:
+        out.append(batch.slice(start))
+    return out
+
+
+# ------------------------------------------------------------- source/sink
+
+def read_otlp_proto_logs(paths) -> ray.data.Dataset:
+    """Read ``*.binpb`` request files into the flat LogRecord table (one
+    file = one ExportLogsServiceRequest, the unit an OTLP/gRPC push
+    carries)."""
+    ds = ray.data.read_binary_files(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tables = [decode_request(b.as_py()) for b in t.column("bytes")]
+        return pa.concat_tables(tables) if tables else decode_request(b"")
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
+                          max_request_bytes: int | None = None) -> int:
+    """Each block → one (or, with a byte budget, several) ``req-*.binpb``
+    request file(s). Returns total records written."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        parts = split_by_bytes(batch, max_request_bytes) \
+            if max_request_bytes else [batch]
+        for part in parts:
+            if part.num_rows == 0:
+                continue
+            blob = encode_request(part)
+            name = uuid.uuid4().hex[:24]
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(out_dir, f"req-{name}.binpb"))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    return int(counts["n"].sum())

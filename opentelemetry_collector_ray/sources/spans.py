@@ -117,14 +117,23 @@ def _add_bucket(batch: pa.Table) -> pa.Table:
 
 def _parent_bucket(g: pa.Table) -> pa.Table:
     """Assign parent_span_id = lag(span_id) within each trace of one hash
-    bucket — one vectorized pandas pass over MANY traces (bounded-group
-    map_groups: buckets, not traces, are the Python-call unit)."""
-    df = g.to_pandas()
-    df = df.sort_values(["trace_id", "start_ts", "event_id"], kind="mergesort")
-    par = df.groupby("trace_id", sort=False)["span_id"].shift(1)
-    df["parent_span_id"] = par.fillna("")
-    df = df.drop(columns=["event_id", "_bucket"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    bucket — one vectorized Arrow-sort + numpy pass over MANY traces
+    (bounded-group map_groups: buckets, not traces, are the Python-call
+    unit; no pandas round trip)."""
+    from ..stages.bucketing import key_segments
+
+    g = g.sort_by([("trace_id", "ascending"), ("start_ts", "ascending"),
+                   ("event_id", "ascending")])
+    keys = g.column("trace_id").to_numpy(zero_copy_only=False)
+    sid = g.column("span_id").to_numpy(zero_copy_only=False)
+    change, _ = key_segments(keys)
+    par = np.empty_like(sid)
+    if len(sid):
+        par[0] = ""
+        par[1:] = sid[:-1]
+    par[change] = ""
+    return g.drop_columns(["event_id", "_bucket"]).append_column(
+        "parent_span_id", pa.array(par, pa.string()))
 
 
 SPAN_COLUMNS = ["trace_id", "span_id", "parent_span_id", "service", "name",

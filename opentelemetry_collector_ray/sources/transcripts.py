@@ -22,7 +22,6 @@ same partitioning key every downstream stage reuses (SURVEY.md §4.3).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -91,14 +90,20 @@ def _add_bucket(batch: pa.Table) -> pa.Table:
     return batch.append_column("_bucket", pa.array(b))
 
 
-def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _rank_bucket(g: pa.Table) -> pa.Table:
     """Rank turns within every conversation of one hash bucket — one
-    vectorized pandas pass over MANY conversations (no per-group Python:
-    buckets, not conversations, are the map_groups unit — the bounded-group
-    pattern for per-key windowed work at scale)."""
-    g = g.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
-    g["turn_idx"] = g.groupby("conv_id", sort=False).cumcount().astype(np.int32)
-    return g.drop(columns=["event_id", "_bucket"])
+    vectorized Arrow-sort + numpy pass over MANY conversations (no
+    per-group Python, no pandas round trip: buckets, not conversations,
+    are the map_groups unit — the bounded-group pattern at scale)."""
+    from ..stages.bucketing import key_segments
+
+    g = g.sort_by([("conv_id", "ascending"), ("ts", "ascending"),
+                   ("event_id", "ascending")])
+    keys = g.column("conv_id").to_numpy(zero_copy_only=False)
+    _, seg_start = key_segments(keys)
+    rank = (np.arange(len(keys)) - seg_start).astype(np.int32)
+    return g.drop_columns(["event_id", "_bucket"]).append_column(
+        "turn_idx", pa.array(rank))
 
 
 def derive_turns(events: ray.data.Dataset) -> ray.data.Dataset:
@@ -109,7 +114,8 @@ def derive_turns(events: ray.data.Dataset) -> ray.data.Dataset:
     bucket ranks thousands of conversations in one vectorized pass."""
     pre = events.map_batches(_event_to_turn_cols, batch_format="pyarrow") \
         .map_batches(_add_bucket, batch_format="pyarrow")
-    ranked = pre.groupby("_bucket").map_groups(_rank_bucket, batch_format="pandas")
+    ranked = pre.groupby("_bucket").map_groups(_rank_bucket,
+                                               batch_format="pyarrow")
     return ranked.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 

@@ -1,0 +1,75 @@
+"""Shared hash-bucket machinery for per-key ordered work (sessionize,
+temporal conversion, turn ranking, span parent links, ordered sinks).
+
+The bounded-group pattern: never ``groupby(raw_high_cardinality_key)``
+(one Python call per key); group by ``hash(key) % n_buckets`` and
+vectorize across all keys inside a bucket. ``n_buckets`` must scale with
+DATA SIZE, not be a constant: a bucket is one task that materializes its
+whole group, so at 100 TB a fixed 64 buckets would mean ~1.5 TB tasks.
+``resolve_n_buckets`` sizes buckets toward ``target_bucket_bytes`` from
+parquet input metadata (no execution); callers with a better estimate
+pass an explicit count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import bucket_of
+
+DEFAULT_N_BUCKETS = 64
+TARGET_BUCKET_BYTES = 256 << 20  # ~256 MB of input per bucket task
+
+
+def adaptive_n_buckets(nbytes: int | None,
+                       target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+                       lo: int = 16, hi: int = 65536) -> int:
+    """Bucket count ≈ input bytes / target task size, clamped; falls back
+    to the default when size is unknown."""
+    if not nbytes:
+        return DEFAULT_N_BUCKETS
+    return int(min(hi, max(lo, -(-nbytes // target_bucket_bytes))))
+
+
+def estimate_input_bytes(ds: ray.data.Dataset) -> int | None:
+    """Best-effort input size from source-file METADATA only (never
+    triggers plan execution — ``size_bytes()`` on a transformed dataset
+    would run the whole pipeline)."""
+    import os
+
+    try:
+        files = ds.input_files()
+        return sum(os.path.getsize(f) for f in files) if files else None
+    except Exception:
+        return None
+
+
+def resolve_n_buckets(ds: ray.data.Dataset, n_buckets: int | str) -> int:
+    if n_buckets == "auto":
+        return adaptive_n_buckets(estimate_input_bytes(ds))
+    return int(n_buckets)
+
+
+def with_hash_bucket(ds: ray.data.Dataset, key: str, n_buckets: int,
+                     col: str = "_bucket") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: t.append_column(
+            col, pa.array(bucket_of(t.column(key), n_buckets))),
+        batch_format="pyarrow")
+
+
+def key_segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For a SORTED key array: (boolean key-change mask, per-row segment
+    start index). The building block for per-key window ops without
+    pandas: cumsum/shift/rank per key become O(n) numpy."""
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    seg_of_row = np.repeat(np.arange(len(starts)), np.diff(
+        np.append(starts, n)))
+    return change, starts[seg_of_row]

@@ -22,11 +22,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions.hashing import bucket_of
 from .aggregate import grouped_count
 
 
@@ -74,23 +72,27 @@ def exp_histogram(ds: ray.data.Dataset, keys: list[str], value_col: str,
 
 def gauge_last(ds: ray.data.Dataset, key: str, order_cols: list[str],
                value_col: str, out_col: str = "last_value",
-               n_buckets: int = 64) -> ray.data.Dataset:
+               n_buckets: int | str = 64) -> ray.data.Dataset:
     """Last-value-wins per key: the value at the maximum (order_cols)
     tuple — pmetric Gauge "latest sample" semantics. Hash-bucket
-    map_groups: one vectorized sort + tail-per-key pass per BUCKET."""
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket", pa.array(
-            bucket_of(t.column(key), n_buckets)))
+    map_groups: one Arrow sort + segment-tail take per BUCKET (no pandas,
+    no per-key Python)."""
+    from .bucketing import key_segments, resolve_n_buckets, with_hash_bucket
 
     def last_per_key(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values([key] + order_cols, kind="mergesort")
-        last = df.drop_duplicates(subset=[key], keep="last")
-        cols = {key: pa.Array.from_pandas(last[key]),
-                out_col: pa.Array.from_pandas(last[value_col])}
-        return pa.table(cols)
+        t = t.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys)
+        # segment tails = (next segment start) - 1, plus the final row
+        ends = np.append(np.flatnonzero(change)[1:] - 1, len(keys) - 1) \
+            if len(keys) else np.empty(0, np.int64)
+        tail = t.take(pa.array(ends.astype(np.int64)))
+        return pa.table({key: tail.column(key),
+                         out_col: tail.column(value_col)})
 
-    pre = ds.select_columns([key, value_col] + order_cols).map_batches(
-        add_bucket, batch_format="pyarrow")
+    nb = resolve_n_buckets(ds, n_buckets)
+    pre = with_hash_bucket(
+        ds.select_columns([key, value_col] + order_cols), key, nb)
     return pre.groupby("_bucket").map_groups(last_per_key,
                                              batch_format="pyarrow")

@@ -4,85 +4,97 @@ The reference has no event-time windows (SURVEY.md §2.10 — the collector
 is an at-arrival forwarder); in batch mode windowing is exact. Pattern
 (Ray guide "streaming-shaped workloads"): treat the input as a partitioned
 log — hash-partition by key, sort by ts within the group, window with
-vectorized pandas inside ``map_groups``. The partitioning assumption is
-explicit: all rows of one key fit one group task (salt/split by time range
-if a single key exceeds worker memory).
+vectorized numpy over SORTED ARROW buffers inside ``map_groups`` (no
+Arrow→pandas round trip; ``Table.sort_by`` + ``key_segments`` replace the
+pandas sort/groupby). The partitioning assumption is explicit: all rows of
+one key fit one group task (salt/split by time range if a single key
+exceeds worker memory); ``n_buckets="auto"`` scales the bucket count with
+input bytes (stages/bucketing.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
+from .bucketing import key_segments, resolve_n_buckets, with_hash_bucket
 
 N_SESSION_BUCKETS = 64
 
 
-def _with_bucket(ds: ray.data.Dataset, key: str,
-                 n_buckets: int = N_SESSION_BUCKETS) -> ray.data.Dataset:
-    import pyarrow as pa
-
-    from ..functions.hashing import bucket_of
-
-    return ds.map_batches(
-        lambda t: t.append_column("_bucket",
-                                  pa.array(bucket_of(t.column(key), n_buckets))),
-        batch_format="pyarrow")
-
-
-def _assign_sessions(g: pd.DataFrame, key: str, ts_col: str,
-                     order_cols: list[str], gap: pd.Timedelta) -> pd.DataFrame:
-    """Vectorized session assignment for ALL keys in one hash bucket: sort
-    by (key, order), new-session = key change OR gap exceeded, session_id =
-    running new-session count rebased per key."""
-    g = g.sort_values([key, *order_cols], kind="mergesort")
-    key_change = g[key].ne(g[key].shift())
-    new = key_change | (g[ts_col].diff() > gap)
-    run = np.cumsum(new.to_numpy())
-    first_of_key = pd.Series(run, index=g.index).where(key_change).ffill().to_numpy()
-    g["session_id"] = (run - first_of_key).astype(np.int64)
-    return g
+def _session_ids(t: pa.Table, key: str, ts_col: str,
+                 order_cols: list[str], gap_us: int) -> tuple[pa.Table, np.ndarray]:
+    """Sort one bucket by (key, order) and compute 0-based per-key session
+    ids — one vectorized pass over all keys in the bucket."""
+    t = t.sort_by([(key, "ascending")] + [(c, "ascending") for c in order_cols])
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n = len(keys)
+    change, _ = key_segments(keys)
+    new = change.copy()
+    if n > 1:
+        new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+    run = np.cumsum(new)
+    # rebase the running new-session count per key (run is nondecreasing,
+    # so max-accumulate of the key-start snapshots is an exact forward fill)
+    first = np.maximum.accumulate(np.where(change, run, 0))
+    return t, (run - first).astype(np.int64)
 
 
 def sessionize(events: ray.data.Dataset, key: str = "user_id", ts_col: str = "ts",
                order_cols: tuple[str, ...] = ("ts", "event_id"),
-               gap: pd.Timedelta = pd.Timedelta(minutes=30)) -> ray.data.Dataset:
+               gap: pd.Timedelta = pd.Timedelta(minutes=30),
+               n_buckets: int | str = N_SESSION_BUCKETS) -> ray.data.Dataset:
     """Gap-based session assignment: a new session starts when the time
     since the previous event of the same key exceeds ``gap``. Adds
     ``session_id`` (0-based per key, in ts order).
 
-    Shuffle keys on hash(key) % 64 buckets — the map_groups unit is a
-    bucket of many keys, processed in one vectorized pandas pass (no
-    per-key Python)."""
+    Shuffle keys on hash(key) % n_buckets — the map_groups unit is a
+    bucket of many keys, processed in one vectorized pass (no per-key
+    Python)."""
+    gap_us = int(gap.value // 1000)
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        return _assign_sessions(g, key, ts_col, list(order_cols), gap) \
-            .drop(columns=["_bucket"])
+    def assign(t: pa.Table) -> pa.Table:
+        t, sid = _session_ids(t, key, ts_col, list(order_cols), gap_us)
+        return t.drop_columns(["_bucket"]).append_column(
+            "session_id", pa.array(sid))
 
-    return _with_bucket(events, key).groupby("_bucket") \
-        .map_groups(assign, batch_format="pandas")
+    nb = resolve_n_buckets(events, n_buckets)
+    return with_hash_bucket(events, key, nb).groupby("_bucket") \
+        .map_groups(assign, batch_format="pyarrow")
 
 
 def session_stats(events: ray.data.Dataset, key: str = "user_id",
-                  ts_col: str = "ts", gap_minutes: int = 30) -> ray.data.Dataset:
+                  ts_col: str = "ts", gap_minutes: int = 30,
+                  n_buckets: int | str = N_SESSION_BUCKETS) -> ray.data.Dataset:
     """Per (key, session): n_events, start_ts, end_ts — the windowed
     aggregate shape. Session assignment and the per-session reduce run in
     the SAME bucket task (one shuffle total, vectorized across all keys of
-    the bucket)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    the bucket; the reduce is an Arrow group_by, not pandas)."""
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    def assign_and_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col, "event_id"] if "event_id" in g.columns else [ts_col]
-        g = _assign_sessions(g, key, ts_col, order, gap)
-        out = g.groupby([key, "session_id"], sort=True).agg(
-            n_events=(ts_col, "size"), start_ts=(ts_col, "min"),
-            end_ts=(ts_col, "max")).reset_index()
-        return out[[key, "session_id", "n_events", "start_ts", "end_ts"]]
+    def assign_and_reduce(t: pa.Table) -> pa.Table:
+        order = [ts_col, "event_id"] if "event_id" in t.column_names \
+            else [ts_col]
+        t, sid = _session_ids(t, key, ts_col, order, gap_us)
+        t = t.append_column("session_id", pa.array(sid))
+        g = t.group_by([key, "session_id"], use_threads=False).aggregate(
+            [(ts_col, "count"), (ts_col, "min"), (ts_col, "max")])
+        return pa.table({
+            key: g.column(key),
+            "session_id": g.column("session_id"),
+            "n_events": g.column(f"{ts_col}_count").cast(pa.int64()),
+            "start_ts": g.column(f"{ts_col}_min"),
+            "end_ts": g.column(f"{ts_col}_max"),
+        })
 
-    return _with_bucket(events, key).groupby("_bucket") \
-        .map_groups(assign_and_reduce, batch_format="pandas")
+    nb = resolve_n_buckets(events, n_buckets)
+    return with_hash_bucket(events, key, nb).groupby("_bucket") \
+        .map_groups(assign_and_reduce, batch_format="pyarrow")
 
 
 def tumbling_window_count(events: ray.data.Dataset, key: str, ts_col: str = "ts",

@@ -1,11 +1,14 @@
-"""Mergeable sketches: HyperLogLog approximate distinct count.
+"""Mergeable sketches: HyperLogLog approximate distinct count and a KLL
+quantile sketch (the pmetric Summary analog for UNBOUNDED value domains —
+bounded integer domains have an exact path in
+stages/spanops.grouped_exact_quantiles).
 
 The mergeable-sketch pattern for unbounded-cardinality aggregates at
-10^12-row scale: each batch reduces to ONE fixed-size register array
-(2^p bytes), registers merge by element-wise max (associative +
-commutative → tree reduce, no shuffle), and the final estimate reads one
-array. Standard HLL per Flajolet et al. 2007 with the small-range
-linear-counting correction.
+10^12-row scale: each batch reduces to ONE bounded-size summary,
+summaries merge associatively (tree reduce, no shuffle), and the final
+estimate reads one summary. HLL per Flajolet et al. 2007 with the
+small-range linear-counting correction; KLL per Karnin-Lang-Liberty 2016
+(levelled compactors, weight 2^level, ~1.65/k rank error).
 """
 
 from __future__ import annotations
@@ -81,3 +84,135 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12,
         .map_batches(_merge_regs, batch_format="pyarrow", batch_size=None)
     (row,) = merged.take(1)
     return _estimate(np.frombuffer(row["regs"], dtype=np.uint8))
+
+
+# ------------------------------------------------------------- KLL quantiles
+
+class KllSketch:
+    """KLL quantile sketch over float64 values (Karnin-Lang-Liberty 2016).
+
+    Level i holds items of weight 2^i; when a level overflows its capacity
+    (k·(2/3)^(depth-1-i), min 8) it is sorted and every other item is
+    promoted — deterministic offset parity (seeded by a compaction
+    counter) keeps runs reproducible. Rank error ≈ 1.65/k. Mergeable:
+    concatenate level-wise then compact (associative up to the sketch's
+    own error bound — the exporter-side merge discipline all partial
+    aggregates here follow)."""
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels)
+        return max(8, int(np.ceil(self.k * (2.0 / 3.0) ** (depth - 1 - level))))
+
+    def add(self, values: np.ndarray) -> "KllSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) <= self._capacity(i):
+                i += 1
+                continue
+            buf = np.sort(self.levels[i])
+            self._compactions += 1
+            offset = self._compactions & 1  # deterministic alternating parity
+            promoted = buf[offset::2]
+            self.levels[i] = np.empty(0, np.float64)
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        for lvl, items in enumerate(other.levels):
+            while lvl >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[lvl] = np.concatenate([self.levels[lvl], items])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        items = np.concatenate(self.levels)
+        weights = np.concatenate([
+            np.full(len(lv), 1 << i, np.int64)
+            for i, lv in enumerate(self.levels)])
+        order = np.argsort(items, kind="stable")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        return float(items[np.searchsorted(cum, target, side="left")])
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qqq", self.k, self.n, len(self.levels))
+        lens = struct.pack(f"<{len(self.levels)}q",
+                           *[len(lv) for lv in self.levels])
+        return head + lens + np.concatenate(self.levels).astype("<f8").tobytes()
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "KllSketch":
+        import struct
+
+        k, n, nlev = struct.unpack_from("<qqq", blob, 0)
+        lens = struct.unpack_from(f"<{nlev}q", blob, 24)
+        flat = np.frombuffer(blob, "<f8", offset=24 + 8 * nlev)
+        s = KllSketch(k)
+        s.n = n
+        s.levels = []
+        pos = 0
+        for ln in lens:
+            s.levels.append(flat[pos: pos + ln].copy())
+            pos += ln
+        return s
+
+
+class KllPartial:
+    """Per-batch: one serialized KLL sketch row."""
+
+    def __init__(self, col: str, k: int = 200):
+        self.col, self.k = col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = KllSketch(self.k).add(
+            t.column(self.col).to_numpy(zero_copy_only=False))
+        return pa.table({"kll": pa.array([s.to_bytes()], pa.binary())})
+
+
+def _merge_kll(t: pa.Table) -> pa.Table:
+    blobs = t.column("kll").to_pylist()
+    if not blobs:
+        return pa.table({"kll": pa.array([], pa.binary())})
+    acc = KllSketch.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(KllSketch.from_bytes(b))
+    return pa.table({"kll": pa.array([acc.to_bytes()], pa.binary())})
+
+
+def approx_quantiles(ds: ray.data.Dataset, col: str,
+                     qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                     k: int = 200, fanin: int = 8) -> dict[str, float]:
+    """Approximate quantiles of an unbounded numeric column: per-batch KLL
+    partials → tree merge (fanin+1 sketch rows move, never the data) →
+    driver reads ONE sketch. Rank error ≈ 1.65/k (~0.8% at k=200)."""
+    partial = ds.select_columns([col]).map_batches(
+        KllPartial(col, k), batch_format="pyarrow")
+    merged = partial.repartition(fanin).map_batches(
+        _merge_kll, batch_format="pyarrow", batch_size=None).repartition(1) \
+        .map_batches(_merge_kll, batch_format="pyarrow", batch_size=None)
+    (row,) = merged.take(1)
+    s = KllSketch.from_bytes(row["kll"])
+    return {f"p{int(round(q * 100))}": s.quantile(q) for q in qs}

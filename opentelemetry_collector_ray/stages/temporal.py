@@ -7,58 +7,70 @@ the conversion is an exact per-series ordered running sum: partition by
 series key, order by time bucket, prefix-sum the deltas.
 
 Execution shape: the per-series scan uses the hash-bucket map_groups
-pattern (bounded group count, vectorized pandas groupby-cumsum inside) —
-never one Python call per series.
+pattern (bounded group count; ``Table.sort_by`` + numpy segment prefix
+sums inside — no Arrow→pandas round trip, no per-series Python).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
-from ..functions.hashing import bucket_of
+from .bucketing import key_segments, resolve_n_buckets, with_hash_bucket
 
 N_BUCKETS = 64
 
 
+def _sorted_with_segments(t: pa.Table, key: str, order_col: str):
+    t = t.sort_by([(key, "ascending"), (order_col, "ascending")])
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    change, seg_start = key_segments(keys)
+    return t, change, seg_start
+
+
 def delta_to_cumulative(ds: ray.data.Dataset, key: str, order_col: str,
                         value_col: str, out_col: str = "cum",
-                        n_buckets: int = N_BUCKETS) -> ray.data.Dataset:
+                        n_buckets: int | str = N_BUCKETS) -> ray.data.Dataset:
     """Per-key ordered prefix sum: adds ``out_col`` = running total of
     ``value_col`` in ``order_col`` order within each ``key`` series."""
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket",
-                               pa.array(bucket_of(t.column(key), n_buckets)))
+    def cumsum(t: pa.Table) -> pa.Table:
+        t, change, seg_start = _sorted_with_segments(t, key, order_col)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        total = np.cumsum(vals)
+        # per-key prefix sum = global cumsum minus the cumsum just before
+        # each key's first row (exact for any sign, no forward-fill tricks)
+        base = total[seg_start] - vals[seg_start]
+        out = total - base
+        if vals.dtype.kind == "i":
+            out = out.astype(np.int64)
+        return t.drop_columns(["_bucket"]).append_column(out_col,
+                                                         pa.array(out))
 
-    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, order_col], kind="mergesort")
-        g[out_col] = g.groupby(key, sort=False)[value_col].cumsum() \
-            .astype(np.int64 if g[value_col].dtype.kind == "i" else None)
-        return g.drop(columns=["_bucket"])
-
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(cumsum, batch_format="pandas")
+    nb = resolve_n_buckets(ds, n_buckets)
+    return with_hash_bucket(ds, key, nb).groupby("_bucket") \
+        .map_groups(cumsum, batch_format="pyarrow")
 
 
 def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
                         value_col: str, out_col: str = "delta",
-                        n_buckets: int = N_BUCKETS) -> ray.data.Dataset:
+                        n_buckets: int | str = N_BUCKETS) -> ray.data.Dataset:
     """Inverse conversion: per-key ordered difference (first point keeps its
     value — the series start resets, matching cumulative semantics)."""
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket",
-                               pa.array(bucket_of(t.column(key), n_buckets)))
+    def diff(t: pa.Table) -> pa.Table:
+        t, change, _ = _sorted_with_segments(t, key, order_col)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        prev = np.empty_like(vals)
+        if len(vals):
+            prev[0] = 0
+            prev[1:] = vals[:-1]
+        out = np.where(change, vals, vals - prev).astype(vals.dtype)
+        return t.drop_columns(["_bucket"]).append_column(out_col,
+                                                         pa.array(out))
 
-    def diff(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, order_col], kind="mergesort")
-        prev = g.groupby(key, sort=False)[value_col].shift()
-        g[out_col] = (g[value_col] - prev.fillna(0)).astype(g[value_col].dtype)
-        return g.drop(columns=["_bucket"])
-
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(diff, batch_format="pandas")
+    nb = resolve_n_buckets(ds, n_buckets)
+    return with_hash_bucket(ds, key, nb).groupby("_bucket") \
+        .map_groups(diff, batch_format="pyarrow")

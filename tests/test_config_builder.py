@@ -19,6 +19,58 @@ def test_expand_env(monkeypatch):
         expand_env("${env:GRAFT_UNSET_ZZ}")
 
 
+def test_confmap_providers(tmp_path, monkeypatch):
+    """file:/yaml: URI providers + whole-value vs embedded reference
+    semantics (confmap/expand.go:110-194, provider/*)."""
+    from opentelemetry_collector_ray.config import expand_uris
+
+    f = tmp_path / "frag.yaml"
+    f.write_text("batch_size: 4096\nconcurrency: 2\n")
+    scalar = tmp_path / "name.txt"
+    scalar.write_text("prod-east")
+    # whole-value reference → retrieved value with type preserved
+    assert expand_uris(f"${{file:{f}}}") == {"batch_size": 4096,
+                                             "concurrency": 2}
+    assert expand_uris(f"sink-${{file:{scalar}}}") == "sink-prod-east"
+    assert expand_uris("${yaml:[1, 2, 3]}") == [1, 2, 3]
+    # a mapping embedded inside a string is an error
+    with pytest.raises(ConfigError):
+        expand_uris(f"x-${{file:{f}}}")
+    with pytest.raises(ConfigError):
+        expand_uris("${file:/nonexistent/zz.yaml}")
+    with pytest.raises(ConfigError):
+        expand_uris("${http://example.com/cfg}")
+    # nested: file content containing ${env:} resolves transitively
+    monkeypatch.setenv("GRAFT_DEPTH", "7")
+    g = tmp_path / "nested.yaml"
+    g.write_text("depth: ${env:GRAFT_DEPTH}\n")
+    assert expand_uris(f"${{file:{g}}}") == {"depth": "7"}
+
+
+def test_confmap_resolver_merge(tmp_path):
+    """Multi-source merge precedence (confmap/resolver.go:88-164): later
+    sources override; maps merge deep, scalars/lists replace."""
+    from opentelemetry_collector_ray.config import merge_confs, resolve_config
+
+    base = tmp_path / "base.yaml"
+    base.write_text(
+        "receivers:\n  parquet:\n    paths: /data/in\n"
+        "processors:\n  parse: {}\n  enrich: {}\n"
+        "exporters:\n  parquet_sink/out:\n    path: sinks\n")
+    override = tmp_path / "override.yaml"
+    override.write_text(
+        "receivers:\n  parquet:\n    paths: /data/other\n"
+        "processors:\n  parse:\n    text_col: body\n")
+    merged = resolve_config([str(base), str(override)])
+    assert merged["receivers"]["parquet"]["paths"] == "/data/other"
+    assert merged["processors"]["parse"] == {"text_col": "body"}
+    assert merged["processors"]["enrich"] == {}  # untouched by override
+    assert merged["exporters"]["parquet_sink/out"]["path"] == "sinks"
+    # scalars replace, maps deep-merge
+    assert merge_confs({"a": {"x": 1}, "b": [1]}, {"a": {"y": 2}, "b": [2]}) \
+        == {"a": {"x": 1, "y": 2}, "b": [2]}
+
+
 def _raw(paths="/tmp/in"):
     return {
         "receivers": {"parquet": {"paths": paths}},

@@ -1,0 +1,60 @@
+"""pcommon.Map surface over Arrow map<string,string> columns — ordered
+kv-list semantics, last-writer-wins upsert, absent ≠ empty
+(functions/mapattrs.py; reference pdata/pcommon/map.go:65-319)."""
+
+import pyarrow as pa
+
+from opentelemetry_collector_ray.functions import mapattrs as M
+
+
+def _base():
+    return M.build_map({
+        "level": pa.array(["INFO", None, "ERROR"]),
+        "tool": pa.array(["bash", "py", None]),
+    })
+
+
+def test_build_map_omits_nulls():
+    m = _base()
+    assert m.to_pylist() == [[("level", "INFO"), ("tool", "bash")],
+                             [("tool", "py")],
+                             [("level", "ERROR")]]
+    assert M.map_len(m).to_pylist() == [2, 1, 1]
+    assert M.map_has(m, "level").to_pylist() == [True, False, True]
+    assert M.map_get(m, "tool").to_pylist() == ["bash", "py", None]
+
+
+def test_put_appends_and_upserts():
+    m = M.map_put(_base(), "status", pa.array(["ok", None, "err"]))
+    assert m.to_pylist() == [
+        [("level", "INFO"), ("tool", "bash"), ("status", "ok")],
+        [("tool", "py")],
+        [("level", "ERROR"), ("status", "err")]]
+    # upsert of an existing key replaces every row's value
+    m2 = M.map_put(m, "tool", "zzz")
+    assert M.map_get(m2, "tool").to_pylist() == ["zzz", "zzz", "zzz"]
+
+
+def test_delete_rename_keep():
+    m = M.map_put(_base(), "status", pa.array(["ok", None, "err"]))
+    assert M.map_delete(m, "tool").to_pylist()[0] == \
+        [("level", "INFO"), ("status", "ok")]
+    ren = M.map_rename(m, "level", "lvl")
+    assert M.map_get(ren, "lvl").to_pylist() == ["INFO", None, "ERROR"]
+    # rename preserves entry order (in-place), unlike delete+put
+    assert ren.to_pylist()[0][0] == ("lvl", "INFO")
+    assert M.map_keep_keys(m, ["status"]).to_pylist() == \
+        [[("status", "ok")], [], [("status", "err")]]
+
+
+def test_last_writer_wins_read():
+    raw = pa.array([[("k", "1"), ("k", "2")]], M.MAP_T)
+    assert M.map_get(raw, "k").to_pylist() == ["2"]
+
+
+def test_empty_and_chunked():
+    empty = pa.array([], M.MAP_T)
+    assert M.map_len(empty).to_pylist() == []
+    assert M.map_get(empty, "x").to_pylist() == []
+    chunked = pa.chunked_array([_base(), _base()])
+    assert M.map_len(chunked).to_pylist() == [2, 1, 1, 2, 1, 1]

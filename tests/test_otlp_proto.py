@@ -1,0 +1,96 @@
+"""OTLP protobuf logs wire format: encode/decode round trip, cross-check
+vs the JSON codec (one flat model, two marshalers — plog/pb.go analog),
+byte sizer + MergeSplit splitting, and the file source/sink."""
+
+import json
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_ray.sources.otlp_json import parse_request_lines
+from opentelemetry_collector_ray.sources.otlp_proto import (
+    decode_request, encode_request, record_byte_sizes, split_by_bytes)
+from tests.test_otlp_json import REQ
+
+
+def _flat():
+    return parse_request_lines(
+        pa.table({"text": pa.array([json.dumps(REQ)])}))
+
+
+def test_proto_round_trip_matches_flat():
+    flat = _flat()
+    blob = encode_request(flat)
+    back = decode_request(blob)
+    for col in ["time_unix_nano", "observed_time_unix_nano",
+                "severity_number", "severity_text", "body", "trace_id",
+                "span_id", "event_name", "scope_name", "scope_version"]:
+        assert back.column(col).to_pylist() == flat.column(col).to_pylist(), col
+    assert back.column("attributes").to_pylist() == \
+        flat.column("attributes").to_pylist()
+    assert back.column("resource_attributes").to_pylist() == \
+        flat.column("resource_attributes").to_pylist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=0, max_value=2**63),   # time
+    st.integers(min_value=0, max_value=24),      # severity
+    st.text(max_size=40),                        # body
+    st.lists(st.tuples(st.text(min_size=1, max_size=8),
+                       st.text(max_size=12)), max_size=3),
+), min_size=1, max_size=8))
+def test_proto_round_trip_property(records):
+    flat = pa.table({
+        "time_unix_nano": pa.array([r[0] for r in records], pa.uint64()),
+        "observed_time_unix_nano": pa.array([0] * len(records), pa.uint64()),
+        "severity_number": pa.array([r[1] for r in records], pa.int32()),
+        "severity_text": pa.array(["T"] * len(records)),
+        "body": pa.array([r[2] for r in records]),
+        "trace_id": pa.array(["0102030405060708090a0b0c0d0e0f10"] * len(records)),
+        "span_id": pa.array(["0102030405060708"] * len(records)),
+        "event_name": pa.array([""] * len(records)),
+        "resource_attributes": pa.array([[("svc", "x")]] * len(records),
+                                        pa.map_(pa.string(), pa.string())),
+        "scope_name": pa.array(["s"] * len(records)),
+        "scope_version": pa.array(["1"] * len(records)),
+        "attributes": pa.array([list(dict(r[3]).items()) for r in records],
+                               pa.map_(pa.string(), pa.string())),
+    })
+    back = decode_request(encode_request(flat))
+    assert back.num_rows == flat.num_rows
+    for col in ["time_unix_nano", "severity_number", "body", "attributes"]:
+        assert back.column(col).to_pylist() == flat.column(col).to_pylist(), col
+
+
+def test_sizer_and_split():
+    flat = _flat()
+    sizes = record_byte_sizes(flat)
+    assert len(sizes) == flat.num_rows and all(s > 0 for s in sizes)
+    # one record per slice at a tight budget; everything retained in order
+    parts = split_by_bytes(flat, max_bytes=max(sizes))
+    assert sum(p.num_rows for p in parts) == flat.num_rows
+    assert all(p.num_rows >= 1 for p in parts)
+    rejoined = pa.concat_tables(parts)
+    assert rejoined.column("body").to_pylist() == \
+        flat.column("body").to_pylist()
+    # generous budget → single slice
+    assert len(split_by_bytes(flat, max_bytes=10**9)) == 1
+
+
+def test_proto_file_source_sink(ray_session, tmp_path):
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.otlp_proto import (
+        read_otlp_proto_logs, write_otlp_proto_logs)
+
+    flat = _flat()
+    ds = ray.data.from_arrow(flat)
+    out = str(tmp_path / "proto_out")
+    n = write_otlp_proto_logs(ds, out, max_request_bytes=64)
+    assert n == flat.num_rows
+    back = read_otlp_proto_logs(out).to_pandas().sort_values(
+        "time_unix_nano").reset_index(drop=True)
+    assert back["body"].tolist() == ["first", "second"]
+    assert back["severity_number"].tolist() == [9, 17]

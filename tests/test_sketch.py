@@ -33,3 +33,29 @@ def test_approx_distinct_dataset(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
     est = approx_distinct(ds, "k", p=12)
     assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_kll_accuracy_and_merge(ray_session):
+    """KLL rank-error envelope through the full distributed path
+    (per-batch partials → tree merge → driver quantile)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import (
+        KllSketch, approx_quantiles)
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(3.0, 1.0, 50_000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(data)})).repartition(8)
+    qs = approx_quantiles(ds, "v", qs=(0.5, 0.95, 0.99), k=200)
+    srt = np.sort(data)
+    for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        rank = np.searchsorted(srt, qs[name]) / len(srt)
+        assert abs(rank - q) < 0.02, (name, qs[name], rank)
+
+    # serialization round trip is lossless
+    s = KllSketch(100).add(data[:1000])
+    s2 = KllSketch.from_bytes(s.to_bytes())
+    assert s2.n == s.n and s2.quantile(0.5) == s.quantile(0.5)
