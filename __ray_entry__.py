@@ -378,6 +378,22 @@ def _q_media_pipeline(sf_dir: str):
     return decoded.map_batches(FeatureStage(), batch_format="pyarrow")
 
 
+def _q_audio_pipeline(sf_dir: str):
+    """REAL multimodal pipeline (rows-only): genuine WAV payloads →
+    stdlib-wave decode (actor pool) → vectorized feature extraction
+    (rms/zcr/dominant-frequency). sf_dir unused (no binary table in
+    testdata); determinism via seed."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        AudioDecodeStage, AudioFeatureStage, synth_wav_media)
+
+    media = ray.data.from_arrow(synth_wav_media(256, seed=7))
+    decoded = media.map_batches(AudioDecodeStage, batch_format="pyarrow",
+                                batch_size=64, concurrency=2)
+    return decoded.map_batches(AudioFeatureStage(), batch_format="pyarrow")
+
+
 def _q_docs_attr_ops(sf_dir: str):
     """OTTL-style mutations (set/copy/rename/replace_match/keep_keys) with a
     SQL mirror — the attributes-processor surface."""
@@ -721,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_histogram": _q_orders_histogram,
         "events_error_rate": _q_events_error_rate,
         "media_pipeline": _q_media_pipeline,
+        "audio_pipeline": _q_audio_pipeline,
         "tpch_q1": _q_tpch_q1,
         "nation_revenue": _q_nation_revenue,
         "topk_orders": _q_topk_orders,

@@ -95,7 +95,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     names = ["events_agg", "events_sessionize", "tpch_q1", "nation_revenue",
-             "docs_token_count", "docs_quality", "docs_exact_dedup", "emb_knn"]
+             "docs_token_count", "docs_quality", "docs_exact_dedup", "emb_knn",
+             "spans_service_stats", "spans_trace_stats", "events_gauge_last",
+             "events_exp_histogram"]
     q = m.queries()
     for name in names:
         t0 = time.time()
@@ -106,6 +108,43 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
             res.count()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def run_ann(sf_dir: str) -> dict:
+    """Persisted-index ANN: build once, batch-query; report query wall and
+    the scan fraction (probed partition rows / corpus rows) — the
+    sublinear-scan evidence for the index path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, ann_scan_fraction, build_ann_index)
+
+    import ray.data
+
+    src = f"{sf_dir}/embeddings.parquet"
+    index_dir = "/tmp/graft_bench/ann_index"
+    t0 = time.time()
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_ann_index(ray.data.read_parquet(src, columns=["vec_id", "embedding"]),
+                    index_dir, n_bits=8)
+    build_sec = round(time.time() - t0, 3)
+    t = pq.read_table(src, columns=["embedding"])
+    queries = np.array([t.column("embedding")[i].as_py() for i in range(16)],
+                       dtype=np.float64)
+    t0 = time.time()
+    res = ann_query_index(index_dir, queries, k=10, multiprobe=1)
+    query_sec = round(time.time() - t0, 3)
+    frac_union = ann_scan_fraction(index_dir, queries, multiprobe=1)
+    per_query = [ann_scan_fraction(index_dir, queries[i:i + 1], multiprobe=1)
+                 for i in range(len(queries))]
+    return {"ann_index_build_sec": build_sec,
+            "ann_query16_sec": query_sec,
+            "ann_scan_fraction_union16": round(float(frac_union), 4),
+            "ann_scan_fraction_per_query": round(float(np.mean(per_query)), 4),
+            "ann_result_rows": res.num_rows}
 
 
 def main() -> None:
@@ -145,6 +184,7 @@ def main() -> None:
         write_routed(build_routed(ray.data.read_parquet(turns_dir)), sink)
         routed_write = round(time.time() - t0, 3)
     queries = run_secondary(SF_DIR) if "--headline-only" not in sys.argv else {}
+    ann = run_ann(SF_DIR) if "--headline-only" not in sys.argv else {}
     print(json.dumps({
         "metric": "flagship_parse_enrich_route_aggregate_sec",
         "value": round(wall, 3),
@@ -154,6 +194,7 @@ def main() -> None:
         "agg_groups": n_groups,
         "routed_write_sec": routed_write,
         "queries": queries,
+        **ann,
         "sf": SF_DIR,
         "num_cpus": NCPUS,
     }))

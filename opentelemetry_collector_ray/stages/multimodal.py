@@ -1,12 +1,16 @@
 """Multimodal column stages: decode / feature-extract / resize / frame-sample
 over opaque ``binary`` payload columns with typed metadata.
 
-The Ray-side plumbing (schema, actor-pool signature, batch sizing, output
-layout) is real and tested; the codec kernels are STUBS — image/audio
-libraries are not in this container. Each stage takes ``codec="fake"``
-(deterministic, pure-numpy stand-in used by tests) or ``codec="real"``
-which raises NotImplementedError at the decode call site, marking exactly
-where Pillow/av/soundfile plug in.
+Codec status by modality:
+- **audio (WAV/PCM): REAL** — stdlib ``wave`` decode, no external deps
+  (``AudioDecodeStage`` / ``AudioFeatureStage``; ``synth_wav_media``
+  writes genuine RIFF/WAVE payloads for tests).
+- image: ``codec="real"`` uses Pillow WHEN AVAILABLE (constructed once
+  per actor); this container lacks it, so construction raises with a
+  clear message and tests use ``codec="fake"`` (deterministic
+  pure-numpy stand-in). The Ray-side plumbing (schema, actor-pool
+  signature, byte-budget batch sizing, output layout) is real either way.
+- video: frame-index sampling plumbing only (``FrameSampleStage``).
 
 Scale notes (the reason these are actor pools with small batches): payload
 rows are orders of magnitude wider than text rows — ``batch_size`` must be
@@ -56,15 +60,26 @@ class DecodeStage:
     def __init__(self, codec: str = "fake", target: tuple[int, int] = (8, 8)):
         self.codec = codec
         self.th, self.tw = target
+        self._pil = None
         if codec == "real":
-            # real decoder construction goes here (once per actor)
-            pass
+            # once-per-actor decoder construction: Pillow when available
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image codec='real' requires Pillow, which is not in "
+                    "this container; use codec='fake' (tests) or install "
+                    "Pillow") from e
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.codec == "real":
-            raise NotImplementedError(
-                "image decode requires Pillow/libav — not in this container; "
-                "plug the real decoder here")
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L") \
+                .resize((self.tw, self.th))
+            return np.asarray(img, dtype=np.uint8)
         # fake codec: deterministic bytes → grayscale target-size "pixels"
         raw = np.frombuffer(payload, dtype=np.uint8)
         need = self.th * self.tw
@@ -120,3 +135,105 @@ class FrameSampleStage:
         arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                        pa.array(vals, pa.int32()))
         return batch.append_column("frame_idxs", arr)
+
+
+# ------------------------------------------------------------- audio (REAL)
+
+def synth_wav_media(n: int = 64, seed: int = 42, sample_rate: int = 8000,
+                    duration_s: float = 0.1) -> pa.Table:
+    """Genuine RIFF/WAVE payloads (16-bit PCM mono sine tones, stdlib
+    ``wave`` writer) — real bytes a real decoder must parse, deterministic
+    for tests/oracles."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    freqs = rng.integers(100, 2000, n)
+    amps = rng.uniform(0.1, 0.9, n)
+    t = np.arange(int(sample_rate * duration_s)) / sample_rate
+    payloads = []
+    for f, a in zip(freqs, amps):
+        samples = (a * 32767 * np.sin(2 * np.pi * int(f) * t)).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(samples.tobytes())
+        payloads.append(buf.getvalue())
+    return pa.table({
+        "media_id": pa.array(np.arange(n)),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["audio/wav"] * n),
+        "freq_hz": pa.array(freqs.astype(np.int32)),
+    })
+
+
+class AudioDecodeStage:
+    """REAL audio decode (stdlib ``wave``, once-per-actor construction):
+    WAV payload → samples (list<int16>), sample_rate, n_samples. Batch
+    size should be BYTE-budgeted like the image stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        sample_lists = []
+        rates = np.empty(batch.num_rows, np.int32)
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise ValueError("only 16-bit mono PCM supported")
+                rates[i] = w.getframerate()
+                frames = w.readframes(w.getnframes())
+            sample_lists.append(np.frombuffer(frames, "<i2"))
+        offsets = np.zeros(batch.num_rows + 1, np.int64)
+        np.cumsum([len(s) for s in sample_lists], out=offsets[1:])
+        flat = np.concatenate(sample_lists) if sample_lists \
+            else np.empty(0, np.int16)
+        samples = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)),
+            pa.array(flat.astype(np.int16), pa.int16()))
+        return (batch.drop_columns(["payload"])
+                .append_column("samples", samples)
+                .append_column("sample_rate", pa.array(rates))
+                .append_column("n_samples",
+                               pa.array(np.diff(offsets).astype(np.int64))))
+
+
+class AudioFeatureStage:
+    """Decoded samples → features (rms, peak, zero-crossing rate,
+    duration_ms, dominant period estimate) — vectorized over the flat
+    sample buffer using the list offsets (no per-row numpy re-slicing
+    beyond reduceat)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("samples")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                             np.int64)
+        starts, counts = offsets[:-1], np.diff(offsets)
+        n = batch.num_rows
+        rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        if n and len(flat):
+            sq = np.add.reduceat(flat * flat, starts)
+            rms = np.sqrt(sq / np.maximum(counts, 1))
+            peak = np.maximum.reduceat(np.abs(flat), starts)
+            signs = flat[1:] * flat[:-1] < 0  # crossing between neighbors
+            # exclude crossings that straddle row boundaries
+            cross_cum = np.concatenate([[0], np.cumsum(signs)])
+            zc = cross_cum[offsets[1:] - 1] - cross_cum[starts]
+            zcr = zc / np.maximum(counts - 1, 1)
+        else:
+            rms = peak = zcr = np.zeros(n)
+        dur_ms = counts * 1000 // np.maximum(rates, 1)
+        # dominant frequency ≈ zcr * rate / 2 (two crossings per cycle)
+        dom_hz = zcr * rates / 2.0
+        return (batch.drop_columns(["samples"])
+                .append_column("rms", pa.array(rms))
+                .append_column("peak", pa.array(peak))
+                .append_column("zcr", pa.array(zcr))
+                .append_column("duration_ms", pa.array(dur_ms.astype(np.int64)))
+                .append_column("dominant_hz", pa.array(dom_hz)))
