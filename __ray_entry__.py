@@ -706,6 +706,70 @@ def _q_emb_ann_lsh(sf_dir: str):
     return ann_query_index(index_dir, queries, k=10, multiprobe=1)
 
 
+# ----------------------------------------------------------- profiles family
+
+def _profile_frames(sf_dir: str):
+    from opentelemetry_collector_ray.sources.profiles import (
+        derive_profile_frames)
+
+    return derive_profile_frames(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]))
+
+
+def _q_profiles_functions(sf_dir: str):
+    """pprofile dictionary build: the function string table (distinct
+    frame names, densely numbered)."""
+    from opentelemetry_collector_ray.sources.profiles import (
+        build_function_table)
+
+    return build_function_table(_profile_frames(sf_dir))
+
+
+def _q_profiles_samples(sf_dir: str):
+    """Dictionary-ENCODED samples: stacks stored as function-table indices
+    (broadcast-dict actor encode — the pprofile reference step)."""
+    from opentelemetry_collector_ray.sources.profiles import (
+        build_function_table, encode_samples)
+
+    frames = _profile_frames(sf_dir)
+    ftab = build_function_table(frames)
+    return encode_samples(frames, ftab)
+
+
+def _q_profiles_top_functions(sf_dir: str):
+    from opentelemetry_collector_ray.sources.profiles import top_functions
+
+    return top_functions(_profile_frames(sf_dir))
+
+
+def _q_profiles_flame_edges(sf_dir: str):
+    from opentelemetry_collector_ray.sources.profiles import flame_edges
+
+    return flame_edges(_profile_frames(sf_dir))
+
+
+def _q_emb_ann_ivf(sf_dir: str):
+    """ANN on the persisted IVF index (k-means coarse quantizer,
+    centroid-partitioned; rows-only — approximate by design, recall + scan
+    fraction asserted in tests)."""
+    import hashlib
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, build_ivf_index)
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src}:{os.path.getmtime(src)}:ivf32".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/ann_index/{tag}"
+    if not os.path.exists(f"{index_dir}/_ann_meta.json"):
+        build_ivf_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        index_dir, n_centroids=32, sample_size=8192)
+    t = _side_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = np.array([t.column("embedding")[i].as_py() for i in range(4)],
+                       dtype=np.float64)
+    return ann_query_index(index_dir, queries, k=10, multiprobe=2)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -756,8 +820,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_duration_quantiles": _q_spans_duration_quantiles,
         "events_exp_histogram": _q_events_exp_histogram,
         "events_gauge_last": _q_events_gauge_last,
+        "profiles_functions": _q_profiles_functions,
+        "profiles_samples": _q_profiles_samples,
+        "profiles_top_functions": _q_profiles_top_functions,
+        "profiles_flame_edges": _q_profiles_flame_edges,
         "emb_knn": _q_emb_knn,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_ann_ivf": _q_emb_ann_ivf,
         "users_distinct": _q_users_distinct,
         "users_distinct_approx": _q_users_distinct_approx,
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
@@ -786,6 +855,7 @@ def _sql_prefix_case(col: str, prefixes, idx: int, default: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from opentelemetry_collector_ray.sources.profiles import FRAMES_CTE
     from opentelemetry_collector_ray.sources.spans import SPANS_CTE
     from opentelemetry_collector_ray.sources.transcripts import TURNS_CTE
     from opentelemetry_collector_ray.stages.enrich import (
@@ -1071,6 +1141,40 @@ SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents
 FROM (SELECT user_id, value, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events) WHERE rn = 1
+""",
+        "profiles_functions": f"""
+WITH {FRAMES_CTE.strip()}
+SELECT func_id, name FROM ftab
+""",
+        "profiles_samples": f"""
+WITH {FRAMES_CTE.strip()}
+SELECT f.event_id, a.func_id AS f0_id, b.func_id AS f1_id,
+       c.func_id AS f2_id, f.value_us
+FROM frames f JOIN ftab a ON f.frame0 = a.name
+              JOIN ftab b ON f.frame1 = b.name
+              JOIN ftab c ON f.frame2 = c.name
+""",
+        "profiles_top_functions": f"""
+WITH {FRAMES_CTE.strip()},
+exploded AS (
+  SELECT frame0 AS name, value_us, 0 AS leaf FROM frames
+  UNION ALL SELECT frame1, value_us, 0 FROM frames
+  UNION ALL SELECT frame2, value_us, 1 FROM frames
+)
+SELECT name, count(*) AS n_samples,
+       CAST(sum(value_us) AS BIGINT) AS total_us,
+       CAST(sum(value_us * leaf) AS BIGINT) AS self_us
+FROM exploded GROUP BY name
+""",
+        "profiles_flame_edges": f"""
+WITH {FRAMES_CTE.strip()},
+edges AS (
+  SELECT frame0 AS parent, frame1 AS child, value_us FROM frames
+  UNION ALL SELECT frame1, frame2, value_us FROM frames
+)
+SELECT parent, child, count(*) AS n,
+       CAST(sum(value_us) AS BIGINT) AS total_us
+FROM edges GROUP BY parent, child
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -347,3 +347,193 @@ def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
 
     counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
     return int(counts["n"].sum())
+
+
+# ------------------------------------------------------------- traces (ptrace)
+
+# Field numbers per pdata/internal/generated_proto_span.go:505-705:
+#   TracesData:    resource_spans=1
+#   ResourceSpans: resource=1  scope_spans=2  schema_url=3
+#   ScopeSpans:    scope=1  spans=2  schema_url=3
+#   Span: trace_id=1 span_id=2 trace_state=3 parent_span_id=4 name=5
+#         kind=6(varint) start_time_unix_nano=7(I64) end_time_unix_nano=8(I64)
+#         attributes=9 dropped=10 events=11 links=13 status=15 flags=16(I32)
+#   Status (generated_proto_status.go): message=2  code=3(varint)
+
+SPAN_WIRE_COLUMNS = ["trace_id", "span_id", "parent_span_id", "name", "kind",
+                     "start_time_unix_nano", "end_time_unix_nano",
+                     "status_code", "status_message", "resource_attributes",
+                     "scope_name", "scope_version", "attributes"]
+
+
+def encode_span(r: dict) -> bytes:
+    out = bytearray()
+    if r.get("trace_id"):
+        out += _len_field(1, bytes.fromhex(r["trace_id"]))
+    if r.get("span_id"):
+        out += _len_field(2, bytes.fromhex(r["span_id"]))
+    if r.get("parent_span_id"):
+        out += _len_field(4, bytes.fromhex(r["parent_span_id"]))
+    out += _str_field(5, r.get("name", ""))
+    if r.get("kind"):
+        out += _tag(6, _VARINT) + _varint(int(r["kind"]))
+    if r.get("start_time_unix_nano"):
+        out += _tag(7, _I64) + struct.pack("<Q", int(r["start_time_unix_nano"]))
+    if r.get("end_time_unix_nano"):
+        out += _tag(8, _I64) + struct.pack("<Q", int(r["end_time_unix_nano"]))
+    for k, v in (r.get("attributes") or []):
+        out += _len_field(9, _keyvalue(k, v))
+    if r.get("status_code") or r.get("status_message"):
+        st = _str_field(2, r.get("status_message", ""))
+        if r.get("status_code"):
+            st += _tag(3, _VARINT) + _varint(int(r["status_code"]))
+        out += _len_field(15, st)
+    return bytes(out)
+
+
+def encode_spans_request(batch: pa.Table) -> bytes:
+    """Flat span rows → one ExportTraceServiceRequest/TracesData message,
+    re-nested by (resource attributes, scope)."""
+    groups: dict = {}
+    for row in batch.to_pylist():
+        res_key = tuple(row.get("resource_attributes") or [])
+        scope_key = (row.get("scope_name", ""), row.get("scope_version", ""))
+        groups.setdefault(res_key, {}).setdefault(scope_key, []).append(row)
+    out = bytearray()
+    for res_key, scopes in groups.items():
+        res_msg = b"".join(_len_field(1, _keyvalue(k, v)) for k, v in res_key)
+        rs = bytearray(_len_field(1, res_msg))
+        for (sname, sver), recs in scopes.items():
+            scope_msg = _str_field(1, sname) + _str_field(2, sver)
+            ss = bytearray(_len_field(1, scope_msg))
+            for r in recs:
+                ss += _len_field(2, encode_span(r))
+            rs += _len_field(2, bytes(ss))
+        out += _len_field(1, bytes(rs))
+    return bytes(out)
+
+
+def decode_spans_request(buf: bytes) -> pa.Table:
+    rows = {c: [] for c in SPAN_WIRE_COLUMNS}
+    for f, w, rs in _iter_fields(buf):
+        if f != 1:
+            continue
+        res_attrs: list[tuple[str, str]] = []
+        scope_msgs = []
+        for f2, w2, v2 in _iter_fields(bytes(rs)):
+            if f2 == 1:
+                for f3, w3, v3 in _iter_fields(bytes(v2)):
+                    if f3 == 1:
+                        res_attrs.append(_decode_kv(v3))
+            elif f2 == 2:
+                scope_msgs.append(bytes(v2))
+        for ss in scope_msgs:
+            sname = sver = ""
+            recs = []
+            for f3, w3, v3 in _iter_fields(ss):
+                if f3 == 1:
+                    for f4, w4, v4 in _iter_fields(bytes(v3)):
+                        if f4 == 1:
+                            sname = bytes(v4).decode()
+                        elif f4 == 2:
+                            sver = bytes(v4).decode()
+                elif f3 == 2:
+                    recs.append(bytes(v3))
+            for rec in recs:
+                r = {"trace_id": "", "span_id": "", "parent_span_id": "",
+                     "name": "", "kind": 0, "start_time_unix_nano": 0,
+                     "end_time_unix_nano": 0, "status_code": 0,
+                     "status_message": "", "attributes": []}
+                for f4, w4, v4 in _iter_fields(rec):
+                    if f4 == 1:
+                        r["trace_id"] = bytes(v4).hex()
+                    elif f4 == 2:
+                        r["span_id"] = bytes(v4).hex()
+                    elif f4 == 4:
+                        r["parent_span_id"] = bytes(v4).hex()
+                    elif f4 == 5:
+                        r["name"] = bytes(v4).decode()
+                    elif f4 == 6:
+                        r["kind"] = v4
+                    elif f4 == 7:
+                        r["start_time_unix_nano"] = v4
+                    elif f4 == 8:
+                        r["end_time_unix_nano"] = v4
+                    elif f4 == 9:
+                        r["attributes"].append(_decode_kv(v4))
+                    elif f4 == 15:
+                        for f5, w5, v5 in _iter_fields(bytes(v4)):
+                            if f5 == 2:
+                                r["status_message"] = bytes(v5).decode()
+                            elif f5 == 3:
+                                r["status_code"] = v5
+                for c in ("trace_id", "span_id", "parent_span_id", "name",
+                          "status_message"):
+                    rows[c].append(r[c])
+                for c in ("kind", "status_code"):
+                    rows[c].append(int(r[c]))
+                for c in ("start_time_unix_nano", "end_time_unix_nano"):
+                    rows[c].append(int(r[c]))
+                rows["attributes"].append(r["attributes"])
+                rows["resource_attributes"].append(res_attrs)
+                rows["scope_name"].append(sname)
+                rows["scope_version"].append(sver)
+    return pa.table({
+        "trace_id": pa.array(rows["trace_id"], pa.string()),
+        "span_id": pa.array(rows["span_id"], pa.string()),
+        "parent_span_id": pa.array(rows["parent_span_id"], pa.string()),
+        "name": pa.array(rows["name"], pa.string()),
+        "kind": pa.array(rows["kind"], pa.int32()),
+        "start_time_unix_nano": pa.array(rows["start_time_unix_nano"],
+                                         pa.uint64()),
+        "end_time_unix_nano": pa.array(rows["end_time_unix_nano"], pa.uint64()),
+        "status_code": pa.array(rows["status_code"], pa.int32()),
+        "status_message": pa.array(rows["status_message"], pa.string()),
+        "resource_attributes": pa.array(rows["resource_attributes"],
+                                        pa.map_(pa.string(), pa.string())),
+        "scope_name": pa.array(rows["scope_name"], pa.string()),
+        "scope_version": pa.array(rows["scope_version"], pa.string()),
+        "attributes": pa.array(rows["attributes"],
+                               pa.map_(pa.string(), pa.string())),
+    })
+
+
+def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
+    """Analytic span table (sources/spans.py schema) → wire-facing flat
+    rows: the readable trace surrogate 'UUUUUUUU-HHHHHHHHH' packs
+    REVERSIBLY into the 16-byte TraceID (two big-endian uint64s), span ids
+    are already %016x, timestamps widen to ns, service becomes the
+    resource attribute service.name (the semantic-conventions mapping)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tid = t.column("trace_id").to_pylist()
+    packed = b"".join(struct.pack(">QQ", int(s[:8]), int(s[9:])) for s in tid)
+    trace_hex = np.frombuffer(
+        __import__("binascii").hexlify(packed), dtype="S32").astype("U32") \
+        if tid else np.empty(0, "U32")
+    start_ns = pc.multiply(
+        t.column("start_ts").cast(pa.timestamp("us")).cast(pa.int64()),
+        pa.scalar(1000, pa.int64()))
+    end_ns = pc.add(start_ns, pc.multiply(t.column("duration_us"),
+                                          pa.scalar(1000, pa.int64())))
+    n = t.num_rows
+    svc = t.column(service_col)
+    res_attrs = pa.array(
+        [[("service.name", s)] for s in svc.to_pylist()],
+        pa.map_(pa.string(), pa.string()))
+    return pa.table({
+        "trace_id": pa.array(trace_hex),
+        "span_id": t.column("span_id"),
+        "parent_span_id": t.column("parent_span_id"),
+        "name": t.column("name"),
+        "kind": t.column("kind"),
+        "start_time_unix_nano": start_ns.cast(pa.uint64()),
+        "end_time_unix_nano": end_ns.cast(pa.uint64()),
+        "status_code": t.column("status_code"),
+        "status_message": pa.array([""] * n, pa.string()),
+        "resource_attributes": res_attrs,
+        "scope_name": pa.array(["otelcol_ray"] * n, pa.string()),
+        "scope_version": pa.array(["2"] * n, pa.string()),
+        "attributes": pa.array([[]] * n, pa.map_(pa.string(), pa.string())),
+    })

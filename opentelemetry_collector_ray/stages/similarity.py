@@ -147,25 +147,124 @@ def build_ann_index(ds: ray.data.Dataset, index_dir: str, n_bits: int = 8,
     return meta
 
 
-def ann_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
-                    multiprobe: int = 1) -> pa.Table:
-    """Batch ANN query against a persisted index: reads only the union of
-    the queries' probed bucket partitions, computes one (rows × queries)
-    matmul per batch, per-query bucket masks, local top-k per (batch,
-    query), final merge. Returns (q, vec_id, cos_sim_e6) with q = query row
-    index. Scan fraction = probed-partition rows / corpus rows — sublinear
-    for selective probes (see ``ann_scan_fraction``)."""
-    import glob
+class IvfAssignStage:
+    """Assign each vector its nearest spherical-k-means centroid id."""
+
+    def __init__(self, centroids: np.ndarray, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.cent = _normalize(np.asarray(centroids, np.float64))
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = _normalize(_stack(t.column(self.vec_col)))
+        bucket = np.argmax(x @ self.cent.T, axis=1).astype(np.int64) \
+            if t.num_rows else np.empty(0, np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Lloyd's iterations with cosine assignment (centroids re-normalized
+    each round); deterministic seeded init from sample rows."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                        replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def build_ivf_index(ds: ray.data.Dataset, index_dir: str,
+                    n_centroids: int = 64, sample_size: int = 65536,
+                    iters: int = 10, seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """IVF variant of the persisted index: spherical k-means coarse
+    quantizer trained on a hash-sampled subset (bounded driver memory:
+    sample_size × dim floats), every vector assigned to its nearest
+    centroid (broadcast centroids, one matmul per batch), corpus written
+    Hive-partitioned by centroid id. Queries probe the ``1 + multiprobe``
+    nearest centroids. Same on-disk layout as the LSH index —
+    ``ann_query_index`` dispatches on the metadata."""
+    import json
+    import os
+
+    total = ds.count()
+    prob_mod = max(1, total // max(1, sample_size))
+
+    def pick(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64
+
+        h = hash64(t.column(id_col).cast(pa.string()), seed=9)
+        return t.filter(pa.array(h % np.uint64(prob_mod) == 0))
+
+    sample_tbl = ds.select_columns([id_col, vec_col]).map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    cent = _spherical_kmeans(sample, n_centroids, iters, seed)
+    dim = cent.shape[1]
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        IvfAssignStage, fn_constructor_kwargs=dict(
+            centroids=cent, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    assigned = assigned.map_batches(
+        lambda t: t.append_column("bucket_id", t.column("bucket")),
+        batch_format="pyarrow")
+    assigned.write_parquet(index_dir, partition_cols=["bucket"])
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    meta = {"kind": "ivf", "n_centroids": int(len(cent)), "dim": int(dim),
+            "seed": seed, "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_meta(index_dir: str) -> dict:
     import json
     import os
 
     with open(os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = json.load(f)
-    n_bits, seed, dim = meta["n_bits"], meta["seed"], meta["dim"]
+        return json.load(f)
+
+
+def _query_targets(meta: dict, index_dir: str, qm: np.ndarray,
+                   multiprobe: int) -> list[set[int]]:
+    """Per-query probed bucket ids — LSH: own bucket + Hamming-≤multiprobe
+    neighbors; IVF: the 1 + multiprobe nearest centroids."""
+    import os
+
+    if meta.get("kind") == "ivf":
+        cent = _normalize(np.load(os.path.join(index_dir, "_centroids.npy")))
+        sims = _normalize(qm) @ cent.T
+        nprobe = min(1 + multiprobe, cent.shape[0])
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return [set(map(int, row)) for row in order]
+    proj = _projection_matrix(meta["dim"], meta["n_bits"], meta["seed"])
+    return [_probe_buckets(q, proj, meta["n_bits"], multiprobe) for q in qm]
+
+
+def ann_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                    multiprobe: int = 1) -> pa.Table:
+    """Batch ANN query against a persisted index (LSH or IVF): reads only
+    the union of the queries' probed bucket partitions, computes one
+    (rows × queries) matmul per batch, per-query bucket masks, local top-k
+    per (batch, query), final merge. Returns (q, vec_id, cos_sim_e6) with
+    q = query row index. Scan fraction = probed-partition rows / corpus
+    rows — sublinear for selective probes (see ``ann_scan_fraction``)."""
+    import glob
+    import os
+
+    meta = _load_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    proj = _projection_matrix(dim, n_bits, seed)
-    per_query = [_probe_buckets(q, proj, n_bits, multiprobe) for q in qm]
+    per_query = _query_targets(meta, index_dir, qm, multiprobe)
     union = sorted(set().union(*per_query))
     # explicit file list: this Ray build rejects a LIST of directories
     paths = [f for b in union
@@ -217,17 +316,14 @@ def ann_scan_fraction(index_dir: str, queries: np.ndarray,
     """Fraction of corpus rows a query batch touches (probed partitions /
     all partitions, by row count from parquet METADATA — no data read)."""
     import glob
-    import json
     import os
 
     import pyarrow.parquet as pq
 
-    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = json.load(f)
-    proj = _projection_matrix(meta["dim"], meta["n_bits"], meta["seed"])
+    meta = _load_meta(index_dir)
     qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    union = sorted(set().union(*[
-        _probe_buckets(q, proj, meta["n_bits"], multiprobe) for q in qm]))
+    union = sorted(set().union(*_query_targets(meta, index_dir, qm,
+                                               multiprobe)))
 
     def rows_under(d: str) -> int:
         return sum(pq.ParquetFile(p).metadata.num_rows

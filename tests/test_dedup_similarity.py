@@ -185,3 +185,33 @@ def test_sessionize_oracle(ray_session):
         .sort_values("session_id").reset_index(drop=True)
     assert out["session_id"].tolist() == [0, 1, 2]
     assert out["n_events"].tolist() == [2, 2, 1]
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """IVF variant: k-means coarse quantizer, centroid-partitioned layout,
+    same query API; recall + sublinear scan."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, ann_scan_fraction, build_ivf_index, knn_topk)
+
+    rng = np.random.default_rng(21)
+    # clustered data so the coarse quantizer has real structure
+    centers = rng.standard_normal((8, 16)) * 4
+    x = np.concatenate([c + rng.standard_normal((80, 16)) for c in centers])
+    t = pa.table({"vec_id": pa.array(np.arange(len(x)), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_centroids=8, sample_size=640, iters=5)
+    assert meta["kind"] == "ivf" and meta["dim"] == 16
+
+    queries = np.asarray(x[[5, 200]], dtype=np.float64)
+    got = ann_query_index(idx, queries, k=10, multiprobe=1).to_pandas()
+    by_q = {q: set(g["vec_id"]) for q, g in got.groupby("q")}
+    assert 5 in by_q[0] and 200 in by_q[1]
+    exact0 = set(knn_topk(ds, queries[0], k=10).to_pandas()["vec_id"])
+    assert len(by_q[0] & exact0) >= 5  # clustered data: good recall
+    frac = ann_scan_fraction(idx, queries, multiprobe=1)
+    assert 0 < frac < 1.0

@@ -94,3 +94,44 @@ def test_proto_file_source_sink(ray_session, tmp_path):
         "time_unix_nano").reset_index(drop=True)
     assert back["body"].tolist() == ["first", "second"]
     assert back["severity_number"].tolist() == [9, 17]
+
+
+def test_span_proto_round_trip(ray_session):
+    """Analytic spans → wire rows → ptrace protobuf → decoded flat rows:
+    ids, timestamps, kind/status and the service.name resource attribute
+    all survive."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.spans import derive_spans
+    from opentelemetry_collector_ray.sources.otlp_proto import (
+        decode_spans_request, encode_spans_request, spans_to_wire)
+
+    ts = pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 10:10:00",
+                         "2024-01-01 11:00:01"])
+    ev = pa.table({
+        "event_id": pa.array([11, 12, 14], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["signup", "error", "view"]),
+        "value": pa.array([10.0, 30.9, 0.4]),
+    })
+    span_tbl = derive_spans(ray.data.from_arrow(ev)).to_pandas()
+    span_tbl = pa.Table.from_pandas(span_tbl, preserve_index=False)
+    wire = spans_to_wire(span_tbl)
+    back = decode_spans_request(encode_spans_request(wire))
+    w = wire.to_pandas().sort_values("span_id").reset_index(drop=True)
+    b = back.to_pandas().sort_values("span_id").reset_index(drop=True)
+    for col in ["trace_id", "span_id", "parent_span_id", "name", "kind",
+                "start_time_unix_nano", "end_time_unix_nano", "status_code",
+                "scope_name", "scope_version"]:
+        assert b[col].tolist() == w[col].tolist(), col
+    assert b["resource_attributes"].tolist() == \
+        w["resource_attributes"].tolist()
+    # the packed 16-byte TraceID is reversible back to (user_id, epoch_hour)
+    import struct as st
+
+    uid, hour = st.unpack(">QQ", bytes.fromhex(b["trace_id"][0]))
+    assert uid == 7
