@@ -589,6 +589,24 @@ def _q_events_exp_histogram(sf_dir: str):
     return exp_histogram(pre, keys=["event_type"], value_col="cents", scale=0)
 
 
+def _q_events_exp_histogram_signed(sf_dir: str):
+    """Signed exponential histogram (separate negative bucket list + zero
+    count, per the reference's ExponentialHistogramDataPoint): centered
+    cents so all three signs occur."""
+    from opentelemetry_collector_ray.stages.metricsops import exp_histogram
+
+    def prep(t: pa.Table) -> pa.Table:
+        centered = pc.subtract(_cents(t.column("value")),
+                               pa.scalar(5000, pa.int64()))
+        return pa.table({"event_type": t.column("event_type"),
+                         "centered": centered})
+
+    pre = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return exp_histogram(pre, keys=["event_type"], value_col="centered",
+                         scale=0, signed=True)
+
+
 def _q_events_gauge_last(sf_dir: str):
     """Gauge last-value-wins per user (pmetric Gauge analog): the value at
     the max (ts, event_id), integerized to cents."""
@@ -819,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_trace_stats": _q_spans_trace_stats,
         "spans_duration_quantiles": _q_spans_duration_quantiles,
         "events_exp_histogram": _q_events_exp_histogram,
+        "events_exp_histogram_signed": _q_events_exp_histogram_signed,
         "events_gauge_last": _q_events_gauge_last,
         "profiles_functions": _q_profiles_functions,
         "profiles_samples": _q_profiles_samples,
@@ -1135,6 +1154,17 @@ SELECT event_type,
             THEN CAST(floor(log2(CAST(cents AS DOUBLE))) AS BIGINT) END AS idx,
        count(*) AS n
 FROM c GROUP BY event_type, idx
+""",
+        "events_exp_histogram_signed": """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS centered
+           FROM events)
+SELECT event_type,
+       CAST(sign(centered) AS INTEGER) AS sign,
+       CASE WHEN centered <> 0 THEN CAST(floor(log2(CAST(abs(centered)
+            AS DOUBLE))) AS BIGINT) END AS idx,
+       count(*) AS n
+FROM c GROUP BY event_type, sign, idx
 """,
         "events_gauge_last": """
 SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents

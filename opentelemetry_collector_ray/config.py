@@ -208,6 +208,12 @@ def _register_builtins() -> None:
                            exclude=fc(cfg.get("exclude")))
 
     register("parquet", Factory("receiver", lambda cfg: cfg))  # paths config
+    # derived-signal receivers: read events parquet → turns / spans /
+    # profile-frames tables (signal-typed pipelines; the collector wires a
+    # receiver per signal, we wire a derivation per signal)
+    register("turns", Factory("receiver", lambda cfg: cfg))
+    register("spans", Factory("receiver", lambda cfg: cfg))
+    register("profile_frames", Factory("receiver", lambda cfg: cfg))
     register("parse", Factory("processor", make_parse))
     register("enrich", Factory("processor", lambda cfg: EnrichStage(cfg.get("refs"))))
     register("route", Factory("connector", make_route))

@@ -26,11 +26,29 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
     datasets = []
     for name in cfg.pipeline["receivers"]:
         rcfg = cfg.receivers[name]
-        if name.split("/")[0] != "parquet":
+        rtype = name.split("/")[0]
+        rpaths = paths if paths is not None else rcfg["paths"]
+        if rtype == "parquet":
+            datasets.append(ray.data.read_parquet(
+                rpaths, columns=rcfg.get("columns")))
+        elif rtype in ("turns", "spans", "profile_frames"):
+            # derived-signal receivers over an events parquet source
+            events = ray.data.read_parquet(
+                rpaths, columns=rcfg.get("columns"))
+            if rtype == "turns":
+                from ..sources.transcripts import derive_turns
+
+                datasets.append(derive_turns(events))
+            elif rtype == "spans":
+                from ..sources.spans import derive_spans
+
+                datasets.append(derive_spans(events))
+            else:
+                from ..sources.profiles import derive_profile_frames
+
+                datasets.append(derive_profile_frames(events))
+        else:
             raise ValueError(f"unsupported receiver {name}")
-        datasets.append(ray.data.read_parquet(
-            paths if paths is not None else rcfg["paths"],
-            columns=rcfg.get("columns")))
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)  # implicit fan-in union (graph.go:271-273)

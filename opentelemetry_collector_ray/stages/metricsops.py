@@ -47,27 +47,34 @@ def exp_bucket_index(vals: np.ndarray, scale: int = 0) -> np.ndarray:
 
 
 def exp_histogram(ds: ray.data.Dataset, keys: list[str], value_col: str,
-                  scale: int = 0, strategy: str = "tree") -> ray.data.Dataset:
+                  scale: int = 0, strategy: str = "tree",
+                  signed: bool = False) -> ray.data.Dataset:
     """Per-key exponential histogram → rows (keys..., idx, n) where idx is
-    the bucket index (null = the OTel zero bucket; negative values land in
-    sign-flagged buckets via idx offset NOT applied — callers with signed
-    data should split by sign upstream, as the reference keeps separate
-    positive/negative bucket lists)."""
+    the bucket index (null = the OTel zero bucket).
+
+    ``signed=True`` adds the reference's separate NEGATIVE bucket list
+    (``exponential_histogram_data_point.go`` keeps positive/negative
+    lists + a zero count): output gains a ``sign`` column (1 / -1 / 0),
+    negative values bucket by |v| under sign=-1."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False)
-        safe = np.where(v > 0, v, 1.0)  # placeholder for masked (≤0) slots
-        idx = np.where(v > 0, exp_bucket_index(safe, scale), 0)
+        mag = np.abs(v) if signed else v
+        nonzero = mag > 0 if signed else v > 0
+        safe = np.where(nonzero, mag, 1.0)  # placeholder for masked slots
+        idx = np.where(nonzero, exp_bucket_index(safe, scale), 0)
         arr = pa.array(idx.astype(np.int64), pa.int64(),
-                       mask=~(v > 0))  # null == zero bucket
+                       mask=~nonzero)  # null == zero bucket
         cols = {k: t.column(k) for k in keys}
+        if signed:
+            cols["sign"] = pa.array(np.sign(v).astype(np.int32))
         cols["idx"] = arr
         return pa.table(cols)
 
     pre = ds.select_columns(keys + [value_col]).map_batches(
         bucketize, batch_format="pyarrow")
-    return grouped_count(pre, keys + ["idx"], count_name="n",
-                         strategy=strategy)
+    group_keys = keys + (["sign"] if signed else []) + ["idx"]
+    return grouped_count(pre, group_keys, count_name="n", strategy=strategy)
 
 
 def gauge_last(ds: ray.data.Dataset, key: str, order_cols: list[str],

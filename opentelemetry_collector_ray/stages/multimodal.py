@@ -237,3 +237,22 @@ class AudioFeatureStage:
                 .append_column("zcr", pa.array(zcr))
                 .append_column("duration_ms", pa.array(dur_ms.astype(np.int64)))
                 .append_column("dominant_hz", pa.array(dom_hz)))
+
+
+def bytes_budget_batch_size(ds, payload_col: str = "payload",
+                            budget_bytes: int = 64 << 20,
+                            sample_rows: int = 256,
+                            default: int = 64) -> int:
+    """Dynamic batch size for binary-payload stages: rows per batch ≈
+    byte budget / mean payload size (sampled from the dataset head).
+    Payload rows are orders of magnitude wider than text rows, so
+    ``batch_size`` must be BYTE-budgeted, not row-budgeted — 64 × 1 MiB
+    images ≈ one 64 MiB block, which is the object-store sweet spot."""
+    try:
+        head = ds.limit(sample_rows).select_columns([payload_col]).to_pandas()
+        if not len(head):
+            return default
+        avg = float(head[payload_col].map(len).mean())
+        return max(1, int(budget_bytes // max(1.0, avg)))
+    except Exception:
+        return default

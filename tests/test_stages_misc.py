@@ -107,3 +107,14 @@ def test_audio_wav_pipeline(ray_session):
     assert (rel_err < 0.15).mean() > 0.8
     assert (out["duration_ms"] == 100).all()
     assert (out["rms"] > 0).all() and (out["peak"] <= 32767).all()
+
+
+def test_bytes_budget_batch_size(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        bytes_budget_batch_size, synth_media)
+
+    ds = ray.data.from_arrow(synth_media(64, payload_bytes=4096))
+    bs = bytes_budget_batch_size(ds, budget_bytes=1 << 20)
+    assert bs == (1 << 20) // 4096  # 256 rows of 4 KiB per 1 MiB batch

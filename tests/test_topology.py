@@ -75,3 +75,39 @@ def test_grouped_agg_tree_equals_shuffle(ray_session):
     tree = tree.sort_values("role").reset_index(drop=True)
     shuf = shuf.sort_values("role").reset_index(drop=True)[tree.columns]
     pd.testing.assert_frame_equal(tree, shuf, check_dtype=False)
+
+
+def test_config_driven_spans_pipeline(ray_session, tmp_path):
+    """Signal-typed receiver: a YAML-shaped config builds the spans
+    derivation (receiver per signal) and filters by service — the
+    traces-pipeline analog of graph.Build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    ts = pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 10:10:00",
+                         "2024-01-01 10:20:00"])
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["signup", "error", "view"]),
+        "value": pa.array([10.0, 30.9, 0.4]),
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(ev, str(src))
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"spans": {"paths": str(src)}},
+        "processors": {"filter": {
+            "include": {"column": "service", "strict": ["backend"]}}},
+        "exporters": {"parquet_sink/out": {}},
+        "service": {"pipelines": {"traces": {
+            "receivers": ["spans"], "processors": ["filter"],
+            "exporters": ["parquet_sink/out"]}}},
+    })
+    out = build_dataset(cfg).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["service"] == "backend"
+    assert out.iloc[0]["status_code"] == 2
