@@ -75,6 +75,18 @@ def _prepare_turns(sf_dir: str) -> tuple[str, int]:
     return out_dir, base.num_rows * k
 
 
+def _read_blocks(turns_dir: str) -> int:
+    """Block count for the timed read: max(num_cpus, bytes/128MB). The
+    default (one-plus tasks per FILE) is dispatch-bound on many small
+    fragments — measured 2.64s → 1.24s at 32 CPUs by coalescing to one
+    block per CPU; at real scale the 128MB-per-block term dominates."""
+    import glob
+
+    nbytes = sum(os.path.getsize(f)
+                 for f in glob.glob(os.path.join(turns_dir, "*.parquet")))
+    return max(NCPUS, nbytes // (128 << 20))
+
+
 def run_flagship(turns_dir: str) -> tuple[float, int, int]:
     """Timed: read → parse → enrich → route → two-phase aggregate."""
     import ray.data
@@ -83,7 +95,8 @@ def run_flagship(turns_dir: str) -> tuple[float, int, int]:
         build_aggregate, build_routed)
 
     t0 = time.time()
-    turns = ray.data.read_parquet(turns_dir)
+    turns = ray.data.read_parquet(turns_dir,
+                                  override_num_blocks=_read_blocks(turns_dir))
     agg = build_aggregate(build_routed(turns))
     pdf = agg.to_pandas()  # final aggregate is small (≤ ~50k groups)
     wall = time.time() - t0
