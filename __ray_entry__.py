@@ -506,6 +506,30 @@ def _q_docs_quality(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_docs_quality_ints(sf_dir: str):
+    """Integer-exact quality features (oracle-checked counterpart of the
+    float-score docs_quality): char/token/punct counts + integer-division
+    ratios (permille / milli-chars-per-token)."""
+    from opentelemetry_collector_ray.functions.text import quality_features
+
+    def f(t: pa.Table) -> pa.Table:
+        feats = quality_features(t.column("text"))
+        nc = feats["n_chars"].to_numpy(zero_copy_only=False)
+        nt = feats["n_tokens"].to_numpy(zero_copy_only=False)
+        npn = feats["n_punct"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": feats["n_chars"],
+            "n_tokens": feats["n_tokens"],
+            "n_punct": feats["n_punct"],
+            "punct_permille": pa.array(npn * 1000 // np.maximum(nc, 1)),
+            "tok_len_milli": pa.array(nc * 1000 // np.maximum(nt, 1)),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -573,6 +597,16 @@ def _q_spans_duration_quantiles(sf_dir: str):
 
     return grouped_exact_quantiles(_spans(sf_dir), key="service",
                                    value_col="duration_us")
+
+
+def _q_spans_events_exploded(sf_dir: str):
+    """Span.Events[] nested column end-to-end: error spans get one
+    'exception' event (list<struct> column, vectorized construction), then
+    the SpanEvent traversal explodes to flat rows."""
+    from opentelemetry_collector_ray.sources.spans import (
+        explode_span_events, with_span_events)
+
+    return explode_span_events(with_span_events(_spans(sf_dir)))
 
 
 def _q_events_exp_histogram(sf_dir: str):
@@ -829,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": _q_docs_token_count,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_quality": _q_docs_quality,
+        "docs_quality_ints": _q_docs_quality_ints,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
         "docs_simhash": _q_docs_simhash,
         "spans_derive": _q_spans_derive,
@@ -836,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_parent_join": _q_spans_parent_join,
         "spans_trace_stats": _q_spans_trace_stats,
         "spans_duration_quantiles": _q_spans_duration_quantiles,
+        "spans_events_exploded": _q_spans_events_exploded,
         "events_exp_histogram": _q_events_exp_histogram,
         "events_exp_histogram_signed": _q_events_exp_histogram_signed,
         "events_gauge_last": _q_events_gauge_last,
@@ -1069,6 +1105,21 @@ WHERE l_quantity > 45 GROUP BY l_returnflag
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
 """,
         "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "docs_quality_ints": r"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       CAST(n_punct * 1000 // greatest(n_chars, 1) AS BIGINT)
+           AS punct_permille,
+       CAST(n_chars * 1000 // greatest(n_tokens, 1) AS BIGINT)
+           AS tok_len_milli
+FROM f
+""",
         "emb_knn": """
 SELECT vec_id,
        CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -1145,6 +1196,12 @@ SELECT service, CAST(max(cnt) AS BIGINT) AS n,
   max(CASE WHEN rn = CAST(floor((cnt-1)*0.95) AS BIGINT)+1 THEN duration_us END) AS p95,
   max(CASE WHEN rn = CAST(floor((cnt-1)*0.99) AS BIGINT)+1 THEN duration_us END) AS p99
 FROM ranked GROUP BY service
+""",
+        "spans_events_exploded": f"""
+WITH {SPANS_CTE.strip()}
+SELECT span_id, 'exception' AS event_name,
+       CAST(duration_us // 2 AS BIGINT) AS ts_offset_us
+FROM spans WHERE status_code = 2
 """,
         "events_exp_histogram": """
 WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)

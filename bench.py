@@ -194,7 +194,8 @@ def main() -> None:
         sink = "/tmp/graft_bench/routed_sink"
         shutil.rmtree(sink, ignore_errors=True)
         t0 = time.time()
-        write_routed(build_routed(ray.data.read_parquet(turns_dir)), sink)
+        write_routed(build_routed(ray.data.read_parquet(
+            turns_dir, override_num_blocks=_read_blocks(turns_dir))), sink)
         routed_write = round(time.time() - t0, 3)
     queries = run_secondary(SF_DIR) if "--headline-only" not in sys.argv else {}
     ann = run_ann(SF_DIR) if "--headline-only" not in sys.argv else {}

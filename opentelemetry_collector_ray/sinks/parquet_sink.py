@@ -103,3 +103,54 @@ def bucketed_sorted_write(ds: ray.data.Dataset, out_dir: str,
     ordered = with_hash_bucket(ds, key, nb).groupby("_bucket") \
         .map_groups(sort_bucket, batch_format="pyarrow")
     ordered.write_parquet(out_dir, partition_cols=["_bucket"], **kwargs)
+
+
+def bucketed_resumable_write(ds: ray.data.Dataset, out_dir: str,
+                             key: str = "conv_id",
+                             order=("conv_id", "turn_idx"),
+                             n_buckets: int | str = "auto") -> dict:
+    """Ordered sink with BUCKET-level resume: each bucket task sorts its
+    group and commits its own directory atomically (tmp + rename +
+    ``_SUCCESS``); a rerun skips already-committed buckets' writes. This
+    is the finer-grained resume unit under the manifest runner's
+    input-partition level — the persistent queue's per-item ack, applied
+    per key range. (The shuffle still runs on rerun; only the write —
+    the side effect — is skipped, which is what idempotence requires.)
+
+    Returns {"written": [...], "skipped": [...]} bucket labels."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..stages.bucketing import resolve_n_buckets, with_hash_bucket
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sort_and_write(g: pa.Table) -> pa.Table:
+        b = g.column("_bucket")[0].as_py()
+        label = f"bucket={b:05d}"
+        final = os.path.join(out_dir, label)
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            return pa.table({"bucket": pa.array([label]),
+                             "rows": pa.array([g.num_rows], pa.int64()),
+                             "skipped": pa.array([True])})
+        staging = final + "." + uuid.uuid4().hex[:8] + ".tmp"
+        os.makedirs(staging, exist_ok=True)
+        t = g.drop_columns(["_bucket"]).sort_by(
+            [(c, "ascending") for c in order])
+        pq.write_table(t, os.path.join(staging, "part-0.parquet"))
+        with open(os.path.join(staging, "_SUCCESS"), "w") as f:
+            f.write(str(t.num_rows))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+        return pa.table({"bucket": pa.array([label]),
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "skipped": pa.array([False])})
+
+    nb = resolve_n_buckets(ds, n_buckets)
+    res = with_hash_bucket(ds, key, nb).groupby("_bucket") \
+        .map_groups(sort_and_write, batch_format="pyarrow").to_pandas()
+    return {"written": sorted(res[~res.skipped].bucket),
+            "skipped": sorted(res[res.skipped].bucket)}

@@ -179,3 +179,57 @@ spans AS (
   FROM events
 )
 """
+
+
+def with_span_events(spans: ray.data.Dataset) -> ray.data.Dataset:
+    """Attach the Span.Events[] nested column (``generated_span.go``:
+    Events is a repeated SpanEvent{time, name, attrs}): error spans get one
+    'exception' event at half their duration; other spans an empty list —
+    vectorized list construction from the status mask (offsets = cumsum of
+    per-row event counts). Links[] are represented by parent_span_id +
+    the co-partitioned parent join (stages/spanops.py)."""
+    import pyarrow.compute as pc
+
+    def attach(t: pa.Table) -> pa.Table:
+        is_err = pc.equal(t.column("status_code"), 2) \
+            .to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        counts = is_err.astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total = int(offsets[-1])
+        dur = t.column("duration_us").to_numpy(zero_copy_only=False)
+        ev_struct = pa.StructArray.from_arrays(
+            [pa.array(np.full(total, "exception", dtype=object), pa.string()),
+             pa.array((dur[is_err] // 2).astype(np.int64))],
+            names=["name", "ts_offset_us"])
+        events = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), ev_struct)
+        return t.append_column("events", events)
+
+    return spans.map_batches(attach, batch_format="pyarrow")
+
+
+def explode_span_events(spans_with_events: ray.data.Dataset,
+                        ) -> ray.data.Dataset:
+    """Events[] → one flat row per event (span_id, event_name,
+    ts_offset_us) — the SpanEvent traversal, vectorized via list flatten +
+    parent-index repeat."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("events")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                             np.int64)
+        counts = np.diff(offsets)
+        parent = np.repeat(np.arange(t.num_rows), counts)
+        flat = col.flatten()
+        span_ids = t.column("span_id").take(pa.array(parent))
+        return pa.table({
+            "span_id": span_ids,
+            "event_name": flat.field("name"),
+            "ts_offset_us": flat.field("ts_offset_us"),
+        })
+
+    return spans_with_events.map_batches(explode, batch_format="pyarrow")

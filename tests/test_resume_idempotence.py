@@ -97,3 +97,38 @@ def test_torn_manifest_is_not_committed(tmp_path):
     assert ran["ran"] == ["x"]
     assert store.is_committed("x", "h")
     assert not store.is_committed("x", "other-hash")
+
+
+def test_bucket_level_resumable_write(ray_session, tmp_path):
+    """Per-bucket atomic commit + skip: second run skips every committed
+    bucket; a deleted bucket is rewritten; output stays sorted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    import glob
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sinks.parquet_sink import (
+        bucketed_resumable_write)
+
+    t = pa.table({"conv_id": pa.array([f"c{i % 5}" for i in range(100)]),
+                  "turn_idx": pa.array(list(range(100)), pa.int32())})
+    out = str(tmp_path / "sink")
+    r1 = bucketed_resumable_write(ray.data.from_arrow(t), out, n_buckets=4)
+    assert r1["written"] and not r1["skipped"]
+    r2 = bucketed_resumable_write(ray.data.from_arrow(t), out, n_buckets=4)
+    assert not r2["written"] and sorted(r2["skipped"]) == sorted(r1["written"])
+    # delete one bucket → only it is rewritten
+    victim = r1["written"][0]
+    shutil.rmtree(os.path.join(out, victim))
+    r3 = bucketed_resumable_write(ray.data.from_arrow(t), out, n_buckets=4)
+    assert r3["written"] == [victim]
+    # per-bucket order holds
+    for d in glob.glob(os.path.join(out, "bucket=*")):
+        part = pq.read_table(os.path.join(d, "part-0.parquet")).to_pandas()
+        assert part.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True) \
+            .equals(part.reset_index(drop=True))
+    total = sum(pq.read_table(os.path.join(d, "part-0.parquet")).num_rows
+                for d in glob.glob(os.path.join(out, "bucket=*")))
+    assert total == 100
