@@ -544,6 +544,25 @@ def _q_docs_simhash(sf_dir: str):
         SimHashStage(), batch_format="pyarrow")
 
 
+def _q_docs_simhash_dedup(sf_dir: str):
+    """SimHash near-dup clusters (pigeonhole band LSH + exact hamming
+    verify + CC; rows-only — planted-dup ground truth in tests)."""
+    from opentelemetry_collector_ray.stages.dedup import simhash_dedup
+
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=6)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup clusters over the embeddings table
+    (rows-only — planted-dup ground truth in tests)."""
+    from opentelemetry_collector_ray.stages.dedup import embedding_near_dup
+
+    return embedding_near_dup(_read(sf_dir, "embeddings",
+                                    ["vec_id", "embedding"]),
+                              threshold=0.98)
+
+
 # ------------------------------------------------------------- spans family
 
 def _spans(sf_dir: str):
@@ -866,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_ints": _q_docs_quality_ints,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
         "docs_simhash": _q_docs_simhash,
+        "docs_simhash_dedup": _q_docs_simhash_dedup,
+        "emb_near_dup": _q_emb_near_dup,
         "spans_derive": _q_spans_derive,
         "spans_service_stats": _q_spans_service_stats,
         "spans_parent_join": _q_spans_parent_join,

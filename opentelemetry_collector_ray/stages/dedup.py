@@ -429,6 +429,20 @@ def connected_components(edges: ray.data.Dataset, n_buckets: int = 64,
                        "rounds (component diameter exceeds max_rounds)")
 
 
+def _labels_to_clusters(labels: ray.data.Dataset, id_col: str):
+    """(node, label) → (id_col, rep_id). The no-duplicates case returns a
+    typed EMPTY pandas DataFrame: Ray's ``to_pandas`` drops the schema of
+    a 0-row dataset entirely, so an empty Dataset would surface as a
+    column-less frame to consumers."""
+    if labels.count() == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "rep_id": pd.Series([], dtype="int64")})
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t.column("node"),
+                            "rep_id": t.column("label")}),
+        batch_format="pyarrow")
+
+
 def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.8,
                   shingle_k: int = 3, bands: int = 16, rows_per_band: int = 4,
@@ -445,13 +459,8 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
     fixed-size candidate bloom bitmap."""
     edges = minhash_verified_edges(ds, text_col, id_col, threshold,
                                    shingle_k, bands, rows_per_band)
-    labels = connected_components(edges, mode=cc_mode)
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: t.column("node"),
-                         "rep_id": t.column("label")})
-
-    return labels.map_batches(rename, batch_format="pyarrow")
+    return _labels_to_clusters(connected_components(edges, mode=cc_mode),
+                               id_col)
 
 
 # ---------------------------------------------------------------- simhash
@@ -495,3 +504,144 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
     near-dup operator)."""
     return minhash_dedup(ds, text_col, id_col, threshold=threshold,
                          shingle_k=shingle_k, bands=32, rows_per_band=2)
+
+
+# ---------------------------------------------- simhash / embedding near-dup
+
+def group_candidate_pairs(keyed: ray.data.Dataset, group_cols: list[str],
+                          id_col: str, cap: int = 200) -> ray.data.Dataset:
+    """Candidate pairs from co-bucketed rows: per (group_cols) group, all
+    id pairs (sorted, deduped across groups). Degenerate groups above
+    ``cap`` members are dropped (the LSH cardinality guard — a bucket that
+    big means the key carries no signal)."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column(id_col).to_numpy(zero_copy_only=False))
+        if len(ids) < 2 or len(ids) > cap:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[a].astype(np.int64)),
+                         "id_b": pa.array(ids[b].astype(np.int64))})
+
+    cand = keyed.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).count().select_columns(
+        ["id_a", "id_b"])
+
+
+def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bands: int = 4, cc_mode: str = "auto") -> ray.data.Dataset:
+    """SimHash near-dup clusters → Dataset (doc_id, rep_id).
+
+    Pigeonhole LSH: a 64-bit simhash splits into ``bands`` equal bit
+    slices; two docs within ``max_hamming < bands`` MUST agree on at least
+    one slice, so banding finds all such pairs. Verification is exact
+    popcount(xor) ≤ max_hamming on the candidate pairs (hashes re-attached
+    via broadcast of the candidate hash table — simhashes are 8 bytes/doc;
+    pairs are small by design), then connected components."""
+    import ray
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        SimHashStage(text_col, id_col), batch_format="pyarrow").materialize()
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        h = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(h)
+        band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        keys = np.concatenate([
+            ((h >> np.uint64(b * width)) & mask).astype(np.int64)
+            for b in range(bands)])
+        return pa.table({"band": pa.array(band),
+                         "band_key": pa.array(keys),
+                         id_col: pa.array(np.tile(ids, bands))})
+
+    keyed = hashed.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = group_candidate_pairs(keyed, ["band", "band_key"], id_col)
+
+    # verify: hashes of candidate docs broadcast (8 bytes per candidate)
+    cand_tbl = pairs.materialize()
+    if cand_tbl.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "rep_id": pa.array([], pa.int64())}))
+    hmap_ref = ray.put(hashed.to_pandas().set_index(id_col)["simhash"]
+                       .to_dict())
+
+    class Verify:
+        def __init__(self):
+            self.hmap = ray.get(hmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ia = t.column("id_a").to_numpy(zero_copy_only=False)
+            ib = t.column("id_b").to_numpy(zero_copy_only=False)
+            ha = np.array([self.hmap[i] for i in ia], np.int64).view(np.uint64)
+            hb = np.array([self.hmap[i] for i in ib], np.int64).view(np.uint64)
+            x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+            dist = np.unpackbits(x, axis=1).sum(axis=1)
+            keep = pa.array(dist <= max_hamming)
+            return pa.table({"id_a": t.column("id_a").filter(keep),
+                             "id_b": t.column("id_b").filter(keep)})
+
+    edges = cand_tbl.map_batches(Verify, batch_format="pyarrow",
+                                 concurrency=(1, 4))
+    return _labels_to_clusters(connected_components(edges, mode=cc_mode),
+                               id_col)
+
+
+def embedding_near_dup(ds: ray.data.Dataset, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.97,
+                       n_bits: int = 8, n_tables: int = 4, seed: int = 42,
+                       cc_mode: str = "auto") -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate clusters → Dataset (vec_id, rep_id).
+
+    ``n_tables`` independent signed-random-projection hashings bucket the
+    vectors (a near-identical pair collides in at least one table with
+    high probability); per-bucket pairwise cosine inside the bucket task
+    verifies candidates EXACTLY against ``threshold`` (no separate
+    re-attachment pass — vectors are already co-located), then connected
+    components. Shuffle volume: n_tables × (bucket, id, vec) rows."""
+    from .similarity import _normalize, _projection_matrix, _stack
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        x = _stack(t.column(vec_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        outs = []
+        for tab in range(n_tables):
+            proj = _projection_matrix(x.shape[1] if n else 0, n_bits,
+                                      seed + tab)
+            bits = (x @ proj) > 0
+            bucket = bits @ (2 ** np.arange(n_bits, dtype=np.int64)) \
+                + tab * (1 << n_bits)
+            outs.append(pa.table({
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: t.column(id_col),
+                vec_col: t.column(vec_col)}))
+        return pa.concat_tables(outs)
+
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        uniq, first_idx = np.unique(ids, return_index=True)
+        if len(uniq) < 2 or len(uniq) > 500:  # cardinality guard
+            return empty
+        x = _normalize(_stack(g.column(vec_col).take(pa.array(first_idx))))
+        sims = x @ x.T
+        a, b = np.triu_indices(len(uniq), k=1)
+        keep = sims[a, b] >= threshold
+        return pa.table({"id_a": pa.array(uniq[a[keep]].astype(np.int64)),
+                         "id_b": pa.array(uniq[b[keep]].astype(np.int64))})
+
+    keyed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pyarrow")
+    raw_edges = keyed.groupby("bucket").map_groups(bucket_edges,
+                                                   batch_format="pyarrow")
+    edges = raw_edges.groupby(["id_a", "id_b"]).count().select_columns(
+        ["id_a", "id_b"])
+    return _labels_to_clusters(connected_components(edges, mode=cc_mode),
+                               id_col)

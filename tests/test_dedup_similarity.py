@@ -215,3 +215,62 @@ def test_ivf_persisted_index(ray_session, tmp_path):
     assert len(by_q[0] & exact0) >= 5  # clustered data: good recall
     frac = ann_scan_fraction(idx, queries, multiprobe=1)
     assert 0 < frac < 1.0
+
+
+def test_simhash_dedup_clusters(ray_session):
+    """SimHash pigeonhole LSH + exact hamming verify + CC: exact dups and
+    a 2-of-60-words near-dup cluster; unrelated docs (rich vocabulary →
+    well-separated simhashes) do not."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import simhash_dedup
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts, ids, base = [], [], []
+    for i in range(30):
+        d = " ".join(rng.choice(vocab, 60))
+        base.append(d)
+        texts.append(d)
+        ids.append(i)
+    texts += [base[0], base[1]]          # exact dups
+    ids += [100, 101]
+    w = base[2].split()
+    w[5], w[30] = "CHANGED", "ALSO"      # near-dup: 2 of 60 words
+    texts.append(" ".join(w))
+    ids.append(200)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = simhash_dedup(ds, max_hamming=10, bands=4).to_pandas()
+    as_map = dict(zip(out["doc_id"], out["rep_id"]))
+    assert as_map.get(100) == 0 and as_map.get(101) == 1  # exact dups
+    assert as_map.get(200) == 2  # near-dup within hamming budget
+    # unrelated docs not merged
+    reps = {as_map.get(i, i) for i in range(3, 30)}
+    assert reps == set(range(3, 30))
+
+
+def test_embedding_near_dup(ray_session):
+    """Embedding-cosine near-dup: planted near-identical vectors cluster;
+    distinct directions do not."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((50, 16))
+    # planted near-dups: ids 100/101 are tiny perturbations of 0 and 1
+    vecs = np.vstack([base, base[0] + 0.01 * rng.standard_normal(16),
+                      base[1] + 0.01 * rng.standard_normal(16)])
+    ids = list(range(50)) + [100, 101]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in vecs],
+                                        pa.list_(pa.float32()))})
+    out = embedding_near_dup(ray.data.from_arrow(t), threshold=0.98,
+                             n_bits=6, n_tables=6).to_pandas()
+    as_map = dict(zip(out["vec_id"], out["rep_id"]))
+    assert as_map.get(100) == 0 and as_map.get(101) == 1
+    # random 16-d gaussians are far from cosine 0.98 of each other
+    others = {k for k in as_map if k not in (0, 1, 100, 101)}
+    assert not others
