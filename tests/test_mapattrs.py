@@ -58,3 +58,45 @@ def test_empty_and_chunked():
     assert M.map_get(empty, "x").to_pylist() == []
     chunked = pa.chunked_array([_base(), _base()])
     assert M.map_len(chunked).to_pylist() == [2, 1, 1, 2, 1, 1]
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.sampled_from(["a", "b", "c", "d"])
+_maps = st.lists(st.lists(st.tuples(_keys, st.text(max_size=5)),
+                          max_size=5), min_size=1, max_size=8)
+
+
+def _ref_get(rows, key):
+    out = []
+    for row in rows:
+        hit = None
+        for k, v in row:
+            if k == key:
+                hit = v
+        out.append(hit)
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(_maps, _keys, st.text(max_size=4))
+def test_map_ops_match_row_reference(rows, key, newval):
+    m = pa.array(rows, M.MAP_T)
+    # get == last-entry-wins row scan
+    assert M.map_get(m, key).to_pylist() == _ref_get(rows, key)
+    # delete removes exactly that key's entries, order preserved
+    assert M.map_delete(m, key).to_pylist() == \
+        [[(k, v) for k, v in row if k != key] for row in rows]
+    # put == delete-then-append, then get returns the new value everywhere
+    put = M.map_put(m, key, newval)
+    assert put.to_pylist() == \
+        [[(k, v) for k, v in row if k != key] + [(key, newval)]
+         for row in rows]
+    assert M.map_get(put, key).to_pylist() == [newval] * len(rows)
+    # has/len agree with the raw rows
+    assert M.map_has(m, key).to_pylist() == \
+        [any(k == key for k, _ in row) for row in rows]
+    assert M.map_len(m).to_pylist() == [len(row) for row in rows]
