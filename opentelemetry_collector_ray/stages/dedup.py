@@ -70,20 +70,45 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 # ---------------------------------------------------------------- minhash
 
-def _shingle_hashes(texts: list[str | None], k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per doc: hashes of k-word shingles. Returns (flat_hashes, offsets)."""
-    all_shingles: list[str] = []
-    offsets = [0]
-    for s in texts:
-        words = (s or "").lower().split()
-        sh = [" ".join(words[i: i + k]) for i in range(max(0, len(words) - k + 1))]
-        if not sh and words:
-            sh = [" ".join(words)]
-        all_shingles.extend(sh)
-        offsets.append(len(all_shingles))
-    flat = hash64(pa.array(all_shingles, pa.string())) if all_shingles \
-        else np.empty(0, np.uint64)
-    return flat, np.asarray(offsets, dtype=np.int64)
+def _shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per doc: hashes of k-word shingles → (flat_hashes, doc offsets).
+
+    Fully vectorized: Arrow tokenization of the whole column, then the
+    k-gram join is ``binary_join_element_wise`` over k SLICES of the flat
+    token array (zero-copy), masking positions whose window crosses a doc
+    boundary. Docs with 0 < tokens < k fall back to one whole-doc shingle
+    (rare; small loop). Hash order within a doc is unspecified — the
+    minhash reduce is order-invariant."""
+    col = pa.array([t if t is not None else "" for t in texts], pa.string()) \
+        if isinstance(texts, list) else texts
+    flat, offsets = _tokenize_flat(col)
+    counts = np.diff(offsets)
+    n = len(counts)
+    tok_total = len(flat)
+    rowid = np.repeat(np.arange(n), counts)
+    parts = []
+    if tok_total >= k:
+        m = tok_total - k + 1
+        slices = [flat.slice(i, m) for i in range(k)]
+        joined = pc.binary_join_element_wise(*slices, " ")
+        valid = rowid[:m] == rowid[k - 1:]
+        if valid.any():
+            parts.append((hash64(joined.filter(pa.array(valid))),
+                          rowid[:m][valid]))
+    short = np.nonzero((counts > 0) & (counts < k))[0]
+    if len(short):
+        toks = flat.to_numpy(zero_copy_only=False)
+        sh = [" ".join(toks[offsets[d]: offsets[d + 1]]) for d in short]
+        parts.append((hash64(pa.array(sh, pa.string())),
+                      short.astype(np.int64)))
+    if not parts:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    all_hash = np.concatenate([p[0] for p in parts])
+    all_rows = np.concatenate([p[1] for p in parts])
+    order = np.argsort(all_rows, kind="stable")
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(all_rows, minlength=n), out=out_off[1:])
+    return all_hash[order], out_off
 
 
 class MinHashStage:
@@ -465,33 +490,55 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 # ---------------------------------------------------------------- simhash
 
+def _tokenize_flat(col: pa.Array | pa.ChunkedArray
+                   ) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace tokenization of a whole column, fully vectorized:
+    (flat lowercased token array, per-row token offsets). Empty tokens
+    from leading/trailing whitespace are dropped (str.split semantics)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = np.diff(np.asarray(toks.offsets.to_numpy(zero_copy_only=False),
+                                np.int64))
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    if not nonempty.all():
+        rows = np.repeat(np.arange(len(counts)), counts)
+        counts = np.bincount(rows[nonempty], minlength=len(counts))
+        flat = flat.filter(pa.array(nonempty))
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return flat, offsets
+
+
 class SimHashStage:
-    """64-bit simhash per row from token hashes (vectorized bit counting)."""
+    """64-bit simhash per row from token hashes — fully vectorized:
+    Arrow whitespace tokenization, per-BIT segment sums over the flat
+    token-hash array (64 reduceats; no (tokens × 64) bit-matrix
+    materialization, which was 10× the memory and most of the wall)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        toks: list[str] = []
-        offsets = [0]
-        for s in texts:
-            ws = (s or "").lower().split()
-            toks.extend(ws)
-            offsets.append(len(toks))
-        offsets = np.asarray(offsets, dtype=np.int64)
-        n = len(texts)
+        flat, offsets = _tokenize_flat(t.column(self.text_col))
+        n = t.num_rows
+        counts = np.diff(offsets)
         sim = np.zeros(n, dtype=np.uint64)
-        if toks:
-            th = hash64(pa.array(toks, pa.string()))
-            bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1,
-                                 bitorder="little").astype(np.int32) * 2 - 1
+        if len(flat):
+            th = hash64(flat)
             starts = offsets[:-1]
-            nonempty = np.nonzero(np.diff(offsets) > 0)[0]
-            acc = np.add.reduceat(bits, starts[nonempty], axis=0)
-            b = (acc > 0).astype(np.uint8)
-            packed = np.packbits(b, axis=1, bitorder="little").copy().view(np.uint64).ravel()
-            sim[nonempty] = packed
+            ne = np.nonzero(counts > 0)[0]
+            total = counts[ne]
+            for b in range(64):
+                ones = np.add.reduceat(
+                    ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                    starts[ne])
+                # bit set iff ones > zeros (strict majority, tie → 0)
+                sim[ne] |= (2 * ones > total).astype(np.uint64) << np.uint64(b)
         return pa.table({self.id_col: t.column(self.id_col),
                          "simhash": pa.array(sim.astype(np.int64))})
 
