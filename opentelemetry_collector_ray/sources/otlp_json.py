@@ -160,3 +160,108 @@ def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str) -> int:
 
     counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
     return int(counts["n"].sum())
+
+
+# ------------------------------------------------------------ traces (JSON)
+
+SPAN_COLUMNS = ["trace_id", "span_id", "parent_span_id", "name", "kind",
+                "start_time_unix_nano", "end_time_unix_nano", "status_code",
+                "status_message", "resource_attributes", "scope_name",
+                "scope_version", "attributes"]
+
+
+def parse_spans_request_lines(batch: pa.Table, text_col: str = "text"
+                              ) -> pa.Table:
+    """One JSON line (ExportTraceServiceRequest) → N flat span rows (same
+    flat schema as the protobuf codec's SPAN_WIRE_COLUMNS — one model,
+    two marshalers, ptrace/json.go analog)."""
+    rows = {c: [] for c in SPAN_COLUMNS}
+    for line in batch.column(text_col).to_pylist():
+        if not line or not line.strip():
+            continue
+        req = json.loads(line)
+        for rs in req.get("resourceSpans", []):
+            res_attrs = _attr_list_to_pairs(
+                rs.get("resource", {}).get("attributes"))
+            for ss in rs.get("scopeSpans", []):
+                scope = ss.get("scope", {})
+                for sp in ss.get("spans", []):
+                    st = sp.get("status", {})
+                    rows["trace_id"].append(sp.get("traceId", ""))
+                    rows["span_id"].append(sp.get("spanId", ""))
+                    rows["parent_span_id"].append(sp.get("parentSpanId", ""))
+                    rows["name"].append(sp.get("name", ""))
+                    rows["kind"].append(int(sp.get("kind", 0)))
+                    rows["start_time_unix_nano"].append(
+                        int(sp.get("startTimeUnixNano", 0)))
+                    rows["end_time_unix_nano"].append(
+                        int(sp.get("endTimeUnixNano", 0)))
+                    rows["status_code"].append(int(st.get("code", 0)))
+                    rows["status_message"].append(st.get("message", ""))
+                    rows["resource_attributes"].append(res_attrs)
+                    rows["scope_name"].append(scope.get("name", ""))
+                    rows["scope_version"].append(scope.get("version", ""))
+                    rows["attributes"].append(
+                        _attr_list_to_pairs(sp.get("attributes")))
+    return pa.table({
+        "trace_id": pa.array(rows["trace_id"], pa.string()),
+        "span_id": pa.array(rows["span_id"], pa.string()),
+        "parent_span_id": pa.array(rows["parent_span_id"], pa.string()),
+        "name": pa.array(rows["name"], pa.string()),
+        "kind": pa.array(rows["kind"], pa.int32()),
+        "start_time_unix_nano": pa.array(rows["start_time_unix_nano"],
+                                         pa.uint64()),
+        "end_time_unix_nano": pa.array(rows["end_time_unix_nano"],
+                                       pa.uint64()),
+        "status_code": pa.array(rows["status_code"], pa.int32()),
+        "status_message": pa.array(rows["status_message"], pa.string()),
+        "resource_attributes": pa.array(rows["resource_attributes"],
+                                        pa.map_(pa.string(), pa.string())),
+        "scope_name": pa.array(rows["scope_name"], pa.string()),
+        "scope_version": pa.array(rows["scope_version"], pa.string()),
+        "attributes": pa.array(rows["attributes"],
+                               pa.map_(pa.string(), pa.string())),
+    })
+
+
+def spans_to_request(batch: pa.Table) -> str:
+    """Flat span rows → one ExportTraceServiceRequest JSON line, re-nested
+    by (resource attributes, scope)."""
+    groups: dict = {}
+    for row in batch.to_pylist():
+        res_key = tuple(row.get("resource_attributes") or [])
+        scope_key = (row.get("scope_name", ""), row.get("scope_version", ""))
+        groups.setdefault(res_key, {}).setdefault(scope_key, []).append(row)
+    resource_spans = []
+    for res_key, scopes in groups.items():
+        scope_spans = []
+        for (sname, sver), recs in scopes.items():
+            spans = []
+            for r in recs:
+                sp = {
+                    "traceId": r["trace_id"],
+                    "spanId": r["span_id"],
+                    "name": r["name"],
+                    "kind": r["kind"],
+                    "startTimeUnixNano": str(r["start_time_unix_nano"]),
+                    "endTimeUnixNano": str(r["end_time_unix_nano"]),
+                }
+                if r.get("parent_span_id"):
+                    sp["parentSpanId"] = r["parent_span_id"]
+                if r.get("attributes"):
+                    sp["attributes"] = _pairs_to_attr_list(r["attributes"])
+                st = {}
+                if r.get("status_code"):
+                    st["code"] = r["status_code"]
+                if r.get("status_message"):
+                    st["message"] = r["status_message"]
+                if st:
+                    sp["status"] = st
+                spans.append(sp)
+            scope_spans.append({"scope": {"name": sname, "version": sver},
+                                "spans": spans})
+        resource_spans.append({
+            "resource": {"attributes": _pairs_to_attr_list(list(res_key))},
+            "scopeSpans": scope_spans,
+        })
+    return json.dumps({"resourceSpans": resource_spans}, sort_keys=True)

@@ -135,3 +135,36 @@ def test_span_proto_round_trip(ray_session):
 
     uid, hour = st.unpack(">QQ", bytes.fromhex(b["trace_id"][0]))
     assert uid == 7
+
+
+def test_span_json_and_proto_agree(ray_session):
+    """One flat span model, two marshalers: JSON round trip equals the
+    protobuf round trip row for row (ptrace json.go / pb.go parity)."""
+    import pandas as pd
+
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.otlp_json import (
+        parse_spans_request_lines, spans_to_request)
+    from opentelemetry_collector_ray.sources.otlp_proto import (
+        decode_spans_request, encode_spans_request, spans_to_wire)
+    from opentelemetry_collector_ray.sources.spans import derive_spans
+
+    ts = pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 10:10:00"])
+    ev = pa.table({
+        "event_id": pa.array([21, 22], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([3, 3], pa.int64()),
+        "event_type": pa.array(["purchase", "error"]),
+        "value": pa.array([7.0, 1.5]),
+    })
+    wire = spans_to_wire(
+        pa.Table.from_pandas(derive_spans(ray.data.from_arrow(ev))
+                             .to_pandas(), preserve_index=False))
+    via_json = parse_spans_request_lines(
+        pa.table({"text": pa.array([spans_to_request(wire)])}))
+    via_proto = decode_spans_request(encode_spans_request(wire))
+    j = via_json.to_pandas().sort_values("span_id").reset_index(drop=True)
+    p = via_proto.to_pandas().sort_values("span_id").reset_index(drop=True)
+    for col in j.columns:
+        assert j[col].tolist() == p[col].tolist(), col
