@@ -77,19 +77,27 @@ PROVIDERS: dict[str, Callable[[str], Any]] = {
 
 
 def expand_uris(node: Any, providers: dict[str, Callable[[str], Any]] | None
-                = None) -> Any:
+                = None, _active: frozenset = frozenset()) -> Any:
     """Recursive ``${scheme:uri}`` expansion (``confmap/expand.go:110-194``
     semantics): a string that IS exactly one reference resolves to the
     retrieved value with its type preserved (a file:/yaml: map replaces the
-    node); embedded references stringify their (scalar) value in place."""
+    node); embedded references stringify their (scalar) value in place.
+    Cyclic references (a file transitively referencing itself) raise
+    ConfigError naming the cycle, not RecursionError."""
     providers = PROVIDERS if providers is None else providers
     if isinstance(node, str):
         m = _URI_RE.fullmatch(node)
         if m:
+            ref = f"{m.group(1)}:{m.group(2)}"
+            if ref in _active:
+                raise ConfigError(f"cyclic config reference: ${{{ref}}}")
             val = providers[m.group(1)](m.group(2))
-            return expand_uris(val, providers)
+            return expand_uris(val, providers, _active | {ref})
 
         def sub(mm: re.Match) -> str:
+            ref = f"{mm.group(1)}:{mm.group(2)}"
+            if ref in _active:
+                raise ConfigError(f"cyclic config reference: ${{{ref}}}")
             val = providers[mm.group(1)](mm.group(2))
             if isinstance(val, (dict, list)):
                 raise ConfigError(
@@ -99,9 +107,10 @@ def expand_uris(node: Any, providers: dict[str, Callable[[str], Any]] | None
 
         return _URI_RE.sub(sub, node)
     if isinstance(node, dict):
-        return {k: expand_uris(v, providers) for k, v in node.items()}
+        return {k: expand_uris(v, providers, _active)
+                for k, v in node.items()}
     if isinstance(node, list):
-        return [expand_uris(v, providers) for v in node]
+        return [expand_uris(v, providers, _active) for v in node]
     return node
 
 

@@ -29,6 +29,15 @@ def _parts(m: pa.Array | pa.ChunkedArray):
                      dtype=np.int64)
     keys = np.asarray(m.keys.to_numpy(zero_copy_only=False), dtype=object)
     items = np.asarray(m.items.to_numpy(zero_copy_only=False), dtype=object)
+    # A zero-copy SLICED MapArray keeps the full (unsliced) keys/items
+    # children while its offsets address into them — rebase so every op
+    # sees only this slice's entries (otherwise values from rows outside
+    # the slice leak in, or boolean masks misalign and raise).
+    base = off[0] if len(off) else 0
+    if base or (len(off) and off[-1] != len(keys)):
+        keys = keys[base: off[-1]]
+        items = items[base: off[-1]]
+        off = off - base
     return off, keys, items
 
 
@@ -64,9 +73,10 @@ def build_map(columns: dict[str, pa.Array | pa.ChunkedArray]) -> pa.Array:
         rows = np.flatnonzero(valid[:, j])
         pos = off[rows] + before[rows]
         keys[pos] = name
-        vals = np.asarray(cols[j].to_numpy(zero_copy_only=False), dtype=object)
-        items[pos] = np.char.mod("%s", vals[rows]) \
-            if vals.dtype.kind != "O" else vals[rows]
+        vals = cols[j].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind not in "OU":  # numeric column → stringify
+            vals = np.char.mod("%s", vals)
+        items[pos] = vals.astype(object)[rows]
         before[rows] += 1
     items = items.astype(object)
     return _rebuild(off, keys, items)
@@ -116,7 +126,9 @@ def map_delete(m, key: str) -> pa.Array:
 def map_keep_keys(m, keys_to_keep) -> pa.Array:
     off, keys, items = _parts(m)
     n = len(off) - 1
-    keep = np.isin(keys.astype("U64"), np.asarray(list(keys_to_keep), "U64"))
+    # object-dtype isin: no fixed-width unicode cast (a 'U64' cast would
+    # silently truncate >64-char keys and conflate distinct ones)
+    keep = np.isin(keys, np.asarray(list(keys_to_keep), dtype=object))
     rows = np.repeat(np.arange(n), np.diff(off))
     counts = np.bincount(rows[keep], minlength=n)
     new_off = np.zeros(n + 1, np.int64)

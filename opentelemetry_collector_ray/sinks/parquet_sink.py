@@ -152,5 +152,8 @@ def bucketed_resumable_write(ds: ray.data.Dataset, out_dir: str,
     nb = resolve_n_buckets(ds, n_buckets)
     res = with_hash_bucket(ds, key, nb).groupby("_bucket") \
         .map_groups(sort_and_write, batch_format="pyarrow").to_pandas()
+    if len(res) == 0 or "skipped" not in res.columns:
+        # empty input → no groups → Ray drops the 0-row schema entirely
+        return {"written": [], "skipped": []}
     return {"written": sorted(res[~res.skipped].bucket),
             "skipped": sorted(res[res.skipped].bucket)}

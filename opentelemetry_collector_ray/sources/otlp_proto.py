@@ -508,7 +508,10 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
     import pyarrow.compute as pc
 
     tid = t.column("trace_id").to_pylist()
-    packed = b"".join(struct.pack(">QQ", int(s[:8]), int(s[9:])) for s in tid)
+    # split on the separator, NOT fixed offsets: printf('%08d') widens for
+    # user ids over 8 digits (fixed slicing would mis-split and crash)
+    packed = b"".join(
+        struct.pack(">QQ", *(int(p) for p in s.split("-", 1))) for s in tid)
     trace_hex = np.frombuffer(
         __import__("binascii").hexlify(packed), dtype="S32").astype("U32") \
         if tid else np.empty(0, "U32")

@@ -37,14 +37,13 @@ FRAME_COLS = ("frame0", "frame1", "frame2")
 
 
 def _event_frames(batch: pa.Table) -> pa.Table:
+    from .spans import service_of
+
     et = batch.column("event_type")
     if isinstance(et, pa.ChunkedArray):
         et = et.combine_chunks()
     is_err = pc.equal(et, "error")
-    service = pc.if_else(
-        pc.equal(et, "signup"), "auth",
-        pc.if_else(pc.equal(et, "purchase"), "checkout",
-                   pc.if_else(is_err, "backend", "frontend")))
+    service = service_of(et)  # shared with the span derivation
     val = batch.column("value").to_numpy(zero_copy_only=False)
     return pa.table({
         "event_id": batch.column("event_id"),

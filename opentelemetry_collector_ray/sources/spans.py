@@ -64,19 +64,30 @@ def hex16(ids: np.ndarray) -> pa.Array:
         binascii.hexlify(ids.astype(">u8").tobytes()), dtype="S16").astype("U16"))
 
 
+def service_of(et: pa.Array) -> pa.Array:
+    """event_type → service name, driven by SERVICE_MAP (one kernel shared
+    by the span and profile derivations — the mapping must never drift
+    between the two signals)."""
+    expr = "frontend"  # SERVICE_MAP default (click/view)
+    for etype, svc in SERVICE_MAP.items():
+        if svc != "frontend":
+            expr = pc.if_else(pc.equal(et, etype), svc, expr)
+    return expr
+
+
 def _event_to_span_cols(batch: pa.Table) -> pa.Table:
     et = batch.column("event_type")
     if isinstance(et, pa.ChunkedArray):
         et = et.combine_chunks()
     eid = batch.column("event_id").to_numpy(zero_copy_only=False)
     val = batch.column("value").to_numpy(zero_copy_only=False)
-    ts = batch.column("ts")
+    # normalize to µs regardless of source precision: the epoch-hour
+    # arithmetic below and every downstream µs computation assume it (a
+    # ns-precision parquet would otherwise yield hour indices 1000× off)
+    ts = batch.column("ts").cast(pa.timestamp("us"))
 
     is_err = pc.equal(et, "error")
-    service = pc.if_else(
-        pc.equal(et, "signup"), "auth",
-        pc.if_else(pc.equal(et, "purchase"), "checkout",
-                   pc.if_else(is_err, "backend", "frontend")))
+    service = service_of(et)
     kind = pc.if_else(
         pc.is_in(et, value_set=pa.array(["signup", "purchase"])),
         pa.scalar(2, pa.int32()),

@@ -578,16 +578,25 @@ def group_candidate_pairs(keyed: ray.data.Dataset, group_cols: list[str],
 
 def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bands: int = 4, cc_mode: str = "auto") -> ray.data.Dataset:
+                  bands: int | None = None,
+                  cc_mode: str = "auto") -> ray.data.Dataset:
     """SimHash near-dup clusters → Dataset (doc_id, rep_id).
 
     Pigeonhole LSH: a 64-bit simhash splits into ``bands`` equal bit
-    slices; two docs within ``max_hamming < bands`` MUST agree on at least
-    one slice, so banding finds all such pairs. Verification is exact
-    popcount(xor) ≤ max_hamming on the candidate pairs (hashes re-attached
-    via broadcast of the candidate hash table — simhashes are 8 bytes/doc;
-    pairs are small by design), then connected components."""
-    import ray
+    slices; two hashes within hamming distance < bands MUST agree on at
+    least one slice, so candidate generation is COMPLETE only when
+    ``bands > max_hamming`` — enforced here (``bands=None`` picks the
+    smallest power-of-two band count that satisfies it). Verification is
+    exact popcount(xor) ≤ max_hamming, fully distributed: the 8-byte
+    hashes are re-attached to pairs by the same hash-bucket co-group as
+    minhash signatures (nothing driver-side scales with corpus or
+    candidate count), then connected components."""
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    if bands <= max_hamming or 64 % bands != 0:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} (the "
+            "pigeonhole completeness bound) and divide 64")
 
     hashed = ds.select_columns([id_col, text_col]).map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow").materialize()
@@ -597,44 +606,55 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
     def explode_bands(t: pa.Table) -> pa.Table:
         h = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        n = len(h)
-        band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        band = np.repeat(np.arange(bands, dtype=np.int32), len(h))
         keys = np.concatenate([
             ((h >> np.uint64(b * width)) & mask).astype(np.int64)
-            for b in range(bands)])
+            for b in range(bands)]) if len(h) else np.empty(0, np.int64)
         return pa.table({"band": pa.array(band),
                          "band_key": pa.array(keys),
                          id_col: pa.array(np.tile(ids, bands))})
 
     keyed = hashed.map_batches(explode_bands, batch_format="pyarrow")
-    pairs = group_candidate_pairs(keyed, ["band", "band_key"], id_col)
+    pairs = group_candidate_pairs(keyed, ["band", "band_key"],
+                                  id_col).materialize()
+    if pairs.count() == 0:
+        return _labels_to_clusters(
+            ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                          "label": pa.array([], pa.int64())})),
+            id_col)
 
-    # verify: hashes of candidate docs broadcast (8 bytes per candidate)
-    cand_tbl = pairs.materialize()
-    if cand_tbl.count() == 0:
-        return ray.data.from_arrow(pa.table(
-            {id_col: pa.array([], pa.int64()),
-             "rep_id": pa.array([], pa.int64())}))
-    hmap_ref = ray.put(hashed.to_pandas().set_index(id_col)["simhash"]
-                       .to_dict())
+    def to_sig(t: pa.Table) -> pa.Table:
+        h = t.column("simhash").to_numpy(zero_copy_only=False).astype("<u8")
+        vals = pa.py_buffer(h.tobytes())
+        offs = pa.py_buffer((np.arange(t.num_rows + 1, dtype=np.int32)
+                             * 8).tobytes())
+        return pa.table({
+            "_key": t.column(id_col).cast(pa.int64()),
+            "sig": pa.Array.from_buffers(pa.binary(), t.num_rows,
+                                         [None, offs, vals])})
 
-    class Verify:
-        def __init__(self):
-            self.hmap = ray.get(hmap_ref)
+    sigs = hashed.map_batches(to_sig, batch_format="pyarrow")
+    with_a = _attach_sig(pairs, sigs, "id_a", "sig_a",
+                         {"id_a": pa.int64(), "id_b": pa.int64()}, 64)
+    with_ab = _attach_sig(with_a, sigs, "id_b", "sig_b",
+                          {"id_a": pa.int64(), "id_b": pa.int64(),
+                           "sig_a": pa.binary()}, 64)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ia = t.column("id_a").to_numpy(zero_copy_only=False)
-            ib = t.column("id_b").to_numpy(zero_copy_only=False)
-            ha = np.array([self.hmap[i] for i in ia], np.int64).view(np.uint64)
-            hb = np.array([self.hmap[i] for i in ib], np.int64).view(np.uint64)
-            x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
-            dist = np.unpackbits(x, axis=1).sum(axis=1)
-            keep = pa.array(dist <= max_hamming)
-            return pa.table({"id_a": t.column("id_a").filter(keep),
-                             "id_b": t.column("id_b").filter(keep)})
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ha = np.frombuffer(b"".join(
+            t.column("sig_a").to_numpy(zero_copy_only=False)), "<u8")
+        hb = np.frombuffer(b"".join(
+            t.column("sig_b").to_numpy(zero_copy_only=False)), "<u8")
+        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+        dist = np.unpackbits(x, axis=1).sum(axis=1)
+        keep = pa.array(dist <= max_hamming)
+        return pa.table({"id_a": t.column("id_a").filter(keep),
+                         "id_b": t.column("id_b").filter(keep)})
 
-    edges = cand_tbl.map_batches(Verify, batch_format="pyarrow",
-                                 concurrency=(1, 4))
+    edges = with_ab.map_batches(verify, batch_format="pyarrow")
     return _labels_to_clusters(connected_components(edges, mode=cc_mode),
                                id_col)
 

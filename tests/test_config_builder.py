@@ -130,3 +130,14 @@ def test_run_pipeline_resumable(ray_session, tmp_path):
     cfg2.processors["route"] = {"default_sink": "other"}
     r3 = run_pipeline(cfg2, out)
     assert len(r3["ran"]) == 3
+
+
+def test_confmap_cycle_detection(tmp_path):
+    from opentelemetry_collector_ray.config import expand_uris
+
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text(f"x: ${{file:{b}}}\n")
+    b.write_text(f"y: ${{file:{a}}}\n")
+    with pytest.raises(ConfigError, match="cyclic"):
+        expand_uris(f"${{file:{a}}}")

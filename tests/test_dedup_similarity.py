@@ -242,13 +242,16 @@ def test_simhash_dedup_clusters(ray_session):
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": pa.array(texts, pa.string())}))
-    out = simhash_dedup(ds, max_hamming=10, bands=4).to_pandas()
+    out = simhash_dedup(ds, max_hamming=10).to_pandas()
     as_map = dict(zip(out["doc_id"], out["rep_id"]))
     assert as_map.get(100) == 0 and as_map.get(101) == 1  # exact dups
     assert as_map.get(200) == 2  # near-dup within hamming budget
     # unrelated docs not merged
     reps = {as_map.get(i, i) for i in range(3, 30)}
     assert reps == set(range(3, 30))
+    # pigeonhole completeness bound enforced
+    with pytest.raises(ValueError):
+        simhash_dedup(ds, max_hamming=10, bands=4)
 
 
 def test_embedding_near_dup(ray_session):

@@ -100,3 +100,24 @@ def test_map_ops_match_row_reference(rows, key, newval):
     assert M.map_has(m, key).to_pylist() == \
         [any(k == key for k, _ in row) for row in rows]
     assert M.map_len(m).to_pylist() == [len(row) for row in rows]
+
+
+def test_sliced_map_arrays_rebased():
+    """Zero-copy sliced MapArrays keep full children; ops must rebase
+    (regression: values leaked from rows outside the slice)."""
+    m = pa.array([[("a", "1")], [("b", "2")], [("a", "3"), ("c", "4")],
+                  [("c", "5")]], M.MAP_T)
+    s = m.slice(2)
+    assert M.map_get(s, "a").to_pylist() == ["3", None]
+    assert M.map_delete(s, "c").to_pylist() == [[("a", "3")], []]
+    assert M.map_len(s).to_pylist() == [2, 1]
+    assert M.map_has(s, "c").to_pylist() == [True, True]
+    assert M.map_put(s, "z", "9").to_pylist() == \
+        [[("a", "3"), ("c", "4"), ("z", "9")], [("c", "5"), ("z", "9")]]
+
+
+def test_build_map_stringifies_numeric():
+    m = M.build_map({"latency": pa.array([10, 20], pa.int64()),
+                     "name": pa.array(["x", None])})
+    assert m.to_pylist() == [[("latency", "10"), ("name", "x")],
+                             [("latency", "20")]]
