@@ -618,6 +618,31 @@ def _q_spans_duration_quantiles(sf_dir: str):
                                    value_col="duration_us")
 
 
+def _q_spans_tail_sampled(sf_dir: str):
+    """Tail-based sampling (tailsampling processor analog): all spans of
+    traces containing at least one error — trace-level predicate inside
+    the trace bucket task."""
+    from opentelemetry_collector_ray.stages.spanops import tail_sample
+
+    return tail_sample(_spans(sf_dir))
+
+
+def _q_turns_count_connector(sf_dir: str):
+    """Count connector analog (logs → metrics): per-severity-band counts
+    of parsed turns — a counting metric derived from the log stream."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        lvl = t.column("level")
+        band = pc.if_else(pc.equal(lvl, "ERROR"), "error",
+                          pc.if_else(pc.equal(lvl, "INFO"), "info", "other"))
+        band = pc.if_else(pc.is_valid(lvl), band, "unparsed")
+        return pa.table({"band": band})
+
+    pre = _parsed(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return grouped_count(pre, ["band"], count_name="n_logs")
+
+
 def _q_spans_events_exploded(sf_dir: str):
     """Span.Events[] nested column end-to-end: error spans get one
     'exception' event (list<struct> column, vectorized construction), then
@@ -893,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_trace_stats": _q_spans_trace_stats,
         "spans_duration_quantiles": _q_spans_duration_quantiles,
         "spans_events_exploded": _q_spans_events_exploded,
+        "spans_tail_sampled": _q_spans_tail_sampled,
+        "turns_count_connector": _q_turns_count_connector,
         "events_exp_histogram": _q_events_exp_histogram,
         "events_exp_histogram_signed": _q_events_exp_histogram_signed,
         "events_gauge_last": _q_events_gauge_last,
@@ -1217,6 +1244,21 @@ SELECT service, CAST(max(cnt) AS BIGINT) AS n,
   max(CASE WHEN rn = CAST(floor((cnt-1)*0.95) AS BIGINT)+1 THEN duration_us END) AS p95,
   max(CASE WHEN rn = CAST(floor((cnt-1)*0.99) AS BIGINT)+1 THEN duration_us END) AS p99
 FROM ranked GROUP BY service
+""",
+        "spans_tail_sampled": f"""
+WITH {SPANS_CTE.strip()}
+SELECT * FROM spans WHERE trace_id IN
+  (SELECT trace_id FROM spans WHERE status_code = 2)
+""",
+        "turns_count_connector": f"""
+{with_turns}
+SELECT CASE WHEN NOT (regexp_matches(text, '{r0}')
+                      OR regexp_matches(text, '{r1}')) THEN 'unparsed'
+            WHEN regexp_extract(text, '{r1}', 1) = 'ERROR' THEN 'error'
+            WHEN regexp_extract(text, '{r1}', 1) = 'INFO' THEN 'info'
+            ELSE 'other' END AS band,
+       count(*) AS n_logs
+FROM turns GROUP BY band
 """,
         "spans_events_exploded": f"""
 WITH {SPANS_CTE.strip()}

@@ -131,3 +131,27 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
         return pa.table(row)
 
     return counts.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
+def tail_sample(spans: ray.data.Dataset, n_buckets: int | str = 64,
+                ) -> ray.data.Dataset:
+    """Tail-based sampling (the tailsampling processor analog): keep ALL
+    spans of every trace in which ANY span errored — a TRACE-level
+    predicate, decidable only once the whole trace is visible. The
+    co-partitioning invariant (hash-bucket by trace_id ⇒ every trace
+    wholly in one bucket task) makes it one vectorized pass per bucket:
+    mark error traces, filter members — no global join, no second
+    shuffle."""
+    import pyarrow.compute as pc
+
+    from .bucketing import resolve_n_buckets, with_hash_bucket
+
+    def keep_error_traces(t: pa.Table) -> pa.Table:
+        is_err = pc.equal(t.column("status_code"), 2)
+        err_traces = pc.unique(t.column("trace_id").filter(is_err))
+        keep = pc.is_in(t.column("trace_id"), value_set=err_traces)
+        return t.filter(keep).drop_columns(["_bucket"])
+
+    nb = resolve_n_buckets(spans, n_buckets)
+    return with_hash_bucket(spans, "trace_id", nb).groupby("_bucket") \
+        .map_groups(keep_error_traces, batch_format="pyarrow")
