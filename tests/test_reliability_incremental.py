@@ -130,3 +130,62 @@ def test_manifest_records_per_route(ray_session, tmp_path):
     assert m["status"] == "committed"
     assert m["metrics"]["rows_in"] == m["metrics"]["rows_out"] > 0
     assert sum(m["metrics"]["per_route"].values()) == m["metrics"]["rows_in"]
+
+
+def test_exporter_contract_scenarios(ray_session):
+    """Contract-checker analog (exporter/exportertest/contract_checker.go:
+    45-110): every record carries a unique test_id; scenarios
+    always_succeed / random_non_permanent_error / random_permanent_error;
+    non-permanently-failed ids must be delivered AT LEAST once."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.sinks.reliability import (
+        PermanentError, RetryConfig, retry_call)
+
+    ids = np.arange(200, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"test_id": pa.array(ids)}))
+    fast = RetryConfig(initial_interval=0.001, max_interval=0.01,
+                       max_elapsed=5.0)
+
+    def run_scenario(fail_every, permanent_ids=frozenset()):
+        delivered: list[int] = []
+        perm_failed: list[int] = []
+        calls = {"n": 0}
+
+        def consume(batch: pa.Table):
+            bids = batch.column("test_id").to_pylist()
+
+            def attempt():
+                calls["n"] += 1
+                hit_perm = [i for i in bids if i in permanent_ids]
+                if hit_perm:
+                    raise PermanentError(f"bad records {hit_perm}")
+                if fail_every and calls["n"] % fail_every == 0:
+                    raise ConnectionError("transient export failure")
+                delivered.extend(bids)
+
+            try:
+                retry_call(attempt, fast, sleep=lambda s: None)
+            except PermanentError:
+                perm_failed.extend(bids)
+
+        for b in ds.iter_batches(batch_size=16, batch_format="pyarrow"):
+            consume(b)
+        return delivered, perm_failed
+
+    # always_succeed: exactly-once delivery of every id
+    d, p = run_scenario(fail_every=0)
+    assert sorted(d) == ids.tolist() and not p
+
+    # random_non_permanent_error: every id delivered AT LEAST once
+    d, p = run_scenario(fail_every=3)
+    assert set(d) == set(ids.tolist()) and not p
+
+    # random_permanent_error: permanently-failed batches dropped without
+    # retry, everything else delivered
+    d, p = run_scenario(fail_every=0, permanent_ids=frozenset({37}))
+    assert 37 in p and 37 not in d
+    assert set(d) | set(p) == set(ids.tolist())
