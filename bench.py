@@ -110,7 +110,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
     names = ["events_agg", "events_sessionize", "tpch_q1", "nation_revenue",
              "docs_token_count", "docs_quality", "docs_exact_dedup", "emb_knn",
              "spans_service_stats", "spans_trace_stats", "events_gauge_last",
-             "events_exp_histogram"]
+             "events_exp_histogram", "turns_attrs_map",
+             "profiles_top_functions", "spans_tail_sampled"]
     q = m.queries()
     for name in names:
         t0 = time.time()
@@ -240,8 +241,40 @@ def scaling() -> None:
     }))
 
 
+def stats() -> None:
+    """Per-operator Ray Data stats for the flagship pipeline (the
+    measure-don't-guess loop: read `ds.stats()` and iterate until wall is
+    dominated by useful compute). Prints the stats report to stderr and a
+    one-line summary JSON to stdout."""
+    import ray
+
+    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.flagship import (
+        build_aggregate, build_routed)
+
+    turns_dir, n_rows = _prepare_turns(SF_DIR)
+    ds = build_aggregate(build_routed(ray.data.read_parquet(
+        turns_dir, override_num_blocks=_read_blocks(turns_dir))))
+    t0 = time.time()
+    ds = ds.materialize()
+    wall = time.time() - t0
+    print(ds.stats(), file=sys.stderr)
+    print(json.dumps({"metric": "flagship_stats_wall_sec",
+                      "value": round(wall, 3), "unit": "sec",
+                      "turns": n_rows, "num_cpus": NCPUS}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stats" in sys.argv:
+        stats()
     else:
         main()

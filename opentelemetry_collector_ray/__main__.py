@@ -1,9 +1,12 @@
 """CLI entry point — the otelcol binary analog (SURVEY.md §3.1).
 
-    python -m opentelemetry_collector_ray --config pipeline.yaml --out /tmp/out
+    python -m opentelemetry_collector_ray --config pipeline.yaml \
+        [--config override.yaml ...] --out /tmp/out
         [--no-resume] [--num-cpus N]
 
-Owns the Ray session (library code never calls ray.init — driver contract).
+Repeated ``--config`` flags resolve through the confmap multi-source
+merge (later files override, the otelcol ``--config`` semantics). Owns
+the Ray session (library code never calls ray.init — driver contract).
 """
 
 from __future__ import annotations
@@ -15,7 +18,8 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="opentelemetry_collector_ray")
-    ap.add_argument("--config", required=True, help="pipeline YAML")
+    ap.add_argument("--config", required=True, action="append",
+                    help="pipeline YAML (repeatable; later files override)")
     ap.add_argument("--out", required=True, help="output root (sinks + manifests)")
     ap.add_argument("--no-resume", action="store_true",
                     help="force full recompute (ignore committed manifests)")
@@ -34,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
         from .config import PipelineConfig
         from .pipelines.builder import run_pipeline
 
-        cfg = PipelineConfig.from_yaml(args.config)
+        cfg = PipelineConfig.from_sources(args.config)
         result = run_pipeline(cfg, args.out, resume=not args.no_resume)
         print(json.dumps(result))
         return 0
