@@ -109,7 +109,7 @@ def _q_conv_stats(sf_dir: str):
     turns = _turns(sf_dir).select_columns(["conv_id", "ts"])
     return grouped_agg(turns, ["conv_id"], count_name="n_turns",
                        min_cols={"first_ts": "ts"}, max_cols={"last_ts": "ts"},
-                       strategy="shuffle")
+                       strategy="bucket")
 
 
 # ------------------------------------------------------------ events family

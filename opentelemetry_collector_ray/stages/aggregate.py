@@ -135,8 +135,22 @@ def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
     block, which also neutralizes hot-key skew for these mergeable
     aggregates (a hot key contributes one partial row per batch, so the
     per-key reduce input is #blocks, not #rows — batch-index-as-salt).
+    strategy="bucket": hash-bucket the raw rows by keys[0] and run ONE
+    Arrow group_by per bucket — exact (a key tuple's rows share keys[0],
+    hence a bucket) and measured ~2× over "shuffle" at 2M rows/30k keys:
+    Ray's sort-based groupby on STRING partial keys costs more than
+    exchanging the raw skinny rows by int bucket. Prefer it when the
+    grouped columns are already narrow; prefer "shuffle" when the
+    pre-exchange reduction is large (wide rows, few keys per batch).
     """
     stage = PartialAggStage(keys, count_name, sum_cols, min_cols, max_cols)
+    if strategy == "bucket":
+        from .bucketing import resolve_n_buckets, with_hash_bucket
+
+        nb = resolve_n_buckets(ds, "auto")
+        return with_hash_bucket(ds, keys[0], nb).groupby("_bucket") \
+            .map_groups(lambda t: stage(t.drop_columns(["_bucket"])),
+                        batch_format="pyarrow")
     combine = CombineStage(keys, stage.out_cols,
                            min_cols=tuple(min_cols or {}),
                            max_cols=tuple(max_cols or {}))
