@@ -318,7 +318,9 @@ def _q_docs_top_terms(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"]).map_batches(
         explode, batch_format="pyarrow")
-    counts = grouped_count(ds, ["term"], count_name="n")
+    # vocabulary is unbounded → bucket strategy (per-bucket exact counts
+    # stay distributed; only the vocab-sized aggregate reaches the sort)
+    counts = grouped_count(ds, ["term"], count_name="n", strategy="bucket")
     return counts.sort(["n", "term"], descending=[True, False]).limit(20)
 
 

@@ -196,8 +196,20 @@ def grouped_count(ds: Dataset, keys: list[str], count_name: str = "n_turns",
     strategy="shuffle": fall back to Ray's hash-partitioned
     groupby().aggregate(Sum) for unbounded key cardinality (e.g. grouping
     by conv_id itself); partials still shrink the shuffle to ≤|keys per
-    batch| rows per block.
+    batch| rows per block. strategy="bucket": int-bucket exchange of the
+    raw rows + one Arrow group_by per bucket (see grouped_agg) — the
+    result stays DISTRIBUTED (per-bucket exact counts), unlike "tree"
+    whose final combine holds the whole key set in one task.
     """
+    if strategy == "bucket":
+        from .bucketing import resolve_n_buckets, with_hash_bucket
+
+        stage = PartialCountStage(keys, count_name=count_name,
+                                  sum_cols=sum_cols)
+        nb = resolve_n_buckets(ds, "auto")
+        return with_hash_bucket(ds, keys[0], nb).groupby("_bucket") \
+            .map_groups(lambda t: stage(t.drop_columns(["_bucket"])),
+                        batch_format="pyarrow")
     value_cols = [count_name] + list(sum_cols or {})
     partial = ds.map_batches(
         PartialCountStage(keys, count_name=count_name, sum_cols=sum_cols),
