@@ -89,16 +89,8 @@ def _read_blocks(turns_dir: str) -> int:
 
 def run_flagship(turns_dir: str) -> tuple[float, int, int]:
     """Timed: read → parse → enrich → route → two-phase aggregate."""
-    import ray.data
-
-    from opentelemetry_collector_ray.pipelines.flagship import (
-        build_aggregate, build_routed)
-
     t0 = time.time()
-    turns = ray.data.read_parquet(turns_dir,
-                                  override_num_blocks=_read_blocks(turns_dir))
-    agg = build_aggregate(build_routed(turns))
-    pdf = agg.to_pandas()  # final aggregate is small (≤ ~50k groups)
+    pdf = _flagship_ds(turns_dir).to_pandas()  # final aggregate is small
     wall = time.time() - t0
     return wall, int(pdf["n_turns"].sum()), len(pdf)
 
@@ -164,13 +156,7 @@ def run_ann(sf_dir: str) -> dict:
 def main() -> None:
     import ray
 
-    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
-             logging_level="ERROR")
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    _init_ray()
 
     turns_dir, n_rows = _prepare_turns(SF_DIR)
     run_flagship(turns_dir)  # warm page cache / JIT, untimed
@@ -241,6 +227,28 @@ def scaling() -> None:
     }))
 
 
+def _init_ray() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _flagship_ds(turns_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.flagship import (
+        build_aggregate, build_routed)
+
+    return build_aggregate(build_routed(ray.data.read_parquet(
+        turns_dir, override_num_blocks=_read_blocks(turns_dir))))
+
+
 def stats() -> None:
     """Per-operator Ray Data stats for the flagship pipeline (the
     measure-don't-guess loop: read `ds.stats()` and iterate until wall is
@@ -248,21 +256,10 @@ def stats() -> None:
     one-line summary JSON to stdout."""
     import ray
 
-    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
-             logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    import ray.data
-
-    from opentelemetry_collector_ray.pipelines.flagship import (
-        build_aggregate, build_routed)
-
+    _init_ray()
     turns_dir, n_rows = _prepare_turns(SF_DIR)
-    ds = build_aggregate(build_routed(ray.data.read_parquet(
-        turns_dir, override_num_blocks=_read_blocks(turns_dir))))
     t0 = time.time()
-    ds = ds.materialize()
+    ds = _flagship_ds(turns_dir).materialize()
     wall = time.time() - t0
     print(ds.stats(), file=sys.stderr)
     print(json.dumps({"metric": "flagship_stats_wall_sec",

@@ -244,8 +244,13 @@ class PipelineConfig:
     pipeline: dict  # {"receivers": [...], "processors": [...], "exporters": [...]}
 
     @staticmethod
-    def from_dict(raw: dict) -> "PipelineConfig":
-        raw = expand_env(raw)
+    def from_dict(raw: dict, expand: bool = True) -> "PipelineConfig":
+        # expand=False when the caller already resolved references
+        # (from_sources): expanding twice would re-interpret ${...} text
+        # INSIDE resolved env-var values as config references — a crash on
+        # unset vars and an injection vector for secret-bearing ones.
+        if expand:
+            raw = expand_env(raw)
         for section in ("receivers", "exporters", "service"):
             if section not in raw:
                 raise ConfigError(f"missing config section: {section}")
@@ -272,8 +277,9 @@ class PipelineConfig:
     @staticmethod
     def from_sources(uris: list) -> "PipelineConfig":
         """Multi-source resolver entry (``--config a.yaml --config b.yaml``
-        CLI semantics): merge in order, later sources override."""
-        return PipelineConfig.from_dict(resolve_config(uris))
+        CLI semantics): merge in order, later sources override.
+        resolve_config already performs the (single) reference expansion."""
+        return PipelineConfig.from_dict(resolve_config(uris), expand=False)
 
     def validate(self) -> None:
         """Validate() semantics (confmap/validation.go): every pipeline

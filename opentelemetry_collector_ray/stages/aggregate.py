@@ -125,7 +125,8 @@ def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
                 sum_cols: dict[str, str] | None = None,
                 min_cols: dict[str, str] | None = None,
                 max_cols: dict[str, str] | None = None,
-                strategy: str = "tree", fanin: int = 16) -> Dataset:
+                strategy: str = "tree", fanin: int = 16,
+                n_buckets: int | str = "auto") -> Dataset:
     """General two-phase grouped aggregate (count/sum/min/max).
 
     strategy="tree": map-only reduce — requires the distinct key set to fit
@@ -141,16 +142,16 @@ def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
     Ray's sort-based groupby on STRING partial keys costs more than
     exchanging the raw skinny rows by int bucket. Prefer it when the
     grouped columns are already narrow; prefer "shuffle" when the
-    pre-exchange reduction is large (wide rows, few keys per batch).
+    pre-exchange reduction is large (wide rows, few keys per batch) or the
+    key distribution is SKEWED — bucket places ALL raw rows of a hot key
+    in one task, while shuffle's per-batch partials bound a hot key to one
+    row per 64k-row batch (batch-index-as-salt).
     """
     stage = PartialAggStage(keys, count_name, sum_cols, min_cols, max_cols)
     if strategy == "bucket":
-        from .bucketing import resolve_n_buckets, with_hash_bucket
+        from .bucketing import bucketed_map_groups
 
-        nb = resolve_n_buckets(ds, "auto")
-        return with_hash_bucket(ds, keys[0], nb).groupby("_bucket") \
-            .map_groups(lambda t: stage(t.drop_columns(["_bucket"])),
-                        batch_format="pyarrow")
+        return bucketed_map_groups(ds, keys[0], stage, n_buckets=n_buckets)
     combine = CombineStage(keys, stage.out_cols,
                            min_cols=tuple(min_cols or {}),
                            max_cols=tuple(max_cols or {}))
@@ -182,7 +183,8 @@ def grouped_agg(ds: Dataset, keys: list[str], count_name: str | None = None,
 
 def grouped_count(ds: Dataset, keys: list[str], count_name: str = "n_turns",
                   sum_cols: dict[str, str] | None = None,
-                  strategy: str = "tree", fanin: int = 16) -> Dataset:
+                  strategy: str = "tree", fanin: int = 16,
+                  n_buckets: int | str = "auto") -> Dataset:
     """Two-phase grouped count/sum.
 
     strategy="tree" (default): per-batch partials → coalesce (repartition,
@@ -202,14 +204,10 @@ def grouped_count(ds: Dataset, keys: list[str], count_name: str = "n_turns",
     whose final combine holds the whole key set in one task.
     """
     if strategy == "bucket":
-        from .bucketing import resolve_n_buckets, with_hash_bucket
-
-        stage = PartialCountStage(keys, count_name=count_name,
-                                  sum_cols=sum_cols)
-        nb = resolve_n_buckets(ds, "auto")
-        return with_hash_bucket(ds, keys[0], nb).groupby("_bucket") \
-            .map_groups(lambda t: stage(t.drop_columns(["_bucket"])),
-                        batch_format="pyarrow")
+        # count+sum is the count_name/sum_cols subset of grouped_agg
+        return grouped_agg(ds, keys, count_name=count_name,
+                           sum_cols=sum_cols, strategy="bucket",
+                           n_buckets=n_buckets)
     value_cols = [count_name] + list(sum_cols or {})
     partial = ds.map_batches(
         PartialCountStage(keys, count_name=count_name, sum_cols=sum_cols),

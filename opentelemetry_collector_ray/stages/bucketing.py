@@ -61,6 +61,16 @@ def with_hash_bucket(ds: ray.data.Dataset, key: str, n_buckets: int,
         batch_format="pyarrow")
 
 
+def bucketed_map_groups(ds: ray.data.Dataset, key: str, fn,
+                        n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """The bounded-group idiom as one call: hash-bucket by ``key``, one
+    ``fn(bucket_table)`` per bucket (the ``_bucket`` column is stripped
+    before ``fn`` sees the table). ``fn`` must return a pa.Table."""
+    nb = resolve_n_buckets(ds, n_buckets)
+    return with_hash_bucket(ds, key, nb).groupby("_bucket").map_groups(
+        lambda t: fn(t.drop_columns(["_bucket"])), batch_format="pyarrow")
+
+
 def key_segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For a SORTED key array: (boolean key-change mask, per-row segment
     start index). The building block for per-key window ops without

@@ -76,7 +76,7 @@ def trace_stats(spans: ray.data.Dataset, n_buckets: int | str = 64,
     invariant the parent-link join relies on."""
     import pyarrow.compute as pc
 
-    from .bucketing import resolve_n_buckets, with_hash_bucket
+    from .bucketing import bucketed_map_groups
 
     def prep(t: pa.Table) -> pa.Table:
         start_us = t.column("start_ts").cast(pa.timestamp("us")).cast(pa.int64())
@@ -99,9 +99,7 @@ def trace_stats(spans: ray.data.Dataset, n_buckets: int | str = 64,
     pre = spans.select_columns(
         ["trace_id", "start_ts", "duration_us", "status_code"]).map_batches(
         prep, batch_format="pyarrow")
-    nb = resolve_n_buckets(pre, n_buckets)
-    return with_hash_bucket(pre, "trace_id", nb).groupby("_bucket") \
-        .map_groups(rollup, batch_format="pyarrow")
+    return bucketed_map_groups(pre, "trace_id", rollup, n_buckets=n_buckets)
 
 
 def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
@@ -144,14 +142,13 @@ def tail_sample(spans: ray.data.Dataset, n_buckets: int | str = 64,
     shuffle."""
     import pyarrow.compute as pc
 
-    from .bucketing import resolve_n_buckets, with_hash_bucket
+    from .bucketing import bucketed_map_groups
 
     def keep_error_traces(t: pa.Table) -> pa.Table:
         is_err = pc.equal(t.column("status_code"), 2)
         err_traces = pc.unique(t.column("trace_id").filter(is_err))
         keep = pc.is_in(t.column("trace_id"), value_set=err_traces)
-        return t.filter(keep).drop_columns(["_bucket"])
+        return t.filter(keep)
 
-    nb = resolve_n_buckets(spans, n_buckets)
-    return with_hash_bucket(spans, "trace_id", nb).groupby("_bucket") \
-        .map_groups(keep_error_traces, batch_format="pyarrow")
+    return bucketed_map_groups(spans, "trace_id", keep_error_traces,
+                               n_buckets=n_buckets)
