@@ -92,7 +92,13 @@ def expand_uris(node: Any, providers: dict[str, Callable[[str], Any]] | None
             if ref in _active:
                 raise ConfigError(f"cyclic config reference: ${{{ref}}}")
             val = providers[m.group(1)](m.group(2))
-            return expand_uris(val, providers, _active | {ref})
+            # recurse only into retrieved CONFIG STRUCTURE (file:/yaml:
+            # mappings may themselves contain references); retrieved
+            # SCALARS are data — re-interpreting ${...} text inside an
+            # env-var value would be an injection vector
+            if isinstance(val, (dict, list)):
+                return expand_uris(val, providers, _active | {ref})
+            return val
 
         def sub(mm: re.Match) -> str:
             ref = f"{mm.group(1)}:{mm.group(2)}"

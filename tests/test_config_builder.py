@@ -141,3 +141,19 @@ def test_confmap_cycle_detection(tmp_path):
     b.write_text(f"y: ${{file:{a}}}\n")
     with pytest.raises(ConfigError, match="cyclic"):
         expand_uris(f"${{file:{a}}}")
+
+
+def test_provider_scalar_values_are_opaque(monkeypatch):
+    """Reference-shaped text INSIDE a resolved env value is data, not a
+    config reference (re-interpretation would be an injection vector)."""
+    from opentelemetry_collector_ray.config import expand_uris, resolve_config
+
+    monkeypatch.setenv("GRAFT_OUTER", "keep ${env:GRAFT_INNER} literal")
+    monkeypatch.setenv("GRAFT_INNER", "SHOULD_NOT_APPEAR")
+    assert expand_uris("${env:GRAFT_OUTER}") == \
+        "keep ${env:GRAFT_INNER} literal"
+    assert expand_uris("pfx-${env:GRAFT_OUTER}") == \
+        "pfx-keep ${env:GRAFT_INNER} literal"
+    merged = resolve_config([{"receivers": {"r": {"p": "${env:GRAFT_OUTER}"}},
+                              "exporters": {}, "service": {}}])
+    assert "SHOULD_NOT_APPEAR" not in str(merged)
