@@ -20,7 +20,6 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-_ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
 _URI_RE = re.compile(r"\$\{(env|file|yaml|https?):([^}]*)\}")
 
 

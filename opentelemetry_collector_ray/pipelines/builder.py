@@ -70,6 +70,11 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
 
 def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> dict:
     counts = {}
+    if len(cfg.pipeline["exporters"]) > 1:
+        # each exporter consumes the Dataset; without this, the whole lazy
+        # pipeline would re-execute once per exporter (the fanout consumer
+        # hands every sink the SAME batch — internal/fanoutconsumer/logs.go)
+        ds = ds.materialize()
     for name in cfg.pipeline["exporters"]:
         type_name = name.split("/")[0]
         ecfg = cfg.exporters[name]

@@ -108,4 +108,7 @@ def check_unique_turn_ids(ds) -> int:
         lambda t: pa.table({"s": pa.array([pc2.sum(t.column("n")).as_py() or 0],
                                           pa.int64())}),
         batch_format="pyarrow").to_pandas()
+    # Ray drops the schema of 0-row datasets in to_pandas — guard the column
+    if len(totals) == 0 or "s" not in totals.columns:
+        return 0
     return int(totals["s"].sum())

@@ -346,6 +346,8 @@ def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    if len(counts) == 0 or "n" not in counts.columns:  # empty-dataset schema loss
+        return 0
     return int(counts["n"].sum())
 
 

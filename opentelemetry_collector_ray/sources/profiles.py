@@ -96,7 +96,13 @@ class EncodeSamplesStage:
     def _encode(self, col) -> pa.Array:
         names = col.to_numpy(zero_copy_only=False)
         idx = np.searchsorted(self._keys, names)
-        return pa.array(self._vals[idx])
+        clipped = np.minimum(idx, len(self._keys) - 1)
+        missing = self._keys[clipped] != names
+        if missing.any():
+            raise KeyError(
+                "frame names absent from the function table (stale "
+                f"dictionary?): {sorted(set(names[missing]))[:5]}")
+        return pa.array(self._vals[clipped])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         return pa.table({

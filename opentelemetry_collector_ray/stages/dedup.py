@@ -292,19 +292,18 @@ def _attach_sig(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         sigs.map_batches(tag_sigs, batch_format="pyarrow"))
 
     def merge(t: pa.Table) -> pa.Table:
-        g = t.to_pandas()
-        labs = g[g["_kind"] == 0][["_key", "sig"]].rename(
-            columns={"sig": out_col})
-        prs = g[g["_kind"] == 1][["_key"] + list(carry)]
-        m = prs.merge(labs, on="_key", how="inner")
-        cols = {key_col: pa.array(m["_key"].to_numpy().astype(np.int64))}
+        # Arrow hash join (NOT pandas merge: the union's nullable int64
+        # columns would round-trip through float64 and silently corrupt
+        # ids above 2^53)
+        is_sig = pc.equal(t.column("_kind"), 0)
+        labs = t.filter(is_sig).select(["_key", "sig"]) \
+            .rename_columns(["_key", out_col])
+        prs = t.filter(pc.invert(is_sig)).select(["_key"] + list(carry))
+        m = prs.join(labs, keys=["_key"], join_type="inner")
+        cols = {key_col: m.column("_key").cast(pa.int64())}
         for c in carry_cols:
-            v = m[c]
-            typ = carry[c]
-            if pa.types.is_integer(typ) and v.dtype.kind == "f":
-                v = v.astype(np.int64)
-            cols[c] = pa.array(v.tolist(), typ)
-        cols[out_col] = pa.array(m[out_col].tolist(), pa.binary())
+            cols[c] = m.column(c).cast(carry[c])
+        cols[out_col] = m.column(out_col).cast(pa.binary())
         return pa.table(cols)
 
     return union.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
@@ -430,13 +429,14 @@ def connected_components(edges: ray.data.Dataset, n_buckets: int = 64,
                              key.to_numpy(zero_copy_only=False), n_buckets))})
 
     def propagate(t: pa.Table) -> pa.Table:
-        g = t.to_pandas()
-        labs = g[g["_kind"] == 0][["_key", "label"]]
-        eds = g[g["_kind"] == 1][["_key", "_dst"]]
-        m = eds.merge(labs, on="_key", how="inner")
-        return pa.table({
-            "node": pa.array(m["_dst"].to_numpy().astype(np.int64)),
-            "label": pa.array(m["label"].to_numpy().astype(np.int64))})
+        # Arrow hash join (pandas would coerce the nullable int64 columns
+        # to float64 and corrupt node ids above 2^53)
+        is_lab = pc.equal(t.column("_kind"), 0)
+        labs = t.filter(is_lab).select(["_key", "label"])
+        eds = t.filter(pc.invert(is_lab)).select(["_key", "_dst"])
+        m = eds.join(labs, keys=["_key"], join_type="inner")
+        return pa.table({"node": m.column("_dst").cast(pa.int64()),
+                         "label": m.column("label").cast(pa.int64())})
 
     prev_sum = None
     for _ in range(max_rounds):

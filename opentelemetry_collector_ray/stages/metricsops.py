@@ -59,6 +59,11 @@ def exp_histogram(ds: ray.data.Dataset, keys: list[str], value_col: str,
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not signed and len(v) and v.min() < 0:
+            raise ValueError(
+                "exp_histogram: negative values present — pass signed=True "
+                "(silently folding them into the zero bucket would corrupt "
+                "the histogram)")
         mag = np.abs(v) if signed else v
         nonzero = mag > 0 if signed else v > 0
         safe = np.where(nonzero, mag, 1.0)  # placeholder for masked slots

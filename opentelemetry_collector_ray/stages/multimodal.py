@@ -217,17 +217,23 @@ class AudioFeatureStage:
         starts, counts = offsets[:-1], np.diff(offsets)
         n = batch.num_rows
         rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
-        if n and len(flat):
-            sq = np.add.reduceat(flat * flat, starts)
-            rms = np.sqrt(sq / np.maximum(counts, 1))
-            peak = np.maximum.reduceat(np.abs(flat), starts)
+        rms = np.zeros(n)
+        peak = np.zeros(n)
+        zcr = np.zeros(n)
+        ne = np.nonzero(counts > 0)[0]
+        if len(flat) and len(ne):
+            # reduceat only over NONEMPTY segments: an empty segment's
+            # reduceat returns the neighbor's element, and offsets[i+1]-1
+            # underflows for a zero-length first row — both produced
+            # garbage features for 0-sample payloads
+            sq = np.add.reduceat(flat * flat, starts[ne])
+            rms[ne] = np.sqrt(sq / counts[ne])
+            peak[ne] = np.maximum.reduceat(np.abs(flat), starts[ne])
             signs = flat[1:] * flat[:-1] < 0  # crossing between neighbors
             # exclude crossings that straddle row boundaries
             cross_cum = np.concatenate([[0], np.cumsum(signs)])
-            zc = cross_cum[offsets[1:] - 1] - cross_cum[starts]
-            zcr = zc / np.maximum(counts - 1, 1)
-        else:
-            rms = peak = zcr = np.zeros(n)
+            zc = cross_cum[offsets[1:][ne] - 1] - cross_cum[starts[ne]]
+            zcr[ne] = zc / np.maximum(counts[ne] - 1, 1)
         dur_ms = counts * 1000 // np.maximum(rates, 1)
         # dominant frequency ≈ zcr * rate / 2 (two crossings per cycle)
         dom_hz = zcr * rates / 2.0

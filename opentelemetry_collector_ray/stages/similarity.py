@@ -73,6 +73,10 @@ def knn_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
         BruteForceTopK(query=query, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow")
     merged = partials.to_pandas()  # O(num_batches × k) rows — tiny by design
+    if len(merged) == 0 or "cos_sim_e6" not in merged.columns:
+        # Ray drops the schema of 0-row datasets in to_pandas
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cos_sim_e6": pa.array([], pa.int64())})
     merged = merged.sort_values(["cos_sim_e6", id_col], ascending=[False, True],
                                 kind="mergesort").head(k)
     return pa.Table.from_pandas(merged.reset_index(drop=True), preserve_index=False)
@@ -103,13 +107,18 @@ class LshBucketStage:
 
 def _probe_buckets(q: np.ndarray, proj: np.ndarray, n_bits: int,
                    multiprobe: int) -> set[int]:
+    """Own bucket plus every bucket within Hamming distance ≤ multiprobe
+    (all bit-flip combinations up to that size — C(n_bits, j) per level,
+    so keep multiprobe small relative to n_bits)."""
+    from itertools import combinations
+
     pow2 = 2 ** np.arange(n_bits, dtype=np.int64)
     qbits = (q @ proj) > 0
     targets = {int(qbits @ pow2)}
-    if multiprobe >= 1:
-        for i in range(n_bits):
+    for j in range(1, min(multiprobe, n_bits) + 1):
+        for flip in combinations(range(n_bits), j):
             fb = qbits.copy()
-            fb[i] = ~fb[i]
+            fb[list(flip)] = ~fb[list(flip)]
             targets.add(int(fb @ pow2))
     return targets
 
@@ -304,6 +313,10 @@ def ann_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
     partials = ray.data.read_parquet(paths).map_batches(
         topk_batch, batch_format="pyarrow")
     merged = partials.to_pandas()  # O(batches × m × k) rows — tiny by design
+    if len(merged) == 0 or "cos_sim_e6" not in merged.columns:
+        return pa.table({"q": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cos_sim_e6": pa.array([], pa.int64())})
     merged = merged.sort_values(["q", "cos_sim_e6", id_col],
                                 ascending=[True, False, True],
                                 kind="mergesort").groupby("q").head(k)
@@ -346,14 +359,7 @@ def ann_topk_lsh(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
     be persisted as a partition key for repeated queries (IVF-style)."""
     q = np.asarray(query, dtype=np.float64).ravel()
     proj = _projection_matrix(len(q), n_bits, seed)
-    qbits = (q @ proj) > 0
-    pow2 = 2 ** np.arange(n_bits, dtype=np.int64)
-    targets = {int(qbits @ pow2)}
-    if multiprobe >= 1:
-        for i in range(n_bits):
-            fb = qbits.copy()
-            fb[i] = ~fb[i]
-            targets.add(int(fb @ pow2))
+    targets = _probe_buckets(q, proj, n_bits, multiprobe)
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         LshBucketStage, fn_constructor_kwargs=dict(
             dim=len(q), n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col),

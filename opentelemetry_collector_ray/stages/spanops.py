@@ -42,19 +42,15 @@ def parent_child_join(spans: ray.data.Dataset, n_buckets: int = 64,
             bucket_of(t.column("trace_id"), n_buckets)))
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        parents = df[["trace_id", "span_id", "service"]].rename(
-            columns={"span_id": "parent_span_id",
-                     "service": "parent_service"})
-        out = df[["trace_id", "span_id", "parent_span_id"]].merge(
-            parents, on=["trace_id", "parent_span_id"], how="left")
-        return pa.table({
-            "trace_id": pa.array(out["trace_id"], pa.string()),
-            "span_id": pa.array(out["span_id"], pa.string()),
-            "parent_span_id": pa.array(out["parent_span_id"], pa.string()),
-            "parent_service": pa.Array.from_pandas(out["parent_service"],
-                                                   type=pa.string()),
-        })
+        # Arrow hash join, no pandas round trip; roots ('' parent) match
+        # no parent row → null parent_service under left outer
+        parents = t.select(["trace_id", "span_id", "service"]) \
+            .rename_columns(["trace_id", "parent_span_id", "parent_service"])
+        child = t.select(["trace_id", "span_id", "parent_span_id"])
+        m = child.join(parents, keys=["trace_id", "parent_span_id"],
+                       join_type="left outer")
+        return m.select(["trace_id", "span_id", "parent_span_id",
+                         "parent_service"])
 
     pre = spans.select_columns(
         ["trace_id", "span_id", "parent_span_id", "service"]).map_batches(

@@ -121,3 +121,73 @@ def test_wide_record_and_unicode_survive(ray_session):
     routed = build_routed(ray.data.from_arrow(t)).to_pandas()
     texts = set(t.column("text").to_pylist())
     assert set(routed["text"]) == texts  # >64KiB and unicode rows intact
+
+
+def test_knn_empty_corpus_returns_typed_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import knn_topk
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = knn_topk(ray.data.from_arrow(empty), np.ones(4), k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["vec_id", "cos_sim_e6"]
+
+
+def test_lsh_multiprobe_widens_probes():
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        _probe_buckets, _projection_matrix)
+
+    q = np.ones(8)
+    proj = _projection_matrix(8, 6)
+    p0 = _probe_buckets(q, proj, 6, 0)
+    p1 = _probe_buckets(q, proj, 6, 1)
+    p2 = _probe_buckets(q, proj, 6, 2)
+    assert len(p0) == 1
+    assert len(p1) == 1 + 6          # all Hamming-1 neighbors
+    assert len(p2) == 1 + 6 + 15     # + all Hamming-2 neighbors
+
+
+def test_exp_histogram_rejects_unsigned_negatives(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import exp_histogram
+
+    t = pa.table({"k": pa.array(["a", "a"]), "v": pa.array([3, -1], pa.int64())})
+    with pytest.raises(Exception, match="signed=True"):
+        exp_histogram(ray.data.from_arrow(t), ["k"], "v").to_pandas()
+
+
+def test_audio_features_zero_length_payload():
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        AudioDecodeStage, AudioFeatureStage)
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, "<i2").tobytes())
+        return buf.getvalue()
+
+    t = pa.table({"media_id": pa.array([0, 1], pa.int64()),
+                  "payload": pa.array([wav([]), wav([100, -100, 100])],
+                                      pa.binary())})
+    feats = AudioFeatureStage()(AudioDecodeStage()(t))
+    assert feats.column("rms").to_pylist()[0] == 0.0  # empty row → zeros
+    assert feats.column("peak").to_pylist()[0] == 0.0
+    assert feats.column("rms").to_pylist()[1] > 0
