@@ -89,7 +89,7 @@ def gauge_last(ds: ray.data.Dataset, key: str, order_cols: list[str],
     tuple — pmetric Gauge "latest sample" semantics. Hash-bucket
     map_groups: one Arrow sort + segment-tail take per BUCKET (no pandas,
     no per-key Python)."""
-    from .bucketing import key_segments, resolve_n_buckets, with_hash_bucket
+    from .bucketing import bucketed_map_groups, key_segments
 
     def last_per_key(t: pa.Table) -> pa.Table:
         t = t.sort_by([(key, "ascending")]
@@ -103,8 +103,6 @@ def gauge_last(ds: ray.data.Dataset, key: str, order_cols: list[str],
         return pa.table({key: tail.column(key),
                          out_col: tail.column(value_col)})
 
-    nb = resolve_n_buckets(ds, n_buckets)
-    pre = with_hash_bucket(
-        ds.select_columns([key, value_col] + order_cols), key, nb)
-    return pre.groupby("_bucket").map_groups(last_per_key,
-                                             batch_format="pyarrow")
+    return bucketed_map_groups(
+        ds.select_columns([key, value_col] + order_cols), key, last_per_key,
+        n_buckets=n_buckets)

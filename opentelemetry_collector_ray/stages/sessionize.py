@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .bucketing import key_segments, resolve_n_buckets, with_hash_bucket
+from .bucketing import bucketed_map_groups, key_segments
 
 N_SESSION_BUCKETS = 64
 
@@ -60,12 +60,9 @@ def sessionize(events: ray.data.Dataset, key: str = "user_id", ts_col: str = "ts
 
     def assign(t: pa.Table) -> pa.Table:
         t, sid = _session_ids(t, key, ts_col, list(order_cols), gap_us)
-        return t.drop_columns(["_bucket"]).append_column(
-            "session_id", pa.array(sid))
+        return t.append_column("session_id", pa.array(sid))
 
-    nb = resolve_n_buckets(events, n_buckets)
-    return with_hash_bucket(events, key, nb).groupby("_bucket") \
-        .map_groups(assign, batch_format="pyarrow")
+    return bucketed_map_groups(events, key, assign, n_buckets=n_buckets)
 
 
 def session_stats(events: ray.data.Dataset, key: str = "user_id",
@@ -92,9 +89,8 @@ def session_stats(events: ray.data.Dataset, key: str = "user_id",
             "end_ts": g.column(f"{ts_col}_max"),
         })
 
-    nb = resolve_n_buckets(events, n_buckets)
-    return with_hash_bucket(events, key, nb).groupby("_bucket") \
-        .map_groups(assign_and_reduce, batch_format="pyarrow")
+    return bucketed_map_groups(events, key, assign_and_reduce,
+                               n_buckets=n_buckets)
 
 
 def tumbling_window_count(events: ray.data.Dataset, key: str, ts_col: str = "ts",

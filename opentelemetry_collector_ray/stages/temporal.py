@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .bucketing import key_segments, resolve_n_buckets, with_hash_bucket
+from .bucketing import bucketed_map_groups, key_segments
 
 N_BUCKETS = 64
 
@@ -46,12 +46,9 @@ def delta_to_cumulative(ds: ray.data.Dataset, key: str, order_col: str,
         out = total - base
         if vals.dtype.kind == "i":
             out = out.astype(np.int64)
-        return t.drop_columns(["_bucket"]).append_column(out_col,
-                                                         pa.array(out))
+        return t.append_column(out_col, pa.array(out))
 
-    nb = resolve_n_buckets(ds, n_buckets)
-    return with_hash_bucket(ds, key, nb).groupby("_bucket") \
-        .map_groups(cumsum, batch_format="pyarrow")
+    return bucketed_map_groups(ds, key, cumsum, n_buckets=n_buckets)
 
 
 def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
@@ -68,9 +65,6 @@ def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
             prev[0] = 0
             prev[1:] = vals[:-1]
         out = np.where(change, vals, vals - prev).astype(vals.dtype)
-        return t.drop_columns(["_bucket"]).append_column(out_col,
-                                                         pa.array(out))
+        return t.append_column(out_col, pa.array(out))
 
-    nb = resolve_n_buckets(ds, n_buckets)
-    return with_hash_bucket(ds, key, nb).groupby("_bucket") \
-        .map_groups(diff, batch_format="pyarrow")
+    return bucketed_map_groups(ds, key, diff, n_buckets=n_buckets)
