@@ -245,8 +245,11 @@ def _flagship_ds(turns_dir: str):
     from opentelemetry_collector_ray.pipelines.flagship import (
         build_aggregate, build_routed)
 
+    # prune at the read: the aggregate never touches turn_idx, so only the
+    # five columns the parse→enrich→route→agg path reads leave storage
     return build_aggregate(build_routed(ray.data.read_parquet(
-        turns_dir, override_num_blocks=_read_blocks(turns_dir))))
+        turns_dir, columns=["conv_id", "role", "text", "tool", "ts"],
+        override_num_blocks=_read_blocks(turns_dir))))
 
 
 def stats() -> None:

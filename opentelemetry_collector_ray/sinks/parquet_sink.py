@@ -117,7 +117,14 @@ def bucketed_resumable_write(ds: ray.data.Dataset, out_dir: str,
     per key range. (The shuffle still runs on rerun; only the write —
     the side effect — is skipped, which is what idempotence requires.)
 
+    A bucket is skipped only when its ``_SUCCESS`` file records the SAME
+    content fingerprint (sha256 of the sorted bucket's IPC bytes) — a
+    rerun against changed input data rewrites the bucket instead of
+    silently retaining stale contents (the cross-check the manifest layer
+    does with recorded inputs + ruleset hash, applied per bucket).
+
     Returns {"written": [...], "skipped": [...]} bucket labels."""
+    import hashlib
     import shutil
     import uuid
 
@@ -131,17 +138,25 @@ def bucketed_resumable_write(ds: ray.data.Dataset, out_dir: str,
         b = g.column("_bucket")[0].as_py()
         label = f"bucket={b:05d}"
         final = os.path.join(out_dir, label)
-        if os.path.exists(os.path.join(final, "_SUCCESS")):
-            return pa.table({"bucket": pa.array([label]),
-                             "rows": pa.array([g.num_rows], pa.int64()),
-                             "skipped": pa.array([True])})
+        t = g.drop_columns(["_bucket"]).sort_by(
+            [(c, "ascending") for c in order]).combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        fp = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()[:32]
+        marker = f"{t.num_rows}\n{fp}"
+        success = os.path.join(final, "_SUCCESS")
+        if os.path.exists(success):
+            with open(success) as f:
+                if f.read() == marker:
+                    return pa.table({"bucket": pa.array([label]),
+                                     "rows": pa.array([t.num_rows], pa.int64()),
+                                     "skipped": pa.array([True])})
         staging = final + "." + uuid.uuid4().hex[:8] + ".tmp"
         os.makedirs(staging, exist_ok=True)
-        t = g.drop_columns(["_bucket"]).sort_by(
-            [(c, "ascending") for c in order])
         pq.write_table(t, os.path.join(staging, "part-0.parquet"))
         with open(os.path.join(staging, "_SUCCESS"), "w") as f:
-            f.write(str(t.num_rows))
+            f.write(marker)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(staging, final)

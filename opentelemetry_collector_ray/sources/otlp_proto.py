@@ -291,19 +291,37 @@ def record_byte_sizes(batch: pa.Table) -> list[int]:
 
 
 def split_by_bytes(batch: pa.Table, max_bytes: int) -> list[pa.Table]:
-    """Greedy split into slices whose summed record sizes stay ≤ max_bytes
-    (at least one record per slice) — MergeSplit's splitting half
-    (``queuebatch/logs_batch.go:18-100``); merging is the batcher's
-    concatenation of table slices."""
+    """Split into slices whose ENCODED REQUEST — records plus the
+    ResourceLogs/ScopeLogs/resource-attribute envelope — stays ≤ max_bytes
+    (at least one record per slice; a single record that alone exceeds the
+    budget is emitted oversized, as the reference's MergeSplit does) —
+    ``queuebatch/logs_batch.go:18-100``; merging is the batcher's
+    concatenation of table slices.
+
+    Two phases: a greedy pass over per-record sizes (the cheap sizer),
+    then each candidate slice is verified against its ACTUAL
+    ``encode_request`` size and halved until it fits — the envelope
+    depends on how rows group by (resource, scope), so only encoding the
+    slice accounts for it exactly."""
     sizes = record_byte_sizes(batch)
-    out, start, acc = [], 0, 0
+    greedy, start, acc = [], 0, 0
     for i, s in enumerate(sizes):
         if acc and acc + s > max_bytes:
-            out.append(batch.slice(start, i - start))
+            greedy.append(batch.slice(start, i - start))
             start, acc = i, 0
         acc += s
     if start < batch.num_rows or batch.num_rows == 0:
-        out.append(batch.slice(start))
+        greedy.append(batch.slice(start))
+    out: list[pa.Table] = []
+    stack = list(reversed(greedy))
+    while stack:
+        part = stack.pop()
+        if part.num_rows <= 1 or len(encode_request(part)) <= max_bytes:
+            out.append(part)
+            continue
+        half = part.num_rows // 2
+        stack.append(part.slice(half))   # pushed second half first…
+        stack.append(part.slice(0, half))  # …so the first half pops next
     return out
 
 

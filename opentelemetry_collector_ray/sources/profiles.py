@@ -58,11 +58,9 @@ def derive_profile_frames(events: ray.data.Dataset) -> ray.data.Dataset:
     return events.map_batches(_event_frames, batch_format="pyarrow")
 
 
-def build_function_table(frames: ray.data.Dataset) -> pa.Table:
-    """Dictionary build: distributed distinct over all three frame columns
-    → tiny sorted table (func_id = dense 0-based rank by name). The
-    distinct reduces per batch BEFORE the exchange; only unique names
-    move (pprofile string-table semantics: small by construction)."""
+def _distinct_names(frames: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed distinct over all three frame columns (reduces per
+    batch BEFORE the exchange; only unique names move)."""
 
     def names(t: pa.Table) -> pa.Table:
         arrs = [t.column(c).cast(pa.string()) for c in FRAME_COLS]
@@ -71,11 +69,80 @@ def build_function_table(frames: ray.data.Dataset) -> pa.Table:
                                  for a in arrs])
         return pa.table({"name": pc.unique(flat)})
 
-    uniq = frames.map_batches(names, batch_format="pyarrow") \
-        .groupby("name").count().select_columns(["name"]).to_pandas()
+    return frames.map_batches(names, batch_format="pyarrow") \
+        .groupby("name").count().select_columns(["name"])
+
+
+def build_function_table(frames: ray.data.Dataset,
+                         max_names: int = 2_000_000) -> pa.Table:
+    """Dictionary build: distributed distinct over all three frame columns
+    → tiny sorted table (func_id = dense 0-based rank by name), pprofile
+    string-table semantics: small by construction.
+
+    BOUNDED-VOCABULARY CONTRACT: the distinct name table materializes on
+    the driver (dense ranks need a global order), so the vocabulary must
+    be bounded — ``max_names`` guards it (checked distributed, via
+    ``count()`` on the materialized distinct, BEFORE anything reaches the
+    driver). Above the cap use ``hashed_function_table`` /
+    ``encode_samples_hashed``: func_id becomes a 64-bit content hash of
+    the name — stable without global coordination, the exact-dedup
+    identity trick applied to dictionary ids."""
+    uniq_ds = _distinct_names(frames).materialize()
+    n = uniq_ds.count()
+    if n > max_names:
+        raise ValueError(
+            f"build_function_table: {n} distinct frame names exceed "
+            f"max_names={max_names}; dense driver-side numbering does not "
+            "hold — use hashed_function_table/encode_samples_hashed "
+            "(hash-based func_ids, no driver materialization)")
+    uniq = uniq_ds.to_pandas()
+    if n == 0 or "name" not in uniq.columns:
+        # Ray drops the schema of a 0-row dataset: guard before sort_values
+        return pa.table({"func_id": pa.array([], pa.int64()),
+                         "name": pa.array([], pa.string())})
     uniq = uniq.sort_values("name").reset_index(drop=True)
     return pa.table({"func_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
                      "name": pa.array(uniq["name"], pa.string())})
+
+
+def hashed_function_table(frames: ray.data.Dataset) -> ray.data.Dataset:
+    """Unbounded-vocabulary dictionary: (func_id, name) with func_id =
+    64-bit content hash of the name. Fully distributed (never touches the
+    driver); ids are stable across runs/partitions by construction.
+    Collision odds for a vocabulary of n names ≈ n²/2^65 (~3e-7 at
+    n=10^6)."""
+    from ..functions.hashing import hash64
+
+    def add_id(t: pa.Table) -> pa.Table:
+        col = t.column("name")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "func_id": pa.array(hash64(col).astype(np.int64)),
+            "name": col})
+
+    return _distinct_names(frames).map_batches(add_id, batch_format="pyarrow")
+
+
+def encode_samples_hashed(frames: ray.data.Dataset) -> ray.data.Dataset:
+    """Dictionary-encode samples with HASH func_ids (the over-cap path):
+    no broadcast table, no driver state — each batch hashes its own frame
+    names; ids agree with ``hashed_function_table`` by construction."""
+    from ..functions.hashing import hash64
+
+    def enc(t: pa.Table) -> pa.Table:
+        def hid(c):
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.array(hash64(col.cast(pa.string())).astype(np.int64))
+
+        return pa.table({"event_id": t.column("event_id"),
+                         "f0_id": hid("frame0"), "f1_id": hid("frame1"),
+                         "f2_id": hid("frame2"),
+                         "value_us": t.column("value_us")})
+
+    return frames.map_batches(enc, batch_format="pyarrow")
 
 
 class EncodeSamplesStage:

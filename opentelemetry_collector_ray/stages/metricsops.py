@@ -5,12 +5,15 @@ Histogram, ExponentialHistogram, Summary).
 - Sum       → grouped_count/grouped_agg (stages/aggregate.py)
 - Histogram → explicit-bounds bucketize + grouped_count (orders_histogram)
 - **ExponentialHistogram** (here): base-2 exponential bucket mapping per
-  ``pmetric/exponential_histogram_data_point.go`` — lower-inclusive index
-  = floor(log2(v) · 2^scale), with the OTel zero bucket for v == 0 and a
-  sign flag for negative buckets. At scale ≤ 0 over integer inputs the
-  index is computed EXACTLY (frexp exponent arithmetic, no float log), so
-  it is oracle-checkable; scale > 0 uses float log2 (documented
-  approximate at bucket boundaries).
+  ``pmetric/exponential_histogram_data_point.go`` — the OTEL mapping with
+  lower-EXCLUSIVE / upper-inclusive boundaries: at scale 0,
+  index = ceil(log2(v)) - 1, so bucket i covers (2^i, 2^(i+1)] and exact
+  powers of two land in the LOWER bucket (v=8 → index 2). The OTel zero
+  bucket holds v == 0; ``signed=True`` adds the separate negative bucket
+  list. At scale ≤ 0 over integer inputs the index is computed EXACTLY
+  (frexp exponent arithmetic, no float log), so it is oracle-checkable;
+  scale > 0 uses float log2 (documented approximate at bucket
+  boundaries).
 - **Gauge** (here): last-value-wins aggregation — value at the max
   (order_cols) per key, the gauge "most recent sample" semantics.
 - Summary   → quantiles: exact bounded-domain path
@@ -29,21 +32,23 @@ from .aggregate import grouped_count
 
 
 def exp_bucket_index(vals: np.ndarray, scale: int = 0) -> np.ndarray:
-    """Exponential-histogram bucket index of positive values.
+    """Exponential-histogram bucket index of positive values — the OTel
+    mapping (lower-exclusive boundaries, base 2^(2^-scale)).
 
-    index = floor(log2(v) · 2^scale) (lower-inclusive boundaries, base
-    2^(2^-scale)). scale ≤ 0 is exact: floor(log2(v)) comes from the frexp
-    exponent (v = m·2^e, m ∈ [0.5, 1) ⇒ floor(log2 v) = e-1 for exact
-    powers handled by m == 0.5), then arithmetic-shifted for wider buckets.
+    At scale 0: index = ceil(log2(v)) - 1, i.e. bucket i is (2^i, 2^(i+1)]
+    and an exact power of two maps to the lower bucket — matching the
+    reference's ExponentialHistogramDataPoint model. scale ≤ 0 is exact:
+    v = m·2^e with m ∈ [0.5, 1) gives floor(log2 v) = e-1, and an exact
+    power (m == 0.5) subtracts one more; negative scales arithmetic-shift
+    the base index (the OTel downscale rule). scale > 0 uses float log2
+    (ceil(x·2^scale) - 1; approximate at bucket boundaries).
     """
     v = vals.astype(np.float64)
     if scale <= 0:
         m, e = np.frexp(v)
-        l2 = e.astype(np.int64) - 1
-        # exact power of two ⇒ m == 0.5 and log2 is integral (e-1) — already
-        # right; non-powers: floor(log2 v) == e-1 since 2^(e-1) ≤ v < 2^e.
-        return l2 >> (-scale) if scale else l2
-    return np.floor(np.log2(v) * (1 << scale)).astype(np.int64)
+        base = e.astype(np.int64) - 1 - (m == 0.5)
+        return base >> (-scale) if scale else base
+    return (np.ceil(np.log2(v) * (1 << scale)) - 1).astype(np.int64)
 
 
 def exp_histogram(ds: ray.data.Dataset, keys: list[str], value_col: str,

@@ -137,8 +137,12 @@ def build_ann_index(ds: ray.data.Dataset, index_dir: str, n_bits: int = 8,
     import json
     import os
 
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
+    head = ds.take(1)
+    if not head:
+        raise ValueError(
+            "build_ann_index: empty corpus — no rows to infer the "
+            "embedding dim from (pass a non-empty dataset)")
+    dim = len(head[0][vec_col])
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         LshBucketStage, fn_constructor_kwargs=dict(
             dim=dim, n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col),

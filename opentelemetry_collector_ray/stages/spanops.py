@@ -100,31 +100,51 @@ def trace_stats(spans: ray.data.Dataset, n_buckets: int | str = 64,
 
 def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
                             qs: tuple[float, ...] = (0.5, 0.95, 0.99),
-                            ) -> ray.data.Dataset:
-    """Exact per-key quantiles of a bounded integer domain.
+                            n_buckets: int | str = 64) -> ray.data.Dataset:
+    """Exact per-key quantiles of a bounded integer VALUE domain (keys may
+    be unbounded: the per-key work runs on the bucket idiom, one
+    vectorized pass per hash bucket — never one Python call per key).
 
     Rank rule (mirrored exactly by the oracle SQL): 0-based rank
     r = floor((n-1)·q) over ascending order; with duplicate values the
     answer is the value whose cumulative count first reaches r+1 —
     identical to row_number()-based selection on the sorted column.
+
+    Scale shape: the 10^12-row input first reduces to |keys|×|distinct
+    values| count rows (shuffle-strategy grouped count), then ONE Arrow
+    sort + cumulative-count searchsorted per BUCKET reads the ranks off —
+    cum is strictly increasing (counts ≥ 1), so a single global
+    searchsorted answers every key's quantile at once.
     """
+    from .bucketing import bucketed_map_groups, key_segments
+
     counts = grouped_count(ds.select_columns([key, value_col]),
                            [key, value_col], count_name="_n",
                            strategy="shuffle")
 
-    def pick(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(value_col)
-        n = int(df["_n"].sum())
-        cum = df["_n"].cumsum().to_numpy()
-        vals = df[value_col].to_numpy()
-        row: dict = {key: [df[key].iloc[0]], "n": [n]}
+    def pick_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        n_ = t.column("_n").to_numpy(zero_copy_only=False)
+        change, _ = key_segments(k)
+        starts = np.flatnonzero(change)
+        cum = np.cumsum(n_)
+        ends = np.append(starts[1:], len(k)) - 1
+        seg_base = np.concatenate([[0], cum])[starts]
+        totals = (cum[ends] - seg_base) if len(starts) \
+            else np.empty(0, np.int64)
+        out: dict = {key: t.column(key).take(pa.array(starts.astype(np.int64))),
+                     "n": pa.array(totals.astype(np.int64))}
         for q in qs:
-            r = int(np.floor((n - 1) * q))
-            row[f"p{int(round(q * 100))}"] = [int(vals[
-                np.searchsorted(cum, r + 1)])]
-        return pa.table(row)
+            r = np.floor((totals - 1) * q).astype(np.int64)
+            pos = np.searchsorted(cum, seg_base + r + 1)
+            out[f"p{int(round(q * 100))}"] = pa.array(
+                v[pos].astype(np.int64) if len(pos) else
+                np.empty(0, np.int64))
+        return pa.table(out)
 
-    return counts.groupby(key).map_groups(pick, batch_format="pyarrow")
+    return bucketed_map_groups(counts, key, pick_bucket, n_buckets=n_buckets)
 
 
 def tail_sample(spans: ray.data.Dataset, n_buckets: int | str = 64,

@@ -68,3 +68,15 @@ def test_entry_runs(ray_session):
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
     assert set(res.columns) == {"route", "role", "tool", "bucket", "n_turns"}
+
+
+def test_oracle_checked_queries_first():
+    """Driver-gate ordering invariant: the driver checks queries in
+    iteration order with a cap, so every oracle-checked entry must
+    precede every rows-only entry."""
+    q_names = list(entrymod.queries())
+    oracle_names = set(entrymod.oracle_sql())
+    assert oracle_names <= set(q_names)
+    head = q_names[:len(oracle_names)]
+    assert set(head) == oracle_names, (
+        "oracle-checked queries must come first in queries()")

@@ -88,12 +88,14 @@ def test_exact_quantiles_rank_rule(ray_session):
 def test_exp_bucket_index_exact():
     from opentelemetry_collector_ray.stages.metricsops import exp_bucket_index
 
+    # OTel mapping: lower-exclusive buckets, idx = ceil(log2 v) - 1 —
+    # exact powers of two land in the LOWER bucket (8 → 2, 1024 → 9)
     v = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 0.5, 0.3])
     idx = exp_bucket_index(v, scale=0)
-    assert idx.tolist() == [0, 1, 1, 2, 2, 3, 9, 10, -1, -2]
+    assert idx.tolist() == [-1, 0, 1, 1, 2, 2, 9, 9, -2, -2]
     # scale=-1: buckets twice as wide, arithmetic shift (floor division)
     idx2 = exp_bucket_index(np.array([1.0, 2, 4, 8, 0.5, 0.25]), scale=-1)
-    assert idx2.tolist() == [0, 0, 1, 1, -1, -1]
+    assert idx2.tolist() == [-1, 0, 0, 1, -1, -2]
 
 
 def test_exp_histogram_zero_bucket(ray_session):
@@ -107,7 +109,7 @@ def test_exp_histogram_zero_bucket(ray_session):
     zero = out[out.idx.isna()]
     assert zero.n.tolist() == [2]
     nz = out.dropna(subset=["idx"]).set_index("idx").n.to_dict()
-    assert nz == {0: 1, 1: 2, 3: 1}
+    assert nz == {-1: 1, 0: 1, 1: 1, 2: 1}
 
 
 def test_gauge_last_value(ray_session):
@@ -125,3 +127,43 @@ def test_gauge_last_value(ray_session):
                      order_cols=["ts", "eid"], value_col="v").to_pandas()
     got = dict(zip(out.k, out.last_value))
     assert got == {1: 30, 2: 40}  # ties on ts broken by eid
+
+
+def test_function_table_vocab_cap_and_hashed_fallback(ray_session):
+    """Over-cap vocabulary: build_function_table refuses (bounded-vocab
+    contract) and the hash-id path yields consistent ids between the
+    dictionary and the encoded samples; empty input returns an empty typed
+    table instead of crashing."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.profiles import (
+        build_function_table, encode_samples_hashed, hashed_function_table)
+
+    n = 50
+    frames = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "frame0": pa.array([f"proc::{i}" for i in range(n)]),
+        "frame1": pa.array([f"op::{i}" for i in range(n)]),
+        "frame2": pa.array(["status::ok"] * n),
+        "value_us": pa.array([10] * n, pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="max_names"):
+        build_function_table(frames, max_names=10)
+
+    ftab = hashed_function_table(frames).to_pandas()
+    assert len(ftab) == 2 * n + 1  # distinct names
+    assert ftab.func_id.nunique() == len(ftab)
+    lut = dict(zip(ftab.name, ftab.func_id))
+    enc = encode_samples_hashed(frames).to_pandas().sort_values("event_id")
+    assert enc.f0_id.tolist() == [lut[f"proc::{i}"] for i in range(n)]
+    assert enc.f2_id.unique().tolist() == [lut["status::ok"]]
+
+    empty = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "frame0": pa.array([], pa.string()),
+        "frame1": pa.array([], pa.string()),
+        "frame2": pa.array([], pa.string()),
+        "value_us": pa.array([], pa.int64())}))
+    et = build_function_table(empty)
+    assert et.num_rows == 0 and et.column_names == ["func_id", "name"]
