@@ -469,6 +469,50 @@ def _q_turns_attrs_map(sf_dir: str):
         .map_batches(read_out, batch_format="pyarrow")
 
 
+def _q_turns_attrs_typed(sf_dir: str):
+    """TYPED pcommon.Value attributes end to end (the full union,
+    functions/typedattrs.py): parse emits an attrs map whose latency_ms is
+    an INT cell (never stringified), a typed put adds a derived BOOL cell,
+    and the readers extract each lane directly — no cast from string
+    anywhere on the Ray side."""
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    def to_map(t: pa.Table) -> pa.Table:
+        attrs = T.build_typed_map({
+            "level": t.column("level"),
+            "tool": t.column("tool_attr"),
+            "latency_ms": t.column("latency_ms"),  # Int lane, typed
+            "status": t.column("status"),
+        })
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "attrs": attrs})
+
+    def mutate(t: pa.Table) -> pa.Table:
+        m = t.column("attrs")
+        lat = T.map_get_int(m, "latency_ms")
+        m = T.map_put(m, "is_slow", pc.greater_equal(lat, 500))  # Bool cell
+        return t.set_column(t.column_names.index("attrs"), "attrs", m)
+
+    def read_out(t: pa.Table) -> pa.Table:
+        m = t.column("attrs")
+        keep = T.map_has(m, "latency_ms")  # rule-0 rows only
+        t = t.filter(keep)
+        m = t.column("attrs")
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "level": T.map_get_str(m, "level"),
+            "latency_ms": T.map_get_int(m, "latency_ms"),
+            "is_slow": pc.cast(T.map_get_bool(m, "is_slow"), pa.int64()),
+            "n_attrs": T.map_len(m),
+        })
+
+    return _parsed(sf_dir).map_batches(to_map, batch_format="pyarrow") \
+        .map_batches(mutate, batch_format="pyarrow") \
+        .map_batches(read_out, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -904,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": _q_supplier_revenue,
         "docs_attr_ops": _q_docs_attr_ops,
         "turns_attrs_map": _q_turns_attrs_map,
+        "turns_attrs_typed": _q_turns_attrs_typed,
         "customers_no_orders": _q_customers_no_orders,
         "docs_top_terms": _q_docs_top_terms,
         "orders_histogram": _q_orders_histogram,
@@ -1218,6 +1263,16 @@ SELECT conv_id, turn_idx,
   CAST(regexp_extract(text, '{r0}', 3) AS BIGINT) AS latency_ms,
   upper(regexp_extract(text, '{r0}', 4)) AS status,
   'ray' AS engine,
+  CAST(5 AS BIGINT) AS n_attrs
+FROM turns WHERE regexp_matches(text, '{r0}')
+""",
+        "turns_attrs_typed": f"""
+{with_turns}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{r0}', 1) AS level,
+  CAST(regexp_extract(text, '{r0}', 3) AS BIGINT) AS latency_ms,
+  CAST(CASE WHEN CAST(regexp_extract(text, '{r0}', 3) AS BIGINT) >= 500
+       THEN 1 ELSE 0 END AS BIGINT) AS is_slow,
   CAST(5 AS BIGINT) AS n_attrs
 FROM turns WHERE regexp_matches(text, '{r0}')
 """,

@@ -1,0 +1,469 @@
+"""TYPED dynamic attribute maps — the full ``pcommon.Value`` union
+(``/root/reference/pdata/pcommon/value.go:19-30``: Empty/Str/Int/Double/
+Bool/Map/Slice/Bytes) as an Arrow column, with the ``pcommon.Map``
+operation surface over it.
+
+Representation (SURVEY.md §1.5 names the dense_union / typed-struct
+options; the struct-of-lanes is chosen because union arrays do not
+survive Ray's block conversions): a ``map<string, struct>`` whose value
+struct carries a type tag plus one lane per primitive case —
+
+    vtype int8   ValueType code (VTYPE_*: 0=Empty 1=Str 2=Int 3=Double
+                 4=Bool 5=Map 6=Slice 7=Bytes — value.go order)
+    s     string Str lane; Map/Slice store their canonical JSON here
+    i     int64  Int lane
+    d     double Double lane
+    b     bool   Bool lane
+    z     binary Bytes lane
+
+Exactly one lane is populated per entry (the others are null). Nested
+containers (Map/Slice) ride the string lane as canonical JSON —
+``[vtype, payload]`` recursively, bytes base64 — keeping the Arrow schema
+flat and finite; the wire codecs re-nest them into real AnyValue
+kvlist/array messages.
+
+Every op is vectorized over the MapArray's FLAT children (numpy index
+arithmetic on keys/offsets + one ``take`` on the value struct) — never a
+Python loop over rows. Last-writer-wins upsert semantics match
+``pcommon/map.go:65-319`` (PutStr/PutInt/..., Get, Remove).
+
+The string-restricted ``functions/mapattrs.py`` remains the lightweight
+map<string,string> surface; this module is the faithful one.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+VTYPE_EMPTY, VTYPE_STR, VTYPE_INT, VTYPE_DOUBLE = 0, 1, 2, 3
+VTYPE_BOOL, VTYPE_MAP, VTYPE_SLICE, VTYPE_BYTES = 4, 5, 6, 7
+
+LANES = ("s", "i", "d", "b", "z")
+VALUE_T = pa.struct([
+    ("vtype", pa.int8()),
+    ("s", pa.string()),
+    ("i", pa.int64()),
+    ("d", pa.float64()),
+    ("b", pa.bool_()),
+    ("z", pa.binary()),
+])
+TYPED_MAP_T = pa.map_(pa.string(), VALUE_T)
+
+_LANE_OF = {VTYPE_STR: "s", VTYPE_INT: "i", VTYPE_DOUBLE: "d",
+            VTYPE_BOOL: "b", VTYPE_BYTES: "z",
+            VTYPE_MAP: "s", VTYPE_SLICE: "s"}
+_LANE_TYPE = {"s": pa.string(), "i": pa.int64(), "d": pa.float64(),
+              "b": pa.bool_(), "z": pa.binary()}
+
+
+# --------------------------------------------------- python-value cells
+# Canonical python-side value = (vtype, payload); containers recurse:
+#   Map   → [(key, (vtype, payload)), ...]   (ORDER KEPT — pcommon.Map
+#            is an ordered kv-list)
+#   Slice → [(vtype, payload), ...]
+# Used by the wire codecs (json/proto) to move between nested AnyValue
+# messages and flat typed cells.
+
+def _to_jsonable(vtype: int, py):
+    if vtype == VTYPE_BYTES:
+        return base64.b64encode(py).decode()
+    if vtype == VTYPE_MAP:
+        return [[k, [vt, _to_jsonable(vt, v)]] for k, (vt, v) in py]
+    if vtype == VTYPE_SLICE:
+        return [[vt, _to_jsonable(vt, v)] for vt, v in py]
+    return py
+
+
+def _from_jsonable(vtype: int, j):
+    if vtype == VTYPE_BYTES:
+        return base64.b64decode(j)
+    if vtype == VTYPE_MAP:
+        return [(k, (vt, _from_jsonable(vt, v))) for k, (vt, v) in j]
+    if vtype == VTYPE_SLICE:
+        return [(vt, _from_jsonable(vt, v)) for vt, v in j]
+    return j
+
+
+def cell(vtype: int, py) -> dict:
+    """(vtype, python payload) → one flat cell dict (the struct row)."""
+    out = {"vtype": vtype, "s": None, "i": None, "d": None, "b": None,
+           "z": None}
+    if vtype == VTYPE_EMPTY:
+        return out
+    lane = _LANE_OF[vtype]
+    if vtype in (VTYPE_MAP, VTYPE_SLICE):
+        out["s"] = json.dumps(_to_jsonable(vtype, py), sort_keys=False,
+                              separators=(",", ":"))
+    elif vtype == VTYPE_INT:
+        out["i"] = int(py)
+    elif vtype == VTYPE_DOUBLE:
+        out["d"] = float(py)
+    elif vtype == VTYPE_BOOL:
+        out["b"] = bool(py)
+    else:
+        out[lane] = py
+    return out
+
+
+def cell_value(c: dict) -> tuple[int, object]:
+    """One flat cell dict → (vtype, python payload)."""
+    vt = c["vtype"]
+    if vt == VTYPE_EMPTY:
+        return vt, None
+    if vt in (VTYPE_MAP, VTYPE_SLICE):
+        return vt, _from_jsonable(vt, json.loads(c["s"]))
+    return vt, c[_LANE_OF[vt]]
+
+
+# ---------------------------------------------- OTLP/JSON AnyValue form
+# Shared by the JSON and protobuf wire codecs so both marshal the same
+# typed model (plog json.go / pb.go: one pdata model, two marshalers).
+# Per the OTLP JSON mapping int64 rides as a STRING ("intValue": "3").
+
+def json_to_value(v: dict) -> tuple[int, object]:
+    """OTLP JSON AnyValue object → (vtype, python payload)."""
+    if "stringValue" in v:
+        return VTYPE_STR, v["stringValue"]
+    if "boolValue" in v:
+        return VTYPE_BOOL, bool(v["boolValue"])
+    if "intValue" in v:
+        return VTYPE_INT, int(v["intValue"])
+    if "doubleValue" in v:
+        return VTYPE_DOUBLE, float(v["doubleValue"])
+    if "bytesValue" in v:
+        return VTYPE_BYTES, base64.b64decode(v["bytesValue"])
+    if "arrayValue" in v:
+        return VTYPE_SLICE, [json_to_value(x)
+                             for x in v["arrayValue"].get("values", [])]
+    if "kvlistValue" in v:
+        return VTYPE_MAP, [(kv.get("key", ""),
+                            json_to_value(kv.get("value", {})))
+                           for kv in v["kvlistValue"].get("values", [])]
+    return VTYPE_EMPTY, None
+
+
+def value_to_json(vtype: int, py) -> dict:
+    """(vtype, python payload) → OTLP JSON AnyValue object."""
+    if vtype == VTYPE_STR:
+        return {"stringValue": py}
+    if vtype == VTYPE_BOOL:
+        return {"boolValue": bool(py)}
+    if vtype == VTYPE_INT:
+        return {"intValue": str(int(py))}
+    if vtype == VTYPE_DOUBLE:
+        return {"doubleValue": float(py)}
+    if vtype == VTYPE_BYTES:
+        return {"bytesValue": base64.b64encode(py).decode()}
+    if vtype == VTYPE_SLICE:
+        return {"arrayValue": {"values": [value_to_json(vt, v)
+                                          for vt, v in py]}}
+    if vtype == VTYPE_MAP:
+        return {"kvlistValue": {"values": [
+            {"key": k, "value": value_to_json(vt, v)} for k, (vt, v) in py]}}
+    return {}
+
+
+# ------------------------------------------------------- arrow plumbing
+
+def _parts(m: pa.Array | pa.ChunkedArray):
+    """(offsets, keys ndarray, value StructArray) — rebased so a sliced
+    MapArray exposes only its own entries (see mapattrs._parts)."""
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    off = np.asarray(m.offsets.to_numpy(zero_copy_only=False), np.int64)
+    keys = np.asarray(m.keys.to_numpy(zero_copy_only=False), dtype=object)
+    items = m.items
+    base = off[0] if len(off) else 0
+    if base or (len(off) and off[-1] != len(keys)):
+        keys = keys[base: off[-1]]
+        items = items.slice(base, off[-1] - base)
+        off = off - base
+    return off, keys, items
+
+
+def _rebuild(off: np.ndarray, keys: np.ndarray,
+             items: pa.StructArray) -> pa.Array:
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    return pa.MapArray.from_arrays(
+        pa.array(off.astype(np.int32)), pa.array(keys, pa.string()),
+        items.cast(VALUE_T))
+
+
+def _take(items, idx: np.ndarray) -> pa.StructArray:
+    return items.take(pa.array(idx.astype(np.int64)))
+
+
+def lift(col: pa.Array | pa.ChunkedArray) -> tuple[int, pa.StructArray]:
+    """A typed Arrow column → (vtype code, full-length value struct with
+    the matching lane populated). Type inference: string→Str, int→Int,
+    float→Double, bool→Bool, binary→Bytes."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        vt = VTYPE_STR
+    elif pa.types.is_boolean(t):
+        vt = VTYPE_BOOL
+    elif pa.types.is_integer(t):
+        vt = VTYPE_INT
+    elif pa.types.is_floating(t):
+        vt = VTYPE_DOUBLE
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        vt = VTYPE_BYTES
+    else:
+        raise TypeError(f"no pcommon.Value lane for arrow type {t}")
+    lane = _LANE_OF[vt]
+    n = len(col)
+    lanes = {nm: (col.cast(_LANE_TYPE[nm]) if nm == lane
+                  else pa.nulls(n, _LANE_TYPE[nm])) for nm in LANES}
+    vtypes = pa.array(np.full(n, vt, np.int8))
+    return vt, pa.StructArray.from_arrays(
+        [vtypes, *lanes.values()], names=["vtype", *LANES])
+
+
+def build_typed_map(columns: dict[str, pa.Array | pa.ChunkedArray]) -> pa.Array:
+    """Fixed typed columns → typed map column; a row's entry is omitted
+    when the value is null (pcommon.Map has no null values)."""
+    names = list(columns)
+    cols = []
+    for c in columns.values():
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols.append(c)
+    n = len(cols[0]) if cols else 0
+    valid = np.stack([~np.asarray(c.is_null()) for c in cols], axis=1) \
+        if cols else np.zeros((0, 0), bool)
+    counts = valid.sum(axis=1)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    total = int(off[-1])
+    keys = np.empty(total, object)
+    perm = np.empty(total, np.int64)
+    pieces: list[pa.StructArray] = []
+    before = np.zeros(n, np.int64)
+    base = 0
+    for j, name in enumerate(names):
+        rows = np.flatnonzero(valid[:, j])
+        pos = off[rows] + before[rows]
+        keys[pos] = name
+        _, lifted = lift(cols[j])
+        pieces.append(_take(lifted, rows))
+        perm[pos] = base + np.arange(len(rows))
+        base += len(rows)
+        before[rows] += 1
+    if not pieces:
+        items = pa.array([], VALUE_T)
+    else:
+        items = _take(pa.concat_arrays([p.cast(VALUE_T) for p in pieces]),
+                      perm)
+    return _rebuild(off, keys, items)
+
+
+def map_len(m) -> pa.Array:
+    off, _, _ = _parts(m)
+    return pa.array(np.diff(off).astype(np.int64))
+
+
+def map_has(m, key: str) -> pa.Array:
+    off, keys, _ = _parts(m)
+    n = len(off) - 1
+    rows = np.repeat(np.arange(n), np.diff(off))
+    hit = np.zeros(n, bool)
+    hit[rows[keys == key]] = True
+    return pa.array(hit)
+
+
+def _last_index(m, key: str) -> tuple[np.ndarray, pa.StructArray, int]:
+    off, keys, items = _parts(m)
+    n = len(off) - 1
+    rows = np.repeat(np.arange(n), np.diff(off))
+    match = np.flatnonzero(keys == key)
+    last = np.full(n, -1, np.int64)
+    np.maximum.at(last, rows[match], match)
+    return last, items, n
+
+
+def map_get(m, key: str) -> pa.StructArray:
+    """Full value cell of the LAST entry with ``key`` per row (upsert read
+    semantics); null struct when absent."""
+    last, items, n = _last_index(m, key)
+    idx = pa.array(last, pa.int64(), mask=last < 0)
+    return items.take(idx)
+
+
+def vtype_of(m, key: str) -> pa.Array:
+    return map_get(m, key).field("vtype")
+
+
+def _lane_get(m, key: str, vtype: int, lane: str) -> pa.Array:
+    g = map_get(m, key)
+    want = pc.equal(g.field("vtype"), pa.scalar(vtype, pa.int8()))
+    return pc.if_else(pc.fill_null(want, False), g.field(lane),
+                      pa.nulls(len(g), _LANE_TYPE[lane]))
+
+
+def map_get_str(m, key: str) -> pa.Array:
+    return _lane_get(m, key, VTYPE_STR, "s")
+
+
+def map_get_int(m, key: str) -> pa.Array:
+    """Int lane read — null when the key is absent OR holds a non-Int
+    value (stricter than the reference's zero-default ``Value.Int()``:
+    a silent 0 is indistinguishable from data, a null is not)."""
+    return _lane_get(m, key, VTYPE_INT, "i")
+
+
+def map_get_double(m, key: str) -> pa.Array:
+    return _lane_get(m, key, VTYPE_DOUBLE, "d")
+
+
+def map_get_bool(m, key: str) -> pa.Array:
+    return _lane_get(m, key, VTYPE_BOOL, "b")
+
+
+def map_get_bytes(m, key: str) -> pa.Array:
+    return _lane_get(m, key, VTYPE_BYTES, "z")
+
+
+def map_delete(m, key: str) -> pa.Array:
+    off, keys, items = _parts(m)
+    n = len(off) - 1
+    keep = keys != key
+    rows = np.repeat(np.arange(n), np.diff(off))
+    counts = np.bincount(rows[keep], minlength=n)
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    return _rebuild(new_off, keys[keep], _take(items, np.flatnonzero(keep)))
+
+
+def map_keep_keys(m, keys_to_keep) -> pa.Array:
+    off, keys, items = _parts(m)
+    n = len(off) - 1
+    keep = np.isin(keys, np.asarray(list(keys_to_keep), dtype=object))
+    rows = np.repeat(np.arange(n), np.diff(off))
+    counts = np.bincount(rows[keep], minlength=n)
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    return _rebuild(new_off, keys[keep], _take(items, np.flatnonzero(keep)))
+
+
+def map_rename(m, old: str, new: str) -> pa.Array:
+    off, keys, items = _parts(m)
+    keys = keys.copy()
+    keys[keys == old] = new
+    return _rebuild(off, keys, items)
+
+
+def map_put(m, key: str, values) -> pa.Array:
+    """Typed upsert (PutStr/PutInt/PutDouble/PutBool/PutEmptyBytes...):
+    remove existing entries for ``key``, append one typed entry at each
+    row's end. ``values`` is a typed Arrow array (lane inferred via
+    ``lift``; null value → no entry for that row), a value StructArray
+    (lanes pre-built), or a python scalar (str/bool/int/float/bytes)."""
+    if isinstance(values, str):
+        values = pa.array([values] * _n_rows(m), pa.string())
+    elif isinstance(values, bool):
+        values = pa.array([values] * _n_rows(m), pa.bool_())
+    elif isinstance(values, int):
+        values = pa.array([values] * _n_rows(m), pa.int64())
+    elif isinstance(values, float):
+        values = pa.array([values] * _n_rows(m), pa.float64())
+    elif isinstance(values, bytes):
+        values = pa.array([values] * _n_rows(m), pa.binary())
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if pa.types.is_struct(values.type):
+        lifted = values.cast(VALUE_T)
+        valid = ~np.asarray(lifted.is_null())
+    else:
+        # the lifted struct is valid everywhere (nulls live in the lanes),
+        # so the omit-this-row mask must come from the SOURCE array
+        valid = ~np.asarray(values.is_null())
+        _, lifted = lift(values)
+
+    base = map_delete(m, key)
+    off, keys, items = _parts(base)
+    n = len(off) - 1
+    adds = valid.astype(np.int64)
+    before = np.concatenate([[0], np.cumsum(adds)[:-1]])
+    counts = np.diff(off)
+    total = int(off[-1] + adds.sum())
+    new_keys = np.empty(total, object)
+    perm = np.empty(total, np.int64)
+    old_rows = np.repeat(np.arange(n), counts)
+    old_pos = np.arange(len(keys)) + before[old_rows]
+    new_keys[old_pos] = keys
+    perm[old_pos] = np.arange(len(keys))
+    app_rows = np.flatnonzero(valid)
+    app_pos = off[app_rows + 1] + before[app_rows]
+    new_keys[app_pos] = key
+    perm[app_pos] = len(keys) + np.arange(len(app_rows))
+    new_off = off + np.concatenate([[0], np.cumsum(adds)])
+    items_concat = pa.concat_arrays([
+        items.combine_chunks().cast(VALUE_T)
+        if isinstance(items, pa.ChunkedArray) else items.cast(VALUE_T),
+        _take(lifted, app_rows)])
+    return _rebuild(new_off, new_keys, _take(items_concat, perm))
+
+
+def _n_rows(m) -> int:
+    off, _, _ = _parts(m)
+    return len(off) - 1
+
+
+# --------------------------------------------------------- conversions
+
+def from_string_map(m) -> pa.Array:
+    """map<string,string> → typed map, every value a Str cell."""
+    off, keys, items = _sparts(m)
+    _, lifted = lift(items)
+    return _rebuild(off, keys, lifted)
+
+
+def _sparts(m):
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    off = np.asarray(m.offsets.to_numpy(zero_copy_only=False), np.int64)
+    keys = np.asarray(m.keys.to_numpy(zero_copy_only=False), dtype=object)
+    items = m.items
+    base = off[0] if len(off) else 0
+    if base or (len(off) and off[-1] != len(keys)):
+        keys = keys[base: off[-1]]
+        items = items.slice(base, off[-1] - base)
+        off = off - base
+    return off, keys, items
+
+
+def to_string_map(m) -> pa.Array:
+    """Typed map → map<string,string> (AsString semantics: int/double/bool
+    render as text, bytes as base64, containers keep their JSON). The
+    lossy direction — for sinks that only understand strings."""
+    off, keys, items = _parts(m)
+    vt = items.field("vtype").to_numpy(zero_copy_only=False)
+    out = np.empty(len(keys), object)
+    s = items.field("s").to_numpy(zero_copy_only=False)
+    i = items.field("i").to_numpy(zero_copy_only=False)
+    d = items.field("d").to_numpy(zero_copy_only=False)
+    b = items.field("b").to_numpy(zero_copy_only=False)
+    z = items.field("z").to_numpy(zero_copy_only=False)
+    for mask_vt, lane in ((VTYPE_STR, s), (VTYPE_MAP, s), (VTYPE_SLICE, s)):
+        sel = vt == mask_vt
+        out[sel] = lane[sel]
+    sel = vt == VTYPE_INT
+    out[sel] = np.array([str(int(x)) for x in i[sel]], object)
+    sel = vt == VTYPE_DOUBLE
+    out[sel] = np.array([repr(float(x)) for x in d[sel]], object)
+    sel = vt == VTYPE_BOOL
+    out[sel] = np.where(b[sel].astype(bool), "true", "false").astype(object)
+    sel = vt == VTYPE_BYTES
+    out[sel] = np.array([base64.b64encode(x).decode() for x in z[sel]],
+                        object)
+    return pa.MapArray.from_arrays(
+        pa.array(off.astype(np.int32)), pa.array(keys, pa.string()),
+        pa.array(out, pa.string()))

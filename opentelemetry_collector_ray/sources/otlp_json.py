@@ -10,9 +10,13 @@ resource/scope context denormalized into columns (SURVEY.md §1.5 — Arrow
 dictionary encoding recovers the sharing the nesting provided);
 writing re-nests grouped by (resource, scope).
 
-Attribute values are restricted to the string case of ``pcommon.Value``
-in columns (``attributes`` map<string,string>); non-string OTLP values are
-JSON-encoded strings — the documented engine-level simplification.
+Record/span ``attributes`` carry the FULL ``pcommon.Value`` union
+(Str/Int/Double/Bool/Bytes/Map/Slice — functions/typedattrs.py typed map,
+``pdata/pcommon/value.go:19-30``); nested Map/Slice values re-nest into
+real kvlist/array AnyValues on the wire. ``resource_attributes`` remain
+the string-restricted map (resource attrs are overwhelmingly strings —
+semantic-convention names; non-string ones round-trip as JSON-encoded
+strings, the documented remaining simplification).
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ import json
 import pyarrow as pa
 
 import ray.data
+
+from ..functions import typedattrs as tav
 
 LOG_COLUMNS = ["time_unix_nano", "observed_time_unix_nano", "severity_number",
                "severity_text", "body", "trace_id", "span_id", "event_name",
@@ -43,6 +49,19 @@ def _attr_list_to_pairs(attrs: list | None) -> list[tuple[str, str]]:
 
 def _pairs_to_attr_list(pairs) -> list[dict]:
     return [{"key": k, "value": {"stringValue": v}} for k, v in (pairs or [])]
+
+
+def _attr_list_to_cells(attrs: list | None) -> list[tuple[str, dict]]:
+    """OTLP JSON attribute list → [(key, typed cell)] — the full Value
+    union, order preserved (pcommon.Map is an ordered kv-list)."""
+    return [(kv.get("key", ""),
+             tav.cell(*tav.json_to_value(kv.get("value", {}))))
+            for kv in attrs or []]
+
+
+def _cells_to_attr_list(pairs) -> list[dict]:
+    return [{"key": k, "value": tav.value_to_json(*tav.cell_value(c))}
+            for k, c in (pairs or [])]
 
 
 def parse_request_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -72,7 +91,8 @@ def parse_request_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
                     rows["resource_attributes"].append(res_attrs)
                     rows["scope_name"].append(scope.get("name", ""))
                     rows["scope_version"].append(scope.get("version", ""))
-                    rows["attributes"].append(_attr_list_to_pairs(lr.get("attributes")))
+                    rows["attributes"].append(
+                        _attr_list_to_cells(lr.get("attributes")))
     return pa.table({
         "time_unix_nano": pa.array(rows["time_unix_nano"], pa.uint64()),
         "observed_time_unix_nano": pa.array(rows["observed_time_unix_nano"], pa.uint64()),
@@ -86,7 +106,7 @@ def parse_request_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
                                         pa.map_(pa.string(), pa.string())),
         "scope_name": pa.array(rows["scope_name"], pa.string()),
         "scope_version": pa.array(rows["scope_version"], pa.string()),
-        "attributes": pa.array(rows["attributes"], pa.map_(pa.string(), pa.string())),
+        "attributes": pa.array(rows["attributes"], tav.TYPED_MAP_T),
     })
 
 
@@ -126,7 +146,7 @@ def records_to_request(batch: pa.Table) -> str:
                 if r.get("event_name"):
                     lr["eventName"] = r["event_name"]
                 if r.get("attributes"):
-                    lr["attributes"] = _pairs_to_attr_list(r["attributes"])
+                    lr["attributes"] = _cells_to_attr_list(r["attributes"])
                 log_records.append(lr)
             scope_logs.append({"scope": {"name": sname, "version": sver},
                                "logRecords": log_records})
@@ -204,7 +224,7 @@ def parse_spans_request_lines(batch: pa.Table, text_col: str = "text"
                     rows["scope_name"].append(scope.get("name", ""))
                     rows["scope_version"].append(scope.get("version", ""))
                     rows["attributes"].append(
-                        _attr_list_to_pairs(sp.get("attributes")))
+                        _attr_list_to_cells(sp.get("attributes")))
     return pa.table({
         "trace_id": pa.array(rows["trace_id"], pa.string()),
         "span_id": pa.array(rows["span_id"], pa.string()),
@@ -221,8 +241,7 @@ def parse_spans_request_lines(batch: pa.Table, text_col: str = "text"
                                         pa.map_(pa.string(), pa.string())),
         "scope_name": pa.array(rows["scope_name"], pa.string()),
         "scope_version": pa.array(rows["scope_version"], pa.string()),
-        "attributes": pa.array(rows["attributes"],
-                               pa.map_(pa.string(), pa.string())),
+        "attributes": pa.array(rows["attributes"], tav.TYPED_MAP_T),
     })
 
 
@@ -251,7 +270,7 @@ def spans_to_request(batch: pa.Table) -> str:
                 if r.get("parent_span_id"):
                     sp["parentSpanId"] = r["parent_span_id"]
                 if r.get("attributes"):
-                    sp["attributes"] = _pairs_to_attr_list(r["attributes"])
+                    sp["attributes"] = _cells_to_attr_list(r["attributes"])
                 st = {}
                 if r.get("status_code"):
                     st["code"] = r["status_code"]

@@ -11,7 +11,13 @@ Field numbers mirror the generated marshalers exactly
     ScopeLogs:       scope=1  log_records=2  schema_url=3
     Scope:           name=1  version=2
     KeyValue:        key=1  value=2(AnyValue)
-    AnyValue:        string_value=1  (string-restricted, SURVEY §1.5)
+    AnyValue:        string_value=1 bool_value=2(varint) int_value=3(varint)
+                     double_value=4(I64) array_value=5(ArrayValue)
+                     kvlist_value=6(KeyValueList) bytes_value=7
+                     (full pcommon.Value union — tags per
+                     generated_proto_anyvalue.go:582-632)
+    ArrayValue:      values=1 (repeated AnyValue)
+    KeyValueList:    values=1 (repeated KeyValue)
     LogRecord:       time_unix_nano=1(I64) severity_number=2(varint)
                      severity_text=3 body=5(AnyValue) attributes=6(KeyValue*)
                      dropped_attributes_count=7(varint) flags=8(I32)
@@ -40,6 +46,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions import typedattrs as tav
 from .otlp_json import LOG_COLUMNS
 
 # wire types
@@ -78,6 +85,44 @@ def _keyvalue(k: str, v: str) -> bytes:
     return _len_field(1, k.encode()) + _len_field(2, _anyvalue_str(v))
 
 
+def _anyvalue_typed(vtype: int, py) -> bytes:
+    """(vtype, python payload) → AnyValue message bytes — the full union
+    (string=1 bool=2 int=3 double=4 array=5 kvlist=6 bytes=7)."""
+    if vtype == tav.VTYPE_STR:
+        return _len_field(1, py.encode())
+    if vtype == tav.VTYPE_BOOL:
+        return _tag(2, _VARINT) + _varint(1 if py else 0)
+    if vtype == tav.VTYPE_INT:
+        # int64 varint: negatives as 64-bit two's complement (proto int64)
+        return _tag(3, _VARINT) + _varint(int(py) & 0xFFFFFFFFFFFFFFFF)
+    if vtype == tav.VTYPE_DOUBLE:
+        return _tag(4, _I64) + struct.pack("<d", float(py))
+    if vtype == tav.VTYPE_SLICE:
+        inner = b"".join(_len_field(1, _anyvalue_typed(vt, v))
+                         for vt, v in py)
+        return _len_field(5, inner)
+    if vtype == tav.VTYPE_MAP:
+        inner = b"".join(_len_field(1, _keyvalue_typed(k, (vt, v)))
+                         for k, (vt, v) in py)
+        return _len_field(6, inner)
+    if vtype == tav.VTYPE_BYTES:
+        return _len_field(7, py)
+    return b""  # Empty
+
+
+def _keyvalue_typed(k: str, value: tuple[int, object]) -> bytes:
+    return _len_field(1, k.encode()) + _len_field(
+        2, _anyvalue_typed(*value))
+
+
+def _cell_keyvalue(k: str, c) -> bytes:
+    """KeyValue bytes from a flat cell dict (or a bare str for
+    compatibility with string-restricted tables)."""
+    if isinstance(c, str):
+        return _keyvalue(k, c)
+    return _keyvalue_typed(k, tav.cell_value(c))
+
+
 def encode_log_record(r: dict) -> bytes:
     """One flat row → LogRecord message bytes (field order as the
     reference's marshaler: ascending field number)."""
@@ -90,7 +135,7 @@ def encode_log_record(r: dict) -> bytes:
     if r.get("body", ""):
         out += _len_field(5, _anyvalue_str(r["body"]))
     for k, v in (r.get("attributes") or []):
-        out += _len_field(6, _keyvalue(k, v))
+        out += _len_field(6, _cell_keyvalue(k, v))
     if r.get("trace_id"):
         out += _len_field(9, bytes.fromhex(r["trace_id"]))
     if r.get("span_id"):
@@ -193,6 +238,47 @@ def _decode_kv(buf) -> tuple[str, str]:
     return k, s
 
 
+def _decode_anyvalue_typed(buf) -> tuple[int, object]:
+    """AnyValue bytes → (vtype, python payload) — full union decode."""
+    for f, w, v in _iter_fields(bytes(buf)):
+        if f == 1:
+            return tav.VTYPE_STR, bytes(v).decode()
+        if f == 2:
+            return tav.VTYPE_BOOL, bool(v)
+        if f == 3:
+            return tav.VTYPE_INT, (v if v < 1 << 63 else v - (1 << 64))
+        if f == 4:
+            return tav.VTYPE_DOUBLE, struct.unpack(
+                "<d", struct.pack("<Q", v))[0]
+        if f == 5:
+            return tav.VTYPE_SLICE, [
+                _decode_anyvalue_typed(x)
+                for f2, _w2, x in _iter_fields(bytes(v)) if f2 == 1]
+        if f == 6:
+            return tav.VTYPE_MAP, [
+                _decode_kv_typed(x)
+                for f2, _w2, x in _iter_fields(bytes(v)) if f2 == 1]
+        if f == 7:
+            return tav.VTYPE_BYTES, bytes(v)
+    return tav.VTYPE_EMPTY, None
+
+
+def _decode_kv_typed(buf) -> tuple[str, tuple[int, object]]:
+    k = ""
+    val: tuple[int, object] = (tav.VTYPE_EMPTY, None)
+    for f, w, v in _iter_fields(bytes(buf)):
+        if f == 1:
+            k = bytes(v).decode()
+        elif f == 2:
+            val = _decode_anyvalue_typed(v)
+    return k, val
+
+
+def _decode_kv_cell(buf) -> tuple[str, dict]:
+    k, val = _decode_kv_typed(buf)
+    return k, tav.cell(*val)
+
+
 def decode_request(buf: bytes) -> pa.Table:
     """ExportLogsServiceRequest/LogsData bytes → flat LogRecord table (same
     schema as otlp_json.parse_request_lines)."""
@@ -236,7 +322,7 @@ def decode_request(buf: bytes) -> pa.Table:
                     elif f4 == 5:
                         r["body"] = _decode_anyvalue(v4)
                     elif f4 == 6:
-                        r["attributes"].append(_decode_kv(v4))
+                        r["attributes"].append(_decode_kv_cell(v4))
                     elif f4 == 9:
                         r["trace_id"] = bytes(v4).hex()
                     elif f4 == 10:
@@ -272,8 +358,7 @@ def decode_request(buf: bytes) -> pa.Table:
                                         pa.map_(pa.string(), pa.string())),
         "scope_name": pa.array(rows["scope_name"], pa.string()),
         "scope_version": pa.array(rows["scope_version"], pa.string()),
-        "attributes": pa.array(rows["attributes"],
-                               pa.map_(pa.string(), pa.string())),
+        "attributes": pa.array(rows["attributes"], tav.TYPED_MAP_T),
     })
 
 
@@ -402,7 +487,7 @@ def encode_span(r: dict) -> bytes:
     if r.get("end_time_unix_nano"):
         out += _tag(8, _I64) + struct.pack("<Q", int(r["end_time_unix_nano"]))
     for k, v in (r.get("attributes") or []):
-        out += _len_field(9, _keyvalue(k, v))
+        out += _len_field(9, _cell_keyvalue(k, v))
     if r.get("status_code") or r.get("status_message"):
         st = _str_field(2, r.get("status_message", ""))
         if r.get("status_code"):
@@ -480,7 +565,7 @@ def decode_spans_request(buf: bytes) -> pa.Table:
                     elif f4 == 8:
                         r["end_time_unix_nano"] = v4
                     elif f4 == 9:
-                        r["attributes"].append(_decode_kv(v4))
+                        r["attributes"].append(_decode_kv_cell(v4))
                     elif f4 == 15:
                         for f5, w5, v5 in _iter_fields(bytes(v4)):
                             if f5 == 2:
@@ -513,8 +598,7 @@ def decode_spans_request(buf: bytes) -> pa.Table:
                                         pa.map_(pa.string(), pa.string())),
         "scope_name": pa.array(rows["scope_name"], pa.string()),
         "scope_version": pa.array(rows["scope_version"], pa.string()),
-        "attributes": pa.array(rows["attributes"],
-                               pa.map_(pa.string(), pa.string())),
+        "attributes": pa.array(rows["attributes"], tav.TYPED_MAP_T),
     })
 
 
@@ -558,5 +642,5 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
         "resource_attributes": res_attrs,
         "scope_name": pa.array(["otelcol_ray"] * n, pa.string()),
         "scope_version": pa.array(["2"] * n, pa.string()),
-        "attributes": pa.array([[]] * n, pa.map_(pa.string(), pa.string())),
+        "attributes": pa.array([[]] * n, tav.TYPED_MAP_T),
     })

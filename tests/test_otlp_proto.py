@@ -8,6 +8,7 @@ import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from opentelemetry_collector_ray.functions import typedattrs as tav
 from opentelemetry_collector_ray.sources.otlp_json import parse_request_lines
 from opentelemetry_collector_ray.sources.otlp_proto import (
     decode_request, encode_request, record_byte_sizes, split_by_bytes)
@@ -33,13 +34,32 @@ def test_proto_round_trip_matches_flat():
         flat.column("resource_attributes").to_pylist()
 
 
-@settings(max_examples=30, deadline=None)
+# typed attribute VALUES: the full pcommon.Value union incl. nested
+# containers (strategy mirrors pdata/pcommon/value.go's 8 cases)
+_prims = st.one_of(
+    st.tuples(st.just(tav.VTYPE_STR), st.text(max_size=12)),
+    st.tuples(st.just(tav.VTYPE_INT),
+              st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    st.tuples(st.just(tav.VTYPE_DOUBLE),
+              st.floats(allow_nan=False, allow_infinity=False, width=64)),
+    st.tuples(st.just(tav.VTYPE_BOOL), st.booleans()),
+    st.tuples(st.just(tav.VTYPE_BYTES), st.binary(max_size=8)),
+)
+_values = st.one_of(
+    _prims,
+    st.tuples(st.just(tav.VTYPE_SLICE), st.lists(_prims, max_size=3)),
+    st.tuples(st.just(tav.VTYPE_MAP),
+              st.lists(st.tuples(st.text(min_size=1, max_size=4), _prims),
+                       max_size=3)),
+)
+
+
+@settings(max_examples=40, deadline=None)
 @given(st.lists(st.tuples(
     st.integers(min_value=0, max_value=2**63),   # time
     st.integers(min_value=0, max_value=24),      # severity
     st.text(max_size=40),                        # body
-    st.lists(st.tuples(st.text(min_size=1, max_size=8),
-                       st.text(max_size=12)), max_size=3),
+    st.lists(st.tuples(st.text(min_size=1, max_size=8), _values), max_size=3),
 ), min_size=1, max_size=8))
 def test_proto_round_trip_property(records):
     flat = pa.table({
@@ -55,8 +75,9 @@ def test_proto_round_trip_property(records):
                                         pa.map_(pa.string(), pa.string())),
         "scope_name": pa.array(["s"] * len(records)),
         "scope_version": pa.array(["1"] * len(records)),
-        "attributes": pa.array([list(dict(r[3]).items()) for r in records],
-                               pa.map_(pa.string(), pa.string())),
+        "attributes": pa.array(
+            [[(k, tav.cell(vt, v)) for k, (vt, v) in dict(r[3]).items()]
+             for r in records], tav.TYPED_MAP_T),
     })
     back = decode_request(encode_request(flat))
     assert back.num_rows == flat.num_rows
