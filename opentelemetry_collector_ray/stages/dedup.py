@@ -157,30 +157,18 @@ class MinHashStage:
 def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 3,
                             bands: int = 16, rows_per_band: int = 4,
-                            ) -> ray.data.Dataset:
-    """LSH candidate pairs (id_a < id_b), deduplicated across bands."""
+                            n_buckets: int = 64) -> ray.data.Dataset:
+    """LSH candidate pairs (id_a < id_b), deduplicated across bands —
+    candidate generation runs on the bucketed segment-vectorized path
+    (``group_candidate_pairs``): one Python call per HASH BUCKET, never
+    per LSH bucket (band_hash is effectively unique per candidate group,
+    so the old per-group ``map_groups`` meant one call per group —
+    unbounded at corpus scale)."""
     stage = MinHashStage(text_col, id_col, shingle_k, bands, rows_per_band)
     triples = ds.select_columns([id_col, text_col]).map_batches(
         stage, batch_format="pyarrow")
-
-    def pairs(g: pa.Table) -> pa.Table:
-        # arrow in/out: Ray passes EMPTY blocks through map stages without
-        # calling the UDF, so emitting pandas here would leak pandas blocks
-        # into downstream arrow pipelines (block-type mix is an error).
-        ids = np.unique(g.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > 200:  # cardinality guard for degenerate buckets
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[a].astype(np.int64)),
-                         "id_b": pa.array(ids[b].astype(np.int64))})
-
-    cand = triples.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow")
-    # dedupe pairs found by multiple bands: groupby-aggregate distinct (one
-    # vectorized pass), NOT per-pair map_groups — a Python call per candidate
-    # pair would not hold at 100 TB candidate volumes.
-    return cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    return group_candidate_pairs(triples, ["band", "band_hash"], id_col,
+                                 n_buckets=n_buckets)
 
 
 # ------------------------------------------------ distributed verify + CC
@@ -555,23 +543,91 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
 # ---------------------------------------------- simhash / embedding near-dup
 
+def _group_hash(t: pa.Table, group_cols: list[str]) -> np.ndarray:
+    """One stable uint64 per row from the group-key tuple (splitmix
+    mixing per column — the group identity for the bucketed exchange)."""
+    acc = np.zeros(t.num_rows, np.uint64)
+    for j, c in enumerate(group_cols):
+        col = t.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            ch = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            ch = hash64(col)
+        acc = hash64_ints(acc ^ ch, seed=j + 1)
+    return acc
+
+
 def group_candidate_pairs(keyed: ray.data.Dataset, group_cols: list[str],
-                          id_col: str, cap: int = 200) -> ray.data.Dataset:
-    """Candidate pairs from co-bucketed rows: per (group_cols) group, all
-    id pairs (sorted, deduped across groups). Degenerate groups above
-    ``cap`` members are dropped (the LSH cardinality guard — a bucket that
-    big means the key carries no signal)."""
+                          id_col: str, cap: int = 200,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Candidate pairs from co-grouped rows — FULLY vectorized, bucketed.
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = np.unique(g.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > cap:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[a].astype(np.int64)),
-                         "id_b": pa.array(ids[b].astype(np.int64))})
+    Scale shape: the group-key tuple hashes to one int64 (``_gh``) and
+    rows exchange on ``hash(_gh) % n_buckets`` — a BOUNDED number of
+    bucket tasks, vs. the banned ``groupby(raw_high_cardinality_key)
+    .map_groups`` pattern (one Python call per LSH bucket ≈ per candidate
+    group, unbounded at corpus scale — bucketing.py:1-12). Inside one
+    bucket task a single Arrow sort + numpy segment arithmetic emits
+    every within-group (id_a < id_b) pair:
 
-    cand = keyed.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
+        pos_j  = row j's rank inside its group (0-based)
+        b side = row j repeated pos_j times
+        a side = the concatenated aranges [seg_start, seg_start+pos_j),
+                 built with cumsum offset arithmetic — no per-segment loop
+
+    Groups above ``cap`` members are dropped (the degenerate-bucket
+    guard: a key that collides that often carries no signal); the cap
+    bounds group SIZE while the bucketing bounds task COUNT. A 64-bit
+    ``_gh`` collision can only MERGE two groups — extra candidate pairs
+    that downstream verification rejects; completeness is never lost.
+    Pairs found by multiple groups/bands dedupe via one grouped count."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        gh = _group_hash(t, group_cols)
+        return pa.table({
+            "_gh": pa.array(gh.astype(np.int64)),
+            id_col: t.column(id_col),
+            "_bucket": pa.array((hash64_ints(gh, seed=99)
+                                 % np.uint64(n_buckets)).astype(np.int64)),
+        })
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("_gh", "ascending"), (id_col, "ascending")])
+        gh = t.column("_gh").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        first = np.ones(len(ids), bool)  # drop duplicate (group, id) rows
+        first[1:] = (gh[1:] != gh[:-1]) | (ids[1:] != ids[:-1])
+        gh, ids = gh[first], ids[first]
+        n = len(ids)
+        change = np.ones(n, bool)
+        change[1:] = gh[1:] != gh[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        keep_seg = (sizes >= 2) & (sizes <= cap)
+        ids = ids[np.repeat(keep_seg, sizes)]
+        sizes = sizes[keep_seg]
+        if not len(sizes):
+            return empty
+        seg_starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        pos = np.arange(len(ids)) - np.repeat(seg_starts, sizes)
+        total = int(pos.sum())
+        b_idx = np.repeat(np.arange(len(ids)), pos)
+        emitted_before = np.cumsum(pos) - pos
+        a_idx = np.arange(total) - np.repeat(emitted_before, pos) \
+            + np.repeat(np.repeat(seg_starts, sizes), pos)
+        return pa.table({"id_a": pa.array(ids[a_idx].astype(np.int64)),
+                         "id_b": pa.array(ids[b_idx].astype(np.int64))})
+
+    cand = keyed.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(
+            lambda t: emit(t.drop_columns(["_bucket"])),
+            batch_format="pyarrow")
     return cand.groupby(["id_a", "id_b"]).count().select_columns(
         ["id_a", "id_b"])
 
