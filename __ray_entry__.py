@@ -369,17 +369,18 @@ def _q_events_error_rate(sf_dir: str):
 
 
 def _q_media_pipeline(sf_dir: str):
-    """Multimodal plumbing end-to-end (rows-only): deterministic synthetic
-    binary media → actor-pool decode (fake codec) → feature extraction.
-    sf_dir is unused (no binary table in testdata); determinism via seed."""
+    """REAL multimodal image pipeline (rows-only): GENUINE PNG payloads
+    (stdlib encoder) → actor-pool decode (stdlib PNG codec; Pillow fast
+    path when installed) → resize → feature extraction. sf_dir is unused
+    (no binary table in testdata); determinism via seed."""
     import ray.data
 
     from opentelemetry_collector_ray.stages.multimodal import (
-        DecodeStage, FeatureStage, synth_media)
+        DecodeStage, FeatureStage, synth_png_media)
 
-    media = ray.data.from_arrow(synth_media(256, seed=42, payload_bytes=2048))
+    media = ray.data.from_arrow(synth_png_media(256, seed=42))
     decoded = media.map_batches(
-        DecodeStage, fn_constructor_kwargs={"codec": "fake", "target": (8, 8)},
+        DecodeStage, fn_constructor_kwargs={"codec": "real", "target": (8, 8)},
         batch_format="pyarrow", batch_size=64, concurrency=2)
     return decoded.map_batches(FeatureStage(), batch_format="pyarrow")
 

@@ -5,11 +5,14 @@ Codec status by modality:
 - **audio (WAV/PCM): REAL** — stdlib ``wave`` decode, no external deps
   (``AudioDecodeStage`` / ``AudioFeatureStage``; ``synth_wav_media``
   writes genuine RIFF/WAVE payloads for tests).
-- image: ``codec="real"`` uses Pillow WHEN AVAILABLE (constructed once
-  per actor); this container lacks it, so construction raises with a
-  clear message and tests use ``codec="fake"`` (deterministic
-  pure-numpy stand-in). The Ray-side plumbing (schema, actor-pool
-  signature, byte-budget batch sizing, output layout) is real either way.
+- **image (PNG): REAL** — a pure-stdlib PNG codec (``decode_png`` /
+  ``encode_png``: zlib inflate + all five scanline filters, 8-bit
+  gray/RGB/RGBA), the same move that made audio real. ``codec="real"``
+  uses Pillow as the FAST path when available and falls back to the
+  stdlib PNG decoder otherwise; only non-PNG payloads (JPEG…) without
+  Pillow raise NotImplementedError. ``synth_png_media`` writes genuine
+  PNG payloads for reconstruction tests; ``codec="fake"`` remains the
+  deterministic non-decoding stand-in.
 - video: frame-index sampling plumbing only (``FrameSampleStage``).
 
 Scale notes (the reason these are actor pools with small batches): payload
@@ -49,37 +52,196 @@ def synth_media(n: int = 64, seed: int = 42, payload_bytes: int = 4096) -> pa.Ta
     }, schema=MEDIA_SCHEMA)
 
 
+# ------------------------------------------------------- PNG (stdlib, REAL)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """8-bit image ndarray (HxW gray or HxWx3 RGB) → genuine PNG bytes
+    (stdlib only: zlib deflate, filter type 0 per scanline, CRC32)."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        ctype = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        h, w, _ = img.shape
+        ctype = 2
+    else:
+        raise ValueError("encode_png: expect HxW gray or HxWx3 RGB uint8")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Genuine PNG bytes → uint8 ndarray (HxW for gray, HxWxC else) —
+    pure stdlib: chunk walk, zlib inflate, all five scanline filters
+    (None/Sub/Up/Average/Paeth). Supports 8-bit depth, color types
+    0 (gray), 2 (RGB), 6 (RGBA), no interlace. Sub is a cumsum over
+    pixel lanes; Average/Paeth need the left RECONSTRUCTED byte, so those
+    scanlines run a per-byte loop — correctness fallback; Pillow is the
+    fast path when installed."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("decode_png: not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    meta = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos: pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or inter != 0 or ctype not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"decode_png: unsupported PNG shape (bit depth {depth}, "
+                    f"color type {ctype}, interlace {inter}) — stdlib path "
+                    "handles 8-bit gray/RGB/RGBA; install Pillow for the rest")
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("decode_png: missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:  # Sub: prefix sum over stride-ch pixel lanes
+            recon = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = line + prev
+        elif ftype == 3:  # Average (left is reconstructed → sequential)
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            recon = rec
+        elif ftype == 4:  # Paeth
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                rec[x] = (line[x] + pred) & 0xFF
+            recon = rec
+        else:
+            raise ValueError(f"decode_png: unknown filter type {ftype}")
+        out[y] = (recon & 0xFF).astype(np.uint8)
+        prev = out[y].astype(np.int64)
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """HxW[xC] → HxW luma (ITU-R 601 integer weights; alpha dropped)."""
+    if img.ndim == 2:
+        return img
+    rgb = img[:, :, :3].astype(np.int64)
+    return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+            // 1000).astype(np.uint8)
+
+
+def _resize_nearest(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ri = (np.arange(th) * h) // th
+    ci = (np.arange(tw) * w) // tw
+    return img[ri][:, ci]
+
+
+def synth_png_media(n: int = 64, seed: int = 42) -> pa.Table:
+    """Genuine PNG payloads (deterministic gradient+noise gray images of
+    varying sizes, stdlib encoder) — real bytes a real decoder must
+    parse."""
+    rng = np.random.default_rng(seed)
+    payloads, widths, heights = [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, 48))
+        w = int(rng.integers(8, 48))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((xx * 255) // max(1, w - 1) // 2
+               + (yy * 255) // max(1, h - 1) // 2
+               + rng.integers(0, 32, (h, w))).astype(np.uint8)
+        payloads.append(encode_png(img))
+        widths.append(w)
+        heights.append(h)
+    return pa.table({
+        "media_id": pa.array(np.arange(n)),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/png"] * n),
+        "width": pa.array(np.array(widths, np.int32)),
+        "height": pa.array(np.array(heights, np.int32)),
+    }, schema=MEDIA_SCHEMA)
+
+
 class DecodeStage:
     """binary payload → decoded pixel tensor (flattened) + shape columns.
 
     Actor-pool stage: ``map_batches(DecodeStage, fn_constructor_kwargs=
-    {"codec": "fake"}, batch_format="pyarrow", batch_size=64,
+    {"codec": "real"}, batch_format="pyarrow", batch_size=64,
     concurrency=N)`` — batch_size is deliberately small (payload-bytes
-    budget, not row budget)."""
+    budget, not row budget). ``codec="real"`` decodes genuine bytes:
+    Pillow when installed (fast path, any format), else the stdlib PNG
+    decoder (PNG only; other formats raise). ``codec="fake"`` is the
+    deterministic non-decoding stand-in for plumbing tests."""
 
     def __init__(self, codec: str = "fake", target: tuple[int, int] = (8, 8)):
         self.codec = codec
         self.th, self.tw = target
         self._pil = None
         if codec == "real":
-            # once-per-actor decoder construction: Pillow when available
+            # once-per-actor decoder construction: Pillow when available;
+            # stdlib PNG decode otherwise (no import error at build time)
             try:
                 from PIL import Image  # noqa: F401
 
                 self._pil = Image
-            except ImportError as e:
-                raise NotImplementedError(
-                    "image codec='real' requires Pillow, which is not in "
-                    "this container; use codec='fake' (tests) or install "
-                    "Pillow") from e
+            except ImportError:
+                self._pil = None
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.codec == "real":
-            import io
+            if self._pil is not None:
+                import io
 
-            img = self._pil.open(io.BytesIO(payload)).convert("L") \
-                .resize((self.tw, self.th))
-            return np.asarray(img, dtype=np.uint8)
+                img = self._pil.open(io.BytesIO(payload)).convert("L") \
+                    .resize((self.tw, self.th))
+                return np.asarray(img, dtype=np.uint8)
+            if payload[:8] == _PNG_MAGIC:
+                gray = _to_gray(decode_png(payload))
+                return _resize_nearest(gray, self.th, self.tw)
+            raise NotImplementedError(
+                "codec='real' without Pillow decodes PNG only; this "
+                "payload is not PNG — install Pillow for JPEG/WebP/…")
         # fake codec: deterministic bytes → grayscale target-size "pixels"
         raw = np.frombuffer(payload, dtype=np.uint8)
         need = self.th * self.tw

@@ -118,3 +118,97 @@ def test_bytes_budget_batch_size(ray_session):
     ds = ray.data.from_arrow(synth_media(64, payload_bytes=4096))
     bs = bytes_budget_batch_size(ds, budget_bytes=1 << 20)
     assert bs == (1 << 20) // 4096  # 256 rows of 4 KiB per 1 MiB batch
+
+
+def test_png_codec_round_trip():
+    """Stdlib PNG: encode → decode is byte-exact for gray and RGB."""
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (13, 7), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+
+
+def test_png_decode_all_filters():
+    """Decoder reconstructs scanlines under every PNG filter type
+    (None/Sub/Up/Average/Paeth) — filtered streams are handcrafted from a
+    known image, so this is true decode coverage, not just our encoder's
+    filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    h, w = img.shape
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+
+    raw = bytearray()
+    filters = [0, 1, 2, 3, 4, 2]
+    for y, f in enumerate(filters):
+        line = img[y].astype(np.int64)
+        prev = img[y - 1].astype(np.int64) if y else np.zeros(w, np.int64)
+        filt = np.zeros(w, np.int64)
+        for x in range(w):
+            left = line[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if f == 0:
+                filt[x] = line[x]
+            elif f == 1:
+                filt[x] = line[x] - left
+            elif f == 2:
+                filt[x] = line[x] - up
+            elif f == 3:
+                filt[x] = line[x] - ((left + up) >> 1)
+            else:
+                filt[x] = line[x] - paeth(left, up, ul)
+        raw += bytes([f]) + bytes((filt & 0xFF).astype(np.uint8).tolist())
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+
+
+def test_media_pipeline_real_png(ray_session):
+    """End-to-end image pipeline over GENUINE PNG bytes: decode (actor
+    pool, stdlib codec) → resize → features; feature values match the
+    directly-computed resized luma."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        DecodeStage, FeatureStage, _resize_nearest, _to_gray, decode_png,
+        synth_png_media)
+
+    media = synth_png_media(24, seed=11)
+    ds = ray.data.from_arrow(media)
+    decoded = ds.map_batches(
+        DecodeStage, fn_constructor_kwargs={"codec": "real",
+                                            "target": (8, 8)},
+        batch_format="pyarrow", batch_size=8, concurrency=2)
+    out = decoded.map_batches(FeatureStage(), batch_format="pyarrow") \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 24
+    for i in (0, 7, 23):
+        img = _resize_nearest(
+            _to_gray(decode_png(media.column("payload")[i].as_py())), 8, 8)
+        assert out.feat_mean[i] == img.astype(np.float64).mean()
