@@ -694,6 +694,17 @@ def _q_turns_count_connector(sf_dir: str):
     return grouped_count(pre, ["band"], count_name="n_logs")
 
 
+def _q_spans_links_exploded(sf_dir: str):
+    """Span.Links[] nested column end-to-end: every non-root span links to
+    its trace's ROOT span (list<struct<trace_id, span_id>> column, one
+    trace-bucket exchange), then the SpanLink traversal explodes to flat
+    rows."""
+    from opentelemetry_collector_ray.sources.spans import (
+        explode_span_links, with_span_links)
+
+    return explode_span_links(with_span_links(_spans(sf_dir)))
+
+
 def _q_spans_events_exploded(sf_dir: str):
     """Span.Events[] nested column end-to-end: error spans get one
     'exception' event (list<struct> column, vectorized construction), then
@@ -969,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_trace_stats": _q_spans_trace_stats,
         "spans_duration_quantiles": _q_spans_duration_quantiles,
         "spans_events_exploded": _q_spans_events_exploded,
+        "spans_links_exploded": _q_spans_links_exploded,
         "spans_tail_sampled": _q_spans_tail_sampled,
         "turns_count_connector": _q_turns_count_connector,
         "events_exp_histogram": _q_events_exp_histogram,
@@ -1336,6 +1348,15 @@ WITH {SPANS_CTE.strip()}
 SELECT span_id, 'exception' AS event_name,
        CAST(duration_us // 2 AS BIGINT) AS ts_offset_us
 FROM spans WHERE status_code = 2
+""",
+        "spans_links_exploded": f"""
+WITH {SPANS_CTE.strip()},
+roots AS (SELECT trace_id, span_id AS root_span_id FROM spans
+          WHERE parent_span_id = '')
+SELECT s.span_id, s.trace_id AS link_trace_id,
+       r.root_span_id AS link_span_id
+FROM spans s JOIN roots r ON s.trace_id = r.trace_id
+WHERE s.parent_span_id <> ''
 """,
         # OTel exponential-histogram mapping (lower-exclusive boundaries):
         # idx = ceil(log2 v)-1, computed EXACTLY over integers as

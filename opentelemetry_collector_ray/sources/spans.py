@@ -197,8 +197,7 @@ def with_span_events(spans: ray.data.Dataset) -> ray.data.Dataset:
     Events is a repeated SpanEvent{time, name, attrs}): error spans get one
     'exception' event at half their duration; other spans an empty list —
     vectorized list construction from the status mask (offsets = cumsum of
-    per-row event counts). Links[] are represented by parent_span_id +
-    the co-partitioned parent join (stages/spanops.py)."""
+    per-row event counts). For Links[] see ``with_span_links``."""
     import pyarrow.compute as pc
 
     def attach(t: pa.Table) -> pa.Table:
@@ -244,3 +243,80 @@ def explode_span_events(spans_with_events: ray.data.Dataset,
         })
 
     return spans_with_events.map_batches(explode, batch_format="pyarrow")
+
+
+def with_span_links(spans: ray.data.Dataset,
+                    n_buckets: int | str = 64) -> ray.data.Dataset:
+    """Attach the Span.Links[] nested column
+    (``/root/reference/pdata/ptrace/generated_span.go`` Links accessors;
+    SpanLink{trace_id, span_id, ...} per generated_proto_spanlink.go):
+    every NON-ROOT span carries one link to its trace's ROOT span — a
+    genuine cross-SPAN reference beyond the parent edge (the
+    "originating request" link pattern); root spans carry an empty list.
+
+    Scale shape: one hash-bucket exchange on trace_id (the
+    co-partitioning invariant — a trace lands wholly in one bucket task,
+    same as parent_child_join), then a vectorized root lookup + list
+    assembly per bucket: segment arithmetic finds each trace's root row
+    (parent_span_id == ''), numpy scatter maps it to every member.
+    Spans whose trace has no root row (pre-filtered input) get no link
+    rather than a wrong one."""
+    from ..stages.bucketing import bucketed_map_groups, key_segments
+
+    col_type = pa.list_(pa.struct([("trace_id", pa.string()),
+                                   ("span_id", pa.string())]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("trace_id", "ascending")])
+        tid = t.column("trace_id").to_numpy(zero_copy_only=False)
+        sid = t.column("span_id").to_numpy(zero_copy_only=False)
+        par = t.column("parent_span_id").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("links", pa.array([], col_type))
+        change, _ = key_segments(tid)
+        seg_of_row = np.cumsum(change) - 1
+        nseg = int(seg_of_row[-1]) + 1
+        roots = np.flatnonzero(par == "")
+        root_of_seg = np.zeros(nseg, np.int64)
+        seg_has_root = np.zeros(nseg, bool)
+        root_of_seg[seg_of_row[roots]] = roots
+        seg_has_root[seg_of_row[roots]] = True
+        root_sid = sid[root_of_seg[seg_of_row]]
+        is_link = (par != "") & seg_has_root[seg_of_row]
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(is_link.astype(np.int64), out=offsets[1:])
+        link_struct = pa.StructArray.from_arrays(
+            [pa.array(tid[is_link], pa.string()),
+             pa.array(root_sid[is_link], pa.string())],
+            names=["trace_id", "span_id"])
+        links = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), link_struct)
+        return t.append_column("links", links)
+
+    return bucketed_map_groups(spans, "trace_id", attach,
+                               n_buckets=n_buckets)
+
+
+def explode_span_links(spans_with_links: ray.data.Dataset,
+                       ) -> ray.data.Dataset:
+    """Links[] → one flat row per link (span_id, link_trace_id,
+    link_span_id) — the SpanLink traversal, vectorized via list flatten +
+    parent-index repeat (symmetric with ``explode_span_events``)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("links")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                             np.int64)
+        counts = np.diff(offsets)
+        parent = np.repeat(np.arange(t.num_rows), counts)
+        flat = col.flatten()
+        return pa.table({
+            "span_id": t.column("span_id").take(pa.array(parent)),
+            "link_trace_id": flat.field("trace_id"),
+            "link_span_id": flat.field("span_id"),
+        })
+
+    return spans_with_links.map_batches(explode, batch_format="pyarrow")

@@ -167,3 +167,23 @@ def test_function_table_vocab_cap_and_hashed_fallback(ray_session):
         "value_us": pa.array([], pa.int64())}))
     et = build_function_table(empty)
     assert et.num_rows == 0 and et.column_names == ["func_id", "name"]
+
+
+def test_span_links_root_reference(tiny_events):
+    """Links[]: non-root spans link to their trace's root; roots carry an
+    empty list; the explode traversal flattens to one row per link."""
+    from opentelemetry_collector_ray.sources.spans import (
+        derive_spans, explode_span_links, with_span_links)
+
+    spans = with_span_links(derive_spans(tiny_events))
+    df = spans.to_pandas().set_index("span_id")
+    # trace of user 7, hour 10: 11 is root (no link); 12, 13 link to 11
+    assert df.loc[f"{11:016x}", "links"] is None or \
+        len(df.loc[f"{11:016x}", "links"]) == 0
+    for child in (12, 13):
+        (link,) = df.loc[f"{child:016x}", "links"]
+        assert link["span_id"] == f"{11:016x}"
+    flat = explode_span_links(with_span_links(
+        derive_spans(tiny_events))).to_pandas()
+    assert len(flat) == 2  # spans 14 and 99 are single-span-trace roots
+    assert set(flat.link_span_id) == {f"{11:016x}"}
