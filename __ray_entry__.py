@@ -812,6 +812,19 @@ def _q_orders_quantiles_sketch(sf_dir: str):
     return pd.DataFrame({k: [v] for k, v in qs.items()})
 
 
+def _q_events_user_quantiles_sketch(sf_dir: str):
+    """Per-USER value quantiles via distributed per-key KLL sketches —
+    unbounded keys AND unbounded value domain, the composition the exact
+    path can't cover (rows-only: approximate by design; per-key accuracy
+    envelope asserted in tests/test_sketch.py)."""
+    from opentelemetry_collector_ray.stages.sketch import (
+        grouped_approx_quantiles)
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_approx_quantiles(ev, "user_id", "value",
+                                    qs=(0.5, 0.95, 0.99))
+
+
 def _q_emb_centroids(sf_dir: str):
     """Element-wise mean embedding per label (two-phase vector-sum tree
     reduce), exploded to (label, i, c_e6) rows for the SQL mirror."""
@@ -1007,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_ivf": _q_emb_ann_ivf,
         "users_distinct_approx": _q_users_distinct_approx,
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
+        "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
     }
     return {**oracle_checked, **rows_only}
 

@@ -216,3 +216,85 @@ def approx_quantiles(ds: ray.data.Dataset, col: str,
     (row,) = merged.take(1)
     s = KllSketch.from_bytes(row["kll"])
     return {f"p{int(round(q * 100))}": s.quantile(q) for q in qs}
+
+
+# ------------------------------------------ per-key KLL (unbounded keys)
+
+class GroupedKllPartial:
+    """Per-batch, per-key KLL partials: one sorted pass segments the batch
+    by key, one sketch per key present in the batch, emitted as (key,
+    serialized sketch). The per-key Python loop here is over KEYS IN ONE
+    BATCH (bounded by batch rows) building bounded-size sketch objects —
+    a partial reduce, so downstream volume is |keys| × |batches touching
+    the key| fixed-size rows, never the data."""
+
+    def __init__(self, key: str, col: str, k: int = 200):
+        self.key, self.col, self.k = key, col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.sort_by([(self.key, "ascending")])
+        keys = t.column(self.key).to_numpy(zero_copy_only=False)
+        vals = t.column(self.col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(keys)
+        change = np.ones(n, bool)
+        if n > 1:
+            change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        blobs = [KllSketch(self.k).add(vals[s:e]).to_bytes()
+                 for s, e in zip(starts, ends)]
+        return pa.table({
+            self.key: t.column(self.key).take(
+                pa.array(starts.astype(np.int64))),
+            "kll": pa.array(blobs, pa.binary())})
+
+
+def grouped_approx_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
+                             qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                             k: int = 200,
+                             n_buckets: int | str = 64) -> ray.data.Dataset:
+    """Approximate per-key quantiles over UNBOUNDED keys and value
+    domains — the composition the exact path can't cover
+    (spanops.grouped_exact_quantiles needs a bounded integer value
+    domain; this needs neither): per-batch per-key KLL partials, then a
+    hash-bucket exchange on the key merges each key's sketches inside
+    one bucket task and reads the quantiles off.
+
+    Scale shape: only fixed-size sketch rows shuffle (≤ one per key per
+    input batch); bucket task count is bounded by ``n_buckets``; no
+    driver-side state at all. Rank error ≈ 1.65/k per key. Output:
+    (key, n, p50..., float64 values)."""
+    from .bucketing import bucketed_map_groups
+
+    partial = ds.select_columns([key, value_col]).map_batches(
+        GroupedKllPartial(key, value_col, k), batch_format="pyarrow")
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        blobs = t.column("kll").to_pylist()
+        n = len(keys)
+        change = np.ones(n, bool)
+        if n > 1:
+            change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        counts: list[int] = []
+        quants: dict[str, list[float]] = {
+            f"p{int(round(q * 100))}": [] for q in qs}
+        for s, e in zip(starts, ends):
+            acc = KllSketch.from_bytes(blobs[s])
+            for b in blobs[s + 1: e]:
+                acc.merge(KllSketch.from_bytes(b))
+            counts.append(acc.n)
+            for q in qs:
+                quants[f"p{int(round(q * 100))}"].append(acc.quantile(q))
+        out = {key: t.column(key).take(pa.array(starts.astype(np.int64))),
+               "n": pa.array(np.array(counts, np.int64))}
+        for name, vals in quants.items():
+            out[name] = pa.array(np.array(vals, np.float64))
+        return pa.table(out)
+
+    return bucketed_map_groups(partial, key, merge_bucket,
+                               n_buckets=n_buckets)

@@ -59,3 +59,35 @@ def test_kll_accuracy_and_merge(ray_session):
     s = KllSketch(100).add(data[:1000])
     s2 = KllSketch.from_bytes(s.to_bytes())
     assert s2.n == s.n and s2.quantile(0.5) == s.quantile(0.5)
+
+
+def test_grouped_kll_per_key_accuracy(ray_session):
+    """Distributed per-key KLL (unbounded keys): every key's sketch
+    quantile lands within the KLL rank-error envelope of that key's exact
+    distribution, through the full partial → bucket-merge path."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import (
+        grouped_approx_quantiles)
+
+    rng = np.random.default_rng(7)
+    n_keys, per_key = 40, 3000
+    keys = np.repeat([f"svc{i:02d}" for i in range(n_keys)], per_key)
+    # distinct per-key distributions (shifted lognormals)
+    vals = np.concatenate([
+        rng.lognormal(mean=3 + (i % 5), sigma=0.6, size=per_key)
+        for i in range(n_keys)])
+    order = rng.permutation(len(keys))
+    t = pa.table({"k": pa.array(keys[order]), "v": pa.array(vals[order])})
+    out = grouped_approx_quantiles(
+        ray.data.from_arrow(t).repartition(8), "k", "v",
+        qs=(0.5, 0.95), k=200).to_pandas().set_index("k")
+    assert len(out) == n_keys
+    assert (out.n == per_key).all()
+    eps = 3 * 1.65 / 200  # 3× the one-sigma rank error
+    for i in range(n_keys):
+        kv = np.sort(vals[keys == f"svc{i:02d}"])
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            got = out.loc[f"svc{i:02d}", col]
+            rank = np.searchsorted(kv, got) / per_key
+            assert abs(rank - q) < eps, (i, q, rank)
