@@ -919,6 +919,28 @@ def _q_profiles_flame_edges(sf_dir: str):
     return flame_edges(_profile_frames(sf_dir))
 
 
+def _q_profiles_wire_top_functions(sf_dir: str):
+    """Profiles WIRE-CODEC path, oracle-checked: frames → dictionary-
+    encoded ProfilesData blob (sources/otlp_profiles.py) → decode → per-
+    function rollup from the decoded form. Must equal the analytic
+    profiles_top_functions — same oracle SQL checks both."""
+    import ray
+
+    from opentelemetry_collector_ray.sources.otlp_profiles import (
+        decode_profiles_request, decoded_top_functions,
+        encode_profiles_request)
+    from opentelemetry_collector_ray.sources.profiles import (
+        build_function_table, encode_samples)
+
+    frames = _profile_frames(sf_dir)
+    ftab = build_function_table(frames)
+    samples = pa.concat_tables(
+        [t for t in ray.get(encode_samples(frames, ftab).to_arrow_refs())
+         if t.num_rows])
+    blob = encode_profiles_request(ftab, samples)
+    return decoded_top_functions(decode_profiles_request(blob))
+
+
 def _q_emb_ann_ivf(sf_dir: str):
     """ANN on the persisted IVF index (k-means coarse quantizer,
     centroid-partitioned; rows-only — approximate by design, recall + scan
@@ -1002,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profiles_functions": _q_profiles_functions,
         "profiles_samples": _q_profiles_samples,
         "profiles_top_functions": _q_profiles_top_functions,
+        "profiles_wire_top_functions": _q_profiles_wire_top_functions,
         "profiles_flame_edges": _q_profiles_flame_edges,
         "emb_knn": _q_emb_knn,
         "users_distinct": _q_users_distinct,
@@ -1418,6 +1441,18 @@ FROM frames f JOIN ftab a ON f.frame0 = a.name
               JOIN ftab c ON f.frame2 = c.name
 """,
         "profiles_top_functions": f"""
+WITH {FRAMES_CTE.strip()},
+exploded AS (
+  SELECT frame0 AS name, value_us, 0 AS leaf FROM frames
+  UNION ALL SELECT frame1, value_us, 0 FROM frames
+  UNION ALL SELECT frame2, value_us, 1 FROM frames
+)
+SELECT name, count(*) AS n_samples,
+       CAST(sum(value_us) AS BIGINT) AS total_us,
+       CAST(sum(value_us * leaf) AS BIGINT) AS self_us
+FROM exploded GROUP BY name
+""",
+        "profiles_wire_top_functions": f"""
 WITH {FRAMES_CTE.strip()},
 exploded AS (
   SELECT frame0 AS name, value_us, 0 AS leaf FROM frames
