@@ -189,7 +189,7 @@ def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str) -> int:
 SPAN_COLUMNS = ["trace_id", "span_id", "parent_span_id", "name", "kind",
                 "start_time_unix_nano", "end_time_unix_nano", "status_code",
                 "status_message", "resource_attributes", "scope_name",
-                "scope_version", "attributes"]
+                "scope_version", "attributes", "links"]
 
 
 def parse_spans_request_lines(batch: pa.Table, text_col: str = "text"
@@ -225,6 +225,10 @@ def parse_spans_request_lines(batch: pa.Table, text_col: str = "text"
                     rows["scope_version"].append(scope.get("version", ""))
                     rows["attributes"].append(
                         _attr_list_to_cells(sp.get("attributes")))
+                    rows["links"].append(
+                        [{"trace_id": lk.get("traceId", ""),
+                          "span_id": lk.get("spanId", "")}
+                         for lk in sp.get("links", [])])
     return pa.table({
         "trace_id": pa.array(rows["trace_id"], pa.string()),
         "span_id": pa.array(rows["span_id"], pa.string()),
@@ -242,6 +246,8 @@ def parse_spans_request_lines(batch: pa.Table, text_col: str = "text"
         "scope_name": pa.array(rows["scope_name"], pa.string()),
         "scope_version": pa.array(rows["scope_version"], pa.string()),
         "attributes": pa.array(rows["attributes"], tav.TYPED_MAP_T),
+        "links": pa.array(rows["links"], pa.list_(pa.struct(
+            [("trace_id", pa.string()), ("span_id", pa.string())]))),
     })
 
 
@@ -271,6 +277,10 @@ def spans_to_request(batch: pa.Table) -> str:
                     sp["parentSpanId"] = r["parent_span_id"]
                 if r.get("attributes"):
                     sp["attributes"] = _cells_to_attr_list(r["attributes"])
+                if r.get("links"):
+                    sp["links"] = [{"traceId": lk["trace_id"],
+                                    "spanId": lk["span_id"]}
+                                   for lk in r["links"]]
                 st = {}
                 if r.get("status_code"):
                     st["code"] = r["status_code"]

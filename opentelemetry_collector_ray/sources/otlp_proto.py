@@ -463,12 +463,17 @@ def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
 #   Span: trace_id=1 span_id=2 trace_state=3 parent_span_id=4 name=5
 #         kind=6(varint) start_time_unix_nano=7(I64) end_time_unix_nano=8(I64)
 #         attributes=9 dropped=10 events=11 links=13 status=15 flags=16(I32)
+#   SpanLink (generated_proto_spanlink.go:244-276): trace_id=1 span_id=2
+#         trace_state=3 attributes=4 dropped=5 flags=6(I32)
 #   Status (generated_proto_status.go): message=2  code=3(varint)
 
 SPAN_WIRE_COLUMNS = ["trace_id", "span_id", "parent_span_id", "name", "kind",
                      "start_time_unix_nano", "end_time_unix_nano",
                      "status_code", "status_message", "resource_attributes",
-                     "scope_name", "scope_version", "attributes"]
+                     "scope_name", "scope_version", "attributes", "links"]
+
+LINKS_T = pa.list_(pa.struct([("trace_id", pa.string()),
+                              ("span_id", pa.string())]))
 
 
 def encode_span(r: dict) -> bytes:
@@ -488,6 +493,13 @@ def encode_span(r: dict) -> bytes:
         out += _tag(8, _I64) + struct.pack("<Q", int(r["end_time_unix_nano"]))
     for k, v in (r.get("attributes") or []):
         out += _len_field(9, _cell_keyvalue(k, v))
+    for lk in (r.get("links") or []):
+        msg = b""
+        if lk.get("trace_id"):
+            msg += _len_field(1, bytes.fromhex(lk["trace_id"]))
+        if lk.get("span_id"):
+            msg += _len_field(2, bytes.fromhex(lk["span_id"]))
+        out += _len_field(13, msg)
     if r.get("status_code") or r.get("status_message"):
         st = _str_field(2, r.get("status_message", ""))
         if r.get("status_code"):
@@ -548,7 +560,7 @@ def decode_spans_request(buf: bytes) -> pa.Table:
                 r = {"trace_id": "", "span_id": "", "parent_span_id": "",
                      "name": "", "kind": 0, "start_time_unix_nano": 0,
                      "end_time_unix_nano": 0, "status_code": 0,
-                     "status_message": "", "attributes": []}
+                     "status_message": "", "attributes": [], "links": []}
                 for f4, w4, v4 in _iter_fields(rec):
                     if f4 == 1:
                         r["trace_id"] = bytes(v4).hex()
@@ -566,6 +578,14 @@ def decode_spans_request(buf: bytes) -> pa.Table:
                         r["end_time_unix_nano"] = v4
                     elif f4 == 9:
                         r["attributes"].append(_decode_kv_cell(v4))
+                    elif f4 == 13:
+                        lk = {"trace_id": "", "span_id": ""}
+                        for f5, w5, v5 in _iter_fields(bytes(v4)):
+                            if f5 == 1:
+                                lk["trace_id"] = bytes(v5).hex()
+                            elif f5 == 2:
+                                lk["span_id"] = bytes(v5).hex()
+                        r["links"].append(lk)
                     elif f4 == 15:
                         for f5, w5, v5 in _iter_fields(bytes(v4)):
                             if f5 == 2:
@@ -580,6 +600,7 @@ def decode_spans_request(buf: bytes) -> pa.Table:
                 for c in ("start_time_unix_nano", "end_time_unix_nano"):
                     rows[c].append(int(r[c]))
                 rows["attributes"].append(r["attributes"])
+                rows["links"].append(r["links"])
                 rows["resource_attributes"].append(res_attrs)
                 rows["scope_name"].append(sname)
                 rows["scope_version"].append(sver)
@@ -599,7 +620,22 @@ def decode_spans_request(buf: bytes) -> pa.Table:
         "scope_name": pa.array(rows["scope_name"], pa.string()),
         "scope_version": pa.array(rows["scope_version"], pa.string()),
         "attributes": pa.array(rows["attributes"], tav.TYPED_MAP_T),
+        "links": pa.array(rows["links"], LINKS_T),
     })
+
+
+def _pack_trace_hex(readable_ids: list[str]) -> "list[str]":
+    """Readable trace surrogate 'UUUUUUUU-HHHHHHHHH' → 32-hex TraceID
+    (two big-endian uint64s; reversible). Split on the separator, NOT
+    fixed offsets: printf('%08d') widens for user ids over 8 digits."""
+    import numpy as np
+
+    packed = b"".join(
+        struct.pack(">QQ", *(int(p) for p in s.split("-", 1)))
+        for s in readable_ids)
+    return list(np.frombuffer(
+        __import__("binascii").hexlify(packed), dtype="S32").astype("U32")) \
+        if readable_ids else []
 
 
 def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
@@ -607,18 +643,15 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
     rows: the readable trace surrogate 'UUUUUUUU-HHHHHHHHH' packs
     REVERSIBLY into the 16-byte TraceID (two big-endian uint64s), span ids
     are already %016x, timestamps widen to ns, service becomes the
-    resource attribute service.name (the semantic-conventions mapping)."""
+    resource attribute service.name (the semantic-conventions mapping).
+    A ``links`` column (with_span_links) rides along with its trace ids
+    packed the same way."""
     import numpy as np
     import pyarrow.compute as pc
 
     tid = t.column("trace_id").to_pylist()
-    # split on the separator, NOT fixed offsets: printf('%08d') widens for
-    # user ids over 8 digits (fixed slicing would mis-split and crash)
-    packed = b"".join(
-        struct.pack(">QQ", *(int(p) for p in s.split("-", 1))) for s in tid)
-    trace_hex = np.frombuffer(
-        __import__("binascii").hexlify(packed), dtype="S32").astype("U32") \
-        if tid else np.empty(0, "U32")
+    trace_hex = np.array(_pack_trace_hex(tid), "U32") if tid \
+        else np.empty(0, "U32")
     start_ns = pc.multiply(
         t.column("start_ts").cast(pa.timestamp("us")).cast(pa.int64()),
         pa.scalar(1000, pa.int64()))
@@ -629,6 +662,13 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
     res_attrs = pa.array(
         [[("service.name", s)] for s in svc.to_pylist()],
         pa.map_(pa.string(), pa.string()))
+    if "links" in t.column_names:
+        links = pa.array(
+            [[{"trace_id": _pack_trace_hex([lk["trace_id"]])[0],
+               "span_id": lk["span_id"]} for lk in (row or [])]
+             for row in t.column("links").to_pylist()], LINKS_T)
+    else:
+        links = pa.array([[]] * n, LINKS_T)
     return pa.table({
         "trace_id": pa.array(trace_hex),
         "span_id": t.column("span_id"),
@@ -643,4 +683,5 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
         "scope_name": pa.array(["otelcol_ray"] * n, pa.string()),
         "scope_version": pa.array(["2"] * n, pa.string()),
         "attributes": pa.array([[]] * n, tav.TYPED_MAP_T),
+        "links": links,
     })

@@ -187,5 +187,55 @@ def test_span_json_and_proto_agree(ray_session):
     via_proto = decode_spans_request(encode_spans_request(wire))
     j = via_json.to_pandas().sort_values("span_id").reset_index(drop=True)
     p = via_proto.to_pandas().sort_values("span_id").reset_index(drop=True)
+
+    def norm(vals):
+        # pandas renders list columns as ndarrays; == on those is elementwise
+        return [list(v) if hasattr(v, "__len__") and not isinstance(v, str)
+                else v for v in vals]
+
     for col in j.columns:
-        assert j[col].tolist() == p[col].tolist(), col
+        assert norm(j[col].tolist()) == norm(p[col].tolist()), col
+
+
+def test_span_links_wire_round_trip(ray_session):
+    """Links[] survive both marshalers: analytic links (root references)
+    pack into 16-byte TraceIDs on the wire and decode back identically
+    via proto AND JSON."""
+    import pandas as pd
+
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.otlp_json import (
+        parse_spans_request_lines, spans_to_request)
+    from opentelemetry_collector_ray.sources.otlp_proto import (
+        decode_spans_request, encode_spans_request, spans_to_wire)
+    from opentelemetry_collector_ray.sources.spans import (
+        derive_spans, with_span_links)
+
+    ts = pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 10:10:00",
+                         "2024-01-01 10:20:00"])
+    ev = pa.table({
+        "event_id": pa.array([11, 12, 13], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["signup", "click", "error"]),
+        "value": pa.array([10.0, 20.5, 30.9]),
+    })
+    spans = with_span_links(derive_spans(ray.data.from_arrow(ev)))
+    wire = spans_to_wire(pa.Table.from_pandas(spans.to_pandas(),
+                                              preserve_index=False))
+    via_proto = decode_spans_request(encode_spans_request(wire))
+    via_json = parse_spans_request_lines(
+        pa.table({"text": pa.array([spans_to_request(wire)])}))
+    p = via_proto.to_pandas().sort_values("span_id").reset_index(drop=True)
+    j = via_json.to_pandas().sort_values("span_id").reset_index(drop=True)
+    w = wire.to_pandas().sort_values("span_id").reset_index(drop=True)
+    for df in (p, j):
+        assert [list(x) for x in df["links"]] == \
+            [list(x) for x in w["links"]]
+    # the two non-root spans link to the root, trace id in packed hex form
+    root = f"{11:016x}"
+    linked = [lk for row in p["links"] for lk in row]
+    assert len(linked) == 2
+    assert all(lk["span_id"] == root for lk in linked)
+    assert all(lk["trace_id"] == w["trace_id"][0] for lk in linked)
