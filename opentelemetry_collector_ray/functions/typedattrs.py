@@ -420,24 +420,12 @@ def _n_rows(m) -> int:
 # --------------------------------------------------------- conversions
 
 def from_string_map(m) -> pa.Array:
-    """map<string,string> → typed map, every value a Str cell."""
-    off, keys, items = _sparts(m)
+    """map<string,string> → typed map, every value a Str cell.
+    (``_parts`` slices the item child generically, so it serves both the
+    struct-valued and string-valued map layouts.)"""
+    off, keys, items = _parts(m)
     _, lifted = lift(items)
     return _rebuild(off, keys, lifted)
-
-
-def _sparts(m):
-    if isinstance(m, pa.ChunkedArray):
-        m = m.combine_chunks()
-    off = np.asarray(m.offsets.to_numpy(zero_copy_only=False), np.int64)
-    keys = np.asarray(m.keys.to_numpy(zero_copy_only=False), dtype=object)
-    items = m.items
-    base = off[0] if len(off) else 0
-    if base or (len(off) and off[-1] != len(keys)):
-        keys = keys[base: off[-1]]
-        items = items.slice(base, off[-1] - base)
-        off = off - base
-    return off, keys, items
 
 
 def to_string_map(m) -> pa.Array:
@@ -448,15 +436,20 @@ def to_string_map(m) -> pa.Array:
     vt = items.field("vtype").to_numpy(zero_copy_only=False)
     out = np.empty(len(keys), object)
     s = items.field("s").to_numpy(zero_copy_only=False)
-    i = items.field("i").to_numpy(zero_copy_only=False)
-    d = items.field("d").to_numpy(zero_copy_only=False)
     b = items.field("b").to_numpy(zero_copy_only=False)
     z = items.field("z").to_numpy(zero_copy_only=False)
+    d = items.field("d").to_numpy(zero_copy_only=False)
     for mask_vt, lane in ((VTYPE_STR, s), (VTYPE_MAP, s), (VTYPE_SLICE, s)):
         sel = vt == mask_vt
         out[sel] = lane[sel]
     sel = vt == VTYPE_INT
-    out[sel] = np.array([str(int(x)) for x in i[sel]], object)
+    # the int lane holds nulls on other-typed entries, so to_numpy would
+    # coerce it to float64 and corrupt ints above 2^53 — take the exact
+    # int64 values through Arrow instead
+    idx = np.flatnonzero(sel)
+    ints = items.field("i").take(pa.array(idx.astype(np.int64))).to_pylist()
+    out[sel] = np.array([str(x) for x in ints], object) \
+        if len(idx) else out[sel]
     sel = vt == VTYPE_DOUBLE
     out[sel] = np.array([repr(float(x)) for x in d[sel]], object)
     sel = vt == VTYPE_BOOL

@@ -60,7 +60,11 @@ def _attr_list_to_cells(attrs: list | None) -> list[tuple[str, dict]]:
 
 
 def _cells_to_attr_list(pairs) -> list[dict]:
-    return [{"key": k, "value": tav.value_to_json(*tav.cell_value(c))}
+    # bare-str values accepted for compatibility with string-restricted
+    # tables (same contract as the protobuf marshaler's _cell_keyvalue)
+    return [{"key": k,
+             "value": ({"stringValue": c} if isinstance(c, str)
+                       else tav.value_to_json(*tav.cell_value(c)))}
             for k, c in (pairs or [])]
 
 

@@ -56,8 +56,10 @@ import ray.data
 
 from ..functions import typedattrs as tav
 from .otlp_proto import (_I64, _LEN, _VARINT, _cell_keyvalue,
-                         _decode_kv, _decode_kv_cell, _iter_fields,
-                         _keyvalue, _len_field, _str_field, _tag, _varint)
+                         _decode_kv, _decode_kv_cell,
+                         _decode_packed_varints, _iter_fields, _keyvalue,
+                         _len_field, _packed_varints, _str_field, _tag,
+                         _varint)
 
 GAUGE, SUM, HISTOGRAM, EXP_HISTOGRAM, SUMMARY = (
     "gauge", "sum", "histogram", "exponential_histogram", "summary")
@@ -92,10 +94,6 @@ def _packed_fixed64(vals) -> bytes:
 
 def _packed_double(vals) -> bytes:
     return b"".join(struct.pack("<d", float(v)) for v in vals)
-
-
-def _packed_varint(vals) -> bytes:
-    return b"".join(_varint(int(v)) for v in vals)
 
 
 # ------------------------------------------------------------------ encode
@@ -146,7 +144,7 @@ def _encode_buckets(offset: int, counts) -> bytes:
     if offset:
         out += _tag(1, _VARINT) + _varint(_zigzag(int(offset)))
     if counts:
-        out += _len_field(2, _packed_varint(counts))
+        out += _len_field(2, _packed_varints(counts))
     return bytes(out)
 
 
@@ -253,21 +251,7 @@ def _decode_packed(buf, wire: int, val) -> list[int]:
     """A repeated numeric field: LEN payload = packed; scalar wire = one."""
     if wire != _LEN:
         return [int(val)]
-    out = []
-    b = bytes(val)
-    pos = 0
-    while pos < len(b):
-        n = 0
-        shift = 0
-        while True:
-            byte = b[pos]
-            pos += 1
-            n |= (byte & 0x7F) << shift
-            if not byte & 0x80:
-                break
-            shift += 7
-        out.append(n)
-    return out
+    return _decode_packed_varints(bytes(val))
 
 
 def _decode_packed_fixed64(buf, wire: int, val) -> list[int]:

@@ -52,12 +52,9 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from .otlp_proto import _I64, _LEN, _VARINT, _iter_fields, _len_field, \
-    _str_field, _tag, _varint
-
-
-def _packed_varint(vals) -> bytes:
-    return b"".join(_varint(int(v)) for v in vals)
+from .otlp_proto import (_LEN, _VARINT, _decode_packed_varints,
+                         _iter_fields, _len_field, _packed_varints,
+                         _str_field, _tag, _varint)
 
 
 def _valuetype(type_idx: int, unit_idx: int) -> bytes:
@@ -82,7 +79,7 @@ def _location(function_index: int) -> bytes:
 def _stack(location_indices) -> bytes:
     if not location_indices:
         return b""
-    return _len_field(1, _packed_varint(location_indices))
+    return _len_field(1, _packed_varints(location_indices))
 
 
 def _sample(stack_index: int, values, timestamps=()) -> bytes:
@@ -90,7 +87,7 @@ def _sample(stack_index: int, values, timestamps=()) -> bytes:
     if stack_index:
         out += _tag(1, _VARINT) + _varint(stack_index)
     if values:
-        out += _len_field(4, _packed_varint(values))
+        out += _len_field(4, _packed_varints(values))
     if timestamps:
         out += _len_field(5, b"".join(struct.pack("<Q", int(t))
                                       for t in timestamps))
@@ -188,19 +185,7 @@ def decode_profiles_request(buf: bytes) -> dict:
                 idxs: list[int] = []
                 for f2, w2, v2 in _iter_fields(bytes(v)):
                     if f2 == 1:
-                        b2 = bytes(v2)
-                        pos = 0
-                        while pos < len(b2):
-                            n = 0
-                            shift = 0
-                            while True:
-                                byte = b2[pos]
-                                pos += 1
-                                n |= (byte & 0x7F) << shift
-                                if not byte & 0x80:
-                                    break
-                                shift += 7
-                            idxs.append(n)
+                        idxs.extend(_decode_packed_varints(bytes(v2)))
                 stacks.append(idxs)
 
     def walk_profile(b: bytes) -> None:
@@ -212,22 +197,10 @@ def decode_profiles_request(buf: bytes) -> dict:
                     if f2 == 1:
                         si = v2
                     elif f2 == 4:
-                        b2 = bytes(v2) if w2 == _LEN else None
-                        if b2 is None:
-                            vals.append(int(v2))
+                        if w2 == _LEN:
+                            vals.extend(_decode_packed_varints(bytes(v2)))
                         else:
-                            pos = 0
-                            while pos < len(b2):
-                                n = 0
-                                shift = 0
-                                while True:
-                                    byte = b2[pos]
-                                    pos += 1
-                                    n |= (byte & 0x7F) << shift
-                                    if not byte & 0x80:
-                                        break
-                                    shift += 7
-                                vals.append(n)
+                            vals.append(int(v2))
                 sample_rows.append((si, vals[0] if vals else 0))
 
     for f, w, v in _iter_fields(buf):

@@ -69,6 +69,30 @@ def _tag(field: int, wire: int) -> bytes:
     return _varint((field << 3) | wire)
 
 
+def _packed_varints(vals) -> bytes:
+    """Repeated numeric field, packed varint encoding."""
+    return b"".join(_varint(int(v)) for v in vals)
+
+
+def _decode_packed_varints(b: bytes) -> list[int]:
+    """Packed-varint payload → ints (shared by the metrics and profiles
+    codecs' repeated fields)."""
+    out: list[int] = []
+    pos = 0
+    while pos < len(b):
+        n = 0
+        shift = 0
+        while True:
+            byte = b[pos]
+            pos += 1
+            n |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        out.append(n)
+    return out
+
+
 def _len_field(field: int, payload: bytes) -> bytes:
     return _tag(field, _LEN) + _varint(len(payload)) + payload
 
@@ -663,8 +687,12 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
         [[("service.name", s)] for s in svc.to_pylist()],
         pa.map_(pa.string(), pa.string()))
     if "links" in t.column_names:
+        def pack_one(s: str) -> str:
+            return struct.pack(">QQ", *(int(p)
+                                        for p in s.split("-", 1))).hex()
+
         links = pa.array(
-            [[{"trace_id": _pack_trace_hex([lk["trace_id"]])[0],
+            [[{"trace_id": pack_one(lk["trace_id"]),
                "span_id": lk["span_id"]} for lk in (row or [])]
              for row in t.column("links").to_pylist()], LINKS_T)
     else:

@@ -210,9 +210,10 @@ class DecodeStage:
     {"codec": "real"}, batch_format="pyarrow", batch_size=64,
     concurrency=N)`` — batch_size is deliberately small (payload-bytes
     budget, not row budget). ``codec="real"`` decodes genuine bytes:
-    Pillow when installed (fast path, any format), else the stdlib PNG
-    decoder (PNG only; other formats raise). ``codec="fake"`` is the
-    deterministic non-decoding stand-in for plumbing tests."""
+    PNG always via the stdlib decoder (deterministic across
+    environments); Pillow, when installed, extends coverage to other
+    formats (JPEG/WebP/…) — without it those raise. ``codec="fake"`` is
+    the deterministic non-decoding stand-in for plumbing tests."""
 
     def __init__(self, codec: str = "fake", target: tuple[int, int] = (8, 8)):
         self.codec = codec
@@ -230,15 +231,19 @@ class DecodeStage:
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.codec == "real":
+            # PNG always takes the stdlib path — deterministic pixels
+            # regardless of whether Pillow is installed (PIL's convert+
+            # bicubic resize would silently change outputs per
+            # environment); Pillow extends coverage to OTHER formats.
+            if payload[:8] == _PNG_MAGIC:
+                gray = _to_gray(decode_png(payload))
+                return _resize_nearest(gray, self.th, self.tw)
             if self._pil is not None:
                 import io
 
                 img = self._pil.open(io.BytesIO(payload)).convert("L") \
                     .resize((self.tw, self.th))
                 return np.asarray(img, dtype=np.uint8)
-            if payload[:8] == _PNG_MAGIC:
-                gray = _to_gray(decode_png(payload))
-                return _resize_nearest(gray, self.th, self.tw)
             raise NotImplementedError(
                 "codec='real' without Pillow decodes PNG only; this "
                 "payload is not PNG — install Pillow for JPEG/WebP/…")

@@ -206,3 +206,40 @@ def test_log_typed_attrs_json_proto_parity():
     # the int attribute reads back typed — no cast from string anywhere
     got = T.map_get_int(via_proto.column("attributes").combine_chunks(), "i")
     assert got.to_pylist() == [-42]
+
+
+def test_to_string_map_exact_big_ints():
+    """Regression: the int lane holds nulls on other-typed entries, so a
+    numpy conversion would go through float64 and corrupt ints > 2^53 —
+    AsString must render them exactly."""
+    big = 2**60 + 1
+    m = T.build_typed_map({"big": pa.array([big], pa.int64()),
+                           "s": pa.array(["x"])})
+    assert dict(T.to_string_map(m).to_pylist()[0])["big"] == str(big)
+
+
+def test_json_marshaler_accepts_legacy_string_maps():
+    """Regression: string-restricted map<string,string> attributes (older
+    producers) must encode through the JSON marshaler like they do
+    through the protobuf one."""
+    from opentelemetry_collector_ray.sources.otlp_json import (
+        parse_request_lines, records_to_request)
+
+    flat = pa.table({
+        "time_unix_nano": pa.array([1], pa.uint64()),
+        "observed_time_unix_nano": pa.array([0], pa.uint64()),
+        "severity_number": pa.array([9], pa.int32()),
+        "severity_text": pa.array(["Info"]),
+        "body": pa.array(["hello"]),
+        "trace_id": pa.array([""]), "span_id": pa.array([""]),
+        "event_name": pa.array([""]),
+        "resource_attributes": pa.array([[("svc", "x")]],
+                                        pa.map_(pa.string(), pa.string())),
+        "scope_name": pa.array(["s"]), "scope_version": pa.array(["1"]),
+        "attributes": pa.array([[("app", "server")]],
+                               pa.map_(pa.string(), pa.string())),
+    })
+    line = records_to_request(flat)
+    back = parse_request_lines(pa.table({"text": pa.array([line])}))
+    got = back.column("attributes").to_pylist()[0]
+    assert got[0][0] == "app" and got[0][1]["s"] == "server"
