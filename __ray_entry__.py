@@ -263,6 +263,18 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_count(ev, key="user_id", ts_col="ts", unit="hour")
 
 
+def _q_events_sliding_window(sf_dir: str):
+    """Sliding/hopping event-time windows (3h window, 1h hop): each event
+    counts in 3 consecutive windows — vectorized k-fold explode + the
+    two-phase grouped count."""
+    from opentelemetry_collector_ray.stages.sessionize import (
+        sliding_window_count)
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sliding_window_count(ev, key="user_id", ts_col="ts",
+                                window_hours=3, slide_hours=1)
+
+
 def _q_events_cumulative(sf_dir: str):
     """Delta→cumulative temporality conversion: hourly per-user counts, then
     per-user running total (pmetric AggregationTemporality analog)."""
@@ -963,6 +975,29 @@ def _q_emb_ann_ivf(sf_dir: str):
     return ann_query_index(index_dir, queries, k=10, multiprobe=2)
 
 
+def _q_emb_ann_ivfpq(sf_dir: str):
+    """ANN on the persisted IVF-PQ index (coarse quantizer + product-
+    quantized residuals — m_sub BYTES per vector on disk, ADC scoring;
+    rows-only — approximate by design, recall + compression asserted in
+    tests)."""
+    import hashlib
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, build_ivfpq_index)
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.sha256(
+        f"{src}:{os.path.getmtime(src)}:ivfpq16".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/ann_index/{tag}"
+    if not os.path.exists(f"{index_dir}/_ann_meta.json"):
+        build_ivfpq_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          index_dir, n_centroids=16, m_sub=8)
+    t = _side_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = np.array([t.column("embedding")[i].as_py() for i in range(4)],
+                       dtype=np.float64)
+    return ann_query_index(index_dir, queries, k=10, multiprobe=4)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -991,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_route": _q_events_route,
         "events_sample": _q_events_sample,
         "events_window": _q_events_window,
+        "events_sliding_window": _q_events_sliding_window,
         "events_cumulative": _q_events_cumulative,
         "supplier_revenue": _q_supplier_revenue,
         "docs_attr_ops": _q_docs_attr_ops,
@@ -1041,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_pipeline": _q_audio_pipeline,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ann_ivf": _q_emb_ann_ivf,
+        "emb_ann_ivfpq": _q_emb_ann_ivfpq,
         "users_distinct_approx": _q_users_distinct_approx,
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
         "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
@@ -1202,6 +1239,12 @@ SELECT event_id, event_type, value FROM events WHERE event_id % 20 = 0
         "events_window": """
 SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
 FROM events GROUP BY user_id, bucket
+""",
+        "events_sliding_window": """
+SELECT user_id, date_trunc('hour', ts) - to_hours(o) AS window_start,
+       count(*) AS n_events
+FROM events CROSS JOIN UNNEST([0, 1, 2]) AS t(o)
+GROUP BY user_id, window_start
 """,
         "events_cumulative": """
 WITH w AS (SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events

@@ -107,3 +107,47 @@ def tumbling_window_count(events: ray.data.Dataset, key: str, ts_col: str = "ts"
         batch_format="pyarrow")
     return grouped_count(with_bucket.select_columns([key, "bucket"]),
                          [key, "bucket"], count_name="n_events")
+
+
+def sliding_window_count(events: ray.data.Dataset, key: str,
+                         ts_col: str = "ts", window_hours: int = 3,
+                         slide_hours: int = 1) -> ray.data.Dataset:
+    """SLIDING (hopping) event-time window counts: window length W =
+    ``window_hours``, hop S = ``slide_hours`` (W must be a multiple of
+    S). Each event at hour h contributes to the W/S windows starting at
+    h, h-S, …, h-W+S (each window covers [start, start+W)).
+
+    Scale shape: the explode is a vectorized k-fold repeat per batch
+    (k = W/S, a small constant) followed by the standard two-phase
+    grouped count on (key, window_start) — the shuffle moves k·rows
+    fixed-width rows, never a per-window Python loop. Exact in batch
+    (the collector has no event-time windows — SURVEY.md §2.10)."""
+    import pyarrow.compute as pc
+
+    from .aggregate import grouped_count
+
+    if window_hours % slide_hours:
+        raise ValueError("window_hours must be a multiple of slide_hours")
+    k = window_hours // slide_hours
+    slide_us = slide_hours * 3_600_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t.column(ts_col).cast(pa.timestamp("us")),
+                              unit="hour")
+        h_us = h.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # snap to the hop grid, then emit the k covering window starts
+        base = (h_us // slide_us) * slide_us
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * slide_us,
+                            len(base)))
+        keys = t.column(key).take(
+            pa.array(np.repeat(np.arange(t.num_rows), k)))
+        return pa.table({
+            key: keys,
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+        })
+
+    exploded = events.select_columns([key, ts_col]).map_batches(
+        explode, batch_format="pyarrow")
+    return grouped_count(exploded, [key, "window_start"],
+                         count_name="n_events")

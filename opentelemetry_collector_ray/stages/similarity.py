@@ -277,6 +277,8 @@ def ann_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
     meta = _load_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     qm = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if meta.get("kind") == "ivfpq":
+        return _ivfpq_query(index_dir, meta, qm, k, multiprobe)
     per_query = _query_targets(meta, index_dir, qm, multiprobe)
     union = sorted(set().union(*per_query))
     # explicit file list: this Ray build rejects a LIST of directories
@@ -373,3 +375,206 @@ def ann_topk_lsh(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
         lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=target_arr)),
         batch_format="pyarrow")
     return knn_topk(probe, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _euclid_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain Lloyd's k-means (Euclidean) — the per-subspace PQ codebook
+    trainer; assignment via the expanded form (-2x·c + |c|²), never the
+    (n, k, d) distance tensor."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmin(-2.0 * (x @ cent.T) + (cent ** 2).sum(1)[None, :],
+                           axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+class PqEncodeStage:
+    """Coarse-assign + product-quantize: each vector becomes (coarse
+    centroid id, m_sub one-byte codes of its RESIDUAL's subvectors) —
+    m_sub bytes instead of 8·dim, the compression that lets a 100 TB
+    corpus's index live in a fraction of the space. Codebooks/centroids
+    are broadcast once per actor."""
+
+    def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.cent = _normalize(np.asarray(centroids, np.float64))
+        self.books = np.asarray(codebooks, np.float64)  # (m, K, sub_d)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = _normalize(_stack(t.column(self.vec_col)))
+        n = t.num_rows
+        if n == 0:
+            bucket = np.empty(0, np.int64)
+            codes = np.empty((0, self.books.shape[0]), np.uint8)
+        else:
+            bucket = np.argmax(x @ self.cent.T, axis=1)
+            res = x - self.cent[bucket]
+            m, K, sub_d = self.books.shape
+            codes = np.empty((n, m), np.uint8)
+            for j in range(m):
+                sub = res[:, j * sub_d: (j + 1) * sub_d]
+                cb = self.books[j]
+                codes[:, j] = np.argmin(
+                    -2.0 * (sub @ cb.T) + (cb ** 2).sum(1)[None, :], axis=1)
+        width = self.books.shape[0]
+        vals = pa.py_buffer(codes.tobytes())
+        offs = pa.py_buffer((np.arange(n + 1, dtype=np.int32)
+                             * width).tobytes())
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "bucket_id": pa.array(bucket.astype(np.int64)),
+            "codes": pa.Array.from_buffers(pa.binary(), n, [None, offs, vals]),
+        })
+
+
+def build_ivfpq_index(ds: ray.data.Dataset, index_dir: str,
+                      n_centroids: int = 64, m_sub: int = 8, n_bits: int = 8,
+                      sample_size: int = 65536, iters: int = 10,
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict:
+    """IVF-PQ persisted index: IVF coarse quantizer + product-quantized
+    residuals. On disk each vector is (id, m_sub bytes) — vs 8·dim bytes
+    for the raw-vector indexes — Hive-partitioned by coarse centroid.
+    Queries score by ADC (asymmetric distance computation): one
+    (m_sub × 2^n_bits) lookup table per query, scores read off by byte
+    indexing — approximate by design (use ``build_ivf_index`` when exact
+    in-bucket scores matter more than index size). Training (coarse +
+    per-subspace codebooks) runs on a hash-sampled subset — bounded
+    driver memory."""
+    import json
+    import os
+
+    total = ds.count()
+    prob_mod = max(1, total // max(1, sample_size))
+
+    def pick(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64
+
+        h = hash64(t.column(id_col).cast(pa.string()), seed=9)
+        return t.filter(pa.array(h % np.uint64(prob_mod) == 0))
+
+    sample_tbl = ds.select_columns([id_col, vec_col]).map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+    if not len(sample_tbl):
+        raise ValueError("build_ivfpq_index: empty corpus")
+    sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy())
+                        .astype(np.float64))
+    dim = sample.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_d = dim // m_sub
+    cent = _spherical_kmeans(sample, n_centroids, iters, seed)
+    assign = np.argmax(sample @ cent.T, axis=1)
+    res = sample - cent[assign]
+    books = np.stack([
+        _pad_codebook(_euclid_kmeans(res[:, j * sub_d: (j + 1) * sub_d],
+                                     1 << n_bits, iters, seed + 100 + j),
+                      1 << n_bits)
+        for j in range(m_sub)])
+
+    encoded = ds.select_columns([id_col, vec_col]).map_batches(
+        PqEncodeStage, fn_constructor_kwargs=dict(
+            centroids=cent, codebooks=books, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    encoded.write_parquet(index_dir, partition_cols=["bucket"])
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "_codebooks.npy"), books)
+    meta = {"kind": "ivfpq", "n_centroids": int(len(cent)),
+            "m_sub": int(m_sub), "n_bits": int(n_bits), "dim": int(dim),
+            "seed": seed, "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _pad_codebook(cb: np.ndarray, k: int) -> np.ndarray:
+    """Pad a codebook trained on a small sample up to 2^n_bits rows
+    (repeat rows — unused codewords are harmless)."""
+    if len(cb) >= k:
+        return cb[:k]
+    reps = -(-k // len(cb))
+    return np.tile(cb, (reps, 1))[:k]
+
+
+def _ivfpq_query(index_dir: str, meta: dict, qm: np.ndarray, k: int,
+                 multiprobe: int) -> pa.Table:
+    """ADC scoring over the probed partitions: score(x) ≈ q·c_bucket +
+    Σ_j LUT[j, code_j] with LUT[j, :] = q_subvector_j · codebook_j — one
+    table lookup per byte instead of a d-dim dot product."""
+    import glob
+    import os
+
+    id_col = meta["id_col"]
+    cent = _normalize(np.load(os.path.join(index_dir, "_centroids.npy")))
+    books = np.load(os.path.join(index_dir, "_codebooks.npy"))
+    m, K, sub_d = books.shape
+    qn = _normalize(qm)
+    qc = qn @ cent.T                                   # (nq, n_centroids)
+    luts = np.stack([                                  # (nq, m, K)
+        np.stack([qn[:, j * sub_d: (j + 1) * sub_d] @ books[j].T
+                  for j in range(m)], axis=1)])[0]
+    nprobe = min(1 + multiprobe, cent.shape[0])
+    per_query = [set(map(int, row))
+                 for row in np.argsort(-qc, axis=1)[:, :nprobe]]
+    union = sorted(set().union(*per_query))
+    paths = [f for b in union
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    empty = pa.table({"q": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "score_e6": pa.array([], pa.int64())})
+    if not paths:
+        return empty
+    target_sets = [np.fromiter(s, dtype=np.int64) for s in per_query]
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = t.column("bucket_id").to_numpy(zero_copy_only=False)
+        codes_col = t.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = np.frombuffer(b"".join(
+            codes_col.to_numpy(zero_copy_only=False)),
+            np.uint8).reshape(n, m)
+        out_q, out_id, out_e6 = [], [], []
+        ar = np.arange(m)
+        for j in range(qn.shape[0]):
+            mask = np.isin(buckets, target_sets[j])
+            if not mask.any():
+                continue
+            c = codes[mask]
+            score = qc[j, buckets[mask]] + luts[j][ar[None, :], c].sum(axis=1)
+            e6 = _to_e6(score)
+            mids = ids[mask]
+            order = np.lexsort((mids, -e6))[: min(k, len(e6))]
+            out_q.append(np.full(len(order), j, dtype=np.int64))
+            out_id.append(mids[order])
+            out_e6.append(e6[order])
+        if not out_q:
+            return empty
+        return pa.table({"q": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "score_e6": pa.array(np.concatenate(out_e6))})
+
+    partials = ray.data.read_parquet(paths).map_batches(
+        topk_batch, batch_format="pyarrow")
+    merged = partials.to_pandas()
+    if len(merged) == 0 or "score_e6" not in merged.columns:
+        return empty
+    merged = merged.sort_values(["q", "score_e6", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort").groupby("q").head(k)
+    return pa.Table.from_pandas(merged.reset_index(drop=True),
+                                preserve_index=False)

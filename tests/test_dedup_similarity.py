@@ -277,3 +277,49 @@ def test_embedding_near_dup(ray_session):
     # random 16-d gaussians are far from cosine 0.98 of each other
     others = {k for k in as_map if k not in (0, 1, 100, 101)}
     assert not others
+
+
+def test_ivfpq_index_recall_and_compression(ray_session, tmp_path):
+    """IVF-PQ persisted index: ADC top-k recalls most of the exact top-k
+    while storing m_sub BYTES per vector (vs 8·dim for raw vectors), and
+    probed reads stay partition-pruned."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        ann_query_index, build_ivfpq_index, knn_topk)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(ds, idx, n_centroids=16, m_sub=8,
+                             sample_size=10_000)
+    assert meta["kind"] == "ivfpq" and meta["m_sub"] == 8
+
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    queries = np.array([t.column("embedding")[i].as_py() for i in range(4)],
+                       dtype=np.float64)
+    got = ann_query_index(idx, queries, k=10, multiprobe=4).to_pandas()
+    recalls = []
+    for qi in range(4):
+        exact = set(knn_topk(ds, queries[qi], k=10)
+                    .column("vec_id").to_pylist())
+        approx = set(got[got.q == qi]["vec_id"])
+        recalls.append(len(exact & approx) / 10)
+    assert float(np.mean(recalls)) >= 0.5, recalls
+    # each query finds itself first (its own vector has zero residual
+    # error only approximately, but rank-1 must hold for identical vecs)
+    for qi in range(4):
+        rows = got[got.q == qi].reset_index(drop=True)
+        assert rows["vec_id"][0] == qi
+    # compression: stored codes are m_sub bytes per vector
+    stored = pa.concat_tables([
+        pq.read_table(p, columns=["codes"])
+        for p in glob.glob(os.path.join(idx, "bucket=*", "*.parquet"))])
+    widths = {len(b.as_py()) for b in stored.column("codes")}
+    assert widths == {8}
+    assert stored.num_rows == 500
