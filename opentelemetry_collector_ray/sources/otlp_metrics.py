@@ -34,13 +34,17 @@ files — tags verified against the 0x.. constants in MarshalProto):
                      quantile_values=6 attributes=7 flags=8
     ValueAtQuantile: quantile=1(double) value=2(double)
 
+    Exemplar:        start n/a; time=2(I64) as_double=3(I64)
+                     trace_id=4 span_id=5 as_int=6(sfixed64)
+                     filtered_attributes=7
+
 Flat-table model — ONE ROW PER DATA POINT with the metric identity
 (name/description/unit/type + sum temporality/monotonicity) denormalized
 into columns, exactly the move the logs/spans codecs make for
 resource/scope context; encoding re-nests by (resource, scope, metric).
-Attributes are the TYPED pcommon.Value map (functions/typedattrs.py).
-Exemplars and histogram min/max are not carried (documented omission —
-the reference treats both as optional).
+Attributes are the TYPED pcommon.Value map (functions/typedattrs.py);
+exemplars ride as a nested list (time, int/double value, trace/span ids,
+typed filtered attributes), histogram min/max as nullable doubles.
 
 This is a WIRE CODEC: per-record Python is inherent (the reference's
 generated Go marshalers are per-record too); bulk analytics use Parquet.
@@ -66,16 +70,24 @@ GAUGE, SUM, HISTOGRAM, EXP_HISTOGRAM, SUMMARY = (
 
 _QUANTILE_T = pa.list_(pa.struct([("quantile", pa.float64()),
                                   ("value", pa.float64())]))
+EXEMPLARS_T = pa.list_(pa.struct([
+    ("time_unix_nano", pa.int64()),
+    ("value_int", pa.int64()),
+    ("value_double", pa.float64()),
+    ("trace_id", pa.string()),
+    ("span_id", pa.string()),
+    ("filtered_attributes", tav.TYPED_MAP_T),
+]))
 
 METRIC_WIRE_COLUMNS = [
     "metric_name", "metric_description", "metric_unit", "metric_type",
     "start_time_unix_nano", "time_unix_nano", "attributes",
     "value_int", "value_double",
     "aggregation_temporality", "is_monotonic",
-    "count", "sum", "bucket_counts", "explicit_bounds",
+    "count", "sum", "min", "max", "bucket_counts", "explicit_bounds",
     "scale", "zero_count", "positive_offset", "positive_bucket_counts",
     "negative_offset", "negative_bucket_counts",
-    "quantile_values", "flags",
+    "quantile_values", "exemplars", "flags",
     "resource_attributes", "scope_name", "scope_version",
 ]
 
@@ -104,6 +116,28 @@ def _dp_common_tail(r: dict, attr_field: int) -> bytes:
                     for k, c in (r.get("attributes") or []))
 
 
+def _encode_exemplar(e: dict) -> bytes:
+    out = bytearray()
+    if e.get("time_unix_nano"):
+        out += _tag(2, _I64) + struct.pack("<Q", int(e["time_unix_nano"]))
+    if e.get("value_double") is not None:
+        out += _tag(3, _I64) + struct.pack("<d", float(e["value_double"]))
+    elif e.get("value_int") is not None:
+        out += _tag(6, _I64) + struct.pack("<q", int(e["value_int"]))
+    if e.get("trace_id"):
+        out += _len_field(4, bytes.fromhex(e["trace_id"]))
+    if e.get("span_id"):
+        out += _len_field(5, bytes.fromhex(e["span_id"]))
+    for k, c in (e.get("filtered_attributes") or []):
+        out += _len_field(7, _cell_keyvalue(k, c))
+    return bytes(out)
+
+
+def _exemplars_tail(r: dict, field: int) -> bytes:
+    return b"".join(_len_field(field, _encode_exemplar(e))
+                    for e in (r.get("exemplars") or []))
+
+
 def _encode_number_dp(r: dict) -> bytes:
     out = bytearray()
     if r.get("start_time_unix_nano"):
@@ -114,6 +148,7 @@ def _encode_number_dp(r: dict) -> bytes:
         out += _tag(4, _I64) + struct.pack("<d", float(r["value_double"]))
     elif r.get("value_int") is not None:
         out += _tag(6, _I64) + struct.pack("<q", int(r["value_int"]))
+    out += _exemplars_tail(r, 5)
     out += _dp_common_tail(r, 7)
     if r.get("flags"):
         out += _tag(8, _VARINT) + _varint(int(r["flags"]))
@@ -133,9 +168,14 @@ def _encode_histogram_dp(r: dict) -> bytes:
         out += _len_field(6, _packed_fixed64(r["bucket_counts"]))
     if r.get("explicit_bounds"):
         out += _len_field(7, _packed_double(r["explicit_bounds"]))
+    out += _exemplars_tail(r, 8)
     out += _dp_common_tail(r, 9)
     if r.get("flags"):
         out += _tag(10, _VARINT) + _varint(int(r["flags"]))
+    if r.get("min") is not None:
+        out += _tag(11, _I64) + struct.pack("<d", float(r["min"]))
+    if r.get("max") is not None:
+        out += _tag(12, _I64) + struct.pack("<d", float(r["max"]))
     return bytes(out)
 
 
@@ -168,6 +208,11 @@ def _encode_exp_histogram_dp(r: dict) -> bytes:
                                          r.get("negative_bucket_counts")))
     if r.get("flags"):
         out += _tag(10, _VARINT) + _varint(int(r["flags"]))
+    out += _exemplars_tail(r, 11)
+    if r.get("min") is not None:
+        out += _tag(12, _I64) + struct.pack("<d", float(r["min"]))
+    if r.get("max") is not None:
+        out += _tag(13, _I64) + struct.pack("<d", float(r["max"]))
     return bytes(out)
 
 
@@ -272,11 +317,39 @@ def _empty_row() -> dict:
     return {"start_time_unix_nano": 0, "time_unix_nano": 0, "attributes": [],
             "value_int": None, "value_double": None,
             "aggregation_temporality": None, "is_monotonic": None,
-            "count": None, "sum": None, "bucket_counts": None,
+            "count": None, "sum": None, "min": None, "max": None,
+            "bucket_counts": None,
             "explicit_bounds": None, "scale": None, "zero_count": None,
             "positive_offset": None, "positive_bucket_counts": None,
             "negative_offset": None, "negative_bucket_counts": None,
-            "quantile_values": None, "flags": 0}
+            "quantile_values": None, "exemplars": None, "flags": 0}
+
+
+def _unp_d(v: int) -> float:
+    return struct.unpack("<d", struct.pack("<Q", v))[0]
+
+
+def _decode_exemplar(buf) -> dict:
+    e = {"time_unix_nano": 0, "value_int": None, "value_double": None,
+         "trace_id": "", "span_id": "", "filtered_attributes": []}
+    for f, w, v in _iter_fields(bytes(buf)):
+        if f == 2:
+            e["time_unix_nano"] = v
+        elif f == 3:
+            e["value_double"] = _unp_d(v)
+        elif f == 6:
+            e["value_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
+        elif f == 4:
+            e["trace_id"] = bytes(v).hex()
+        elif f == 5:
+            e["span_id"] = bytes(v).hex()
+        elif f == 7:
+            e["filtered_attributes"].append(_decode_kv_cell(v))
+    return e
+
+
+def _add_exemplar(r: dict, buf) -> None:
+    r["exemplars"] = (r["exemplars"] or []) + [_decode_exemplar(buf)]
 
 
 def _decode_number_dp(buf) -> dict:
@@ -287,9 +360,11 @@ def _decode_number_dp(buf) -> dict:
         elif f == 3:
             r["time_unix_nano"] = v
         elif f == 4:
-            r["value_double"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+            r["value_double"] = _unp_d(v)
         elif f == 6:
             r["value_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
+        elif f == 5:
+            _add_exemplar(r, v)
         elif f == 7:
             r["attributes"].append(_decode_kv_cell(v))
         elif f == 8:
@@ -308,17 +383,23 @@ def _decode_histogram_dp(buf) -> dict:
         elif f == 4:
             r["count"] = v
         elif f == 5:
-            r["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+            r["sum"] = _unp_d(v)
         elif f == 6:
             r["bucket_counts"] = (r["bucket_counts"] or []) + \
                 _decode_packed_fixed64(buf, w, v)
         elif f == 7:
             r["explicit_bounds"] = (r["explicit_bounds"] or []) + \
                 _decode_packed_double(buf, w, v)
+        elif f == 8:
+            _add_exemplar(r, v)
         elif f == 9:
             r["attributes"].append(_decode_kv_cell(v))
         elif f == 10:
             r["flags"] = v
+        elif f == 11:
+            r["min"] = _unp_d(v)
+        elif f == 12:
+            r["max"] = _unp_d(v)
     return r
 
 
@@ -351,7 +432,7 @@ def _decode_exp_histogram_dp(buf) -> dict:
         elif f == 4:
             r["count"] = v
         elif f == 5:
-            r["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+            r["sum"] = _unp_d(v)
         elif f == 6:
             r["scale"] = _unzigzag(v)
         elif f == 7:
@@ -364,6 +445,12 @@ def _decode_exp_histogram_dp(buf) -> dict:
                 _decode_buckets(v)
         elif f == 10:
             r["flags"] = v
+        elif f == 11:
+            _add_exemplar(r, v)
+        elif f == 12:
+            r["min"] = _unp_d(v)
+        elif f == 13:
+            r["max"] = _unp_d(v)
     return r
 
 
@@ -458,6 +545,8 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
         "is_monotonic": pa.array(cols["is_monotonic"], pa.bool_()),
         "count": pa.array(cols["count"], pa.int64()),
         "sum": pa.array(cols["sum"], pa.float64()),
+        "min": pa.array(cols["min"], pa.float64()),
+        "max": pa.array(cols["max"], pa.float64()),
         "bucket_counts": pa.array(cols["bucket_counts"],
                                   pa.list_(pa.int64())),
         "explicit_bounds": pa.array(cols["explicit_bounds"],
@@ -471,6 +560,7 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
         "negative_bucket_counts": pa.array(cols["negative_bucket_counts"],
                                            pa.list_(pa.int64())),
         "quantile_values": pa.array(cols["quantile_values"], _QUANTILE_T),
+        "exemplars": pa.array(cols["exemplars"], EXEMPLARS_T),
         "flags": pa.array([int(x or 0) for x in cols["flags"]], pa.uint32()),
         "resource_attributes": pa.array(cols["resource_attributes"],
                                         pa.map_(pa.string(), pa.string())),
@@ -524,9 +614,55 @@ def _dp_common_json(r: dict) -> dict:
         out["attributes"] = [
             {"key": k, "value": tav.value_to_json(*tav.cell_value(c))}
             for k, c in r["attributes"]]
+    if r.get("exemplars"):
+        exs = []
+        for e in r["exemplars"]:
+            ej: dict = {}
+            if e.get("time_unix_nano"):
+                ej["timeUnixNano"] = str(int(e["time_unix_nano"]))
+            if e.get("value_double") is not None:
+                ej["asDouble"] = float(e["value_double"])
+            elif e.get("value_int") is not None:
+                ej["asInt"] = str(int(e["value_int"]))
+            if e.get("trace_id"):
+                ej["traceId"] = e["trace_id"]
+            if e.get("span_id"):
+                ej["spanId"] = e["span_id"]
+            if e.get("filtered_attributes"):
+                ej["filteredAttributes"] = [
+                    {"key": k, "value": tav.value_to_json(*tav.cell_value(c))}
+                    for k, c in e["filtered_attributes"]]
+            exs.append(ej)
+        out["exemplars"] = exs
     if r.get("flags"):
         out["flags"] = int(r["flags"])
     return out
+
+
+def _minmax_json(r: dict, out: dict) -> dict:
+    if r.get("min") is not None:
+        out["min"] = float(r["min"])
+    if r.get("max") is not None:
+        out["max"] = float(r["max"])
+    return out
+
+
+def _exemplars_from_json(dp: dict, r: dict) -> None:
+    exs = []
+    for ej in dp.get("exemplars", []):
+        e = {"time_unix_nano": int(ej.get("timeUnixNano", 0)),
+             "value_int": int(ej["asInt"]) if "asInt" in ej else None,
+             "value_double": float(ej["asDouble"])
+             if "asDouble" in ej else None,
+             "trace_id": ej.get("traceId", ""),
+             "span_id": ej.get("spanId", ""),
+             "filtered_attributes": [
+                 (kv.get("key", ""),
+                  tav.cell(*tav.json_to_value(kv.get("value", {}))))
+                 for kv in ej.get("filteredAttributes", [])]}
+        exs.append(e)
+    if exs:
+        r["exemplars"] = exs
 
 
 def _number_dp_json(r: dict) -> dict:
@@ -547,7 +683,7 @@ def _histogram_dp_json(r: dict) -> dict:
         out["bucketCounts"] = [str(int(c)) for c in r["bucket_counts"]]
     if r.get("explicit_bounds"):
         out["explicitBounds"] = [float(b) for b in r["explicit_bounds"]]
-    return out
+    return _minmax_json(r, out)
 
 
 def _exp_histogram_dp_json(r: dict) -> dict:
@@ -569,7 +705,7 @@ def _exp_histogram_dp_json(r: dict) -> dict:
         if r.get(ckey):
             b["bucketCounts"] = [str(int(c)) for c in r[ckey]]
         out[side] = b
-    return out
+    return _minmax_json(r, out)
 
 
 def _summary_dp_json(r: dict) -> dict:
@@ -666,6 +802,12 @@ def parse_metrics_request_lines(batch: pa.Table, text_col: str = "text",
                         for dp in body.get("dataPoints", []):
                             r = _empty_row()
                             _dp_common_from_json(dp, r)
+                            _exemplars_from_json(dp, r)
+                            if mtype in (HISTOGRAM, EXP_HISTOGRAM):
+                                r["min"] = float(dp["min"]) \
+                                    if "min" in dp else None
+                                r["max"] = float(dp["max"]) \
+                                    if "max" in dp else None
                             if mtype in (GAUGE, SUM):
                                 if "asDouble" in dp:
                                     r["value_double"] = float(dp["asDouble"])
