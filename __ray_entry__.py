@@ -1248,6 +1248,7 @@ FROM events GROUP BY user_id, bucket
 SELECT user_id, date_trunc('hour', ts) - to_hours(o) AS window_start,
        count(*) AS n_events
 FROM events CROSS JOIN UNNEST([0, 1, 2]) AS t(o)
+WHERE ts IS NOT NULL
 GROUP BY user_id, window_start
 """,
         "events_cumulative": """

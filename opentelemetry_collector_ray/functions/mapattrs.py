@@ -144,7 +144,10 @@ def map_put(m, key: str, values) -> pa.Array:
     off, keys, items = _parts(base)
     n = len(off) - 1
     if isinstance(values, str):
-        vals = np.full(n, values, object)
+        # slice-assign, NOT np.full: np.full treats a str fill value as a
+        # C string and silently truncates at an embedded NUL byte
+        vals = np.empty(n, object)
+        vals[:] = values
         valid = np.ones(n, bool)
     else:
         if isinstance(values, pa.ChunkedArray):

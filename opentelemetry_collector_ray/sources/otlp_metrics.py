@@ -34,9 +34,10 @@ files — tags verified against the 0x.. constants in MarshalProto):
                      quantile_values=6 attributes=7 flags=8
     ValueAtQuantile: quantile=1(double) value=2(double)
 
-    Exemplar:        start n/a; time=2(I64) as_double=3(I64)
-                     trace_id=4 span_id=5 as_int=6(sfixed64)
-                     filtered_attributes=7
+    Exemplar:        time=2(I64) as_double=3(I64) span_id=4 trace_id=5
+                     as_int=6(sfixed64) filtered_attributes=7
+                     (``generated_proto_exemplar.go:342-374`` — note
+                     span_id is field 4 and trace_id field 5)
 
 Flat-table model — ONE ROW PER DATA POINT with the metric identity
 (name/description/unit/type + sum temporality/monotonicity) denormalized
@@ -124,10 +125,10 @@ def _encode_exemplar(e: dict) -> bytes:
         out += _tag(3, _I64) + struct.pack("<d", float(e["value_double"]))
     elif e.get("value_int") is not None:
         out += _tag(6, _I64) + struct.pack("<q", int(e["value_int"]))
-    if e.get("trace_id"):
-        out += _len_field(4, bytes.fromhex(e["trace_id"]))
     if e.get("span_id"):
-        out += _len_field(5, bytes.fromhex(e["span_id"]))
+        out += _len_field(4, bytes.fromhex(e["span_id"]))
+    if e.get("trace_id"):
+        out += _len_field(5, bytes.fromhex(e["trace_id"]))
     for k, c in (e.get("filtered_attributes") or []):
         out += _len_field(7, _cell_keyvalue(k, c))
     return bytes(out)
@@ -340,9 +341,9 @@ def _decode_exemplar(buf) -> dict:
         elif f == 6:
             e["value_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
         elif f == 4:
-            e["trace_id"] = bytes(v).hex()
-        elif f == 5:
             e["span_id"] = bytes(v).hex()
+        elif f == 5:
+            e["trace_id"] = bytes(v).hex()
         elif f == 7:
             e["filtered_attributes"].append(_decode_kv_cell(v))
     return e

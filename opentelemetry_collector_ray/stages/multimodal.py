@@ -231,13 +231,19 @@ class DecodeStage:
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if self.codec == "real":
-            # PNG always takes the stdlib path — deterministic pixels
+            # PNG takes the stdlib path first — deterministic pixels
             # regardless of whether Pillow is installed (PIL's convert+
             # bicubic resize would silently change outputs per
-            # environment); Pillow extends coverage to OTHER formats.
+            # environment). PNG shapes the stdlib decoder doesn't handle
+            # (palette / 16-bit / interlaced) fall through to Pillow when
+            # present, as do all other formats (JPEG/WebP/…).
             if payload[:8] == _PNG_MAGIC:
-                gray = _to_gray(decode_png(payload))
-                return _resize_nearest(gray, self.th, self.tw)
+                try:
+                    gray = _to_gray(decode_png(payload))
+                    return _resize_nearest(gray, self.th, self.tw)
+                except NotImplementedError:
+                    if self._pil is None:
+                        raise
             if self._pil is not None:
                 import io
 

@@ -121,7 +121,9 @@ def sliding_window_count(events: ray.data.Dataset, key: str,
     (k = W/S, a small constant) followed by the standard two-phase
     grouped count on (key, window_start) — the shuffle moves k·rows
     fixed-width rows, never a per-window Python loop. Exact in batch
-    (the collector has no event-time windows — SURVEY.md §2.10)."""
+    (the collector has no event-time windows — SURVEY.md §2.10).
+    Rows with a null timestamp are dropped (a null has no window; the
+    SQL mirror filters them the same way)."""
     import pyarrow.compute as pc
 
     from .aggregate import grouped_count
@@ -132,6 +134,7 @@ def sliding_window_count(events: ray.data.Dataset, key: str,
     slide_us = slide_hours * 3_600_000_000
 
     def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(ts_col)))
         h = pc.floor_temporal(t.column(ts_col).cast(pa.timestamp("us")),
                               unit="hour")
         h_us = h.cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -193,6 +193,29 @@ def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int,
     return cent
 
 
+
+def _hash_sample(ds: ray.data.Dataset, sample_size: int, id_col: str,
+                 vec_col: str) -> np.ndarray:
+    """Deterministic hash-sampled subset of the embedding column for
+    trainer stages — bounded driver memory (≈ sample_size × dim floats),
+    one streaming pass; raises on an empty corpus (shared by the IVF and
+    IVF-PQ builders)."""
+    total = ds.count()
+    prob_mod = max(1, total // max(1, sample_size))
+
+    def pick(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64
+
+        h = hash64(t.column(id_col).cast(pa.string()), seed=9)
+        return t.filter(pa.array(h % np.uint64(prob_mod) == 0))
+
+    sample_tbl = ds.select_columns([id_col, vec_col]).map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+    if not len(sample_tbl):
+        raise ValueError("_hash_sample: empty corpus — nothing to train on")
+    return np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+
+
 def build_ivf_index(ds: ray.data.Dataset, index_dir: str,
                     n_centroids: int = 64, sample_size: int = 65536,
                     iters: int = 10, seed: int = 42, id_col: str = "vec_id",
@@ -207,18 +230,7 @@ def build_ivf_index(ds: ray.data.Dataset, index_dir: str,
     import json
     import os
 
-    total = ds.count()
-    prob_mod = max(1, total // max(1, sample_size))
-
-    def pick(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash64
-
-        h = hash64(t.column(id_col).cast(pa.string()), seed=9)
-        return t.filter(pa.array(h % np.uint64(prob_mod) == 0))
-
-    sample_tbl = ds.select_columns([id_col, vec_col]).map_batches(
-        pick, batch_format="pyarrow").to_pandas()
-    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    sample = _hash_sample(ds, sample_size, id_col, vec_col)
     cent = _spherical_kmeans(sample, n_centroids, iters, seed)
     dim = cent.shape[1]
 
@@ -454,21 +466,7 @@ def build_ivfpq_index(ds: ray.data.Dataset, index_dir: str,
     import json
     import os
 
-    total = ds.count()
-    prob_mod = max(1, total // max(1, sample_size))
-
-    def pick(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash64
-
-        h = hash64(t.column(id_col).cast(pa.string()), seed=9)
-        return t.filter(pa.array(h % np.uint64(prob_mod) == 0))
-
-    sample_tbl = ds.select_columns([id_col, vec_col]).map_batches(
-        pick, batch_format="pyarrow").to_pandas()
-    if not len(sample_tbl):
-        raise ValueError("build_ivfpq_index: empty corpus")
-    sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy())
-                        .astype(np.float64))
+    sample = _normalize(_hash_sample(ds, sample_size, id_col, vec_col))
     dim = sample.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -511,7 +509,9 @@ def _ivfpq_query(index_dir: str, meta: dict, qm: np.ndarray, k: int,
                  multiprobe: int) -> pa.Table:
     """ADC scoring over the probed partitions: score(x) ≈ q·c_bucket +
     Σ_j LUT[j, code_j] with LUT[j, :] = q_subvector_j · codebook_j — one
-    table lookup per byte instead of a d-dim dot product."""
+    table lookup per byte instead of a d-dim dot product. Output schema
+    matches the other index kinds — (q, vec_id, cos_sim_e6) — with the
+    caveat that here cos_sim_e6 is the PQ-approximated cosine."""
     import glob
     import os
 
@@ -521,9 +521,8 @@ def _ivfpq_query(index_dir: str, meta: dict, qm: np.ndarray, k: int,
     m, K, sub_d = books.shape
     qn = _normalize(qm)
     qc = qn @ cent.T                                   # (nq, n_centroids)
-    luts = np.stack([                                  # (nq, m, K)
-        np.stack([qn[:, j * sub_d: (j + 1) * sub_d] @ books[j].T
-                  for j in range(m)], axis=1)])[0]
+    luts = np.stack([qn[:, j * sub_d: (j + 1) * sub_d] @ books[j].T
+                     for j in range(m)], axis=1)     # (nq, m, K)
     nprobe = min(1 + multiprobe, cent.shape[0])
     per_query = [set(map(int, row))
                  for row in np.argsort(-qc, axis=1)[:, :nprobe]]
@@ -533,7 +532,7 @@ def _ivfpq_query(index_dir: str, meta: dict, qm: np.ndarray, k: int,
                  os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
     empty = pa.table({"q": pa.array([], pa.int64()),
                       id_col: pa.array([], pa.int64()),
-                      "score_e6": pa.array([], pa.int64())})
+                      "cos_sim_e6": pa.array([], pa.int64())})
     if not paths:
         return empty
     target_sets = [np.fromiter(s, dtype=np.int64) for s in per_query]
@@ -566,14 +565,14 @@ def _ivfpq_query(index_dir: str, meta: dict, qm: np.ndarray, k: int,
             return empty
         return pa.table({"q": pa.array(np.concatenate(out_q)),
                          id_col: pa.array(np.concatenate(out_id)),
-                         "score_e6": pa.array(np.concatenate(out_e6))})
+                         "cos_sim_e6": pa.array(np.concatenate(out_e6))})
 
     partials = ray.data.read_parquet(paths).map_batches(
         topk_batch, batch_format="pyarrow")
     merged = partials.to_pandas()
-    if len(merged) == 0 or "score_e6" not in merged.columns:
+    if len(merged) == 0 or "cos_sim_e6" not in merged.columns:
         return empty
-    merged = merged.sort_values(["q", "score_e6", id_col],
+    merged = merged.sort_values(["q", "cos_sim_e6", id_col],
                                 ascending=[True, False, True],
                                 kind="mergesort").groupby("q").head(k)
     return pa.Table.from_pandas(merged.reset_index(drop=True),

@@ -208,3 +208,24 @@ def test_metrics_file_source_sink(ray_session, tmp_path):
         .select_columns(["metric_name"]).to_pandas()
     assert sorted(back["metric_name"]) == sorted(
         flat.column("metric_name").to_pylist())
+
+
+def test_exemplar_wire_tags_match_reference():
+    """Byte-level check against the reference marshaler's tags
+    (generated_proto_exemplar.go): span_id is FIELD 4 (tag 0x22, 8
+    bytes) and trace_id FIELD 5 (tag 0x2a, 16 bytes) — a swap would
+    round-trip internally but break every real OTLP peer."""
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        _encode_exemplar)
+
+    blob = _encode_exemplar({
+        "time_unix_nano": 1, "value_int": None, "value_double": 0.5,
+        "trace_id": "0102030405060708090a0b0c0d0e0f10",
+        "span_id": "a1a2a3a4a5a6a7a8", "filtered_attributes": []})
+    i4 = blob.index(b"\x22")
+    assert blob[i4 + 1] == 8  # span_id length
+    assert blob[i4 + 2: i4 + 10] == bytes.fromhex("a1a2a3a4a5a6a7a8")
+    i5 = blob.index(b"\x2a")
+    assert blob[i5 + 1] == 16  # trace_id length
+    assert blob[i5 + 2: i5 + 18] == bytes.fromhex(
+        "0102030405060708090a0b0c0d0e0f10")
