@@ -228,6 +228,15 @@ def _register_builtins() -> None:
     register("turns", Factory("receiver", lambda cfg: cfg))
     register("spans", Factory("receiver", lambda cfg: cfg))
     register("profile_frames", Factory("receiver", lambda cfg: cfg))
+    # OTLP wire components (the otlpreceiver / otlpexporter file analogs):
+    # the SAME type name serves as receiver (request files → flat rows)
+    # and exporter (flat rows → request files) — the builder dispatches on
+    # the pipeline ROLE it appears under, like the reference's otlp
+    # component id working in both positions.
+    register("otlp_json", Factory("receiver+exporter", lambda cfg: cfg))
+    register("otlp_proto", Factory("receiver+exporter", lambda cfg: cfg))
+    register("otlp_proto_metrics",
+             Factory("receiver+exporter", lambda cfg: cfg))
     register("parse", Factory("processor", make_parse))
     register("enrich", Factory("processor", lambda cfg: EnrichStage(cfg.get("refs"))))
     register("route", Factory("connector", make_route))

@@ -31,6 +31,20 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
         if rtype == "parquet":
             datasets.append(ray.data.read_parquet(
                 rpaths, columns=rcfg.get("columns")))
+        elif rtype == "otlp_json":
+            # OTLP/JSON request-line files → flat LogRecord rows
+            from ..sources.otlp_json import read_otlp_json_logs
+
+            datasets.append(read_otlp_json_logs(rpaths))
+        elif rtype == "otlp_proto":
+            # OTLP protobuf request files (*.binpb) → flat LogRecord rows
+            from ..sources.otlp_proto import read_otlp_proto_logs
+
+            datasets.append(read_otlp_proto_logs(rpaths))
+        elif rtype == "otlp_proto_metrics":
+            from ..sources.otlp_metrics import read_otlp_proto_metrics
+
+            datasets.append(read_otlp_proto_metrics(rpaths))
         elif rtype in ("turns", "spans", "profile_frames"):
             # derived-signal receivers over an events parquet source
             events = ray.data.read_parquet(
@@ -85,6 +99,26 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
             else:
                 ds.write_parquet(target)
             counts[name] = "written"
+        elif type_name == "otlp_json":
+            from ..sources.otlp_json import write_otlp_json_logs
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_otlp_json_logs(ds, target)
+        elif type_name == "otlp_proto":
+            from ..sources.otlp_proto import write_otlp_proto_logs
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_otlp_proto_logs(
+                ds, target,
+                max_request_bytes=ecfg.get("max_request_bytes"))
+        elif type_name == "otlp_proto_metrics":
+            from ..sources.otlp_metrics import write_otlp_proto_metrics
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_otlp_proto_metrics(ds, target)
         elif type_name == "debug":
             counts[name] = DebugSink(ecfg.get("verbosity", "basic")).consume(ds)
         else:

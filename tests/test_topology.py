@@ -111,3 +111,56 @@ def test_config_driven_spans_pipeline(ray_session, tmp_path):
     out = build_dataset(cfg).to_pandas()
     assert len(out) == 1 and out.iloc[0]["service"] == "backend"
     assert out.iloc[0]["status_code"] == 2
+
+
+def test_otlp_wire_pipeline_via_config(ray_session, tmp_path):
+    """Collector-shaped wire topology from YAML: OTLP/JSON request files
+    in → severity filter → OTLP protobuf request files out — the wire
+    codecs as first-class pipeline components (receiver and exporter
+    roles of the same type names, like the reference's otlp component)."""
+    import json as jsonlib
+    import os
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import (
+        build_dataset, run_exporters)
+    from opentelemetry_collector_ray.sources.otlp_proto import (
+        read_otlp_proto_logs)
+
+    req = {"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "checkout"}}]},
+        "scopeLogs": [{"scope": {"name": "lib", "version": "1"},
+                       "logRecords": [
+            {"timeUnixNano": "1", "severityNumber": 9,
+             "severityText": "Info", "body": {"stringValue": "keep"},
+             "attributes": [{"key": "n", "value": {"intValue": "7"}}]},
+            {"timeUnixNano": "2", "severityNumber": 17,
+             "severityText": "Error", "body": {"stringValue": "drop"}},
+        ]}]}]}
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "req-0.jsonl").write_text(jsonlib.dumps(req) + "\n")
+
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"otlp_json": {"paths": str(src / "req-0.jsonl")}},
+        "processors": {"filter": {
+            "include": {"column": "severity_text", "strict": ["Info"]}}},
+        "exporters": {"otlp_proto": {"path": "wire_out"}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["otlp_json"],
+            "processors": ["filter"],
+            "exporters": ["otlp_proto"]}}},
+    })
+    ds = build_dataset(cfg)
+    out_root = str(tmp_path / "out")
+    counts = run_exporters(cfg, ds, out_root)
+    assert counts["otlp_proto"] == 1  # the Error record was filtered out
+    back = read_otlp_proto_logs(os.path.join(out_root, "wire_out")) \
+        .to_pandas()
+    assert back["body"].tolist() == ["keep"]
+    # the typed int attribute survived JSON → flat → proto
+    attrs = dict(back["attributes"][0])
+    assert attrs["n"]["vtype"] == 2 and attrs["n"]["i"] == 7
