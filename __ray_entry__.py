@@ -593,6 +593,32 @@ def _q_docs_quality_ints(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII redaction over deterministically PII-seeded text (emails,
+    phones, SSNs, credit cards, IPs built from customer columns so the
+    oracle can construct byte-identical input); redaction + per-rule
+    counts are whole-column RE2 kernels (functions/redact.py)."""
+    from opentelemetry_collector_ray.functions.redact import redact_table
+
+    def build(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k4 = pa.array(np.char.zfill((ck % 10000).astype("U4"), 4))
+        ip = pa.array((ck % 256).astype("U3"))
+        text = pc.binary_join_element_wise(
+            "Contact ", t.column("c_name"), " at user",
+            pc.cast(t.column("c_custkey"), pa.string()),
+            "@corp.example.com or call 555-010-", k4,
+            " card 4111-1111-1111-", k4, " ssn 123-45-", k4,
+            " ip 10.", ip, ".0.1 end", "")
+        return pa.table({"c_custkey": t.column("c_custkey"), "text": text})
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(build, batch_format="pyarrow") \
+        .map_batches(lambda t: redact_table(t, "text").drop_columns("text"),
+                     batch_format="pyarrow")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1069,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- cap-overflow tail: round-2 driver-green + pytest-oracled ---
         "events_sample": _q_events_sample,
         "topk_orders": _q_topk_orders,
+        "pii_redact": _q_pii_redact,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1106,6 +1133,31 @@ def _sql_prefix_case(col: str, prefixes, idx: int, default: str) -> str:
         parts.append(f"WHEN starts_with({col}, '{row[0]}') THEN '{row[idx]}'")
     parts.append(f"ELSE '{default}' END")
     return " ".join(parts)
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB mirror of _q_pii_redact, composed from the SAME RE2 patterns
+    as functions/redact.py (both engines run RE2 — exact parity)."""
+    from opentelemetry_collector_ray.functions.redact import PII_RULES
+
+    build = ("'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)"
+             " || '@corp.example.com or call 555-010-' || k4"
+             " || ' card 4111-1111-1111-' || k4 || ' ssn 123-45-' || k4"
+             " || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1 end'")
+    redacted = "text"
+    for _name, pattern, token in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT)"
+        f" AS n_{name}" for name, pattern, _token in PII_RULES)
+    return f"""
+WITH k AS (
+  SELECT c_custkey, c_name,
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS k4
+  FROM customer),
+s AS (SELECT c_custkey, {build} AS text FROM k)
+SELECT c_custkey, {redacted} AS redacted, {counts} FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1301,6 +1353,7 @@ GROUP BY n_name
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
+        "pii_redact": _pii_redact_sql(),
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem
 WHERE l_quantity > 45 GROUP BY l_returnflag

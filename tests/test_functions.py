@@ -111,3 +111,55 @@ def test_fingerprint_minima_shape():
     assert lists[2] == []
     # deterministic
     assert fp.to_pylist() == fingerprint_minima(col, k=3, window=4).to_pylist()
+
+
+def test_redact_rules():
+    from opentelemetry_collector_ray.functions.redact import (
+        pii_counts, redact, redact_table)
+
+    col = pa.array([
+        "mail a.b+c@ex-ample.co.uk now",
+        "call 555-123-4567 or 555.123.4567",
+        "ssn 123-45-6789 card 4111-1111-1111-1111",
+        "host 192.168.0.1 port 80",
+        "no pii here",
+        None,
+        "",
+    ])
+    out = redact(col).to_pylist()
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2] == "ssn <SSN> card <CC>"
+    assert out[3] == "host <IP> port 80"
+    assert out[4] == "no pii here"
+    assert out[5] is None and out[6] == ""
+    counts = pii_counts(col)
+    assert counts["n_email"].to_pylist()[:5] == [1, 0, 0, 0, 0]
+    assert counts["n_phone"].to_pylist()[:5] == [0, 2, 0, 0, 0]
+    assert counts["n_ssn"].to_pylist()[2] == 1
+    assert counts["n_credit_card"].to_pylist()[2] == 1
+    assert counts["n_ipv4"].to_pylist()[3] == 1
+    t = redact_table(pa.table({"id": pa.array([1]),
+                               "text": pa.array(["x@y.io 1.2.3.4"])}))
+    assert t.column("redacted").to_pylist() == ["<EMAIL> <IP>"]
+    assert t.column("n_email").to_pylist() == [1]
+
+
+def test_redact_rule_shapes_disjoint():
+    """A later rule must never match inside an earlier rule's replacement
+    or partially consume an earlier rule's match (digit-group shapes are
+    mutually exclusive at word boundaries)."""
+    from opentelemetry_collector_ray.functions.redact import redact
+
+    col = pa.array([
+        # cc vs phone: 4-4-4-4 must NOT be eaten by the 3-3-4 phone rule
+        "4111-2222-3333-4444",
+        # ssn vs phone: 3-2-4 is ssn, not phone
+        "321-54-9876",
+        # phone flanked by digits is not a phone (word boundary)
+        "99555-123-456788",
+    ])
+    out = redact(col).to_pylist()
+    assert out[0] == "<CC>"
+    assert out[1] == "<SSN>"
+    assert out[2] == "99555-123-456788"
