@@ -413,6 +413,24 @@ def _q_audio_pipeline(sf_dir: str):
     return decoded.map_batches(AudioFeatureStage(), batch_format="pyarrow")
 
 
+def _q_video_pipeline(sf_dir: str):
+    """REAL multimodal video pipeline (rows-only): genuine YUV4MPEG2
+    payloads (stdlib encoder, planted scene cuts) → actor-pool y4m decode
+    with every-k frame sampling → vectorized motion/scene-cut features.
+    sf_dir unused (no binary table in testdata); determinism via seed."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        VideoDecodeStage, VideoFeatureStage, synth_y4m_media)
+
+    media = ray.data.from_arrow(synth_y4m_media(128, seed=11))
+    decoded = media.map_batches(
+        VideoDecodeStage, fn_constructor_kwargs={"every_k": 2},
+        batch_format="pyarrow", batch_size=32, concurrency=2)
+    return decoded.map_batches(VideoFeatureStage(), batch_format="pyarrow") \
+        .drop_columns(["frame_idxs", "thumb"])
+
+
 def _q_docs_attr_ops(sf_dir: str):
     """OTTL-style mutations (set/copy/rename/replace_match/keep_keys) with a
     SQL mirror — the attributes-processor surface."""
@@ -1106,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "media_pipeline": _q_media_pipeline,
         "audio_pipeline": _q_audio_pipeline,
+        "video_pipeline": _q_video_pipeline,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_ann_ivfpq": _q_emb_ann_ivfpq,

@@ -13,7 +13,14 @@ Codec status by modality:
   Pillow raise NotImplementedError. ``synth_png_media`` writes genuine
   PNG payloads for reconstruction tests; ``codec="fake"`` remains the
   deterministic non-decoding stand-in.
-- video: frame-index sampling plumbing only (``FrameSampleStage``).
+- **video (YUV4MPEG2/.y4m): REAL** — pure stdlib/numpy stream parser
+  (``decode_y4m`` / ``encode_y4m``: header parse, FRAME walk, luma-plane
+  slice, mono/4:2:0/4:4:4 chroma skip). ``VideoDecodeStage`` samples
+  every k-th REAL frame; ``VideoFeatureStage`` derives motion /
+  scene-cut features vectorized over list offsets. ``synth_y4m_media``
+  writes genuine .y4m payloads with planted scene cuts for tests.
+  ``FrameSampleStage`` remains the metadata-only plumbing stand-in for
+  compressed formats (H.264 etc.) that need external codecs.
 
 Scale notes (the reason these are actor pools with small batches): payload
 rows are orders of magnitude wider than text rows — ``batch_size`` must be
@@ -416,6 +423,220 @@ class AudioFeatureStage:
                 .append_column("zcr", pa.array(zcr))
                 .append_column("duration_ms", pa.array(dur_ms.astype(np.int64)))
                 .append_column("dominant_hz", pa.array(dom_hz)))
+
+
+# ------------------------------------------------------------- video (REAL)
+#
+# YUV4MPEG2 (.y4m) is the uncompressed interchange format the open video
+# toolchain (mjpegtools/ffmpeg/x264) uses: a plain-text stream header
+# ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<chroma>\n`` followed by
+# ``FRAME\n`` + raw planar YUV per frame. Pure stdlib/numpy parse — the
+# same move that made audio (wave) and image (PNG) real. Chroma modes
+# handled: Cmono (luma only), C420* (2x2 subsampled), C444.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               chroma: str = "mono") -> bytes:
+    """(T,H,W) uint8 luma frames → genuine .y4m bytes. ``chroma="mono"``
+    writes luma-only; ``"420jpeg"`` adds flat 128-valued chroma planes
+    (real 4:2:0 layout a real parser must skip correctly)."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    if frames.ndim != 3:
+        raise ValueError("encode_y4m: expect (T,H,W) uint8 luma frames")
+    t, h, w = frames.shape
+    header = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+              f"C{chroma}\n").encode()
+    parts = [header]
+    if chroma == "mono":
+        for i in range(t):
+            parts.append(b"FRAME\n" + frames[i].tobytes())
+    elif chroma.startswith("420"):
+        if h % 2 or w % 2:
+            raise ValueError("encode_y4m: 4:2:0 needs even dimensions")
+        cpane = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+        for i in range(t):
+            parts.append(b"FRAME\n" + frames[i].tobytes() + cpane + cpane)
+    else:
+        raise ValueError(f"encode_y4m: unsupported chroma {chroma!r}")
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Genuine .y4m bytes → ((T,H,W) uint8 luma frames, (fps_num, fps_den)).
+
+    Parses the stream header, walks FRAME markers (per-frame params after
+    ``FRAME`` are tolerated), slices the luma plane of every frame and
+    skips chroma per the declared mode. One ``np.frombuffer`` reshape for
+    the common case where all frames are contiguous and unparameterized —
+    no per-pixel Python."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("decode_y4m: not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            chroma = val.decode()
+    if w is None or h is None:
+        raise ValueError("decode_y4m: header missing W/H")
+    if chroma == "mono":
+        luma, frame = h * w, h * w
+    elif chroma.startswith("420"):
+        luma = h * w
+        frame = luma + 2 * ((h // 2) * (w // 2))
+    elif chroma.startswith("444"):
+        luma, frame = h * w, 3 * h * w
+    else:
+        raise NotImplementedError(
+            f"decode_y4m: unsupported chroma mode C{chroma}")
+    pos = nl + 1
+    body = payload[pos:]
+    # fast path: every frame is exactly b"FRAME\n" + frame bytes
+    unit = 6 + frame
+    if len(body) % unit == 0 and all(
+            body[i * unit: i * unit + 6] == b"FRAME\n"
+            for i in range(len(body) // unit)):
+        t = len(body) // unit
+        buf = np.frombuffer(body, np.uint8).reshape(t, unit)[:, 6: 6 + luma]
+        return np.ascontiguousarray(buf).reshape(t, h, w), fps
+    # general path: frames may carry parameters after FRAME
+    frames = []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("decode_y4m: expected FRAME marker")
+        fnl = payload.index(b"\n", pos)
+        pos = fnl + 1
+        frames.append(np.frombuffer(payload, np.uint8, luma, pos)
+                      .reshape(h, w))
+        pos += frame
+    return (np.stack(frames) if frames
+            else np.zeros((0, h, w), np.uint8)), fps
+
+
+def synth_y4m_media(n: int = 32, seed: int = 42,
+                    scene_cut_every: int = 4) -> pa.Table:
+    """Genuine .y4m payloads: moving-gradient luma frames with a planted
+    hard scene cut (jump to a near-black solid scene, a mean-luma step far
+    above the cut threshold) halfway through every ``scene_cut_every``-th
+    clip — real bytes a real parser must decode, with known motion truth
+    for tests (``has_cut`` column)."""
+    rng = np.random.default_rng(seed)
+    payloads, n_frames, cuts = [], [], []
+    for i in range(n):
+        t = int(rng.integers(8, 24))
+        h = int(rng.integers(4, 12)) * 2
+        w = int(rng.integers(4, 12)) * 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((xx * 255) // max(1, w - 1)).astype(np.int64)
+        shift = rng.integers(1, 5)
+        frames = np.stack([(base + k * shift) % 256 for k in range(t)]) \
+            .astype(np.uint8)
+        has_cut = i % scene_cut_every == 0
+        if has_cut:
+            frames[t // 2:] = 5  # solid near-black: mean jumps ~120 levels
+        chroma = "mono" if i % 2 == 0 else "420jpeg"
+        payloads.append(encode_y4m(frames, fps=(30, 1), chroma=chroma))
+        n_frames.append(t)
+        cuts.append(has_cut)
+    return pa.table({
+        "media_id": pa.array(np.arange(n)),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["video/x-yuv4mpeg"] * n),
+        "n_frames_true": pa.array(np.array(n_frames, np.int32)),
+        "has_cut": pa.array(cuts, pa.bool_()),
+    })
+
+
+class VideoDecodeStage:
+    """REAL video decode (stdlib y4m parser): payload → sampled frame
+    indices, per-sampled-frame mean luma (list<double>), frame count, fps,
+    and an 8x8 luma thumbnail of the first sampled frame. Actor-pool
+    stage; batch size must be BYTE-budgeted (``bytes_budget_batch_size``)
+    — clips are the widest rows in any table."""
+
+    def __init__(self, every_k: int = 2, thumb: tuple[int, int] = (8, 8)):
+        self.k = every_k
+        self.th, self.tw = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx_off, idx_vals = [0], []
+        mean_vals: list[float] = []
+        counts = np.zeros(n, np.int64)
+        fps_milli = np.zeros(n, np.int64)
+        thumbs = np.zeros((n, self.th * self.tw), np.uint8)
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            frames, (fn, fd) = decode_y4m(payload)
+            counts[i] = len(frames)
+            fps_milli[i] = (fn * 1000) // max(1, fd)
+            sampled = frames[:: self.k]
+            idxs = np.arange(0, len(frames), self.k, dtype=np.int32)
+            idx_vals.extend(idxs.tolist())
+            idx_off.append(len(idx_vals))
+            # per-frame mean over (H,W) axes — one vectorized reduction
+            mean_vals.extend(sampled.mean(axis=(1, 2)).tolist()
+                             if len(sampled) else [])
+            if len(sampled):
+                thumbs[i] = _resize_nearest(sampled[0], self.th, self.tw) \
+                    .reshape(-1)
+        frame_idxs = pa.ListArray.from_arrays(
+            pa.array(idx_off, pa.int32()), pa.array(idx_vals, pa.int32()))
+        frame_means = pa.ListArray.from_arrays(
+            pa.array(idx_off, pa.int32()), pa.array(mean_vals, pa.float64()))
+        thumb = pa.FixedSizeListArray.from_arrays(
+            pa.array(thumbs.reshape(-1), pa.uint8()), self.th * self.tw)
+        return (batch.drop_columns(["payload"])
+                .append_column("n_frames", pa.array(counts))
+                .append_column("fps_milli", pa.array(fps_milli))
+                .append_column("frame_idxs", frame_idxs)
+                .append_column("frame_means", frame_means)
+                .append_column("thumb", thumb))
+
+
+class VideoFeatureStage:
+    """Sampled per-frame means → motion features, vectorized over the flat
+    list buffer: mean|Δluma| between consecutive sampled frames and a
+    scene-cut count (|Δ| > threshold), with row-boundary deltas masked —
+    the same offsets idiom as AudioFeatureStage."""
+
+    def __init__(self, cut_threshold: float = 40.0):
+        self.thr = cut_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("frame_means")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                             np.int64)
+        starts, counts = offsets[:-1], np.diff(offsets)
+        n = batch.num_rows
+        motion = np.zeros(n)
+        cuts = np.zeros(n, np.int64)
+        multi = np.nonzero(counts > 1)[0]
+        if len(flat) > 1 and len(multi):
+            d = np.abs(np.diff(flat))
+            dcum = np.concatenate([[0.0], np.cumsum(d)])
+            ccum = np.concatenate([[0], np.cumsum(d > self.thr)])
+            lo, hi = starts[multi], offsets[1:][multi] - 1
+            motion[multi] = (dcum[hi] - dcum[lo]) / (counts[multi] - 1)
+            cuts[multi] = ccum[hi] - ccum[lo]
+        return (batch.drop_columns(["frame_means"])
+                .append_column("motion", pa.array(motion))
+                .append_column("n_cuts", pa.array(cuts)))
 
 
 def bytes_budget_batch_size(ds, payload_col: str = "payload",

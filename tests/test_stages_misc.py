@@ -212,3 +212,42 @@ def test_media_pipeline_real_png(ray_session):
         img = _resize_nearest(
             _to_gray(decode_png(media.column("payload")[i].as_py())), 8, 8)
         assert out.feat_mean[i] == img.astype(np.float64).mean()
+
+
+def test_y4m_codec_round_trip():
+    from opentelemetry_collector_ray.stages.multimodal import (
+        decode_y4m, encode_y4m)
+
+    frames = (np.arange(5 * 6 * 8).reshape(5, 6, 8) % 256).astype(np.uint8)
+    for chroma in ["mono", "420jpeg"]:
+        out, fps = decode_y4m(encode_y4m(frames, fps=(30, 1), chroma=chroma))
+        assert fps == (30, 1)
+        assert (out == frames).all()
+    # general path: per-frame parameters after the FRAME marker
+    tagged = encode_y4m(frames, chroma="mono").replace(b"FRAME\n",
+                                                       b"FRAME Xt\n")
+    out, _ = decode_y4m(tagged)
+    assert (out == frames).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m stream")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\x00" * 8)
+
+
+def test_video_pipeline_planted_cuts(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        VideoDecodeStage, VideoFeatureStage, synth_y4m_media)
+
+    t = synth_y4m_media(32, seed=9)
+    ds = ray.data.from_arrow(t).map_batches(
+        VideoDecodeStage, fn_constructor_kwargs={"every_k": 2},
+        batch_format="pyarrow", batch_size=8, concurrency=2)
+    feat = ds.map_batches(VideoFeatureStage(), batch_format="pyarrow") \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    truth = t.to_pandas()
+    assert (feat["n_frames"].values == truth["n_frames_true"].values).all()
+    assert ((feat["n_cuts"] >= 1) == truth["has_cut"]).all()
+    assert (feat.loc[~truth["has_cut"], "n_cuts"] == 0).all()
+    assert (feat["fps_milli"] == 30000).all()
