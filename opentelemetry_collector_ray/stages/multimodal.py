@@ -6,8 +6,9 @@ Codec status by modality:
   (``AudioDecodeStage`` / ``AudioFeatureStage``; ``synth_wav_media``
   writes genuine RIFF/WAVE payloads for tests).
 - **image (PNG): REAL** — a pure-stdlib PNG codec (``decode_png`` /
-  ``encode_png``: zlib inflate + all five scanline filters, 8-bit
-  gray/RGB/RGBA), the same move that made audio real. ``codec="real"``
+  ``encode_png``: zlib inflate + all five scanline filters, ALL bit
+  depths 1/2/4/8/16, all five color types incl. palette, and Adam7
+  interlace), the same move that made audio real. ``codec="real"``
   uses Pillow as the FAST path when available and falls back to the
   stdlib PNG decoder otherwise; only non-PNG payloads (JPEG…) without
   Pillow raise NotImplementedError. ``synth_png_media`` writes genuine
@@ -64,98 +65,98 @@ def synth_media(n: int = 64, seed: int = 42, payload_bytes: int = 4096) -> pa.Ta
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """8-bit image ndarray (HxW gray or HxWx3 RGB) → genuine PNG bytes
-    (stdlib only: zlib deflate, filter type 0 per scanline, CRC32)."""
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import struct
     import zlib
 
-    img = np.ascontiguousarray(img, np.uint8)
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Image ndarray (HxW gray or HxWx3 RGB; uint8 → 8-bit, uint16 gray →
+    16-bit big-endian) → genuine PNG bytes (stdlib only: zlib deflate,
+    filter type 0 per scanline, CRC32, optional Adam7 interlace)."""
+    import struct
+    import zlib
+
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(img, np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
         h, w = img.shape
         ctype = 0
-    elif img.ndim == 3 and img.shape[2] == 3:
+    elif img.ndim == 3 and img.shape[2] == 3 and depth == 8:
         h, w, _ = img.shape
         ctype = 2
     else:
-        raise ValueError("encode_png: expect HxW gray or HxWx3 RGB uint8")
+        raise ValueError("encode_png: expect HxW gray (uint8/uint16) or "
+                         "HxWx3 RGB uint8")
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", zlib.crc32(typ + data)))
+    def rowbytes(block: np.ndarray) -> bytes:
+        # scanlines with filter 0; 16-bit samples big-endian per PNG
+        data = block.astype(">u2").tobytes() if depth == 16 \
+            else block.tobytes()
+        stride = len(data) // max(1, block.shape[0])
+        return b"".join(b"\x00" + data[y * stride: (y + 1) * stride]
+                        for y in range(block.shape[0]))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b""))
+    if interlace:
+        raw = b"".join(
+            rowbytes(img[y0::ys, x0::xs])
+            for (x0, y0, xs, ys) in _ADAM7
+            if img[y0::ys, x0::xs].size)
+    else:
+        raw = rowbytes(img.reshape(h, -1))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Genuine PNG bytes → uint8 ndarray (HxW for gray, HxWxC else) —
-    pure stdlib: chunk walk, zlib inflate, all five scanline filters
-    (None/Sub/Up/Average/Paeth). Supports 8-bit depth, color types
-    0 (gray), 2 (RGB), 6 (RGBA), no interlace. Sub is a cumsum over
-    pixel lanes; Average/Paeth need the left RECONSTRUCTED byte, so those
-    scanlines run a per-byte loop — correctness fallback; Pillow is the
-    fast path when installed."""
-    import struct
-    import zlib
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("decode_png: not a PNG payload")
-    pos = 8
-    idat = bytearray()
-    meta = None
-    while pos + 8 <= len(payload):
-        ln, typ = struct.unpack_from(">I4s", payload, pos)
-        pos += 8
-        data = payload[pos: pos + ln]
-        pos += ln + 4  # skip CRC
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data)
-            if depth != 8 or inter != 0 or ctype not in (0, 2, 6):
-                raise NotImplementedError(
-                    f"decode_png: unsupported PNG shape (bit depth {depth}, "
-                    f"color type {ctype}, interlace {inter}) — stdlib path "
-                    "handles 8-bit gray/RGB/RGBA; install Pillow for the rest")
-            meta = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if meta is None:
-        raise ValueError("decode_png: missing IHDR")
-    w, h, ch = meta
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    out = np.zeros((h, stride), np.uint8)
+
+def _unfilter(raw: bytes, pos: int, height: int, stride: int, bpp: int,
+              ) -> tuple[np.ndarray, int]:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth)
+    over one image (or interlace pass): ``height`` scanlines of ``stride``
+    bytes each, filter distance ``bpp`` bytes. Sub is a cumsum over
+    bpp-byte pixel lanes; Average/Paeth need the left RECONSTRUCTED byte,
+    so those scanlines run a per-byte loop — correctness fallback; Pillow
+    is the fast path when installed."""
+    out = np.zeros((height, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
-    pos = 0
-    for y in range(h):
+    for y in range(height):
         ftype = raw[pos]
         pos += 1
         line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
         pos += stride
         if ftype == 0:
             recon = line
-        elif ftype == 1:  # Sub: prefix sum over stride-ch pixel lanes
-            recon = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+        elif ftype == 1:  # Sub: prefix sum over bpp-byte pixel lanes
+            nlanes = stride // bpp if stride % bpp == 0 else 0
+            if nlanes:
+                recon = np.cumsum(line.reshape(nlanes, bpp), axis=0) \
+                    .reshape(stride)
+            else:  # stride not bpp-aligned (sub-byte depths): bpp == 1
+                recon = np.cumsum(line)
         elif ftype == 2:  # Up
             recon = line + prev
         elif ftype == 3:  # Average (left is reconstructed → sequential)
             rec = np.zeros(stride, np.int64)
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
             recon = rec
         elif ftype == 4:  # Paeth
             rec = np.zeros(stride, np.int64)
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
@@ -166,13 +167,104 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"decode_png: unknown filter type {ftype}")
         out[y] = (recon & 0xFF).astype(np.uint8)
         prev = out[y].astype(np.int64)
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    return out, pos
+
+
+def _unpack_scanlines(rows: np.ndarray, width: int, channels: int,
+                      depth: int, scale: bool = True) -> np.ndarray:
+    """(h, stride_bytes) filtered-out rows → (h, width*channels) uint8
+    samples. Sub-byte depths are bit-unpacked MSB-first and, for
+    grayscale, SCALED to 8-bit (PNG sample scaling x*255/maxval) —
+    palette INDEXES pass through unscaled (``scale=False``); 16-bit takes
+    the high byte (8-bit contract of this decoder)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * channels]
+    if depth == 16:
+        return rows.reshape(h, -1)[:, 0::2][:, : width * channels]
+    bits = np.unpackbits(rows, axis=1)
+    idx = np.arange(width * channels) * depth
+    vals = np.zeros((h, width * channels), np.uint16)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, idx + b]
+    if not scale:
+        return vals.astype(np.uint8)
+    maxval = (1 << depth) - 1
+    return ((vals * 255) // maxval).astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Genuine PNG bytes → uint8 ndarray (HxW gray, HxWx2 gray+alpha,
+    HxWx3 RGB, HxWx4 RGBA) — pure stdlib: chunk walk, zlib inflate, all
+    five scanline filters, ALL bit depths (1/2/4/8/16; sub-byte scaled to
+    8-bit, 16-bit high byte), all five color types (palette via PLTE),
+    and both interlace methods (none + Adam7 seven-pass deinterlace)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("decode_png: not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    meta = None
+    palette = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos: pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if (ctype not in (0, 2, 3, 4, 6) or inter not in (0, 1)
+                    or depth not in (1, 2, 4, 8, 16)):
+                raise NotImplementedError(
+                    f"decode_png: invalid PNG shape (bit depth {depth}, "
+                    f"color type {ctype}, interlace {inter})")
+            meta = (w, h, depth, ctype, inter)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("decode_png: missing IHDR")
+    w, h, depth, ctype, inter = meta
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, (channels * depth) // 8)
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((h, w * channels), np.uint8)
+    passes = _ADAM7 if inter == 1 else [(0, 0, 1, 1)]
+    pos = 0
+    for (x0, y0, xs, ys) in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        rows, pos = _unfilter(raw, pos, ph, stride, bpp)
+        samples = _unpack_scanlines(rows, pw, channels, depth,
+                                    scale=ctype != 3)
+        # scatter the pass into the target pixel grid
+        cols = (x0 + np.arange(pw) * xs)[:, None] * channels \
+            + np.arange(channels)
+        out[y0::ys][:ph][:, cols.reshape(-1)] = samples
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("decode_png: palette image missing PLTE")
+        return palette[out.reshape(h, w)]
+    return out.reshape(h, w) if channels == 1 else \
+        out.reshape(h, w, channels)
 
 
 def _to_gray(img: np.ndarray) -> np.ndarray:
-    """HxW[xC] → HxW luma (ITU-R 601 integer weights; alpha dropped)."""
+    """HxW[xC] → HxW luma (ITU-R 601 integer weights; alpha dropped;
+    2-channel gray+alpha takes the gray channel)."""
     if img.ndim == 2:
         return img
+    if img.shape[2] == 2:  # gray + alpha
+        return img[:, :, 0]
     rgb = img[:, :, :3].astype(np.int64)
     return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
             // 1000).astype(np.uint8)
@@ -241,9 +333,10 @@ class DecodeStage:
             # PNG takes the stdlib path first — deterministic pixels
             # regardless of whether Pillow is installed (PIL's convert+
             # bicubic resize would silently change outputs per
-            # environment). PNG shapes the stdlib decoder doesn't handle
-            # (palette / 16-bit / interlaced) fall through to Pillow when
-            # present, as do all other formats (JPEG/WebP/…).
+            # environment). The stdlib decoder covers every legal PNG
+            # shape (all depths/color types/interlace); the Pillow
+            # fallback remains for other formats (JPEG/WebP/…) and as a
+            # safety net for malformed-but-PIL-tolerated payloads.
             if payload[:8] == _PNG_MAGIC:
                 try:
                     gray = _to_gray(decode_png(payload))

@@ -251,3 +251,51 @@ def test_video_pipeline_planted_cuts(ray_session):
     assert ((feat["n_cuts"] >= 1) == truth["has_cut"]).all()
     assert (feat.loc[~truth["has_cut"], "n_cuts"] == 0).all()
     assert (feat["fps_milli"] == 30000).all()
+
+
+def test_png_all_depths_colortypes_interlace():
+    """Extended stdlib PNG coverage: Adam7 interlace, 16-bit (high byte),
+    palette (PLTE), and sub-byte gray depths (scaled to 8-bit)."""
+    import struct
+    import zlib
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        _PNG_MAGIC, _png_chunk, decode_png, encode_png)
+
+    rng = np.random.default_rng(0)
+    for shape in [(7, 5), (8, 8), (13, 9), (1, 1), (3, 17)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        for il in (False, True):
+            assert (decode_png(encode_png(g, interlace=il)) == g).all()
+    rgb = rng.integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    for il in (False, True):
+        assert (decode_png(encode_png(rgb, interlace=il)) == rgb).all()
+    g16 = rng.integers(0, 65536, (9, 7)).astype(np.uint16)
+    for il in (False, True):
+        assert (decode_png(encode_png(g16, interlace=il))
+                == (g16 >> 8).astype(np.uint8)).all()
+    # palette, depth 4 (hand-packed indexes — NOT sample-scaled)
+    pal = np.array([[i * 16, (15 - i) * 16, i * 8] for i in range(16)],
+                   np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    rows = []
+    for y in range(5):
+        row = np.concatenate([idx[y], [0]])
+        rows.append(b"\x00" + ((row[0::2] << 4) | row[1::2])
+                    .astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 4, 3, 0, 0, 0)
+    png = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal.tobytes())
+           + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + _png_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (5, 7, 3) and (out == pal[idx]).all()
+    # 1-bit gray scales to 0/255
+    bits = rng.integers(0, 2, (4, 10), dtype=np.uint8)
+    rows = [b"\x00" + np.packbits(np.concatenate(
+        [bits[y], np.zeros(6, np.uint8)]))[:2].tobytes() for y in range(4)]
+    ihdr = struct.pack(">IIBBBBB", 10, 4, 1, 0, 0, 0, 0)
+    png = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(png) == bits * 255).all()
