@@ -1,6 +1,7 @@
-"""OTLP profiles wire format — protobuf codec for the pprofile
+"""OTLP profiles wire format — protobuf AND JSON codecs for the pprofile
 DICTIONARY-ENCODED hierarchy, completing the wire story for the fourth
-signal (analytic side: sources/profiles.py).
+signal (analytic side: sources/profiles.py). With this module every
+signal has both wire forms (logs/spans/metrics/profiles × proto/JSON).
 
 Field numbers mirror the generated marshalers exactly (tags verified
 against the 0x.. constants in each MarshalProto):
@@ -214,6 +215,104 @@ def decode_profiles_request(buf: bytes) -> dict:
                             walk_profile(bytes(v3))
 
     # resolve stacks: location idx → function idx
+    func_names = [strings[n] if n < len(strings) else "" for n in functions]
+    stack_funcs = [[locations[li] for li in s] for s in stacks]
+    return {
+        "strings": strings,
+        "functions": pa.table({
+            "func_idx": pa.array(range(len(functions)), pa.int64()),
+            "name": pa.array(func_names, pa.string())}),
+        "stacks": pa.table({
+            "stack_idx": pa.array(range(len(stacks)), pa.int64()),
+            "func_idxs": pa.array(stack_funcs, pa.list_(pa.int64()))}),
+        "samples": pa.table({
+            "stack_idx": pa.array([r[0] for r in sample_rows], pa.int64()),
+            "value": pa.array([r[1] for r in sample_rows], pa.int64())}),
+    }
+
+
+def encode_profiles_json(function_table: pa.Table, samples: pa.Table,
+                         sample_type: str = "samples",
+                         sample_unit: str = "us") -> str:
+    """Same inputs as ``encode_profiles_request`` → one OTLP/JSON line
+    (ExportProfilesServiceRequest, camelCase field names per the OTLP JSON
+    mapping — ``pdata/pprofile/json.go`` analog). Index conventions are
+    identical to the proto marshaler (zero-sentinel row 0 per table), so
+    the two wire forms are cross-marshaler comparable."""
+    import json
+
+    names = function_table.column("name").to_pylist()
+    fids = function_table.column("func_id").to_pylist()
+    dense = {int(f): i for i, f in enumerate(fids)}
+    strings = ["", sample_type, sample_unit] + list(names)
+
+    f0 = samples.column("f0_id").to_numpy(zero_copy_only=False)
+    f1 = samples.column("f1_id").to_numpy(zero_copy_only=False)
+    f2 = samples.column("f2_id").to_numpy(zero_copy_only=False)
+    vals = samples.column("value_us").to_numpy(zero_copy_only=False)
+    stacks = np.stack([f0, f1, f2], axis=1)
+    uniq, stack_of_sample = np.unique(stacks, axis=0, return_inverse=True) \
+        if len(stacks) else (np.empty((0, 3), np.int64),
+                             np.empty(0, np.int64))
+
+    dictionary = {
+        "mappingTable": [{}],
+        "locationTable": [{}] + [
+            {"line": [{"functionIndex": i + 1}]}
+            for i in range(len(names))],
+        "functionTable": [{}] + [
+            {"nameStrindex": 3 + i} for i in range(len(names))],
+        "stringTable": strings,
+        "stackTable": [{}] + [
+            {"locationIndices": [dense[int(a)] + 1, dense[int(b)] + 1,
+                                 dense[int(c)] + 1]}
+            for a, b, c in uniq],
+    }
+    profile = {
+        "sampleType": {"typeStrindex": 1, "unitStrindex": 2},
+        "samples": [{"stackIndex": int(si) + 1, "values": [str(int(v))]}
+                    for si, v in zip(stack_of_sample, vals)],
+    }
+    req = {
+        "resourceProfiles": [{
+            "resource": {},
+            "scopeProfiles": [{
+                "scope": {"name": "otelcol_ray"},
+                "profiles": [profile],
+            }],
+        }],
+        "dictionary": dictionary,
+    }
+    return json.dumps(req, separators=(",", ":"))
+
+
+def decode_profiles_json(line: str) -> dict:
+    """OTLP/JSON profiles line → the SAME dict shape as
+    ``decode_profiles_request`` (strings / functions / stacks / samples),
+    so the two unmarshalers are drop-in interchangeable."""
+    import json
+
+    req = json.loads(line)
+    d = req.get("dictionary", {})
+    strings = list(d.get("stringTable", []))
+    functions = [int(f.get("nameStrindex", 0))
+                 for f in d.get("functionTable", [])]
+    locations = []
+    for loc in d.get("locationTable", []):
+        lines = loc.get("line", [])
+        locations.append(int(lines[0].get("functionIndex", 0))
+                         if lines else 0)
+    stacks = [[int(i) for i in s.get("locationIndices", [])]
+              for s in d.get("stackTable", [])]
+    sample_rows: list[tuple[int, int]] = []
+    for rp in req.get("resourceProfiles", []):
+        for sp in rp.get("scopeProfiles", []):
+            for prof in sp.get("profiles", []):
+                for s in prof.get("samples", []):
+                    vals = [int(v) for v in s.get("values", [])]
+                    sample_rows.append((int(s.get("stackIndex", 0)),
+                                        vals[0] if vals else 0))
+
     func_names = [strings[n] if n < len(strings) else "" for n in functions]
     stack_funcs = [[locations[li] for li in s] for s in stacks]
     return {

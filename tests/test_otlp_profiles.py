@@ -74,3 +74,35 @@ def test_decoded_rollup_matches_analytic(ray_session):
         for col in ("n_samples", "total_us", "self_us"):
             assert wire_rollup.loc[name, col] == analytic.loc[name, col], \
                 (name, col)
+
+
+def test_profiles_json_round_trip_and_cross_marshaler_parity():
+    """JSON wire form round-trips, and its decoded tables are IDENTICAL
+    to the protobuf path's (same zero-sentinel index conventions)."""
+    from opentelemetry_collector_ray.sources.otlp_profiles import (
+        decode_profiles_json, encode_profiles_json)
+
+    ftab, samples = _fixture()
+    line = encode_profiles_json(ftab, samples)
+    dec_j = decode_profiles_json(line)
+    dec_p = decode_profiles_request(encode_profiles_request(ftab, samples))
+    assert dec_j["strings"] == dec_p["strings"]
+    assert dec_j["functions"].equals(dec_p["functions"])
+    assert dec_j["stacks"].equals(dec_p["stacks"])
+    assert dec_j["samples"].equals(dec_p["samples"])
+    assert decoded_top_functions(dec_j).equals(decoded_top_functions(dec_p))
+
+
+def test_profiles_json_empty():
+    from opentelemetry_collector_ray.sources.otlp_profiles import (
+        decode_profiles_json, encode_profiles_json)
+
+    ftab = pa.table({"func_id": pa.array([], pa.int64()),
+                     "name": pa.array([], pa.string())})
+    samples = pa.table({"f0_id": pa.array([], pa.int64()),
+                        "f1_id": pa.array([], pa.int64()),
+                        "f2_id": pa.array([], pa.int64()),
+                        "value_us": pa.array([], pa.int64())})
+    dec = decode_profiles_json(encode_profiles_json(ftab, samples))
+    assert len(dec["samples"]) == 0
+    assert dec["strings"] == ["", "samples", "us"]
