@@ -115,8 +115,21 @@ def parse_request_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def read_otlp_json_logs(paths) -> ray.data.Dataset:
-    """Read OTLP/JSON log lines into the flat LogRecord table."""
-    return ray.data.read_text(paths).map_batches(
+    """Read OTLP/JSON log lines into the flat LogRecord table. Request
+    files compressed with gzip/zlib/deflate (sources/compression.py) are
+    sniffed and decompressed transparently."""
+    from .compression import decompress_payload
+
+    ds = ray.data.read_binary_files(paths)
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        lines: list[str] = []
+        for b in t.column("bytes"):
+            lines.extend(decompress_payload(b.as_py()).decode()
+                         .splitlines())
+        return pa.table({"text": pa.array(lines, pa.string())})
+
+    return ds.map_batches(to_lines, batch_format="pyarrow").map_batches(
         lambda t: parse_request_lines(t, "text"), batch_format="pyarrow")
 
 
@@ -161,9 +174,11 @@ def records_to_request(batch: pa.Table) -> str:
     return json.dumps({"resourceLogs": resource_logs}, sort_keys=True)
 
 
-def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str,
+                         compression: str = "none") -> int:
     """Each block → one JSON-line request file (request = batch, mirroring
-    the 1-request-per-batch push model). Filenames are unique per run
+    the 1-request-per-batch push model); ``compression=`` gzip/zlib/deflate
+    compresses each file. Filenames are unique per run
     (uuid); rerun idempotence is provided one level up by the manifest
     runner's staging-dir wipe + atomic rename (state/manifest.py), matching
     how the persistent queue owns delivery state rather than the wire
@@ -171,15 +186,20 @@ def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str) -> int:
     import os
     import uuid
 
+    from .compression import compress_payload
+    from .otlp_proto import _COMPRESSION_SUFFIX
+
     os.makedirs(out_dir, exist_ok=True)
+    suffix = _COMPRESSION_SUFFIX.get(compression, "")
 
     def emit(batch: pa.Table) -> pa.Table:
-        line = records_to_request(batch)
+        blob = compress_payload(
+            (records_to_request(batch) + "\n").encode(), compression)
         name = uuid.uuid4().hex[:24]
         tmp = os.path.join(out_dir, f".{name}.tmp")
-        with open(tmp, "w") as f:
-            f.write(line + "\n")
-        os.replace(tmp, os.path.join(out_dir, f"req-{name}.jsonl"))
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(out_dir, f"req-{name}.jsonl{suffix}"))
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()

@@ -869,32 +869,43 @@ def parse_metrics_request_lines(batch: pa.Table, text_col: str = "text",
 # ------------------------------------------------------------- source/sink
 
 def read_otlp_proto_metrics(paths) -> ray.data.Dataset:
-    """Read ``*.binpb`` metric request files into the flat table."""
+    """Read ``*.binpb`` metric request files into the flat table.
+    Compressed files are sniffed and decompressed transparently."""
+    from .compression import decompress_payload
+
     ds = ray.data.read_binary_files(paths)
 
     def parse(t: pa.Table) -> pa.Table:
-        tables = [decode_metrics_request(b.as_py()) for b in t.column("bytes")]
+        tables = [decode_metrics_request(decompress_payload(b.as_py()))
+                  for b in t.column("bytes")]
         return pa.concat_tables(tables) if tables \
             else decode_metrics_request(b"")
 
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
-def write_otlp_proto_metrics(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_proto_metrics(ds: ray.data.Dataset, out_dir: str,
+                             compression: str = "none") -> int:
     """Each block → one ``req-*.binpb`` request file; returns records."""
     import os
     import uuid
 
+    from .compression import compress_payload
+    from .otlp_proto import _COMPRESSION_SUFFIX
+
     os.makedirs(out_dir, exist_ok=True)
+    suffix = _COMPRESSION_SUFFIX.get(compression, "")
 
     def emit(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            blob = encode_metrics_request(batch)
+            blob = compress_payload(encode_metrics_request(batch),
+                                    compression)
             name = uuid.uuid4().hex[:24]
             tmp = os.path.join(out_dir, f".{name}.tmp")
             with open(tmp, "wb") as f:
                 f.write(blob)
-            os.replace(tmp, os.path.join(out_dir, f"req-{name}.binpb"))
+            os.replace(tmp,
+                       os.path.join(out_dir, f"req-{name}.binpb{suffix}"))
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()

@@ -436,27 +436,41 @@ def split_by_bytes(batch: pa.Table, max_bytes: int) -> list[pa.Table]:
 
 # ------------------------------------------------------------- source/sink
 
+_COMPRESSION_SUFFIX = {"gzip": ".gz", "zlib": ".z", "deflate": ".zz"}
+
+
 def read_otlp_proto_logs(paths) -> ray.data.Dataset:
     """Read ``*.binpb`` request files into the flat LogRecord table (one
     file = one ExportLogsServiceRequest, the unit an OTLP/gRPC push
-    carries)."""
+    carries). Compressed request files (gzip/zlib/deflate —
+    sources/compression.py) are sniffed and decompressed transparently,
+    the Content-Encoding server path."""
+    from .compression import decompress_payload
+
     ds = ray.data.read_binary_files(paths)
 
     def parse(t: pa.Table) -> pa.Table:
-        tables = [decode_request(b.as_py()) for b in t.column("bytes")]
+        tables = [decode_request(decompress_payload(b.as_py()))
+                  for b in t.column("bytes")]
         return pa.concat_tables(tables) if tables else decode_request(b"")
 
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
 def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
-                          max_request_bytes: int | None = None) -> int:
+                          max_request_bytes: int | None = None,
+                          compression: str = "none") -> int:
     """Each block → one (or, with a byte budget, several) ``req-*.binpb``
-    request file(s). Returns total records written."""
+    request file(s); ``compression=`` gzip/zlib/deflate compresses each
+    request blob (configcompression analog). Returns total records
+    written."""
     import os
     import uuid
 
+    from .compression import compress_payload
+
     os.makedirs(out_dir, exist_ok=True)
+    suffix = _COMPRESSION_SUFFIX.get(compression, "")
 
     def emit(batch: pa.Table) -> pa.Table:
         parts = split_by_bytes(batch, max_request_bytes) \
@@ -464,12 +478,13 @@ def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
         for part in parts:
             if part.num_rows == 0:
                 continue
-            blob = encode_request(part)
+            blob = compress_payload(encode_request(part), compression)
             name = uuid.uuid4().hex[:24]
             tmp = os.path.join(out_dir, f".{name}.tmp")
             with open(tmp, "wb") as f:
                 f.write(blob)
-            os.replace(tmp, os.path.join(out_dir, f"req-{name}.binpb"))
+            os.replace(tmp,
+                       os.path.join(out_dir, f"req-{name}.binpb{suffix}"))
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
