@@ -637,6 +637,55 @@ def _q_pii_redact(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def _q_join_priority_revenue(sf_dir: str):
+    """Big-big shuffle join (lineitem ⋈ orders on orderkey — neither side
+    broadcastable at scale) through one int-bucket co-partition exchange +
+    per-bucket Arrow hash join, then a bounded-key rollup."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = shuffle_hash_join(li, o, key="l_orderkey", right_key="o_orderkey",
+                          how="inner")
+
+    def cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "rev_cents": _cents(rev)})
+
+    return grouped_agg(j.map_batches(cents, batch_format="pyarrow"),
+                       ["o_orderpriority"], count_name="n_items",
+                       sum_cols={"rev_cents": "rev_cents"})
+
+
+def _q_customers_order_counts(sf_dir: str):
+    """LEFT shuffle join: every customer with its order count INCLUDING
+    zero-order customers (null right rows counted as 0)."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    j = shuffle_hash_join(c, o, key="c_custkey", right_key="o_custkey",
+                          how="left")
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "has_order": pc.cast(t.column("o_orderkey").is_valid(),
+                                 pa.int64()),
+        })
+
+    return grouped_agg(j.map_batches(mark, batch_format="pyarrow"),
+                       ["c_custkey", "c_mktsegment"],
+                       sum_cols={"n_orders": "has_order"},
+                       strategy="shuffle")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1114,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": _q_events_sample,
         "topk_orders": _q_topk_orders,
         "pii_redact": _q_pii_redact,
+        "join_priority_revenue": _q_join_priority_revenue,
+        "customers_order_counts": _q_customers_order_counts,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1373,6 +1424,19 @@ SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
         "pii_redact": _pii_redact_sql(),
+        "join_priority_revenue": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+            AS BIGINT) AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        "customers_order_counts": """
+SELECT c_custkey, c_mktsegment,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem
 WHERE l_quantity > 45 GROUP BY l_returnflag

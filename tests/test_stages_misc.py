@@ -299,3 +299,43 @@ def test_png_all_depths_colortypes_interlace():
            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
            + _png_chunk(b"IEND", b""))
     assert (decode_png(png) == bits * 255).all()
+
+
+def test_shuffle_hash_join_modes(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d", "e"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 3, 9], pa.int32()),  # dtype differs — cast
+        "v": pa.array(["x", "y", "z", "w"]),        # name collides → v_r
+    }))
+
+    def run(how):
+        return shuffle_hash_join(
+            left, right, key="k", right_key="rk", how=how,
+            n_buckets=3).to_pandas().sort_values(
+                ["k", "v"] , kind="mergesort").reset_index(drop=True)
+
+    inner = run("inner")
+    assert list(inner.columns) == ["k", "v", "v_r"]
+    assert len(inner) == 3  # k=2 ×1, k=3 ×2
+    assert set(inner.loc[inner.k == 3, "v_r"]) == {"y", "z"}
+    leftj = run("left")
+    assert len(leftj) == 6  # 3 matches + unmatched 1, 4, 4
+    assert leftj.loc[leftj.k == 1, "v_r"].isna().all()
+    semi = run("semi")
+    assert list(semi.columns) == ["k", "v"] and sorted(semi.k) == [2, 3]
+    anti = run("anti")
+    assert sorted(anti.k) == [1, 4, 4]
+    full = shuffle_hash_join(left, right, key="k", right_key="rk",
+                             how="full", n_buckets=3).to_pandas()
+    assert len(full) == 7  # 6 left-side rows + unmatched right k=9
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, key="k", right_key="rk", how="cross")
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, key="missing", right_key="rk")
