@@ -686,6 +686,24 @@ def _q_customers_order_counts(sf_dir: str):
                        strategy="shuffle")
 
 
+def _q_events_last_order_asof(sf_dir: str):
+    """AS-OF join (events → latest prior order per user): one bucket
+    co-partition exchange + vectorized per-bucket sort-merge; DuckDB
+    ``ASOF JOIN`` is the oracle. Only the matched TIMESTAMP is emitted
+    (the matched row among equal-timestamp orders is tie-ambiguous in
+    both engines)."""
+    from opentelemetry_collector_ray.stages.join import asof_join
+
+    e = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    j = asof_join(e, o, by="user_id", right_by="o_custkey",
+                  on="ts", right_on="o_orderdate", how="inner")
+    return j.map_batches(
+        lambda t: t.rename_columns(
+            ["event_id", "user_id", "ts", "last_order_ts"]),
+        batch_format="pyarrow")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1165,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
+        "events_last_order_asof": _q_events_last_order_asof,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1436,6 +1455,11 @@ SELECT c_custkey, c_mktsegment,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
+""",
+        "events_last_order_asof": """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_ts
+FROM events e ASOF JOIN orders o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem

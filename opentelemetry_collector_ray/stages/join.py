@@ -80,30 +80,15 @@ _JOIN_TYPES = {"inner": "inner", "left": "left outer", "full": "full outer",
                "semi": "left semi", "anti": "left anti"}
 
 
-def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
-                      key: str, right_key: str | None = None,
-                      how: str = "inner",
-                      n_buckets: int | str = "auto") -> ray.data.Dataset:
-    """Distributed big-big equi-join: co-partition BOTH sides by
-    ``hash(key) % n_buckets`` in one exchange, then one Arrow hash join
-    per bucket (``pa.Table.join`` — vectorized, no Python per row).
+def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
+               key: str, rk: str):
+    """Tag and union two datasets into one null-padded superset schema
+    (Arrow null columns are validity-bitmap-only, ~free to ship) so ONE
+    ``groupby(_bucket)`` exchange co-partitions both sides. The right key
+    is renamed to (and cast to the type of) the LEFT key column; right
+    payload columns colliding with left names get an ``_r`` suffix.
 
-    The two sides are tagged and unioned into one dataset with a null-
-    padded superset schema (Arrow null columns are validity-bitmap-only,
-    ~free to ship), so the exchange is a single ``groupby(_bucket)`` —
-    Ray schedules one task per bucket, each seeing all rows of both sides
-    whose key hashes there. ``how``: inner / left / full / semi / anti
-    (semi and anti emit left columns only). Right payload columns that
-    collide with left names get an ``_r`` suffix. The right key is cast
-    to the left key's type before hashing so both sides co-partition.
-    """
-    from .bucketing import (adaptive_n_buckets, estimate_input_bytes,
-                            with_hash_bucket)
-
-    if how not in _JOIN_TYPES:
-        raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
-                         f"one of {sorted(_JOIN_TYPES)}")
-    rk = right_key or key
+    Returns (unioned_ds, left_names, renamed_right_payload_names)."""
     lschema = left.schema()
     rschema = right.schema()
     lnames = list(lschema.names)
@@ -139,14 +124,38 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     unioned = left.map_batches(pad(0), batch_format="pyarrow").union(
         right.map_batches(pad(1), batch_format="pyarrow"))
+    return unioned, lnames, [rename[n] for n in r_payload]
+
+
+def _resolve_join_buckets(left, right, n_buckets):
+    from .bucketing import adaptive_n_buckets, estimate_input_bytes
+
     if n_buckets == "auto":
-        nb = adaptive_n_buckets(
+        return adaptive_n_buckets(
             (estimate_input_bytes(left) or 0)
             + (estimate_input_bytes(right) or 0) or None)
-    else:
-        nb = int(n_buckets)
+    return int(n_buckets)
+
+
+def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                      key: str, right_key: str | None = None,
+                      how: str = "inner",
+                      n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Distributed big-big equi-join: co-partition BOTH sides by
+    ``hash(key) % n_buckets`` in one exchange (``_pad_union``), then one
+    Arrow hash join per bucket (``pa.Table.join`` — vectorized, no Python
+    per row). Ray schedules one task per bucket, each seeing all rows of
+    both sides whose key hashes there. ``how``: inner / left / full /
+    semi / anti (semi and anti emit left columns only)."""
+    from .bucketing import with_hash_bucket
+
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
+                         f"one of {sorted(_JOIN_TYPES)}")
+    unioned, lnames, right_cols = _pad_union(left, right, key,
+                                             right_key or key)
+    nb = _resolve_join_buckets(left, right, n_buckets)
     arrow_how = _JOIN_TYPES[how]
-    right_cols = [rename[n] for n in r_payload]
 
     def bucket_join(t: pa.Table) -> pa.Table:
         side = t.column("_side")
@@ -158,4 +167,116 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     bucketed = with_hash_bucket(unioned, key, nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_join(t.drop_columns(["_bucket"])),
+        batch_format="pyarrow")
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              by: str, right_by: str | None = None,
+              on: str, right_on: str | None = None,
+              direction: str = "backward", how: str = "inner",
+              tolerance: int | None = None,
+              n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Distributed AS-OF join: for every left row, the single right row
+    with the same ``by`` key and the greatest ``right_on`` ≤ ``on``
+    (``direction="backward"``; ``"forward"`` = smallest ≥). Equivalent to
+    DuckDB's ``ASOF JOIN … ON l.by = r.by AND l.on >= r.on``.
+
+    Scale shape: ONE int-bucket co-partition exchange (``_pad_union`` —
+    both sides of a key land in one bucket task), then per bucket a fully
+    vectorized sort-merge: both sides concatenated, one lexsort by
+    (key, time, side) with right rows before left on time ties (≥ is
+    inclusive), and the "latest right row so far within this key" is a
+    single ``np.maximum.accumulate`` over segment-offset markers — no
+    Python per key, no per-row loop.
+
+    ``tolerance`` (same units as the time columns after int64 cast, e.g.
+    µs for timestamp[us]) drops matches farther than the bound.
+    ``how="left"`` keeps unmatched left rows with null right columns.
+    Timestamp columns are compared as int64.
+    """
+    from .bucketing import with_hash_bucket
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join: direction must be backward|forward")
+    if how not in ("inner", "left"):
+        raise ValueError("asof_join: how must be inner|left")
+    rb = right_by or by
+    ron_src = right_on or on
+    unioned, lnames, right_cols = _pad_union(left, right, by, rb)
+    # the right time column's post-rename name
+    ron = ron_src + "_r" if (ron_src in lnames and ron_src != rb) else ron_src
+    if ron == rb:
+        ron = by
+    if ron not in right_cols and ron != by:
+        raise ValueError(f"right side has no time column {ron_src!r}")
+    nb = _resolve_join_buckets(left, right, n_buckets)
+    sign = 1 if direction == "backward" else -1
+    payload = [c for c in right_cols if c != ron]
+
+    def bucket_asof(t: pa.Table) -> pa.Table:
+        side_col = t.column("_side")
+        lt = t.filter(pc.equal(side_col, 0)).select(lnames)
+        rt = t.filter(pc.equal(side_col, 1)).select([by, ron] + payload)
+        n_l, n_r = lt.num_rows, rt.num_rows
+        out_names = lnames + [ron] + payload
+
+        def times(tbl, col):
+            c = tbl.column(col)
+            if pa.types.is_timestamp(c.type):
+                c = c.cast(pa.int64())
+            return sign * c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        if n_l == 0 or (n_r == 0 and how == "inner"):
+            return pa.table(
+                {n: pa.nulls(0, f.type) for n, f in
+                 zip(out_names,
+                     [lt.schema.field(x) for x in lnames]
+                     + [rt.schema.field(ron)]
+                     + [rt.schema.field(x) for x in payload])})
+        l_keys = lt.column(by).to_numpy(zero_copy_only=False)
+        r_keys = rt.column(by).to_numpy(zero_copy_only=False)
+        l_time = times(lt, on)
+        r_time = times(rt, ron) if n_r else np.empty(0, np.int64)
+        keys = np.concatenate([r_keys, l_keys])
+        if keys.dtype.kind not in "iuf":  # string keys → int codes
+            keys = np.unique(keys, return_inverse=True)[1]
+        tms = np.concatenate([r_time, l_time])
+        flag = np.concatenate([np.zeros(n_r, np.int8),
+                               np.ones(n_l, np.int8)])
+        src = np.concatenate([np.arange(n_r), np.arange(n_l)])
+        order = np.lexsort((flag, tms, keys))
+        k_s, f_s, s_s = keys[order], flag[order], src[order]
+        change = np.ones(len(k_s), bool)
+        if len(k_s) > 1:
+            change[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(change) - 1
+        # marker = SORTED position of each right row (sorted order IS time
+        # order within a key), so accumulate yields the latest-in-time
+        # right row seen so far; segment offsets stop cross-key carryover
+        OFFSET = len(k_s) + 2
+        pos = np.arange(len(k_s), dtype=np.int64)
+        marker = np.where(f_s == 0, pos, -1)
+        acc = np.maximum.accumulate(marker + seg * OFFSET)
+        match_pos = acc - seg * OFFSET  # <0 ⇒ no right row yet in this key
+        is_left = f_s == 1
+        left_idx = s_s[is_left]
+        mp = match_pos[is_left]
+        valid = mp >= 0
+        m = np.where(valid, s_s[np.maximum(mp, 0)], -1)
+        if tolerance is not None and valid.any():
+            gap = l_time[left_idx] - np.where(valid, r_time[np.maximum(m, 0)], 0)
+            valid &= gap <= int(tolerance)
+        if how == "inner":
+            left_idx, m = left_idx[valid], m[valid]
+            take_r = pa.array(m.astype(np.int64))
+        else:
+            take_r = pa.array(m.astype(np.int64), mask=~valid)
+        out = lt.take(pa.array(left_idx.astype(np.int64)))
+        for c in [ron] + payload:
+            out = out.append_column(c, rt.column(c).take(take_r))
+        return out
+
+    bucketed = with_hash_bucket(unioned, by, nb)
+    return bucketed.groupby("_bucket").map_groups(
+        lambda t: bucket_asof(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")

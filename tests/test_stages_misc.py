@@ -1,6 +1,7 @@
 """Filter, batching/split, join, multimodal, aggregate-partial stages."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -339,3 +340,53 @@ def test_shuffle_hash_join_modes(ray_session):
         shuffle_hash_join(left, right, key="k", right_key="rk", how="cross")
     with pytest.raises(ValueError):
         shuffle_hash_join(left, right, key="missing", right_key="rk")
+
+
+def test_asof_join_directions_tolerance(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b", "c"]),
+        "t": pa.array([10, 25, 5, 10, 10], pa.int64()),
+        "lv": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b"]),
+        "rt": pa.array([8, 20, 30, 40], pa.int64()),
+        "rv": pa.array([100, 200, 300, 400], pa.int64()),
+    }))
+
+    def run(**kw):
+        return asof_join(left, right, by="k", on="t", right_on="rt",
+                         n_buckets=2, **kw).to_pandas() \
+            .sort_values(["k", "t"]).reset_index(drop=True)
+
+    back = run(how="inner")  # backward: greatest rt <= t
+    assert back[["k", "t", "rv"]].values.tolist() == \
+        [["a", 10, 100], ["a", 25, 200]]
+    fwd = run(how="inner", direction="forward")  # smallest rt >= t
+    assert fwd[["k", "t", "rv"]].values.tolist() == \
+        [["a", 5, 100], ["a", 10, 200], ["a", 25, 300], ["b", 10, 400]]
+    leftj = run(how="left")
+    assert len(leftj) == 5
+    assert leftj.loc[leftj.k == "c", "rv"].isna().all()
+    assert leftj.loc[(leftj.k == "a") & (leftj.t == 5), "rv"].isna().all()
+    tol = run(how="left", tolerance=3)  # a@10→rt8 gap 2 ok; a@25→rt20 gap 5 no
+    got = {(r.k, r.t): r.rv for r in tol.itertuples()}
+    assert got[("a", 10)] == 100
+    assert pd.isna(got[("a", 25)])
+    # exact tie is inclusive in both directions
+    tie = asof_join(
+        ray.data.from_arrow(pa.table({"k": ["x"], "t": pa.array([7], pa.int64()),
+                                      "lv": pa.array([0], pa.int64())})),
+        ray.data.from_arrow(pa.table({"k": ["x"], "rt": pa.array([7], pa.int64()),
+                                      "rv": pa.array([9], pa.int64())})),
+        by="k", on="t", right_on="rt", n_buckets=1).to_pandas()
+    assert tie["rv"].tolist() == [9]
+    with pytest.raises(ValueError):
+        asof_join(left, right, by="k", on="t", right_on="rt", how="full")
+    with pytest.raises(ValueError):
+        asof_join(left, right, by="k", on="t", right_on="rt",
+                  direction="nearest")
