@@ -704,6 +704,21 @@ def _q_events_last_order_asof(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_ship_window_join(sf_dir: str):
+    """Equality+range join (lineitem rows shipped within 60 days of their
+    order's date): bucket co-partition + vectorized per-bucket interval
+    enumeration; the max_interval bound keeps candidates O(window)."""
+    from opentelemetry_collector_ray.stages.join import range_join
+
+    DAY_US = 86_400_000_000
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    return range_join(li, o, by="l_orderkey", right_by="o_orderkey",
+                      on="l_shipdate", right_start="o_orderdate",
+                      max_interval=60 * DAY_US)
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1184,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
         "events_last_order_asof": _q_events_last_order_asof,
+        "ship_window_join": _q_ship_window_join,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1460,6 +1476,12 @@ GROUP BY c_custkey, c_mktsegment
 SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_ts
 FROM events e ASOF JOIN orders o
 ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "ship_window_join": """
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+FROM lineitem l JOIN orders o
+ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
+   AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
 """,
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem

@@ -280,3 +280,117 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_asof(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")
+
+
+def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+               by: str, right_by: str | None = None,
+               on: str, right_start: str, right_end: str | None = None,
+               max_interval: int,
+               n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Distributed equality + RANGE join: emit EVERY (left, right) pair
+    with equal ``by`` key and ``right_start <= on < right_end`` (interval
+    left-closed right-open; ``right_end=None`` means the implicit interval
+    ``[start, start + max_interval)``).
+
+    ``max_interval`` (same units as the time columns after int64 cast) is
+    the operator's PARTITIONING-ADJACENT contract: it must bound every
+    interval's length (validated per bucket). It turns the per-row
+    candidate set into "right rows starting within the trailing
+    max_interval window", so per-bucket work is O(candidates), never
+    O(|left|·|right-per-key|).
+
+    Scale shape: ONE int-bucket co-partition exchange (``_pad_union``),
+    then per bucket a fully vectorized enumeration — right sorted by
+    (key, start); per left row a lower/upper ``searchsorted`` over
+    collision-free (segment, time-rank) composites; pairs materialized
+    with ``np.repeat`` + offset arithmetic; the exact ``on < end`` filter
+    last. No Python per key or per row.
+    """
+    from .bucketing import with_hash_bucket
+
+    rb = right_by or by
+    unioned, lnames, right_cols = _pad_union(left, right, by, rb)
+
+    def rcol(src: str) -> str:
+        return src + "_r" if (src in lnames and src != rb) else src
+
+    rstart = rcol(right_start)
+    rend = rcol(right_end) if right_end else None
+    for c in [rstart] + ([rend] if rend else []):
+        if c not in right_cols:
+            raise ValueError(f"right side has no column {c!r}")
+    nb = _resolve_join_buckets(left, right, n_buckets)
+    payload = [c for c in right_cols]
+
+    def as_int64(tbl: pa.Table, col: str) -> np.ndarray:
+        c = tbl.column(col)
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.int64())
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def bucket_range(t: pa.Table) -> pa.Table:
+        side_col = t.column("_side")
+        lt = t.filter(pc.equal(side_col, 0)).select(lnames)
+        rt = t.filter(pc.equal(side_col, 1)).select([by] + payload)
+        out_schema = pa.schema(
+            [lt.schema.field(n) for n in lnames]
+            + [rt.schema.field(c) for c in payload])
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({f.name: pa.nulls(0, f.type)
+                             for f in out_schema})
+        r_start = as_int64(rt, rstart)
+        r_end = as_int64(rt, rend) if rend \
+            else r_start + int(max_interval)
+        if np.any(r_end - r_start > int(max_interval)):
+            raise ValueError(
+                "range_join: an interval exceeds max_interval — raise "
+                "max_interval to cover the longest interval")
+        l_t = as_int64(lt, on)
+        l_keys = lt.column(by).to_numpy(zero_copy_only=False)
+        r_keys = rt.column(by).to_numpy(zero_copy_only=False)
+        all_keys = np.concatenate([r_keys, l_keys])
+        if all_keys.dtype.kind not in "iuf":
+            all_keys = np.unique(all_keys, return_inverse=True)[1]
+        rk_, lk_ = all_keys[: len(r_keys)], all_keys[len(r_keys):]
+        r_order = np.lexsort((r_start, rk_))
+        rk_s, rs_s = rk_[r_order], r_start[r_order]
+        re_s = r_end[r_order]
+        # dense time ranks over the union → collision-free composites
+        union_vals = np.concatenate([rs_s, l_t - int(max_interval), l_t])
+        uniq, inv = np.unique(union_vals, return_inverse=True)
+        K = len(uniq) + 1
+        rs_rank = inv[: len(rs_s)]
+        lo_rank = inv[len(rs_s): len(rs_s) + len(l_t)]
+        t_rank = inv[len(rs_s) + len(l_t):]
+        # key → dense segment ordinal (rk_s sorted)
+        seg_keys = np.unique(rk_s)
+        r_comp = np.searchsorted(seg_keys, rk_s).astype(np.int64) * K + rs_rank
+        l_seg = np.searchsorted(seg_keys, lk_)
+        has_key = (l_seg < len(seg_keys))
+        has_key &= np.where(has_key, seg_keys[np.minimum(
+            l_seg, len(seg_keys) - 1)] == lk_, False)
+        lo = np.searchsorted(r_comp, l_seg * K + lo_rank, side="left")
+        hi = np.searchsorted(r_comp, l_seg * K + t_rank, side="right")
+        counts = np.where(has_key, hi - lo, 0)
+        li = np.repeat(np.arange(lt.num_rows), counts)
+        # per-pair right index: lo[l] + local offset
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({f.name: pa.nulls(0, f.type)
+                             for f in out_schema})
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        ri = np.repeat(lo, counts) + offs
+        exact = l_t[li] < re_s[ri]          # start<=t by construction
+        li, ri = li[exact], ri[exact]
+        out = lt.take(pa.array(li.astype(np.int64)))
+        rt_sorted = rt.take(pa.array(r_order.astype(np.int64)))
+        take_r = pa.array(ri.astype(np.int64))
+        for c in payload:
+            out = out.append_column(c, rt_sorted.column(c).take(take_r))
+        return out
+
+    bucketed = with_hash_bucket(unioned, by, nb)
+    return bucketed.groupby("_bucket").map_groups(
+        lambda t: bucket_range(t.drop_columns(["_bucket"])),
+        batch_format="pyarrow")

@@ -390,3 +390,41 @@ def test_asof_join_directions_tolerance(ray_session):
     with pytest.raises(ValueError):
         asof_join(left, right, by="k", on="t", right_on="rt",
                   direction="nearest")
+
+
+def test_range_join_semantics(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.join import range_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b", "c"]),
+        "t": pa.array([10, 30, 5, 99], pa.int64()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "s": pa.array([8, 25, 5], pa.int64()),
+        "e": pa.array([12, 40, 6], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    }))
+    # explicit end column: [s, e) intervals, all matches emitted
+    j = range_join(left, right, by="k", on="t", right_start="s",
+                   right_end="e", max_interval=20, n_buckets=2) \
+        .to_pandas().sort_values(["k", "t", "rv"]).reset_index(drop=True)
+    assert j[["k", "t", "rv"]].values.tolist() == \
+        [["a", 10, 100], ["a", 30, 200], ["b", 5, 300]]
+    # implicit end = start + max_interval; overlapping intervals fan out
+    j2 = range_join(left, right, by="k", on="t", right_start="s",
+                    max_interval=25, n_buckets=2).to_pandas()
+    a10 = j2[(j2.k == "a") & (j2.t == 10)]
+    assert sorted(a10["rv"]) == [100]          # s=8 only (25 not <= 10)
+    a30 = j2[(j2.k == "a") & (j2.t == 30)]
+    assert sorted(a30["rv"]) == [100, 200]     # both windows cover 30
+    # interval longer than max_interval is rejected
+    bad = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"]), "s": pa.array([0], pa.int64()),
+        "e": pa.array([100], pa.int64()), "rv": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception):
+        range_join(left, bad, by="k", on="t", right_start="s",
+                   right_end="e", max_interval=20, n_buckets=1).to_pandas()
