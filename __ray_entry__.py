@@ -719,6 +719,19 @@ def _q_ship_window_join(sf_dir: str):
                       max_interval=60 * DAY_US)
 
 
+def _q_events_topk_per_type(sf_dir: str):
+    """Top-3 users per event_type by event count with deterministic
+    tiebreak — per-key rank on the bucket idiom (row_number analog)."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count, grouped_topk)
+
+    counts = grouped_count(_read(sf_dir, "events", ["event_type", "user_id"]),
+                           ["event_type", "user_id"], count_name="n",
+                           strategy="shuffle")
+    return grouped_topk(counts, "event_type", "n", k=3,
+                        tiebreak="user_id")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1200,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_order_counts": _q_customers_order_counts,
         "events_last_order_asof": _q_events_last_order_asof,
         "ship_window_join": _q_ship_window_join,
+        "events_topk_per_type": _q_events_topk_per_type,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1482,6 +1496,14 @@ SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
 FROM lineitem l JOIN orders o
 ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
    AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+""",
+        "events_topk_per_type": """
+WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, n, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) AS rk FROM c)
+WHERE rk <= 3
 """,
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem

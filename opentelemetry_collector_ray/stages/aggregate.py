@@ -324,3 +324,36 @@ __all__ = [
     "PartialCountStage", "grouped_count", "add_time_bucket",
     "Count", "Sum", "Mean", "Min", "Max",
 ]
+
+
+def grouped_topk(ds: Dataset, key: str, order_col: str, k: int = 3,
+                 descending: bool = True, tiebreak: str | None = None,
+                 rank_name: str = "rk",
+                 n_buckets: int | str = "auto") -> Dataset:
+    """Top-k rows PER KEY (row_number() OVER (PARTITION BY key ORDER BY
+    order_col [DESC][, tiebreak]) <= k), keys unbounded.
+
+    Scale shape: the bucket idiom — hash-bucket by key, ONE Arrow sort +
+    numpy segment-rank pass per bucket (never a Python call per key, never
+    a global sort). Ranks are deterministic: pass ``tiebreak`` to break
+    order_col ties (otherwise ties rank in bucket sort order). Emits the
+    1-based rank as ``rank_name``."""
+    import numpy as np
+
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def pick(t: pa.Table) -> pa.Table:
+        order = [(key, "ascending"),
+                 (order_col, "descending" if descending else "ascending")]
+        if tiebreak:
+            order.append((tiebreak, "ascending"))
+        t = t.sort_by(order)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        _, seg_start = key_segments(keys)
+        rank = np.arange(len(keys)) - seg_start
+        keep = rank < k
+        out = t.filter(pa.array(keep))
+        return out.append_column(
+            rank_name, pa.array((rank[keep] + 1).astype(np.int64)))
+
+    return bucketed_map_groups(ds, key, pick, n_buckets=n_buckets)
