@@ -35,6 +35,24 @@ def _read(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _read_co(sf_dir: str, name: str, columns=None,
+             target_bytes: int = 64 << 20, floor: int = 4):
+    """Coalesced read for exchange-bound pipelines (joins): blocks sized
+    by BYTES (~64 MB each, small floor for local parallelism) instead of
+    one-per-file. Ray's sort-based groupby exchange costs scale with
+    BLOCK COUNT, not rows — measured on the sf0.1 big-big join: 64
+    blocks/side 9.6 s → 8 blocks/side 1.6 s at identical output. At real
+    scale bytes/target dominates and the floor is irrelevant."""
+    import os
+
+    import ray.data
+
+    path = f"{sf_dir}/{name}.parquet"
+    nblocks = max(floor, os.path.getsize(path) // target_bytes)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=int(nblocks))
+
+
 def _side_table(sf_dir: str, name: str, columns=None) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -644,9 +662,9 @@ def _q_join_priority_revenue(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import grouped_agg
     from opentelemetry_collector_ray.stages.join import shuffle_hash_join
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount"])
-    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"])
+    o = _read_co(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     j = shuffle_hash_join(li, o, key="l_orderkey", right_key="o_orderkey",
                           how="inner")
 
@@ -667,8 +685,8 @@ def _q_customers_order_counts(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import grouped_agg
     from opentelemetry_collector_ray.stages.join import shuffle_hash_join
 
-    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    o = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    c = _read_co(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    o = _read_co(sf_dir, "orders", ["o_custkey", "o_orderkey"])
     j = shuffle_hash_join(c, o, key="c_custkey", right_key="o_custkey",
                           how="left")
 
@@ -680,10 +698,13 @@ def _q_customers_order_counts(sf_dir: str):
                                  pa.int64()),
         })
 
+    # strategy="bucket": the join already keyed everything by c_custkey;
+    # re-exchanging skinny rows by int bucket + one Arrow group_by per
+    # bucket measured 0.5 s vs 1.8-4.9 s for shuffle partials at sf0.1
     return grouped_agg(j.map_batches(mark, batch_format="pyarrow"),
                        ["c_custkey", "c_mktsegment"],
                        sum_cols={"n_orders": "has_order"},
-                       strategy="shuffle")
+                       strategy="bucket")
 
 
 def _q_events_last_order_asof(sf_dir: str):
@@ -694,8 +715,8 @@ def _q_events_last_order_asof(sf_dir: str):
     both engines)."""
     from opentelemetry_collector_ray.stages.join import asof_join
 
-    e = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    o = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    e = _read_co(sf_dir, "events", ["event_id", "user_id", "ts"])
+    o = _read_co(sf_dir, "orders", ["o_custkey", "o_orderdate"])
     j = asof_join(e, o, by="user_id", right_by="o_custkey",
                   on="ts", right_on="o_orderdate", how="inner")
     return j.map_batches(
@@ -711,9 +732,9 @@ def _q_ship_window_join(sf_dir: str):
     from opentelemetry_collector_ray.stages.join import range_join
 
     DAY_US = 86_400_000_000
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_linenumber", "l_shipdate"])
-    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_shipdate"])
+    o = _read_co(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     return range_join(li, o, by="l_orderkey", right_by="o_orderkey",
                       on="l_shipdate", right_start="o_orderdate",
                       max_interval=60 * DAY_US)

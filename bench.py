@@ -103,7 +103,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "docs_token_count", "docs_quality", "docs_exact_dedup", "emb_knn",
              "spans_service_stats", "spans_trace_stats", "events_gauge_last",
              "events_exp_histogram", "turns_attrs_map",
-             "profiles_top_functions", "spans_tail_sampled"]
+             "profiles_top_functions", "spans_tail_sampled",
+             "join_priority_revenue", "events_last_order_asof",
+             "pii_redact"]
     q = m.queries()
     for name in names:
         t0 = time.time()
