@@ -753,6 +753,26 @@ def _q_events_topk_per_type(sf_dir: str):
                         tiebreak="user_id")
 
 
+def _q_docs_quality_model(sf_dir: str):
+    """Batched model-inference pattern: integer linear scorer over text
+    quality features, weights broadcast via ray.put and fetched once per
+    actor; one matmul per batch. The deterministic model keeps the SQL
+    oracle exact while the plumbing matches a real classifier's."""
+    from opentelemetry_collector_ray.functions.text import quality_features
+    from opentelemetry_collector_ray.stages.scoring import score
+
+    def feats(t: pa.Table) -> pa.Table:
+        f = quality_features(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": f["n_chars"], "n_tokens": f["n_tokens"],
+                         "n_punct": f["n_punct"]})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        feats, batch_format="pyarrow")
+    return score(ds, {"n_chars": 3, "n_tokens": 17, "n_punct": -5},
+                 bias=7, out_col="score", concurrency=2)
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1235,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof": _q_events_last_order_asof,
         "ship_window_join": _q_ship_window_join,
         "events_topk_per_type": _q_events_topk_per_type,
+        "docs_quality_model": _q_docs_quality_model,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1525,6 +1546,17 @@ SELECT event_type, user_id, n, CAST(rk AS BIGINT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY event_type
                                ORDER BY n DESC, user_id) AS rk FROM c)
 WHERE rk <= 3
+""",
+        "docs_quality_model": r"""
+WITH f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_punct,
+       CAST(3 * n_chars + 17 * n_tokens - 5 * n_punct + 7 AS BIGINT)
+           AS score
+FROM f
 """,
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem

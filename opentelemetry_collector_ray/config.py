@@ -237,8 +237,28 @@ def _register_builtins() -> None:
     register("otlp_proto", Factory("receiver+exporter", lambda cfg: cfg))
     register("otlp_proto_metrics",
              Factory("receiver+exporter", lambda cfg: cfg))
+    def make_redact(cfg: dict):
+        from .functions.redact import PII_RULES, redact_table
+
+        names = cfg.get("rules")
+        rules = [r for r in PII_RULES if names is None or r[0] in names]
+        text_col = cfg.get("text_col", "text")
+        out_col = cfg.get("out_col", "redacted")
+        with_counts = bool(cfg.get("with_counts", True))
+        return lambda t: redact_table(t, text_col, out_col, rules,
+                                      with_counts)
+
+    def make_score(cfg: dict):
+        from .stages.scoring import LinearScorerStage
+
+        return LinearScorerStage(dict(cfg["weights"]),
+                                 bias=int(cfg.get("bias", 0)),
+                                 out_col=cfg.get("out_col", "score"))
+
     register("parse", Factory("processor", make_parse))
     register("enrich", Factory("processor", lambda cfg: EnrichStage(cfg.get("refs"))))
+    register("redact", Factory("processor", make_redact))
+    register("score", Factory("processor", make_score))
     register("route", Factory("connector", make_route))
     register("filter", Factory("processor", make_filter))
     register("parquet_sink", Factory("exporter", lambda cfg: cfg))

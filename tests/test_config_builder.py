@@ -157,3 +157,36 @@ def test_provider_scalar_values_are_opaque(monkeypatch):
     merged = resolve_config([{"receivers": {"r": {"p": "${env:GRAFT_OUTER}"}},
                               "exporters": {}, "service": {}}])
     assert "SHOULD_NOT_APPEAR" not in str(merged)
+
+
+def test_redact_and_score_processors(ray_session, tmp_path):
+    """redact and score as first-class YAML processors: text scrubbed,
+    linear model applied, all through the config-driven builder."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["mail bob@x.io now", "no pii"]),
+        "n_tokens": pa.array([3, 2], pa.int64()),
+    }), str(src))
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(src)}},
+        "processors": {
+            "redact": {"rules": ["email"], "with_counts": True},
+            "score": {"weights": {"n_tokens": 10, "n_email": 100},
+                      "bias": 1, "out_col": "s"},
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["redact", "score"],
+            "exporters": ["debug"],
+        }}},
+    })
+    df = build_dataset(cfg).to_pandas().sort_values("doc_id")
+    assert df["redacted"].tolist() == ["mail <EMAIL> now", "no pii"]
+    assert df["s"].tolist() == [3 * 10 + 100 + 1, 2 * 10 + 1]
