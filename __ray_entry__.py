@@ -773,6 +773,38 @@ def _q_docs_quality_model(sf_dir: str):
                  bias=7, out_col="score", concurrency=2)
 
 
+def _q_docs_quality_cutoff(sf_dir: str):
+    """Two-pass global-threshold selection (the corpus quality-cutoff
+    pattern): pass 1 reduces 10^12 rows to one count per distinct score
+    and reads the exact median off the driver-resident value-count table;
+    pass 2 filters with the broadcast scalar. Oracle: quantile_disc."""
+    import pyarrow.compute as _pc
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantile)
+
+    def scored(t: pa.Table) -> pa.Table:
+        from opentelemetry_collector_ray.functions.text import (
+            quality_features)
+
+        f = quality_features(t.column("text"))
+        nc = f["n_chars"].to_numpy(zero_copy_only=False)
+        nt = f["n_tokens"].to_numpy(zero_copy_only=False)
+        npn = f["n_punct"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "score": pa.array(3 * nc + 17 * nt - 5 * npn)})
+
+    def build():
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            scored, batch_format="pyarrow")
+
+    thr = exact_global_quantile(build(), "score", 0.5)
+    return build().map_batches(
+        lambda t: t.filter(_pc.greater_equal(t.column("score"),
+                                             pa.scalar(thr))),
+        batch_format="pyarrow")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1256,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_window_join": _q_ship_window_join,
         "events_topk_per_type": _q_events_topk_per_type,
         "docs_quality_model": _q_docs_quality_model,
+        "docs_quality_cutoff": _q_docs_quality_cutoff,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1557,6 +1590,17 @@ SELECT doc_id, n_chars, n_tokens, n_punct,
        CAST(3 * n_chars + 17 * n_tokens - 5 * n_punct + 7 AS BIGINT)
            AS score
 FROM f
+""",
+        "docs_quality_cutoff": r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(3 * length(text)
+              + 17 * len(regexp_extract_all(text, '\S+'))
+              - 5 * len(regexp_extract_all(text, '[^\w\s]'))
+              AS BIGINT) AS score
+  FROM documents)
+SELECT doc_id, score FROM s
+WHERE score >= (SELECT quantile_disc(score, 0.5) FROM s)
 """,
         "filter_highvalue": """
 SELECT l_returnflag, count(*) AS n FROM lineitem

@@ -357,3 +357,27 @@ def grouped_topk(ds: Dataset, key: str, order_col: str, k: int = 3,
             rank_name, pa.array((rank[keep] + 1).astype(np.int64)))
 
     return bucketed_map_groups(ds, key, pick, n_buckets=n_buckets)
+
+
+def exact_global_quantile(ds: Dataset, col: str, q: float) -> int:
+    """EXACT global quantile of an integer column at any data scale,
+    rank rule r = floor((n-1)·q), ascending (== DuckDB quantile_disc).
+
+    Scale shape: the 10^12-row input reduces to one count per DISTINCT
+    VALUE (shuffle-strategy grouped count — mergeable, skew-neutral);
+    only that value-count table (bounded by the value domain, not the row
+    count) reaches the driver. The two-pass global-threshold pattern:
+    call this, then filter with the returned scalar broadcast into the
+    second pass."""
+    import numpy as np
+
+    counts = grouped_count(ds.select_columns([col]), [col],
+                           count_name="_n", strategy="shuffle")
+    pdf = counts.to_pandas().sort_values(col)
+    if not len(pdf):
+        raise ValueError(f"exact_global_quantile: no rows in {col!r}")
+    n = int(pdf["_n"].sum())
+    r = int(np.floor((n - 1) * q))
+    cum = pdf["_n"].cumsum().to_numpy()
+    idx = int(np.searchsorted(cum, r + 1))
+    return int(pdf[col].iloc[idx])

@@ -15,6 +15,15 @@ that two ways:
   stays a ~task-sized unit. Skew caveat: a single hot KEY lands in one
   bucket by construction (that is what makes the join exact); salt hot
   keys upstream if one key's rows exceed a task.
+- ``asof_join`` / ``range_join``: the time-series custom operators the
+  Dataset API lacks, on the same exchange.
+
+Ray 2.49 ships an experimental ``Dataset.join`` (hash-shuffle
+aggregator actors); measured on the sf0.1 lineitem⋈orders inner join it
+runs 2.5-2.9 s vs 0.8-1.1 s for this bucket join at identical output
+(the actor-pool aggregator setup dominates at this scale), and it
+offers no as-of/range semantics — so the engine keeps the bucket path
+for all three.
 """
 
 from __future__ import annotations
