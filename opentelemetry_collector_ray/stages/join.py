@@ -148,19 +148,33 @@ def _resolve_join_buckets(left, right, n_buckets):
 
 def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                       key: str, right_key: str | None = None,
-                      how: str = "inner",
+                      how: str = "inner", salt: int = 1,
                       n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Distributed big-big equi-join: co-partition BOTH sides by
     ``hash(key) % n_buckets`` in one exchange (``_pad_union``), then one
     Arrow hash join per bucket (``pa.Table.join`` — vectorized, no Python
     per row). Ray schedules one task per bucket, each seeing all rows of
     both sides whose key hashes there. ``how``: inner / left / full /
-    semi / anti (semi and anti emit left columns only)."""
+    semi / anti (semi and anti emit left columns only).
+
+    ``salt > 1`` is the HOT-KEY lever: each left row goes to one of
+    ``salt`` sub-buckets of its key and the right side is replicated into
+    all of them, splitting a hot key's left rows across ``salt`` tasks at
+    the cost of shipping the right side ``salt``×. Exact for inner / left
+    / semi / anti (each left row meets the full right key group exactly
+    once); rejected for full outer (unmatched RIGHT rows would duplicate
+    per sub-bucket)."""
+    from ..functions.hashing import bucket_of
     from .bucketing import with_hash_bucket
 
     if how not in _JOIN_TYPES:
         raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
                          f"one of {sorted(_JOIN_TYPES)}")
+    salt = int(salt)
+    if salt > 1 and how == "full":
+        raise ValueError("shuffle_hash_join: salt>1 cannot preserve full "
+                         "outer semantics (unmatched right rows would "
+                         "duplicate per sub-bucket)")
     unioned, lnames, right_cols = _pad_union(left, right, key,
                                              right_key or key)
     nb = _resolve_join_buckets(left, right, n_buckets)
@@ -173,7 +187,26 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return lt.join(rt, keys=[key], right_keys=[key],
                        join_type=arrow_how)
 
-    bucketed = with_hash_bucket(unioned, key, nb)
+    if salt > 1:
+        def add_salted_bucket(t: pa.Table) -> pa.Table:
+            side = t.column("_side").to_numpy(zero_copy_only=False)
+            base = np.asarray(bucket_of(t.column(key), nb), np.int64)
+            lmask = side == 0
+            lt = t.filter(pa.array(lmask))
+            lb = base[lmask] * salt + np.arange(lt.num_rows) % salt
+            rt = t.filter(pa.array(~lmask))
+            rep = np.repeat(np.arange(rt.num_rows), salt)
+            rt_rep = rt.take(pa.array(rep.astype(np.int64)))
+            rb = np.repeat(base[~lmask], salt) * salt \
+                + np.tile(np.arange(salt), rt.num_rows)
+            return pa.concat_tables([
+                lt.append_column("_bucket", pa.array(lb)),
+                rt_rep.append_column("_bucket", pa.array(rb))])
+
+        bucketed = unioned.map_batches(add_salted_bucket,
+                                       batch_format="pyarrow")
+    else:
+        bucketed = with_hash_bucket(unioned, key, nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_join(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")

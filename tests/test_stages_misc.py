@@ -428,3 +428,33 @@ def test_range_join_semantics(ray_session):
     with pytest.raises(Exception):
         range_join(left, bad, by="k", on="t", right_start="s",
                    right_end="e", max_interval=20, n_buckets=1).to_pandas()
+
+
+def test_shuffle_hash_join_salted(ray_session):
+    """salt>1 splits a hot key across sub-buckets without changing any
+    result (inner/left/semi/anti); full outer is rejected."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(5)
+    lk = np.concatenate([np.zeros(40, np.int64),          # hot key 0
+                         rng.integers(1, 6, 20)])
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk), "lv": pa.array(np.arange(len(lk)))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([0, 0, 1, 3, 9], pa.int64()),
+        "rv": pa.array([10, 11, 12, 13, 14], pa.int64())}))
+
+    for how in ["inner", "left", "semi", "anti"]:
+        plain = shuffle_hash_join(left, right, key="k", how=how,
+                                  n_buckets=2).to_pandas()
+        salted = shuffle_hash_join(left, right, key="k", how=how,
+                                   n_buckets=2, salt=4).to_pandas()
+        cols = list(plain.columns)
+        pd.testing.assert_frame_equal(
+            plain.sort_values(cols, kind="mergesort").reset_index(drop=True),
+            salted[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True), check_dtype=False, obj=how)
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, key="k", how="full", salt=4)
