@@ -273,6 +273,23 @@ def _q_events_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def _q_events_stratified_sample(sf_dir: str):
+    """Per-class deterministic sampling (training-data class rebalancing):
+    keep rare classes whole, downsample dominant ones; rates broadcast as
+    a small dict, selection by id-mod so the oracle is exact."""
+    RATES_PERMILLE = {"error": 1000, "signup": 1000, "purchase": 500,
+                      "view": 100, "click": 50}
+
+    def pick(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        limit = np.array([RATES_PERMILLE.get(x, 0) for x in et], np.int64)
+        return t.filter(pa.array(eid % 1000 < limit))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def _q_events_window(sf_dir: str):
     """Tumbling event-time window counts per user."""
     from opentelemetry_collector_ray.stages.sessionize import tumbling_window_count
@@ -1289,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "docs_quality_model": _q_docs_quality_model,
         "docs_quality_cutoff": _q_docs_quality_cutoff,
+        "events_stratified_sample": _q_events_stratified_sample,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1590,6 +1608,13 @@ SELECT doc_id, n_chars, n_tokens, n_punct,
        CAST(3 * n_chars + 17 * n_tokens - 5 * n_punct + 7 AS BIGINT)
            AS score
 FROM f
+""",
+        "events_stratified_sample": """
+SELECT event_id, event_type, value FROM events
+WHERE event_id % 1000 < CASE event_type
+  WHEN 'error' THEN 1000 WHEN 'signup' THEN 1000
+  WHEN 'purchase' THEN 500 WHEN 'view' THEN 100
+  WHEN 'click' THEN 50 ELSE 0 END
 """,
         "docs_quality_cutoff": r"""
 WITH s AS (
