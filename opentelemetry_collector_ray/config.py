@@ -237,6 +237,10 @@ def _register_builtins() -> None:
     register("otlp_proto", Factory("receiver+exporter", lambda cfg: cfg))
     register("otlp_proto_metrics",
              Factory("receiver+exporter", lambda cfg: cfg))
+    register("otlp_proto_spans",
+             Factory("receiver+exporter", lambda cfg: cfg))
+    register("otlp_json_spans",
+             Factory("receiver+exporter", lambda cfg: cfg))
     def make_redact(cfg: dict):
         from .functions.redact import PII_RULES, redact_table
 

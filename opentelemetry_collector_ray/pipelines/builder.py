@@ -45,6 +45,14 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
             from ..sources.otlp_metrics import read_otlp_proto_metrics
 
             datasets.append(read_otlp_proto_metrics(rpaths))
+        elif rtype == "otlp_proto_spans":
+            from ..sources.otlp_proto import read_otlp_proto_spans
+
+            datasets.append(read_otlp_proto_spans(rpaths))
+        elif rtype == "otlp_json_spans":
+            from ..sources.otlp_json import read_otlp_json_spans
+
+            datasets.append(read_otlp_json_spans(rpaths))
         elif rtype in ("turns", "spans", "profile_frames"):
             # derived-signal receivers over an events parquet source
             events = ray.data.read_parquet(
@@ -104,7 +112,8 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
 
             target = os.path.join(out_root,
                                   ecfg.get("path", name.replace("/", "_")))
-            counts[name] = write_otlp_json_logs(ds, target)
+            counts[name] = write_otlp_json_logs(
+                ds, target, compression=ecfg.get("compression", "none"))
         elif type_name == "otlp_proto":
             from ..sources.otlp_proto import write_otlp_proto_logs
 
@@ -112,13 +121,29 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
                                   ecfg.get("path", name.replace("/", "_")))
             counts[name] = write_otlp_proto_logs(
                 ds, target,
-                max_request_bytes=ecfg.get("max_request_bytes"))
+                max_request_bytes=ecfg.get("max_request_bytes"),
+                compression=ecfg.get("compression", "none"))
         elif type_name == "otlp_proto_metrics":
             from ..sources.otlp_metrics import write_otlp_proto_metrics
 
             target = os.path.join(out_root,
                                   ecfg.get("path", name.replace("/", "_")))
-            counts[name] = write_otlp_proto_metrics(ds, target)
+            counts[name] = write_otlp_proto_metrics(
+                ds, target, compression=ecfg.get("compression", "none"))
+        elif type_name == "otlp_proto_spans":
+            from ..sources.otlp_proto import write_otlp_proto_spans
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_otlp_proto_spans(
+                ds, target, compression=ecfg.get("compression", "none"))
+        elif type_name == "otlp_json_spans":
+            from ..sources.otlp_json import write_otlp_json_spans
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_otlp_json_spans(
+                ds, target, compression=ecfg.get("compression", "none"))
         elif type_name == "debug":
             counts[name] = DebugSink(ecfg.get("verbosity", "basic")).consume(ds)
         else:

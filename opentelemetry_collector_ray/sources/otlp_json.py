@@ -320,3 +320,50 @@ def spans_to_request(batch: pa.Table) -> str:
             "scopeSpans": scope_spans,
         })
     return json.dumps({"resourceSpans": resource_spans}, sort_keys=True)
+
+
+def read_otlp_json_spans(paths) -> ray.data.Dataset:
+    """Read OTLP/JSON trace request lines into the flat span table;
+    compressed files sniffed transparently."""
+    from .compression import decompress_payload
+
+    ds = ray.data.read_binary_files(paths)
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        lines: list[str] = []
+        for b in t.column("bytes"):
+            lines.extend(decompress_payload(b.as_py()).decode()
+                         .splitlines())
+        return pa.table({"text": pa.array(lines, pa.string())})
+
+    return ds.map_batches(to_lines, batch_format="pyarrow").map_batches(
+        lambda t: parse_spans_request_lines(t, "text"),
+        batch_format="pyarrow")
+
+
+def write_otlp_json_spans(ds: ray.data.Dataset, out_dir: str,
+                          compression: str = "none") -> int:
+    """Each block → one ExportTraceServiceRequest JSON-line file."""
+    import os
+    import uuid
+
+    from .compression import compress_payload
+    from .otlp_proto import _COMPRESSION_SUFFIX
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = _COMPRESSION_SUFFIX.get(compression, "")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        blob = compress_payload(
+            (spans_to_request(batch) + "\n").encode(), compression)
+        name = uuid.uuid4().hex[:24]
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(out_dir, f"req-{name}.jsonl{suffix}"))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    if len(counts) == 0 or "n" not in counts.columns:
+        return 0
+    return int(counts["n"].sum())

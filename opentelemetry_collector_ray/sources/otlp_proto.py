@@ -728,3 +728,47 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
         "attributes": pa.array([[]] * n, tav.TYPED_MAP_T),
         "links": links,
     })
+
+
+def read_otlp_proto_spans(paths) -> ray.data.Dataset:
+    """Read ``*.binpb`` trace request files (ExportTraceServiceRequest)
+    into the flat span table; compressed files sniffed transparently."""
+    from .compression import decompress_payload
+
+    ds = ray.data.read_binary_files(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tables = [decode_spans_request(decompress_payload(b.as_py()))
+                  for b in t.column("bytes")]
+        return pa.concat_tables(tables) if tables \
+            else decode_spans_request(b"")
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_otlp_proto_spans(ds: ray.data.Dataset, out_dir: str,
+                           compression: str = "none") -> int:
+    """Each block → one trace request file; returns spans written."""
+    import os
+    import uuid
+
+    from .compression import compress_payload
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = _COMPRESSION_SUFFIX.get(compression, "")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            blob = compress_payload(encode_spans_request(batch), compression)
+            name = uuid.uuid4().hex[:24]
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp,
+                       os.path.join(out_dir, f"req-{name}.binpb{suffix}"))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    if len(counts) == 0 or "n" not in counts.columns:
+        return 0
+    return int(counts["n"].sum())

@@ -190,3 +190,57 @@ def test_redact_and_score_processors(ray_session, tmp_path):
     df = build_dataset(cfg).to_pandas().sort_values("doc_id")
     assert df["redacted"].tolist() == ["mail <EMAIL> now", "no pii"]
     assert df["s"].tolist() == [3 * 10 + 100 + 1, 2 * 10 + 1]
+
+
+def test_spans_wire_components_round_trip(ray_session, tmp_path):
+    """otlp_proto_spans / otlp_json_spans as YAML receiver+exporter, with
+    compression: spans derived from events → compressed request files →
+    read back via the config-driven builder — counts preserved."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import (
+        build_dataset, run_exporters)
+    from opentelemetry_collector_ray.sources.otlp_proto import spans_to_wire
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path)
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"spans": {"paths": events}},
+        "processors": {},
+        "exporters": {
+            "otlp_proto_spans": {"path": "pb", "compression": "gzip"},
+            "otlp_json_spans": {"path": "js", "compression": "zlib"},
+        },
+        "service": {"pipelines": {"traces": {
+            "receivers": ["spans"],
+            "processors": [],
+            "exporters": ["otlp_proto_spans", "otlp_json_spans"],
+        }}},
+    })
+    ds = build_dataset(cfg).map_batches(spans_to_wire,
+                                        batch_format="pyarrow")
+    n_spans = ds.count()
+    counts = run_exporters(cfg, ds, out)
+    assert counts["otlp_proto_spans"] == n_spans
+    assert counts["otlp_json_spans"] == n_spans
+    # read back through the receiver side of the same component types
+    cfg2 = PipelineConfig.from_dict({
+        "receivers": {"otlp_proto_spans": {"paths": f"{out}/pb"}},
+        "processors": {},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"traces": {
+            "receivers": ["otlp_proto_spans"], "processors": [],
+            "exporters": ["debug"]}}},
+    })
+    assert build_dataset(cfg2).count() == n_spans
+    cfg3 = PipelineConfig.from_dict({
+        "receivers": {"otlp_json_spans": {"paths": f"{out}/js"}},
+        "processors": {},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"traces": {
+            "receivers": ["otlp_json_spans"], "processors": [],
+            "exporters": ["debug"]}}},
+    })
+    assert build_dataset(cfg3).count() == n_spans
