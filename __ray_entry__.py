@@ -822,6 +822,23 @@ def _q_docs_quality_cutoff(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_pack_chunks(sf_dir: str):
+    """Sequence packing (concat-then-chunk): distributed two-pass prefix
+    sum assigns each doc its global token offset; chunk_id = offset //
+    capacity. Oracle: SQL window cumulative sum."""
+    from opentelemetry_collector_ray.functions.text import token_count
+    from opentelemetry_collector_ray.stages.packing import pack_chunks
+
+    def make():
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_tokens": token_count(t.column("text")).cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    return pack_chunks(make, "doc_id", "n_tokens", capacity=2048)
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1307,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_model": _q_docs_quality_model,
         "docs_quality_cutoff": _q_docs_quality_cutoff,
         "events_stratified_sample": _q_events_stratified_sample,
+        "docs_pack_chunks": _q_docs_pack_chunks,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1608,6 +1626,20 @@ SELECT doc_id, n_chars, n_tokens, n_punct,
        CAST(3 * n_chars + 17 * n_tokens - 5 * n_punct + 7 AS BIGINT)
            AS score
 FROM f
+""",
+        "docs_pack_chunks": r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      AS BIGINT) AS chunk_id
+FROM s
 """,
         "events_stratified_sample": """
 SELECT event_id, event_type, value FROM events

@@ -1,0 +1,111 @@
+"""Distributed ordered prefix sum and sequence packing — the
+concat-then-chunk pattern LLM pretraining pipelines use to turn a
+document corpus into fixed-size training sequences.
+
+``ordered_prefix_sum`` is a two-phase distributed SCAN:
+
+- pass 1 reduces each block to (min, max, sum) of the order/value columns
+  — only this tiny per-block table reaches the driver (10^12 rows →
+  #blocks rows);
+- the driver sorts the stats by range start, VALIDATES that block ranges
+  do not overlap (the range-partitioned-input contract: parquet written
+  in order keeps it; a shuffled input fails loudly, never silently), and
+  computes each block's exclusive base;
+- pass 2 rebuilds the same plan, looks up each batch's base by its min
+  order value (validated against the recorded ranges) and adds a local
+  ``np.cumsum`` — one vectorized pass per block, no global sort.
+
+``pack_chunks`` then assigns ``chunk_id = global_offset // capacity``:
+documents are concatenated in order and sliced into capacity-token
+chunks (chunks may span document boundaries — the standard pretraining
+packing; for whole-document bin packing see grouped first-fit in the
+NOTES, not implemented here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _stats_fn(order_col: str, val_col: str):
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"_min": pa.array([], pa.int64()),
+                             "_max": pa.array([], pa.int64()),
+                             "_sum": pa.array([], pa.int64())})
+        o = t.column(order_col)
+        return pa.table({
+            "_min": pa.array([pc.min(o).as_py()], pa.int64()),
+            "_max": pa.array([pc.max(o).as_py()], pa.int64()),
+            "_sum": pa.array([int(pc.sum(t.column(val_col)).as_py() or 0)],
+                             pa.int64()),
+        })
+    return fn
+
+
+def ordered_prefix_sum(make_ds, order_col: str, val_col: str,
+                       out_col: str = "offset") -> ray.data.Dataset:
+    """Exclusive prefix sum of ``val_col`` in ``order_col`` order.
+
+    ``make_ds`` is a ZERO-ARG CALLABLE returning the input Dataset — it
+    is invoked twice so both passes execute the identical lazy plan
+    (identical block boundaries); passing a live Dataset twice would
+    also work but hides the two-execution cost.
+    """
+    stats = make_ds().map_batches(
+        _stats_fn(order_col, val_col), batch_size=None,
+        batch_format="pyarrow").to_pandas()
+    stats = stats.sort_values("_min").reset_index(drop=True)
+    if len(stats) > 1:
+        overlap = (stats["_min"].iloc[1:].to_numpy()
+                   <= stats["_max"].iloc[:-1].to_numpy())
+        if overlap.any():
+            raise ValueError(
+                "ordered_prefix_sum: block ranges overlap on "
+                f"{order_col!r} — input is not range-partitioned in "
+                "order; sort/repartition by the order column first")
+    mins = stats["_min"].to_numpy()
+    bases = np.concatenate([[0], np.cumsum(stats["_sum"].to_numpy())[:-1]])
+    maxs = stats["_max"].to_numpy()
+    base_of = {int(m): int(b) for m, b in zip(mins, bases)}
+    max_of = {int(m): int(x) for m, x in zip(mins, maxs)}
+
+    def add_offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.nulls(0, pa.int64()))
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        lo, hi = int(o.min()), int(o.max())
+        if lo not in base_of or hi > max_of[lo]:
+            raise ValueError(
+                "ordered_prefix_sum: pass-2 batch does not match a "
+                "recorded pass-1 block range — the two executions "
+                "produced different blocks; materialize the input or "
+                "pass a deterministic make_ds")
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = base_of[lo] + np.concatenate([[0], np.cumsum(v)[:-1]])
+        return t.append_column(out_col, pa.array(off))
+
+    return make_ds().map_batches(add_offsets, batch_size=None,
+                                 batch_format="pyarrow")
+
+
+def pack_chunks(make_ds, order_col: str, token_col: str,
+                capacity: int, offset_col: str = "start_offset",
+                chunk_col: str = "chunk_id") -> ray.data.Dataset:
+    """Concat-then-chunk packing: global exclusive token offset per doc +
+    ``chunk_id = offset // capacity``."""
+    import pyarrow.compute as pc
+
+    ds = ordered_prefix_sum(make_ds, order_col, token_col,
+                            out_col=offset_col)
+    return ds.map_batches(
+        lambda t: t.append_column(
+            chunk_col, pc.cast(pc.divide(t.column(offset_col),
+                                         pa.scalar(int(capacity))),
+                               pa.int64())),
+        batch_format="pyarrow")

@@ -458,3 +458,34 @@ def test_shuffle_hash_join_salted(ray_session):
             .reset_index(drop=True), check_dtype=False, obj=how)
     with pytest.raises(ValueError):
         shuffle_hash_join(left, right, key="k", how="full", salt=4)
+
+
+def test_ordered_prefix_sum_and_packing(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.packing import (
+        ordered_prefix_sum, pack_chunks)
+
+    def make():
+        # two blocks with non-overlapping order ranges
+        a = pa.table({"i": pa.array([1, 2, 3], pa.int64()),
+                      "v": pa.array([5, 7, 2], pa.int64())})
+        b = pa.table({"i": pa.array([10, 11], pa.int64()),
+                      "v": pa.array([4, 9], pa.int64())})
+        return ray.data.from_arrow(a).union(ray.data.from_arrow(b))
+
+    out = ordered_prefix_sum(make, "i", "v").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    assert out["offset"].tolist() == [0, 5, 12, 14, 18]
+    chunks = pack_chunks(make, "i", "v", capacity=10).to_pandas() \
+        .sort_values("i")
+    assert chunks["chunk_id"].tolist() == [0, 0, 1, 1, 1]
+    # overlapping ranges are rejected loudly
+    def bad():
+        a = pa.table({"i": pa.array([1, 5], pa.int64()),
+                      "v": pa.array([1, 1], pa.int64())})
+        b = pa.table({"i": pa.array([3, 9], pa.int64()),
+                      "v": pa.array([1, 1], pa.int64())})
+        return ray.data.from_arrow(a).union(ray.data.from_arrow(b))
+    with pytest.raises(ValueError):
+        ordered_prefix_sum(bad, "i", "v")
