@@ -280,10 +280,16 @@ def _q_events_stratified_sample(sf_dir: str):
     RATES_PERMILLE = {"error": 1000, "signup": 1000, "purchase": 500,
                       "view": 100, "click": 50}
 
+    rate_keys = pa.array(list(RATES_PERMILLE), pa.string())
+    rate_vals = np.array(list(RATES_PERMILLE.values()) + [0], np.int64)
+
     def pick(t: pa.Table) -> pa.Table:
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        limit = np.array([RATES_PERMILLE.get(x, 0) for x in et], np.int64)
+        # one vectorized dictionary probe (unknown types → sentinel 0)
+        idx = pc.index_in(t.column("event_type"), value_set=rate_keys) \
+            .fill_null(len(rate_vals) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        limit = rate_vals[idx]
         return t.filter(pa.array(eid % 1000 < limit))
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])

@@ -245,6 +245,14 @@ def _register_builtins() -> None:
         from .functions.redact import PII_RULES, redact_table
 
         names = cfg.get("rules")
+        if names is not None:
+            # a typo must FAIL, not silently skip PII scrubbing
+            known = {r[0] for r in PII_RULES}
+            unknown = [n for n in names if n not in known]
+            if unknown:
+                raise ConfigError(
+                    f"redact: unknown rule names {unknown}; "
+                    f"known: {sorted(known)}")
         rules = [r for r in PII_RULES if names is None or r[0] in names]
         text_col = cfg.get("text_col", "text")
         out_col = cfg.get("out_col", "redacted")

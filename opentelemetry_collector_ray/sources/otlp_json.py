@@ -115,21 +115,11 @@ def parse_request_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def read_otlp_json_logs(paths) -> ray.data.Dataset:
-    """Read OTLP/JSON log lines into the flat LogRecord table. Request
-    files compressed with gzip/zlib/deflate (sources/compression.py) are
-    sniffed and decompressed transparently."""
-    from .compression import decompress_payload
+    """Read OTLP/JSON log lines into the flat LogRecord table; compressed
+    request files decompress by the writer's filename suffix."""
+    from .wire_io import read_decompressed_lines
 
-    ds = ray.data.read_binary_files(paths)
-
-    def to_lines(t: pa.Table) -> pa.Table:
-        lines: list[str] = []
-        for b in t.column("bytes"):
-            lines.extend(decompress_payload(b.as_py()).decode()
-                         .splitlines())
-        return pa.table({"text": pa.array(lines, pa.string())})
-
-    return ds.map_batches(to_lines, batch_format="pyarrow").map_batches(
+    return read_decompressed_lines(paths).map_batches(
         lambda t: parse_request_lines(t, "text"), batch_format="pyarrow")
 
 
@@ -183,29 +173,12 @@ def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str,
     runner's staging-dir wipe + atomic rename (state/manifest.py), matching
     how the persistent queue owns delivery state rather than the wire
     encoder. Returns total records written."""
-    import os
-    import uuid
+    from .wire_io import write_request_files
 
-    from .compression import compress_payload
-    from .otlp_proto import _COMPRESSION_SUFFIX
-
-    os.makedirs(out_dir, exist_ok=True)
-    suffix = _COMPRESSION_SUFFIX.get(compression, "")
-
-    def emit(batch: pa.Table) -> pa.Table:
-        blob = compress_payload(
-            (records_to_request(batch) + "\n").encode(), compression)
-        name = uuid.uuid4().hex[:24]
-        tmp = os.path.join(out_dir, f".{name}.tmp")
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, os.path.join(out_dir, f"req-{name}.jsonl{suffix}"))
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
-    if len(counts) == 0 or "n" not in counts.columns:  # empty-dataset schema loss
-        return 0
-    return int(counts["n"].sum())
+    return write_request_files(
+        ds, out_dir,
+        lambda b: (records_to_request(b) + "\n").encode(),
+        ".jsonl", compression)
 
 
 # ------------------------------------------------------------ traces (JSON)
@@ -324,19 +297,10 @@ def spans_to_request(batch: pa.Table) -> str:
 
 def read_otlp_json_spans(paths) -> ray.data.Dataset:
     """Read OTLP/JSON trace request lines into the flat span table;
-    compressed files sniffed transparently."""
-    from .compression import decompress_payload
+    compressed files decompress by the writer's filename suffix."""
+    from .wire_io import read_decompressed_lines
 
-    ds = ray.data.read_binary_files(paths)
-
-    def to_lines(t: pa.Table) -> pa.Table:
-        lines: list[str] = []
-        for b in t.column("bytes"):
-            lines.extend(decompress_payload(b.as_py()).decode()
-                         .splitlines())
-        return pa.table({"text": pa.array(lines, pa.string())})
-
-    return ds.map_batches(to_lines, batch_format="pyarrow").map_batches(
+    return read_decompressed_lines(paths).map_batches(
         lambda t: parse_spans_request_lines(t, "text"),
         batch_format="pyarrow")
 
@@ -344,26 +308,9 @@ def read_otlp_json_spans(paths) -> ray.data.Dataset:
 def write_otlp_json_spans(ds: ray.data.Dataset, out_dir: str,
                           compression: str = "none") -> int:
     """Each block → one ExportTraceServiceRequest JSON-line file."""
-    import os
-    import uuid
+    from .wire_io import write_request_files
 
-    from .compression import compress_payload
-    from .otlp_proto import _COMPRESSION_SUFFIX
-
-    os.makedirs(out_dir, exist_ok=True)
-    suffix = _COMPRESSION_SUFFIX.get(compression, "")
-
-    def emit(batch: pa.Table) -> pa.Table:
-        blob = compress_payload(
-            (spans_to_request(batch) + "\n").encode(), compression)
-        name = uuid.uuid4().hex[:24]
-        tmp = os.path.join(out_dir, f".{name}.tmp")
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, os.path.join(out_dir, f"req-{name}.jsonl{suffix}"))
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
-    if len(counts) == 0 or "n" not in counts.columns:
-        return 0
-    return int(counts["n"].sum())
+    return write_request_files(
+        ds, out_dir,
+        lambda b: (spans_to_request(b) + "\n").encode(),
+        ".jsonl", compression)

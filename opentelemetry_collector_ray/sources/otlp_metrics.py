@@ -869,49 +869,29 @@ def parse_metrics_request_lines(batch: pa.Table, text_col: str = "text",
 # ------------------------------------------------------------- source/sink
 
 def read_otlp_proto_metrics(paths) -> ray.data.Dataset:
-    """Read ``*.binpb`` metric request files into the flat table.
-    Compressed files are sniffed and decompressed transparently."""
-    from .compression import decompress_payload
-
-    ds = ray.data.read_binary_files(paths)
+    """Read ``*.binpb`` metric request files into the flat table;
+    compressed files decompress by the writer's filename suffix."""
+    from .wire_io import read_decompressed_files
 
     def parse(t: pa.Table) -> pa.Table:
-        tables = [decode_metrics_request(decompress_payload(b.as_py()))
-                  for b in t.column("bytes")]
+        tables = [decode_metrics_request(b.as_py())
+                  for b in t.column("payload")]
         return pa.concat_tables(tables) if tables \
             else decode_metrics_request(b"")
 
-    return ds.map_batches(parse, batch_format="pyarrow")
+    return read_decompressed_files(paths).map_batches(
+        parse, batch_format="pyarrow")
 
 
 def write_otlp_proto_metrics(ds: ray.data.Dataset, out_dir: str,
                              compression: str = "none") -> int:
     """Each block → one ``req-*.binpb`` request file; returns records."""
-    import os
-    import uuid
+    from .wire_io import write_request_files
 
-    from .compression import compress_payload
-    from .otlp_proto import _COMPRESSION_SUFFIX
-
-    os.makedirs(out_dir, exist_ok=True)
-    suffix = _COMPRESSION_SUFFIX.get(compression, "")
-
-    def emit(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            blob = compress_payload(encode_metrics_request(batch),
-                                    compression)
-            name = uuid.uuid4().hex[:24]
-            tmp = os.path.join(out_dir, f".{name}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp,
-                       os.path.join(out_dir, f"req-{name}.binpb{suffix}"))
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
-    if len(counts) == 0 or "n" not in counts.columns:
-        return 0
-    return int(counts["n"].sum())
+    return write_request_files(
+        ds, out_dir,
+        lambda b: encode_metrics_request(b) if b.num_rows else None,
+        ".binpb", compression)
 
 
 # ------------------------------------------- analytic → wire bridges

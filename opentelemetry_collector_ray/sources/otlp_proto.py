@@ -436,25 +436,19 @@ def split_by_bytes(batch: pa.Table, max_bytes: int) -> list[pa.Table]:
 
 # ------------------------------------------------------------- source/sink
 
-_COMPRESSION_SUFFIX = {"gzip": ".gz", "zlib": ".z", "deflate": ".zz"}
-
-
 def read_otlp_proto_logs(paths) -> ray.data.Dataset:
     """Read ``*.binpb`` request files into the flat LogRecord table (one
     file = one ExportLogsServiceRequest, the unit an OTLP/gRPC push
-    carries). Compressed request files (gzip/zlib/deflate —
-    sources/compression.py) are sniffed and decompressed transparently,
-    the Content-Encoding server path."""
-    from .compression import decompress_payload
-
-    ds = ray.data.read_binary_files(paths)
+    carries). Compressed request files decompress by the writer's
+    filename suffix (sources/wire_io.py)."""
+    from .wire_io import read_decompressed_files
 
     def parse(t: pa.Table) -> pa.Table:
-        tables = [decode_request(decompress_payload(b.as_py()))
-                  for b in t.column("bytes")]
+        tables = [decode_request(b.as_py()) for b in t.column("payload")]
         return pa.concat_tables(tables) if tables else decode_request(b"")
 
-    return ds.map_batches(parse, batch_format="pyarrow")
+    return read_decompressed_files(paths).map_batches(
+        parse, batch_format="pyarrow")
 
 
 def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
@@ -464,33 +458,15 @@ def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
     request file(s); ``compression=`` gzip/zlib/deflate compresses each
     request blob (configcompression analog). Returns total records
     written."""
-    import os
-    import uuid
+    from .wire_io import write_request_files
 
-    from .compression import compress_payload
-
-    os.makedirs(out_dir, exist_ok=True)
-    suffix = _COMPRESSION_SUFFIX.get(compression, "")
-
-    def emit(batch: pa.Table) -> pa.Table:
+    def make_blobs(batch: pa.Table):
         parts = split_by_bytes(batch, max_request_bytes) \
             if max_request_bytes else [batch]
-        for part in parts:
-            if part.num_rows == 0:
-                continue
-            blob = compress_payload(encode_request(part), compression)
-            name = uuid.uuid4().hex[:24]
-            tmp = os.path.join(out_dir, f".{name}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp,
-                       os.path.join(out_dir, f"req-{name}.binpb{suffix}"))
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+        return [encode_request(p) for p in parts if p.num_rows]
 
-    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
-    if len(counts) == 0 or "n" not in counts.columns:  # empty-dataset schema loss
-        return 0
-    return int(counts["n"].sum())
+    return write_request_files(ds, out_dir, make_blobs, ".binpb",
+                               compression)
 
 
 # ------------------------------------------------------------- traces (ptrace)
@@ -732,43 +708,25 @@ def spans_to_wire(t: pa.Table, service_col: str = "service") -> pa.Table:
 
 def read_otlp_proto_spans(paths) -> ray.data.Dataset:
     """Read ``*.binpb`` trace request files (ExportTraceServiceRequest)
-    into the flat span table; compressed files sniffed transparently."""
-    from .compression import decompress_payload
-
-    ds = ray.data.read_binary_files(paths)
+    into the flat span table; decompressed by filename suffix."""
+    from .wire_io import read_decompressed_files
 
     def parse(t: pa.Table) -> pa.Table:
-        tables = [decode_spans_request(decompress_payload(b.as_py()))
-                  for b in t.column("bytes")]
+        tables = [decode_spans_request(b.as_py())
+                  for b in t.column("payload")]
         return pa.concat_tables(tables) if tables \
             else decode_spans_request(b"")
 
-    return ds.map_batches(parse, batch_format="pyarrow")
+    return read_decompressed_files(paths).map_batches(
+        parse, batch_format="pyarrow")
 
 
 def write_otlp_proto_spans(ds: ray.data.Dataset, out_dir: str,
                            compression: str = "none") -> int:
     """Each block → one trace request file; returns spans written."""
-    import os
-    import uuid
+    from .wire_io import write_request_files
 
-    from .compression import compress_payload
-
-    os.makedirs(out_dir, exist_ok=True)
-    suffix = _COMPRESSION_SUFFIX.get(compression, "")
-
-    def emit(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            blob = compress_payload(encode_spans_request(batch), compression)
-            name = uuid.uuid4().hex[:24]
-            tmp = os.path.join(out_dir, f".{name}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp,
-                       os.path.join(out_dir, f"req-{name}.binpb{suffix}"))
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    counts = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
-    if len(counts) == 0 or "n" not in counts.columns:
-        return 0
-    return int(counts["n"].sum())
+    return write_request_files(
+        ds, out_dir,
+        lambda b: encode_spans_request(b) if b.num_rows else None,
+        ".binpb", compression)

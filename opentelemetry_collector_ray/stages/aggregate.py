@@ -361,7 +361,9 @@ def grouped_topk(ds: Dataset, key: str, order_col: str, k: int = 3,
 
 def exact_global_quantile(ds: Dataset, col: str, q: float) -> int:
     """EXACT global quantile of an integer column at any data scale,
-    rank rule r = floor((n-1)·q), ascending (== DuckDB quantile_disc).
+    rank rule r = ceil(q·n) − 1, ascending — DuckDB ``quantile_disc``'s
+    rule at every q (verified empirically; the floor((n−1)q) rule used by
+    the per-key quantile ops agrees only at some q, e.g. 0.5).
 
     Scale shape: the 10^12-row input reduces to one count per DISTINCT
     VALUE (shuffle-strategy grouped count — mergeable, skew-neutral);
@@ -377,7 +379,7 @@ def exact_global_quantile(ds: Dataset, col: str, q: float) -> int:
     if not len(pdf):
         raise ValueError(f"exact_global_quantile: no rows in {col!r}")
     n = int(pdf["_n"].sum())
-    r = int(np.floor((n - 1) * q))
+    r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
     cum = pdf["_n"].cumsum().to_numpy()
     idx = int(np.searchsorted(cum, r + 1))
     return int(pdf[col].iloc[idx])

@@ -109,6 +109,16 @@ def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
     lbase = lschema.base_schema if hasattr(lschema, "base_schema") else lschema
     r_payload = [n for n in rschema.names if n != rk]
     rename = {n: (n + "_r" if n in lnames else n) for n in r_payload}
+    # a rename target colliding with another column would die deep inside
+    # a Ray task ("Field exists 2 times in schema") after burning the
+    # whole exchange — validate before building the plan
+    targets = list(rename.values())
+    clash = [t for t in targets
+             if targets.count(t) > 1 or (t.endswith("_r") and t in lnames)]
+    if clash:
+        raise ValueError(
+            f"join: right column rename collides on {sorted(set(clash))}; "
+            "rename the conflicting columns before joining")
     out_fields = [(n, lbase.field(n).type) for n in lnames] + \
         [(rename[n], rbase.field(n).type) for n in r_payload]
     target = pa.schema(out_fields + [("_side", pa.int8())])

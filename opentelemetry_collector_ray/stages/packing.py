@@ -79,6 +79,11 @@ def ordered_prefix_sum(make_ds, order_col: str, val_col: str,
         if t.num_rows == 0:
             return t.append_column(out_col, pa.nulls(0, pa.int64()))
         o = t.column(order_col).to_numpy(zero_copy_only=False)
+        if len(o) > 1 and not bool((np.diff(o) >= 0).all()):
+            raise ValueError(
+                "ordered_prefix_sum: rows inside a block are not sorted "
+                f"by {order_col!r} — sort the input by the order column "
+                "first (offsets would be silently wrong)")
         lo, hi = int(o.min()), int(o.max())
         if lo not in base_of or hi > max_of[lo]:
             raise ValueError(

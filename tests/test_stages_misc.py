@@ -489,3 +489,30 @@ def test_ordered_prefix_sum_and_packing(ray_session):
         return ray.data.from_arrow(a).union(ray.data.from_arrow(b))
     with pytest.raises(ValueError):
         ordered_prefix_sum(bad, "i", "v")
+
+
+def test_pad_union_rename_collision_rejected(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64()),
+        "v_r": pa.array([2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "v": pa.array([3], pa.int64())}))
+    with pytest.raises(ValueError, match="collides"):
+        shuffle_hash_join(left, right, key="k")
+
+
+def test_prefix_sum_unsorted_block_rejected(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.packing import ordered_prefix_sum
+
+    def make():
+        return ray.data.from_arrow(pa.table({
+            "i": pa.array([3, 1, 2], pa.int64()),
+            "v": pa.array([100, 5, 7], pa.int64())}))
+    with pytest.raises(Exception, match="not sorted"):
+        ordered_prefix_sum(make, "i", "v").to_pandas()
