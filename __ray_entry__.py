@@ -908,6 +908,28 @@ def _q_spans_service_stats(sf_dir: str):
                        max_cols={"max_duration_us": "duration_us"})
 
 
+def _q_spans_red_metrics(sf_dir: str):
+    """spanmetrics-connector analog (RED metrics): per (service, minute
+    bucket) call rate, error count and duration sum/max — the traces →
+    metrics connector every APM stack runs. Bounded keys (services ×
+    minutes in window) → two-phase tree aggregate."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(t.column("start_ts"), unit="minute")
+        is_err = pc.cast(pc.equal(t.column("status_code"), 2), pa.int64())
+        return pa.table({"service": t.column("service"),
+                         "minute": minute,
+                         "duration_us": t.column("duration_us"),
+                         "is_err": is_err})
+
+    pre = _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return grouped_agg(pre, ["service", "minute"], count_name="n_calls",
+                       sum_cols={"sum_duration_us": "duration_us",
+                                 "n_errors": "is_err"},
+                       max_cols={"max_duration_us": "duration_us"})
+
+
 def _q_spans_parent_join(sf_dir: str):
     """Child → parent service resolution: co-partitioned self-join per
     trace bucket (never a global shuffle join)."""
@@ -1331,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_cutoff": _q_docs_quality_cutoff,
         "events_stratified_sample": _q_events_stratified_sample,
         "docs_pack_chunks": _q_docs_pack_chunks,
+        "spans_red_metrics": _q_spans_red_metrics,
     }
     rows_only = {
         "docs_quality": _q_docs_quality,
@@ -1747,6 +1770,16 @@ SELECT service, count(*) AS n_spans,
            AS n_errors,
        max(duration_us) AS max_duration_us
 FROM spans GROUP BY service
+""",
+        "spans_red_metrics": f"""
+WITH {SPANS_CTE.strip()}
+SELECT service, date_trunc('minute', start_ts) AS minute,
+       count(*) AS n_calls,
+       CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
+       CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       max(duration_us) AS max_duration_us
+FROM spans GROUP BY service, date_trunc('minute', start_ts)
 """,
         "spans_parent_join": f"""
 WITH {SPANS_CTE.strip()}
