@@ -845,6 +845,21 @@ def _q_docs_pack_chunks(sf_dir: str):
     return pack_chunks(make, "doc_id", "n_tokens", capacity=2048)
 
 
+def _q_docs_pack_bins(sf_dir: str):
+    """Whole-document next-fit bin packing (rows-only: bin ids are
+    content-addressed strings): every doc in exactly one bin, no bin over
+    capacity unless a single oversize doc."""
+    from opentelemetry_collector_ray.functions.text import token_count
+    from opentelemetry_collector_ray.stages.packing import pack_bins
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": token_count(t.column("text")).cast(pa.int64())}),
+        batch_format="pyarrow")
+    return pack_bins(ds, "n_tokens", capacity=2048)
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1356,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_red_metrics": _q_spans_red_metrics,
     }
     rows_only = {
+        "docs_pack_bins": _q_docs_pack_bins,
         "docs_quality": _q_docs_quality,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
         "docs_simhash": _q_docs_simhash,

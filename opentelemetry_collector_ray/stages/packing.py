@@ -18,8 +18,8 @@ document corpus into fixed-size training sequences.
 ``pack_chunks`` then assigns ``chunk_id = global_offset // capacity``:
 documents are concatenated in order and sliced into capacity-token
 chunks (chunks may span document boundaries — the standard pretraining
-packing; for whole-document bin packing see grouped first-fit in the
-NOTES, not implemented here).
+packing). ``pack_bins`` is the whole-document complement: next-fit bin
+packing that never splits a document.
 """
 
 from __future__ import annotations
@@ -114,3 +114,49 @@ def pack_chunks(make_ds, order_col: str, token_col: str,
                                          pa.scalar(int(capacity))),
                                pa.int64())),
         batch_format="pyarrow")
+
+
+def pack_bins(ds: ray.data.Dataset, token_col: str,
+              capacity: int, bin_col: str = "bin_id") -> ray.data.Dataset:
+    """Whole-document next-fit bin packing (the SFT-style complement to
+    ``pack_chunks``): documents are assigned, in block order, to
+    consecutive bins so that a bin's token sum never exceeds
+    ``capacity``; a document larger than ``capacity`` gets a bin of its
+    own. Documents are NEVER split (unlike chunk packing).
+
+    Bins never span blocks — each block packs independently and bin ids
+    are ``"<block-uuid>-<k>"`` strings, so the operator is embarrassingly
+    parallel with zero exchange; the waste is at most one partial bin per
+    block (negligible when blocks hold thousands of documents).
+
+    Per-block cost is O(#bins · log #docs), not O(#docs) Python: the
+    next-fit boundary after position i is ``searchsorted(cumsum,
+    cumsum[i-1] + capacity)`` — one numpy call per BIN. Block ids are
+    content-addressed (md5 of the token array), so reruns are
+    deterministic."""
+    import hashlib as _hashlib
+
+    cap = int(capacity)
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(bin_col, pa.nulls(0, pa.string()))
+        v = t.column(token_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(v)
+        bounds = [0]
+        while bounds[-1] < n:
+            start = bounds[-1]
+            base = cum[start - 1] if start else 0
+            # largest j with cum[j] - base <= cap; oversize doc → j=start
+            j = int(np.searchsorted(cum, base + cap, side="right"))
+            bounds.append(max(j, start + 1))
+        block = _hashlib.md5(v.tobytes()).hexdigest()[:12]
+        bins = np.zeros(n, np.int64)
+        for k in range(len(bounds) - 1):
+            bins[bounds[k]: bounds[k + 1]] = k
+        ids = pa.array([f"{block}-{b}" for b in bins], pa.string())
+        return t.append_column(bin_col, ids)
+
+    return ds.map_batches(pack, batch_size=None, batch_format="pyarrow")

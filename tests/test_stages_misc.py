@@ -516,3 +516,24 @@ def test_prefix_sum_unsorted_block_rejected(ray_session):
             "v": pa.array([100, 5, 7], pa.int64())}))
     with pytest.raises(Exception, match="not sorted"):
         ordered_prefix_sum(make, "i", "v").to_pandas()
+
+
+def test_pack_bins_next_fit(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.packing import pack_bins
+
+    t = pa.table({"doc": pa.array(range(7), pa.int64()),
+                  "n": pa.array([5, 3, 4, 9, 12, 1, 1], pa.int64())})
+    out = pack_bins(ray.data.from_arrow(t), "n", capacity=10).to_pandas()
+    sums = out.groupby("bin_id")["n"].sum()
+    sizes = out.groupby("bin_id").size()
+    # every bin fits, except single-doc oversize bins
+    assert all(s <= 10 or sizes[b] == 1 for b, s in sums.items())
+    # next-fit grouping: [5,3],[4],[9],[12],[1,1]
+    assert sorted(sums.tolist()) == [2, 4, 8, 9, 12]
+    # docs never split, all present once
+    assert len(out) == 7 and out["doc"].is_unique
+    # deterministic (content-addressed block ids)
+    out2 = pack_bins(ray.data.from_arrow(t), "n", capacity=10).to_pandas()
+    assert out2["bin_id"].tolist() == out["bin_id"].tolist()
