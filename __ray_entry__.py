@@ -860,6 +860,19 @@ def _q_docs_pack_bins(sf_dir: str):
     return pack_bins(ds, "n_tokens", capacity=2048)
 
 
+def _q_docs_dedup_filtered(sf_dir: str):
+    """End-to-end near-dedup consumable: MinHash+LSH clusters → keep-one
+    anti-join filter — the corpus a training run would actually read
+    (rows-only; cluster membership is verified by planted-dup tests)."""
+    from opentelemetry_collector_ray.stages.dedup import (
+        dedup_filter, minhash_dedup)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters = minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=0.5)
+    return dedup_filter(docs, clusters, id_col="doc_id")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1371,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_red_metrics": _q_spans_red_metrics,
     }
     rows_only = {
+        "docs_dedup_filtered": _q_docs_dedup_filtered,
         "docs_pack_bins": _q_docs_pack_bins,
         "docs_quality": _q_docs_quality,
         "docs_minhash_dedup": _q_docs_minhash_dedup,

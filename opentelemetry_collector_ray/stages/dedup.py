@@ -312,8 +312,6 @@ def minhash_verified_edges(ds: ray.data.Dataset, text_col: str = "text",
     if pairs.count() == 0:
         return ray.data.from_arrow(pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
-    import ray
-
     bloom_ref = ray.put(_bloom_build(pairs, bloom_bits))
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         _CandidateSigStage,
@@ -768,3 +766,33 @@ def embedding_near_dup(ds: ray.data.Dataset, id_col: str = "vec_id",
         ["id_a", "id_b"])
     return _labels_to_clusters(connected_components(edges, mode=cc_mode),
                                id_col)
+
+
+def dedup_filter(ds: ray.data.Dataset, clusters, id_col: str = "doc_id",
+                 n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Keep-one corpus filter: drop every clustered document EXCEPT its
+    representative — the consumable output of any near-dedup pass
+    (minhash_dedup / simhash_clusters / embedding_near_dup all emit
+    ``(id, rep_id)`` clusters).
+
+    Scale shape: the drop-set (clustered ids with id != rep) can be a
+    large fraction of the corpus, so it is NOT broadcast — the filter is
+    a distributed ANTI join on the id (one bucket co-partition exchange,
+    stages/join.py); only ids move, never text."""
+    from .join import shuffle_hash_join
+
+    if isinstance(clusters, pd.DataFrame):  # no-duplicates typed empty
+        if not len(clusters):
+            return ds
+        clusters = ray.data.from_pandas(clusters)
+
+    def drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(t.column(id_col), t.column("rep_id"))
+        return pa.table({"_drop_id": t.column(id_col).filter(keep)})
+
+    drop_ids = clusters.map_batches(drops, batch_format="pyarrow")
+    return shuffle_hash_join(ds, drop_ids, key=id_col,
+                             right_key="_drop_id", how="anti",
+                             n_buckets=n_buckets)

@@ -323,3 +323,45 @@ def test_ivfpq_index_recall_and_compression(ray_session, tmp_path):
     widths = {len(b.as_py()) for b in stored.column("codes")}
     assert widths == {8}
     assert stored.num_rows == 500
+
+
+def test_dedup_filter_keeps_one_per_cluster(ray_session):
+    """Planted duplicates: the filtered corpus holds exactly one doc per
+    near-dup cluster plus every unclustered doc."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        dedup_filter, minhash_dedup)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    texts, ids = [], []
+    for i in range(8):  # 4 planted pairs: near-identical text
+        texts += [base + f" variant {i}", base + f" variant {i}!"]
+        ids += [2 * i, 2 * i + 1]
+    for i in range(5):  # singletons
+        texts.append(f"completely different document number {i} "
+                     f"about topic {i * 7} with unique words w{i}")
+        ids.append(100 + i)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    clusters = minhash_dedup(ds, threshold=0.5)
+    cl = clusters.to_pandas() if not isinstance(clusters, pd.DataFrame) \
+        else clusters
+    filtered = dedup_filter(ds, clusters, id_col="doc_id").to_pandas()
+    n_dropped = (cl["doc_id"] != cl["rep_id"]).sum()
+    assert len(filtered) == len(ids) - n_dropped
+    # every cluster keeps exactly its representative
+    kept = set(filtered["doc_id"])
+    for _, row in cl.iterrows():
+        assert (row["doc_id"] in kept) == (row["doc_id"] == row["rep_id"])
+    # unclustered singletons all survive
+    assert all(100 + i in kept for i in range(5))
+    # no-duplicates case: filter is the identity
+    solo = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aaa bbb ccc", "xxx yyy zzz"])}))
+    c2 = minhash_dedup(solo, threshold=0.5)
+    assert dedup_filter(solo, c2, id_col="doc_id").count() == 2
