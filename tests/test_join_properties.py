@@ -46,7 +46,7 @@ def _assert_match(ours: pd.DataFrame, oracle: pd.DataFrame, obj: str):
                                   check_dtype=False, obj=obj)
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=4, deadline=None, derandomize=True)
 @given(keys, times, keys, times)
 def test_join_modes_match_duckdb(ray_session, lk, lt, rk, rt):
     import ray.data
