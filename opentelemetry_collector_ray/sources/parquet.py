@@ -33,3 +33,23 @@ def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None,
     """Read one named testdata table (region/nation/.../events/documents/
     embeddings) from an sf directory."""
     return read_turns(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+
+
+def read_table_coalesced(sf_dir: str, name: str,
+                         columns: Sequence[str] | None = None,
+                         target_bytes: int = 64 << 20, floor: int = 8,
+                         ) -> ray.data.Dataset:
+    """Coalesced read for EXCHANGE-BOUND pipelines: block count sized by
+    BYTES (~64 MB each; small floor for local parallelism) instead of
+    Ray's one-plus-per-file default. Ray's sort-based groupby exchange
+    costs scale with BLOCK COUNT, not rows — measured on the sf0.1 spans
+    derive (trace-bucket exchange): 64 default blocks 2.0-6.1 s vs 8
+    blocks 0.4-0.7 s, identical output. At real scale bytes/target
+    dominates and the floor is irrelevant."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    nblocks = max(floor, os.path.getsize(path) // target_bytes)
+    return ray.data.read_parquet(path, columns=list(columns) if columns
+                                 else None,
+                                 override_num_blocks=int(nblocks))

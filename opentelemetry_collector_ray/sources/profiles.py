@@ -202,9 +202,11 @@ def encode_samples(frames: ray.data.Dataset,
 
 def read_profiles(sf_dir: str):
     """events → (function_table, encoded samples Dataset)."""
-    events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "event_type", "value"])
+    from .parquet import read_table_coalesced
+
+    events = read_table_coalesced(sf_dir, "events",
+                                  columns=["event_id", "event_type",
+                                           "value"])
     frames = derive_profile_frames(events)
     ftab = build_function_table(frames)
     return ftab, encode_samples(frames, ftab)

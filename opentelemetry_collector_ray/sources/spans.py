@@ -161,8 +161,13 @@ def derive_spans(events: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def read_derived_spans(sf_dir: str) -> ray.data.Dataset:
-    events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    # coalesced read: the trace-bucket exchange downstream costs per
+    # BLOCK (sources/parquet.py::read_table_coalesced — 64 default
+    # blocks 2-6 s vs 8 blocks 0.4-0.7 s at sf0.1)
+    from .parquet import read_table_coalesced
+
+    events = read_table_coalesced(
+        sf_dir, "events",
         columns=["event_id", "ts", "user_id", "event_type", "value"])
     return derive_spans(events)
 

@@ -120,8 +120,12 @@ def derive_turns(events: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def read_derived_turns(sf_dir: str) -> ray.data.Dataset:
-    events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    # coalesced read: the conv-bucket rank exchange downstream costs per
+    # BLOCK (sources/parquet.py::read_table_coalesced)
+    from .parquet import read_table_coalesced
+
+    events = read_table_coalesced(
+        sf_dir, "events",
         columns=["event_id", "ts", "user_id", "event_type", "value"])
     return derive_turns(events)
 
