@@ -373,7 +373,7 @@ def _q_docs_top_terms(sf_dir: str):
         flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
         return pa.table({"term": flat})
 
-    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+    ds = _read_co(sf_dir, "documents", ["text"], floor=8).map_batches(
         explode, batch_format="pyarrow")
     # vocabulary is unbounded → bucket strategy (per-bucket exact counts
     # stay distributed; only the vocab-sized aggregate reaches the sort)
@@ -590,7 +590,7 @@ def _q_turns_attrs_typed(sf_dir: str):
 def _q_docs_exact_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+    return exact_dedup(_read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
                        text_col="text", id_col="doc_id")
 
 
@@ -867,8 +867,8 @@ def _q_docs_dedup_filtered(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import (
         dedup_filter, minhash_dedup)
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    clusters = minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+    docs = _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8)
+    clusters = minhash_dedup(_read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
                              threshold=0.5)
     return dedup_filter(docs, clusters, id_col="doc_id")
 
@@ -876,7 +876,7 @@ def _q_docs_dedup_filtered(sf_dir: str):
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
-    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+    return minhash_dedup(_read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
                          threshold=0.5)
 
 
@@ -892,7 +892,7 @@ def _q_docs_simhash_dedup(sf_dir: str):
     verify + CC; rows-only — planted-dup ground truth in tests)."""
     from opentelemetry_collector_ray.stages.dedup import simhash_dedup
 
-    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+    return simhash_dedup(_read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
                          max_hamming=6)
 
 
@@ -901,7 +901,7 @@ def _q_emb_near_dup(sf_dir: str):
     (rows-only — planted-dup ground truth in tests)."""
     from opentelemetry_collector_ray.stages.dedup import embedding_near_dup
 
-    return embedding_near_dup(_read(sf_dir, "embeddings",
+    return embedding_near_dup(_read_co(sf_dir, "embeddings",
                                     ["vec_id", "embedding"]),
                               threshold=0.98)
 
@@ -1164,7 +1164,7 @@ def _q_emb_centroids(sf_dir: str):
 def _q_docs_ngram_jaccard(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+    return ngram_jaccard_pairs(_read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
                                threshold=0.3)
 
 

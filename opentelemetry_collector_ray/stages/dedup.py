@@ -346,7 +346,7 @@ def minhash_verified_edges(ds: ray.data.Dataset, text_col: str = "text",
 
 def connected_components(edges: ray.data.Dataset, n_buckets: int = 64,
                          max_rounds: int = 50,
-                         driver_max_edges: int = 200_000,
+                         driver_max_edges: int = 2_000_000,
                          mode: str = "auto") -> ray.data.Dataset:
     """Connected components over an undirected edge list (id_a, id_b) →
     Dataset (node, label), label = min node id of the component, one row for
@@ -357,8 +357,10 @@ def connected_components(edges: ray.data.Dataset, n_buckets: int = 64,
     via one hash-bucket co-group shuffle + one groupby-min; convergence is
     detected by the (monotone-decreasing) sum of labels. O(component
     diameter) rounds; nothing driver-side scales with edge count. The
-    driver union-find fast path serves small graphs (``mode="auto"``
-    switches on ``driver_max_edges``)."""
+    driver union-find fast path serves small-to-medium graphs
+    (``mode="auto"`` switches on ``driver_max_edges``; 2M edges ≈ 32 MB
+    driver-resident and <1 s union-find — far cheaper than the iterative
+    distributed rounds it replaces at that size)."""
     from ray.data.aggregate import Min
 
     edges = edges.materialize()
