@@ -873,6 +873,21 @@ def _q_docs_dedup_filtered(sf_dir: str):
     return dedup_filter(docs, clusters, id_col="doc_id")
 
 
+def _q_docs_unigram_mass(sf_dir: str):
+    """Two-pass corpus-statistics scoring (TF/unigram-LM pattern): pass 1
+    reduces the corpus to one count per term, broadcast; pass 2 scores
+    each doc by the integer sum of its tokens' corpus frequencies — one
+    index_in probe + numpy segment sums per batch."""
+    from opentelemetry_collector_ray.stages.corpusstats import unigram_mass
+
+    scored = unigram_mass(
+        lambda: _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8))
+    # SQL's exploded JOIN drops 0-token docs — mirror exactly
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_tokens"), 0)),
+        batch_format="pyarrow")
+
+
 def _q_docs_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_ray.stages.dedup import minhash_dedup
 
@@ -1382,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified_sample": _q_events_stratified_sample,
         "docs_pack_chunks": _q_docs_pack_chunks,
         "spans_red_metrics": _q_spans_red_metrics,
+        "docs_unigram_mass": _q_docs_unigram_mass,
     }
     rows_only = {
         "docs_dedup_filtered": _q_docs_dedup_filtered,
@@ -1685,6 +1701,15 @@ SELECT doc_id, n_chars, n_tokens, n_punct,
        CAST(3 * n_chars + 17 * n_tokens - 5 * n_punct + 7 AS BIGINT)
            AS score
 FROM f
+""",
+        "docs_unigram_mass": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term)
+SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.n) AS BIGINT) AS freq_mass
+FROM tok JOIN tf USING (term) GROUP BY tok.doc_id
 """,
         "docs_pack_chunks": r"""
 WITH s AS (

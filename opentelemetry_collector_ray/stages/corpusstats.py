@@ -1,0 +1,122 @@
+"""Corpus-statistics scoring — the two-pass TF / unigram-LM pattern a
+training-data pipeline uses to score documents against corpus-wide token
+statistics (TF-IDF weighting, unigram-frequency quality proxies,
+rare-token filtering).
+
+Pass 1 reduces the corpus to one count per DISTINCT TERM (the bucket
+strategy — per-bucket Arrow group_by, vocabulary never lands in one
+task); the vocabulary table is broadcast via ``ray.put`` (guarded by
+``max_vocab`` — a natural-language corpus vocabulary is ~10^6 terms
+≈ tens of MB, fine to broadcast; above the cap the caller should switch
+to a join against the term table instead). Pass 2 re-tokenizes each
+batch and scores it with ONE ``pc.index_in`` probe + numpy segment sums
+— no Python per row or per token.
+
+All outputs are exact integers so the DuckDB oracle (exploded
+self-join + grouped sum) hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+TOKEN_SPLIT_RE = "[^a-z]+"  # must mirror the oracle's '[a-z]+' extract
+
+
+def _tokens_with_rows(col) -> tuple[pa.Array, np.ndarray]:
+    """Whole-column tokenization → (flat non-empty tokens, row id per
+    token)."""
+    split = pc.split_pattern_regex(pc.utf8_lower(col),
+                                   pattern=TOKEN_SPLIT_RE)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    counts = np.diff(np.asarray(split.offsets.to_numpy(
+        zero_copy_only=False), np.int64))
+    rows = np.repeat(np.arange(len(counts)), counts)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        rows = rows[keep]
+    return flat, rows
+
+
+def term_counts(ds: ray.data.Dataset, text_col: str = "text",
+                ) -> ray.data.Dataset:
+    """Corpus term-frequency table (term, n) — bucket-strategy grouped
+    count over the exploded tokens."""
+    from .aggregate import grouped_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, _rows = _tokens_with_rows(t.column(text_col))
+        return pa.table({"term": flat})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_count(exploded, ["term"], count_name="n",
+                         strategy="bucket")
+
+
+class UnigramMassStage:
+    """Per-doc corpus-frequency mass: n_tokens + sum of each token's
+    corpus count (vocab fetched once per actor from the broadcast ref)."""
+
+    def __init__(self, vocab: pa.Table | None = None, vocab_ref=None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if vocab is None:
+            import ray
+
+            vocab = ray.get(vocab_ref)  # broadcast fetch, once per actor
+        self.terms = vocab.column("term").combine_chunks()
+        self.counts = vocab.column("n").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, rows = _tokens_with_rows(t.column(self.text_col))
+        idx_arr = pc.index_in(flat, value_set=self.terms)
+        # every token is in the corpus vocabulary by construction; a
+        # miss (scoring foreign text) contributes 0
+        valid = idx_arr.is_valid().to_numpy(zero_copy_only=False)
+        idx = idx_arr.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tok_counts = np.where(valid, self.counts[idx] if len(self.counts)
+                              else 0, 0)
+        mass = np.zeros(n, np.int64)
+        ntok = np.zeros(n, np.int64)
+        if len(rows):
+            np.add.at(mass, rows, tok_counts.astype(np.int64))
+            np.add.at(ntok, rows, 1)
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "n_tokens": pa.array(ntok),
+                         "freq_mass": pa.array(mass)})
+
+
+def unigram_mass(ds_factory, text_col: str = "text",
+                 id_col: str = "doc_id", max_vocab: int = 2_000_000,
+                 concurrency=(1, 8)) -> ray.data.Dataset:
+    """Two-pass corpus-frequency scoring: ``ds_factory`` is a zero-arg
+    callable returning the input Dataset (invoked once per pass)."""
+    import ray
+
+    vocab = term_counts(ds_factory(), text_col).to_arrow_refs()
+    tables = [ray.get(r) for r in vocab]
+    vt = pa.concat_tables([t for t in tables if t.num_rows]) \
+        if tables else pa.table({"term": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+    if vt.num_rows > max_vocab:
+        raise ValueError(
+            f"unigram_mass: vocabulary {vt.num_rows} exceeds max_vocab="
+            f"{max_vocab}; broadcast would be too large — join against "
+            "term_counts() instead")
+    ref = ray.put(vt)
+    return ds_factory().map_batches(
+        UnigramMassStage,
+        fn_constructor_kwargs=dict(vocab_ref=ref, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)

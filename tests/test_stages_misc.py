@@ -537,3 +537,33 @@ def test_pack_bins_next_fit(ray_session):
     # deterministic (content-addressed block ids)
     out2 = pack_bins(ray.data.from_arrow(t), "n", capacity=10).to_pandas()
     assert out2["bin_id"].tolist() == out["bin_id"].tolist()
+
+
+def test_unigram_mass_corpus_scoring(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        UnigramMassStage, term_counts, unigram_mass)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a a b", "b c", ""])})
+
+    def make():
+        return ray.data.from_arrow(t)
+
+    out = unigram_mass(make).to_pandas().sort_values("doc_id")
+    # corpus: a=2 b=2 c=1 → doc1 = 2+2+2, doc2 = 2+1, doc3 empty
+    assert out["freq_mass"].tolist() == [6, 3, 0]
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    # vocab cap guards the broadcast
+    with pytest.raises(ValueError, match="max_vocab"):
+        unigram_mass(make, max_vocab=2)
+    # foreign tokens score 0
+    vocab = pa.table({"term": pa.array(["a"]), "n": pa.array([5], pa.int64())})
+    st = UnigramMassStage(vocab)
+    res = st(pa.table({"doc_id": pa.array([9], pa.int64()),
+                       "text": pa.array(["a zzz"])}))
+    assert res.column("freq_mass").to_pylist() == [5]
+    # term table itself
+    tc = term_counts(make()).to_pandas().set_index("term")["n"]
+    assert tc.to_dict() == {"a": 2, "b": 2, "c": 1}
