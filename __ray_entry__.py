@@ -1328,31 +1328,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     entry (has an ``oracle_sql()`` mirror) comes FIRST and the rows-only
     entries (approximate/heuristic by design — pytest-oracled instead)
     come last. ``tests/test_queries.py::test_oracle_checked_queries_first``
-    enforces the invariant. With 52 oracle-checked entries, the LAST TWO
-    (events_sample, topk_orders — both driver-green in round 2 and
-    pytest-oracled every run) are the ones a 50-query cap drops; every
-    entry the round-2 gate missed sits well inside the first 50."""
+    enforces the invariant.
+
+    Round-4 rotation (VERDICT r3 "Next round" #1): the 14 round-3
+    entries that never got a DRIVER row (positions 51-64 last round)
+    now occupy positions 1-14, followed by this round's NEW queries;
+    an equal number of three-round-green veterans move past the 50-cap
+    (they stay pytest-oracled at sf0.001 AND mirror-checked vs DuckDB
+    every run via tests/test_queries.py)."""
     oracle_checked = {
-        "turns_derive": _q_turns_derive,
-        "turns_parse": _q_turns_parse,
-        "turns_enrich": _q_turns_enrich,
-        "turns_route": _q_turns_route,
+        # --- positions 1-14: round-3 entries the driver has never run ---
+        "join_priority_revenue": _q_join_priority_revenue,
+        "customers_order_counts": _q_customers_order_counts,
+        "events_last_order_asof": _q_events_last_order_asof,
+        "ship_window_join": _q_ship_window_join,
+        "pii_redact": _q_pii_redact,
+        "docs_quality_model": _q_docs_quality_model,
+        "docs_quality_cutoff": _q_docs_quality_cutoff,
+        "events_stratified_sample": _q_events_stratified_sample,
+        "docs_pack_chunks": _q_docs_pack_chunks,
+        "spans_red_metrics": _q_spans_red_metrics,
+        "docs_unigram_mass": _q_docs_unigram_mass,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "topk_orders": _q_topk_orders,
+        "events_sample": _q_events_sample,
+        # --- round-4 NEW queries (driver-checked this round) ---
+        # (inserted here as they land)
+        # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
-        "events_parse_props": _q_events_parse_props,
-        "events_agg": _q_events_agg,
         "events_sessionize": _q_events_sessionize,
-        "events_topk_users": _q_events_topk_users,
-        "events_route": _q_events_route,
-        "events_window": _q_events_window,
         "events_sliding_window": _q_events_sliding_window,
         "events_cumulative": _q_events_cumulative,
-        "supplier_revenue": _q_supplier_revenue,
-        "docs_attr_ops": _q_docs_attr_ops,
         "turns_attrs_map": _q_turns_attrs_map,
         "turns_attrs_typed": _q_turns_attrs_typed,
-        "customers_no_orders": _q_customers_no_orders,
-        "docs_top_terms": _q_docs_top_terms,
         "orders_histogram": _q_orders_histogram,
         "events_error_rate": _q_events_error_rate,
         "tpch_q1": _q_tpch_q1,
@@ -1375,29 +1384,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_exp_histogram": _q_events_exp_histogram,
         "events_exp_histogram_signed": _q_events_exp_histogram_signed,
         "events_gauge_last": _q_events_gauge_last,
-        "profiles_functions": _q_profiles_functions,
-        "profiles_samples": _q_profiles_samples,
         "profiles_top_functions": _q_profiles_top_functions,
         "profiles_wire_top_functions": _q_profiles_wire_top_functions,
         "profiles_flame_edges": _q_profiles_flame_edges,
         "emb_knn": _q_emb_knn,
-        "users_distinct": _q_users_distinct,
         "emb_centroids": _q_emb_centroids,
-        # --- cap-overflow tail: round-2 driver-green + pytest-oracled ---
-        "events_sample": _q_events_sample,
-        "topk_orders": _q_topk_orders,
-        "pii_redact": _q_pii_redact,
-        "join_priority_revenue": _q_join_priority_revenue,
-        "customers_order_counts": _q_customers_order_counts,
-        "events_last_order_asof": _q_events_last_order_asof,
-        "ship_window_join": _q_ship_window_join,
-        "events_topk_per_type": _q_events_topk_per_type,
-        "docs_quality_model": _q_docs_quality_model,
-        "docs_quality_cutoff": _q_docs_quality_cutoff,
-        "events_stratified_sample": _q_events_stratified_sample,
-        "docs_pack_chunks": _q_docs_pack_chunks,
-        "spans_red_metrics": _q_spans_red_metrics,
-        "docs_unigram_mass": _q_docs_unigram_mass,
+        # --- cap-overflow tail: multi-round driver-green veterans,
+        # pytest-oracled + DuckDB-mirrored every run ---
+        "turns_derive": _q_turns_derive,
+        "turns_parse": _q_turns_parse,
+        "turns_enrich": _q_turns_enrich,
+        "turns_route": _q_turns_route,
+        "events_parse_props": _q_events_parse_props,
+        "events_agg": _q_events_agg,
+        "events_topk_users": _q_events_topk_users,
+        "events_route": _q_events_route,
+        "events_window": _q_events_window,
+        "supplier_revenue": _q_supplier_revenue,
+        "docs_attr_ops": _q_docs_attr_ops,
+        "customers_no_orders": _q_customers_no_orders,
+        "docs_top_terms": _q_docs_top_terms,
+        "profiles_functions": _q_profiles_functions,
+        "profiles_samples": _q_profiles_samples,
+        "users_distinct": _q_users_distinct,
     }
     rows_only = {
         "docs_dedup_filtered": _q_docs_dedup_filtered,
