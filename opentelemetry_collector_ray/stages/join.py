@@ -119,6 +119,15 @@ def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
         raise ValueError(
             f"join: right column rename collides on {sorted(set(clash))}; "
             "rename the conflicting columns before joining")
+    # _side/_bucket are appended by the exchange — an input column with
+    # either name would die with "Field exists 2 times in schema" deep
+    # inside a task; reject at plan-build time like the rename clash
+    reserved = {"_side", "_bucket"}
+    bad = sorted(reserved & (set(lnames) | set(rschema.names) | set(targets)))
+    if bad:
+        raise ValueError(
+            f"join: input columns {bad} collide with reserved exchange "
+            "columns _side/_bucket; rename them before joining")
     out_fields = [(n, lbase.field(n).type) for n in lnames] + \
         [(rename[n], rbase.field(n).type) for n in r_payload]
     target = pa.schema(out_fields + [("_side", pa.int8())])
@@ -174,7 +183,6 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     / semi / anti (each left row meets the full right key group exactly
     once); rejected for full outer (unmatched RIGHT rows would duplicate
     per sub-bucket)."""
-    from ..functions.hashing import bucket_of
     from .bucketing import with_hash_bucket
 
     if how not in _JOIN_TYPES:
@@ -198,23 +206,7 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                        join_type=arrow_how)
 
     if salt > 1:
-        def add_salted_bucket(t: pa.Table) -> pa.Table:
-            side = t.column("_side").to_numpy(zero_copy_only=False)
-            base = np.asarray(bucket_of(t.column(key), nb), np.int64)
-            lmask = side == 0
-            lt = t.filter(pa.array(lmask))
-            lb = base[lmask] * salt + np.arange(lt.num_rows) % salt
-            rt = t.filter(pa.array(~lmask))
-            rep = np.repeat(np.arange(rt.num_rows), salt)
-            rt_rep = rt.take(pa.array(rep.astype(np.int64)))
-            rb = np.repeat(base[~lmask], salt) * salt \
-                + np.tile(np.arange(salt), rt.num_rows)
-            return pa.concat_tables([
-                lt.append_column("_bucket", pa.array(lb)),
-                rt_rep.append_column("_bucket", pa.array(rb))])
-
-        bucketed = unioned.map_batches(add_salted_bucket,
-                                       batch_format="pyarrow")
+        bucketed = _salted_bucketed(unioned, key, nb, salt)
     else:
         bucketed = with_hash_bucket(unioned, key, nb)
     return bucketed.groupby("_bucket").map_groups(
@@ -222,11 +214,39 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         batch_format="pyarrow")
 
 
+def _salted_bucketed(unioned: ray.data.Dataset, key: str, nb: int,
+                     salt: int) -> ray.data.Dataset:
+    """Hot-key lever shared by every bucket join: left rows round-robin
+    across ``salt`` sub-buckets of their key bucket while right rows
+    replicate into ALL sub-buckets, so each left row still meets the full
+    right key group exactly once — exact for any per-left-row semantics
+    (inner/left/semi/anti equi-join, as-of, range) at the cost of
+    shipping the right side ``salt``×."""
+    from ..functions.hashing import bucket_of
+
+    def add_salted_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        base = np.asarray(bucket_of(t.column(key), nb), np.int64)
+        lmask = side == 0
+        lt = t.filter(pa.array(lmask))
+        lb = base[lmask] * salt + np.arange(lt.num_rows) % salt
+        rt = t.filter(pa.array(~lmask))
+        rep = np.repeat(np.arange(rt.num_rows), salt)
+        rt_rep = rt.take(pa.array(rep.astype(np.int64)))
+        rb = np.repeat(base[~lmask], salt) * salt \
+            + np.tile(np.arange(salt), rt.num_rows)
+        return pa.concat_tables([
+            lt.append_column("_bucket", pa.array(lb)),
+            rt_rep.append_column("_bucket", pa.array(rb))])
+
+    return unioned.map_batches(add_salted_bucket, batch_format="pyarrow")
+
+
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               by: str, right_by: str | None = None,
               on: str, right_on: str | None = None,
               direction: str = "backward", how: str = "inner",
-              tolerance: int | None = None,
+              tolerance: int | None = None, salt: int = 1,
               n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Distributed AS-OF join: for every left row, the single right row
     with the same ``by`` key and the greatest ``right_on`` ≤ ``on``
@@ -244,7 +264,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     ``tolerance`` (same units as the time columns after int64 cast, e.g.
     µs for timestamp[us]) drops matches farther than the bound.
     ``how="left"`` keeps unmatched left rows with null right columns.
-    Timestamp columns are compared as int64.
+    Timestamp columns are compared as int64. ``salt > 1`` splits a hot
+    ``by`` key's left rows across ``salt`` sub-bucket tasks (right side
+    replicated per sub-bucket) — exact, since the match is per left row.
     """
     from .bucketing import with_hash_bucket
 
@@ -254,12 +276,14 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         raise ValueError("asof_join: how must be inner|left")
     rb = right_by or by
     ron_src = right_on or on
+    if ron_src == rb:
+        raise ValueError(
+            "asof_join: right_on must differ from right_by — the right "
+            "time column cannot double as the join key")
     unioned, lnames, right_cols = _pad_union(left, right, by, rb)
     # the right time column's post-rename name
-    ron = ron_src + "_r" if (ron_src in lnames and ron_src != rb) else ron_src
-    if ron == rb:
-        ron = by
-    if ron not in right_cols and ron != by:
+    ron = ron_src + "_r" if ron_src in lnames else ron_src
+    if ron not in right_cols:
         raise ValueError(f"right side has no time column {ron_src!r}")
     nb = _resolve_join_buckets(left, right, n_buckets)
     sign = 1 if direction == "backward" else -1
@@ -328,7 +352,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             out = out.append_column(c, rt.column(c).take(take_r))
         return out
 
-    bucketed = with_hash_bucket(unioned, by, nb)
+    if int(salt) > 1:
+        bucketed = _salted_bucketed(unioned, by, nb, int(salt))
+    else:
+        bucketed = with_hash_bucket(unioned, by, nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_asof(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")
@@ -337,7 +364,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                by: str, right_by: str | None = None,
                on: str, right_start: str, right_end: str | None = None,
-               max_interval: int,
+               max_interval: int, salt: int = 1,
                n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Distributed equality + RANGE join: emit EVERY (left, right) pair
     with equal ``by`` key and ``right_start <= on < right_end`` (interval
@@ -356,7 +383,10 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     (key, start); per left row a lower/upper ``searchsorted`` over
     collision-free (segment, time-rank) composites; pairs materialized
     with ``np.repeat`` + offset arithmetic; the exact ``on < end`` filter
-    last. No Python per key or per row.
+    last. No Python per key or per row. ``salt > 1`` splits a hot ``by``
+    key's left rows across sub-bucket tasks (right replicated per
+    sub-bucket) — exact, since each (left, right) pair is still formed
+    exactly once.
     """
     from .bucketing import with_hash_bucket
 
@@ -442,7 +472,10 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             out = out.append_column(c, rt_sorted.column(c).take(take_r))
         return out
 
-    bucketed = with_hash_bucket(unioned, by, nb)
+    if int(salt) > 1:
+        bucketed = _salted_bucketed(unioned, by, nb, int(salt))
+    else:
+        bucketed = with_hash_bucket(unioned, by, nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_range(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")

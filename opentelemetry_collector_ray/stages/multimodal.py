@@ -487,6 +487,9 @@ class AudioFeatureStage:
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
                              np.int64)
+        # a sliced ListArray's flatten() rebases the values buffer but its
+        # offsets still start at offsets[0] != 0 — rebase before indexing
+        offsets = offsets - offsets[0]
         starts, counts = offsets[:-1], np.diff(offsets)
         n = batch.num_rows
         rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
@@ -715,6 +718,8 @@ class VideoFeatureStage:
         flat = col.flatten().to_numpy(zero_copy_only=False)
         offsets = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
                              np.int64)
+        # rebase sliced-ListArray offsets (flatten() rebases values)
+        offsets = offsets - offsets[0]
         starts, counts = offsets[:-1], np.diff(offsets)
         n = batch.num_rows
         motion = np.zeros(n)

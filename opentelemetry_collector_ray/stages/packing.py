@@ -132,11 +132,23 @@ def pack_bins(ds: ray.data.Dataset, token_col: str,
     Per-block cost is O(#bins · log #docs), not O(#docs) Python: the
     next-fit boundary after position i is ``searchsorted(cumsum,
     cumsum[i-1] + capacity)`` — one numpy call per BIN. Block ids are
-    content-addressed (md5 of the token array), so reruns are
-    deterministic."""
+    content-addressed (md5 over EVERY column's buffers, not just the
+    token array — two blocks with byte-identical token arrays but
+    different documents must NOT share bin ids, or bins silently merge
+    across blocks and break the capacity contract), so reruns over the
+    same blocking are deterministic."""
     import hashlib as _hashlib
 
     cap = int(capacity)
+
+    def _block_id(t: pa.Table) -> str:
+        h = _hashlib.md5()
+        for col in t.combine_chunks().columns:
+            for chunk in col.chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        return h.hexdigest()[:12]
 
     def pack(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -152,7 +164,7 @@ def pack_bins(ds: ray.data.Dataset, token_col: str,
             # largest j with cum[j] - base <= cap; oversize doc → j=start
             j = int(np.searchsorted(cum, base + cap, side="right"))
             bounds.append(max(j, start + 1))
-        block = _hashlib.md5(v.tobytes()).hexdigest()[:12]
+        block = _block_id(t)
         bins = np.zeros(n, np.int64)
         for k in range(len(bounds) - 1):
             bins[bounds[k]: bounds[k + 1]] = k

@@ -85,3 +85,54 @@ def test_join_modes_match_duckdb(ray_session, lk, lt, rk, rt):
     _assert_match(ours, con.sql(
         "SELECT l.*, r.rt, r.rv FROM l JOIN r ON l.k = r.k "
         "AND l.t >= r.rt AND l.t < r.rt + 10").df(), "range")
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(keys, times, keys, times)
+def test_asof_range_salted_match_unsalted(ray_session, lk, lt, rk, rt):
+    """salt>1 replicates the right side per sub-bucket; results must be
+    identical to salt=1 (each left row still meets its full key group)."""
+    import ray.data
+
+    left, right = _tables(lk, lt, rk, rt)
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    for how in ("inner", "left"):
+        base = asof_join(lds, rds, by="k", on="t", right_on="rt",
+                         how=how, n_buckets=2).to_pandas()
+        salted = asof_join(lds, rds, by="k", on="t", right_on="rt",
+                           how=how, n_buckets=2, salt=3).to_pandas()
+        # drop rv: row ties on (k, rt) make the matched ROW ambiguous
+        for df in (base, salted):
+            if "rv" in df.columns:
+                df.drop(columns=["rv"], inplace=True)
+        _assert_match(salted, base, f"asof-salt-{how}")
+    base = range_join(lds, rds, by="k", on="t", right_start="rt",
+                      max_interval=10, n_buckets=2).to_pandas()
+    salted = range_join(lds, rds, by="k", on="t", right_start="rt",
+                        max_interval=10, n_buckets=2, salt=3).to_pandas()
+    _assert_match(salted, base, "range-salt")
+
+
+def test_join_plan_build_validation(ray_session):
+    """Misuse fails loudly at plan-build time, not deep inside a task."""
+    import ray.data
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "t": pa.array([1], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "rt": pa.array([1], pa.int64())})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    # right_on == right_by would select the key column twice per bucket
+    with pytest.raises(ValueError, match="right_on must differ"):
+        asof_join(lds, rds, by="k", on="t", right_on="k")
+
+    # reserved exchange column names on either input
+    bad_l = ray.data.from_arrow(left.append_column(
+        "_side", pa.array([0], pa.int8())))
+    with pytest.raises(ValueError, match="reserved exchange"):
+        shuffle_hash_join(bad_l, rds, key="k")
+    bad_r = ray.data.from_arrow(right.append_column(
+        "_bucket", pa.array([0], pa.int64())))
+    with pytest.raises(ValueError, match="reserved exchange"):
+        shuffle_hash_join(lds, bad_r, key="k")

@@ -567,3 +567,59 @@ def test_unigram_mass_corpus_scoring(ray_session):
     # term table itself
     tc = term_counts(make()).to_pandas().set_index("term")["n"]
     assert tc.to_dict() == {"a": 2, "b": 2, "c": 1}
+
+
+def test_pack_bins_identical_token_blocks_stay_distinct(ray_session):
+    """Two BLOCKS whose token-count arrays are byte-identical must not
+    share bin ids (block id hashes every column, not just tokens)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.packing import pack_bins
+
+    t1 = pa.table({"doc": pa.array([0, 1], pa.int64()),
+                   "n": pa.array([5, 5], pa.int64())})
+    t2 = pa.table({"doc": pa.array([2, 3], pa.int64()),
+                   "n": pa.array([5, 5], pa.int64())})
+    ds = ray.data.from_arrow([t1, t2])
+    assert ds.num_blocks() == 2
+    out = pack_bins(ds, "n", capacity=10).to_pandas()
+    sums = out.groupby("bin_id")["n"].sum()
+    # one bin per block; a shared id would merge to a single 20-token bin
+    assert len(sums) == 2 and (sums <= 10).all()
+
+
+def test_audio_video_features_sliced_list_column():
+    """Sliced ListArray input: flatten() rebases the values buffer, so the
+    offsets must be rebased too or features silently read wrong rows."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        AudioFeatureStage, VideoFeatureStage)
+
+    means = pa.array([[999.0, 0.0], [10.0, 200.0, 10.0], [7.0, 7.0]],
+                     pa.list_(pa.float64()))
+    full = pa.table({"frame_means": means,
+                     "media_id": pa.array([0, 1, 2], pa.int64())})
+    whole = VideoFeatureStage()(full.slice(1))        # sliced: offset != 0
+    fresh = VideoFeatureStage()(pa.table(
+        {"frame_means": pa.array([[10.0, 200.0, 10.0], [7.0, 7.0]],
+                                 pa.list_(pa.float64())),
+         "media_id": pa.array([1, 2], pa.int64())}))
+    assert whole.column("motion").to_pylist() == \
+        fresh.column("motion").to_pylist()
+    assert whole.column("n_cuts").to_pylist() == \
+        fresh.column("n_cuts").to_pylist()
+
+    samples = pa.array([[0.5, -0.5], [0.1, 0.1, -0.1], [1.0]],
+                       pa.list_(pa.float64()))
+    afull = pa.table({"samples": samples,
+                      "sample_rate": pa.array([8000, 8000, 8000],
+                                              pa.int64())})
+    a_sliced = AudioFeatureStage()(afull.slice(1))
+    a_fresh = AudioFeatureStage()(pa.table(
+        {"samples": pa.array([[0.1, 0.1, -0.1], [1.0]],
+                             pa.list_(pa.float64())),
+         "sample_rate": pa.array([8000, 8000], pa.int64())}))
+    for c in ("rms", "peak", "zcr"):
+        assert a_sliced.column(c).to_pylist() == \
+            a_fresh.column(c).to_pylist(), c
