@@ -359,7 +359,8 @@ def grouped_topk(ds: Dataset, key: str, order_col: str, k: int = 3,
     return bucketed_map_groups(ds, key, pick, n_buckets=n_buckets)
 
 
-def exact_global_quantile(ds: Dataset, col: str, q: float) -> int:
+def exact_global_quantile(ds: Dataset, col: str, q: float,
+                          max_distinct: int = 4_000_000) -> int:
     """EXACT global quantile of an integer column at any data scale,
     rank rule r = ceil(q·n) − 1, ascending — DuckDB ``quantile_disc``'s
     rule at every q (verified empirically; the floor((n−1)q) rule used by
@@ -370,11 +371,27 @@ def exact_global_quantile(ds: Dataset, col: str, q: float) -> int:
     only that value-count table (bounded by the value domain, not the row
     count) reaches the driver. The two-pass global-threshold pattern:
     call this, then filter with the returned scalar broadcast into the
-    second pass."""
+    second pass.
+
+    ``max_distinct`` guards the bounded-value-domain contract the same
+    way ``build_function_table``'s max_names and ``unigram_mass``'s
+    max_vocab do: the distinct-value table is ``count()``-ed BEFORE it is
+    pulled to the driver, and an over-cap domain (e.g. a ~2^32-distinct
+    raw id column) raises loudly with a pointer to the KLL sketch path
+    instead of OOM-ing the driver."""
     import numpy as np
 
     counts = grouped_count(ds.select_columns([col]), [col],
                            count_name="_n", strategy="shuffle")
+    counts = counts.materialize()  # small by contract; count + pull once
+    n_distinct = counts.count()
+    if n_distinct > int(max_distinct):
+        raise ValueError(
+            f"exact_global_quantile: {col!r} has {n_distinct:,} distinct "
+            f"values (> max_distinct={int(max_distinct):,}); the exact "
+            "value-count table would not fit the driver. Use the "
+            "mergeable KLL sketch (stages/sketch.py approx_quantiles) "
+            "or raise max_distinct if the driver has headroom.")
     pdf = counts.to_pandas().sort_values(col)
     if not len(pdf):
         raise ValueError(f"exact_global_quantile: no rows in {col!r}")

@@ -83,3 +83,27 @@ def key_segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     seg_of_row = np.repeat(np.arange(len(starts)), np.diff(
         np.append(starts, n)))
     return change, starts[seg_of_row]
+
+
+def persisted_factory(make_ds, persist: str = "none"):
+    """Wrap a zero-arg dataset factory for TWO-PASS operators
+    (ordered_prefix_sum, unigram_mass) so pass 2 does not re-execute an
+    arbitrary upstream plan.
+
+    ``persist="none"`` returns the factory unchanged — both passes
+    execute the plan, which is free when the factory is a bare parquet
+    read but DOUBLES the dominant cost when it is an expensive derived
+    pipeline. ``persist="memory"`` executes the plan ONCE into the
+    object store (``materialize()`` — spills to disk under pressure) and
+    hands both passes the same materialized blocks; any other string is
+    treated as a directory path: the plan is written there as parquet
+    once and both passes re-READ it (the resumable choice at 100 TB —
+    object-store memory is not held across the whole job)."""
+    if persist == "none":
+        return make_ds
+    if persist == "memory":
+        mat = make_ds().materialize()
+        return lambda: mat
+    path = persist
+    make_ds().write_parquet(path)
+    return lambda: ray.data.read_parquet(path)

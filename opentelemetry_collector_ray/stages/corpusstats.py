@@ -99,11 +99,22 @@ class UnigramMassStage:
 
 def unigram_mass(ds_factory, text_col: str = "text",
                  id_col: str = "doc_id", max_vocab: int = 2_000_000,
-                 concurrency=(1, 8)) -> ray.data.Dataset:
+                 concurrency=(1, 8),
+                 persist: str = "none") -> ray.data.Dataset:
     """Two-pass corpus-frequency scoring: ``ds_factory`` is a zero-arg
-    callable returning the input Dataset (invoked once per pass)."""
+    callable returning the input Dataset (invoked once per pass).
+
+    COST CONTRACT: with the default ``persist="none"`` the upstream plan
+    EXECUTES TWICE (vocabulary pass + scoring pass) — free for a bare
+    parquet read, doubling for an expensive derived pipeline. Pass
+    ``persist="memory"`` (materialize once) or ``persist=<dir>`` (write
+    parquet once, re-read per pass) to execute the upstream exactly
+    once; see ``stages.bucketing.persisted_factory``."""
     import ray
 
+    from .bucketing import persisted_factory
+
+    ds_factory = persisted_factory(ds_factory, persist)
     vocab = term_counts(ds_factory(), text_col).to_arrow_refs()
     tables = [ray.get(r) for r in vocab]
     vt = pa.concat_tables([t for t in tables if t.num_rows]) \

@@ -49,14 +49,24 @@ def _stats_fn(order_col: str, val_col: str):
 
 
 def ordered_prefix_sum(make_ds, order_col: str, val_col: str,
-                       out_col: str = "offset") -> ray.data.Dataset:
+                       out_col: str = "offset",
+                       persist: str = "none") -> ray.data.Dataset:
     """Exclusive prefix sum of ``val_col`` in ``order_col`` order.
 
     ``make_ds`` is a ZERO-ARG CALLABLE returning the input Dataset — it
     is invoked twice so both passes execute the identical lazy plan
-    (identical block boundaries); passing a live Dataset twice would
-    also work but hides the two-execution cost.
+    (identical block boundaries). COST CONTRACT: with the default
+    ``persist="none"`` the upstream plan EXECUTES TWICE — free for a
+    bare parquet read, but for an expensive derived pipeline pass
+    ``persist="memory"`` (materialize once, both passes share blocks) or
+    ``persist=<dir>`` (write parquet once, both passes re-read — the
+    resumable 100 TB choice). A non-deterministic upstream either fails
+    the pass-2 range validation loudly (persist="none") or is executed
+    exactly once (any persist mode).
     """
+    from .bucketing import persisted_factory
+
+    make_ds = persisted_factory(make_ds, persist)
     stats = make_ds().map_batches(
         _stats_fn(order_col, val_col), batch_size=None,
         batch_format="pyarrow").to_pandas()
@@ -101,13 +111,16 @@ def ordered_prefix_sum(make_ds, order_col: str, val_col: str,
 
 def pack_chunks(make_ds, order_col: str, token_col: str,
                 capacity: int, offset_col: str = "start_offset",
-                chunk_col: str = "chunk_id") -> ray.data.Dataset:
+                chunk_col: str = "chunk_id",
+                persist: str = "none") -> ray.data.Dataset:
     """Concat-then-chunk packing: global exclusive token offset per doc +
-    ``chunk_id = offset // capacity``."""
+    ``chunk_id = offset // capacity``. ``persist`` forwards to
+    ``ordered_prefix_sum`` (see its cost contract — the input plan runs
+    twice unless persisted)."""
     import pyarrow.compute as pc
 
     ds = ordered_prefix_sum(make_ds, order_col, token_col,
-                            out_col=offset_col)
+                            out_col=offset_col, persist=persist)
     return ds.map_batches(
         lambda t: t.append_column(
             chunk_col, pc.cast(pc.divide(t.column(offset_col),

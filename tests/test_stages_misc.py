@@ -623,3 +623,71 @@ def test_audio_video_features_sliced_list_column():
     for c in ("rms", "peak", "zcr"):
         assert a_sliced.column(c).to_pylist() == \
             a_fresh.column(c).to_pylist(), c
+
+
+def test_exact_global_quantile_cardinality_guard(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantile)
+
+    t = pa.table({"v": pa.array(range(100), pa.int64())})
+    ds = ray.data.from_arrow(t)
+    # within cap: exact answer
+    assert exact_global_quantile(ds, "v", 0.5) == 49
+    # over cap: loud failure pointing to the sketch path, no driver pull
+    with pytest.raises(ValueError, match="distinct"):
+        exact_global_quantile(ds, "v", 0.5, max_distinct=10)
+
+
+def test_two_pass_persist_modes(ray_session, tmp_path):
+    """A NON-DETERMINISTIC upstream either fails loudly (persist='none',
+    pass-2 range validation) or is executed exactly once (persist=
+    'memory' / path)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.packing import (
+        ordered_prefix_sum)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        shift = 0 if calls["n"] == 1 else 100  # 2nd execution diverges
+        return ray.data.from_arrow(pa.table({
+            "i": pa.array([shift + 1, shift + 2], pa.int64()),
+            "v": pa.array([5, 7], pa.int64())}))
+
+    with pytest.raises(Exception, match="pass-1 block range"):
+        ordered_prefix_sum(flaky, "i", "v").to_pandas()
+
+    calls["n"] = 0
+    out = ordered_prefix_sum(flaky, "i", "v", persist="memory") \
+        .to_pandas().sort_values("i")
+    assert calls["n"] == 1 and out["offset"].tolist() == [0, 5]
+
+    calls["n"] = 0
+    out = ordered_prefix_sum(flaky, "i", "v",
+                             persist=str(tmp_path / "persist")) \
+        .to_pandas().sort_values("i")
+    assert calls["n"] == 1 and out["offset"].tolist() == [0, 5]
+
+
+def test_unigram_mass_persist_memory(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import unigram_mass
+
+    calls = {"n": 0}
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a a b", "b"])})
+
+    def make():
+        calls["n"] += 1
+        return ray.data.from_arrow(t)
+
+    out = unigram_mass(make, persist="memory").to_pandas() \
+        .sort_values("doc_id")
+    assert calls["n"] == 1
+    # corpus counts: a=2, b=2 → doc1 mass 2+2+2=6, doc2 mass 2
+    assert out["freq_mass"].tolist() == [6, 2]
