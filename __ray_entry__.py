@@ -119,6 +119,38 @@ def _q_turns_agg(sf_dir: str):
     return build_aggregate(_routed(sf_dir))
 
 
+def _q_turns_agg_yaml(sf_dir: str):
+    """The flagship built FROM a YAML confmap document end to end
+    (receiver + processor + dataset-level aggregate components resolved
+    through the provider/registry machinery) — config parity with the
+    code-built ``turns_agg``: identical oracle SQL."""
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    yaml_text = f"""
+receivers:
+  turns:
+    paths: {sf_dir}/events.parquet
+    columns: [event_id, ts, user_id, event_type, value]
+processors:
+  parse: {{}}
+  enrich: {{}}
+  route: {{}}
+  time_bucket: {{column: ts, unit: hour, out: bucket}}
+  count_agg: {{keys: [route, role, tool, bucket], count_name: n_turns}}
+exporters:
+  debug: {{}}
+service:
+  pipelines:
+    turns:
+      receivers: [turns]
+      processors: [parse, enrich, route, time_bucket, count_agg]
+      exporters: [debug]
+"""
+    cfg = PipelineConfig.from_sources([f"yaml:{yaml_text}"])
+    return build_dataset(cfg)
+
+
 def _q_conv_stats(sf_dir: str):
     """Unbounded-key grouped aggregate (per-conversation stats) — exercises
     the hash-shuffle strategy with per-batch partials (skew-neutralizing)."""
@@ -1353,7 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q_topk_orders,
         "events_sample": _q_events_sample,
         # --- round-4 NEW queries (driver-checked this round) ---
-        # (inserted here as they land)
+        "turns_agg_yaml": _q_turns_agg_yaml,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1561,6 +1593,7 @@ FROM routed GROUP BY route, role, tool, bucket
         "turns_enrich": enrich_sql,
         "turns_route": route_sql,
         "turns_agg": agg_sql,
+        "turns_agg_yaml": agg_sql,  # config parity: same result by contract
         "conv_stats": f"""
 {with_turns}
 SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts

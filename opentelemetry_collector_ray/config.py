@@ -174,6 +174,19 @@ class Factory:
     default_config: dict = field(default_factory=dict)
 
 
+class DatasetTransform:
+    """Marker for DATASET-LEVEL pipeline components (grouped aggregates,
+    sorts, samplers): the builder applies these as ``fn(ds)`` instead of
+    ``ds.map_batches(stage)`` — a batchprocessor-style counting aggregate
+    is a plan rewrite, not a row map."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def __call__(self, ds):
+        return self.fn(ds)
+
+
 _REGISTRY: dict[str, Factory] = {}
 
 
@@ -267,7 +280,32 @@ def _register_builtins() -> None:
                                  bias=int(cfg.get("bias", 0)),
                                  out_col=cfg.get("out_col", "score"))
 
+    def make_time_bucket(cfg: dict):
+        import pyarrow.compute as pc
+
+        col = cfg.get("column", "ts")
+        unit = cfg.get("unit", "hour")
+        out = cfg.get("out", "bucket")
+
+        def fn(t):
+            return t.append_column(
+                out, pc.floor_temporal(t.column(col), unit=unit))
+
+        return fn
+
+    def make_count_agg(cfg: dict):
+        from .stages.aggregate import grouped_count
+
+        keys = list(cfg["keys"])
+        name = cfg.get("count_name", "n")
+        strategy = cfg.get("strategy", "shuffle")
+        return DatasetTransform(lambda ds: grouped_count(
+            ds.select_columns(keys), keys, count_name=name,
+            strategy=strategy))
+
     register("parse", Factory("processor", make_parse))
+    register("time_bucket", Factory("processor", make_time_bucket))
+    register("count_agg", Factory("processor", make_count_agg))
     register("enrich", Factory("processor", lambda cfg: EnrichStage(cfg.get("refs"))))
     register("redact", Factory("processor", make_redact))
     register("score", Factory("processor", make_score))

@@ -14,7 +14,7 @@ import os
 
 import ray.data
 
-from ..config import PipelineConfig, get_factory
+from ..config import DatasetTransform, PipelineConfig, get_factory
 from ..sinks.parquet_sink import DebugSink, write_routed
 from ..state.manifest import ManifestStore, PartitionTask, run_resumable
 from ..stages.parse import ParseStage
@@ -79,6 +79,9 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
         type_name = name.split("/")[0]
         stage = get_factory(type_name).create(cfg.processors[name])
         pcfg = cfg.processors[name]
+        if isinstance(stage, DatasetTransform):
+            ds = stage(ds)  # dataset-level rewrite (aggregate/sort/sample)
+            continue
         kwargs = {"batch_format": "pyarrow"}
         if pcfg.get("batch_size"):
             kwargs["batch_size"] = int(pcfg["batch_size"])

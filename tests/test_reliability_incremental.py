@@ -189,3 +189,43 @@ def test_exporter_contract_scenarios(ray_session):
     d, p = run_scenario(fail_every=0, permanent_ids=frozenset({37}))
     assert 37 in p and 37 not in d
     assert set(d) | set(p) == set(ids.tolist())
+
+
+def test_telemetry_identities_on_flagship(ray_session, tmp_path):
+    """The reference's consumed/produced counter identities
+    (service/documentation.md:9-101) hold on a real flagship routed run,
+    derived from data counts (fusion-proof)."""
+    from opentelemetry_collector_ray.pipelines.flagship import build_routed
+    from opentelemetry_collector_ray.sinks.parquet_sink import write_routed
+    from opentelemetry_collector_ray.sources.transcripts import (
+        read_derived_turns)
+    from opentelemetry_collector_ray.state.metrics import (
+        check_telemetry_identities, parquet_rows, routed_counts,
+        telemetry_table)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "routed")
+    write_routed(build_routed(read_derived_turns(sf)), out)
+    rows_in = parquet_rows(f"{sf}/events.parquet")  # 1 turn per event
+    per_route = routed_counts(out)
+    t = telemetry_table(rows_in, per_route,
+                        processors=["parse", "enrich"])
+    check_telemetry_identities(t)
+    # the table is queryable: counters keyed exactly like the reference
+    names = set(t.column("counter").to_pylist())
+    assert names == {"otelcol.receiver.produced.items",
+                     "otelcol.processor.consumed.items",
+                     "otelcol.processor.produced.items",
+                     "otelcol.connector.consumed.items",
+                     "otelcol.connector.produced.items",
+                     "otelcol.exporter.consumed.items"}
+    # a broken link is caught and NAMED
+    bad = telemetry_table(rows_in + 1, per_route,
+                          processors=["parse", "enrich"])
+    with pytest.raises(AssertionError, match="identity violated"):
+        check_telemetry_identities(bad)
+    # a row-changing stage with honest counts keeps the chain green
+    t2 = telemetry_table(
+        rows_in, per_route,
+        processors=[("filter", rows_in, rows_in)])
+    check_telemetry_identities(t2)
