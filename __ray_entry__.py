@@ -617,6 +617,28 @@ def _q_turns_attrs_typed(sf_dir: str):
         .map_batches(read_out, batch_format="pyarrow")
 
 
+def _q_docs_attrs_nested(sf_dir: str):
+    """One-deep Slice attribute on the REAL nested lane (no JSON parse
+    anywhere): tokens = split(text) lifted to a typed Slice cell
+    (typedattrs nv lane — pdata/pcommon/value.go:19-30 Slice case), then
+    elements and length read back vectorized via get_nested/nested_len."""
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        m = T.build_typed_map({"tokens": toks, "lang": t.column("lang")})
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "first_tok": T.nested_str(T.get_nested(m, "tokens.0")),
+            "tok5": T.nested_str(T.get_nested(m, "tokens.5")),
+            "n_toks": T.nested_len(m, "tokens"),
+            "lang": T.map_get_str(m, "lang"),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -1386,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": _q_events_sample,
         # --- round-4 NEW queries (driver-checked this round) ---
         "turns_agg_yaml": _q_turns_agg_yaml,
+        "docs_attrs_nested": _q_docs_attrs_nested,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1594,6 +1617,13 @@ FROM routed GROUP BY route, role, tool, bucket
         "turns_route": route_sql,
         "turns_agg": agg_sql,
         "turns_agg_yaml": agg_sql,  # config parity: same result by contract
+        "docs_attrs_nested": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
+           FROM documents)
+SELECT doc_id, toks[1] AS first_tok, toks[6] AS tok5,
+       CAST(len(toks) AS BIGINT) AS n_toks, lang
+FROM d
+""",
         "conv_stats": f"""
 {with_turns}
 SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts

@@ -10,17 +10,22 @@ struct carries a type tag plus one lane per primitive case —
 
     vtype int8   ValueType code (VTYPE_*: 0=Empty 1=Str 2=Int 3=Double
                  4=Bool 5=Map 6=Slice 7=Bytes — value.go order)
-    s     string Str lane; Map/Slice store their canonical JSON here
+    s     string Str lane; DEEP Map/Slice store canonical JSON here
     i     int64  Int lane
     d     double Double lane
     b     bool   Bool lane
     z     binary Bytes lane
+    nk    list<string>      one-deep Map: entry keys (order kept)
+    nv    list<NESTED_T>    one-deep Map/Slice: entry value cells
 
-Exactly one lane is populated per entry (the others are null). Nested
-containers (Map/Slice) ride the string lane as canonical JSON —
-``[vtype, payload]`` recursively, bytes base64 — keeping the Arrow schema
-flat and finite; the wire codecs re-nest them into real AnyValue
-kvlist/array messages.
+Exactly one lane is populated per entry (the others are null). ONE-DEEP
+containers — a Slice of primitives, a Map of primitives: the common
+real-OTLP shapes (``process.command_args``-style) — are REAL nested
+Arrow (``nk``/``nv`` lanes), so element access is a vectorized offsets
+walk (``get_nested``), no JSON parse. Deeper nesting rides the string
+lane as canonical JSON — ``[vtype, payload]`` recursively, bytes
+base64 — keeping the Arrow schema finite; the wire codecs re-nest
+both shapes into real AnyValue kvlist/array messages.
 
 Every op is vectorized over the MapArray's FLAT children (numpy index
 arithmetic on keys/offsets + one ``take`` on the value struct) — never a
@@ -44,6 +49,16 @@ VTYPE_EMPTY, VTYPE_STR, VTYPE_INT, VTYPE_DOUBLE = 0, 1, 2, 3
 VTYPE_BOOL, VTYPE_MAP, VTYPE_SLICE, VTYPE_BYTES = 4, 5, 6, 7
 
 LANES = ("s", "i", "d", "b", "z")
+# NESTED_T: the element cell of a one-deep container — primitive lanes
+# only (a nested container inside it would be two-deep → JSON fallback)
+NESTED_T = pa.struct([
+    ("vtype", pa.int8()),
+    ("s", pa.string()),
+    ("i", pa.int64()),
+    ("d", pa.float64()),
+    ("b", pa.bool_()),
+    ("z", pa.binary()),
+])
 VALUE_T = pa.struct([
     ("vtype", pa.int8()),
     ("s", pa.string()),
@@ -51,6 +66,8 @@ VALUE_T = pa.struct([
     ("d", pa.float64()),
     ("b", pa.bool_()),
     ("z", pa.binary()),
+    ("nk", pa.list_(pa.string())),
+    ("nv", pa.list_(NESTED_T)),
 ])
 TYPED_MAP_T = pa.map_(pa.string(), VALUE_T)
 
@@ -89,16 +106,49 @@ def _from_jsonable(vtype: int, j):
     return j
 
 
-def cell(vtype: int, py) -> dict:
-    """(vtype, python payload) → one flat cell dict (the struct row)."""
+_PRIMITIVE = (VTYPE_EMPTY, VTYPE_STR, VTYPE_INT, VTYPE_DOUBLE,
+              VTYPE_BOOL, VTYPE_BYTES)
+
+
+def _nested_cell(vtype: int, py) -> dict:
+    """Primitive-only cell (NESTED_T row) for one-deep container
+    elements."""
     out = {"vtype": vtype, "s": None, "i": None, "d": None, "b": None,
            "z": None}
     if vtype == VTYPE_EMPTY:
         return out
-    lane = _LANE_OF[vtype]
-    if vtype in (VTYPE_MAP, VTYPE_SLICE):
-        out["s"] = json.dumps(_to_jsonable(vtype, py), sort_keys=False,
-                              separators=(",", ":"))
+    if vtype == VTYPE_INT:
+        out["i"] = int(py)
+    elif vtype == VTYPE_DOUBLE:
+        out["d"] = float(py)
+    elif vtype == VTYPE_BOOL:
+        out["b"] = bool(py)
+    else:
+        out[_LANE_OF[vtype]] = py
+    return out
+
+
+def cell(vtype: int, py) -> dict:
+    """(vtype, python payload) → one flat cell dict (the struct row).
+    One-deep containers land on the real nested lanes (nk/nv); deeper
+    nesting falls back to canonical JSON on the string lane."""
+    out = {"vtype": vtype, "s": None, "i": None, "d": None, "b": None,
+           "z": None, "nk": None, "nv": None}
+    if vtype == VTYPE_EMPTY:
+        return out
+    if vtype == VTYPE_SLICE:
+        if all(vt in _PRIMITIVE for vt, _ in py):
+            out["nv"] = [_nested_cell(vt, v) for vt, v in py]
+        else:
+            out["s"] = json.dumps(_to_jsonable(vtype, py),
+                                  sort_keys=False, separators=(",", ":"))
+    elif vtype == VTYPE_MAP:
+        if all(vt in _PRIMITIVE for _, (vt, _) in py):
+            out["nk"] = [k for k, _ in py]
+            out["nv"] = [_nested_cell(vt, v) for _, (vt, v) in py]
+        else:
+            out["s"] = json.dumps(_to_jsonable(vtype, py),
+                                  sort_keys=False, separators=(",", ":"))
     elif vtype == VTYPE_INT:
         out["i"] = int(py)
     elif vtype == VTYPE_DOUBLE:
@@ -106,8 +156,15 @@ def cell(vtype: int, py) -> dict:
     elif vtype == VTYPE_BOOL:
         out["b"] = bool(py)
     else:
-        out[lane] = py
+        out[_LANE_OF[vtype]] = py
     return out
+
+
+def _nested_cell_value(c: dict) -> tuple[int, object]:
+    vt = c["vtype"]
+    if vt == VTYPE_EMPTY:
+        return vt, None
+    return vt, c[_LANE_OF[vt]]
 
 
 def cell_value(c: dict) -> tuple[int, object]:
@@ -115,8 +172,15 @@ def cell_value(c: dict) -> tuple[int, object]:
     vt = c["vtype"]
     if vt == VTYPE_EMPTY:
         return vt, None
-    if vt in (VTYPE_MAP, VTYPE_SLICE):
-        return vt, _from_jsonable(vt, json.loads(c["s"]))
+    if vt == VTYPE_SLICE:
+        if c.get("s") is not None:  # deep → JSON fallback lane
+            return vt, _from_jsonable(vt, json.loads(c["s"]))
+        return vt, [_nested_cell_value(e) for e in (c.get("nv") or [])]
+    if vt == VTYPE_MAP:
+        if c.get("s") is not None:
+            return vt, _from_jsonable(vt, json.loads(c["s"]))
+        return vt, [(k, _nested_cell_value(e))
+                    for k, e in zip(c.get("nk") or [], c.get("nv") or [])]
     return vt, c[_LANE_OF[vt]]
 
 
@@ -199,32 +263,74 @@ def _take(items, idx: np.ndarray) -> pa.StructArray:
     return items.take(pa.array(idx.astype(np.int64)))
 
 
+def _primitive_vtype(t: pa.DataType) -> int:
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return VTYPE_STR
+    if pa.types.is_boolean(t):
+        return VTYPE_BOOL
+    if pa.types.is_integer(t):
+        return VTYPE_INT
+    if pa.types.is_floating(t):
+        return VTYPE_DOUBLE
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return VTYPE_BYTES
+    raise TypeError(f"no pcommon.Value lane for arrow type {t}")
+
+
+ALL_LANES = (*LANES, "nk", "nv")
+_LANE_TYPE["nk"] = pa.list_(pa.string())
+_LANE_TYPE["nv"] = pa.list_(NESTED_T)
+
+
 def lift(col: pa.Array | pa.ChunkedArray) -> tuple[int, pa.StructArray]:
     """A typed Arrow column → (vtype code, full-length value struct with
     the matching lane populated). Type inference: string→Str, int→Int,
-    float→Double, bool→Bool, binary→Bytes."""
+    float→Double, bool→Bool, binary→Bytes, list<primitive>→Slice on the
+    REAL nested lane (nv) — zero-copy offsets, elements lifted once."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        vt = VTYPE_STR
-    elif pa.types.is_boolean(t):
-        vt = VTYPE_BOOL
-    elif pa.types.is_integer(t):
-        vt = VTYPE_INT
-    elif pa.types.is_floating(t):
-        vt = VTYPE_DOUBLE
-    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        vt = VTYPE_BYTES
-    else:
-        raise TypeError(f"no pcommon.Value lane for arrow type {t}")
-    lane = _LANE_OF[vt]
     n = len(col)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # one-deep Slice: reuse the list's own offsets over lifted elems
+        off = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                         np.int64)
+        base = off[0] if len(off) else 0
+        values = col.values
+        if base or (len(off) and off[-1] != len(values)):
+            values = values.slice(base, off[-1] - base)
+            off = off - base
+        if pa.types.is_list(values.type) or pa.types.is_large_list(
+                values.type):
+            raise TypeError("lift: two-deep list nesting has no real "
+                            "lane; serialize to JSON cells instead")
+        evt = _primitive_vtype(values.type)
+        elane = _LANE_OF[evt]
+        nvals = len(values)
+        elanes = {nm: (values.cast(_LANE_TYPE[nm]) if nm == elane
+                       else pa.nulls(nvals, _LANE_TYPE[nm]))
+                  for nm in LANES}
+        elem_lifted = pa.StructArray.from_arrays(
+            [pa.array(np.full(nvals, evt, np.int8)), *elanes.values()],
+            names=["vtype", *LANES])
+        # a null at offsets[i] marks list i null (ListArray convention)
+        null_mask = np.concatenate(
+            [np.asarray(col.is_null()), [False]])
+        nv = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), mask=null_mask),
+            elem_lifted.cast(NESTED_T))
+        lanes = {nm: (nv if nm == "nv" else pa.nulls(n, _LANE_TYPE[nm]))
+                 for nm in ALL_LANES}
+        vtypes = pa.array(np.full(n, VTYPE_SLICE, np.int8))
+        return VTYPE_SLICE, pa.StructArray.from_arrays(
+            [vtypes, *lanes.values()], names=["vtype", *ALL_LANES])
+    vt = _primitive_vtype(t)
+    lane = _LANE_OF[vt]
     lanes = {nm: (col.cast(_LANE_TYPE[nm]) if nm == lane
-                  else pa.nulls(n, _LANE_TYPE[nm])) for nm in LANES}
+                  else pa.nulls(n, _LANE_TYPE[nm])) for nm in ALL_LANES}
     vtypes = pa.array(np.full(n, vt, np.int8))
     return vt, pa.StructArray.from_arrays(
-        [vtypes, *lanes.values()], names=["vtype", *LANES])
+        [vtypes, *lanes.values()], names=["vtype", *ALL_LANES])
 
 
 def build_typed_map(columns: dict[str, pa.Array | pa.ChunkedArray]) -> pa.Array:
@@ -301,11 +407,16 @@ def vtype_of(m, key: str) -> pa.Array:
     return map_get(m, key).field("vtype")
 
 
-def _lane_get(m, key: str, vtype: int, lane: str) -> pa.Array:
-    g = map_get(m, key)
+def cell_lane(g: pa.StructArray, vtype: int, lane: str) -> pa.Array:
+    """Typed lane read over any cell struct (VALUE_T or NESTED_T): the
+    lane value where the cell's vtype matches, null otherwise."""
     want = pc.equal(g.field("vtype"), pa.scalar(vtype, pa.int8()))
     return pc.if_else(pc.fill_null(want, False), g.field(lane),
                       pa.nulls(len(g), _LANE_TYPE[lane]))
+
+
+def _lane_get(m, key: str, vtype: int, lane: str) -> pa.Array:
+    return cell_lane(map_get(m, key), vtype, lane)
 
 
 def map_get_str(m, key: str) -> pa.Array:
@@ -329,6 +440,101 @@ def map_get_bool(m, key: str) -> pa.Array:
 
 def map_get_bytes(m, key: str) -> pa.Array:
     return _lane_get(m, key, VTYPE_BYTES, "z")
+
+
+# ------------------------------------------------ one-deep nested access
+# The vectorized analog of value.go's Map().Get / Slice().At over the
+# real nested lanes: one offsets walk + one take, no JSON parse, no
+# Python per row.
+
+def _nv_parts(g: pa.StructArray):
+    """(starts, counts, flat NESTED values, vtype int64 w/ -1 nulls) of
+    the nv lane, rebased and null-masked."""
+    nv = g.field("nv")
+    off = np.asarray(nv.offsets.to_numpy(zero_copy_only=False), np.int64)
+    vals = nv.values
+    base = off[0] if len(off) else 0
+    if base or (len(off) and off[-1] != len(vals)):
+        vals = vals.slice(base, off[-1] - base)
+        off = off - base
+    counts = np.diff(off) if len(off) else np.zeros(0, np.int64)
+    counts = np.where(np.asarray(nv.is_null()), 0, counts)
+    vt = pc.fill_null(g.field("vtype"), -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return off[:-1] if len(off) else np.zeros(0, np.int64), counts, vals, vt
+
+
+def nested_len(m, key: str) -> pa.Array:
+    """Element count of the one-deep container at ``key`` (null when the
+    key is absent or holds a non-container / deep-JSON cell)."""
+    g = map_get(m, key)
+    starts, counts, _vals, vt = _nv_parts(g)
+    is_container = (vt == VTYPE_SLICE) | (vt == VTYPE_MAP)
+    has_nv = ~np.asarray(g.field("nv").is_null())
+    valid = is_container & has_nv
+    return pa.array(counts.astype(np.int64), mask=~valid)
+
+
+def get_nested(m, path: str) -> pa.StructArray:
+    """Vectorized one-level path read: ``"attr.<index>"`` (Slice element)
+    or ``"attr.<subkey>"`` (Map entry, last-writer-wins) → NESTED_T cell
+    per row, null where the attr is absent, the wrong kind, or the
+    element/subkey is missing. Read lanes with ``nested_str/int/...``."""
+    key, _, seg = path.partition(".")
+    if not seg or "." in seg:
+        raise ValueError(
+            "get_nested: path must be 'attr.subkey' or 'attr.<index>' — "
+            "one nested level (deeper nesting rides the JSON fallback)")
+    g = map_get(m, key)
+    n = len(g)
+    starts, counts, vals, vt = _nv_parts(g)
+    if seg.isdigit():
+        i = int(seg)
+        valid = (vt == VTYPE_SLICE) & (i < counts)
+        idx = np.where(valid, starts + i, 0)
+        return vals.take(pa.array(idx.astype(np.int64), mask=~valid))
+    # map subkey: align nk flat positions to nv flat positions per row
+    nk = g.field("nk")
+    koff = np.asarray(nk.offsets.to_numpy(zero_copy_only=False), np.int64)
+    kflat = np.asarray(nk.values.to_numpy(zero_copy_only=False),
+                       dtype=object)
+    kbase = koff[0] if len(koff) else 0
+    if kbase or (len(koff) and koff[-1] != len(kflat)):
+        kflat = kflat[kbase: koff[-1]]
+        koff = koff - kbase
+    kcounts = np.diff(koff) if len(koff) else np.zeros(0, np.int64)
+    kcounts = np.where(np.asarray(nk.is_null()), 0, kcounts)
+    rows = np.repeat(np.arange(n), kcounts)
+    row_start = koff[:-1] if len(koff) else np.zeros(0, np.int64)
+    match = np.flatnonzero(kflat == seg) if len(kflat) else \
+        np.zeros(0, np.int64)
+    last = np.full(n, -1, np.int64)
+    if len(match):
+        np.maximum.at(last, rows[match], match)
+    valid = (vt == VTYPE_MAP) & (last >= 0)
+    pos_in_row = np.where(valid, last - row_start, 0)
+    idx = np.where(valid, starts + pos_in_row, 0)
+    return vals.take(pa.array(idx.astype(np.int64), mask=~valid))
+
+
+def nested_str(cells: pa.StructArray) -> pa.Array:
+    return cell_lane(cells, VTYPE_STR, "s")
+
+
+def nested_int(cells: pa.StructArray) -> pa.Array:
+    return cell_lane(cells, VTYPE_INT, "i")
+
+
+def nested_double(cells: pa.StructArray) -> pa.Array:
+    return cell_lane(cells, VTYPE_DOUBLE, "d")
+
+
+def nested_bool(cells: pa.StructArray) -> pa.Array:
+    return cell_lane(cells, VTYPE_BOOL, "b")
+
+
+def nested_bytes(cells: pa.StructArray) -> pa.Array:
+    return cell_lane(cells, VTYPE_BYTES, "z")
 
 
 def map_delete(m, key: str) -> pa.Array:
@@ -439,9 +645,20 @@ def to_string_map(m) -> pa.Array:
     b = items.field("b").to_numpy(zero_copy_only=False)
     z = items.field("z").to_numpy(zero_copy_only=False)
     d = items.field("d").to_numpy(zero_copy_only=False)
-    for mask_vt, lane in ((VTYPE_STR, s), (VTYPE_MAP, s), (VTYPE_SLICE, s)):
-        sel = vt == mask_vt
-        out[sel] = lane[sel]
+    sel = vt == VTYPE_STR
+    out[sel] = s[sel]
+    # containers: deep cells carry their JSON on the s lane; one-deep
+    # cells (s null) serialize from the real nested lanes — only those
+    # few rows go through Python
+    sel = (vt == VTYPE_MAP) | (vt == VTYPE_SLICE)
+    idx = np.flatnonzero(sel)
+    if len(idx):
+        cells = items.take(pa.array(idx.astype(np.int64))).to_pylist()
+        out[sel] = np.array(
+            [c["s"] if c["s"] is not None else
+             json.dumps(_to_jsonable(*cell_value(c)), sort_keys=False,
+                        separators=(",", ":"))
+             for c in cells], object)
     sel = vt == VTYPE_INT
     # the int lane holds nulls on other-typed entries, so to_numpy would
     # coerce it to float64 and corrupt ints above 2^53 — take the exact

@@ -243,3 +243,61 @@ def test_json_marshaler_accepts_legacy_string_maps():
     back = parse_request_lines(pa.table({"text": pa.array([line])}))
     got = back.column("attributes").to_pylist()[0]
     assert got[0][0] == "app" and got[0][1]["s"] == "server"
+
+
+def test_one_deep_slice_real_lane_and_get_nested():
+    """One-deep Slice/Map cells land on REAL nested lanes (nv/nk) — no
+    JSON on the string lane — and get_nested reads elements vectorized."""
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    toks = pa.array([["a", "b", "c"], ["x"], None, []],
+                    pa.list_(pa.string()))
+    ids = pa.array([1, 2, 3, 4], pa.int64())
+    m = T.build_typed_map({"tokens": toks, "n": ids})
+    # slice cells carry nv, NOT JSON
+    g = T.map_get(m, "tokens")
+    assert g.field("s").null_count == len(g)
+    assert T.nested_len(m, "tokens").to_pylist() == [3, 1, None, 0]
+    first = T.nested_str(T.get_nested(m, "tokens.0"))
+    assert first.to_pylist() == ["a", "x", None, None]
+    third = T.nested_str(T.get_nested(m, "tokens.2"))
+    assert third.to_pylist() == ["c", None, None, None]
+    # wrong-kind attr (int) → null, not a crash
+    assert T.nested_str(T.get_nested(m, "n.0")).to_pylist() == [None] * 4
+
+
+def test_one_deep_map_cell_and_wire_round_trip():
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    shallow_map = (T.VTYPE_MAP, [("lang", (T.VTYPE_STR, "en")),
+                                 ("score", (T.VTYPE_INT, 7)),
+                                 ("lang", (T.VTYPE_STR, "de"))])
+    shallow_slice = (T.VTYPE_SLICE, [(T.VTYPE_INT, 1), (T.VTYPE_DOUBLE, 2.5)])
+    deep = (T.VTYPE_MAP, [("inner", shallow_slice)])
+    cells = [T.cell(*shallow_map), T.cell(*shallow_slice), T.cell(*deep)]
+    # shallow cells use nk/nv; deep falls back to JSON
+    assert cells[0]["s"] is None and cells[0]["nk"] == ["lang", "score",
+                                                       "lang"]
+    assert cells[1]["s"] is None and cells[1]["nk"] is None
+    assert cells[2]["s"] is not None
+    # exact round trip for all three (wire codecs ride cell/cell_value)
+    for src, c in zip((shallow_map, shallow_slice, deep), cells):
+        assert T.cell_value(c) == src
+    # OTLP JSON AnyValue round trip preserved
+    for src in (shallow_map, shallow_slice, deep):
+        assert T.json_to_value(T.value_to_json(*src)) == src
+    # vectorized subkey read over an Arrow column of these cells
+    items = pa.array(cells, T.VALUE_T)
+    mp = pa.MapArray.from_arrays(pa.array([0, 1, 2, 3], pa.int32()),
+                                 pa.array(["a", "a", "a"], pa.string()),
+                                 items)
+    lang = T.nested_str(T.get_nested(mp, "a.lang"))
+    assert lang.to_pylist() == ["de", None, None]  # last-writer-wins
+    score = T.nested_int(T.get_nested(mp, "a.score"))
+    assert score.to_pylist() == [7, None, None]
+    # to_string_map renders one-deep cells as JSON text (lossy direction)
+    import json as _json
+
+    sm = T.to_string_map(mp)
+    rendered = _json.loads(sm.to_pylist()[1][0][1])
+    assert rendered == [[T.VTYPE_INT, 1], [T.VTYPE_DOUBLE, 2.5]]
