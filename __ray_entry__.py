@@ -639,6 +639,29 @@ def _q_docs_attrs_nested(sf_dir: str):
         .map_batches(f, batch_format="pyarrow")
 
 
+def _q_orders_global_sorted(sf_dir: str):
+    """Spill-safe distributed global sort (stages/sort.py sample sort —
+    the §2.6 primitive the reference leaves to downstream consumers):
+    orders totally ordered by (price_cents DESC, o_orderkey), with the
+    dense global rank column that makes the ORDER itself value-hash
+    checkable against the SQL ``row_number()`` oracle. The factory is a
+    bare pruned read + one cheap cast, so the two-pass contract
+    (persist="none") costs one extra parquet scan, not a recompute."""
+    from opentelemetry_collector_ray.stages.sort import global_sort
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "price_cents": _cents(t.column("o_totalprice"))})
+
+    def make():
+        return _read_co(sf_dir, "orders",
+                        ["o_orderkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow")
+
+    return global_sort(make, ["price_cents", "o_orderkey"],
+                       descending=[True, False], rank_col="rnk")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -1409,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 NEW queries (driver-checked this round) ---
         "turns_agg_yaml": _q_turns_agg_yaml,
         "docs_attrs_nested": _q_docs_attrs_nested,
+        "orders_global_sorted": _q_orders_global_sorted,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1623,6 +1647,14 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
 SELECT doc_id, toks[1] AS first_tok, toks[6] AS tok5,
        CAST(len(toks) AS BIGINT) AS n_toks, lang
 FROM d
+""",
+        "orders_global_sorted": """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(row_number() OVER (
+            ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                     o_orderkey) - 1 AS BIGINT) AS rnk
+FROM orders
 """,
         "conv_stats": f"""
 {with_turns}
