@@ -623,6 +623,194 @@ def _n_rows(m) -> int:
     return len(off) - 1
 
 
+# ------------------------------------------------- OTTL editor functions
+# The remaining Map/Slice editors from the OTTL inventory referenced by
+# docs/rfcs/processing.md:148-238 (keep_keys/delete/replace_* examples)
+# — keep_matching_keys / delete_matching_keys / truncate_all / limit /
+# flatten / replace_all_patterns — each one whole-column vectorized over
+# the flat children, never a Python row loop.
+
+def _filter_entries(m, keep: np.ndarray) -> pa.Array:
+    off, keys, items = _parts(m)
+    n = len(off) - 1
+    rows = np.repeat(np.arange(n), np.diff(off))
+    counts = np.bincount(rows[keep], minlength=n)
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    return _rebuild(new_off, keys[keep], _take(items, np.flatnonzero(keep)))
+
+
+def map_keep_matching_keys(m, pattern: str) -> pa.Array:
+    """OTTL ``keep_matching_keys(attributes, pattern)``: keep only
+    entries whose KEY matches the regex (RE2-style, substring match per
+    OTTL — anchor with ^$ for whole-key)."""
+    off, keys, _ = _parts(m)
+    hit = pc.match_substring_regex(pa.array(keys, pa.string()), pattern)
+    return _filter_entries(m, np.asarray(hit))
+
+
+def map_delete_matching_keys(m, pattern: str) -> pa.Array:
+    """OTTL ``delete_matching_keys(attributes, pattern)``: drop entries
+    whose KEY matches the regex."""
+    off, keys, _ = _parts(m)
+    hit = pc.match_substring_regex(pa.array(keys, pa.string()), pattern)
+    return _filter_entries(m, ~np.asarray(hit))
+
+
+def map_truncate_all(m, limit: int) -> pa.Array:
+    """OTTL ``truncate_all(attributes, limit)``: truncate STRING values
+    to at most ``limit`` codeunits; non-string cells (including deep
+    container JSON riding the s lane) are untouched."""
+    if limit < 0:
+        raise ValueError("truncate_all: limit must be >= 0")
+    off, keys, items = _parts(m)
+    is_str = pc.equal(items.field("vtype"), pa.scalar(VTYPE_STR, pa.int8()))
+    s = items.field("s")
+    cut = pc.utf8_slice_codeunits(s, 0, limit)
+    new_s = pc.if_else(pc.fill_null(is_str, False), cut, s)
+    fields = {nm: items.field(nm) for nm in ("vtype", *ALL_LANES)}
+    fields["s"] = new_s
+    return _rebuild(off, keys, pa.StructArray.from_arrays(
+        list(fields.values()), names=list(fields.keys())))
+
+
+def map_limit(m, max_entries: int, priority_keys=()) -> pa.Array:
+    """OTTL ``limit(attributes, max, [priority_keys...])``: keep at most
+    ``max_entries`` entries per row; entries whose key is in
+    ``priority_keys`` are retained first, then remaining entries in
+    original order; surviving entries keep their original order."""
+    if max_entries < 0:
+        raise ValueError("limit: max_entries must be >= 0")
+    off, keys, _ = _parts(m)
+    n = len(off) - 1
+    total = len(keys)
+    rows = np.repeat(np.arange(n), np.diff(off))
+    pos = np.arange(total) - off[rows]
+    if len(priority_keys):
+        notpri = ~np.isin(keys, np.asarray(list(priority_keys),
+                                           dtype=object))
+    else:
+        notpri = np.ones(total, bool)
+    order = np.lexsort((pos, notpri.astype(np.int64), rows))
+    ro = rows[order]
+    change = np.ones(total, bool)
+    if total > 1:
+        change[1:] = ro[1:] != ro[:-1]
+    starts = np.flatnonzero(change)
+    seq = np.arange(total) - np.repeat(
+        starts, np.diff(np.append(starts, total)))
+    keep = np.zeros(total, bool)
+    keep[order[seq < max_entries]] = True
+    return _filter_entries(m, keep)
+
+
+def map_flatten(m, sep: str = ".") -> pa.Array:
+    """OTTL ``flatten(attributes)`` for the real one-deep lanes: every
+    Map/Slice entry whose cell rides nk/nv is replaced by its elements
+    hoisted to the top level — ``parent<sep>childkey`` for Map entries,
+    ``parent<sep><index>`` for Slice entries (an empty container
+    vanishes, as in OTTL).  Primitive entries pass through unchanged.
+    DEEP containers (JSON-fallback cells) are left in place — flatten
+    again after a JSON re-parse if full depth is required."""
+    off, keys, items = _parts(m)
+    n = len(off) - 1
+    total = len(keys)
+    vt = pc.fill_null(items.field("vtype"), -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nv = items.field("nv")
+    nv_off = np.asarray(nv.offsets.to_numpy(zero_copy_only=False), np.int64)
+    nv_vals = nv.values
+    base = nv_off[0] if len(nv_off) else 0
+    if base or (len(nv_off) and nv_off[-1] != len(nv_vals)):
+        nv_vals = nv_vals.slice(base, nv_off[-1] - base)
+        nv_off = nv_off - base
+    nv_len = np.diff(nv_off) if len(nv_off) else np.zeros(0, np.int64)
+    one_deep = (((vt == VTYPE_MAP) | (vt == VTYPE_SLICE))
+                & ~np.asarray(nv.is_null()))
+    c = np.where(one_deep, nv_len, 1).astype(np.int64)
+    new_total = int(c.sum())
+    estart = np.zeros(total + 1, np.int64)
+    np.cumsum(c, out=estart[1:])
+    # row offsets: per-row sums of expansion counts
+    rows = np.repeat(np.arange(n), np.diff(off))
+    row_counts = np.bincount(rows, weights=c, minlength=n).astype(np.int64)
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(row_counts, out=new_off[1:])
+    # flat destination walk: entry id and within-entry j per output slot
+    eid = np.repeat(np.arange(total), c)
+    j = np.arange(new_total) - np.repeat(estart[:-1], c)
+    expanded = one_deep[eid]
+    # keys
+    new_keys = np.empty(new_total, object)
+    new_keys[~expanded] = keys[eid[~expanded]]
+    exp_idx = np.flatnonzero(expanded)
+    if len(exp_idx):
+        parents = keys[eid[exp_idx]]
+        is_map = vt[eid[exp_idx]] == VTYPE_MAP
+        childs = np.empty(len(exp_idx), object)
+        # map children: the nk flat values aligned with nv flat values
+        nk = items.field("nk")
+        nk_off = np.asarray(nk.offsets.to_numpy(zero_copy_only=False),
+                            np.int64)
+        nk_vals = np.asarray(nk.values.to_numpy(zero_copy_only=False),
+                             dtype=object)
+        kbase = nk_off[0] if len(nk_off) else 0
+        if kbase or (len(nk_off) and nk_off[-1] != len(nk_vals)):
+            nk_vals = nk_vals[kbase: nk_off[-1]]
+            nk_off = nk_off - kbase
+        srcflat = nv_off[eid[exp_idx]] + j[exp_idx]
+        if is_map.any():
+            kflat = nk_off[eid[exp_idx[is_map]]] + j[exp_idx[is_map]]
+            childs[is_map] = nk_vals[kflat]
+        if (~is_map).any():
+            childs[~is_map] = np.char.mod(
+                "%d", j[exp_idx[~is_map]]).astype(object)
+        new_keys[exp_idx] = np.char.add(
+            np.char.add(parents.astype(str), sep),
+            childs.astype(str)).astype(object)
+    # values: concat(original cells, nested cells lifted to VALUE_T)
+    nested_as_value = pa.StructArray.from_arrays(
+        [nv_vals.field(nm) for nm in ("vtype", *LANES)]
+        + [pa.nulls(len(nv_vals), _LANE_TYPE["nk"]),
+           pa.nulls(len(nv_vals), _LANE_TYPE["nv"])],
+        names=["vtype", *ALL_LANES])
+    perm = np.empty(new_total, np.int64)
+    perm[~expanded] = eid[~expanded]
+    if len(exp_idx):
+        perm[exp_idx] = total + srcflat
+    items_cast = items.combine_chunks() if isinstance(
+        items, pa.ChunkedArray) else items
+    allcells = pa.concat_arrays([items_cast.cast(VALUE_T),
+                                 nested_as_value.cast(VALUE_T)])
+    return _rebuild(new_off, new_keys, _take(allcells, perm))
+
+
+def map_replace_all_patterns(m, mode: str, pattern: str,
+                             replacement: str) -> pa.Array:
+    """OTTL ``replace_all_patterns(attributes, "key"|"value", pattern,
+    replacement)``: regex-substitute across every KEY, or across every
+    STRING value (non-string cells untouched)."""
+    off, keys, items = _parts(m)
+    if mode == "key":
+        new_keys = pc.replace_substring_regex(
+            pa.array(keys, pa.string()), pattern,
+            replacement=replacement)
+        return _rebuild(off, np.asarray(new_keys.to_numpy(
+            zero_copy_only=False), dtype=object), items)
+    if mode != "value":
+        raise ValueError(
+            f"replace_all_patterns: mode must be 'key' or 'value', "
+            f"got {mode!r}")
+    is_str = pc.equal(items.field("vtype"), pa.scalar(VTYPE_STR, pa.int8()))
+    s = items.field("s")
+    rep = pc.replace_substring_regex(s, pattern, replacement=replacement)
+    new_s = pc.if_else(pc.fill_null(is_str, False), rep, s)
+    fields = {nm: items.field(nm) for nm in ("vtype", *ALL_LANES)}
+    fields["s"] = new_s
+    return _rebuild(off, keys, pa.StructArray.from_arrays(
+        list(fields.values()), names=list(fields.keys())))
+
+
 # --------------------------------------------------------- conversions
 
 def from_string_map(m) -> pa.Array:
