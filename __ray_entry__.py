@@ -662,6 +662,61 @@ def _q_orders_global_sorted(sf_dir: str):
                        descending=[True, False], rank_col="rnk")
 
 
+_TFIDF_TERMS = ("window", "join", "hash")
+
+
+def _q_docs_tfidf_topk(sf_dir: str):
+    """Integer-exact reciprocal-df tf-idf against a fixed query
+    (stages/ranking.py): tiny stats pass (df per query term, per-batch
+    partials), then one streaming scoring pass — a dense rows×3 tf
+    matrix and one matmul per batch, no exchange. Top-20 docs with a
+    deterministic (score DESC, doc_id) tie-break."""
+    from opentelemetry_collector_ray.stages.ranking import score_tfidf_int
+
+    scored = score_tfidf_int(
+        lambda: _read_co(sf_dir, "documents", ["doc_id", "text"],
+                         floor=8),
+        list(_TFIDF_TERMS), scale=1000)
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater(t.column("score"), 0)),
+        batch_format="pyarrow").sort(
+        ["score", "doc_id"], descending=[True, False]).limit(20)
+
+
+def _q_docs_index_postings(sf_dir: str):
+    """Persisted inverted index round-trip: build (one bucket exchange,
+    Hive-partitioned write) into a fresh /tmp dir, then a
+    partition-pruned posting read for the query terms (only the buckets
+    the terms hash to are opened)."""
+    import tempfile
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_inverted_index, query_inverted_index)
+
+    idx = tempfile.mkdtemp(prefix="invidx_", dir="/tmp")
+    build_inverted_index(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8), idx,
+        n_buckets=32)
+    return query_inverted_index(idx, list(_TFIDF_TERMS), n_buckets=32)
+
+
+def _q_docs_index_conjunction(sf_dir: str):
+    """Conjunctive retrieval over the inverted index: docs containing
+    EVERY query term (posting count per doc == #terms over the pruned
+    postings — one bounded groupby)."""
+    import tempfile
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_inverted_index, query_inverted_index)
+
+    idx = tempfile.mkdtemp(prefix="invidx_", dir="/tmp")
+    build_inverted_index(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8), idx,
+        n_buckets=32)
+    return query_inverted_index(idx, list(_TFIDF_TERMS), mode="all",
+                                n_buckets=32)
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -1433,6 +1488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_agg_yaml": _q_turns_agg_yaml,
         "docs_attrs_nested": _q_docs_attrs_nested,
         "orders_global_sorted": _q_orders_global_sorted,
+        "docs_tfidf_topk": _q_docs_tfidf_topk,
+        "docs_index_postings": _q_docs_index_postings,
+        "docs_index_conjunction": _q_docs_index_conjunction,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1655,6 +1713,36 @@ SELECT o_orderkey,
             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
                      o_orderkey) - 1 AS BIGINT) AS rnk
 FROM orders
+""",
+        "docs_tfidf_topk": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok WHERE term IN ('window', 'join', 'hash') GROUP BY term),
+w AS (SELECT term, (n.n_docs * 1000) // (df.df + 1) AS w FROM df, n),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ('window', 'join', 'hash')
+       GROUP BY doc_id, term)
+SELECT doc_id, CAST(sum(tf.tf * w.w) AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM tf JOIN w USING (term) GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+        "docs_index_postings": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents)
+SELECT DISTINCT term, doc_id FROM tok
+WHERE term IN ('window', 'join', 'hash')
+""",
+        "docs_index_conjunction": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents)
+SELECT doc_id FROM tok WHERE term IN ('window', 'join', 'hash')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3
 """,
         "conv_stats": f"""
 {with_turns}

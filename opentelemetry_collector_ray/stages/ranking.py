@@ -1,0 +1,299 @@
+"""Corpus ranking — TF-IDF / BM25 scoring against a fixed query and a
+persisted, hash-partitioned inverted index.
+
+The retrieval half of a training-data pipeline (dedup finds what to
+drop; ranking finds what to KEEP): score every document against a query
+term set, or build the term → doc posting index once and answer many
+membership/conjunction queries from partition-pruned reads.
+
+Scale shape:
+
+- Scoring is ONE streaming pass (plus a tiny stats pass): per-batch
+  tokenize → ``pc.index_in`` against the handful of query terms → a
+  dense (rows × n_terms) tf matrix → one matmul with the weight vector.
+  No exchange at all; document frequencies for the query terms are
+  per-batch partial counts summed on the driver (T × #blocks rows).
+- ``score_tfidf_int`` keeps the whole computation in INTEGER arithmetic
+  (weight = N·scale // (df+1) — a reciprocal-df tf-idf), so the DuckDB
+  oracle hash-matches exactly; ``score_bm25`` is the real
+  Robertson/Sparck-Jones BM25 (ln-based idf — transcendental, so
+  checked by planted-truth tests, not hash equality).
+- The inverted index exploits the fact that each document lives in
+  exactly ONE batch: per-batch distinct (term, doc) pairs are already
+  globally distinct, so ONE bucket exchange co-locates each term's
+  postings, each bucket sorts (term, doc) and the index writes
+  Hive-partitioned by bucket (``similarity.py``'s layout). Queries hash
+  the query terms to buckets and read ONLY those partitions.
+
+Reference framing: the collector has no retrieval operator; this is an
+engine addition in the same family as dedup/ANN (SURVEY §2 LLM-ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import bucket_of
+from .bucketing import persisted_factory
+from .corpusstats import _tokens_with_rows
+
+MAX_QUERY_TERMS = 256  # dense tf matrix is rows × T — keep T bounded
+
+
+def _check_terms(query_terms) -> list[str]:
+    terms = [t for t in query_terms]
+    if not terms:
+        raise ValueError("ranking: query_terms must be non-empty")
+    if len(terms) > MAX_QUERY_TERMS:
+        raise ValueError(
+            f"ranking: {len(terms)} query terms > {MAX_QUERY_TERMS}; "
+            "use the inverted index for large term sets")
+    if len(set(terms)) != len(terms):
+        raise ValueError("ranking: query_terms contains duplicates")
+    return terms
+
+
+def corpus_query_stats(make_ds, query_terms, text_col: str = "text",
+                       id_col: str = "doc_id") -> dict:
+    """One streaming pass → ``{"n_docs", "total_tokens", "df": {term:
+    df}}``. Only T-row partials reach the driver (T = #query terms)."""
+    terms = _check_terms(query_terms)
+    tarr = pa.array(terms, pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column(text_col))
+        idx = pc.index_in(flat, value_set=tarr)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        ix = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # df partial: distinct docs per term inside this batch
+        df = np.zeros(len(terms), np.int64)
+        if valid.any():
+            pair = rows[valid] * len(terms) + ix[valid]
+            upair = np.unique(pair)
+            np.add.at(df, upair % len(terms), 1)
+        return pa.table({
+            "_t": pa.array(np.arange(len(terms) + 1, dtype=np.int64)),
+            "_c": pa.array(np.concatenate(
+                [df, [t.num_rows]]).astype(np.int64)),
+            "_tok": pa.array(np.concatenate(
+                [np.zeros(len(terms), np.int64), [len(flat)]])),
+        })
+
+    agg = make_ds().map_batches(
+        partials, batch_size=None, batch_format="pyarrow").to_pandas()
+    if "_t" not in agg.columns:
+        agg = agg.reindex(columns=["_t", "_c", "_tok"]).fillna(0)
+    sums = agg.groupby("_t")[["_c", "_tok"]].sum()
+    n_docs = int(sums["_c"].get(len(terms), 0))
+    total_tokens = int(sums["_tok"].get(len(terms), 0))
+    df = {t: int(sums["_c"].get(i, 0)) for i, t in enumerate(terms)}
+    return {"n_docs": n_docs, "total_tokens": total_tokens, "df": df}
+
+
+class _TfStage:
+    """Per-batch dense tf matrix for the query terms (built once per
+    actor); subclasses turn tf into a score column set."""
+
+    def __init__(self, terms: list[str], text_col: str, id_col: str):
+        self.terms = pa.array(terms, pa.string())
+        self.T = len(terms)
+        self.text_col, self.id_col = text_col, id_col
+
+    def _tf(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(tf matrix rows×T, per-row total token count)."""
+        n = t.num_rows
+        flat, rows = _tokens_with_rows(t.column(self.text_col))
+        idx = pc.index_in(flat, value_set=self.terms)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        ix = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tf = np.zeros((n, self.T), np.int64)
+        if valid.any():
+            np.add.at(tf, (rows[valid], ix[valid]), 1)
+        dl = np.zeros(n, np.int64)
+        if len(rows):
+            np.add.at(dl, rows, 1)
+        return tf, dl
+
+
+class TfIdfIntStage(_TfStage):
+    def __init__(self, terms, weights: np.ndarray, text_col, id_col):
+        super().__init__(terms, text_col, id_col)
+        self.weights = weights.astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tf, _dl = self._tf(t)
+        score = tf @ self.weights
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "score": pa.array(score.astype(np.int64)),
+            "n_matched": pa.array((tf > 0).sum(axis=1).astype(np.int64)),
+        })
+
+
+class Bm25Stage(_TfStage):
+    def __init__(self, terms, idf: np.ndarray, avgdl: float,
+                 k1: float, b: float, text_col, id_col):
+        super().__init__(terms, text_col, id_col)
+        self.idf, self.avgdl = idf.astype(np.float64), float(avgdl)
+        self.k1, self.b = float(k1), float(b)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tf, dl = self._tf(t)
+        tff = tf.astype(np.float64)
+        norm = self.k1 * (1.0 - self.b
+                          + self.b * dl / max(self.avgdl, 1e-12))
+        denom = tff + norm[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            part = np.where(tff > 0.0,
+                            tff * (self.k1 + 1.0) / denom, 0.0)
+        score = part @ self.idf
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "score": pa.array(score),
+            "n_matched": pa.array((tf > 0).sum(axis=1).astype(np.int64)),
+        })
+
+
+def score_tfidf_int(make_ds, query_terms, scale: int = 1000,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    persist: str = "none") -> ray.data.Dataset:
+    """Integer-exact reciprocal-df tf-idf: ``score = Σ_t tf(doc,t) ·
+    (N·scale // (df(t)+1))`` — tf-idf-shaped ranking with NO
+    transcendental ops, so an SQL oracle reproduces it bit-exactly.
+    Two passes over ``make_ds`` (stats + scoring); ``persist`` as in
+    :func:`stages.bucketing.persisted_factory`."""
+    terms = _check_terms(query_terms)
+    make_ds = persisted_factory(make_ds, persist)
+    st = corpus_query_stats(make_ds, terms, text_col, id_col)
+    weights = np.array(
+        [(st["n_docs"] * int(scale)) // (st["df"][t] + 1) for t in terms],
+        np.int64)
+    return make_ds().map_batches(
+        TfIdfIntStage,
+        fn_constructor_kwargs=dict(terms=terms, weights=weights,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def score_bm25(make_ds, query_terms, k1: float = 1.2, b: float = 0.75,
+               text_col: str = "text", id_col: str = "doc_id",
+               persist: str = "none") -> ray.data.Dataset:
+    """Okapi BM25 against a fixed query: ``idf = ln(1 + (N-df+0.5)/
+    (df+0.5))``, tf saturation ``k1``, length normalization ``b``
+    against the corpus mean document length."""
+    terms = _check_terms(query_terms)
+    make_ds = persisted_factory(make_ds, persist)
+    st = corpus_query_stats(make_ds, terms, text_col, id_col)
+    N = st["n_docs"]
+    idf = np.array([np.log1p((N - st["df"][t] + 0.5)
+                             / (st["df"][t] + 0.5)) for t in terms])
+    avgdl = st["total_tokens"] / max(N, 1)
+    return make_ds().map_batches(
+        Bm25Stage,
+        fn_constructor_kwargs=dict(terms=terms, idf=idf, avgdl=avgdl,
+                                   k1=k1, b=b, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ------------------------------------------------------- inverted index
+
+def build_inverted_index(ds: ray.data.Dataset, index_dir: str,
+                         n_buckets: int = 64, text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Persisted inverted index: distinct (term, doc) pairs, ONE bucket
+    exchange (hash(term) % n_buckets), per-bucket ``(term, doc)`` sort,
+    Hive-partitioned write (``bucket=<b>/``). Each document lives in
+    exactly one input batch, so per-batch distinct pairs are globally
+    distinct — no cross-batch dedup pass. Postings are EXPLODED rows
+    (term, doc_id), the parquet-native layout; a term's posting list is
+    one contiguous run inside its bucket partition."""
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column(text_col))
+        if len(rows) == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                id_col: pa.array([], t.column(id_col).type),
+                "bucket": pa.array([], pa.int64())})
+        # distinct (row, term) inside the batch: dictionary-encode terms,
+        # unique the (row, code) pair ids
+        dic = pc.dictionary_encode(flat)
+        codes = np.asarray(dic.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        nv = int(codes.max()) + 1 if len(codes) else 0
+        upair = np.unique(rows * max(nv, 1) + codes)
+        urows = (upair // max(nv, 1)).astype(np.int64)
+        ucodes = (upair % max(nv, 1)).astype(np.int64)
+        terms = dic.dictionary.take(pa.array(ucodes))
+        docs = t.column(id_col).take(pa.array(urows))
+        return pa.table({
+            "term": terms,
+            id_col: docs,
+            "bucket": pa.array(bucket_of(terms, n_buckets)),
+        })
+
+    pairs = ds.map_batches(explode_distinct, batch_format="pyarrow")
+    sorted_buckets = pairs.groupby("bucket").map_groups(
+        lambda t: t.sort_by([("term", "ascending"),
+                             (id_col, "ascending")]),
+        batch_format="pyarrow")
+    sorted_buckets.write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def probe_paths(index_dir: str, terms, n_buckets: int) -> list[str]:
+    """The parquet files a query actually reads: only the ``bucket=<b>/``
+    partitions the query terms hash to (the partition-pruning contract —
+    scan fraction ≈ len(terms)/n_buckets of the index)."""
+    import glob
+    import os
+
+    want = sorted(set(int(b) for b in
+                      bucket_of(pa.array(list(terms), pa.string()),
+                                n_buckets)))
+    return [f for b in want for f in sorted(glob.glob(
+        os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+
+
+def query_inverted_index(index_dir: str, terms, mode: str = "any",
+                         n_buckets: int = 64,
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """Partition-pruned posting read: hash the query terms to their
+    buckets, read ONLY those ``bucket=<b>/`` partitions, filter to the
+    terms. ``mode="any"`` returns the exploded (term, doc) postings;
+    ``mode="all"`` returns the doc ids containing EVERY query term (the
+    conjunction — per-doc distinct-term count == len(terms), vectorized
+    inside the already-co-located buckets is not possible since a doc's
+    terms span buckets, so the conjunction reduces over the pruned
+    postings with one bounded groupby on the doc id)."""
+    terms = _check_terms(terms)
+    tarr = pa.array(terms, pa.string())
+    paths = probe_paths(index_dir, terms, n_buckets)
+    if not paths:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          id_col: pa.array([], pa.string())})
+        return ray.data.from_arrow(empty)
+    posts = ray.data.read_parquet(paths).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("term"), value_set=tarr))
+        .select(["term", id_col]),
+        batch_format="pyarrow")
+    if mode == "any":
+        return posts
+    if mode != "all":
+        raise ValueError(f"query_inverted_index: bad mode {mode!r}")
+    from .aggregate import grouped_count
+
+    # postings are distinct (term, doc): doc matches all terms iff its
+    # posting count over the query terms == len(terms)
+    counts = grouped_count(posts, [id_col], count_name="_nt",
+                           strategy="bucket")
+    k = len(terms)
+    return counts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("_nt"), k)).select([id_col]),
+        batch_format="pyarrow")
