@@ -105,7 +105,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_exp_histogram", "turns_attrs_map",
              "profiles_top_functions", "spans_tail_sampled",
              "join_priority_revenue", "events_last_order_asof",
-             "pii_redact"]
+             "pii_redact", "orders_global_sorted", "docs_tfidf_topk",
+             "docs_index_postings"]
     q = m.queries()
     for name in names:
         t0 = time.time()
