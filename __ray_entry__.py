@@ -717,6 +717,19 @@ def _q_docs_index_conjunction(sf_dir: str):
                                 n_buckets=32)
 
 
+def _q_docs_mixture(sf_dir: str):
+    """Deterministic corpus mixing (stages/mixing.py): per-language doc
+    counts (pass 1, one row per class) → integer keep-permilles hitting
+    the 5:3:2 en:fr:de target at the largest no-upsampling scale →
+    streaming id-mod filter (pass 2). The SQL oracle recomputes the SAME
+    integer rates from the same counts, so the match is exact."""
+    from opentelemetry_collector_ray.stages.mixing import mix_by_class
+
+    return mix_by_class(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "lang", {"en": 5, "fr": 3, "de": 2}, id_col="doc_id")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -1491,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_topk": _q_docs_tfidf_topk,
         "docs_index_postings": _q_docs_index_postings,
         "docs_index_conjunction": _q_docs_index_conjunction,
+        "docs_mixture": _q_docs_mixture,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1743,6 +1757,17 @@ WITH tok AS (
   FROM documents)
 SELECT doc_id FROM tok WHERE term IN ('window', 'join', 'hash')
 GROUP BY doc_id HAVING count(DISTINCT term) = 3
+""",
+        "docs_mixture": """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+w(lang, w) AS (VALUES ('en', 5), ('fr', 3), ('de', 2)),
+s AS (SELECT min(c.n // w.w) AS scale FROM c JOIN w USING (lang)),
+r AS (SELECT w.lang,
+             least(1000, (w.w * s.scale * 1000) // c.n) AS permille
+      FROM w JOIN c USING (lang), s)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE d.doc_id % 1000 < r.permille
 """,
         "conv_stats": f"""
 {with_turns}

@@ -1,0 +1,95 @@
+"""Deterministic corpus mixing — the data-mixture sampling step of a
+pretraining pipeline: combine per-class (per-source, per-language,
+per-domain) populations into a target ratio WITHOUT upsampling, by
+deterministic integer-permille downsampling.
+
+Scale shape: pass 1 is a bounded-key grouped count (one row per class
+reaches the driver); the per-class keep rates are pure integer
+arithmetic (reproducible in SQL — the oracle computes the same rates
+from the same counts); pass 2 is one streaming filter with a vectorized
+dictionary probe (``pc.index_in`` + ``id % base < permille``), the same
+selection idiom as stratified sampling. Nothing shuffles; the filter
+composes with any downstream pipeline.
+
+The mixture math (all integer):
+
+- ``scale = min_k counts[k] // weights[k]`` — the largest number of
+  "weight units" every class can supply without upsampling (the
+  bottleneck class is kept whole, modulo permille rounding);
+- ``target_k = weights[k] * scale``;
+- ``permille_k = (target_k * base) // counts[k]`` (capped at ``base``).
+
+Classes absent from ``weights`` get rate 0 (dropped); a weighted class
+with zero rows fails loudly (the requested mixture is unsatisfiable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .bucketing import persisted_factory
+
+MAX_CLASSES = 10_000  # the rate dict is broadcast; keep it bounded
+
+
+def mixture_rates(counts: dict[str, int], weights: dict[str, int],
+                  base: int = 1000) -> dict[str, int]:
+    """Per-class keep rate (0..base) achieving the ``weights`` ratio at
+    the largest no-upsampling scale. Pure integer arithmetic."""
+    if not weights:
+        raise ValueError("mixture_rates: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_rates: weights must be positive "
+                         "(omit a class to drop it)")
+    missing = [k for k in weights if counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"mixture_rates: weighted classes have no rows: {missing} — "
+            "the requested mixture is unsatisfiable without upsampling")
+    scale = min(counts[k] // w for k, w in weights.items())
+    if scale == 0:
+        raise ValueError(
+            "mixture_rates: some weighted class has fewer rows than its "
+            "weight; reduce the weight granularity")
+    return {k: min(base, (w * scale * base) // counts[k])
+            for k, w in weights.items()}
+
+
+def mix_by_class(make_ds, class_col: str, weights: dict[str, int],
+                 id_col: str, base: int = 1000,
+                 persist: str = "none") -> ray.data.Dataset:
+    """Two-pass deterministic mixture: count per class (pass 1, one row
+    per class on the driver), then keep rows where ``id % base <
+    permille[class]`` (pass 2, one vectorized probe per batch).
+    ``make_ds`` is the usual zero-arg factory; ``persist`` as in
+    :func:`stages.bucketing.persisted_factory`. ``id_col`` must be an
+    integer column with class-independent residues mod ``base`` (a dense
+    or random id; NOT an id correlated with the class)."""
+    from .aggregate import grouped_count
+
+    make_ds = persisted_factory(make_ds, persist)
+    ct = grouped_count(make_ds().select_columns([class_col]),
+                       [class_col], count_name="_n",
+                       strategy="bucket").to_pandas()
+    if len(ct) > MAX_CLASSES:
+        raise ValueError(
+            f"mix_by_class: {len(ct)} classes > {MAX_CLASSES}; a mixture "
+            "over unbounded classes needs a join, not a broadcast dict")
+    counts = dict(zip(ct[class_col], ct["_n"].astype(int)))
+    rates = mixture_rates(counts, weights, base)
+
+    rate_keys = pa.array(list(rates), pa.string())
+    rate_vals = np.array(list(rates.values()) + [0], np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column(class_col), value_set=rate_keys) \
+            .fill_null(len(rate_vals) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % base < rate_vals[idx]))
+
+    return make_ds().map_batches(pick, batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Deterministic corpus mixing (stages/mixing.py): integer rate math,
+filter parity with a python reference, unsatisfiable-mixture errors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.mixing import (mix_by_class,
+                                                       mixture_rates)
+
+
+def test_mixture_rates_math():
+    counts = {"en": 193, "fr": 82, "de": 71, "zh": 74}
+    w = {"en": 5, "fr": 3, "de": 2}
+    r = mixture_rates(counts, w)
+    # scale = min(193//5, 82//3, 71//2) = 27
+    assert r == {"en": (5 * 27 * 1000) // 193,
+                 "fr": (3 * 27 * 1000) // 82,
+                 "de": (2 * 27 * 1000) // 71}
+    assert all(0 < v <= 1000 for v in r.values())
+    # bottleneck class keeps (almost) everything
+    assert r["fr"] == 987
+
+
+def test_mixture_rates_errors():
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 10}, {})
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 10}, {"a": 0})
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 10}, {"a": 1, "b": 1})  # b has no rows
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 3}, {"a": 5})  # scale would be 0
+
+
+def test_mix_by_class_matches_reference(ray_session):
+    rng = np.random.default_rng(5)
+    n = 4000
+    classes = rng.choice(["en", "fr", "de", "zh"], n,
+                         p=[0.5, 0.25, 0.15, 0.1])
+    tbl = pa.table({"doc_id": pa.array(np.arange(n)),
+                    "lang": pa.array(classes)})
+    w = {"en": 4, "fr": 2, "de": 1}
+    out = mix_by_class(
+        lambda: ray.data.from_arrow(tbl).repartition(4),
+        "lang", w, id_col="doc_id").to_pandas()
+    counts = {c: int((classes == c).sum()) for c in set(classes)}
+    rates = mixture_rates(counts, w)
+    keep = [i for i in range(n)
+            if classes[i] in rates and i % 1000 < rates[classes[i]]]
+    assert sorted(out["doc_id"]) == keep
+    # unweighted class fully dropped
+    assert not (out["lang"] == "zh").any()
+    # achieved composition is close to the target ratio
+    got = out.groupby("lang").size()
+    ratio = got / got.min()
+    assert abs(ratio["en"] / ratio["de"] - 4.0) < 0.35
+    assert abs(ratio["fr"] / ratio["de"] - 2.0) < 0.2
