@@ -730,6 +730,27 @@ def _q_docs_mixture(sf_dir: str):
         "lang", {"en": 5, "fr": 3, "de": 2}, id_col="doc_id")
 
 
+_BENCH_PHRASES = ("window window", "key order sort", "batch batch batch")
+
+
+def _q_docs_contamination(sf_dir: str):
+    """Benchmark contamination screen (stages/contamination.py): the
+    phrase set is hashed once on the driver (one sorted uint64 array per
+    phrase length), broadcast, and every doc's rolling n-gram hashes are
+    probed + exact-verified per batch. The oracle checks the SEMANTICS
+    (consecutive-token containment via normalized-string search), not
+    the hash path — matching results prove the hash+verify pipeline."""
+    from opentelemetry_collector_ray.stages.contamination import (
+        flag_contaminated)
+
+    flagged = flag_contaminated(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
+        list(_BENCH_PHRASES))
+    return flagged.map_batches(
+        lambda t: t.select(["doc_id", "contaminated"]),
+        batch_format="pyarrow")
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -1505,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_index_postings": _q_docs_index_postings,
         "docs_index_conjunction": _q_docs_index_conjunction,
         "docs_mixture": _q_docs_mixture,
+        "docs_contamination": _q_docs_contamination,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1768,6 +1790,18 @@ r AS (SELECT w.lang,
       FROM w JOIN c USING (lang), s)
 SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
 WHERE d.doc_id % 1000 < r.permille
+""",
+        "docs_contamination": """
+WITH norm AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             regexp_extract_all(lower(text), '[a-z]+'), ' ') || ' ' AS s
+  FROM documents)
+SELECT doc_id,
+       (strpos(s, ' window window ') > 0
+        OR strpos(s, ' key order sort ') > 0
+        OR strpos(s, ' batch batch batch ') > 0) AS contaminated
+FROM norm
 """,
         "conv_stats": f"""
 {with_turns}

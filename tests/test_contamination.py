@@ -1,0 +1,72 @@
+"""Benchmark contamination screening (stages/contamination.py):
+planted phrases, tokenizer normalization, boundary and overlap
+semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.contamination import (
+    _phrase_table, _rolling_hashes, flag_contaminated)
+from opentelemetry_collector_ray.functions.hashing import hash64
+
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "completely unrelated text about spark and ray"),
+    ("d3", "prefix text THE QUICK, BROWN fox! suffix"),   # normalized hit
+    ("d4", "quick brown"),                                 # partial only
+    ("d5", "quick brown fox quick brown fox"),             # two hits
+    ("d6", ""),
+]
+PHRASES = ["quick brown fox", "lazy dog"]
+
+
+def _ds(blocks=3):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": [d for d, _ in DOCS],
+        "text": [t for _, t in DOCS]})).repartition(blocks)
+
+
+def test_flag_contaminated_planted(ray_session):
+    out = flag_contaminated(_ds(), PHRASES).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got == {"d1": True, "d2": False, "d3": True, "d4": False,
+                   "d5": True, "d6": False}
+    hits = dict(zip(out["doc_id"], out["n_hits"]))
+    assert hits["d1"] == 2  # quick-brown-fox + lazy-dog
+    assert hits["d5"] == 2  # two occurrences of the same phrase
+    assert hits["d4"] == 0
+
+
+def test_no_cross_document_windows(ray_session):
+    # adjacent rows ending/starting with phrase halves must NOT match
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": ["a", "b"],
+        "text": ["ends with quick brown", "fox starts here"]}))
+    out = flag_contaminated(ds, ["quick brown fox"]).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_phrase_table_groups_by_length():
+    t = _phrase_table(["one two", "three four", "five six seven"])
+    assert sorted(t) == [2, 3]
+    assert len(t[2]) == 2 and len(t[3]) == 1
+    assert (np.diff(t[2].astype(np.uint64)) >= 0).all()
+
+
+def test_rolling_hash_masks_boundaries():
+    toks = pa.array(["a", "b", "c", "d"], pa.string())
+    th = hash64(toks)
+    rows = np.array([0, 0, 1, 1])
+    h, hrows = _rolling_hashes(th, rows, 2)
+    # windows: (a,b) row0, (b,c) CROSSES, (c,d) row1 → 2 survive
+    assert len(h) == 2 and list(hrows) == [0, 1]
+
+
+def test_empty_phrase_rejected(ray_session):
+    with pytest.raises(ValueError):
+        flag_contaminated(_ds(), ["!!!"])
+    with pytest.raises(ValueError):
+        flag_contaminated(_ds(), [])
