@@ -303,7 +303,58 @@ def _register_builtins() -> None:
             ds.select_columns(keys), keys, count_name=name,
             strategy=strategy))
 
+    def make_mix(cfg: dict):
+        from .stages.mixing import mix_by_class
+
+        if not cfg.get("weights"):
+            raise ConfigError("mix: weights mapping is required")
+        if not cfg.get("class_col") or not cfg.get("id_col"):
+            raise ConfigError("mix: class_col and id_col are required")
+        weights = {str(k): int(v) for k, v in cfg["weights"].items()}
+        return DatasetTransform(lambda ds: mix_by_class(
+            lambda: ds, cfg["class_col"], weights, id_col=cfg["id_col"],
+            base=int(cfg.get("base", 1000)),
+            persist=cfg.get("persist", "none")))
+
+    def make_global_sort(cfg: dict):
+        from .stages.sort import global_sort
+
+        if not cfg.get("keys"):
+            raise ConfigError("global_sort: keys list is required")
+        return DatasetTransform(lambda ds: global_sort(
+            lambda: ds, list(cfg["keys"]),
+            descending=cfg.get("descending", False),
+            num_partitions=cfg.get("num_partitions"),
+            rank_col=cfg.get("rank_col"),
+            persist=cfg.get("persist", "none")))
+
+    def make_contamination(cfg: dict):
+        from .stages.contamination import flag_contaminated
+
+        if not cfg.get("phrases"):
+            raise ConfigError("contamination: phrases list is required")
+        return DatasetTransform(lambda ds: flag_contaminated(
+            ds, [str(p) for p in cfg["phrases"]],
+            text_col=cfg.get("text_col", "text"),
+            id_col=cfg.get("id_col", "doc_id")))
+
+    def make_tfidf(cfg: dict):
+        from .stages.ranking import score_tfidf_int
+
+        if not cfg.get("terms"):
+            raise ConfigError("tfidf: terms list is required")
+        return DatasetTransform(lambda ds: score_tfidf_int(
+            lambda: ds, [str(t) for t in cfg["terms"]],
+            scale=int(cfg.get("scale", 1000)),
+            text_col=cfg.get("text_col", "text"),
+            id_col=cfg.get("id_col", "doc_id"),
+            persist=cfg.get("persist", "none")))
+
     register("parse", Factory("processor", make_parse))
+    register("mix", Factory("processor", make_mix))
+    register("global_sort", Factory("processor", make_global_sort))
+    register("contamination", Factory("processor", make_contamination))
+    register("tfidf", Factory("processor", make_tfidf))
     register("time_bucket", Factory("processor", make_time_bucket))
     register("count_agg", Factory("processor", make_count_agg))
     register("enrich", Factory("processor", lambda cfg: EnrichStage(cfg.get("refs"))))

@@ -244,3 +244,79 @@ def test_spans_wire_components_round_trip(ray_session, tmp_path):
             "exporters": ["debug"]}}},
     })
     assert build_dataset(cfg3).count() == n_spans
+
+
+def test_mix_sort_contamination_tfidf_processors(ray_session, tmp_path):
+    """Round-4 LLM-ops as first-class YAML processors (mix /
+    global_sort / contamination / tfidf), each through the
+    config-driven builder and equal to the direct library call."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    src = tmp_path / "docs.parquet"
+    rng = np.random.default_rng(9)
+    langs = rng.choice(["en", "fr"], 200, p=[0.7, 0.3])
+    texts = ["alpha beta gamma" if l == "en" else "beta delta"
+             for l in langs]
+    texts[5] = "the secret benchmark phrase here"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(200)),
+        "lang": pa.array(langs),
+        "text": pa.array(texts),
+    }), str(src))
+
+    def build(procs, names):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(src)}},
+            "processors": procs,
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": names,
+                "exporters": ["debug"]}}},
+        }))
+
+    mixed = build({"mix": {"class_col": "lang", "id_col": "doc_id",
+                           "weights": {"en": 1, "fr": 1}}},
+                  ["mix"]).to_pandas()
+    from opentelemetry_collector_ray.stages.mixing import (mix_by_class,
+                                                           mixture_rates)
+    counts = {c: int((langs == c).sum()) for c in ("en", "fr")}
+    rates = mixture_rates(counts, {"en": 1, "fr": 1})
+    assert sorted(mixed["doc_id"]) == [
+        i for i in range(200) if i % 1000 < rates[langs[i]]]
+
+    srt = build({"global_sort": {"keys": ["lang", "doc_id"],
+                                 "rank_col": "rnk"}},
+                ["global_sort"]).to_pandas().sort_values("rnk")
+    assert srt["lang"].tolist() == sorted(langs.tolist())
+
+    cont = build({"contamination": {
+        "phrases": ["secret benchmark phrase"]}},
+        ["contamination"]).to_pandas()
+    assert set(cont[cont["contaminated"]]["doc_id"]) == {5}
+
+    tf = build({"tfidf": {"terms": ["beta", "delta"]}},
+               ["tfidf"]).to_pandas()
+    n_en, n_fr = counts["en"], counts["fr"]
+    w_beta = (200 * 1000) // (200 + 1)  # every doc has beta... except doc 5
+    from opentelemetry_collector_ray.stages.ranking import score_tfidf_int
+    import ray.data
+    direct = score_tfidf_int(
+        lambda: ray.data.read_parquet(str(src)),
+        ["beta", "delta"]).to_pandas()
+    a = tf.sort_values("doc_id").reset_index(drop=True)
+    b = direct.sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "score", "n_matched"]].equals(
+        b[["doc_id", "score", "n_matched"]])
+
+    with pytest.raises(ConfigError):
+        build({"mix": {"class_col": "lang", "id_col": "doc_id"}}, ["mix"])
+    with pytest.raises(ConfigError):
+        build({"global_sort": {}}, ["global_sort"])
+    with pytest.raises(ConfigError):
+        build({"contamination": {"phrases": []}}, ["contamination"])
+    with pytest.raises(ConfigError):
+        build({"tfidf": {}}, ["tfidf"])
