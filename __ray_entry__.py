@@ -751,6 +751,18 @@ def _q_docs_contamination(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_top_bigrams(sf_dir: str):
+    """Corpus bigram statistics (corpusstats.ngram_counts): one
+    tokenize + one binary_join_element_wise over shifted token views
+    per batch (document-boundary windows masked), bucket-strategy
+    grouped count, top-20 with a deterministic tie-break."""
+    from opentelemetry_collector_ray.stages.corpusstats import ngram_counts
+
+    return ngram_counts(
+        _read_co(sf_dir, "documents", ["text"], floor=8), n=2).sort(
+        ["n", "ngram"], descending=[True, False]).limit(20)
+
+
 # --------------------------------------------------------- documents family
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -1527,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_index_conjunction": _q_docs_index_conjunction,
         "docs_mixture": _q_docs_mixture,
         "docs_contamination": _q_docs_contamination,
+        "docs_top_bigrams": _q_docs_top_bigrams,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1802,6 +1815,14 @@ SELECT doc_id,
         OR strpos(s, ' key order sort ') > 0
         OR strpos(s, ' batch batch batch ') > 0) AS contaminated
 FROM norm
+""",
+        "docs_top_bigrams": """
+WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+           FROM documents),
+big AS (SELECT ts[i] || ' ' || ts[i+1] AS ngram
+        FROM l, unnest(range(1, len(ts))) AS r(i))
+SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM big
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
 """,
         "conv_stats": f"""
 {with_turns}

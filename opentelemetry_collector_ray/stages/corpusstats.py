@@ -61,6 +61,37 @@ def term_counts(ds: ray.data.Dataset, text_col: str = "text",
                          strategy="bucket")
 
 
+def ngram_counts(ds: ray.data.Dataset, n: int = 2,
+                 text_col: str = "text", sep: str = " ",
+                 ) -> ray.data.Dataset:
+    """Corpus n-gram frequency table (ngram, n) — the bigram/trigram LM
+    statistics a contamination/novelty scorer consumes. Per batch: one
+    tokenize, n-gram strings built by ONE ``binary_join_element_wise``
+    over the n shifted token views (windows crossing a document boundary
+    masked out) — no Python per token; then the same bucket-strategy
+    grouped count as :func:`term_counts`."""
+    if n < 2:
+        raise ValueError("ngram_counts: n must be >= 2 "
+                         "(use term_counts for unigrams)")
+    from .aggregate import grouped_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column(text_col))
+        m = len(flat) - n + 1
+        if m <= 0:
+            return pa.table({"ngram": pa.array([], pa.string())})
+        parts = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, sep)
+        ok = rows[:m] == rows[n - 1:]
+        if not ok.all():
+            grams = grams.filter(pa.array(ok))
+        return pa.table({"ngram": grams})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_count(exploded, ["ngram"], count_name="n",
+                         strategy="bucket")
+
+
 class UnigramMassStage:
     """Per-doc corpus-frequency mass: n_tokens + sum of each token's
     corpus count (vocab fetched once per actor from the broadcast ref)."""

@@ -70,3 +70,29 @@ def test_empty_phrase_rejected(ray_session):
         flag_contaminated(_ds(), ["!!!"])
     with pytest.raises(ValueError):
         flag_contaminated(_ds(), [])
+
+
+def test_ngram_counts_matches_reference(ray_session):
+    """corpusstats.ngram_counts: vectorized shifted-view bigrams equal a
+    per-row python reference; document boundaries never produce grams."""
+    import re
+
+    from opentelemetry_collector_ray.stages.corpusstats import ngram_counts
+
+    texts = ["a b c a b", "b c", "x", "", "c a? b!"]
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(2)
+    out = ngram_counts(ds, n=2).to_pandas()
+    got = dict(zip(out["ngram"], out["n"]))
+    ref = {}
+    for t in texts:
+        toks = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i+1]}"
+            ref[g] = ref.get(g, 0) + 1
+    assert got == ref
+    # trigrams too
+    out3 = ngram_counts(ds, n=3).to_pandas()
+    got3 = dict(zip(out3["ngram"], out3["n"]))
+    assert got3["a b c"] == 1 and got3["c a b"] == 2
+    with pytest.raises(ValueError):
+        ngram_counts(ds, n=1)
