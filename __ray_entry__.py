@@ -751,6 +751,29 @@ def _q_docs_contamination(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_attrs_flatten(sf_dir: str):
+    """OTTL editor set end-to-end on the real nested lanes: lift the
+    token list to a typed Slice cell, LIMIT the map to its first entry
+    (priority keeps the slice), FLATTEN hoists the elements to
+    tokens.<i> entries, then read back size and an element — all
+    vectorized, no JSON anywhere."""
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        m = T.build_typed_map({"lang": t.column("lang"), "tokens": toks})
+        m = T.map_limit(m, 1, priority_keys=["tokens"])
+        flat = T.map_flatten(m)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_entries": T.map_len(flat),
+            "tok2": T.map_get_str(flat, "tokens.2"),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
 def _q_docs_top_bigrams(sf_dir: str):
     """Corpus bigram statistics (corpusstats.ngram_counts): one
     tokenize + one binary_join_element_wise over shifted token views
@@ -1540,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture": _q_docs_mixture,
         "docs_contamination": _q_docs_contamination,
         "docs_top_bigrams": _q_docs_top_bigrams,
+        "docs_attrs_flatten": _q_docs_attrs_flatten,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1815,6 +1839,11 @@ SELECT doc_id,
         OR strpos(s, ' key order sort ') > 0
         OR strpos(s, ' batch batch batch ') > 0) AS contaminated
 FROM norm
+""",
+        "docs_attrs_flatten": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_entries, toks[3] AS tok2
+FROM d
 """,
         "docs_top_bigrams": """
 WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
