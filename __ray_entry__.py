@@ -774,6 +774,18 @@ def _q_docs_attrs_flatten(sf_dir: str):
         .map_batches(f, batch_format="pyarrow")
 
 
+def _q_docs_frequent_terms(sf_dir: str):
+    """Exact heavy hitters without a vocabulary exchange
+    (corpusstats.frequent_terms): per-block local-threshold candidates
+    (pigeonhole-complete), broadcast recount, rational threshold 1/200
+    of all tokens so the SQL HAVING clause matches bit-exact."""
+    from opentelemetry_collector_ray.stages.corpusstats import frequent_terms
+
+    return frequent_terms(
+        lambda: _read_co(sf_dir, "documents", ["text"], floor=8),
+        num=1, den=200)
+
+
 def _q_docs_top_bigrams(sf_dir: str):
     """Corpus bigram statistics (corpusstats.ngram_counts): one
     tokenize + one binary_join_element_wise over shifted token views
@@ -1564,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": _q_docs_contamination,
         "docs_top_bigrams": _q_docs_top_bigrams,
         "docs_attrs_flatten": _q_docs_attrs_flatten,
+        "docs_frequent_terms": _q_docs_frequent_terms,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1844,6 +1857,15 @@ FROM norm
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_entries, toks[3] AS tok2
 FROM d
+""",
+        "docs_frequent_terms": """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM tok, tot GROUP BY term, tot.c
+HAVING count(*) * 200 >= 1 * tot.c
 """,
         "docs_top_bigrams": """
 WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts

@@ -92,6 +92,103 @@ def ngram_counts(ds: ray.data.Dataset, n: int = 2,
                          strategy="bucket")
 
 
+MAX_HH_CANDIDATES = 5_000_000  # broadcast candidate list bound
+
+
+def frequent_terms(make_ds, num: int, den: int,
+                   text_col: str = "text",
+                   persist: str = "none") -> ray.data.Dataset:
+    """EXACT heavy hitters without a full-vocabulary exchange: every
+    term whose global frequency is ≥ (num/den)·N tokens, with its exact
+    count — the scalable alternative to ``term_counts`` when the
+    vocabulary is unbounded but only frequent terms matter.
+
+    Two passes (``make_ds`` factory + ``persist`` as usual):
+
+    - pass 1: per BLOCK, one Arrow ``value_counts`` and keep terms with
+      ``count_b · den ≥ num · n_b`` (n_b = block token count). By the
+      pigeonhole argument a term with global count ≥ (num/den)·N must
+      clear the local threshold in at least one block, so the candidate
+      union (≤ den/num per block, driver-side, bounded by
+      ``MAX_HH_CANDIDATES``) is COMPLETE — no false negatives;
+    - pass 2: broadcast the candidate list, one ``index_in`` +
+      ``bincount`` per batch, sum the (candidate × block) partials, and
+      keep candidates passing the GLOBAL integer threshold
+      ``n · den ≥ num · N``.
+
+    The threshold is the rational num/den (never a float), so the SQL
+    oracle (``HAVING count(*)*den >= num*total``) matches exactly.
+    """
+    import ray
+
+    from .bucketing import persisted_factory
+
+    if num <= 0 or den <= 0:
+        raise ValueError("frequent_terms: num and den must be positive")
+    make_ds = persisted_factory(make_ds, persist)
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        flat, _rows = _tokens_with_rows(t.column(text_col))
+        nb = len(flat)
+        if nb == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "_ntok": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        terms = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        keep = counts * den >= num * nb
+        terms = terms.filter(pa.array(keep))
+        ntok = np.zeros(len(terms), np.int64)
+        if len(ntok):
+            ntok[0] = nb
+            return pa.table({"term": terms, "_ntok": pa.array(ntok)})
+        # no local candidate: still report the block's token count
+        return pa.table({"term": pa.array([None], pa.string()),
+                         "_ntok": pa.array([nb])})
+
+    cand = make_ds().map_batches(
+        local_candidates, batch_size=None,
+        batch_format="pyarrow").to_pandas()
+    if "term" not in cand.columns:
+        cand = cand.reindex(columns=["term", "_ntok"]).fillna(0)
+    total = int(cand["_ntok"].sum())
+    terms = sorted(set(cand["term"].dropna()))
+    if len(terms) > MAX_HH_CANDIDATES:
+        raise ValueError(
+            f"frequent_terms: {len(terms)} candidates > "
+            f"{MAX_HH_CANDIDATES}; raise the threshold (num/den) or use "
+            "term_counts with a join")
+    tarr = pa.array(terms, pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, _rows = _tokens_with_rows(t.column(text_col))
+        idx = pc.index_in(flat, value_set=tarr)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        ix = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        counts = np.bincount(ix[valid], minlength=len(terms)) \
+            if valid.any() else np.zeros(len(terms), np.int64)
+        nz = np.flatnonzero(counts)  # only present-in-block candidates
+        return pa.table({"_i": pa.array(nz.astype(np.int64)),
+                         "_c": pa.array(counts[nz].astype(np.int64))})
+
+    if not terms:
+        return ray.data.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+    part = make_ds().map_batches(
+        partials, batch_size=None, batch_format="pyarrow").to_pandas()
+    sums = part.groupby("_i")["_c"].sum()
+    n = np.zeros(len(terms), np.int64)
+    n[sums.index.to_numpy(dtype=np.int64)] = sums.to_numpy(
+        dtype=np.int64)
+    keep = n * den >= num * total
+    out = pa.table({"term": pa.array(np.asarray(terms, object)[keep],
+                                     pa.string()),
+                    "n": pa.array(n[keep])})
+    return ray.data.from_arrow(out)
+
+
 class UnigramMassStage:
     """Per-doc corpus-frequency mass: n_tokens + sum of each token's
     corpus count (vocab fetched once per actor from the broadcast ref)."""

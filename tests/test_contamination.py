@@ -96,3 +96,45 @@ def test_ngram_counts_matches_reference(ray_session):
     assert got3["a b c"] == 1 and got3["c a b"] == 2
     with pytest.raises(ValueError):
         ngram_counts(ds, n=1)
+
+
+def test_frequent_terms_exact_heavy_hitters(ray_session):
+    """corpusstats.frequent_terms: local-threshold candidates + exact
+    recount equals the brute-force frequent set at several thresholds,
+    across block layouts (the pigeonhole completeness guarantee)."""
+    import re
+
+    from opentelemetry_collector_ray.stages.corpusstats import frequent_terms
+
+    rng = np.random.default_rng(13)
+    # pure-alpha vocab (the corpus tokenizer splits on [^a-z]+)
+    vocab = ["".join(chr(ord('a') + int(c)) for c in str(i)).rjust(3, 'q')
+             for i in range(50)]
+    p = np.array([50, 30, 20, 10, 5] + [1] * 45, float)
+    texts = [" ".join(rng.choice(vocab, 40, p=p / p.sum()))
+             for _ in range(60)]
+    toks = [w for t in texts for w in re.split(r"[^a-z]+", t.lower()) if w]
+    total = len(toks)
+    from collections import Counter
+    cnt = Counter(toks)
+    for num, den in ((1, 50), (1, 20), (3, 100)):
+        for blocks in (1, 4, 11):
+            tbl = pa.table({"text": texts})
+            out = frequent_terms(
+                lambda: ray.data.from_arrow(tbl).repartition(blocks),
+                num, den).to_pandas()
+            got = dict(zip(out["term"], out["n"]))
+            exp = {t: c for t, c in cnt.items() if c * den >= num * total}
+            assert got == exp, (num, den, blocks)
+
+
+def test_frequent_terms_validation(ray_session):
+    from opentelemetry_collector_ray.stages.corpusstats import frequent_terms
+
+    with pytest.raises(ValueError):
+        frequent_terms(lambda: ray.data.range(1), 0, 10)
+    # empty corpus → empty result
+    tbl = pa.table({"text": pa.array([], pa.string())})
+    out = frequent_terms(lambda: ray.data.from_arrow(tbl), 1, 10
+                         ).to_pandas()
+    assert len(out) == 0
