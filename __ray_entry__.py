@@ -774,6 +774,33 @@ def _q_docs_attrs_flatten(sf_dir: str):
         .map_batches(f, batch_format="pyarrow")
 
 
+def _q_events_user_window(sf_dir: str):
+    """Per-key SQL-window-function family (stages/window.py): lag /
+    delta / running sum / row_number per user in (ts, event_id) order —
+    one bucket exchange, all ops vectorized segment passes inside the
+    bucket. Oracle = the same four window functions in DuckDB."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "value"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "value_cents": _cents(t.column("value"))})
+
+    out = per_key_window(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id",
+        ["ts", "event_id"],
+        {"prev_cents": ("lag", "value_cents"),
+         "delta_cents": ("delta", "value_cents"),
+         "cum_cents": ("cumsum", "value_cents"),
+         "rn": ("row_number",)})
+    return out.map_batches(lambda t: t.drop_columns(["ts"]),
+                           batch_format="pyarrow")
+
+
 def _q_docs_frequent_terms(sf_dir: str):
     """Exact heavy hitters without a vocabulary exchange
     (corpusstats.frequent_terms): per-block local-threshold candidates
@@ -1577,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_bigrams": _q_docs_top_bigrams,
         "docs_attrs_flatten": _q_docs_attrs_flatten,
         "docs_frequent_terms": _q_docs_frequent_terms,
+        "events_user_window": _q_events_user_window,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1857,6 +1885,19 @@ FROM norm
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_entries, toks[3] AS tok2
 FROM d
+""",
+        "events_user_window": """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+           FROM events)
+SELECT user_id, event_id, value_cents,
+       lag(value_cents) OVER w AS prev_cents,
+       value_cents - lag(value_cents) OVER w AS delta_cents,
+       CAST(sum(value_cents) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rn
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "docs_frequent_terms": """
 WITH tok AS (

@@ -1,0 +1,99 @@
+"""Per-key ordered window functions — lag / lead / delta / cumsum /
+row_number over a key partition in event order, the SQL-window-function
+family a batch pipeline needs for per-entity sequence features (previous
+event value, inter-event delta, running totals, ordinal position).
+
+Scale shape: ONE bucket exchange (``bucketed_map_groups`` — never
+``groupby(raw key)``), then every window op inside a bucket is a
+vectorized pass over the (key, order)-sorted table using
+``key_segments`` offsets: lag/lead are shifted views with segment-start
+masking, cumsum is one global cumsum minus a segment-base gather,
+row_number is ``arange - segment_start``. No Python per key or per row.
+
+The collector has no window operator (batch fate of its streaming
+deltatocumulative idea — ``stages/temporal.py`` is the single-op
+special case); this generalizes the idiom used by sessionize/temporal
+into the full family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .bucketing import bucketed_map_groups, key_segments
+
+_OPS = ("lag", "lead", "delta", "cumsum", "row_number")
+
+
+def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
+                   ops: dict[str, tuple],
+                   n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Append window columns per ``key`` partition ordered by
+    ``order_by`` (use a unique tie-break column for determinism).
+
+    ``ops`` maps output column → spec tuple:
+      ``("lag", col)`` / ``("lead", col)`` — previous/next value in the
+      partition (null at the edge);
+      ``("delta", col)`` — ``col - lag(col)`` (null on first row);
+      ``("cumsum", col)`` — running total including the current row;
+      ``("row_number",)`` — 0-based ordinal within the partition.
+    Output rows are the input rows (order within blocks follows the
+    bucket sort, not input order)."""
+    for out, spec in ops.items():
+        if not spec or spec[0] not in _OPS:
+            raise ValueError(
+                f"per_key_window: op {out!r} must start with one of "
+                f"{_OPS}, got {spec!r}")
+        if spec[0] != "row_number" and len(spec) != 2:
+            raise ValueError(
+                f"per_key_window: {spec[0]} takes exactly one column")
+
+    sort_spec = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_by]
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys)
+        n = len(keys)
+        pos = np.arange(n)
+        for out, spec in ops.items():
+            op = spec[0]
+            if op == "row_number":
+                t = t.append_column(
+                    out, pa.array((pos - seg_start).astype(np.int64)))
+                continue
+            col = t.column(spec[1])
+            v = col.to_numpy(zero_copy_only=False)
+            if op in ("lag", "delta"):
+                lag = np.empty_like(v)
+                if n:
+                    lag[1:] = v[:-1]
+                mask = change  # first row of each partition has no lag
+                if op == "lag":
+                    t = t.append_column(
+                        out, pa.array(lag, col.type, mask=mask))
+                else:
+                    d = np.where(mask, 0, v - (lag if n else v))
+                    t = t.append_column(
+                        out, pa.array(d, col.type, mask=mask))
+            elif op == "lead":
+                lead = np.empty_like(v)
+                if n:
+                    lead[:-1] = v[1:]
+                mask = np.zeros(n, bool)
+                if n:
+                    mask[:-1] = change[1:]
+                    mask[-1] = True  # last row of its partition
+                t = t.append_column(
+                    out, pa.array(lead, col.type, mask=mask))
+            else:  # cumsum: global cumsum minus exclusive segment base
+                c = np.cumsum(v)
+                base = np.where(seg_start > 0, c[seg_start - 1], 0)
+                t = t.append_column(out, pa.array(c - base, col.type))
+        return t
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

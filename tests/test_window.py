@@ -1,0 +1,61 @@
+"""Per-key window functions (stages/window.py) vs a pandas reference
+and edge semantics (partition edges, single-row keys, empty)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.window import per_key_window
+
+
+def _make(n=3000, keys=40, seed=2):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array(rng.integers(0, keys, n).astype("str")),
+        "o": pa.array(rng.permutation(n)),
+        "v": pa.array(rng.integers(-50, 50, n)),
+    })
+
+
+def test_window_ops_match_pandas(ray_session):
+    tbl = _make()
+    out = per_key_window(
+        ray.data.from_arrow(tbl).repartition(5), "k", ["o"],
+        {"prev": ("lag", "v"), "nxt": ("lead", "v"),
+         "d": ("delta", "v"), "cum": ("cumsum", "v"),
+         "rn": ("row_number",)},
+        n_buckets=8).to_pandas().sort_values(["k", "o"]).reset_index(
+        drop=True)
+    ref = tbl.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    g = ref.groupby("k")["v"]
+    assert np.array_equal(out["prev"].to_numpy(dtype=float),
+                          g.shift(1).to_numpy(dtype=float),
+                          equal_nan=True)
+    assert np.array_equal(out["nxt"].to_numpy(dtype=float),
+                          g.shift(-1).to_numpy(dtype=float),
+                          equal_nan=True)
+    assert np.array_equal(out["d"].to_numpy(dtype=float),
+                          (ref["v"] - g.shift(1)).to_numpy(dtype=float),
+                          equal_nan=True)
+    assert out["cum"].tolist() == g.cumsum().tolist()
+    assert out["rn"].tolist() == ref.groupby("k").cumcount().tolist()
+
+
+def test_window_single_row_partitions(ray_session):
+    tbl = pa.table({"k": ["a", "b", "c"], "o": [1, 1, 1],
+                    "v": [10, 20, 30]})
+    out = per_key_window(ray.data.from_arrow(tbl), "k", ["o"],
+                         {"prev": ("lag", "v"), "nxt": ("lead", "v"),
+                          "rn": ("row_number",)}).to_pandas()
+    assert out["prev"].isna().all() and out["nxt"].isna().all()
+    assert out["rn"].tolist() == [0, 0, 0]
+
+
+def test_window_bad_spec(ray_session):
+    ds = ray.data.range(3)
+    with pytest.raises(ValueError):
+        per_key_window(ds, "id", ["id"], {"x": ("median", "id")})
+    with pytest.raises(ValueError):
+        per_key_window(ds, "id", ["id"], {"x": ("lag",)})
