@@ -90,24 +90,36 @@ _JOIN_TYPES = {"inner": "inner", "left": "left outer", "full": "full outer",
 
 
 def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
-               key: str, rk: str):
+               key, rk):
     """Tag and union two datasets into one null-padded superset schema
     (Arrow null columns are validity-bitmap-only, ~free to ship) so ONE
-    ``groupby(_bucket)`` exchange co-partitions both sides. The right key
-    is renamed to (and cast to the type of) the LEFT key column; right
-    payload columns colliding with left names get an ``_r`` suffix.
+    ``groupby(_bucket)`` exchange co-partitions both sides. The right
+    key(s) are renamed to (and cast to the type of) the LEFT key
+    column(s) — ``key``/``rk`` may be a single name or an equal-length
+    list (composite key); right payload columns colliding with left
+    names get an ``_r`` suffix.
 
     Returns (unioned_ds, left_names, renamed_right_payload_names)."""
+    lkeys = [key] if isinstance(key, str) else list(key)
+    rkeys = [rk] if isinstance(rk, str) else list(rk)
+    if len(lkeys) != len(rkeys) or not lkeys:
+        raise ValueError("join: key and right_key must be non-empty and "
+                         "the same length")
+    if len(set(lkeys)) != len(lkeys) or len(set(rkeys)) != len(rkeys):
+        raise ValueError("join: duplicate names in the key list")
     lschema = left.schema()
     rschema = right.schema()
     lnames = list(lschema.names)
-    if key not in lnames:
-        raise ValueError(f"left side has no key column {key!r}")
-    if rk not in rschema.names:
-        raise ValueError(f"right side has no key column {rk!r}")
+    for k in lkeys:
+        if k not in lnames:
+            raise ValueError(f"left side has no key column {k!r}")
+    for k in rkeys:
+        if k not in rschema.names:
+            raise ValueError(f"right side has no key column {k!r}")
     rbase = rschema.base_schema if hasattr(rschema, "base_schema") else rschema
     lbase = lschema.base_schema if hasattr(lschema, "base_schema") else lschema
-    r_payload = [n for n in rschema.names if n != rk]
+    rk_of = dict(zip(lkeys, rkeys))
+    r_payload = [n for n in rschema.names if n not in rkeys]
     rename = {n: (n + "_r" if n in lnames else n) for n in r_payload}
     # a rename target colliding with another column would die deep inside
     # a Ray task ("Field exists 2 times in schema") after burning the
@@ -139,8 +151,8 @@ def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
             for name, typ in out_fields:
                 if side == 0 and name in lnames:
                     cols.append(t.column(name).cast(typ))
-                elif side == 1 and name == key:
-                    cols.append(t.column(rk).cast(typ))
+                elif side == 1 and name in rk_of:
+                    cols.append(t.column(rk_of[name]).cast(typ))
                 elif side == 1 and name in rename.values():
                     src = next(s for s, d in rename.items() if d == name)
                     cols.append(t.column(src).cast(typ))
@@ -155,6 +167,31 @@ def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
     return unioned, lnames, [rename[n] for n in r_payload]
 
 
+_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _composite_bucket(t: pa.Table, keys: list[str], nb: int) -> np.ndarray:
+    """Deterministic bucket of a (possibly composite) key: per-column
+    ``hash64`` combined with multiply-xor mixing. Single-key reduces to
+    ``bucket_of`` exactly (same hash, same modulus)."""
+    from ..functions.hashing import hash64
+
+    h = None
+    with np.errstate(over="ignore"):
+        for k in keys:
+            hk = hash64(t.column(k))
+            h = hk if h is None else (h * _HASH_MIX) ^ hk
+    return (h % np.uint64(nb)).astype(np.int64)
+
+
+def _with_composite_bucket(ds: ray.data.Dataset, keys: list[str],
+                           nb: int) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: t.append_column(
+            "_bucket", pa.array(_composite_bucket(t, keys, nb))),
+        batch_format="pyarrow")
+
+
 def _resolve_join_buckets(left, right, n_buckets):
     from .bucketing import adaptive_n_buckets, estimate_input_bytes
 
@@ -166,15 +203,17 @@ def _resolve_join_buckets(left, right, n_buckets):
 
 
 def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
-                      key: str, right_key: str | None = None,
+                      key, right_key=None,
                       how: str = "inner", salt: int = 1,
                       n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Distributed big-big equi-join: co-partition BOTH sides by
     ``hash(key) % n_buckets`` in one exchange (``_pad_union``), then one
     Arrow hash join per bucket (``pa.Table.join`` — vectorized, no Python
     per row). Ray schedules one task per bucket, each seeing all rows of
-    both sides whose key hashes there. ``how``: inner / left / full /
-    semi / anti (semi and anti emit left columns only).
+    both sides whose key hashes there. ``key`` / ``right_key`` may be a
+    single column or an equal-length list (COMPOSITE key — bucketed on
+    the combined hash, joined on all columns). ``how``: inner / left /
+    full / semi / anti (semi and anti emit left columns only).
 
     ``salt > 1`` is the HOT-KEY lever: each left row goes to one of
     ``salt`` sub-buckets of its key and the right side is replicated into
@@ -193,6 +232,7 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         raise ValueError("shuffle_hash_join: salt>1 cannot preserve full "
                          "outer semantics (unmatched right rows would "
                          "duplicate per sub-bucket)")
+    lkeys = [key] if isinstance(key, str) else list(key)
     unioned, lnames, right_cols = _pad_union(left, right, key,
                                              right_key or key)
     nb = _resolve_join_buckets(left, right, n_buckets)
@@ -201,20 +241,22 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     def bucket_join(t: pa.Table) -> pa.Table:
         side = t.column("_side")
         lt = t.filter(pc.equal(side, 0)).select(lnames)
-        rt = t.filter(pc.equal(side, 1)).select([key] + right_cols)
-        return lt.join(rt, keys=[key], right_keys=[key],
+        rt = t.filter(pc.equal(side, 1)).select(lkeys + right_cols)
+        return lt.join(rt, keys=lkeys, right_keys=lkeys,
                        join_type=arrow_how)
 
     if salt > 1:
-        bucketed = _salted_bucketed(unioned, key, nb, salt)
+        bucketed = _salted_bucketed(unioned, lkeys, nb, salt)
+    elif len(lkeys) > 1:
+        bucketed = _with_composite_bucket(unioned, lkeys, nb)
     else:
-        bucketed = with_hash_bucket(unioned, key, nb)
+        bucketed = with_hash_bucket(unioned, lkeys[0], nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_join(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")
 
 
-def _salted_bucketed(unioned: ray.data.Dataset, key: str, nb: int,
+def _salted_bucketed(unioned: ray.data.Dataset, key, nb: int,
                      salt: int) -> ray.data.Dataset:
     """Hot-key lever shared by every bucket join: left rows round-robin
     across ``salt`` sub-buckets of their key bucket while right rows
@@ -222,11 +264,11 @@ def _salted_bucketed(unioned: ray.data.Dataset, key: str, nb: int,
     right key group exactly once — exact for any per-left-row semantics
     (inner/left/semi/anti equi-join, as-of, range) at the cost of
     shipping the right side ``salt``×."""
-    from ..functions.hashing import bucket_of
+    keys = [key] if isinstance(key, str) else list(key)
 
     def add_salted_bucket(t: pa.Table) -> pa.Table:
         side = t.column("_side").to_numpy(zero_copy_only=False)
-        base = np.asarray(bucket_of(t.column(key), nb), np.int64)
+        base = _composite_bucket(t, keys, nb)
         lmask = side == 0
         lt = t.filter(pa.array(lmask))
         lb = base[lmask] * salt + np.arange(lt.num_rows) % salt

@@ -136,3 +136,60 @@ def test_join_plan_build_validation(ray_session):
         "_bucket", pa.array([0], pa.int64())))
     with pytest.raises(ValueError, match="reserved exchange"):
         shuffle_hash_join(lds, bad_r, key="k")
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(keys, times, keys, times)
+def test_composite_key_join_matches_duckdb(ray_session, lk, lt, rk, rt):
+    """Multi-column equi-join (key lists) vs DuckDB on both columns, all
+    modes; composite bucketing must agree with per-bucket Arrow join."""
+    import ray.data
+
+    left, right = _tables(lk, lt, rk, rt)
+    # reuse t/rt as the SECOND key column (coarsened for collisions)
+    left = left.set_column(1, "t", pa.array(
+        [v % 3 for v in left.column("t").to_pylist()], pa.int64()))
+    right = right.set_column(1, "rt", pa.array(
+        [v % 3 for v in right.column("rt").to_pylist()], pa.int64()))
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    sql = {
+        "inner": "SELECT l.k, l.t, l.lv, r.rv FROM l JOIN r "
+                 "ON l.k = r.k AND l.t = r.rt",
+        "left": "SELECT l.k, l.t, l.lv, r.rv FROM l LEFT JOIN r "
+                "ON l.k = r.k AND l.t = r.rt",
+        "semi": "SELECT l.k, l.t, l.lv FROM l SEMI JOIN r "
+                "ON l.k = r.k AND l.t = r.rt",
+        "anti": "SELECT l.k, l.t, l.lv FROM l ANTI JOIN r "
+                "ON l.k = r.k AND l.t = r.rt",
+    }
+    for how, q in sql.items():
+        ours = shuffle_hash_join(
+            lds, rds, key=["k", "t"], right_key=["k", "rt"], how=how,
+            n_buckets=3).to_pandas()
+        oracle = con.execute(q).fetchdf()
+        _assert_match(ours, oracle, f"composite-{how}")
+    # salt>1 must equal salt=1 on composite keys too
+    base = shuffle_hash_join(lds, rds, key=["k", "t"],
+                             right_key=["k", "rt"], n_buckets=3
+                             ).to_pandas()
+    salted = shuffle_hash_join(lds, rds, key=["k", "t"],
+                               right_key=["k", "rt"], n_buckets=3,
+                               salt=3).to_pandas()
+    _assert_match(salted, base, "composite-salt")
+
+
+def test_composite_key_validation(ray_session):
+    import ray.data
+
+    left = pa.table({"k": [1], "t": [1], "lv": [1]})
+    right = pa.table({"k": [1], "rt": [1], "rv": [1]})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    with pytest.raises(ValueError, match="same length"):
+        shuffle_hash_join(lds, rds, key=["k", "t"], right_key=["k"])
+    with pytest.raises(ValueError, match="duplicate"):
+        shuffle_hash_join(lds, rds, key=["k", "k"],
+                          right_key=["k", "rt"])
