@@ -801,6 +801,19 @@ def _q_events_user_window(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_docs_uniform_sample(sf_dir: str):
+    """Deterministic distributed uniform k-sample (stages/sampling.py
+    bottom-k-by-hash, md5 oracle mode): every block emits its local
+    bottom-k, the driver keeps the global bottom-k — reproducible
+    across runs and block layouts, matching the SQL ORDER BY md5 LIMIT
+    bit-for-bit."""
+    from opentelemetry_collector_ray.stages.sampling import sample_bottom_k
+
+    return sample_bottom_k(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), 25, "doc_id",
+        hash_mode="md5")
+
+
 def _q_docs_frequent_terms(sf_dir: str):
     """Exact heavy hitters without a vocabulary exchange
     (corpusstats.frequent_terms): per-block local-threshold candidates
@@ -1605,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_attrs_flatten": _q_docs_attrs_flatten,
         "docs_frequent_terms": _q_docs_frequent_terms,
         "events_user_window": _q_events_user_window,
+        "docs_uniform_sample": _q_docs_uniform_sample,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1885,6 +1899,10 @@ FROM norm
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_entries, toks[3] AS tok2
 FROM d
+""",
+        "docs_uniform_sample": """
+SELECT doc_id, lang FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
 """,
         "events_user_window": """
 WITH e AS (SELECT user_id, event_id, ts,

@@ -1,0 +1,78 @@
+"""Distributed uniform k-sample — bottom-k by deterministic hash.
+
+Reservoir sampling's batch-native replacement: rank every row by a
+deterministic hash of its id and keep the global k smallest. Uniform
+over rows (a hash is a uniform permutation), REPRODUCIBLE across runs
+and cluster layouts (no RNG state), and mergeable: each block emits its
+local bottom-k candidates (k·B candidate rows total — the only data
+that ever leaves the blocks), the driver keeps the global bottom-k.
+The same idea scales hierarchically (tree-merge partials) when k·B
+outgrows the driver; the candidate table here is loudly capped.
+
+``hash_mode="xx64"`` (default) ranks by the vectorized stable
+``hashing.hash64``. ``hash_mode="md5"`` ranks by the md5 hex of the
+id's decimal string — the documented Python-per-row ORACLE helper
+(``functions/text.md5_hex``), matching SQL ``ORDER BY
+md5(CAST(id AS VARCHAR)) LIMIT k`` bit-for-bit; use it for
+cross-engine-reproducible samples, not hot paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MAX_CANDIDATES = 2_000_000  # k × blocks candidate-row bound
+
+
+def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
+                    hash_mode: str = "xx64",
+                    keep_rank: bool = False) -> ray.data.Dataset:
+    """Uniform deterministic k-sample: the k rows with the smallest
+    hash(id), ties broken by id. Returns the sampled rows (plus the
+    hex/int rank column when ``keep_rank``)."""
+    import ray
+
+    if k <= 0:
+        raise ValueError("sample_bottom_k: k must be positive")
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(f"sample_bottom_k: bad hash_mode {hash_mode!r}")
+
+    rk_type = pa.string() if hash_mode == "md5" else pa.uint64()
+
+    def local_bottom(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_rk", pa.array([], rk_type))
+        ids = t.column(id_col)
+        if hash_mode == "md5":
+            from ..functions.text import md5_hex
+
+            rk = md5_hex(ids.cast(pa.string()))
+        else:
+            from ..functions.hashing import hash64
+
+            rk = pa.array(hash64(ids))  # uint64 rank, fully vectorized
+        t = t.append_column("_rk", rk)
+        if t.num_rows > k:
+            t = t.sort_by([("_rk", "ascending"),
+                           (id_col, "ascending")]).slice(0, k)
+        return t
+
+    cand = [ray.get(r) for r in ds.map_batches(
+        local_bottom, batch_size=None,
+        batch_format="pyarrow").to_arrow_refs()]
+    cand = [c for c in cand if c.num_rows]
+    if not cand:
+        return ds  # empty in, empty out (schema preserved by Ray)
+    allc = pa.concat_tables(cand)
+    if allc.num_rows > MAX_CANDIDATES:
+        raise ValueError(
+            f"sample_bottom_k: {allc.num_rows} candidate rows > "
+            f"{MAX_CANDIDATES}; lower k or tree-merge partials")
+    out = allc.sort_by([("_rk", "ascending"), (id_col, "ascending")]) \
+        .slice(0, k)
+    if not keep_rank:
+        out = out.drop_columns(["_rk"])
+    return ray.data.from_arrow(out)

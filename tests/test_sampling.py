@@ -1,0 +1,53 @@
+"""Distributed bottom-k hash sampling (stages/sampling.py):
+determinism across layouts, exact merge semantics, md5 oracle parity."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.sampling import sample_bottom_k
+
+
+def _tbl(n=500):
+    return pa.table({"doc_id": pa.array(np.arange(n)),
+                     "v": pa.array(np.arange(n) * 7 % 13)})
+
+
+def test_bottom_k_layout_invariant(ray_session):
+    tbl = _tbl()
+    outs = []
+    for blocks in (1, 3, 9):
+        out = sample_bottom_k(
+            ray.data.from_arrow(tbl).repartition(blocks), 25,
+            "doc_id").to_pandas().sort_values("doc_id")
+        outs.append(out["doc_id"].tolist())
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 25
+
+
+def test_bottom_k_md5_matches_python_reference(ray_session):
+    tbl = _tbl(200)
+    out = sample_bottom_k(ray.data.from_arrow(tbl).repartition(4), 10,
+                          "doc_id", hash_mode="md5",
+                          keep_rank=True).to_pandas()
+    ref = sorted(range(200),
+                 key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                i))[:10]
+    assert out["doc_id"].tolist() == ref  # output IS bottom-k sorted
+    assert (out["_rk"] == [hashlib.md5(str(i).encode()).hexdigest()
+                           for i in ref]).all()
+
+
+def test_bottom_k_small_input_and_validation(ray_session):
+    tbl = _tbl(5)
+    out = sample_bottom_k(ray.data.from_arrow(tbl), 25, "doc_id"
+                          ).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(5))  # k > n keeps all
+    with pytest.raises(ValueError):
+        sample_bottom_k(ray.data.from_arrow(tbl), 0, "doc_id")
+    with pytest.raises(ValueError):
+        sample_bottom_k(ray.data.from_arrow(tbl), 1, "doc_id",
+                        hash_mode="sha1")
