@@ -263,6 +263,21 @@ def _take(items, idx: np.ndarray) -> pa.StructArray:
     return items.take(pa.array(idx.astype(np.int64)))
 
 
+def _list_parts(arr: pa.ListArray) -> tuple[np.ndarray, pa.Array]:
+    """(rebased int64 offsets, matching flat values) of a ListArray —
+    the sliced-array rebase in ONE place (a sliced ListArray's offsets
+    don't start at 0 and its values child spans the unsliced parent;
+    reading either raw silently indexes the wrong rows — the exact bug
+    class fixed in multimodal/corpusstats this round)."""
+    off = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
+    values = arr.values
+    base = off[0] if len(off) else 0
+    if base or (len(off) and off[-1] != len(values)):
+        values = values.slice(base, off[-1] - base)
+        off = off - base
+    return off, values
+
+
 def _primitive_vtype(t: pa.DataType) -> int:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return VTYPE_STR
@@ -293,13 +308,7 @@ def lift(col: pa.Array | pa.ChunkedArray) -> tuple[int, pa.StructArray]:
     n = len(col)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         # one-deep Slice: reuse the list's own offsets over lifted elems
-        off = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
-                         np.int64)
-        base = off[0] if len(off) else 0
-        values = col.values
-        if base or (len(off) and off[-1] != len(values)):
-            values = values.slice(base, off[-1] - base)
-            off = off - base
+        off, values = _list_parts(col)
         if pa.types.is_list(values.type) or pa.types.is_large_list(
                 values.type):
             raise TypeError("lift: two-deep list nesting has no real "
@@ -310,8 +319,12 @@ def lift(col: pa.Array | pa.ChunkedArray) -> tuple[int, pa.StructArray]:
         elanes = {nm: (values.cast(_LANE_TYPE[nm]) if nm == elane
                        else pa.nulls(nvals, _LANE_TYPE[nm]))
                   for nm in LANES}
+        # a null ELEMENT is the Empty value case, not a typed cell with
+        # a null lane — (evt, None) cells would crash the wire codecs
+        evtypes = np.where(np.asarray(values.is_null()),
+                           np.int8(VTYPE_EMPTY), np.int8(evt))
         elem_lifted = pa.StructArray.from_arrays(
-            [pa.array(np.full(nvals, evt, np.int8)), *elanes.values()],
+            [pa.array(evtypes.astype(np.int8)), *elanes.values()],
             names=["vtype", *LANES])
         # a null at offsets[i] marks list i null (ListArray convention)
         null_mask = np.concatenate(
@@ -451,12 +464,7 @@ def _nv_parts(g: pa.StructArray):
     """(starts, counts, flat NESTED values, vtype int64 w/ -1 nulls) of
     the nv lane, rebased and null-masked."""
     nv = g.field("nv")
-    off = np.asarray(nv.offsets.to_numpy(zero_copy_only=False), np.int64)
-    vals = nv.values
-    base = off[0] if len(off) else 0
-    if base or (len(off) and off[-1] != len(vals)):
-        vals = vals.slice(base, off[-1] - base)
-        off = off - base
+    off, vals = _list_parts(nv)
     counts = np.diff(off) if len(off) else np.zeros(0, np.int64)
     counts = np.where(np.asarray(nv.is_null()), 0, counts)
     vt = pc.fill_null(g.field("vtype"), -1).to_numpy(
@@ -488,33 +496,38 @@ def get_nested(m, path: str) -> pa.StructArray:
     g = map_get(m, key)
     n = len(g)
     starts, counts, vals, vt = _nv_parts(g)
+
+    def map_lookup() -> tuple[np.ndarray, np.ndarray]:
+        # (valid mask, flat nv index) of seg as a Map SUBKEY per row:
+        # align nk flat positions to nv flat positions, last-writer-wins
+        nk = g.field("nk")
+        koff, kvals = _list_parts(nk)
+        kflat = np.asarray(kvals.to_numpy(zero_copy_only=False),
+                           dtype=object)
+        kcounts = np.diff(koff) if len(koff) else np.zeros(0, np.int64)
+        kcounts = np.where(np.asarray(nk.is_null()), 0, kcounts)
+        rows = np.repeat(np.arange(n), kcounts)
+        row_start = koff[:-1] if len(koff) else np.zeros(0, np.int64)
+        match = np.flatnonzero(kflat == seg) if len(kflat) else \
+            np.zeros(0, np.int64)
+        last = np.full(n, -1, np.int64)
+        if len(match):
+            np.maximum.at(last, rows[match], match)
+        valid = (vt == VTYPE_MAP) & (last >= 0)
+        pos_in_row = np.where(valid, last - row_start, 0)
+        return valid, np.where(valid, starts + pos_in_row, 0)
+
+    valid_m, idx_m = map_lookup()
     if seg.isdigit():
+        # a digit segment is a Slice index on Slice cells AND a (numeric
+        # string) subkey on Map cells — a cell is only ever one kind, so
+        # the two branches are disjoint and merge row-wise
         i = int(seg)
-        valid = (vt == VTYPE_SLICE) & (i < counts)
-        idx = np.where(valid, starts + i, 0)
+        valid_s = (vt == VTYPE_SLICE) & (i < counts)
+        valid = valid_s | valid_m
+        idx = np.where(valid_s, starts + i, idx_m)
         return vals.take(pa.array(idx.astype(np.int64), mask=~valid))
-    # map subkey: align nk flat positions to nv flat positions per row
-    nk = g.field("nk")
-    koff = np.asarray(nk.offsets.to_numpy(zero_copy_only=False), np.int64)
-    kflat = np.asarray(nk.values.to_numpy(zero_copy_only=False),
-                       dtype=object)
-    kbase = koff[0] if len(koff) else 0
-    if kbase or (len(koff) and koff[-1] != len(kflat)):
-        kflat = kflat[kbase: koff[-1]]
-        koff = koff - kbase
-    kcounts = np.diff(koff) if len(koff) else np.zeros(0, np.int64)
-    kcounts = np.where(np.asarray(nk.is_null()), 0, kcounts)
-    rows = np.repeat(np.arange(n), kcounts)
-    row_start = koff[:-1] if len(koff) else np.zeros(0, np.int64)
-    match = np.flatnonzero(kflat == seg) if len(kflat) else \
-        np.zeros(0, np.int64)
-    last = np.full(n, -1, np.int64)
-    if len(match):
-        np.maximum.at(last, rows[match], match)
-    valid = (vt == VTYPE_MAP) & (last >= 0)
-    pos_in_row = np.where(valid, last - row_start, 0)
-    idx = np.where(valid, starts + pos_in_row, 0)
-    return vals.take(pa.array(idx.astype(np.int64), mask=~valid))
+    return vals.take(pa.array(idx_m.astype(np.int64), mask=~valid_m))
 
 
 def nested_str(cells: pa.StructArray) -> pa.Array:
@@ -711,19 +724,21 @@ def map_flatten(m, sep: str = ".") -> pa.Array:
     ``parent<sep><index>`` for Slice entries (an empty container
     vanishes, as in OTTL).  Primitive entries pass through unchanged.
     DEEP containers (JSON-fallback cells) are left in place — flatten
-    again after a JSON re-parse if full depth is required."""
+    again after a JSON re-parse if full depth is required.
+
+    Key-collision semantics: a hoisted ``parent<sep>child`` key that
+    equals an existing top-level key yields DUPLICATE map entries (a
+    pdata Map permits them); every read in this module is
+    last-writer-wins, so the later entry shadows the earlier on reads
+    while both survive on the wire. Pick a ``sep`` absent from your key
+    namespace to avoid collisions entirely."""
     off, keys, items = _parts(m)
     n = len(off) - 1
     total = len(keys)
     vt = pc.fill_null(items.field("vtype"), -1).to_numpy(
         zero_copy_only=False).astype(np.int64)
     nv = items.field("nv")
-    nv_off = np.asarray(nv.offsets.to_numpy(zero_copy_only=False), np.int64)
-    nv_vals = nv.values
-    base = nv_off[0] if len(nv_off) else 0
-    if base or (len(nv_off) and nv_off[-1] != len(nv_vals)):
-        nv_vals = nv_vals.slice(base, nv_off[-1] - base)
-        nv_off = nv_off - base
+    nv_off, nv_vals = _list_parts(nv)
     nv_len = np.diff(nv_off) if len(nv_off) else np.zeros(0, np.int64)
     one_deep = (((vt == VTYPE_MAP) | (vt == VTYPE_SLICE))
                 & ~np.asarray(nv.is_null()))
@@ -750,14 +765,9 @@ def map_flatten(m, sep: str = ".") -> pa.Array:
         childs = np.empty(len(exp_idx), object)
         # map children: the nk flat values aligned with nv flat values
         nk = items.field("nk")
-        nk_off = np.asarray(nk.offsets.to_numpy(zero_copy_only=False),
-                            np.int64)
-        nk_vals = np.asarray(nk.values.to_numpy(zero_copy_only=False),
+        nk_off, nk_flat = _list_parts(nk)
+        nk_vals = np.asarray(nk_flat.to_numpy(zero_copy_only=False),
                              dtype=object)
-        kbase = nk_off[0] if len(nk_off) else 0
-        if kbase or (len(nk_off) and nk_off[-1] != len(nk_vals)):
-            nk_vals = nk_vals[kbase: nk_off[-1]]
-            nk_off = nk_off - kbase
         srcflat = nv_off[eid[exp_idx]] + j[exp_idx]
         if is_map.any():
             kflat = nk_off[eid[exp_idx[is_map]]] + j[exp_idx[is_map]]

@@ -36,20 +36,23 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 
 def _rolling_hashes(tok_hashes: np.ndarray, rows: np.ndarray,
-                    n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(window hash, window row) for every n-token window that does not
-    cross a row boundary. Order-dependent mixing: h = Σ_j rot(h_j) ·
+                    n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(window hash, window row, window FLAT-TOKEN start) for every
+    n-token window that does not cross a row boundary — the start array
+    comes from here so hash and verify can never disagree about which
+    window a hit means. Order-dependent mixing: h = Σ_j h_j ·
     MIX^(n-1-j) — a polynomial in an odd 64-bit constant, vectorized as
     n shifted adds."""
     m = len(tok_hashes) - n + 1
     if m <= 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64), z, z
     with np.errstate(over="ignore"):
         h = np.zeros(m, np.uint64)
         for j in range(n):
             h = h * _MIX + tok_hashes[j: j + m]
-    ok = rows[:m] == rows[n - 1:]
-    return h[ok], rows[:m][ok]
+    starts = np.flatnonzero(rows[:m] == rows[n - 1:])
+    return h[starts], rows[starts], starts
 
 
 def _phrase_table(phrases: list[str]) -> dict[int, np.ndarray]:
@@ -65,8 +68,8 @@ def _phrase_table(phrases: list[str]) -> dict[int, np.ndarray]:
             raise ValueError(f"contamination: phrase {p!r} has no tokens")
         toks_of.append(toks)
         th = hash64(pa.array(toks, pa.string()))
-        h, _ = _rolling_hashes(th, np.zeros(len(toks), np.int64),
-                               len(toks))
+        h, _, _ = _rolling_hashes(th, np.zeros(len(toks), np.int64),
+                                  len(toks))
         by_n.setdefault(len(toks), []).append(h)
     return {n: np.sort(np.concatenate(hs)) for n, hs in by_n.items()}
 
@@ -96,7 +99,7 @@ class ContaminationStage:
         hits = np.zeros(nrows, np.int64)
         toks_cache = None
         for n, table in self.tables.items():
-            h, hrows = _rolling_hashes(th, rows, n)
+            h, hrows, hstarts = _rolling_hashes(th, rows, n)
             if not len(h):
                 continue
             pos = np.searchsorted(table, h)
@@ -104,18 +107,13 @@ class ContaminationStage:
                 pos, len(table) - 1)] == h)
             if not cand.any():
                 continue
-            # exact verify: rebuild the candidate windows' text
+            # exact verify: rebuild the candidate windows' text from the
+            # starts _rolling_hashes itself reported
             if toks_cache is None:
                 toks_cache = np.asarray(flat.to_numpy(
                     zero_copy_only=False), dtype=object)
-            starts = np.flatnonzero(cand)
-            # map window index back to flat-token start: window i starts
-            # at flat position of the i-th surviving window; recompute
-            # the survivors' flat starts
-            m = len(th) - n + 1
-            ok = rows[:m] == rows[n - 1:]
-            flat_starts = np.flatnonzero(ok)[starts]
-            for s, r in zip(flat_starts, hrows[starts]):
+            ci = np.flatnonzero(cand)
+            for s, r in zip(hstarts[ci], hrows[ci]):
                 text = " ".join(toks_cache[s: s + n])
                 if text in self.phrase_set:
                     hits[int(r)] += 1

@@ -276,8 +276,19 @@ def query_inverted_index(index_dir: str, terms, mode: str = "any",
     tarr = pa.array(terms, pa.string())
     paths = probe_paths(index_dir, terms, n_buckets)
     if not paths:
+        # keep the indexed id TYPE on the no-partition path (review
+        # finding: a hardcoded string id diverges from the index)
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        any_file = sorted(glob.glob(os.path.join(
+            index_dir, "bucket=*", "*.parquet")))
+        id_type = pq.read_schema(any_file[0]).field(id_col).type \
+            if any_file else pa.string()
         empty = pa.table({"term": pa.array([], pa.string()),
-                          id_col: pa.array([], pa.string())})
+                          id_col: pa.array([], id_type)})
         return ray.data.from_arrow(empty)
     posts = ray.data.read_parquet(paths).map_batches(
         lambda t: t.filter(pc.is_in(t.column("term"), value_set=tarr))

@@ -60,17 +60,35 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
                            (id_col, "ascending")]).slice(0, k)
         return t
 
-    cand = [ray.get(r) for r in ds.map_batches(
-        local_bottom, batch_size=None,
-        batch_format="pyarrow").to_arrow_refs()]
-    cand = [c for c in cand if c.num_rows]
+    refs = ds.map_batches(local_bottom, batch_size=None,
+                          batch_format="pyarrow").to_arrow_refs()
+    # pull candidates INCREMENTALLY and fail before the driver holds
+    # more than the cap — a post-concat check would OOM first (review
+    # finding); each pulled block is itself ≤ k rows
+    cand, pulled = [], 0
+    for r in refs:
+        c = ray.get(r)
+        if c.num_rows == 0:
+            continue
+        pulled += c.num_rows
+        if pulled > MAX_CANDIDATES:
+            raise ValueError(
+                f"sample_bottom_k: candidate rows exceed "
+                f"{MAX_CANDIDATES} (k × blocks too large); lower k or "
+                "tree-merge partials")
+        cand.append(c)
     if not cand:
-        return ds  # empty in, empty out (schema preserved by Ray)
+        # keep the promised schema on the empty path: input columns
+        # (+ _rk when keep_rank)
+        sch = ds.schema()
+        fields = list(zip(sch.names, sch.types)) if sch and sch.names \
+            else []
+        fields = [f for f in fields if f[0] != "_rk"]
+        cols = {nm: pa.array([], tp) for nm, tp in fields}
+        if keep_rank:
+            cols["_rk"] = pa.array([], rk_type)
+        return ray.data.from_arrow(pa.table(cols))
     allc = pa.concat_tables(cand)
-    if allc.num_rows > MAX_CANDIDATES:
-        raise ValueError(
-            f"sample_bottom_k: {allc.num_rows} candidate rows > "
-            f"{MAX_CANDIDATES}; lower k or tree-merge partials")
     out = allc.sort_by([("_rk", "ascending"), (id_col, "ascending")]) \
         .slice(0, k)
     if not keep_rank:

@@ -145,7 +145,16 @@ def global_sort(make_ds, keys, descending: bool | list[bool] = False,
 
     out = out.materialize()
     if out.count() == 0:
-        return out  # nothing to rank; empty result, vacuous order
+        # empty result must still honor the promised schema: the input
+        # columns plus the rank column (the materialized empty exchange
+        # loses its schema, so recover it from the input plan — cheap
+        # here, the input was empty)
+        sch = make_ds().schema()
+        fields = list(zip(sch.names, sch.types)) if sch and sch.names \
+            else []
+        empty = pa.table({nm: pa.array([], tp) for nm, tp in fields}
+                         | {rank_col: pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
     counts = out.map_batches(
         lambda t: pa.Table.from_arrays(
             [t.column(_PART), pa.array(np.ones(t.num_rows, np.int64))],

@@ -67,6 +67,12 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                     out, pa.array((pos - seg_start).astype(np.int64)))
                 continue
             col = t.column(spec[1])
+            if col.null_count:
+                raise ValueError(
+                    f"per_key_window: value column {spec[1]!r} has "
+                    "nulls — lag/delta/cumsum over nulls would be "
+                    "silently wrong (numpy NaN coercion); fill or drop "
+                    "them first")
             v = col.to_numpy(zero_copy_only=False)
             if op in ("lag", "delta"):
                 lag = np.empty_like(v)
@@ -77,9 +83,15 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                     t = t.append_column(
                         out, pa.array(lag, col.type, mask=mask))
                 else:
-                    d = np.where(mask, 0, v - (lag if n else v))
+                    d = v - (lag if n else v)
+                    if d.dtype.kind == "m":  # temporal delta → int64
+                        d = d.astype(np.int64)  # in the column's unit
+                        typ = pa.int64()
+                    else:
+                        d = np.where(mask, 0, d)
+                        typ = col.type
                     t = t.append_column(
-                        out, pa.array(d, col.type, mask=mask))
+                        out, pa.array(d, typ, mask=mask))
             elif op == "lead":
                 lead = np.empty_like(v)
                 if n:
@@ -91,6 +103,10 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                 t = t.append_column(
                     out, pa.array(lead, col.type, mask=mask))
             else:  # cumsum: global cumsum minus exclusive segment base
+                if v.dtype.kind in "mM":
+                    raise ValueError(
+                        "per_key_window: cumsum over a temporal column "
+                        "is undefined; delta it to numbers first")
                 c = np.cumsum(v)
                 base = np.where(seg_start > 0, c[seg_start - 1], 0)
                 t = t.append_column(out, pa.array(c - base, col.type))

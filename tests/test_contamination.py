@@ -60,9 +60,10 @@ def test_rolling_hash_masks_boundaries():
     toks = pa.array(["a", "b", "c", "d"], pa.string())
     th = hash64(toks)
     rows = np.array([0, 0, 1, 1])
-    h, hrows = _rolling_hashes(th, rows, 2)
+    h, hrows, hstarts = _rolling_hashes(th, rows, 2)
     # windows: (a,b) row0, (b,c) CROSSES, (c,d) row1 → 2 survive
     assert len(h) == 2 and list(hrows) == [0, 1]
+    assert list(hstarts) == [0, 2]  # flat-token starts of the survivors
 
 
 def test_empty_phrase_rejected(ray_session):

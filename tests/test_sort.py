@@ -88,9 +88,14 @@ def test_global_sort_heavy_ties_single_value(ray_session):
 def test_global_sort_empty(ray_session):
     tbl = pa.table({"k": pa.array([], pa.int64()),
                     "id": pa.array([], pa.int64())})
-    out = global_sort(lambda: ray.data.from_arrow(tbl), ["k"],
-                      rank_col="rnk").to_pandas()
-    assert len(out) == 0
+    ds = global_sort(lambda: ray.data.from_arrow(tbl), ["k"],
+                     rank_col="rnk")
+    assert len(ds.to_pandas()) == 0
+    # empty path keeps the promised DATASET schema (review finding):
+    # input columns + rank, internal columns absent (Ray's to_pandas
+    # drops columns on fully-empty datasets, so assert on the schema)
+    names = ds.schema().names
+    assert names == ["k", "id", "rnk"]
 
 
 def test_global_sort_bad_descending_len(ray_session):

@@ -301,3 +301,41 @@ def test_one_deep_map_cell_and_wire_round_trip():
     sm = T.to_string_map(mp)
     rendered = _json.loads(sm.to_pylist()[1][0][1])
     assert rendered == [[T.VTYPE_INT, 1], [T.VTYPE_DOUBLE, 2.5]]
+
+
+def test_lift_null_list_elements_are_empty_cells():
+    """A null ELEMENT inside a lifted list is the Empty value case —
+    (evt, None) cells would crash the wire codecs (review finding)."""
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    m = T.build_typed_map({"xs": pa.array([[1, None, 2], [None]],
+                                          pa.list_(pa.int64()))})
+    cells = T.map_get(m, "xs").to_pylist()
+    assert [e["vtype"] for e in cells[0]["nv"]] == \
+        [T.VTYPE_INT, T.VTYPE_EMPTY, T.VTYPE_INT]
+    # cell contract round-trips through both wire forms
+    vt, py = T.cell_value(cells[0])
+    assert py == [(T.VTYPE_INT, 1), (T.VTYPE_EMPTY, None),
+                  (T.VTYPE_INT, 2)]
+    assert T.json_to_value(T.value_to_json(vt, py)) == (vt, py)
+    # element reads: the empty slot is null on every typed lane
+    assert T.nested_int(T.get_nested(m, "xs.1")).to_pylist() == [None,
+                                                                 None]
+    assert T.nested_int(T.get_nested(m, "xs.0")).to_pylist() == [1, None]
+
+
+def test_get_nested_numeric_string_map_subkey():
+    """A digit path segment must also reach Map subkeys that are numeric
+    strings (review finding: previously silently null)."""
+    from opentelemetry_collector_ray.functions import typedattrs as T
+
+    cells = [T.cell(T.VTYPE_MAP, [("0", (T.VTYPE_STR, "zero")),
+                                  ("x", (T.VTYPE_INT, 9))]),
+             T.cell(T.VTYPE_SLICE, [(T.VTYPE_STR, "s0"),
+                                    (T.VTYPE_STR, "s1")])]
+    mp = pa.MapArray.from_arrays(pa.array([0, 1, 2], pa.int32()),
+                                 pa.array(["a", "a"], pa.string()),
+                                 pa.array(cells, T.VALUE_T))
+    got = T.nested_str(T.get_nested(mp, "a.0"))
+    assert got.to_pylist() == ["zero", "s0"]  # map subkey AND slice index
+    assert T.nested_int(T.get_nested(mp, "a.x")).to_pylist() == [9, None]

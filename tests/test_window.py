@@ -59,3 +59,27 @@ def test_window_bad_spec(ray_session):
         per_key_window(ds, "id", ["id"], {"x": ("median", "id")})
     with pytest.raises(ValueError):
         per_key_window(ds, "id", ["id"], {"x": ("lag",)})
+
+
+def test_window_temporal_delta_and_null_guard(ray_session):
+    """Review findings: delta over timestamps yields int64 gaps (column
+    unit); null value columns are rejected loudly, not silently wrong."""
+    ts = pa.array(np.array(["2026-01-01T00:00:00", "2026-01-01T00:00:05",
+                            "2026-01-01T00:01:00"], "datetime64[us]"))
+    tbl = pa.table({"k": ["a", "a", "a"], "o": [1, 2, 3], "ts": ts})
+    out = per_key_window(ray.data.from_arrow(tbl), "k", ["o"],
+                         {"gap_us": ("delta", "ts"),
+                          "prev_ts": ("lag", "ts")}).to_pandas()
+    out = out.sort_values("o")
+    assert out["gap_us"].tolist()[1:] == [5_000_000, 55_000_000]
+    assert pd.isna(out["gap_us"].iloc[0])
+    assert out["prev_ts"].iloc[1] == pd.Timestamp("2026-01-01T00:00:00")
+
+    withnull = pa.table({"k": ["a", "a"], "o": [1, 2],
+                         "v": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="has\\s+nulls|has .?nulls"):
+        per_key_window(ray.data.from_arrow(withnull), "k", ["o"],
+                       {"c": ("cumsum", "v")}).to_pandas()
+    with pytest.raises(Exception, match="temporal"):
+        per_key_window(ray.data.from_arrow(tbl), "k", ["o"],
+                       {"c": ("cumsum", "ts")}).to_pandas()
