@@ -662,6 +662,22 @@ def _q_orders_global_sorted(sf_dir: str):
                        descending=[True, False], rank_col="rnk")
 
 
+def _q_emb_quantize(sf_dir: str):
+    """int8 embedding quantization round trip through a real exchange
+    (stages/embeddings.py): 4x storage cut, codes as opaque binary
+    payloads (list columns break Ray's grouped-block conversion), error
+    bound asserted in tests — rows-only (float payloads)."""
+    from opentelemetry_collector_ray.stages.embeddings import (
+        dequantize_embeddings, quantize_embeddings)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = quantize_embeddings(ds)
+    back = dequantize_embeddings(q, out_col="embedding")
+    return back.map_batches(
+        lambda t: t.select(["vec_id", "q8_scale", "q8_dim"]),
+        batch_format="pyarrow")
+
+
 _TFIDF_TERMS = ("window", "join", "hash")
 
 
@@ -1691,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_distinct_approx": _q_users_distinct_approx,
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
         "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
+        "emb_quantize": _q_emb_quantize,
     }
     return {**oracle_checked, **rows_only}
 

@@ -102,3 +102,34 @@ def test_global_sort_bad_descending_len(ray_session):
     with pytest.raises(ValueError):
         global_sort(lambda: ray.data.range(3), ["id"],
                     descending=[True, False])
+
+
+def test_global_sort_property_vs_duckdb(ray_session):
+    """Randomized parity: rank column equals DuckDB row_number() over
+    mixed-sign ints and strings with heavy duplicates, across block
+    layouts and directions."""
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(50, 400))
+        tbl = pa.table({
+            "a": pa.array(rng.integers(-20, 20, n)),
+            "s": pa.array(rng.choice(["x", "yy", "z", "pp", "q"], n)),
+            "id": pa.array(np.arange(n)),
+        })
+        desc = bool(trial % 2)
+        blocks = int(rng.integers(1, 8))
+        out = global_sort(_make(tbl, blocks), ["a", "s", "id"],
+                          descending=[desc, False, False],
+                          rank_col="rnk").to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        o = con.execute(f"""
+            SELECT a, s, id, CAST(row_number() OVER (ORDER BY
+                a {'DESC' if desc else 'ASC'}, s, id) - 1 AS BIGINT)
+                AS rnk FROM t""").fetchdf()
+        got = out.sort_values("rnk").reset_index(drop=True)
+        exp = o.sort_values("rnk").reset_index(drop=True)
+        assert got[["a", "s", "id", "rnk"]].equals(
+            exp[["a", "s", "id", "rnk"]]), (trial, desc, blocks)
