@@ -350,7 +350,50 @@ def _register_builtins() -> None:
             id_col=cfg.get("id_col", "doc_id"),
             persist=cfg.get("persist", "none")))
 
+    def make_window(cfg: dict):
+        from .stages.window import per_key_window
+
+        if not cfg.get("key") or not cfg.get("order_by") \
+                or not cfg.get("ops"):
+            raise ConfigError("window: key, order_by and ops are required")
+        ops = {out: tuple(spec) for out, spec in cfg["ops"].items()}
+        return DatasetTransform(lambda ds: per_key_window(
+            ds, cfg["key"], list(cfg["order_by"]), ops,
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_sample(cfg: dict):
+        from .stages.sampling import sample_bottom_k
+
+        if not cfg.get("k") or not cfg.get("id_col"):
+            raise ConfigError("sample: k and id_col are required")
+        return DatasetTransform(lambda ds: sample_bottom_k(
+            ds, int(cfg["k"]), cfg["id_col"],
+            hash_mode=cfg.get("hash_mode", "xx64"),
+            keep_rank=bool(cfg.get("keep_rank", False))))
+
+    def make_quantize(cfg: dict):
+        from .stages.embeddings import quantize_embeddings
+
+        return DatasetTransform(lambda ds: quantize_embeddings(
+            ds, vec_col=cfg.get("vec_col", "embedding"),
+            keep_vec=bool(cfg.get("keep_vec", False))))
+
+    def make_frequent_terms(cfg: dict):
+        from .stages.corpusstats import frequent_terms
+
+        if not cfg.get("num") or not cfg.get("den"):
+            raise ConfigError(
+                "frequent_terms: rational threshold num and den required")
+        return DatasetTransform(lambda ds: frequent_terms(
+            lambda: ds, int(cfg["num"]), int(cfg["den"]),
+            text_col=cfg.get("text_col", "text"),
+            persist=cfg.get("persist", "none")))
+
     register("parse", Factory("processor", make_parse))
+    register("window", Factory("processor", make_window))
+    register("sample", Factory("processor", make_sample))
+    register("quantize", Factory("processor", make_quantize))
+    register("frequent_terms", Factory("processor", make_frequent_terms))
     register("mix", Factory("processor", make_mix))
     register("global_sort", Factory("processor", make_global_sort))
     register("contamination", Factory("processor", make_contamination))

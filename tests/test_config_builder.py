@@ -320,3 +320,62 @@ def test_mix_sort_contamination_tfidf_processors(ray_session, tmp_path):
         build({"contamination": {"phrases": []}}, ["contamination"])
     with pytest.raises(ConfigError):
         build({"tfidf": {}}, ["tfidf"])
+
+
+def test_window_sample_quantize_freqterms_processors(ray_session,
+                                                     tmp_path):
+    """window / sample / quantize / frequent_terms as YAML processors,
+    each equal to the direct library call."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rng = np.random.default_rng(21)
+    src = tmp_path / "ev.parquet"
+    pq.write_table(pa.table({
+        "uid": pa.array(rng.integers(0, 9, 120).astype(str)),
+        "o": pa.array(rng.permutation(120)),
+        "v": pa.array(rng.integers(0, 50, 120)),
+        "text": pa.array(["alpha beta"] * 60 + ["beta gamma"] * 60),
+        "emb": pa.array(list(rng.normal(size=(120, 4)).astype(
+            np.float32)), pa.list_(pa.float32())),
+    }), str(src))
+
+    def build(procs, names):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(src)}},
+            "processors": procs,
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": names,
+                "exporters": ["debug"]}}},
+        }))
+
+    w = build({"window": {"key": "uid", "order_by": ["o"],
+                          "ops": {"cum": ["cumsum", "v"],
+                                  "rn": ["row_number"]}}},
+              ["window"]).to_pandas().sort_values(["uid", "o"])
+    ref = w.groupby("uid")["v"].cumsum()
+    assert w["cum"].tolist() == ref.tolist()
+
+    s = build({"sample": {"k": 7, "id_col": "o"}},
+              ["sample"]).to_pandas()
+    assert len(s) == 7
+
+    qz = build({"quantize": {"vec_col": "emb"}}, ["quantize"]
+               ).to_pandas()
+    assert "q8" in qz.columns and "emb" not in qz.columns
+
+    ft = build({"frequent_terms": {"num": 1, "den": 4}},
+               ["frequent_terms"]).to_pandas()
+    assert set(ft["term"]) == {"alpha", "beta", "gamma"} - set()
+    assert dict(zip(ft["term"], ft["n"]))["beta"] == 120
+
+    for procs, names in (
+            ({"window": {"key": "uid"}}, ["window"]),
+            ({"sample": {"id_col": "o"}}, ["sample"]),
+            ({"frequent_terms": {"num": 1}}, ["frequent_terms"])):
+        with pytest.raises(ConfigError):
+            build(procs, names)
