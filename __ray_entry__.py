@@ -842,6 +842,19 @@ def _q_docs_frequent_terms(sf_dir: str):
         num=1, den=200)
 
 
+def _q_docs_curation(sf_dir: str):
+    """End-to-end curation flagship (pipelines/curation.py):
+    contamination screen → 5:3:2 language mixing (rates over the
+    SURVIVORS) → sequence packing. Integer-deterministic throughout, so
+    ONE SQL oracle reproduces the whole pipeline."""
+    from opentelemetry_collector_ray.pipelines.curation import build_curation
+
+    return build_curation(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        phrases=list(_BENCH_PHRASES),
+        weights={"en": 5, "fr": 3, "de": 2}, capacity=2048)
+
+
 def _q_docs_top_bigrams(sf_dir: str):
     """Corpus bigram statistics (corpusstats.ngram_counts): one
     tokenize + one binary_join_element_wise over shifted token views
@@ -1635,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_frequent_terms": _q_docs_frequent_terms,
         "events_user_window": _q_events_user_window,
         "docs_uniform_sample": _q_docs_uniform_sample,
+        "docs_curation": _q_docs_curation,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1920,6 +1934,40 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "docs_curation": r"""
+WITH norm AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             regexp_extract_all(lower(text), '[a-z]+'), ' ') || ' ' AS s
+  FROM documents),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN norm USING (doc_id)
+  WHERE NOT (strpos(s, ' window window ') > 0
+             OR strpos(s, ' key order sort ') > 0
+             OR strpos(s, ' batch batch batch ') > 0)),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM kept
+      GROUP BY lang),
+w(lang, w) AS (VALUES ('en', 5), ('fr', 3), ('de', 2)),
+sc AS (SELECT min(c.n // w.w) AS scale FROM c JOIN w USING (lang)),
+r AS (SELECT w.lang,
+             least(1000, (w.w * sc.scale * 1000) // c.n) AS permille
+      FROM w JOIN c USING (lang), sc),
+mixed AS (SELECT k.doc_id, k.lang, k.text FROM kept k
+          JOIN r USING (lang) WHERE k.doc_id % 1000 < r.permille),
+s2 AS (SELECT doc_id, lang,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                  AS n_tokens
+       FROM mixed)
+SELECT doc_id, lang, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      AS BIGINT) AS chunk_id
+FROM s2
 """,
         "events_user_window": """
 WITH e AS (SELECT user_id, event_id, ts,
