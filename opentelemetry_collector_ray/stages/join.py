@@ -285,7 +285,7 @@ def _salted_bucketed(unioned: ray.data.Dataset, key, nb: int,
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
-              by: str, right_by: str | None = None,
+              by, right_by=None,
               on: str, right_on: str | None = None,
               direction: str = "backward", how: str = "inner",
               tolerance: int | None = None, salt: int = 1,
@@ -306,9 +306,12 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     ``tolerance`` (same units as the time columns after int64 cast, e.g.
     µs for timestamp[us]) drops matches farther than the bound.
     ``how="left"`` keeps unmatched left rows with null right columns.
-    Timestamp columns are compared as int64. ``salt > 1`` splits a hot
-    ``by`` key's left rows across ``salt`` sub-bucket tasks (right side
-    replicated per sub-bucket) — exact, since the match is per left row.
+    Timestamp columns are compared as int64. ``by`` / ``right_by`` may
+    be a single column or an equal-length list (COMPOSITE key — bucketed
+    on the combined hash, per-bucket codes factorized per column).
+    ``salt > 1`` splits a hot ``by`` key's left rows across ``salt``
+    sub-bucket tasks (right side replicated per sub-bucket) — exact,
+    since the match is per left row.
     """
     from .bucketing import with_hash_bucket
 
@@ -317,12 +320,14 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     if how not in ("inner", "left"):
         raise ValueError("asof_join: how must be inner|left")
     rb = right_by or by
+    bys = [by] if isinstance(by, str) else list(by)
+    rbs = [rb] if isinstance(rb, str) else list(rb)
     ron_src = right_on or on
-    if ron_src == rb:
+    if ron_src in rbs:
         raise ValueError(
             "asof_join: right_on must differ from right_by — the right "
             "time column cannot double as the join key")
-    unioned, lnames, right_cols = _pad_union(left, right, by, rb)
+    unioned, lnames, right_cols = _pad_union(left, right, bys, rbs)
     # the right time column's post-rename name
     ron = ron_src + "_r" if ron_src in lnames else ron_src
     if ron not in right_cols:
@@ -334,7 +339,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     def bucket_asof(t: pa.Table) -> pa.Table:
         side_col = t.column("_side")
         lt = t.filter(pc.equal(side_col, 0)).select(lnames)
-        rt = t.filter(pc.equal(side_col, 1)).select([by, ron] + payload)
+        rt = t.filter(pc.equal(side_col, 1)).select(bys + [ron] + payload)
         n_l, n_r = lt.num_rows, rt.num_rows
         out_names = lnames + [ron] + payload
 
@@ -351,13 +356,22 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      [lt.schema.field(x) for x in lnames]
                      + [rt.schema.field(ron)]
                      + [rt.schema.field(x) for x in payload])})
-        l_keys = lt.column(by).to_numpy(zero_copy_only=False)
-        r_keys = rt.column(by).to_numpy(zero_copy_only=False)
         l_time = times(lt, on)
         r_time = times(rt, ron) if n_r else np.empty(0, np.int64)
-        keys = np.concatenate([r_keys, l_keys])
-        if keys.dtype.kind not in "iuf":  # string keys → int codes
-            keys = np.unique(keys, return_inverse=True)[1]
+        # composite keys: factorize every column to dense codes and
+        # combine positionally (codes bounded by bucket row count, so
+        # the product stays far from int64 overflow)
+        keys = None
+        for kc in bys:
+            lk = lt.column(kc).to_numpy(zero_copy_only=False)
+            rk = rt.column(kc).to_numpy(zero_copy_only=False)
+            col = np.unique(np.concatenate([rk, lk]),
+                            return_inverse=True)[1].astype(np.int64)
+            if keys is None:
+                keys = col
+            else:
+                keys = keys * (int(col.max()) + 1 if len(col) else 1) \
+                    + col
         tms = np.concatenate([r_time, l_time])
         flag = np.concatenate([np.zeros(n_r, np.int8),
                                np.ones(n_l, np.int8)])
@@ -395,9 +409,11 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return out
 
     if int(salt) > 1:
-        bucketed = _salted_bucketed(unioned, by, nb, int(salt))
+        bucketed = _salted_bucketed(unioned, bys, nb, int(salt))
+    elif len(bys) > 1:
+        bucketed = _with_composite_bucket(unioned, bys, nb)
     else:
-        bucketed = with_hash_bucket(unioned, by, nb)
+        bucketed = with_hash_bucket(unioned, bys[0], nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_asof(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")

@@ -193,3 +193,42 @@ def test_composite_key_validation(ray_session):
     with pytest.raises(ValueError, match="duplicate"):
         shuffle_hash_join(lds, rds, key=["k", "k"],
                           right_key=["k", "rt"])
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(keys, times, keys, times)
+def test_composite_by_asof_matches_duckdb(ray_session, lk, lt, rk, rt):
+    """asof_join with a two-column by key vs DuckDB ASOF JOIN with two
+    equality conditions; plus salt parity on the composite key."""
+    import ray.data
+
+    left, right = _tables(lk, lt, rk, rt)
+    # second key column: coarse parity of the value columns
+    left = left.append_column("k2", pa.array(
+        [v % 2 for v in left.column("lv").to_pylist()], pa.int64()))
+    right = right.append_column("k2", pa.array(
+        [v % 2 for v in right.column("rv").to_pylist()], pa.int64()))
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sqlhow in (("inner", "ASOF JOIN"), ("left",
+                                                 "ASOF LEFT JOIN")):
+        ours = asof_join(lds, rds, by=["k", "k2"], on="t",
+                         right_on="rt", how=how, n_buckets=2
+                         ).to_pandas()
+        oracle = con.execute(f"""
+            SELECT l.k, l.k2, l.t, l.lv, r.rt, r.rv
+            FROM l {sqlhow} r
+            ON l.k = r.k AND l.k2 = r.k2 AND l.t >= r.rt""").fetchdf()
+        # ties on (k, k2, rt) make the matched ROW ambiguous — drop rv
+        for df in (ours, oracle):
+            df.drop(columns=["rv"], inplace=True, errors="ignore")
+        _assert_match(ours, oracle, f"asof-composite-{how}")
+    base = asof_join(lds, rds, by=["k", "k2"], on="t", right_on="rt",
+                     n_buckets=2).to_pandas().drop(columns=["rv"], errors="ignore")
+    salted = asof_join(lds, rds, by=["k", "k2"], on="t", right_on="rt",
+                       n_buckets=2, salt=3).to_pandas().drop(
+        columns=["rv"], errors="ignore")
+    _assert_match(salted, base, "asof-composite-salt")
