@@ -420,7 +420,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
 
 def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
-               by: str, right_by: str | None = None,
+               by, right_by=None,
                on: str, right_start: str, right_end: str | None = None,
                max_interval: int, salt: int = 1,
                n_buckets: int | str = "auto") -> ray.data.Dataset:
@@ -444,15 +444,18 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     last. No Python per key or per row. ``salt > 1`` splits a hot ``by``
     key's left rows across sub-bucket tasks (right replicated per
     sub-bucket) — exact, since each (left, right) pair is still formed
-    exactly once.
+    exactly once. ``by`` / ``right_by`` may be a single column or an
+    equal-length list (composite key), as in ``asof_join``.
     """
     from .bucketing import with_hash_bucket
 
     rb = right_by or by
-    unioned, lnames, right_cols = _pad_union(left, right, by, rb)
+    bys = [by] if isinstance(by, str) else list(by)
+    rbs = [rb] if isinstance(rb, str) else list(rb)
+    unioned, lnames, right_cols = _pad_union(left, right, bys, rbs)
 
     def rcol(src: str) -> str:
-        return src + "_r" if (src in lnames and src != rb) else src
+        return src + "_r" if (src in lnames and src not in rbs) else src
 
     rstart = rcol(right_start)
     rend = rcol(right_end) if right_end else None
@@ -471,7 +474,7 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     def bucket_range(t: pa.Table) -> pa.Table:
         side_col = t.column("_side")
         lt = t.filter(pc.equal(side_col, 0)).select(lnames)
-        rt = t.filter(pc.equal(side_col, 1)).select([by] + payload)
+        rt = t.filter(pc.equal(side_col, 1)).select(bys + payload)
         out_schema = pa.schema(
             [lt.schema.field(n) for n in lnames]
             + [rt.schema.field(c) for c in payload])
@@ -486,12 +489,20 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 "range_join: an interval exceeds max_interval — raise "
                 "max_interval to cover the longest interval")
         l_t = as_int64(lt, on)
-        l_keys = lt.column(by).to_numpy(zero_copy_only=False)
-        r_keys = rt.column(by).to_numpy(zero_copy_only=False)
-        all_keys = np.concatenate([r_keys, l_keys])
-        if all_keys.dtype.kind not in "iuf":
-            all_keys = np.unique(all_keys, return_inverse=True)[1]
-        rk_, lk_ = all_keys[: len(r_keys)], all_keys[len(r_keys):]
+        # composite keys: dense per-column codes combined positionally
+        all_keys = None
+        for kc in bys:
+            lk = lt.column(kc).to_numpy(zero_copy_only=False)
+            rk = rt.column(kc).to_numpy(zero_copy_only=False)
+            col = np.unique(np.concatenate([rk, lk]),
+                            return_inverse=True)[1].astype(np.int64)
+            if all_keys is None:
+                all_keys = col
+            else:
+                all_keys = all_keys * (int(col.max()) + 1 if len(col)
+                                       else 1) + col
+        rk_ = all_keys[: rt.num_rows]
+        lk_ = all_keys[rt.num_rows:]
         r_order = np.lexsort((r_start, rk_))
         rk_s, rs_s = rk_[r_order], r_start[r_order]
         re_s = r_end[r_order]
@@ -531,9 +542,11 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return out
 
     if int(salt) > 1:
-        bucketed = _salted_bucketed(unioned, by, nb, int(salt))
+        bucketed = _salted_bucketed(unioned, bys, nb, int(salt))
+    elif len(bys) > 1:
+        bucketed = _with_composite_bucket(unioned, bys, nb)
     else:
-        bucketed = with_hash_bucket(unioned, by, nb)
+        bucketed = with_hash_bucket(unioned, bys[0], nb)
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_range(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")

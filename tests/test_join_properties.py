@@ -232,3 +232,34 @@ def test_composite_by_asof_matches_duckdb(ray_session, lk, lt, rk, rt):
                        n_buckets=2, salt=3).to_pandas().drop(
         columns=["rv"], errors="ignore")
     _assert_match(salted, base, "asof-composite-salt")
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(keys, times, keys, times)
+def test_composite_by_range_matches_duckdb(ray_session, lk, lt, rk, rt):
+    """range_join with a two-column by key vs the equivalent DuckDB
+    inequality join, plus salt parity."""
+    import ray.data
+
+    left, right = _tables(lk, lt, rk, rt)
+    left = left.append_column("k2", pa.array(
+        [v % 2 for v in left.column("lv").to_pylist()], pa.int64()))
+    right = right.append_column("k2", pa.array(
+        [v % 2 for v in right.column("rv").to_pylist()], pa.int64()))
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ours = range_join(lds, rds, by=["k", "k2"], on="t",
+                      right_start="rt", max_interval=10,
+                      n_buckets=2).to_pandas()
+    oracle = con.execute("""
+        SELECT l.k, l.k2, l.t, l.lv, r.rt, r.rv
+        FROM l JOIN r ON l.k = r.k AND l.k2 = r.k2
+        AND l.t >= r.rt AND l.t < r.rt + 10""").fetchdf()
+    _assert_match(ours, oracle, "range-composite")
+    salted = range_join(lds, rds, by=["k", "k2"], on="t",
+                        right_start="rt", max_interval=10,
+                        n_buckets=2, salt=3).to_pandas()
+    _assert_match(salted, ours, "range-composite-salt")
