@@ -107,7 +107,7 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "join_priority_revenue", "events_last_order_asof",
              "pii_redact", "orders_global_sorted", "docs_tfidf_topk",
              "docs_index_postings", "events_user_window",
-             "docs_contamination"]
+             "docs_contamination", "docs_curation"]
     q = m.queries()
     for name in names:
         t0 = time.time()
