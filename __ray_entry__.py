@@ -852,7 +852,8 @@ def _q_docs_curation(sf_dir: str):
     return build_curation(
         lambda: _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
         phrases=list(_BENCH_PHRASES),
-        weights={"en": 5, "fr": 3, "de": 2}, capacity=2048)
+        weights={"en": 5, "fr": 3, "de": 2}, capacity=2048,
+        persist="memory")
 
 
 def _q_docs_top_bigrams(sf_dir: str):

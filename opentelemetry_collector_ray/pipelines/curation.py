@@ -48,32 +48,42 @@ def build_curation(make_docs, phrases: list[str],
     from ..stages.packing import pack_chunks
 
     # flag_contaminated returns only (id, flag, hits); the filter must
-    # keep the full rows, so run the stage inline over full batches
+    # keep the full rows, so run the stage inline over full batches.
+    # INSTANCE mode (stateless task pool, tables in the closure — they
+    # are a few sorted hash arrays) rather than an actor pool: the
+    # chain executes several times across the mixing/packing passes and
+    # per-execution actor spin-up dominated the wall (19 s → ~3 s at
+    # sf0.1 with instance mode + the persisted screen below).
+    from ..stages.contamination import (ContaminationStage, _normalize,
+                                        _phrase_table)
+
+    tables = _phrase_table(list(phrases))
+    normset = [_normalize(p) for p in phrases]
+
+    class ScreenKeep(ContaminationStage):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flags = super().__call__(t)
+            return t.filter(pc.invert(flags.column("contaminated")))
+
+    stage = ScreenKeep(tables=tables, phrase_set=normset,
+                       text_col=text_col, id_col=id_col)
+
     def screen_batches(docs: ray.data.Dataset) -> ray.data.Dataset:
-        import ray as _ray
+        return docs.map_batches(stage, batch_format="pyarrow")
 
-        from ..stages.contamination import (ContaminationStage,
-                                            _normalize, _phrase_table)
+    if persist != "none":
+        # run the screen ONCE; every mixing/packing pass reuses it
+        _screened = screen_batches(make_docs()).materialize()
 
-        tables = _phrase_table(list(phrases))
-        normset = [_normalize(p) for p in phrases]
-        ref = _ray.put(tables)
-
-        class ScreenKeep(ContaminationStage):
-            def __call__(self, t: pa.Table) -> pa.Table:
-                flags = super().__call__(t)
-                return t.filter(pc.invert(flags.column("contaminated")))
-
-        return docs.map_batches(
-            ScreenKeep,
-            fn_constructor_kwargs=dict(tables_ref=ref,
-                                       phrase_set=normset,
-                                       text_col=text_col, id_col=id_col),
-            batch_format="pyarrow", concurrency=(1, 8))
+        def screened_factory():
+            return _screened
+    else:
+        def screened_factory():
+            return screen_batches(make_docs())
 
     def mixed():
-        return mix_by_class(lambda: screen_batches(make_docs()),
-                            class_col, weights, id_col=id_col)
+        return mix_by_class(screened_factory, class_col, weights,
+                            id_col=id_col)
 
     def counted():
         return mixed().map_batches(

@@ -292,8 +292,11 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Distributed AS-OF join: for every left row, the single right row
     with the same ``by`` key and the greatest ``right_on`` ≤ ``on``
-    (``direction="backward"``; ``"forward"`` = smallest ≥). Equivalent to
-    DuckDB's ``ASOF JOIN … ON l.by = r.by AND l.on >= r.on``.
+    (``direction="backward"``; ``"forward"`` = smallest ≥;
+    ``"nearest"`` = smaller absolute gap of the two, ties to backward —
+    pandas ``merge_asof`` nearest semantics, two sweeps per bucket).
+    Equivalent to DuckDB's ``ASOF JOIN … ON l.by = r.by AND l.on >=
+    r.on`` for backward.
 
     Scale shape: ONE int-bucket co-partition exchange (``_pad_union`` —
     both sides of a key land in one bucket task), then per bucket a fully
@@ -315,8 +318,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     """
     from .bucketing import with_hash_bucket
 
-    if direction not in ("backward", "forward"):
-        raise ValueError("asof_join: direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join: direction must be backward|forward|nearest")
     if how not in ("inner", "left"):
         raise ValueError("asof_join: how must be inner|left")
     rb = right_by or by
@@ -347,7 +351,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             c = tbl.column(col)
             if pa.types.is_timestamp(c.type):
                 c = c.cast(pa.int64())
-            return sign * c.to_numpy(zero_copy_only=False).astype(np.int64)
+            return c.to_numpy(zero_copy_only=False).astype(np.int64)
 
         if n_l == 0 or (n_r == 0 and how == "inner"):
             return pa.table(
@@ -372,38 +376,65 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             else:
                 keys = keys * (int(col.max()) + 1 if len(col) else 1) \
                     + col
-        tms = np.concatenate([r_time, l_time])
         flag = np.concatenate([np.zeros(n_r, np.int8),
                                np.ones(n_l, np.int8)])
         src = np.concatenate([np.arange(n_r), np.arange(n_l)])
-        order = np.lexsort((flag, tms, keys))
-        k_s, f_s, s_s = keys[order], flag[order], src[order]
-        change = np.ones(len(k_s), bool)
-        if len(k_s) > 1:
-            change[1:] = k_s[1:] != k_s[:-1]
-        seg = np.cumsum(change) - 1
-        # marker = SORTED position of each right row (sorted order IS time
-        # order within a key), so accumulate yields the latest-in-time
-        # right row seen so far; segment offsets stop cross-key carryover
-        OFFSET = len(k_s) + 2
-        pos = np.arange(len(k_s), dtype=np.int64)
-        marker = np.where(f_s == 0, pos, -1)
-        acc = np.maximum.accumulate(marker + seg * OFFSET)
-        match_pos = acc - seg * OFFSET  # <0 ⇒ no right row yet in this key
-        is_left = f_s == 1
-        left_idx = s_s[is_left]
-        mp = match_pos[is_left]
-        valid = mp >= 0
-        m = np.where(valid, s_s[np.maximum(mp, 0)], -1)
-        if tolerance is not None and valid.any():
-            gap = l_time[left_idx] - np.where(valid, r_time[np.maximum(m, 0)], 0)
-            valid &= gap <= int(tolerance)
-        if how == "inner":
-            left_idx, m = left_idx[valid], m[valid]
-            take_r = pa.array(m.astype(np.int64))
+
+        def run(s: int) -> np.ndarray:
+            """One directional sweep (s=+1 backward, -1 forward) →
+            per-ORIGINAL-left-row matched right index (-1 = none,
+            tolerance applied)."""
+            tms = s * np.concatenate([r_time, l_time])
+            order = np.lexsort((flag, tms, keys))
+            k_s, f_s, s_s = keys[order], flag[order], src[order]
+            change = np.ones(len(k_s), bool)
+            if len(k_s) > 1:
+                change[1:] = k_s[1:] != k_s[:-1]
+            seg = np.cumsum(change) - 1
+            # marker = SORTED position of each right row (sorted order
+            # IS time order within a key), so accumulate yields the
+            # latest-so-far right row; segment offsets stop carryover
+            OFFSET = len(k_s) + 2
+            pos = np.arange(len(k_s), dtype=np.int64)
+            marker = np.where(f_s == 0, pos, -1)
+            acc = np.maximum.accumulate(marker + seg * OFFSET)
+            match_pos = acc - seg * OFFSET  # <0 ⇒ no right row yet
+            is_left = f_s == 1
+            left_idx = s_s[is_left]
+            mp = match_pos[is_left]
+            valid = mp >= 0
+            m = np.where(valid, s_s[np.maximum(mp, 0)], -1)
+            if tolerance is not None and valid.any():
+                gap = s * (l_time[left_idx] - np.where(
+                    valid, r_time[np.maximum(m, 0)], 0))
+                valid &= gap <= int(tolerance)
+            m_arr = np.full(n_l, -1, np.int64)
+            m_arr[left_idx[valid]] = m[valid]
+            return m_arr
+
+        if direction == "nearest" and n_r == 0:
+            m_all = np.full(n_l, -1, np.int64)
+        elif direction == "nearest":
+            mb, mf = run(1), run(-1)
+            gb = np.where(mb >= 0,
+                          l_time - r_time[np.maximum(mb, 0)],
+                          np.iinfo(np.int64).max)
+            gf = np.where(mf >= 0,
+                          r_time[np.maximum(mf, 0)] - l_time,
+                          np.iinfo(np.int64).max)
+            # smaller absolute gap wins; ties go backward (pandas
+            # merge_asof nearest tie rule: the prior row)
+            m_all = np.where(gb <= gf, mb, mf)
         else:
-            take_r = pa.array(m.astype(np.int64), mask=~valid)
-        out = lt.take(pa.array(left_idx.astype(np.int64)))
+            m_all = run(sign)
+        valid = m_all >= 0
+        if how == "inner":
+            left_rows = np.flatnonzero(valid)
+            take_r = pa.array(m_all[valid].astype(np.int64))
+        else:
+            left_rows = np.arange(n_l)
+            take_r = pa.array(m_all.astype(np.int64), mask=~valid)
+        out = lt.take(pa.array(left_rows.astype(np.int64)))
         for c in [ron] + payload:
             out = out.append_column(c, rt.column(c).take(take_r))
         return out

@@ -263,3 +263,62 @@ def test_composite_by_range_matches_duckdb(ray_session, lk, lt, rk, rt):
                         right_start="rt", max_interval=10,
                         n_buckets=2, salt=3).to_pandas()
     _assert_match(salted, ours, "range-composite-salt")
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(keys, times, keys, times)
+def test_asof_nearest_matches_pandas(ray_session, lk, lt, rk, rt):
+    """direction='nearest' vs pandas merge_asof nearest per key (the
+    reference implementation for the tie-to-backward rule)."""
+    import ray.data
+
+    left, right = _tables(lk, lt, rk, rt)
+    # dedupe right (k, rt) pairs: equal-distance DUPLICATE right rows
+    # make the matched row ambiguous in any implementation
+    rdf = right.to_pandas().drop_duplicates(["k", "rt"])
+    right = pa.Table.from_pandas(rdf, preserve_index=False)
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    for how in ("inner", "left"):
+        ours = asof_join(lds, rds, by="k", on="t", right_on="rt",
+                         direction="nearest", how=how,
+                         n_buckets=2).to_pandas()
+        ldf = left.to_pandas().sort_values("t", kind="mergesort")
+        if len(ldf) and len(rdf):
+            exp = pd.merge_asof(
+                ldf, rdf.sort_values("rt", kind="mergesort"),
+                left_on="t", right_on="rt", left_by="k", right_by="k",
+                direction="nearest")
+        else:
+            exp = ldf.assign(rt=pd.Series(dtype="float64"),
+                             rv=pd.Series(dtype="float64"))
+        if how == "inner":
+            exp = exp[exp["rt"].notna()]
+        _assert_match(ours, exp, f"asof-nearest-{how}")
+
+
+def test_asof_nearest_tolerance_and_ties(ray_session):
+    import ray.data
+
+    left = pa.table({"k": [1, 1, 1], "t": [10, 14, 30],
+                     "lv": [0, 1, 2]})
+    right = pa.table({"k": [1, 1], "rt": [8, 16], "rv": [100, 200]})
+    out = asof_join(ray.data.from_arrow(left),
+                    ray.data.from_arrow(right), by="k", on="t",
+                    right_on="rt", direction="nearest",
+                    how="left").to_pandas().sort_values("t")
+    # t=10: gaps 2 back / 6 fwd → back; t=14: 6 back / 2 fwd → fwd;
+    # t=30: 14 back, no fwd → back
+    assert out["rv"].tolist() == [100, 200, 200]
+    tol = asof_join(ray.data.from_arrow(left),
+                    ray.data.from_arrow(right), by="k", on="t",
+                    right_on="rt", direction="nearest", how="left",
+                    tolerance=5).to_pandas().sort_values("t")
+    assert tol["rv"].fillna(-1).tolist() == [100, 200, -1]
+    # equidistant tie goes BACKWARD (t=12: both gaps 4)
+    tie = asof_join(
+        ray.data.from_arrow(pa.table({"k": [1], "t": [12],
+                                      "lv": [0]})),
+        ray.data.from_arrow(right), by="k", on="t", right_on="rt",
+        direction="nearest").to_pandas()
+    assert tie["rv"].tolist() == [100]
