@@ -389,7 +389,12 @@ def test_asof_join_directions_tolerance(ray_session):
         asof_join(left, right, by="k", on="t", right_on="rt", how="full")
     with pytest.raises(ValueError):
         asof_join(left, right, by="k", on="t", right_on="rt",
-                  direction="nearest")
+                  direction="sideways")
+    # nearest is now a supported direction (pandas merge_asof parity —
+    # see tests/test_join_properties.py for the full oracle)
+    near = asof_join(left, right, by="k", on="t", right_on="rt",
+                     direction="nearest", n_buckets=1).to_pandas()
+    assert len(near) > 0
 
 
 def test_range_join_semantics(ray_session):
