@@ -798,3 +798,69 @@ def dedup_filter(ds: ray.data.Dataset, clusters, id_col: str = "doc_id",
     return shuffle_hash_join(ds, drop_ids, key=id_col,
                              right_key="_drop_id", how="anti",
                              n_buckets=n_buckets)
+
+
+# ------------------------------------------------- cross-corpus screen
+
+def cross_decontaminate(train: ray.data.Dataset, ref: ray.data.Dataset,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, shingle_k: int = 3,
+                        bands: int = 16, rows_per_band: int = 4,
+                        n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """FUZZY train/eval decontamination: drop every training document
+    that lands in a near-duplicate cluster containing ANY reference
+    (eval-set) document — the MinHash complement of the exact n-gram
+    screen in ``stages/contamination.py``.
+
+    Both corpora must use INTEGER ids (the two id spaces are interleaved
+    as 2·id / 2·id+1 so the union stays collision-free — validated).
+    Semantics are TRANSITIVE by construction: if train doc A ~ train doc
+    B ~ eval doc E, both A and B are dropped (connected components, the
+    conservative choice for decontamination).
+
+    Scale shape: one union → the standard minhash pipeline (sketches
+    shuffle, never text) → ONE bucketed pass over the cluster table
+    emits the drop ids (per-cluster any-ref flag via segment ops) → a
+    distributed ANTI join returns the surviving training rows."""
+    from .bucketing import bucketed_map_groups
+    from .join import shuffle_hash_join
+
+    def tag(mult_off):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col)
+            if not pa.types.is_integer(ids.type):
+                raise ValueError(
+                    "cross_decontaminate: integer id columns required "
+                    "(the two corpora are interleaved as 2*id / 2*id+1)")
+            v = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({id_col: pa.array(v * 2 + mult_off),
+                             text_col: t.column(text_col)})
+        return fn
+
+    unioned = train.map_batches(tag(0), batch_format="pyarrow").union(
+        ref.map_batches(tag(1), batch_format="pyarrow"))
+    clusters = minhash_dedup(unioned, text_col=text_col, id_col=id_col,
+                             threshold=threshold, shingle_k=shingle_k,
+                             bands=bands, rows_per_band=rows_per_band)
+
+    def drop_ids(t: pa.Table) -> pa.Table:
+        # per rep_id segment: any ref member ⇒ emit the TRAIN members
+        t = t.sort_by([("rep_id", "ascending")])
+        rep = t.column("rep_id").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({"_drop_id": pa.array([], pa.int64())})
+        is_ref = (ids % 2) == 1
+        seg_id = np.cumsum(np.concatenate(
+            [[True], rep[1:] != rep[:-1]])) - 1
+        has_ref = np.zeros(seg_id[-1] + 1, bool)
+        np.logical_or.at(has_ref, seg_id, is_ref)
+        doomed = has_ref[seg_id] & ~is_ref
+        return pa.table({"_drop_id": pa.array(
+            (ids[doomed] // 2).astype(np.int64))})
+
+    drops = bucketed_map_groups(clusters, "rep_id", drop_ids,
+                                n_buckets=n_buckets)
+    return shuffle_hash_join(train, drops, key=id_col,
+                             right_key="_drop_id", how="anti",
+                             n_buckets=n_buckets)

@@ -139,3 +139,40 @@ def test_frequent_terms_validation(ray_session):
     out = frequent_terms(lambda: ray.data.from_arrow(tbl), 1, 10
                          ).to_pandas()
     assert len(out) == 0
+
+
+def test_cross_decontaminate_fuzzy(ray_session):
+    """MinHash train/eval decontamination: near-dups of eval docs (and
+    their transitive train near-dups) dropped; unrelated docs and
+    train-internal dup clusters untouched."""
+    from opentelemetry_collector_ray.stages.dedup import cross_decontaminate
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    train = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            base,                                # ~ eval doc → drop
+            base.replace("dark", "bright"),      # ~ doc 0 → transitive drop
+            "completely different text about spark ray data pipelines "
+            "and arrow batches flowing through the streaming executor",
+            "another unrelated document with its own words entirely "
+            "separate from every other text in this tiny corpus here",
+            "another unrelated document with its own words entirely "
+            "separate from every other text in this small corpus here",
+            # docs 3+4 are a TRAIN-INTERNAL near-dup pair: kept
+        ]),
+    })
+    ref = pa.table({
+        "doc_id": pa.array([0], pa.int64()),  # id collides with train: ok
+        "text": pa.array([base.replace("tonight", "today")]),
+    })
+    out = cross_decontaminate(
+        ray.data.from_arrow(train).repartition(2),
+        ray.data.from_arrow(ref), threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 4]
+
+    bad = pa.table({"doc_id": pa.array(["a"]), "text": pa.array(["x"])})
+    with pytest.raises(Exception, match="integer id"):
+        cross_decontaminate(ray.data.from_arrow(bad),
+                            ray.data.from_arrow(ref)).to_pandas()
