@@ -935,6 +935,22 @@ def _q_docs_quality_ints(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (exact integers): modal
+    token / modal adjacent-bigram counts, distinct-token count, longest
+    same-token run — the inputs to repetition-based corpus filtering.
+    Embarrassingly parallel (no shuffle); oracle is an exploded
+    unigram/bigram/gaps-and-islands SQL over the same tokenization."""
+    from opentelemetry_collector_ray.functions.text import repetition_stats
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         **repetition_stats(t.column("text"))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def _q_pii_redact(sf_dir: str):
     """PII redaction over deterministically PII-seeded text (emails,
     phones, SSNs, credit cards, IPs built from customer columns so the
@@ -1192,6 +1208,25 @@ def _q_docs_simhash_dedup(sf_dir: str):
 
     return simhash_dedup(_read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
                          max_hamming=6)
+
+
+def _q_docs_cross_decontaminate(sf_dir: str):
+    """FUZZY train/eval decontamination: every ~37th document plays the
+    role of a held-out eval set; the surviving training corpus excludes
+    near-duplicates (MinHash, transitive) of any eval doc (rows-only —
+    planted-truth pytest covers the semantics)."""
+    from opentelemetry_collector_ray.stages.dedup import cross_decontaminate
+
+    def side(keep_eval: bool):
+        cmp = pc.equal if keep_eval else pc.not_equal
+        return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                        floor=8).map_batches(
+            lambda t: t.filter(cmp(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(31, pa.int64())),
+                pa.scalar(0, pa.int64()))),
+            batch_format="pyarrow")
+
+    return cross_decontaminate(side(False), side(True), threshold=0.8)
 
 
 def _q_emb_near_dup(sf_dir: str):
@@ -1650,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window": _q_events_user_window,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
+        "docs_repetition": _q_docs_repetition,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -1706,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     rows_only = {
         "docs_dedup_filtered": _q_docs_dedup_filtered,
+        "docs_cross_decontaminate": _q_docs_cross_decontaminate,
         "docs_pack_bins": _q_docs_pack_bins,
         "docs_quality": _q_docs_quality,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
@@ -1991,6 +2028,34 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "docs_repetition": """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+           FROM documents),
+p AS (SELECT doc_id, ts[i] AS tok, i
+      FROM t, unnest(range(1, len(ts) + 1)) AS r(i)),
+uc AS (SELECT doc_id, tok, count(*) AS c FROM p GROUP BY 1, 2),
+us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(max(c) AS BIGINT) AS top_token_count
+       FROM uc GROUP BY 1),
+bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+       FROM t, unnest(range(1, len(ts))) AS r(i)),
+bc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM
+       (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+run AS (SELECT doc_id, count(*) AS rl FROM
+        (SELECT doc_id, tok,
+                i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i)
+                AS isl FROM p)
+        GROUP BY doc_id, tok, isl),
+mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM run GROUP BY 1)
+SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_distinct, 0) AS n_distinct,
+       coalesce(top_token_count, 0) AS top_token_count,
+       coalesce(top_bigram_count, 0) AS top_bigram_count,
+       coalesce(max_run, 0) AS max_run
+FROM documents d LEFT JOIN us USING (doc_id) LEFT JOIN bc USING (doc_id)
+LEFT JOIN mr USING (doc_id)
 """,
         "docs_top_bigrams": """
 WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts

@@ -189,3 +189,77 @@ def fingerprint_minima(col: pa.ChunkedArray | pa.Array, k: int = 5, window: int 
     np.cumsum(np.bincount(docs, minlength=n), out=offsets_out[1:])
     return pa.ListArray.from_arrays(pa.array(offsets_out.astype(np.int32)),
                                     pa.array(vals, pa.uint64()))
+
+
+def repetition_stats(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """Gopher-style repetition signals per document (exact integers so a
+    DuckDB oracle hash-matches): ``n_tokens``, ``n_distinct``,
+    ``top_token_count`` (count of the modal token), ``top_bigram_count``
+    (count of the modal adjacent word-bigram) and ``max_run`` (longest
+    consecutive same-token run). Fractions like Gopher's "fraction of
+    tokens in the most common 2-gram" are ratios of these columns.
+
+    Tokenization mirrors ``stages/corpusstats.TOKEN_SPLIT_RE`` (lowercase
+    ``[a-z]+`` words) for exact oracle parity. One Arrow split +
+    dictionary-encode per batch; unigram/bigram modes and run lengths via
+    numpy sort/segment kernels — no Python per row or per token.
+
+    Reference analog: the reference filters on attribute predicates
+    (processor/filterprocessor); repetition filtering is the LLM-corpus
+    counterpart (Rae et al. 2021 "Gopher" §A1.1 quality heuristics).
+    """
+    from ..stages.corpusstats import _tokens_with_rows
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat, rows = _tokens_with_rows(col)
+    zeros = lambda: pa.array(np.zeros(n, np.int64))  # noqa: E731
+    if not len(flat):
+        return {"n_tokens": zeros(), "n_distinct": zeros(),
+                "top_token_count": zeros(), "top_bigram_count": zeros(),
+                "max_run": zeros()}
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    k = int(codes.max()) + 1
+    n_tokens = np.bincount(rows, minlength=n)
+
+    def seg_max(vals: np.ndarray, seg_rows: np.ndarray) -> np.ndarray:
+        """Max of vals per row id; seg_rows must be non-decreasing."""
+        out = np.zeros(n, np.int64)
+        if len(seg_rows):
+            starts = np.concatenate(
+                [[0], np.flatnonzero(seg_rows[1:] != seg_rows[:-1]) + 1])
+            out[seg_rows[starts]] = np.maximum.reduceat(vals, starts)
+        return out
+
+    # unigram modes: unique (row, code) pairs arrive row-sorted
+    pair = rows * k + codes
+    uniq, cnt = np.unique(pair, return_counts=True)
+    urow = uniq // k
+    n_distinct = np.bincount(urow, minlength=n)
+    top_token = seg_max(cnt, urow)
+
+    # adjacent bigrams within a row; two-stage encode keeps ids small
+    adj = rows[1:] == rows[:-1]
+    if adj.any():
+        bg = codes[:-1][adj] * k + codes[1:][adj]
+        bg_small = np.unique(bg, return_inverse=True)[1]
+        brow = rows[:-1][adj]
+        buniq, bcnt = np.unique(
+            brow * (int(bg_small.max()) + 1) + bg_small, return_counts=True)
+        top_bigram = seg_max(bcnt, buniq // (int(bg_small.max()) + 1))
+    else:
+        top_bigram = np.zeros(n, np.int64)
+
+    # longest same-token run (doc boundaries break runs)
+    new_run = np.concatenate(
+        [[True], (codes[1:] != codes[:-1]) | (rows[1:] != rows[:-1])])
+    run_len = np.bincount(np.cumsum(new_run) - 1)
+    max_run = seg_max(run_len, rows[new_run])
+
+    as_pa = lambda v: pa.array(v.astype(np.int64))  # noqa: E731
+    return {"n_tokens": as_pa(n_tokens), "n_distinct": as_pa(n_distinct),
+            "top_token_count": as_pa(top_token),
+            "top_bigram_count": as_pa(top_bigram),
+            "max_run": as_pa(max_run)}

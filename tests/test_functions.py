@@ -163,3 +163,48 @@ def test_redact_rule_shapes_disjoint():
     assert out[0] == "<CC>"
     assert out[1] == "<SSN>"
     assert out[2] == "99555-123-456788"
+
+
+def test_repetition_stats_hand_cases():
+    from opentelemetry_collector_ray.functions.text import repetition_stats
+
+    col = pa.array([
+        "the cat cat cat sat on the mat the cat",
+        "a b a b a b",
+        "",
+        "unique words only here",
+        None,
+    ])
+    out = {k: v.to_pylist() for k, v in repetition_stats(col).items()}
+    assert out["n_tokens"] == [10, 6, 0, 4, 0]
+    assert out["n_distinct"] == [5, 2, 0, 4, 0]
+    assert out["top_token_count"] == [4, 3, 0, 1, 0]   # cat / a
+    assert out["top_bigram_count"] == [2, 3, 0, 1, 0]  # "the cat"/"cat cat"; "a b"
+    assert out["max_run"] == [3, 1, 0, 1, 0]           # cat cat cat
+
+
+def test_repetition_stats_matches_duckdb():
+    """Randomized parity vs the gaps-and-islands SQL oracle."""
+    import duckdb
+    import random
+
+    from opentelemetry_collector_ray.functions.text import repetition_stats
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+             for _ in range(60)]
+    col = pa.array(texts)
+    mine = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     **repetition_stats(col)}).to_pandas()
+
+    import __ray_entry__ as entry
+    con = duckdb.connect()
+    con.register("df", pa.table({"doc_id": pa.array(range(len(texts)),
+                                                    pa.int64()),
+                                 "text": col}))
+    con.execute("CREATE VIEW documents AS SELECT * FROM df")
+    oracle = con.execute(entry.oracle_sql()["docs_repetition"]).fetchdf()
+    mine = mine.sort_values("doc_id").reset_index(drop=True)
+    oracle = oracle[mine.columns].sort_values("doc_id").reset_index(drop=True)
+    assert (mine.values == oracle.values).all()
