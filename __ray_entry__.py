@@ -1588,6 +1588,30 @@ def _q_profiles_wire_top_functions(sf_dir: str):
     return decoded_top_functions(decode_profiles_request(blob))
 
 
+def _q_emb_kmeans(sf_dir: str):
+    """Full-corpus distributed spherical k-means (per-iteration partial
+    sums, k-row driver state) + broadcast assignment pass → per-cluster
+    member counts (rows-only: float iteration order is block-dependent;
+    blob-recovery ground truth in tests)."""
+    from opentelemetry_collector_ray.stages.clustering import (
+        kmeans_assign, kmeans_fit)
+
+    make = lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"])  # noqa: E731
+    cent = kmeans_fit(make, k=8, iters=4, sample_size=4096)
+    return kmeans_assign(make(), cent).groupby("cluster").count()
+
+
+def _q_emb_semdedup(sf_dir: str):
+    """SemDeDup (k-means blocking + intra-cluster exact cosine verify)
+    near-dup clusters over the embeddings table (rows-only —
+    planted-pair ground truth in tests)."""
+    from opentelemetry_collector_ray.stages.clustering import semantic_dedup
+
+    return semantic_dedup(
+        lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, threshold=0.98, iters=3)
+
+
 def _q_emb_ann_ivf(sf_dir: str):
     """ANN on the persisted IVF index (k-means coarse quantizer,
     centroid-partitioned; rows-only — approximate by design, recall + scan
@@ -1754,6 +1778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_pipeline": _q_audio_pipeline,
         "video_pipeline": _q_video_pipeline,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_semdedup": _q_emb_semdedup,
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_ann_ivfpq": _q_emb_ann_ivfpq,
         "users_distinct_approx": _q_users_distinct_approx,

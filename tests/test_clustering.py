@@ -1,0 +1,79 @@
+"""Distributed k-means + SemDeDup (stages/clustering.py): blob recovery,
+assignment purity, planted near-dup detection, oversize-cluster guard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.clustering import (
+    kmeans_assign, kmeans_fit, semantic_dedup)
+
+
+def _blobs(n_per=60, d=12, k=3, seed=11, jitter=0.05):
+    """k well-separated unit-norm blob centers + jittered members."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, labels = [], []
+    for c in range(k):
+        pts = centers[c] + jitter * rng.normal(size=(n_per, d))
+        rows.append(pts)
+        labels.extend([c] * n_per)
+    x = np.concatenate(rows).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+        "embedding": pa.array(list(x), pa.list_(pa.float32())),
+    }), np.array(labels), centers
+
+
+def test_kmeans_recovers_blobs(ray_session):
+    tbl, truth, _ = _blobs()
+    make = lambda: ray.data.from_arrow(tbl).repartition(4)  # noqa: E731
+    cent = kmeans_fit(make, k=3, iters=5, sample_size=64)
+    assert cent.shape == (3, 12)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    out = kmeans_assign(make(), cent).to_pandas().sort_values("vec_id")
+    got = out["cluster"].to_numpy()
+    # purity: every true blob maps to ONE distinct kmeans cluster
+    mapping = {}
+    for c in range(3):
+        ids, cnt = np.unique(got[truth == c], return_counts=True)
+        assert cnt.max() / cnt.sum() > 0.95
+        mapping[c] = ids[cnt.argmax()]
+    assert len(set(mapping.values())) == 3
+
+
+def test_semantic_dedup_planted_pairs(ray_session):
+    tbl, _, _ = _blobs(n_per=40, seed=7)
+    x = np.stack(tbl.column("embedding").to_pylist()).astype(np.float32)
+    # plant near-dups: rows 200..203 are tiny perturbations of rows 0..3
+    dups = x[:4] + 1e-4 * np.random.default_rng(1).normal(size=(4, 12))
+    x2 = np.concatenate([x, dups.astype(np.float32)])
+    n = len(x2)
+    tbl2 = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(x2), pa.list_(pa.float32()))})
+    make = lambda: ray.data.from_arrow(tbl2).repartition(3)  # noqa: E731
+    out = semantic_dedup(make, k=3, threshold=0.9999, iters=3)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    pairs = {tuple(sorted((int(a), int(b))))
+             for a, b in zip(pdf["vec_id"], pdf["rep_id"]) if a != b}
+    assert pairs == {(0, 120), (1, 121), (2, 122), (3, 123)}
+
+
+def test_semantic_dedup_no_dups_empty(ray_session):
+    tbl, _, _ = _blobs(n_per=20, seed=3)
+    make = lambda: ray.data.from_arrow(tbl)  # noqa: E731
+    out = semantic_dedup(make, k=3, threshold=0.999999, iters=2)
+    pdf = out if not hasattr(out, "to_pandas") else out.to_pandas()
+    assert len(pdf) == 0
+    assert list(pdf.columns) == ["vec_id", "rep_id"]
+
+
+def test_semantic_dedup_oversize_cluster_guard(ray_session):
+    tbl, _, _ = _blobs(n_per=30, k=1, seed=5)
+    make = lambda: ray.data.from_arrow(tbl)  # noqa: E731
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(make, k=1, threshold=0.99, iters=1,
+                       max_cluster_rows=10).to_pandas()
