@@ -817,6 +817,24 @@ def _q_events_user_window(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_events_value_scaled(sf_dir: str):
+    """Per-key min-max feature scaling (stages/normalize.py two-pass
+    broadcast-statistics): cents scaled into [0, 1e6] within each
+    event_type — exact integer arithmetic, oracle = SQL window MIN/MAX
+    OVER (PARTITION BY event_type)."""
+    from opentelemetry_collector_ray.stages.normalize import minmax_scale
+
+    def make():
+        return _read(sf_dir, "events",
+                     ["event_id", "event_type", "value"]).map_batches(
+            lambda t: pa.table({"event_id": t.column("event_id"),
+                                "event_type": t.column("event_type"),
+                                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+
+    return minmax_scale(make, "cents", key="event_type")
+
+
 def _q_docs_uniform_sample(sf_dir: str):
     """Deterministic distributed uniform k-sample (stages/sampling.py
     bottom-k-by-hash, md5 oracle mode): every block emits its local
@@ -1710,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
         "docs_repetition": _q_docs_repetition,
+        "events_value_scaled": _q_events_value_scaled,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2054,6 +2073,18 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "events_value_scaled": """
+WITH s AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_id, event_type, cents,
+             min(cents) OVER (PARTITION BY event_type) AS mn,
+             max(cents) OVER (PARTITION BY event_type) AS mx FROM s)
+SELECT event_id, event_type, cents,
+       CAST(CASE WHEN mx > mn THEN (cents - mn) * 1000000 // (mx - mn)
+            ELSE 0 END AS BIGINT) AS cents_scaled
+FROM m
 """,
         "docs_repetition": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
