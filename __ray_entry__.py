@@ -835,6 +835,43 @@ def _q_events_value_scaled(sf_dir: str):
     return minmax_scale(make, "cents", key="event_type")
 
 
+def _q_events_pivot(sf_dir: str):
+    """Long→wide pivot (stages/reshape.py): hourly rows, one summed
+    cents column per event type — static caller-named schema, one
+    index_in scatter per batch feeding the mergeable grouped aggregate.
+    Oracle = SUM(CASE WHEN ...) per name."""
+    from opentelemetry_collector_ray.stages.aggregate import add_time_bucket
+    from opentelemetry_collector_ray.stages.reshape import pivot
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        lambda t: add_time_bucket(
+            pa.table({"ts": t.column("ts"),
+                      "event_type": t.column("event_type"),
+                      "cents": _cents(t.column("value"))})),
+        batch_format="pyarrow")
+    return pivot(ev, ["bucket"], "event_type", "cents",
+                 names=["click", "view", "purchase", "signup", "error"])
+
+
+def _q_docs_quality_unpivot(sf_dir: str):
+    """Wide→long melt (stages/reshape.py unpivot): the integer quality
+    features exploded to (doc_id, name, value) rows — stateless per
+    batch, zero shuffle. Oracle = UNION ALL of one SELECT per column."""
+    from opentelemetry_collector_ray.functions.text import quality_features
+    from opentelemetry_collector_ray.stages.reshape import unpivot
+
+    def f(t: pa.Table) -> pa.Table:
+        feats = quality_features(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": feats["n_chars"],
+                         "n_tokens": feats["n_tokens"],
+                         "n_punct": feats["n_punct"]})
+
+    wide = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+    return unpivot(wide, ["doc_id"], ["n_chars", "n_tokens", "n_punct"])
+
+
 def _q_docs_uniform_sample(sf_dir: str):
     """Deterministic distributed uniform k-sample (stages/sampling.py
     bottom-k-by-hash, md5 oracle mode): every block emits its local
@@ -1729,6 +1766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation": _q_docs_curation,
         "docs_repetition": _q_docs_repetition,
         "events_value_scaled": _q_events_value_scaled,
+        "events_pivot": _q_events_pivot,
+        "docs_quality_unpivot": _q_docs_quality_unpivot,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2073,6 +2112,28 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "events_pivot": """
+WITH s AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT bucket,
+  CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS view,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN cents ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'error' THEN cents ELSE 0 END) AS BIGINT) AS error
+FROM s GROUP BY bucket
+""",
+        "docs_quality_unpivot": r"""
+WITH f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+  FROM documents)
+SELECT doc_id, 'n_chars' AS name, n_chars AS value FROM f
+UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM f
+UNION ALL SELECT doc_id, 'n_punct', n_punct FROM f
 """,
         "events_value_scaled": """
 WITH s AS (SELECT event_id, event_type,
