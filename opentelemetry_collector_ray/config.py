@@ -389,7 +389,80 @@ def _register_builtins() -> None:
             text_col=cfg.get("text_col", "text"),
             persist=cfg.get("persist", "none")))
 
+    def make_repetition(cfg: dict):
+        import pyarrow as pa
+
+        from .functions.text import repetition_stats
+
+        text_col = cfg.get("text_col", "text")
+        id_col = cfg.get("id_col", "doc_id")
+
+        def fn(t):
+            return pa.table({id_col: t.column(id_col),
+                             **repetition_stats(t.column(text_col))})
+
+        return fn
+
+    def make_minmax_scale(cfg: dict):
+        from .stages.normalize import minmax_scale
+
+        if not cfg.get("column"):
+            raise ConfigError("minmax_scale: column is required")
+        return DatasetTransform(lambda ds: minmax_scale(
+            lambda: ds, cfg["column"], key=cfg.get("key"),
+            scale=int(cfg.get("scale", 1_000_000)),
+            out_col=cfg.get("out_col"),
+            max_groups=int(cfg.get("max_groups", 1_000_000)),
+            persist=cfg.get("persist", "none")))
+
+    def make_pivot(cfg: dict):
+        from .stages.reshape import pivot
+
+        for req in ("keys", "name_col", "value_col", "names"):
+            if not cfg.get(req):
+                raise ConfigError(f"pivot: {req} is required")
+        return DatasetTransform(lambda ds: pivot(
+            ds, list(cfg["keys"]), cfg["name_col"], cfg["value_col"],
+            names=[str(n) for n in cfg["names"]],
+            strict=bool(cfg.get("strict", True)),
+            strategy=cfg.get("strategy", "shuffle")))
+
+    def make_unpivot(cfg: dict):
+        from .stages.reshape import unpivot
+
+        if not cfg.get("keys") or not cfg.get("value_cols"):
+            raise ConfigError("unpivot: keys and value_cols are required")
+        return DatasetTransform(lambda ds: unpivot(
+            ds, list(cfg["keys"]), list(cfg["value_cols"]),
+            name_col=cfg.get("name_col", "name"),
+            value_col=cfg.get("value_col", "value")))
+
+    def make_semdedup(cfg: dict):
+        import ray.data
+
+        from .stages.clustering import semantic_dedup
+
+        def run(ds):
+            out = semantic_dedup(
+                lambda: ds, k=int(cfg.get("k", 64)),
+                threshold=float(cfg.get("threshold", 0.95)),
+                iters=int(cfg.get("iters", 4)),
+                id_col=cfg.get("id_col", "vec_id"),
+                vec_col=cfg.get("vec_col", "embedding"),
+                max_cluster_rows=int(cfg.get("max_cluster_rows", 8192)),
+                persist=cfg.get("persist", "none"))
+            # no-duplicates case comes back as a typed empty DataFrame
+            return out if isinstance(out, ray.data.Dataset) \
+                else ray.data.from_pandas(out)
+
+        return DatasetTransform(run)
+
     register("parse", Factory("processor", make_parse))
+    register("repetition", Factory("processor", make_repetition))
+    register("minmax_scale", Factory("processor", make_minmax_scale))
+    register("pivot", Factory("processor", make_pivot))
+    register("unpivot", Factory("processor", make_unpivot))
+    register("semdedup", Factory("processor", make_semdedup))
     register("window", Factory("processor", make_window))
     register("sample", Factory("processor", make_sample))
     register("quantize", Factory("processor", make_quantize))

@@ -379,3 +379,72 @@ def test_window_sample_quantize_freqterms_processors(ray_session,
             ({"frequent_terms": {"num": 1}}, ["frequent_terms"])):
         with pytest.raises(ConfigError):
             build(procs, names)
+
+
+def test_repetition_scale_reshape_semdedup_processors(ray_session,
+                                                      tmp_path):
+    """repetition / minmax_scale / pivot / unpivot / semdedup as YAML
+    processors, each equal to the direct library call."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rng = np.random.default_rng(5)
+    src = tmp_path / "mix.parquet"
+    emb = rng.normal(size=(40, 6)).astype(np.float32)
+    emb[39] = emb[0] + 1e-4  # planted near-dup pair
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array(["spam spam spam ham"] * 20 +
+                         ["all words differ here now"] * 20),
+        "grp": pa.array(["a"] * 20 + ["b"] * 20),
+        "x": pa.array(rng.integers(0, 100, 40), pa.int64()),
+        "name": pa.array(["p", "q"] * 20),
+        "emb": pa.array(list(emb), pa.list_(pa.float32())),
+    }), str(src))
+
+    def build(procs, names):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(src)}},
+            "processors": procs,
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": names,
+                "exporters": ["debug"]}}},
+        }))
+
+    rep = build({"repetition": {}}, ["repetition"]).to_pandas()
+    assert rep.loc[rep["doc_id"] == 0, "max_run"].iloc[0] == 3
+
+    sc = build({"minmax_scale": {"column": "x", "key": "grp",
+                                 "scale": 100}},
+               ["minmax_scale"]).to_pandas()
+    assert sc.groupby("grp")["x_scaled"].max().tolist() == [100, 100]
+    assert sc.groupby("grp")["x_scaled"].min().tolist() == [0, 0]
+
+    pv = build({"pivot": {"keys": ["grp"], "name_col": "name",
+                          "value_col": "x", "names": ["p", "q"]}},
+               ["pivot"]).to_pandas().sort_values("grp")
+    assert list(pv.columns) == ["grp", "p", "q"]
+    assert len(pv) == 2
+
+    up = build({"unpivot": {"keys": ["doc_id"], "value_cols": ["x"]}},
+               ["unpivot"]).to_pandas()
+    assert len(up) == 40 and set(up["name"]) == {"x"}
+
+    sd = build({"semdedup": {"k": 2, "vec_col": "emb",
+                             "threshold": 0.9999, "iters": 2}},
+               ["semdedup"]).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(sd["vec_id"], sd["rep_id"])
+             if a != b}
+    assert pairs == {(39, 0)}
+
+    for procs, names in (
+            ({"minmax_scale": {}}, ["minmax_scale"]),
+            ({"pivot": {"keys": ["grp"]}}, ["pivot"]),
+            ({"unpivot": {"keys": ["doc_id"]}}, ["unpivot"])):
+        with pytest.raises(ConfigError):
+            build(procs, names)
