@@ -835,6 +835,33 @@ def _q_events_value_scaled(sf_dir: str):
     return minmax_scale(make, "cents", key="event_type")
 
 
+def _q_docs_canonical_dedup(sf_dir: str):
+    """Exact dedup over the CANONICAL text form (lower / punct-fold /
+    whitespace-collapse — functions/text.canonicalize_text): catches the
+    case+punctuation variants raw byte dedup misses. Same hash-pair
+    partial shuffle as docs_exact_dedup; only (h1, h2, id) rows move."""
+    from opentelemetry_collector_ray.functions.text import canonicalize_text
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+
+    canon = _read_co(sf_dir, "documents", ["doc_id", "text"],
+                     floor=8).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "text": canonicalize_text(t.column("text"))}),
+        batch_format="pyarrow")
+    return exact_dedup(canon, text_col="text", id_col="doc_id")
+
+
+def _q_docs_chunk_sliding(sf_dir: str):
+    """Per-document sliding-window chunking (stages/packing.py
+    chunk_sliding): overlapping token windows for RAG/training prep —
+    no shuffle, repeat/arange row materialization per batch. Oracle =
+    a DuckDB generate_series lateral over the token counts."""
+    from opentelemetry_collector_ray.stages.packing import chunk_sliding
+
+    return chunk_sliding(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         window=32, stride=16)
+
+
 def _q_events_pivot(sf_dir: str):
     """Long→wide pivot (stages/reshape.py): hourly rows, one summed
     cents column per event type — static caller-named schema, one
@@ -1768,6 +1795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_scaled": _q_events_value_scaled,
         "events_pivot": _q_events_pivot,
         "docs_quality_unpivot": _q_docs_quality_unpivot,
+        "docs_canonical_dedup": _q_docs_canonical_dedup,
+        "docs_chunk_sliding": _q_docs_chunk_sliding,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2112,6 +2141,26 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "docs_canonical_dedup": """
+WITH c AS (SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ct
+           FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM c GROUP BY ct
+""",
+        "docs_chunk_sliding": """
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '[a-z]+')) AS n
+           FROM documents)
+,
+s AS (SELECT doc_id, n,
+             unnest(generate_series(0, CAST(n - 1 AS BIGINT), 16)) AS st
+      FROM t WHERE n > 0)
+SELECT doc_id, CAST(st // 16 AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(least(32, n - st) AS BIGINT) AS n_tok
+FROM s
 """,
         "events_pivot": """
 WITH s AS (SELECT date_trunc('hour', ts) AS bucket, event_type,

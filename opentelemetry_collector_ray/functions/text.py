@@ -263,3 +263,24 @@ def repetition_stats(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
             "top_token_count": as_pa(top_token),
             "top_bigram_count": as_pa(top_bigram),
             "max_run": as_pa(max_run)}
+
+
+def canonicalize_text(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Dedup-prep canonical form: lowercase → non-[a-z0-9 space] folded
+    to space → whitespace collapsed → trimmed. Exact-dedup on this form
+    catches the case/punctuation/whitespace variants a raw byte-equality
+    pass misses (the cheap precursor to MinHash).
+
+    Deliberately NO Unicode normalization: pyarrow 16's
+    ``utf8_normalize`` decomposes regardless of the requested form, so
+    an NFC step could not be mirrored cross-engine; the non-alnum fold
+    makes the result byte-deterministic anyway (any non-ASCII sequence
+    collapses to a single space). Mirrored exactly by the DuckDB oracle
+    expression ``trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))``."""
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, pattern="[^a-z0-9 ]",
+                                     replacement=" ")
+    out = pc.replace_substring_regex(out, pattern=" +", replacement=" ")
+    out = pc.utf8_trim_whitespace(out)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

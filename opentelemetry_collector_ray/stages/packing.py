@@ -185,3 +185,48 @@ def pack_bins(ds: ray.data.Dataset, token_col: str,
         return t.append_column(bin_col, ids)
 
     return ds.map_batches(pack, batch_size=None, batch_format="pyarrow")
+
+
+def chunk_sliding(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", window: int = 256,
+                  stride: int | None = None) -> ray.data.Dataset:
+    """Per-document sliding-window chunking (the RAG/training-prep
+    counterpart of concat-then-chunk packing): each document yields
+    chunks starting at token 0, stride, 2·stride, … while the start is
+    inside the document; a tail chunk is truncated to the remaining
+    tokens. Output rows: (id_col, chunk_id, start_tok, n_tok).
+
+    Embarrassingly parallel — no shuffle, no driver state: one
+    tokenization pass per batch (the corpusstats ``[a-z]+`` rule so a
+    DuckDB ``generate_series`` lateral oracle mirrors it exactly), then
+    chunk rows are materialized with repeat/arange arithmetic. Zero-token
+    documents emit nothing (same as the SQL lateral)."""
+    from .corpusstats import _tokens_with_rows
+
+    stride = int(stride or window)
+    if window <= 0 or stride <= 0:
+        raise ValueError("chunk_sliding: window and stride must be > 0")
+    if stride > window:
+        raise ValueError(
+            f"chunk_sliding: stride={stride} > window={window} would skip "
+            "tokens; use stride <= window")
+
+    def chunks(t: pa.Table) -> pa.Table:
+        _flat, rows = _tokens_with_rows(t.column(text_col))
+        n_tok = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        n_chunks = np.where(n_tok > 0, (n_tok - 1) // stride + 1, 0)
+        doc_idx = np.repeat(np.arange(t.num_rows), n_chunks)
+        total = int(n_chunks.sum())
+        # chunk ordinal within its doc: global arange minus each doc's base
+        base = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        ordinal = np.arange(total) - base
+        start = ordinal * stride
+        size = np.minimum(window, n_tok[doc_idx] - start)
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(doc_idx)),
+            "chunk_id": pa.array(ordinal),
+            "start_tok": pa.array(start),
+            "n_tok": pa.array(size)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow")

@@ -208,3 +208,13 @@ def test_repetition_stats_matches_duckdb():
     mine = mine.sort_values("doc_id").reset_index(drop=True)
     oracle = oracle[mine.columns].sort_values("doc_id").reset_index(drop=True)
     assert (mine.values == oracle.values).all()
+
+
+def test_canonicalize_text():
+    from opentelemetry_collector_ray.functions.text import canonicalize_text
+
+    col = pa.array(["  Héllo,   WORLD!! ", "hello world", "", None,
+                    "MiXeD-Case_42", "tabs\tand\nnewlines"])
+    out = canonicalize_text(col).to_pylist()
+    assert out == ["h llo world", "hello world", "", None,
+                   "mixed case 42", "tabs and newlines"]

@@ -696,3 +696,28 @@ def test_unigram_mass_persist_memory(ray_session):
     assert calls["n"] == 1
     # corpus counts: a=2, b=2 → doc1 mass 2+2+2=6, doc2 mass 2
     assert out["freq_mass"].tolist() == [6, 2]
+
+
+def test_chunk_sliding(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.packing import chunk_sliding
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x y", ""])})
+    out = chunk_sliding(ray.data.from_arrow(tbl).repartition(2),
+                        window=4, stride=2).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d1 = out[out["doc_id"] == 1]
+    # 7 tokens, stride 2 → starts 0,2,4,6; sizes 4,4,3,1
+    assert d1["start_tok"].tolist() == [0, 2, 4, 6]
+    assert d1["n_tok"].tolist() == [4, 4, 3, 1]
+    assert d1["chunk_id"].tolist() == [0, 1, 2, 3]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["n_tok"].tolist() == [2]
+    assert (out["doc_id"] != 3).all()  # empty doc emits nothing
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="stride"):
+        chunk_sliding(ray.data.from_arrow(tbl), window=2, stride=3)
