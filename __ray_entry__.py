@@ -825,8 +825,9 @@ def _q_events_value_scaled(sf_dir: str):
     from opentelemetry_collector_ray.stages.normalize import minmax_scale
 
     def make():
-        return _read(sf_dir, "events",
-                     ["event_id", "event_type", "value"]).map_batches(
+        return _read_co(sf_dir, "events",
+                        ["event_id", "event_type", "value"],
+                        floor=8).map_batches(
             lambda t: pa.table({"event_id": t.column("event_id"),
                                 "event_type": t.column("event_type"),
                                 "cents": _cents(t.column("value"))}),
@@ -858,8 +859,8 @@ def _q_docs_chunk_sliding(sf_dir: str):
     a DuckDB generate_series lateral over the token counts."""
     from opentelemetry_collector_ray.stages.packing import chunk_sliding
 
-    return chunk_sliding(_read(sf_dir, "documents", ["doc_id", "text"]),
-                         window=32, stride=16)
+    return chunk_sliding(_read_co(sf_dir, "documents", ["doc_id", "text"],
+                                  floor=8), window=32, stride=16)
 
 
 def _q_events_pivot(sf_dir: str):
@@ -870,7 +871,8 @@ def _q_events_pivot(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import add_time_bucket
     from opentelemetry_collector_ray.stages.reshape import pivot
 
-    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+    ev = _read_co(sf_dir, "events", ["ts", "event_type", "value"],
+                  floor=8).map_batches(
         lambda t: add_time_bucket(
             pa.table({"ts": t.column("ts"),
                       "event_type": t.column("event_type"),
@@ -1029,8 +1031,8 @@ def _q_docs_repetition(sf_dir: str):
         return pa.table({"doc_id": t.column("doc_id"),
                          **repetition_stats(t.column("text"))})
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow")
+    return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                    floor=8).map_batches(f, batch_format="pyarrow")
 
 
 def _q_pii_redact(sf_dir: str):
@@ -1678,8 +1680,9 @@ def _q_emb_kmeans(sf_dir: str):
     from opentelemetry_collector_ray.stages.clustering import (
         kmeans_assign, kmeans_fit)
 
-    make = lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"])  # noqa: E731
-    cent = kmeans_fit(make, k=8, iters=4, sample_size=4096)
+    make = lambda: _read_co(sf_dir, "embeddings", ["vec_id", "embedding"],
+                            floor=8)  # noqa: E731
+    cent = kmeans_fit(make, k=8, iters=3, sample_size=4096)
     return kmeans_assign(make(), cent).groupby("cluster").count()
 
 
@@ -1692,6 +1695,21 @@ def _q_emb_semdedup(sf_dir: str):
     return semantic_dedup(
         lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         k=8, threshold=0.98, iters=3)
+
+
+def _q_emb_pca(sf_dir: str):
+    """Distributed PCA (one pass of (n, Σx, Σxxᵀ) partials tree-reduced
+    to d² driver floats + broadcast projection): embeddings reduced to
+    8 dims (rows-only: float eigendecomposition; variance-recovery and
+    numpy-parity ground truth in tests)."""
+    from opentelemetry_collector_ray.stages.clustering import (
+        pca_fit, pca_transform)
+
+    make = lambda: _read_co(sf_dir, "embeddings", ["vec_id", "embedding"],
+                            floor=8)  # noqa: E731
+    mean, comp = pca_fit(make, n_components=8)
+    return pca_transform(make(), mean, comp).map_batches(
+        lambda t: t.drop_columns(["embedding"]), batch_format="pyarrow")
 
 
 def _q_emb_ann_ivf(sf_dir: str):
@@ -1867,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semdedup": _q_emb_semdedup,
+        "emb_pca": _q_emb_pca,
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_ann_ivfpq": _q_emb_ann_ivfpq,
         "users_distinct_approx": _q_users_distinct_approx,

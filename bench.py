@@ -107,7 +107,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "join_priority_revenue", "events_last_order_asof",
              "pii_redact", "orders_global_sorted", "docs_tfidf_topk",
              "docs_index_postings", "events_user_window",
-             "docs_contamination", "docs_curation"]
+             "docs_contamination", "docs_curation", "docs_repetition",
+             "events_pivot", "events_value_scaled", "docs_canonical_dedup",
+             "docs_chunk_sliding", "emb_kmeans"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -457,7 +457,22 @@ def _register_builtins() -> None:
 
         return DatasetTransform(run)
 
+    def make_pca(cfg: dict):
+        from .stages.clustering import pca_fit, pca_transform
+
+        def run(ds):
+            mean, comp = pca_fit(
+                lambda: ds, n_components=int(cfg.get("n_components", 16)),
+                vec_col=cfg.get("vec_col", "embedding"),
+                persist=cfg.get("persist", "none"))
+            return pca_transform(ds, mean, comp,
+                                 vec_col=cfg.get("vec_col", "embedding"),
+                                 out_col=cfg.get("out_col", "pca"))
+
+        return DatasetTransform(run)
+
     register("parse", Factory("processor", make_parse))
+    register("pca", Factory("processor", make_pca))
     register("repetition", Factory("processor", make_repetition))
     register("minmax_scale", Factory("processor", make_minmax_scale))
     register("pivot", Factory("processor", make_pivot))

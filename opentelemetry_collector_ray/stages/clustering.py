@@ -34,7 +34,8 @@ import ray.data
 from .bucketing import persisted_factory
 from .similarity import _normalize, _stack
 
-__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup"]
+__all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup", "pca_fit",
+           "pca_transform"]
 
 
 def _pack_f64(m: np.ndarray) -> pa.Array:
@@ -98,16 +99,29 @@ def kmeans_fit(make_ds, k: int = 64, iters: int = 10, seed: int = 42,
         part = make_ds().select_columns([vec_col]).map_batches(
             partials, batch_format="pyarrow")
 
-        def reduce_cluster(g: pa.Table) -> pa.Table:
-            s = _unpack_f64(g.column("vsum").combine_chunks(), dim)
+        def combine(t: pa.Table) -> pa.Table:
+            # tree combiner: ≤ k rows out per call (bounded-key reduce —
+            # no sort exchange; same shape as grouped_agg strategy="tree")
+            if not t.num_rows:
+                return t
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            s = _unpack_f64(t.column("vsum").combine_chunks()
+                            if isinstance(t.column("vsum"), pa.ChunkedArray)
+                            else t.column("vsum"), dim)
+            ns = t.column("n").to_numpy(zero_copy_only=False)
+            order = np.argsort(cl, kind="stable")
+            cl_s, s_s, n_s = cl[order], s[order], ns[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(cl_s[1:] != cl_s[:-1]) + 1])
             return pa.table({
-                "cluster": g.column("cluster").slice(0, 1),
-                "vsum": _pack_f64(s.sum(axis=0, keepdims=True)),
-                "n": pa.array([int(np.sum(g.column("n").to_numpy(
-                    zero_copy_only=False)))], pa.int64())})
+                "cluster": pa.array(cl_s[starts]),
+                "vsum": _pack_f64(np.add.reduceat(s_s, starts, axis=0)),
+                "n": pa.array(np.add.reduceat(n_s, starts))})
 
-        pdf = part.groupby("cluster").map_groups(
-            reduce_cluster, batch_format="pyarrow").to_pandas()
+        pdf = part.repartition(16).map_batches(
+            combine, batch_size=None, batch_format="pyarrow"
+        ).repartition(1).map_batches(
+            combine, batch_size=None, batch_format="pyarrow").to_pandas()
         new = cent.copy()
         cl = pdf["cluster"].to_numpy()
         sums = np.frombuffer(b"".join(pdf["vsum"]), np.float64
@@ -183,3 +197,80 @@ def semantic_dedup(make_ds, k: int = 64, threshold: float = 0.95,
         ["id_a", "id_b"])
     return _labels_to_clusters(connected_components(edges, mode=cc_mode),
                                id_col)
+
+
+def pca_fit(make_ds, n_components: int = 16, vec_col: str = "embedding",
+            persist: str = "none") -> tuple[np.ndarray, np.ndarray]:
+    """Distributed PCA fit → (mean (d,), components (n_components, d)).
+
+    One pass: every batch emits (n, Σx, Σxxᵀ) with the d and d×d
+    accumulators as opaque float64 bytes; the same bounded tree combine
+    as ``kmeans_fit`` reduces them (driver state = d² floats — for
+    d=1024 that is 8 MB, independent of corpus size). The driver forms
+    the covariance and takes the top eigenvectors (numpy ``eigh`` on a
+    d×d symmetric matrix). Projection is a separate broadcast pass
+    (``pca_transform``) so fit-once/apply-many works."""
+    make_ds = persisted_factory(make_ds, persist)
+    probe = make_ds().take_batch(1, batch_format="pyarrow")
+    dim = len(probe[vec_col][0])
+    if not (0 < n_components <= dim):
+        raise ValueError(
+            f"pca_fit: n_components={n_components} outside (0, dim={dim}]")
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = _stack(t.column(vec_col)).astype(np.float64)
+        s1 = x.sum(axis=0)
+        s2 = x.T @ x
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s1": _pack_f64(s1[None, :]),
+            "s2": _pack_f64(s2.reshape(1, -1))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        n = int(np.sum(t.column("n").to_numpy(zero_copy_only=False)))
+        s1 = _unpack_f64(t.column("s1"), dim).sum(axis=0)
+        s2 = _unpack_f64(t.column("s2"), dim * dim).sum(axis=0)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s1": _pack_f64(s1[None, :]),
+                         "s2": _pack_f64(s2[None, :])})
+
+    pdf = make_ds().select_columns([vec_col]).map_batches(
+        partials, batch_format="pyarrow").repartition(16).map_batches(
+        combine, batch_size=None, batch_format="pyarrow").repartition(
+        1).map_batches(combine, batch_size=None,
+                       batch_format="pyarrow").to_pandas()
+    n = int(pdf["n"].iloc[0])
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 rows")
+    s1 = np.frombuffer(pdf["s1"].iloc[0], np.float64)
+    s2 = np.frombuffer(pdf["s2"].iloc[0], np.float64).reshape(dim, dim)
+    mean = s1 / n
+    cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    comp = v[:, ::-1][:, :n_components].T.copy()
+    # deterministic sign convention: largest-|coef| entry positive
+    flip = comp[np.arange(len(comp)),
+                np.abs(comp).argmax(axis=1)] < 0
+    comp[flip] *= -1.0
+    return mean, comp
+
+
+def pca_transform(ds: ray.data.Dataset, mean: np.ndarray,
+                  components: np.ndarray, vec_col: str = "embedding",
+                  out_col: str = "pca") -> ray.data.Dataset:
+    """Broadcast projection pass: (x − mean) @ componentsᵀ per batch →
+    ``out_col`` as list<float32>."""
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        x = _stack(t.column(vec_col)).astype(np.float64)
+        y = ((x - m) @ c.T).astype(np.float32) if t.num_rows else \
+            np.zeros((0, len(c)), np.float32)
+        return t.append_column(out_col,
+                               pa.array(list(y), pa.list_(pa.float32())))
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -77,3 +77,50 @@ def test_semantic_dedup_oversize_cluster_guard(ray_session):
     with pytest.raises(Exception, match="max_cluster_rows"):
         semantic_dedup(make, k=1, threshold=0.99, iters=1,
                        max_cluster_rows=10).to_pandas()
+
+
+def test_pca_recovers_low_rank_structure(ray_session):
+    """Synthetic rank-2 data + small noise: 2 components capture nearly
+    all variance; components orthonormal; matches numpy PCA projection
+    up to the deterministic sign convention."""
+    from opentelemetry_collector_ray.stages.clustering import (
+        pca_fit, pca_transform)
+
+    rng = np.random.default_rng(13)
+    basis = np.linalg.qr(rng.normal(size=(8, 2)))[0].T      # (2, 8)
+    coef = rng.normal(size=(300, 2)) * np.array([5.0, 2.0])
+    x = (coef @ basis + 0.01 * rng.normal(size=(300, 8))
+         + np.array([3.0] * 8)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(300), pa.int64()),
+                    "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    make = lambda: ray.data.from_arrow(tbl).repartition(4)  # noqa: E731
+
+    mean, comp = pca_fit(make, n_components=2)
+    assert comp.shape == (2, 8)
+    assert np.allclose(comp @ comp.T, np.eye(2), atol=1e-8)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-4)
+
+    # projected variance ≈ total variance (rank-2 + tiny noise)
+    out = pca_transform(make(), mean, comp).to_pandas()
+    y = np.stack(out.sort_values("vec_id")["pca"].to_numpy())
+    total_var = ((x - x.mean(0)) ** 2).sum() / (len(x) - 1)
+    kept_var = (y.astype(np.float64) ** 2).sum() / (len(x) - 1)
+    assert kept_var / total_var > 0.999
+
+    # parity with driver-side numpy PCA (eigh on the same covariance)
+    cov = np.cov(x.astype(np.float64).T)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, ::-1][:, :2].T
+    for r in range(2):
+        assert min(np.abs(ref[r] - comp[r]).max(),
+                   np.abs(ref[r] + comp[r]).max()) < 1e-6
+
+
+def test_pca_validation(ray_session):
+    from opentelemetry_collector_ray.stages.clustering import pca_fit
+
+    tbl = pa.table({"embedding": pa.array([[1.0, 2.0]] * 3,
+                                          pa.list_(pa.float32()))})
+    make = lambda: ray.data.from_arrow(tbl)  # noqa: E731
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(make, n_components=5)

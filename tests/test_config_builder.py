@@ -448,3 +448,28 @@ def test_repetition_scale_reshape_semdedup_processors(ray_session,
             ({"unpivot": {"keys": ["doc_id"]}}, ["unpivot"])):
         with pytest.raises(ConfigError):
             build(procs, names)
+
+
+def test_pca_processor(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(60, 6)).astype(np.float32)
+    src = tmp_path / "e.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "emb": pa.array(list(emb), pa.list_(pa.float32()))}), str(src))
+    out = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(src)}},
+        "processors": {"pca": {"vec_col": "emb", "n_components": 3}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["pca"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    assert len(out) == 60
+    assert all(len(v) == 3 for v in out["pca"])
