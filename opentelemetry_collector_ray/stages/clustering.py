@@ -218,6 +218,10 @@ def pca_fit(make_ds, n_components: int = 16, vec_col: str = "embedding",
             f"pca_fit: n_components={n_components} outside (0, dim={dim}]")
 
     def partials(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.binary()),
+                             "s2": pa.array([], pa.binary())})
         x = _stack(t.column(vec_col)).astype(np.float64)
         s1 = x.sum(axis=0)
         s2 = x.T @ x
@@ -241,9 +245,9 @@ def pca_fit(make_ds, n_components: int = 16, vec_col: str = "embedding",
         combine, batch_size=None, batch_format="pyarrow").repartition(
         1).map_batches(combine, batch_size=None,
                        batch_format="pyarrow").to_pandas()
-    n = int(pdf["n"].iloc[0])
-    if n < 2:
+    if not len(pdf) or int(pdf["n"].iloc[0]) < 2:
         raise ValueError("pca_fit: need at least 2 rows")
+    n = int(pdf["n"].iloc[0])
     s1 = np.frombuffer(pdf["s1"].iloc[0], np.float64)
     s2 = np.frombuffer(pdf["s2"].iloc[0], np.float64).reshape(dim, dim)
     mean = s1 / n

@@ -57,7 +57,10 @@ def pivot(ds: ray.data.Dataset, keys: list[str], name_col: str,
         keep = pc.is_valid(idx)
         t2 = t.filter(keep)
         ix = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.intp)
-        vals = t2.column(value_col).to_numpy(zero_copy_only=False)
+        # null values contribute 0 — matches SQL SUM's null-skipping
+        vcol = t2.column(value_col)
+        vals = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False) \
+            if vcol.null_count else vcol.to_numpy(zero_copy_only=False)
         n = t2.num_rows
         dt = np.int64 if np.issubdtype(vals.dtype, np.integer) \
             else np.float64

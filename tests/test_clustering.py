@@ -124,3 +124,15 @@ def test_pca_validation(ray_session):
     make = lambda: ray.data.from_arrow(tbl)  # noqa: E731
     with pytest.raises(ValueError, match="n_components"):
         pca_fit(make, n_components=5)
+
+
+def test_pca_empty_blocks_and_tiny_input(ray_session):
+    """repartition(8) of a 4-row table yields empty blocks — the partial
+    pass must emit typed empties, not crash."""
+    from opentelemetry_collector_ray.stages.clustering import pca_fit
+
+    x = np.eye(4, 3, dtype=np.float32)
+    tbl = pa.table({"embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    make = lambda: ray.data.from_arrow(tbl).repartition(8)  # noqa: E731
+    mean, comp = pca_fit(make, n_components=2)
+    assert comp.shape == (2, 3)

@@ -55,3 +55,12 @@ def test_unpivot_melt_and_types(ray_session):
     assert out.loc[0, "name"] == "p" and out.loc[0, "value"] == 10.0
     ints = unpivot(ray.data.from_arrow(wide), ["id"], ["p"]).to_pandas()
     assert ints["value"].dtype == np.int64
+
+
+def test_pivot_null_values_sum_as_zero(ray_session):
+    tbl = pa.table({"k": pa.array(["x", "x"]),
+                    "name": pa.array(["a", "a"]),
+                    "v": pa.array([3, None], pa.int64())})
+    out = pivot(ray.data.from_arrow(tbl), ["k"], "name", "v",
+                names=["a"]).to_pandas()
+    assert out["a"].tolist() == [3]
