@@ -1085,6 +1085,57 @@ def _q_join_priority_revenue(sf_dir: str):
                        sum_cols={"rev_cents": "rev_cents"})
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority): dimension filter broadcast
+    (customer segment) → pushed-down date filters on BOTH fact reads →
+    big-big shuffle join → bucket rollup on the join key → global top-10
+    with a deterministic tie-break. The canonical multi-join composition
+    query — every stage is one of the repo's primitives."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import (
+        broadcast_join, shuffle_hash_join)
+
+    import datetime
+
+    cut = pa.scalar(datetime.datetime(1998, 6, 1), pa.timestamp("us"))
+    cust = _side_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")
+                       ).select(["c_custkey"])
+
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"]
+                      ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cut)),
+        batch_format="pyarrow")
+    orders = broadcast_join(orders, cust, key="o_custkey",
+                            right_key="c_custkey").select_columns(
+        ["o_orderkey", "o_orderdate"])
+
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), cut)),
+        batch_format="pyarrow")
+
+    j = shuffle_hash_join(li, orders, key="l_orderkey",
+                          right_key="o_orderkey", how="inner")
+
+    def cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "o_orderdate": t.column("o_orderdate"),
+                         "cents": _cents(rev)})
+
+    agg = grouped_agg(j.map_batches(cents, batch_format="pyarrow"),
+                      ["l_orderkey", "o_orderdate"],
+                      sum_cols={"revenue_cents": "cents"},
+                      strategy="bucket")
+    return agg.sort(["revenue_cents", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
 def _q_customers_order_counts(sf_dir: str):
     """LEFT shuffle join: every customer with its order count INCLUDING
     zero-order customers (null right rows counted as 0)."""
@@ -1815,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_unpivot": _q_docs_quality_unpivot,
         "docs_canonical_dedup": _q_docs_canonical_dedup,
         "docs_chunk_sliding": _q_docs_chunk_sliding,
+        "tpch_q3": _q_tpch_q3,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2160,6 +2212,21 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "tpch_q3": """
+WITH j AS (
+  SELECT l_orderkey, o_orderdate,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01')
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1, 2
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """,
         "docs_canonical_dedup": """
 WITH c AS (SELECT doc_id,
