@@ -901,6 +901,19 @@ def _q_docs_quality_unpivot(sf_dir: str):
     return unpivot(wide, ["doc_id"], ["n_chars", "n_tokens", "n_punct"])
 
 
+def _q_events_user_split(sf_dir: str):
+    """Group-aware deterministic train/val/test split (stages/sampling
+    assign_split, md5 oracle mode): every event of a user lands in the
+    same split — the leakage-safe corpus split. Oracle = the identical
+    md5-hex-prefix bucket expression in SQL."""
+    from opentelemetry_collector_ray.stages.sampling import assign_split
+
+    return assign_split(
+        _read_co(sf_dir, "events", ["event_id", "user_id"], floor=8),
+        "user_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_mode="md5")
+
+
 def _q_docs_uniform_sample(sf_dir: str):
     """Deterministic distributed uniform k-sample (stages/sampling.py
     bottom-k-by-hash, md5 oracle mode): every block emits its local
@@ -1867,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_canonical_dedup": _q_docs_canonical_dedup,
         "docs_chunk_sliding": _q_docs_chunk_sliding,
         "tpch_q3": _q_tpch_q3,
+        "events_user_split": _q_events_user_split,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2212,6 +2226,16 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "events_user_split": """
+WITH b AS (SELECT event_id, user_id,
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                      ::UBIGINT % 1000000 AS bk
+           FROM events)
+SELECT event_id, user_id,
+       CASE WHEN bk < 800000 THEN 'train'
+            WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
+FROM b
 """,
         "tpch_q3": """
 WITH j AS (

@@ -471,7 +471,20 @@ def _register_builtins() -> None:
 
         return DatasetTransform(run)
 
+    def make_split(cfg: dict):
+        from .stages.sampling import assign_split
+
+        if not cfg.get("key") or not cfg.get("fractions"):
+            raise ConfigError("split: key and fractions are required")
+        return DatasetTransform(lambda ds: assign_split(
+            ds, cfg["key"],
+            {str(k): float(v) for k, v in cfg["fractions"].items()},
+            hash_mode=cfg.get("hash_mode", "xx64"),
+            seed=int(cfg.get("seed", 0)),
+            out_col=cfg.get("out_col", "split")))
+
     register("parse", Factory("processor", make_parse))
+    register("split", Factory("processor", make_split))
     register("pca", Factory("processor", make_pca))
     register("repetition", Factory("processor", make_repetition))
     register("minmax_scale", Factory("processor", make_minmax_scale))

@@ -94,3 +94,52 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
     if not keep_rank:
         out = out.drop_columns(["_rk"])
     return ray.data.from_arrow(out)
+
+
+def assign_split(ds: ray.data.Dataset, key: str,
+                 fractions: dict[str, float], hash_mode: str = "xx64",
+                 seed: int = 0, out_col: str = "split",
+                 ) -> ray.data.Dataset:
+    """Group-aware deterministic train/val/test split: every row whose
+    ``key`` hashes into the same bucket gets the same label, so a GROUP
+    (user, document cluster, conversation) never straddles splits — the
+    leakage-safe way to split training data.
+
+    Buckets are ``hash(key) % 1_000_000`` compared against cumulative
+    fraction thresholds (exact integer arithmetic; fractions must sum to
+    1 within 1e-9 — micro-fraction resolution). ``hash_mode="xx64"`` is
+    the vectorized production path; ``hash_mode="md5"`` is the
+    cross-engine oracle mode, equal to the SQL expression
+    ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 6))::UBIGINT %
+    1000000`` bit-for-bit. Stateless per batch — no shuffle, no driver
+    state, trivially resumable."""
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(f"assign_split: unknown hash_mode {hash_mode!r}")
+    if not fractions:
+        raise ValueError("assign_split: fractions must be non-empty")
+    fracs = np.array(list(fractions.values()), np.float64)
+    if (fracs <= 0).any() or abs(fracs.sum() - 1.0) > 1e-9:
+        raise ValueError(
+            f"assign_split: fractions must be positive and sum to 1 "
+            f"(got sum={fracs.sum()})")
+    labels = np.array(list(fractions.keys()))
+    cum = np.floor(np.cumsum(fracs) * 1_000_000 + 0.5).astype(np.int64)
+    cum[-1] = 1_000_000  # close the last interval exactly
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column(key).cast(pa.string())
+        if hash_mode == "md5":
+            from ..functions.text import md5_hex
+
+            hx = md5_hex(ids)
+            b = np.array([int(h[:6], 16) % 1_000_000
+                          for h in hx.to_pylist()], np.int64)
+        else:
+            from ..functions.hashing import hash64
+
+            b = (hash64(ids, seed=seed) % np.uint64(1_000_000)
+                 ).astype(np.int64)
+        idx = np.searchsorted(cum, b, side="right")
+        return t.append_column(out_col, pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

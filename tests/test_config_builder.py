@@ -473,3 +473,35 @@ def test_pca_processor(ray_session, tmp_path):
     })).to_pandas()
     assert len(out) == 60
     assert all(len(v) == 3 for v in out["pca"])
+
+
+def test_split_processor(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    src = tmp_path / "s.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array(np.arange(100), pa.int64()),
+        "grp": pa.array(np.arange(100) % 9, pa.int64())}), str(src))
+    out = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(src)}},
+        "processors": {"split": {"key": "grp",
+                                 "fractions": {"train": 0.7, "test": 0.3}}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["split"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    assert (out.groupby("grp")["split"].nunique() == 1).all()
+    with pytest.raises(ConfigError):
+        build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(src)}},
+            "processors": {"split": {"key": "grp"}},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": ["split"],
+                "exporters": ["debug"]}}},
+        }))

@@ -51,3 +51,37 @@ def test_bottom_k_small_input_and_validation(ray_session):
     with pytest.raises(ValueError):
         sample_bottom_k(ray.data.from_arrow(tbl), 1, "doc_id",
                         hash_mode="sha1")
+
+
+def test_assign_split_group_consistent(ray_session):
+    from opentelemetry_collector_ray.stages.sampling import assign_split
+
+    tbl = pa.table({"row": pa.array(range(200), pa.int64()),
+                    "grp": pa.array([i % 17 for i in range(200)],
+                                    pa.int64())})
+    for mode in ("xx64", "md5"):
+        out = assign_split(ray.data.from_arrow(tbl).repartition(4), "grp",
+                           {"train": 0.5, "val": 0.25, "test": 0.25},
+                           hash_mode=mode).to_pandas()
+        per_group = out.groupby("grp")["split"].nunique()
+        assert (per_group == 1).all(), mode  # group never straddles
+        assert set(out["split"]) <= {"train", "val", "test"}
+        # deterministic across runs
+        out2 = assign_split(ray.data.from_arrow(tbl), "grp",
+                            {"train": 0.5, "val": 0.25, "test": 0.25},
+                            hash_mode=mode).to_pandas()
+        m = out.sort_values("row")["split"].tolist()
+        assert m == out2.sort_values("row")["split"].tolist()
+
+
+def test_assign_split_validation(ray_session):
+    from opentelemetry_collector_ray.stages.sampling import assign_split
+
+    tbl = pa.table({"k": pa.array([1, 2], pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(ds, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="hash_mode"):
+        assign_split(ds, "k", {"a": 1.0}, hash_mode="bogus")
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_split(ds, "k", {})
