@@ -901,6 +901,20 @@ def _q_docs_quality_unpivot(sf_dir: str):
     return unpivot(wide, ["doc_id"], ["n_chars", "n_tokens", "n_punct"])
 
 
+def _q_events_profile(sf_dir: str):
+    """Per-column exact profiling (stages/profile.py): row / null /
+    distinct counts for data validation — n/null partials tree-combined,
+    exact distinct via the shuffle-free two-phase merge (SQL
+    count(DISTINCT) null convention matched). Oracle = UNION ALL of one
+    aggregate per column."""
+    from opentelemetry_collector_ray.stages.profile import profile_table
+
+    return profile_table(
+        _read_co(sf_dir, "events",
+                 ["event_type", "user_id", "value"], floor=8),
+        ["event_type", "user_id", "value"])
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -1881,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_sliding": _q_docs_chunk_sliding,
         "tpch_q3": _q_tpch_q3,
         "events_user_split": _q_events_user_split,
+        "events_profile": _q_events_profile,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2226,6 +2241,21 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "events_profile": """
+SELECT 'event_type' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
 """,
         "events_user_split": """
 WITH b AS (SELECT event_id, user_id,

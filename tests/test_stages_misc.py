@@ -721,3 +721,24 @@ def test_chunk_sliding(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="stride"):
         chunk_sliding(ray.data.from_arrow(tbl), window=2, stride=3)
+
+
+def test_profile_table_with_nulls(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.profile import profile_table
+
+    tbl = pa.table({
+        "a": pa.array(["x", "y", None, "x", None]),
+        "b": pa.array([1, 1, 1, 2, 3], pa.int64())})
+    out = profile_table(ray.data.from_arrow(tbl).repartition(3),
+                        ["a", "b"]).to_pandas().set_index("column")
+    assert out.loc["a", "n_rows"] == 5
+    assert out.loc["a", "n_null"] == 2
+    assert out.loc["a", "n_distinct"] == 2  # SQL convention: nulls excluded
+    assert out.loc["b", "n_null"] == 0
+    assert out.loc["b", "n_distinct"] == 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        profile_table(ray.data.from_arrow(tbl), [])
