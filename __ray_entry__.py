@@ -901,6 +901,25 @@ def _q_docs_quality_unpivot(sf_dir: str):
     return unpivot(wide, ["doc_id"], ["n_chars", "n_tokens", "n_punct"])
 
 
+def _q_orders_violations(sf_dir: str):
+    """Data-quality expectations (stages/validate.py): declared rules →
+    violations table. Row-local rules are one vectorized mask per batch;
+    the unique rule is one bucket exchange flagging ALL occurrences of a
+    duplicated key. Oracle = UNION ALL of the rules in SQL (window count
+    for unique)."""
+    from opentelemetry_collector_ray.stages.validate import validate_rules
+
+    return validate_rules(
+        _read_co(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderstatus"], floor=8),
+        {"price_range": ("in_range", "o_totalprice", 0.0, 300000.0),
+         "status_known": ("in_set", "o_orderstatus", ["F", "O"]),
+         "custkey_not_null": ("not_null", "o_custkey"),
+         "orderkey_unique": ("unique", "o_orderkey")},
+        id_col="o_orderkey")
+
+
 def _q_events_profile(sf_dir: str):
     """Per-column exact profiling (stages/profile.py): row / null /
     distinct counts for data validation — n/null partials tree-combined,
@@ -1896,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
+        "orders_violations": _q_orders_violations,
         # --- veterans still inside the 50-cap ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
@@ -2241,6 +2261,19 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM tok, tot GROUP BY term, tot.c
 HAVING count(*) * 200 >= 1 * tot.c
+""",
+        "orders_violations": """
+SELECT 'price_range' AS rule, CAST(o_orderkey AS BIGINT) AS id
+FROM orders WHERE o_totalprice < 0 OR o_totalprice > 300000
+UNION ALL
+SELECT 'status_known', o_orderkey FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')
+UNION ALL
+SELECT 'custkey_not_null', o_orderkey FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'orderkey_unique', o_orderkey FROM
+  (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
+   FROM orders) WHERE c > 1
 """,
         "events_profile": """
 SELECT 'event_type' AS column, CAST(count(*) AS BIGINT) AS n_rows,
