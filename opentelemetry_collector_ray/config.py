@@ -483,7 +483,29 @@ def _register_builtins() -> None:
             seed=int(cfg.get("seed", 0)),
             out_col=cfg.get("out_col", "split")))
 
+    def make_validate(cfg: dict):
+        from .stages.validate import validate_rules
+
+        if not cfg.get("rules") or not cfg.get("id_col"):
+            raise ConfigError("validate: rules and id_col are required")
+        rules = {str(k): tuple(v) for k, v in cfg["rules"].items()}
+        return DatasetTransform(lambda ds: validate_rules(
+            ds, rules, id_col=cfg["id_col"],
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_profile(cfg: dict):
+        import ray.data
+
+        from .stages.profile import profile_table
+
+        if not cfg.get("columns"):
+            raise ConfigError("profile: columns list is required")
+        return DatasetTransform(lambda ds: ray.data.from_arrow(
+            profile_table(ds, [str(c) for c in cfg["columns"]])))
+
     register("parse", Factory("processor", make_parse))
+    register("validate", Factory("processor", make_validate))
+    register("profile", Factory("processor", make_profile))
     register("split", Factory("processor", make_split))
     register("pca", Factory("processor", make_pca))
     register("repetition", Factory("processor", make_repetition))

@@ -505,3 +505,41 @@ def test_split_processor(ray_session, tmp_path):
                 "receivers": ["parquet"], "processors": ["split"],
                 "exporters": ["debug"]}}},
         }))
+
+
+def test_validate_profile_processors(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    src = tmp_path / "v.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "x": pa.array([5, -1, 7, None], pa.int64())}), str(src))
+
+    def build(procs, names):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(src)}},
+            "processors": procs,
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": names,
+                "exporters": ["debug"]}}},
+        }))
+
+    v = build({"validate": {"id_col": "id",
+                            "rules": {"x_pos": ["in_range", "x", 0, 100],
+                                      "x_nn": ["not_null", "x"]}}},
+              ["validate"]).to_pandas()
+    got = {(r, int(i)) for r, i in zip(v["rule"], v["id"])}
+    assert got == {("x_pos", 2), ("x_nn", 4)}
+
+    p = build({"profile": {"columns": ["x"]}}, ["profile"]).to_pandas()
+    assert p.iloc[0]["n_rows"] == 4 and p.iloc[0]["n_null"] == 1
+
+    for procs, names in (({"validate": {"id_col": "id"}}, ["validate"]),
+                         ({"profile": {}}, ["profile"])):
+        with pytest.raises(ConfigError):
+            build(procs, names)
