@@ -109,7 +109,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "docs_index_postings", "events_user_window",
              "docs_contamination", "docs_curation", "docs_repetition",
              "events_pivot", "events_value_scaled", "docs_canonical_dedup",
-             "docs_chunk_sliding", "emb_kmeans"]
+             "docs_chunk_sliding", "emb_kmeans", "tpch_q3",
+             "events_user_split", "events_profile", "orders_violations",
+             "emb_pca"]
     q = m.queries()
     for name in names:
         t0 = time.time()
