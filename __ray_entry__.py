@@ -817,6 +817,33 @@ def _q_events_user_window(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_events_user_rolling(sf_dir: str):
+    """Value-RANGE rolling window per key (stages/window.py rolling_sum
+    / rolling_count): per-user 1-hour trailing spend and event count in
+    ts order — SQL ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW`` semantics (ties included), one bucket exchange, ONE
+    global searchsorted over a segment-lifted composite per bucket.
+    Oracle = the same RANGE frame in DuckDB."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "value"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "value_cents": _cents(t.column("value"))})
+
+    out = per_key_window(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id",
+        ["ts", "event_id"],
+        {"hour_cents": ("rolling_sum", "value_cents", 3_600_000_000),
+         "hour_events": ("rolling_count", 3_600_000_000)})
+    return out.map_batches(lambda t: t.drop_columns(["ts"]),
+                           batch_format="pyarrow")
+
+
 def _q_events_value_scaled(sf_dir: str):
     """Per-key min-max feature scaling (stages/normalize.py two-pass
     broadcast-statistics): cents scaled into [0, 1e6] within each
@@ -1904,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_attrs_flatten": _q_docs_attrs_flatten,
         "docs_frequent_terms": _q_docs_frequent_terms,
         "events_user_window": _q_events_user_window,
+        "events_user_rolling": _q_events_user_rolling,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
         "docs_repetition": _q_docs_repetition,
@@ -2252,6 +2280,16 @@ SELECT user_id, event_id, value_cents,
            AS cum_cents,
        CAST(row_number() OVER w - 1 AS BIGINT) AS rn
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "events_user_rolling": """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+           FROM events)
+SELECT user_id, event_id, value_cents,
+       CAST(sum(value_cents) OVER w AS BIGINT) AS hour_cents,
+       CAST(count(*) OVER w AS BIGINT) AS hour_events
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
         "docs_frequent_terms": """
 WITH tok AS (

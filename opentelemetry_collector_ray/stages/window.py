@@ -1,14 +1,20 @@
 """Per-key ordered window functions — lag / lead / delta / cumsum /
-row_number over a key partition in event order, the SQL-window-function
-family a batch pipeline needs for per-entity sequence features (previous
-event value, inter-event delta, running totals, ordinal position).
+row_number / rolling_sum / rolling_count over a key partition in event
+order, the SQL-window-function family a batch pipeline needs for
+per-entity sequence features (previous event value, inter-event delta,
+running totals, ordinal position, trailing-interval RANGE frames).
 
 Scale shape: ONE bucket exchange (``bucketed_map_groups`` — never
 ``groupby(raw key)``), then every window op inside a bucket is a
 vectorized pass over the (key, order)-sorted table using
 ``key_segments`` offsets: lag/lead are shifted views with segment-start
 masking, cumsum is one global cumsum minus a segment-base gather,
-row_number is ``arange - segment_start``. No Python per key or per row.
+row_number is ``arange - segment_start``, and the RANGE-frame rolling
+ops are ONE global ``searchsorted`` over a segment-lifted composite
+(each partition's order values rebased to its start, then lifted by
+``segment_id * stride`` with ``stride > max_range + window`` so a
+``value - window`` probe can never cross into the previous partition)
+plus a prefix-sum gather. No Python per key or per row.
 
 The collector has no window operator (batch fate of its streaming
 deltatocumulative idea — ``stages/temporal.py`` is the single-op
@@ -25,7 +31,8 @@ import ray.data
 
 from .bucketing import bucketed_map_groups, key_segments
 
-_OPS = ("lag", "lead", "delta", "cumsum", "row_number")
+_OPS = ("lag", "lead", "delta", "cumsum", "row_number", "rolling_sum",
+        "rolling_count")
 
 
 def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
@@ -39,20 +46,39 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
       partition (null at the edge);
       ``("delta", col)`` — ``col - lag(col)`` (null on first row);
       ``("cumsum", col)`` — running total including the current row;
-      ``("row_number",)`` — 0-based ordinal within the partition.
+      ``("row_number",)`` — 0-based ordinal within the partition;
+      ``("rolling_sum", col, window)`` / ``("rolling_count", window)``
+      — value-range window over the FIRST order_by column: all rows of
+      the partition whose order value lies in ``[cur - window, cur]``
+      (both inclusive, ALL ties included) — SQL ``RANGE BETWEEN window
+      PRECEDING AND CURRENT ROW`` semantics exactly. ``window`` is in
+      the order column's units (microseconds for timestamps).
     Output rows are the input rows (order within blocks follows the
     bucket sort, not input order)."""
+    rolling_requested = False
     for out, spec in ops.items():
         if not spec or spec[0] not in _OPS:
             raise ValueError(
                 f"per_key_window: op {out!r} must start with one of "
                 f"{_OPS}, got {spec!r}")
-        if spec[0] != "row_number" and len(spec) != 2:
+        if spec[0] == "rolling_sum" and len(spec) != 3:
+            raise ValueError(
+                "per_key_window: rolling_sum takes (col, window)")
+        if spec[0] == "rolling_count" and len(spec) != 2:
+            raise ValueError(
+                "per_key_window: rolling_count takes (window,)")
+        if spec[0] in ("rolling_sum", "rolling_count"):
+            rolling_requested = True
+            if int(spec[-1]) < 0:
+                raise ValueError("per_key_window: window must be >= 0")
+        elif spec[0] != "row_number" and len(spec) != 2:
             raise ValueError(
                 f"per_key_window: {spec[0]} takes exactly one column")
 
     sort_spec = [(key, "ascending")] + [(c, "ascending")
                                         for c in order_by]
+    windows = sorted({int(spec[-1]) for spec in ops.values()
+                      if spec[0] in ("rolling_sum", "rolling_count")})
 
     def bucket_fn(t: pa.Table) -> pa.Table:
         t = t.sort_by(sort_spec)
@@ -60,11 +86,51 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
         change, seg_start = key_segments(keys)
         n = len(keys)
         pos = np.arange(n)
+        hi = None
+        lo_of: dict[int, np.ndarray] = {}
+        if rolling_requested:
+            oc = t.column(order_by[0])
+            if oc.null_count:
+                raise ValueError(
+                    f"per_key_window: rolling order column "
+                    f"{order_by[0]!r} has nulls — a null has no frame")
+            ov = oc.to_numpy(zero_copy_only=False)
+            if ov.dtype.kind == "M":
+                ov = ov.view("i8")
+            elif ov.dtype.kind not in "iu":
+                raise ValueError(
+                    "per_key_window: rolling ops need an integer or "
+                    f"timestamp order column, got {ov.dtype} "
+                    f"for {order_by[0]!r}")
+            ov = ov.astype(np.int64, copy=False)
+            # One GLOBAL searchsorted for all segments: rebase each
+            # segment to its own start, then lift segment s by s*stride
+            # so the array is globally sorted and a query (value -
+            # window) can never fall past the previous segment's lift.
+            rel = ov - ov[seg_start] if n else ov
+            seg_id = (np.cumsum(change) - 1) if n else np.zeros(0, np.int64)
+            max_rel = int(rel.max()) if n else 0
+            stride = max_rel + (windows[-1] if windows else 0) + 2
+            n_seg = int(seg_id[-1]) + 1 if n else 0
+            if n_seg and stride > (2 ** 62) // n_seg:
+                raise ValueError(
+                    "per_key_window: rolling composite would overflow "
+                    f"int64 ({n_seg} partitions x order-range {max_rel});"
+                    " rebase the order column (e.g. subtract a corpus "
+                    "epoch) or shrink the window")
+            comp = seg_id * stride + rel
+            hi = np.searchsorted(comp, comp, side="right")
+            for w in windows:
+                lo_of[w] = np.searchsorted(comp, comp - w, side="left")
         for out, spec in ops.items():
             op = spec[0]
             if op == "row_number":
                 t = t.append_column(
                     out, pa.array((pos - seg_start).astype(np.int64)))
+                continue
+            if op == "rolling_count":
+                t = t.append_column(out, pa.array(
+                    (hi - lo_of[int(spec[1])]).astype(np.int64)))
                 continue
             col = t.column(spec[1])
             if col.null_count:
@@ -74,6 +140,18 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                     "silently wrong (numpy NaN coercion); fill or drop "
                     "them first")
             v = col.to_numpy(zero_copy_only=False)
+            if op == "rolling_sum":
+                if v.dtype.kind in "mM":
+                    raise ValueError(
+                        "per_key_window: rolling_sum over a temporal "
+                        "column is undefined; delta it to numbers first")
+                acc = v.astype(
+                    np.int64 if v.dtype.kind in "iub" else np.float64)
+                prefix = np.concatenate([[acc.dtype.type(0)],
+                                         np.cumsum(acc)])
+                lo = lo_of[int(spec[2])]
+                t = t.append_column(out, pa.array(prefix[hi] - prefix[lo]))
+                continue
             if op in ("lag", "delta"):
                 lag = np.empty_like(v)
                 if n:

@@ -53,6 +53,76 @@ def test_window_single_row_partitions(ray_session):
     assert out["rn"].tolist() == [0, 0, 0]
 
 
+def test_rolling_range_frames_match_duckdb(ray_session):
+    """rolling_sum / rolling_count = SQL RANGE BETWEEN w PRECEDING AND
+    CURRENT ROW (ties included) — randomized DuckDB parity over int,
+    float and timestamp order columns."""
+    import duckdb
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 37, n)),
+        "o": pa.array(rng.integers(0, 400, n).astype(np.int64)),
+        "v": pa.array(rng.integers(-100, 100, n).astype(np.int64)),
+        "rid": pa.array(np.arange(n)),
+    })
+    out = per_key_window(
+        ray.data.from_arrow(tbl).repartition(6), "k", ["o", "rid"],
+        {"rs": ("rolling_sum", "v", 40), "rc": ("rolling_count", 40),
+         "rs0": ("rolling_sum", "v", 0)},
+        n_buckets=8).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp = duckdb.sql("""
+        SELECT rid,
+          CAST(sum(v) OVER w AS BIGINT) AS rs,
+          CAST(count(*) OVER w AS BIGINT) AS rc,
+          CAST(sum(v) OVER (PARTITION BY k ORDER BY o RANGE BETWEEN
+               0 PRECEDING AND CURRENT ROW) AS BIGINT) AS rs0
+        FROM tbl WINDOW w AS (PARTITION BY k ORDER BY o
+             RANGE BETWEEN 40 PRECEDING AND CURRENT ROW)
+        ORDER BY rid""").df()
+    for c in ("rs", "rc", "rs0"):
+        assert out[c].tolist() == exp[c].tolist(), c
+
+    ts = pa.array((tbl.column("o").to_numpy() * 1000).astype(
+        "datetime64[us]"))
+    tblt = pa.table({"k": tbl.column("k"), "ts": ts,
+                     "v": pa.array(rng.normal(size=n)),
+                     "rid": tbl.column("rid")})
+    outt = per_key_window(
+        ray.data.from_arrow(tblt).repartition(6), "k", ["ts", "rid"],
+        {"rs": ("rolling_sum", "v", 40_000),
+         "rc": ("rolling_count", 40_000)},
+        n_buckets=8).to_pandas().sort_values("rid").reset_index(drop=True)
+    expt = duckdb.sql("""
+        SELECT rid, sum(v) OVER w AS rs,
+               CAST(count(*) OVER w AS BIGINT) AS rc
+        FROM tblt WINDOW w AS (PARTITION BY k ORDER BY ts RANGE BETWEEN
+             INTERVAL 40 MILLISECONDS PRECEDING AND CURRENT ROW)
+        ORDER BY rid""").df()
+    assert outt["rc"].tolist() == expt["rc"].tolist()
+    assert np.allclose(outt["rs"].to_numpy(), expt["rs"].to_numpy())
+
+
+def test_rolling_validation(ray_session):
+    ds = ray.data.from_arrow(pa.table(
+        {"k": ["a"], "o": [1], "v": [1], "s": ["x"]}))
+    with pytest.raises(ValueError, match="rolling_sum takes"):
+        per_key_window(ds, "k", ["o"], {"x": ("rolling_sum", "v")})
+    with pytest.raises(ValueError, match="rolling_count takes"):
+        per_key_window(ds, "k", ["o"], {"x": ("rolling_count",)})
+    with pytest.raises(ValueError, match="window must be"):
+        per_key_window(ds, "k", ["o"], {"x": ("rolling_count", -5)})
+    with pytest.raises(Exception, match="integer or.*timestamp|timestamp"):
+        per_key_window(ds, "k", ["s"],
+                       {"x": ("rolling_count", 1)}).to_pandas()
+    withnull = pa.table({"k": ["a", "a"],
+                         "o": pa.array([1, None], pa.int64()),
+                         "v": [1, 2]})
+    with pytest.raises(Exception, match="has nulls"):
+        per_key_window(ray.data.from_arrow(withnull), "k", ["o"],
+                       {"x": ("rolling_count", 1)}).to_pandas()
+
+
 def test_window_bad_spec(ray_session):
     ds = ray.data.range(3)
     with pytest.raises(ValueError):
