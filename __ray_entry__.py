@@ -844,6 +844,44 @@ def _q_events_user_rolling(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_events_rollup(sf_dir: str):
+    """Multi-level SQL ROLLUP (stages/rollup.py): count / sum / min /
+    max of cents by (event_type, day), by event_type, and grand total —
+    input scanned ONCE by the two-phase fine aggregate, coarser levels
+    derived from the small fine table in one task, GROUPING_ID bitmask
+    emitted. Oracle = GROUP BY ROLLUP in DuckDB."""
+    from opentelemetry_collector_ray.stages.aggregate import add_time_bucket
+    from opentelemetry_collector_ray.stages.rollup import rollup_agg
+
+    ev = _read_co(sf_dir, "events", ["event_type", "ts", "value"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = add_time_bucket(t, "ts", "day", "day")
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": t.column("day"),
+                         "cents": _cents(t.column("value"))})
+
+    return rollup_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                      ["event_type", "day"], count_name="n_events",
+                      sum_cols={"sum_cents": "cents"},
+                      min_cols={"min_cents": "cents"},
+                      max_cols={"max_cents": "cents"})
+
+
+def _q_events_funnel(sf_dir: str):
+    """Per-user conversion funnel (stages/funnel.py): first view, first
+    click at-or-after it, first purchase at-or-after that — one bucket
+    exchange, per-step suffix-min resolution for every user at once.
+    Oracle = nested min(ts) FILTER joins in DuckDB."""
+    from opentelemetry_collector_ray.stages.funnel import funnel
+
+    ev = _read_co(sf_dir, "events", ["user_id", "ts", "event_type"],
+                  floor=8)
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
 def _q_events_value_scaled(sf_dir: str):
     """Per-key min-max feature scaling (stages/normalize.py two-pass
     broadcast-statistics): cents scaled into [0, 1e6] within each
@@ -1932,6 +1970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_frequent_terms": _q_docs_frequent_terms,
         "events_user_window": _q_events_user_window,
         "events_user_rolling": _q_events_user_rolling,
+        "events_rollup": _q_events_rollup,
+        "events_funnel": _q_events_funnel,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
         "docs_repetition": _q_docs_repetition,
@@ -2290,6 +2330,36 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "events_rollup": """
+WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       CAST(grouping(event_type, day) AS BIGINT) AS "grouping_id"
+FROM e GROUP BY ROLLUP(event_type, day)
+""",
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.ts_1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.ts_2
+       GROUP BY e.user_id)
+SELECT k.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      AS steps_completed
+FROM (SELECT DISTINCT user_id FROM events) k
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
 """,
         "docs_frequent_terms": """
 WITH tok AS (

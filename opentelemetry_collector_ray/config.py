@@ -361,6 +361,34 @@ def _register_builtins() -> None:
             ds, cfg["key"], list(cfg["order_by"]), ops,
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_rollup(cfg: dict):
+        from .stages.rollup import rollup_agg
+
+        if not cfg.get("keys"):
+            raise ConfigError("rollup: keys list is required")
+        sets = ([tuple(int(i) for i in s) for s in cfg["sets"]]
+                if cfg.get("sets") is not None else None)
+        return DatasetTransform(lambda ds: rollup_agg(
+            ds, [str(k) for k in cfg["keys"]],
+            count_name=cfg.get("count_name"),
+            sum_cols=cfg.get("sum_cols"), min_cols=cfg.get("min_cols"),
+            max_cols=cfg.get("max_cols"), sets=sets,
+            grouping_id_name=cfg.get("grouping_id_name", "grouping_id"),
+            strategy=cfg.get("strategy", "tree")))
+
+    def make_funnel(cfg: dict):
+        from .stages.funnel import funnel
+
+        for req in ("key", "order_col", "step_col", "steps"):
+            if not cfg.get(req):
+                raise ConfigError(f"funnel: {req} is required")
+        return DatasetTransform(lambda ds: funnel(
+            ds, cfg["key"], cfg["order_col"], cfg["step_col"],
+            [str(s) for s in cfg["steps"]],
+            out_prefix=cfg.get("out_prefix", "ts_"),
+            completed_name=cfg.get("completed_name", "steps_completed"),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_sample(cfg: dict):
         from .stages.sampling import sample_bottom_k
 
@@ -514,6 +542,8 @@ def _register_builtins() -> None:
     register("unpivot", Factory("processor", make_unpivot))
     register("semdedup", Factory("processor", make_semdedup))
     register("window", Factory("processor", make_window))
+    register("rollup", Factory("processor", make_rollup))
+    register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("quantize", Factory("processor", make_quantize))
     register("frequent_terms", Factory("processor", make_frequent_terms))

@@ -322,6 +322,66 @@ def test_mix_sort_contamination_tfidf_processors(ray_session, tmp_path):
         build({"tfidf": {}}, ["tfidf"])
 
 
+def test_rollup_funnel_processors(ray_session, tmp_path):
+    """rollup / funnel as YAML processors, each equal to the direct
+    library call; missing-config keys fail loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.funnel import funnel
+    from opentelemetry_collector_ray.stages.rollup import rollup_agg
+
+    rng = np.random.default_rng(23)
+    src = tmp_path / "ev.parquet"
+    pq.write_table(pa.table({
+        "uid": pa.array(rng.integers(0, 9, 150).astype(str)),
+        "o": pa.array(rng.permutation(150)),
+        "v": pa.array(rng.integers(0, 50, 150)),
+        "e": pa.array(rng.choice(["s1", "s2", "zz"], 150)),
+    }), str(src))
+
+    def build(procs, names):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(src)}},
+            "processors": procs,
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": names,
+                "exporters": ["debug"]}}},
+        }))
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype("string")
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+
+    r = build({"rollup": {"keys": ["uid", "e"], "count_name": "n",
+                          "sum_cols": {"sv": "v"}}},
+              ["rollup"]).to_pandas()
+    direct = rollup_agg(ray.data.read_parquet(str(src)), ["uid", "e"],
+                        count_name="n", sum_cols={"sv": "v"}).to_pandas()
+    assert canon(r).equals(canon(direct))
+
+    f = build({"funnel": {"key": "uid", "order_col": "o",
+                          "step_col": "e", "steps": ["s1", "s2"]}},
+              ["funnel"]).to_pandas()
+    directf = funnel(ray.data.read_parquet(str(src)), "uid", "o", "e",
+                     ["s1", "s2"]).to_pandas()
+    assert canon(f).equals(canon(directf))
+
+    for procs, names in (
+            ({"rollup": {"count_name": "n"}}, ["rollup"]),
+            ({"funnel": {"key": "uid"}}, ["funnel"])):
+        with pytest.raises(ConfigError):
+            build(procs, names)
+
+
 def test_window_sample_quantize_freqterms_processors(ray_session,
                                                      tmp_path):
     """window / sample / quantize / frequent_terms as YAML processors,
