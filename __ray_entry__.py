@@ -844,6 +844,28 @@ def _q_events_user_rolling(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_events_type_rank(sf_dir: str):
+    """SQL RANK / DENSE_RANK per partition with real ties
+    (stages/window.py): events ranked within their event_type by whole
+    currency units — peer runs over the full order tuple, one bucket
+    exchange. Oracle = rank()/dense_rank() windows in DuckDB (tie
+    values are deterministic even though tie order is not)."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events", ["event_id", "event_type", "value"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        units = pc.cast(pc.floor(t.column("value")), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "units": units})
+
+    return per_key_window(ev.map_batches(prep, batch_format="pyarrow"),
+                          "event_type", ["units"],
+                          {"rk": ("rank",), "dr": ("dense_rank",)})
+
+
 def _q_events_rollup(sf_dir: str):
     """Multi-level SQL ROLLUP (stages/rollup.py): count / sum / min /
     max of cents by (event_type, day), by event_type, and grand total —
@@ -1971,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_window": _q_events_user_window,
         "events_user_rolling": _q_events_user_rolling,
         "events_rollup": _q_events_rollup,
+        "events_type_rank": _q_events_type_rank,
         "events_funnel": _q_events_funnel,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
@@ -2330,6 +2353,14 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "events_type_rank": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value) AS BIGINT) AS units FROM events)
+SELECT event_id, event_type, units,
+       CAST(rank() OVER w AS BIGINT) AS rk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dr
+FROM e WINDOW w AS (PARTITION BY event_type ORDER BY units)
 """,
         "events_rollup": """
 WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,

@@ -32,7 +32,7 @@ import ray.data
 from .bucketing import bucketed_map_groups, key_segments
 
 _OPS = ("lag", "lead", "delta", "cumsum", "row_number", "rolling_sum",
-        "rolling_count")
+        "rolling_count", "rank", "dense_rank", "ntile")
 
 
 def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
@@ -47,6 +47,10 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
       ``("delta", col)`` — ``col - lag(col)`` (null on first row);
       ``("cumsum", col)`` — running total including the current row;
       ``("row_number",)`` — 0-based ordinal within the partition;
+      ``("rank",)`` / ``("dense_rank",)`` — SQL RANK / DENSE_RANK
+      (1-based; peers = rows equal on the FULL ``order_by`` tuple);
+      ``("ntile", k)`` — SQL NTILE(k) (1-based; the first ``n % k``
+      tiles get the extra row);
       ``("rolling_sum", col, window)`` / ``("rolling_count", window)``
       — value-range window over the FIRST order_by column: all rows of
       the partition whose order value lies in ``[cur - window, cur]``
@@ -67,11 +71,19 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
         if spec[0] == "rolling_count" and len(spec) != 2:
             raise ValueError(
                 "per_key_window: rolling_count takes (window,)")
-        if spec[0] in ("rolling_sum", "rolling_count"):
+        if spec[0] == "ntile":
+            if len(spec) != 2 or int(spec[1]) < 1:
+                raise ValueError(
+                    "per_key_window: ntile takes one tile count >= 1")
+        elif spec[0] in ("rolling_sum", "rolling_count"):
             rolling_requested = True
             if int(spec[-1]) < 0:
                 raise ValueError("per_key_window: window must be >= 0")
-        elif spec[0] != "row_number" and len(spec) != 2:
+        elif spec[0] in ("row_number", "rank", "dense_rank"):
+            if len(spec) != 1:
+                raise ValueError(
+                    f"per_key_window: {spec[0]} takes no arguments")
+        elif len(spec) != 2:
             raise ValueError(
                 f"per_key_window: {spec[0]} takes exactly one column")
 
@@ -88,6 +100,30 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
         pos = np.arange(n)
         hi = None
         lo_of: dict[int, np.ndarray] = {}
+        run_start = None
+        if any(spec[0] in ("rank", "dense_rank") for spec in ops.values()):
+            # peer runs: rows equal on (key, *order_by); order_by
+            # columns compared pairwise on the sorted table.
+            run_change = change.copy()
+            for c in order_by:
+                cv = t.column(c).to_numpy(zero_copy_only=False)
+                if n > 1:
+                    neq = cv[1:] != cv[:-1]
+                    if neq.dtype != bool:  # NaN-propagating dtypes
+                        neq = neq.astype(bool)
+                    run_change[1:] |= neq
+            run_starts = np.flatnonzero(run_change)
+            run_of_row = np.repeat(
+                np.arange(len(run_starts)),
+                np.diff(np.append(run_starts, n)))
+            run_start = run_starts[run_of_row] if n else pos
+            run_id = run_of_row
+        lens = None
+        if any(spec[0] == "ntile" for spec in ops.values()):
+            starts_nt = np.flatnonzero(change)
+            seg_sizes = np.diff(np.append(starts_nt, n))
+            lens = (np.repeat(seg_sizes, seg_sizes) if n
+                    else np.zeros(0, np.int64))
         if rolling_requested:
             oc = t.column(order_by[0])
             if oc.null_count:
@@ -127,6 +163,25 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             if op == "row_number":
                 t = t.append_column(
                     out, pa.array((pos - seg_start).astype(np.int64)))
+                continue
+            if op == "rank":
+                t = t.append_column(out, pa.array(
+                    (run_start - seg_start + 1).astype(np.int64)))
+                continue
+            if op == "dense_rank":
+                t = t.append_column(out, pa.array(
+                    (run_id - run_id[seg_start] + 1).astype(np.int64)))
+                continue
+            if op == "ntile":
+                k = int(spec[1])
+                r = pos - seg_start
+                q, m = lens // k, lens % k
+                big = (q + 1) * m  # rows covered by the larger tiles
+                tile = np.where(
+                    r < big, r // np.maximum(q + 1, 1),
+                    m + (r - big) // np.maximum(q, 1))
+                t = t.append_column(
+                    out, pa.array((tile + 1).astype(np.int64)))
                 continue
             if op == "rolling_count":
                 t = t.append_column(out, pa.array(

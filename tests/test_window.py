@@ -103,6 +103,57 @@ def test_rolling_range_frames_match_duckdb(ray_session):
     assert np.allclose(outt["rs"].to_numpy(), expt["rs"].to_numpy())
 
 
+def test_rank_dense_rank_ntile_match_duckdb(ray_session):
+    """rank / dense_rank (peers = full order_by tuple, incl. string
+    tie-break columns) and ntile vs DuckDB. ntile is order-dependent
+    among ties, so the tied case compares tile-size distributions and
+    the unique-order case compares exactly."""
+    import duckdb
+    rng = np.random.default_rng(13)
+    n = 9000
+    tbl = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "o": pa.array(rng.integers(0, 80, n).astype(np.int64)),
+        "o2": pa.array(rng.choice(["u", "v"], n)),
+        "rid": pa.array(np.arange(n)),
+    })
+    out = per_key_window(
+        ray.data.from_arrow(tbl).repartition(5), "k", ["o", "o2"],
+        {"rk": ("rank",), "dr": ("dense_rank",), "nt": ("ntile", 7)},
+        n_buckets=4).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp = duckdb.sql("""
+        SELECT rid, CAST(rank() OVER w AS BIGINT) rk,
+               CAST(dense_rank() OVER w AS BIGINT) dr
+        FROM tbl WINDOW w AS (PARTITION BY k ORDER BY o, o2)
+        ORDER BY rid""").df()
+    assert out["rk"].tolist() == exp["rk"].tolist()
+    assert out["dr"].tolist() == exp["dr"].tolist()
+    sizes = out.groupby(["k", "nt"]).size().sort_index()
+    expsz = duckdb.sql("""
+        SELECT k, CAST(ntile(7) OVER (PARTITION BY k ORDER BY o, o2)
+               AS BIGINT) nt FROM tbl""").df() \
+        .groupby(["k", "nt"]).size().sort_index()
+    assert sizes.tolist() == expsz.tolist()
+
+    tblu = pa.table({"k": pa.array(rng.choice(["a", "b"], 997)),
+                     "o": pa.array(rng.permutation(997)),
+                     "rid": pa.array(np.arange(997))})
+    outu = per_key_window(
+        ray.data.from_arrow(tblu).repartition(3), "k", ["o"],
+        {"nt": ("ntile", 5)}).to_pandas().sort_values("rid")
+    expu = duckdb.sql("""
+        SELECT rid, CAST(ntile(5) OVER (PARTITION BY k ORDER BY o)
+               AS BIGINT) nt FROM tblu ORDER BY rid""").df()
+    assert outu["nt"].tolist() == expu["nt"].tolist()
+
+    with pytest.raises(ValueError, match="no arguments"):
+        per_key_window(ray.data.range(3), "id", ["id"],
+                       {"x": ("rank", "id")})
+    with pytest.raises(ValueError, match="tile count"):
+        per_key_window(ray.data.range(3), "id", ["id"],
+                       {"x": ("ntile", 0)})
+
+
 def test_rolling_validation(ray_session):
     ds = ray.data.from_arrow(pa.table(
         {"k": ["a"], "o": [1], "v": [1], "s": ["x"]}))
