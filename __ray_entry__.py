@@ -844,6 +844,47 @@ def _q_events_user_rolling(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_docs_above_lang_median(sf_dir: str):
+    """Per-GROUP quantile thresholding (the per-language curation
+    screen): keep documents strictly above their language's exact
+    median token count. Pass 1 reduces the corpus to one count row per
+    (lang, n_tokens) and reads every language's median off the bucket
+    idiom (stages/spanops.grouped_exact_quantiles); the tiny per-lang
+    table then broadcasts into a pass-2 filter join — the input text
+    is scanned twice but never shuffled. Oracle = per-lang
+    quantile_disc(0.5) join in DuckDB (same floor((n-1)q) rank rule)."""
+    import ray
+
+    from opentelemetry_collector_ray.functions.text import token_count
+    from opentelemetry_collector_ray.stages.join import broadcast_join
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_exact_quantiles)
+
+    def toks():
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": token_count(t.column("text")).cast(pa.int64()),
+            })
+
+        return _read_co(sf_dir, "documents", ["doc_id", "lang", "text"],
+                        floor=8).map_batches(f, batch_format="pyarrow")
+
+    meds = grouped_exact_quantiles(toks(), "lang", "n_tokens", qs=(0.5,))
+    parts = [t for t in ray.get(
+        meds.select_columns(["lang", "p50"]).to_arrow_refs())
+        if t.num_rows]  # empty exchange blocks carry an empty schema
+    med_tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"lang": pa.array([], pa.string()),
+         "p50": pa.array([], pa.int64())})
+    joined = broadcast_join(toks(), med_tbl, key="lang")
+    return joined.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_tokens"),
+                                      t.column("p50"))),
+        batch_format="pyarrow")
+
+
 def _q_events_type_rank(sf_dir: str):
     """SQL RANK / DENSE_RANK per partition with real ties
     (stages/window.py): events ranked within their event_type by whole
@@ -1994,6 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rolling": _q_events_user_rolling,
         "events_rollup": _q_events_rollup,
         "events_type_rank": _q_events_type_rank,
+        "docs_above_lang_median": _q_docs_above_lang_median,
         "events_funnel": _q_events_funnel,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
@@ -2353,6 +2395,16 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "docs_above_lang_median": r"""
+WITH d AS (SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+m AS (SELECT lang, CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50
+      FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_tokens, m.p50
+FROM d JOIN m USING (lang) WHERE d.n_tokens > m.p50
 """,
         "events_type_rank": """
 WITH e AS (SELECT event_id, event_type,
