@@ -1088,6 +1088,20 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_docs_lang_sample(sf_dir: str):
+    """Per-group balanced k-sample (stages/sampling.py
+    sample_bottom_k_by, md5 oracle mode): 25 deterministic docs per
+    language — every block pre-reduces to ≤ k rows per group, one
+    bucket exchange finishes; groups may be unbounded. Oracle = SQL
+    row_number over md5 per partition."""
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_bottom_k_by)
+
+    return sample_bottom_k_by(
+        _read_co(sf_dir, "documents", ["doc_id", "lang"], floor=8),
+        25, "doc_id", "lang", hash_mode="md5")
+
+
 def _q_docs_frequent_terms(sf_dir: str):
     """Exact heavy hitters without a vocabulary exchange
     (corpusstats.frequent_terms): per-block local-threshold candidates
@@ -2036,6 +2050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "events_type_rank": _q_events_type_rank,
         "docs_above_lang_median": _q_docs_above_lang_median,
+        "docs_lang_sample": _q_docs_lang_sample,
         "events_funnel": _q_events_funnel,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
@@ -2395,6 +2410,13 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "docs_lang_sample": """
+WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= 25
 """,
         "docs_above_lang_median": r"""
 WITH d AS (SELECT doc_id, lang,

@@ -399,6 +399,16 @@ def _register_builtins() -> None:
             hash_mode=cfg.get("hash_mode", "xx64"),
             keep_rank=bool(cfg.get("keep_rank", False))))
 
+    def make_sample_by(cfg: dict):
+        from .stages.sampling import sample_bottom_k_by
+
+        if not cfg.get("k") or not cfg.get("id_col") or not cfg.get("by"):
+            raise ConfigError("sample_by: k, id_col and by are required")
+        return DatasetTransform(lambda ds: sample_bottom_k_by(
+            ds, int(cfg["k"]), cfg["id_col"], cfg["by"],
+            hash_mode=cfg.get("hash_mode", "xx64"),
+            keep_rank=bool(cfg.get("keep_rank", False))))
+
     def make_quantize(cfg: dict):
         from .stages.embeddings import quantize_embeddings
 
@@ -545,6 +555,7 @@ def _register_builtins() -> None:
     register("rollup", Factory("processor", make_rollup))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
+    register("sample_by", Factory("processor", make_sample_by))
     register("quantize", Factory("processor", make_quantize))
     register("frequent_terms", Factory("processor", make_frequent_terms))
     register("mix", Factory("processor", make_mix))

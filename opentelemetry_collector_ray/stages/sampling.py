@@ -96,6 +96,73 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
     return ray.data.from_arrow(out)
 
 
+def _rank_col(ids: pa.ChunkedArray, hash_mode: str):
+    if hash_mode == "md5":
+        from ..functions.text import md5_hex
+
+        return md5_hex(ids.cast(pa.string())), pa.string()
+    from ..functions.hashing import hash64
+
+    return pa.array(hash64(ids)), pa.uint64()
+
+
+def _bottom_k_per_group(t: pa.Table, by: str, id_col: str,
+                        k: int) -> pa.Table:
+    """First k rows per ``by`` group of a table carrying a ``_rk`` rank
+    column — one sort + segment-offset filter, no Python per group."""
+    from .bucketing import key_segments
+
+    t = t.sort_by([(by, "ascending"), ("_rk", "ascending"),
+                   (id_col, "ascending")])
+    keys = t.column(by).to_numpy(zero_copy_only=False)
+    _, seg_start = key_segments(keys)
+    return t.filter(pa.array(np.arange(len(keys)) - seg_start < k))
+
+
+def sample_bottom_k_by(ds: ray.data.Dataset, k: int, id_col: str,
+                       by: str, hash_mode: str = "xx64",
+                       keep_rank: bool = False,
+                       n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-GROUP deterministic k-sample — the balanced-corpus variant
+    of :func:`sample_bottom_k`: for every distinct ``by`` value, keep
+    the k rows with the smallest hash(id). Deterministic across runs
+    and block layouts; groups may be unbounded (no driver state).
+
+    Scale shape: each block first reduces itself to ≤ k rows per group
+    it contains (one sort + segment filter), then ONE bucket exchange
+    on ``by`` co-locates each group and the same segment filter picks
+    the final k — the exchange carries at most k × blocks rows per
+    group, never the raw corpus. ``hash_mode="md5"`` matches SQL
+    ``row_number() OVER (PARTITION BY by ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= k`` bit-for-bit."""
+    from .bucketing import bucketed_map_groups
+
+    if k <= 0:
+        raise ValueError("sample_bottom_k_by: k must be positive")
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(
+            f"sample_bottom_k_by: bad hash_mode {hash_mode!r}")
+    if by == "_rk" or id_col == "_rk":
+        raise ValueError("sample_bottom_k_by: '_rk' is reserved")
+    rk_type = pa.string() if hash_mode == "md5" else pa.uint64()
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_rk", pa.array([], rk_type))
+        rk, _ = _rank_col(t.column(id_col), hash_mode)
+        return _bottom_k_per_group(t.append_column("_rk", rk),
+                                   by, id_col, k)
+
+    partial = ds.map_batches(local, batch_format="pyarrow")
+    out = bucketed_map_groups(
+        partial, by, lambda t: _bottom_k_per_group(t, by, id_col, k),
+        n_buckets=n_buckets)
+    if keep_rank:
+        return out
+    return out.map_batches(lambda t: t.drop_columns(["_rk"]),
+                           batch_format="pyarrow")
+
+
 def assign_split(ds: ray.data.Dataset, key: str,
                  fractions: dict[str, float], hash_mode: str = "xx64",
                  seed: int = 0, out_col: str = "split",

@@ -424,6 +424,17 @@ def test_window_sample_quantize_freqterms_processors(ray_session,
               ["sample"]).to_pandas()
     assert len(s) == 7
 
+    sb = build({"sample_by": {"k": 3, "id_col": "o", "by": "uid"}},
+               ["sample_by"]).to_pandas()
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_bottom_k_by)
+    import ray.data as _rd
+    directsb = sample_bottom_k_by(
+        _rd.read_parquet(str(src)), 3, "o", "uid").to_pandas()
+    assert sorted(sb["o"].tolist()) == sorted(directsb["o"].tolist())
+    with pytest.raises(ConfigError):
+        build({"sample_by": {"k": 3, "id_col": "o"}}, ["sample_by"])
+
     qz = build({"quantize": {"vec_col": "emb"}}, ["quantize"]
                ).to_pandas()
     assert "q8" in qz.columns and "emb" not in qz.columns

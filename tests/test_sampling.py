@@ -53,6 +53,48 @@ def test_bottom_k_small_input_and_validation(ray_session):
                         hash_mode="sha1")
 
 
+def test_bottom_k_by_group_matches_duckdb_and_layout(ray_session):
+    """Per-group sampler: md5 mode equals the SQL window oracle
+    bit-for-bit; xx64 mode is layout-invariant; small groups keep all
+    rows."""
+    import duckdb
+
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_bottom_k_by)
+
+    rng = np.random.default_rng(17)
+    n = 600
+    tbl = pa.table({"doc_id": pa.array(np.arange(n)),
+                    "g": pa.array(rng.choice(["a", "b", "c"], n,
+                                             p=[.6, .38, .02]))})
+    out = sample_bottom_k_by(
+        ray.data.from_arrow(tbl).repartition(5), 9, "doc_id", "g",
+        hash_mode="md5").to_pandas()
+    exp = duckdb.sql("""
+        WITH r AS (SELECT doc_id, g, row_number() OVER (PARTITION BY g
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM tbl)
+        SELECT doc_id, g FROM r WHERE rn <= 9""").df()
+    assert sorted(map(tuple, out.values.tolist())) == \
+        sorted(map(tuple, exp.values.tolist()))
+
+    outs = [sample_bottom_k_by(
+        ray.data.from_arrow(tbl).repartition(b), 9, "doc_id", "g"
+        ).to_pandas().sort_values("doc_id")["doc_id"].tolist()
+        for b in (1, 4, 11)]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 27
+
+    tiny = pa.table({"doc_id": [1, 2, 3], "g": ["x", "x", "y"]})
+    keep = sample_bottom_k_by(ray.data.from_arrow(tiny), 10,
+                              "doc_id", "g").to_pandas()
+    assert len(keep) == 3  # k > group size keeps every row
+    with pytest.raises(ValueError):
+        sample_bottom_k_by(ray.data.from_arrow(tiny), 0, "doc_id", "g")
+    with pytest.raises(ValueError, match="reserved"):
+        sample_bottom_k_by(ray.data.from_arrow(tiny), 1, "doc_id", "_rk")
+
+
 def test_assign_split_group_consistent(ray_session):
     from opentelemetry_collector_ray.stages.sampling import assign_split
 
