@@ -1324,6 +1324,76 @@ def _q_tpch_q3(sf_dir: str):
                     descending=[True, False]).limit(10)
 
 
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue): region→nation dimension
+    chain broadcast into BOTH fact sides, one big-big shuffle join on
+    the order key, then the non-equi predicate (customer and supplier
+    share a nation) filtered post-join and a bucket rollup to per-nation
+    revenue. Exercises the full composition: two broadcast joins, a
+    shuffle join, a residual filter, a bounded-key aggregate and a
+    broadcast name lookup."""
+    import datetime
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import (
+        broadcast_join, shuffle_hash_join)
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    region = _side_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    nation = _side_table(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"])
+    nation = nation.filter(pc.is_in(
+        nation.column("n_regionkey"), value_set=asia.column("r_regionkey")
+        .combine_chunks()))
+    nk = nation.column("n_nationkey").combine_chunks()
+
+    cust = _side_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust.column("c_nationkey"), value_set=nk))
+
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"]
+                      ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi))),
+        batch_format="pyarrow")
+    orders = broadcast_join(orders, cust, key="o_custkey",
+                            right_key="c_custkey").select_columns(
+        ["o_orderkey", "c_nationkey"])
+
+    supp = _side_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp.column("s_nationkey"), value_set=nk))
+
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+    li = broadcast_join(li, supp, key="l_suppkey", right_key="s_suppkey")
+
+    j = shuffle_hash_join(li, orders, key="l_orderkey",
+                          right_key="o_orderkey", how="inner")
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_nationkey"),
+                              t.column("s_nationkey")))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        return pa.table({"n_nationkey": t.column("s_nationkey"),
+                         "cents": _cents(rev)})
+
+    agg = grouped_agg(j.map_batches(local, batch_format="pyarrow"),
+                      ["n_nationkey"],
+                      sum_cols={"revenue_cents": "cents"},
+                      strategy="bucket")
+    named = broadcast_join(agg, nation.select(["n_nationkey", "n_name"]),
+                           key="n_nationkey").select_columns(
+        ["n_name", "revenue_cents"])
+    return named.sort("revenue_cents", descending=True)
+
+
 def _q_customers_order_counts(sf_dir: str):
     """LEFT shuffle join: every customer with its order count INCLUDING
     zero-order customers (null right rows counted as 0)."""
@@ -2061,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_canonical_dedup": _q_docs_canonical_dedup,
         "docs_chunk_sliding": _q_docs_chunk_sliding,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2410,6 +2481,19 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "tpch_q5": """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+            + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
 """,
         "docs_lang_sample": """
 WITH r AS (SELECT doc_id, lang,
