@@ -111,7 +111,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_pivot", "events_value_scaled", "docs_canonical_dedup",
              "docs_chunk_sliding", "emb_kmeans", "tpch_q3",
              "events_user_split", "events_profile", "orders_violations",
-             "emb_pca"]
+             "emb_pca", "events_user_rolling", "events_rollup",
+             "events_funnel", "events_type_rank", "docs_above_lang_median",
+             "docs_lang_sample", "tpch_q5"]
     q = m.queries()
     for name in names:
         t0 = time.time()
