@@ -1088,6 +1088,64 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_jsonl_roundtrip(sf_dir: str):
+    """filelog-receiver analog end-to-end (sources/textlog.py): the
+    events table is serialized to sharded JSONL files (half gzipped,
+    severity text in mixed case), read back with one pyarrow.json C++
+    parse per file, severity-text mapped to OTLP SeverityNumber
+    (case-folded), and compared to pure SQL over the original table —
+    proving the reader, decompression and severity mapping invert the
+    serialization exactly."""
+    import gzip
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.sources.textlog import (
+        read_jsonl, severity_number)
+
+    src = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "ts"])
+    ev_id = src.column("event_id").to_numpy(zero_copy_only=False)
+    usr = src.column("user_id").to_numpy(zero_copy_only=False)
+    typ = src.column("event_type").to_pylist()
+    ts_us = src.column("ts").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    # mixed-case severity text exercises the case fold
+    lvl = {"error": "Error", "view": "DEBUG"}
+    out_dir = f"/tmp/graft_jsonl_{uuid.uuid4().hex[:12]}"
+    os.makedirs(out_dir)
+    shard = ev_id % 8
+    for s in range(8):
+        rows = np.flatnonzero(shard == s)
+        blob = "\n".join(json.dumps(
+            {"event_id": int(ev_id[i]), "user_id": int(usr[i]),
+             "level": lvl.get(typ[i], "info"), "ts_us": int(ts_us[i])},
+            sort_keys=True) for i in rows).encode()
+        if s % 2:
+            with open(f"{out_dir}/part-{s}.jsonl.gz", "wb") as f:
+                f.write(gzip.compress(blob))
+        else:
+            with open(f"{out_dir}/part-{s}.jsonl", "wb") as f:
+                f.write(blob)
+
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("level", pa.string()), ("ts_us", pa.int64())])
+    logs = read_jsonl([f"{out_dir}/{n}" for n in sorted(
+        os.listdir(out_dir))], schema=schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "sev_num": severity_number(t.column("level")),
+                         "ts_us": t.column("ts_us")})
+
+    return logs.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_lang_sample(sf_dir: str):
     """Per-group balanced k-sample (stages/sampling.py
     sample_bottom_k_by, md5 oracle mode): 25 deterministic docs per
@@ -2121,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_rank": _q_events_type_rank,
         "docs_above_lang_median": _q_docs_above_lang_median,
         "docs_lang_sample": _q_docs_lang_sample,
+        "events_jsonl_roundtrip": _q_events_jsonl_roundtrip,
         "events_funnel": _q_events_funnel,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
@@ -2494,6 +2553,14 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "events_jsonl_roundtrip": """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'error' THEN 17
+            WHEN event_type = 'view' THEN 5
+            ELSE 9 END AS sev_num,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events
 """,
         "docs_lang_sample": """
 WITH r AS (SELECT doc_id, lang,

@@ -238,6 +238,8 @@ def _register_builtins() -> None:
     # derived-signal receivers: read events parquet → turns / spans /
     # profile-frames tables (signal-typed pipelines; the collector wires a
     # receiver per signal, we wire a derivation per signal)
+    register("jsonl", Factory("receiver", lambda cfg: cfg))
+    register("textlog", Factory("receiver", lambda cfg: cfg))
     register("turns", Factory("receiver", lambda cfg: cfg))
     register("spans", Factory("receiver", lambda cfg: cfg))
     register("profile_frames", Factory("receiver", lambda cfg: cfg))

@@ -53,6 +53,22 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
             from ..sources.otlp_json import read_otlp_json_spans
 
             datasets.append(read_otlp_json_spans(rpaths))
+        elif rtype == "jsonl":
+            # filelog-receiver analog: JSONL files, optional pinned schema
+            import pyarrow as _pa
+
+            from ..sources.textlog import read_jsonl
+
+            schema = None
+            if rcfg.get("schema"):
+                schema = _pa.schema([
+                    (c, getattr(_pa, t)())
+                    for c, t in rcfg["schema"].items()])
+            datasets.append(read_jsonl(rpaths, schema=schema))
+        elif rtype == "textlog":
+            from ..sources.textlog import read_text_logs
+
+            datasets.append(read_text_logs(rpaths))
         elif rtype in ("turns", "spans", "profile_frames"):
             # derived-signal receivers over an events parquet source
             events = ray.data.read_parquet(

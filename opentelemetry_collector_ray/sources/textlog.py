@@ -1,0 +1,89 @@
+"""Structured text-log source — the filelog receiver analog
+(reference: ``receiver/filelogreceiver`` + the stanza JSON and
+severity operators it embeds): read JSONL / plain-text log files into
+Arrow log batches and map severity text to OTLP SeverityNumber.
+
+Scale shape: the FILE is the shard unit (exactly like the parquet
+reader) — ``ray.data.read_binary_files`` schedules one task per file,
+each payload is suffix/magic decompressed once (``wire_io``), and the
+whole file is parsed by ONE ``pyarrow.json`` C++ call (no Python per
+line, no Python per record). Plain-text mode reuses
+``wire_io.read_decompressed_lines``; downstream regex structuring is
+``stages/parse.py`` (compiled once per actor), exactly the stanza
+regex_parser split.
+
+Severity mapping follows the OTLP log data model's SeverityNumber
+anchors (trace=1 debug=5 info=9 warn=13 error=17 fatal=21), folded
+case-insensitively, 0 (UNSPECIFIED) for unknown text — reference:
+``pdata/plog/severity_number.go`` and the stanza severity parser.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .wire_io import read_decompressed_files, read_decompressed_lines
+
+_SEV_TEXT = ["trace", "debug", "info", "warn", "warning", "error",
+             "fatal"]
+_SEV_NUM = np.array([1, 5, 9, 13, 13, 17, 21], np.int64)
+
+
+def severity_number(level: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """OTLP SeverityNumber for a severity-text column, case-folded;
+    unknown/null text maps to 0 (SEVERITY_NUMBER_UNSPECIFIED)."""
+    idx = pc.index_in(pc.utf8_lower(level),
+                      value_set=pa.array(_SEV_TEXT))
+    i = idx.to_numpy(zero_copy_only=False)
+    known = ~np.isnan(i) if i.dtype.kind == "f" \
+        else np.ones(len(i), bool)
+    out = np.zeros(len(idx), np.int64)
+    ii = np.nan_to_num(i, nan=0).astype(np.int64)
+    out[known] = _SEV_NUM[ii[known]]
+    return pa.array(out)
+
+
+def read_jsonl(paths, *, schema: pa.Schema | None = None
+               ) -> ray.data.Dataset:
+    """JSONL log files → one row per record. One ``pyarrow.json`` parse
+    per FILE; ``.gz``/``.z``/``.zz`` (and magic-sniffed suffix-less)
+    payloads are decompressed first. Pass ``schema`` to pin types and
+    IGNORE unexpected fields (the robust production mode — schema drift
+    across files otherwise fails the concat loudly rather than
+    silently widening)."""
+    from pyarrow import json as pajson
+
+    opts = None
+    if schema is not None:
+        opts = pajson.ParseOptions(explicit_schema=schema,
+                                   unexpected_field_behavior="ignore")
+
+    def parse(t: pa.Table) -> pa.Table:
+        outs = []
+        for b in t.column("payload"):
+            data = b.as_py()
+            if not data.strip():
+                continue
+            outs.append(pajson.read_json(io.BytesIO(data),
+                                         parse_options=opts))
+        if not outs:
+            if schema is not None:
+                return pa.table(
+                    {f.name: pa.array([], f.type) for f in schema})
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return read_decompressed_files(paths).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def read_text_logs(paths) -> ray.data.Dataset:
+    """Plain-text log files → one ``text`` row per line (decompressed).
+    Structure them with ``stages/parse.py`` regex/grok stages."""
+    return read_decompressed_lines(paths)

@@ -1,0 +1,90 @@
+"""filelog-receiver analog (sources/textlog.py): JSONL parse per file,
+compression sniffing, schema pinning, severity mapping."""
+
+import gzip
+import json
+
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_ray.sources.textlog import (
+    read_jsonl, read_text_logs, severity_number)
+
+
+def _write(tmp_path, name, rows, gz=False):
+    blob = "\n".join(json.dumps(r) for r in rows).encode()
+    p = tmp_path / name
+    p.write_bytes(gzip.compress(blob) if gz else blob)
+    return str(p)
+
+
+def test_read_jsonl_mixed_compression(ray_session, tmp_path):
+    rows1 = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    rows2 = [{"a": 3, "b": "z"}]
+    paths = [_write(tmp_path, "p0.jsonl", rows1),
+             _write(tmp_path, "p1.jsonl.gz", rows2, gz=True)]
+    out = read_jsonl(paths).to_pandas().sort_values("a")
+    assert out["a"].tolist() == [1, 2, 3]
+    assert out["b"].tolist() == ["x", "y", "z"]
+
+
+def test_read_jsonl_schema_pins_and_ignores_extras(ray_session,
+                                                   tmp_path):
+    rows = [{"a": 1, "junk": "drop-me"}, {"a": 2}]
+    p = _write(tmp_path, "p.jsonl", rows)
+    schema = pa.schema([("a", pa.int64()), ("c", pa.string())])
+    out = read_jsonl([p], schema=schema).to_pandas()
+    assert list(out.columns) == ["a", "c"]  # extras ignored, c null
+    assert out["a"].tolist() == [1, 2]
+    assert out["c"].isna().all()
+
+
+def test_read_jsonl_empty_file(ray_session, tmp_path):
+    p = tmp_path / "empty.jsonl"
+    p.write_bytes(b"")
+    schema = pa.schema([("a", pa.int64())])
+    out = read_jsonl([str(p)], schema=schema)
+    assert out.count() == 0
+
+
+def test_read_text_logs_lines(ray_session, tmp_path):
+    p = tmp_path / "app.log"
+    p.write_bytes(b"line one\nline two\nline three")
+    out = read_text_logs([str(p)]).to_pandas()
+    assert out["text"].tolist() == ["line one", "line two", "line three"]
+
+
+def test_jsonl_receiver_via_yaml_builder(ray_session, tmp_path):
+    """jsonl / textlog as YAML receivers equal the direct calls."""
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    p = _write(tmp_path, "a.jsonl", [{"a": 1, "b": "x"},
+                                     {"a": 2, "b": "y"}])
+
+    def build(rname, rcfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {rname: rcfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": [rname], "processors": [],
+                "exporters": ["debug"]}}},
+        }))
+
+    out = build("jsonl", {"paths": p,
+                          "schema": {"a": "int64", "b": "string"}}
+                ).to_pandas().sort_values("a")
+    assert out["a"].tolist() == [1, 2]
+
+    t = tmp_path / "plain.log"
+    t.write_bytes(b"x\ny")
+    out2 = build("textlog", {"paths": str(t)}).to_pandas()
+    assert sorted(out2["text"].tolist()) == ["x", "y"]
+
+
+def test_severity_number_mapping():
+    col = pa.chunked_array([pa.array(
+        ["TRACE", "Debug", "info", "WARN", "Warning", "error", "FATAL",
+         "bogus", None])])
+    assert severity_number(col).to_pylist() == \
+        [1, 5, 9, 13, 13, 17, 21, 0, 0]
