@@ -240,6 +240,7 @@ def _register_builtins() -> None:
     # receiver per signal, we wire a derivation per signal)
     register("jsonl", Factory("receiver", lambda cfg: cfg))
     register("textlog", Factory("receiver", lambda cfg: cfg))
+    register("multiline", Factory("receiver", lambda cfg: cfg))
     register("turns", Factory("receiver", lambda cfg: cfg))
     register("spans", Factory("receiver", lambda cfg: cfg))
     register("profile_frames", Factory("receiver", lambda cfg: cfg))

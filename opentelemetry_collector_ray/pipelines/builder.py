@@ -69,6 +69,15 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
             from ..sources.textlog import read_text_logs
 
             datasets.append(read_text_logs(rpaths))
+        elif rtype == "multiline":
+            from ..sources.textlog import read_multiline_logs
+
+            if not rcfg.get("start_pattern"):
+                raise ValueError(
+                    "multiline receiver: start_pattern is required")
+            datasets.append(read_multiline_logs(
+                rpaths, rcfg["start_pattern"],
+                joiner=rcfg.get("joiner", "\n")))
         elif rtype in ("turns", "spans", "profile_frames"):
             # derived-signal receivers over an events parquet source
             events = ray.data.read_parquet(

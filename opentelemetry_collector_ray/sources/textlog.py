@@ -87,3 +87,51 @@ def read_text_logs(paths) -> ray.data.Dataset:
     """Plain-text log files → one ``text`` row per line (decompressed).
     Structure them with ``stages/parse.py`` regex/grok stages."""
     return read_decompressed_lines(paths)
+
+
+def read_multiline_logs(paths, start_pattern: str,
+                        joiner: str = "\n") -> ray.data.Dataset:
+    """Multiline log grouping (the stanza ``multiline`` /
+    ``recombine`` operator of the filelog receiver): every line
+    matching ``start_pattern`` (RE2 subset via ``pyarrow``) starts a
+    record; following non-matching lines (stack traces, wrapped
+    payloads) are joined onto it with ``joiner``. One row per record
+    with its 0-based ``record_index`` within the file.
+
+    Grouping happens INSIDE the per-file task, so a record can never
+    straddle a block boundary (files are the shard unit; a record
+    straddling two files is malformed input by definition). Leading
+    continuation lines before the first start line form record 0,
+    kept verbatim rather than dropped — data loss must be opt-in.
+    Fully vectorized: one regex pass, one cumsum, one ListArray
+    ``binary_join`` — no Python per line."""
+    def group(t: pa.Table) -> pa.Table:
+        recs: list[pa.Table] = []
+        for b in t.column("payload"):
+            lines = pa.array(b.as_py().decode().splitlines(),
+                             pa.string())
+            n = len(lines)
+            if n == 0:
+                continue
+            is_start = pc.match_substring_regex(
+                lines, start_pattern).to_numpy(zero_copy_only=False)
+            # a record begins at line 0 (leading tail) and at every
+            # start-pattern line
+            bnd = np.flatnonzero(is_start)
+            if len(bnd) == 0 or bnd[0] != 0:
+                bnd = np.concatenate([[0], bnd])
+            offsets = np.concatenate([bnd, [n]]).astype(np.int32)
+            lst = pa.ListArray.from_arrays(pa.array(offsets,
+                                                    pa.int32()), lines)
+            joined = pc.binary_join(lst, joiner)
+            recs.append(pa.table({
+                "text": joined,
+                "record_index": pa.array(
+                    np.arange(len(joined), dtype=np.int64))}))
+        if not recs:
+            return pa.table({"text": pa.array([], pa.string()),
+                             "record_index": pa.array([], pa.int64())})
+        return pa.concat_tables(recs)
+
+    return read_decompressed_files(paths).map_batches(
+        group, batch_format="pyarrow")

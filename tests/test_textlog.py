@@ -81,6 +81,48 @@ def test_jsonl_receiver_via_yaml_builder(ray_session, tmp_path):
     out2 = build("textlog", {"paths": str(t)}).to_pandas()
     assert sorted(out2["text"].tolist()) == ["x", "y"]
 
+    m = tmp_path / "ml.log"
+    m.write_bytes(b"START a\n cont\nSTART b\n")
+    out3 = build("multiline", {"paths": str(m),
+                               "start_pattern": "^START"}).to_pandas()
+    assert sorted(out3["text"].tolist()) == ["START a\n cont", "START b"]
+    with pytest.raises(ValueError, match="start_pattern"):
+        build("multiline", {"paths": str(m)})
+
+
+def test_multiline_grouping(ray_session, tmp_path):
+    """Stack-trace lines join onto their start line; a leading tail
+    (file opens mid-record) is kept as record 0; per-file record_index
+    restarts."""
+    from opentelemetry_collector_ray.sources.textlog import (
+        read_multiline_logs)
+
+    p1 = tmp_path / "a.log"
+    p1.write_bytes(
+        b"2026-01-01 ERROR boom\n"
+        b"  at foo.py:1\n"
+        b"  at bar.py:2\n"
+        b"2026-01-02 INFO ok\n")
+    p2 = tmp_path / "b.log"
+    p2.write_bytes(
+        b"  orphan continuation\n"
+        b"2026-01-03 WARN slow\n"
+        b"  detail\n")
+    out = read_multiline_logs(
+        [str(p1), str(p2)], r"^\d{4}-\d{2}-\d{2} ").to_pandas()
+    recs = sorted(out["text"].tolist())
+    assert "2026-01-01 ERROR boom\n  at foo.py:1\n  at bar.py:2" in recs
+    assert "2026-01-02 INFO ok" in recs
+    assert "  orphan continuation" in recs
+    assert "2026-01-03 WARN slow\n  detail" in recs
+    assert len(recs) == 4
+    assert sorted(out["record_index"].tolist()) == [0, 0, 1, 1]
+
+    empty = tmp_path / "e.log"
+    empty.write_bytes(b"")
+    oute = read_multiline_logs([str(empty)], r"^x")
+    assert oute.count() == 0
+
 
 def test_severity_number_mapping():
     col = pa.chunked_array([pa.array(
