@@ -1088,6 +1088,28 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_resampled_daily(sf_dir: str):
+    """Time-series resample / gap-fill (stages/resample.py): per user,
+    a daily grid from the first observation's day through the last
+    observation, each grid point carrying the latest value as of that
+    instant (leading point null) — min/max bounds scan + exploded grid
+    + distributed as-of join. Oracle = generate_series + ASOF LEFT
+    JOIN in DuckDB."""
+    from opentelemetry_collector_ray.stages.resample import resample_asof
+
+    def make():
+        ev = _read_co(sf_dir, "events", ["user_id", "ts", "value"],
+                      floor=8)
+        return ev.map_batches(
+            lambda t: pa.table({"user_id": t.column("user_id"),
+                                "ts": t.column("ts"),
+                                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+
+    return resample_asof(make, "user_id", "ts", 86_400_000_000,
+                         ["cents"])
+
+
 def _q_events_jsonl_roundtrip(sf_dir: str):
     """filelog-receiver analog end-to-end (sources/textlog.py): the
     events table is serialized to sharded JSONL files (half gzipped,
@@ -2180,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_lang_median": _q_docs_above_lang_median,
         "docs_lang_sample": _q_docs_lang_sample,
         "events_jsonl_roundtrip": _q_events_jsonl_roundtrip,
+        "events_resampled_daily": _q_events_resampled_daily,
         "events_funnel": _q_events_funnel,
         "docs_uniform_sample": _q_docs_uniform_sample,
         "docs_curation": _q_docs_curation,
@@ -2553,6 +2576,18 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "events_resampled_daily": """
+WITH e AS (SELECT user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT user_id, date_trunc('day', min(ts)) AS lo, max(ts) AS hi
+      FROM e GROUP BY user_id),
+g AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS grid_ts
+      FROM b)
+SELECT g.user_id, g.grid_ts, e.cents
+FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.grid_ts >= e.ts
 """,
         "events_jsonl_roundtrip": """
 SELECT event_id, user_id,

@@ -364,6 +364,20 @@ def _register_builtins() -> None:
             ds, cfg["key"], list(cfg["order_by"]), ops,
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_resample(cfg: dict):
+        from .stages.resample import resample_asof
+
+        for req in ("key", "ts_col", "every_us", "value_cols"):
+            if not cfg.get(req):
+                raise ConfigError(f"resample: {req} is required")
+        return DatasetTransform(lambda ds: resample_asof(
+            lambda: ds, cfg["key"], cfg["ts_col"], int(cfg["every_us"]),
+            [str(c) for c in cfg["value_cols"]],
+            how=cfg.get("how", "left"),
+            max_points_per_key=int(cfg.get("max_points_per_key",
+                                           1_000_000)),
+            grid_name=cfg.get("grid_name", "grid_ts")))
+
     def make_rollup(cfg: dict):
         from .stages.rollup import rollup_agg
 
@@ -556,6 +570,7 @@ def _register_builtins() -> None:
     register("semdedup", Factory("processor", make_semdedup))
     register("window", Factory("processor", make_window))
     register("rollup", Factory("processor", make_rollup))
+    register("resample", Factory("processor", make_resample))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

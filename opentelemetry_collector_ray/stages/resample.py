@@ -1,0 +1,101 @@
+"""Time-series resampling / gap-fill — per key, a REGULAR timestamp
+grid between the key's first and last observation with the latest
+value AS OF each grid point carried forward: the batch analog of the
+collector's metric-alignment story (aligning irregular points onto a
+fixed reporting interval) and the standard feature-store "state at
+time t" primitive.
+
+Scale shape: pass 1 is a two-phase min/max aggregate (one scan →
+per-key bounds rows); the grid is EXPLODED from the bounds rows with
+repeat/arange (never materialized on the driver, validated against
+``max_points_per_key`` loudly); pass 2 is the distributed
+:func:`~.join.asof_join` (one bucket co-partition exchange, vectorized
+sort-merge per bucket). The observations are scanned twice; neither
+pass shuffles the raw values more than once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .aggregate import grouped_agg
+from .join import asof_join
+
+
+def resample_asof(ds_factory, key: str, ts_col: str, every_us: int,
+                  value_cols: list[str], how: str = "left",
+                  max_points_per_key: int = 1_000_000,
+                  grid_name: str = "grid_ts",
+                  n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """One row per (key, grid point): grid points are
+    ``floor(first_ts / every_us) * every_us`` stepping by ``every_us``
+    up to the key's last observation (UTC-epoch-aligned — for
+    ``every_us`` = 1 day this is ``date_trunc('day', ...)``), each
+    carrying the latest observation with ``ts <= grid point``
+    (``how="left"``: the leading grid point before the first
+    observation keeps null values). ``ds_factory`` is a zero-arg
+    dataset factory (the input is scanned twice — pass a parquet-backed
+    factory or persist upstream first, same contract as the other
+    two-pass operators)."""
+    if every_us <= 0:
+        raise ValueError("resample_asof: every_us must be positive")
+    if not value_cols:
+        raise ValueError("resample_asof: value_cols must be non-empty")
+    if grid_name in (key, ts_col, *value_cols):
+        raise ValueError(
+            f"resample_asof: grid column {grid_name!r} collides with an "
+            "input column")
+
+    def to_us(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if col.null_count:
+            raise ValueError(
+                f"resample_asof: {ts_col!r} has nulls — a null has no "
+                "place on a time grid")
+        return pa.table({key: t.column(key),
+                         "_ts_us": col.cast(pa.int64())})
+
+    sch = ds_factory().schema()
+    try:
+        ts_type = dict(zip(sch.names, sch.types))[ts_col]
+    except KeyError:
+        raise ValueError(
+            f"resample_asof: {ts_col!r} not in input schema "
+            f"{list(sch.names)}") from None
+
+    bounds = grouped_agg(
+        ds_factory().map_batches(to_us, batch_format="pyarrow"), [key],
+        min_cols={"_lo": "_ts_us"}, max_cols={"_hi": "_ts_us"},
+        strategy="shuffle")
+
+    def explode(t: pa.Table) -> pa.Table:
+        lo = t.column("_lo").to_numpy(zero_copy_only=False)
+        hi = t.column("_hi").to_numpy(zero_copy_only=False)
+        lo_g = (lo // every_us) * every_us
+        n = (hi - lo_g) // every_us + 1
+        if len(n) and int(n.max()) > max_points_per_key:
+            raise ValueError(
+                f"resample_asof: a key spans {int(n.max())} grid points "
+                f"(> max_points_per_key={max_points_per_key}); widen "
+                "every_us or raise the cap")
+        idx = np.repeat(np.arange(len(n)), n)
+        step = np.arange(int(n.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(n)[:-1]]), n)
+        grid = lo_g[idx] + step * every_us
+        return pa.table({
+            key: t.column(key).take(pa.array(idx)),
+            grid_name: pa.array(grid).cast(ts_type)})
+
+    grid = bounds.map_batches(explode, batch_format="pyarrow")
+    right = ds_factory().map_batches(
+        lambda t: t.select([key, ts_col, *value_cols]),
+        batch_format="pyarrow")
+    return asof_join(grid, right, by=key, on=grid_name, right_on=ts_col,
+                     direction="backward", how=how,
+                     n_buckets=n_buckets).map_batches(
+        lambda t: t.select([key, grid_name, *value_cols]),
+        batch_format="pyarrow")

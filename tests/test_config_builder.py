@@ -377,9 +377,15 @@ def test_rollup_funnel_processors(ray_session, tmp_path):
 
     for procs, names in (
             ({"rollup": {"count_name": "n"}}, ["rollup"]),
-            ({"funnel": {"key": "uid"}}, ["funnel"])):
+            ({"funnel": {"key": "uid"}}, ["funnel"]),
+            ({"resample": {"key": "uid", "ts_col": "o"}}, ["resample"])):
         with pytest.raises(ConfigError):
             build(procs, names)
+
+    rs = build({"resample": {"key": "uid", "ts_col": "o",
+                             "every_us": 40, "value_cols": ["v"]}},
+               ["resample"]).to_pandas()
+    assert {"uid", "grid_ts", "v"} == set(rs.columns) and len(rs) > 0
 
 
 def test_window_sample_quantize_freqterms_processors(ray_session,
