@@ -199,7 +199,8 @@ def _q_events_agg(sf_dir: str):
 def _q_events_sessionize(sf_dir: str):
     from opentelemetry_collector_ray.stages.sessionize import session_stats
 
-    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    ev = _read_co(sf_dir, "events", ["user_id", "event_id", "ts"],
+                  floor=8)
     return session_stats(ev, key="user_id", ts_col="ts", gap_minutes=30)
 
 
@@ -332,7 +333,7 @@ def _q_events_window(sf_dir: str):
     """Tumbling event-time window counts per user."""
     from opentelemetry_collector_ray.stages.sessionize import tumbling_window_count
 
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    ev = _read_co(sf_dir, "events", ["user_id", "ts"], floor=8)
     return tumbling_window_count(ev, key="user_id", ts_col="ts", unit="hour")
 
 
@@ -343,7 +344,7 @@ def _q_events_sliding_window(sf_dir: str):
     from opentelemetry_collector_ray.stages.sessionize import (
         sliding_window_count)
 
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    ev = _read_co(sf_dir, "events", ["user_id", "ts"], floor=8)
     return sliding_window_count(ev, key="user_id", ts_col="ts",
                                 window_hours=3, slide_hours=1)
 
@@ -354,7 +355,7 @@ def _q_events_cumulative(sf_dir: str):
     from opentelemetry_collector_ray.stages.sessionize import tumbling_window_count
     from opentelemetry_collector_ray.stages.temporal import delta_to_cumulative
 
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    ev = _read_co(sf_dir, "events", ["user_id", "ts"], floor=8)
     hourly = tumbling_window_count(ev, key="user_id", ts_col="ts", unit="hour")
     return delta_to_cumulative(hourly, key="user_id", order_col="bucket",
                                value_col="n_events", out_col="cum_n")
@@ -1541,9 +1542,9 @@ def _q_events_topk_per_type(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import (
         grouped_count, grouped_topk)
 
-    counts = grouped_count(_read(sf_dir, "events", ["event_type", "user_id"]),
-                           ["event_type", "user_id"], count_name="n",
-                           strategy="shuffle")
+    counts = grouped_count(
+        _read_co(sf_dir, "events", ["event_type", "user_id"], floor=8),
+        ["event_type", "user_id"], count_name="n", strategy="shuffle")
     return grouped_topk(counts, "event_type", "n", k=3,
                         tiebreak="user_id")
 
@@ -1878,8 +1879,9 @@ def _q_events_gauge_last(sf_dir: str):
                          "event_id": t.column("event_id"),
                          "cents": _cents(t.column("value"))})
 
-    pre = _read(sf_dir, "events",
-                ["user_id", "ts", "event_id", "value"]).map_batches(
+    pre = _read_co(sf_dir, "events",
+                   ["user_id", "ts", "event_id", "value"],
+                   floor=8).map_batches(
         prep, batch_format="pyarrow")
     return gauge_last(pre, key="user_id", order_cols=["ts", "event_id"],
                       value_col="cents", out_col="last_cents")

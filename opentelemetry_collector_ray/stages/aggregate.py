@@ -328,34 +328,48 @@ __all__ = [
 
 def grouped_topk(ds: Dataset, key: str, order_col: str, k: int = 3,
                  descending: bool = True, tiebreak: str | None = None,
-                 rank_name: str = "rk",
+                 rank_name: str = "rk", prereduce: bool = True,
                  n_buckets: int | str = "auto") -> Dataset:
     """Top-k rows PER KEY (row_number() OVER (PARTITION BY key ORDER BY
     order_col [DESC][, tiebreak]) <= k), keys unbounded.
 
-    Scale shape: the bucket idiom — hash-bucket by key, ONE Arrow sort +
-    numpy segment-rank pass per bucket (never a Python call per key, never
-    a global sort). Ranks are deterministic: pass ``tiebreak`` to break
-    order_col ties (otherwise ties rank in bucket sort order). Emits the
-    1-based rank as ``rank_name``."""
+    Scale shape: each block first reduces itself to ≤ k candidate rows
+    per key it contains (``prereduce`` — the global per-key top-k is a
+    subset of the union of per-block top-ks, so this is exact and
+    bounds the exchange to k × blocks rows per key instead of the raw
+    input), then the bucket idiom — hash-bucket by key, ONE Arrow sort
+    + numpy segment-rank pass per bucket (never a Python call per key,
+    never a global sort). Ranks are deterministic: pass ``tiebreak`` to
+    break order_col ties (otherwise ties rank in bucket sort order;
+    with ties and no tiebreak, prereduce may drop tied rows that
+    bucket-sort order would have ranked — the KEPT SET is only
+    deterministic when the (order_col, tiebreak) ordering is total, the
+    same caveat SQL row_number has). Emits the 1-based rank as
+    ``rank_name``."""
     import numpy as np
 
     from .bucketing import bucketed_map_groups, key_segments
 
-    def pick(t: pa.Table) -> pa.Table:
-        order = [(key, "ascending"),
-                 (order_col, "descending" if descending else "ascending")]
-        if tiebreak:
-            order.append((tiebreak, "ascending"))
+    order = [(key, "ascending"),
+             (order_col, "descending" if descending else "ascending")]
+    if tiebreak:
+        order.append((tiebreak, "ascending"))
+
+    def pick(t: pa.Table, final: bool = True) -> pa.Table:
         t = t.sort_by(order)
         keys = t.column(key).to_numpy(zero_copy_only=False)
         _, seg_start = key_segments(keys)
         rank = np.arange(len(keys)) - seg_start
         keep = rank < k
         out = t.filter(pa.array(keep))
+        if not final:
+            return out
         return out.append_column(
             rank_name, pa.array((rank[keep] + 1).astype(np.int64)))
 
+    if prereduce:
+        ds = ds.map_batches(lambda t: pick(t, final=False),
+                            batch_format="pyarrow")
     return bucketed_map_groups(ds, key, pick, n_buckets=n_buckets)
 
 

@@ -50,6 +50,30 @@ def funnel(ds: ray.data.Dataset, key: str, order_col: str, step_col: str,
             raise ValueError(f"funnel: output column {c!r} collides "
                              "with the key column")
 
+    # Only step rows can ever match or gate a threshold — pre-reduce
+    # each block to its step rows plus ONE marker row per key before
+    # the exchange, so non-step traffic (usually the vast majority)
+    # never shuffles while every key still surfaces a
+    # steps_completed=0 output row (the contract anchors on ALL keys).
+    step_set = pa.array(steps)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        for c, what in ((order_col, "order"), (step_col, "step")):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"funnel: {what} column {c!r} has nulls — drop or "
+                    "fill them first")
+        is_step = _pc.is_in(t.column(step_col), value_set=step_set) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        codes = _pc.dictionary_encode(t.column(key)).combine_chunks() \
+            .indices.to_numpy(zero_copy_only=False)
+        keep = is_step.copy()
+        _, first_idx = np.unique(codes, return_index=True)
+        keep[first_idx] = True
+        return t.filter(pa.array(keep))
+
     def bucket_fn(t: pa.Table) -> pa.Table:
         for c, what in ((order_col, "order"), (step_col, "step")):
             if t.column(c).null_count:
@@ -138,4 +162,5 @@ def funnel(ds: ray.data.Dataset, key: str, order_col: str, step_col: str,
         cols[completed_name] = pa.array(completed.astype(np.int64))
         return pa.table(cols)
 
-    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+    pre = ds.map_batches(prefilter, batch_format="pyarrow")
+    return bucketed_map_groups(pre, key, bucket_fn, n_buckets=n_buckets)
