@@ -1118,7 +1118,11 @@ def _q_events_jsonl_roundtrip(sf_dir: str):
     parse per file, severity-text mapped to OTLP SeverityNumber
     (case-folded), and compared to pure SQL over the original table —
     proving the reader, decompression and severity mapping invert the
-    serialization exactly."""
+    serialization exactly. The JSONL derivation is cached under a
+    content-deterministic /tmp path (staged + atomically renamed, so
+    repeated runs share one copy instead of leaking); being a local
+    test fixture it assumes a single node — real inputs live on
+    shared storage."""
     import gzip
     import json
     import os
@@ -1139,21 +1143,29 @@ def _q_events_jsonl_roundtrip(sf_dir: str):
         zero_copy_only=False)
     # mixed-case severity text exercises the case fold
     lvl = {"error": "Error", "view": "DEBUG"}
-    out_dir = f"/tmp/graft_jsonl_{uuid.uuid4().hex[:12]}"
-    os.makedirs(out_dir)
-    shard = ev_id % 8
-    for s in range(8):
-        rows = np.flatnonzero(shard == s)
-        blob = "\n".join(json.dumps(
-            {"event_id": int(ev_id[i]), "user_id": int(usr[i]),
-             "level": lvl.get(typ[i], "info"), "ts_us": int(ts_us[i])},
-            sort_keys=True) for i in rows).encode()
-        if s % 2:
-            with open(f"{out_dir}/part-{s}.jsonl.gz", "wb") as f:
-                f.write(gzip.compress(blob))
-        else:
-            with open(f"{out_dir}/part-{s}.jsonl", "wb") as f:
-                f.write(blob)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/graft_jsonl_{tag}_{len(ev_id)}"
+    if not os.path.isdir(out_dir):
+        stage = f"{out_dir}.stage-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        shard = ev_id % 8
+        for s in range(8):
+            rows = np.flatnonzero(shard == s)
+            blob = "\n".join(json.dumps(
+                {"event_id": int(ev_id[i]), "user_id": int(usr[i]),
+                 "level": lvl.get(typ[i], "info"),
+                 "ts_us": int(ts_us[i])},
+                sort_keys=True) for i in rows).encode()
+            name = f"part-{s}.jsonl.gz" if s % 2 else f"part-{s}.jsonl"
+            data = gzip.compress(blob) if s % 2 else blob
+            with open(f"{stage}/{name}", "wb") as f:
+                f.write(data)
+        try:
+            os.rename(stage, out_dir)
+        except OSError:  # concurrent run won the rename
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
 
     schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                         ("level", pa.string()), ("ts_us", pa.int64())])

@@ -59,11 +59,22 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
 
             from ..sources.textlog import read_jsonl
 
+            _types = {"int64": _pa.int64(), "int32": _pa.int32(),
+                      "float64": _pa.float64(), "float32": _pa.float32(),
+                      "string": _pa.string(), "bool": _pa.bool_(),
+                      "timestamp_us": _pa.timestamp("us"),
+                      "binary": _pa.binary()}
             schema = None
             if rcfg.get("schema"):
-                schema = _pa.schema([
-                    (c, getattr(_pa, t)())
-                    for c, t in rcfg["schema"].items()])
+                fields = []
+                for c, tname in rcfg["schema"].items():
+                    if tname not in _types:
+                        raise ValueError(
+                            f"jsonl receiver: unknown type {tname!r} "
+                            f"for column {c!r}; one of "
+                            f"{sorted(_types)}")
+                    fields.append((c, _types[tname]))
+                schema = _pa.schema(fields)
             datasets.append(read_jsonl(rpaths, schema=schema))
         elif rtype == "textlog":
             from ..sources.textlog import read_text_logs

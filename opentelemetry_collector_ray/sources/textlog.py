@@ -108,7 +108,12 @@ def read_multiline_logs(paths, start_pattern: str,
     def group(t: pa.Table) -> pa.Table:
         recs: list[pa.Table] = []
         for b in t.column("payload"):
-            lines = pa.array(b.as_py().decode().splitlines(),
+            # split on real newlines only — str.splitlines would also
+            # break on NEL/LS/PS inside a log message body
+            raw = b.as_py().decode().split("\n")
+            if raw and raw[-1] == "":
+                raw.pop()  # trailing newline
+            lines = pa.array([ln.rstrip("\r") for ln in raw],
                              pa.string())
             n = len(lines)
             if n == 0:

@@ -56,6 +56,8 @@ def resample_asof(ds_factory, key: str, ts_col: str, every_us: int,
             raise ValueError(
                 f"resample_asof: {ts_col!r} has nulls — a null has no "
                 "place on a time grid")
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))  # unit-normalize
         return pa.table({key: t.column(key),
                          "_ts_us": col.cast(pa.int64())})
 
@@ -66,6 +68,13 @@ def resample_asof(ds_factory, key: str, ts_col: str, every_us: int,
         raise ValueError(
             f"resample_asof: {ts_col!r} not in input schema "
             f"{list(sch.names)}") from None
+    # Grid arithmetic and the as-of comparison run in MICROSECONDS for
+    # every timestamp unit (s/ms/us/ns inputs are unit-normalized; a
+    # ns column cast to int64 would otherwise make every_us silently
+    # mean every_ns) — the grid column is therefore timestamp[us] for
+    # any temporal input, the column's own unit for integer inputs.
+    grid_type = pa.timestamp("us") if pa.types.is_timestamp(ts_type) \
+        else ts_type
 
     bounds = grouped_agg(
         ds_factory().map_batches(to_us, batch_format="pyarrow"), [key],
@@ -88,12 +97,18 @@ def resample_asof(ds_factory, key: str, ts_col: str, every_us: int,
         grid = lo_g[idx] + step * every_us
         return pa.table({
             key: t.column(key).take(pa.array(idx)),
-            grid_name: pa.array(grid).cast(ts_type)})
+            grid_name: pa.array(grid).cast(grid_type)})
+
+    def norm_right(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, *value_cols])
+        col = t.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            t = t.set_column(t.schema.get_field_index(ts_col), ts_col,
+                             col.cast(pa.timestamp("us")))
+        return t
 
     grid = bounds.map_batches(explode, batch_format="pyarrow")
-    right = ds_factory().map_batches(
-        lambda t: t.select([key, ts_col, *value_cols]),
-        batch_format="pyarrow")
+    right = ds_factory().map_batches(norm_right, batch_format="pyarrow")
     return asof_join(grid, right, by=key, on=grid_name, right_on=ts_col,
                      direction="backward", how=how,
                      n_buckets=n_buckets).map_batches(

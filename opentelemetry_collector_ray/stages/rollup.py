@@ -89,6 +89,8 @@ def rollup_agg(ds: Dataset, keys: list[str],
         raise ValueError("rollup_agg: need at least one key")
     if sets is None:
         sets = [tuple(range(i)) for i in range(nk, -1, -1)]
+    if not sets:
+        raise ValueError("rollup_agg: sets must be non-empty")
     seen = set()
     for s in sets:
         if len(set(s)) != len(s) or any(not 0 <= i < nk for i in s):

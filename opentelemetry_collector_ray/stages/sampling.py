@@ -45,15 +45,7 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
     def local_bottom(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_rk", pa.array([], rk_type))
-        ids = t.column(id_col)
-        if hash_mode == "md5":
-            from ..functions.text import md5_hex
-
-            rk = md5_hex(ids.cast(pa.string()))
-        else:
-            from ..functions.hashing import hash64
-
-            rk = pa.array(hash64(ids))  # uint64 rank, fully vectorized
+        rk, _ = _rank_col(t.column(id_col), hash_mode)
         t = t.append_column("_rk", rk)
         if t.num_rows > k:
             t = t.sort_by([("_rk", "ascending"),

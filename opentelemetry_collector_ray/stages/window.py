@@ -106,7 +106,18 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             # columns compared pairwise on the sorted table.
             run_change = change.copy()
             for c in order_by:
-                cv = t.column(c).to_numpy(zero_copy_only=False)
+                oc_ = t.column(c)
+                if oc_.null_count:
+                    raise ValueError(
+                        f"per_key_window: order column {c!r} has nulls "
+                        "— SQL treats nulls as rank peers, the numpy "
+                        "compare would not; fill or drop them first")
+                cv = oc_.to_numpy(zero_copy_only=False)
+                if cv.dtype.kind == "f" and np.isnan(cv).any():
+                    raise ValueError(
+                        f"per_key_window: order column {c!r} has NaNs "
+                        "— NaN != NaN breaks rank peer detection; fill "
+                        "or drop them first")
                 if n > 1:
                     neq = cv[1:] != cv[:-1]
                     if neq.dtype != bool:  # NaN-propagating dtypes
@@ -202,6 +213,13 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                         "column is undefined; delta it to numbers first")
                 acc = v.astype(
                     np.int64 if v.dtype.kind in "iub" else np.float64)
+                if acc.dtype.kind == "f" and np.isnan(acc).any():
+                    # prefix sums would poison every later frame, not
+                    # just frames containing the NaN row
+                    raise ValueError(
+                        f"per_key_window: value column {spec[1]!r} has "
+                        "NaNs — rolling_sum via prefix sums would "
+                        "corrupt later frames; fill or drop them first")
                 prefix = np.concatenate([[acc.dtype.type(0)],
                                          np.cumsum(acc)])
                 lo = lo_of[int(spec[2])]

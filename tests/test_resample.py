@@ -45,6 +45,32 @@ def test_resample_matches_duckdb(ray_session):
     assert int(out["cents"].isna().sum()) == 60
 
 
+def test_resample_ns_timestamps_normalized(ray_session):
+    """Review finding: a timestamp[ns] input must produce the same
+    DAILY grid as the us input — every_us is microseconds for every
+    temporal unit, not the column's native unit."""
+    ts_us = pa.array([0, 2 * 86_400_000_000 + 5], pa.int64())
+    tbl_us = pa.table({"u": [1, 1], "ts": ts_us.cast(pa.timestamp("us")),
+                       "v": [10, 20]})
+    tbl_ns = pa.table({"u": [1, 1],
+                       "ts": pc_cast_ns(ts_us), "v": [10, 20]})
+    out_us = resample_asof(lambda: ray.data.from_arrow(tbl_us),
+                           "u", "ts", DAY, ["v"]).to_pandas()
+    out_ns = resample_asof(lambda: ray.data.from_arrow(tbl_ns),
+                           "u", "ts", DAY, ["v"]).to_pandas()
+    assert len(out_us) == len(out_ns) == 3  # days 0, 1, 2 — not 2001
+    pd.testing.assert_frame_equal(
+        out_us.sort_values("grid_ts").reset_index(drop=True),
+        out_ns.sort_values("grid_ts").reset_index(drop=True),
+        check_dtype=False)
+
+
+def pc_cast_ns(arr_us):
+    import pyarrow.compute as pc
+
+    return pc.multiply(arr_us, 1000).cast(pa.timestamp("ns"))
+
+
 def test_resample_single_point_key_and_validation(ray_session):
     tbl = pa.table({"u": [7], "ts": pa.array(
         [1_500_000], pa.int64()).cast(pa.timestamp("us")),

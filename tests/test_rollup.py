@@ -69,6 +69,8 @@ def test_rollup_validation(ray_session):
         rollup_agg(ds, ["a"], count_name="n", sets=[(0, 7)])
     with pytest.raises(ValueError, match="duplicate grouping set"):
         rollup_agg(ds, ["a"], count_name="n", sets=[(0,), (0,)])
+    with pytest.raises(ValueError, match="sets must be non-empty"):
+        rollup_agg(ds, ["a"], count_name="n", sets=[])
     with pytest.raises(ValueError, match="collides"):
         rollup_agg(ds, ["a"], count_name="grouping_id")
 

@@ -123,6 +123,13 @@ def test_multiline_grouping(ray_session, tmp_path):
     oute = read_multiline_logs([str(empty)], r"^x")
     assert oute.count() == 0
 
+    # review finding: U+2028 inside a message must NOT split the line
+    u = tmp_path / "u.log"
+    u.write_bytes("START one still one\nSTART two\r\n".encode())
+    outu = read_multiline_logs([str(u)], r"^START").to_pandas()
+    assert sorted(outu["text"].tolist()) == \
+        ["START one still one", "START two"]
+
 
 def test_severity_number_mapping():
     col = pa.chunked_array([pa.array(

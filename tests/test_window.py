@@ -174,6 +174,27 @@ def test_rolling_validation(ray_session):
                        {"x": ("rolling_count", 1)}).to_pandas()
 
 
+def test_rolling_sum_nan_and_rank_null_guards(ray_session):
+    """Review findings: a NaN value poisons prefix-sum rolling frames →
+    loud error; null/NaN ORDER values break rank peer detection →
+    loud error."""
+    withnan = pa.table({"k": ["a", "a"], "o": pa.array([1, 2], pa.int64()),
+                        "v": pa.array([1.0, float("nan")])})
+    with pytest.raises(Exception, match="has NaNs"):
+        per_key_window(ray.data.from_arrow(withnan), "k", ["o"],
+                       {"rs": ("rolling_sum", "v", 10)}).to_pandas()
+    nullorder = pa.table({"k": ["a", "a"],
+                          "o": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="has nulls"):
+        per_key_window(ray.data.from_arrow(nullorder), "k", ["o"],
+                       {"r": ("rank",)}).to_pandas()
+    nanorder = pa.table({"k": ["a", "a"],
+                         "o": pa.array([1.0, float("nan")])})
+    with pytest.raises(Exception, match="has NaNs"):
+        per_key_window(ray.data.from_arrow(nanorder), "k", ["o"],
+                       {"r": ("dense_rank",)}).to_pandas()
+
+
 def test_window_bad_spec(ray_session):
     ds = ray.data.range(3)
     with pytest.raises(ValueError):
