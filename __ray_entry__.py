@@ -1207,6 +1207,43 @@ def _q_docs_frequent_terms(sf_dir: str):
         num=1, den=200)
 
 
+def _q_docs_term_cms(sf_dir: str):
+    """Count-Min frequency sketch (stages/sketch.py cms_build /
+    cms_query — completing the mergeable-sketch triad: HLL distinct,
+    KLL quantiles, CMS frequency): the corpus token stream reduces to
+    one depth×width count matrix per batch, summed by a tree merge
+    (linear, so layout-invariant bit-for-bit); the exact heavy hitters
+    are then probed against the sketch. Rows-only (CMS is approximate
+    by design — est >= exact one-sided, within eN w.h.p.; both
+    properties pytest-enforced)."""
+    import ray
+
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        _tokens_with_rows, frequent_terms)
+    from opentelemetry_collector_ray.stages.sketch import (
+        cms_build, cms_query)
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_with_rows(t.column("text"))
+        return pa.table({"term": flat})
+
+    token_stream = _read_co(sf_dir, "documents", ["text"],
+                            floor=8).map_batches(
+        toks, batch_format="pyarrow")
+    sketch = cms_build(token_stream, "term", width=8192, depth=4)
+
+    exact = frequent_terms(
+        lambda: _read_co(sf_dir, "documents", ["text"], floor=8),
+        num=1, den=200)
+    parts = [t for t in ray.get(exact.to_arrow_refs()) if t.num_rows]
+    hh = pa.concat_tables(parts).sort_by([("term", "ascending")]) \
+        if parts else pa.table({"term": pa.array([], pa.string()),
+                                "n": pa.array([], pa.int64())})
+    est = cms_query(sketch, hh.column("term").combine_chunks())
+    return pa.table({"term": hh.column("term"), "n": hh.column("n"),
+                     "est_n": pa.array(est)})
+
+
 def _q_docs_curation(sf_dir: str):
     """End-to-end curation flagship (pipelines/curation.py):
     contamination screen → 5:3:2 language mixing (rates over the
@@ -2305,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_ann_ivfpq": _q_emb_ann_ivfpq,
         "users_distinct_approx": _q_users_distinct_approx,
+        "docs_term_cms": _q_docs_term_cms,
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
         "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
         "emb_quantize": _q_emb_quantize,

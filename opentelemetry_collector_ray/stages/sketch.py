@@ -298,3 +298,74 @@ def grouped_approx_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
 
     return bucketed_map_groups(partial, key, merge_bucket,
                                n_buckets=n_buckets)
+
+
+# ---------------------------------------------------- Count-Min frequency
+
+class CmsPartial:
+    """Per-batch: one serialized depth×width int64 Count-Min matrix
+    (Cormode-Muthukrishnan 2005). Each depth row uses an independent
+    splitmix64 re-hash of the item's base hash — one string hash per
+    item total, d cheap integer mixes."""
+
+    def __init__(self, col: str, width: int = 4096, depth: int = 4):
+        self.col, self.w, self.d = col, width, depth
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_ints
+
+        counts = np.zeros((self.d, self.w), np.int64)
+        col = t.column(self.col)
+        base = hash64(col)
+        for r in range(self.d):
+            idx = (hash64_ints(base, seed=r) % np.uint64(self.w)) \
+                .astype(np.int64)
+            np.add.at(counts[r], idx, 1)
+        return pa.table({"cms": pa.array([counts.tobytes()], pa.binary())})
+
+
+def _merge_cms(t: pa.Table) -> pa.Table:
+    arrs = [np.frombuffer(b, dtype=np.int64)
+            for b in t.column("cms").to_pylist()]
+    merged = np.sum(arrs, axis=0) if arrs else np.zeros(0, np.int64)
+    return pa.table({"cms": pa.array([merged.tobytes()], pa.binary())})
+
+
+def cms_build(ds: ray.data.Dataset, col: str, width: int = 4096,
+              depth: int = 4, fanin: int = 8) -> np.ndarray:
+    """Count-Min frequency sketch of a column: per-batch (depth×width)
+    count matrices → element-wise-sum tree merge (counts are linear, so
+    the merged sketch EQUALS the single-pass sketch bit-for-bit — no
+    layout sensitivity). Returns the (depth, width) int64 matrix.
+
+    Point-estimate guarantees: est ≥ true always (one-sided);
+    est ≤ true + εN with probability ≥ 1-δ for ε = e/width,
+    δ = e^-depth. The whole exchange moves fanin+1 rows of
+    depth×width×8 bytes."""
+    if width < 2 or depth < 1:
+        raise ValueError("cms_build: need width >= 2 and depth >= 1")
+    partial = ds.select_columns([col]).map_batches(
+        CmsPartial(col, width, depth), batch_format="pyarrow")
+    merged = partial.repartition(fanin).map_batches(
+        _merge_cms, batch_format="pyarrow", batch_size=None) \
+        .repartition(1).map_batches(_merge_cms, batch_format="pyarrow",
+                                    batch_size=None)
+    (row,) = merged.take(1)
+    return np.frombuffer(row["cms"], dtype=np.int64).reshape(depth, width)
+
+
+def cms_query(sketch: np.ndarray, items) -> np.ndarray:
+    """Point frequency estimates (min over depth rows) for ``items``
+    (a pa.Array / list of values hashed the same way as the build
+    column). Vectorized: d modular probes over the item hash array."""
+    from ..functions.hashing import hash64_ints
+
+    d, w = sketch.shape
+    if not isinstance(items, (pa.Array, pa.ChunkedArray)):
+        items = pa.array(items)
+    base = hash64(items)
+    est = np.full(len(items), np.iinfo(np.int64).max, np.int64)
+    for r in range(d):
+        idx = (hash64_ints(base, seed=r) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, sketch[r][idx])
+    return est

@@ -91,3 +91,41 @@ def test_grouped_kll_per_key_accuracy(ray_session):
             got = out.loc[f"svc{i:02d}", col]
             rank = np.searchsorted(kv, got) / per_key
             assert abs(rank - q) < eps, (i, q, rank)
+
+
+def test_cms_overestimate_bound_and_merge_equality(ray_session):
+    """CMS properties: est >= true always; est <= true + eN for all
+    probes on a Zipf-ish corpus; tree-merged sketch EQUALS the
+    single-block sketch bit-for-bit (counts are linear)."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import (
+        cms_build, cms_query)
+
+    rng = np.random.default_rng(31)
+    vals = [f"t{int(v)}" for v in rng.zipf(1.4, 40000) if v < 5000]
+    tbl = pa.table({"term": pa.array(vals)})
+    true = collections.Counter(vals)
+
+    sk1 = cms_build(ray.data.from_arrow(tbl), "term",
+                    width=2048, depth=4)
+    skN = cms_build(ray.data.from_arrow(tbl).repartition(7), "term",
+                    width=2048, depth=4)
+    assert (sk1 == skN).all()  # linearity: layout-invariant
+
+    probes = [t for t, _ in true.most_common(50)] + ["never-seen"]
+    est = cms_query(sk1, probes)
+    for p, e in zip(probes, est):
+        assert e >= true.get(p, 0)  # one-sided guarantee
+    eps_n = (np.e / 2048) * len(vals)
+    over = [int(e) - true.get(p, 0) for p, e in zip(probes, est)]
+    assert max(over) <= eps_n  # within the epsilon-N band
+    assert est[-1] <= eps_n    # unseen item stays near zero
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cms_build(ray.data.from_arrow(tbl), "term", width=1)
