@@ -1524,6 +1524,34 @@ def _q_tpch_q5(sf_dir: str):
     return named.sort("revenue_cents", descending=True)
 
 
+def _q_orders_vip_join(sf_dir: str):
+    """Bloom-prefiltered selective inner join (stages/join.py
+    bloom_bits): the right side is VIP customers (acctbal > 9900, ~1%
+    of customers), so a ~128 KB bloom over their keys drops ~99% of
+    the orders BEFORE the exchange — the 100 TB shuffle-reduction
+    lever, exact because false positives still hit the per-bucket
+    Arrow join. Oracle = the plain SQL inner join."""
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    vip = _read_co(sf_dir, "customer",
+                   ["c_custkey", "c_acctbal", "c_name"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"), 9900.0)),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"c_custkey": t.column("c_custkey"),
+                            "c_name": t.column("c_name")}),
+        batch_format="pyarrow")
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_totalprice"],
+                      floor=8).map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                            "o_custkey": t.column("o_custkey"),
+                            "cents": _cents(t.column("o_totalprice"))}),
+        batch_format="pyarrow")
+    return shuffle_hash_join(orders, vip, key="o_custkey",
+                             right_key="c_custkey", how="inner",
+                             bloom_bits=1 << 20)
+
+
 def _q_customers_order_counts(sf_dir: str):
     """LEFT shuffle join: every customer with its order count INCLUDING
     zero-order customers (null right rows counted as 0)."""
@@ -2265,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_sliding": _q_docs_chunk_sliding,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "orders_vip_join": _q_orders_vip_join,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2615,6 +2644,13 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "orders_vip_join": """
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 9900
 """,
         "tpch_q5": """
 SELECT n_name,

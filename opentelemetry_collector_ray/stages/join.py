@@ -170,10 +170,9 @@ def _pad_union(left: ray.data.Dataset, right: ray.data.Dataset,
 _HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _composite_bucket(t: pa.Table, keys: list[str], nb: int) -> np.ndarray:
-    """Deterministic bucket of a (possibly composite) key: per-column
-    ``hash64`` combined with multiply-xor mixing. Single-key reduces to
-    ``bucket_of`` exactly (same hash, same modulus)."""
+def _composite_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """uint64 hash of a (possibly composite) key: per-column ``hash64``
+    combined with multiply-xor mixing."""
     from ..functions.hashing import hash64
 
     h = None
@@ -181,7 +180,85 @@ def _composite_bucket(t: pa.Table, keys: list[str], nb: int) -> np.ndarray:
         for k in keys:
             hk = hash64(t.column(k))
             h = hk if h is None else (h * _HASH_MIX) ^ hk
-    return (h % np.uint64(nb)).astype(np.int64)
+    return h
+
+
+def _composite_bucket(t: pa.Table, keys: list[str], nb: int) -> np.ndarray:
+    """Deterministic bucket of a (possibly composite) key. Single-key
+    reduces to ``bucket_of`` exactly (same hash, same modulus)."""
+    return (_composite_hash(t, keys) % np.uint64(nb)).astype(np.int64)
+
+
+def build_key_bloom(ds: ray.data.Dataset, keys: list[str],
+                    m_bits: int = 1 << 23, n_hashes: int = 5,
+                    fanin: int = 8) -> np.ndarray:
+    """Bloom filter over a dataset's (composite) key — packed bit array
+    (``m_bits / 8`` uint8 bytes). Mergeable: per-batch bit arrays OR
+    together (tree reduce, no shuffle). ~1 MB at the default 2^23 bits
+    ≈ 1% false positives for 10^6 distinct keys with 5 hashes — sized
+    to broadcast."""
+    if m_bits % 8 or m_bits <= 0:
+        raise ValueError("build_key_bloom: m_bits must be a positive "
+                         "multiple of 8")
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_ints
+
+        bits = np.zeros(m_bits, bool)
+        base = _composite_hash(t, keys)
+        for r in range(n_hashes):
+            idx = (hash64_ints(base, seed=r) % np.uint64(m_bits)) \
+                .astype(np.int64)
+            bits[idx] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()],
+                                           pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        arrs = [np.frombuffer(b, dtype=np.uint8)
+                for b in t.column("bloom").to_pylist()]
+        merged = np.bitwise_or.reduce(arrs) if arrs \
+            else np.zeros(m_bits // 8, np.uint8)
+        return pa.table({"bloom": pa.array([merged.tobytes()],
+                                           pa.binary())})
+
+    parts = ds.select_columns(keys).map_batches(
+        partial, batch_format="pyarrow")
+    merged = parts.repartition(fanin).map_batches(
+        merge, batch_format="pyarrow", batch_size=None).repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    (row,) = merged.take(1)
+    return np.frombuffer(row["bloom"], dtype=np.uint8)
+
+
+class _BloomPrefilterStage:
+    """Drop rows whose key is definitely absent from a broadcast bloom
+    (``ray.put`` once; each task reads the shared-memory copy). False
+    positives only pass extra rows — the join itself stays exact."""
+
+    def __init__(self, bits_ref, keys: list[str], m_bits: int,
+                 n_hashes: int):
+        self._ref, self.keys = bits_ref, keys
+        self.m, self.k = m_bits, n_hashes
+        self._bits = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        from ..functions.hashing import hash64_ints
+
+        if self._bits is None:
+            self._bits = ray.get(self._ref)
+        base = _composite_hash(t, self.keys)
+        hit = np.ones(t.num_rows, bool)
+        for r in range(self.k):
+            idx = (hash64_ints(base, seed=r) % np.uint64(self.m)) \
+                .astype(np.int64)
+            # packbits is big-endian: bit i lives at byte i>>3,
+            # position (7 - i%8) from the LSB
+            bit = (self._bits[idx >> 3].astype(np.int64)
+                   >> (7 - (idx & 7))) & 1
+            hit &= bit.astype(bool)
+        return t.filter(pa.array(hit))
 
 
 def _with_composite_bucket(ds: ray.data.Dataset, keys: list[str],
@@ -205,6 +282,7 @@ def _resolve_join_buckets(left, right, n_buckets):
 def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                       key, right_key=None,
                       how: str = "inner", salt: int = 1,
+                      bloom_bits: int | None = None, bloom_hashes: int = 5,
                       n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Distributed big-big equi-join: co-partition BOTH sides by
     ``hash(key) % n_buckets`` in one exchange (``_pad_union``), then one
@@ -221,13 +299,39 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     the cost of shipping the right side ``salt``×. Exact for inner / left
     / semi / anti (each left row meets the full right key group exactly
     once); rejected for full outer (unmatched RIGHT rows would duplicate
-    per sub-bucket)."""
+    per sub-bucket).
+
+    ``bloom_bits`` is the EXCHANGE-REDUCTION lever for selective inner /
+    semi joins: one extra pass builds a ``build_key_bloom`` over the
+    RIGHT side's keys, broadcasts the ~``bloom_bits/8``-byte filter, and
+    drops left rows that cannot match BEFORE the exchange — at 100 TB,
+    a left side 100× the match rate ships 100× fewer rows. False
+    positives only pass extra rows (the per-bucket Arrow join stays
+    exact); rejected for left / full / anti, where dropping unmatched
+    left rows changes the result."""
     from .bucketing import with_hash_bucket
 
     if how not in _JOIN_TYPES:
         raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
                          f"one of {sorted(_JOIN_TYPES)}")
     salt = int(salt)
+    if bloom_bits:
+        if how not in ("inner", "semi"):
+            raise ValueError(
+                "shuffle_hash_join: bloom_bits is only sound for "
+                "inner/semi joins — left/full/anti must keep unmatched "
+                f"left rows (got how={how!r})")
+        import ray as _ray
+
+        rkeys = [right_key or key] if isinstance(right_key or key, str) \
+            else list(right_key or key)
+        bits = build_key_bloom(right, rkeys, m_bits=int(bloom_bits),
+                               n_hashes=bloom_hashes)
+        lkeys_pre = [key] if isinstance(key, str) else list(key)
+        left = left.map_batches(
+            _BloomPrefilterStage(_ray.put(bits), lkeys_pre,
+                                 int(bloom_bits), bloom_hashes),
+            batch_format="pyarrow")
     if salt > 1 and how == "full":
         raise ValueError("shuffle_hash_join: salt>1 cannot preserve full "
                          "outer semantics (unmatched right rows would "

@@ -322,3 +322,53 @@ def test_asof_nearest_tolerance_and_ties(ray_session):
         ray.data.from_arrow(right), by="k", on="t", right_on="rt",
         direction="nearest").to_pandas()
     assert tie["rv"].tolist() == [100]
+
+
+def test_bloom_prefiltered_join_parity_and_validation(ray_session):
+    """bloom_bits must not change inner/semi results (false positives
+    only pass extra rows into the exact per-bucket join); it is
+    rejected for join modes that keep unmatched left rows; the
+    prefilter itself keeps ~only the matching keys."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.join import (
+        _BloomPrefilterStage, build_key_bloom, shuffle_hash_join)
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    left = pa.table({"k": pa.array(rng.integers(0, 10000, n)),
+                     "lv": pa.array(np.arange(n))})
+    right = pa.table({"k2": pa.array(rng.choice(
+        10000, 120, replace=False).astype(np.int64)),
+        "rv": pa.array(np.arange(120))})
+    for how in ("inner", "semi"):
+        plain = shuffle_hash_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right), key="k", right_key="k2",
+            how=how).to_pandas()
+        bloomed = shuffle_hash_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right), key="k", right_key="k2",
+            how=how, bloom_bits=1 << 20).to_pandas()
+        cols = sorted(plain.columns)
+        pd.testing.assert_frame_equal(
+            plain[cols].sort_values(cols).reset_index(drop=True),
+            bloomed[cols].sort_values(cols).reset_index(drop=True))
+
+    bits = build_key_bloom(ray.data.from_arrow(right), ["k2"],
+                           m_bits=1 << 20)
+    kept = _BloomPrefilterStage(ray.put(bits), ["k"], 1 << 20, 5)(
+        left).num_rows
+    true_matches = int(pd.Series(left["k"].to_numpy()).isin(
+        right["k2"].to_pylist()).sum())
+    assert true_matches <= kept <= int(n * 0.05)  # one-sided, selective
+
+    for bad_how in ("left", "full", "anti"):
+        with pytest.raises(ValueError, match="bloom_bits"):
+            shuffle_hash_join(ray.data.from_arrow(left),
+                              ray.data.from_arrow(right), key="k",
+                              right_key="k2", how=bad_how,
+                              bloom_bits=1 << 20)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        build_key_bloom(ray.data.from_arrow(right), ["k2"], m_bits=9)
