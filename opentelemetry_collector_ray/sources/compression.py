@@ -9,23 +9,54 @@ OTLP wire blobs (sources/otlp_proto.py / otlp_json.py request bytes):
 
 - stdlib-backed encodings are REAL: gzip, zlib, deflate (raw DEFLATE),
   identity/none.
-- snappy / zstd / lz4 need external codecs absent from this deployment;
-  they raise a clear error naming the gap (policy-gated, same stance as
-  the http(s) confmap provider).
+- snappy / zstd / lz4 are REAL via pyarrow's bundled codecs
+  (``pa.Codec``); because those codecs require the decompressed size,
+  OUR file framing prefixes the compressed body with an 8-byte
+  little-endian original-length header (we own both ends of the wire —
+  reference servers similarly know the size from the transport). A
+  64 MiB header sanity cap rejects corrupt frames loudly.
 
 ``decompress_payload`` also sniffs the encoding from magic bytes when the
 caller passes ``encoding=None`` — the server-side Content-Encoding-less
-fallback. At scale compression runs inside the same ``map_batches`` task
-that marshals the request, so blobs cross the object store compressed.
+fallback (gzip/zlib magic plus the zstd frame magic behind our size
+prefix; headerless snappy/lz4 are reachable only by explicit encoding
+or filename suffix). At scale compression runs inside the same
+``map_batches`` task that marshals the request, so blobs cross the
+object store compressed.
 """
 
 from __future__ import annotations
 
 import gzip as _gzip
+import struct as _struct
 import zlib as _zlib
 
 STDLIB_ENCODINGS = ("none", "identity", "gzip", "zlib", "deflate")
-GATED_ENCODINGS = ("snappy", "zstd", "lz4")
+ARROW_ENCODINGS = ("snappy", "zstd", "lz4")
+_MAX_FRAME = 1 << 30  # sanity cap on the size-prefix header
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _arrow_compress(data: bytes, encoding: str) -> bytes:
+    import pyarrow as pa
+
+    body = pa.Codec(encoding).compress(data, asbytes=True)
+    return _struct.pack("<Q", len(data)) + body
+
+
+def _arrow_decompress(data: bytes, encoding: str) -> bytes:
+    import pyarrow as pa
+
+    if len(data) < 8:
+        raise ValueError(f"{encoding} frame too short for the 8-byte "
+                         "size prefix")
+    (size,) = _struct.unpack("<Q", data[:8])
+    if size > _MAX_FRAME:
+        raise ValueError(
+            f"{encoding} frame header claims {size} bytes "
+            f"(> {_MAX_FRAME}) — corrupt or foreign framing")
+    return pa.Codec(encoding).decompress(data[8:], decompressed_size=size,
+                                         asbytes=True)
 
 
 def compress_payload(data: bytes, encoding: str = "gzip",
@@ -41,11 +72,8 @@ def compress_payload(data: bytes, encoding: str = "gzip",
         # raw DEFLATE stream (no zlib header), per RFC 9110 practice
         c = _zlib.compressobj(level, _zlib.DEFLATED, -_zlib.MAX_WBITS)
         return c.compress(data) + c.flush()
-    if encoding in GATED_ENCODINGS:
-        raise NotImplementedError(
-            f"compression {encoding!r} needs an external codec not present "
-            "in this deployment; supported here: "
-            + ", ".join(STDLIB_ENCODINGS))
+    if encoding in ARROW_ENCODINGS:
+        return _arrow_compress(data, encoding)
     raise ValueError(f"unknown compression encoding {encoding!r}")
 
 
@@ -61,15 +89,15 @@ def decompress_payload(data: bytes, encoding: str | None = None) -> bytes:
         return _zlib.decompress(data)
     if encoding == "deflate":
         return _zlib.decompress(data, -_zlib.MAX_WBITS)
-    if encoding in GATED_ENCODINGS:
-        raise NotImplementedError(
-            f"compression {encoding!r} needs an external codec not present "
-            "in this deployment")
+    if encoding in ARROW_ENCODINGS:
+        return _arrow_decompress(data, encoding)
     if encoding is not None:
         raise ValueError(f"unknown compression encoding {encoding!r}")
     # sniff
     if data[:2] == b"\x1f\x8b":
         return _gzip.decompress(data)
+    if len(data) >= 12 and data[8:12] == _ZSTD_MAGIC:
+        return _arrow_decompress(data, "zstd")
     if len(data) >= 2 and data[0] == 0x78 and \
             ((data[0] << 8) | data[1]) % 31 == 0:
         return _zlib.decompress(data)

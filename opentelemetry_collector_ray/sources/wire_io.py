@@ -39,6 +39,15 @@ def decompress_for_path(data: bytes, path: str) -> bytes:
         return _zlib.decompress(data)
     if path.endswith(".zz"):
         return _zlib.decompress(data, -_zlib.MAX_WBITS)
+    # the trailing 'f' marks OUR size-framed format AND dodges Arrow's
+    # extension auto-detection (.zst/.lz4 would be decompressed — and
+    # rejected for the 8-byte prefix — during the read itself)
+    for suffix, enc in ((".zstf", "zstd"), (".szf", "snappy"),
+                        (".lz4f", "lz4")):
+        if path.endswith(suffix):
+            from .compression import decompress_payload
+
+            return decompress_payload(data, enc)
     if data[:2] == b"\x1f\x8b":
         return _gzip.decompress(data)
     if len(data) >= 2 and data[0] == 0x78 and \
@@ -82,7 +91,8 @@ def write_request_files(ds: ray.data.Dataset, out_dir: str, make_blob,
     element — the byte-budget split path), compressed per
     ``compression``, written tmp-then-atomic-rename with a unique name.
     Returns rows."""
-    suffix = {"gzip": ".gz", "zlib": ".z", "deflate": ".zz"} \
+    suffix = {"gzip": ".gz", "zlib": ".z", "deflate": ".zz",
+              "zstd": ".zstf", "snappy": ".szf", "lz4": ".lz4f"} \
         .get(compression, "")
     os.makedirs(out_dir, exist_ok=True)
 

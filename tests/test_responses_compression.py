@@ -7,7 +7,7 @@ import pyarrow as pa
 import pytest
 
 from opentelemetry_collector_ray.sources.compression import (
-    GATED_ENCODINGS, compress_payload, decompress_payload)
+    ARROW_ENCODINGS, compress_payload, decompress_payload)
 from opentelemetry_collector_ray.sources.otlp_responses import (
     SIGNALS, decode_export_response, decode_export_response_json,
     encode_export_response, encode_export_response_json)
@@ -58,11 +58,18 @@ def test_compression_round_trip_and_sniff():
     assert compress_payload(data, "gzip") == compress_payload(data, "gzip")
     # identity sniff falls through for non-compressed payloads
     assert decompress_payload(b"hello world") == b"hello world"
-    for enc in GATED_ENCODINGS:
-        with pytest.raises(NotImplementedError):
-            compress_payload(data, enc)
+    for enc in ARROW_ENCODINGS:  # pyarrow-bundled codecs, size-framed
+        blob = compress_payload(data, enc)
+        assert decompress_payload(blob, enc) == data
+        assert len(blob) < len(data)
+    # zstd is sniffable (frame magic behind our 8-byte size prefix)
+    assert decompress_payload(compress_payload(data, "zstd")) == data
+    # corrupt size header fails loudly, not with a codec segv
+    bad = b"\xff" * 8 + compress_payload(data, "zstd")[8:]
+    with pytest.raises(ValueError, match="corrupt|foreign"):
+        decompress_payload(bad, "zstd")
     with pytest.raises(ValueError):
-        compress_payload(data, "brotli")
+        compress_payload(data, "brotli2")
 
 
 def test_compressed_wire_round_trip(ray_session, tmp_path):
@@ -92,7 +99,7 @@ def test_compressed_wire_round_trip(ray_session, tmp_path):
                                pa.map_(pa.string(), pa.string())),
     })
     ds = ray.data.from_arrow(rows)
-    for enc in ("gzip", "zlib", "deflate"):
+    for enc in ("gzip", "zlib", "deflate", "zstd", "snappy", "lz4"):
         pdir = tmp_path / f"proto_{enc}"
         n = write_otlp_proto_logs(ds, str(pdir), compression=enc)
         assert n == 3
