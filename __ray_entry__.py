@@ -1850,6 +1850,16 @@ def _q_spans_parent_join(sf_dir: str):
     return parent_child_join(_spans(sf_dir))
 
 
+def _q_spans_service_graph(sf_dir: str):
+    """Service-dependency-graph connector analog (spanops.py
+    service_graph — contrib servicegraphconnector): per-trace
+    co-partitioned parent join → (client, server) edge metrics,
+    bounded-edge tree combine. Oracle = SQL self-join + GROUP BY."""
+    from opentelemetry_collector_ray.stages.spanops import service_graph
+
+    return service_graph(_spans(sf_dir))
+
+
 def _q_spans_trace_stats(sf_dir: str):
     """Per-trace rollup (unbounded keys → partials + hash groupby)."""
     from opentelemetry_collector_ray.stages.spanops import trace_stats
@@ -2294,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "orders_vip_join": _q_orders_vip_join,
+        "spans_service_graph": _q_spans_service_graph,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -3181,6 +3192,17 @@ WITH {SPANS_CTE.strip()}
 SELECT c.trace_id, c.span_id, c.parent_span_id, p.service AS parent_service
 FROM spans c LEFT JOIN spans p
   ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+""",
+        "spans_service_graph": f"""
+WITH {SPANS_CTE.strip()}
+SELECT p.service AS client, c.service AS server,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(CASE WHEN c.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       CAST(sum(c.duration_us) AS BIGINT) AS total_duration_us
+FROM spans c JOIN spans p
+  ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+GROUP BY p.service, c.service
 """,
         "spans_trace_stats": f"""
 WITH {SPANS_CTE.strip()}

@@ -59,6 +59,56 @@ def parent_child_join(spans: ray.data.Dataset, n_buckets: int = 64,
                                              batch_format="pyarrow")
 
 
+def service_graph(spans: ray.data.Dataset, n_buckets: int = 64,
+                  ) -> ray.data.Dataset:
+    """Service-dependency graph — the servicegraphconnector analog
+    (reference: opentelemetry-collector-contrib
+    ``connector/servicegraphconnector``: client/server span pairs →
+    edge metrics): one edge row per (client_service, server_service)
+    pair with call count, error count (server status ERROR) and total
+    server duration µs.
+
+    Scale shape: the SAME per-trace co-partition exchange as
+    ``parent_child_join`` (a trace's spans land in one bucket task),
+    one Arrow hash join + group_by per bucket emits ≤ |services|² edge
+    partials, then a tree combine — the full span corpus crosses the
+    wire once, edges are bounded."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            bucket_of(t.column("trace_id"), n_buckets)))
+
+    def edge_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parents = t.select(["trace_id", "span_id", "service"]) \
+            .rename_columns(["trace_id", "parent_span_id", "client"])
+        child = t.select(["trace_id", "parent_span_id", "service",
+                          "status_code", "duration_us"]) \
+            .rename_columns(["trace_id", "parent_span_id", "server",
+                             "status_code", "duration_us"])
+        m = child.join(parents, keys=["trace_id", "parent_span_id"],
+                       join_type="inner")
+        err = pc.cast(pc.equal(m.column("status_code"), 2), pa.int64())
+        return pa.table({"client": m.column("client"),
+                         "server": m.column("server"),
+                         "is_err": err,
+                         "dur": m.column("duration_us")})
+
+    from .aggregate import grouped_agg
+
+    pre = spans.select_columns(
+        ["trace_id", "span_id", "parent_span_id", "service",
+         "status_code", "duration_us"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    edges = pre.groupby("_bucket").map_groups(
+        lambda t: edge_bucket(t.drop_columns(["_bucket"])),
+        batch_format="pyarrow")
+    return grouped_agg(edges, ["client", "server"], count_name="n_calls",
+                       sum_cols={"n_errors": "is_err",
+                                 "total_duration_us": "dur"},
+                       strategy="tree")
+
+
 def trace_stats(spans: ray.data.Dataset, n_buckets: int | str = 64,
                 ) -> ray.data.Dataset:
     """Per-trace rollup: span count, error count, wall duration in µs
