@@ -131,6 +131,30 @@ def test_multiline_grouping(ray_session, tmp_path):
         ["START one still one", "START two"]
 
 
+def test_log_analytics_example_yaml(ray_session, tmp_path, monkeypatch):
+    """examples/log_analytics.yaml end to end: multiline receiver →
+    regex parse → severity filter, over a planted app log with a stack
+    trace."""
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    log = tmp_path / "app.log"
+    log.write_bytes(
+        b"2026-01-01T10:00:00 INFO api: served request\n"
+        b"2026-01-01T10:00:01 ERROR worker: boom\n"
+        b"Traceback (most recent call last):\n"
+        b"  File \"w.py\", line 3\n"
+        b"2026-01-01T10:00:02 WARN api: slow response\n"
+        b"2026-01-01T10:00:03 DEBUG api: cache hit\n")
+    monkeypatch.setenv("LOG_DIR", str(log))
+    cfg = PipelineConfig.from_yaml("examples/log_analytics.yaml")
+    out = build_dataset(cfg).to_pandas()
+    assert sorted(out["level"].tolist()) == ["ERROR", "WARN"]
+    err = out[out["level"] == "ERROR"].iloc[0]
+    assert err["service"] == "worker"
+    assert "Traceback" in err["text"]  # the stack trace rode along
+
+
 def test_severity_number_mapping():
     col = pa.chunked_array([pa.array(
         ["TRACE", "Debug", "info", "WARN", "Warning", "error", "FATAL",
