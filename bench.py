@@ -114,7 +114,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "emb_pca", "events_user_rolling", "events_rollup",
              "events_funnel", "events_type_rank", "docs_above_lang_median",
              "docs_lang_sample", "tpch_q5", "events_resampled_daily",
-             "events_jsonl_roundtrip"]
+             "events_jsonl_roundtrip", "orders_vip_join",
+             "spans_service_graph"]
     q = m.queries()
     for name in names:
         t0 = time.time()
