@@ -1539,7 +1539,8 @@ def _q_orders_vip_join(sf_dir: str):
         batch_format="pyarrow").map_batches(
         lambda t: pa.table({"c_custkey": t.column("c_custkey"),
                             "c_name": t.column("c_name")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # tiny side: one
+    # execution feeds the bloom pass, the schema probe AND the join
     orders = _read_co(sf_dir, "orders",
                       ["o_orderkey", "o_custkey", "o_totalprice"],
                       floor=8).map_batches(
