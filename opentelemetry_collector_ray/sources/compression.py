@@ -14,7 +14,9 @@ OTLP wire blobs (sources/otlp_proto.py / otlp_json.py request bytes):
   OUR file framing prefixes the compressed body with an 8-byte
   little-endian original-length header (we own both ends of the wire —
   reference servers similarly know the size from the transport). A
-  64 MiB header sanity cap rejects corrupt frames loudly.
+  1 GiB frame cap is enforced on BOTH ends: compress refuses larger
+  payloads (split the batch instead), decompress rejects corrupt
+  headers loudly.
 
 ``decompress_payload`` also sniffs the encoding from magic bytes when the
 caller passes ``encoding=None`` — the server-side Content-Encoding-less
@@ -40,6 +42,10 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 def _arrow_compress(data: bytes, encoding: str) -> bytes:
     import pyarrow as pa
 
+    if len(data) > _MAX_FRAME:
+        raise ValueError(
+            f"{encoding} framing caps one payload at {_MAX_FRAME} bytes "
+            f"(got {len(data)}); split the batch before compressing")
     body = pa.Codec(encoding).compress(data, asbytes=True)
     return _struct.pack("<Q", len(data)) + body
 
@@ -93,11 +99,19 @@ def decompress_payload(data: bytes, encoding: str | None = None) -> bytes:
         return _arrow_decompress(data, encoding)
     if encoding is not None:
         raise ValueError(f"unknown compression encoding {encoding!r}")
-    # sniff
+    # sniff — framed zstd BEFORE gzip: the size prefix's low bytes can
+    # collide with the gzip magic (1 in 2^16 payload sizes), while a
+    # real gzip stream carrying the zstd magic at bytes 8-12 would need
+    # mtime 0xFD2FB528 (year 2104); if both match, zstd is tried first
+    # and gzip remains the fallback.
+    if len(data) >= 12 and data[8:12] == _ZSTD_MAGIC:
+        try:
+            return _arrow_decompress(data, "zstd")
+        except Exception:
+            if data[:2] != b"\x1f\x8b":
+                raise
     if data[:2] == b"\x1f\x8b":
         return _gzip.decompress(data)
-    if len(data) >= 12 and data[8:12] == _ZSTD_MAGIC:
-        return _arrow_decompress(data, "zstd")
     if len(data) >= 2 and data[0] == 0x78 and \
             ((data[0] << 8) | data[1]) % 31 == 0:
         return _zlib.decompress(data)

@@ -221,12 +221,15 @@ def build_key_bloom(ds: ray.data.Dataset, keys: list[str],
         return pa.table({"bloom": pa.array([merged.tobytes()],
                                            pa.binary())})
 
+    from .treereduce import tree_reduce_single
+
     parts = ds.select_columns(keys).map_batches(
         partial, batch_format="pyarrow")
-    merged = parts.repartition(fanin).map_batches(
-        merge, batch_format="pyarrow", batch_size=None).repartition(1) \
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-    (row,) = merged.take(1)
+    row = tree_reduce_single(parts, merge, fanin=fanin)
+    if row is None:
+        # empty key side: the all-zero bloom (drops every probe —
+        # exactly what an inner/semi join against nothing should do)
+        return np.zeros(m_bits // 8, np.uint8)
     return np.frombuffer(row["bloom"], dtype=np.uint8)
 
 
@@ -315,6 +318,9 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
                          f"one of {sorted(_JOIN_TYPES)}")
     salt = int(salt)
+    lkeys = [key] if isinstance(key, str) else list(key)
+    rk = right_key or key
+    rkeys = [rk] if isinstance(rk, str) else list(rk)
     if bloom_bits:
         if how not in ("inner", "semi"):
             raise ValueError(
@@ -323,22 +329,17 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 f"left rows (got how={how!r})")
         import ray as _ray
 
-        rkeys = [right_key or key] if isinstance(right_key or key, str) \
-            else list(right_key or key)
         bits = build_key_bloom(right, rkeys, m_bits=int(bloom_bits),
                                n_hashes=bloom_hashes)
-        lkeys_pre = [key] if isinstance(key, str) else list(key)
         left = left.map_batches(
-            _BloomPrefilterStage(_ray.put(bits), lkeys_pre,
+            _BloomPrefilterStage(_ray.put(bits), lkeys,
                                  int(bloom_bits), bloom_hashes),
             batch_format="pyarrow")
     if salt > 1 and how == "full":
         raise ValueError("shuffle_hash_join: salt>1 cannot preserve full "
                          "outer semantics (unmatched right rows would "
                          "duplicate per sub-bucket)")
-    lkeys = [key] if isinstance(key, str) else list(key)
-    unioned, lnames, right_cols = _pad_union(left, right, key,
-                                             right_key or key)
+    unioned, lnames, right_cols = _pad_union(left, right, key, rk)
     nb = _resolve_join_buckets(left, right, n_buckets)
     arrow_how = _JOIN_TYPES[how]
 

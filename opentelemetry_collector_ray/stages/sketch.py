@@ -77,12 +77,13 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12,
     """Approximate COUNT(DISTINCT col): per-batch HLL registers →
     element-wise-max tree merge → estimate. Relative error ≈ 1.04/√(2^p)
     (~1.6% at p=12); the whole exchange moves fanin+1 rows of 2^p bytes."""
+    from .treereduce import tree_reduce_single
+
     partial = ds.select_columns([col]).map_batches(
         HllPartial(col, p), batch_format="pyarrow")
-    merged = partial.repartition(fanin).map_batches(
-        _merge_regs, batch_format="pyarrow", batch_size=None).repartition(1) \
-        .map_batches(_merge_regs, batch_format="pyarrow", batch_size=None)
-    (row,) = merged.take(1)
+    row = tree_reduce_single(partial, _merge_regs, fanin=fanin)
+    if row is None:  # empty stream has 0 distinct values
+        return 0.0
     return _estimate(np.frombuffer(row["regs"], dtype=np.uint8))
 
 
@@ -208,12 +209,13 @@ def approx_quantiles(ds: ray.data.Dataset, col: str,
     """Approximate quantiles of an unbounded numeric column: per-batch KLL
     partials → tree merge (fanin+1 sketch rows move, never the data) →
     driver reads ONE sketch. Rank error ≈ 1.65/k (~0.8% at k=200)."""
+    from .treereduce import tree_reduce_single
+
     partial = ds.select_columns([col]).map_batches(
         KllPartial(col, k), batch_format="pyarrow")
-    merged = partial.repartition(fanin).map_batches(
-        _merge_kll, batch_format="pyarrow", batch_size=None).repartition(1) \
-        .map_batches(_merge_kll, batch_format="pyarrow", batch_size=None)
-    (row,) = merged.take(1)
+    row = tree_reduce_single(partial, _merge_kll, fanin=fanin)
+    if row is None:  # empty stream: no quantiles to read
+        return {f"p{int(round(q * 100))}": float("nan") for q in qs}
     s = KllSketch.from_bytes(row["kll"])
     return {f"p{int(round(q * 100))}": s.quantile(q) for q in qs}
 
@@ -344,13 +346,13 @@ def cms_build(ds: ray.data.Dataset, col: str, width: int = 4096,
     depth×width×8 bytes."""
     if width < 2 or depth < 1:
         raise ValueError("cms_build: need width >= 2 and depth >= 1")
+    from .treereduce import tree_reduce_single
+
     partial = ds.select_columns([col]).map_batches(
         CmsPartial(col, width, depth), batch_format="pyarrow")
-    merged = partial.repartition(fanin).map_batches(
-        _merge_cms, batch_format="pyarrow", batch_size=None) \
-        .repartition(1).map_batches(_merge_cms, batch_format="pyarrow",
-                                    batch_size=None)
-    (row,) = merged.take(1)
+    row = tree_reduce_single(partial, _merge_cms, fanin=fanin)
+    if row is None:  # empty stream: the all-zero sketch
+        return np.zeros((depth, width), np.int64)
     return np.frombuffer(row["cms"], dtype=np.int64).reshape(depth, width)
 
 

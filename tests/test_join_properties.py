@@ -364,6 +364,16 @@ def test_bloom_prefiltered_join_parity_and_validation(ray_session):
         right["k2"].to_pylist()).sum())
     assert true_matches <= kept <= int(n * 0.05)  # one-sided, selective
 
+    # review finding: empty right side must behave like the plain join
+    # (0 rows out), not crash the bloom build
+    empty_right = pa.table({"k2": pa.array([], pa.int64()),
+                            "rv": pa.array([], pa.int64())})
+    out_empty = shuffle_hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(empty_right),
+        key="k", right_key="k2", how="inner",
+        bloom_bits=1 << 16).to_pandas()
+    assert len(out_empty) == 0
+
     for bad_how in ("left", "full", "anti"):
         with pytest.raises(ValueError, match="bloom_bits"):
             shuffle_hash_join(ray.data.from_arrow(left),

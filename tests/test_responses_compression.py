@@ -64,6 +64,17 @@ def test_compression_round_trip_and_sniff():
         assert len(blob) < len(data)
     # zstd is sniffable (frame magic behind our 8-byte size prefix)
     assert decompress_payload(compress_payload(data, "zstd")) == data
+    # review finding: a payload size whose LE prefix starts 1f 8b must
+    # still sniff as zstd, not die in the gzip branch
+    tricky = b"x" * 35615  # 0x8b1f
+    assert decompress_payload(compress_payload(tricky, "zstd")) == tricky
+    # compress-side frame cap fails loudly (not a broken round-trip)
+    import pytest as _pytest
+    from opentelemetry_collector_ray.sources.compression import _MAX_FRAME
+    class _Huge(bytes):
+        def __len__(self): return _MAX_FRAME + 1
+    with _pytest.raises(ValueError, match="caps one payload"):
+        compress_payload(_Huge(), "zstd")
     # corrupt size header fails loudly, not with a codec segv
     bad = b"\xff" * 8 + compress_payload(data, "zstd")[8:]
     with pytest.raises(ValueError, match="corrupt|foreign"):

@@ -147,7 +147,11 @@ def test_log_analytics_example_yaml(ray_session, tmp_path, monkeypatch):
         b"2026-01-01T10:00:02 WARN api: slow response\n"
         b"2026-01-01T10:00:03 DEBUG api: cache hit\n")
     monkeypatch.setenv("LOG_DIR", str(log))
-    cfg = PipelineConfig.from_yaml("examples/log_analytics.yaml")
+    from pathlib import Path
+
+    yml = Path(__file__).resolve().parent.parent / "examples" \
+        / "log_analytics.yaml"
+    cfg = PipelineConfig.from_yaml(str(yml))
     out = build_dataset(cfg).to_pandas()
     assert sorted(out["level"].tolist()) == ["ERROR", "WARN"]
     err = out[out["level"] == "ERROR"].iloc[0]
