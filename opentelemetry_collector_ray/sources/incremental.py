@@ -28,10 +28,21 @@ class PartialScrapeError(Exception):
         return f"partial scrape failure: {self.failed}"
 
 
-class IncrementalParquetSource:
-    def __init__(self, pattern: str, state_path: str):
+class IncrementalFileSource:
+    """Generalized incremental watermark over ANY file reader — the
+    filelog receiver's checkpointed tailing at FILE granularity (the
+    batch analog: fragments are immutable closed files, so the
+    checkpoint is the seen-file set, not a byte offset). ``reader`` maps
+    a list of paths → Dataset; ``probe`` (optional) raises on an
+    invalid/incomplete file, which is then reported in ``failed`` and
+    retried next tick instead of poisoning the batch."""
+
+    def __init__(self, pattern: str, state_path: str, reader,
+                 probe=None):
         self.pattern = pattern
         self.state_path = state_path
+        self.reader = reader
+        self.probe = probe
 
     def _load_seen(self) -> set[str]:
         try:
@@ -62,19 +73,29 @@ class IncrementalParquetSource:
         partition never commits is reprocessed by rerunning the job over
         the manifest store, not by rewinding this watermark.
         """
-        import pyarrow.parquet as pq
-
-        import ray.data
-
         seen = self._load_seen()
         candidates = sorted(set(glob.glob(self.pattern)) - seen)
         good, failed = [], {}
         for p in candidates:
             try:
-                pq.read_metadata(p)  # cheap validity probe
+                if self.probe is not None:
+                    self.probe(p)  # cheap validity probe
                 good.append(p)
             except Exception as e:  # noqa: BLE001 - accumulate, don't abort
                 failed[p] = str(e)
-        ds = ray.data.read_parquet(good) if good else None
+        ds = self.reader(good) if good else None
         self._commit_seen(seen | set(good))
         return ds, good, failed
+
+
+class IncrementalParquetSource(IncrementalFileSource):
+    def __init__(self, pattern: str, state_path: str):
+        import pyarrow.parquet as pq
+
+        def read(paths):
+            import ray.data
+
+            return ray.data.read_parquet(paths)
+
+        super().__init__(pattern, state_path, reader=read,
+                         probe=pq.read_metadata)

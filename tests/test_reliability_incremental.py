@@ -99,6 +99,30 @@ def test_incremental_source_watermark(ray_session, tmp_path):
     assert list(failed4) == [str(src / "corrupt.parquet")]
 
 
+def test_incremental_jsonl_tailing(ray_session, tmp_path):
+    """Generalized incremental source over the filelog-analog reader:
+    new JSONL files flow exactly once, the watermark survives, empty
+    ticks return None."""
+    import json
+
+    from opentelemetry_collector_ray.sources.incremental import (
+        IncrementalFileSource)
+    from opentelemetry_collector_ray.sources.textlog import read_jsonl
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.jsonl").write_text(json.dumps({"x": 1}))
+    s = IncrementalFileSource(str(logs / "*.jsonl"),
+                              str(tmp_path / "st.json"),
+                              reader=read_jsonl)
+    ds, new, failed = s.scrape()
+    assert len(new) == 1 and not failed and ds.to_pandas()["x"].tolist() == [1]
+    assert s.scrape()[0] is None  # nothing new
+    (logs / "b.jsonl").write_text(json.dumps({"x": 2}))
+    ds3, new3, _ = s.scrape()
+    assert len(new3) == 1 and ds3.to_pandas()["x"].tolist() == [2]
+
+
 def test_counter_identities():
     check_identities(10, {"a": 7, "b": 3})
     check_identities(10, {"a": 7}, dropped=3)
