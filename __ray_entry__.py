@@ -1181,6 +1181,35 @@ def _q_events_jsonl_roundtrip(sf_dir: str):
     return logs.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_docs_dup_spans(sf_dir: str):
+    """Substring-level duplicate detection (stages/subdedup.py — the
+    Lee et al. 2022 passage-dedup operator): every 20-token window
+    occurring >= 2 times corpus-wide, merged into maximal per-doc token
+    spans. Window hashes are the only shuffle currency; spans merge in
+    one vectorized gaps-and-islands pass per doc bucket. Oracle = the
+    same windows by CONTENT in DuckDB (generate_series + HAVING + SQL
+    islands) — exact because the 64-bit rolling hash is collision-free
+    at this scale."""
+    from opentelemetry_collector_ray.stages.subdedup import duplicate_spans
+
+    return duplicate_spans(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
+        window=20)
+
+
+def _q_docs_dup_stats(sf_dir: str):
+    """Per-document duplication-coverage stats from the same operator
+    (n_tokens / dup_tokens / n_spans — the 'mostly boilerplate' quality
+    signal); zero-filled for clean docs. Oracle = the spans oracle
+    aggregated per doc with a zero-fill LEFT JOIN."""
+    from opentelemetry_collector_ray.stages.subdedup import (
+        duplication_stats)
+
+    return duplication_stats(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
+        window=20)
+
+
 def _q_docs_lang_sample(sf_dir: str):
     """Per-group balanced k-sample (stages/sampling.py
     sample_bottom_k_by, md5 oracle mode): 25 deterministic docs per
@@ -2306,6 +2335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "orders_vip_join": _q_orders_vip_join,
         "spans_service_graph": _q_spans_service_graph,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_dup_stats": _q_docs_dup_stats,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2696,6 +2727,49 @@ SELECT event_id, user_id,
             ELSE 9 END AS sev_num,
        CAST(epoch_us(ts) AS BIGINT) AS ts_us
 FROM events
+""",
+        "docs_dup_spans": r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+                    AS toks FROM documents),
+w AS (SELECT doc_id, i AS s, array_to_string(toks[i+1 : i+20], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 20)) AS i
+            FROM tok WHERE len(toks) >= 20)),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.s FROM w JOIN d USING (win)),
+isl AS (SELECT doc_id, s,
+        CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+               OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + 20
+             THEN 1 ELSE 0 END AS new_run FROM hits),
+g AS (SELECT doc_id, s,
+      sum(new_run) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM isl)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(s) + 20 AS BIGINT) AS span_end
+FROM g GROUP BY doc_id, grp
+""",
+        "docs_dup_stats": r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+                    AS toks FROM documents),
+w AS (SELECT doc_id, i AS s, array_to_string(toks[i+1 : i+20], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 20)) AS i
+            FROM tok WHERE len(toks) >= 20)),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.s FROM w JOIN d USING (win)),
+isl AS (SELECT doc_id, s,
+        CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+               OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + 20
+             THEN 1 ELSE 0 END AS new_run FROM hits),
+g AS (SELECT doc_id, s,
+      sum(new_run) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM isl),
+spans AS (SELECT doc_id, min(s) AS a, max(s) + 20 AS b
+          FROM g GROUP BY doc_id, grp),
+cov AS (SELECT doc_id, CAST(sum(b - a) AS BIGINT) AS dup_tokens,
+        CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       COALESCE(cov.n_spans, 0) AS n_spans
+FROM tok t LEFT JOIN cov USING (doc_id)
 """,
         "docs_lang_sample": """
 WITH r AS (SELECT doc_id, lang,

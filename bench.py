@@ -115,7 +115,7 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_funnel", "events_type_rank", "docs_above_lang_median",
              "docs_lang_sample", "tpch_q5", "events_resampled_daily",
              "events_jsonl_roundtrip", "orders_vip_join",
-             "spans_service_graph"]
+             "spans_service_graph", "docs_dup_spans", "docs_dup_stats"]
     q = m.queries()
     for name in names:
         t0 = time.time()

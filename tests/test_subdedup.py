@@ -1,0 +1,90 @@
+"""Substring-level duplicate detection (stages/subdedup.py) —
+planted-passage ground truth, within-doc repeats, stride semantics,
+validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.subdedup import (
+    duplicate_spans, duplication_stats)
+
+
+def _alpha(i):
+    s = ""
+    i += 1
+    while i:
+        s += chr(97 + i % 26)
+        i //= 26
+    return s
+
+
+def _words(base, n):
+    return [_alpha(base * 1000 + i) for i in range(n)]
+
+
+def _corpus():
+    passage = " ".join(_words(900, 60))
+    docs = [" ".join(_words(d, 200)) for d in range(10)]
+    docs[3] = " ".join(_words(3, 100)) + " " + passage + " " + \
+        " ".join(_words(33, 40))
+    docs[7] = passage + " " + " ".join(_words(7, 150))
+    rep = " ".join(_words(800, 50))
+    docs[9] = rep + " " + " ".join(_words(9, 80)) + " " + rep
+    return pa.table({"doc_id": pa.array(np.arange(10)),
+                     "text": pa.array(docs)})
+
+
+def test_planted_passages_found_exactly(ray_session):
+    ds = ray.data.from_arrow(_corpus()).repartition(4)
+    spans = duplicate_spans(ds, window=50).to_pandas() \
+        .sort_values(["doc_id", "span_start"])
+    assert spans.values.tolist() == [
+        [3, 100, 160],   # shared passage inside doc 3
+        [7, 0, 60],      # same passage opens doc 7
+        [9, 0, 50],      # within-doc repeat, first copy
+        [9, 130, 180],   # within-doc repeat, second copy
+    ]
+    stats = duplication_stats(ds, window=50).to_pandas() \
+        .sort_values("doc_id")
+    assert len(stats) == 10  # every doc reports, clean ones zero-filled
+    byid = stats.set_index("doc_id")
+    assert byid.loc[3, "dup_tokens"] == 60 and byid.loc[3, "n_spans"] == 1
+    assert byid.loc[7, "dup_tokens"] == 60
+    assert byid.loc[9, "dup_tokens"] == 100 and byid.loc[9, "n_spans"] == 2
+    assert byid.loc[0, "dup_tokens"] == 0 and byid.loc[0, "n_spans"] == 0
+    assert byid.loc[3, "n_tokens"] == 200 and byid.loc[9, "n_tokens"] == 180
+
+
+def test_stride_still_catches_long_runs(ray_session):
+    """stride=k detects any duplicated run of window+k-1 tokens; the
+    60-token planted passage survives stride=5 at window=50 (span
+    boundaries shrink to the strided grid)."""
+    ds = ray.data.from_arrow(_corpus()).repartition(3)
+    spans = duplicate_spans(ds, window=50, stride=5).to_pandas()
+    docs = set(spans["doc_id"])
+    assert {3, 7} <= docs
+    d3 = spans[spans.doc_id == 3].iloc[0]
+    assert d3.span_start >= 100 and d3.span_end <= 160 \
+        and d3.span_end - d3.span_start >= 50
+
+
+def test_subdedup_validation(ray_session):
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        duplicate_spans(ds, window=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(ds, stride=0)
+    with pytest.raises(ValueError):
+        duplication_stats(ds, min_count=1)
+    # corpus with no duplicates at all → empty spans, zero-filled stats
+    clean = pa.table({"doc_id": pa.array([1, 2]),
+                      "text": pa.array([" ".join(_words(1, 30)),
+                                        " ".join(_words(2, 30))])})
+    assert duplicate_spans(ray.data.from_arrow(clean),
+                           window=20).count() == 0
+    st = duplication_stats(ray.data.from_arrow(clean),
+                           window=20).to_pandas()
+    assert st["dup_tokens"].tolist() == [0, 0]
+    assert st["n_tokens"].tolist() == [30, 30]
