@@ -70,6 +70,65 @@ def test_stride_still_catches_long_runs(ray_session):
         and d3.span_end - d3.span_start >= 50
 
 
+def test_randomized_corpus_matches_duckdb(ray_session):
+    """Randomized equivalence: a small-vocab corpus (natural window
+    collisions everywhere) must produce byte-identical spans and stats
+    to the content-keyed SQL oracle at window=5."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    vocab = [_alpha(i) for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(3, 40)))
+            for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(120)),
+                    "text": pa.array(docs)})
+    W = 5
+    spans = duplicate_spans(ray.data.from_arrow(tbl).repartition(5),
+                            window=W).to_pandas()
+    stats = duplication_stats(ray.data.from_arrow(tbl).repartition(5),
+                              window=W).to_pandas()
+    base = f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+                    AS toks FROM tbl),
+w AS (SELECT doc_id, i AS s, array_to_string(toks[i+1 : i+{W}], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - {W})) AS i
+            FROM tok WHERE len(toks) >= {W})),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.s FROM w JOIN d USING (win)),
+isl AS (SELECT doc_id, s,
+        CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+               OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + {W}
+             THEN 1 ELSE 0 END AS new_run FROM hits),
+g AS (SELECT doc_id, s,
+      sum(new_run) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM isl)
+"""
+    exp_spans = duckdb.sql(base + f"""
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(s) + {W} AS BIGINT) AS span_end
+FROM g GROUP BY doc_id, grp""").df()
+    exp_stats = duckdb.sql(base + f""",
+spans AS (SELECT doc_id, min(s) AS a, max(s) + {W} AS b
+          FROM g GROUP BY doc_id, grp),
+cov AS (SELECT doc_id, CAST(sum(b - a) AS BIGINT) AS dup_tokens,
+        CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       COALESCE(cov.n_spans, 0) AS n_spans
+FROM tok t LEFT JOIN cov USING (doc_id)""").df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(spans), canon(exp_spans),
+                                  check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(canon(stats), canon(exp_stats),
+                                  check_dtype=False, check_exact=True)
+    assert (stats["dup_tokens"] > 0).sum() >= 5  # the test has teeth
+
+
 def test_subdedup_validation(ray_session):
     ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
