@@ -28,21 +28,41 @@ class PartialScrapeError(Exception):
         return f"partial scrape failure: {self.failed}"
 
 
+def _readable_probe(path: str) -> None:
+    """Default validity probe: the file opens and yields a byte (or is
+    empty) — catches permission/truncation races, not format errors."""
+    with open(path, "rb") as f:
+        f.read(1)
+
+
 class IncrementalFileSource:
     """Generalized incremental watermark over ANY file reader — the
     filelog receiver's checkpointed tailing at FILE granularity (the
     batch analog: fragments are immutable closed files, so the
     checkpoint is the seen-file set, not a byte offset). ``reader`` maps
-    a list of paths → Dataset; ``probe`` (optional) raises on an
+    a list of paths → Dataset; ``probe`` raises on an
     invalid/incomplete file, which is then reported in ``failed`` and
-    retried next tick instead of poisoning the batch."""
+    retried next tick instead of poisoning the batch.
+
+    The watermark commits at SCRAPE time while the returned Dataset is
+    lazy, so a file the probe accepts but the reader later rejects is
+    permanently skipped — pass a probe as strict as the format allows
+    (the parquet subclass validates the footer; for JSONL at least the
+    default readability probe runs), and call :meth:`unsee` to requeue
+    files after a downstream read failure."""
 
     def __init__(self, pattern: str, state_path: str, reader,
                  probe=None):
         self.pattern = pattern
         self.state_path = state_path
         self.reader = reader
-        self.probe = probe
+        self.probe = probe if probe is not None else _readable_probe
+
+    def unsee(self, paths) -> None:
+        """Remove files from the watermark so the next tick retries
+        them — the requeue lever for lazy-read failures discovered
+        after commit."""
+        self._commit_seen(self._load_seen() - set(paths))
 
     def _load_seen(self) -> set[str]:
         try:

@@ -13,9 +13,15 @@ moves), duplicate hash groups are found with ONE bucket exchange, and
 a second tiny exchange merges each document's hit windows into maximal
 spans (vectorized gaps-and-islands over a segment-lifted running max,
 no Python per doc). With ``stride=1`` every duplicated run of
-``window`` or more tokens is found exactly; ``stride=k`` bounds the
-emitted volume k× and still catches runs of ``window + k - 1`` or
-more. Hash collisions (~2^-64 per window pair) can mark a spurious
+``window`` or more tokens is found exactly; ``stride=k`` keeps only
+windows whose CONTENT hash ≡ 0 (mod k) — content-anchored sampling,
+so every copy of a duplicated run emits the IDENTICAL window subset
+regardless of its offset in each document (a position-anchored stride
+would silently miss copies at offsets differing mod k). A duplicated
+run of L tokens then survives iff any of its L−window+1 windows is
+selected (probability ≈ 1−(1−1/k)^(L−window+1), corpus-consistent —
+a run is either found in ALL its copies or in none). Hash collisions
+(~2^-64 per window pair) can mark a spurious
 window but are not exact-verified — unlike the contamination screen's
 small benchmark set, verification here would ship the text; at corpus
 scale the expected false-window count is negligible and documented
@@ -37,10 +43,11 @@ from .corpusstats import _tokens_with_rows
 
 
 class _WindowHashStage:
-    """Per batch: one row per ``window``-token run at a ``stride``
-    offset — (window hash, doc_id, DOC-relative token start) — plus a
-    per-doc token-count lane (start = -1) so stats need no second
-    scan."""
+    """Per batch: one row per sampled ``window``-token run — (window
+    hash, doc_id, DOC-relative token start) — plus a per-doc
+    token-count lane (start = -1, ``h`` = hash of the doc id so the
+    lane spreads uniformly across hash buckets) that rides the SAME
+    exchange, so stats need no second scan."""
 
     def __init__(self, text_col: str, id_col: str, window: int,
                  stride: int):
@@ -57,12 +64,14 @@ class _WindowHashStage:
         rel = hstarts - doc_base[hrows] if len(hstarts) \
             else np.zeros(0, np.int64)
         if self.stride > 1 and len(rel):
-            keep = rel % self.stride == 0
+            # content-anchored sampling: offset-independent, identical
+            # across every copy of a duplicated run
+            keep = h % np.uint64(self.stride) == 0
             h, hrows, rel = h[keep], hrows[keep], rel[keep]
         ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
         return pa.table({
             "h": pa.array(np.concatenate(
-                [h, np.zeros(t.num_rows, np.uint64)])),
+                [h, hash64(t.column(self.id_col))])),
             "doc_id": pa.array(np.concatenate([ids[hrows], ids])),
             "start": pa.array(np.concatenate(
                 [rel, np.full(t.num_rows, -1, np.int64)])),
@@ -77,24 +86,34 @@ def _hashed_windows(ds, text_col, id_col, window, stride):
         batch_format="pyarrow")
 
 
-def _dup_window_rows(hashed, min_count, n_buckets):
-    """(doc_id, start) of every window whose hash occurs >= min_count
-    times corpus-wide — one bucket exchange on the hash."""
-    windows = hashed.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("start"), 0))
-        .select(["h", "doc_id", "start"]),
+def _dup_window_rows(hashed, min_count, n_buckets, keep_tokens=False):
+    """(doc_id, start[, n_tok]) of every window whose hash occurs >=
+    min_count times corpus-wide — ONE bucket exchange on the hash.
+    With ``keep_tokens`` the per-doc token-count lane (start = -1,
+    doc-id-hashed so it spreads across buckets) passes through the
+    same exchange, so stats cost no second input scan."""
+    cols = ["h", "doc_id", "start"] + (["n_tok"] if keep_tokens else [])
+    pre = hashed if keep_tokens else hashed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("start"), 0)),
         batch_format="pyarrow")
+    pre = pre.map_batches(lambda t: t.select(cols),
+                          batch_format="pyarrow")
 
     def dup_bucket(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("h", "ascending")])
-        hv = t.column("h").to_numpy(zero_copy_only=False)
+        is_win = pc.greater_equal(t.column("start"), 0)
+        w = t.filter(is_win).sort_by([("h", "ascending")])
+        hv = w.column("h").to_numpy(zero_copy_only=False)
         change, _ = key_segments(hv)
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, len(hv)))
         keep = np.repeat(sizes, sizes) >= min_count
-        return t.filter(pa.array(keep)).select(["doc_id", "start"])
+        out = w.filter(pa.array(keep)).drop_columns(["h"])
+        if keep_tokens:
+            out = pa.concat_tables(
+                [out, t.filter(pc.invert(is_win)).drop_columns(["h"])])
+        return out
 
-    return bucketed_map_groups(windows, "h", dup_bucket,
+    return bucketed_map_groups(pre, "h", dup_bucket,
                                n_buckets=n_buckets)
 
 
@@ -111,9 +130,7 @@ def _span_merge_bucket(t: pa.Table, window: int) -> pa.Table:
     if n > 1:
         change = np.concatenate([[True], ids[1:] != ids[:-1]])
         seg_id = np.cumsum(change) - 1
-        max_end = int(ends.max()) if n else 0
-        stride_lift = max_end + 2
-        lift = seg_id * stride_lift
+        lift = seg_id * (int(ends.max()) + 2)
         run_max = np.maximum.accumulate(ends + lift)
         new_run[1:] = (st[1:] + lift[1:]) > run_max[:-1]
     heads = np.flatnonzero(new_run)
@@ -121,7 +138,7 @@ def _span_merge_bucket(t: pa.Table, window: int) -> pa.Table:
         else np.zeros(0, np.int64)
     return pa.table({
         "doc_id": t.column("doc_id").take(pa.array(heads)),
-        "span_start": pa.array(st[heads] if n else st),
+        "span_start": pa.array(st[heads]),
         "span_end": pa.array(span_end),
     })
 
@@ -141,9 +158,16 @@ def duplicate_spans(ds: ray.data.Dataset, *, text_col: str = "text",
                          "stride >= 1, min_count >= 2")
     hashed = _hashed_windows(ds, text_col, id_col, window, stride)
     dup = _dup_window_rows(hashed, min_count, n_buckets)
-    return bucketed_map_groups(
+    spans = bucketed_map_groups(
         dup, "doc_id", lambda t: _span_merge_bucket(t, window),
         n_buckets=n_buckets)
+    # schema-stable empty path: a clean corpus otherwise yields a
+    # zero-column dataset (Ray's empty-groupby behavior)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    empty = pa.table({"doc_id": pa.array([], id_type),
+                      "span_start": pa.array([], pa.int64()),
+                      "span_end": pa.array([], pa.int64())})
+    return spans.union(ray.data.from_arrow(empty))
 
 
 def duplication_stats(ds: ray.data.Dataset, *, text_col: str = "text",
@@ -158,16 +182,15 @@ def duplication_stats(ds: ray.data.Dataset, *, text_col: str = "text",
         raise ValueError("duplication_stats: need window >= 2, "
                          "stride >= 1, min_count >= 2")
     hashed = _hashed_windows(ds, text_col, id_col, window, stride)
-    dup = _dup_window_rows(hashed, min_count, n_buckets)
-    tok_counts = hashed.map_batches(
-        lambda t: t.filter(pc.less(t.column("start"), 0))
-        .select(["doc_id", "n_tok"]),
-        batch_format="pyarrow")
+    # ONE input scan: the token-count lane rides the hash exchange
+    # alongside the windows (its h = hash(doc_id), so it spreads)
+    both = _dup_window_rows(hashed, min_count, n_buckets,
+                            keep_tokens=True)
 
     def stats_bucket(t: pa.Table) -> pa.Table:
         spans = _span_merge_bucket(
             t.filter(pc.greater_equal(t.column("start"), 0))
-            .select(["doc_id", "start"]), stats_bucket.window)
+            .select(["doc_id", "start"]), window)
         ids = spans.column("doc_id").to_numpy(zero_copy_only=False)
         cover = (spans.column("span_end").to_numpy(zero_copy_only=False)
                  - spans.column("span_start").to_numpy(
@@ -195,17 +218,5 @@ def duplication_stats(ds: ray.data.Dataset, *, text_col: str = "text",
                          "dup_tokens": pa.array(dup_tok),
                          "n_spans": pa.array(n_spans)})
 
-    stats_bucket.window = window
-    # one bucket exchange carries BOTH lanes (dup windows + token
-    # counts), co-partitioned by doc
-    both = dup.map_batches(
-        lambda t: t.append_column("n_tok", pa.array(
-            np.zeros(t.num_rows, np.int64))),
-        batch_format="pyarrow").union(tok_counts.map_batches(
-            lambda t: pa.table({"doc_id": t.column("doc_id"),
-                                "start": pa.array(np.full(
-                                    t.num_rows, -1, np.int64)),
-                                "n_tok": t.column("n_tok")}),
-            batch_format="pyarrow"))
     return bucketed_map_groups(both, "doc_id", stats_bucket,
                                n_buckets=n_buckets)

@@ -121,6 +121,10 @@ def test_incremental_jsonl_tailing(ray_session, tmp_path):
     (logs / "b.jsonl").write_text(json.dumps({"x": 2}))
     ds3, new3, _ = s.scrape()
     assert len(new3) == 1 and ds3.to_pandas()["x"].tolist() == [2]
+    # requeue lever for lazy-read failures discovered after commit
+    s.unsee(new3)
+    ds4, new4, _ = s.scrape()
+    assert new4 == new3 and ds4.to_pandas()["x"].tolist() == [2]
 
 
 def test_counter_identities():

@@ -57,17 +57,26 @@ def test_planted_passages_found_exactly(ray_session):
     assert byid.loc[3, "n_tokens"] == 200 and byid.loc[9, "n_tokens"] == 180
 
 
-def test_stride_still_catches_long_runs(ray_session):
-    """stride=k detects any duplicated run of window+k-1 tokens; the
-    60-token planted passage survives stride=5 at window=50 (span
-    boundaries shrink to the strided grid)."""
-    ds = ray.data.from_arrow(_corpus()).repartition(3)
-    spans = duplicate_spans(ds, window=50, stride=5).to_pandas()
-    docs = set(spans["doc_id"])
-    assert {3, 7} <= docs
-    d3 = spans[spans.doc_id == 3].iloc[0]
-    assert d3.span_start >= 100 and d3.span_end <= 160 \
-        and d3.span_end - d3.span_start >= 50
+def test_stride_is_content_anchored(ray_session):
+    """Review finding: stride sampling must be CONTENT-anchored — a
+    long passage duplicated at offsets 100 and 1 (incongruent mod 5)
+    must still be found at stride=5, because both copies emit the
+    identical hash-selected window subset."""
+    passage = " ".join(_words(950, 150))
+    docs = [" ".join(_words(d, 200)) for d in range(6)]
+    docs[2] = " ".join(_words(2, 100)) + " " + passage
+    docs[5] = _words(5, 1)[0] + " " + passage + " " + \
+        " ".join(_words(55, 30))
+    tbl = pa.table({"doc_id": pa.array(np.arange(6)),
+                    "text": pa.array(docs)})
+    spans = duplicate_spans(ray.data.from_arrow(tbl).repartition(3),
+                            window=50, stride=5).to_pandas()
+    docs_found = set(spans["doc_id"])
+    assert {2, 5} <= docs_found
+    d2 = spans[spans.doc_id == 2]
+    assert d2["span_start"].min() >= 100 and \
+        d2["span_end"].max() <= 250
+    assert (d2["span_end"] - d2["span_start"]).sum() >= 50
 
 
 def test_randomized_corpus_matches_duckdb(ray_session):
