@@ -378,6 +378,22 @@ def _register_builtins() -> None:
                                            1_000_000)),
             grid_name=cfg.get("grid_name", "grid_ts")))
 
+    def make_dup_stats(cfg: dict):
+        from .stages.subdedup import duplication_stats
+
+        return DatasetTransform(lambda ds: duplication_stats(
+            ds, text_col=cfg.get("text_col", "text"),
+            id_col=cfg.get("id_col", "doc_id"),
+            window=int(cfg.get("window", 50)),
+            stride=int(cfg.get("stride", 1)),
+            min_count=int(cfg.get("min_count", 2))))
+
+    def make_service_graph(cfg: dict):
+        from .stages.spanops import service_graph
+
+        return DatasetTransform(lambda ds: service_graph(
+            ds, n_buckets=int(cfg.get("n_buckets", 64))))
+
     def make_rollup(cfg: dict):
         from .stages.rollup import rollup_agg
 
@@ -571,6 +587,8 @@ def _register_builtins() -> None:
     register("window", Factory("processor", make_window))
     register("rollup", Factory("processor", make_rollup))
     register("resample", Factory("processor", make_resample))
+    register("dup_stats", Factory("processor", make_dup_stats))
+    register("service_graph", Factory("processor", make_service_graph))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

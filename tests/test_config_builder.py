@@ -388,6 +388,65 @@ def test_rollup_funnel_processors(ray_session, tmp_path):
     assert {"uid", "grid_ts", "v"} == set(rs.columns) and len(rs) > 0
 
 
+def test_dup_stats_and_service_graph_processors(ray_session, tmp_path):
+    """dup_stats / service_graph as YAML processors equal the direct
+    library calls."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.subdedup import (
+        duplication_stats)
+
+    docs = tmp_path / "docs.parquet"
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3]),
+        "text": pa.array([rep + " unique one words here",
+                          "other filler " + rep,
+                          "totally different text entirely unrelated"]),
+    }), str(docs))
+
+    def build(rcv, procs, names):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": rcv,
+            "processors": procs,
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": [list(rcv)[0]], "processors": names,
+                "exporters": ["debug"]}}},
+        }))
+
+    y = build({"parquet": {"paths": str(docs)}},
+              {"dup_stats": {"window": 8}}, ["dup_stats"]).to_pandas()
+    direct = duplication_stats(ray.data.read_parquet(str(docs)),
+                               window=8).to_pandas()
+    assert sorted(map(tuple, y.values.tolist())) == \
+        sorted(map(tuple, direct.values.tolist()))
+    assert y.set_index("doc_id").loc[1, "dup_tokens"] == 8
+
+    ev = tmp_path / "events.parquet"
+    rng = np.random.default_rng(3)
+    n = 400
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n)),
+        "ts": pa.array(rng.integers(0, 3_600_000_000, n).astype(
+            "datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 10, n)),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "error"], n)),
+        "value": pa.array(rng.uniform(0, 100, n)),
+        "props": pa.array(["{}"] * n),
+    }), str(ev))
+    g = build({"spans": {"paths": str(ev)}},
+              {"service_graph": {}}, ["service_graph"]).to_pandas()
+    assert {"client", "server", "n_calls", "n_errors",
+            "total_duration_us"} == set(g.columns)
+    assert g["n_calls"].sum() > 0
+
+
 def test_window_sample_quantize_freqterms_processors(ray_session,
                                                      tmp_path):
     """window / sample / quantize / frequent_terms as YAML processors,
