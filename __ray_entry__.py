@@ -1582,6 +1582,37 @@ def _q_orders_vip_join(sf_dir: str):
                              bloom_bits=1 << 20)
 
 
+def _q_orders_decile(sf_dir: str):
+    """Equi-depth bucketing (stages/aggregate.py
+    exact_global_quantiles): every order assigned its exact global
+    price decile — ONE value-count pass reads all nine thresholds,
+    broadcast into a single searchsorted per batch. Oracle = the same
+    quantile_disc threshold list in DuckDB, bucket = 1 + #thresholds
+    strictly below the value."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantiles)
+
+    def make():
+        return _read_co(sf_dir, "orders",
+                        ["o_orderkey", "o_totalprice"],
+                        floor=8).map_batches(
+            lambda t: pa.table({"o_orderkey": t.column("o_orderkey"),
+                                "cents": _cents(t.column("o_totalprice"))}),
+            batch_format="pyarrow")
+
+    qs = tuple(i / 10 for i in range(1, 10))
+    ts = np.array(exact_global_quantiles(make(), "cents", qs), np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        dec = np.searchsorted(ts, c, side="left") + 1
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "cents": t.column("cents"),
+                         "decile": pa.array(dec.astype(np.int64))})
+
+    return make().map_batches(assign, batch_format="pyarrow")
+
+
 def _q_customers_order_counts(sf_dir: str):
     """LEFT shuffle join: every customer with its order count INCLUDING
     zero-order customers (null right rows counted as 0)."""
@@ -2337,6 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_service_graph": _q_spans_service_graph,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_dup_stats": _q_docs_dup_stats,
+        "orders_decile": _q_orders_decile,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2687,6 +2719,17 @@ SELECT user_id, event_id, value_cents,
        CAST(count(*) OVER w AS BIGINT) AS hour_events
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "orders_decile": """
+WITH o AS (SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+q AS (SELECT quantile_disc(cents,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts FROM o)
+SELECT o.o_orderkey, o.cents,
+       CAST(1 + len(list_filter(q.ts, t -> o.cents > t)) AS BIGINT)
+           AS decile
+FROM o, q
 """,
         "orders_vip_join": """
 SELECT o_orderkey, o_custkey,

@@ -414,3 +414,35 @@ def exact_global_quantile(ds: Dataset, col: str, q: float,
     cum = pdf["_n"].cumsum().to_numpy()
     idx = int(np.searchsorted(cum, r + 1))
     return int(pdf[col].iloc[idx])
+
+
+def exact_global_quantiles(ds: Dataset, col: str, qs: tuple[float, ...],
+                           max_distinct: int = 4_000_000) -> list[int]:
+    """EXACT global quantiles at SEVERAL q in ONE pass — same contract,
+    rank rule and cardinality guard as :func:`exact_global_quantile`,
+    but the value-count table is built once and every rank is read off
+    it (the equi-depth-bucketing / multi-threshold pattern: call this,
+    broadcast the threshold list, assign buckets with one searchsorted
+    per batch)."""
+    import numpy as np
+
+    counts = grouped_count(ds.select_columns([col]), [col],
+                           count_name="_n", strategy="shuffle")
+    counts = counts.materialize()
+    n_distinct = counts.count()
+    if n_distinct > int(max_distinct):
+        raise ValueError(
+            f"exact_global_quantiles: {col!r} has {n_distinct:,} distinct "
+            f"values (> max_distinct={int(max_distinct):,}); use the KLL "
+            "sketch path (stages/sketch.py approx_quantiles)")
+    pdf = counts.to_pandas().sort_values(col)
+    if not len(pdf):
+        raise ValueError(f"exact_global_quantiles: no rows in {col!r}")
+    n = int(pdf["_n"].sum())
+    cum = pdf["_n"].cumsum().to_numpy()
+    vals = pdf[col].to_numpy()
+    out = []
+    for q in qs:
+        r = min(max(int(np.ceil(float(q) * n)) - 1, 0), n - 1)
+        out.append(int(vals[int(np.searchsorted(cum, r + 1))]))
+    return out

@@ -742,3 +742,23 @@ def test_profile_table_with_nulls(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-empty"):
         profile_table(ray.data.from_arrow(tbl), [])
+
+
+def test_exact_global_quantiles_one_pass(ray_session):
+    """Multi-q variant agrees with the singular function at every q and
+    enforces the same cardinality guard."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantile, exact_global_quantiles)
+
+    rng = np.random.default_rng(7)
+    t = pa.table({"v": pa.array(rng.integers(0, 50, 997), pa.int64())})
+    ds = ray.data.from_arrow(t)
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    got = exact_global_quantiles(ds, "v", qs)
+    want = [exact_global_quantile(ds, "v", q) for q in qs]
+    assert got == want
+    with pytest.raises(ValueError, match="distinct"):
+        exact_global_quantiles(ds, "v", qs, max_distinct=5)
