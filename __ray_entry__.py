@@ -1984,6 +1984,31 @@ def _q_spans_events_exploded(sf_dir: str):
     return explode_span_events(with_span_events(_spans(sf_dir)))
 
 
+def _q_spans_busy_periods(sf_dir: str):
+    """Per-service busy periods (stages/intervals.py merge_intervals):
+    overlapping span intervals coalesced into maximal merged windows —
+    gaps-and-islands, ONE hash-bucket exchange, per-key running max via
+    a segment-lifted global cummax. Oracle = the classic SQL window
+    chain (running MAX(e) OVER preceding rows → break flags → island
+    ids → GROUP BY island)."""
+    from opentelemetry_collector_ray.stages.intervals import (
+        merge_intervals)
+
+    def prep(t: pa.Table) -> pa.Table:
+        start_us = pc.cast(pc.cast(t.column("start_ts"),
+                                   pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "service": t.column("service"),
+            "start_us": start_us,
+            "end_us": pc.add(start_us, t.column("duration_us")),
+        })
+
+    pre = _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return merge_intervals(pre, "service", "start_us", "end_us",
+                           out_start="busy_start_us",
+                           out_end="busy_end_us", count_name="n_spans")
+
+
 def _q_events_exp_histogram(sf_dir: str):
     """Base-2 exponential histogram of integer cents per event type
     (pmetric ExponentialHistogram analog; null idx = OTel zero bucket)."""
@@ -2369,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_dup_stats": _q_docs_dup_stats,
         "orders_decile": _q_orders_decile,
+        "spans_busy_periods": _q_spans_busy_periods,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -3321,6 +3347,25 @@ SELECT p.service AS client, c.service AS server,
 FROM spans c JOIN spans p
   ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
 GROUP BY p.service, c.service
+""",
+        "spans_busy_periods": f"""
+WITH {SPANS_CTE.strip()},
+i AS (SELECT service,
+             CAST(epoch_us(start_ts) AS BIGINT) AS s,
+             CAST(epoch_us(start_ts) AS BIGINT) + duration_us AS e
+      FROM spans),
+b AS (SELECT service, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (
+                      PARTITION BY service ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  s - 1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM i),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY service ORDER BY s, e
+          ROWS UNBOUNDED PRECEDING) AS grp FROM b)
+SELECT service, min(s) AS busy_start_us, max(e) AS busy_end_us,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM g GROUP BY service, grp
 """,
         "spans_trace_stats": f"""
 WITH {SPANS_CTE.strip()}

@@ -388,6 +388,22 @@ def _register_builtins() -> None:
             stride=int(cfg.get("stride", 1)),
             min_count=int(cfg.get("min_count", 2))))
 
+    def make_merge_intervals(cfg: dict):
+        from .stages.intervals import merge_intervals
+
+        for req in ("key", "start_col", "end_col"):
+            if not cfg.get(req):
+                raise ConfigError(
+                    f"merge_intervals: {req} is required")
+        return DatasetTransform(lambda ds: merge_intervals(
+            ds, cfg["key"], cfg["start_col"], cfg["end_col"],
+            min_gap=int(cfg.get("min_gap", 0)),
+            n_buckets=cfg.get("n_buckets", "auto"),
+            prereduce=bool(cfg.get("prereduce", True)),
+            out_start=cfg.get("out_start", "merged_start"),
+            out_end=cfg.get("out_end", "merged_end"),
+            count_name=cfg.get("count_name", "n_intervals")))
+
     def make_service_graph(cfg: dict):
         from .stages.spanops import service_graph
 
@@ -589,6 +605,7 @@ def _register_builtins() -> None:
     register("resample", Factory("processor", make_resample))
     register("dup_stats", Factory("processor", make_dup_stats))
     register("service_graph", Factory("processor", make_service_graph))
+    register("merge_intervals", Factory("processor", make_merge_intervals))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

@@ -1,0 +1,139 @@
+"""Distributed per-key interval merging (gaps-and-islands).
+
+Coalesces overlapping / near-adjacent ``[start, end]`` intervals into
+maximal merged periods per key — the trace-concurrency / host-busy-time
+rollup every APM backend derives from spans (SQL expresses it as the
+gaps-and-islands window chain; see the ``spans_busy_periods`` oracle in
+``__ray_entry__.py``). The collector itself has no such operator — this
+is an engine addition in the spirit of the spanmetrics / servicegraph
+connectors (reference: ``connector/spanmetricsconnector`` README — span
+streams rolled up into derived signals).
+
+Scale shape: interval merging is ASSOCIATIVE (pre-merging any subset of
+a key's intervals never changes the final coalescing), so the operator
+is two-phase like the counting aggregates: a per-block pre-merge
+shrinks each batch to its local merged periods (carrying a merge count
+as the weight), then ONE hash-bucket exchange on ``key`` (the repo's
+bounded-group idiom, ``stages/bucketing.py``) re-merges the partials.
+This matters precisely when the key is LOW-cardinality (4 services at
+100 TB): the per-key chain in the final task sees only pre-merged
+partials, not every raw interval. Inside a task everything is one Arrow
+``sort_by`` plus O(n) numpy — the per-segment running max rides a
+segment-lifted composite (same lift trick as ``stages/window.py``:
+values rebased to the bucket minimum, each key segment lifted by
+``seg_id * stride`` so one global ``np.maximum.accumulate`` computes
+every per-key cummax at once, with a loud ``2^62`` overflow guard).
+Only (key, start, end, count) columns ever shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .bucketing import bucketed_map_groups, key_segments
+
+
+def _merge_table(t: pa.Table, key: str, start_col: str, end_col: str,
+                 gap: int, count_name: str) -> pa.Table:
+    """Merge one in-memory table's intervals per key. If ``count_name``
+    is already a column it is summed across merged members (re-merge of
+    partials); otherwise each input row counts 1."""
+    has_w = count_name in t.column_names
+    t = t.sort_by([(key, "ascending"), (start_col, "ascending"),
+                   (end_col, "ascending")])
+    s = t.column(start_col).to_numpy(zero_copy_only=False)
+    e = t.column(end_col).to_numpy(zero_copy_only=False)
+    if not (np.issubdtype(s.dtype, np.integer)
+            and np.issubdtype(e.dtype, np.integer)):
+        raise TypeError(
+            f"merge_intervals: {start_col!r}/{end_col!r} must be integer "
+            f"columns, got {s.dtype}/{e.dtype} (cast timestamps to epoch "
+            "integers first)")
+    s = s.astype(np.int64)
+    e = e.astype(np.int64)
+    bad = np.flatnonzero(e < s)
+    if len(bad):
+        raise ValueError(
+            f"merge_intervals: {len(bad)} rows with {end_col} < "
+            f"{start_col} (first: start={s[bad[0]]}, end={e[bad[0]]})")
+    n = len(s)
+    w = (t.column(count_name).to_numpy(zero_copy_only=False)
+         .astype(np.int64) if has_w else np.ones(n, np.int64))
+    if not n:
+        return pa.table({key: t.column(key), start_col: pa.array(s),
+                         end_col: pa.array(e), count_name: pa.array(w)})
+    change, _ = key_segments(t.column(key).to_numpy(zero_copy_only=False))
+    seg_id = np.cumsum(change) - 1
+    lo = int(s.min())
+    hi = int(e.max())
+    stride = (hi - lo) + gap + 2
+    n_seg = int(seg_id[-1]) + 1
+    if stride > (2 ** 62) // max(n_seg, 1):
+        raise ValueError(
+            f"merge_intervals: lifted composite would overflow (range "
+            f"{hi - lo:,} x {n_seg:,} key segments in one task); raise "
+            "n_buckets or narrow the value range")
+    # one global cummax = every per-key running max end at once
+    cum_end = (np.maximum.accumulate((e - lo) + seg_id * stride)
+               - seg_id * stride + lo)
+    new_island = change.copy()
+    cont = ~change  # cont[i] => row i-1 is the SAME key's previous row
+    new_island[cont] |= s[cont] > cum_end[:-1][cont[1:]] + gap
+    istarts = np.flatnonzero(new_island)
+    iends = np.append(istarts[1:], n) - 1
+    # per-segment cummax at an island's last row IS the island max:
+    # earlier islands' ends are < this island's start <= its ends
+    return pa.table({
+        key: t.column(key).take(pa.array(istarts)),
+        start_col: pa.array(s[istarts]),
+        end_col: pa.array(cum_end[iends]),
+        count_name: pa.array(np.add.reduceat(w, istarts)),
+    })
+
+
+def merge_intervals(ds: ray.data.Dataset, key: str, start_col: str,
+                    end_col: str, *, min_gap: int = 0,
+                    n_buckets: int | str = "auto", prereduce: bool = True,
+                    out_start: str = "merged_start",
+                    out_end: str = "merged_end",
+                    count_name: str = "n_intervals") -> ray.data.Dataset:
+    """Merge intervals per ``key``: two intervals belong to the same
+    merged period when the later one starts at most ``min_gap`` after
+    the running maximum end of the earlier ones (``min_gap=0`` merges
+    touching intervals; a positive gap gives sessionization-style
+    tolerance). ``start_col`` / ``end_col`` must be integer-valued
+    (cast timestamps to epoch integers first — the repo convention) with
+    ``end >= start`` per row, validated loudly per task.
+
+    ``prereduce`` (default on) merges within each block before the
+    exchange — exact by associativity, and the reason a 4-key corpus
+    still scales: the exchange and the final per-key chain see partial
+    periods, not raw intervals.
+
+    Output: one row per merged period — ``key``, ``out_start`` (min
+    start), ``out_end`` (max end), ``count_name`` (intervals merged).
+    """
+    if min_gap < 0:
+        raise ValueError(
+            f"merge_intervals: min_gap must be >= 0, got {min_gap}")
+    gap = int(min_gap)
+    for c in (out_start, out_end, count_name):
+        if c in (key,):
+            raise ValueError(f"merge_intervals: output column {c!r} "
+                             "collides with the key column")
+
+    ds = ds.select_columns([key, start_col, end_col])
+    if prereduce:
+        ds = ds.map_batches(
+            lambda t: _merge_table(t, key, start_col, end_col, gap,
+                                   count_name),
+            batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        m = _merge_table(t, key, start_col, end_col, gap, count_name)
+        return m.rename_columns([key, out_start, out_end, count_name])
+
+    return bucketed_map_groups(ds, key, final, n_buckets=n_buckets)

@@ -1,0 +1,127 @@
+"""merge_intervals (stages/intervals.py): planted truth, prereduce
+associativity, randomized DuckDB gaps-and-islands parity, guards, YAML
+builder parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opentelemetry_collector_ray.stages.intervals import merge_intervals
+
+
+def _run(rows, **kw):
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "s": pa.array([r[1] for r in rows], pa.int64()),
+                  "e": pa.array([r[2] for r in rows], pa.int64())})
+    out = merge_intervals(ray.data.from_arrow(t), "k", "s", "e",
+                          **kw).to_pandas()
+    return sorted(map(tuple, out[["k", "merged_start", "merged_end",
+                                  "n_intervals"]].values.tolist()))
+
+
+def test_merge_planted(ray_session):
+    rows = [("a", 0, 10), ("a", 5, 12), ("a", 12, 20),  # chain: touch merges
+            ("a", 25, 30),                               # gap -> new island
+            ("b", 0, 100), ("b", 10, 20),                # contained
+            ("c", 7, 7)]                                 # zero-length
+    assert _run(rows) == [("a", 0, 20, 3), ("a", 25, 30, 1),
+                          ("b", 0, 100, 2), ("c", 7, 7, 1)]
+
+
+def test_merge_min_gap(ray_session):
+    rows = [("a", 0, 10), ("a", 13, 20), ("a", 26, 30)]
+    # gap of 3 between first two, 6 between last two
+    assert _run(rows, min_gap=3) == [("a", 0, 20, 2), ("a", 26, 30, 1)]
+    assert _run(rows, min_gap=6) == [("a", 0, 30, 3)]
+
+
+def test_merge_prereduce_parity(ray_session):
+    """prereduce=True == prereduce=False (associativity), many blocks."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    k = rng.integers(0, 5, n)
+    s = rng.integers(0, 2000, n).astype(np.int64)
+    e = s + rng.integers(0, 40, n)
+    t = pa.table({"k": pa.array([f"k{v}" for v in k]),
+                  "s": pa.array(s), "e": pa.array(e)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    a = merge_intervals(ds, "k", "s", "e", prereduce=True).to_pandas()
+    b = merge_intervals(ds, "k", "s", "e", prereduce=False).to_pandas()
+    key = ["k", "merged_start", "merged_end", "n_intervals"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+
+
+@pytest.mark.parametrize("seed,gap", [(1, 0), (2, 5), (3, 17)])
+def test_merge_duckdb_parity(ray_session, seed, gap):
+    rng = np.random.default_rng(seed)
+    n = 1500
+    k = rng.integers(0, 7, n)
+    s = rng.integers(0, 1200, n).astype(np.int64)
+    e = s + rng.integers(0, 30, n)
+    t = pa.table({"k": pa.array([f"u{v}" for v in k]),
+                  "s": pa.array(s), "e": pa.array(e)})
+    got = merge_intervals(ray.data.from_arrow(t).repartition(8),
+                          "k", "s", "e", min_gap=gap).to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    want = con.sql(f"""
+WITH b AS (SELECT k, s, e,
+        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY k ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {gap},
+             s - 1)
+             THEN 1 ELSE 0 END AS brk FROM iv),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY s, e
+        ROWS UNBOUNDED PRECEDING) AS grp FROM b)
+SELECT k, min(s) AS merged_start, max(e) AS merged_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM g GROUP BY k, grp
+""").df()
+    cols = ["k", "merged_start", "merged_end", "n_intervals"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == \
+        sorted(map(tuple, want[cols].values.tolist()))
+
+
+def test_merge_guards(ray_session):
+    t = pa.table({"k": pa.array(["a"]), "s": pa.array([5], pa.int64()),
+                  "e": pa.array([3], pa.int64())})
+    with pytest.raises(Exception, match="e < s|end.*start|rows with"):
+        merge_intervals(ray.data.from_arrow(t), "k", "s", "e").to_pandas()
+    with pytest.raises(ValueError, match="min_gap"):
+        merge_intervals(ray.data.from_arrow(t), "k", "s", "e", min_gap=-1)
+    tf = pa.table({"k": pa.array(["a"]), "s": pa.array([1.0]),
+                   "e": pa.array([2.0])})
+    with pytest.raises(Exception, match="integer"):
+        merge_intervals(ray.data.from_arrow(tf), "k", "s",
+                        "e").to_pandas()
+
+
+def test_merge_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    p = tmp_path / "iv.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "s": pa.array([0, 5, 2], pa.int64()),
+        "e": pa.array([10, 20, 4], pa.int64())}), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"merge_intervals": {
+            "key": "k", "start_col": "s", "end_col": "e"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["merge_intervals"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    direct = merge_intervals(
+        ray.data.read_parquet(str(p)), "k", "s", "e").to_pandas()
+    assert sorted(map(tuple, y.values.tolist())) == \
+        sorted(map(tuple, direct.values.tolist()))
