@@ -1319,6 +1319,37 @@ def _q_docs_token_count(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_docs_bpe_base_tokens(sf_dir: str):
+    """BPE encode plumbing end-to-end with ZERO merges (stages/bpe.py):
+    every [a-z] character is one base symbol, so the per-doc token count
+    equals the letter count — SQL-exact, proving the train → broadcast →
+    actor encode → per-doc assembly path under the driver's hash gate.
+    (The trained-merges variant is the rows-only ``docs_bpe_tokens``.)"""
+    from opentelemetry_collector_ray.stages.bpe import (
+        bpe_encode, bpe_train)
+
+    def make():
+        return _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8)
+
+    model = bpe_train(make(), num_merges=0)
+    enc = bpe_encode(make(), model, concurrency=(1, 4), batch_size=4096)
+    return enc.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _q_docs_bpe_tokens(sf_dir: str):
+    """Trained BPE (200 merges learned from the corpus word histogram,
+    driver merge loop over the distributed word counts) → distributed
+    actor-pool encode. Rows-only: greedy merge order is not
+    SQL-expressible; exactness is covered by the naive-trainer parity
+    and segmentation-invariant property tests (tests/test_bpe.py)."""
+    from opentelemetry_collector_ray.stages.bpe import bpe_tokenize
+
+    return bpe_tokenize(
+        lambda: _read_co(sf_dir, "documents", ["doc_id", "text"],
+                         floor=8),
+        num_merges=200, concurrency=(1, 4), batch_size=4096)
+
+
 def _q_docs_fingerprint(sf_dir: str):
     from opentelemetry_collector_ray.functions.text import md5_hex
 
@@ -2395,6 +2426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_stats": _q_docs_dup_stats,
         "orders_decile": _q_orders_decile,
         "spans_busy_periods": _q_spans_busy_periods,
+        "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2476,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
         "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
         "emb_quantize": _q_emb_quantize,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
     }
     return {**oracle_checked, **rows_only}
 
@@ -3246,6 +3279,12 @@ WHERE l_quantity > 45 GROUP BY l_returnflag
         "docs_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "docs_token_count": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+""",
+        "docs_bpe_base_tokens": r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
 """,
         "docs_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "docs_quality_ints": r"""

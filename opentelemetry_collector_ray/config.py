@@ -388,6 +388,16 @@ def _register_builtins() -> None:
             stride=int(cfg.get("stride", 1)),
             min_count=int(cfg.get("min_count", 2))))
 
+    def make_bpe(cfg: dict):
+        from .stages.bpe import bpe_tokenize
+
+        return DatasetTransform(lambda ds: bpe_tokenize(
+            lambda: ds, text_col=cfg.get("text_col", "text"),
+            id_col=cfg.get("id_col", "doc_id"),
+            num_merges=int(cfg.get("num_merges", 1000)),
+            max_word_types=int(cfg.get("max_word_types", 2_000_000)),
+            persist=cfg.get("persist", "none")))
+
     def make_merge_intervals(cfg: dict):
         from .stages.intervals import merge_intervals
 
@@ -606,6 +616,7 @@ def _register_builtins() -> None:
     register("dup_stats", Factory("processor", make_dup_stats))
     register("service_graph", Factory("processor", make_service_graph))
     register("merge_intervals", Factory("processor", make_merge_intervals))
+    register("bpe", Factory("processor", make_bpe))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))
