@@ -965,6 +965,27 @@ def _q_events_value_scaled(sf_dir: str):
     return minmax_scale(make, "cents", key="event_type")
 
 
+def _q_events_outliers(sf_dir: str):
+    """EXACT per-key 3-sigma anomaly flags (stages/normalize.py
+    sigma_outliers): |x − mean| > 3·std decided entirely in integer
+    arithmetic — (n·x − s1)² > 9·(n·s2 − s1²) — via one per-key
+    driver isqrt, so the HUGEINT SQL oracle hash-matches bit for bit."""
+    from opentelemetry_collector_ray.stages.normalize import (
+        sigma_outliers)
+
+    def make():
+        return _read_co(sf_dir, "events",
+                        ["event_id", "event_type", "value"],
+                        floor=8).map_batches(
+            lambda t: pa.table({"event_id": t.column("event_id"),
+                                "event_type": t.column("event_type"),
+                                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+
+    return sigma_outliers(make, "cents", key="event_type", k=3,
+                          flag_col="is_outlier")
+
+
 def _q_docs_canonical_dedup(sf_dir: str):
     """Exact dedup over the CANONICAL text form (lower / punct-fold /
     whitespace-collapse — functions/text.canonicalize_text): catches the
@@ -2427,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_decile": _q_orders_decile,
         "spans_busy_periods": _q_spans_busy_periods,
         "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
+        "events_outliers": _q_events_outliers,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -3043,6 +3065,21 @@ SELECT event_id, event_type, cents,
        CAST(CASE WHEN mx > mn THEN (cents - mn) * 1000000 // (mx - mn)
             ELSE 0 END AS BIGINT) AS cents_scaled
 FROM m
+""",
+        "events_outliers": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s1,
+             CAST(sum(cents * cents) AS HUGEINT) AS s2
+      FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.cents,
+       CAST(CASE WHEN (n * e.cents - s1) * (n * e.cents - s1)
+                      > 9 * (n * s2 - s1 * s1)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM e JOIN s USING (event_type)
 """,
         "docs_repetition": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts

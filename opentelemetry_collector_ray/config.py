@@ -512,6 +512,18 @@ def _register_builtins() -> None:
             max_groups=int(cfg.get("max_groups", 1_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_sigma_outliers(cfg: dict):
+        from .stages.normalize import sigma_outliers
+
+        if not cfg.get("column"):
+            raise ConfigError("sigma_outliers: column is required")
+        return DatasetTransform(lambda ds: sigma_outliers(
+            lambda: ds, cfg["column"], key=cfg.get("key"),
+            k=int(cfg.get("k", 3)),
+            flag_col=cfg.get("flag_col"),
+            max_groups=int(cfg.get("max_groups", 1_000_000)),
+            persist=cfg.get("persist", "none")))
+
     def make_pivot(cfg: dict):
         from .stages.reshape import pivot
 
@@ -617,6 +629,7 @@ def _register_builtins() -> None:
     register("service_graph", Factory("processor", make_service_graph))
     register("merge_intervals", Factory("processor", make_merge_intervals))
     register("bpe", Factory("processor", make_bpe))
+    register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

@@ -32,7 +32,7 @@ import ray.data
 from .aggregate import grouped_agg
 from .bucketing import persisted_factory
 
-__all__ = ["minmax_scale"]
+__all__ = ["minmax_scale", "sigma_outliers"]
 
 
 def minmax_scale(make_ds, col: str, key: str | None = None,
@@ -97,5 +97,125 @@ def minmax_scale(make_ds, col: str, key: str | None = None,
                               / np.where(span > 0, span, 1.0), 0.0)
             arr = pa.array(scaled, pa.float64())
         return t.append_column(out_col, arr)
+
+    return make_ds().map_batches(apply, batch_format="pyarrow")
+
+
+def sigma_outliers(make_ds, col: str, key: str | None = None,
+                   k: int = 3, flag_col: str | None = None,
+                   max_groups: int = 1_000_000,
+                   persist: str = "none") -> ray.data.Dataset:
+    """EXACT k-sigma outlier flagging on an integer column, global or
+    per ``key`` — the distributed anomaly screen (3-sigma rule) with no
+    floating point anywhere, so the DuckDB oracle hash-matches.
+
+    The trick that keeps it exact: ``|x − mean| > k·std`` over a group
+    with count n, sum s1, sum-of-squares s2 is equivalent to
+    ``(n·x − s1)² > k²·(n·s2 − s1²)`` (variance = (n·s2 − s1²)/n²,
+    both sides multiplied by n²), and with integer x both sides
+    are integers. Pass 1 reduces the corpus to (n, s1, s2) per key
+    (mergeable partials; ``max_groups``-guarded driver pull); the driver
+    takes one exact ``isqrt`` per key (arbitrary-precision Python ints —
+    the only place the 10^26-scale product exists) so pass 2 only
+    compares int64: ``|n·x − s1| > T`` with ``T = isqrt(k²·(n·s2 −
+    s1²))``; ``d² > S ⟺ |d| > floor(√S)`` for integer d. Appends
+    ``flag_col`` (default ``{col}_outlier``) as int64 0/1.
+
+    Loud guards: non-integer column; ``n·max|x|`` or T outside int64
+    (pre-scale or bucket the key); pass-2 keys absent from pass 1
+    (non-deterministic factory — use ``persist=``).
+    """
+    import math
+
+    flag_col = flag_col or f"{col}_outlier"
+    make_ds = persisted_factory(make_ds, persist)
+    kk = int(k) * int(k)
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(x.dtype, np.integer):
+            raise TypeError(
+                f"sigma_outliers: {col!r} must be an integer column for "
+                f"the exact path, got {x.dtype} (integerize first, e.g. "
+                "cents)")
+        x = x.astype(np.int64)
+        if len(x) and int(np.abs(x).max()) >= np.int64(3_000_000_000):
+            raise ValueError(
+                f"sigma_outliers: |{col}| up to {np.abs(x).max():,} "
+                "would overflow the int64 x*x partial; pre-scale the "
+                "column")
+        cols = {col: pa.array(x), "_sq": pa.array(x * x)}
+        if key is not None:
+            cols = {key: t.column(key), **cols}
+        return pa.table(cols)
+
+    pre = make_ds().select_columns(
+        [key, col] if key is not None else [col]).map_batches(
+        prep, batch_format="pyarrow")
+
+    if key is None:
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        row = pre.aggregate(Count(alias_name="_n"),
+                            Sum(col, alias_name="_s1"),
+                            Sum("_sq", alias_name="_s2"),
+                            Min(col, alias_name="_mn"),
+                            Max(col, alias_name="_mx"))
+        stats = [(None, int(row["_n"]), int(row["_s1"]),
+                  int(row["_s2"]),
+                  max(abs(int(row["_mn"])), abs(int(row["_mx"]))))]
+        keys_ref = None
+    else:
+        gt = grouped_agg(pre, [key], count_name="_n",
+                         sum_cols={"_s1": col, "_s2": "_sq"},
+                         min_cols={"_mn": col}, max_cols={"_mx": col},
+                         strategy="shuffle").materialize()
+        n_groups = gt.count()
+        if n_groups > int(max_groups):
+            raise ValueError(
+                f"sigma_outliers: {key!r} has {n_groups:,} groups "
+                f"(> max_groups={int(max_groups):,}); raise the cap or "
+                "pre-bucket the key")
+        pdf = gt.to_pandas()
+        stats = [(kv, int(n), int(s1), int(s2),
+                  max(abs(int(mn)), abs(int(mx)))) for
+                 kv, n, s1, s2, mn, mx in
+                 zip(pdf[key], pdf["_n"], pdf["_s1"], pdf["_s2"],
+                     pdf["_mn"], pdf["_mx"])]
+        keys_ref = ray.put(pa.array(pdf[key]))
+
+    ns, s1s, ts = [], [], []
+    for _kv, n, s1, s2, mabs in stats:
+        m2n = n * s2 - s1 * s1  # n^2 * variance, exact, >= 0
+        t_int = math.isqrt(kk * m2n)
+        # pass 2 computes d = n*x - s1 in int64: bound it exactly
+        if t_int >= 2 ** 62 or n * mabs + abs(s1) >= 2 ** 62:
+            raise ValueError(
+                "sigma_outliers: per-key n*max|x| or threshold exceeds "
+                "int64; pre-scale the column or bucket the key")
+        ns.append(n)
+        s1s.append(s1)
+        ts.append(t_int)
+    stats_ref = ray.put((np.asarray(ns, np.int64),
+                         np.asarray(s1s, np.int64),
+                         np.asarray(ts, np.int64)))
+
+    def apply(t: pa.Table) -> pa.Table:
+        n_arr, s1_arr, t_arr = ray.get(stats_ref)
+        x = (t.column(col).to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        if key is None:
+            idx = np.zeros(len(x), np.intp)
+        else:
+            idx_pa = pc.index_in(t.column(key), ray.get(keys_ref))
+            if idx_pa.null_count:
+                raise ValueError(
+                    "sigma_outliers: pass 2 saw keys absent from pass 1 "
+                    "stats — the input factory is not deterministic "
+                    "across passes (use persist=)")
+            idx = idx_pa.to_numpy(zero_copy_only=False).astype(np.intp)
+        d = n_arr[idx] * x - s1_arr[idx]
+        flag = (np.abs(d) > t_arr[idx]).astype(np.int64)
+        return t.append_column(flag_col, pa.array(flag))
 
     return make_ds().map_batches(apply, batch_format="pyarrow")

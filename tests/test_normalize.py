@@ -43,3 +43,101 @@ def test_minmax_max_groups_guard(ray_session):
                     "x": pa.array(list(range(50)), pa.int64())})
     with pytest.raises(Exception, match="max_groups"):
         minmax_scale(_make(tbl), "x", key="k", max_groups=10).to_pandas()
+
+
+def test_sigma_outliers_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import sigma_outliers
+
+    # one extreme point among 30 inliers (a single outlier's max
+    # possible z-score is ~sqrt(n-1), so n must exceed k^2+1)
+    vals = [10, 11, 9, 10, 12, 10] * 5 + [500]
+    t = pa.table({"k": pa.array(["a"] * len(vals)),
+                  "v": pa.array(vals, pa.int64())})
+    out = sigma_outliers(lambda: ray.data.from_arrow(t), "v",
+                         key="k").to_pandas()
+    flagged = out[out["v_outlier"] == 1]["v"].tolist()
+    assert flagged == [500]
+    # global (key=None) path agrees on single-key data
+    g = sigma_outliers(lambda: ray.data.from_arrow(t), "v").to_pandas()
+    assert g.sort_values("v")["v_outlier"].tolist() == \
+        out.sort_values("v")["v_outlier"].tolist()
+
+
+def test_sigma_outliers_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import sigma_outliers
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table({
+        "k": pa.array([f"g{v}" for v in rng.integers(0, 6, n)]),
+        "v": pa.array(np.where(rng.random(n) < 0.01,
+                               rng.integers(5000, 9000, n),
+                               rng.integers(0, 100, n)).astype(np.int64))})
+    got = sigma_outliers(lambda: ray.data.from_arrow(t).repartition(8),
+                         "v", key="k", k=2).to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    want = con.sql("""
+WITH s AS (SELECT k, CAST(count(*) AS HUGEINT) n,
+                  CAST(sum(v) AS HUGEINT) s1,
+                  CAST(sum(v*v) AS HUGEINT) s2 FROM iv GROUP BY k)
+SELECT iv.k, iv.v,
+       CAST(CASE WHEN (n*iv.v - s1)*(n*iv.v - s1) > 4*(n*s2 - s1*s1)
+            THEN 1 ELSE 0 END AS BIGINT) AS v_outlier
+FROM iv JOIN s USING (k)
+""").df()
+    key = ["k", "v", "v_outlier"]
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+        sorted(map(tuple, want[key].values.tolist()))
+    assert got["v_outlier"].sum() > 0  # planted heavy tail got flagged
+
+
+def test_sigma_outliers_guards(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import sigma_outliers
+
+    tf = pa.table({"v": pa.array([1.0, 2.0])})
+    with pytest.raises(Exception, match="integer"):
+        sigma_outliers(lambda: ray.data.from_arrow(tf), "v").to_pandas()
+    tb = pa.table({"v": pa.array([4_000_000_000, 1], pa.int64())})
+    with pytest.raises(Exception, match="overflow|pre-scale"):
+        sigma_outliers(lambda: ray.data.from_arrow(tb), "v").to_pandas()
+
+
+def test_sigma_outliers_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.normalize import sigma_outliers
+
+    p = tmp_path / "v.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a"] * 9 + ["a"]),
+        "v": pa.array([10] * 9 + [900], pa.int64())}), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"sigma_outliers": {"column": "v", "key": "k"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["sigma_outliers"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    direct = sigma_outliers(lambda: ray.data.read_parquet(str(p)), "v",
+                            key="k").to_pandas()
+    assert sorted(map(tuple, y.values.tolist())) == \
+        sorted(map(tuple, direct.values.tolist()))
