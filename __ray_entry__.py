@@ -986,6 +986,29 @@ def _q_events_outliers(sf_dir: str):
                           flag_col="is_outlier")
 
 
+def _q_parts_pagerank(sf_dir: str):
+    """PageRank over the part→supplier bipartite graph built from
+    lineitem (stages/graph.py): bounded nodes (parts + suppliers,
+    count-guarded driver vector), unbounded edges (one lineitem row =
+    one edge), sparse per-block contributions + bounded int-key groupby
+    per iteration. Rows-only (iterative float fixpoint is not
+    SQL-expressible); exactness vs a dense numpy reference is covered in
+    tests/test_graph.py."""
+    from opentelemetry_collector_ray.stages.graph import pagerank
+
+    def make():
+        return _read_co(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey"], floor=8).map_batches(
+            lambda t: pa.table({
+                "src": pc.binary_join_element_wise(
+                    "p", pc.cast(t.column("l_partkey"), pa.string()), ""),
+                "dst": pc.binary_join_element_wise(
+                    "s", pc.cast(t.column("l_suppkey"), pa.string()), ""),
+            }), batch_format="pyarrow")
+
+    return pagerank(make, "src", "dst", iterations=10)
+
+
 def _q_docs_canonical_dedup(sf_dir: str):
     """Exact dedup over the CANONICAL text form (lower / punct-fold /
     whitespace-collapse — functions/text.canonicalize_text): catches the
@@ -2531,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
         "emb_quantize": _q_emb_quantize,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "parts_pagerank": _q_parts_pagerank,
     }
     return {**oracle_checked, **rows_only}
 

@@ -512,6 +512,20 @@ def _register_builtins() -> None:
             max_groups=int(cfg.get("max_groups", 1_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_pagerank(cfg: dict):
+        from .stages.graph import pagerank
+
+        for req in ("src", "dst"):
+            if not cfg.get(req):
+                raise ConfigError(f"pagerank: {req} is required")
+        return DatasetTransform(lambda ds: pagerank(
+            lambda: ds, cfg["src"], cfg["dst"],
+            damping=float(cfg.get("damping", 0.85)),
+            iterations=int(cfg.get("iterations", 20)),
+            max_nodes=int(cfg.get("max_nodes", 5_000_000)),
+            persist=cfg.get("persist", "memory"),
+            rank_col=cfg.get("rank_col", "rank")))
+
     def make_sigma_outliers(cfg: dict):
         from .stages.normalize import sigma_outliers
 
@@ -630,6 +644,7 @@ def _register_builtins() -> None:
     register("merge_intervals", Factory("processor", make_merge_intervals))
     register("bpe", Factory("processor", make_bpe))
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
+    register("pagerank", Factory("processor", make_pagerank))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

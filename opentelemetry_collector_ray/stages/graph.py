@@ -1,0 +1,140 @@
+"""Graph centrality over edge datasets — PageRank for the
+bounded-node / unbounded-edge shape.
+
+The web-curation link-graph pattern (domain authority / centrality
+features for corpus filtering, cf. Common Crawl's harmonic-centrality
+ranking): node count is bounded (domains, services, parts — ~10^6-10^7)
+while the EDGE list is the big table (links, spans, lineitems). The
+reference collector has no graph operator; this is an engine addition
+feeding the same scoring surface as ``stages/scoring.py``.
+
+Scale shape per iteration:
+- the rank/out-degree vectors live on the driver (O(nodes) — guarded by
+  ``max_nodes`` with a loud count-before-pull, like every broadcast
+  table here) and are ``ray.put`` ONCE per iteration;
+- ONE pass over the (pre-indexed, materialized) edge list computes
+  per-block SPARSE partial contributions (unique dst × sum — never a
+  dense per-block vector), then a bounded int-key groupby reduces them
+  to ≤ max_nodes rows pulled back to the driver;
+- node-string → index mapping happens ONCE up front (``pc.index_in``
+  against the broadcast node array); iterations touch only int32/float
+  columns.
+
+Dangling nodes (out-degree 0) redistribute their mass uniformly — the
+standard PageRank correction, matched by the dense numpy reference in
+tests. Distributed float summation order is not bit-stable, so results
+carry ~1e-12 relative jitter: rows-only gate, planted-truth tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .aggregate import grouped_agg, grouped_count
+from .bucketing import persisted_factory
+
+__all__ = ["pagerank"]
+
+
+def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
+             iterations: int = 20, max_nodes: int = 5_000_000,
+             persist: str = "memory",
+             rank_col: str = "rank") -> ray.data.Dataset:
+    """PageRank over an edge dataset; returns (node, ``rank_col``).
+
+    ``make_edges`` is a zero-arg factory (the edge list is scanned once
+    per iteration, so ``persist`` defaults to ``"memory"`` — pass a path
+    to spill the indexed edges to parquet instead, or ``"none"`` only
+    when the factory is a bare read). Parallel edges are allowed and
+    count once each (a weighted graph is parallel edges).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0,1), "
+                         f"got {damping}")
+    make_edges = persisted_factory(make_edges, "none")
+
+    # ---- node table: distinct src ∪ dst, bounded + guarded ----------
+    def one_col(name):
+        return make_edges().select_columns([name]).map_batches(
+            lambda t, n=name: pa.table({"node": t.column(n)}),
+            batch_format="pyarrow")
+
+    nodes_ds = grouped_count(one_col(src).union(one_col(dst)),
+                             ["node"], count_name="_n",
+                             strategy="bucket").materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes > int(max_nodes):
+        raise ValueError(
+            f"pagerank: graph has {n_nodes:,} nodes "
+            f"(> max_nodes={int(max_nodes):,}); the rank vector would "
+            "not fit the driver. Partition the graph or raise the cap.")
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            rank_col: pa.array([], pa.float64())}))
+    nodes_col = nodes_ds.to_pandas()["node"]
+    if nodes_col.isna().any():
+        raise ValueError(
+            "pagerank: edge list contains null src/dst values — "
+            "filter them out before calling")
+    nodes = nodes_col.to_numpy()
+    nodes_pa = pa.array(nodes)
+    nodes_ref = ray.put(nodes_pa)
+
+    # ---- index the edges once; iterations ride int32 only ----------
+    def to_idx(t: pa.Table) -> pa.Table:
+        node_arr = ray.get(nodes_ref)
+        si = pc.index_in(t.column(src), node_arr)
+        di = pc.index_in(t.column(dst), node_arr)
+        if si.null_count or di.null_count:
+            raise ValueError(
+                "pagerank: edge list contains null src/dst values — "
+                "filter them out before calling")
+        return pa.table({"_s": si.cast(pa.int32()),
+                         "_d": di.cast(pa.int32())})
+
+    edges_factory = persisted_factory(
+        lambda: make_edges().select_columns([src, dst]).map_batches(
+            to_idx, batch_format="pyarrow"), persist)
+
+    # ---- out-degree vector (driver, O(nodes)) -----------------------
+    deg_pdf = grouped_count(edges_factory(), ["_s"], count_name="_n",
+                            strategy="shuffle").to_pandas()
+    outdeg = np.zeros(n_nodes, np.int64)
+    outdeg[deg_pdf["_s"].to_numpy()] = deg_pdf["_n"].to_numpy()
+    dangling = np.flatnonzero(outdeg == 0)
+
+    rank = np.full(n_nodes, 1.0 / n_nodes)
+    d = float(damping)
+    for _ in range(int(iterations)):
+        share_ref = ray.put(
+            np.divide(rank, outdeg, out=np.zeros_like(rank),
+                      where=outdeg > 0))
+
+        def contrib(t: pa.Table, _ref=share_ref) -> pa.Table:
+            share = ray.get(_ref)
+            si = t.column("_s").to_numpy(zero_copy_only=False)
+            di = t.column("_d").to_numpy(zero_copy_only=False)
+            # sparse per-block partial: only the dst seen in the block
+            uniq, inv = np.unique(di, return_inverse=True)
+            sums = np.bincount(inv, weights=share[si],
+                               minlength=len(uniq))
+            return pa.table({"_d": pa.array(uniq),
+                             "_c": pa.array(sums)})
+
+        cpdf = grouped_agg(edges_factory().map_batches(
+            contrib, batch_format="pyarrow"), ["_d"],
+            sum_cols={"_c": "_c"}, strategy="shuffle").to_pandas()
+        incoming = np.zeros(n_nodes)
+        incoming[cpdf["_d"].to_numpy()] = cpdf["_c"].to_numpy()
+        dangling_mass = float(rank[dangling].sum())
+        rank = ((1.0 - d) / n_nodes
+                + d * (incoming + dangling_mass / n_nodes))
+
+    return ray.data.from_arrow(pa.table({
+        "node": nodes_pa, rank_col: pa.array(rank, pa.float64())}))

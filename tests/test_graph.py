@@ -1,0 +1,113 @@
+"""PageRank (stages/graph.py): dense numpy power-iteration parity,
+dangling handling, parallel edges, guards, YAML parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opentelemetry_collector_ray.stages.graph import pagerank
+
+
+def _dense_pagerank(nodes, edges, damping=0.85, iterations=20):
+    """Independent dense reference with uniform dangling
+    redistribution."""
+    n = len(nodes)
+    pos = {v: i for i, v in enumerate(nodes)}
+    outdeg = np.zeros(n)
+    for s, _t in edges:
+        outdeg[pos[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        incoming = np.zeros(n)
+        for s, t in edges:
+            incoming[pos[t]] += rank[pos[s]] / outdeg[pos[s]]
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - damping) / n + damping * (incoming + dangling / n)
+    return dict(zip(nodes, rank))
+
+
+def _edges_ds(edges, parts=4):
+    t = pa.table({"src": pa.array([e[0] for e in edges]),
+                  "dst": pa.array([e[1] for e in edges])})
+    return lambda: ray.data.from_arrow(t).repartition(parts)
+
+
+def test_pagerank_matches_dense(ray_session):
+    rng = np.random.default_rng(3)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [(nodes[a], nodes[b]) for a, b in
+             zip(rng.integers(0, 30, 400), rng.integers(0, 30, 400))]
+    out = pagerank(_edges_ds(edges), "src", "dst",
+                   iterations=15).to_pandas()
+    want = _dense_pagerank(sorted({v for e in edges for v in e}),
+                           edges, iterations=15)
+    got = dict(zip(out["node"], out["rank"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    assert out["rank"].sum() == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_dangling_and_parallel_edges(ray_session):
+    # b is dangling (no out-edges); a->b twice = parallel edge weight 2
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("c", "a")]
+    out = pagerank(_edges_ds(edges, parts=2), "src", "dst",
+                   iterations=30).to_pandas()
+    want = _dense_pagerank(["a", "b", "c"], edges, iterations=30)
+    got = dict(zip(out["node"], out["rank"]))
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    # b receives 2/3 of a's share, c only 1/3 -> b outranks c
+    assert got["b"] > got["c"]
+
+
+def test_pagerank_guards(ray_session):
+    edges = [("a", "b")]
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(_edges_ds(edges), "src", "dst", damping=1.5)
+    with pytest.raises(ValueError, match="nodes"):
+        pagerank(_edges_ds(edges), "src", "dst", max_nodes=1).to_pandas()
+    tn = pa.table({"src": pa.array(["a", None]),
+                   "dst": pa.array(["b", "c"])})
+    with pytest.raises(Exception, match="null"):
+        pagerank(lambda: ray.data.from_arrow(tn), "src",
+                 "dst").to_pandas()
+
+
+def test_pagerank_empty(ray_session):
+    t = pa.table({"src": pa.array([], pa.string()),
+                  "dst": pa.array([], pa.string())})
+    out = pagerank(lambda: ray.data.from_arrow(t), "src", "dst")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "rank"}
+
+
+def test_pagerank_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    p = tmp_path / "e.parquet"
+    pq.write_table(pa.table({
+        "src": pa.array(["a", "a", "c"]),
+        "dst": pa.array(["b", "c", "a"])}), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"pagerank": {"src": "src", "dst": "dst",
+                                    "iterations": 5}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["pagerank"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    direct = pagerank(lambda: ray.data.read_parquet(str(p)), "src",
+                      "dst", iterations=5).to_pandas()
+    ys = y.sort_values("node").reset_index(drop=True)
+    dsr = direct.sort_values("node").reset_index(drop=True)
+    assert ys["node"].tolist() == dsr["node"].tolist()
+    assert np.allclose(ys["rank"], dsr["rank"], rtol=1e-12)
