@@ -986,6 +986,30 @@ def _q_events_outliers(sf_dir: str):
                           flag_col="is_outlier")
 
 
+def _q_orders_cc(sf_dir: str):
+    """Connected components as a first-class oracle-checked operator
+    (stages/dedup.py connected_components — the same min-label machinery
+    the dedup family rides): high-value customers linked to order-days
+    in a bipartite graph; label = min node id of each component. Oracle
+    = recursive-CTE transitive closure + GROUP BY min — exact."""
+    from opentelemetry_collector_ray.stages.dedup import (
+        connected_components)
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("o_totalprice"), 450000.0)
+        t = t.filter(keep)
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({
+            "id_a": pc.multiply(t.column("o_custkey"), 2),
+            "id_b": pc.add(pc.multiply(day, 2), 1)})
+
+    edges = _read_co(sf_dir, "orders",
+                     ["o_custkey", "o_orderdate", "o_totalprice"],
+                     floor=8).map_batches(prep, batch_format="pyarrow")
+    return connected_components(edges)
+
+
 def _q_parts_pagerank(sf_dir: str):
     """PageRank over the part→supplier bipartite graph built from
     lineitem (stages/graph.py): bounded nodes (parts + suppliers,
@@ -2472,6 +2496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_busy_periods": _q_spans_busy_periods,
         "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
         "events_outliers": _q_events_outliers,
+        "orders_cc": _q_orders_cc,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -3089,6 +3114,20 @@ SELECT event_id, event_type, cents,
        CAST(CASE WHEN mx > mn THEN (cents - mn) * 1000000 // (mx - mn)
             ELSE 0 END AS BIGINT) AS cents_scaled
 FROM m
+""",
+        "orders_cc": """
+WITH RECURSIVE
+e AS (SELECT DISTINCT o_custkey * 2 AS a,
+             (CAST(epoch(o_orderdate) AS BIGINT) // 86400) * 2 + 1 AS b
+      FROM orders WHERE o_totalprice > 450000),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+bid AS (SELECT a AS s, b AS d FROM e UNION SELECT b AS s, a AS d FROM e),
+reach(x, y) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.x, b.d FROM reach r JOIN bid b ON b.s = r.y
+)
+SELECT x AS node, CAST(min(y) AS BIGINT) AS label FROM reach GROUP BY x
 """,
         "events_outliers": """
 WITH e AS (SELECT event_id, event_type,
