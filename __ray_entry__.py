@@ -986,6 +986,27 @@ def _q_events_outliers(sf_dir: str):
                           flag_col="is_outlier")
 
 
+def _q_events_robust_outliers(sf_dir: str):
+    """EXACT per-key median/MAD robust outlier flags (stages/
+    normalize.py mad_outliers): |x − median| > 3·MAD in pure integers —
+    per-key medians ride the bucket-idiom value-count path, the two
+    stats tables broadcast, flags are one index_in probe per batch.
+    Oracle = the same quantile_disc chain in DuckDB."""
+    from opentelemetry_collector_ray.stages.normalize import mad_outliers
+
+    def make():
+        return _read_co(sf_dir, "events",
+                        ["event_id", "event_type", "value"],
+                        floor=8).map_batches(
+            lambda t: pa.table({"event_id": t.column("event_id"),
+                                "event_type": t.column("event_type"),
+                                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+
+    return mad_outliers(make, "cents", key="event_type", k=3,
+                        flag_col="is_outlier")
+
+
 def _q_orders_cc(sf_dir: str):
     """Connected components as a first-class oracle-checked operator
     (stages/dedup.py connected_components — the same min-label machinery
@@ -2497,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
         "events_outliers": _q_events_outliers,
         "orders_cc": _q_orders_cc,
+        "events_robust_outliers": _q_events_robust_outliers,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -3114,6 +3136,22 @@ SELECT event_id, event_type, cents,
        CAST(CASE WHEN mx > mn THEN (cents - mn) * 1000000 // (mx - mn)
             ELSE 0 END AS BIGINT) AS cents_scaled
 FROM m
+""",
+        "events_robust_outliers": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+      FROM e GROUP BY event_type),
+d AS (SELECT e.event_id, e.event_type, e.cents, m.med,
+             abs(e.cents - m.med) AS dev
+      FROM e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.cents,
+       CAST(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END AS BIGINT)
+           AS is_outlier
+FROM d JOIN md USING (event_type)
 """,
         "orders_cc": """
 WITH RECURSIVE

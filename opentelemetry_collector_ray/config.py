@@ -512,6 +512,18 @@ def _register_builtins() -> None:
             max_groups=int(cfg.get("max_groups", 1_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_mad_outliers(cfg: dict):
+        from .stages.normalize import mad_outliers
+
+        if not cfg.get("column"):
+            raise ConfigError("mad_outliers: column is required")
+        return DatasetTransform(lambda ds: mad_outliers(
+            lambda: ds, cfg["column"], key=cfg.get("key"),
+            k=int(cfg.get("k", 3)),
+            flag_col=cfg.get("flag_col"),
+            max_groups=int(cfg.get("max_groups", 1_000_000)),
+            persist=cfg.get("persist", "none")))
+
     def make_pagerank(cfg: dict):
         from .stages.graph import pagerank
 
@@ -645,6 +657,7 @@ def _register_builtins() -> None:
     register("bpe", Factory("processor", make_bpe))
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("pagerank", Factory("processor", make_pagerank))
+    register("mad_outliers", Factory("processor", make_mad_outliers))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

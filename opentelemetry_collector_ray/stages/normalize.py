@@ -32,7 +32,7 @@ import ray.data
 from .aggregate import grouped_agg
 from .bucketing import persisted_factory
 
-__all__ = ["minmax_scale", "sigma_outliers"]
+__all__ = ["minmax_scale", "sigma_outliers", "mad_outliers"]
 
 
 def minmax_scale(make_ds, col: str, key: str | None = None,
@@ -219,3 +219,98 @@ def sigma_outliers(make_ds, col: str, key: str | None = None,
         return t.append_column(flag_col, pa.array(flag))
 
     return make_ds().map_batches(apply, batch_format="pyarrow")
+
+
+def _broadcast_medians(ds, key: str, col: str, max_groups: int,
+                       what: str):
+    """Per-key exact median table → guarded driver pull → broadcast
+    (keys_ref, med_array_ref is inlined as a plain numpy in the returned
+    tuple — callers ray.put what they need)."""
+    from .spanops import grouped_exact_quantiles
+
+    med = grouped_exact_quantiles(ds, key, col, qs=(0.5,)).materialize()
+    n_groups = med.count()
+    if n_groups > int(max_groups):
+        raise ValueError(
+            f"mad_outliers: {key!r} has {n_groups:,} groups "
+            f"(> max_groups={int(max_groups):,}) at the {what} pass; "
+            "raise the cap or pre-bucket the key")
+    pdf = med.to_pandas()
+    return pa.array(pdf[key]), pdf["p50"].to_numpy().astype(np.int64)
+
+
+def mad_outliers(make_ds, col: str, key: str | None = None,
+                 k: int = 3, flag_col: str | None = None,
+                 max_groups: int = 1_000_000,
+                 persist: str = "none") -> ray.data.Dataset:
+    """EXACT robust (median/MAD) outlier flagging on an integer column —
+    the heavy-tail-safe sibling of :func:`sigma_outliers`: flags
+    ``|x − median| > k · MAD`` with MAD = median of ``|x − median|``,
+    everything in integers so the DuckDB ``quantile_disc`` oracle
+    hash-matches (the per-key median rank rule floor((n−1)/2) equals
+    quantile_disc's ceil(n/2)−1 at q=0.5 for every n).
+
+    Three passes, all scale-shaped: per-key medians ride the
+    bucket-idiom value-count path (``spanops.grouped_exact_quantiles`` —
+    the corpus reduces to |keys|×|distinct values| rows), the key→median
+    and key→MAD tables are guarded by ``max_groups`` and broadcast, and
+    the flag pass is one ``pc.index_in`` probe per batch. ``make_ds``
+    executes three times — use ``persist=`` for derived inputs.
+
+    Standard MAD caveat, unchanged here: a key where ≥ half the values
+    are identical has MAD 0, so every other value is flagged.
+    """
+    flag_col = flag_col or f"{col}_outlier"
+    make_ds = persisted_factory(make_ds, persist)
+    kf = int(k)
+    gkey = key if key is not None else "_g"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        x = t.column(col)
+        if not pa.types.is_integer(x.type):
+            raise TypeError(
+                f"mad_outliers: {col!r} must be an integer column for "
+                f"the exact path, got {x.type}")
+        cols = {gkey: (t.column(key) if key is not None else
+                       pa.nulls(t.num_rows, pa.int8()).fill_null(0)),
+                col: x}
+        return pa.table(cols)
+
+    med_keys, med_vals = _broadcast_medians(
+        make_ds().map_batches(keyed, batch_format="pyarrow"),
+        gkey, col, max_groups, "median")
+    med_keys_ref = ray.put(med_keys)
+    med_vals_ref = ray.put(med_vals)
+
+    def probe_idx(t: pa.Table, keys_arr) -> np.ndarray:
+        idx_pa = pc.index_in(t.column(gkey), keys_arr)
+        if idx_pa.null_count:
+            raise ValueError(
+                "mad_outliers: a later pass saw keys absent from the "
+                "median stats — the input factory is not deterministic "
+                "across passes (use persist=)")
+        return idx_pa.to_numpy(zero_copy_only=False).astype(np.intp)
+
+    def to_dev(t: pa.Table) -> pa.Table:
+        t = keyed(t)
+        idx = probe_idx(t, ray.get(med_keys_ref))
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = np.abs(x - ray.get(med_vals_ref)[idx])
+        return pa.table({gkey: t.column(gkey), "_dev": pa.array(dev)})
+
+    mad_keys, mad_vals = _broadcast_medians(
+        make_ds().map_batches(to_dev, batch_format="pyarrow"),
+        gkey, "_dev", max_groups, "MAD")
+    mad_keys_ref = ray.put(mad_keys)
+    mad_vals_ref = ray.put(mad_vals)
+
+    def flag(t: pa.Table) -> pa.Table:
+        kt = keyed(t)
+        mi = probe_idx(kt, ray.get(med_keys_ref))
+        ai = probe_idx(kt, ray.get(mad_keys_ref))
+        x = kt.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = np.abs(x - ray.get(med_vals_ref)[mi])
+        out = (dev > kf * ray.get(mad_vals_ref)[ai]).astype(np.int64)
+        return t.append_column(flag_col, pa.array(out))
+
+    return make_ds().map_batches(flag, batch_format="pyarrow")

@@ -141,3 +141,57 @@ def test_sigma_outliers_yaml_parity(ray_session, tmp_path):
                             key="k").to_pandas()
     assert sorted(map(tuple, y.values.tolist())) == \
         sorted(map(tuple, direct.values.tolist()))
+
+
+def test_mad_outliers_planted_and_global(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import mad_outliers
+
+    # MAD is robust: ONE wild point cannot inflate the threshold the
+    # way it inflates sigma (cf. the sqrt(n-1) cap above)
+    vals = [10, 11, 9, 10, 12, 10, 11, 9, 10, 500]
+    t = pa.table({"k": pa.array(["a"] * 10),
+                  "v": pa.array(vals, pa.int64())})
+    out = mad_outliers(lambda: ray.data.from_arrow(t), "v",
+                       key="k").to_pandas()
+    assert out[out["v_outlier"] == 1]["v"].tolist() == [500]
+    g = mad_outliers(lambda: ray.data.from_arrow(t), "v").to_pandas()
+    assert g.sort_values("v")["v_outlier"].tolist() == \
+        out.sort_values("v")["v_outlier"].tolist()
+    assert "_g" not in g.columns  # synthetic global key never leaks
+
+
+def test_mad_outliers_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import mad_outliers
+
+    rng = np.random.default_rng(9)
+    n = 2500
+    t = pa.table({
+        "k": pa.array([f"g{v}" for v in rng.integers(0, 5, n)]),
+        "v": pa.array(np.where(rng.random(n) < 0.02,
+                               rng.integers(2000, 5000, n),
+                               rng.integers(0, 60, n)).astype(np.int64))})
+    got = mad_outliers(lambda: ray.data.from_arrow(t).repartition(8),
+                       "v", key="k", k=2).to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    want = con.sql("""
+WITH m AS (SELECT k, quantile_disc(v, 0.5) AS med FROM iv GROUP BY k),
+d AS (SELECT iv.k, iv.v, abs(iv.v - m.med) AS dev
+      FROM iv JOIN m USING (k)),
+md AS (SELECT k, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY k)
+SELECT d.k, d.v, CAST(CASE WHEN d.dev > 2 * md.mad THEN 1 ELSE 0 END
+       AS BIGINT) AS v_outlier
+FROM d JOIN md USING (k)
+""").df()
+    key = ["k", "v", "v_outlier"]
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+        sorted(map(tuple, want[key].values.tolist()))
+    assert got["v_outlier"].sum() > 0
