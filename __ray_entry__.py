@@ -1178,6 +1178,28 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_docs_weighted_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement (stages/sampling.py
+    sample_weighted_k — Efraimidis–Spirakis exponential race, md5
+    oracle mode): inclusion probability proportional to token count,
+    deterministic across runs and block layouts. Oracle = the identical
+    -ln(u)/w rank expression in DuckDB (same libm on this host),
+    ORDER BY rank, id LIMIT k."""
+    from opentelemetry_collector_ray.functions.text import token_count
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_weighted_k)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "w": pc.add(token_count(t.column("text")).cast(pa.int64()),
+                        1)})
+
+    pre = _read_co(sf_dir, "documents", ["doc_id", "text"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return sample_weighted_k(pre, 50, "doc_id", "w", hash_mode="md5")
+
+
 def _q_events_resampled_daily(sf_dir: str):
     """Time-series resample / gap-fill (stages/resample.py): per user,
     a daily grid from the first observation's day through the last
@@ -2519,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "orders_cc": _q_orders_cc,
         "events_robust_outliers": _q_events_robust_outliers,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2814,6 +2837,17 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "docs_weighted_sample": r"""
+WITH d AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) + 1 AS w
+           FROM documents),
+r AS (SELECT doc_id, w,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  ::UBIGINT + 0.5) / 281474976710656.0) / w AS rk
+      FROM d)
+SELECT doc_id, CAST(w AS BIGINT) AS w FROM r
+ORDER BY rk, doc_id LIMIT 50
 """,
         "docs_curation": r"""
 WITH norm AS (

@@ -458,6 +458,18 @@ def _register_builtins() -> None:
             hash_mode=cfg.get("hash_mode", "xx64"),
             keep_rank=bool(cfg.get("keep_rank", False))))
 
+    def make_sample_weighted(cfg: dict):
+        from .stages.sampling import sample_weighted_k
+
+        if not cfg.get("k") or not cfg.get("id_col") \
+                or not cfg.get("weight_col"):
+            raise ConfigError(
+                "sample_weighted: k, id_col and weight_col are required")
+        return DatasetTransform(lambda ds: sample_weighted_k(
+            ds, int(cfg["k"]), cfg["id_col"], cfg["weight_col"],
+            hash_mode=cfg.get("hash_mode", "xx64"),
+            keep_rank=bool(cfg.get("keep_rank", False))))
+
     def make_sample_by(cfg: dict):
         from .stages.sampling import sample_bottom_k_by
 
@@ -658,6 +670,7 @@ def _register_builtins() -> None:
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("pagerank", Factory("processor", make_pagerank))
     register("mad_outliers", Factory("processor", make_mad_outliers))
+    register("sample_weighted", Factory("processor", make_sample_weighted))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

@@ -98,6 +98,94 @@ def _rank_col(ids: pa.ChunkedArray, hash_mode: str):
     return pa.array(hash64(ids)), pa.uint64()
 
 
+def sample_weighted_k(ds: ray.data.Dataset, k: int, id_col: str,
+                      weight_col: str, hash_mode: str = "xx64",
+                      keep_rank: bool = False) -> ray.data.Dataset:
+    """Weighted k-sample WITHOUT replacement, deterministic — the
+    Efraimidis–Spirakis exponential race: row i gets rank
+    ``-ln(u_i) / w_i`` with ``u_i`` a uniform derived from the hash of
+    its id, and the global bottom-k by rank is exactly a weighted
+    sample without replacement (row i wins a slot with probability
+    proportional to ``w_i`` among the remaining rows). Same mergeable
+    bottom-k scale shape as :func:`sample_bottom_k`: blocks emit local
+    candidates, only k·B candidate rows ever move, loudly capped.
+
+    ``hash_mode="xx64"``: vectorized hash64 → numpy log (production).
+    ``hash_mode="md5"``: u = (first 12 md5 hex digits + 0.5) / 2^48 and
+    ``math.log`` per row — the documented oracle mode whose rank equals
+    the DuckDB expression ``-ln((('0x' || substr(md5(CAST(id AS
+    VARCHAR)), 1, 12))::UBIGINT + 0.5) / 281474976710656.0) / w``
+    computed by the SAME libm, so ``ORDER BY rank, id LIMIT k``
+    cross-checks exactly. Weights must be > 0 (validated loudly)."""
+    import ray
+
+    if k <= 0:
+        raise ValueError("sample_weighted_k: k must be positive")
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(
+            f"sample_weighted_k: bad hash_mode {hash_mode!r}")
+
+    def rank_of(t: pa.Table) -> np.ndarray:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        if len(w) and not (np.asarray(w, np.float64) > 0).all():
+            raise ValueError(
+                f"sample_weighted_k: {weight_col!r} must be > 0")
+        if hash_mode == "md5":
+            import math
+
+            from ..functions.text import md5_hex
+
+            hx = md5_hex(t.column(id_col).cast(pa.string()))
+            u = np.array([(int(h[:12], 16) + 0.5) / 281474976710656.0
+                          for h in hx.to_pylist()], np.float64)
+            ln = np.array([math.log(x) for x in u], np.float64)
+        else:
+            from ..functions.hashing import hash64
+
+            h = hash64(t.column(id_col).cast(pa.string()))
+            u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+            ln = np.log(u)
+        return -ln / np.asarray(w, np.float64)
+
+    def local_bottom(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_rk", pa.array([], pa.float64()))
+        t = t.append_column("_rk", pa.array(rank_of(t), pa.float64()))
+        if t.num_rows > k:
+            t = t.sort_by([("_rk", "ascending"),
+                           (id_col, "ascending")]).slice(0, k)
+        return t
+
+    refs = ds.map_batches(local_bottom, batch_size=None,
+                          batch_format="pyarrow").to_arrow_refs()
+    cand, pulled = [], 0
+    for r in refs:
+        c = ray.get(r)
+        if c.num_rows == 0:
+            continue
+        pulled += c.num_rows
+        if pulled > MAX_CANDIDATES:
+            raise ValueError(
+                f"sample_weighted_k: candidate rows exceed "
+                f"{MAX_CANDIDATES} (k × blocks too large); lower k or "
+                "tree-merge partials")
+        cand.append(c)
+    if not cand:
+        sch = ds.schema()
+        fields = list(zip(sch.names, sch.types)) if sch and sch.names \
+            else []
+        fields = [f for f in fields if f[0] != "_rk"]
+        cols = {nm: pa.array([], tp) for nm, tp in fields}
+        if keep_rank:
+            cols["_rk"] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    out = pa.concat_tables(cand).sort_by(
+        [("_rk", "ascending"), (id_col, "ascending")]).slice(0, k)
+    if not keep_rank:
+        out = out.drop_columns(["_rk"])
+    return ray.data.from_arrow(out)
+
+
 def _bottom_k_per_group(t: pa.Table, by: str, id_col: str,
                         k: int) -> pa.Table:
     """First k rows per ``by`` group of a table carrying a ``_rk`` rank

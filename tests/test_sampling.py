@@ -127,3 +127,69 @@ def test_assign_split_validation(ray_session):
         assign_split(ds, "k", {"a": 1.0}, hash_mode="bogus")
     with pytest.raises(ValueError, match="non-empty"):
         assign_split(ds, "k", {})
+
+
+def test_weighted_sample_layout_invariant_and_heavy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_weighted_k)
+
+    n = 1001
+    w = np.ones(n, np.int64)
+    w[-1] = 100000  # one overwhelmingly heavy row
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "w": pa.array(w)})
+    outs = []
+    for parts in (2, 8):
+        out = sample_weighted_k(
+            ray.data.from_arrow(t).repartition(parts), 10, "id",
+            "w").to_pandas()
+        outs.append(sorted(out["id"].tolist()))
+    assert outs[0] == outs[1]          # layout-independent
+    assert len(outs[0]) == 10
+    assert n - 1 in outs[0]            # the heavy row is all but certain
+
+
+def test_weighted_sample_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_weighted_k)
+
+    rng = np.random.default_rng(2)
+    t = pa.table({"id": pa.array(range(800), pa.int64()),
+                  "w": pa.array(rng.integers(1, 50, 800).astype(np.int64))})
+    got = sample_weighted_k(ray.data.from_arrow(t).repartition(6),
+                            25, "id", "w", hash_mode="md5").to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    want = con.sql(r"""
+WITH r AS (SELECT id, w,
+    -ln((('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 12))::UBIGINT
+         + 0.5) / 281474976710656.0) / w AS rk FROM iv)
+SELECT id, w FROM r ORDER BY rk, id LIMIT 25
+""").df()
+    assert sorted(got["id"]) == sorted(want["id"])
+
+
+def test_weighted_sample_guards(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_weighted_k)
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([1, 0], pa.int64())})
+    with pytest.raises(Exception, match="> 0"):
+        sample_weighted_k(ray.data.from_arrow(t), 1, "id",
+                          "w").to_pandas()
+    with pytest.raises(ValueError, match="positive"):
+        sample_weighted_k(ray.data.from_arrow(t), 0, "id", "w")
