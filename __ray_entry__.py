@@ -1178,6 +1178,34 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_docs_incremental_dedup(sf_dir: str):
+    """Incremental dedup against a PERSISTED seen-content index
+    (stages/seenindex.py — the incremental-crawl pattern): even doc_ids
+    play the historical corpus (fingerprints Hive-sharded to a
+    directory), odd doc_ids are the new ingest; survivors are first-
+    occurrence-within-ingest AND unseen, via a composite-key
+    distributed ANTI join where only 16-byte hash rows move. Oracle =
+    the equivalent NOT EXISTS chain over text."""
+    import tempfile
+
+    from opentelemetry_collector_ray.stages.seenindex import (
+        build_seen_index, dedup_against_index)
+
+    def half_b(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1),
+                            parity)
+            return t.filter(keep)
+
+        return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                        floor=8).map_batches(f, batch_format="pyarrow")
+
+    idx = tempfile.mkdtemp(prefix="seenidx_")
+    build_seen_index(half_b(0), idx, n_shards=16)
+    surv = dedup_against_index(half_b(1), idx, n_shards=16)
+    return surv.select_columns(["doc_id"])
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Weighted sample WITHOUT replacement (stages/sampling.py
     sample_weighted_k — Efraimidis–Spirakis exponential race, md5
@@ -2542,6 +2570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cc": _q_orders_cc,
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2837,6 +2866,15 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "docs_incremental_dedup": """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 2 = 0 AND s.text = d.text)
+  AND NOT EXISTS (SELECT 1 FROM documents x
+                  WHERE x.doc_id % 2 = 1 AND x.text = d.text
+                    AND x.doc_id < d.doc_id)
 """,
         "docs_weighted_sample": r"""
 WITH d AS (SELECT doc_id,

@@ -458,6 +458,17 @@ def _register_builtins() -> None:
             hash_mode=cfg.get("hash_mode", "xx64"),
             keep_rank=bool(cfg.get("keep_rank", False))))
 
+    def make_dedup_index(cfg: dict):
+        from .stages.seenindex import dedup_against_index
+
+        if not cfg.get("path"):
+            raise ConfigError("dedup_index: path is required")
+        return DatasetTransform(lambda ds: dedup_against_index(
+            ds, cfg["path"], text_col=cfg.get("text_col", "text"),
+            id_col=cfg.get("id_col", "doc_id"),
+            n_shards=int(cfg.get("n_shards", 64)),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_sample_weighted(cfg: dict):
         from .stages.sampling import sample_weighted_k
 
@@ -671,6 +682,7 @@ def _register_builtins() -> None:
     register("pagerank", Factory("processor", make_pagerank))
     register("mad_outliers", Factory("processor", make_mad_outliers))
     register("sample_weighted", Factory("processor", make_sample_weighted))
+    register("dedup_index", Factory("processor", make_dedup_index))
     register("funnel", Factory("processor", make_funnel))
     register("sample", Factory("processor", make_sample))
     register("sample_by", Factory("processor", make_sample_by))

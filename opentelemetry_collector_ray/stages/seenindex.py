@@ -1,0 +1,114 @@
+"""Incremental exact dedup against a PERSISTED seen-content index —
+the incremental-crawl pattern: each ingest batch is deduplicated
+against everything any previous run kept, without ever re-reading the
+historical corpus.
+
+The index stores only a 128-bit content fingerprint per kept document
+(two independent 64-bit hashes of the text — vectorized, and a 10^12-
+row index expects ~1e-15 collisions, vs ~3e4 for a single 64-bit
+lane), Hive-partitioned by ``shard = h1 % n_shards`` so appends are
+new files inside existing shard directories and compaction/resume can
+work shard-by-shard (the same layout discipline as the ANN index in
+``stages/similarity.py``).
+
+Dedup is the repo's distributed ANTI join (``stages/join.py
+shuffle_hash_join`` on the composite (h1, h2) key — only 16-byte hash
+rows ever shuffle, text stays in place), composed with a within-batch
+first-wins dedup (min id per fingerprint on the bucket idiom), so one
+call handles both "seen before" and "duplicated inside this ingest".
+
+Reference: the collector's storage extension persists receiver state
+across runs (``extension/storage``); this applies the same
+durable-state idea to content dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import hash64
+
+__all__ = ["fingerprint_batch", "build_seen_index",
+           "dedup_against_index", "append_to_index"]
+
+_SEED_A, _SEED_B = 0x5EED, 0xF00D
+
+
+def fingerprint_batch(t: pa.Table, text_col: str,
+                      n_shards: int) -> dict[str, pa.Array]:
+    h1 = hash64(t.column(text_col), seed=_SEED_A)
+    h2 = hash64(t.column(text_col), seed=_SEED_B)
+    return {"h1": pa.array(h1.astype(np.int64)),
+            "h2": pa.array(h2.astype(np.int64)),
+            "shard": pa.array((h1 % np.uint64(n_shards))
+                              .astype(np.int64))}
+
+
+def build_seen_index(ds: ray.data.Dataset, path: str,
+                     text_col: str = "text",
+                     n_shards: int = 64) -> None:
+    """Write the fingerprint index for a corpus: one (h1, h2) row per
+    DISTINCT fingerprint, Hive-partitioned by shard."""
+    from .aggregate import grouped_count
+
+    fp = ds.map_batches(
+        lambda t: pa.table(fingerprint_batch(t, text_col, n_shards)),
+        batch_format="pyarrow")
+    uniq = grouped_count(fp, ["shard", "h1", "h2"], count_name="_n",
+                         strategy="shuffle")
+    uniq.map_batches(lambda t: t.drop_columns(["_n"]),
+                     batch_format="pyarrow").write_parquet(
+        path, partition_cols=["shard"])
+
+
+def append_to_index(survivors: ray.data.Dataset, path: str,
+                    text_col: str = "text",
+                    n_shards: int = 64) -> None:
+    """Append the fingerprints of newly-kept rows as NEW files inside
+    the existing shard directories (parquet append semantics — old
+    files are never rewritten, so a crashed append is re-runnable)."""
+    build_seen_index(survivors, path, text_col=text_col,
+                     n_shards=n_shards)
+
+
+def dedup_against_index(ds: ray.data.Dataset, index_path: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n_shards: int = 64,
+                        n_buckets: int | str = "auto",
+                        ) -> ray.data.Dataset:
+    """Rows of ``ds`` that are (a) the FIRST occurrence (min ``id_col``)
+    of their content within this ingest and (b) unseen by the persisted
+    index. Returns the surviving (id_col, h1, h2) rows — join back on
+    ``id_col`` for payload columns (ids, never text, ride the
+    exchanges)."""
+    from .bucketing import bucketed_map_groups
+    from .join import shuffle_hash_join
+
+    def fp(t: pa.Table) -> pa.Table:
+        cols = fingerprint_batch(t, text_col, n_shards)
+        return pa.table({id_col: t.column(id_col),
+                         "h1": cols["h1"], "h2": cols["h2"]})
+
+    new = ds.map_batches(fp, batch_format="pyarrow")
+
+    # within-ingest first-wins: min id per fingerprint (bucket idiom)
+    def first_per_fp(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("h1", "ascending"), ("h2", "ascending"),
+                       (id_col, "ascending")])
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(h1), bool)
+        if len(h1) > 1:
+            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return t.filter(pa.array(keep))
+
+    firsts = bucketed_map_groups(new, "h1", first_per_fp,
+                                 n_buckets=n_buckets)
+
+    seen = ray.data.read_parquet(index_path, columns=["h1", "h2"])
+    return shuffle_hash_join(firsts, seen, key=["h1", "h2"],
+                             how="anti", n_buckets=n_buckets)

@@ -1,0 +1,75 @@
+"""Persisted seen-content index (stages/seenindex.py): planted
+incremental-crawl rounds, within-ingest first-wins, append semantics,
+YAML parity."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from opentelemetry_collector_ray.stages.seenindex import (
+    append_to_index, build_seen_index, dedup_against_index)
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows])})).repartition(3)
+
+
+def test_incremental_rounds(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_seen_index(_docs([(1, "alpha"), (2, "beta")]), idx,
+                     n_shards=4)
+
+    # round 2: one seen dup, one internal dup pair, one fresh
+    surv = dedup_against_index(
+        _docs([(10, "alpha"),          # seen in round 1 -> dropped
+               (11, "gamma"), (12, "gamma"),  # internal dup -> min id
+               (13, "delta")]), idx, n_shards=4).to_pandas()
+    assert sorted(surv["doc_id"]) == [11, 13]
+
+    # append survivors; round 3 must now see gamma/delta as seen
+    append_to_index(_docs([(11, "gamma"), (13, "delta")]), idx,
+                    n_shards=4)
+    surv3 = dedup_against_index(
+        _docs([(20, "gamma"), (21, "delta"), (22, "epsilon"),
+               (23, "beta")]), idx, n_shards=4).to_pandas()
+    assert sorted(surv3["doc_id"]) == [22]
+
+
+def test_index_is_sharded_and_distinct(ray_session, tmp_path):
+    import glob
+
+    idx = str(tmp_path / "idx")
+    # duplicate text in the base corpus -> ONE fingerprint row
+    build_seen_index(_docs([(1, "x"), (2, "x"), (3, "y")]), idx,
+                     n_shards=4)
+    files = glob.glob(idx + "/shard=*/*.parquet")
+    assert files, "expected Hive shard directories"
+    total = ray.data.read_parquet(idx).count()
+    assert total == 2  # distinct fingerprints only
+
+
+def test_dedup_index_yaml(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    idx = str(tmp_path / "idx")
+    build_seen_index(_docs([(1, "old news")]), idx, n_shards=2)
+    p = tmp_path / "new.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 6], pa.int64()),
+        "text": pa.array(["old news", "fresh take"])}), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"dedup_index": {"path": idx, "n_shards": 2}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["dedup_index"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    assert y["doc_id"].tolist() == [6]
