@@ -1178,6 +1178,55 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_url_parse(sf_dir: str):
+    """OTTL URL() converter analog (functions/text.url_parse — contrib
+    ottlfuncs URL): synthesize a deterministic URL per event, split it
+    with ONE whole-column RE2 extract_regex into
+    scheme/host/port/path/query lanes. Oracle = the same RFC-3986 regex
+    via DuckDB regexp_extract (both engines are RE2; non-participating
+    groups are '' in both)."""
+    from opentelemetry_collector_ray.functions.text import url_parse
+
+    def f(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://shop.example.com:8443/",
+            t.column("event_type"), "/",
+            pc.cast(t.column("user_id"), pa.string()),
+            "?v=", pc.cast(_cents(t.column("value")), pa.string()), "")
+        p = url_parse(url)
+        return pa.table({"event_id": t.column("event_id"),
+                         "scheme": p["scheme"], "host": p["host"],
+                         "port_num": p["port_num"], "path": p["path"],
+                         "query": p["query"]})
+
+    return _read_co(sf_dir, "events",
+                    ["event_id", "event_type", "user_id", "value"],
+                    floor=8).map_batches(f, batch_format="pyarrow")
+
+
+def _q_docs_top_terms_per_lang(sf_dir: str):
+    """Per-language top-5 terms — the composition gate: bucket-partial
+    term counts on the unbounded (lang, term) key (shuffle strategy,
+    skew-neutral) feeding grouped_topk's prereduced per-key rank.
+    Oracle = exploded GROUP BY + row_number window."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count, grouped_topk)
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        _tokens_with_rows)
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column("text"))
+        return pa.table({"lang": t.column("lang").take(pa.array(rows)),
+                         "term": flat})
+
+    counts = grouped_count(
+        _read_co(sf_dir, "documents", ["lang", "text"],
+                 floor=8).map_batches(explode, batch_format="pyarrow"),
+        ["lang", "term"], count_name="n", strategy="shuffle")
+    return grouped_topk(counts, "lang", "n", k=5, tiebreak="term",
+                        rank_name="rk")
+
+
 def _q_docs_incremental_dedup(sf_dir: str):
     """Incremental dedup against a PERSISTED seen-content index
     (stages/seenindex.py — the incremental-crawl pattern): even doc_ids
@@ -2571,6 +2620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_url_parse": _q_events_url_parse,
+        "docs_top_terms_per_lang": _q_docs_top_terms_per_lang,
         "events_user_split": _q_events_user_split,
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
@@ -2866,6 +2917,31 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_url_parse": r"""
+WITH u AS (SELECT event_id,
+    'https://shop.example.com:8443/' || event_type || '/' ||
+    CAST(user_id AS VARCHAR) || '?v=' ||
+    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS url
+  FROM events)
+SELECT event_id,
+  regexp_extract(url, '^(?:([^:/?#]+):)?(?://([^/?#:]*)(?::([0-9]+))?)?([^?#]*)(?:\?([^#]*))?(?:#(.*))?', 1) AS scheme,
+  regexp_extract(url, '^(?:([^:/?#]+):)?(?://([^/?#:]*)(?::([0-9]+))?)?([^?#]*)(?:\?([^#]*))?(?:#(.*))?', 2) AS host,
+  CAST(regexp_extract(url, '^(?:([^:/?#]+):)?(?://([^/?#:]*)(?::([0-9]+))?)?([^?#]*)(?:\?([^#]*))?(?:#(.*))?', 3) AS BIGINT) AS port_num,
+  regexp_extract(url, '^(?:([^:/?#]+):)?(?://([^/?#:]*)(?::([0-9]+))?)?([^?#]*)(?:\?([^#]*))?(?:#(.*))?', 4) AS path,
+  regexp_extract(url, '^(?:([^:/?#]+):)?(?://([^/?#:]*)(?::([0-9]+))?)?([^?#]*)(?:\?([^#]*))?(?:#(.*))?', 5) AS query
+FROM u
+""",
+        "docs_top_terms_per_lang": """
+WITH t AS (SELECT lang,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS term
+           FROM documents),
+c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY lang, term),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+          ORDER BY n DESC, term) AS rk FROM c)
+SELECT lang, term, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
 """,
         "docs_incremental_dedup": """
 SELECT d.doc_id FROM documents d

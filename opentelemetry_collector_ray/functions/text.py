@@ -284,3 +284,31 @@ def canonicalize_text(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     out = pc.replace_substring_regex(out, pattern=" +", replacement=" ")
     out = pc.utf8_trim_whitespace(out)
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+URL_RE = (r'^(?:(?P<scheme>[^:/?#]+):)?'
+          r'(?://(?P<host>[^/?#:]*)(?::(?P<port>[0-9]+))?)?'
+          r'(?P<path>[^?#]*)'
+          r'(?:\?(?P<query>[^#]*))?'
+          r'(?:#(?P<fragment>.*))?')
+
+
+def url_parse(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """RFC-3986-style URL split (the OTTL ``URL()`` converter analog,
+    contrib ``ottl/ottlfuncs``): ONE whole-column RE2 ``extract_regex``
+    → scheme/host/port/path/query/fragment string lanes plus an int64
+    ``port_num`` (null when absent). Non-participating groups come back
+    as empty strings — the exact behavior of DuckDB ``regexp_extract``
+    with the same pattern, so the oracle hash-matches with no
+    post-processing."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    g = pc.extract_regex(col, pattern=URL_RE)
+    out = {f: g.field(f) for f in
+           ("scheme", "host", "port", "path", "query", "fragment")}
+    port = pc.if_else(pc.equal(out["port"], ""),
+                      pa.nulls(len(col), pa.int64()),
+                      pc.cast(pc.if_else(pc.equal(out["port"], ""), "0",
+                                         out["port"]), pa.int64()))
+    out["port_num"] = port
+    return out

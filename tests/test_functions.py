@@ -218,3 +218,25 @@ def test_canonicalize_text():
     out = canonicalize_text(col).to_pylist()
     assert out == ["h llo world", "hello world", "", None,
                    "mixed case 42", "tabs and newlines"]
+
+
+def test_url_parse_components():
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.text import url_parse
+
+    r = url_parse(pa.array([
+        "https://shop.example.com:8443/a/b?x=1&y=2#frag",
+        "http://host/path",
+        "/relative/only?q=3",
+        "no-url-here",
+        "ftp://just.host",
+    ]))
+    assert r["scheme"].to_pylist() == ["https", "http", "", "", "ftp"]
+    assert r["host"].to_pylist() == ["shop.example.com", "host", "",
+                                     "", "just.host"]
+    assert r["port_num"].to_pylist() == [8443, None, None, None, None]
+    assert r["path"].to_pylist() == ["/a/b", "/path", "/relative/only",
+                                     "no-url-here", ""]
+    assert r["query"].to_pylist() == ["x=1&y=2", "", "q=3", "", ""]
+    assert r["fragment"].to_pylist() == ["frag", "", "", "", ""]
