@@ -1227,6 +1227,26 @@ def _q_docs_top_terms_per_lang(sf_dir: str):
                         rank_name="rk")
 
 
+def _q_docs_lang_divergence(sf_dir: str):
+    """Jensen–Shannon divergence between the 'en' slice and the rest of
+    the corpus (stages/corpusstats.py term_divergence): both sides
+    reduce to bucket-strategy term counts, vocabularies are max_vocab-
+    guarded, one aligned-vector JSD on the driver. Rows-only (log);
+    identities (0 / ln 2 / symmetry) are property-tested."""
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        term_divergence)
+
+    def side(is_en: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("lang"), "en")
+            return t.filter(m if is_en else pc.invert(m))
+
+        return _read_co(sf_dir, "documents", ["lang", "text"],
+                        floor=8).map_batches(f, batch_format="pyarrow")
+
+    return term_divergence(side(True), side(False))
+
+
 def _q_docs_incremental_dedup(sf_dir: str):
     """Incremental dedup against a PERSISTED seen-content index
     (stages/seenindex.py — the incremental-crawl pattern): even doc_ids
@@ -2705,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize": _q_emb_quantize,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "parts_pagerank": _q_parts_pagerank,
+        "docs_lang_divergence": _q_docs_lang_divergence,
     }
     return {**oracle_checked, **rows_only}
 

@@ -238,6 +238,7 @@ def _register_builtins() -> None:
     # derived-signal receivers: read events parquet → turns / spans /
     # profile-frames tables (signal-typed pipelines; the collector wires a
     # receiver per signal, we wire a derivation per signal)
+    register("csv", Factory("receiver", lambda cfg: cfg))
     register("jsonl", Factory("receiver", lambda cfg: cfg))
     register("textlog", Factory("receiver", lambda cfg: cfg))
     register("multiline", Factory("receiver", lambda cfg: cfg))

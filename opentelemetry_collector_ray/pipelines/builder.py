@@ -31,6 +31,13 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
         if rtype == "parquet":
             datasets.append(ray.data.read_parquet(
                 rpaths, columns=rcfg.get("columns")))
+        elif rtype == "csv":
+            # delimited-text receiver: Arrow's C++ CSV reader per file
+            # block, column pruning after parse
+            ds = ray.data.read_csv(rpaths)
+            if rcfg.get("columns"):
+                ds = ds.select_columns(list(rcfg["columns"]))
+            datasets.append(ds)
         elif rtype == "otlp_json":
             # OTLP/JSON request-line files → flat LogRecord rows
             from ..sources.otlp_json import read_otlp_json_logs

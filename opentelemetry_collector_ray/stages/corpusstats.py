@@ -259,3 +259,54 @@ def unigram_mass(ds_factory, text_col: str = "text",
         fn_constructor_kwargs=dict(vocab_ref=ref, text_col=text_col,
                                    id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def term_divergence(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
+                    text_col: str = "text",
+                    max_vocab: int = 2_000_000) -> ray.data.Dataset:
+    """Jensen–Shannon divergence between two corpus slices' unigram
+    distributions — the corpus-drift / mixture-QA metric (compare a new
+    crawl snapshot, a language slice, or a source against the rest).
+
+    Scale shape: each side reduces to its term-count table via the
+    bucket-strategy grouped count (``term_counts`` — the corpus never
+    moves, only one row per distinct term), both vocabularies are
+    ``count()``-guarded by ``max_vocab`` before the driver pull, and the
+    JSD sum runs once on the two aligned count vectors. Returns a
+    one-row Dataset: ``jsd_nats`` (0 for identical distributions, ln 2
+    for disjoint support), per-side token/vocab totals and the shared-
+    vocabulary size. Float (log) by nature — rows-only gate; planted
+    identities (0 / ln 2 / symmetry) are property-tested."""
+    import pandas as pd
+
+    def pull(ds, side):
+        counts = term_counts(ds, text_col).materialize()
+        nv = counts.count()
+        if nv > int(max_vocab):
+            raise ValueError(
+                f"term_divergence: side {side} has {nv:,} terms "
+                f"(> max_vocab={int(max_vocab):,})")
+        return counts.to_pandas()
+
+    pa_df, pb_df = pull(ds_a, "A"), pull(ds_b, "B")
+    merged = pd.merge(pa_df, pb_df, on="term", how="outer",
+                      suffixes=("_a", "_b")).fillna(0)
+    ca = merged["n_a"].to_numpy(np.float64)
+    cb = merged["n_b"].to_numpy(np.float64)
+    ta, tb = ca.sum(), cb.sum()
+    if ta == 0 or tb == 0:
+        raise ValueError("term_divergence: a side has no tokens")
+    p, q = ca / ta, cb / tb
+    m = 0.5 * (p + q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl_pm = np.where(p > 0, p * np.log(p / m), 0.0).sum()
+        kl_qm = np.where(q > 0, q * np.log(q / m), 0.0).sum()
+    jsd = 0.5 * (kl_pm + kl_qm)
+    shared = int(((ca > 0) & (cb > 0)).sum())
+    return ray.data.from_arrow(pa.table({
+        "jsd_nats": pa.array([float(jsd)], pa.float64()),
+        "tokens_a": pa.array([int(ta)], pa.int64()),
+        "tokens_b": pa.array([int(tb)], pa.int64()),
+        "vocab_a": pa.array([int((ca > 0).sum())], pa.int64()),
+        "vocab_b": pa.array([int((cb > 0).sum())], pa.int64()),
+        "shared_vocab": pa.array([shared], pa.int64())}))

@@ -32,7 +32,8 @@ import ray.data
 from ..functions.hashing import hash64
 
 __all__ = ["fingerprint_batch", "build_seen_index",
-           "dedup_against_index", "append_to_index"]
+           "dedup_against_index", "append_to_index",
+           "compact_seen_index"]
 
 _SEED_A, _SEED_B = 0x5EED, 0xF00D
 
@@ -112,3 +113,54 @@ def dedup_against_index(ds: ray.data.Dataset, index_path: str,
     seen = ray.data.read_parquet(index_path, columns=["h1", "h2"])
     return shuffle_hash_join(firsts, seen, key=["h1", "h2"],
                              how="anti", n_buckets=n_buckets)
+
+
+def compact_seen_index(path: str, n_shards: int | None = None) -> int:
+    """Rewrite the index with one distinct-fingerprint file set — the
+    compaction that keeps years of appends from becoming a small-file
+    problem. Shard-count is inferred from the Hive layout when not
+    given; shards are recomputed from h1 (bit-identical to build time),
+    the distinct rows are written to a sibling directory and swapped in
+    with atomic renames (a crash leaves either the old or the new index
+    fully intact, never a mix). Returns the distinct-fingerprint count."""
+    import glob
+    import os
+    import shutil
+
+    from .aggregate import grouped_count
+
+    if n_shards is None:
+        n_shards = len(glob.glob(os.path.join(path, "shard=*")))
+        if not n_shards:
+            raise ValueError(
+                f"compact_seen_index: no shard=* directories in {path}")
+
+    ds = ray.data.read_parquet(path, columns=["h1", "h2"])
+
+    def reshard(t: pa.Table) -> pa.Table:
+        h1 = (t.column("h1").to_numpy(zero_copy_only=False)
+              .astype(np.uint64))
+        return t.append_column(
+            "shard", pa.array((h1 % np.uint64(n_shards))
+                              .astype(np.int64)))
+
+    uniq = grouped_count(ds.map_batches(reshard, batch_format="pyarrow"),
+                         ["shard", "h1", "h2"], count_name="_n",
+                         strategy="shuffle")
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # coalesce each shard into ONE block so the rewrite yields one file
+    # per shard directory (bounded groups: shard count is n_shards)
+    out = uniq.map_batches(lambda t: t.drop_columns(["_n"]),
+                           batch_format="pyarrow")
+    out = out.groupby("shard").map_groups(lambda t: t,
+                                          batch_format="pyarrow")
+    out.write_parquet(tmp, partition_cols=["shard"])
+    n = ray.data.read_parquet(tmp).count()
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

@@ -679,3 +679,24 @@ def test_validate_profile_processors(ray_session, tmp_path):
                          ({"profile": {}}, ["profile"])):
         with pytest.raises(ConfigError):
             build(procs, names)
+
+
+def test_csv_receiver(ray_session, tmp_path):
+    """CSV receiver parses with Arrow's C++ reader and honors column
+    pruning."""
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,ada,10\n2,grace,20\n")
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"csv": {"paths": str(p),
+                              "columns": ["id", "score"]}},
+        "processors": {},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["csv"], "processors": [],
+            "exporters": ["debug"]}}},
+    })
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    df = build_dataset(cfg).to_pandas().sort_values("id")
+    assert list(df.columns) == ["id", "score"]
+    assert df["score"].tolist() == [10, 20]

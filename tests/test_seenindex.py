@@ -73,3 +73,30 @@ def test_dedup_index_yaml(ray_session, tmp_path):
             "exporters": ["debug"]}}},
     })).to_pandas()
     assert y["doc_id"].tolist() == [6]
+
+
+def test_compaction_merges_small_files(ray_session, tmp_path):
+    import glob
+
+    from opentelemetry_collector_ray.stages.seenindex import (
+        compact_seen_index)
+
+    idx = str(tmp_path / "idx")
+    build_seen_index(_docs([(1, "a"), (2, "b")]), idx, n_shards=2)
+    append_to_index(_docs([(3, "c"), (4, "a")]), idx, n_shards=2)
+    append_to_index(_docs([(5, "d")]), idx, n_shards=2)
+    before = ray.data.read_parquet(idx).to_pandas()
+    files_before = len(glob.glob(idx + "/shard=*/*.parquet"))
+    n = compact_seen_index(idx)
+    after = ray.data.read_parquet(idx).to_pandas()
+    files_after = len(glob.glob(idx + "/shard=*/*.parquet"))
+    # distinct fingerprints preserved ('a' was appended twice)
+    key = ["h1", "h2"]
+    assert n == 4
+    assert sorted(map(tuple, after[key].values.tolist())) == \
+        sorted(set(map(tuple, before[key].values.tolist())))
+    assert files_after < files_before
+    # dedup still works against the compacted index
+    surv = dedup_against_index(_docs([(9, "d"), (10, "e")]), idx,
+                               n_shards=2).to_pandas()
+    assert surv["doc_id"].tolist() == [10]

@@ -762,3 +762,36 @@ def test_exact_global_quantiles_one_pass(ray_session):
     assert got == want
     with pytest.raises(ValueError, match="distinct"):
         exact_global_quantiles(ds, "v", qs, max_distinct=5)
+
+
+def test_term_divergence_identities(ray_session):
+    import math
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        term_divergence)
+
+    def corp(texts):
+        return ray.data.from_arrow(pa.table({
+            "text": pa.array(texts)})).repartition(2)
+
+    same = ["alpha beta gamma", "beta gamma delta"]
+    row = term_divergence(corp(same), corp(same)).to_pandas().iloc[0]
+    assert row["jsd_nats"] == pytest.approx(0.0, abs=1e-12)
+    assert row["shared_vocab"] == row["vocab_a"] == row["vocab_b"]
+
+    a, b = corp(["one two three"]), corp(["four five six"])
+    row = term_divergence(a, b).to_pandas().iloc[0]
+    assert row["jsd_nats"] == pytest.approx(math.log(2), rel=1e-12)
+    assert row["shared_vocab"] == 0
+
+    x = corp(["cat dog cat", "dog bird"])
+    y = corp(["cat fish", "fish fish dog"])
+    j1 = term_divergence(x, y).to_pandas().iloc[0]["jsd_nats"]
+    j2 = term_divergence(y, x).to_pandas().iloc[0]["jsd_nats"]
+    assert j1 == pytest.approx(j2, rel=1e-12)
+    assert 0 < j1 < math.log(2)
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        term_divergence(x, y, max_vocab=1).to_pandas()
