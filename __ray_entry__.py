@@ -1271,7 +1271,7 @@ def _q_docs_incremental_dedup(sf_dir: str):
 
     idx = tempfile.mkdtemp(prefix="seenidx_")
     build_seen_index(half_b(0), idx, n_shards=16)
-    surv = dedup_against_index(half_b(1), idx, n_shards=16)
+    surv = dedup_against_index(half_b(1), idx)
     return surv.select_columns(["doc_id"])
 
 

@@ -467,7 +467,6 @@ def _register_builtins() -> None:
         return DatasetTransform(lambda ds: dedup_against_index(
             ds, cfg["path"], text_col=cfg.get("text_col", "text"),
             id_col=cfg.get("id_col", "doc_id"),
-            n_shards=int(cfg.get("n_shards", 64)),
             n_buckets=cfg.get("n_buckets", "auto")))
 
     def make_sample_weighted(cfg: dict):

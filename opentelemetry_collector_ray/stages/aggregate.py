@@ -392,28 +392,12 @@ def exact_global_quantile(ds: Dataset, col: str, q: float,
     max_vocab do: the distinct-value table is ``count()``-ed BEFORE it is
     pulled to the driver, and an over-cap domain (e.g. a ~2^32-distinct
     raw id column) raises loudly with a pointer to the KLL sketch path
-    instead of OOM-ing the driver."""
-    import numpy as np
+    instead of OOM-ing the driver.
 
-    counts = grouped_count(ds.select_columns([col]), [col],
-                           count_name="_n", strategy="shuffle")
-    counts = counts.materialize()  # small by contract; count + pull once
-    n_distinct = counts.count()
-    if n_distinct > int(max_distinct):
-        raise ValueError(
-            f"exact_global_quantile: {col!r} has {n_distinct:,} distinct "
-            f"values (> max_distinct={int(max_distinct):,}); the exact "
-            "value-count table would not fit the driver. Use the "
-            "mergeable KLL sketch (stages/sketch.py approx_quantiles) "
-            "or raise max_distinct if the driver has headroom.")
-    pdf = counts.to_pandas().sort_values(col)
-    if not len(pdf):
-        raise ValueError(f"exact_global_quantile: no rows in {col!r}")
-    n = int(pdf["_n"].sum())
-    r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
-    cum = pdf["_n"].cumsum().to_numpy()
-    idx = int(np.searchsorted(cum, r + 1))
-    return int(pdf[col].iloc[idx])
+    Thin wrapper over :func:`exact_global_quantiles` (single shared
+    implementation of the guard, pull and rank rule)."""
+    return exact_global_quantiles(ds, col, (q,),
+                                  max_distinct=max_distinct)[0]
 
 
 def exact_global_quantiles(ds: Dataset, col: str, qs: tuple[float, ...],

@@ -56,17 +56,20 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0,1), "
                          f"got {damping}")
-    make_edges = persisted_factory(make_edges, "none")
 
     # ---- node table: distinct src ∪ dst, bounded + guarded ----------
-    def one_col(name):
-        return make_edges().select_columns([name]).map_batches(
-            lambda t, n=name: pa.table({"node": t.column(n)}),
-            batch_format="pyarrow")
+    # ONE scan of the edge list: each batch emits src and dst stacked
+    # into a single 'node' column (review finding: a per-column union
+    # executed the upstream twice)
+    def both_cols(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            t.select([src]).rename_columns(["node"]),
+            t.select([dst]).rename_columns(["node"])]).combine_chunks()
 
-    nodes_ds = grouped_count(one_col(src).union(one_col(dst)),
-                             ["node"], count_name="_n",
-                             strategy="bucket").materialize()
+    nodes_ds = grouped_count(
+        make_edges().select_columns([src, dst]).map_batches(
+            both_cols, batch_format="pyarrow"),
+        ["node"], count_name="_n", strategy="bucket").materialize()
     n_nodes = nodes_ds.count()
     if n_nodes > int(max_nodes):
         raise ValueError(

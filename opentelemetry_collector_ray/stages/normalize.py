@@ -186,6 +186,16 @@ def sigma_outliers(make_ds, col: str, key: str | None = None,
 
     ns, s1s, ts = [], [], []
     for _kv, n, s1, s2, mabs in stats:
+        # the DISTRIBUTED s2 sum rides int64 and wraps silently past
+        # 2^63; n and max|x| cannot wrap (count/min/max), so the exact
+        # upper bound n*max|x|^2 >= true s2 detects any possible wrap
+        # loudly (review finding: per-element x*x guard alone was not
+        # enough)
+        if n * mabs * mabs >= 2 ** 63:
+            raise ValueError(
+                f"sigma_outliers: n*max|x|^2 = {n * mabs * mabs:,} "
+                "could overflow the int64 sum-of-squares partial; "
+                "pre-scale the column or bucket the key")
         m2n = n * s2 - s1 * s1  # n^2 * variance, exact, >= 0
         t_int = math.isqrt(kk * m2n)
         # pass 2 computes d = n*x - s1 in int64: bound it exactly

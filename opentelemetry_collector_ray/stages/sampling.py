@@ -26,27 +26,23 @@ import ray.data
 
 MAX_CANDIDATES = 2_000_000  # k × blocks candidate-row bound
 
-
-def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
-                    hash_mode: str = "xx64",
-                    keep_rank: bool = False) -> ray.data.Dataset:
-    """Uniform deterministic k-sample: the k rows with the smallest
-    hash(id), ties broken by id. Returns the sampled rows (plus the
-    hex/int rank column when ``keep_rank``)."""
+def _collect_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
+                      add_rank, rk_type, keep_rank: bool
+                      ) -> ray.data.Dataset:
+    """Shared mergeable bottom-k: each block appends a ``_rk`` rank via
+    ``add_rank(table) -> pa.Array`` and keeps its local k smallest; the
+    driver pulls candidates INCREMENTALLY (failing before it holds more
+    than MAX_CANDIDATES — each pulled block is itself <= k rows) and
+    keeps the global k. Both samplers ride this one implementation."""
     import ray
 
     if k <= 0:
-        raise ValueError("sample_bottom_k: k must be positive")
-    if hash_mode not in ("xx64", "md5"):
-        raise ValueError(f"sample_bottom_k: bad hash_mode {hash_mode!r}")
-
-    rk_type = pa.string() if hash_mode == "md5" else pa.uint64()
+        raise ValueError("sample: k must be positive")
 
     def local_bottom(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_rk", pa.array([], rk_type))
-        rk, _ = _rank_col(t.column(id_col), hash_mode)
-        t = t.append_column("_rk", rk)
+        t = t.append_column("_rk", add_rank(t))
         if t.num_rows > k:
             t = t.sort_by([("_rk", "ascending"),
                            (id_col, "ascending")]).slice(0, k)
@@ -54,9 +50,6 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
 
     refs = ds.map_batches(local_bottom, batch_size=None,
                           batch_format="pyarrow").to_arrow_refs()
-    # pull candidates INCREMENTALLY and fail before the driver holds
-    # more than the cap — a post-concat check would OOM first (review
-    # finding); each pulled block is itself ≤ k rows
     cand, pulled = [], 0
     for r in refs:
         c = ray.get(r)
@@ -65,13 +58,10 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
         pulled += c.num_rows
         if pulled > MAX_CANDIDATES:
             raise ValueError(
-                f"sample_bottom_k: candidate rows exceed "
-                f"{MAX_CANDIDATES} (k × blocks too large); lower k or "
-                "tree-merge partials")
+                f"sample: candidate rows exceed {MAX_CANDIDATES} "
+                "(k x blocks too large); lower k or tree-merge partials")
         cand.append(c)
     if not cand:
-        # keep the promised schema on the empty path: input columns
-        # (+ _rk when keep_rank)
         sch = ds.schema()
         fields = list(zip(sch.names, sch.types)) if sch and sch.names \
             else []
@@ -80,12 +70,27 @@ def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
         if keep_rank:
             cols["_rk"] = pa.array([], rk_type)
         return ray.data.from_arrow(pa.table(cols))
-    allc = pa.concat_tables(cand)
-    out = allc.sort_by([("_rk", "ascending"), (id_col, "ascending")]) \
-        .slice(0, k)
+    out = pa.concat_tables(cand).sort_by(
+        [("_rk", "ascending"), (id_col, "ascending")]).slice(0, k)
     if not keep_rank:
         out = out.drop_columns(["_rk"])
     return ray.data.from_arrow(out)
+
+
+
+def sample_bottom_k(ds: ray.data.Dataset, k: int, id_col: str,
+                    hash_mode: str = "xx64",
+                    keep_rank: bool = False) -> ray.data.Dataset:
+    """Uniform deterministic k-sample: the k rows with the smallest
+    hash(id), ties broken by id. Returns the sampled rows (plus the
+    hex/int rank column when ``keep_rank``)."""
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(f"sample_bottom_k: bad hash_mode {hash_mode!r}")
+    rk_type = pa.string() if hash_mode == "md5" else pa.uint64()
+    return _collect_bottom_k(
+        ds, k, id_col,
+        lambda t: _rank_col(t.column(id_col), hash_mode)[0],
+        rk_type, keep_rank)
 
 
 def _rank_col(ids: pa.ChunkedArray, hash_mode: str):
@@ -106,9 +111,8 @@ def sample_weighted_k(ds: ray.data.Dataset, k: int, id_col: str,
     ``-ln(u_i) / w_i`` with ``u_i`` a uniform derived from the hash of
     its id, and the global bottom-k by rank is exactly a weighted
     sample without replacement (row i wins a slot with probability
-    proportional to ``w_i`` among the remaining rows). Same mergeable
-    bottom-k scale shape as :func:`sample_bottom_k`: blocks emit local
-    candidates, only k·B candidate rows ever move, loudly capped.
+    proportional to ``w_i`` among the remaining rows). Rides the same
+    mergeable ``_collect_bottom_k`` machinery as the uniform sampler.
 
     ``hash_mode="xx64"``: vectorized hash64 → numpy log (production).
     ``hash_mode="md5"``: u = (first 12 md5 hex digits + 0.5) / 2^48 and
@@ -117,15 +121,11 @@ def sample_weighted_k(ds: ray.data.Dataset, k: int, id_col: str,
     VARCHAR)), 1, 12))::UBIGINT + 0.5) / 281474976710656.0) / w``
     computed by the SAME libm, so ``ORDER BY rank, id LIMIT k``
     cross-checks exactly. Weights must be > 0 (validated loudly)."""
-    import ray
-
-    if k <= 0:
-        raise ValueError("sample_weighted_k: k must be positive")
     if hash_mode not in ("xx64", "md5"):
         raise ValueError(
             f"sample_weighted_k: bad hash_mode {hash_mode!r}")
 
-    def rank_of(t: pa.Table) -> np.ndarray:
+    def rank_of(t: pa.Table) -> pa.Array:
         w = t.column(weight_col).to_numpy(zero_copy_only=False)
         if len(w) and not (np.asarray(w, np.float64) > 0).all():
             raise ValueError(
@@ -145,45 +145,10 @@ def sample_weighted_k(ds: ray.data.Dataset, k: int, id_col: str,
             h = hash64(t.column(id_col).cast(pa.string()))
             u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
             ln = np.log(u)
-        return -ln / np.asarray(w, np.float64)
+        return pa.array(-ln / np.asarray(w, np.float64), pa.float64())
 
-    def local_bottom(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("_rk", pa.array([], pa.float64()))
-        t = t.append_column("_rk", pa.array(rank_of(t), pa.float64()))
-        if t.num_rows > k:
-            t = t.sort_by([("_rk", "ascending"),
-                           (id_col, "ascending")]).slice(0, k)
-        return t
-
-    refs = ds.map_batches(local_bottom, batch_size=None,
-                          batch_format="pyarrow").to_arrow_refs()
-    cand, pulled = [], 0
-    for r in refs:
-        c = ray.get(r)
-        if c.num_rows == 0:
-            continue
-        pulled += c.num_rows
-        if pulled > MAX_CANDIDATES:
-            raise ValueError(
-                f"sample_weighted_k: candidate rows exceed "
-                f"{MAX_CANDIDATES} (k × blocks too large); lower k or "
-                "tree-merge partials")
-        cand.append(c)
-    if not cand:
-        sch = ds.schema()
-        fields = list(zip(sch.names, sch.types)) if sch and sch.names \
-            else []
-        fields = [f for f in fields if f[0] != "_rk"]
-        cols = {nm: pa.array([], tp) for nm, tp in fields}
-        if keep_rank:
-            cols["_rk"] = pa.array([], pa.float64())
-        return ray.data.from_arrow(pa.table(cols))
-    out = pa.concat_tables(cand).sort_by(
-        [("_rk", "ascending"), (id_col, "ascending")]).slice(0, k)
-    if not keep_rank:
-        out = out.drop_columns(["_rk"])
-    return ray.data.from_arrow(out)
+    return _collect_bottom_k(ds, k, id_col, rank_of, pa.float64(),
+                             keep_rank)
 
 
 def _bottom_k_per_group(t: pa.Table, by: str, id_col: str,

@@ -39,13 +39,18 @@ _SEED_A, _SEED_B = 0x5EED, 0xF00D
 
 
 def fingerprint_batch(t: pa.Table, text_col: str,
-                      n_shards: int) -> dict[str, pa.Array]:
+                      n_shards: int | None = None) -> dict[str, pa.Array]:
+    """128-bit fingerprint lanes; the shard column (a pure function of
+    h1) is only computed when ``n_shards`` is given — lookups never need
+    it (review finding)."""
     h1 = hash64(t.column(text_col), seed=_SEED_A)
     h2 = hash64(t.column(text_col), seed=_SEED_B)
-    return {"h1": pa.array(h1.astype(np.int64)),
-            "h2": pa.array(h2.astype(np.int64)),
-            "shard": pa.array((h1 % np.uint64(n_shards))
-                              .astype(np.int64))}
+    out = {"h1": pa.array(h1.astype(np.int64)),
+           "h2": pa.array(h2.astype(np.int64))}
+    if n_shards is not None:
+        out["shard"] = pa.array((h1 % np.uint64(n_shards))
+                                .astype(np.int64))
+    return out
 
 
 def build_seen_index(ds: ray.data.Dataset, path: str,
@@ -78,19 +83,21 @@ def append_to_index(survivors: ray.data.Dataset, path: str,
 def dedup_against_index(ds: ray.data.Dataset, index_path: str,
                         text_col: str = "text",
                         id_col: str = "doc_id",
-                        n_shards: int = 64,
                         n_buckets: int | str = "auto",
                         ) -> ray.data.Dataset:
     """Rows of ``ds`` that are (a) the FIRST occurrence (min ``id_col``)
     of their content within this ingest and (b) unseen by the persisted
-    index. Returns the surviving (id_col, h1, h2) rows — join back on
-    ``id_col`` for payload columns (ids, never text, ride the
-    exchanges)."""
+    index (the index shard layout is a storage detail — lookups hash the
+    fingerprints themselves, so no shard count is needed here). Returns
+    the surviving (id_col, h1, h2) rows — join back on ``id_col`` for
+    payload columns (ids, never text, ride the exchanges)."""
     from .bucketing import bucketed_map_groups
     from .join import shuffle_hash_join
 
+    _recover_index(index_path)
+
     def fp(t: pa.Table) -> pa.Table:
-        cols = fingerprint_batch(t, text_col, n_shards)
+        cols = fingerprint_batch(t, text_col)
         return pa.table({id_col: t.column(id_col),
                          "h1": cols["h1"], "h2": cols["h2"]})
 
@@ -115,20 +122,38 @@ def dedup_against_index(ds: ray.data.Dataset, index_path: str,
                              how="anti", n_buckets=n_buckets)
 
 
+def _recover_index(path: str) -> None:
+    """Heal the non-atomic window of :func:`compact_seen_index`: POSIX
+    cannot swap two directories in one rename, so a crash between the
+    two renames leaves only ``<path>.old``. Every entry point calls
+    this first and renames the old index back into place."""
+    import os
+
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def compact_seen_index(path: str, n_shards: int | None = None) -> int:
     """Rewrite the index with one distinct-fingerprint file set — the
     compaction that keeps years of appends from becoming a small-file
     problem. Shard-count is inferred from the Hive layout when not
     given; shards are recomputed from h1 (bit-identical to build time),
-    the distinct rows are written to a sibling directory and swapped in
-    with atomic renames (a crash leaves either the old or the new index
-    fully intact, never a mix). Returns the distinct-fingerprint count."""
+    and the distinct rows are written to a sibling directory first.
+
+    The two-rename swap (old out, new in) is NOT one atomic step: a
+    crash in between leaves only ``<path>.old``, which the next call to
+    any entry point (or re-running this compaction) renames back via
+    ``_recover_index`` — the index is always recoverable to either the
+    pre- or post-compaction state, never a mix. Returns the
+    distinct-fingerprint count."""
     import glob
     import os
     import shutil
 
     from .aggregate import grouped_count
 
+    _recover_index(path)
     if n_shards is None:
         n_shards = len(glob.glob(os.path.join(path, "shard=*")))
         if not n_shards:

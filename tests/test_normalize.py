@@ -195,3 +195,19 @@ FROM d JOIN md USING (k)
     assert sorted(map(tuple, got[key].values.tolist())) == \
         sorted(map(tuple, want[key].values.tolist()))
     assert got["v_outlier"].sum() > 0
+
+
+def test_sigma_outliers_distributed_sum_overflow_guard(ray_session):
+    """Per-element |x| passes the batch guard but n*max|x|^2 could wrap
+    the distributed int64 sum of squares -> loud driver-side failure
+    (review finding)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import sigma_outliers
+
+    t = pa.table({"v": pa.array([2_900_000_000, 2_900_000_000],
+                                pa.int64())})
+    with pytest.raises(ValueError, match="sum-of-squares|overflow"):
+        sigma_outliers(lambda: ray.data.from_arrow(t), "v").to_pandas()

@@ -27,7 +27,7 @@ def test_incremental_rounds(ray_session, tmp_path):
     surv = dedup_against_index(
         _docs([(10, "alpha"),          # seen in round 1 -> dropped
                (11, "gamma"), (12, "gamma"),  # internal dup -> min id
-               (13, "delta")]), idx, n_shards=4).to_pandas()
+               (13, "delta")]), idx).to_pandas()
     assert sorted(surv["doc_id"]) == [11, 13]
 
     # append survivors; round 3 must now see gamma/delta as seen
@@ -35,7 +35,7 @@ def test_incremental_rounds(ray_session, tmp_path):
                     n_shards=4)
     surv3 = dedup_against_index(
         _docs([(20, "gamma"), (21, "delta"), (22, "epsilon"),
-               (23, "beta")]), idx, n_shards=4).to_pandas()
+               (23, "beta")]), idx).to_pandas()
     assert sorted(surv3["doc_id"]) == [22]
 
 
@@ -66,7 +66,7 @@ def test_dedup_index_yaml(ray_session, tmp_path):
         "text": pa.array(["old news", "fresh take"])}), str(p))
     y = build_dataset(PipelineConfig.from_dict({
         "receivers": {"parquet": {"paths": str(p)}},
-        "processors": {"dedup_index": {"path": idx, "n_shards": 2}},
+        "processors": {"dedup_index": {"path": idx}},
         "exporters": {"debug": {}},
         "service": {"pipelines": {"logs": {
             "receivers": ["parquet"], "processors": ["dedup_index"],
@@ -97,6 +97,25 @@ def test_compaction_merges_small_files(ray_session, tmp_path):
         sorted(set(map(tuple, before[key].values.tolist())))
     assert files_after < files_before
     # dedup still works against the compacted index
-    surv = dedup_against_index(_docs([(9, "d"), (10, "e")]), idx,
-                               n_shards=2).to_pandas()
+    surv = dedup_against_index(_docs([(9, "d"), (10, "e")]),
+                               idx).to_pandas()
     assert surv["doc_id"].tolist() == [10]
+
+
+def test_compaction_crash_window_recovers(ray_session, tmp_path):
+    """Simulate a crash between the two renames (only <path>.old left):
+    the next entry-point call heals the index automatically."""
+    import os
+
+    from opentelemetry_collector_ray.stages.seenindex import (
+        compact_seen_index)
+
+    idx = str(tmp_path / "idx")
+    build_seen_index(_docs([(1, "a"), (2, "b")]), idx, n_shards=2)
+    os.rename(idx, idx + ".old")  # the crash window state
+    surv = dedup_against_index(_docs([(9, "a"), (10, "z")]),
+                               idx).to_pandas()
+    assert surv["doc_id"].tolist() == [10]
+    # and compaction itself also recovers from the same state
+    os.rename(idx, idx + ".old")
+    assert compact_seen_index(idx) == 2
