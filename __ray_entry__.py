@@ -1178,6 +1178,77 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_accounts_union_by_name(sf_dir: str):
+    """Schema-evolution-safe union (stages/snapshot.py union_by_name —
+    UNION ALL BY NAME semantics): customers and suppliers share
+    id/balance columns, only suppliers carry nation — the missing
+    column null-fills, types are validated. Oracle = DuckDB UNION ALL
+    BY NAME."""
+    from opentelemetry_collector_ray.stages.snapshot import union_by_name
+
+    cust = _read_co(sf_dir, "customer", ["c_custkey", "c_acctbal"],
+                    floor=4).map_batches(
+        lambda t: pa.table({"id": t.column("c_custkey"),
+                            "balance_cents": _cents(t.column("c_acctbal"))}),
+        batch_format="pyarrow")
+    supp = _read_co(sf_dir, "supplier", ["s_suppkey", "s_acctbal",
+                                         "s_nationkey"],
+                    floor=4).map_batches(
+        lambda t: pa.table({"id": t.column("s_suppkey"),
+                            "balance_cents": _cents(t.column("s_acctbal")),
+                            "nation": t.column("s_nationkey")}),
+        batch_format="pyarrow")
+    return union_by_name([cust, supp])
+
+
+def _q_orders_snapshot_diff(sf_dir: str):
+    """Snapshot changelog (stages/snapshot.py snapshot_diff): old = all
+    orders; new = orders minus every 10th key, urgent prices bumped
+    100 cents, plus synthetic added keys — classified added / removed /
+    changed over the distributed full bucket join. Oracle = the same
+    derivation + FULL OUTER JOIN + CASE in SQL."""
+    from opentelemetry_collector_ray.stages.snapshot import snapshot_diff
+
+    def old_snap():
+        return _read_co(sf_dir, "orders",
+                        ["o_orderkey", "o_totalprice"],
+                        floor=8).map_batches(
+            lambda t: pa.table({"id": t.column("o_orderkey"),
+                                "cents": _cents(t.column("o_totalprice"))}),
+            batch_format="pyarrow")
+
+    def new_snap():
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(
+                pc.subtract(t.column("o_orderkey"),
+                            pc.multiply(pc.divide(t.column("o_orderkey"),
+                                                  10), 10)), 0)
+            t = t.filter(keep)
+            bump = pc.if_else(
+                pc.equal(t.column("o_orderpriority"), "1-URGENT"),
+                pa.scalar(100, pa.int64()), pa.scalar(0, pa.int64()))
+            base = pa.table({
+                "id": t.column("o_orderkey"),
+                "cents": pc.add(_cents(t.column("o_totalprice")), bump)})
+            added_mask = pc.equal(
+                pc.subtract(t.column("o_orderkey"),
+                            pc.multiply(pc.divide(t.column("o_orderkey"),
+                                                  13), 13)), 0)
+            at = t.filter(added_mask)
+            added = pa.table({
+                "id": pc.add(at.column("o_orderkey"),
+                             pa.scalar(10_000_000, pa.int64())),
+                "cents": _cents(at.column("o_totalprice"))})
+            return pa.concat_tables([base, added])
+
+        return _read_co(sf_dir, "orders",
+                        ["o_orderkey", "o_totalprice",
+                         "o_orderpriority"],
+                        floor=8).map_batches(f, batch_format="pyarrow")
+
+    return snapshot_diff(old_snap(), new_snap(), "id", ["cents"])
+
+
 def _q_events_url_parse(sf_dir: str):
     """OTTL URL() converter analog (functions/text.url_parse — contrib
     ottlfuncs URL): synthesize a deterministic URL per event, split it
@@ -2640,6 +2711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "accounts_union_by_name": _q_accounts_union_by_name,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "events_url_parse": _q_events_url_parse,
         "docs_top_terms_per_lang": _q_docs_top_terms_per_lang,
         "events_user_split": _q_events_user_split,
@@ -2938,6 +3011,44 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "accounts_union_by_name": """
+SELECT c_custkey AS id,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents
+FROM customer
+UNION ALL BY NAME
+SELECT s_suppkey AS id,
+       CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents,
+       s_nationkey AS nation
+FROM supplier
+""",
+        "orders_snapshot_diff": """
+WITH old AS (SELECT o_orderkey AS id,
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS cents
+             FROM orders),
+base AS (SELECT o_orderkey AS id,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) +
+                CASE WHEN o_orderpriority = '1-URGENT' THEN 100
+                     ELSE 0 END AS cents
+         FROM orders WHERE o_orderkey % 10 <> 0),
+added AS (SELECT o_orderkey + 10000000 AS id,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS cents
+          FROM orders WHERE o_orderkey % 10 <> 0
+            AND o_orderkey % 13 = 0),
+new AS (SELECT * FROM base UNION ALL SELECT * FROM added),
+j AS (SELECT COALESCE(o.id, n.id) AS id, o.cents AS old_cents,
+             n.cents AS new_cents,
+             o.id IS NOT NULL AS has_old, n.id IS NOT NULL AS has_new
+      FROM old o FULL OUTER JOIN new n ON o.id = n.id)
+SELECT id,
+       CASE WHEN has_old AND NOT has_new THEN 'removed'
+            WHEN has_new AND NOT has_old THEN 'added'
+            ELSE 'changed' END AS change,
+       old_cents, new_cents
+FROM j
+WHERE NOT (has_old AND has_new AND old_cents = new_cents)
 """,
         "events_url_parse": r"""
 WITH u AS (SELECT event_id,
