@@ -1178,6 +1178,30 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_docs_token_budget(sf_dir: str):
+    """Greedy token-budget corpus selection (stages/mixing.py
+    select_token_budget — global_sort rank feeding ordered_prefix_sum):
+    longest-first docs kept while inclusive cumulative tokens stay
+    within half the corpus total. Oracle = SQL running-sum window
+    prefix with the identical (score DESC, id) order."""
+    from opentelemetry_collector_ray.functions.text import token_count
+    from opentelemetry_collector_ray.stages.mixing import (
+        select_token_budget)
+
+    def make():
+        def f(t: pa.Table) -> pa.Table:
+            n = token_count(t.column("text")).cast(pa.int64())
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "n_tokens": n})
+
+        return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                        floor=8).map_batches(f, batch_format="pyarrow")
+
+    total = int(make().sum("n_tokens"))
+    return select_token_budget(make, "n_tokens", "n_tokens",
+                               total // 2)
+
+
 def _q_accounts_union_by_name(sf_dir: str):
     """Schema-evolution-safe union (stages/snapshot.py union_by_name —
     UNION ALL BY NAME semantics): customers and suppliers share
@@ -2711,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_token_budget": _q_docs_token_budget,
         "accounts_union_by_name": _q_accounts_union_by_name,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "events_url_parse": _q_events_url_parse,
@@ -3011,6 +3036,20 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "docs_token_budget": r"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM d),
+r AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT r.doc_id, r.n_tokens,
+       CAST(r.cum - r.n_tokens AS BIGINT) AS cum_before
+FROM r, b WHERE r.cum <= b.budget
 """,
         "accounts_union_by_name": """
 SELECT c_custkey AS id,

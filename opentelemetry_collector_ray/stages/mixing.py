@@ -93,3 +93,41 @@ def mix_by_class(make_ds, class_col: str, weights: dict[str, int],
         return t.filter(pa.array(ids % base < rate_vals[idx]))
 
     return make_ds().map_batches(pick, batch_format="pyarrow")
+
+
+def select_token_budget(make_ds, score_col: str, token_col: str,
+                        budget: int, id_col: str = "doc_id",
+                        cum_col: str = "cum_before",
+                        persist: str = "none"):
+    """Greedy token-budget corpus selection — "take the best documents
+    until the token budget is spent": rows ordered by (``score_col``
+    DESC, ``id_col`` ASC) are kept while their INCLUSIVE cumulative
+    ``token_col`` stays within ``budget`` (exactly the SQL running-sum
+    prefix ``sum(tokens) OVER (ORDER BY score DESC, id) <= budget``).
+
+    Scale shape: a composition of two existing primitives — the
+    range-partitioned sample ``global_sort`` (with its dense global
+    rank) feeds ``ordered_prefix_sum`` over the rank (globally unique,
+    range-partitioned in order by construction, so the prefix-sum's
+    pass-2 validation holds by design), then one streaming filter. The
+    sorted result is materialized once by the rank pass; nothing else
+    lands on the driver beyond the per-partition stats both primitives
+    already keep. Appends ``cum_col`` (exclusive running total before
+    the row)."""
+    from .packing import ordered_prefix_sum
+    from .sort import global_sort
+
+    if budget < 0:
+        raise ValueError("select_token_budget: budget must be >= 0")
+    srt = global_sort(make_ds, [score_col, id_col],
+                      descending=[True, False], rank_col="_rank",
+                      persist=persist)
+    cum = ordered_prefix_sum(lambda: srt, "_rank", token_col,
+                             out_col=cum_col)
+
+    def cut(t: pa.Table) -> pa.Table:
+        tot = pc.add(t.column(cum_col), t.column(token_col))
+        return t.filter(pc.less_equal(tot, budget)).drop_columns(
+            ["_rank"])
+
+    return cum.map_batches(cut, batch_format="pyarrow")

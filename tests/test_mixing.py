@@ -57,3 +57,31 @@ def test_mix_by_class_matches_reference(ray_session):
     ratio = got / got.min()
     assert abs(ratio["en"] / ratio["de"] - 4.0) < 0.35
     assert abs(ratio["fr"] / ratio["de"] - 2.0) < 0.2
+
+
+def test_select_token_budget_planted(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.mixing import (
+        select_token_budget)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "score": pa.array([90, 70, 80, 60], pa.int64()),
+                  "tok": pa.array([5, 4, 3, 2], pa.int64())})
+
+    def make():
+        return ray.data.from_arrow(t).repartition(2)
+
+    # order: 1(90,5) -> 3(80,3) -> 2(70,4) -> 4(60,2); budget 9 keeps
+    # 1 and 3 (cum 5, 8) but not 2 (cum 12)
+    out = select_token_budget(make, "score", "tok", 9).to_pandas()
+    got = out.sort_values("cum_before")
+    assert got["doc_id"].tolist() == [1, 3]
+    assert got["cum_before"].tolist() == [0, 5]
+    # budget 0 selects nothing; negative budget raises
+    assert len(select_token_budget(make, "score", "tok",
+                                   0).to_pandas()) == 0
+    with pytest.raises(ValueError, match="budget"):
+        select_token_budget(make, "score", "tok", -1)
