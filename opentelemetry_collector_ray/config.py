@@ -700,6 +700,7 @@ def _register_builtins() -> None:
     register("route", Factory("connector", make_route))
     register("filter", Factory("processor", make_filter))
     register("parquet_sink", Factory("exporter", lambda cfg: cfg))
+    register("jsonl_sink", Factory("exporter", lambda cfg: cfg))
     register("debug", Factory("exporter", lambda cfg: cfg))
 
 

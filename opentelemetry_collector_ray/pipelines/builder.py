@@ -190,6 +190,14 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
                                   ecfg.get("path", name.replace("/", "_")))
             counts[name] = write_otlp_json_spans(
                 ds, target, compression=ecfg.get("compression", "none"))
+        elif type_name == "jsonl_sink":
+            # newline-delimited JSON, one file per block (pandas
+            # to_json(lines=True) under Ray's write_json — vectorized);
+            # the inverse of the jsonl receiver
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            ds.write_json(target)
+            counts[name] = "written"
         elif type_name == "debug":
             counts[name] = DebugSink(ecfg.get("verbosity", "basic")).consume(ds)
         else:

@@ -700,3 +700,33 @@ def test_csv_receiver(ray_session, tmp_path):
     df = build_dataset(cfg).to_pandas().sort_values("id")
     assert list(df.columns) == ["id", "score"]
     assert df["score"].tolist() == [10, 20]
+
+
+def test_jsonl_sink_roundtrip(ray_session, tmp_path):
+    """jsonl_sink exporter writes newline-delimited JSON that the jsonl
+    receiver reads back exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import (
+        build_dataset, run_exporters)
+    from opentelemetry_collector_ray.sources.textlog import read_jsonl
+
+    p = tmp_path / "in.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "msg": pa.array(["a", "b", "c"])}), str(p))
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {},
+        "exporters": {"jsonl_sink": {"path": "out"}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": [],
+            "exporters": ["jsonl_sink"]}}},
+    })
+    ds = build_dataset(cfg)
+    counts = run_exporters(cfg, ds, str(tmp_path))
+    assert counts["jsonl_sink"] == "written"
+    back = read_jsonl(str(tmp_path / "out")).to_pandas().sort_values("id")
+    assert back["id"].tolist() == [1, 2, 3]
+    assert back["msg"].tolist() == ["a", "b", "c"]
