@@ -115,7 +115,13 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_funnel", "events_type_rank", "docs_above_lang_median",
              "docs_lang_sample", "tpch_q5", "events_resampled_daily",
              "events_jsonl_roundtrip", "orders_vip_join",
-             "spans_service_graph", "docs_dup_spans", "docs_dup_stats"]
+             "spans_service_graph", "docs_dup_spans", "docs_dup_stats",
+             "orders_decile", "spans_busy_periods", "events_outliers",
+             "events_robust_outliers", "orders_cc",
+             "docs_weighted_sample", "docs_incremental_dedup",
+             "events_url_parse", "docs_top_terms_per_lang",
+             "orders_snapshot_diff", "docs_token_budget",
+             "docs_bpe_tokens", "parts_pagerank"]
     q = m.queries()
     for name in names:
         t0 = time.time()
