@@ -1178,6 +1178,33 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_ottl_convert(sf_dir: str):
+    """OTTL string converters (functions/text.py — contrib ottlfuncs
+    ConvertCase / Substring / Split analogs) as whole-column Arrow
+    kernels: camel → snake roundtrip, 0-based substring, split part
+    count. Oracle = the equivalent SQL string expressions (shared RE2
+    snake rule)."""
+    from opentelemetry_collector_ray.functions.text import (
+        convert_case, split_count, substring)
+
+    def f(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        camel = convert_case(
+            pc.binary_join_element_wise(
+                "Evt", convert_case(et, "camel").cast(pa.string()), ""),
+            "camel")
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "camel": camel,
+            "snake": convert_case(camel, "snake"),
+            "upper3": convert_case(substring(et, 0, 3).cast(pa.string()),
+                                   "upper"),
+            "n_e_parts": split_count(et, "e")})
+
+    return _read_co(sf_dir, "events", ["event_id", "event_type"],
+                    floor=8).map_batches(f, batch_format="pyarrow")
+
+
 def _q_docs_token_budget(sf_dir: str):
     """Greedy token-budget corpus selection (stages/mixing.py
     select_token_budget — global_sort rank feeding ordered_prefix_sum):
@@ -2735,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_ottl_convert": _q_events_ottl_convert,
         "docs_token_budget": _q_docs_token_budget,
         "accounts_union_by_name": _q_accounts_union_by_name,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
@@ -3036,6 +3064,18 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_ottl_convert": r"""
+WITH c AS (SELECT event_id,
+                  'Evt' || upper(substr(event_type, 1, 1)) ||
+                  substr(event_type, 2) AS camel, event_type
+           FROM events)
+SELECT event_id, camel,
+       lower(regexp_replace(camel, '([a-z0-9])([A-Z])', '\1_\2', 'g'))
+           AS snake,
+       upper(substr(event_type, 1, 3)) AS upper3,
+       CAST(len(string_split(event_type, 'e')) AS BIGINT) AS n_e_parts
+FROM c
 """,
         "docs_token_budget": r"""
 WITH d AS (SELECT doc_id,

@@ -312,3 +312,51 @@ def url_parse(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
                                          out["port"]), pa.int64()))
     out["port_num"] = port
     return out
+
+
+def convert_case(col: pa.ChunkedArray | pa.Array, mode: str) -> pa.Array:
+    """OTTL ``ConvertCase`` converter analog (contrib
+    ``ottl/ottlfuncs/func_convert_case.go`` modes): ``upper`` /
+    ``lower`` / ``snake`` (lower-upper boundaries get an underscore,
+    then lowercased — one RE2 replace, same rule as the DuckDB oracle's
+    ``regexp_replace(x, '([a-z0-9])([A-Z])', '\\1_\\2', 'g')``) /
+    ``camel`` (first code unit uppercased — SQL
+    ``upper(substr(x,1,1)) || substr(x,2)``). Whole-column kernels, no
+    Python per row."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if mode == "upper":
+        return pc.utf8_upper(col)
+    if mode == "lower":
+        return pc.utf8_lower(col)
+    if mode == "snake":
+        return pc.utf8_lower(pc.replace_substring_regex(
+            col, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1_\2"))
+    if mode == "camel":
+        head = pc.utf8_upper(pc.utf8_slice_codeunits(col, 0, 1))
+        return pc.binary_join_element_wise(
+            head, pc.utf8_slice_codeunits(col, 1, 2 ** 31 - 1), "")
+    raise ValueError(f"convert_case: unknown mode {mode!r} "
+                     "(upper|lower|snake|camel)")
+
+
+def substring(col: pa.ChunkedArray | pa.Array, start: int,
+              length: int) -> pa.Array:
+    """OTTL ``Substring(target, start, length)`` analog — 0-based
+    start, code-unit slicing (equal to SQL ``substr(x, start+1,
+    length)`` for ASCII lanes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if start < 0 or length < 0:
+        raise ValueError("substring: start and length must be >= 0")
+    return pc.utf8_slice_codeunits(col, start, start + length)
+
+
+def split_count(col: pa.ChunkedArray | pa.Array, sep: str) -> pa.Array:
+    """Number of parts ``Split(target, sep)`` would return (SQL
+    ``len(string_split(x, sep))``) — the common analytic use of the
+    OTTL Split converter without materializing list columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.list_value_length(pc.split_pattern(col, pattern=sep)) \
+        .cast(pa.int64())

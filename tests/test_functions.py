@@ -240,3 +240,25 @@ def test_url_parse_components():
                                      "no-url-here", ""]
     assert r["query"].to_pylist() == ["x=1&y=2", "", "q=3", "", ""]
     assert r["fragment"].to_pylist() == ["frag", "", "", "", ""]
+
+
+def test_convert_case_modes():
+    import pyarrow as pa
+    import pytest
+
+    from opentelemetry_collector_ray.functions.text import (
+        convert_case, split_count, substring)
+
+    x = pa.array(["EvtAddToCart", "ABCDef", "x9Y", ""])
+    assert convert_case(x, "snake").to_pylist() == \
+        ["evt_add_to_cart", "abcdef", "x9_y", ""]
+    assert convert_case(pa.array(["hello w"]), "camel").to_pylist() == \
+        ["Hello w"]
+    assert convert_case(x, "upper").to_pylist()[0] == "EVTADDTOCART"
+    with pytest.raises(ValueError, match="mode"):
+        convert_case(x, "kebab")
+    assert substring(pa.array(["abcdef"]), 2, 3).to_pylist() == ["cde"]
+    with pytest.raises(ValueError, match=">= 0"):
+        substring(x, -1, 2)
+    assert split_count(pa.array(["a,b", "", "x"]), ",").to_pylist() == \
+        [2, 1, 1]
