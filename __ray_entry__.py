@@ -1178,6 +1178,20 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (stages/cohort.py): users bucketed by
+    first-event week, distinct-activity offsets counted per cohort —
+    one bucket pass dedups a user's events to active weeks AND finds
+    the cohort, then a bounded tree aggregate. Oracle = min-per-user +
+    DISTINCT activity + GROUP BY in SQL (fixed-width epoch weeks)."""
+    from opentelemetry_collector_ray.stages.cohort import (
+        cohort_retention)
+
+    return cohort_retention(
+        _read_co(sf_dir, "events", ["user_id", "ts"], floor=8),
+        period="week")
+
+
 def _q_events_ottl_convert(sf_dir: str):
     """OTTL string converters (functions/text.py — contrib ottlfuncs
     ConvertCase / Substring / Split analogs) as whole-column Arrow
@@ -2762,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_cohort_retention": _q_events_cohort_retention,
         "events_ottl_convert": _q_events_ottl_convert,
         "docs_token_budget": _q_docs_token_budget,
         "accounts_union_by_name": _q_accounts_union_by_name,
@@ -3064,6 +3079,20 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_cohort_retention": """
+WITH p AS (SELECT user_id,
+                  (CAST(epoch_us(ts) AS BIGINT) // 604800000000)
+                      * 604800000000 AS p
+           FROM events),
+c AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, p FROM p),
+j AS (SELECT a.user_id, c.cohort,
+             (a.p - c.cohort) // 604800000000 AS off
+      FROM a JOIN c USING (user_id))
+SELECT cohort AS cohort_week, CAST(off AS BIGINT) AS "offset",
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY cohort, off
 """,
         "events_ottl_convert": r"""
 WITH c AS (SELECT event_id,

@@ -535,6 +535,15 @@ def _register_builtins() -> None:
             max_groups=int(cfg.get("max_groups", 1_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_cohort(cfg: dict):
+        from .stages.cohort import cohort_retention
+
+        return DatasetTransform(lambda ds: cohort_retention(
+            ds, user_col=cfg.get("user_col", "user_id"),
+            ts_col=cfg.get("ts_col", "ts"),
+            period=cfg.get("period", "week"),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_mad_outliers(cfg: dict):
         from .stages.normalize import mad_outliers
 
@@ -681,6 +690,7 @@ def _register_builtins() -> None:
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("pagerank", Factory("processor", make_pagerank))
     register("mad_outliers", Factory("processor", make_mad_outliers))
+    register("cohort", Factory("processor", make_cohort))
     register("sample_weighted", Factory("processor", make_sample_weighted))
     register("dedup_index", Factory("processor", make_dedup_index))
     register("funnel", Factory("processor", make_funnel))
