@@ -292,3 +292,23 @@ def bpe_tokenize(make_ds, text_col: str = "text",
                       max_word_types=max_word_types)
     return bpe_encode(f(), model, text_col=text_col, id_col=id_col,
                       concurrency=concurrency, batch_size=batch_size)
+
+
+def save_model(model: BPEModel, path: str) -> None:
+    """Persist a trained model as JSON (merges + alphabet — ids are a
+    pure function of both, so the file is portable across nodes and
+    sessions; the tokenizer-artifact step of a training-data run)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"merges": [list(m) for m in model.merges],
+                   "alphabet": list(model.alphabet)}, f)
+
+
+def load_model(path: str) -> BPEModel:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return BPEModel([tuple(m) for m in d["merges"]],
+                    alphabet=tuple(d.get("alphabet", ())))

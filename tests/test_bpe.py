@@ -138,3 +138,22 @@ def test_bpe_yaml_parity(ray_session, tmp_path):
     assert ykey["n_bpe_tokens"].tolist() == dkey["n_bpe_tokens"].tolist()
     assert [list(x) for x in ykey["token_ids"]] == \
         [list(x) for x in dkey["token_ids"]]
+
+
+def test_model_save_load_roundtrip(ray_session, tmp_path):
+    from opentelemetry_collector_ray.stages.bpe import (
+        load_model, save_model)
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["the cat sat", "the dog sat"])})
+    ds = ray.data.from_arrow(t)
+    model = bpe_train(ds, num_merges=10)
+    p = str(tmp_path / "bpe.json")
+    save_model(model, p)
+    back = load_model(p)
+    assert back.merges == model.merges
+    assert back.token_to_id == model.token_to_id
+    a = bpe_encode(ds, model).to_pandas().sort_values("doc_id")
+    b = bpe_encode(ds, back).to_pandas().sort_values("doc_id")
+    assert [list(x) for x in a["token_ids"]] == \
+        [list(x) for x in b["token_ids"]]
