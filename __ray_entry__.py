@@ -872,7 +872,8 @@ def _q_docs_above_lang_median(sf_dir: str):
         return _read_co(sf_dir, "documents", ["doc_id", "lang", "text"],
                         floor=8).map_batches(f, batch_format="pyarrow")
 
-    meds = grouped_exact_quantiles(toks(), "lang", "n_tokens", qs=(0.5,))
+    meds = grouped_exact_quantiles(toks(), "lang", "n_tokens", qs=(0.5,),
+                                   count_strategy="tree")
     parts = [t for t in ray.get(
         meds.select_columns(["lang", "p50"]).to_arrow_refs())
         if t.num_rows]  # empty exchange blocks carry an empty schema
@@ -2309,8 +2310,11 @@ def _q_spans_duration_quantiles(sf_dir: str):
     from opentelemetry_collector_ray.stages.spanops import (
         grouped_exact_quantiles)
 
+    # bounded keys (4 services) x bounded duration domain -> the
+    # map-only tree count beats the sort exchange ~2s at sf0.1
     return grouped_exact_quantiles(_spans(sf_dir), key="service",
-                                   value_col="duration_us")
+                                   value_col="duration_us",
+                                   count_strategy="tree")
 
 
 def _q_spans_tail_sampled(sf_dir: str):

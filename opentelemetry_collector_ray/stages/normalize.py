@@ -238,7 +238,11 @@ def _broadcast_medians(ds, key: str, col: str, max_groups: int,
     tuple — callers ray.put what they need)."""
     from .spanops import grouped_exact_quantiles
 
-    med = grouped_exact_quantiles(ds, key, col, qs=(0.5,)).materialize()
+    # bounded keys (max_groups) x bounded value domain (the operator's
+    # exact-integer contract) -> the distinct count table fits one
+    # task: the map-only tree combine beats the sort exchange ~5x
+    med = grouped_exact_quantiles(ds, key, col, qs=(0.5,),
+                                  count_strategy="tree").materialize()
     n_groups = med.count()
     if n_groups > int(max_groups):
         raise ValueError(
