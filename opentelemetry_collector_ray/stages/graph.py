@@ -130,9 +130,13 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
             return pa.table({"_d": pa.array(uniq),
                              "_c": pa.array(sums)})
 
+        # n_nodes is known and guarded: below 1M the whole contribution
+        # vector fits one task, so the map-only tree combine replaces
+        # the per-iteration sort exchange (~0.5 s/iteration locally)
+        strat = "tree" if n_nodes <= 1_000_000 else "shuffle"
         cpdf = grouped_agg(edges_factory().map_batches(
             contrib, batch_format="pyarrow"), ["_d"],
-            sum_cols={"_c": "_c"}, strategy="shuffle").to_pandas()
+            sum_cols={"_c": "_c"}, strategy=strat).to_pandas()
         incoming = np.zeros(n_nodes)
         incoming[cpdf["_d"].to_numpy()] = cpdf["_c"].to_numpy()
         dangling_mass = float(rank[dangling].sum())
