@@ -410,9 +410,22 @@ def exact_global_quantiles(ds: Dataset, col: str, qs: tuple[float, ...],
     per batch)."""
     import numpy as np
 
-    # max_distinct bounds the distinct-value table by contract, so the
-    # map-only tree combine (final task holds <= max_distinct rows) is
-    # safe and measured ~5x cheaper than the sort exchange
+    # the map-only tree combine is ~5x cheaper than the sort exchange
+    # but its final task holds the WHOLE distinct-value table — so the
+    # cardinality guard must fire BEFORE that task exists (review
+    # finding: a post-hoc count would OOM first). One cheap HLL pass
+    # (map-only, ~1.6% error, fanin+1 tiny rows moved) screens the
+    # domain; the exact count still runs below for the boundary band.
+    from .sketch import approx_distinct
+
+    est = approx_distinct(ds.select_columns([col]), col)
+    if est > float(max_distinct):
+        raise ValueError(
+            f"exact_global_quantiles: {col!r} has ~{int(est):,} distinct "
+            f"values (HLL estimate > max_distinct={int(max_distinct):,}); "
+            "the exact value-count table would not fit one task. Use the "
+            "mergeable KLL sketch (stages/sketch.py approx_quantiles) or "
+            "raise max_distinct if the cluster has headroom.")
     counts = grouped_count(ds.select_columns([col]), [col],
                            count_name="_n", strategy="tree")
     counts = counts.materialize()

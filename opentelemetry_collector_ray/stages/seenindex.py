@@ -57,8 +57,13 @@ def build_seen_index(ds: ray.data.Dataset, path: str,
                      text_col: str = "text",
                      n_shards: int = 64) -> None:
     """Write the fingerprint index for a corpus: one (h1, h2) row per
-    DISTINCT fingerprint, Hive-partitioned by shard."""
+    DISTINCT fingerprint, Hive-partitioned by shard. Also the append
+    path — so it heals a crashed compaction first (review finding: an
+    append into the crash window would otherwise create a FRESH index
+    and silently orphan the historical fingerprints in <path>.old)."""
     from .aggregate import grouped_count
+
+    _recover_index(path)
 
     fp = ds.map_batches(
         lambda t: pa.table(fingerprint_batch(t, text_col, n_shards)),

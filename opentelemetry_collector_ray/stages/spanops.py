@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -171,10 +172,30 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
     from .bucketing import bucketed_map_groups, key_segments
 
     # count_strategy="shuffle" (default) is the unbounded-key-safe
-    # choice; callers whose distinct (key, value) table provably fits
-    # one task (bounded keys x bounded value domain, e.g. the
-    # broadcast-stats operators) pass "tree" — map-only, measured ~5x
-    # cheaper than the sort exchange at 1M rows / 250k distinct.
+    # choice; callers whose distinct (key, value) table fits one task
+    # (bounded keys x bounded value domain, e.g. the broadcast-stats
+    # operators) pass "tree" — map-only, measured ~5x cheaper than the
+    # sort exchange at 1M rows / 250k distinct. Because tree's final
+    # combine holds the WHOLE distinct table, a cheap HLL screen over
+    # the (key, value) pairs fires loudly BEFORE that task can exist
+    # (never a worker OOM for an out-of-contract unbounded key).
+    if count_strategy == "tree":
+        from .sketch import approx_distinct
+
+        def _kv(t: pa.Table) -> pa.Table:
+            return pa.table({"_kv": pc.binary_join_element_wise(
+                pc.cast(t.column(key), pa.string()),
+                pc.cast(t.column(value_col), pa.string()), "\x1f")})
+
+        est = approx_distinct(
+            ds.select_columns([key, value_col]).map_batches(
+                _kv, batch_format="pyarrow"), "_kv")
+        if est > 20_000_000:
+            raise ValueError(
+                f"grouped_exact_quantiles: ~{int(est):,} distinct "
+                f"({key}, {value_col}) pairs (HLL estimate) — too large "
+                "for count_strategy='tree' (whole table in one task); "
+                "use the default count_strategy='shuffle'")
     counts = grouped_count(ds.select_columns([key, value_col]),
                            [key, value_col], count_name="_n",
                            strategy=count_strategy)

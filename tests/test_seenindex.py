@@ -119,3 +119,19 @@ def test_compaction_crash_window_recovers(ray_session, tmp_path):
     # and compaction itself also recovers from the same state
     os.rename(idx, idx + ".old")
     assert compact_seen_index(idx) == 2
+
+
+def test_append_into_crash_window_recovers_first(ray_session, tmp_path):
+    """append_to_index after a crashed compaction must heal the index,
+    not create a fresh one that orphans the history (review finding)."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    build_seen_index(_docs([(1, "old gold")]), idx, n_shards=2)
+    os.rename(idx, idx + ".old")  # crash window
+    append_to_index(_docs([(2, "newer")]), idx, n_shards=2)
+    # both the historical and the appended fingerprints must be live
+    surv = dedup_against_index(
+        _docs([(9, "old gold"), (10, "newer"), (11, "fresh")]),
+        idx).to_pandas()
+    assert surv["doc_id"].tolist() == [11]

@@ -795,3 +795,18 @@ def test_term_divergence_identities(ray_session):
 
     with pytest.raises(ValueError, match="max_vocab"):
         term_divergence(x, y, max_vocab=1).to_pandas()
+
+
+def test_exact_global_quantiles_hll_preguard(ray_session):
+    """The tree-strategy cardinality guard fires from the HLL screen
+    BEFORE any task holds the distinct table (review finding)."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantiles)
+
+    t = pa.table({"v": pa.array(np.arange(50_000), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    with pytest.raises(ValueError, match="HLL estimate"):
+        exact_global_quantiles(ds, "v", (0.5,), max_distinct=1_000)
