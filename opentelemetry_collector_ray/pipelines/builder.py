@@ -115,8 +115,19 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
         else:
             raise ValueError(f"unsupported receiver {name}")
     ds = datasets[0]
-    for other in datasets[1:]:
-        ds = ds.union(other)  # implicit fan-in union (graph.go:271-273)
+    if len(datasets) > 1:
+        # implicit fan-in union (graph.go:271-273); schema-evolution
+        # safe — receivers whose schemas differ by COLUMN SET merge
+        # with null-fill, mismatched TYPES still fail loudly
+        from ..stages.snapshot import union_by_name
+
+        schemas = [tuple(zip(d.schema().names, d.schema().types))
+                   for d in datasets]
+        if all(s == schemas[0] for s in schemas[1:]):
+            for other in datasets[1:]:
+                ds = ds.union(other)
+        else:
+            ds = union_by_name(datasets)
 
     for name in cfg.pipeline.get("processors", []):
         type_name = name.split("/")[0]

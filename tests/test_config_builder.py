@@ -730,3 +730,31 @@ def test_jsonl_sink_roundtrip(ray_session, tmp_path):
     back = read_jsonl(str(tmp_path / "out")).to_pandas().sort_values("id")
     assert back["id"].tolist() == [1, 2, 3]
     assert back["msg"].tolist() == ["a", "b", "c"]
+
+
+def test_multi_receiver_union_by_name(ray_session, tmp_path):
+    """Receivers whose schemas differ by column set fan in with
+    null-fill (schema evolution across file vintages)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    p1 = tmp_path / "v1.parquet"
+    p2 = tmp_path / "v2.parquet"
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64()),
+                             "a": pa.array(["x"])}), str(p1))
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64()),
+                             "a": pa.array(["y"]),
+                             "b": pa.array([9], pa.int64())}), str(p2))
+    df = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet/v1": {"paths": str(p1)},
+                      "parquet/v2": {"paths": str(p2)}},
+        "processors": {},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet/v1", "parquet/v2"],
+            "processors": [], "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("id")
+    assert df["id"].tolist() == [1, 2]
+    assert df["b"].fillna(-1).tolist() == [-1, 9]
