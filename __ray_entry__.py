@@ -1179,6 +1179,27 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (path mining / Markov
+    counts): per_key_window lead() over (ts, event_id) order, then a
+    bounded tree count of (event_type, next_type) pairs. Oracle = the
+    identical SQL lead() window + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count)
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "event_type"], floor=8)
+    w = per_key_window(ev, "user_id", ["ts", "event_id"],
+                       {"next_type": ("lead", "event_type")})
+    pairs = w.map_batches(
+        lambda t: t.select(["event_type", "next_type"]).filter(
+            pc.is_valid(t.column("next_type"))),
+        batch_format="pyarrow")
+    return grouped_count(pairs, ["event_type", "next_type"],
+                         count_name="n", strategy="tree")
+
+
 def _q_events_cohort_retention(sf_dir: str):
     """Cohort retention matrix (stages/cohort.py): users bucketed by
     first-event week, distinct-activity offsets counted per cohort —
@@ -2780,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_transitions": _q_events_transitions,
         "events_cohort_retention": _q_events_cohort_retention,
         "events_ottl_convert": _q_events_ottl_convert,
         "docs_token_budget": _q_docs_token_budget,
@@ -3083,6 +3105,15 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_transitions": """
+WITH w AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS next_type
+           FROM events)
+SELECT event_type, next_type, count(*) AS n
+FROM w WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
 """,
         "events_cohort_retention": """
 WITH p AS (SELECT user_id,
