@@ -2409,6 +2409,29 @@ def _q_spans_busy_periods(sf_dir: str):
                            out_end="busy_end_us", count_name="n_spans")
 
 
+def _q_spans_concurrency(sf_dir: str):
+    """Sweep-line span concurrency (stages/intervals.py
+    concurrency_profile): ±1 boundary deltas range-partition-sorted by
+    (service, time, delta) — a key's total delta is zero, so the GLOBAL
+    prefix sum IS the per-key running concurrency with no base
+    correction. Oracle = UNION ALL deltas + SUM OVER the same order."""
+    from opentelemetry_collector_ray.stages.intervals import (
+        concurrency_profile)
+
+    def make():
+        def prep(t: pa.Table) -> pa.Table:
+            start_us = pc.cast(pc.cast(t.column("start_ts"),
+                                       pa.timestamp("us")), pa.int64())
+            return pa.table({
+                "service": t.column("service"),
+                "start_us": start_us,
+                "end_us": pc.add(start_us, t.column("duration_us"))})
+
+        return _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+
+    return concurrency_profile(make, "service", "start_us", "end_us")
+
+
 def _q_events_exp_histogram(sf_dir: str):
     """Base-2 exponential histogram of integer cents per event type
     (pmetric ExponentialHistogram analog; null idx = OTel zero bucket)."""
@@ -2795,6 +2818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_stats": _q_docs_dup_stats,
         "orders_decile": _q_orders_decile,
         "spans_busy_periods": _q_spans_busy_periods,
+        "spans_concurrency": _q_spans_concurrency,
         "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
         "events_outliers": _q_events_outliers,
         "orders_cc": _q_orders_cc,
@@ -3947,6 +3971,21 @@ SELECT p.service AS client, c.service AS server,
 FROM spans c JOIN spans p
   ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
 GROUP BY p.service, c.service
+""",
+        "spans_concurrency": f"""
+WITH {SPANS_CTE.strip()},
+d AS (SELECT service, CAST(epoch_us(start_ts) AS BIGINT) AS t,
+             CAST(1 AS BIGINT) AS delta
+      FROM spans
+      UNION ALL
+      SELECT service,
+             CAST(epoch_us(start_ts) AS BIGINT) + duration_us,
+             CAST(-1 AS BIGINT)
+      FROM spans)
+SELECT service, t, delta,
+       CAST(sum(delta) OVER (PARTITION BY service ORDER BY t, delta
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+FROM d
 """,
         "spans_busy_periods": f"""
 WITH {SPANS_CTE.strip()},

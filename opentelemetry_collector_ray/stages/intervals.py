@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -137,3 +138,75 @@ def merge_intervals(ds: ray.data.Dataset, key: str, start_col: str,
         return m.rename_columns([key, out_start, out_end, count_name])
 
     return bucketed_map_groups(ds, key, final, n_buckets=n_buckets)
+
+
+def concurrency_profile(make_ds, key: str, start_col: str,
+                        end_col: str, *, out_time: str = "t",
+                        out_conc: str = "concurrency",
+                        num_partitions: int | None = None,
+                        persist: str = "none") -> ray.data.Dataset:
+    """Sweep-line concurrency: for every interval boundary, how many
+    intervals of that ``key`` are open — the span-concurrency /
+    active-sessions profile behind the busy-period rollup. Half-open
+    semantics: at equal time, ends (-1) sort before starts (+1), so
+    touching intervals never overlap.
+
+    Scale shape — a composition with NO whole-key task (unlike the
+    merge, a profile cannot pre-reduce, so a per-key bucket would hold
+    a hot key's entire stream): each interval emits two delta rows,
+    ``global_sort`` range-partitions them by (key, time, delta) with a
+    dense global rank, and ``ordered_prefix_sum`` over that rank gives
+    the running sum. Because every interval adds +1 and -1 to the SAME
+    key, each key's total delta is zero — the global prefix at a key's
+    first row is exactly zero, so the GLOBAL running sum equals the
+    per-key running sum with no per-key base correction at all.
+
+    Output: ``key``, ``out_time`` (boundary), ``delta`` (+1/-1),
+    ``out_conc`` (inclusive running concurrency). ``make_ds`` is a
+    zero-arg factory (two-pass sort contract; ``persist=`` as usual).
+    """
+    from .packing import ordered_prefix_sum
+    from .sort import global_sort
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t.column(start_col).to_numpy(zero_copy_only=False)
+        e = t.column(end_col).to_numpy(zero_copy_only=False)
+        if not (np.issubdtype(s.dtype, np.integer)
+                and np.issubdtype(e.dtype, np.integer)):
+            raise TypeError(
+                f"concurrency_profile: {start_col!r}/{end_col!r} must "
+                f"be integer columns, got {s.dtype}/{e.dtype}")
+        bad = np.flatnonzero(e < s)
+        if len(bad):
+            raise ValueError(
+                f"concurrency_profile: {len(bad)} rows with "
+                f"{end_col} < {start_col}")
+        n = t.num_rows
+        k = t.column(key).combine_chunks()
+        kk = pa.chunked_array([k, k]).combine_chunks()
+        return pa.table({
+            key: kk,
+            out_time: pa.array(np.concatenate([s, e]).astype(np.int64)),
+            "delta": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)])),
+        })
+
+    def make_deltas():
+        return make_ds().select_columns(
+            [key, start_col, end_col]).map_batches(
+            deltas, batch_format="pyarrow")
+
+    srt = global_sort(make_deltas, [key, out_time, "delta"],
+                      rank_col="_rank", num_partitions=num_partitions,
+                      persist=persist)
+    cum = ordered_prefix_sum(lambda: srt, "_rank", "delta",
+                             out_col="_before")
+
+    def finish(t: pa.Table) -> pa.Table:
+        conc = pc.add(t.column("_before"), t.column("delta"))
+        return pa.table({key: t.column(key),
+                         out_time: t.column(out_time),
+                         "delta": t.column("delta"),
+                         out_conc: pc.cast(conc, pa.int64())})
+
+    return cum.map_batches(finish, batch_format="pyarrow")

@@ -125,3 +125,57 @@ def test_merge_yaml_parity(ray_session, tmp_path):
         ray.data.read_parquet(str(p)), "k", "s", "e").to_pandas()
     assert sorted(map(tuple, y.values.tolist())) == \
         sorted(map(tuple, direct.values.tolist()))
+
+
+def test_concurrency_profile_planted(ray_session):
+    from opentelemetry_collector_ray.stages.intervals import (
+        concurrency_profile)
+
+    rows = [("a", 0, 10), ("a", 5, 15), ("a", 10, 20),  # 10: end+start tie
+            ("b", 0, 4)]
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "s": pa.array([r[1] for r in rows], pa.int64()),
+                  "e": pa.array([r[2] for r in rows], pa.int64())})
+
+    def make():
+        return ray.data.from_arrow(t).repartition(2)
+
+    out = concurrency_profile(make, "k", "s", "e").to_pandas()
+    a = out[out["k"] == "a"].sort_values(["t", "delta"])
+    # ends sort before starts at t=10: conc path 1,2,1,2,1,0
+    assert list(zip(a["t"], a["delta"], a["concurrency"])) == [
+        (0, 1, 1), (5, 1, 2), (10, -1, 1), (10, 1, 2),
+        (15, -1, 1), (20, -1, 0)]
+    b = out[out["k"] == "b"].sort_values(["t", "delta"])
+    assert b["concurrency"].tolist() == [1, 0]  # key b unaffected by a
+
+
+def test_concurrency_profile_duckdb_parity(ray_session):
+    rng = np.random.default_rng(21)
+    n = 800
+    t = pa.table({
+        "k": pa.array([f"s{v}" for v in rng.integers(0, 4, n)]),
+        "s": pa.array(rng.integers(0, 500, n).astype(np.int64))})
+    t = t.append_column("e", pa.array(
+        t.column("s").to_numpy(zero_copy_only=False)
+        + rng.integers(0, 60, n)))
+    from opentelemetry_collector_ray.stages.intervals import (
+        concurrency_profile)
+
+    got = concurrency_profile(
+        lambda: ray.data.from_arrow(t).repartition(4),
+        "k", "s", "e").to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    want = con.sql("""
+WITH d AS (SELECT k, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+           UNION ALL SELECT k, e, CAST(-1 AS BIGINT) FROM iv)
+SELECT k, t, delta, CAST(sum(delta) OVER (PARTITION BY k
+       ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       AS concurrency
+FROM d
+""").df()
+    cols = ["k", "t", "delta", "concurrency"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == \
+        sorted(map(tuple, want[cols].values.tolist()))
+    assert got["concurrency"].max() > 1  # real overlap exercised
