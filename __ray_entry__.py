@@ -1179,6 +1179,27 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_value_trend(sf_dir: str):
+    """EXACT per-key OLS trend (stages/metricsops.py grouped_trend —
+    "is this metric drifting?"): slope of cents over day index as a
+    scaled truncating integer quotient from one mergeable-partials
+    pass. Oracle = the identical HUGEINT expression (DuckDB // also
+    truncates)."""
+    from opentelemetry_collector_ray.stages.metricsops import (
+        grouped_trend)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": pc.divide(us, 86_400_000_000),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "ts", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_trend(pre, "event_type", "day", "cents")
+
+
 def _q_events_transitions(sf_dir: str):
     """Per-user event-type transition matrix (path mining / Markov
     counts): per_key_window lead() over (ts, event_id) order, then a
@@ -2825,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_value_trend": _q_events_value_trend,
         "events_transitions": _q_events_transitions,
         "events_cohort_retention": _q_events_cohort_retention,
         "events_ottl_convert": _q_events_ottl_convert,
@@ -3129,6 +3151,25 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_value_trend": """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(day) AS HUGEINT) AS sx,
+             CAST(sum(cents) AS HUGEINT) AS sy,
+             CAST(sum(day * cents) AS HUGEINT) AS sxy,
+             CAST(sum(day * day) AS HUGEINT) AS sxx
+      FROM e GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST((1000000 * (n * sxy - sx * sy))
+                      // (n * sxx - sx * sx) AS BIGINT)
+       END AS slope_scaled
+FROM s
 """,
         "events_transitions": """
 WITH w AS (SELECT event_type,

@@ -111,3 +111,90 @@ def gauge_last(ds: ray.data.Dataset, key: str, order_cols: list[str],
     return bucketed_map_groups(
         ds.select_columns([key, value_col] + order_cols), key, last_per_key,
         n_buckets=n_buckets)
+
+
+def grouped_trend(ds, key: str, x_col: str, y_col: str,
+                  scale: int = 1_000_000,
+                  max_groups: int = 1_000_000):
+    """EXACT per-key OLS trend — "is this metric drifting?" as a
+    first-class aggregate: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    emitted as the scaled TRUNCATING integer quotient ``slope_scaled =
+    trunc(scale · num / den)`` so the HUGEINT SQL oracle matches bit
+    for bit (DuckDB ``//`` truncates toward zero — mirrored here;
+    constant-x keys emit null). One mergeable-partials pass (n, Σx,
+    Σy, Σxy, Σx², shuffle strategy — skew-neutral), then exact Python
+    ints over the per-key table (``max_groups``-guarded); int64 partial
+    overflow is guarded from the non-wrapping min/max/count lanes the
+    same way ``sigma_outliers`` does.
+
+    ``x_col``/``y_col`` must be integers; rebase wide x domains (e.g.
+    epoch-µs → day index) so n·max|x|·max|y| stays inside int64."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False)
+        if not (np.issubdtype(x.dtype, np.integer)
+                and np.issubdtype(y.dtype, np.integer)):
+            raise TypeError(
+                f"grouped_trend: {x_col!r}/{y_col!r} must be integer "
+                f"columns, got {x.dtype}/{y.dtype}")
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        if len(x):
+            mx = int(np.abs(x).max())
+            my = int(np.abs(y).max())
+            if mx * my >= 2 ** 62 or mx * mx >= 2 ** 62:
+                raise ValueError(
+                    "grouped_trend: |x|*|y| or x^2 would overflow the "
+                    "int64 product partials; rebase/pre-scale x")
+        return pa.table({key: t.column(key),
+                         "_x": pa.array(x), "_y": pa.array(y),
+                         "_xy": pa.array(x * y),
+                         "_xx": pa.array(x * x)})
+
+    pre = ds.select_columns([key, x_col, y_col]).map_batches(
+        prep, batch_format="pyarrow")
+    gt = grouped_agg(pre, [key], count_name="_n",
+                     sum_cols={"_sx": "_x", "_sy": "_y",
+                               "_sxy": "_xy", "_sxx": "_xx"},
+                     min_cols={"_mnx": "_x", "_mny": "_y"},
+                     max_cols={"_mxx": "_x", "_mxy": "_y"},
+                     strategy="shuffle").materialize()
+    n_groups = gt.count()
+    if n_groups > int(max_groups):
+        raise ValueError(
+            f"grouped_trend: {key!r} has {n_groups:,} groups "
+            f"(> max_groups={int(max_groups):,})")
+    pdf = gt.to_pandas()
+    keys_out, ns, slopes = [], [], []
+    for r in pdf.to_dict("records"):  # itertuples mangles _-names
+        n = int(r["_n"])
+        mabs_x = max(abs(int(r["_mnx"])), abs(int(r["_mxx"])))
+        mabs_y = max(abs(int(r["_mny"])), abs(int(r["_mxy"])))
+        # the distributed int64 sums wrap silently past 2^63; the
+        # non-wrapping count/min/max lanes bound them exactly
+        if n * mabs_x * mabs_y >= 2 ** 63 or n * mabs_x * mabs_x >= 2 ** 63:
+            raise ValueError(
+                "grouped_trend: n*max|x|*max|y| could overflow the "
+                "int64 sum partials; rebase x or bucket the key")
+        sx, sy = int(r["_sx"]), int(r["_sy"])
+        sxy, sxx = int(r["_sxy"]), int(r["_sxx"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        keys_out.append(r[key])
+        ns.append(n)
+        if den == 0:
+            slopes.append(None)
+        else:
+            q = abs(int(scale) * num) // abs(den)
+            slopes.append(-q if (num < 0) != (den < 0) else q)
+    return ray.data.from_arrow(pa.table({
+        key: pa.array(keys_out),
+        "n": pa.array(ns, pa.int64()),
+        "slope_scaled": pa.array(slopes, pa.int64())}))

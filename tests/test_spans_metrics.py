@@ -187,3 +187,36 @@ def test_span_links_root_reference(tiny_events):
         derive_spans(tiny_events))).to_pandas()
     assert len(flat) == 2  # spans 14 and 99 are single-span-trace roots
     assert set(flat.link_span_id) == {f"{11:016x}"}
+
+
+def test_grouped_trend_planted(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import grouped_trend
+
+    # key a: perfect slope 3 (y = 3x + 1); key b: constant x -> null;
+    # key c: negative slope -2 (truncation sign matters)
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 2 + ["c"] * 3),
+        "x": pa.array([0, 1, 2, 3, 5, 5, 0, 1, 2], pa.int64()),
+        "y": pa.array([1, 4, 7, 10, 9, 11, 10, 8, 6], pa.int64())})
+    out = grouped_trend(ray.data.from_arrow(t).repartition(3),
+                        "k", "x", "y").to_pandas()
+    got = dict(zip(out["k"], out["slope_scaled"]))
+    assert got["a"] == 3_000_000
+    assert got["c"] == -2_000_000
+    import pandas as pd
+    assert pd.isna(got["b"])
+    # truncation (not floor) on a negative non-exact quotient: slope
+    # -1/3 -> -333333 (DuckDB // semantics), never -333334
+    t2 = pa.table({"k": pa.array(["z"] * 3),
+                   "x": pa.array([0, 1, 2], pa.int64()),
+                   "y": pa.array([1, 1, 0], pa.int64())})
+    o2 = grouped_trend(ray.data.from_arrow(t2), "k", "x", "y").to_pandas()
+    assert o2["slope_scaled"].tolist() == [-500000]
+    tf = pa.table({"k": pa.array(["a"]), "x": pa.array([1.0]),
+                   "y": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="integer"):
+        grouped_trend(ray.data.from_arrow(tf), "k", "x", "y").to_pandas()
