@@ -3162,13 +3162,21 @@ s AS (SELECT event_type,
              CAST(sum(day) AS HUGEINT) AS sx,
              CAST(sum(cents) AS HUGEINT) AS sy,
              CAST(sum(day * cents) AS HUGEINT) AS sxy,
-             CAST(sum(day * day) AS HUGEINT) AS sxx
+             CAST(sum(day * day) AS HUGEINT) AS sxx,
+             CAST(sum(cents * cents) AS HUGEINT) AS syy
       FROM e GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n,
        CASE WHEN n * sxx - sx * sx = 0 THEN NULL
             ELSE CAST((1000000 * (n * sxy - sx * sy))
                       // (n * sxx - sx * sx) AS BIGINT)
-       END AS slope_scaled
+       END AS slope_scaled,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN NULL
+            ELSE CAST((1000000 * (n * sxy - sx * sy)
+                       * (n * sxy - sx * sy))
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      AS BIGINT)
+       END AS r2_scaled
 FROM s
 """,
         "events_transitions": """

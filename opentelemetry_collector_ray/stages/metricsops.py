@@ -121,7 +121,10 @@ def grouped_trend(ds, key: str, x_col: str, y_col: str,
     emitted as the scaled TRUNCATING integer quotient ``slope_scaled =
     trunc(scale · num / den)`` so the HUGEINT SQL oracle matches bit
     for bit (DuckDB ``//`` truncates toward zero — mirrored here;
-    constant-x keys emit null). One mergeable-partials pass (n, Σx,
+    constant-x keys emit null), plus the exact rational fit quality
+    ``r2_scaled = trunc(scale · num² / (den_x · den_y))`` (null when
+    either variance is zero — num² ≥ 0 and den_x·den_y > 0 otherwise,
+    so plain truncating division needs no sign handling). One mergeable-partials pass (n, Σx,
     Σy, Σxy, Σx², shuffle strategy — skew-neutral), then exact Python
     ints over the per-key table (``max_groups``-guarded); int64 partial
     overflow is guarded from the non-wrapping min/max/count lanes the
@@ -153,16 +156,22 @@ def grouped_trend(ds, key: str, x_col: str, y_col: str,
                 raise ValueError(
                     "grouped_trend: |x|*|y| or x^2 would overflow the "
                     "int64 product partials; rebase/pre-scale x")
+        if len(y) and int(np.abs(y).max()) ** 2 >= 2 ** 62:
+            raise ValueError(
+                "grouped_trend: y^2 would overflow the int64 product "
+                "partials; pre-scale y")
         return pa.table({key: t.column(key),
                          "_x": pa.array(x), "_y": pa.array(y),
                          "_xy": pa.array(x * y),
-                         "_xx": pa.array(x * x)})
+                         "_xx": pa.array(x * x),
+                         "_yy": pa.array(y * y)})
 
     pre = ds.select_columns([key, x_col, y_col]).map_batches(
         prep, batch_format="pyarrow")
     gt = grouped_agg(pre, [key], count_name="_n",
                      sum_cols={"_sx": "_x", "_sy": "_y",
-                               "_sxy": "_xy", "_sxx": "_xx"},
+                               "_sxy": "_xy", "_sxx": "_xx",
+                               "_syy": "_yy"},
                      min_cols={"_mnx": "_x", "_mny": "_y"},
                      max_cols={"_mxx": "_x", "_mxy": "_y"},
                      strategy="shuffle").materialize()
@@ -172,21 +181,24 @@ def grouped_trend(ds, key: str, x_col: str, y_col: str,
             f"grouped_trend: {key!r} has {n_groups:,} groups "
             f"(> max_groups={int(max_groups):,})")
     pdf = gt.to_pandas()
-    keys_out, ns, slopes = [], [], []
+    keys_out, ns, slopes, r2s = [], [], [], []
     for r in pdf.to_dict("records"):  # itertuples mangles _-names
         n = int(r["_n"])
         mabs_x = max(abs(int(r["_mnx"])), abs(int(r["_mxx"])))
         mabs_y = max(abs(int(r["_mny"])), abs(int(r["_mxy"])))
         # the distributed int64 sums wrap silently past 2^63; the
         # non-wrapping count/min/max lanes bound them exactly
-        if n * mabs_x * mabs_y >= 2 ** 63 or n * mabs_x * mabs_x >= 2 ** 63:
+        if n * mabs_x * mabs_y >= 2 ** 63 or n * mabs_x * mabs_x >= 2 ** 63 \
+                or n * mabs_y * mabs_y >= 2 ** 63:
             raise ValueError(
                 "grouped_trend: n*max|x|*max|y| could overflow the "
                 "int64 sum partials; rebase x or bucket the key")
         sx, sy = int(r["_sx"]), int(r["_sy"])
         sxy, sxx = int(r["_sxy"]), int(r["_sxx"])
+        syy = int(r["_syy"])
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
         keys_out.append(r[key])
         ns.append(n)
         if den == 0:
@@ -194,7 +206,14 @@ def grouped_trend(ds, key: str, x_col: str, y_col: str,
         else:
             q = abs(int(scale) * num) // abs(den)
             slopes.append(-q if (num < 0) != (den < 0) else q)
+        # r^2 = num^2 / (den_x * den_y) — exact rational, truncating;
+        # null when either variance is zero
+        if den == 0 or den_y == 0:
+            r2s.append(None)
+        else:
+            r2s.append((int(scale) * num * num) // (den * den_y))
     return ray.data.from_arrow(pa.table({
         key: pa.array(keys_out),
         "n": pa.array(ns, pa.int64()),
-        "slope_scaled": pa.array(slopes, pa.int64())}))
+        "slope_scaled": pa.array(slopes, pa.int64()),
+        "r2_scaled": pa.array(r2s, pa.int64())}))

@@ -205,8 +205,10 @@ def test_grouped_trend_planted(ray_session):
     out = grouped_trend(ray.data.from_arrow(t).repartition(3),
                         "k", "x", "y").to_pandas()
     got = dict(zip(out["k"], out["slope_scaled"]))
+    r2 = dict(zip(out["k"], out["r2_scaled"]))
     assert got["a"] == 3_000_000
     assert got["c"] == -2_000_000
+    assert r2["a"] == 1_000_000 and r2["c"] == 1_000_000  # perfect fits
     import pandas as pd
     assert pd.isna(got["b"])
     # truncation (not floor) on a negative non-exact quotient: slope
