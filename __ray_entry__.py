@@ -1179,6 +1179,19 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_type_users(sf_dir: str):
+    """EXACT per-key COUNT DISTINCT (stages/aggregate.py
+    grouped_count_distinct): distinct users per event type via two
+    chained two-phase counts — only distinct (type, user) pairs ever
+    flow. Oracle = SQL count(DISTINCT)."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count_distinct)
+
+    return grouped_count_distinct(
+        _read_co(sf_dir, "events", ["event_type", "user_id"], floor=8),
+        ["event_type"], "user_id", out_name="n_users")
+
+
 def _q_events_value_trend(sf_dir: str):
     """EXACT per-key OLS trend (stages/metricsops.py grouped_trend —
     "is this metric drifting?"): slope of cents over day index as a
@@ -2846,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_type_users": _q_events_type_users,
         "events_value_trend": _q_events_value_trend,
         "events_transitions": _q_events_transitions,
         "events_cohort_retention": _q_events_cohort_retention,
@@ -3151,6 +3165,10 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_type_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """,
         "events_value_trend": """
 WITH e AS (SELECT event_type,

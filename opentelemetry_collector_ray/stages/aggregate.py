@@ -248,6 +248,27 @@ def count_distinct(ds: Dataset, cols: list[str], out_name: str = "n_distinct",
     return final
 
 
+def grouped_count_distinct(ds: Dataset, keys: list[str],
+                           distinct_col: str,
+                           out_name: str = "n_distinct",
+                           final_strategy: str = "tree") -> Dataset:
+    """EXACT per-key COUNT(DISTINCT distinct_col) — two chained
+    two-phase counts: phase 1 reduces the corpus to its distinct
+    (keys, distinct_col) rows (shuffle strategy — the (key, value)
+    domain is unbounded and skew-neutralized by the per-batch
+    partials), phase 2 counts those rows per key
+    (``final_strategy="tree"`` for bounded roll-up keys — the default
+    use; pass ``"shuffle"`` for unbounded keys). Nothing ever holds a
+    key's raw rows in one task; only distinct pairs flow."""
+    dd = grouped_count(ds.select_columns(keys + [distinct_col]),
+                       keys + [distinct_col], count_name="_dc",
+                       strategy="shuffle")
+    return grouped_count(
+        dd.map_batches(lambda t: t.drop_columns(["_dc"]),
+                       batch_format="pyarrow"),
+        keys, count_name=out_name, strategy=final_strategy)
+
+
 class VectorSumStage:
     """Per-batch partial for element-wise vector aggregation: per key, the
     vector SUM and row count (mergeable → mean at the end)."""

@@ -810,3 +810,26 @@ def test_exact_global_quantiles_hll_preguard(ray_session):
     ds = ray.data.from_arrow(t).repartition(4)
     with pytest.raises(ValueError, match="HLL estimate"):
         exact_global_quantiles(ds, "v", (0.5,), max_distinct=1_000)
+
+
+def test_grouped_count_distinct(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count_distinct)
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    t = pa.table({"k": pa.array([f"g{v}" for v in rng.integers(0, 3, n)]),
+                  "u": pa.array(rng.integers(0, 40, n).astype(np.int64))})
+    out = grouped_count_distinct(
+        ray.data.from_arrow(t).repartition(6), ["k"],
+        "u").to_pandas()
+    import pandas as pd
+    want = pd.DataFrame(t.to_pandas().groupby("k")["u"].nunique()
+                        ).reset_index().rename(columns={"u": "n_distinct"})
+    got = out.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n_distinct"].tolist() == want["n_distinct"].tolist()
