@@ -260,13 +260,19 @@ def grouped_count_distinct(ds: Dataset, keys: list[str],
     (``final_strategy="tree"`` for bounded roll-up keys — the default
     use; pass ``"shuffle"`` for unbounded keys). Nothing ever holds a
     key's raw rows in one task; only distinct pairs flow."""
-    dd = grouped_count(ds.select_columns(keys + [distinct_col]),
-                       keys + [distinct_col], count_name="_dc",
-                       strategy="shuffle")
-    return grouped_count(
-        dd.map_batches(lambda t: t.drop_columns(["_dc"]),
-                       batch_format="pyarrow"),
-        keys, count_name=out_name, strategy=final_strategy)
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        # SQL COUNT(DISTINCT) ignores NULLs; Arrow group_by would count
+        # the null group as a distinct value (review finding)
+        return t.filter(pc.is_valid(t.column(distinct_col)))
+
+    dd = grouped_count(
+        ds.select_columns(keys + [distinct_col]).map_batches(
+            drop_nulls, batch_format="pyarrow"),
+        keys + [distinct_col], count_name="_dc", strategy="shuffle")
+    # phase 2 groups by `keys` only — the extra _dc column is ignored
+    # by PartialCountStage, no projection pass needed
+    return grouped_count(dd, keys, count_name=out_name,
+                         strategy=final_strategy)
 
 
 class VectorSumStage:

@@ -212,8 +212,13 @@ def grouped_trend(ds, key: str, x_col: str, y_col: str,
             r2s.append(None)
         else:
             r2s.append((int(scale) * num * num) // (den * den_y))
+    # schema-stable on empty input: the key's type comes from the
+    # INPUT schema (a fully-empty materialized aggregate reports none)
+    in_sch = ds.schema()
+    key_type = (dict(zip(in_sch.names, in_sch.types)).get(key)
+                if in_sch and in_sch.names else None) or pa.string()
     return ray.data.from_arrow(pa.table({
-        key: pa.array(keys_out),
+        key: pa.array(keys_out, key_type),
         "n": pa.array(ns, pa.int64()),
         "slope_scaled": pa.array(slopes, pa.int64()),
         "r2_scaled": pa.array(r2s, pa.int64())}))

@@ -211,13 +211,20 @@ def test_grouped_trend_planted(ray_session):
     assert r2["a"] == 1_000_000 and r2["c"] == 1_000_000  # perfect fits
     import pandas as pd
     assert pd.isna(got["b"])
-    # truncation (not floor) on a negative non-exact quotient: slope
-    # -1/3 -> -333333 (DuckDB // semantics), never -333334
+    # truncation (not floor) on a negative NON-EXACT quotient: slope
+    # -2/7 -> -285714 (DuckDB // truncates), a floor would give -285715
     t2 = pa.table({"k": pa.array(["z"] * 3),
-                   "x": pa.array([0, 1, 2], pa.int64()),
-                   "y": pa.array([1, 1, 0], pa.int64())})
+                   "x": pa.array([0, 1, 3], pa.int64()),
+                   "y": pa.array([1, 0, 0], pa.int64())})
     o2 = grouped_trend(ray.data.from_arrow(t2), "k", "x", "y").to_pandas()
-    assert o2["slope_scaled"].tolist() == [-500000]
+    assert o2["slope_scaled"].tolist() == [-285714]
+    # and the empty input keeps a typed schema
+    te = pa.table({"k": pa.array([], pa.string()),
+                   "x": pa.array([], pa.int64()),
+                   "y": pa.array([], pa.int64())})
+    oe = grouped_trend(ray.data.from_arrow(te), "k", "x", "y")
+    sch = dict(zip(oe.schema().names, oe.schema().types))
+    assert str(sch["k"]) == "string"
     tf = pa.table({"k": pa.array(["a"]), "x": pa.array([1.0]),
                    "y": pa.array([1], pa.int64())})
     with pytest.raises(Exception, match="integer"):

@@ -833,3 +833,20 @@ def test_grouped_count_distinct(ray_session):
     want = want.sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == want["k"].tolist()
     assert got["n_distinct"].tolist() == want["n_distinct"].tolist()
+
+
+def test_grouped_count_distinct_ignores_nulls(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count_distinct)
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "b"]),
+                  "u": pa.array([1, None, 1, None], pa.int64())})
+    out = grouped_count_distinct(ray.data.from_arrow(t), ["k"],
+                                 "u").to_pandas()
+    got = dict(zip(out["k"], out["n_distinct"]))
+    # SQL count(DISTINCT u): a -> 1 (null ignored); b -> 0 rows AFTER
+    # the null drop, so b emits no row at all (matches GROUP BY over
+    # the filtered rows — SQL emits b with 0 only via LEFT semantics)
+    assert got == {"a": 1}
