@@ -1179,6 +1179,36 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_cusum(sf_dir: str):
+    """Per-key one-sided CUSUM change scores (stages/metricsops.py
+    cusum_scores): deviations from the EXACT global median cents,
+    scanned per event type in (ts, event_id) order — the classic
+    max(0, S+d) recursion as one cumsum + one segment-lifted running
+    min. Oracle = two SQL window functions + GREATEST with the same
+    quantile_disc target."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantile)
+    from opentelemetry_collector_ray.stages.metricsops import (
+        cusum_scores)
+
+    def make():
+        return _read_co(sf_dir, "events",
+                        ["event_id", "event_type", "ts", "value"],
+                        floor=8).map_batches(
+            lambda t: pa.table({"event_id": t.column("event_id"),
+                                "event_type": t.column("event_type"),
+                                "ts": t.column("ts"),
+                                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+
+    med = exact_global_quantile(make(), "cents", 0.5)
+    out = cusum_scores(make(), "event_type", ["ts", "event_id"],
+                       "cents", target=med)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "cusum"]),
+        batch_format="pyarrow")
+
+
 def _q_events_type_users(sf_dir: str):
     """EXACT per-key COUNT DISTINCT (stages/aggregate.py
     grouped_count_distinct): distinct users per event type via two
@@ -2859,6 +2889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_cusum": _q_events_cusum,
         "events_type_users": _q_events_type_users,
         "events_value_trend": _q_events_value_trend,
         "events_transitions": _q_events_transitions,
@@ -3165,6 +3196,23 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_cusum": """
+WITH e AS (SELECT event_id, event_type, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM e),
+p AS (SELECT e.event_id, e.event_type, e.ts,
+             sum(e.cents - m.med) OVER (PARTITION BY e.event_type
+                 ORDER BY e.ts, e.event_id
+                 ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e, m),
+r AS (SELECT *, min(pre) OVER (PARTITION BY event_type
+          ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS runmin FROM p)
+SELECT event_id, event_type,
+       CAST(pre - LEAST(runmin, 0) AS BIGINT) AS cusum
+FROM r
 """,
         "events_type_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -222,3 +222,63 @@ def grouped_trend(ds, key: str, x_col: str, y_col: str,
         "n": pa.array(ns, pa.int64()),
         "slope_scaled": pa.array(slopes, pa.int64()),
         "r2_scaled": pa.array(r2s, pa.int64())}))
+
+
+def cusum_scores(ds, key: str, order_by: list[str], value_col: str, *,
+                 target: int, drift: int = 0,
+                 n_buckets="auto"):
+    """Per-key one-sided CUSUM change detection — "when did this metric
+    shift upward?" exactly: the classic recursion ``S_i = max(0,
+    S_{i-1} + (x_i − target − drift))`` has the closed form ``S_i =
+    P_i − min(0, min_{j≤i} P_j)`` over the deviation prefix sums P, so
+    the whole per-key scan vectorizes as one cumsum + one
+    segment-lifted running min (the stages/window.py lift idiom) per
+    bucket — and the SQL oracle is two window functions + GREATEST.
+    All integer; ``target``/``drift`` are constants (pre-subtract a
+    per-key baseline upstream for per-key targets).
+
+    Appends ``cusum`` (int64). Keys may be unbounded (bucket idiom);
+    rows come back in bucket-sort order like every window op here."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .bucketing import bucketed_map_groups, key_segments
+
+    shift = int(target) + int(drift)
+    sort_spec = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_by]
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        x = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(x.dtype, np.integer):
+            raise TypeError(
+                f"cusum_scores: {value_col!r} must be an integer "
+                f"column, got {x.dtype}")
+        n = len(x)
+        if not n:
+            return t.append_column("cusum", pa.array([], pa.int64()))
+        d = x.astype(np.int64) - shift
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys)
+        c = np.cumsum(d)
+        # per-segment prefix: rebase to the segment's own start
+        p = c - (c[seg_start] - d[seg_start])
+        lo, hi = int(p.min()), int(p.max())
+        seg_id = np.cumsum(change) - 1
+        n_seg = int(seg_id[-1]) + 1
+        stride = (hi - lo) + 2
+        if stride > (2 ** 62) // max(n_seg, 1):
+            raise ValueError(
+                "cusum_scores: lifted composite would overflow; raise "
+                "n_buckets or narrow the value range")
+        # NB the lift goes DOWNWARD for a running MIN: each later
+        # segment must sit BELOW every earlier segment's minimum so the
+        # global minimum.accumulate cannot leak across the boundary
+        # (the cummax idiom lifts upward — inverted here)
+        runmin = (np.minimum.accumulate((p - lo) - seg_id * stride)
+                  + seg_id * stride + lo)
+        s = p - np.minimum(runmin, 0)
+        return t.append_column("cusum", pa.array(s.astype(np.int64)))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

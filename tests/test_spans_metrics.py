@@ -229,3 +229,65 @@ def test_grouped_trend_planted(ray_session):
                    "y": pa.array([1], pa.int64())})
     with pytest.raises(Exception, match="integer"):
         grouped_trend(ray.data.from_arrow(tf), "k", "x", "y").to_pandas()
+
+
+def test_cusum_scores_planted_multikey(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import cusum_scores
+
+    # classic recursion, two keys FORCED into one bucket so a
+    # cross-segment running-min leak (the inverted-lift bug) would show
+    def ref(ds_, target):
+        s, out = 0, []
+        for d in ds_:
+            s = max(0, s + d - target)
+            out.append(s)
+        return out
+
+    a_vals = [14, 4, 7, 25, 25, 3, 30]
+    b_vals = [1, 2, 30, 1]
+    t = pa.table({
+        "k": pa.array(["a"] * len(a_vals) + ["b"] * len(b_vals)),
+        "i": pa.array(list(range(len(a_vals))) + list(range(len(b_vals))),
+                      pa.int64()),
+        "v": pa.array(a_vals + b_vals, pa.int64())})
+    out = cusum_scores(ray.data.from_arrow(t).repartition(3),
+                       "k", ["i"], "v", target=10,
+                       n_buckets=1).to_pandas()
+    a = out[out["k"] == "a"].sort_values("i")["cusum"].tolist()
+    b = out[out["k"] == "b"].sort_values("i")["cusum"].tolist()
+    assert a == ref(a_vals, 10)
+    assert b == ref(b_vals, 10)  # b starts at 0, no leak from a
+
+
+def test_cusum_scores_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import cusum_scores
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    t = pa.table({
+        "k": pa.array([f"g{v}" for v in rng.integers(0, 5, n)]),
+        "i": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.integers(0, 40, n).astype(np.int64))})
+    got = cusum_scores(ray.data.from_arrow(t).repartition(6),
+                       "k", ["i"], "v", target=20).to_pandas()
+    con = duckdb.connect()
+    con.register("iv", t)
+    want = con.sql("""
+WITH p AS (SELECT k, i, sum(v - 20) OVER (PARTITION BY k ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS pre FROM iv),
+r AS (SELECT *, min(pre) OVER (PARTITION BY k ORDER BY i
+          ROWS UNBOUNDED PRECEDING) AS runmin FROM p)
+SELECT k, i, CAST(pre - LEAST(runmin, 0) AS BIGINT) AS cusum FROM r
+""").df()
+    cols = ["k", "i", "cusum"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == \
+        sorted(map(tuple, want[cols].values.tolist()))
