@@ -535,6 +535,64 @@ def _register_builtins() -> None:
             max_groups=int(cfg.get("max_groups", 1_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_concurrency(cfg: dict):
+        from .stages.intervals import concurrency_profile
+
+        for req in ("key", "start_col", "end_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"concurrency: {req} is required")
+        return DatasetTransform(lambda ds: concurrency_profile(
+            lambda: ds, cfg["key"], cfg["start_col"], cfg["end_col"],
+            persist=cfg.get("persist", "none")))
+
+    def make_cusum(cfg: dict):
+        from .stages.metricsops import cusum_scores
+
+        for req in ("key", "order_by", "value_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"cusum: {req} is required")
+        if "target" not in cfg:
+            raise ConfigError("cusum: target is required")
+        return DatasetTransform(lambda ds: cusum_scores(
+            ds, cfg["key"], list(cfg["order_by"]), cfg["value_col"],
+            target=int(cfg["target"]), drift=int(cfg.get("drift", 0)),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_trend(cfg: dict):
+        from .stages.metricsops import grouped_trend
+
+        for req in ("key", "x_col", "y_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"trend: {req} is required")
+        return DatasetTransform(lambda ds: grouped_trend(
+            ds, cfg["key"], cfg["x_col"], cfg["y_col"],
+            scale=int(cfg.get("scale", 1_000_000)),
+            max_groups=int(cfg.get("max_groups", 1_000_000))))
+
+    def make_count_distinct(cfg: dict):
+        from .stages.aggregate import grouped_count_distinct
+
+        if not cfg.get("keys") or not cfg.get("distinct_col"):
+            raise ConfigError(
+                "count_distinct: keys and distinct_col are required")
+        return DatasetTransform(lambda ds: grouped_count_distinct(
+            ds, list(cfg["keys"]), cfg["distinct_col"],
+            out_name=cfg.get("out_name", "n_distinct"),
+            final_strategy=cfg.get("final_strategy", "tree")))
+
+    def make_token_budget(cfg: dict):
+        from .stages.mixing import select_token_budget
+
+        for req in ("score_col", "token_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"token_budget: {req} is required")
+        if "budget" not in cfg:
+            raise ConfigError("token_budget: budget is required")
+        return DatasetTransform(lambda ds: select_token_budget(
+            lambda: ds, cfg["score_col"], cfg["token_col"],
+            int(cfg["budget"]), id_col=cfg.get("id_col", "doc_id"),
+            persist=cfg.get("persist", "none")))
+
     def make_cohort(cfg: dict):
         from .stages.cohort import cohort_retention
 
@@ -691,6 +749,11 @@ def _register_builtins() -> None:
     register("pagerank", Factory("processor", make_pagerank))
     register("mad_outliers", Factory("processor", make_mad_outliers))
     register("cohort", Factory("processor", make_cohort))
+    register("concurrency", Factory("processor", make_concurrency))
+    register("cusum", Factory("processor", make_cusum))
+    register("trend", Factory("processor", make_trend))
+    register("count_distinct", Factory("processor", make_count_distinct))
+    register("token_budget", Factory("processor", make_token_budget))
     register("sample_weighted", Factory("processor", make_sample_weighted))
     register("dedup_index", Factory("processor", make_dedup_index))
     register("funnel", Factory("processor", make_funnel))

@@ -758,3 +758,63 @@ def test_multi_receiver_union_by_name(ray_session, tmp_path):
     })).to_pandas().sort_values("id")
     assert df["id"].tolist() == [1, 2]
     assert df["b"].fillna(-1).tolist() == [-1, 9]
+
+
+def test_fifth_session_yaml_processors(ray_session, tmp_path):
+    """concurrency / cusum / trend / count_distinct / token_budget as
+    YAML processors equal the direct library calls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "b"]),
+        "i": pa.array([0, 1, 0, 1], pa.int64()),
+        "s": pa.array([0, 5, 1, 2], pa.int64()),
+        "e": pa.array([10, 8, 4, 6], pa.int64()),
+        "v": pa.array([30, 5, 12, 40], pa.int64()),
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64())}), str(p))
+
+    def run(proc_name, cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count_distinct)
+    from opentelemetry_collector_ray.stages.intervals import (
+        concurrency_profile)
+    from opentelemetry_collector_ray.stages.metricsops import (
+        cusum_scores, grouped_trend)
+    from opentelemetry_collector_ray.stages.mixing import (
+        select_token_budget)
+
+    def rd():
+        return ray.data.read_parquet(str(p))
+
+    pairs = [
+        (run("concurrency", {"key": "k", "start_col": "s",
+                             "end_col": "e"}),
+         concurrency_profile(rd, "k", "s", "e").to_pandas()),
+        (run("cusum", {"key": "k", "order_by": ["i"],
+                       "value_col": "v", "target": 10}),
+         cusum_scores(rd(), "k", ["i"], "v", target=10).to_pandas()),
+        (run("trend", {"key": "k", "x_col": "i", "y_col": "v"}),
+         grouped_trend(rd(), "k", "i", "v").to_pandas()),
+        (run("count_distinct", {"keys": ["k"], "distinct_col": "v"}),
+         grouped_count_distinct(rd(), ["k"], "v").to_pandas()),
+        (run("token_budget", {"score_col": "v", "token_col": "v",
+                              "budget": 70}),
+         select_token_budget(rd, "v", "v", 70).to_pandas()),
+    ]
+    for y, d in pairs:
+        assert sorted(map(tuple, y.fillna(-1).values.tolist())) == \
+            sorted(map(tuple, d.fillna(-1).values.tolist()))
