@@ -73,6 +73,20 @@ def build_seen_index(ds: ray.data.Dataset, path: str,
     uniq.map_batches(lambda t: t.drop_columns(["_n"]),
                      batch_format="pyarrow").write_parquet(
         path, partition_cols=["shard"])
+    # an EMPTY corpus writes no files at all — leave a readable empty
+    # index so bootstrap-then-dedup works (shard=0 keeps the Hive
+    # layout; lookups read only h1/h2)
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(path, "shard=*")):
+        import pyarrow.parquet as _pq
+
+        d = _os.path.join(path, "shard=0")
+        _os.makedirs(d, exist_ok=True)
+        _pq.write_table(pa.table({"h1": pa.array([], pa.int64()),
+                                  "h2": pa.array([], pa.int64())}),
+                        _os.path.join(d, "empty.parquet"))
 
 
 def append_to_index(survivors: ray.data.Dataset, path: str,
