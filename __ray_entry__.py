@@ -1179,6 +1179,25 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_events_value_rscaled(sf_dir: str):
+    """Robust median/IQR feature scaling (stages/normalize.py
+    robust_scale): exact integers, floor((n−1)·q) quantile rank rule —
+    the oracle selects p25/p50/p75 by row_number, not quantile_disc
+    (the rules differ at q≠0.5)."""
+    from opentelemetry_collector_ray.stages.normalize import robust_scale
+
+    def make():
+        return _read_co(sf_dir, "events",
+                        ["event_id", "event_type", "value"],
+                        floor=8).map_batches(
+            lambda t: pa.table({"event_id": t.column("event_id"),
+                                "event_type": t.column("event_type"),
+                                "cents": _cents(t.column("value"))}),
+            batch_format="pyarrow")
+
+    return robust_scale(make, "cents", key="event_type")
+
+
 def _q_events_cusum(sf_dir: str):
     """Per-key one-sided CUSUM change scores (stages/metricsops.py
     cusum_scores): deviations from the EXACT global median cents,
@@ -2889,6 +2908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_value_rscaled": _q_events_value_rscaled,
         "events_cusum": _q_events_cusum,
         "events_type_users": _q_events_type_users,
         "events_value_trend": _q_events_value_trend,
@@ -3196,6 +3216,30 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "events_value_rscaled": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY cents) - 1 AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM e),
+q AS (SELECT event_type,
+             max(CASE WHEN rn = ((n - 1) * 25) // 100
+                 THEN cents END) AS p25,
+             max(CASE WHEN rn = ((n - 1) * 50) // 100
+                 THEN cents END) AS p50,
+             max(CASE WHEN rn = ((n - 1) * 75) // 100
+                 THEN cents END) AS p75
+      FROM r GROUP BY event_type)
+SELECT event_id, event_type, cents,
+       CAST(CASE WHEN den > 0
+            THEN (num - (((num % den) + den) % den)) // den
+            ELSE 0 END AS BIGINT) AS cents_rscaled
+FROM (SELECT e.event_id, e.event_type, e.cents,
+             (e.cents - q.p50) * 1000000 AS num,
+             q.p75 - q.p25 AS den
+      FROM e JOIN q USING (event_type))
 """,
         "events_cusum": """
 WITH e AS (SELECT event_id, event_type, ts,

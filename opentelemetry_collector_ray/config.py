@@ -628,6 +628,18 @@ def _register_builtins() -> None:
             persist=cfg.get("persist", "memory"),
             rank_col=cfg.get("rank_col", "rank")))
 
+    def make_robust_scale(cfg: dict):
+        from .stages.normalize import robust_scale
+
+        if not cfg.get("column"):
+            raise ConfigError("robust_scale: column is required")
+        return DatasetTransform(lambda ds: robust_scale(
+            lambda: ds, cfg["column"], key=cfg.get("key"),
+            scale=int(cfg.get("scale", 1_000_000)),
+            out_col=cfg.get("out_col"),
+            max_groups=int(cfg.get("max_groups", 1_000_000)),
+            persist=cfg.get("persist", "none")))
+
     def make_sigma_outliers(cfg: dict):
         from .stages.normalize import sigma_outliers
 
@@ -745,6 +757,7 @@ def _register_builtins() -> None:
     register("service_graph", Factory("processor", make_service_graph))
     register("merge_intervals", Factory("processor", make_merge_intervals))
     register("bpe", Factory("processor", make_bpe))
+    register("robust_scale", Factory("processor", make_robust_scale))
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("pagerank", Factory("processor", make_pagerank))
     register("mad_outliers", Factory("processor", make_mad_outliers))

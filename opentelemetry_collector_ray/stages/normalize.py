@@ -32,7 +32,8 @@ import ray.data
 from .aggregate import grouped_agg
 from .bucketing import persisted_factory
 
-__all__ = ["minmax_scale", "sigma_outliers", "mad_outliers"]
+__all__ = ["minmax_scale", "sigma_outliers", "mad_outliers",
+           "robust_scale"]
 
 
 def minmax_scale(make_ds, col: str, key: str | None = None,
@@ -328,3 +329,68 @@ def mad_outliers(make_ds, col: str, key: str | None = None,
         return t.append_column(flag_col, pa.array(out))
 
     return make_ds().map_batches(flag, batch_format="pyarrow")
+
+
+def robust_scale(make_ds, col: str, key: str | None = None,
+                 scale: int = 1_000_000, out_col: str | None = None,
+                 max_groups: int = 1_000_000,
+                 persist: str = "none") -> ray.data.Dataset:
+    """Robust (median/IQR) feature scaling — the outlier-insensitive
+    sibling of :func:`minmax_scale`: ``out = (x − median) · scale //
+    IQR`` per key (floor division on exact integers, so the SQL
+    row-number-rank oracle hash-matches; IQR = p75 − p25 with the
+    floor((n−1)·q) rank rule — note this is NOT quantile_disc's rule
+    at q≠0.5, the oracle must select by row_number). Zero-IQR groups
+    scale to 0, like constant groups in minmax. Same broadcast-stats
+    shape: one bucket-idiom quantile pass (tree count behind the HLL
+    screen), ``max_groups``-guarded pull, one probe pass."""
+    from .spanops import grouped_exact_quantiles
+
+    out_col = out_col or f"{col}_rscaled"
+    make_ds = persisted_factory(make_ds, persist)
+    gkey = key if key is not None else "_g"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        x = t.column(col)
+        if not pa.types.is_integer(x.type):
+            raise TypeError(
+                f"robust_scale: {col!r} must be an integer column for "
+                f"the exact path, got {x.type}")
+        return pa.table({gkey: (t.column(key) if key is not None else
+                                pa.nulls(t.num_rows,
+                                         pa.int8()).fill_null(0)),
+                         col: x})
+
+    q = grouped_exact_quantiles(
+        make_ds().map_batches(keyed, batch_format="pyarrow"),
+        gkey, col, qs=(0.25, 0.5, 0.75),
+        count_strategy="tree").materialize()
+    n_groups = q.count()
+    if n_groups > int(max_groups):
+        raise ValueError(
+            f"robust_scale: {key!r} has {n_groups:,} groups "
+            f"(> max_groups={int(max_groups):,})")
+    pdf = q.to_pandas()
+    keys_ref = ray.put(pa.array(pdf[gkey]))
+    stats_ref = ray.put((pdf["p50"].to_numpy().astype(np.int64),
+                         (pdf["p75"].to_numpy()
+                          - pdf["p25"].to_numpy()).astype(np.int64)))
+
+    def apply(t: pa.Table) -> pa.Table:
+        kt = keyed(t)
+        idx_pa = pc.index_in(kt.column(gkey), ray.get(keys_ref))
+        if idx_pa.null_count:
+            raise ValueError(
+                "robust_scale: pass 2 saw keys absent from the stats "
+                "— the input factory is not deterministic across "
+                "passes (use persist=)")
+        idx = idx_pa.to_numpy(zero_copy_only=False).astype(np.intp)
+        med, iqr = ray.get(stats_ref)
+        x = kt.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m, r = med[idx], iqr[idx]
+        scaled = np.where(r > 0,
+                          (x - m) * np.int64(scale)
+                          // np.maximum(r, 1), 0).astype(np.int64)
+        return t.append_column(out_col, pa.array(scaled))
+
+    return make_ds().map_batches(apply, batch_format="pyarrow")

@@ -211,3 +211,37 @@ def test_sigma_outliers_distributed_sum_overflow_guard(ray_session):
                                 pa.int64())})
     with pytest.raises(ValueError, match="sum-of-squares|overflow"):
         sigma_outliers(lambda: ray.data.from_arrow(t), "v").to_pandas()
+
+
+def test_robust_scale_planted_and_yaml(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.normalize import robust_scale
+
+    # sorted a: [0,10,20,30,100]; floor((n-1)q): p25=10 p50=20 p75=30
+    # IQR=20; e.g. x=0 -> (0-20)*1000000 // 20 = -1000000 (floor)
+    t = pa.table({"k": pa.array(["a"] * 5 + ["b"] * 2),
+                  "v": pa.array([0, 10, 20, 30, 100, 7, 7], pa.int64())})
+    p = tmp_path / "v.parquet"
+    pq.write_table(t, str(p))
+    out = robust_scale(lambda: ray.data.read_parquet(str(p)), "v",
+                       key="k").to_pandas()
+    a = out[out["k"] == "a"].sort_values("v")["v_rscaled"].tolist()
+    assert a == [-1000000, -500000, 0, 500000, 4000000]
+    # zero-IQR group scales to 0
+    assert out[out["k"] == "b"]["v_rscaled"].tolist() == [0, 0]
+    # YAML parity
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"robust_scale": {"column": "v", "key": "k"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["robust_scale"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    assert sorted(map(tuple, y.values.tolist())) == \
+        sorted(map(tuple, out.values.tolist()))
