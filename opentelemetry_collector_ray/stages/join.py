@@ -314,9 +314,21 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     left rows changes the result."""
     from .bucketing import with_hash_bucket
 
+    if how == "right":
+        # RIGHT join = LEFT join with the sides swapped (exact; salt
+        # then splits the preserved side's rows, still exact). Key
+        # columns come from the RIGHT side's names, like SQL RIGHT
+        # JOIN's preserved relation.
+        if bloom_bits:
+            raise ValueError(
+                "shuffle_hash_join: bloom_bits cannot preserve "
+                "unmatched right rows (got how='right')")
+        return shuffle_hash_join(right, left, key=right_key or key,
+                                 right_key=key, how="left", salt=salt,
+                                 n_buckets=n_buckets)
     if how not in _JOIN_TYPES:
         raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
-                         f"one of {sorted(_JOIN_TYPES)}")
+                         f"one of {sorted(_JOIN_TYPES) + ['right']}")
     salt = int(salt)
     lkeys = [key] if isinstance(key, str) else list(key)
     rk = right_key or key

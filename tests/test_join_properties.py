@@ -64,6 +64,9 @@ def test_join_modes_match_duckdb(ray_session, lk, lt, rk, rt):
         "left": "SELECT l.*, r.rt, r.rv FROM l LEFT JOIN r USING (k)",
         "semi": "SELECT l.* FROM l SEMI JOIN r USING (k)",
         "anti": "SELECT l.* FROM l ANTI JOIN r USING (k)",
+        # RIGHT JOIN: key column comes from the preserved (right) side
+        "right": "SELECT COALESCE(r.k, l.k) AS k, l.t, l.lv, r.rt, "
+                 "r.rv FROM l RIGHT JOIN r ON l.k = r.k",
     }
     for how, sql in sqls.items():
         ours = shuffle_hash_join(
