@@ -1179,6 +1179,43 @@ def _q_docs_uniform_sample(sf_dir: str):
         hash_mode="md5")
 
 
+def _q_docs_corpus_summary(sf_dir: str):
+    """One-row corpus datasheet — the numbers a dataset card leads
+    with: doc count, total whitespace tokens, language count, distinct
+    text count (exact, distributed: the distinct-text set is counted
+    via the shuffle grouped-count's OUTPUT row count, never pulled).
+    Oracle = the same four aggregates in SQL."""
+    from opentelemetry_collector_ray.functions.text import token_count
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count)
+
+    def make():
+        return _read_co(sf_dir, "documents",
+                        ["doc_id", "lang", "text"], floor=8)
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "tok": pa.array([pc.sum(token_count(t.column("text"))
+                                    .cast(pa.int64())).as_py() or 0],
+                            pa.int64())})
+
+    base = make().map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(base["n"].sum())
+    total_tokens = int(base["tok"].sum())
+    n_langs = grouped_count(make().select_columns(["lang"]), ["lang"],
+                            count_name="_n", strategy="shuffle").count()
+    n_unique = grouped_count(make().select_columns(["text"]), ["text"],
+                             count_name="_n", strategy="shuffle").count()
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_tokens": pa.array([total_tokens], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_unique_texts": pa.array([n_unique], pa.int64())}))
+
+
 def _q_events_value_rscaled(sf_dir: str):
     """Robust median/IQR feature scaling (stages/normalize.py
     robust_scale): exact integers, floor((n−1)·q) quantile rank rule —
@@ -2908,6 +2945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": _q_events_robust_outliers,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_corpus_summary": _q_docs_corpus_summary,
         "events_value_rscaled": _q_events_value_rscaled,
         "events_cusum": _q_events_cusum,
         "events_type_users": _q_events_type_users,
@@ -3216,6 +3254,14 @@ FROM d
         "docs_uniform_sample": """
 SELECT doc_id, lang FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
+""",
+        "docs_corpus_summary": r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts
+FROM documents
 """,
         "events_value_rscaled": """
 WITH e AS (SELECT event_id, event_type,
