@@ -2879,14 +2879,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     come last. ``tests/test_queries.py::test_oracle_checked_queries_first``
     enforces the invariant.
 
-    Round-4 rotation (VERDICT r3 "Next round" #1): the 14 round-3
-    entries that never got a DRIVER row (positions 51-64 last round)
-    now occupy positions 1-14, followed by this round's NEW queries;
-    an equal number of three-round-green veterans move past the 50-cap
-    (they stay pytest-oracled at sf0.001 AND mirror-checked vs DuckDB
-    every run via tests/test_queries.py)."""
+    Round-5 rotation (VERDICT r4 "Next round" #1): the 23 round-4
+    entries that never got a DRIVER row (positions 51-73 last round)
+    now occupy positions 1-23, followed by this round's NEW queries;
+    the round-4 driver-green entries move past the 50-cap (they stay
+    pytest-oracled at sf0.001 AND mirror-checked vs DuckDB every run
+    via tests/test_queries.py)."""
     oracle_checked = {
-        # --- positions 1-14: round-3 entries the driver has never run ---
+        # --- positions 1-23: round-4 entries the driver has never run ---
+        "spans_concurrency": _q_spans_concurrency,
+        "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
+        "events_outliers": _q_events_outliers,
+        "orders_cc": _q_orders_cc,
+        "events_robust_outliers": _q_events_robust_outliers,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_corpus_summary": _q_docs_corpus_summary,
+        "events_value_rscaled": _q_events_value_rscaled,
+        "events_cusum": _q_events_cusum,
+        "events_type_users": _q_events_type_users,
+        "events_value_trend": _q_events_value_trend,
+        "events_transitions": _q_events_transitions,
+        "events_cohort_retention": _q_events_cohort_retention,
+        "events_ottl_convert": _q_events_ottl_convert,
+        "docs_token_budget": _q_docs_token_budget,
+        "accounts_union_by_name": _q_accounts_union_by_name,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "events_url_parse": _q_events_url_parse,
+        "docs_top_terms_per_lang": _q_docs_top_terms_per_lang,
+        "events_user_split": _q_events_user_split,
+        "events_profile": _q_events_profile,
+        "orders_violations": _q_orders_violations,
+        # --- round-5 NEW queries (driver-checked this round) ---
+        # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
         "events_last_order_asof": _q_events_last_order_asof,
@@ -2901,7 +2926,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "topk_orders": _q_topk_orders,
         "events_sample": _q_events_sample,
-        # --- round-4 NEW queries (driver-checked this round) ---
         "turns_agg_yaml": _q_turns_agg_yaml,
         "docs_attrs_nested": _q_docs_attrs_nested,
         "orders_global_sorted": _q_orders_global_sorted,
@@ -2938,30 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_stats": _q_docs_dup_stats,
         "orders_decile": _q_orders_decile,
         "spans_busy_periods": _q_spans_busy_periods,
-        "spans_concurrency": _q_spans_concurrency,
-        "docs_bpe_base_tokens": _q_docs_bpe_base_tokens,
-        "events_outliers": _q_events_outliers,
-        "orders_cc": _q_orders_cc,
-        "events_robust_outliers": _q_events_robust_outliers,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "docs_incremental_dedup": _q_docs_incremental_dedup,
-        "docs_corpus_summary": _q_docs_corpus_summary,
-        "events_value_rscaled": _q_events_value_rscaled,
-        "events_cusum": _q_events_cusum,
-        "events_type_users": _q_events_type_users,
-        "events_value_trend": _q_events_value_trend,
-        "events_transitions": _q_events_transitions,
-        "events_cohort_retention": _q_events_cohort_retention,
-        "events_ottl_convert": _q_events_ottl_convert,
-        "docs_token_budget": _q_docs_token_budget,
-        "accounts_union_by_name": _q_accounts_union_by_name,
-        "orders_snapshot_diff": _q_orders_snapshot_diff,
-        "events_url_parse": _q_events_url_parse,
-        "docs_top_terms_per_lang": _q_docs_top_terms_per_lang,
-        "events_user_split": _q_events_user_split,
-        "events_profile": _q_events_profile,
-        "orders_violations": _q_orders_violations,
-        # --- veterans still inside the 50-cap ---
+        # --- multi-round driver-green veterans ---
         "turns_agg": _q_turns_agg,
         "conv_stats": _q_conv_stats,
         "events_sessionize": _q_events_sessionize,

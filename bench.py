@@ -204,7 +204,7 @@ def main() -> None:
         routed_write = round(time.time() - t0, 3)
     queries = run_secondary(SF_DIR) if "--headline-only" not in sys.argv else {}
     ann = run_ann(SF_DIR) if "--headline-only" not in sys.argv else {}
-    print(json.dumps({
+    headline = {
         "metric": "flagship_parse_enrich_route_aggregate_sec",
         "value": round(wall, 3),
         "unit": "sec",
@@ -212,11 +212,20 @@ def main() -> None:
         "turns_per_sec": round(n_turns / wall, 1),
         "agg_groups": n_groups,
         "routed_write_sec": routed_write,
-        "queries": queries,
-        **ann,
         "sf": SF_DIR,
         "num_cpus": NCPUS,
-    }))
+    }
+    # The driver keeps only the LAST 2000 chars of stdout, so the stdout
+    # line must stay small (r4's 61-entry queries dict pushed it past the
+    # window and BENCH_r04.json came back parsed:null). Headline keys only
+    # on stdout; the full per-query timing map goes to a side file + stderr.
+    full = {**headline, "queries": queries, **ann}
+    if "--headline-only" not in sys.argv:
+        side = os.path.join(_REPO_DIR, "BENCH_SECONDARY.json")
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+        print(json.dumps(full), file=sys.stderr)
+    print(json.dumps(headline))
     ray.shutdown()
 
 
