@@ -1052,7 +1052,7 @@ def _q_parts_pagerank(sf_dir: str):
                     "s", pc.cast(t.column("l_suppkey"), pa.string()), ""),
             }), batch_format="pyarrow")
 
-    return pagerank(make, "src", "dst", iterations=10)
+    return pagerank(make, "src", "dst", iterations=10, tol=1e-7)
 
 
 def _q_docs_canonical_dedup(sf_dir: str):
@@ -1203,9 +1203,17 @@ def _q_docs_corpus_summary(sf_dir: str):
     base = make().map_batches(stats, batch_format="pyarrow").to_pandas()
     n_docs = int(base["n"].sum())
     total_tokens = int(base["tok"].sum())
-    n_langs = grouped_count(make().select_columns(["lang"]), ["lang"],
+
+    def _nonnull(col: str):
+        # SQL COUNT(DISTINCT x) ignores NULLs; a null group would count
+        # as one extra distinct value without this pre-filter (same
+        # convention as aggregate.grouped_count_distinct).
+        return make().select_columns([col]).map_batches(
+            lambda t, c=col: t.drop_null(), batch_format="pyarrow")
+
+    n_langs = grouped_count(_nonnull("lang"), ["lang"],
                             count_name="_n", strategy="shuffle").count()
-    n_unique = grouped_count(make().select_columns(["text"]), ["text"],
+    n_unique = grouped_count(_nonnull("text"), ["text"],
                              count_name="_n", strategy="shuffle").count()
     import ray.data
 

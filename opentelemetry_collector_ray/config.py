@@ -626,6 +626,7 @@ def _register_builtins() -> None:
             iterations=int(cfg.get("iterations", 20)),
             max_nodes=int(cfg.get("max_nodes", 5_000_000)),
             persist=cfg.get("persist", "memory"),
+            tol=float(cfg.get("tol", 0.0)),
             rank_col=cfg.get("rank_col", "rank")))
 
     def make_robust_scale(cfg: dict):

@@ -68,7 +68,22 @@ def minmax_scale(make_ds, col: str, key: str | None = None,
                 "or pre-bucket the key.")
         pdf = stats.to_pandas()
         keys_ref = ray.put(pa.array(pdf[key]))
-        stats_ref = ray.put((pdf["_min"].to_numpy(), pdf["_max"].to_numpy()))
+        mins = pdf["_min"].to_numpy()
+        maxs = pdf["_max"].to_numpy()
+        stats_ref = ray.put((mins, maxs))
+
+    # int-path overflow guard (same convention as sigma_outliers): the
+    # pass-2 numerator (x - mn) * scale wraps silently past 2^63; mn <= x
+    # <= mx per group, so span * scale is an exact upper bound computable
+    # from the non-wrapping broadcast min/max stats.
+    if len(mins) and np.issubdtype(np.asarray(mins).dtype, np.integer):
+        max_span = int(np.max(np.asarray(maxs, np.int64)
+                              - np.asarray(mins, np.int64)))
+        if max_span * int(scale) > np.iinfo(np.int64).max:
+            raise OverflowError(
+                f"minmax_scale: span {max_span:,} x scale {scale:,} "
+                "would overflow the int64 (x - min) * scale numerator; "
+                "pre-scale the column or lower scale=")
 
     def apply(t: pa.Table) -> pa.Table:
         mins, maxs = ray.get(stats_ref)
@@ -361,9 +376,11 @@ def robust_scale(make_ds, col: str, key: str | None = None,
                                          pa.int8()).fill_null(0)),
                          col: x})
 
+    # p0/p100 (min/max) ride the same quantile pass for free and feed the
+    # overflow guard below — they are never broadcast to pass 2.
     q = grouped_exact_quantiles(
         make_ds().map_batches(keyed, batch_format="pyarrow"),
-        gkey, col, qs=(0.25, 0.5, 0.75),
+        gkey, col, qs=(0.0, 0.25, 0.5, 0.75, 1.0),
         count_strategy="tree").materialize()
     n_groups = q.count()
     if n_groups > int(max_groups):
@@ -372,7 +389,21 @@ def robust_scale(make_ds, col: str, key: str | None = None,
             f"(> max_groups={int(max_groups):,})")
     pdf = q.to_pandas()
     keys_ref = ray.put(pa.array(pdf[gkey]))
-    stats_ref = ray.put((pdf["p50"].to_numpy().astype(np.int64),
+    med = pdf["p50"].to_numpy().astype(np.int64)
+    # overflow guard (sigma_outliers convention): pass 2 computes
+    # (x - median) * scale in int64, which wraps silently; per group
+    # |x - median| <= max(p100 - p50, p50 - p0), both from non-wrapping
+    # min/max lanes, so the bound is exact.
+    if len(med):
+        dev_bound = int(np.max(np.maximum(
+            pdf["p100"].to_numpy().astype(np.int64) - med,
+            med - pdf["p0"].to_numpy().astype(np.int64))))
+        if dev_bound * int(scale) > np.iinfo(np.int64).max:
+            raise OverflowError(
+                f"robust_scale: max |x - median| {dev_bound:,} x scale "
+                f"{scale:,} would overflow the int64 numerator; "
+                "pre-scale the column or lower scale=")
+    stats_ref = ray.put((med,
                          (pdf["p75"].to_numpy()
                           - pdf["p25"].to_numpy()).astype(np.int64)))
 

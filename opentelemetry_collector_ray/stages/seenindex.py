@@ -202,8 +202,11 @@ def compact_seen_index(path: str, n_shards: int | None = None) -> int:
                            batch_format="pyarrow")
     out = out.groupby("shard").map_groups(lambda t: t,
                                           batch_format="pyarrow")
+    # materialize once: count() reads the block metadata and the write
+    # streams the same blocks — no re-read of the freshly written index
+    out = out.materialize()
+    n = out.count()
     out.write_parquet(tmp, partition_cols=["shard"])
-    n = ray.data.read_parquet(tmp).count()
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

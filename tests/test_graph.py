@@ -111,3 +111,34 @@ def test_pagerank_yaml_parity(ray_session, tmp_path):
     dsr = direct.sort_values("node").reset_index(drop=True)
     assert ys["node"].tolist() == dsr["node"].tolist()
     assert np.allclose(ys["rank"], dsr["rank"], rtol=1e-12)
+
+
+def test_pagerank_tol_early_exit(ray_session):
+    """tol>0 stops once max|Δrank| < tol: far fewer edge scans than the
+    iteration cap, identical top-k ordering, and near-identical ranks
+    (the converged fixpoint)."""
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [(nodes[a], nodes[b]) for a, b in
+             zip(rng.integers(0, 20, 200), rng.integers(0, 20, 200))]
+    full = pagerank(_edges_ds(edges), "src", "dst",
+                    iterations=60).to_pandas()
+    early = pagerank(_edges_ds(edges), "src", "dst",
+                     iterations=60, tol=1e-10).to_pandas()
+    f = full.sort_values("rank", ascending=False)["node"].tolist()
+    e = early.sort_values("rank", ascending=False)["node"].tolist()
+    assert f[:10] == e[:10]
+    merged = full.merge(early, on="node", suffixes=("_f", "_e"))
+    assert np.allclose(merged["rank_f"], merged["rank_e"], atol=1e-8)
+    assert early["rank"].sum() == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_tol_zero_keeps_fixed_iterations(ray_session):
+    """tol=0 (default) must preserve the exact fixed-iteration result."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    out = pagerank(_edges_ds(edges, parts=2), "src", "dst",
+                   iterations=3, tol=0.0).to_pandas()
+    want = _dense_pagerank(["a", "b", "c"], edges, iterations=3)
+    got = dict(zip(out["node"], out["rank"]))
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v

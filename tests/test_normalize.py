@@ -245,3 +245,32 @@ def test_robust_scale_planted_and_yaml(ray_session, tmp_path):
     })).to_pandas()
     assert sorted(map(tuple, y.values.tolist())) == \
         sorted(map(tuple, out.values.tolist()))
+
+
+def test_minmax_int_overflow_guard(ray_session):
+    """A span whose (max-min)*scale exceeds int64 must raise loudly
+    instead of wrapping silently in the pass-2 numerator."""
+    t = pa.table({"k": pa.array(["a", "a"]),
+                  "v": pa.array([0, 10**13], pa.int64())})
+    with pytest.raises(OverflowError, match="overflow|pre-scale"):
+        minmax_scale(lambda: ray.data.from_arrow(t), "v", key="k",
+                     scale=1_000_000).to_pandas()
+    # same span at a small scale is fine
+    out = minmax_scale(lambda: ray.data.from_arrow(t), "v", key="k",
+                       scale=100).to_pandas()
+    assert sorted(out["v_scaled"]) == [0, 100]
+
+
+def test_robust_scale_int_overflow_guard(ray_session):
+    from opentelemetry_collector_ray.stages.normalize import robust_scale
+
+    t = pa.table({"k": pa.array(["a"] * 5),
+                  "v": pa.array([0, 1, 2, 3, 10**13], pa.int64())})
+    with pytest.raises(OverflowError, match="overflow|pre-scale"):
+        robust_scale(lambda: ray.data.from_arrow(t), "v", key="k",
+                     scale=1_000_000).to_pandas()
+    # small scale passes and median/IQR stay exact
+    out = robust_scale(lambda: ray.data.from_arrow(t), "v", key="k",
+                       scale=100).to_pandas().sort_values("v")
+    # median=2, IQR=p75-p25=3-1=2 -> (0-2)*100//2=-100
+    assert out["v_rscaled"].tolist()[0] == -100
