@@ -2,13 +2,27 @@
 
 The pre-ingestion sanity check a training pipeline runs on a new corpus
 drop: row count, null count and EXACT distinct count per column, all
-integers so a DuckDB UNION-ALL oracle hash-matches. One streaming pass
-produces the n/null partials (tree-combined, one row per column on the
-driver); distinct counts ride the repo's shuffle-free two-phase
-``count_distinct`` — one per profiled column, so profiling C columns
-costs C distinct-merge trees (each bounded by that column's value
-domain, per count_distinct's contract; profile only the columns you
-need at 100 TB, or swap in the HLL sketch for the unbounded ones).
+integers so a DuckDB UNION-ALL oracle hash-matches.
+
+ONE input execution regardless of how many columns are profiled (the
+round-4 version ran one ``count_distinct`` dataset per column — C+1
+scans for C columns): each batch emits a single stacked partial table
+of ``(column, val, n_rows, n_null)`` rows where the per-batch DISTINCT
+values of every profiled column ride as ``(column, val)`` pairs (count
+columns zero) and one meta row per column (``val`` null — unambiguous,
+since nulls are dropped from the distinct lane per the SQL
+count(DISTINCT) convention) carries the batch's row/null counts. The
+stacked partials tree-merge exactly like ``count_distinct``'s two-phase
+plan: group-by ``(column, val)`` dedups the distinct lane while summing
+the meta lane, so the final single task sees only the union of distinct
+values plus one meta row per column.
+
+Values are compared via their Arrow → string cast (shortest-roundtrip
+for floats, i.e. injective), so the distinct lane is exact, never a
+hash. Contract (same as ``count_distinct``): the union of per-column
+distinct-value sets must fit one task — profile only the columns you
+need at 100 TB, or pre-screen unbounded ones with the HLL sketch
+(``stages/sketch.approx_distinct``).
 
 Reference analog: no profiler exists in the reference; nearest is the
 obsreport counters (received/dropped per signal). This is the
@@ -19,12 +33,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-from .aggregate import count_distinct
-
 __all__ = ["profile_table"]
+
+_SCHEMA = pa.schema([("column", pa.string()), ("val", pa.string()),
+                     ("n_rows", pa.int64()), ("n_null", pa.int64())])
 
 
 def profile_table(ds: ray.data.Dataset,
@@ -35,40 +51,72 @@ def profile_table(ds: ray.data.Dataset,
         raise ValueError("profile_table: columns must be non-empty")
 
     def partials(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "column": pa.array(columns, pa.string()),
-            "n_rows": pa.array([t.num_rows] * len(columns), pa.int64()),
-            "n_null": pa.array([t.column(c).null_count for c in columns],
-                               pa.int64())})
+        parts = []
+        for c in columns:
+            col = t.column(c)
+            uniq = pc.unique(pc.cast(col.drop_null(),
+                                     pa.string()).combine_chunks())
+            z = np.zeros(len(uniq), np.int64)
+            parts.append(pa.table({
+                "column": pa.array([c] * len(uniq), pa.string()),
+                "val": uniq,
+                "n_rows": pa.array(z), "n_null": pa.array(z)},
+                schema=_SCHEMA))
+            parts.append(pa.table({
+                "column": pa.array([c], pa.string()),
+                "val": pa.array([None], pa.string()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_null": pa.array([col.null_count], pa.int64())},
+                schema=_SCHEMA))
+        return pa.concat_tables(parts)
 
     def combine(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return t
-        g = t.group_by(["column"], use_threads=False).aggregate(
+            return pa.table({}, schema=_SCHEMA)
+        g = t.group_by(["column", "val"], use_threads=False).aggregate(
             [("n_rows", "sum"), ("n_null", "sum")])
         return pa.table({"column": g.column("column"),
+                         "val": g.column("val"),
                          "n_rows": g.column("n_rows_sum"),
-                         "n_null": g.column("n_null_sum")})
+                         "n_null": g.column("n_null_sum")},
+                        schema=_SCHEMA)
 
-    base = ds.select_columns(columns).map_batches(
-        partials, batch_format="pyarrow").repartition(16).map_batches(
-        combine, batch_size=None, batch_format="pyarrow").repartition(
-        1).map_batches(combine, batch_size=None,
-                       batch_format="pyarrow").to_pandas()
-    base = base.set_index("column")
+    import ray as _ray
 
-    # SQL count(DISTINCT x) convention: nulls are NOT a distinct value
-    # (Arrow's group_by gives nulls their own group — subtract it out)
-    n_distinct = {
-        c: int(count_distinct(ds.select_columns([c]), [c]).to_pandas()
-               ["n_distinct"].iloc[0])
-        - (1 if int(base.loc[c, "n_null"]) > 0 else 0)
-        for c in columns}
+    # prune at the plan when the schema is already known (parquet reads);
+    # when it is NOT known, select_columns would trigger a schema-probe
+    # execution of the whole upstream — skip it, `partials` only touches
+    # the profiled columns anyway
+    if ds.schema(fetch_if_missing=False) is not None:
+        ds = ds.select_columns(columns)
+    # materialize BEFORE to_arrow_refs: on an un-materialized dataset,
+    # to_arrow_refs' internal schema(fetch_if_missing=True) launches a
+    # second limit-1 execution of the whole plan (observed on Ray 2.49)
+    mat = (ds
+           .map_batches(partials, batch_format="pyarrow")
+           .repartition(16)
+           .map_batches(combine, batch_size=None, batch_format="pyarrow")
+           .materialize())
+    tables = [t for t in (_ray.get(r) for r in mat.to_arrow_refs())
+              if t.num_rows]
+    merged = combine(pa.concat_tables(tables) if tables
+                     else pa.table({}, schema=_SCHEMA))
+
+    meta = merged.filter(pc.is_null(merged.column("val")))
+    dist = merged.filter(pc.is_valid(merged.column("val")))
+    dc = dist.group_by(["column"], use_threads=False).aggregate(
+        [("val", "count")])
+    n_dist = dict(zip(dc.column("column").to_pylist(),
+                      dc.column("val_count").to_pylist()))
+    n_rows = dict(zip(meta.column("column").to_pylist(),
+                      meta.column("n_rows").to_pylist()))
+    n_null = dict(zip(meta.column("column").to_pylist(),
+                      meta.column("n_null").to_pylist()))
     return pa.table({
         "column": pa.array(columns, pa.string()),
-        "n_rows": pa.array([int(base.loc[c, "n_rows"]) for c in columns],
+        "n_rows": pa.array([int(n_rows.get(c, 0)) for c in columns],
                            pa.int64()),
-        "n_null": pa.array([int(base.loc[c, "n_null"]) for c in columns],
+        "n_null": pa.array([int(n_null.get(c, 0)) for c in columns],
                            pa.int64()),
-        "n_distinct": pa.array([n_distinct[c] for c in columns],
+        "n_distinct": pa.array([int(n_dist.get(c, 0)) for c in columns],
                                pa.int64())})

@@ -850,3 +850,46 @@ def test_grouped_count_distinct_ignores_nulls(ray_session):
     # the null drop, so b emits no row at all (matches GROUP BY over
     # the filtered rows — SQL emits b with 0 only via LEFT semantics)
     assert got == {"a": 1}
+
+
+def test_profile_table_single_input_execution(ray_session):
+    """Profiling C columns must execute the input ONCE (the round-4
+    version ran one count_distinct dataset per column — C+1 scans).
+    A counter actor inside an upstream map_batches observes exactly
+    one pass over the blocks."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.profile import profile_table
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def bump(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+
+    tbl = pa.table({
+        "a": pa.array([f"v{i % 7}" for i in range(100)]),
+        "b": pa.array([i % 13 for i in range(100)], pa.int64()),
+        "f": pa.array([float(i % 5) / 2 for i in range(100)])})
+    n_parts = 4
+
+    def counted(t: pa.Table, _c=c) -> pa.Table:
+        ray.get(_c.bump.remote(1))
+        return t
+
+    ds = ray.data.from_arrow(tbl).repartition(n_parts).map_batches(
+        counted, batch_format="pyarrow")
+    out = profile_table(ds, ["a", "b", "f"]).to_pandas().set_index("column")
+    assert out.loc["a", "n_distinct"] == 7
+    assert out.loc["b", "n_distinct"] == 13
+    assert out.loc["f", "n_distinct"] == 5
+    assert (out["n_rows"] == 100).all()
+    assert ray.get(c.get.remote()) == n_parts  # one execution, not C+1
