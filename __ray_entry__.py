@@ -1153,6 +1153,76 @@ def _q_events_profile(sf_dir: str):
         ["event_type", "user_id", "value"])
 
 
+def _q_events_hist_wire(sf_dir: str):
+    """Histogram min/max + exemplars THROUGH the metrics wire codec,
+    oracle-checked end to end: per-event-type histogram data points
+    (count / sum / min / max over integer cents, one bucket) each
+    carrying one exemplar whose value_int is the group max are encoded
+    into ONE OTLP proto ExportMetricsServiceRequest blob
+    (sources/otlp_metrics.py), decoded back, and the aggregates read
+    off the DECODED rows — the SQL oracle therefore verifies wire
+    fidelity of the min/max and exemplar fields (reference
+    pdata/pmetric/generated_exemplar.go,
+    pdata/internal/generated_proto_histogram_data_point.go). The
+    distributed work is the grouped aggregate; the wire blob carries
+    |event types| points (the small side)."""
+    from opentelemetry_collector_ray.functions import typedattrs as tav
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        HISTOGRAM, _empty_row, _rows_to_table, decode_metrics_request,
+        encode_metrics_request)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    agg = grouped_agg(
+        _read_co(sf_dir, "events", ["event_type", "value"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], count_name="n", sum_cols={"s": "cents"},
+        min_cols={"mn": "cents"}, max_cols={"mx": "cents"},
+        strategy="shuffle").to_pandas()
+    rows = []
+    for r in agg.to_dict("records"):
+        row = _empty_row()
+        row.update({
+            "metric_name": "events.cents", "metric_description": "",
+            "metric_unit": "c", "metric_type": HISTOGRAM,
+            "time_unix_nano": 1700000000000000000,
+            "start_time_unix_nano": 1600000000000000000,
+            "aggregation_temporality": 2,
+            "attributes": [("event_type",
+                            tav.cell(tav.VTYPE_STR, r["event_type"]))],
+            "count": int(r["n"]), "sum": float(r["s"]),
+            "min": float(r["mn"]), "max": float(r["mx"]),
+            "bucket_counts": [int(r["n"])], "explicit_bounds": [],
+            "exemplars": [{"time_unix_nano": 1700000000000000001,
+                           "value_int": int(r["mx"]),
+                           "value_double": None, "trace_id": "",
+                           "span_id": "", "filtered_attributes": []}],
+            "resource_attributes": [("service.name", "events")],
+            "scope_name": "graft", "scope_version": "1"})
+        rows.append(row)
+    back = decode_metrics_request(
+        encode_metrics_request(_rows_to_table(rows)))
+    out = {"event_type": [], "n_events": [], "sum_cents": [],
+           "min_cents": [], "max_cents": [], "exemplar_max": []}
+    for r in back.to_pylist():
+        attrs = dict(r["attributes"])
+        out["event_type"].append(tav.cell_value(attrs["event_type"])[1])
+        out["n_events"].append(int(r["count"]))
+        # proto carries sum/min/max as doubles — exact for cents < 2^53
+        out["sum_cents"].append(int(r["sum"]))
+        out["min_cents"].append(int(r["min"]))
+        out["max_cents"].append(int(r["max"]))
+        out["exemplar_max"].append(int(r["exemplars"][0]["value_int"]))
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        k: pa.array(v, pa.string() if k == "event_type" else pa.int64())
+        for k, v in out.items()}))
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -2919,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "orders_violations": _q_orders_violations,
         # --- round-5 NEW queries (driver-checked this round) ---
+        "events_hist_wire": _q_events_hist_wire,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -3703,6 +3774,18 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "events_hist_wire": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(max(cents) AS BIGINT) AS exemplar_max
+FROM (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+GROUP BY event_type
 """,
         "events_profile": """
 SELECT 'event_type' AS column, CAST(count(*) AS BIGINT) AS n_rows,

@@ -53,9 +53,174 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from .otlp_proto import (_LEN, _VARINT, _decode_packed_varints,
+from .otlp_proto import (_LEN, _VARINT, _anyvalue_typed,
+                         _decode_anyvalue_typed, _decode_packed_varints,
                          _iter_fields, _len_field, _packed_varints,
                          _str_field, _tag, _varint)
+
+
+# ------------------------------------------------- full dictionary codec
+#
+# Canonical python shape (index 0 of every table is the zero sentinel):
+#   {"strings":   list[str],
+#    "mappings":  [{"memory_start","memory_limit","file_offset",
+#                   "filename_strindex","attribute_indices"}],
+#    "locations": [{"mapping_index","address",
+#                   "lines":[{"function_index","line","column"}],
+#                   "attribute_indices"}],
+#    "functions": [{"name_strindex","system_name_strindex",
+#                   "filename_strindex","start_line"}],
+#    "attributes":[{"key_strindex","vtype","value","unit_strindex"}],
+#    "stacks":    list[list[int]]}
+# Field numbers per the generated marshalers:
+#   Mapping  memory_start=1 memory_limit=2 file_offset=3
+#            filename_strindex=4 attribute_indices=5(packed)
+#            (``generated_proto_mapping.go:215-250``)
+#   Location mapping_index=1 address=2 line=3(Line) attr=4(packed)
+#            (``generated_proto_location.go:220-252``)
+#   Line     function_index=1 line=2 column=3
+#   Function name=1 system_name=2 filename=3 start_line=4
+#   KeyValueAndUnit key_strindex=1 value=2(AnyValue, unconditional)
+#            unit_strindex=3 (``generated_proto_keyvalueandunit.go``)
+
+
+def _mapping_msg(m: dict) -> bytes:
+    out = b""
+    for field, key in ((1, "memory_start"), (2, "memory_limit"),
+                       (3, "file_offset"), (4, "filename_strindex")):
+        if m.get(key):
+            out += _tag(field, _VARINT) + _varint(int(m[key]))
+    if m.get("attribute_indices"):
+        out += _len_field(5, _packed_varints(m["attribute_indices"]))
+    return out
+
+
+def _line_msg(ln: dict) -> bytes:
+    out = b""
+    for field, key in ((1, "function_index"), (2, "line"), (3, "column")):
+        if ln.get(key):
+            out += _tag(field, _VARINT) + _varint(int(ln[key]))
+    return out
+
+
+def _location_msg(loc: dict) -> bytes:
+    out = b""
+    if loc.get("mapping_index"):
+        out += _tag(1, _VARINT) + _varint(int(loc["mapping_index"]))
+    if loc.get("address"):
+        out += _tag(2, _VARINT) + _varint(int(loc["address"]))
+    for ln in (loc.get("lines") or []):
+        out += _len_field(3, _line_msg(ln))
+    if loc.get("attribute_indices"):
+        out += _len_field(4, _packed_varints(loc["attribute_indices"]))
+    return out
+
+
+def _function_msg(fn: dict) -> bytes:
+    out = b""
+    for field, key in ((1, "name_strindex"), (2, "system_name_strindex"),
+                       (3, "filename_strindex"), (4, "start_line")):
+        if fn.get(key):
+            out += _tag(field, _VARINT) + _varint(int(fn[key]))
+    return out
+
+
+def _kvu_msg(a: dict) -> bytes:
+    out = b""
+    if a.get("key_strindex"):
+        out += _tag(1, _VARINT) + _varint(int(a["key_strindex"]))
+    # the reference marshals Value unconditionally
+    out += _len_field(2, _anyvalue_typed(int(a.get("vtype") or 0),
+                                         a.get("value")))
+    if a.get("unit_strindex"):
+        out += _tag(3, _VARINT) + _varint(int(a["unit_strindex"]))
+    return out
+
+
+def encode_dictionary(dic: dict) -> bytes:
+    """Canonical dict → ProfilesDictionary message bytes (all seven
+    reference tables; link_table omitted — links carry trace/span
+    correlation the batch engine does not model)."""
+    out = bytearray()
+    for m in (dic.get("mappings") or [{}]):
+        out += _len_field(1, _mapping_msg(m))
+    for loc in (dic.get("locations") or [{}]):
+        out += _len_field(2, _location_msg(loc))
+    for fn in (dic.get("functions") or [{}]):
+        out += _len_field(3, _function_msg(fn))
+    for s in dic.get("strings", [""]):
+        out += _str_field(5, s) if s else _len_field(5, b"")
+    for a in (dic.get("attributes") or []):
+        out += _len_field(6, _kvu_msg(a))
+    for st in (dic.get("stacks") or [[]]):
+        out += _len_field(7, _stack(st) if st else b"")
+    return bytes(out)
+
+
+def decode_dictionary(buf: bytes) -> dict:
+    """ProfilesDictionary bytes → the canonical dict (inverse of
+    :func:`encode_dictionary`)."""
+    dic: dict = {"strings": [], "mappings": [], "locations": [],
+                 "functions": [], "attributes": [], "stacks": []}
+    for f, w, v in _iter_fields(buf):
+        if f == 1:          # Mapping
+            m = {"memory_start": 0, "memory_limit": 0, "file_offset": 0,
+                 "filename_strindex": 0, "attribute_indices": []}
+            for f2, w2, v2 in _iter_fields(bytes(v)):
+                if f2 in (1, 2, 3, 4):
+                    m[("memory_start", "memory_limit", "file_offset",
+                       "filename_strindex")[f2 - 1]] = int(v2)
+                elif f2 == 5:
+                    m["attribute_indices"].extend(
+                        _decode_packed_varints(bytes(v2)))
+            dic["mappings"].append(m)
+        elif f == 2:        # Location
+            loc = {"mapping_index": 0, "address": 0, "lines": [],
+                   "attribute_indices": []}
+            for f2, w2, v2 in _iter_fields(bytes(v)):
+                if f2 == 1:
+                    loc["mapping_index"] = int(v2)
+                elif f2 == 2:
+                    loc["address"] = int(v2)
+                elif f2 == 3:
+                    ln = {"function_index": 0, "line": 0, "column": 0}
+                    for f3, w3, v3 in _iter_fields(bytes(v2)):
+                        if f3 in (1, 2, 3):
+                            ln[("function_index", "line",
+                                "column")[f3 - 1]] = int(v3)
+                    loc["lines"].append(ln)
+                elif f2 == 4:
+                    loc["attribute_indices"].extend(
+                        _decode_packed_varints(bytes(v2)))
+            dic["locations"].append(loc)
+        elif f == 3:        # Function
+            fn = {"name_strindex": 0, "system_name_strindex": 0,
+                  "filename_strindex": 0, "start_line": 0}
+            for f2, w2, v2 in _iter_fields(bytes(v)):
+                if f2 in (1, 2, 3, 4):
+                    fn[("name_strindex", "system_name_strindex",
+                        "filename_strindex", "start_line")[f2 - 1]] = int(v2)
+            dic["functions"].append(fn)
+        elif f == 5:        # string table entry
+            dic["strings"].append(bytes(v).decode())
+        elif f == 6:        # KeyValueAndUnit
+            a = {"key_strindex": 0, "vtype": 0, "value": None,
+                 "unit_strindex": 0}
+            for f2, w2, v2 in _iter_fields(bytes(v)):
+                if f2 == 1:
+                    a["key_strindex"] = int(v2)
+                elif f2 == 2:
+                    a["vtype"], a["value"] = _decode_anyvalue_typed(v2)
+                elif f2 == 3:
+                    a["unit_strindex"] = int(v2)
+            dic["attributes"].append(a)
+        elif f == 7:        # Stack
+            idxs: list[int] = []
+            for f2, w2, v2 in _iter_fields(bytes(v)):
+                if f2 == 1:
+                    idxs.extend(_decode_packed_varints(bytes(v2)))
+            dic["stacks"].append(idxs)
+    return dic
 
 
 def _valuetype(type_idx: int, unit_idx: int) -> bytes:
@@ -65,16 +230,6 @@ def _valuetype(type_idx: int, unit_idx: int) -> bytes:
     if unit_idx:
         out += _tag(2, _VARINT) + _varint(unit_idx)
     return out
-
-
-def _function(name_idx: int) -> bytes:
-    return (_tag(1, _VARINT) + _varint(name_idx)) if name_idx else b""
-
-
-def _location(function_index: int) -> bytes:
-    line = (_tag(1, _VARINT) + _varint(function_index)) \
-        if function_index else b""
-    return _len_field(3, line)
 
 
 def _stack(location_indices) -> bytes:
@@ -95,6 +250,40 @@ def _sample(stack_index: int, values, timestamps=()) -> bytes:
     return out
 
 
+def _analytic_dictionary(function_table: pa.Table, samples: pa.Table,
+                         sample_type: str, sample_unit: str):
+    """Shared analytic-model → canonical dictionary bridge for both
+    marshalers: functions[i+1] = dense function i; locations mirror
+    functions 1:1 (loc j+1 → function j+1, one Line each); stacks are
+    leaf-LAST location lists. Returns (dic, stack_of_sample, vals)."""
+    names = function_table.column("name").to_pylist()
+    fids = function_table.column("func_id").to_pylist()
+    dense = {int(f): i for i, f in enumerate(fids)}
+    # string table: sentinel + type/unit + names
+    strings = ["", sample_type, sample_unit] + list(names)
+
+    f0 = samples.column("f0_id").to_numpy(zero_copy_only=False)
+    f1 = samples.column("f1_id").to_numpy(zero_copy_only=False)
+    f2 = samples.column("f2_id").to_numpy(zero_copy_only=False)
+    vals = samples.column("value_us").to_numpy(zero_copy_only=False)
+    stacks = np.stack([f0, f1, f2], axis=1)
+    uniq, stack_of_sample = np.unique(stacks, axis=0, return_inverse=True) \
+        if len(stacks) else (np.empty((0, 3), np.int64),
+                             np.empty(0, np.int64))
+    dic = {
+        "strings": strings,
+        "mappings": [{}],
+        "locations": [{}] + [{"lines": [{"function_index": i + 1}]}
+                             for i in range(len(names))],
+        "functions": [{}] + [{"name_strindex": 3 + i}
+                             for i in range(len(names))],
+        "attributes": [],
+        "stacks": [[]] + [[dense[int(a)] + 1, dense[int(b)] + 1,
+                           dense[int(c)] + 1] for a, b, c in uniq],
+    }
+    return dic, stack_of_sample, vals
+
+
 def encode_profiles_request(function_table: pa.Table, samples: pa.Table,
                             sample_type: str = "samples",
                             sample_unit: str = "us") -> bytes:
@@ -105,40 +294,9 @@ def encode_profiles_request(function_table: pa.Table, samples: pa.Table,
     (profiles.build_function_table); the wire shifts everything by +1 for
     the zero-sentinel convention. Stacks are leaf-LAST location lists
     (f0 root … f2 leaf — the flame_edges orientation)."""
-    names = function_table.column("name").to_pylist()
-    fids = function_table.column("func_id").to_pylist()
-    dense = {int(f): i for i, f in enumerate(fids)}
-    # string table: sentinel + type/unit + names
-    strings = ["", sample_type, sample_unit] + list(names)
-    name_stridx = {i: 3 + i for i in range(len(names))}
-
-    f0 = samples.column("f0_id").to_numpy(zero_copy_only=False)
-    f1 = samples.column("f1_id").to_numpy(zero_copy_only=False)
-    f2 = samples.column("f2_id").to_numpy(zero_copy_only=False)
-    vals = samples.column("value_us").to_numpy(zero_copy_only=False)
-    stacks = np.stack([f0, f1, f2], axis=1)
-    uniq, stack_of_sample = np.unique(stacks, axis=0, return_inverse=True) \
-        if len(stacks) else (np.empty((0, 3), np.int64),
-                             np.empty(0, np.int64))
-
-    # dictionary: functions[i+1] = dense function i; locations mirror
-    # functions 1:1 (loc j+1 → function j+1); stacks list locations
-    func_msgs = b"".join(
-        _len_field(3, _function(name_stridx[i]))
-        for i in range(len(names)))
-    loc_msgs = b"".join(
-        _len_field(2, _location(i + 1)) for i in range(len(names)))
-    stack_msgs = b"".join(
-        _len_field(7, _stack([dense[int(a)] + 1, dense[int(b)] + 1,
-                              dense[int(c)] + 1]))
-        for a, b, c in uniq)
-    dictionary = (
-        _len_field(1, b"")            # mapping_table[0] sentinel
-        + _len_field(2, b"") + loc_msgs      # location sentinel + real
-        + _len_field(3, b"") + func_msgs     # function sentinel + real
-        + b"".join(_str_field(5, s) if s else _len_field(5, b"")
-                   for s in strings)
-        + _len_field(7, b"") + stack_msgs)   # stack sentinel + real
+    dic, stack_of_sample, vals = _analytic_dictionary(
+        function_table, samples, sample_type, sample_unit)
+    dictionary = encode_dictionary(dic)
 
     sample_msgs = b"".join(
         _len_field(2, _sample(int(si) + 1, [int(v)]))
@@ -157,37 +315,17 @@ def decode_profiles_request(buf: bytes) -> dict:
     {"strings": list[str],
      "functions": pa.Table (func_idx, name),         # wire indices
      "stacks":    pa.Table (stack_idx, func_idxs list<int64>),
-     "samples":   pa.Table (stack_idx, value)}"""
-    strings: list[str] = []
-    functions: list[int] = []          # name_strindex per function entry
-    locations: list[int] = []          # function_index per location entry
-    stacks: list[list[int]] = []       # location indices per stack entry
-    sample_rows: list[tuple[int, int]] = []
+     "samples":   pa.Table (stack_idx, value),
+     "dictionary": canonical full-fidelity dict (all tables, every
+                   mapping/location/line/attribute field — see
+                   :func:`decode_dictionary`)}
 
-    def walk_dictionary(b: bytes) -> None:
-        for f, w, v in _iter_fields(b):
-            if f == 2:      # Location
-                fn = 0
-                for f2, w2, v2 in _iter_fields(bytes(v)):
-                    if f2 == 3:  # Line
-                        for f3, w3, v3 in _iter_fields(bytes(v2)):
-                            if f3 == 1:
-                                fn = v3
-                locations.append(fn)
-            elif f == 3:    # Function
-                nm = 0
-                for f2, w2, v2 in _iter_fields(bytes(v)):
-                    if f2 == 1:
-                        nm = v2
-                functions.append(nm)
-            elif f == 5:    # string table entry
-                strings.append(bytes(v).decode())
-            elif f == 7:    # Stack
-                idxs: list[int] = []
-                for f2, w2, v2 in _iter_fields(bytes(v)):
-                    if f2 == 1:
-                        idxs.extend(_decode_packed_varints(bytes(v2)))
-                stacks.append(idxs)
+    The flat lens maps each location to its FIRST Line's function
+    (pprof convention: Line[0] is the innermost inlined frame); the
+    full multi-line structure is preserved under ``"dictionary"``."""
+    dic: dict = {"strings": [], "mappings": [], "locations": [],
+                 "functions": [], "attributes": [], "stacks": []}
+    sample_rows: list[tuple[int, int]] = []
 
     def walk_profile(b: bytes) -> None:
         for f, w, v in _iter_fields(b):
@@ -206,7 +344,7 @@ def decode_profiles_request(buf: bytes) -> dict:
 
     for f, w, v in _iter_fields(buf):
         if f == 2:
-            walk_dictionary(bytes(v))
+            dic = decode_dictionary(bytes(v))
         elif f == 1:        # ResourceProfiles
             for f2, w2, v2 in _iter_fields(bytes(v)):
                 if f2 == 2:  # ScopeProfiles
@@ -214,6 +352,11 @@ def decode_profiles_request(buf: bytes) -> dict:
                         if f3 == 2:  # Profile
                             walk_profile(bytes(v3))
 
+    strings = dic["strings"]
+    functions = [fn["name_strindex"] for fn in dic["functions"]]
+    locations = [(loc["lines"][0]["function_index"] if loc["lines"]
+                  else 0) for loc in dic["locations"]]
+    stacks = dic["stacks"]
     # resolve stacks: location idx → function idx
     func_names = [strings[n] if n < len(strings) else "" for n in functions]
     stack_funcs = [[locations[li] for li in s] for s in stacks]
@@ -228,7 +371,94 @@ def decode_profiles_request(buf: bytes) -> dict:
         "samples": pa.table({
             "stack_idx": pa.array([r[0] for r in sample_rows], pa.int64()),
             "value": pa.array([r[1] for r in sample_rows], pa.int64())}),
+        "dictionary": dic,
     }
+
+
+def dictionary_to_json(dic: dict) -> dict:
+    """Canonical dictionary → OTLP/JSON object (camelCase field names
+    per the OTLP JSON mapping, proto defaults omitted —
+    ``pdata/pprofile/json.go`` analog)."""
+    from ..functions import typedattrs as tav
+
+    def drop0(d: dict) -> dict:
+        return {k: v for k, v in d.items() if v}
+
+    return {
+        "mappingTable": [drop0({
+            "memoryStart": m.get("memory_start"),
+            "memoryLimit": m.get("memory_limit"),
+            "fileOffset": m.get("file_offset"),
+            "filenameStrindex": m.get("filename_strindex"),
+            "attributeIndices": m.get("attribute_indices"),
+        }) for m in (dic.get("mappings") or [{}])],
+        "locationTable": [drop0({
+            "mappingIndex": loc.get("mapping_index"),
+            "address": loc.get("address"),
+            "line": [drop0({"functionIndex": ln.get("function_index"),
+                            "line": ln.get("line"),
+                            "column": ln.get("column")})
+                     for ln in (loc.get("lines") or [])],
+            "attributeIndices": loc.get("attribute_indices"),
+        }) for loc in (dic.get("locations") or [{}])],
+        "functionTable": [drop0({
+            "nameStrindex": fn.get("name_strindex"),
+            "systemNameStrindex": fn.get("system_name_strindex"),
+            "filenameStrindex": fn.get("filename_strindex"),
+            "startLine": fn.get("start_line"),
+        }) for fn in (dic.get("functions") or [{}])],
+        "stringTable": dic.get("strings", [""]),
+        "attributeTable": [{
+            **drop0({"keyStrindex": a.get("key_strindex"),
+                     "unitStrindex": a.get("unit_strindex")}),
+            "value": tav.value_to_json(int(a.get("vtype") or 0),
+                                       a.get("value")),
+        } for a in (dic.get("attributes") or [])],
+        "stackTable": [({"locationIndices": s} if s else {})
+                       for s in (dic.get("stacks") or [[]])],
+    }
+
+
+def dictionary_from_json(d: dict) -> dict:
+    """OTLP/JSON dictionary object → the canonical dict (inverse of
+    :func:`dictionary_to_json`; same shape as proto's
+    :func:`decode_dictionary`)."""
+    from ..functions import typedattrs as tav
+
+    mappings = [{"memory_start": int(m.get("memoryStart", 0)),
+                 "memory_limit": int(m.get("memoryLimit", 0)),
+                 "file_offset": int(m.get("fileOffset", 0)),
+                 "filename_strindex": int(m.get("filenameStrindex", 0)),
+                 "attribute_indices": [int(i) for i in
+                                       m.get("attributeIndices", [])]}
+                for m in d.get("mappingTable", [])]
+    locations = [{"mapping_index": int(loc.get("mappingIndex", 0)),
+                  "address": int(loc.get("address", 0)),
+                  "lines": [{"function_index": int(ln.get("functionIndex",
+                                                          0)),
+                             "line": int(ln.get("line", 0)),
+                             "column": int(ln.get("column", 0))}
+                            for ln in loc.get("line", [])],
+                  "attribute_indices": [int(i) for i in
+                                        loc.get("attributeIndices", [])]}
+                 for loc in d.get("locationTable", [])]
+    functions = [{"name_strindex": int(fn.get("nameStrindex", 0)),
+                  "system_name_strindex": int(fn.get("systemNameStrindex",
+                                                     0)),
+                  "filename_strindex": int(fn.get("filenameStrindex", 0)),
+                  "start_line": int(fn.get("startLine", 0))}
+                 for fn in d.get("functionTable", [])]
+    attributes = []
+    for a in d.get("attributeTable", []):
+        vtype, value = tav.json_to_value(a.get("value", {}))
+        attributes.append({"key_strindex": int(a.get("keyStrindex", 0)),
+                           "vtype": vtype, "value": value,
+                           "unit_strindex": int(a.get("unitStrindex", 0))})
+    return {"strings": list(d.get("stringTable", [])),
+            "mappings": mappings, "locations": locations,
+            "functions": functions, "attributes": attributes,
+            "stacks": [[int(i) for i in s.get("locationIndices", [])]
+                       for s in d.get("stackTable", [])]}
 
 
 def encode_profiles_json(function_table: pa.Table, samples: pa.Table,
@@ -241,33 +471,9 @@ def encode_profiles_json(function_table: pa.Table, samples: pa.Table,
     the two wire forms are cross-marshaler comparable."""
     import json
 
-    names = function_table.column("name").to_pylist()
-    fids = function_table.column("func_id").to_pylist()
-    dense = {int(f): i for i, f in enumerate(fids)}
-    strings = ["", sample_type, sample_unit] + list(names)
-
-    f0 = samples.column("f0_id").to_numpy(zero_copy_only=False)
-    f1 = samples.column("f1_id").to_numpy(zero_copy_only=False)
-    f2 = samples.column("f2_id").to_numpy(zero_copy_only=False)
-    vals = samples.column("value_us").to_numpy(zero_copy_only=False)
-    stacks = np.stack([f0, f1, f2], axis=1)
-    uniq, stack_of_sample = np.unique(stacks, axis=0, return_inverse=True) \
-        if len(stacks) else (np.empty((0, 3), np.int64),
-                             np.empty(0, np.int64))
-
-    dictionary = {
-        "mappingTable": [{}],
-        "locationTable": [{}] + [
-            {"line": [{"functionIndex": i + 1}]}
-            for i in range(len(names))],
-        "functionTable": [{}] + [
-            {"nameStrindex": 3 + i} for i in range(len(names))],
-        "stringTable": strings,
-        "stackTable": [{}] + [
-            {"locationIndices": [dense[int(a)] + 1, dense[int(b)] + 1,
-                                 dense[int(c)] + 1]}
-            for a, b, c in uniq],
-    }
+    dic, stack_of_sample, vals = _analytic_dictionary(
+        function_table, samples, sample_type, sample_unit)
+    dictionary = dictionary_to_json(dic)
     profile = {
         "sampleType": {"typeStrindex": 1, "unitStrindex": 2},
         "samples": [{"stackIndex": int(si) + 1, "values": [str(int(v))]}
@@ -293,17 +499,12 @@ def decode_profiles_json(line: str) -> dict:
     import json
 
     req = json.loads(line)
-    d = req.get("dictionary", {})
-    strings = list(d.get("stringTable", []))
-    functions = [int(f.get("nameStrindex", 0))
-                 for f in d.get("functionTable", [])]
-    locations = []
-    for loc in d.get("locationTable", []):
-        lines = loc.get("line", [])
-        locations.append(int(lines[0].get("functionIndex", 0))
-                         if lines else 0)
-    stacks = [[int(i) for i in s.get("locationIndices", [])]
-              for s in d.get("stackTable", [])]
+    dic = dictionary_from_json(req.get("dictionary", {}))
+    strings = dic["strings"]
+    functions = [fn["name_strindex"] for fn in dic["functions"]]
+    locations = [(loc["lines"][0]["function_index"] if loc["lines"]
+                  else 0) for loc in dic["locations"]]
+    stacks = dic["stacks"]
     sample_rows: list[tuple[int, int]] = []
     for rp in req.get("resourceProfiles", []):
         for sp in rp.get("scopeProfiles", []):
@@ -326,6 +527,7 @@ def decode_profiles_json(line: str) -> dict:
         "samples": pa.table({
             "stack_idx": pa.array([r[0] for r in sample_rows], pa.int64()),
             "value": pa.array([r[1] for r in sample_rows], pa.int64())}),
+        "dictionary": dic,
     }
 
 

@@ -106,3 +106,99 @@ def test_profiles_json_empty():
     dec = decode_profiles_json(encode_profiles_json(ftab, samples))
     assert len(dec["samples"]) == 0
     assert dec["strings"] == ["", "samples", "us"]
+
+
+def _full_dictionary() -> dict:
+    """A dictionary exercising every table and field the reference model
+    carries: a mapping with memory/file fields, a MULTI-LINE location
+    (inlined frames) with address + mapping + attributes, functions with
+    system-name/filename/start-line, and typed attribute-table entries."""
+    from opentelemetry_collector_ray.functions import typedattrs as tav
+
+    m0 = {"memory_start": 0, "memory_limit": 0, "file_offset": 0,
+          "filename_strindex": 0, "attribute_indices": []}
+    l0 = {"mapping_index": 0, "address": 0, "lines": [],
+          "attribute_indices": []}
+    f0 = {"name_strindex": 0, "system_name_strindex": 0,
+          "filename_strindex": 0, "start_line": 0}
+    return {
+        "strings": ["", "main", "inlined_helper", "libfoo.so",
+                    "foo.c", "cpu", "ms"],
+        "mappings": [m0, {"memory_start": 0x1000, "memory_limit": 0x9000,
+                          "file_offset": 64, "filename_strindex": 3,
+                          "attribute_indices": [1]}],
+        "locations": [
+            l0,
+            {"mapping_index": 1, "address": 0x1a2b,
+             "lines": [{"function_index": 2, "line": 12, "column": 7},
+                       {"function_index": 1, "line": 88, "column": 0}],
+             "attribute_indices": [1, 2]},
+            {"mapping_index": 1, "address": 0x2000,
+             "lines": [{"function_index": 1, "line": 40, "column": 2}],
+             "attribute_indices": []},
+        ],
+        "functions": [
+            f0,
+            {"name_strindex": 1, "system_name_strindex": 1,
+             "filename_strindex": 4, "start_line": 30},
+            {"name_strindex": 2, "system_name_strindex": 2,
+             "filename_strindex": 4, "start_line": 10},
+        ],
+        "attributes": [
+            {"key_strindex": 5, "vtype": tav.VTYPE_STR, "value": "fast",
+             "unit_strindex": 0},
+            {"key_strindex": 5, "vtype": tav.VTYPE_INT, "value": -3,
+             "unit_strindex": 6},
+            {"key_strindex": 5, "vtype": tav.VTYPE_DOUBLE, "value": 2.5,
+             "unit_strindex": 6},
+        ],
+        "stacks": [[], [1, 2], [2]],
+    }
+
+
+def test_dictionary_full_fidelity_proto_round_trip():
+    """Every mapping/location(multi-line)/function/attribute field
+    survives the proto dictionary codec (reference
+    pdata/pprofile/dictionary_helpers.go tables)."""
+    from opentelemetry_collector_ray.sources.otlp_profiles import (
+        decode_dictionary, encode_dictionary)
+
+    dic = _full_dictionary()
+    back = decode_dictionary(encode_dictionary(dic))
+    assert back == dic
+
+
+def test_dictionary_full_fidelity_json_round_trip():
+    """Same payload through the JSON marshaler pair."""
+    import json
+
+    from opentelemetry_collector_ray.sources.otlp_profiles import (
+        dictionary_from_json, dictionary_to_json)
+
+    dic = _full_dictionary()
+    j = json.loads(json.dumps(dictionary_to_json(dic)))
+    assert dictionary_from_json(j) == dic
+
+
+def test_multiline_location_flat_lens_uses_innermost_frame():
+    """decode_profiles_request keeps the full multi-line structure under
+    'dictionary' and maps each location to Line[0]'s function (pprof:
+    Line[0] is the innermost inlined frame) for the flat lens."""
+    from opentelemetry_collector_ray.sources.otlp_profiles import (
+        _len_field, _sample, _valuetype, _str_field,
+        decode_profiles_request, encode_dictionary)
+
+    dic = _full_dictionary()
+    dictionary = encode_dictionary(dic)
+    sample_msgs = _len_field(2, _sample(1, [250]))
+    profile = _len_field(1, _valuetype(5, 6)) + sample_msgs
+    scope = (_len_field(1, _str_field(1, "x")) + _len_field(2, profile))
+    blob = (_len_field(1, _len_field(1, b"") + _len_field(2, scope))
+            + _len_field(2, dictionary))
+    out = decode_profiles_request(blob)
+    assert out["dictionary"] == dic
+    # location 1 has lines [fn2 (innermost), fn1]; the flat lens picks fn2
+    stack_funcs = out["stacks"].column("func_idxs").to_pylist()
+    assert stack_funcs[1] == [2, 1]  # stack [loc1, loc2] -> [fn2, fn1]
+    names = out["functions"].column("name").to_pylist()
+    assert names == ["", "main", "inlined_helper"]
