@@ -664,19 +664,45 @@ def _q_orders_global_sorted(sf_dir: str):
 
 
 def _q_emb_quantize(sf_dir: str):
-    """int8 embedding quantization round trip through a real exchange
-    (stages/embeddings.py): 4x storage cut, codes as opaque binary
-    payloads (list columns break Ray's grouped-block conversion), error
-    bound asserted in tests — rows-only (float payloads)."""
+    """int8 embedding quantization (stages/embeddings.py), ORACLE-
+    CHECKED (promoted from rows-only in round 5): the codes are exact
+    integers, so SQL recomputes them — scale = max|x|/127 in float64,
+    banker's round_even (numpy rint), clip at ±127, zero-scale → 0 —
+    and the gate compares exact per-vector integer aggregates (sum,
+    abs-sum, saturated-code count) read back from the PACKED binary
+    payloads after a real Ray exchange. IEEE double division and
+    half-even rounding are bit-deterministic on both engines, so the
+    hash match is exact."""
     from opentelemetry_collector_ray.stages.embeddings import (
-        dequantize_embeddings, quantize_embeddings)
+        quantize_embeddings)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = quantize_embeddings(ds)
-    back = dequantize_embeddings(q, out_col="embedding")
-    return back.map_batches(
-        lambda t: t.select(["vec_id", "q8_scale", "q8_dim"]),
-        batch_format="pyarrow")
+    q = quantize_embeddings(ds).repartition(8)
+
+    def sums(t: pa.Table) -> pa.Table:
+        codes = t.column("q8").combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "q8_dim": pa.array([], pa.int64()),
+                "code_sum": pa.array([], pa.int64()),
+                "code_abs_sum": pa.array([], pa.int64()),
+                "n_saturated": pa.array([], pa.int64())})
+        dim = t.column("q8_dim").to_numpy(zero_copy_only=False)
+        d = int(dim[0])
+        off = np.frombuffer(codes.buffers()[1], np.int32)
+        data = np.frombuffer(codes.buffers()[2], np.int8)
+        mat = data[off[codes.offset]:off[codes.offset + n]] \
+            .reshape(n, d).astype(np.int64)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "q8_dim": pa.array(dim.astype(np.int64)),
+            "code_sum": pa.array(mat.sum(axis=1)),
+            "code_abs_sum": pa.array(np.abs(mat).sum(axis=1)),
+            "n_saturated": pa.array((np.abs(mat) == 127).sum(axis=1))})
+
+    return q.map_batches(sums, batch_format="pyarrow")
 
 
 _TFIDF_TERMS = ("window", "join", "hash")
@@ -1900,6 +1926,26 @@ def _q_docs_bpe_base_tokens(sf_dir: str):
     return enc.select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def _q_docs_bpe_roundtrip(sf_dir: str):
+    """TRAINED-merge BPE under the SQL hash gate (round-5 promotion of
+    the trained path): 200 merges learned from the corpus word
+    histogram, distributed encode, then vectorized DECODE — trained on
+    the same corpus nothing maps to UNK, so decode(encode(x)) must
+    equal the normalized word sequence exactly. A wrong merge
+    application, rank tie-break, vocab id assignment or per-doc offset
+    in the encoder breaks reconstruction. Oracle = the same [a-z]+
+    word extraction joined by single spaces."""
+    from opentelemetry_collector_ray.stages.bpe import (
+        bpe_decode, bpe_encode, bpe_train)
+
+    def make():
+        return _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8)
+
+    model = bpe_train(make(), num_merges=200)
+    enc = bpe_encode(make(), model, concurrency=(1, 4), batch_size=4096)
+    return bpe_decode(enc, model).select_columns(["doc_id", "detok"])
+
+
 def _q_docs_bpe_tokens(sf_dir: str):
     """Trained BPE (200 merges learned from the corpus word histogram,
     driver merge loop over the distributed word counts) → distributed
@@ -2990,6 +3036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_violations": _q_orders_violations,
         # --- round-5 NEW queries (driver-checked this round) ---
         "events_hist_wire": _q_events_hist_wire,
+        "emb_quantize": _q_emb_quantize,
+        "docs_bpe_roundtrip": _q_docs_bpe_roundtrip,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -3118,7 +3166,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_cms": _q_docs_term_cms,
         "orders_quantiles_sketch": _q_orders_quantiles_sketch,
         "events_user_quantiles_sketch": _q_events_user_quantiles_sketch,
-        "emb_quantize": _q_emb_quantize,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "parts_pagerank": _q_parts_pagerank,
         "docs_lang_divergence": _q_docs_lang_divergence,
@@ -3774,6 +3821,30 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "docs_bpe_roundtrip": r"""
+SELECT doc_id,
+       array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')
+           AS detok
+FROM documents
+""",
+        "emb_quantize": """
+WITH u AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS d,
+                  CAST(x AS DOUBLE) AS x
+           FROM embeddings, UNNEST(embedding) AS t(x)),
+s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM u GROUP BY vec_id),
+c AS (SELECT u.vec_id, u.d,
+             CASE WHEN s.scale > 0
+                  THEN CAST(GREATEST(-127.0, LEAST(127.0,
+                       round_even(u.x / s.scale, 0))) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM u JOIN s USING (vec_id))
+SELECT vec_id, min(d) AS q8_dim,
+       CAST(sum(q) AS BIGINT) AS code_sum,
+       CAST(sum(abs(q)) AS BIGINT) AS code_abs_sum,
+       CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saturated
+FROM c GROUP BY vec_id
 """,
         "events_hist_wire": """
 SELECT event_type,

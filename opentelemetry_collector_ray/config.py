@@ -857,6 +857,52 @@ class PipelineConfig:
             raise ConfigError("pipeline needs at least one receiver and one exporter")
 
 
+# ------------------------------------------------- config-staleness resume
+
+def output_ruleset_hashes(cfg: PipelineConfig,
+                          depends: dict[str, list[str]] | None = None
+                          ) -> dict[str, str]:
+    """Per-exporter ruleset hash for the batch partial-reload analog of
+    the reference's config hot-reload (``otelcol/collector.go:290-329``,
+    ``service/internal/graph/graph.go:515-713``: only graph nodes whose
+    config changed restart).
+
+    Each exporter output gets a sha256 over the canonical JSON of the
+    component configs that FEED it: the pipeline's receivers, its
+    processor chain, and the exporter's own config. ``depends`` narrows
+    an output's processor dependency to a subset (order taken from the
+    pipeline): an aggregate sink that consumes the parse stage but not
+    the route table declares ``{"agg_sink": ["parse"]}``, so editing a
+    route rule leaves its hash — and every partition manifest committed
+    under it — valid, while the routed outputs' hashes change and only
+    THEY recompute on the next ``run_resumable``. Unknown component
+    names in ``depends`` raise loudly."""
+    import hashlib
+    import json as _json
+
+    procs = list(cfg.pipeline.get("processors", []))
+    out: dict[str, str] = {}
+    for exporter in cfg.pipeline.get("exporters", []):
+        dep = depends.get(exporter) if depends else None
+        if dep is None:
+            chain = procs
+        else:
+            unknown = [n for n in dep if n not in procs]
+            if unknown:
+                raise ConfigError(
+                    f"output_ruleset_hashes: {exporter!r} depends on "
+                    f"unknown processors {unknown}")
+            chain = [n for n in procs if n in set(dep)]
+        blob = _json.dumps({
+            "receivers": {n: cfg.receivers.get(n)
+                          for n in cfg.pipeline.get("receivers", [])},
+            "processors": [(n, cfg.processors.get(n)) for n in chain],
+            "exporter": (exporter, cfg.exporters.get(exporter)),
+        }, sort_keys=True, default=str)
+        out[exporter] = hashlib.sha256(blob.encode()).hexdigest()
+    return out
+
+
 # ------------------------------------------------------------- feature gates
 
 class FeatureGateRegistry:

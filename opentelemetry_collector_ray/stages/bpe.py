@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -291,6 +292,36 @@ def bpe_tokenize(make_ds, text_col: str = "text",
                       max_word_types=max_word_types)
     return bpe_encode(f(), model, text_col=text_col, id_col=id_col,
                       concurrency=concurrency, batch_size=batch_size)
+
+
+def bpe_decode(ds: ray.data.Dataset, model: BPEModel,
+               ids_col: str = "token_ids", out_col: str = "detok"
+               ) -> ray.data.Dataset:
+    """Inverse transform: per-doc token-id lists → text, words joined by
+    a single space (END_OF_WORD marks word boundaries, so no per-word
+    bookkeeping is needed). When the model was trained on the same
+    corpus nothing maps to UNK and ``decode(encode(x))`` equals the
+    normalized word sequence exactly — the reconstruction-fidelity gate
+    for the trained-merge path. UNK ids decode to U+FFFD (lossy,
+    visible). Fully vectorized: one dictionary take over the flat id
+    array, one list-join per batch."""
+    id_to_token: list[str] = [""] * (model.unk_id + 1)
+    for tok, i in model.token_to_id.items():
+        id_to_token[i] = tok
+    id_to_token[model.unk_id] = "�"
+    vocab = pa.array(id_to_token, pa.string())
+
+    def dec(t: pa.Table) -> pa.Table:
+        ids = t.column(ids_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = vocab.take(ids.flatten())
+        lists = pa.ListArray.from_arrays(ids.offsets, toks)
+        out = pc.utf8_rtrim(pc.replace_substring(
+            pc.binary_join(lists, ""), END_OF_WORD, " "), " ")
+        return t.drop_columns([ids_col]).append_column(out_col, out)
+
+    return ds.map_batches(dec, batch_format="pyarrow")
 
 
 def save_model(model: BPEModel, path: str) -> None:

@@ -96,6 +96,30 @@ def partition_output_dir(root: str, pid: str) -> str:
     return os.path.join(root, f"part-{pid}")
 
 
+def reload_report(stores: dict[str, "ManifestStore"],
+                  hashes: dict[str, str]) -> dict[str, dict]:
+    """Diff a NEW config's per-output ruleset hashes
+    (``config.output_ruleset_hashes``) against committed manifests —
+    the batch analog of partial config reload
+    (``otelcol/collector.go:290-329``): for each output, list the
+    partitions that stay valid (committed under the same hash) and the
+    ones the next ``run_resumable`` will recompute (committed under a
+    DIFFERENT hash, i.e. the edited stage fed them). Pure report — no
+    files are touched; ``run_resumable`` with the new hash performs the
+    actual selective recompute."""
+    report: dict[str, dict] = {}
+    for name, store in stores.items():
+        new_hash = hashes[name]
+        valid, stale = [], []
+        for pid in sorted(store.committed_ids()):
+            m = store.load(pid) or {}
+            (valid if m.get("ruleset_hash") == new_hash
+             else stale).append(pid)
+        report[name] = {"ruleset_hash": new_hash,
+                        "valid": valid, "stale": stale}
+    return report
+
+
 def run_resumable(store: ManifestStore, tasks: Sequence[PartitionTask],
                   process: Callable[[PartitionTask, str], dict],
                   ruleset_hash: str, force: bool = False) -> dict:

@@ -157,3 +157,46 @@ def test_model_save_load_roundtrip(ray_session, tmp_path):
     b = bpe_encode(ds, back).to_pandas().sort_values("doc_id")
     assert [list(x) for x in a["token_ids"]] == \
         [list(x) for x in b["token_ids"]]
+
+
+def test_bpe_decode_reconstructs_normalized_text(ray_session):
+    """decode(encode(x)) == normalized word sequence when the model was
+    trained on the same corpus (nothing maps to UNK)."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.bpe import (
+        bpe_decode, bpe_encode, bpe_train)
+
+    texts = ["The cat sat, and the cat ran!", "banana bandana",
+             "", "123 !!", "aaa aaa bbb"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    make = lambda: ray.data.from_arrow(tbl).repartition(2)
+    model = bpe_train(make(), num_merges=50)
+    out = bpe_decode(bpe_encode(make(), model), model) \
+        .to_pandas().sort_values("doc_id")
+    import re
+    want = [" ".join(re.findall("[a-z]+", s.lower())) for s in texts]
+    assert out["detok"].tolist() == want
+
+
+def test_bpe_decode_unk_is_visible(ray_session):
+    """Ids outside the training vocab decode to U+FFFD, never silently
+    to some other token."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.bpe import (
+        bpe_decode, bpe_encode, bpe_train)
+
+    make_train = lambda: ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["aaa bbb"])}))
+    model = bpe_train(make_train(), num_merges=0)
+    # encode text containing a symbol absent from the alphabet
+    enc = bpe_encode(ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["aaz"])})), model)
+    out = bpe_decode(enc, model).to_pandas()
+    assert "�" in out["detok"].iloc[0]

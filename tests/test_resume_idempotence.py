@@ -171,3 +171,73 @@ def test_resumable_write_rewrites_on_changed_input(ray_session, tmp_path):
         sorted(i + 1000 for c, i in zip(conv, idx) if c == "c0")
     # unchanged buckets were skipped (not needlessly rewritten)
     assert r2["skipped"]
+
+
+def test_config_staleness_partial_reload(tmp_path):
+    """The batch partial-reload analog (otelcol/collector.go:290-329):
+    editing ONE route rule changes only the routed output's ruleset hash
+    — on the next run the routed partitions recompute while the
+    aggregate output's committed manifests still skip."""
+    from opentelemetry_collector_ray.config import (
+        PipelineConfig, output_ruleset_hashes)
+    from opentelemetry_collector_ray.state.manifest import reload_report
+
+    def make_cfg(route_to):
+        return PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": "/tmp/in"}},
+            "processors": {
+                "parse": {"pattern": r"(?P<k>\w+)", "column": "text"},
+                "route": {"routes": [
+                    {"match": {"column": "role", "equals": "user"},
+                     "route": route_to}], "default_route": "other"},
+            },
+            "exporters": {"parquet_sink/routed": {"path": "/tmp/r"},
+                          "parquet_sink/agg": {"path": "/tmp/a"}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"],
+                "processors": ["parse", "route"],
+                "exporters": ["parquet_sink/routed", "parquet_sink/agg"]}}},
+        })
+
+    # the aggregate output consumes parse but NOT the route table
+    depends = {"parquet_sink/agg": ["parse"]}
+    h1 = output_ruleset_hashes(make_cfg("users"), depends=depends)
+
+    stores = {name: ManifestStore(str(tmp_path / name))
+              for name in ("parquet_sink/routed", "parquet_sink/agg")}
+    calls = {"parquet_sink/routed": 0, "parquet_sink/agg": 0}
+
+    def run_all(hashes):
+        for name, store in stores.items():
+            def process(task, staging, _n=name):
+                calls[_n] += 1
+                return {"rows": 1}
+            run_resumable(store, [PartitionTask("p0", ["f0"]),
+                                  PartitionTask("p1", ["f1"])],
+                          process, hashes[name])
+
+    run_all(h1)
+    assert calls == {"parquet_sink/routed": 2, "parquet_sink/agg": 2}
+
+    # identical config → everything skips
+    run_all(output_ruleset_hashes(make_cfg("users"), depends=depends))
+    assert calls == {"parquet_sink/routed": 2, "parquet_sink/agg": 2}
+
+    # edit ONE route rule → routed hash changes, agg hash does not
+    h2 = output_ruleset_hashes(make_cfg("vip_users"), depends=depends)
+    assert h2["parquet_sink/routed"] != h1["parquet_sink/routed"]
+    assert h2["parquet_sink/agg"] == h1["parquet_sink/agg"]
+
+    rep = reload_report(stores, h2)
+    assert rep["parquet_sink/routed"]["stale"] == ["p0", "p1"]
+    assert rep["parquet_sink/routed"]["valid"] == []
+    assert rep["parquet_sink/agg"]["valid"] == ["p0", "p1"]
+    assert rep["parquet_sink/agg"]["stale"] == []
+
+    run_all(h2)  # only the routed partitions recompute
+    assert calls == {"parquet_sink/routed": 4, "parquet_sink/agg": 2}
+
+    # depends naming an unknown processor fails loudly
+    with pytest.raises(Exception, match="unknown processors"):
+        output_ruleset_hashes(make_cfg("users"),
+                              depends={"parquet_sink/agg": ["nope"]})
