@@ -1249,6 +1249,70 @@ def _q_events_hist_wire(sf_dir: str):
         for k, v in out.items()}))
 
 
+def _q_events_value_pctile(sf_dir: str):
+    """percent_rank / cume_dist / first_value / last_value window ops
+    (stages/window.py, round-5 additions): per event type ordered by
+    integer cents — ties exist at cents granularity, so the SQL peer
+    semantics (rank runs for percent_rank, run-end counts for
+    cume_dist) are genuinely exercised. percent_rank = (rank−1)/(n−1)
+    and cume_dist = peers_through/n are exact double divisions of small
+    ints, bit-identical across engines; first/last ride an explicit
+    whole-partition frame in the oracle."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events", ["event_id", "event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return per_key_window(ds, "event_type", ["cents"], {
+        "pct": ("percent_rank",),
+        "cd": ("cume_dist",),
+        "first_cents": ("first_value", "cents"),
+        "last_cents": ("last_value", "cents")})
+
+
+def _q_orders_latest_by_cust(sf_dir: str):
+    """CDC upsert compaction (stages/cdc.py latest_by_key): each
+    customer's single newest order under (o_orderdate, o_orderkey) —
+    the materialized-view read of an append-only changelog. Oracle =
+    row_number() = 1 over the DESC ordering."""
+    from opentelemetry_collector_ray.stages.cdc import latest_by_key
+
+    return latest_by_key(
+        _read_co(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"], floor=8),
+        "o_custkey", ["o_orderdate", "o_orderkey"], keep="last")
+
+
+def _q_events_throttled(sf_dir: str):
+    """Per-key rate limiting (stages/cdc.py first_k_by): each user's
+    first 3 events in (ts, event_id) order — head-based retention.
+    Oracle = row_number() <= 3."""
+    from opentelemetry_collector_ray.stages.cdc import first_k_by
+
+    return first_k_by(
+        _read_co(sf_dir, "events", ["event_id", "user_id", "ts"],
+                 floor=8),
+        "user_id", ["ts", "event_id"], k=3)
+
+
+def _q_events_state_changes(sf_dir: str):
+    """Distinct-until-changed (stages/cdc.py dedupe_consecutive):
+    per-user event stream compressed to state CHANGES of event_type —
+    heartbeat compression. Oracle = first row per user OR event_type IS
+    DISTINCT FROM its lag."""
+    from opentelemetry_collector_ray.stages.cdc import dedupe_consecutive
+
+    return dedupe_consecutive(
+        _read_co(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type"], floor=8),
+        "user_id", ["ts", "event_id"], value_cols=["event_type"])
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3038,6 +3102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist_wire": _q_events_hist_wire,
         "emb_quantize": _q_emb_quantize,
         "docs_bpe_roundtrip": _q_docs_bpe_roundtrip,
+        "events_value_pctile": _q_events_value_pctile,
+        "orders_latest_by_cust": _q_orders_latest_by_cust,
+        "events_throttled": _q_events_throttled,
+        "events_state_changes": _q_events_state_changes,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -3821,6 +3889,47 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "orders_latest_by_cust": """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+""",
+        "events_throttled": """
+SELECT event_id, user_id, ts
+FROM (SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+""",
+        "events_state_changes": """
+SELECT event_id, user_id, ts, event_type
+FROM (SELECT event_id, user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+""",
+        "events_value_pctile": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, event_type, cents,
+       percent_rank() OVER w AS pct,
+       cume_dist() OVER w AS cd,
+       first_value(cents) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_cents,
+       last_value(cents) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_cents
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY cents)
 """,
         "docs_bpe_roundtrip": r"""
 SELECT doc_id,

@@ -365,6 +365,39 @@ def _register_builtins() -> None:
             ds, cfg["key"], list(cfg["order_by"]), ops,
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_latest_by(cfg: dict):
+        from .stages.cdc import latest_by_key
+
+        if not cfg.get("key") or not cfg.get("order_by"):
+            raise ConfigError("latest_by: key and order_by are required")
+        return DatasetTransform(lambda ds: latest_by_key(
+            ds, cfg["key"], list(cfg["order_by"]),
+            keep=cfg.get("keep", "last"),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_throttle(cfg: dict):
+        from .stages.cdc import first_k_by
+
+        if not cfg.get("key") or not cfg.get("order_by") \
+                or not cfg.get("k"):
+            raise ConfigError("throttle: key, order_by and k are required")
+        return DatasetTransform(lambda ds: first_k_by(
+            ds, cfg["key"], list(cfg["order_by"]), int(cfg["k"]),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_dedupe_consecutive(cfg: dict):
+        from .stages.cdc import dedupe_consecutive
+
+        if not cfg.get("key") or not cfg.get("order_by") \
+                or not cfg.get("value_cols"):
+            raise ConfigError(
+                "dedupe_consecutive: key, order_by and value_cols are "
+                "required")
+        return DatasetTransform(lambda ds: dedupe_consecutive(
+            ds, cfg["key"], list(cfg["order_by"]),
+            [str(c) for c in cfg["value_cols"]],
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_resample(cfg: dict):
         from .stages.resample import resample_asof
 
@@ -752,6 +785,10 @@ def _register_builtins() -> None:
     register("unpivot", Factory("processor", make_unpivot))
     register("semdedup", Factory("processor", make_semdedup))
     register("window", Factory("processor", make_window))
+    register("latest_by", Factory("processor", make_latest_by))
+    register("throttle", Factory("processor", make_throttle))
+    register("dedupe_consecutive",
+             Factory("processor", make_dedupe_consecutive))
     register("rollup", Factory("processor", make_rollup))
     register("resample", Factory("processor", make_resample))
     register("dup_stats", Factory("processor", make_dup_stats))

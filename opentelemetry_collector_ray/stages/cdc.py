@@ -1,0 +1,137 @@
+"""Change-data-capture / log-retention operators — per-key row
+selection by order, all on the bounded-bucket idiom.
+
+Three telemetry-pipeline staples the reference expresses through its
+processors and the batch engine expresses as one vectorized pass per
+hash bucket (``bucketing.bucketed_map_groups`` — a key's rows always
+share a bucket, so every selection below is exact):
+
+- ``latest_by_key``: upsert compaction — keep each key's single newest
+  row (the materialized-view read of an append-only CDC log; the
+  reference's analog is the last-value gauge semantics,
+  ``stages/metricsops.py``). ``keep="first"`` gives the oldest.
+- ``first_k_by``: per-key rate limiting / throttle sampling — keep each
+  key's first ``k`` rows in order (the head-based probe retention a log
+  pipeline applies per user/session; cf. the reference's
+  memory_limiter + probabilistic sampler family).
+- ``dedupe_consecutive``: distinct-until-changed — drop a row when
+  every watched column equals the key's PREVIOUS row (state-change
+  compression of heartbeat/gauge streams).
+
+Scale shape: one exchange (the bucket hash), then numpy segment kernels
+on the sorted bucket — no per-key Python, no driver state. Ties on the
+full ``order_by`` tuple are broken by sort stability within a bucket;
+pass a unique tie-break column (an id) for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .bucketing import bucketed_map_groups, key_segments
+
+__all__ = ["latest_by_key", "first_k_by", "dedupe_consecutive"]
+
+
+def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
+    t = t.sort_by([(key, "ascending")]
+                  + [(c, "ascending") for c in order_by])
+    for c in [key, *order_by]:
+        if t.column(c).null_count:
+            raise ValueError(
+                f"cdc: key/order column {c!r} has nulls — SQL window "
+                "ordering over nulls is engine-dependent; fill or drop "
+                "them first")
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    change, seg_start = key_segments(keys)
+    return t, change, seg_start
+
+
+def latest_by_key(ds: ray.data.Dataset, key: str, order_by: list[str],
+                  keep: str = "last",
+                  n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """One row per key: the greatest (``keep="last"``) or least
+    (``"first"``) row under ``order_by`` — the CDC upsert compaction.
+    Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY
+    order_by DESC) = 1``."""
+    if keep not in ("last", "first"):
+        raise ValueError(f"latest_by_key: keep must be 'last' or "
+                         f"'first', got {keep!r}")
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        t, change, seg_start = _sorted_segments(t, key, order_by)
+        n = t.num_rows
+        if keep == "first":
+            idx = np.flatnonzero(change)
+        else:
+            # segment ends = (next segment start) - 1, last segment ends
+            # at n-1
+            starts = np.flatnonzero(change)
+            idx = np.append(starts[1:], n) - 1
+        return t.take(pa.array(idx, pa.int64()))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def first_k_by(ds: ray.data.Dataset, key: str, order_by: list[str],
+               k: int,
+               n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Keep each key's FIRST ``k`` rows in ``order_by`` order — per-key
+    rate limiting / head sampling. Equivalent SQL: ``row_number() OVER
+    (PARTITION BY key ORDER BY order_by) <= k``."""
+    k = int(k)
+    if k < 1:
+        raise ValueError(f"first_k_by: k must be >= 1, got {k}")
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        t, change, seg_start = _sorted_segments(t, key, order_by)
+        n = t.num_rows
+        rn = np.arange(n) - seg_start
+        return t.filter(pa.array(rn < k))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def dedupe_consecutive(ds: ray.data.Dataset, key: str,
+                       order_by: list[str], value_cols: list[str],
+                       n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Distinct-until-changed: within each key's ``order_by`` sequence,
+    drop a row when EVERY ``value_cols`` entry equals the previous
+    row's — state-change compression for heartbeat/gauge streams.
+    First row of each key always survives. Equivalent SQL: keep rows
+    where any ``col IS DISTINCT FROM lag(col) OVER w``. Null values in
+    ``value_cols`` compare like SQL IS DISTINCT FROM (null == null)."""
+    if not value_cols:
+        raise ValueError("dedupe_consecutive: value_cols must be "
+                         "non-empty")
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        t, change, seg_start = _sorted_segments(t, key, order_by)
+        n = t.num_rows
+        keep = change.copy()  # first row of each key always kept
+        for c in value_cols:
+            col = t.column(c)
+            v = col.to_numpy(zero_copy_only=False)
+            if n > 1:
+                neq = v[1:] != v[:-1]
+                if neq.dtype != bool:
+                    neq = neq.astype(bool)
+                if col.null_count:
+                    # IS DISTINCT FROM: null vs null is NOT a change,
+                    # null vs value IS
+                    isnull = np.asarray(
+                        col.is_null().to_numpy(zero_copy_only=False))
+                    both_null = isnull[1:] & isnull[:-1]
+                    one_null = isnull[1:] ^ isnull[:-1]
+                    neq = (neq & ~both_null) | one_null
+                elif v.dtype.kind == "f":
+                    # NaN != NaN would mark every NaN run as changes
+                    both_nan = np.isnan(v[1:]) & np.isnan(v[:-1])
+                    neq = neq & ~both_nan
+                keep[1:] |= neq
+        return t.filter(pa.array(keep))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

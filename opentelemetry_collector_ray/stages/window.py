@@ -32,7 +32,8 @@ import ray.data
 from .bucketing import bucketed_map_groups, key_segments
 
 _OPS = ("lag", "lead", "delta", "cumsum", "row_number", "rolling_sum",
-        "rolling_count", "rank", "dense_rank", "ntile")
+        "rolling_count", "rank", "dense_rank", "ntile", "percent_rank",
+        "cume_dist", "first_value", "last_value")
 
 
 def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
@@ -79,7 +80,8 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             rolling_requested = True
             if int(spec[-1]) < 0:
                 raise ValueError("per_key_window: window must be >= 0")
-        elif spec[0] in ("row_number", "rank", "dense_rank"):
+        elif spec[0] in ("row_number", "rank", "dense_rank",
+                         "percent_rank", "cume_dist"):
             if len(spec) != 1:
                 raise ValueError(
                     f"per_key_window: {spec[0]} takes no arguments")
@@ -101,7 +103,9 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
         hi = None
         lo_of: dict[int, np.ndarray] = {}
         run_start = None
-        if any(spec[0] in ("rank", "dense_rank") for spec in ops.values()):
+        run_end = None
+        if any(spec[0] in ("rank", "dense_rank", "percent_rank",
+                           "cume_dist") for spec in ops.values()):
             # peer runs: rows equal on (key, *order_by); order_by
             # columns compared pairwise on the sorted table.
             run_change = change.copy()
@@ -128,9 +132,13 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                 np.arange(len(run_starts)),
                 np.diff(np.append(run_starts, n)))
             run_start = run_starts[run_of_row] if n else pos
+            # exclusive end of each peer run (for cume_dist: rows <= peers)
+            run_end = (np.append(run_starts[1:], n)[run_of_row]
+                       if n else pos)
             run_id = run_of_row
         lens = None
-        if any(spec[0] == "ntile" for spec in ops.values()):
+        if any(spec[0] in ("ntile", "percent_rank", "cume_dist",
+                           "last_value") for spec in ops.values()):
             starts_nt = np.flatnonzero(change)
             seg_sizes = np.diff(np.append(starts_nt, n))
             lens = (np.repeat(seg_sizes, seg_sizes) if n
@@ -178,6 +186,44 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             if op == "rank":
                 t = t.append_column(out, pa.array(
                     (run_start - seg_start + 1).astype(np.int64)))
+                continue
+            if op == "percent_rank":
+                # SQL: (rank - 1) / (n - 1); 0.0 for single-row
+                # partitions — exact double division of small ints,
+                # bit-identical across engines
+                r0 = (run_start - seg_start).astype(np.float64)
+                den = np.maximum(lens - 1, 1).astype(np.float64)
+                t = t.append_column(out, pa.array(r0 / den))
+                continue
+            if op == "cume_dist":
+                # SQL: (# rows <= current incl. peers) / n
+                t = t.append_column(out, pa.array(
+                    (run_end - seg_start).astype(np.float64)
+                    / lens.astype(np.float64)))
+                continue
+            if op == "first_value":
+                fv = t.column(spec[1])
+                if fv.null_count:
+                    raise ValueError(
+                        f"per_key_window: value column {spec[1]!r} has "
+                        "nulls — first/last over nulls would be "
+                        "silently wrong; fill or drop them first")
+                vv = fv.to_numpy(zero_copy_only=False)
+                t = t.append_column(out, pa.array(vv[seg_start], fv.type))
+                continue
+            if op == "last_value":
+                # whole-partition frame (mirror with ROWS BETWEEN
+                # UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING — the SQL
+                # default frame would stop at the current peer run)
+                fv = t.column(spec[1])
+                if fv.null_count:
+                    raise ValueError(
+                        f"per_key_window: value column {spec[1]!r} has "
+                        "nulls — first/last over nulls would be "
+                        "silently wrong; fill or drop them first")
+                vv = fv.to_numpy(zero_copy_only=False)
+                seg_end = seg_start + lens - 1
+                t = t.append_column(out, pa.array(vv[seg_end], fv.type))
                 continue
             if op == "dense_rank":
                 t = t.append_column(out, pa.array(

@@ -1,0 +1,150 @@
+"""CDC / retention operators (stages/cdc.py): latest_by_key upsert
+compaction, first_k_by throttling, dedupe_consecutive state-change
+compression — DuckDB window-SQL parity, null/NaN semantics, guards,
+YAML parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opentelemetry_collector_ray.stages.cdc import (
+    dedupe_consecutive, first_k_by, latest_by_key)
+
+
+def _events(n=500, seed=1):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(np.char.add("u", rng.integers(0, 20, n)
+                                  .astype("U4"))),
+        "ts": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "state": pa.array(np.char.add("s", rng.integers(0, 3, n)
+                                      .astype("U2")))})
+
+
+def _sql(tbl, q):
+    con = duckdb.connect()
+    con.register("t", tbl)
+    return con.execute(q).df()
+
+
+def _cmp(got, want, cols):
+    g = got.sort_values(cols).reset_index(drop=True)
+    w = want.sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g[cols].astype(str).values == w[cols].astype(str).values).all()
+
+
+def test_latest_by_key_matches_sql(ray_session):
+    tbl = _events()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = latest_by_key(ds, "k", ["ts", "id"]).to_pandas()
+    want = _sql(tbl, """
+        SELECT * EXCLUDE rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC, id DESC) AS rn FROM t) WHERE rn = 1""")
+    _cmp(out, want, ["id", "k", "ts", "state"])
+    first = latest_by_key(ray.data.from_arrow(tbl).repartition(4),
+                          "k", ["ts", "id"], keep="first").to_pandas()
+    want_f = _sql(tbl, """
+        SELECT * EXCLUDE rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts, id) AS rn FROM t) WHERE rn = 1""")
+    _cmp(first, want_f, ["id", "k", "ts", "state"])
+
+
+def test_first_k_by_matches_sql(ray_session):
+    tbl = _events(seed=2)
+    out = first_k_by(ray.data.from_arrow(tbl).repartition(4),
+                     "k", ["ts", "id"], k=4).to_pandas()
+    want = _sql(tbl, """
+        SELECT * EXCLUDE rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts, id) AS rn FROM t) WHERE rn <= 4""")
+    _cmp(out, want, ["id", "k", "ts", "state"])
+
+
+def test_dedupe_consecutive_matches_sql(ray_session):
+    tbl = _events(seed=3)
+    out = dedupe_consecutive(ray.data.from_arrow(tbl).repartition(4),
+                             "k", ["ts", "id"],
+                             value_cols=["state"]).to_pandas()
+    want = _sql(tbl, """
+        SELECT * EXCLUDE (prev, rn) FROM (
+          SELECT *, lag(state) OVER w AS prev,
+                 row_number() OVER w AS rn
+          FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, id))
+        WHERE rn = 1 OR state IS DISTINCT FROM prev""")
+    _cmp(out, want, ["id", "k", "ts", "state"])
+
+
+def test_dedupe_consecutive_null_and_nan_runs(ray_session):
+    # null==null and NaN==NaN are NOT changes (IS DISTINCT FROM)
+    tbl = pa.table({
+        "id": pa.array(range(6), pa.int64()),
+        "k": pa.array(["a"] * 6),
+        "state": pa.array(["x", None, None, "x", "x", None]),
+        "val": pa.array([1.0, float("nan"), float("nan"), 1.0, 1.0, 2.0]),
+    })
+    out = dedupe_consecutive(ray.data.from_arrow(tbl), "k", ["id"],
+                             value_cols=["state"]).to_pandas()
+    assert sorted(out["id"].tolist()) == [0, 1, 3, 5]
+    out2 = dedupe_consecutive(ray.data.from_arrow(tbl), "k", ["id"],
+                              value_cols=["val"]).to_pandas()
+    assert sorted(out2["id"].tolist()) == [0, 1, 3, 5]
+
+
+def test_cdc_guards(ray_session):
+    tbl = pa.table({"id": pa.array([1, None], pa.int64()),
+                    "k": pa.array(["a", "b"]),
+                    "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        latest_by_key(ray.data.from_arrow(tbl), "k", ["id"]).to_pandas()
+    with pytest.raises(ValueError, match="k must be"):
+        first_k_by(ray.data.from_arrow(tbl), "k", ["v"], k=0)
+    with pytest.raises(ValueError, match="keep"):
+        latest_by_key(ray.data.from_arrow(tbl), "k", ["v"], keep="mid")
+    with pytest.raises(ValueError, match="value_cols"):
+        dedupe_consecutive(ray.data.from_arrow(tbl), "k", ["v"], [])
+
+
+def test_cdc_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    tbl = _events(n=100, seed=4)
+    p = tmp_path / "e.parquet"
+    pq.write_table(tbl, str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    y = run("latest_by", {"key": "k", "order_by": ["ts", "id"]})
+    d = latest_by_key(ray.data.read_parquet(str(p)), "k",
+                      ["ts", "id"]).to_pandas()
+    _cmp(y, d, ["id", "k", "ts", "state"])
+
+    y = run("throttle", {"key": "k", "order_by": ["ts", "id"], "k": 2})
+    d = first_k_by(ray.data.read_parquet(str(p)), "k",
+                   ["ts", "id"], k=2).to_pandas()
+    _cmp(y, d, ["id", "k", "ts", "state"])
+
+    y = run("dedupe_consecutive", {"key": "k", "order_by": ["ts", "id"],
+                                   "value_cols": ["state"]})
+    d = dedupe_consecutive(ray.data.read_parquet(str(p)), "k",
+                           ["ts", "id"], ["state"]).to_pandas()
+    _cmp(y, d, ["id", "k", "ts", "state"])

@@ -225,3 +225,49 @@ def test_window_temporal_delta_and_null_guard(ray_session):
     with pytest.raises(Exception, match="temporal"):
         per_key_window(ray.data.from_arrow(tbl), "k", ["o"],
                        {"c": ("cumsum", "ts")}).to_pandas()
+
+
+def test_pctrank_cumedist_first_last_match_duckdb(ray_session):
+    """percent_rank / cume_dist peer semantics and whole-partition
+    first/last_value vs DuckDB, with planted ties."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    rng = np.random.default_rng(9)
+    n = 400
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(np.char.add("g", rng.integers(0, 7, n)
+                                  .astype("U2"))),
+        "v": pa.array(rng.integers(0, 12, n), pa.int64())})  # many ties
+    out = per_key_window(
+        ray.data.from_arrow(tbl).repartition(4), "k", ["v"], {
+            "pct": ("percent_rank",), "cd": ("cume_dist",),
+            "fv": ("first_value", "v"), "lv": ("last_value", "v"),
+        }).to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        SELECT id, percent_rank() OVER w AS pct, cume_dist() OVER w AS cd,
+               first_value(v) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS fv,
+               last_value(v) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS lv
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY id""").df()
+    assert (out["pct"].values == want["pct"].values).all()
+    assert (out["cd"].values == want["cd"].values).all()
+    assert (out["fv"].values == want["fv"].values).all()
+    assert (out["lv"].values == want["lv"].values).all()
+    # single-row partition: percent_rank 0, cume_dist 1
+    one = per_key_window(ray.data.from_arrow(pa.table({
+        "id": pa.array([0], pa.int64()), "k": pa.array(["z"]),
+        "v": pa.array([5], pa.int64())})), "k", ["v"], {
+        "pct": ("percent_rank",), "cd": ("cume_dist",)}).to_pandas()
+    assert one["pct"].iloc[0] == 0.0 and one["cd"].iloc[0] == 1.0
