@@ -1313,6 +1313,171 @@ def _q_events_state_changes(sf_dir: str):
         "user_id", ["ts", "event_id"], value_cols=["event_type"])
 
 
+def _q_events_user_mode(sf_dir: str):
+    """EXACT per-user mode of event_type (aggregate.grouped_mode):
+    distinct (user, type, n) rows via the shuffle grouped count, then
+    one vectorized argmax per bucket — deterministic tie-break (highest
+    count, then smallest value) mirrored by the SQL row_number
+    ordering."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_mode
+
+    return grouped_mode(
+        _read_co(sf_dir, "events", ["user_id", "event_type"], floor=8),
+        "user_id", "event_type", out_name="mode", count_name="mode_n")
+
+
+def _q_events_user_paths(sf_dir: str):
+    """Ordered per-key string aggregation (aggregate.grouped_string_agg
+    — SQL string_agg(... ORDER BY ...)): each user's event-type path in
+    (ts, event_id) order, one Arrow binary_join per bucket. The
+    session-path feature a funnel model trains on."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_string_agg)
+
+    return grouped_string_agg(
+        _read_co(sf_dir, "events",
+                 ["user_id", "ts", "event_id", "event_type"], floor=8),
+        "user_id", ["ts", "event_id"], "event_type", sep=",",
+        out_name="path")
+
+
+def _q_events_gap_stats(sf_dir: str):
+    """Inter-arrival gap statistics per user (per_key_window delta →
+    grouped_agg): count / min / max / sum of microsecond gaps between a
+    user's consecutive events — the heartbeat-health rollup. Exact
+    int64 all the way; oracle = lag() deltas aggregated."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ds = per_key_window(
+        _read_co(sf_dir, "events", ["event_id", "user_id", "ts"],
+                 floor=8),
+        "user_id", ["ts", "event_id"], {"gap_us": ("delta", "ts")})
+
+    def keep_gaps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("gap_us")))
+        return pa.table({"user_id": t.column("user_id"),
+                         "gap_us": t.column("gap_us")})
+
+    return grouped_agg(ds.map_batches(keep_gaps, batch_format="pyarrow"),
+                       ["user_id"], count_name="n_gaps",
+                       sum_cols={"sum_gap_us": "gap_us"},
+                       min_cols={"min_gap_us": "gap_us"},
+                       max_cols={"max_gap_us": "gap_us"},
+                       strategy="shuffle")
+
+
+def _q_events_twa(sf_dir: str):
+    """Time-weighted average value per user (the gauge TWA a metrics
+    backend computes): each event's cents hold until the user's next
+    event; TWA = Σ(cents·dt) // Σ(dt), exact integers (bounded: max
+    cents × total time range ≈ 1.3e17 < 2^63). Last event per user has
+    no holding interval and is dropped — SQL mirrors with lead()."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "cents": _cents(t.column("value"))})
+
+    ds = per_key_window(
+        _read_co(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "value"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], {"next_ts": ("lead", "ts")})
+
+    def weighted(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("next_ts")))
+        dt = pc.cast(pc.subtract(t.column("next_ts"), t.column("ts")),
+                     pa.int64())
+        c = t.column("cents")
+        return pa.table({"user_id": t.column("user_id"),
+                         "w": pc.multiply(c, dt), "dt": dt})
+
+    agg = grouped_agg(ds.map_batches(weighted, batch_format="pyarrow"),
+                      ["user_id"], sum_cols={"w": "w", "dt": "dt"},
+                      strategy="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        dt = t.column("dt").to_numpy(zero_copy_only=False)
+        twa = np.where(dt > 0, w // np.maximum(dt, 1), 0)
+        return pa.table({"user_id": t.column("user_id"),
+                         "twa_cents": pa.array(twa, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_lineitem_weighted_price(sf_dir: str):
+    """Exact weighted mean in permille (quantity-weighted extended
+    price per return flag): Σ(price_cents·qty)·1000 // Σ(qty) — the
+    integer-rational pattern every weighted metric rollup needs at the
+    hash gate."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "w": pc.multiply(_cents(t.column("l_extendedprice")), qty),
+            "q": qty})
+
+    agg = grouped_agg(
+        _read_co(sf_dir, "lineitem",
+                 ["l_returnflag", "l_extendedprice", "l_quantity"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"], sum_cols={"w": "w", "q": "q"},
+        strategy="tree")
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        out = (w * 1000) // np.maximum(q, 1)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "wavg_permille": pa.array(out, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_customers_sha256(sf_dir: str):
+    """OTTL SHA256() converter analog (functions/text.py sha256_hex;
+    reference ottl/ottlfuncs/func_sha256.go): pseudonymize the customer
+    name column — both engines compute the standard digest, exact hash
+    parity."""
+    from opentelemetry_collector_ray.functions.text import sha256_hex
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "name_sha": sha256_hex(t.column("c_name"))})
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_events_zorder(sf_dir: str):
+    """Z-order (Morton) layout clustering (stages/layout.py): events
+    totally ordered by interleave(user_id, cents) with a dense global
+    rank — the lakehouse OPTIMIZE ZORDER step that makes BOTH dimension
+    predicates prune row groups at 100 TB. Oracle recomputes the
+    interleave bit-by-bit in SQL and ranks with row_number()."""
+    from opentelemetry_collector_ray.stages.layout import zorder_sort
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "cents": _cents(t.column("value"))})
+
+    def make():
+        return _read_co(sf_dir, "events",
+                        ["event_id", "user_id", "value"],
+                        floor=8).map_batches(prep,
+                                             batch_format="pyarrow")
+
+    return zorder_sort(make, "user_id", "cents", tie_break="event_id")
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3106,6 +3271,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_latest_by_cust": _q_orders_latest_by_cust,
         "events_throttled": _q_events_throttled,
         "events_state_changes": _q_events_state_changes,
+        "events_user_mode": _q_events_user_mode,
+        "events_user_paths": _q_events_user_paths,
+        "events_gap_stats": _q_events_gap_stats,
+        "events_zorder": _q_events_zorder,
+        "events_twa": _q_events_twa,
+        "lineitem_weighted_price": _q_lineitem_weighted_price,
+        "customers_sha256": _q_customers_sha256,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -3283,6 +3455,16 @@ WITH k AS (
 s AS (SELECT c_custkey, {build} AS text FROM k)
 SELECT c_custkey, {redacted} AS redacted, {counts} FROM s
 """
+
+
+def _zorder_sql_expr(x: str, y: str) -> str:
+    """Morton interleave as a SQL bit expression (disjoint bits, so +
+    is OR) — mirrors stages/layout.zorder_code exactly."""
+    terms = []
+    for k in range(31):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3889,6 +4071,78 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "events_zorder": f"""
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+z AS (SELECT event_id, user_id, cents,
+             CAST({_zorder_sql_expr("user_id", "cents")} AS BIGINT)
+                 AS zcode
+      FROM e)
+SELECT event_id, user_id, cents, zcode,
+       CAST(row_number() OVER (ORDER BY zcode, event_id) - 1 AS BIGINT)
+           AS zrank
+FROM z
+""",
+        "events_gap_stats": """
+WITH g AS (SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                      AS gap_us
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+""",
+        "events_twa": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+h AS (SELECT user_id, cents,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, CAST(sum(cents * dt) AS BIGINT) AS w,
+             CAST(sum(dt) AS BIGINT) AS dt
+      FROM h WHERE dt IS NOT NULL GROUP BY user_id)
+SELECT user_id,
+       CAST(CASE WHEN dt > 0
+            THEN (w - (((w % dt) + dt) % dt)) // dt
+            ELSE 0 END AS BIGINT) AS twa_cents
+FROM s
+""",
+        "lineitem_weighted_price": """
+WITH p AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) AS w,
+                  CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+s AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS w,
+             CAST(sum(q) AS BIGINT) AS q
+      FROM p GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST((w * 1000 - (((w * 1000 % q) + q) % q)) // q AS BIGINT)
+           AS wavg_permille
+FROM s
+""",
+        "customers_sha256": """
+SELECT c_custkey, sha256(c_name) AS name_sha FROM customer
+""",
+        "events_user_mode": """
+SELECT user_id, mode, mode_n
+FROM (SELECT user_id, event_type AS mode,
+             CAST(count(*) AS BIGINT) AS mode_n,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+""",
+        "events_user_paths": """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
 """,
         "orders_latest_by_cust": """
 SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice

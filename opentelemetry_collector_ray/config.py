@@ -398,6 +398,42 @@ def _register_builtins() -> None:
             [str(c) for c in cfg["value_cols"]],
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_mode_agg(cfg: dict):
+        from .stages.aggregate import grouped_mode
+
+        if not cfg.get("key") or not cfg.get("value_col"):
+            raise ConfigError("mode_agg: key and value_col are required")
+        return DatasetTransform(lambda ds: grouped_mode(
+            ds, cfg["key"], cfg["value_col"],
+            out_name=cfg.get("out", "mode"),
+            count_name=cfg.get("count_name", "mode_n"),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_string_agg(cfg: dict):
+        from .stages.aggregate import grouped_string_agg
+
+        if not cfg.get("key") or not cfg.get("order_by") \
+                or not cfg.get("value_col"):
+            raise ConfigError(
+                "string_agg: key, order_by and value_col are required")
+        return DatasetTransform(lambda ds: grouped_string_agg(
+            ds, cfg["key"], list(cfg["order_by"]), cfg["value_col"],
+            sep=cfg.get("sep", ","), out_name=cfg.get("out", "agg"),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_zorder(cfg: dict):
+        from .stages.layout import zorder_sort
+
+        for req in ("x_col", "y_col", "tie_break"):
+            if not cfg.get(req):
+                raise ConfigError(f"zorder: {req} is required")
+        return DatasetTransform(lambda ds: zorder_sort(
+            lambda: ds, cfg["x_col"], cfg["y_col"],
+            tie_break=cfg["tie_break"],
+            code_col=cfg.get("code_col", "zcode"),
+            rank_col=cfg.get("rank_col", "zrank"),
+            persist=cfg.get("persist", "none")))
+
     def make_resample(cfg: dict):
         from .stages.resample import resample_asof
 
@@ -786,6 +822,9 @@ def _register_builtins() -> None:
     register("semdedup", Factory("processor", make_semdedup))
     register("window", Factory("processor", make_window))
     register("latest_by", Factory("processor", make_latest_by))
+    register("mode_agg", Factory("processor", make_mode_agg))
+    register("string_agg", Factory("processor", make_string_agg))
+    register("zorder", Factory("processor", make_zorder))
     register("throttle", Factory("processor", make_throttle))
     register("dedupe_consecutive",
              Factory("processor", make_dedupe_consecutive))

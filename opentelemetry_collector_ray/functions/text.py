@@ -90,6 +90,23 @@ def lang_id(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+def sha256_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """OTTL SHA256() converter analog (reference
+    ottl/ottlfuncs/func_sha256.go): hex digest per value, the
+    pseudonymization hash the attributes processor applies to PII-ish
+    keys. Matches DuckDB ``sha256(text)`` for the oracle gate. Per-row
+    hashlib (C speed) like :func:`md5_hex` — at 100 TB keep digests for
+    external-standard needs and use ``hashing.hash64`` for
+    partitioning."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(
+        [hashlib.sha256(s.encode()).hexdigest() if s is not None else None
+         for s in col.to_pylist()],
+        pa.string(),
+    )
+
+
 def md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Content fingerprint as md5 hex — matches DuckDB ``md5(text)`` for the
     oracle gate. Per-row hashlib (C speed); at 100 TB scale prefer

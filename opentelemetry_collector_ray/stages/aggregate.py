@@ -17,6 +17,7 @@ degenerate case where the batch index acts as the salt).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -473,3 +474,81 @@ def exact_global_quantiles(ds: Dataset, col: str, qs: tuple[float, ...],
         r = min(max(int(np.ceil(float(q) * n)) - 1, 0), n - 1)
         out.append(int(vals[int(np.searchsorted(cum, r + 1))]))
     return out
+
+
+def grouped_mode(ds: Dataset, key: str, value_col: str,
+                 out_name: str = "mode", count_name: str = "mode_n",
+                 n_buckets: int | str = "auto") -> Dataset:
+    """EXACT per-key mode (most frequent ``value_col``) with the SQL-
+    mirrorable deterministic tie-break: highest count, then SMALLEST
+    value. Two phases: the corpus first reduces to its distinct
+    (key, value, n) rows (shuffle grouped count — unbounded-key safe,
+    skew-neutralized by per-batch partials), then one vectorized
+    argmax per hash bucket of the count table picks each key's winner.
+    Nulls in ``value_col`` are ignored (SQL aggregate convention)."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(value_col)))
+
+    counts = grouped_count(
+        ds.select_columns([key, value_col]).map_batches(
+            drop_nulls, batch_format="pyarrow"),
+        [key, value_col], count_name="_n", strategy="shuffle")
+
+    def pick(t: pa.Table) -> pa.Table:
+        # ascending (key, -n, value): each key's first row is its mode
+        t = t.append_column("_negn", pc.negate(t.column("_n")))
+        t = t.sort_by([(key, "ascending"), ("_negn", "ascending"),
+                       (value_col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys)
+        t = t.filter(pa.array(change))
+        return pa.table({key: t.column(key),
+                         out_name: t.column(value_col),
+                         count_name: t.column("_n")})
+
+    return bucketed_map_groups(counts, key, pick, n_buckets=n_buckets)
+
+
+def grouped_string_agg(ds: Dataset, key: str, order_by: list[str],
+                       value_col: str, sep: str = ",",
+                       out_name: str = "agg",
+                       n_buckets: int | str = "auto") -> Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_by)`` per key — the
+    ordered-concatenation aggregate (session path strings, tag lists).
+    One bucket exchange; within each bucket the sorted segment offsets
+    become one Arrow ListArray and ONE ``binary_join`` call produces
+    every key's string — no per-key Python. Order ties: pass a unique
+    tie-break column for cross-engine determinism. Nulls in
+    ``value_col`` are skipped (SQL string_agg convention); keys whose
+    values are all null emit an empty string (SQL would emit NULL —
+    mirror with coalesce)."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def agg(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending")]
+                      + [(c, "ascending") for c in order_by])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys)
+        n = t.num_rows
+        starts = np.flatnonzero(change)
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+            # per-segment offsets over the surviving values only
+            kept_before = np.concatenate([[0], np.cumsum(valid)])
+            offs = kept_before[np.append(starts, n)]
+            v = v.filter(pa.array(valid))
+        else:
+            offs = np.append(starts, n)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pc.cast(v, pa.string()))
+        joined = pc.binary_join(lists, sep)
+        return pa.table({key: t.column(key).take(
+            pa.array(starts, pa.int64())), out_name: joined})
+
+    return bucketed_map_groups(ds.select_columns(
+        [key, *order_by, value_col]), key, agg, n_buckets=n_buckets)

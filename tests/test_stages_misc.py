@@ -893,3 +893,102 @@ def test_profile_table_single_input_execution(ray_session):
     assert out.loc["f", "n_distinct"] == 5
     assert (out["n_rows"] == 100).all()
     assert ray.get(c.get.remote()) == n_parts  # one execution, not C+1
+
+
+def test_grouped_mode_tie_break_and_nulls(ray_session):
+    import duckdb
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_mode
+
+    tbl = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"]),
+        "v": pa.array(["x", "y", "x", "y",      # tie -> smaller value x
+                       "z", None, "z",          # null ignored
+                       None])})                 # all-null key -> no row
+    out = grouped_mode(ray.data.from_arrow(tbl).repartition(3),
+                       "k", "v").to_pandas().sort_values("k")
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["mode"].tolist() == ["x", "z"]
+    assert out["mode_n"].tolist() == [2, 2]
+
+
+def test_grouped_string_agg_order_and_nulls(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_string_agg)
+
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"]),
+        "o": pa.array([3, 1, 2, 2, 1], pa.int64()),
+        "v": pa.array(["C", "A", None, "D", None])})
+    out = grouped_string_agg(
+        ray.data.from_arrow(tbl).repartition(2), "k", ["o"], "v",
+        sep="-", out_name="s").to_pandas().sort_values("k")
+    assert out["s"].tolist() == ["A-C", "D"]
+
+
+def test_sha256_hex_matches_duckdb():
+    import duckdb
+
+    from opentelemetry_collector_ray.functions.text import sha256_hex
+
+    vals = ["", "abc", "Hello, wörld", None]
+    got = sha256_hex(pa.array(vals)).to_pylist()
+    con = duckdb.connect()
+    want = [con.execute("SELECT sha256(?)", [v]).fetchone()[0]
+            if v is not None else None for v in vals]
+    assert got == want
+
+
+def test_mode_stringagg_zorder_yaml_parity(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_mode, grouped_string_agg)
+    from opentelemetry_collector_ray.stages.layout import zorder_sort
+
+    rng = np.random.default_rng(11)
+    n = 200
+    tbl = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                    "k": pa.array(np.char.add("u", rng.integers(0, 9, n)
+                                              .astype("U2"))),
+                    "x": pa.array(rng.integers(0, 50, n), pa.int64()),
+                    "y": pa.array(rng.integers(0, 50, n), pa.int64()),
+                    "v": pa.array(np.char.add("s", rng.integers(0, 4, n)
+                                              .astype("U2")))})
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    y = run("mode_agg", {"key": "k", "value_col": "v"})
+    d = grouped_mode(ray.data.read_parquet(str(p)), "k", "v").to_pandas()
+    assert (y.sort_values("k").values
+            == d.sort_values("k").values).all()
+
+    y = run("string_agg", {"key": "k", "order_by": ["id"],
+                           "value_col": "v", "sep": "|"})
+    d = grouped_string_agg(ray.data.read_parquet(str(p)), "k", ["id"],
+                           "v", sep="|").to_pandas()
+    assert (y.sort_values("k").values
+            == d.sort_values("k").values).all()
+
+    y = run("zorder", {"x_col": "x", "y_col": "y", "tie_break": "id"})
+    d = zorder_sort(lambda: ray.data.read_parquet(str(p)), "x", "y",
+                    tie_break="id").to_pandas()
+    assert (y.sort_values("id")["zrank"].values
+            == d.sort_values("id")["zrank"].values).all()
