@@ -1478,6 +1478,104 @@ def _q_events_zorder(sf_dir: str):
     return zorder_sort(make, "user_id", "cents", tie_break="event_id")
 
 
+def _q_events_ffill(sf_dir: str):
+    """LOCF forward fill (per_key_window ffill — the gauge
+    carry-forward): each event carries the user's most recent purchase
+    amount; rows before the first purchase stay null. Oracle =
+    last_value(... IGNORE NULLS) with a ROWS UNBOUNDED PRECEDING
+    frame."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        is_p = pc.equal(t.column("event_type"), "purchase")
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "purchase_cents": pc.if_else(is_p, cents,
+                                         pa.scalar(None, pa.int64()))})
+
+    ds = _read_co(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    out = per_key_window(ds, "user_id", ["ts", "event_id"],
+                         {"last_purchase_cents": ("ffill",
+                                                  "purchase_cents")})
+    return out.select_columns(["event_id", "user_id",
+                               "last_purchase_cents"])
+
+
+def _q_docs_lm_bigram_stats(sf_dir: str):
+    """Bigram-LM screen, integer lanes (stages/ngramlm.py — the CCNet
+    perplexity-filter pattern, Wenzek et al. 2020): per doc the count
+    of adjacent token pairs, the sum of each pair's CORPUS frequency,
+    and the unseen-pair count (0 when trained on the same corpus). The
+    exact lanes sit behind the SQL hash gate; the float log-prob lane
+    is the rows-only sibling docs_lm_perplexity."""
+    from opentelemetry_collector_ray.stages.ngramlm import score_bigram_lm
+
+    out = score_bigram_lm(
+        lambda: _read_co(sf_dir, "documents", ["doc_id", "text"],
+                         floor=8))
+    return out.select_columns(["doc_id", "n_bigrams", "sum_bigram_n",
+                               "n_unseen"])
+
+
+def _q_docs_lm_perplexity(sf_dir: str):
+    """Per-doc add-one bigram perplexity (rows-only: Σ ln is
+    libm-float; planted-truth coverage in tests/test_ngramlm.py) — the
+    filterable quality score of the CCNet screen."""
+    from opentelemetry_collector_ray.stages.ngramlm import score_bigram_lm
+
+    out = score_bigram_lm(
+        lambda: _read_co(sf_dir, "documents", ["doc_id", "text"],
+                         floor=8))
+    return out.select_columns(["doc_id", "logprob", "ppl_x1000"])
+
+
+def _q_orders_price_band(sf_dir: str):
+    """Broadcast range-table enrichment (stages/enrich.range_lookup —
+    one np.searchsorted per batch, never a per-row CASE chain): orders
+    binned into irregular price bands, then the per-band count rollup.
+    Oracle = the equivalent CASE chain + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.enrich import range_lookup
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(t.column("o_totalprice"))})
+
+    ds = range_lookup(
+        _read_co(sf_dir, "orders", ["o_totalprice"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        "cents", breaks=[5_000_00, 10_000_000, 25_000_000],
+        labels=["micro", "small", "mid", "large"], out_col="band")
+    return grouped_count(ds.select_columns(["band"]), ["band"],
+                         count_name="n_orders")
+
+
+def _q_events_daily_delta(sf_dir: str):
+    """Period-over-period rollup: per event type, daily counts plus the
+    day-over-day delta against the PREVIOUS OBSERVED day (grouped_count
+    → per_key_window delta) — the trend lane of a metrics dashboard.
+    Oracle = lag() over the same grouped counts."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.cast(pc.floor_temporal(t.column("ts"),
+                                             unit="day"), pa.date32())})
+
+    daily = grouped_count(
+        _read_co(sf_dir, "events", ["event_type", "ts"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"], count_name="n")
+    return per_key_window(daily, "event_type", ["day"],
+                          {"delta_n": ("delta", "n")})
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3275,6 +3373,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": _q_events_user_paths,
         "events_gap_stats": _q_events_gap_stats,
         "events_zorder": _q_events_zorder,
+        "events_ffill": _q_events_ffill,
+        "docs_lm_bigram_stats": _q_docs_lm_bigram_stats,
+        "orders_price_band": _q_orders_price_band,
+        "events_daily_delta": _q_events_daily_delta,
         "events_twa": _q_events_twa,
         "lineitem_weighted_price": _q_lineitem_weighted_price,
         "customers_sha256": _q_customers_sha256,
@@ -3384,6 +3486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_distinct": _q_users_distinct,
     }
     rows_only = {
+        "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_dedup_filtered": _q_docs_dedup_filtered,
         "docs_cross_decontaminate": _q_docs_cross_decontaminate,
         "docs_pack_bins": _q_docs_pack_bins,
@@ -4071,6 +4174,50 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "orders_price_band": """
+SELECT band, CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT CASE
+        WHEN cents < 500000 THEN 'micro'
+        WHEN cents < 10000000 THEN 'small'
+        WHEN cents < 25000000 THEN 'mid'
+        ELSE 'large' END AS band
+      FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents FROM orders))
+GROUP BY band
+""",
+        "events_daily_delta": """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT event_type, day, n,
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta_n
+FROM d
+""",
+        "docs_lm_bigram_stats": r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+                    AS t FROM documents),
+big AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+              FROM tok)),
+cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM big GROUP BY w1, w2)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c.c) AS BIGINT) AS sum_bigram_n,
+       CAST(0 AS BIGINT) AS n_unseen
+FROM big b JOIN cnt c USING (w1, w2)
+GROUP BY b.doc_id
+""",
+        "events_ffill": """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+                  IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_cents
+FROM events
 """,
         "events_zorder": f"""
 WITH e AS (SELECT event_id, user_id,

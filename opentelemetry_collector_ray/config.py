@@ -398,6 +398,16 @@ def _register_builtins() -> None:
             [str(c) for c in cfg["value_cols"]],
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_range_lookup(cfg: dict):
+        from .stages.enrich import range_lookup
+
+        for req in ("column", "breaks", "labels"):
+            if not cfg.get(req):
+                raise ConfigError(f"range_lookup: {req} is required")
+        return DatasetTransform(lambda ds: range_lookup(
+            ds, cfg["column"], list(cfg["breaks"]), list(cfg["labels"]),
+            out_col=cfg.get("out")))
+
     def make_mode_agg(cfg: dict):
         from .stages.aggregate import grouped_mode
 
@@ -823,6 +833,7 @@ def _register_builtins() -> None:
     register("window", Factory("processor", make_window))
     register("latest_by", Factory("processor", make_latest_by))
     register("mode_agg", Factory("processor", make_mode_agg))
+    register("range_lookup", Factory("processor", make_range_lookup))
     register("string_agg", Factory("processor", make_string_agg))
     register("zorder", Factory("processor", make_zorder))
     register("throttle", Factory("processor", make_throttle))

@@ -143,3 +143,44 @@ def broadcast_dicts(tool_dict=None, role_dict=None, resource_prefixes=None) -> d
         "role_dict": ray.put(role_dict or ROLE_DICT),
         "resource_prefixes": ray.put(resource_prefixes or RESOURCE_PREFIXES),
     }
+
+
+def range_lookup(ds: ray.data.Dataset, col: str, breaks, labels,
+                 out_col: str | None = None) -> ray.data.Dataset:
+    """Broadcast RANGE-table enrichment: map a numeric column onto
+    labeled half-open bins ``[breaks[i], breaks[i+1])`` — the IP-block
+    / price-band / latency-SLO lookup pattern (the reference's analog
+    is a chained OTTL set(...) where; at scale a CASE chain per row is
+    wrong, one ``np.searchsorted`` per batch is right).
+
+    ``len(labels) == len(breaks) + 1``: ``labels[0]`` covers
+    ``(-inf, breaks[0])``, ``labels[i]`` covers
+    ``[breaks[i-1], breaks[i])``, ``labels[-1]`` covers
+    ``[breaks[-1], inf)``. Breaks must be strictly increasing (loud
+    check, once). The tiny table ships inside the closure — one
+    ``ray.put`` under the hood via Ray's argument store."""
+    breaks_arr = np.asarray(breaks)
+    if len(breaks_arr) == 0:
+        raise ValueError("range_lookup: breaks must be non-empty")
+    if not (np.diff(breaks_arr) > 0).all():
+        raise ValueError("range_lookup: breaks must be strictly "
+                         "increasing")
+    if len(labels) != len(breaks_arr) + 1:
+        raise ValueError(
+            f"range_lookup: need len(breaks)+1 labels, got "
+            f"{len(labels)} labels for {len(breaks_arr)} breaks")
+    labels_pa = pa.array([str(x) for x in labels], pa.string())
+    out_col = out_col or f"{col}_band"
+
+    def apply(t: pa.Table) -> pa.Table:
+        x = t.column(col)
+        if x.null_count:
+            raise ValueError(
+                f"range_lookup: {col!r} has nulls — a null has no "
+                "band; fill or drop them first")
+        v = x.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(breaks_arr, v, side="right")
+        return t.append_column(
+            out_col, labels_pa.take(pa.array(idx, pa.int64())))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -33,7 +34,7 @@ from .bucketing import bucketed_map_groups, key_segments
 
 _OPS = ("lag", "lead", "delta", "cumsum", "row_number", "rolling_sum",
         "rolling_count", "rank", "dense_rank", "ntile", "percent_rank",
-        "cume_dist", "first_value", "last_value")
+        "cume_dist", "first_value", "last_value", "ffill")
 
 
 def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
@@ -200,6 +201,32 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                 t = t.append_column(out, pa.array(
                     (run_end - seg_start).astype(np.float64)
                     / lens.astype(np.float64)))
+                continue
+            if op == "ffill":
+                # LOCF (last observation carried forward) within the
+                # partition — the gauge carry-forward; SQL mirror is
+                # last_value(col IGNORE NULLS) with a ROWS UNBOUNDED
+                # PRECEDING frame. Null-safe by construction: rows
+                # before a partition's first non-null stay null.
+                fc = t.column(spec[1])
+                if isinstance(fc, pa.ChunkedArray):
+                    fc = fc.combine_chunks()
+                valid = pc.is_valid(fc).to_numpy(zero_copy_only=False)
+                seg_id2 = (np.cumsum(change) - 1) if n else \
+                    np.zeros(0, np.int64)
+                # lift each segment so accumulate cannot cross keys:
+                # within segment s values live in [s*(n+1), s*(n+1)+n]
+                comp2 = seg_id2 * (n + 1) + np.where(valid, pos + 1, 0)
+                acc2 = np.maximum.accumulate(comp2)
+                last_pos = acc2 - seg_id2 * (n + 1) - 1
+                none = last_pos < 0
+                take_idx = pa.array(np.where(none, 0, last_pos),
+                                    pa.int64())
+                filled = fc.take(take_idx)
+                if none.any():
+                    filled = pc.if_else(pa.array(~none), filled,
+                                        pa.scalar(None, fc.type))
+                t = t.append_column(out, filled)
                 continue
             if op == "first_value":
                 fv = t.column(spec[1])

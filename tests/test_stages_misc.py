@@ -992,3 +992,25 @@ def test_mode_stringagg_zorder_yaml_parity(ray_session, tmp_path):
                     tie_break="id").to_pandas()
     assert (y.sort_values("id")["zrank"].values
             == d.sort_values("id")["zrank"].values).all()
+
+
+def test_range_lookup_bins_and_guards(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.enrich import range_lookup
+
+    tbl = pa.table({"v": pa.array([-5, 0, 9, 10, 99, 100], pa.int64())})
+    out = range_lookup(ray.data.from_arrow(tbl), "v",
+                       breaks=[0, 10, 100],
+                       labels=["neg", "low", "mid", "high"]).to_pandas()
+    assert out.sort_values("v")["v_band"].tolist() == \
+        ["neg", "low", "low", "mid", "mid", "high"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strictly"):
+        range_lookup(ray.data.from_arrow(tbl), "v", [5, 5], ["a", "b", "c"])
+    with _pt.raises(ValueError, match="labels"):
+        range_lookup(ray.data.from_arrow(tbl), "v", [5], ["a"])
+    tn = pa.table({"v": pa.array([1, None], pa.int64())})
+    with _pt.raises(Exception, match="null"):
+        range_lookup(ray.data.from_arrow(tn), "v", [0],
+                     ["a", "b"]).to_pandas()

@@ -271,3 +271,37 @@ def test_pctrank_cumedist_first_last_match_duckdb(ray_session):
         "v": pa.array([5], pa.int64())})), "k", ["v"], {
         "pct": ("percent_rank",), "cd": ("cume_dist",)}).to_pandas()
     assert one["pct"].iloc[0] == 0.0 and one["cd"].iloc[0] == 1.0
+
+
+def test_ffill_matches_duckdb(ray_session):
+    """LOCF forward fill vs last_value(... IGNORE NULLS); nulls before
+    a partition's first observation stay null, keys never bleed."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    rng = np.random.default_rng(13)
+    n = 300
+    vals = rng.integers(0, 100, n).astype(object)
+    vals[rng.random(n) < 0.5] = None
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(np.char.add("g", rng.integers(0, 8, n)
+                                  .astype("U2"))),
+        "v": pa.array(list(vals), pa.int64())})
+    out = per_key_window(
+        ray.data.from_arrow(tbl).repartition(4), "k", ["id"],
+        {"f": ("ffill", "v")}).to_pandas().sort_values("id")
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        SELECT id, last_value(v IGNORE NULLS) OVER (
+            PARTITION BY k ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+        FROM t ORDER BY id""").df()
+    got = out["f"].astype("object").where(out["f"].notna(), None).tolist()
+    exp = want["f"].astype("object").where(want["f"].notna(), None).tolist()
+    assert got == exp
