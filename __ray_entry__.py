@@ -1565,8 +1565,12 @@ def _q_events_daily_delta(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": t.column("event_type"),
-            "day": pc.cast(pc.floor_temporal(t.column("ts"),
-                                             unit="day"), pa.date32())})
+            # ISO string, not date32: pandas renders arrow dates and
+            # DuckDB DATEs differently (date vs midnight Timestamp),
+            # which breaks the exact mirror; strings compare exactly
+            "day": pc.cast(pc.cast(pc.floor_temporal(
+                t.column("ts"), unit="day"), pa.date32()),
+                pa.string())})
 
     daily = grouped_count(
         _read_co(sf_dir, "events", ["event_type", "ts"],
@@ -1574,6 +1578,102 @@ def _q_events_daily_delta(sf_dir: str):
         ["event_type", "day"], count_name="n")
     return per_key_window(daily, "event_type", ["day"],
                           {"delta_n": ("delta", "n")})
+
+
+def _q_events_label_encode(sf_dir: str):
+    """Categorical → dense-id encoding (stages/encoding.label_encode,
+    frequency order): id 0 = most frequent event type — the
+    embedding-table layout step. Oracle = row_number() over
+    (count DESC, value) joined back onto the rows."""
+    from opentelemetry_collector_ray.stages.encoding import label_encode
+
+    return label_encode(
+        lambda: _read_co(sf_dir, "events", ["event_id", "event_type"],
+                         floor=8),
+        "event_type")
+
+
+def _q_orders_with_returns(sf_dir: str):
+    """Date-windowed orders having at least one RETURNED lineitem —
+    the TPC-H Q4 shape (EXISTS = the shuffle join's SEMI mode) rolled
+    up per order priority."""
+    import datetime
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 7, 1), pa.timestamp("us"))
+
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                      floor=8).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi))),
+        batch_format="pyarrow")
+    returned = _read_co(sf_dir, "lineitem",
+                        ["l_orderkey", "l_returnflag"],
+                        floor=8).map_batches(
+        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        .select(["l_orderkey"]), batch_format="pyarrow")
+    sj = shuffle_hash_join(orders, returned, key="o_orderkey",
+                           right_key="l_orderkey", how="semi")
+    return grouped_count(sj.select_columns(["o_orderpriority"]),
+                         ["o_orderpriority"], count_name="n_orders")
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue by customer): returned
+    lineitems shuffle-joined to date-windowed orders on the order key,
+    broadcast-joined to customer + nation, bucket rollup per customer,
+    global top 20 by (revenue DESC, custkey)."""
+    import datetime
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import (
+        broadcast_join, shuffle_hash_join)
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), pa.timestamp("us"))
+
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"],
+                      floor=8).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi)))
+        .select(["o_orderkey", "o_custkey"]), batch_format="pyarrow")
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "cents": _cents(rev)})
+
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"], floor=8).map_batches(
+        returned_rev, batch_format="pyarrow")
+    j = shuffle_hash_join(li, orders, key="l_orderkey",
+                          right_key="o_orderkey", how="inner")
+    agg = grouped_agg(j.select_columns(["o_custkey", "cents"]),
+                      ["o_custkey"],
+                      sum_cols={"revenue_cents": "cents"},
+                      strategy="bucket")
+    cust = _side_table(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_nationkey"])
+    nation = _side_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    named = broadcast_join(agg, cust, key="o_custkey",
+                           right_key="c_custkey")
+    named = broadcast_join(named, nation, key="c_nationkey",
+                           right_key="n_nationkey")
+    out = named.select_columns(["o_custkey", "c_name", "n_name",
+                                "revenue_cents"])
+    return out.sort(["revenue_cents", "o_custkey"],
+                    descending=[True, False]).limit(20)
 
 
 def _q_events_user_split(sf_dir: str):
@@ -3377,6 +3477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_bigram_stats": _q_docs_lm_bigram_stats,
         "orders_price_band": _q_orders_price_band,
         "events_daily_delta": _q_events_daily_delta,
+        "events_label_encode": _q_events_label_encode,
+        "orders_with_returns": _q_orders_with_returns,
+        "tpch_q10": _q_tpch_q10,
         "events_twa": _q_events_twa,
         "lineitem_weighted_price": _q_lineitem_weighted_price,
         "customers_sha256": _q_customers_sha256,
@@ -4175,6 +4278,43 @@ SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
 """,
+        "events_label_encode": """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL
+           GROUP BY event_type),
+r AS (SELECT event_type,
+             row_number() OVER (ORDER BY n DESC, event_type) - 1 AS id
+      FROM c)
+SELECT e.event_id, e.event_type,
+       CAST(r.id AS BIGINT) AS event_type_id
+FROM events e LEFT JOIN r USING (event_type)
+""",
+        "orders_with_returns": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "tpch_q10": """
+SELECT o_custkey, c_name, n_name, revenue_cents
+FROM (SELECT o.o_custkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY o.o_custkey) rev
+JOIN customer c ON rev.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue_cents DESC, o_custkey
+LIMIT 20
+""",
         "orders_price_band": """
 SELECT band, CAST(count(*) AS BIGINT) AS n_orders
 FROM (SELECT CASE
@@ -4187,9 +4327,11 @@ FROM (SELECT CASE
 GROUP BY band
 """,
         "events_daily_delta": """
-WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+WITH d AS (SELECT event_type,
+                  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                   CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY event_type, CAST(ts AS DATE))
+           FROM events
+           GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
 SELECT event_type, day, n,
        n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta_n
 FROM d

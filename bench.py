@@ -121,7 +121,16 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "docs_weighted_sample", "docs_incremental_dedup",
              "events_url_parse", "docs_top_terms_per_lang",
              "orders_snapshot_diff", "docs_token_budget",
-             "docs_bpe_tokens", "parts_pagerank"]
+             "docs_bpe_tokens", "parts_pagerank",
+             # round-5 additions
+             "events_hist_wire", "emb_quantize", "docs_bpe_roundtrip",
+             "events_value_pctile", "orders_latest_by_cust",
+             "events_throttled", "events_state_changes",
+             "events_user_mode", "events_user_paths", "events_gap_stats",
+             "events_twa", "events_zorder", "events_ffill",
+             "docs_lm_bigram_stats", "orders_price_band",
+             "events_daily_delta", "lineitem_weighted_price",
+             "customers_sha256"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -398,6 +398,17 @@ def _register_builtins() -> None:
             [str(c) for c in cfg["value_cols"]],
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_label_encode(cfg: dict):
+        from .stages.encoding import label_encode
+
+        if not cfg.get("column"):
+            raise ConfigError("label_encode: column is required")
+        return DatasetTransform(lambda ds: label_encode(
+            lambda: ds, cfg["column"], out_col=cfg.get("out"),
+            order=cfg.get("order", "frequency"),
+            max_categories=int(cfg.get("max_categories", 10_000_000)),
+            persist=cfg.get("persist", "none")))
+
     def make_range_lookup(cfg: dict):
         from .stages.enrich import range_lookup
 
@@ -834,6 +845,7 @@ def _register_builtins() -> None:
     register("latest_by", Factory("processor", make_latest_by))
     register("mode_agg", Factory("processor", make_mode_agg))
     register("range_lookup", Factory("processor", make_range_lookup))
+    register("label_encode", Factory("processor", make_label_encode))
     register("string_agg", Factory("processor", make_string_agg))
     register("zorder", Factory("processor", make_zorder))
     register("throttle", Factory("processor", make_throttle))

@@ -1014,3 +1014,27 @@ def test_range_lookup_bins_and_guards(ray_session):
     with _pt.raises(Exception, match="null"):
         range_lookup(ray.data.from_arrow(tn), "v", [0],
                      ["a", "b"]).to_pandas()
+
+
+def test_label_encode_orders_and_nulls(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.encoding import label_encode
+
+    tbl = pa.table({"v": pa.array(["b", "a", "b", None, "c", "b", "a"])})
+    out = label_encode(lambda: ray.data.from_arrow(tbl).repartition(2),
+                       "v").to_pandas()
+    got = dict(zip(out["v"], out["v_id"]))
+    # freq: b=3 -> 0, a=2 -> 1, c=1 -> 2; null -> null
+    assert got["b"] == 0 and got["a"] == 1 and got["c"] == 2
+    assert out.loc[out["v"].isna(), "v_id"].isna().all()
+    lex = label_encode(lambda: ray.data.from_arrow(tbl), "v",
+                       order="lexical").to_pandas()
+    gl = dict(zip(lex["v"], lex["v_id"]))
+    assert gl["a"] == 0 and gl["b"] == 1 and gl["c"] == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_categories"):
+        label_encode(lambda: ray.data.from_arrow(tbl), "v",
+                     max_categories=2).to_pandas()
+    with _pt.raises(ValueError, match="order"):
+        label_encode(lambda: ray.data.from_arrow(tbl), "v", order="x")
