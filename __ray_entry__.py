@@ -1207,7 +1207,7 @@ def _q_events_hist_wire(sf_dir: str):
                  floor=8).map_batches(prep, batch_format="pyarrow"),
         ["event_type"], count_name="n", sum_cols={"s": "cents"},
         min_cols={"mn": "cents"}, max_cols={"mx": "cents"},
-        strategy="shuffle").to_pandas()
+        strategy="tree").to_pandas()
     rows = []
     for r in agg.to_dict("records"):
         row = _empty_row()
