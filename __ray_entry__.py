@@ -1434,6 +1434,11 @@ def _q_lineitem_weighted_price(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         w = t.column("w").to_numpy(zero_copy_only=False)
         q = t.column("q").to_numpy(zero_copy_only=False)
+        # loud-guard convention: w*1000 wraps silently past 2^63
+        if len(w) and int(np.abs(w).max()) > (2**63 - 1) // 1000:
+            raise OverflowError(
+                "lineitem_weighted_price: sum(price_cents*qty) x 1000 "
+                "would overflow int64; rescale the weight units")
         out = (w * 1000) // np.maximum(q, 1)
         return pa.table({"l_returnflag": t.column("l_returnflag"),
                          "wavg_permille": pa.array(out, pa.int64())})

@@ -980,8 +980,15 @@ def output_ruleset_hashes(cfg: PipelineConfig,
     import json as _json
 
     procs = list(cfg.pipeline.get("processors", []))
+    exporters = list(cfg.pipeline.get("exporters", []))
+    if depends:
+        bad = [n for n in depends if n not in exporters]
+        if bad:
+            raise ConfigError(
+                f"output_ruleset_hashes: depends names unknown "
+                f"exporters {bad} (configured: {exporters})")
     out: dict[str, str] = {}
-    for exporter in cfg.pipeline.get("exporters", []):
+    for exporter in exporters:
         dep = depends.get(exporter) if depends else None
         if dep is None:
             chain = procs

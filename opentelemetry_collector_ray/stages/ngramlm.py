@@ -72,8 +72,8 @@ def bigram_counts(ds: ray.data.Dataset, text_col: str = "text"
 def score_bigram_lm(make_ds, id_col: str = "doc_id",
                     text_col: str = "text", *,
                     max_vocab: int = 2_000_000,
-                    max_bigrams: int = 20_000_000
-                    ) -> ray.data.Dataset:
+                    max_bigrams: int = 20_000_000,
+                    persist: str = "none") -> ray.data.Dataset:
     """Per-doc bigram-LM statistics and add-one log-probability.
 
     Output (docs with ≥ 1 bigram): ``n_bigrams``, ``sum_bigram_n``
@@ -82,7 +82,10 @@ def score_bigram_lm(make_ds, id_col: str = "doc_id",
     ``logprob`` (Σ ln((c2+1)/(c1+V)), float) and ``ppl_x1000``
     (round(1000·exp(−logprob/n)) — the filterable perplexity).
     """
-    f = persisted_factory(make_ds, "none")
+    # THREE passes over make_ds (unigram count, bigram count, score) —
+    # persist= forwards like every multi-pass operator here; "none" is
+    # right only for a bare read
+    f = persisted_factory(make_ds, persist)
 
     uni = grouped_count(
         f().select_columns([text_col]).map_batches(

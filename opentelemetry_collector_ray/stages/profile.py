@@ -18,8 +18,9 @@ the meta lane, so the final single task sees only the union of distinct
 values plus one meta row per column.
 
 Values are compared via their Arrow → string cast (shortest-roundtrip
-for floats, i.e. injective), so the distinct lane is exact, never a
-hash. Contract (same as ``count_distinct``): the union of per-column
+for floats), so the distinct lane is exact, never a hash; SQL
+distinctness is VALUE equality, so float zero signs are normalized
+first (-0.0 and 0.0 stringify differently but count as one value). Contract (same as ``count_distinct``): the union of per-column
 distinct-value sets must fit one task — profile only the columns you
 need at 100 TB, or pre-screen unbounded ones with the HLL sketch
 (``stages/sketch.approx_distinct``).
@@ -54,8 +55,13 @@ def profile_table(ds: ray.data.Dataset,
         parts = []
         for c in columns:
             col = t.column(c)
-            uniq = pc.unique(pc.cast(col.drop_null(),
-                                     pa.string()).combine_chunks())
+            vals = col.drop_null()
+            if pa.types.is_floating(col.type):
+                # SQL count(DISTINCT) is VALUE equality: -0.0 == 0.0,
+                # but their string casts differ — normalize the sign
+                # of zero before casting (x + 0.0 maps -0.0 to 0.0)
+                vals = pc.add(vals, 0.0)
+            uniq = pc.unique(pc.cast(vals, pa.string()).combine_chunks())
             z = np.zeros(len(uniq), np.int64)
             parts.append(pa.table({
                 "column": pa.array([c] * len(uniq), pa.string()),
@@ -72,7 +78,7 @@ def profile_table(ds: ray.data.Dataset,
 
     def combine(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return pa.table({}, schema=_SCHEMA)
+            return _SCHEMA.empty_table()
         g = t.group_by(["column", "val"], use_threads=False).aggregate(
             [("n_rows", "sum"), ("n_null", "sum")])
         return pa.table({"column": g.column("column"),
@@ -100,7 +106,7 @@ def profile_table(ds: ray.data.Dataset,
     tables = [t for t in (_ray.get(r) for r in mat.to_arrow_refs())
               if t.num_rows]
     merged = combine(pa.concat_tables(tables) if tables
-                     else pa.table({}, schema=_SCHEMA))
+                     else _SCHEMA.empty_table())
 
     meta = merged.filter(pc.is_null(merged.column("val")))
     dist = merged.filter(pc.is_valid(merged.column("val")))

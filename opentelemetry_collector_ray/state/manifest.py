@@ -109,13 +109,15 @@ def reload_report(stores: dict[str, "ManifestStore"],
     actual selective recompute."""
     report: dict[str, dict] = {}
     for name, store in stores.items():
-        new_hash = hashes[name]
+        new_hash = hashes.get(name)  # None = output removed/renamed
         valid, stale = [], []
         for pid in sorted(store.committed_ids()):
             m = store.load(pid) or {}
-            (valid if m.get("ruleset_hash") == new_hash
+            (valid if new_hash is not None
+             and m.get("ruleset_hash") == new_hash
              else stale).append(pid)
         report[name] = {"ruleset_hash": new_hash,
+                        "removed": new_hash is None,
                         "valid": valid, "stale": stale}
     return report
 

@@ -1038,3 +1038,50 @@ def test_label_encode_orders_and_nulls(ray_session):
                      max_categories=2).to_pandas()
     with _pt.raises(ValueError, match="order"):
         label_encode(lambda: ray.data.from_arrow(tbl), "v", order="x")
+
+
+def test_profile_table_empty_and_negative_zero(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.profile import profile_table
+
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "f": pa.array([], pa.float64())})
+    out = profile_table(ray.data.from_arrow(empty),
+                        ["a", "f"]).to_pandas().set_index("column")
+    assert (out["n_rows"] == 0).all()
+    assert (out["n_distinct"] == 0).all()
+
+    # SQL count(DISTINCT) value equality: -0.0 == 0.0 (one value)
+    t = pa.table({"f": pa.array([0.0, -0.0, 1.5])})
+    out = profile_table(ray.data.from_arrow(t), ["f"]).to_pandas()
+    assert out["n_distinct"].iloc[0] == 2
+
+
+def test_reload_report_removed_output(tmp_path):
+    from opentelemetry_collector_ray.state.manifest import (
+        ManifestStore, PartitionTask, reload_report, run_resumable)
+
+    store = ManifestStore(str(tmp_path / "old_sink"))
+    run_resumable(store, [PartitionTask("p0", ["f"])],
+                  lambda t, s: {}, "h1")
+    rep = reload_report({"old_sink": store}, {})  # output dropped
+    assert rep["old_sink"]["removed"] is True
+    assert rep["old_sink"]["stale"] == ["p0"]
+    assert rep["old_sink"]["valid"] == []
+
+
+def test_ruleset_hashes_unknown_exporter_raises(tmp_path):
+    from opentelemetry_collector_ray.config import (
+        ConfigError, PipelineConfig, output_ruleset_hashes)
+    import pytest as _pt
+
+    cfg = PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": "/tmp/x"}},
+        "processors": {"parse": {"pattern": "(?P<k>.)", "column": "t"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["parse"],
+            "exporters": ["debug"]}}}})
+    with _pt.raises(ConfigError, match="unknown exporters"):
+        output_ruleset_hashes(cfg, depends={"debgu": ["parse"]})
