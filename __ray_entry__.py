@@ -1681,6 +1681,19 @@ def _q_tpch_q10(sf_dir: str):
                     descending=[True, False]).limit(20)
 
 
+def _q_docs_epoch_order(sf_dir: str):
+    """Deterministic multi-epoch training order (stages/mixing.py
+    epoch_order, md5 oracle mode): each doc's (shard, pos) coordinate
+    for epoch 2 over 4 shards — hash-driven so every epoch reshuffles
+    with zero coordination. Oracle = the identical md5 shard expression
+    + row_number over the hex digest."""
+    from opentelemetry_collector_ray.stages.mixing import epoch_order
+
+    return epoch_order(
+        _read_co(sf_dir, "documents", ["doc_id"], floor=8),
+        "doc_id", epoch=2, n_shards=4, hash_mode="md5")
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3483,6 +3496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band": _q_orders_price_band,
         "events_daily_delta": _q_events_daily_delta,
         "events_label_encode": _q_events_label_encode,
+        "docs_epoch_order": _q_docs_epoch_order,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
         "events_twa": _q_events_twa,
@@ -4282,6 +4296,19 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "docs_epoch_order": """
+WITH h AS (SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':2') AS hx
+           FROM documents),
+s AS (SELECT doc_id, hx,
+             CAST(('0x' || substr(hx, 1, 6))::UBIGINT % 4 AS BIGINT)
+                 AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+FROM s
 """,
         "events_label_encode": """
 WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

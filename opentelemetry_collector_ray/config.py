@@ -409,6 +409,17 @@ def _register_builtins() -> None:
             max_categories=int(cfg.get("max_categories", 10_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_epoch_order(cfg: dict):
+        from .stages.mixing import epoch_order
+
+        for req in ("id_col", "epoch", "n_shards"):
+            if cfg.get(req) is None:
+                raise ConfigError(f"epoch_order: {req} is required")
+        return DatasetTransform(lambda ds: epoch_order(
+            ds, cfg["id_col"], epoch=int(cfg["epoch"]),
+            n_shards=int(cfg["n_shards"]),
+            hash_mode=cfg.get("hash_mode", "xx64")))
+
     def make_range_lookup(cfg: dict):
         from .stages.enrich import range_lookup
 
@@ -846,6 +857,7 @@ def _register_builtins() -> None:
     register("mode_agg", Factory("processor", make_mode_agg))
     register("range_lookup", Factory("processor", make_range_lookup))
     register("label_encode", Factory("processor", make_label_encode))
+    register("epoch_order", Factory("processor", make_epoch_order))
     register("string_agg", Factory("processor", make_string_agg))
     register("zorder", Factory("processor", make_zorder))
     register("throttle", Factory("processor", make_throttle))

@@ -131,3 +131,65 @@ def select_token_budget(make_ds, score_col: str, token_col: str,
             ["_rank"])
 
     return cum.map_batches(cut, batch_format="pyarrow")
+
+
+def epoch_order(ds: ray.data.Dataset, id_col: str, *, epoch: int,
+                n_shards: int, hash_mode: str = "xx64",
+                shard_col: str = "shard", pos_col: str = "pos"
+                ) -> ray.data.Dataset:
+    """Deterministic multi-epoch training order: every row gets a
+    ``(shard, pos)`` coordinate for the given ``epoch`` — the data-order
+    plan a trainer consumes. ``h = hash(id ':' epoch)`` drives both the
+    shard (``h mod n_shards``) and the within-shard position (rank of
+    ``h`` with an ``id`` tie-break), so a NEW epoch is a full reshuffle
+    with ZERO coordination: any worker recomputes its own shard's order
+    independently of every other worker — no shared RNG state, no
+    shuffle of the payload (the classic hash-shuffled epoch scheme,
+    e.g. Megatron/ Mosaic StreamingDataset shuffling).
+
+    ``hash_mode="xx64"`` is the production path; ``"md5"`` is the
+    cross-engine oracle mode (shard = first-6-hex-digits mod, position
+    ordered by the full hex digest — the exact SQL expressions).
+    One bucket exchange keyed on the shard; positions are numpy
+    segment ranks inside each bucket."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if int(n_shards) < 1:
+        raise ValueError(f"epoch_order: n_shards must be >= 1, "
+                         f"got {n_shards}")
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(f"epoch_order: unknown hash_mode {hash_mode!r}")
+    n_shards = int(n_shards)
+    suffix = f":{int(epoch)}"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(id_col), pa.string()), suffix, "")
+        if hash_mode == "md5":
+            from ..functions.text import md5_hex
+
+            hx = md5_hex(k)
+            shard = np.array([int(h[:6], 16) % n_shards
+                              for h in hx.to_pylist()], np.int64)
+            hcol: pa.Array = hx
+        else:
+            from ..functions.hashing import hash64
+
+            h = hash64(k)
+            shard = (h % np.uint64(n_shards)).astype(np.int64)
+            hcol = pa.array(h, pa.uint64())
+        return (t.append_column(shard_col, pa.array(shard))
+                .append_column("_h", hcol))
+
+    def order(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(shard_col, "ascending"), ("_h", "ascending"),
+                       (id_col, "ascending")])
+        keys = t.column(shard_col).to_numpy(zero_copy_only=False)
+        _change, seg_start = key_segments(keys)
+        pos = np.arange(t.num_rows) - seg_start
+        return t.drop_columns(["_h"]).append_column(
+            pos_col, pa.array(pos.astype(np.int64)))
+
+    return bucketed_map_groups(
+        ds.map_batches(keyed, batch_format="pyarrow"), shard_col,
+        order, n_buckets="auto")

@@ -1085,3 +1085,38 @@ def test_ruleset_hashes_unknown_exporter_raises(tmp_path):
             "exporters": ["debug"]}}}})
     with _pt.raises(ConfigError, match="unknown exporters"):
         output_ruleset_hashes(cfg, depends={"debgu": ["parse"]})
+
+
+def test_epoch_order_reshuffles_and_is_dense(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.mixing import epoch_order
+
+    tbl = pa.table({"id": pa.array(np.arange(200), pa.int64())})
+    e1 = epoch_order(ray.data.from_arrow(tbl).repartition(4), "id",
+                     epoch=1, n_shards=4).to_pandas()
+    e2 = epoch_order(ray.data.from_arrow(tbl).repartition(4), "id",
+                     epoch=2, n_shards=4).to_pandas()
+    # per-shard positions are dense 0..k-1
+    for df in (e1, e2):
+        for s, g in df.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
+        assert len(df) == 200
+    # a new epoch is a REAL reshuffle: coordinates differ for most ids
+    m = e1.merge(e2, on="id", suffixes=("_1", "_2"))
+    moved = ((m["shard_1"] != m["shard_2"])
+             | (m["pos_1"] != m["pos_2"])).mean()
+    assert moved > 0.9
+    # determinism: same epoch twice = identical plan
+    e1b = epoch_order(ray.data.from_arrow(tbl).repartition(2), "id",
+                      epoch=1, n_shards=4).to_pandas()
+    a = e1.sort_values("id").reset_index(drop=True)
+    b = e1b.sort_values("id").reset_index(drop=True)
+    assert (a[["shard", "pos"]].values == b[["shard", "pos"]].values).all()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_shards"):
+        epoch_order(ray.data.from_arrow(tbl), "id", epoch=1, n_shards=0)
+    with _pt.raises(ValueError, match="hash_mode"):
+        epoch_order(ray.data.from_arrow(tbl), "id", epoch=1,
+                    n_shards=2, hash_mode="crc")
