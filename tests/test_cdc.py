@@ -148,3 +148,33 @@ def test_cdc_yaml_parity(ray_session, tmp_path):
     d = dedupe_consecutive(ray.data.read_parquet(str(p)), "k",
                            ["ts", "id"], ["state"]).to_pandas()
     _cmp(y, d, ["id", "k", "ts", "state"])
+
+
+def test_state_snapshot_example_yaml(ray_session, tmp_path, monkeypatch):
+    """examples/state_snapshot.yaml end to end: the YAML pipeline equals
+    the direct dedupe_consecutive -> latest_by_key composition."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    tbl = _events(n=300, seed=7)
+    tbl = tbl.rename_columns(["event_id", "user_id", "ts", "event_type"])
+    p = tmp_path / "events.parquet"
+    pq.write_table(tbl, str(p))
+    monkeypatch.setenv("EVENTS_DIR", str(p))
+    cfg = PipelineConfig.from_yaml(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "state_snapshot.yaml"))
+    y = build_dataset(cfg).to_pandas()
+    direct = latest_by_key(
+        dedupe_consecutive(ray.data.read_parquet(str(p)), "user_id",
+                           ["ts", "event_id"], ["event_type"]),
+        "user_id", ["ts", "event_id"]).to_pandas()
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    _cmp(y, direct, cols)
+    # one row per user, and it is that user's LAST state change
+    assert y["user_id"].is_unique
