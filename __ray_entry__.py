@@ -1694,6 +1694,32 @@ def _q_docs_epoch_order(sf_dir: str):
         "doc_id", epoch=2, n_shards=4, hash_mode="md5")
 
 
+def _q_events_transform_ottl(sf_dir: str):
+    """OTTL STATEMENT STRINGS end to end (functions/ottl.py — the
+    transformprocessor config surface: parse → compile → one vectorized
+    pass): conditional set with a compound where, ConvertCase/IsMatch/
+    MD5 converters, and a global replace_pattern over the props JSON
+    text. Oracle = the equivalent CASE/regexp SQL expressions (both
+    engines run RE2; regexp_replace uses the 'g' flag to match Arrow's
+    replace-all)."""
+    from opentelemetry_collector_ray.functions.ottl import (
+        compile_statements)
+
+    fn = compile_statements([
+        'set(etype_u, ConvertCase(event_type, "upper")) '
+        'where value > 100.0',
+        'set(flag, "hi") where value > 100.0 and '
+        'IsMatch(event_type, "^(purchase|signup)$")',
+        'replace_pattern(props, "[0-9]+", "#")',
+        'set(digest, MD5(event_type))',
+    ])
+    out = _read_co(sf_dir, "events",
+                   ["event_id", "event_type", "value", "props"],
+                   floor=8).map_batches(fn, batch_format="pyarrow")
+    return out.select_columns(["event_id", "etype_u", "flag", "props",
+                               "digest"])
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3497,6 +3523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_delta": _q_events_daily_delta,
         "events_label_encode": _q_events_label_encode,
         "docs_epoch_order": _q_docs_epoch_order,
+        "events_transform_ottl": _q_events_transform_ottl,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
         "events_twa": _q_events_twa,
@@ -4296,6 +4323,17 @@ UNION ALL
 SELECT 'orderkey_unique', o_orderkey FROM
   (SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderkey) AS c
    FROM orders) WHERE c > 1
+""",
+        "events_transform_ottl": """
+SELECT event_id,
+       CASE WHEN value > 100.0 THEN upper(event_type) END AS etype_u,
+       CASE WHEN value > 100.0
+                 AND regexp_matches(event_type,
+                                    '^(purchase|signup)$')
+            THEN 'hi' END AS flag,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props,
+       md5(event_type) AS digest
+FROM events
 """,
         "docs_epoch_order": """
 WITH h AS (SELECT doc_id,

@@ -409,6 +409,17 @@ def _register_builtins() -> None:
             max_categories=int(cfg.get("max_categories", 10_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_transform(cfg: dict):
+        from .functions.ottl import compile_statements
+
+        stmts = cfg.get("statements")
+        if not stmts:
+            raise ConfigError("transform: statements is required")
+        fn = compile_statements([str(x) for x in stmts],
+                                map_col=cfg.get("map_col", "attrs"))
+        return DatasetTransform(lambda ds: ds.map_batches(
+            fn, batch_format="pyarrow"))
+
     def make_epoch_order(cfg: dict):
         from .stages.mixing import epoch_order
 
@@ -858,6 +869,7 @@ def _register_builtins() -> None:
     register("range_lookup", Factory("processor", make_range_lookup))
     register("label_encode", Factory("processor", make_label_encode))
     register("epoch_order", Factory("processor", make_epoch_order))
+    register("transform", Factory("processor", make_transform))
     register("string_agg", Factory("processor", make_string_agg))
     register("zorder", Factory("processor", make_zorder))
     register("throttle", Factory("processor", make_throttle))
