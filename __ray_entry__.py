@@ -1720,6 +1720,16 @@ def _q_events_transform_ottl(sf_dir: str):
                                "digest"])
 
 
+def _q_spans_depth(sf_dir: str):
+    """Per-span tree depth (spanops.span_depth — vectorized pointer
+    doubling, O(log depth) jump rounds per trace bucket, cycle-capped):
+    the flame-level coordinate of every span. Oracle = a recursive CTE
+    walking parent links from the roots."""
+    from opentelemetry_collector_ray.stages.spanops import span_depth
+
+    return span_depth(_spans(sf_dir))
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3524,6 +3534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_label_encode": _q_events_label_encode,
         "docs_epoch_order": _q_docs_epoch_order,
         "events_transform_ottl": _q_events_transform_ottl,
+        "spans_depth": _q_spans_depth,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
         "events_twa": _q_events_twa,
@@ -5044,6 +5055,18 @@ SELECT service, date_trunc('minute', start_ts) AS minute,
            AS n_errors,
        max(duration_us) AS max_duration_us
 FROM spans GROUP BY service, date_trunc('minute', start_ts)
+""",
+        "spans_depth": f"""
+WITH RECURSIVE {SPANS_CTE.strip()},
+d AS (
+  SELECT trace_id, span_id, CAST(0 AS BIGINT) AS depth
+  FROM spans WHERE parent_span_id = ''
+  UNION ALL
+  SELECT s.trace_id, s.span_id, d.depth + 1
+  FROM spans s JOIN d
+    ON s.trace_id = d.trace_id AND s.parent_span_id = d.span_id
+)
+SELECT trace_id, span_id, depth FROM d
 """,
         "spans_parent_join": f"""
 WITH {SPANS_CTE.strip()}

@@ -246,3 +246,64 @@ def tail_sample(spans: ray.data.Dataset, n_buckets: int | str = 64,
 
     return bucketed_map_groups(spans, "trace_id", keep_error_traces,
                                n_buckets=n_buckets)
+
+
+def span_depth(spans: ray.data.Dataset, n_buckets: int = 64
+               ) -> ray.data.Dataset:
+    """Tree depth of every span — the flame-level coordinate: number of
+    resolvable ancestor links to the trace root (root spans depth 0;
+    a parent id absent from the data ends the chain, so orphans sit at
+    depth 0 like roots — never an infinite walk).
+
+    POINTER DOUBLING, vectorized: one exchange co-partitions traces by
+    bucket (parent links are trace-local — ptrace semantics), then each
+    bucket resolves parent indices once (``pc.index_in``) and runs the
+    O(log depth) jump loop ``d[i] += d[p[i]]; p[i] = p[p[i]]`` on numpy
+    int arrays — never one Python step per edge, never a per-level
+    self-join. A cycle (corrupt parent links) cannot loop forever: the
+    jump count is capped at ceil(log2(n))+1 rounds and a surviving
+    pointer raises loudly."""
+    from .bucketing import bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            bucket_of(t.column("trace_id"), n_buckets)))
+
+    def depth_bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"trace_id": t.column("trace_id"),
+                             "span_id": t.column("span_id"),
+                             "depth": pa.array([], pa.int64())})
+        # composite key: parent resolution is per (trace_id, span_id)
+        tid = t.column("trace_id")
+        key = pc.binary_join_element_wise(
+            tid, t.column("span_id"), "\x1f")
+        pkey = pc.binary_join_element_wise(
+            tid, t.column("parent_span_id"), "\x1f")
+        p = pc.index_in(pkey, key.combine_chunks()) \
+            .fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (p >= 0).astype(np.int64)
+        rounds = 0
+        max_rounds = int(np.ceil(np.log2(max(n, 2)))) + 1
+        while (p >= 0).any():
+            if rounds >= max_rounds:
+                raise ValueError(
+                    "span_depth: parent chain longer than the span "
+                    "count — cyclic parent_span_id links")
+            live = p >= 0
+            pi = p[live]
+            d_new = d.copy()
+            d_new[live] = d[live] + d[pi]
+            p_new = p.copy()
+            p_new[live] = p[pi]
+            d, p = d_new, p_new
+            rounds += 1
+        return pa.table({"trace_id": tid, "span_id": t.column("span_id"),
+                         "depth": pa.array(d)})
+
+    pre = spans.select_columns(
+        ["trace_id", "span_id", "parent_span_id"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return pre.groupby("_bucket").map_groups(depth_bucket,
+                                             batch_format="pyarrow")

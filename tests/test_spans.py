@@ -1,0 +1,34 @@
+
+
+def test_span_depth_branching_orphans_and_cycles(ray_session):
+    """Pointer doubling on a real TREE (not just chains): branching,
+    multiple traces in one bucket, an orphan parent, and a loud cycle
+    guard."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import span_depth
+
+    #        t1: r -> a -> b -> c     r -> d (branch)
+    #        t2: r2 -> x;  orphan o (parent missing)
+    tbl = pa.table({
+        "trace_id": pa.array(["t1"] * 5 + ["t2"] * 3),
+        "span_id": pa.array(["r", "a", "b", "c", "d", "r2", "x", "o"]),
+        "parent_span_id": pa.array(["", "r", "a", "b", "r",
+                                    "", "r2", "missing"]),
+    })
+    out = span_depth(ray.data.from_arrow(tbl).repartition(3)) \
+        .to_pandas().set_index("span_id")["depth"]
+    assert out["r"] == 0 and out["a"] == 1 and out["b"] == 2
+    assert out["c"] == 3 and out["d"] == 1
+    assert out["r2"] == 0 and out["x"] == 1
+    assert out["o"] == 0  # unresolvable parent ends the chain
+
+    cyc = pa.table({
+        "trace_id": pa.array(["t"] * 2),
+        "span_id": pa.array(["p", "q"]),
+        "parent_span_id": pa.array(["q", "p"]),
+    })
+    with pytest.raises(Exception, match="cyclic"):
+        span_depth(ray.data.from_arrow(cyc)).to_pandas()
