@@ -1730,6 +1730,22 @@ def _q_spans_depth(sf_dir: str):
     return span_depth(_spans(sf_dir))
 
 
+def _q_docs_gopher(sf_dir: str):
+    """Gopher rule-based quality screen (functions/text.gopher_quality
+    — Rae et al. 2021 §A1.1, the standard pretraining filter): all
+    feature lanes are exact integers and the composite keep flag is
+    pure integer-permille comparisons, so the whole rule set sits
+    behind the SQL hash gate (both engines run RE2)."""
+    from opentelemetry_collector_ray.functions.text import gopher_quality
+
+    def f(t: pa.Table) -> pa.Table:
+        feats = gopher_quality(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), **feats})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3535,6 +3551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_order": _q_docs_epoch_order,
         "events_transform_ottl": _q_events_transform_ottl,
         "spans_depth": _q_spans_depth,
+        "docs_gopher": _q_docs_gopher,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
         "events_twa": _q_events_twa,
@@ -5055,6 +5072,35 @@ SELECT service, date_trunc('minute', start_ts) AS minute,
            AS n_errors,
        max(duration_us) AS max_duration_us
 FROM spans GROUP BY service, date_trunc('minute', start_ts)
+""",
+        "docs_gopher": r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        AS word_chars,
+    CAST(len(regexp_extract_all(text, '#'))
+         + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+        AS n_symbols,
+    CAST(len(regexp_extract_all(text, chr(10))) + 1 AS BIGINT)
+        AS n_lines,
+    CAST(len(regexp_extract_all(text, '(^|\n)[ \t]*[-*•]')) AS BIGINT)
+        AS n_bullet_lines,
+    CAST(len(regexp_extract_all(text, '\.\.\.[ \t]*(\n|$)'))
+         AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)
+        AS n_alpha_words,
+    CAST((CASE WHEN regexp_matches(text, '(^|[^a-z])the([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])be([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])to([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])of([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])and([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])that([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])have([^a-z]|$)') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(text, '(^|[^a-z])with([^a-z]|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+  FROM documents)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        AND n_symbols * 10 <= n_words
+        AND n_bullet_lines * 10 <= 9 * n_lines
+        AND n_ellipsis_lines * 10 <= 3 * n_lines
+        AND n_alpha_words * 5 >= 4 * n_words
+        AND n_stopwords >= 2) AS keep
+FROM f
 """,
         "spans_depth": f"""
 WITH RECURSIVE {SPANS_CTE.strip()},

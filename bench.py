@@ -130,7 +130,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_twa", "events_zorder", "events_ffill",
              "docs_lm_bigram_stats", "orders_price_band",
              "events_daily_delta", "lineitem_weighted_price",
-             "customers_sha256"]
+             "customers_sha256", "events_label_encode",
+             "orders_with_returns", "tpch_q10", "docs_epoch_order",
+             "events_transform_ottl", "spans_depth"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -377,3 +377,66 @@ def split_count(col: pa.ChunkedArray | pa.Array, sep: str) -> pa.Array:
         col = col.combine_chunks()
     return pc.list_value_length(pc.split_pattern(col, pattern=sep)) \
         .cast(pa.int64())
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1 — the
+    standard pretraining-corpus screen) as ONE vectorized pass of exact
+    integer features plus the composite ``keep`` flag. All thresholds
+    are integer permille comparisons, so the SQL oracle mirrors them
+    bit-for-bit:
+
+    - 50 ≤ word count ≤ 100,000 (words = ``\\S+`` runs);
+    - mean word length in [3, 10] chars;
+    - symbol-to-word ratio ('#' + '...') ≤ 1/10;
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis;
+    - ≥ 80% of words contain an alphabetic character;
+    - ≥ 2 distinct Gopher stop words present.
+    """
+    n_words = pc.count_substring_regex(col, pattern=r"\S+").cast(pa.int64())
+    word_chars = pc.utf8_length(pc.replace_substring_regex(
+        col, r"\s", replacement="")).cast(pa.int64())
+    n_hash = pc.count_substring(col, "#").cast(pa.int64())
+    n_ellipsis = pc.count_substring_regex(col, pattern=r"\.\.\.") \
+        .cast(pa.int64())
+    n_lines = pc.add(pc.count_substring(col, "\n"),
+                     pa.scalar(1)).cast(pa.int64())
+    n_bullet_lines = pc.count_substring_regex(
+        col, pattern=r"(^|\n)[ \t]*[-*•]").cast(pa.int64())
+    n_ellipsis_lines = pc.count_substring_regex(
+        col, pattern=r"\.\.\.[ \t]*(\n|$)").cast(pa.int64())
+    n_alpha_words = pc.count_substring_regex(
+        col, pattern=r"\S*[A-Za-z]\S*").cast(pa.int64())
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = pc.cast(pc.match_substring_regex(
+            col, rf"(^|[^a-z]){w}([^a-z]|$)"), pa.int64())
+        n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+
+    nw = n_words.to_numpy(zero_copy_only=False)
+    wc = word_chars.to_numpy(zero_copy_only=False)
+    sym = (n_hash.to_numpy(zero_copy_only=False)
+           + n_ellipsis.to_numpy(zero_copy_only=False))
+    nl = n_lines.to_numpy(zero_copy_only=False)
+    nb = n_bullet_lines.to_numpy(zero_copy_only=False)
+    ne = n_ellipsis_lines.to_numpy(zero_copy_only=False)
+    na = n_alpha_words.to_numpy(zero_copy_only=False)
+    ns = n_stop.to_numpy(zero_copy_only=False)
+    keep = ((nw >= 50) & (nw <= 100_000)
+            & (wc >= 3 * nw) & (wc <= 10 * nw)
+            & (sym * 10 <= nw)
+            & (nb * 10 <= 9 * nl)
+            & (ne * 10 <= 3 * nl)
+            & (na * 5 >= 4 * nw)
+            & (ns >= 2))
+    return {"n_words": n_words, "word_chars": word_chars,
+            "n_symbols": pa.array(sym), "n_lines": n_lines,
+            "n_bullet_lines": n_bullet_lines,
+            "n_ellipsis_lines": n_ellipsis_lines,
+            "n_alpha_words": n_alpha_words,
+            "n_stopwords": n_stop,
+            "keep": pa.array(keep)}
