@@ -1746,6 +1746,48 @@ def _q_docs_gopher(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_events_winsorized(sf_dir: str):
+    """Winsorization at the exact global p5/p95 (exact_global_quantiles
+    + one clip pass): the outlier-capping step before statistical
+    features. Oracle selects the same floor((n−1)·q) ranks by
+    row_number and applies the same LEAST/GREATEST clip."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        exact_global_quantiles)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events", ["event_id", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    lo, hi = exact_global_quantiles(ds, "cents", (0.05, 0.95))
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = t.column("cents")
+        return t.append_column(
+            "cents_w", pc.min_element_wise(
+                pc.max_element_wise(c, pa.scalar(lo, pa.int64())),
+                pa.scalar(hi, pa.int64())))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def _q_events_peak_rate(sf_dir: str):
+    """Peak event rate per user: the max count of the user's events in
+    any trailing 1-hour RANGE window (rolling_count → grouped max) —
+    the burst-detection rollup a rate limiter is tuned against."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ds = per_key_window(
+        _read_co(sf_dir, "events", ["event_id", "user_id", "ts"],
+                 floor=8),
+        "user_id", ["ts"], {"w1h": ("rolling_count", 3_600_000_000)})
+    return grouped_agg(ds.select_columns(["user_id", "w1h"]),
+                       ["user_id"], max_cols={"peak_1h": "w1h"},
+                       strategy="shuffle")
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3552,6 +3594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transform_ottl": _q_events_transform_ottl,
         "spans_depth": _q_spans_depth,
         "docs_gopher": _q_docs_gopher,
+        "events_winsorized": _q_events_winsorized,
+        "events_peak_rate": _q_events_peak_rate,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
         "events_twa": _q_events_twa,
@@ -5072,6 +5116,30 @@ SELECT service, date_trunc('minute', start_ts) AS minute,
            AS n_errors,
        max(duration_us) AS max_duration_us
 FROM spans GROUP BY service, date_trunc('minute', start_ts)
+""",
+        "events_winsorized": """
+WITH e AS (SELECT event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rn,
+             count(*) OVER () AS n FROM e),
+q AS (SELECT max(CASE WHEN rn = ((n - 1) * 5) // 100
+                 THEN cents END) AS lo,
+             max(CASE WHEN rn = ((n - 1) * 95) // 100
+                 THEN cents END) AS hi
+      FROM r)
+SELECT e.event_id, e.cents,
+       LEAST(GREATEST(e.cents, q.lo), q.hi) AS cents_w
+FROM e, q
+""",
+        "events_peak_rate": """
+WITH w AS (SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW) AS w1h
+           FROM events)
+SELECT user_id, CAST(max(w1h) AS BIGINT) AS peak_1h
+FROM w GROUP BY user_id
 """,
         "docs_gopher": r"""
 WITH f AS (
