@@ -1788,6 +1788,42 @@ def _q_events_peak_rate(sf_dir: str):
                        strategy="shuffle")
 
 
+def _q_docs_hybrid_rank(sf_dir: str):
+    """Hybrid retrieval fusion (stages/ranking.rrf_fuse — reciprocal-
+    rank fusion, Cormack et al. 2009): the integer-exact tf-idf top-20
+    fused with a length-prior top-20; with two lists each rrf score is
+    ONE IEEE add of reciprocals, so the oracle reproduces it exactly
+    (both rankings are deterministic integer orderings)."""
+    from opentelemetry_collector_ray.stages.ranking import (
+        rrf_fuse, score_tfidf_int)
+    import ray.data
+
+    def make():
+        return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                        floor=8)
+
+    def _with_rank(pdf):
+        pdf = pdf.reset_index(drop=True)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(np.arange(len(pdf)), pa.int64())}))
+
+    # list A: tf-idf relevance (top-20, exact integer scores)
+    text_top = score_tfidf_int(make, _TFIDF_TERMS).sort(
+        ["score", "doc_id"], descending=[True, False]).limit(20) \
+        .to_pandas()  # 20 rows — bounded by construction
+    # list B: length prior (top-20 by char count)
+    prior_top = make().map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64())}),
+        batch_format="pyarrow").sort(
+        ["n_chars", "doc_id"], descending=[True, False]).limit(20) \
+        .to_pandas()
+    return rrf_fuse([_with_rank(text_top), _with_rank(prior_top)],
+                    k=60, topk=10)
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3595,6 +3631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_depth": _q_spans_depth,
         "docs_gopher": _q_docs_gopher,
         "events_winsorized": _q_events_winsorized,
+        "docs_hybrid_rank": _q_docs_hybrid_rank,
         "events_peak_rate": _q_events_peak_rate,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
@@ -5116,6 +5153,35 @@ SELECT service, date_trunc('minute', start_ts) AS minute,
            AS n_errors,
        max(duration_us) AS max_duration_us
 FROM spans GROUP BY service, date_trunc('minute', start_ts)
+""",
+        "docs_hybrid_rank": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok WHERE term IN ('window', 'join', 'hash') GROUP BY term),
+w AS (SELECT term, (n.n_docs * 1000) // (df.df + 1) AS w FROM df, n),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ('window', 'join', 'hash')
+       GROUP BY doc_id, term),
+text_top AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sum(tf.tf * w.w) DESC, doc_id) - 1
+             AS rank
+  FROM tf JOIN w USING (term) GROUP BY doc_id
+  ORDER BY rank LIMIT 20),
+prior_top AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY length(text) DESC, doc_id) - 1
+             AS rank
+  FROM documents ORDER BY rank LIMIT 20),
+u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM text_top
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM prior_top)
+SELECT doc_id, sum(c) AS rrf
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
 """,
         "events_winsorized": """
 WITH e AS (SELECT event_id,

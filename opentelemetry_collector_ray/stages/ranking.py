@@ -308,3 +308,35 @@ def query_inverted_index(index_dir: str, terms, mode: str = "any",
     return counts.map_batches(
         lambda t: t.filter(pc.equal(t.column("_nt"), k)).select([id_col]),
         batch_format="pyarrow")
+
+
+def rrf_fuse(rankings: list, id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60,
+             topk: int | None = None) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner (BM25 + vector, relevance + prior):
+    ``rrf(id) = Σ_lists 1/(k + rank_id)`` over the lists containing the
+    id; absent ids contribute nothing. Inputs are TOP-K ranking tables
+    (small by construction — this fuses candidate lists, not corpora);
+    each contributes one reciprocal term, the union flows through one
+    grouped float sum. With two lists the sum is a single IEEE add, so
+    the result is bit-deterministic and SQL-mirrorable."""
+    from .aggregate import grouped_agg
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    kf = float(k)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column(rank_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({id_col: t.column(id_col),
+                         "_rrf": pa.array(1.0 / (kf + r))})
+
+    u = rankings[0].map_batches(contrib, batch_format="pyarrow")
+    for ds in rankings[1:]:
+        u = u.union(ds.map_batches(contrib, batch_format="pyarrow"))
+    fused = grouped_agg(u, [id_col], sum_cols={"rrf": "_rrf"},
+                        strategy="shuffle")
+    out = fused.sort(["rrf", id_col], descending=[True, False])
+    return out.limit(int(topk)) if topk else out

@@ -1120,3 +1120,25 @@ def test_epoch_order_reshuffles_and_is_dense(ray_session):
     with _pt.raises(ValueError, match="hash_mode"):
         epoch_order(ray.data.from_arrow(tbl), "id", epoch=1,
                     n_shards=2, hash_mode="crc")
+
+
+def test_rrf_fuse_semantics(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.ranking import rrf_fuse
+
+    a = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "rank": pa.array([0, 1, 2], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 4], pa.int64()),
+        "rank": pa.array([0, 1], pa.int64())}))
+    out = rrf_fuse([a, b], k=60).to_pandas().set_index("doc_id")["rrf"]
+    assert out[3] == 1.0 / 62 + 1.0 / 60   # in both lists
+    assert out[1] == 1.0 / 60              # single-list ids keep one term
+    assert out[4] == 1.0 / 61
+    # id 3 outranks everything (two contributions)
+    assert out.idxmax() == 3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([])
