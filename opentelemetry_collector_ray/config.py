@@ -224,6 +224,10 @@ def _register_builtins() -> None:
         return RouteStage(rules, default_sink=cfg.get("default_sink", "default"))
 
     def make_filter(cfg: dict):
+        if not cfg.get("include") and not cfg.get("exclude"):
+            raise ConfigError(
+                "filter: at least one of include/exclude is required")
+
         def fc(d):
             if d is None:
                 return None
@@ -280,6 +284,8 @@ def _register_builtins() -> None:
     def make_score(cfg: dict):
         from .stages.scoring import LinearScorerStage
 
+        if not cfg.get("weights"):
+            raise ConfigError("score: weights is required")
         return LinearScorerStage(dict(cfg["weights"]),
                                  bias=int(cfg.get("bias", 0)),
                                  out_col=cfg.get("out_col", "score"))
@@ -300,6 +306,8 @@ def _register_builtins() -> None:
     def make_count_agg(cfg: dict):
         from .stages.aggregate import grouped_count
 
+        if not cfg.get("keys"):
+            raise ConfigError("count_agg: keys is required")
         keys = list(cfg["keys"])
         name = cfg.get("count_name", "n")
         strategy = cfg.get("strategy", "shuffle")

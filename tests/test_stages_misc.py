@@ -1142,3 +1142,25 @@ def test_rrf_fuse_semantics(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_every_factory_raises_config_error_on_bad_config():
+    """Registry invariant (confmap/validation.go semantics): an invalid
+    component config fails with ConfigError, never a raw
+    KeyError/TypeError leaking implementation details."""
+    import opentelemetry_collector_ray.config as c
+
+    try:
+        c._register_builtins()
+    except c.ConfigError:
+        pass  # already registered
+    assert len(c._REGISTRY) >= 70
+    for name, f in sorted(c._REGISTRY.items()):
+        try:
+            f.create({})
+        except c.ConfigError:
+            pass  # the expected failure mode
+        except Exception as e:  # pragma: no cover - the assertion path
+            raise AssertionError(
+                f"factory {name!r} raised {type(e).__name__} on empty "
+                f"config instead of ConfigError: {e}") from e
