@@ -1824,6 +1824,57 @@ def _q_docs_hybrid_rank(sf_dir: str):
                     k=60, topk=10)
 
 
+def _q_events_type_deciles(sf_dir: str):
+    """PER-KEY equi-depth deciles (grouped_exact_quantiles multi-q —
+    the per-key sibling of the global orders_decile): p10..p90 of cents
+    per event type in ONE bucket-idiom pass. Oracle selects each rank
+    by row_number with the floor((n−1)·q) rule."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_exact_quantiles)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events", ["event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_exact_quantiles(
+        ds, "event_type", "cents",
+        qs=(0.1, 0.3, 0.5, 0.7, 0.9), count_strategy="tree")
+
+
+def _q_events_user_hhi(sf_dir: str):
+    """Per-user event-type concentration (Herfindahl–Hirschman index,
+    exact integer micro-units): HHI_x1e6 = Σ n_i² · 10⁶ // n² — the
+    diversity screen a corpus-mixing step runs per source. One shuffle
+    count to (user, type, n) rows, then a per-bucket segment reduce."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.bucketing import (
+        bucketed_map_groups, key_segments)
+
+    counts = grouped_count(
+        _read_co(sf_dir, "events", ["user_id", "event_type"], floor=8),
+        ["user_id", "event_type"], count_name="_n", strategy="shuffle")
+
+    def hhi(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending")])
+        keys = t.column("user_id").to_numpy(zero_copy_only=False)
+        change, _seg = key_segments(keys)
+        n = t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(change)
+        seg_id = np.cumsum(change) - 1
+        tot = np.bincount(seg_id, weights=n).astype(np.int64)
+        sq = np.bincount(seg_id, weights=n * n).astype(np.int64)
+        out = sq * 1_000_000 // (tot * tot)
+        return pa.table({
+            "user_id": t.column("user_id").take(
+                pa.array(starts, pa.int64())),
+            "n_events": pa.array(tot),
+            "hhi_x1e6": pa.array(out)})
+
+    return bucketed_map_groups(counts, "user_id", hhi)
+
+
 def _q_events_user_split(sf_dir: str):
     """Group-aware deterministic train/val/test split (stages/sampling
     assign_split, md5 oracle mode): every event of a user lands in the
@@ -3632,6 +3683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher": _q_docs_gopher,
         "events_winsorized": _q_events_winsorized,
         "docs_hybrid_rank": _q_docs_hybrid_rank,
+        "events_type_deciles": _q_events_type_deciles,
+        "events_user_hhi": _q_events_user_hhi,
         "events_peak_rate": _q_events_peak_rate,
         "orders_with_returns": _q_orders_with_returns,
         "tpch_q10": _q_tpch_q10,
@@ -5153,6 +5206,33 @@ SELECT service, date_trunc('minute', start_ts) AS minute,
            AS n_errors,
        max(duration_us) AS max_duration_us
 FROM spans GROUP BY service, date_trunc('minute', start_ts)
+""",
+        "events_type_deciles": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM e)
+SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = ((n - 1) * 10) // 100 THEN cents END) AS p10,
+       max(CASE WHEN rn = ((n - 1) * 30) // 100 THEN cents END) AS p30,
+       max(CASE WHEN rn = ((n - 1) * 50) // 100 THEN cents END) AS p50,
+       max(CASE WHEN rn = ((n - 1) * 70) // 100 THEN cents END) AS p70,
+       max(CASE WHEN rn = ((n - 1) * 90) // 100 THEN cents END) AS p90
+FROM r GROUP BY event_type
+""",
+        "events_user_hhi": """
+WITH c AS (SELECT user_id, event_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id, event_type),
+s AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(sum(n * n) AS BIGINT) AS sq
+      FROM c GROUP BY user_id)
+SELECT user_id, tot AS n_events,
+       CAST(sq * 1000000 // (tot * tot) AS BIGINT) AS hhi_x1e6
+FROM s
 """,
         "docs_hybrid_rank": """
 WITH tok AS (
