@@ -132,7 +132,10 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_daily_delta", "lineitem_weighted_price",
              "customers_sha256", "events_label_encode",
              "orders_with_returns", "tpch_q10", "docs_epoch_order",
-             "events_transform_ottl", "spans_depth"]
+             "events_transform_ottl", "spans_depth", "docs_gopher",
+             "events_winsorized", "events_peak_rate",
+             "docs_hybrid_rank", "events_type_deciles",
+             "events_user_hhi"]
     q = m.queries()
     for name in names:
         t0 = time.time()
