@@ -3614,6 +3614,227 @@ def _q_emb_ann_ivfpq(sf_dir: str):
     return ann_query_index(index_dir, queries, k=10, multiprobe=4)
 
 
+def _q_customers_fuzzy_match(sf_dir: str):
+    """Fuzzy-lookup join (stages/fuzzy.py): every customer name with its
+    last two id digits corrupted ('xy') is matched against the canonical
+    dictionary (every 50th customer) by vectorized byte-level
+    Levenshtein — the entity-resolution primitive. Broadcast dictionary,
+    one numpy DP per candidate per batch, min-distance with lexical
+    tie-break, nulls past max_dist; the oracle mirrors with DuckDB's
+    levenshtein() + ROW_NUMBER."""
+    from opentelemetry_collector_ray.stages.fuzzy import fuzzy_lookup
+
+    side = _side_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = side.column("c_custkey").to_numpy()
+    cands = side.column("c_name").combine_chunks().filter(
+        pa.array(keys % 50 == 0))
+
+    def probe(t: pa.Table) -> pa.Table:
+        p = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t.column("c_name"), 0, 16), "xy", "")
+        return pa.table({"c_custkey": t.column("c_custkey"), "probe": p})
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        probe, batch_format="pyarrow")
+    return fuzzy_lookup(ds, cands, "probe", max_dist=3).select_columns(
+        ["c_custkey", "fuzzy_match", "fuzzy_dist"])
+
+
+def _q_events_user_topp(sf_dir: str):
+    """Per-key top-p (nucleus) selection (stages/mixing.py
+    select_top_share_by): per user, keep the value-heaviest events until
+    the running total crosses 3/4 of the user's total — exact integer
+    prefix-mass semantics on the cents lane, one hash-bucket exchange,
+    numpy segment kernels inside. Oracle = SQL window running sum with
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING."""
+    from opentelemetry_collector_ray.stages.mixing import (
+        select_top_share_by)
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events", ["event_id", "user_id", "value"],
+                  floor=8).map_batches(cents, batch_format="pyarrow")
+    return select_top_share_by(ds, "user_id", "cents", "event_id",
+                               share_num=3, share_den=4)
+
+
+def _q_docs_vocab_growth(sf_dir: str):
+    """Vocabulary-growth curve (stages/corpusstats.py vocab_growth):
+    new-BIGRAM births per 50-doc slice of the corpus in doc_id order —
+    the Heaps'-law saturation diagnostic (bigrams: the unigram
+    vocabulary here is tiny and saturates in the first slice). Per-term
+    min rides the shuffle-partial aggregate (unbounded terms), the
+    curve is a bounded tree roll-up; oracle = exploded GROUP BY term
+    min(doc_id)."""
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        vocab_growth)
+
+    return vocab_growth(_read_co(sf_dir, "documents",
+                                 ["doc_id", "text"], floor=8),
+                        bucket_size=50, ngram=2)
+
+
+_EVAL_TERMS = ("window", "join", "hash", "scan")
+
+
+def _q_docs_retrieval_eval(sf_dir: str):
+    """Retrieval-eval harness (stages/ranking.py eval_ranking): rank
+    docs per query term by exact term count (per-key window
+    row_number), judge docs with >= 3 occurrences relevant, then score
+    the ranking — per query reciprocal rank (scale//rank, exact), hits
+    and relevant totals. One semi-join + per-query partial aggregates;
+    oracle recomputes the whole chain in SQL."""
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        _tokens_with_rows)
+    from opentelemetry_collector_ray.stages.ranking import eval_ranking
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    terms = pa.array(_EVAL_TERMS)
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column("text"))
+        ti = pc.index_in(flat, terms)
+        valid = pc.is_valid(ti).to_numpy(zero_copy_only=False)
+        tidx = ti.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        ridx = rows[valid]
+        mat = np.zeros((len(t), len(_EVAL_TERMS)), np.int64)
+        np.add.at(mat, (ridx, tidx), 1)
+        r, c = np.nonzero(mat)
+        ids = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "query": pc.take(terms, pa.array(c, pa.int64())),
+            "doc_id": pa.array(ids[r], pa.int64()),
+            "cnt": pa.array(mat[r, c], pa.int64()),
+            "neg_cnt": pa.array(-mat[r, c], pa.int64())})
+
+    cnt = _read_co(sf_dir, "documents", ["doc_id", "text"],
+                   floor=8).map_batches(counts, batch_format="pyarrow")
+    ranked = per_key_window(cnt, "query", ["neg_cnt", "doc_id"],
+                            {"_rn": ("row_number",)})
+    results = ranked.map_batches(
+        lambda t: pa.table({"query": t.column("query"),
+                            "doc_id": t.column("doc_id"),
+                            "rank": pc.add(t.column("_rn"), 1)}),
+        batch_format="pyarrow")
+    qrels = cnt.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"), 3)).select(
+            ["query", "doc_id"]),
+        batch_format="pyarrow")
+    return eval_ranking(results, qrels, k=10)
+
+
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking, adapted to this schema:
+    late shipment = any line shipped > 90 days after the order date):
+    date-filtered orders shuffle-joined to lineitem, residual predicate
+    post-join, DISTINCT via a grouped partial, bounded priority
+    roll-up."""
+    import datetime
+
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_count)
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(datetime.datetime(1996, 7, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 7, 1), pa.timestamp("us"))
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                      ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi))),
+        batch_format="pyarrow")
+    li = _read_co(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = shuffle_hash_join(li, orders, key="l_orderkey",
+                          right_key="o_orderkey", how="inner")
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t.column("l_shipdate"),
+                               pa.timestamp("us")), pa.int64())
+        od = pc.cast(pc.cast(t.column("o_orderdate"),
+                             pa.timestamp("us")), pa.int64())
+        keep = pc.greater(pc.subtract(ship, od),
+                          90 * 86400 * 1_000_000)
+        return t.filter(keep).select(["l_orderkey", "o_orderpriority"])
+
+    dedup = grouped_agg(j.map_batches(late, batch_format="pyarrow"),
+                        ["l_orderkey", "o_orderpriority"],
+                        count_name="_n", strategy="shuffle")
+    return grouped_count(dedup, ["o_orderpriority"],
+                         count_name="order_count", strategy="tree")
+
+
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast-revenue change): pure pushed-down
+    filter + one global integer sum — the read-prune benchmark (3 of 11
+    columns leave storage). Per-row cents floor matches the oracle
+    exactly."""
+    import datetime
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_discount"), 0.05),
+                        pc.less_equal(t.column("l_discount"), 0.07)),
+                pc.less(t.column("l_quantity"), 24.0)))
+        t = t.filter(keep)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          t.column("l_discount"))
+        return pa.table({"revenue_cents": _cents(rev)})
+
+    ds = _read_co(sf_dir, "lineitem",
+                  ["l_shipdate", "l_discount", "l_quantity",
+                   "l_extendedprice"], floor=8).map_batches(
+        f, batch_format="pyarrow")
+    total = ds.sum("revenue_cents") or 0
+    return pa.table({"revenue_cents": pa.array([int(total)], pa.int64())})
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): month-filtered lineitem with
+    the tiny part table broadcast in, conditional revenue split into
+    exact integer numerator/denominator (promo vs total cents) — the
+    float ratio never crosses the hash gate."""
+    import datetime
+
+    from opentelemetry_collector_ray.stages.join import broadcast_join
+
+    lo = pa.scalar(datetime.datetime(1996, 9, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 12, 1), pa.timestamp("us"))
+    part = _side_table(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_partkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"], floor=8).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi))),
+        batch_format="pyarrow")
+    j = broadcast_join(li, part, key="l_partkey", right_key="p_partkey")
+
+    def split(t: pa.Table) -> pa.Table:
+        cents = _cents(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))))
+        promo = pc.if_else(pc.equal(t.column("p_type"), "PROMO"),
+                           cents, pa.scalar(0, pa.int64()))
+        return pa.table({"promo_cents": promo, "total_cents": cents})
+
+    agg = j.map_batches(split, batch_format="pyarrow")
+    promo = agg.sum("promo_cents") or 0
+    total = agg.sum("total_cents") or 0
+    return pa.table({"promo_cents": pa.array([int(promo)], pa.int64()),
+                     "total_cents": pa.array([int(total)], pa.int64())})
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -3691,6 +3912,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa": _q_events_twa,
         "lineitem_weighted_price": _q_lineitem_weighted_price,
         "customers_sha256": _q_customers_sha256,
+        # --- round-5 late additions (past the 50-cap; pytest-oracled
+        # + full-sweep-verified like the rest of the tail) ---
+        "customers_fuzzy_match": _q_customers_fuzzy_match,
+        "events_user_topp": _q_events_user_topp,
+        "docs_vocab_growth": _q_docs_vocab_growth,
+        "docs_retrieval_eval": _q_docs_retrieval_eval,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q14": _q_tpch_q14,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -5510,6 +5740,99 @@ edges AS (
 SELECT parent, child, count(*) AS n,
        CAST(sum(value_us) AS BIGINT) AS total_us
 FROM edges GROUP BY parent, child
+""",
+        "customers_fuzzy_match": """
+WITH l AS (SELECT c_name AS cand FROM customer WHERE c_custkey % 50 = 0),
+p AS (SELECT c_custkey, substr(c_name, 1, 16) || 'xy' AS probe
+      FROM customer),
+d AS (SELECT c_custkey, cand, levenshtein(probe, cand) AS dist,
+             row_number() OVER (PARTITION BY c_custkey
+                 ORDER BY levenshtein(probe, cand), cand) AS rn
+      FROM p, l)
+SELECT c_custkey,
+       CASE WHEN dist <= 3 THEN cand END AS fuzzy_match,
+       CASE WHEN dist <= 3 THEN CAST(dist AS BIGINT) END AS fuzzy_dist
+FROM d WHERE rn = 1
+""",
+        "events_user_topp": """
+WITH s AS (SELECT event_id, user_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT event_id, user_id, cents,
+             coalesce(sum(cents) OVER (PARTITION BY user_id
+                 ORDER BY cents DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb,
+             sum(cents) OVER (PARTITION BY user_id) AS total
+      FROM s)
+SELECT event_id, user_id, cents FROM w WHERE cb * 4 < 3 * total
+""",
+        "docs_vocab_growth": """
+WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+')
+                    AS ts
+           FROM documents),
+tok AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term
+        FROM l, unnest(range(1, len(ts))) AS r(i)),
+f AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term)
+SELECT CAST(fd // 50 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS new_terms
+FROM f GROUP BY 1
+""",
+        "docs_retrieval_eval": """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS term
+             FROM documents),
+cnt AS (SELECT term AS query, doc_id, count(*) AS c FROM tok
+        WHERE term IN ('window', 'join', 'hash', 'scan')
+        GROUP BY 1, 2),
+res AS (SELECT query, doc_id,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY c DESC, doc_id) AS rnk
+        FROM cnt),
+qrels AS (SELECT query, doc_id FROM cnt WHERE c >= 3),
+hits AS (SELECT r.query, r.rnk FROM res r
+         JOIN qrels q USING (query, doc_id) WHERE r.rnk <= 10),
+perq AS (SELECT query, count(*) AS hits_at_k, min(rnk) AS fr
+         FROM hits GROUP BY 1),
+nrel AS (SELECT query, count(*) AS n_rel FROM qrels GROUP BY 1)
+SELECT n.query,
+       CAST(coalesce(1000000 // p.fr, 0) AS BIGINT) AS rr_scaled,
+       CAST(coalesce(p.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(n.n_rel AS BIGINT) AS n_rel
+FROM nrel n LEFT JOIN perq p USING (query)
+""",
+        "tpch_q4": """
+WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             AND o_orderdate < TIMESTAMP '1997-07-01')
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+""",
+        "tpch_q6": """
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100
+                                    + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+        "tpch_q14": """
+WITH j AS (SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT) AS cents, p_type
+           FROM lineitem, part
+           WHERE l_partkey = p_partkey
+             AND l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l_shipdate < TIMESTAMP '1996-12-01')
+SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN cents
+                              ELSE 0 END), 0) AS BIGINT) AS promo_cents,
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
+FROM j
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

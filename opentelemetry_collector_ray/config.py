@@ -417,6 +417,41 @@ def _register_builtins() -> None:
             max_categories=int(cfg.get("max_categories", 10_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_fuzzy_lookup(cfg: dict):
+        from .stages.fuzzy import fuzzy_lookup
+
+        if not cfg.get("column") or not cfg.get("candidates"):
+            raise ConfigError(
+                "fuzzy_lookup: column and candidates are required")
+        cands = [str(c) for c in cfg["candidates"]]
+        return DatasetTransform(lambda ds: fuzzy_lookup(
+            ds, cands, cfg["column"],
+            max_dist=int(cfg.get("max_dist", 2)),
+            out_prefix=cfg.get("out_prefix", "fuzzy_")))
+
+    def make_top_share(cfg: dict):
+        from .stages.mixing import select_top_share_by
+
+        need = ("key", "value_col", "id_col", "share_num", "share_den")
+        if any(cfg.get(k) is None for k in need):
+            raise ConfigError(
+                "top_share: key, value_col, id_col, share_num and "
+                "share_den are required")
+        return DatasetTransform(lambda ds: select_top_share_by(
+            ds, cfg["key"], cfg["value_col"], cfg["id_col"],
+            share_num=int(cfg["share_num"]),
+            share_den=int(cfg["share_den"]),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_vocab_growth(cfg: dict):
+        from .stages.corpusstats import vocab_growth
+
+        return DatasetTransform(lambda ds: vocab_growth(
+            ds, text_col=cfg.get("text_col", "text"),
+            id_col=cfg.get("id_col", "doc_id"),
+            bucket_size=int(cfg.get("bucket_size", 100)),
+            ngram=int(cfg.get("ngram", 1))))
+
     def make_transform(cfg: dict):
         from .functions.ottl import compile_statements
 
@@ -878,6 +913,9 @@ def _register_builtins() -> None:
     register("label_encode", Factory("processor", make_label_encode))
     register("epoch_order", Factory("processor", make_epoch_order))
     register("transform", Factory("processor", make_transform))
+    register("fuzzy_lookup", Factory("processor", make_fuzzy_lookup))
+    register("top_share", Factory("processor", make_top_share))
+    register("vocab_growth", Factory("processor", make_vocab_growth))
     register("string_agg", Factory("processor", make_string_agg))
     register("zorder", Factory("processor", make_zorder))
     register("throttle", Factory("processor", make_throttle))

@@ -310,3 +310,69 @@ def term_divergence(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
         "vocab_a": pa.array([int((ca > 0).sum())], pa.int64()),
         "vocab_b": pa.array([int((cb > 0).sum())], pa.int64()),
         "shared_vocab": pa.array([shared], pa.int64())}))
+
+
+def vocab_growth(ds: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", bucket_size: int = 100,
+                 ngram: int = 1) -> ray.data.Dataset:
+    """Vocabulary-growth curve: how many NEVER-SEEN-BEFORE terms each
+    slice of the corpus contributes, scanning in ``id_col`` order — the
+    Heaps'-law saturation diagnostic a curation pipeline reads to decide
+    when additional raw data stops buying new vocabulary.
+
+    Exact semantics (SQL-mirrorable): a term is "born" in the document
+    with its minimum ``id_col``; the curve groups births by
+    ``id_col // bucket_size``. Output: (bucket, new_terms), one row per
+    non-empty bucket.
+
+    Scale shape: tokens explode inside ``map_batches`` (whole-column
+    kernels), the per-term min rides the shuffle-strategy grouped
+    aggregate (unbounded term keys — per-batch partials bound the
+    exchange to ≤ |distinct terms per batch| rows), and the final
+    per-bucket count is a bounded tree roll-up. Nothing lands on the
+    driver; ``id_col`` must be non-negative (floor == truncate for the
+    bucket division on both engines)."""
+    from .aggregate import grouped_agg, grouped_count
+
+    if bucket_size <= 0:
+        raise ValueError("vocab_growth: bucket_size must be positive")
+    if ngram not in (1, 2):
+        raise ValueError("vocab_growth: ngram must be 1 or 2")
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column(text_col))
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids < 0).any():
+            raise ValueError("vocab_growth: id_col must be "
+                             "non-negative (floor-div parity)")
+        if ngram == 2:
+            # adjacent within-doc pairs, space-joined — the corpus
+            # bigram vocabulary (matches ngram_counts / the SQL
+            # ts[i] || ' ' || ts[i+1] explode).
+            same = rows[1:] == rows[:-1] if len(rows) > 1 else \
+                np.zeros(0, bool)
+            if len(flat) > 1:
+                joined = pc.binary_join_element_wise(
+                    flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+                flat = joined.filter(pa.array(same))
+            else:
+                flat = pa.array([], pa.string())
+            rows = rows[:-1][same] if len(rows) > 1 else rows[:0]
+        return pa.table({"term": flat,
+                         "_id": pa.array(ids[rows], pa.int64())})
+
+    births = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"), ["term"],
+        min_cols={"first_doc": "_id"}, strategy="shuffle")
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(fd // int(bucket_size),
+                                            pa.int64())})
+
+    return grouped_count(births.map_batches(to_bucket,
+                                            batch_format="pyarrow"),
+                         ["bucket"], count_name="new_terms",
+                         strategy="tree")

@@ -193,3 +193,72 @@ def epoch_order(ds: ray.data.Dataset, id_col: str, *, epoch: int,
     return bucketed_map_groups(
         ds.map_batches(keyed, batch_format="pyarrow"), shard_col,
         order, n_buckets="auto")
+
+
+def select_top_share_by(ds: ray.data.Dataset, key: str, value_col: str,
+                        id_col: str, *, share_num: int, share_den: int,
+                        n_buckets: int | str = "auto"
+                        ) -> ray.data.Dataset:
+    """Per-key top-p ("nucleus") selection: within every ``key``
+    partition, rows ordered by (``value_col`` DESC, ``id_col`` ASC) are
+    kept while the EXCLUSIVE running total of ``value_col`` is still
+    below ``share_num/share_den`` of the partition total — i.e. the
+    smallest value-heavy prefix whose mass reaches the target share
+    (the row that crosses the threshold is included). The per-key
+    analog of ``select_token_budget``'s global greedy cut; the
+    diversity-vs-mass knob a corpus-mixing pipeline uses to cap each
+    source/domain at a fixed share of its own heaviest items.
+
+    Exact integer semantics (``value_col`` must be an integer lane, as
+    everywhere in the repo's oracle-checked selection family):
+    keep ⇔ ``cum_before * share_den < share_num * partition_total`` —
+    mirrors the SQL window ``sum(v) OVER (... ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` predicate with no float division. Negative
+    values are rejected (the prefix-mass semantics need a monotone
+    running total).
+
+    Scale shape: one hash-bucket exchange on ``key`` (the repo's
+    bounded-group idiom — many keys per bucket task, numpy segment
+    kernels inside, never one task per key); per-bucket work is one
+    sort + one segment cumsum. Appends nothing; returns the kept rows
+    with the input schema."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if share_den <= 0 or share_num < 0:
+        raise ValueError("select_top_share_by: share must be a "
+                         "non-negative rational with positive "
+                         "denominator")
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        vcol = t.column(value_col)
+        if not pa.types.is_integer(vcol.type):
+            raise ValueError(
+                f"select_top_share_by: {value_col!r} must be an "
+                f"integer lane, got {vcol.type} — integerize first "
+                "(cents / e6) like the rest of the selection family")
+        t = t.sort_by([(key, "ascending"),
+                       (value_col, "descending"),
+                       (id_col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("select_top_share_by: negative values "
+                             "break prefix-mass semantics")
+        change, seg_start = key_segments(keys)
+        csum = np.cumsum(v)
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0)
+        cum_before = np.concatenate([[0], csum[:-1]]) - base
+        # per-row partition total: total of the segment the row is in.
+        ends_per_seg = np.append(np.flatnonzero(change)[1:], len(v))
+        totals_per_seg = csum[ends_per_seg - 1] - np.where(
+            np.flatnonzero(change) > 0,
+            csum[np.flatnonzero(change) - 1], 0)
+        seg_of_row = np.cumsum(change) - 1
+        total = totals_per_seg[seg_of_row]
+        keep = cum_before * int(share_den) < int(share_num) * total
+        return t.filter(pa.array(keep))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

@@ -340,3 +340,61 @@ def rrf_fuse(rankings: list, id_col: str = "doc_id",
                         strategy="shuffle")
     out = fused.sort(["rrf", id_col], descending=[True, False])
     return out.limit(int(topk)) if topk else out
+
+
+def eval_ranking(results: ray.data.Dataset, qrels: ray.data.Dataset, *,
+                 query_col: str = "query", id_col: str = "doc_id",
+                 rank_col: str = "rank", k: int = 10,
+                 scale: int = 1_000_000) -> ray.data.Dataset:
+    """Retrieval-quality evaluation — per-query reciprocal rank and
+    recall@k given a ranking table and a relevance-judgment (qrels)
+    table. The eval harness that closes the loop on the repo's
+    TF-IDF/BM25/ANN/RRF retrieval stack.
+
+    Inputs: ``results`` rows are (query, doc, rank) with ``rank``
+    1-based and unique per query; ``qrels`` rows are (query, doc) pairs
+    judged relevant. Output, one row per query appearing in EITHER
+    input: ``rr_scaled`` = ``scale // rank`` of the highest-ranked
+    relevant doc within the top ``k`` (0 when none — truncating integer
+    division so the value sits behind the DuckDB hash gate; MRR =
+    mean(rr_scaled)/scale), ``hits_at_k`` = relevant docs retrieved in
+    the top ``k``, ``n_rel`` = total judged-relevant docs (recall@k =
+    hits_at_k / n_rel).
+
+    Scale shape: ONE composite-key shuffle semi-join (results ∩ qrels —
+    fixed-width id rows are the only exchange currency), per-query
+    partial aggregates on both lanes (unbounded query keys — shuffle
+    strategy), and one left join of two already-reduced per-query
+    tables. No driver state."""
+    from .aggregate import grouped_agg, grouped_count
+    from .join import shuffle_hash_join
+
+    if k <= 0 or scale <= 0:
+        raise ValueError("eval_ranking: k and scale must be positive")
+
+    topk = results.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column(rank_col), k)),
+        batch_format="pyarrow")
+    hits = shuffle_hash_join(topk, qrels, key=[query_col, id_col],
+                             how="semi")
+    per_q = grouped_agg(hits, [query_col], count_name="hits_at_k",
+                        min_cols={"_first_rank": rank_col},
+                        strategy="shuffle")
+    n_rel = grouped_count(qrels, [query_col], count_name="n_rel",
+                          strategy="shuffle")
+    j = shuffle_hash_join(n_rel, per_q, key=query_col, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        fr = t.column("_first_rank")
+        rr = pc.if_else(pc.is_valid(fr),
+                        pc.divide(pa.scalar(int(scale), pa.int64()),
+                                  pc.cast(fr, pa.int64())),
+                        pa.scalar(0, pa.int64()))
+        hits_k = pc.fill_null(pc.cast(t.column("hits_at_k"),
+                                      pa.int64()), 0)
+        return pa.table({query_col: t.column(query_col),
+                         "rr_scaled": rr, "hits_at_k": hits_k,
+                         "n_rel": pc.cast(t.column("n_rel"),
+                                          pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
