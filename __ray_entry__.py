@@ -3727,6 +3727,31 @@ def _q_docs_retrieval_eval(sf_dir: str):
     return eval_ranking(results, qrels, k=10)
 
 
+def _q_events_k_anon(sf_dir: str):
+    """k-anonymity + l-diversity release filter (stages/privacy.py):
+    rows survive only when >= 5 rows share their (event_type,
+    value-band) quasi-tuple AND those rows span >= 2 distinct users.
+    Shuffle-partial group sizes, exact two-phase distinct counts, one
+    composite-key semi join back; oracle = SQL window COUNT(*) /
+    COUNT(DISTINCT) OVER (PARTITION BY quasi)."""
+    from opentelemetry_collector_ray.stages.privacy import k_anonymize
+
+    def prep(t: pa.Table) -> pa.Table:
+        band = pc.divide(_cents(t.column("value")),
+                         pa.scalar(2000, pa.int64()))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "event_type": t.column("event_type"),
+                         "band": band})
+
+    ds = _read_co(sf_dir, "events",
+                  ["event_id", "user_id", "event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    anon = k_anonymize(ds, ["event_type", "band"], 5,
+                       sensitive_col="user_id", l=2)
+    return anon.select_columns(["event_id", "event_type", "band"])
+
+
 def _q_tpch_q4(sf_dir: str):
     """TPC-H Q4 shape (order-priority checking, adapted to this schema:
     late shipment = any line shipped > 90 days after the order date):
@@ -3918,6 +3943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topp": _q_events_user_topp,
         "docs_vocab_growth": _q_docs_vocab_growth,
         "docs_retrieval_eval": _q_docs_retrieval_eval,
+        "events_k_anon": _q_events_k_anon,
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
@@ -5801,6 +5827,18 @@ SELECT n.query,
        CAST(coalesce(p.hits_at_k, 0) AS BIGINT) AS hits_at_k,
        CAST(n.n_rel AS BIGINT) AS n_rel
 FROM nrel n LEFT JOIN perq p USING (query)
+""",
+        "events_k_anon": """
+WITH s AS (SELECT event_id, user_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) // 2000
+                    AS band
+           FROM events),
+w AS (SELECT event_id, event_type, band,
+             count(*) OVER (PARTITION BY event_type, band) AS c,
+             count(DISTINCT user_id)
+               OVER (PARTITION BY event_type, band) AS d
+      FROM s)
+SELECT event_id, event_type, band FROM w WHERE c >= 5 AND d >= 2
 """,
         "tpch_q4": """
 WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders

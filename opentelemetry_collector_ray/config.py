@@ -417,6 +417,20 @@ def _register_builtins() -> None:
             max_categories=int(cfg.get("max_categories", 10_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_k_anonymize(cfg: dict):
+        from .stages.privacy import k_anonymize
+
+        if not cfg.get("quasi") or not cfg.get("k"):
+            raise ConfigError("k_anonymize: quasi and k are required")
+        sens, l = cfg.get("sensitive"), cfg.get("l")
+        if (sens is None) != (l is None):
+            raise ConfigError(
+                "k_anonymize: sensitive and l go together")
+        return DatasetTransform(lambda ds: k_anonymize(
+            ds, [str(c) for c in cfg["quasi"]], int(cfg["k"]),
+            sensitive_col=sens, l=None if l is None else int(l),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_fuzzy_lookup(cfg: dict):
         from .stages.fuzzy import fuzzy_lookup
 
@@ -914,6 +928,7 @@ def _register_builtins() -> None:
     register("epoch_order", Factory("processor", make_epoch_order))
     register("transform", Factory("processor", make_transform))
     register("fuzzy_lookup", Factory("processor", make_fuzzy_lookup))
+    register("k_anonymize", Factory("processor", make_k_anonymize))
     register("top_share", Factory("processor", make_top_share))
     register("vocab_growth", Factory("processor", make_vocab_growth))
     register("string_agg", Factory("processor", make_string_agg))

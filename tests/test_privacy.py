@@ -1,0 +1,134 @@
+"""k-anonymity / l-diversity release filter (stages/privacy.py):
+window-SQL parity, planted suppression truth, null guard, argument
+validation, YAML parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opentelemetry_collector_ray.stages.privacy import k_anonymize
+
+
+def _people(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "row_id": pa.array(np.arange(n), pa.int64()),
+        "zip3": pa.array(rng.integers(100, 110, n), pa.int64()),
+        "age_band": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "diagnosis": pa.array(np.char.add(
+            "d", rng.integers(0, 3, n).astype("U2"))),
+    })
+
+
+def _sql(tbl, q):
+    con = duckdb.connect()
+    con.register("t", tbl)
+    return con.execute(q).df()
+
+
+def test_k_anonymize_matches_window_sql(ray_session):
+    tbl = _people()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = k_anonymize(ds, ["zip3", "age_band"], 12).to_pandas()
+    want = _sql(tbl, """
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY zip3, age_band) AS c
+          FROM t) WHERE c >= 12
+    """).drop(columns=["c"])
+    assert sorted(got.columns) == sorted(want.columns)
+    assert sorted(got["row_id"]) == sorted(want["row_id"])
+
+
+def test_l_diversity_matches_window_sql(ray_session):
+    tbl = _people()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = k_anonymize(ds, ["zip3", "age_band"], 8,
+                      sensitive_col="diagnosis", l=3).to_pandas()
+    want = _sql(tbl, """
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY zip3, age_band) AS c,
+                 count(DISTINCT diagnosis)
+                   OVER (PARTITION BY zip3, age_band) AS d
+          FROM t) WHERE c >= 8 AND d >= 3
+    """).drop(columns=["c", "d"])
+    assert sorted(got["row_id"]) == sorted(want["row_id"])
+
+
+def test_planted_homogeneous_group_suppressed(ray_session):
+    # Group A: 10 rows, 1 distinct sensitive value -> l=2 kills it.
+    # Group B: 10 rows, 2 distinct values -> survives.
+    # Group C: 3 rows -> k=5 kills it regardless of diversity.
+    tbl = pa.table({
+        "row_id": pa.array(np.arange(23), pa.int64()),
+        "g": pa.array(["A"] * 10 + ["B"] * 10 + ["C"] * 3),
+        "s": pa.array(["x"] * 10 + ["x", "y"] * 5 + ["x", "y", "z"]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = k_anonymize(ds, ["g"], 5, sensitive_col="s", l=2).to_pandas()
+    assert set(got["g"]) == {"B"}
+    assert len(got) == 10
+
+
+def test_null_quasi_raises(ray_session):
+    tbl = pa.table({"g": pa.array(["a", None, "a"]),
+                    "v": pa.array([1, 2, 3], pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="nulls"):
+        k_anonymize(ds, ["g"], 1).materialize()
+
+
+def test_argument_validation(ray_session):
+    ds = ray.data.from_arrow(pa.table({"g": ["a"], "s": ["x"]}))
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymize(ds, ["g"], 0)
+    with pytest.raises(ValueError, match="go together"):
+        k_anonymize(ds, ["g"], 1, sensitive_col="s")
+    with pytest.raises(ValueError, match="go together"):
+        k_anonymize(ds, ["g"], 1, l=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        k_anonymize(ds, [], 1)
+    with pytest.raises(ValueError, match="l must be"):
+        k_anonymize(ds, ["g"], 1, sensitive_col="s", l=0)
+
+
+def test_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    tbl = _people(200, seed=7)
+    src = tmp_path / "people.parquet"
+    pq.write_table(tbl, str(src))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(src)}},
+        "processors": {"k_anonymize": {
+            "quasi": ["zip3", "age_band"], "k": 6,
+            "sensitive": "diagnosis", "l": 2}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["k_anonymize"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    direct = k_anonymize(ray.data.from_arrow(tbl), ["zip3", "age_band"],
+                         6, sensitive_col="diagnosis", l=2).to_pandas()
+    assert sorted(built["row_id"]) == sorted(direct["row_id"])
+
+
+def test_yaml_validation_errors():
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+
+    make = get_factory("k_anonymize").create
+    with pytest.raises(ConfigError, match="quasi and k"):
+        make({"k": 5})
+    with pytest.raises(ConfigError, match="quasi and k"):
+        make({"quasi": ["g"]})
+    with pytest.raises(ConfigError, match="go together"):
+        make({"quasi": ["g"], "k": 5, "sensitive": "s"})
+    with pytest.raises(ConfigError, match="go together"):
+        make({"quasi": ["g"], "k": 5, "l": 2})
