@@ -3752,6 +3752,55 @@ def _q_events_k_anon(sf_dir: str):
     return anon.select_columns(["event_id", "event_type", "band"])
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window rollup (stages/resample.py::hopping_window_agg):
+    1-hour windows sliding every 15 minutes, per event_type — each
+    event contributes to exactly 4 windows; the skinny 4-way expansion
+    fuses with the grouped partial so only partial rows exchange.
+    Oracle = CROSS JOIN range(4) window expansion + GROUP BY."""
+    from opentelemetry_collector_ray.stages.resample import (
+        hopping_window_agg)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"ts": t.column("ts"),
+                         "event_type": t.column("event_type"),
+                         "value_cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events", ["ts", "event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return hopping_window_agg(
+        ds, "ts", size_us=3_600_000_000, slide_us=900_000_000,
+        keys=["event_type"], count_name="n_events",
+        sum_cols={"value_cents": "value_cents"}, strategy="tree")
+
+
+def _q_docs_source_budget(sf_dir: str):
+    """Per-source token-budget quota (stages/mixing.py::
+    select_budget_by): every source keeps its largest docs (n_chars
+    DESC, doc_id ASC) while the inclusive running n_chars stays within
+    4000 — the "domain quota" curation cap. One bucket exchange on
+    source, segment cumsum inside. Oracle = SQL running-sum window."""
+    from opentelemetry_collector_ray.stages.mixing import select_budget_by
+
+    ds = _read_co(sf_dir, "documents",
+                  ["doc_id", "source", "n_chars"], floor=8)
+    return select_budget_by(ds, "source", "n_chars", "doc_id",
+                            budget=4000)
+
+
+def _q_events_dp_counts(sf_dir: str):
+    """ε-DP event-type count release (stages/privacy.py::
+    dp_count_release): exact two-phase counts + seeded deterministic
+    Laplace(1/ε) noise, rounded, small groups suppressed. Rows-only by
+    design (the noise is the point — no SQL mirror); determinism and
+    noise-scale are pytest-verified (tests/test_privacy.py)."""
+    from opentelemetry_collector_ray.stages.privacy import dp_count_release
+
+    ds = _read_co(sf_dir, "events", ["event_type"], floor=8)
+    return dp_count_release(ds, ["event_type"], epsilon=0.5, seed=2024,
+                            count_name="n_released", suppress_below=5)
+
+
 def _q_tpch_q4(sf_dir: str):
     """TPC-H Q4 shape (order-priority checking, adapted to this schema:
     late shipment = any line shipped > 90 days after the order date):
@@ -3944,6 +3993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": _q_docs_vocab_growth,
         "docs_retrieval_eval": _q_docs_retrieval_eval,
         "events_k_anon": _q_events_k_anon,
+        "events_hopping": _q_events_hopping,
+        "docs_source_budget": _q_docs_source_budget,
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
@@ -4079,6 +4130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "parts_pagerank": _q_parts_pagerank,
         "docs_lang_divergence": _q_docs_lang_divergence,
+        "events_dp_counts": _q_events_dp_counts,
     }
     return {**oracle_checked, **rows_only}
 
@@ -5839,6 +5891,26 @@ w AS (SELECT event_id, event_type, band,
                OVER (PARTITION BY event_type, band) AS d
       FROM s)
 SELECT event_id, event_type, band FROM w WHERE c >= 5 AND d >= 2
+""",
+        "events_hopping": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                  (epoch_us(ts) // 900000000) * 900000000 AS w0
+           FROM events),
+x AS (SELECT event_type, cents, w0 - r.i * 900000000 AS ws
+      FROM e CROSS JOIN range(4) AS r(i))
+SELECT make_timestamp(ws) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM x GROUP BY 1, 2
+""",
+        "docs_source_budget": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS cum
+  FROM documents)
+WHERE cum <= 4000
 """,
         "tpch_q4": """
 WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders

@@ -431,6 +431,46 @@ def _register_builtins() -> None:
             sensitive_col=sens, l=None if l is None else int(l),
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_dp_release(cfg: dict):
+        from .stages.privacy import dp_count_release
+
+        for req in ("keys", "epsilon", "seed"):
+            if req not in cfg:
+                raise ConfigError(f"dp_release: {req} is required")
+        sup = cfg.get("suppress_below")
+        return DatasetTransform(lambda ds: dp_count_release(
+            ds, [str(k) for k in cfg["keys"]],
+            epsilon=float(cfg["epsilon"]), seed=int(cfg["seed"]),
+            count_name=str(cfg.get("count_name", "n")),
+            suppress_below=None if sup is None else int(sup),
+            strategy=str(cfg.get("strategy", "shuffle"))))
+
+    def make_hopping_window(cfg: dict):
+        from .stages.resample import hopping_window_agg
+
+        for req in ("ts_col", "size_us", "slide_us"):
+            if req not in cfg:
+                raise ConfigError(f"hopping_window: {req} is required")
+        return DatasetTransform(lambda ds: hopping_window_agg(
+            ds, str(cfg["ts_col"]), size_us=int(cfg["size_us"]),
+            slide_us=int(cfg["slide_us"]),
+            keys=[str(k) for k in cfg.get("keys", [])],
+            count_name=str(cfg.get("count_name", "n")),
+            sum_cols=cfg.get("sum_cols"),
+            window_name=str(cfg.get("window_name", "window_start")),
+            strategy=str(cfg.get("strategy", "tree"))))
+
+    def make_budget_by(cfg: dict):
+        from .stages.mixing import select_budget_by
+
+        for req in ("key", "value_col", "id_col", "budget"):
+            if req not in cfg:
+                raise ConfigError(f"budget_by: {req} is required")
+        return DatasetTransform(lambda ds: select_budget_by(
+            ds, str(cfg["key"]), str(cfg["value_col"]),
+            str(cfg["id_col"]), budget=int(cfg["budget"]),
+            order_col=cfg.get("order_col")))
+
     def make_fuzzy_lookup(cfg: dict):
         from .stages.fuzzy import fuzzy_lookup
 
@@ -929,6 +969,9 @@ def _register_builtins() -> None:
     register("transform", Factory("processor", make_transform))
     register("fuzzy_lookup", Factory("processor", make_fuzzy_lookup))
     register("k_anonymize", Factory("processor", make_k_anonymize))
+    register("dp_release", Factory("processor", make_dp_release))
+    register("hopping_window", Factory("processor", make_hopping_window))
+    register("budget_by", Factory("processor", make_budget_by))
     register("top_share", Factory("processor", make_top_share))
     register("vocab_growth", Factory("processor", make_vocab_growth))
     register("string_agg", Factory("processor", make_string_agg))

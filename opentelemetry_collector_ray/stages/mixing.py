@@ -262,3 +262,56 @@ def select_top_share_by(ds: ray.data.Dataset, key: str, value_col: str,
         return t.filter(pa.array(keep))
 
     return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def select_budget_by(ds: ray.data.Dataset, key: str, value_col: str,
+                     id_col: str, *, budget: int,
+                     order_col: str | None = None,
+                     n_buckets: int | str = "auto"
+                     ) -> ray.data.Dataset:
+    """Per-key ABSOLUTE budget cap — "at most ``budget`` tokens per
+    domain": within every ``key`` partition, rows ordered by
+    (``order_col`` DESC, ``id_col`` ASC) are kept while their INCLUSIVE
+    running ``value_col`` total stays within ``budget`` (the SQL window
+    ``sum(v) OVER (PARTITION BY key ORDER BY score DESC, id) <=
+    budget``). The fixed-ceiling sibling of
+    :func:`select_top_share_by` (relative share) and the per-key analog
+    of :func:`select_token_budget` (global budget) — the standard
+    web-curation "domain quota" that stops one giant source from
+    dominating a mixture. ``order_col`` defaults to ``value_col``
+    (largest-first greedy).
+
+    Exact integer semantics: ``value_col`` must be an integer lane and
+    non-negative (monotone running total), as everywhere in the
+    selection family. Scale shape: one hash-bucket exchange on ``key``,
+    numpy segment cumsum inside the bucket — never a task per key."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if budget < 0:
+        raise ValueError("select_budget_by: budget must be >= 0")
+    order_col = order_col or value_col
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        vcol = t.column(value_col)
+        if not pa.types.is_integer(vcol.type):
+            raise ValueError(
+                f"select_budget_by: {value_col!r} must be an integer "
+                f"lane, got {vcol.type} — integerize first (cents / "
+                "e6) like the rest of the selection family")
+        t = t.sort_by([(key, "ascending"),
+                       (order_col, "descending"),
+                       (id_col, "ascending")])
+        v = t.column(value_col).to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("select_budget_by: negative values break "
+                             "prefix-mass semantics")
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        _, seg_start = key_segments(keys)
+        csum = np.cumsum(v)
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0)
+        return t.filter(pa.array(csum - base <= budget))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

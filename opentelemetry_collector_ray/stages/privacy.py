@@ -27,12 +27,13 @@ null-free; the stage raises loudly instead of guessing.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
-__all__ = ["k_anonymize"]
+__all__ = ["k_anonymize", "dp_count_release"]
 
 
 def k_anonymize(ds: ray.data.Dataset, quasi_cols: list[str], k: int, *,
@@ -81,3 +82,73 @@ def k_anonymize(ds: ray.data.Dataset, quasi_cols: list[str], k: int, *,
                                n_buckets=n_buckets)
     return shuffle_hash_join(checked, ok, key=quasi, how="semi",
                              n_buckets=n_buckets)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — the standard public-domain 64-bit mixer
+    (Steele et al. 2014); full avalanche, so per-group noise draws are
+    independent even for adjacent key hashes."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def dp_count_release(ds: ray.data.Dataset, keys: list[str], *,
+                     epsilon: float, seed: int,
+                     count_name: str = "n",
+                     suppress_below: int | None = None,
+                     strategy: str = "shuffle"
+                     ) -> ray.data.Dataset:
+    """ε-differentially-private group-count release (Dwork et al. 2006
+    Laplace mechanism): exact per-key counts get Laplace(1/ε) noise —
+    count queries have L1 sensitivity 1 — rounded half-even to an
+    integer, optionally suppressing released groups whose NOISY count
+    falls below ``suppress_below`` (noisy thresholding; the decision
+    consumes no extra budget because it reads only the released value).
+    The third rung of the release ladder after ``k_anonymize``'s
+    suppression and l-diversity: protects the aggregate itself, not
+    just the microdata.
+
+    Determinism: the noise draw is a pure function of (key tuple,
+    ``seed``) — a SplitMix64-mixed composite key hash feeds the inverse
+    Laplace CDF — so a release is reproducible (and testable) given its
+    seed, and identical across retries/re-executions of the task (a
+    stateful RNG would break Ray's re-execution semantics). Publishing
+    multiple releases of the SAME data with different seeds composes
+    ε-additively — rotate data, not seeds.
+
+    Scale shape: the exact counts come from the two-phase partials
+    (unbounded keys, ``strategy="shuffle"``); noise is one vectorized
+    map over the skinny count rows. Output: keys + noisy ``count_name``
+    (int64)."""
+    from .aggregate import grouped_count
+    from .join import _composite_hash
+
+    if epsilon <= 0:
+        raise ValueError("dp_count_release: epsilon must be positive")
+    b = 1.0 / float(epsilon)
+    seed64 = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+
+    counts = grouped_count(ds.select_columns(keys), keys,
+                           count_name=count_name, strategy=strategy)
+
+    def add_noise(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        h = _splitmix64(_composite_hash(t, keys) ^ seed64)
+        # u ∈ (-0.5, 0.5) strictly: (h + 0.5) / 2^64 ∈ (0, 1).
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0 - 0.5
+        noise = -b * np.sign(u) * np.log1p(-2.0 * np.abs(u))
+        n = t.column(count_name).to_numpy(zero_copy_only=False)
+        released = np.asarray(
+            np.rint(n.astype(np.float64) + noise), dtype=np.int64)
+        out = t.set_column(t.schema.get_field_index(count_name),
+                           count_name, pa.array(released))
+        if suppress_below is not None:
+            out = out.filter(pc.greater_equal(
+                out.column(count_name), suppress_below))
+        return out
+
+    return counts.map_batches(add_noise, batch_format="pyarrow")

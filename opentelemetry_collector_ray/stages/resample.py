@@ -26,6 +26,84 @@ from .aggregate import grouped_agg
 from .join import asof_join
 
 
+def hopping_window_agg(ds: ray.data.Dataset, ts_col: str, *,
+                       size_us: int, slide_us: int,
+                       keys: list[str] | None = None,
+                       count_name: str = "n",
+                       sum_cols: dict[str, str] | None = None,
+                       window_name: str = "window_start",
+                       strategy: str = "tree",
+                       max_windows_per_row: int = 1024
+                       ) -> ray.data.Dataset:
+    """Hopping (sliding/overlapping) window aggregate — the streaming
+    "1-hour window every 15 minutes" rollup (the collector's
+    metric-alignment story generalized to overlapping intervals; cf.
+    reference processor/batchprocessor interval semantics and the
+    standard HOP window of streaming SQL). Each row contributes to
+    every window ``w`` with ``w <= ts < w + size_us`` where ``w`` is a
+    multiple of ``slide_us`` — exactly ``size_us // slide_us`` windows
+    per row when ``size_us % slide_us == 0`` (required, as in streaming
+    SQL HOP).
+
+    Scale shape: the window assignment is a vectorized m-way expansion
+    of the SKINNY projection (window id + group keys + sum lanes) —
+    Ray fuses it with the grouped partial stage into one task, so the
+    m× amplification never hits the object store; the exchange carries
+    only per-batch partial rows. ``strategy="tree"`` needs the distinct
+    (window × keys) set to fit one task (true for time-bounded windows
+    × bounded keys — 10 years of 15-min slides is ~350k windows);
+    ``strategy="shuffle"`` for unbounded group keys. Timestamp inputs
+    are unit-normalized to MICROSECONDS (``size_us``/``slide_us`` are
+    always microseconds); the window column is then timestamp[us],
+    else the integer input type. Negative/epoch-preceding timestamps
+    floor toward -inf (SQL mirrors must use floor(), not integer
+    truncation)."""
+    if slide_us <= 0 or size_us <= 0:
+        raise ValueError("hopping_window_agg: size_us and slide_us "
+                         "must be positive")
+    if size_us % slide_us:
+        raise ValueError("hopping_window_agg: size_us must be a "
+                         "multiple of slide_us (streaming-SQL HOP "
+                         "semantics)")
+    m = size_us // slide_us
+    if m > max_windows_per_row:
+        raise ValueError(
+            f"hopping_window_agg: {m} windows per row (> "
+            f"max_windows_per_row={max_windows_per_row}) — each input "
+            "row is replicated once per window; widen slide_us")
+    keys = list(keys or [])
+    if window_name in keys:
+        raise ValueError("hopping_window_agg: window_name collides "
+                         "with a group key")
+
+    sch = ds.schema()
+    ts_type = dict(zip(sch.names, sch.types))[ts_col]
+    win_type = pa.timestamp("us") if pa.types.is_timestamp(ts_type) \
+        else ts_type
+
+    def expand(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if col.null_count:
+            raise ValueError(
+                f"hopping_window_agg: {ts_col!r} has nulls — a null "
+                "has no place on a time grid")
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = (ts // slide_us) * slide_us  # numpy // floors, as floor()
+        skinny = t.select([*keys, *(sum_cols or {}).values()])
+        parts = []
+        for i in range(m):
+            parts.append(skinny.append_column(
+                window_name,
+                pa.array(w0 - i * slide_us).cast(win_type)))
+        return pa.concat_tables(parts)
+
+    return grouped_agg(ds.map_batches(expand, batch_format="pyarrow"),
+                       [window_name, *keys], count_name=count_name,
+                       sum_cols=sum_cols, strategy=strategy)
+
+
 def resample_asof(ds_factory, key: str, ts_col: str, every_us: int,
                   value_cols: list[str], how: str = "left",
                   max_points_per_key: int = 1_000_000,

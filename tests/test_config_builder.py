@@ -818,3 +818,65 @@ def test_fifth_session_yaml_processors(ray_session, tmp_path):
     for y, d in pairs:
         assert sorted(map(tuple, y.fillna(-1).values.tolist())) == \
             sorted(map(tuple, d.fillna(-1).values.tolist()))
+
+
+def test_round5_late_yaml_processors(ray_session, tmp_path):
+    """hopping_window / budget_by / dp_release as YAML processors equal
+    the direct library calls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.mixing import select_budget_by
+    from opentelemetry_collector_ray.stages.privacy import dp_count_release
+    from opentelemetry_collector_ray.stages.resample import (
+        hopping_window_agg)
+
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b"]),
+        "ts": pa.array([5, 19, 7, 23, 31], pa.int64()),
+        "v": pa.array([3, 1, 4, 1, 5], pa.int64()),
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64())}), str(p))
+
+    def run(proc_name, cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    def rd():
+        return ray.data.read_parquet(str(p))
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pairs = [
+        (run("hopping_window", {"ts_col": "ts", "size_us": 20,
+                                "slide_us": 10, "keys": ["k"],
+                                "sum_cols": {"v": "v"}}),
+         hopping_window_agg(rd(), "ts", size_us=20, slide_us=10,
+                            keys=["k"], sum_cols={"v": "v"}).to_pandas()),
+        (run("budget_by", {"key": "k", "value_col": "v",
+                           "id_col": "doc_id", "budget": 5}),
+         select_budget_by(rd(), "k", "v", "doc_id",
+                          budget=5).to_pandas()),
+        (run("dp_release", {"keys": ["k"], "epsilon": 1.0, "seed": 9}),
+         dp_count_release(rd(), ["k"], epsilon=1.0, seed=9).to_pandas()),
+    ]
+    for built, direct in pairs:
+        assert canon(built).equals(canon(direct))
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("hopping_window").create({"ts_col": "ts"})
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("budget_by").create({"key": "k"})
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("dp_release").create({"keys": ["k"]})

@@ -85,3 +85,52 @@ def test_select_token_budget_planted(ray_session):
                                    0).to_pandas()) == 0
     with pytest.raises(ValueError, match="budget"):
         select_token_budget(make, "score", "tok", -1)
+
+
+def test_select_budget_by_matches_window_sql(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.mixing import select_budget_by
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array(rng.choice(["w", "x", "y", "z"], n)),
+        "score": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        "tok": pa.array(rng.integers(1, 50, n).astype(np.int64)),
+    })
+    out = select_budget_by(
+        ray.data.from_arrow(tbl).repartition(5), "source", "tok",
+        "doc_id", budget=5000, order_col="score").to_pandas()
+    exp = duckdb.sql("""
+        SELECT doc_id, source, score, tok FROM (
+          SELECT *, sum(tok) OVER (PARTITION BY source
+                 ORDER BY score DESC, doc_id) AS cum FROM tbl)
+        WHERE cum <= 5000""").df()
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    # each source's kept mass is within budget
+    assert out.groupby("source")["tok"].sum().max() <= 5000
+
+
+def test_select_budget_by_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.mixing import select_budget_by
+
+    ints = ray.data.from_arrow(pa.table(
+        {"k": ["a"], "v": pa.array([-1], pa.int64()),
+         "id": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="budget"):
+        select_budget_by(ints, "k", "v", "id", budget=-1)
+    with pytest.raises(Exception, match="negative"):
+        select_budget_by(ints, "k", "v", "id", budget=5).materialize()
+    floats = ray.data.from_arrow(pa.table(
+        {"k": ["a"], "v": [1.5], "id": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception, match="integer lane"):
+        select_budget_by(floats, "k", "v", "id", budget=5).materialize()

@@ -132,3 +132,50 @@ def test_yaml_validation_errors():
         make({"quasi": ["g"], "k": 5, "sensitive": "s"})
     with pytest.raises(ConfigError, match="go together"):
         make({"quasi": ["g"], "k": 5, "l": 2})
+
+
+# ------------------------------------------------ DP count release
+
+
+def test_dp_release_deterministic_and_integer(ray_session):
+    from opentelemetry_collector_ray.stages.privacy import dp_count_release
+
+    tbl = _people(1000, seed=9)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    a = dp_count_release(ds, ["zip3"], epsilon=1.0, seed=42).to_pandas()
+    b = dp_count_release(ds, ["zip3"], epsilon=1.0, seed=42).to_pandas()
+    assert a.sort_values("zip3").reset_index(drop=True).equals(
+        b.sort_values("zip3").reset_index(drop=True))
+    assert a["n"].dtype == np.int64
+    # a different seed gives a different release (overwhelmingly)
+    c = dp_count_release(ds, ["zip3"], epsilon=1.0, seed=43).to_pandas()
+    assert not a.sort_values("zip3")["n"].reset_index(drop=True).equals(
+        c.sort_values("zip3")["n"].reset_index(drop=True))
+
+
+def test_dp_noise_scale_tracks_epsilon(ray_session):
+    """Mean |noise| over many groups ≈ b = 1/ε (Laplace mean abs)."""
+    from opentelemetry_collector_ray.stages.privacy import dp_count_release
+
+    n = 20000
+    tbl = pa.table({"g": pa.array(np.arange(n) % 2000, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    true = 10.0  # every group has exactly 10 rows
+    for eps, lo, hi in [(1.0, 0.7, 1.4), (0.2, 3.8, 6.5)]:
+        rel = dp_count_release(ds, ["g"], epsilon=eps,
+                               seed=7).to_pandas()
+        assert len(rel) == 2000
+        err = np.abs(rel["n"].to_numpy() - true).mean()
+        assert lo < err < hi, (eps, err)
+
+
+def test_dp_suppress_below(ray_session):
+    from opentelemetry_collector_ray.stages.privacy import dp_count_release
+
+    tbl = pa.table({"g": pa.array(["big"] * 500 + ["tiny"] * 2)})
+    ds = ray.data.from_arrow(tbl)
+    rel = dp_count_release(ds, ["g"], epsilon=1.0, seed=3,
+                           suppress_below=50).to_pandas()
+    assert set(rel["g"]) == {"big"}
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_count_release(ds, ["g"], epsilon=0.0, seed=1)

@@ -99,3 +99,72 @@ def test_resample_single_point_key_and_validation(ray_session):
     with pytest.raises(Exception, match="has nulls"):
         resample_asof(lambda: ray.data.from_arrow(withnull),
                       "u", "ts", DAY, ["v"]).to_pandas()
+
+
+# --------------------------------------------------- hopping windows
+
+
+def test_hopping_window_matches_duckdb(ray_session):
+    from opentelemetry_collector_ray.stages.resample import (
+        hopping_window_agg)
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    tbl = pa.table({
+        "ts": pa.array(rng.integers(0, 7 * 86400, n).astype("int64")
+                       * 1_000_000).cast(pa.timestamp("us")),
+        "kind": pa.array(rng.choice(["a", "b", "c"], n)),
+        "cents": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+    })
+    HOUR = 3_600_000_000
+    out = hopping_window_agg(
+        ray.data.from_arrow(tbl).repartition(5), "ts",
+        size_us=HOUR, slide_us=HOUR // 4, keys=["kind"],
+        count_name="n", sum_cols={"cents": "cents"}).to_pandas()
+    exp = duckdb.sql("""
+        WITH e AS (SELECT kind, cents,
+                          (epoch_us(ts) // 900000000) * 900000000 AS w0
+                   FROM tbl),
+        x AS (SELECT kind, cents, w0 - r.i * 900000000 AS ws
+              FROM e CROSS JOIN range(4) AS r(i))
+        SELECT make_timestamp(ws) AS window_start, kind,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM x GROUP BY 1, 2""").df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                  check_dtype=False, check_exact=True)
+    # every row lands in exactly size/slide windows
+    assert int(out["n"].sum()) == 4 * n
+
+
+def test_hopping_window_negative_ts_floors(ray_session):
+    """Pre-epoch timestamps must floor toward -inf (not truncate)."""
+    from opentelemetry_collector_ray.stages.resample import (
+        hopping_window_agg)
+
+    tbl = pa.table({"ts": pa.array([-1, -10, 5, 14], pa.int64())})
+    out = hopping_window_agg(
+        ray.data.from_arrow(tbl), "ts", size_us=20, slide_us=10,
+        count_name="n").to_pandas().sort_values("window_start")
+    # ts=-1,-10 -> w0=-10 (windows -10,-20); ts=5 -> 0,-10; ts=14 -> 10,0
+    got = dict(zip(out["window_start"], out["n"]))
+    assert got == {-20: 2, -10: 3, 0: 2, 10: 1}
+
+
+def test_hopping_window_validation(ray_session):
+    from opentelemetry_collector_ray.stages.resample import (
+        hopping_window_agg)
+
+    ds = ray.data.from_arrow(pa.table({"ts": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="positive"):
+        hopping_window_agg(ds, "ts", size_us=0, slide_us=1)
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window_agg(ds, "ts", size_us=25, slide_us=10)
+    with pytest.raises(ValueError, match="max_windows_per_row"):
+        hopping_window_agg(ds, "ts", size_us=10_000, slide_us=1,
+                           max_windows_per_row=100)
+    with pytest.raises(Exception, match="null"):
+        hopping_window_agg(
+            ray.data.from_arrow(pa.table(
+                {"ts": pa.array([1, None], pa.int64())})),
+            "ts", size_us=10, slide_us=10).materialize()
