@@ -3909,6 +3909,240 @@ def _q_tpch_q14(sf_dir: str):
                      "total_cents": pa.array([int(total)], pa.int64())})
 
 
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-priority line counts, adapted: no
+    l_shipmode column, so the bounded roll-up key is l_linestatus):
+    1996-shipped lineitems shuffle-joined to orders, priority classified
+    into high (1-URGENT/2-HIGH) vs low, one tree roll-up."""
+    import datetime
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linestatus", "l_shipdate"],
+                  floor=8).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi)))
+        .select(["l_orderkey", "l_linestatus"]), batch_format="pyarrow")
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_orderpriority"], floor=8)
+    j = shuffle_hash_join(li, orders, key="l_orderkey",
+                          right_key="o_orderkey", how="inner")
+
+    def classify(t: pa.Table) -> pa.Table:
+        high = pc.cast(pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())
+        return pa.table({"l_linestatus": t.column("l_linestatus"),
+                         "high": high,
+                         "low": pc.subtract(pa.scalar(1, pa.int64()),
+                                            high)})
+
+    return grouped_agg(j.map_batches(classify, batch_format="pyarrow"),
+                       ["l_linestatus"],
+                       sum_cols={"high_line_count": "high",
+                                 "low_line_count": "low"},
+                       strategy="tree")
+
+
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): per-customer
+    counts of non-urgent orders (shuffle partials, unbounded custkey),
+    LEFT-joined back to customer so zero-order customers count, then the
+    bounded count-of-counts tree roll-up."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count, grouped_agg)
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    orders = _read_co(sf_dir, "orders",
+                      ["o_custkey", "o_orderpriority"],
+                      floor=8).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("o_orderpriority"),
+                                        "1-URGENT"))
+        .select(["o_custkey"]), batch_format="pyarrow")
+    per_cust = grouped_count(orders, ["o_custkey"],
+                             count_name="_n", strategy="shuffle")
+    cust = _read_co(sf_dir, "customer", ["c_custkey"], floor=4)
+    j = shuffle_hash_join(cust, per_cust, key="c_custkey",
+                          right_key="o_custkey", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.coalesce(
+            t.column("_n"), pa.scalar(0, pa.int64()))})
+
+    return grouped_agg(j.map_batches(fill, batch_format="pyarrow"),
+                       ["c_count"], count_name="custdist",
+                       strategy="tree")
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier count by part attributes): lineitem's
+    (partkey, suppkey) pairs broadcast-joined to the filtered part
+    attributes, suppliers with negative balance ANTI-joined out (the
+    "complaints" exclusion), then the exact two-phase COUNT DISTINCT
+    per bounded (brand, type, size) triple."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count_distinct)
+    from opentelemetry_collector_ray.stages.join import (
+        broadcast_join, shuffle_hash_join)
+
+    part = _side_table(sf_dir, "part",
+                       ["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part.filter(pc.and_(
+        pc.not_equal(part.column("p_brand"), "Brand#5"),
+        pc.and_(pc.not_equal(part.column("p_type"), "PROMO"),
+                pc.less_equal(part.column("p_size"), 25))))
+    li = _read_co(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+                  floor=8)
+    j = broadcast_join(li, part, key="l_partkey", right_key="p_partkey")
+    bad = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]
+                ).map_batches(
+        lambda t: t.filter(pc.less(t.column("s_acctbal"), 0.0))
+        .select(["s_suppkey"]), batch_format="pyarrow")
+    ok = shuffle_hash_join(j, bad, key="l_suppkey",
+                           right_key="s_suppkey", how="anti")
+    return grouped_count_distinct(ok, ["p_brand", "p_type", "p_size"],
+                                  "l_suppkey", out_name="supplier_cnt",
+                                  final_strategy="shuffle")
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue for one brand
+    slice): the brand slice of lineitem is materialized ONCE (broadcast
+    join against the filtered part keys), per-part (n, Σqty) partials
+    shuffle-joined back, and the keep rule is the EXACT integer cross
+    multiplication 5·n·qty < Σqty (qty < 0.2·avg with no float
+    division — mirrored verbatim in the oracle). Returns one row:
+    total kept revenue cents + kept line count."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import (
+        broadcast_join, shuffle_hash_join)
+
+    part = _side_table(sf_dir, "part", ["p_partkey", "p_brand"])
+    part = part.filter(pc.equal(part.column("p_brand"),
+                                "Brand#3")).select(["p_partkey"])
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"],
+                  floor=8).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "qty_c": _cents(t.column("l_quantity")),
+            "price_c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow")
+    sliced = broadcast_join(li, part, key="l_partkey",
+                            right_key="p_partkey").materialize()
+    stats = grouped_count(sliced.select_columns(["l_partkey", "qty_c"]),
+                          ["l_partkey"], count_name="_n",
+                          sum_cols={"_sum_qty": "qty_c"},
+                          strategy="shuffle")
+    j = shuffle_hash_join(sliced, stats, key="l_partkey", how="inner")
+
+    def keep(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t.column("qty_c"),
+                                      pa.scalar(5, pa.int64())),
+                          t.column("_n"))
+        t = t.filter(pc.less(lhs, t.column("_sum_qty")))
+        return pa.table({"price_c": t.column("price_c")})
+
+    kept = j.map_batches(keep, batch_format="pyarrow").materialize()
+    total = kept.sum("price_c") or 0
+    n = kept.count()
+    return pa.table({"revenue_cents": pa.array([int(total)], pa.int64()),
+                     "n_lines": pa.array([int(n)], pa.int64())})
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity sums
+    from shuffle partials (unbounded orderkey), HAVING-filtered at
+    250 units, joined back to orders and the broadcast customer names.
+    Dates cross the hash gate as ISO strings (arrow date/timestamp and
+    DuckDB render differently in pandas)."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import (
+        broadcast_join, shuffle_hash_join)
+
+    li = _read_co(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+                  floor=8).map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "qty_c": _cents(t.column("l_quantity"))}),
+        batch_format="pyarrow")
+    sums = grouped_count(li, ["l_orderkey"], count_name="_n",
+                         sum_cols={"qty_cents": "qty_c"},
+                         strategy="shuffle").map_batches(
+        lambda t: t.filter(pc.greater(t.column("qty_cents"), 25000))
+        .select(["l_orderkey", "qty_cents"]), batch_format="pyarrow")
+    orders = _read_co(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"], floor=8)
+    j = shuffle_hash_join(sums, orders, key="l_orderkey",
+                          right_key="o_orderkey", how="inner")
+    cust = _side_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = broadcast_join(j, cust, key="o_custkey",
+                           right_key="c_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": t.column("c_name"),
+            "o_custkey": t.column("o_custkey"),
+            "l_orderkey": t.column("l_orderkey"),
+            "o_orderdate": pc.strftime(t.column("o_orderdate"),
+                                       format="%Y-%m-%d"),
+            "totalprice_cents": _cents(t.column("o_totalprice")),
+            "qty_cents": t.column("qty_cents")})
+
+    return named.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity, nationkey as the
+    country code): customers above the positive-balance average with no
+    HIGH-PRIORITY orders (the dataset has no order-less customers).
+    The average gate is the exact integer cross multiplication
+    bal_c · n_pos > Σpos_c (two driver scalars from one scan — never a
+    float division), the no-orders gate one ANTI join, then a bounded
+    per-nation tree roll-up of count + balance cents."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    cust = _read_co(sf_dir, "customer",
+                    ["c_custkey", "c_nationkey", "c_acctbal"],
+                    floor=4).map_batches(
+        lambda t: pa.table({"c_custkey": t.column("c_custkey"),
+                            "c_nationkey": t.column("c_nationkey"),
+                            "bal_c": _cents(t.column("c_acctbal"))}),
+        batch_format="pyarrow").materialize()
+    pos = cust.map_batches(
+        lambda t: pa.table({"bal_c": t.filter(
+            pc.greater(t.column("bal_c"), 0)).column("bal_c")}),
+        batch_format="pyarrow")
+    n_pos = pos.count()
+    sum_pos = pos.sum("bal_c") or 0
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t.column("bal_c"), pa.scalar(int(n_pos),
+                                                     pa.int64())),
+            pa.scalar(int(sum_pos), pa.int64()))),
+        batch_format="pyarrow")
+    orders = _read_co(sf_dir, "orders",
+                      ["o_custkey", "o_orderpriority"],
+                      floor=8).map_batches(
+        lambda t: t.filter(pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"])))
+        .select(["o_custkey"]), batch_format="pyarrow")
+    no_orders = shuffle_hash_join(rich, orders, key="c_custkey",
+                                  right_key="o_custkey", how="anti")
+    return grouped_agg(no_orders.select_columns(["c_nationkey",
+                                                 "bal_c"]),
+                       ["c_nationkey"], count_name="numcust",
+                       sum_cols={"totacctbal_cents": "bal_c"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -3998,6 +4232,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -5943,6 +6183,80 @@ SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN cents
                               ELSE 0 END), 0) AS BIGINT) AS promo_cents,
        CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
 FROM j
+""",
+        "tpch_q12": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+        "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+        "tpch_q17": """
+WITH sliced AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'),
+stats AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qty_c) AS BIGINT) AS sum_qty
+          FROM sliced GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM sliced JOIN stats USING (l_partkey)
+WHERE 5 * qty_c * n < sum_qty
+""",
+        "tpch_q18": """
+WITH sums AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING qty_cents > 25000)
+SELECT c_name, o_custkey, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         AS totalprice_cents,
+       qty_cents
+FROM sums JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+""",
+        "tpch_q22": """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+           FROM customer),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(coalesce(sum(bal_c), 0) AS BIGINT) AS sum_pos
+      FROM c WHERE bal_c > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_cents
+FROM c, p
+WHERE bal_c * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+GROUP BY c_nationkey
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
