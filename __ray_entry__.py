@@ -3909,6 +3909,58 @@ def _q_tpch_q14(sf_dir: str):
                      "total_cents": pa.array([int(total)], pa.int64())})
 
 
+def _q_spans_overlap_pairs(sf_dir: str):
+    """Per-service overlapping-span-pair count (stages/intervals.py::
+    overlap_pair_count): SQL's quadratic self-join contention metric in
+    O(n log n) — one bucket exchange of skinny rows, two global
+    searchsorteds over the segment-lifted composite. Oracle = the
+    literal self-join, halved."""
+    from opentelemetry_collector_ray.stages.intervals import (
+        overlap_pair_count)
+
+    def prep(t: pa.Table) -> pa.Table:
+        start_us = pc.cast(pc.cast(t.column("start_ts"),
+                                   pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "service": t.column("service"),
+            "start_us": start_us,
+            "end_us": pc.add(start_us, pc.max_element_wise(
+                t.column("duration_us"), pa.scalar(1, pa.int64()))),
+        })
+
+    pre = _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return overlap_pair_count(pre, "service", "start_us", "end_us")
+
+
+def _q_events_hopping_dau(sf_dir: str):
+    """Trailing-hour active users every 15 minutes — the rolling-DAU
+    composition: the hopping-window 4-way expansion feeds the exact
+    two-phase COUNT DISTINCT per window (stages/resample.py +
+    aggregate.grouped_count_distinct). Oracle = the same CROSS JOIN
+    range(4) expansion + count(DISTINCT user_id)."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count_distinct)
+
+    SLIDE = 900_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()
+                                                          ).to_numpy()
+        w0 = (ts // SLIDE) * SLIDE
+        uid = t.column("user_id")
+        parts = [pa.table({
+            "window_start": pa.array(w0 - i * SLIDE).cast(
+                pa.timestamp("us")),
+            "user_id": uid}) for i in range(4)]
+        return pa.concat_tables(parts)
+
+    ds = _read_co(sf_dir, "events", ["ts", "user_id"],
+                  floor=8).map_batches(expand, batch_format="pyarrow")
+    return grouped_count_distinct(ds, ["window_start"], "user_id",
+                                  out_name="active_users",
+                                  final_strategy="shuffle")
+
+
 def _q_tpch_q12(sf_dir: str):
     """TPC-H Q12 shape (shipping-priority line counts, adapted: no
     l_shipmode column, so the bounded roll-up key is l_linestatus):
@@ -4228,7 +4280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_retrieval_eval": _q_docs_retrieval_eval,
         "events_k_anon": _q_events_k_anon,
         "events_hopping": _q_events_hopping,
+        "events_hopping_dau": _q_events_hopping_dau,
         "docs_source_budget": _q_docs_source_budget,
+        "spans_overlap_pairs": _q_spans_overlap_pairs,
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
@@ -6183,6 +6237,33 @@ SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN cents
                               ELSE 0 END), 0) AS BIGINT) AS promo_cents,
        CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
 FROM j
+""",
+        "spans_overlap_pairs": f"""
+WITH {SPANS_CTE.strip()},
+i AS (SELECT service, row_number() OVER () AS rid,
+             CAST(epoch_us(start_ts) AS BIGINT) AS s,
+             CAST(epoch_us(start_ts) AS BIGINT)
+               + greatest(duration_us, 1) AS e
+      FROM spans),
+p AS (SELECT a.service AS service FROM i a JOIN i b
+      ON a.service = b.service AND a.rid <> b.rid
+         AND a.s < b.e AND b.s < a.e)
+SELECT i.service,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_overlap_pairs,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM i LEFT JOIN (SELECT service, count(*) // 2 AS n FROM p
+                  GROUP BY service) c USING (service)
+GROUP BY i.service, c.n
+""",
+        "events_hopping_dau": """
+WITH e AS (SELECT user_id,
+                  (epoch_us(ts) // 900000000) * 900000000 AS w0
+           FROM events),
+x AS (SELECT user_id, w0 - r.i * 900000000 AS ws
+      FROM e CROSS JOIN range(4) AS r(i))
+SELECT make_timestamp(ws) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM x GROUP BY 1
 """,
         "tpch_q12": """
 SELECT l_linestatus,

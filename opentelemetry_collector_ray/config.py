@@ -460,6 +460,18 @@ def _register_builtins() -> None:
             window_name=str(cfg.get("window_name", "window_start")),
             strategy=str(cfg.get("strategy", "tree"))))
 
+    def make_overlap_pairs(cfg: dict):
+        from .stages.intervals import overlap_pair_count
+
+        for req in ("key", "start_col", "end_col"):
+            if req not in cfg:
+                raise ConfigError(f"overlap_pairs: {req} is required")
+        return DatasetTransform(lambda ds: overlap_pair_count(
+            ds, str(cfg["key"]), str(cfg["start_col"]),
+            str(cfg["end_col"]),
+            count_name=str(cfg.get("count_name", "n_overlap_pairs")),
+            n_name=str(cfg.get("n_name", "n_intervals"))))
+
     def make_budget_by(cfg: dict):
         from .stages.mixing import select_budget_by
 
@@ -972,6 +984,7 @@ def _register_builtins() -> None:
     register("dp_release", Factory("processor", make_dp_release))
     register("hopping_window", Factory("processor", make_hopping_window))
     register("budget_by", Factory("processor", make_budget_by))
+    register("overlap_pairs", Factory("processor", make_overlap_pairs))
     register("top_share", Factory("processor", make_top_share))
     register("vocab_growth", Factory("processor", make_vocab_growth))
     register("string_agg", Factory("processor", make_string_agg))

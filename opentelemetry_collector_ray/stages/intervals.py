@@ -210,3 +210,87 @@ def concurrency_profile(make_ds, key: str, start_col: str,
                          out_conc: pc.cast(conc, pa.int64())})
 
     return cum.map_batches(finish, batch_format="pyarrow")
+
+
+def overlap_pair_count(ds: ray.data.Dataset, key: str, start_col: str,
+                       end_col: str, *,
+                       count_name: str = "n_overlap_pairs",
+                       n_name: str = "n_intervals",
+                       n_buckets: int | str = "auto"
+                       ) -> ray.data.Dataset:
+    """Per-key count of OVERLAPPING interval pairs — the contention
+    metric behind "how many span pairs contended on this service"
+    (pairs (i, j), i ≠ j, with ``start_i < end_j AND start_j < end_i``;
+    SQL's quadratic self-join, computed in O(n log n)). Intervals must
+    have strictly positive length (``end > start``, validated loudly —
+    a zero-length point overlaps nothing and breaks the subtraction
+    identity below).
+
+    Scale shape: overlap counting is NOT associative (a pre-reduced
+    block forgets where its intervals were), so all rows of a key
+    co-locate through ONE hash-bucket exchange of the skinny (key,
+    start, end) rows; inside the bucket the quadratic pair set is never
+    formed — per row ``i``, overlaps = #{start_j < end_i} − #{end_j ≤
+    start_i} − 1 (the subtracted set is contained in the first because
+    lengths are positive; self is always counted once), each term ONE
+    global ``np.searchsorted`` over a segment-lifted composite (the
+    ``stages/window.py`` lift: per-segment values rebased to the
+    segment start and lifted by ``seg_id * stride``, loud ``2^62``
+    guard), then ``np.add.reduceat`` per segment and a halving — every
+    unordered pair was counted from both ends."""
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key),
+                             count_name: pa.array([], pa.int64()),
+                             n_name: pa.array([], pa.int64())})
+        for c in (start_col, end_col):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"overlap_pair_count: {c!r} has nulls")
+        t = t.sort_by([(key, "ascending"), (start_col, "ascending"),
+                       (end_col, "ascending")])
+        s = t.column(start_col).to_numpy(zero_copy_only=False)
+        e = t.column(end_col).to_numpy(zero_copy_only=False)
+        if s.dtype.kind == "M":
+            s = s.view("i8")
+        if e.dtype.kind == "M":
+            e = e.view("i8")
+        s = s.astype(np.int64, copy=False)
+        e = e.astype(np.int64, copy=False)
+        if (e <= s).any():
+            raise ValueError(
+                "overlap_pair_count: intervals must have end > start "
+                "(zero-length points overlap nothing)")
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys)
+        seg_id = np.cumsum(change) - 1
+        base = s[seg_start]
+        rel_s, rel_e = s - base, e - base
+        max_rel = int(rel_e.max())
+        stride = max_rel + 2
+        n_seg = int(seg_id[-1]) + 1
+        if stride > (2 ** 62) // max(n_seg, 1):
+            raise ValueError(
+                "overlap_pair_count: lifted composite would overflow "
+                f"int64 ({n_seg} keys x interval span {max_rel}); "
+                "rebase the time columns to a corpus epoch first")
+        comp_s = seg_id * stride + rel_s   # globally sorted
+        comp_e = seg_id * stride + rel_e   # sorted only after np.sort
+        starts_before_end = np.searchsorted(comp_s, comp_e, side="left")
+        ends_sorted = np.sort(comp_e)
+        ends_at_or_before_start = np.searchsorted(
+            ends_sorted, comp_s, side="right")
+        per_row = starts_before_end - ends_at_or_before_start - 1
+        firsts = np.flatnonzero(change)
+        twice = np.add.reduceat(per_row, firsts)
+        sizes = np.diff(np.append(firsts, len(per_row)))
+        return pa.table({
+            key: t.column(key).take(pa.array(firsts)),
+            count_name: pa.array(twice // 2, pa.int64()),
+            n_name: pa.array(sizes.astype(np.int64)),
+        })
+
+    skinny = ds.select_columns([key, start_col, end_col])
+    return bucketed_map_groups(skinny, key, bucket_fn,
+                               n_buckets=n_buckets)

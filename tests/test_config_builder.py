@@ -880,3 +880,35 @@ def test_round5_late_yaml_processors(ray_session, tmp_path):
         get_factory("budget_by").create({"key": "k"})
     with pytest.raises(ConfigError, match="required"):
         get_factory("dp_release").create({"keys": ["k"]})
+
+
+def test_overlap_pairs_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.intervals import (
+        overlap_pair_count)
+
+    p = tmp_path / "iv.parquet"
+    tbl = pa.table({"k": pa.array(["a", "a", "b"]),
+                    "s": pa.array([0, 5, 0], pa.int64()),
+                    "e": pa.array([10, 15, 3], pa.int64())})
+    pq.write_table(tbl, str(p))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"overlap_pairs": {
+            "key": "k", "start_col": "s", "end_col": "e"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["overlap_pairs"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("k").reset_index(drop=True)
+    direct = overlap_pair_count(
+        ray.data.from_arrow(tbl), "k", "s", "e").to_pandas(
+        ).sort_values("k").reset_index(drop=True)
+    assert built.equals(direct)
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("overlap_pairs").create({"key": "k"})

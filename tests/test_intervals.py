@@ -179,3 +179,74 @@ FROM d
     assert sorted(map(tuple, got[cols].values.tolist())) == \
         sorted(map(tuple, want[cols].values.tolist()))
     assert got["concurrency"].max() > 1  # real overlap exercised
+
+
+# ------------------------------------------------- overlap pair count
+
+
+def test_overlap_pair_count_matches_sql_self_join(ray_session):
+    import duckdb
+
+    from opentelemetry_collector_ray.stages.intervals import (
+        overlap_pair_count)
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    s = rng.integers(0, 100_000, n).astype(np.int64)
+    tbl = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array(s),
+        "e": pa.array(s + rng.integers(1, 500, n).astype(np.int64)),
+    })
+    got = overlap_pair_count(
+        ray.data.from_arrow(tbl).repartition(5), "k", "s",
+        "e").to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql("""
+        WITH p AS (SELECT a.k AS k FROM tbl a JOIN tbl b
+                   ON a.k = b.k AND a.id <> b.id
+                      AND a.s < b.e AND b.s < a.e)
+        SELECT t.k, CAST(coalesce(c.n, 0) AS BIGINT) AS n_overlap_pairs,
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM tbl t LEFT JOIN (SELECT k, count(*) // 2 AS n FROM p
+                              GROUP BY k) c USING (k)
+        GROUP BY t.k, c.n ORDER BY t.k""").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n_overlap_pairs"].tolist() == \
+        exp["n_overlap_pairs"].tolist()
+    assert got["n_intervals"].tolist() == exp["n_intervals"].tolist()
+
+
+def test_overlap_pair_count_planted(ray_session):
+    from opentelemetry_collector_ray.stages.intervals import (
+        overlap_pair_count)
+
+    tbl = pa.table({
+        # key "all": 3 intervals pairwise overlapping -> 3 pairs;
+        # key "none": 3 touching-but-disjoint [0,10) [10,20) [20,30)
+        # -> 0 pairs (end == next start does NOT overlap);
+        # key "chain": [0,15) [10,25) [20,35) -> 2 pairs
+        "k": pa.array(["all"] * 3 + ["none"] * 3 + ["chain"] * 3),
+        "s": pa.array([0, 1, 2, 0, 10, 20, 0, 10, 20], pa.int64()),
+        "e": pa.array([10, 10, 10, 10, 20, 30, 15, 25, 35], pa.int64()),
+    })
+    got = overlap_pair_count(ray.data.from_arrow(tbl).repartition(2),
+                             "k", "s", "e").to_pandas()
+    res = dict(zip(got["k"], got["n_overlap_pairs"]))
+    assert res == {"all": 3, "none": 0, "chain": 2}
+
+
+def test_overlap_pair_count_validation(ray_session):
+    from opentelemetry_collector_ray.stages.intervals import (
+        overlap_pair_count)
+
+    bad = ray.data.from_arrow(pa.table({
+        "k": ["a"], "s": pa.array([5], pa.int64()),
+        "e": pa.array([5], pa.int64())}))
+    with pytest.raises(Exception, match="end > start"):
+        overlap_pair_count(bad, "k", "s", "e").materialize()
+    nulls = ray.data.from_arrow(pa.table({
+        "k": ["a", "a"], "s": pa.array([1, None], pa.int64()),
+        "e": pa.array([2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="null"):
+        overlap_pair_count(nulls, "k", "s", "e").materialize()
