@@ -3961,6 +3961,54 @@ def _q_events_hopping_dau(sf_dir: str):
                                   final_strategy="shuffle")
 
 
+def _q_docs_source_gini(sf_dir: str):
+    """Per-source Gini concentration of document mass (stages/
+    corpusstats.py::grouped_gini, exact integer parts): gini =
+    gini_num / (n·total) with gini_num = Σ(2i−n−1)·x over the ascending
+    sort — permutation-invariant under ties, so the row_number oracle
+    is deterministic without a tiebreak. One bucket exchange."""
+    from opentelemetry_collector_ray.stages.corpusstats import grouped_gini
+
+    ds = _read_co(sf_dir, "documents", ["source", "n_chars"], floor=8)
+    return grouped_gini(ds, "source", "n_chars")
+
+
+def _q_events_user_growth(sf_dir: str):
+    """Growth accounting — new vs cumulative users per day: per-user
+    first-seen timestamps (shuffle partials, unbounded users) roll up
+    to bounded daily new-user counts (tree), then the existing
+    delta→cumulative stage turns them into the running total. Day
+    crosses the gate as an ISO string (arrow date vs DuckDB DATE render
+    differently in pandas)."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_count)
+    from opentelemetry_collector_ray.stages.temporal import (
+        delta_to_cumulative)
+
+    ev = _read_co(sf_dir, "events", ["user_id", "ts"], floor=8)
+    first = grouped_agg(ev, ["user_id"], min_cols={"_first": "ts"},
+                        strategy="shuffle")
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(
+            t.column("_first").cast(pa.timestamp("us")), unit="day"),
+            format="%Y-%m-%d")
+        return pa.table({"day": day})
+
+    daily = grouped_count(first.map_batches(to_day,
+                                            batch_format="pyarrow"),
+                          ["day"], count_name="new_users",
+                          strategy="tree").map_batches(
+        lambda t: t.append_column("_k", pa.nulls(len(t), pa.int64()
+                                                 ).fill_null(0)),
+        batch_format="pyarrow")
+    return delta_to_cumulative(daily, key="_k", order_col="day",
+                               value_col="new_users",
+                               out_col="cum_users").map_batches(
+        lambda t: t.select(["day", "new_users", "cum_users"]),
+        batch_format="pyarrow")
+
+
 def _q_tpch_q12(sf_dir: str):
     """TPC-H Q12 shape (shipping-priority line counts, adapted: no
     l_shipmode column, so the bounded roll-up key is l_linestatus):
@@ -4283,6 +4331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_dau": _q_events_hopping_dau,
         "docs_source_budget": _q_docs_source_budget,
         "spans_overlap_pairs": _q_spans_overlap_pairs,
+        "docs_source_gini": _q_docs_source_gini,
+        "events_user_growth": _q_events_user_growth,
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
@@ -6254,6 +6304,29 @@ SELECT i.service,
 FROM i LEFT JOIN (SELECT service, count(*) // 2 AS n FROM p
                   GROUP BY service) c USING (service)
 GROUP BY i.service, c.n
+""",
+        "docs_source_gini": """
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT source,
+       CAST(sum((2 * rn - n - 1) * n_chars) AS BIGINT) AS gini_num,
+       CAST(sum(n_chars) AS BIGINT) AS total,
+       CAST(max(n) AS BIGINT) AS n
+FROM r GROUP BY source
+""",
+        "events_user_growth": """
+WITH f AS (SELECT user_id,
+                  strftime(date_trunc('day', min(ts)), '%Y-%m-%d')
+                    AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
 """,
         "events_hopping_dau": """
 WITH e AS (SELECT user_id,

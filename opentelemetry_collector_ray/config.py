@@ -472,6 +472,15 @@ def _register_builtins() -> None:
             count_name=str(cfg.get("count_name", "n_overlap_pairs")),
             n_name=str(cfg.get("n_name", "n_intervals"))))
 
+    def make_gini(cfg: dict):
+        from .stages.corpusstats import grouped_gini
+
+        for req in ("key", "value_col"):
+            if req not in cfg:
+                raise ConfigError(f"gini: {req} is required")
+        return DatasetTransform(lambda ds: grouped_gini(
+            ds, str(cfg["key"]), str(cfg["value_col"])))
+
     def make_budget_by(cfg: dict):
         from .stages.mixing import select_budget_by
 
@@ -985,6 +994,7 @@ def _register_builtins() -> None:
     register("hopping_window", Factory("processor", make_hopping_window))
     register("budget_by", Factory("processor", make_budget_by))
     register("overlap_pairs", Factory("processor", make_overlap_pairs))
+    register("gini", Factory("processor", make_gini))
     register("top_share", Factory("processor", make_top_share))
     register("vocab_growth", Factory("processor", make_vocab_growth))
     register("string_agg", Factory("processor", make_string_agg))

@@ -376,3 +376,72 @@ def vocab_growth(ds: ray.data.Dataset, text_col: str = "text",
                                             batch_format="pyarrow"),
                          ["bucket"], count_name="new_terms",
                          strategy="tree")
+
+
+def grouped_gini(ds: ray.data.Dataset, key: str, value_col: str, *,
+                 num_name: str = "gini_num", sum_name: str = "total",
+                 count_name: str = "n",
+                 n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-key Gini concentration, exact integer parts — the corpus
+    inequality complement to the HHI rollup: how unevenly a source's
+    token mass is spread across its documents. Emits the three integer
+    components ``gini_num = Σ (2i − n − 1)·x₍ᵢ₎`` (over the per-key
+    ASCENDING value sort), ``total = Σ x`` and ``n``, so the float
+    ``gini = gini_num / (n · total)`` never crosses an exact-compare
+    gate. The coefficient sum is PERMUTATION-INVARIANT under ties
+    (swapping equal values changes nothing), so no tiebreak column is
+    needed — the same reason SQL's ``row_number() OVER (ORDER BY v)``
+    mirror is deterministic here despite ties.
+
+    Values must be non-negative integers (Gini needs a non-negative
+    mass; integer lane per the repo's exact-gate convention). Scale
+    shape: one hash-bucket exchange of the skinny (key, value) rows,
+    one Arrow sort + numpy segment kernels per bucket — never a Python
+    call per key. Overflow is guarded loudly per bucket:
+    ``n_max² · max(x)`` must fit int64."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key),
+                             num_name: pa.array([], pa.int64()),
+                             sum_name: pa.array([], pa.int64()),
+                             count_name: pa.array([], pa.int64())})
+        vcol = t.column(value_col)
+        if not pa.types.is_integer(vcol.type):
+            raise ValueError(
+                f"grouped_gini: {value_col!r} must be an integer lane, "
+                f"got {vcol.type} — integerize first (cents / counts)")
+        if vcol.null_count:
+            raise ValueError(f"grouped_gini: {value_col!r} has nulls")
+        t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
+        v = t.column(value_col).to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("grouped_gini: negative values have no "
+                             "Gini mass")
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys)
+        firsts = np.flatnonzero(change)
+        sizes = np.diff(np.append(firsts, len(v)))
+        n_per_row = np.repeat(sizes, sizes)
+        vmax = int(v.max()) if len(v) else 0
+        nmax = int(sizes.max()) if len(sizes) else 0
+        if vmax and nmax and nmax * nmax > (2 ** 62) // vmax:
+            raise ValueError(
+                f"grouped_gini: n²·max(x) would overflow int64 "
+                f"(n={nmax}, max={vmax}); pre-aggregate or rescale")
+        pos = np.arange(len(v)) - seg_start + 1  # 1-based within key
+        coef = 2 * pos - n_per_row - 1
+        return pa.table({
+            key: t.column(key).take(pa.array(firsts)),
+            num_name: pa.array(np.add.reduceat(coef * v, firsts)
+                               .astype(np.int64)),
+            sum_name: pa.array(np.add.reduceat(v, firsts)
+                               .astype(np.int64)),
+            count_name: pa.array(sizes.astype(np.int64)),
+        })
+
+    skinny = ds.select_columns([key, value_col])
+    return bucketed_map_groups(skinny, key, bucket_fn,
+                               n_buckets=n_buckets)

@@ -912,3 +912,32 @@ def test_overlap_pairs_yaml_parity(ray_session, tmp_path):
     assert built.equals(direct)
     with pytest.raises(ConfigError, match="required"):
         get_factory("overlap_pairs").create({"key": "k"})
+
+
+def test_gini_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.corpusstats import grouped_gini
+
+    p = tmp_path / "g.parquet"
+    tbl = pa.table({"k": pa.array(["a", "a", "b"]),
+                    "v": pa.array([1, 3, 7], pa.int64())})
+    pq.write_table(tbl, str(p))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"gini": {"key": "k", "value_col": "v"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["gini"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("k").reset_index(drop=True)
+    direct = grouped_gini(ray.data.from_arrow(tbl), "k", "v"
+                          ).to_pandas().sort_values("k"
+                                                    ).reset_index(drop=True)
+    assert built.equals(direct)
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("gini").create({"key": "k"})

@@ -1164,3 +1164,61 @@ def test_every_factory_raises_config_error_on_bad_config():
             raise AssertionError(
                 f"factory {name!r} raised {type(e).__name__} on empty "
                 f"config instead of ConfigError: {e}") from e
+
+
+def test_grouped_gini_matches_window_sql(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import grouped_gini
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+    })
+    got = grouped_gini(ray.data.from_arrow(tbl).repartition(4), "k",
+                       "v").to_pandas().sort_values("k"
+                                                    ).reset_index(drop=True)
+    exp = duckdb.sql("""
+        WITH r AS (SELECT k, v,
+                          row_number() OVER (PARTITION BY k ORDER BY v)
+                            AS rn,
+                          count(*) OVER (PARTITION BY k) AS n FROM tbl)
+        SELECT k, CAST(sum((2*rn - n - 1) * v) AS BIGINT) AS gini_num,
+               CAST(sum(v) AS BIGINT) AS total,
+               CAST(max(n) AS BIGINT) AS n
+        FROM r GROUP BY k ORDER BY k""").df()
+    assert got["gini_num"].tolist() == exp["gini_num"].tolist()
+    assert got["total"].tolist() == exp["total"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_grouped_gini_extremes_and_validation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import grouped_gini
+
+    tbl = pa.table({
+        # "eq": perfect equality -> gini_num 0;
+        # "one": one owns all -> gini_num = (n-1)*total = 3*100
+        "k": pa.array(["eq"] * 4 + ["one"] * 4),
+        "v": pa.array([25, 25, 25, 25, 0, 0, 0, 100], pa.int64()),
+    })
+    got = grouped_gini(ray.data.from_arrow(tbl), "k", "v").to_pandas()
+    res = {r.k: (r.gini_num, r.total, r.n) for r in got.itertuples()}
+    assert res == {"eq": (0, 100, 4), "one": (300, 100, 4)}
+
+    neg = ray.data.from_arrow(pa.table(
+        {"k": ["a"], "v": pa.array([-1], pa.int64())}))
+    with pytest.raises(Exception, match="negative"):
+        grouped_gini(neg, "k", "v").materialize()
+    fl = ray.data.from_arrow(pa.table({"k": ["a"], "v": [1.5]}))
+    with pytest.raises(Exception, match="integer lane"):
+        grouped_gini(fl, "k", "v").materialize()
