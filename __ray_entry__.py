@@ -3731,9 +3731,10 @@ def _q_events_k_anon(sf_dir: str):
     """k-anonymity + l-diversity release filter (stages/privacy.py):
     rows survive only when >= 5 rows share their (event_type,
     value-band) quasi-tuple AND those rows span >= 2 distinct users.
-    Shuffle-partial group sizes, exact two-phase distinct counts, one
-    composite-key semi join back; oracle = SQL window COUNT(*) /
-    COUNT(DISTINCT) OVER (PARTITION BY quasi)."""
+    Shuffle-partial group sizes, exact two-phase distinct counts, then
+    the bounded-domain BROADCAST verdict (count-guarded pull + one
+    Arrow left-semi per batch — raw rows never shuffle); oracle = SQL
+    window COUNT(*) / COUNT(DISTINCT) OVER (PARTITION BY quasi)."""
     from opentelemetry_collector_ray.stages.privacy import k_anonymize
 
     def prep(t: pa.Table) -> pa.Table:
@@ -3748,7 +3749,7 @@ def _q_events_k_anon(sf_dir: str):
                   ["event_id", "user_id", "event_type", "value"],
                   floor=8).map_batches(prep, batch_format="pyarrow")
     anon = k_anonymize(ds, ["event_type", "band"], 5,
-                       sensitive_col="user_id", l=2)
+                       sensitive_col="user_id", l=2, mode="broadcast")
     return anon.select_columns(["event_id", "event_type", "band"])
 
 
@@ -4157,10 +4158,14 @@ def _q_tpch_q17(sf_dir: str):
 
 def _q_tpch_q18(sf_dir: str):
     """TPC-H Q18 shape (large-volume orders): per-order quantity sums
-    from shuffle partials (unbounded orderkey), HAVING-filtered at
-    250 units, joined back to orders and the broadcast customer names.
-    Dates cross the hash gate as ISO strings (arrow date/timestamp and
-    DuckDB render differently in pandas)."""
+    on the BUCKET exchange (unbounded orderkey — one int-bucket
+    exchange of skinny raw rows beats sort-groupby partials here:
+    ~4 lines/order means partials barely reduce), HAVING-filtered at
+    250 units, then orders joins the small survivor side with a BLOOM
+    prefilter (built over the survivors, dropping ~99% of orders
+    before the exchange — the 100 TB lever). Dates cross the hash gate
+    as ISO strings (arrow date/timestamp and DuckDB render differently
+    in pandas)."""
     from opentelemetry_collector_ray.stages.aggregate import grouped_count
     from opentelemetry_collector_ray.stages.join import (
         broadcast_join, shuffle_hash_join)
@@ -4172,14 +4177,15 @@ def _q_tpch_q18(sf_dir: str):
         batch_format="pyarrow")
     sums = grouped_count(li, ["l_orderkey"], count_name="_n",
                          sum_cols={"qty_cents": "qty_c"},
-                         strategy="shuffle").map_batches(
+                         strategy="bucket").map_batches(
         lambda t: t.filter(pc.greater(t.column("qty_cents"), 25000))
         .select(["l_orderkey", "qty_cents"]), batch_format="pyarrow")
     orders = _read_co(sf_dir, "orders",
                       ["o_orderkey", "o_custkey", "o_orderdate",
                        "o_totalprice"], floor=8)
-    j = shuffle_hash_join(sums, orders, key="l_orderkey",
-                          right_key="o_orderkey", how="inner")
+    j = shuffle_hash_join(orders, sums, key="o_orderkey",
+                          right_key="l_orderkey", how="inner",
+                          bloom_bits=1 << 22)
     cust = _side_table(sf_dir, "customer", ["c_custkey", "c_name"])
     named = broadcast_join(j, cust, key="o_custkey",
                            right_key="c_custkey")
@@ -4188,7 +4194,7 @@ def _q_tpch_q18(sf_dir: str):
         return pa.table({
             "c_name": t.column("c_name"),
             "o_custkey": t.column("o_custkey"),
-            "l_orderkey": t.column("l_orderkey"),
+            "l_orderkey": t.column("o_orderkey"),
             "o_orderdate": pc.strftime(t.column("o_orderdate"),
                                        format="%Y-%m-%d"),
             "totalprice_cents": _cents(t.column("o_totalprice")),

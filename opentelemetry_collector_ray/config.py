@@ -429,7 +429,8 @@ def _register_builtins() -> None:
         return DatasetTransform(lambda ds: k_anonymize(
             ds, [str(c) for c in cfg["quasi"]], int(cfg["k"]),
             sensitive_col=sens, l=None if l is None else int(l),
-            n_buckets=cfg.get("n_buckets", "auto")))
+            n_buckets=cfg.get("n_buckets", "auto"),
+            mode=str(cfg.get("mode", "join"))))
 
     def make_dp_release(cfg: dict):
         from .stages.privacy import dp_count_release

@@ -179,3 +179,31 @@ def test_dp_suppress_below(ray_session):
     assert set(rel["g"]) == {"big"}
     with pytest.raises(ValueError, match="epsilon"):
         dp_count_release(ds, ["g"], epsilon=0.0, seed=1)
+
+
+def test_broadcast_mode_matches_join_mode(ray_session):
+    tbl = _people(600, seed=13)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    a = k_anonymize(ds, ["zip3", "age_band"], 10, sensitive_col="diagnosis",
+                    l=2, mode="join").to_pandas()
+    b = k_anonymize(ds, ["zip3", "age_band"], 10, sensitive_col="diagnosis",
+                    l=2, mode="broadcast").to_pandas()
+    assert sorted(a["row_id"]) == sorted(b["row_id"])
+
+
+def test_broadcast_mode_no_survivors(ray_session):
+    tbl = _people(80, seed=7)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = k_anonymize(ds, ["zip3", "age_band"], 10_000, mode="broadcast")
+    assert out.count() == 0
+    assert set(out.schema().names) == set(tbl.schema.names)
+
+
+def test_broadcast_mode_group_guard(ray_session):
+    tbl = _people(300, seed=1)
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="max_broadcast_groups"):
+        k_anonymize(ds, ["row_id"], 1, mode="broadcast",
+                    max_broadcast_groups=5).materialize()
+    with pytest.raises(ValueError, match="mode"):
+        k_anonymize(ds, ["zip3"], 2, mode="nope")
