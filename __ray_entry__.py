@@ -4743,6 +4743,36 @@ def _q_tpch_q21(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_clustered_prune(sf_dir: str):
+    """Zone-map data-skipping gate (stages/layout.cluster_write +
+    read_pruned): events range-clustered by value into a zone-mapped
+    parquet layout, the band [50, 80] answered by a PRUNED read (only
+    files whose [min, max] intersect are opened; the residual filter
+    restores exactness), then a bounded per-type roll-up of exact cent
+    sums. Oracle = the same band over the raw table — pruning must be
+    invisible to semantics (tests/test_layout.py additionally asserts
+    most files were skipped)."""
+    import tempfile
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.layout import (
+        cluster_write, read_pruned)
+
+    out = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    cluster_write(
+        lambda: _read_co(sf_dir, "events", ["event_type", "value"],
+                         floor=8),
+        out, keys="value", stats_cols=[], num_partitions=16)
+    ds, _report = read_pruned(out, {"value": (50.0, 80.0)})
+    prep = ds.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "cents": _cents(t.column("value"))}),
+        batch_format="pyarrow")
+    return grouped_agg(prep, ["event_type"], count_name="n",
+                       sum_cols={"value_cents": "cents"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -4851,6 +4881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
+        "events_clustered_prune": _q_events_clustered_prune,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7058,6 +7089,13 @@ SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM pairs JOIN per_order USING (l_orderkey)
            JOIN supplier ON l_suppkey = s_suppkey
 WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY 1
+""",
+        "events_clustered_prune": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE value >= 50.0 AND value <= 80.0
 GROUP BY 1
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,

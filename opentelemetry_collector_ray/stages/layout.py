@@ -19,10 +19,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-__all__ = ["zorder_code", "zorder_sort"]
+__all__ = ["zorder_code", "zorder_sort", "cluster_write",
+           "read_pruned"]
 
 _MAX_DIM = np.int64(1) << 31
 
@@ -70,3 +72,144 @@ def zorder_sort(make_ds, x_col: str, y_col: str, tie_break: str,
     return global_sort(
         lambda: make_ds().map_batches(add_code, batch_format="pyarrow"),
         [code_col, tie_break], rank_col=rank_col, persist=persist)
+
+
+# ------------------------------------------------- zone-mapped clustering
+
+MANIFEST_NAME = "_zonemap.parquet"
+
+
+def cluster_write(make_ds, out_dir: str, keys, stats_cols,
+                  num_partitions: int | None = None,
+                  sample_per_block: int = 64,
+                  persist: str = "none") -> pa.Table:
+    """Range-clustered, zone-mapped parquet layout — the data-skipping
+    write a 100 TB lakehouse runs before serving range queries (the
+    Delta/Iceberg OPTIMIZE + per-file statistics analog; the reference
+    collector's file exporter writes append-only with no layout —
+    engine addition). Two passes on the sample-sort contract
+    (``sort.sample_range_bounds``): pass 1 picks range cut points for
+    ``keys[0]``, pass 2 exchanges each range into ONE task which sorts
+    it by ``keys`` and writes ONE parquet file atomically (tmp +
+    rename), emitting a manifest row of per-file min/max for every
+    ``stats_cols`` column. The driver collects only the P manifest rows
+    and commits ``_zonemap.parquet`` LAST (manifest presence = commit
+    marker, matching the sink convention). Returns the manifest table.
+
+    Files are disjoint in ``keys[0]`` by construction, so a range
+    predicate prunes to the few files whose [min, max] intersect —
+    see :func:`read_pruned`."""
+    import os
+    import uuid
+
+    from .bucketing import persisted_factory
+    from .sort import assign_range_partition, sample_range_bounds
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    stats_cols = ([stats_cols] if isinstance(stats_cols, str)
+                  else list(stats_cols))
+    primary = keys[0]
+    if primary not in stats_cols:
+        stats_cols = [primary] + stats_cols
+    make_ds = persisted_factory(make_ds, persist)
+    bounds, P = sample_range_bounds(make_ds, primary, num_partitions,
+                                    sample_per_block)
+    os.makedirs(out_dir, exist_ok=True)
+    sort_spec = [(k, "ascending") for k in keys]
+
+    def write_group(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pid = int(t.column("_zpart")[0].as_py())
+        t = t.drop_columns(["_zpart"]).sort_by(sort_spec)
+        fname = f"part-{pid:05d}.parquet"
+        final = os.path.join(out_dir, fname)
+        tmp = final + "." + uuid.uuid4().hex[:8] + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, final)
+        row = {"file": [fname],
+               "n_rows": pa.array([t.num_rows], pa.int64())}
+        for c in stats_cols:
+            col = t.column(c)
+            row[f"min_{c}"] = pa.array([pc.min(col).as_py()], col.type)
+            row[f"max_{c}"] = pa.array([pc.max(col).as_py()], col.type)
+        return pa.table(row)
+
+    manifest = make_ds().map_batches(
+        lambda t: assign_range_partition(t, primary, bounds, P,
+                                         part_col="_zpart"),
+        batch_format="pyarrow").groupby("_zpart").map_groups(
+        write_group, batch_format="pyarrow").materialize()
+    man = manifest.to_arrow_refs()
+    import ray as _ray
+
+    parts = [t for t in map(_ray.get, man) if t.num_rows]
+    if not parts:
+        raise ValueError("cluster_write: input dataset is empty — "
+                         "nothing to lay out")
+    man_tbl = pa.concat_tables(parts)
+    man_tbl = man_tbl.sort_by([("file", "ascending")])
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
+    pq.write_table(man_tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    return man_tbl
+
+
+def read_pruned(out_dir: str, ranges: dict, columns=None):
+    """Zone-map-pruned read of a :func:`cluster_write` layout: keep only
+    the files whose per-column [min, max] intersects EVERY requested
+    ``ranges[col] = (lo, hi)`` band (``None`` bound = unbounded; a file
+    with all-null stats can never prove exclusion and is kept), then
+    apply the predicate exactly as a residual batch filter — pruning is
+    an optimization, never a semantics change. Returns
+    ``(dataset, report)`` where report = {files_total, files_scanned}.
+
+    At 100 TB this is the difference between touching every file and
+    touching the handful whose key range overlaps the query."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    man = pq.read_table(os.path.join(out_dir, MANIFEST_NAME))
+    keep = np.ones(man.num_rows, bool)
+    for col, (lo, hi) in ranges.items():
+        mn = man.column(f"min_{col}").to_numpy(zero_copy_only=False)
+        mx = man.column(f"max_{col}").to_numpy(zero_copy_only=False)
+        known = ~(pd_isna(mn) | pd_isna(mx))
+        if lo is not None:
+            keep &= ~known | (mx >= lo)
+        if hi is not None:
+            keep &= ~known | (mn <= hi)
+    files = [os.path.join(out_dir, f)
+             for f in man.filter(pa.array(keep)).column("file").to_pylist()]
+    report = {"files_total": man.num_rows, "files_scanned": len(files)}
+    if not files:
+        first = man.column("file")[0].as_py()
+        schema = pq.read_schema(os.path.join(out_dir, first))
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table()), report
+
+    def residual(t: pa.Table) -> pa.Table:
+        cond = None
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                c = pc.greater_equal(t.column(col), lo)
+                cond = c if cond is None else pc.and_(cond, c)
+            if hi is not None:
+                c = pc.less_equal(t.column(col), hi)
+                cond = c if cond is None else pc.and_(cond, c)
+        return t.filter(cond) if cond is not None else t
+
+    ds = ray.data.read_parquet(files, columns=columns)
+    return ds.map_batches(residual, batch_format="pyarrow"), report
+
+
+def pd_isna(a: np.ndarray) -> np.ndarray:
+    """Elementwise missing-test that works for numeric AND object
+    (string/date) stat dtypes."""
+    import pandas as pd
+
+    return pd.isna(a)

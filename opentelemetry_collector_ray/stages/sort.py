@@ -55,32 +55,15 @@ def _normalize_order(keys, descending):
     return keys, descending
 
 
-def global_sort(make_ds, keys, descending: bool | list[bool] = False,
-                num_partitions: int | None = None,
-                sample_per_block: int = 64,
-                rank_col: str | None = None,
-                persist: str = "none") -> ray.data.Dataset:
-    """Totally order the dataset by ``keys`` (multi-key, per-key
-    direction), range-partitioned so every partition sorts independently
-    and spills independently.
-
-    ``make_ds`` is a zero-arg factory (the repo's two-pass contract —
-    the sample pass and the sort pass must see the identical plan);
-    ``persist`` forwards to :func:`persisted_factory` — with the default
-    ``"none"`` an expensive upstream executes twice, so persist derived
-    pipelines.  ``num_partitions`` defaults to the pass-1 block count
-    (~one partition per input block; at scale pass an explicit count
-    sized to ~256 MB/partition).  Rows are globally ordered ACROSS
-    partitions by construction; within a partition by ``sort_by``.  With
-    ``rank_col`` each row also gets its dense 0-based global position
-    (costs a per-partition count table on the driver — P rows — plus a
-    ``materialize()`` of the sorted result so the count pass does not
-    re-run the exchange).  NULL primary keys order last (Arrow and
-    DuckDB's shared default).
-    """
-    keys, desc = _normalize_order(keys, descending)
-    primary, primary_desc = keys[0], desc[0]
-    make_ds = persisted_factory(make_ds, persist)
+def sample_range_bounds(make_ds, primary: str,
+                        num_partitions: int | None = None,
+                        sample_per_block: int = 64):
+    """Pass 1 of the sample sort, shared by :func:`global_sort` and
+    the zone-map layout writer (``stages/layout.cluster_write``): every
+    k-th ``primary`` value per block reaches the driver (a few hundred
+    scalars per block, never rows) and the driver picks ``P-1`` range
+    cut points. Returns ``(bounds, P)`` where ``P`` accounts for
+    duplicate-quantile collapse."""
 
     def sample_fn(t: pa.Table) -> pa.Table:
         col = t.column(primary)
@@ -109,28 +92,68 @@ def global_sort(make_ds, keys, descending: bool | list[bool] = False,
         bounds = np.unique(vals[qpos])
     else:
         bounds = vals[:0]
-    P = len(bounds) + 1  # dedup may shrink the effective partition count
+    return bounds, len(bounds) + 1  # dedup may shrink the count
+
+
+def assign_range_partition(t: pa.Table, primary: str, bounds, P: int,
+                           descending: bool = False,
+                           part_col: str = None) -> pa.Table:
+    """Pass 2 of the sample sort: append the range-partition id of each
+    row (``np.searchsorted`` against the broadcast cut points; equal
+    keys share a partition; nulls order last)."""
+    part_col = part_col or _PART
+    v = t.column(primary).to_numpy(zero_copy_only=False)
+    null = pc.is_null(t.column(primary)).to_numpy(zero_copy_only=False)
+    if len(bounds):
+        part = np.searchsorted(bounds, v[~null] if null.any() else v,
+                               side="right")
+        if null.any():
+            full = np.empty(len(v), np.int64)
+            full[~null] = part
+            part = full
+    else:
+        part = np.zeros(len(v), np.int64)
+    if descending:
+        part = (P - 1) - part
+    part[null] = P - 1  # nulls last in output order
+    return t.append_column(part_col, pa.array(part.astype(np.int64)))
+
+
+def global_sort(make_ds, keys, descending: bool | list[bool] = False,
+                num_partitions: int | None = None,
+                sample_per_block: int = 64,
+                rank_col: str | None = None,
+                persist: str = "none") -> ray.data.Dataset:
+    """Totally order the dataset by ``keys`` (multi-key, per-key
+    direction), range-partitioned so every partition sorts independently
+    and spills independently.
+
+    ``make_ds`` is a zero-arg factory (the repo's two-pass contract —
+    the sample pass and the sort pass must see the identical plan);
+    ``persist`` forwards to :func:`persisted_factory` — with the default
+    ``"none"`` an expensive upstream executes twice, so persist derived
+    pipelines.  ``num_partitions`` defaults to the pass-1 block count
+    (~one partition per input block; at scale pass an explicit count
+    sized to ~256 MB/partition).  Rows are globally ordered ACROSS
+    partitions by construction; within a partition by ``sort_by``.  With
+    ``rank_col`` each row also gets its dense 0-based global position
+    (costs a per-partition count table on the driver — P rows — plus a
+    ``materialize()`` of the sorted result so the count pass does not
+    re-run the exchange).  NULL primary keys order last (Arrow and
+    DuckDB's shared default).
+    """
+    keys, desc = _normalize_order(keys, descending)
+    primary, primary_desc = keys[0], desc[0]
+    make_ds = persisted_factory(make_ds, persist)
+    bounds, P = sample_range_bounds(make_ds, primary, num_partitions,
+                                    sample_per_block)
 
     sort_spec = [(k, "descending" if d else "ascending")
                  for k, d in zip(keys, desc)]
 
     def assign(t: pa.Table) -> pa.Table:
-        v = t.column(primary).to_numpy(zero_copy_only=False)
-        null = pc.is_null(t.column(primary)).to_numpy(
-            zero_copy_only=False)
-        if len(bounds):
-            part = np.searchsorted(bounds, v[~null] if null.any() else v,
-                                   side="right")
-            if null.any():
-                full = np.empty(len(v), np.int64)
-                full[~null] = part
-                part = full
-        else:
-            part = np.zeros(len(v), np.int64)
-        if primary_desc:
-            part = (P - 1) - part
-        part[null] = P - 1  # nulls last in output order
-        return t.append_column(_PART, pa.array(part.astype(np.int64)))
+        return assign_range_partition(t, primary, bounds, P,
+                                      descending=primary_desc)
 
     def sort_part(t: pa.Table) -> pa.Table:
         t = t.sort_by(sort_spec)

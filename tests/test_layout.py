@@ -56,3 +56,65 @@ def test_zorder_sort_orders_globally(ray_session):
     r = np.random.default_rng(0).permutation(n)
     d_rand = np.abs(np.diff(xy[r], axis=0)).sum(axis=1).mean()
     assert d_sorted < d_rand / 3
+
+
+# ------------------------------------------------- zone-mapped clustering
+
+from opentelemetry_collector_ray.stages.layout import (  # noqa: E402
+    MANIFEST_NAME, cluster_write, read_pruned)
+
+
+def _mk(n=2000, seed=7):
+    rng = np.random.default_rng(seed)
+    tbl = pa.table({
+        "k": rng.uniform(0, 1000, n),
+        "grp": rng.integers(0, 5, n),
+        "payload": rng.integers(0, 10**9, n)})
+    return tbl
+
+
+def test_cluster_write_prunes_and_is_exact(ray_session, tmp_path):
+    tbl = _mk()
+    out = str(tmp_path / "zm")
+    man = cluster_write(
+        lambda: ray.data.from_arrow(tbl).repartition(8),
+        out, keys="k", stats_cols=["payload"], num_partitions=10)
+    # manifest committed, one file per non-empty partition, disjoint in k
+    assert man.num_rows >= 8
+    assert int(pa.compute.sum(man.column("n_rows")).as_py()) == tbl.num_rows
+    mins = man.column("min_k").to_numpy()
+    maxs = man.column("max_k").to_numpy()
+    order = np.argsort(mins)
+    assert (maxs[order][:-1] <= mins[order][1:]).all()  # disjoint ranges
+
+    ds, report = read_pruned(out, {"k": (100.0, 200.0)})
+    assert report["files_total"] == man.num_rows
+    assert 0 < report["files_scanned"] < report["files_total"]
+    got = ds.to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+    mask = (tbl.column("k").to_numpy() >= 100.0) & \
+           (tbl.column("k").to_numpy() <= 200.0)
+    want = tbl.to_pandas()[mask].sort_values(
+        ["k", "payload"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_read_pruned_empty_band_keeps_schema(ray_session, tmp_path):
+    out = str(tmp_path / "zm2")
+    cluster_write(lambda: ray.data.from_arrow(_mk(300)).repartition(4),
+                  out, keys="k", stats_cols=[], num_partitions=4)
+    ds, report = read_pruned(out, {"k": (5000.0, 6000.0)})
+    assert report["files_scanned"] == 0
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"k", "grp", "payload"}
+
+
+def test_read_pruned_halfopen_and_residual(ray_session, tmp_path):
+    out = str(tmp_path / "zm3")
+    tbl = _mk(500, seed=11)
+    cluster_write(lambda: ray.data.from_arrow(tbl).repartition(4),
+                  out, keys="k", stats_cols=[], num_partitions=6)
+    ds, _ = read_pruned(out, {"k": (None, 50.0)})
+    got = sorted(ds.to_pandas()["k"])
+    want = sorted(v for v in tbl.column("k").to_pylist() if v <= 50.0)
+    assert got == pytest.approx(want)
