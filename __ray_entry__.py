@@ -4773,6 +4773,24 @@ def _q_events_clustered_prune(sf_dir: str):
                        strategy="tree")
 
 
+def _q_parts_triangles(sf_dir: str):
+    """Co-purchase triangle counts (stages/graph.py::cooccurrence_edges
+    + triangle_count): parts sharing an order become support-weighted
+    undirected edges (vectorized within-order pair expansion, one
+    bucket exchange), edges with support ≥ 2 close into triangles by
+    pure join algebra (wedge join + composite-key semi join — no
+    driver adjacency), each triangle crediting its three corners.
+    Oracle = the literal e1 ⋈ e2 ⋈ e3 self-join."""
+    from opentelemetry_collector_ray.stages.graph import (
+        cooccurrence_edges, triangle_count)
+
+    li = _read_co(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                  floor=8)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               min_support=2)
+    return triangle_count(edges)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -4882,6 +4900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "events_clustered_prune": _q_events_clustered_prune,
+        "parts_triangles": _q_parts_triangles,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7097,6 +7116,20 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          AS value_cents
 FROM events WHERE value >= 50.0 AND value <= 80.0
 GROUP BY 1
+""",
+        "parts_triangles": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT l1.l_orderkey, l1.l_partkey AS a, l2.l_partkey AS b
+  FROM d l1 JOIN d l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+edges AS (SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri) GROUP BY 1
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -38,7 +38,7 @@ import ray.data
 from .aggregate import grouped_agg, grouped_count
 from .bucketing import persisted_factory
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "cooccurrence_edges", "triangle_count"]
 
 
 def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
@@ -156,3 +156,108 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
 
     return ray.data.from_arrow(pa.table({
         "node": nodes_pa, rank_col: pa.array(rank, pa.float64())}))
+
+
+def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
+                       item_col: str, min_support: int = 1,
+                       n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Undirected co-occurrence edges — items appearing in the same
+    group (parts in an order, terms in a doc, services in a trace)
+    become canonical ``(a < b)`` pairs weighted by the number of groups
+    containing both. The market-basket edge derivation feeding
+    :func:`triangle_count` / :func:`pagerank`.
+
+    ONE bucket exchange of deduped (group, item) rows, then a fully
+    vectorized within-group pair expansion (repeat/cumsum index
+    arithmetic — no Python loop over groups): a group with k items
+    emits k·(k−1)/2 pairs, so pathological mega-groups cost quadratic
+    output — dedupe/cap group size upstream if k is unbounded. Returns
+    (a, b, support) with ``support >= min_support``."""
+    from .bucketing import bucketed_map_groups
+
+    dedup = grouped_count(ds.select_columns([group_col, item_col]),
+                          [group_col, item_col], count_name="_n",
+                          strategy="bucket", n_buckets=n_buckets)
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(group_col, "ascending"),
+                       (item_col, "ascending")])
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(item_col).to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n == 0:
+            return pa.table({"a": pa.array([], t.column(item_col).type),
+                             "b": pa.array([], t.column(item_col).type)})
+        change = np.ones(n, dtype=bool)
+        change[1:] = g[1:] != g[:-1]
+        seg_id = np.cumsum(change) - 1
+        seg_len = np.bincount(seg_id)
+        local = np.arange(n) - np.repeat(
+            np.concatenate([[0], np.cumsum(seg_len)[:-1]]), seg_len)
+        counts = seg_len[seg_id] - 1 - local  # pairs led by each row
+        left = np.repeat(np.arange(n), counts)
+        if len(left):
+            offs = np.arange(len(left)) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+            right = left + 1 + offs
+        else:
+            right = left
+        return pa.table({"a": pa.array(v[left]), "b": pa.array(v[right])})
+
+    pairs = bucketed_map_groups(dedup, group_col, expand,
+                                n_buckets=n_buckets)
+    edges = grouped_count(pairs, ["a", "b"], count_name="support",
+                          strategy="bucket", n_buckets=n_buckets)
+    if min_support > 1:
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("support"),
+                pa.scalar(min_support, pa.int64()))),
+            batch_format="pyarrow")
+    return edges
+
+
+def triangle_count(edges: ray.data.Dataset, a: str = "a", b: str = "b",
+                   salt: int = 1) -> ray.data.Dataset:
+    """Per-node triangle counts over canonical undirected edges
+    (``a < b`` rows, already distinct) — the local clustering signal
+    (spam-farm / community detection feature in web-graph curation).
+
+    Pure join algebra, no driver adjacency: wedges = edges ⋈ edges on
+    the middle vertex (a<b<c by canonical orientation), closed into
+    triangles by ONE composite-key semi join against the edge list,
+    then each triangle credits its three corners (flat 3-way emit →
+    bucket count). Wedge fan-out is Σ deg²(v) — a hub vertex inflates
+    its join task; ``salt`` forwards to the shuffle join for that skew
+    (same lever as every join here). SQL-exact: mirrors the
+    e1 ⋈ e2 ⋈ e3 self-join oracle."""
+    from .join import shuffle_hash_join
+
+    e = edges.select_columns([a, b]).materialize()
+    right = e.map_batches(
+        lambda t: pa.table({"_m": t.column(a), "c": t.column(b)}),
+        batch_format="pyarrow")
+    wedges = shuffle_hash_join(e, right, key=b, right_key="_m",
+                               how="inner", salt=salt)
+    tri = shuffle_hash_join(wedges, e.map_batches(
+        lambda t: pa.table({"_ea": t.column(a), "_eb": t.column(b)}),
+        batch_format="pyarrow"),
+        key=[a, "c"], right_key=["_ea", "_eb"], how="semi", salt=salt)
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t.column(a).combine_chunks().cast(t.column("c").type),
+            t.column(b).combine_chunks().cast(t.column("c").type),
+            t.column("c").combine_chunks()])})
+
+    out = grouped_count(tri.map_batches(corners,
+                                        batch_format="pyarrow"),
+                        ["node"], count_name="n_triangles",
+                        strategy="shuffle").materialize()
+    if out.count() == 0:
+        # a triangle-free graph must still honor the promised schema
+        # (Ray loses it through an empty exchange)
+        node_t = e.schema().types[e.schema().names.index(a)]
+        return ray.data.from_arrow(pa.schema(
+            [("node", node_t), ("n_triangles", pa.int64())]).empty_table())
+    return out

@@ -142,3 +142,53 @@ def test_pagerank_tol_zero_keeps_fixed_iterations(ray_session):
     got = dict(zip(out["node"], out["rank"]))
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9), v
+
+
+# ---------------------------------------------- co-occurrence + triangles
+
+from opentelemetry_collector_ray.stages.graph import (  # noqa: E402
+    cooccurrence_edges, triangle_count)
+
+
+def test_cooccurrence_edges_matches_bruteforce(ray_session):
+    import itertools
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 40, 500)
+    v = rng.integers(0, 12, 500)
+    t = pa.table({"g": g, "item": v})
+    got = cooccurrence_edges(ray.data.from_arrow(t), "g", "item",
+                             min_support=1).to_pandas()
+    got = {(r.a, r.b): r.support for r in got.itertuples()}
+    want = {}
+    for grp in np.unique(g):
+        items = sorted(set(v[g == grp].tolist()))
+        for a, b in itertools.combinations(items, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+def test_cooccurrence_min_support_filters(ray_session):
+    t = pa.table({"g": [1, 1, 2, 2, 3, 3], "item": [1, 2, 1, 2, 1, 3]})
+    got = cooccurrence_edges(ray.data.from_arrow(t), "g", "item",
+                             min_support=2).to_pandas()
+    assert got[["a", "b"]].values.tolist() == [[1, 2]]
+    assert got["support"].tolist() == [2]
+
+
+def test_triangle_count_planted(ray_session):
+    # K4 on {1,2,3,4} plus a pendant edge (4,5): each K4 node is in
+    # C(3,2)=3 triangles; node 5 in none (absent from output).
+    edges = pa.table({"a": [1, 1, 1, 2, 2, 3, 4],
+                      "b": [2, 3, 4, 3, 4, 4, 5]})
+    got = triangle_count(ray.data.from_arrow(edges)).to_pandas()
+    got = dict(zip(got["node"], got["n_triangles"]))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_empty_graph_keeps_schema(ray_session):
+    # path graph: no triangles -> empty result, schema intact
+    edges = pa.table({"a": [1, 2, 3], "b": [2, 3, 4]})
+    got = triangle_count(ray.data.from_arrow(edges))
+    assert got.count() == 0
+    assert set(got.schema().names) == {"node", "n_triangles"}
