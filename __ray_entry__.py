@@ -4791,6 +4791,126 @@ def _q_parts_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_docs_bigram_pmi_parts(sf_dir: str):
+    """Collocation extraction — PMI of the top-20 bigrams, as EXACT
+    integer parts (n_xy, n_x, n_y, total unigrams/bigrams): the float
+    log never crosses the hash gate, the downstream consumer computes
+    ln((n_xy·N_uni²)/(n_x·n_y·N_big)) driver-side. Two corpus passes
+    (bigram + unigram counts, both bucket-exchanged aggregates); only
+    the 20 winners and their ≤ 40 member words reach the driver."""
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        ngram_counts, term_counts)
+
+    docs = lambda: _read_co(sf_dir, "documents", ["text"], floor=8)  # noqa: E731
+    big = ngram_counts(docs(), n=2).materialize()
+    n_bigrams = int(big.sum("n") or 0)
+    top = big.sort(["n", "ngram"], descending=[True, False]).limit(20
+                                                                   ).to_pandas()
+    uni = term_counts(docs()).materialize()
+    n_unigrams = int(uni.sum("n") or 0)
+    words = sorted({w for ng in top["ngram"] for w in ng.split(" ")})
+    wtab = uni.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("term"),
+                                    value_set=pa.array(words))),
+        batch_format="pyarrow").to_pandas()
+    wcount = dict(zip(wtab["term"], wtab["n"]))
+    xs = [ng.split(" ")[0] for ng in top["ngram"]]
+    ys = [ng.split(" ")[1] for ng in top["ngram"]]
+    return pa.table({
+        "ngram": pa.array(top["ngram"], pa.string()),
+        "n_xy": pa.array(top["n"].astype("int64")),
+        "n_x": pa.array([int(wcount[w]) for w in xs], pa.int64()),
+        "n_y": pa.array([int(wcount[w]) for w in ys], pa.int64()),
+        "n_unigrams": pa.array([n_unigrams] * len(top), pa.int64()),
+        "n_bigrams": pa.array([n_bigrams] * len(top), pa.int64())})
+
+
+def _q_orders_merge_upsert(sf_dir: str):
+    """CDC MERGE INTO (apply a changelog to a snapshot): base rows at
+    version 0 union a deterministic changelog (updates to every
+    orderkey ≡ 0 mod 7 at version 1; inserts in a disjoint key space
+    for orderkey ≡ 0 mod 11), compacted to one row per key by
+    stages/cdc.latest_by_key — the upsert semantics of
+    row_number() OVER (PARTITION BY key ORDER BY version DESC) = 1.
+    Completes the CDC family: snapshot_diff derives a changelog,
+    this APPLIES one."""
+    from opentelemetry_collector_ray.stages.cdc import latest_by_key
+
+    INS_BASE = 1_000_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey")
+        price_c = _cents(t.column("o_totalprice"))
+        base = pa.table({"k": key, "status": t.column("o_orderstatus"),
+                         "price_c": price_c,
+                         "version": pa.nulls(len(t), pa.int64()
+                                             ).fill_null(0)})
+        upd_mask = pc.equal(
+            pc.subtract(key, pc.multiply(pc.divide(key, 7),
+                                         pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        u = base.filter(upd_mask)
+        upd = pa.table({
+            "k": u.column("k"),
+            "status": pa.nulls(len(u), pa.string()).fill_null("U"),
+            "price_c": pc.add(u.column("price_c"),
+                              pa.scalar(10_000, pa.int64())),
+            "version": pa.nulls(len(u), pa.int64()).fill_null(1)})
+        ins_mask = pc.equal(
+            pc.subtract(key, pc.multiply(pc.divide(key, 11),
+                                         pa.scalar(11, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        i = base.filter(ins_mask)
+        ins = pa.table({
+            "k": pc.add(i.column("k"),
+                        pa.scalar(INS_BASE, pa.int64())),
+            "status": pa.nulls(len(i), pa.string()).fill_null("N"),
+            "price_c": i.column("price_c"),
+            "version": pa.nulls(len(i), pa.int64()).fill_null(1)})
+        return pa.concat_tables([base, upd, ins])
+
+    ds = _read_co(sf_dir, "orders",
+                  ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                  floor=8).map_batches(expand, batch_format="pyarrow")
+    return latest_by_key(ds, "k", order_by=["version"], keep="last")
+
+
+def _q_events_assoc_parts(sf_dir: str):
+    """Association / chi-square contingency gate, exact integer parts:
+    the (event_type × ISO weekday) contingency cells with their row,
+    column and grand totals plus the deviation numerator
+    obs·N − row·col (the χ² cell numerator before the float division —
+    parts stay int64, guarded against overflow). One bounded tree
+    roll-up; totals computed on the 35-cell driver table."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t.column("ts")),
+                     pa.scalar(1, pa.int64()))  # ISO: Mon=1 … Sun=7
+        return pa.table({"event_type": t.column("event_type"),
+                         "isodow": pc.cast(dow, pa.int64())})
+
+    cells = grouped_count(
+        _read_co(sf_dir, "events", ["event_type", "ts"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "isodow"], count_name="obs",
+        strategy="tree").to_pandas()
+    n_total = int(cells["obs"].sum())
+    row = cells.groupby("event_type")["obs"].sum().to_dict()
+    col = cells.groupby("isodow")["obs"].sum().to_dict()
+    cells["row_n"] = cells["event_type"].map(row).astype("int64")
+    cells["col_n"] = cells["isodow"].map(col).astype("int64")
+    cells["n_total"] = n_total
+    if n_total and int(cells["obs"].max()) > (2**62) // n_total:
+        raise ValueError("events_assoc_parts: obs·N would overflow "
+                         "int64 — scale the parts down first")
+    cells["dev_num"] = (cells["obs"] * n_total
+                        - cells["row_n"] * cells["col_n"]).astype("int64")
+    return pa.Table.from_pandas(cells[["event_type", "isodow", "obs",
+                                       "row_n", "col_n", "n_total",
+                                       "dev_num"]], preserve_index=False)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -4901,6 +5021,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": _q_tpch_q21,
         "events_clustered_prune": _q_events_clustered_prune,
         "parts_triangles": _q_parts_triangles,
+        "docs_bigram_pmi_parts": _q_docs_bigram_pmi_parts,
+        "orders_merge_upsert": _q_orders_merge_upsert,
+        "events_assoc_parts": _q_events_assoc_parts,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7130,6 +7253,54 @@ tri AS (SELECT e1.a, e1.b, e2.b AS c
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri) GROUP BY 1
+""",
+        "docs_bigram_pmi_parts": """
+WITH l AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+           FROM documents),
+big AS (SELECT ts[i] || ' ' || ts[i+1] AS ngram
+        FROM l, unnest(range(1, len(ts))) AS r(i)),
+bc AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_xy
+       FROM big GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM big),
+uni AS (SELECT u.t AS term, CAST(count(*) AS BIGINT) AS n
+        FROM l, unnest(ts) AS u(t) GROUP BY 1),
+nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_unigrams FROM uni),
+top AS (SELECT ngram, n_xy FROM bc ORDER BY n_xy DESC, ngram LIMIT 20)
+SELECT t.ngram, t.n_xy, ux.n AS n_x, uy.n AS n_y,
+       nu.n_unigrams, nb.n_bigrams
+FROM top t
+JOIN uni ux ON ux.term = split_part(t.ngram, ' ', 1)
+JOIN uni uy ON uy.term = split_part(t.ngram, ' ', 2)
+CROSS JOIN nu CROSS JOIN nb
+""",
+        "orders_merge_upsert": """
+WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_c,
+                     CAST(0 AS BIGINT) AS version FROM orders),
+upd AS (SELECT k, 'U' AS status, price_c + 10000 AS price_c,
+               CAST(1 AS BIGINT) AS version FROM base WHERE k % 7 = 0),
+ins AS (SELECT k + 1000000000 AS k, 'N' AS status, price_c,
+               CAST(1 AS BIGINT) AS version FROM base WHERE k % 11 = 0),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+         UNION ALL SELECT * FROM ins)
+SELECT k, status, price_c, version FROM allr
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY version DESC) = 1
+""",
+        "events_assoc_parts": """
+WITH cells AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+                      CAST(count(*) AS BIGINT) AS obs
+               FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+SELECT event_type, isodow, obs,
+       CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+       CAST(sum(obs) OVER (PARTITION BY isodow) AS BIGINT) AS col_n,
+       n_total,
+       CAST(obs * n_total
+            - (sum(obs) OVER (PARTITION BY event_type))
+              * (sum(obs) OVER (PARTITION BY isodow)) AS BIGINT)
+         AS dev_num
+FROM cells, tot
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
