@@ -4911,6 +4911,29 @@ def _q_events_assoc_parts(sf_dir: str):
                                        "dev_num"]], preserve_index=False)
 
 
+def _q_custs_pareto(sf_dir: str):
+    """Pareto-frontier customer selection (stages/skyline.py): per-
+    customer (order count, lifetime spend cents) roll-up, then the 2-D
+    skyline — customers no other customer beats on BOTH axes (strict
+    dominance, exact ties survive). O(n log n) sample-sort path vs the
+    oracle's literal O(n²) NOT EXISTS self-join."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.skyline import skyline_2d
+
+    def make():
+        return grouped_count(
+            _read_co(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                     floor=8).map_batches(
+                lambda t: pa.table({
+                    "o_custkey": t.column("o_custkey"),
+                    "cents": _cents(t.column("o_totalprice"))}),
+                batch_format="pyarrow"),
+            ["o_custkey"], count_name="n_orders",
+            sum_cols={"spend_c": "cents"}, strategy="bucket")
+
+    return skyline_2d(make, "n_orders", "spend_c", persist="memory")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5024,6 +5047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_pmi_parts": _q_docs_bigram_pmi_parts,
         "orders_merge_upsert": _q_orders_merge_upsert,
         "events_assoc_parts": _q_events_assoc_parts,
+        "custs_pareto": _q_custs_pareto,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7301,6 +7325,18 @@ SELECT event_type, isodow, obs,
               * (sum(obs) OVER (PARTITION BY isodow)) AS BIGINT)
          AS dev_num
 FROM cells, tot
+""",
+        "custs_pareto": """
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1)
+SELECT o_custkey, n_orders, spend_c FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.n_orders >= a.n_orders AND b.spend_c >= a.spend_c
+    AND (b.n_orders > a.n_orders OR b.spend_c > a.spend_c))
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

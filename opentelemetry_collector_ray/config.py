@@ -596,6 +596,16 @@ def _register_builtins() -> None:
             rank_col=cfg.get("rank_col", "zrank"),
             persist=cfg.get("persist", "none")))
 
+    def make_skyline(cfg: dict):
+        from .stages.skyline import skyline_2d
+
+        for req in ("x_col", "y_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"skyline: {req} is required")
+        return DatasetTransform(lambda ds: skyline_2d(
+            lambda: ds, cfg["x_col"], cfg["y_col"],
+            persist=cfg.get("persist", "none")))
+
     def make_resample(cfg: dict):
         from .stages.resample import resample_asof
 
@@ -1000,6 +1010,7 @@ def _register_builtins() -> None:
     register("vocab_growth", Factory("processor", make_vocab_growth))
     register("string_agg", Factory("processor", make_string_agg))
     register("zorder", Factory("processor", make_zorder))
+    register("skyline", Factory("processor", make_skyline))
     register("throttle", Factory("processor", make_throttle))
     register("dedupe_consecutive",
              Factory("processor", make_dedupe_consecutive))
