@@ -4934,6 +4934,36 @@ def _q_custs_pareto(sf_dir: str):
     return skyline_2d(make, "n_orders", "spend_c", persist="memory")
 
 
+def _q_events_compacted(sf_dir: str):
+    """Small-file compaction under the SQL gate (sinks/parquet_sink.py::
+    compact_files): events deliberately shattered into 24 tiny files,
+    bin-packed back into a handful, then a bounded per-type roll-up of
+    exact cent sums over the COMPACTED layout. Oracle = the same
+    roll-up over the raw table — compaction must be invisible to
+    semantics while collapsing the read-side task count (the actual
+    100 TB failure mode of streaming micro-batch sinks)."""
+    import tempfile
+
+    from opentelemetry_collector_ray.sinks.parquet_sink import compact_files
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    import ray.data
+
+    small = tempfile.mkdtemp(prefix="shatter_", dir="/tmp")
+    out = tempfile.mkdtemp(prefix="compact_", dir="/tmp")
+    _read(sf_dir, "events", ["event_type", "value"]).repartition(
+        24).write_parquet(small)
+    man = compact_files(small, out, target_bytes=64 << 20)
+    assert man.num_rows < 24
+    prep = ray.data.read_parquet(out).map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "cents": _cents(t.column("value"))}),
+        batch_format="pyarrow")
+    return grouped_count(prep, ["event_type"], count_name="n",
+                         sum_cols={"value_cents": "cents"},
+                         strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5048,6 +5078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merge_upsert": _q_orders_merge_upsert,
         "events_assoc_parts": _q_events_assoc_parts,
         "custs_pareto": _q_custs_pareto,
+        "events_compacted": _q_events_compacted,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7337,6 +7368,12 @@ WHERE NOT EXISTS (
   SELECT 1 FROM c b
   WHERE b.n_orders >= a.n_orders AND b.spend_c >= a.spend_c
     AND (b.n_orders > a.n_orders OR b.spend_c > a.spend_c))
+""",
+        "events_compacted": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -172,3 +172,80 @@ def bucketed_resumable_write(ds: ray.data.Dataset, out_dir: str,
         return {"written": [], "skipped": []}
     return {"written": sorted(res[~res.skipped].bucket),
             "skipped": sorted(res[res.skipped].bucket)}
+
+
+def compact_files(in_dir: str, out_dir: str,
+                  target_bytes: int = 128 << 20) -> pa.Table:
+    """Small-file compaction — the lakehouse OPTIMIZE maintenance pass:
+    bin-pack the input directory's parquet files into ~``target_bytes``
+    groups (first-fit over size-sorted files — only file NAMES and
+    SIZES touch the driver), then ONE distributed task per group
+    streams its inputs into ONE output file, committed atomically
+    (tmp + rename, the sink convention). Returns the manifest table
+    (out_file, n_rows, n_inputs, n_bytes_in).
+
+    A streaming micro-batch pipeline (the reference's file exporter
+    appends per flush) leaves thousands of KB-sized files per day;
+    at 100 TB the read-side task count — not the bytes — becomes the
+    bottleneck, and this is the repair. Schemas must match exactly;
+    evolve first via ``stages/snapshot.union_by_name`` (loud error,
+    never a silent cast)."""
+    import uuid
+
+    files = sorted(f for f in os.listdir(in_dir)
+                   if f.endswith(".parquet") and not f.startswith("_"))
+    if not files:
+        raise ValueError(f"compact_files: no parquet files in {in_dir}")
+    sizes = {f: os.path.getsize(os.path.join(in_dir, f)) for f in files}
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in sorted(files, key=lambda f: -sizes[f]):
+        if cur and cur_bytes + sizes[f] > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sizes[f]
+    if cur:
+        groups.append(cur)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def compact_one(batch: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for gid, names in zip(batch["gid"], batch["names"]):
+            gid = int(gid)
+            names = list(names)
+            tables = [pq.read_table(os.path.join(in_dir, n))
+                      for n in names]
+            schemas = {t.schema.to_string() for t in tables}
+            if len(schemas) > 1:
+                raise ValueError(
+                    "compact_files: input schemas differ inside group "
+                    f"{gid} — run union_by_name first")
+            t = pa.concat_tables(tables)
+            fname = f"compact-{gid:05d}.parquet"
+            tmp = os.path.join(out_dir, fname + "."
+                               + uuid.uuid4().hex[:8] + ".tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(out_dir, fname))
+            rows.append({"out_file": fname, "n_rows": t.num_rows,
+                         "n_inputs": len(names),
+                         "n_bytes_in": sum(sizes[n] for n in names)})
+        return pa.table({
+            "out_file": pa.array([r["out_file"] for r in rows]),
+            "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+            "n_inputs": pa.array([r["n_inputs"] for r in rows],
+                                 pa.int64()),
+            "n_bytes_in": pa.array([r["n_bytes_in"] for r in rows],
+                                   pa.int64())})
+
+    spec = ray.data.from_items(
+        [{"gid": i, "names": g} for i, g in enumerate(groups)])
+    man = spec.map_batches(compact_one, batch_size=1,
+                           batch_format="numpy").materialize()
+    import ray as _ray
+
+    parts = [t for t in map(_ray.get, man.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(parts).sort_by([("out_file", "ascending")])

@@ -1222,3 +1222,48 @@ def test_grouped_gini_extremes_and_validation(ray_session):
     fl = ray.data.from_arrow(pa.table({"k": ["a"], "v": [1.5]}))
     with pytest.raises(Exception, match="integer lane"):
         grouped_gini(fl, "k", "v").materialize()
+
+
+def test_compact_files_binpacks_and_preserves_rows(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.sinks.parquet_sink import compact_files
+
+    src = tmp_path / "small"
+    src.mkdir()
+    rng = np.random.default_rng(2)
+    all_rows = []
+    for i in range(12):
+        t = pa.table({"a": pa.array(rng.integers(0, 100, 50), pa.int64()),
+                      "b": pa.array(rng.uniform(size=50))})
+        pq.write_table(t, str(src / f"f{i:02d}.parquet"))
+        all_rows.append(t)
+    want = pa.concat_tables(all_rows)
+    per_file = (src / "f00.parquet").stat().st_size
+    out = tmp_path / "compacted"
+    man = compact_files(str(src), str(out), target_bytes=per_file * 4)
+    import os
+    got_files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert man.column("out_file").to_pylist() == got_files
+    assert 1 < len(got_files) < 12
+    assert int(pa.compute.sum(man.column("n_rows")).as_py()) == want.num_rows
+    assert int(pa.compute.sum(man.column("n_inputs")).as_py()) == 12
+    got = pa.concat_tables([pq.read_table(str(out / f)) for f in got_files])
+    assert sorted(zip(got.column("a").to_pylist(), got.column("b").to_pylist())) == \
+        sorted(zip(want.column("a").to_pylist(), want.column("b").to_pylist()))
+
+
+def test_compact_files_schema_mismatch_raises(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from opentelemetry_collector_ray.sinks.parquet_sink import compact_files
+
+    src = tmp_path / "mix"
+    src.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1], pa.int64())}),
+                   str(src / "x.parquet"))
+    pq.write_table(pa.table({"a": pa.array(["s"], pa.string())}),
+                   str(src / "y.parquet"))
+    with _pt.raises(Exception, match="schemas differ|union_by_name"):
+        compact_files(str(src), str(src / "out"), target_bytes=1 << 30)
