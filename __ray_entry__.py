@@ -4964,6 +4964,49 @@ def _q_events_compacted(sf_dir: str):
                          strategy="tree")
 
 
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution — each purchase matched to the same
+    user's latest click no more than ONE DAY earlier (stages/join.py::
+    asof_join backward with tolerance=, how="left": beyond-tolerance
+    matches become NULL, unmatched purchases survive). The first SQL
+    gate on the tolerance lane; oracle = DuckDB ASOF LEFT JOIN with
+    the tolerance applied as the same null-out rule."""
+    from opentelemetry_collector_ray.stages.join import asof_join
+
+    ONE_DAY_US = 86_400_000_000
+    ev = _read_co(sf_dir, "events", ["event_id", "user_id",
+                                     "event_type", "ts"], floor=8)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+        .select(["event_id", "user_id", "ts"]), batch_format="pyarrow")
+    clicks = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t.filter(pc.equal(t.column("event_type"),
+                                         "click")).column("user_id"),
+            "click_ts": t.filter(pc.equal(t.column("event_type"),
+                                          "click")).column("ts")}),
+        batch_format="pyarrow")
+    j = asof_join(purchases, clicks, by="user_id", on="ts",
+                  right_on="click_ts", direction="backward",
+                  how="left", tolerance=ONE_DAY_US)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            # arrow %S renders the unit's full precision, DuckDB %S
+            # truncates — cast to second resolution so strings agree
+            "purchase_ts": pc.strftime(
+                pc.cast(t.column("ts"), pa.timestamp("s"), safe=False),
+                format="%Y-%m-%d %H:%M:%S"),
+            "click_ts": pc.strftime(
+                pc.cast(t.column("click_ts"), pa.timestamp("s"),
+                        safe=False),
+                format="%Y-%m-%d %H:%M:%S")})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5079,6 +5122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_assoc_parts": _q_events_assoc_parts,
         "custs_pareto": _q_custs_pareto,
         "events_compacted": _q_events_compacted,
+        "events_attribution": _q_events_attribution,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7374,6 +7418,19 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events GROUP BY 1
+""",
+        "events_attribution": """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN p.ts - c.click_ts <= INTERVAL 1 DAY
+            THEN strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') END
+         AS click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
