@@ -135,7 +135,11 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_transform_ottl", "spans_depth", "docs_gopher",
              "events_winsorized", "events_peak_rate",
              "docs_hybrid_rank", "events_type_deciles",
-             "events_user_hhi"]
+             "events_user_hhi",
+             # round-5 late additions
+             "tpch_q9", "tpch_q21", "events_clustered_prune",
+             "custs_pareto", "parts_triangles", "events_attribution",
+             "events_compacted", "orders_merge_upsert"]
     q = m.queries()
     for name in names:
         t0 = time.time()
