@@ -4901,9 +4901,12 @@ def _q_events_assoc_parts(sf_dir: str):
     cells["row_n"] = cells["event_type"].map(row).astype("int64")
     cells["col_n"] = cells["isodow"].map(col).astype("int64")
     cells["n_total"] = n_total
-    if n_total and int(cells["obs"].max()) > (2**62) // n_total:
-        raise ValueError("events_assoc_parts: obs·N would overflow "
-                         "int64 — scale the parts down first")
+    max_row = int(cells["row_n"].max()) if len(cells) else 0
+    max_col = int(cells["col_n"].max()) if len(cells) else 0
+    if n_total and (int(cells["obs"].max()) > (2**62) // n_total
+                    or (max_col and max_row > (2**62) // max_col)):
+        raise ValueError("events_assoc_parts: obs·N or row·col would "
+                         "overflow int64 — scale the parts down first")
     cells["dev_num"] = (cells["obs"] * n_total
                         - cells["row_n"] * cells["col_n"]).astype("int64")
     return pa.Table.from_pandas(cells[["event_type", "isodow", "obs",
@@ -4979,13 +4982,12 @@ def _q_events_attribution(sf_dir: str):
     purchases = ev.map_batches(
         lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
         .select(["event_id", "user_id", "ts"]), batch_format="pyarrow")
-    clicks = ev.map_batches(
-        lambda t: pa.table({
-            "user_id": t.filter(pc.equal(t.column("event_type"),
-                                         "click")).column("user_id"),
-            "click_ts": t.filter(pc.equal(t.column("event_type"),
-                                          "click")).column("ts")}),
-        batch_format="pyarrow")
+    def _clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "click_ts": t.column("ts")})
+
+    clicks = ev.map_batches(_clicks, batch_format="pyarrow")
     j = asof_join(purchases, clicks, by="user_id", on="ts",
                   right_on="click_ts", direction="backward",
                   how="left", tolerance=ONE_DAY_US)

@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from .aggregate import grouped_agg, grouped_count
-from .bucketing import persisted_factory
+from .bucketing import key_segments, persisted_factory
 
 __all__ = ["pagerank", "cooccurrence_edges", "triangle_count"]
 
@@ -188,12 +188,10 @@ def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
         if n == 0:
             return pa.table({"a": pa.array([], t.column(item_col).type),
                              "b": pa.array([], t.column(item_col).type)})
-        change = np.ones(n, dtype=bool)
-        change[1:] = g[1:] != g[:-1]
+        change, seg_start = key_segments(g)
         seg_id = np.cumsum(change) - 1
         seg_len = np.bincount(seg_id)
-        local = np.arange(n) - np.repeat(
-            np.concatenate([[0], np.cumsum(seg_len)[:-1]]), seg_len)
+        local = np.arange(n) - seg_start
         counts = seg_len[seg_id] - 1 - local  # pairs led by each row
         left = np.repeat(np.arange(n), counts)
         if len(left):

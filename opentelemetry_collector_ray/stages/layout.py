@@ -178,10 +178,16 @@ def read_pruned(out_dir: str, ranges: dict, columns=None):
         mn = man.column(f"min_{col}").to_numpy(zero_copy_only=False)
         mx = man.column(f"max_{col}").to_numpy(zero_copy_only=False)
         known = ~(pd_isna(mn) | pd_isna(mx))
+        # compare only the known entries: an eager `mx >= lo` over an
+        # object-dtype (string/date) stats column would raise on None
         if lo is not None:
-            keep &= ~known | (mx >= lo)
+            ok = np.zeros(len(keep), bool)
+            ok[known] = mx[known] >= lo
+            keep &= ~known | ok
         if hi is not None:
-            keep &= ~known | (mn <= hi)
+            ok = np.zeros(len(keep), bool)
+            ok[known] = mn[known] <= hi
+            keep &= ~known | ok
     files = [os.path.join(out_dir, f)
              for f in man.filter(pa.array(keep)).column("file").to_pylist()]
     report = {"files_total": man.num_rows, "files_scanned": len(files)}

@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .bucketing import key_segments
 from .sort import global_sort
 
 __all__ = ["skyline_2d"]
@@ -136,10 +137,7 @@ def skyline_2d(make_ds, x_col: str, y_col: str,
         x = t.column(x_col).to_numpy(zero_copy_only=False)
         y = t.column(y_col).to_numpy(zero_copy_only=False)
         n = len(x)
-        change = np.ones(n, dtype=bool)
-        change[1:] = x[1:] != x[:-1]
-        starts = np.flatnonzero(change)
-        gs = starts[np.cumsum(change) - 1]  # each row's group start
+        _, gs = key_segments(x)  # each row's equal-x group start
         # exclusive in-block prefix max of y, evaluated at group starts
         prev = np.empty(n, y.dtype)
         if n > 1:
