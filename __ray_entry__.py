@@ -5009,6 +5009,171 @@ def _q_events_attribution(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_scd2(sf_dir: str):
+    """SCD type-2 dimension build (stages/cdc.py scd2_intervals): each
+    customer's order-status change log collapsed to validity intervals
+    — consecutive same-status orders merge, ``valid_from``/``valid_to``
+    bound each version, the open interval is ``is_current``. Oracle =
+    lag-filter then lead() over the same (o_orderdate, o_orderkey)
+    ordering; dates as ISO strings on both sides (arrow date vs DuckDB
+    DATE render differently in pandas)."""
+    from opentelemetry_collector_ray.stages.cdc import scd2_intervals
+
+    iv = scd2_intervals(
+        _read_co(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate",
+                  "o_orderstatus"], floor=8),
+        "o_custkey", "o_orderdate", ["o_orderstatus"],
+        tie_break="o_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        iso = "%Y-%m-%d %H:%M:%S"
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "valid_from": pc.strftime(
+                pc.cast(t.column("valid_from"), pa.timestamp("s"),
+                        safe=False), format=iso),
+            "valid_to": pc.strftime(
+                pc.cast(t.column("valid_to"), pa.timestamp("s"),
+                        safe=False), format=iso),
+            "is_current": t.column("is_current")})
+
+    return iv.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_docs_feature_hash(sf_dir: str):
+    """Hashing-trick vectorizer (stages/encoding.py feature_hash, md5
+    oracle mode): every doc's tokens bucketed into 64 hashed features
+    with NO vocabulary pass — per-doc sparse vectors reduce entirely
+    inside map_batches (zero shuffles). The gate aggregates the corpus
+    feature-bucket histogram; oracle = the identical md5-prefix bucket
+    expression over unnest(string_split(...)) in SQL."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.encoding import feature_hash
+
+    vec = feature_hash(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8),
+        "doc_id", "text", n_buckets=64, hash_mode="md5")
+    # each (doc, bucket) row is distinct -> count(rows) = distinct docs
+    return grouped_agg(vec, ["bucket"], count_name="n_docs",
+                       sum_cols={"n_tokens": "n"}, strategy="tree")
+
+
+def _q_events_day_checksum(sf_dir: str):
+    """Distributed table checksum (stages/checksum.py table_checksum):
+    per-day row count + order-insensitive content digest of
+    (event_id, user_id, event_type) — the cross-system replication
+    validation primitive (uint64 wrap-sum of 48-bit md5 row digests;
+    re-sharding never changes it). Oracle = sum of the same
+    md5-prefix digests mod 2^64 in HUGEINT, emitted as a decimal
+    string on both sides."""
+    from opentelemetry_collector_ray.stages.checksum import table_checksum
+
+    ev = _read_co(sf_dir, "events",
+                  ["event_id", "user_id", "event_type", "ts"], floor=8)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.strftime(t.column("ts"), format="%Y-%m-%d")) \
+            .drop_columns(["ts"])
+
+    return table_checksum(ev.map_batches(add_day, batch_format="pyarrow"),
+                          ["event_id", "user_id", "event_type"],
+                          group_col="day")
+
+
+def _q_custs_target_encode(sf_dir: str):
+    """Smoothed target encoding (stages/encoding.py target_encode):
+    each market segment's blended mean order value in cents,
+    ``(s + 20·G)/(n + 20)`` evaluated as ONE exact integer floor
+    division — the leakage-robust categorical feature. Broadcast join
+    orders→customer (small side ships once), one two-phase aggregate.
+    Oracle = the identical integer blend in SQL (all terms
+    non-negative, so // truncation == floor)."""
+    from opentelemetry_collector_ray.stages.encoding import target_encode
+    from opentelemetry_collector_ray.stages.join import broadcast_join
+
+    orders = _read_co(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                      floor=8)
+    cust = _side_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, key="o_custkey",
+                       right_key="c_custkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                         "cents": _cents(t.column("o_totalprice"))})
+
+    return target_encode(j.map_batches(prep, batch_format="pyarrow"),
+                         "c_mktsegment", "cents", smoothing_m=20,
+                         out_name="enc_cents")
+
+
+def _q_lineitem_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence (stages/graph.py cooccurrence_edges):
+    part pairs ordered together in >= 2 orders — the frequent-itemset
+    pair derivation (dedupe -> one bucket exchange -> vectorized
+    within-order pair expansion -> support count). Oracle = the
+    DISTINCT self-join with a < b and HAVING count(*) >= 2."""
+    from opentelemetry_collector_ray.stages.graph import cooccurrence_edges
+
+    return cooccurrence_edges(
+        _read_co(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                 floor=8),
+        "l_orderkey", "l_partkey", min_support=2)
+
+
+def _q_events_rolling_outliers(sf_dir: str):
+    """Trailing-window anomaly detection (stages/window.py rolling ops
+    composed): flag events whose value deviates from the user's OWN
+    7-day trailing window by > 3 sigma — the integer-exact inequality
+    ``(n·x − S)² > 9·(n·Q − S²)`` over rolling count/sum/sum-of-squares
+    in cents (no float variance), requiring n >= 5 rows of history.
+    Oracle = the same RANGE frame sums in SQL."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "value"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t.column("value"))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"), "x": x,
+                         "x2": pc.multiply_checked(x, x)})
+
+    WEEK_US = 7 * 86_400_000_000
+    w = per_key_window(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id",
+        ["ts", "event_id"],
+        {"s": ("rolling_sum", "x", WEEK_US),
+         "q": ("rolling_sum", "x2", WEEK_US),
+         "n": ("rolling_count", WEEK_US)})
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        # magnitudes: x <= ~2^26 cents, n bounded by the hour window ->
+        # n·x, S ~ 2^40; squares ~ 2^80 WOULD wrap int64 — go through
+        # object ints only if needed; guard loudly instead
+        if len(x):
+            mx = max(int(np.max(np.abs(x))), 1)
+            mn = max(int(np.max(n)), 1)
+            if mn * mx >= 1_000_000_000:  # 9·(n·q) ≤ 9·(n·x)² must fit int64
+                raise ValueError("events_rolling_outliers: window sums "
+                                 "too large for the int64 inequality")
+        d = n * x - s
+        rhs = 9 * (n * q - s * s)
+        keep = (n >= 5) & (d * d > rhs)
+        return pa.table({"event_id": t.column("event_id").filter(
+            pa.array(keep)),
+            "user_id": t.column("user_id").filter(pa.array(keep))})
+
+    return w.map_batches(flag, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5125,6 +5290,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_pareto": _q_custs_pareto,
         "events_compacted": _q_events_compacted,
         "events_attribution": _q_events_attribution,
+        "orders_scd2": _q_orders_scd2,
+        "docs_feature_hash": _q_docs_feature_hash,
+        "events_day_checksum": _q_events_day_checksum,
+        "custs_target_encode": _q_custs_target_encode,
+        "lineitem_basket_pairs": _q_lineitem_basket_pairs,
+        "events_rolling_outliers": _q_events_rolling_outliers,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7433,6 +7604,85 @@ SELECT p.event_id, p.user_id,
          AS click_ts
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+        "orders_scd2": """
+WITH s AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                  lag(o_orderstatus) OVER w AS prev
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+kept AS (SELECT * FROM s
+         WHERE prev IS NULL OR prev <> o_orderstatus),
+iv AS (SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+              lead(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS vt
+       FROM kept)
+SELECT o_custkey, o_orderstatus,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (vt IS NULL) AS is_current
+FROM iv
+""",
+        "docs_feature_hash": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 6))::UBIGINT % 64
+                  AS BIGINT) AS bucket
+      FROM toks WHERE tok <> '')
+SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM h GROUP BY bucket
+""",
+        "events_day_checksum": """
+WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  ('0x' || substr(md5(
+                      CAST(event_id AS VARCHAR) || ':' ||
+                      CAST(user_id AS VARCHAR) || ':' ||
+                      event_type), 1, 12))::UBIGINT AS hv
+           FROM events)
+SELECT day, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(hv AS HUGEINT)) AS HUGEINT)
+            % 18446744073709551616 AS VARCHAR) AS checksum
+FROM h GROUP BY day
+""",
+        "custs_target_encode": """
+WITH t AS (SELECT c_mktsegment,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+p AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM t GROUP BY c_mktsegment),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+             CAST(sum(s) AS BIGINT) AS gs FROM p)
+SELECT c_mktsegment, n, s,
+       CAST((s * gn + 20 * gs) // ((n + 20) * gn) AS BIGINT)
+           AS enc_cents
+FROM p, g
+""",
+        "lineitem_basket_pairs": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS a, b.l_partkey AS b,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+        "events_rolling_outliers": """
+WITH v AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+           FROM events),
+w AS (SELECT event_id, user_id, x,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS s,
+             CAST(sum(x * x) OVER win AS BIGINT) AS q
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                           AND CURRENT ROW))
+SELECT event_id, user_id FROM w
+WHERE n >= 5 AND (n*x - s)*(n*x - s) > 9*(n*q - s*s)
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -417,6 +417,52 @@ def _register_builtins() -> None:
             max_categories=int(cfg.get("max_categories", 10_000_000)),
             persist=cfg.get("persist", "none")))
 
+    def make_scd2(cfg: dict):
+        from .stages.cdc import scd2_intervals
+
+        if not cfg.get("key") or not cfg.get("order_col") \
+                or not cfg.get("value_cols"):
+            raise ConfigError(
+                "scd2: key, order_col and value_cols are required")
+        return DatasetTransform(lambda ds: scd2_intervals(
+            ds, cfg["key"], cfg["order_col"],
+            [str(c) for c in cfg["value_cols"]],
+            tie_break=cfg.get("tie_break"),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
+    def make_feature_hash(cfg: dict):
+        from .stages.encoding import feature_hash
+
+        if not cfg.get("id_col") or not cfg.get("text_col"):
+            raise ConfigError(
+                "feature_hash: id_col and text_col are required")
+        return DatasetTransform(lambda ds: feature_hash(
+            ds, cfg["id_col"], cfg["text_col"],
+            n_buckets=int(cfg.get("n_buckets", 64)),
+            hash_mode=str(cfg.get("hash_mode", "xx64"))))
+
+    def make_target_encode(cfg: dict):
+        from .stages.encoding import target_encode
+
+        if not cfg.get("cat_col") or not cfg.get("target_col"):
+            raise ConfigError(
+                "target_encode: cat_col and target_col are required")
+        return DatasetTransform(lambda ds: target_encode(
+            ds, cfg["cat_col"], cfg["target_col"],
+            smoothing_m=int(cfg.get("smoothing_m", 20)),
+            out_name=str(cfg.get("out", "enc"))))
+
+    def make_checksum(cfg: dict):
+        from .stages.checksum import table_checksum
+
+        if not cfg.get("cols"):
+            raise ConfigError("checksum: cols is required")
+        return DatasetTransform(lambda ds: table_checksum(
+            ds, [str(c) for c in cfg["cols"]],
+            group_col=cfg.get("group_col"),
+            sep=str(cfg.get("sep", ":")),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_k_anonymize(cfg: dict):
         from .stages.privacy import k_anonymize
 
@@ -1014,6 +1060,10 @@ def _register_builtins() -> None:
     register("throttle", Factory("processor", make_throttle))
     register("dedupe_consecutive",
              Factory("processor", make_dedupe_consecutive))
+    register("scd2", Factory("processor", make_scd2))
+    register("feature_hash", Factory("processor", make_feature_hash))
+    register("target_encode", Factory("processor", make_target_encode))
+    register("checksum", Factory("processor", make_checksum))
     register("rollup", Factory("processor", make_rollup))
     register("resample", Factory("processor", make_resample))
     register("dup_stats", Factory("processor", make_dup_stats))

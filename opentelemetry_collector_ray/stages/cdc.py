@@ -28,12 +28,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from .bucketing import bucketed_map_groups, key_segments
 
-__all__ = ["latest_by_key", "first_k_by", "dedupe_consecutive"]
+__all__ = ["latest_by_key", "first_k_by", "dedupe_consecutive",
+           "scd2_intervals"]
 
 
 def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
@@ -110,28 +112,90 @@ def dedupe_consecutive(ds: ray.data.Dataset, key: str,
 
     def bucket_fn(t: pa.Table) -> pa.Table:
         t, change, seg_start = _sorted_segments(t, key, order_by)
-        n = t.num_rows
-        keep = change.copy()  # first row of each key always kept
+        return t.filter(pa.array(_state_change_mask(t, value_cols,
+                                                    change)))
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def _state_change_mask(t: pa.Table, value_cols: list[str],
+                       change: np.ndarray) -> np.ndarray:
+    """Keep-mask for distinct-until-changed over a key-sorted table:
+    a row survives when it starts a key segment (``change``) or when
+    ANY ``value_cols`` entry IS DISTINCT FROM the previous row's."""
+    n = t.num_rows
+    keep = change.copy()  # first row of each key always kept
+    for c in value_cols:
+        col = t.column(c)
+        v = col.to_numpy(zero_copy_only=False)
+        if n > 1:
+            neq = v[1:] != v[:-1]
+            if neq.dtype != bool:
+                neq = neq.astype(bool)
+            if col.null_count:
+                # IS DISTINCT FROM: null vs null is NOT a change,
+                # null vs value IS
+                isnull = np.asarray(
+                    col.is_null().to_numpy(zero_copy_only=False))
+                both_null = isnull[1:] & isnull[:-1]
+                one_null = isnull[1:] ^ isnull[:-1]
+                neq = (neq & ~both_null) | one_null
+            elif v.dtype.kind == "f":
+                # NaN != NaN would mark every NaN run as changes
+                both_nan = np.isnan(v[1:]) & np.isnan(v[:-1])
+                neq = neq & ~both_nan
+            keep[1:] |= neq
+    return keep
+
+
+def scd2_intervals(ds: ray.data.Dataset, key: str, order_col: str,
+                   value_cols: list[str], tie_break: str | None = None,
+                   n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Slowly-changing-dimension (type 2) build from an append-only
+    change log: collapse consecutive no-change rows per key
+    (:func:`dedupe_consecutive` semantics), then emit one VALIDITY
+    INTERVAL per surviving version — ``valid_from`` = the version's
+    ``order_col`` value, ``valid_to`` = the next version's (null for
+    the key's current version, flagged ``is_current``).
+
+    The warehouse-dimension analog of the reference's last-value /
+    state-change compression (cf. ``stages/metricsops.py`` gauge
+    semantics; reference pdata gauge datapoints
+    `pdata/pmetric/generated_numberdatapoint.go`). Equivalent SQL:
+    ``lag`` filter then ``lead(order_col) OVER (PARTITION BY key ORDER
+    BY order_col, tie_break)``.
+
+    One bucket exchange; within a bucket everything is numpy segment
+    arithmetic. Pass a unique ``tie_break`` column (an id) whenever
+    ``(key, order_col)`` can repeat, for cross-engine determinism.
+    """
+    if not value_cols:
+        raise ValueError("scd2_intervals: value_cols must be non-empty")
+    order_by = [order_col] + ([tie_break] if tie_break else [])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        t, change, seg_start = _sorted_segments(t, key, order_by)
+        kept = t.filter(pa.array(_state_change_mask(t, value_cols,
+                                                    change)))
+        m = kept.num_rows
+        valid_from = kept.column(order_col).combine_chunks()
+        if m:
+            kkeys = kept.column(key).to_numpy(zero_copy_only=False)
+            kchange, _ = key_segments(kkeys)
+            # valid_to[i] = valid_from[i+1] when row i+1 continues the
+            # same key, else null — null take-indices yield nulls
+            nxt = np.arange(1, m + 1, dtype=np.int64)
+            is_last = np.append(kchange[1:], True)
+            idx = pa.array(nxt, pa.int64(), mask=is_last)
+            valid_to = pc.take(valid_from, idx)
+        else:
+            valid_to = valid_from
+        cols = {key: kept.column(key)}
         for c in value_cols:
-            col = t.column(c)
-            v = col.to_numpy(zero_copy_only=False)
-            if n > 1:
-                neq = v[1:] != v[:-1]
-                if neq.dtype != bool:
-                    neq = neq.astype(bool)
-                if col.null_count:
-                    # IS DISTINCT FROM: null vs null is NOT a change,
-                    # null vs value IS
-                    isnull = np.asarray(
-                        col.is_null().to_numpy(zero_copy_only=False))
-                    both_null = isnull[1:] & isnull[:-1]
-                    one_null = isnull[1:] ^ isnull[:-1]
-                    neq = (neq & ~both_null) | one_null
-                elif v.dtype.kind == "f":
-                    # NaN != NaN would mark every NaN run as changes
-                    both_nan = np.isnan(v[1:]) & np.isnan(v[:-1])
-                    neq = neq & ~both_nan
-                keep[1:] |= neq
-        return t.filter(pa.array(keep))
+            cols[c] = kept.column(c)
+        cols["valid_from"] = valid_from
+        cols["valid_to"] = valid_to
+        cols["is_current"] = pc.is_null(valid_to)
+        return pa.table(cols)
 
     return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

@@ -178,3 +178,46 @@ def test_state_snapshot_example_yaml(ray_session, tmp_path, monkeypatch):
     _cmp(y, direct, cols)
     # one row per user, and it is that user's LAST state change
     assert y["user_id"].is_unique
+
+
+def test_scd2_intervals_matches_sql(ray_session):
+    from opentelemetry_collector_ray.stages.cdc import scd2_intervals
+
+    tbl = _events(n=400, seed=3)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = scd2_intervals(ds, "k", "ts", ["state"],
+                         tie_break="id").to_pandas()
+    want = _sql(tbl, """
+        WITH s AS (SELECT k, ts, id, state,
+                          lag(state) OVER w AS prev
+                   FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, id)),
+        kept AS (SELECT * FROM s WHERE prev IS NULL OR prev <> state),
+        iv AS (SELECT k, state, ts AS valid_from,
+                      lead(ts) OVER (PARTITION BY k ORDER BY ts, id)
+                          AS valid_to
+               FROM kept)
+        SELECT k, state, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current FROM iv""")
+    _cmp(out, want, ["k", "state", "valid_from", "valid_to",
+                     "is_current"])
+    # exactly one open interval per key
+    assert out[out["is_current"]].groupby("k").size().max() == 1
+    assert set(out[out["is_current"]]["k"]) == set(out["k"])
+
+
+def test_scd2_intervals_null_state_and_guard(ray_session):
+    from opentelemetry_collector_ray.stages.cdc import scd2_intervals
+
+    tbl = pa.table({
+        "k": pa.array(["a"] * 4, pa.string()),
+        "ts": pa.array([1, 2, 3, 4], pa.int64()),
+        "state": pa.array(["x", None, None, "x"], pa.string())})
+    out = scd2_intervals(ray.data.from_arrow(tbl), "k", "ts",
+                         ["state"]).to_pandas()
+    # null==null is NOT a change (IS DISTINCT FROM): x -> null -> x
+    out = out.sort_values("valid_from").reset_index(drop=True)
+    assert list(out["valid_from"]) == [1, 2, 4]
+    assert list(out["valid_to"].fillna(-1)) == [2, 4, -1]
+    assert list(out["is_current"]) == [False, False, True]
+    with pytest.raises(ValueError, match="value_cols"):
+        scd2_intervals(ray.data.from_arrow(tbl), "k", "ts", [])

@@ -941,3 +941,72 @@ def test_gini_yaml_parity(ray_session, tmp_path):
     assert built.equals(direct)
     with pytest.raises(ConfigError, match="required"):
         get_factory("gini").create({"key": "k"})
+
+
+def test_final_session_yaml_processors(ray_session, tmp_path):
+    """scd2 / feature_hash / target_encode / checksum as YAML
+    processors equal the direct library calls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.cdc import scd2_intervals
+    from opentelemetry_collector_ray.stages.checksum import table_checksum
+    from opentelemetry_collector_ray.stages.encoding import (
+        feature_hash, target_encode)
+
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"]),
+        "ts": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "state": pa.array(["x", "x", "y", "z", "z"]),
+        "y": pa.array([7, 3, 9, 2, 8], pa.int64()),
+        "text": pa.array(["a b", "c", "a a", "b c", "d"])}), str(p))
+
+    def run(proc_name, cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    def rd():
+        return ray.data.read_parquet(str(p))
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pairs = [
+        (run("scd2", {"key": "k", "order_col": "ts",
+                      "value_cols": ["state"], "tie_break": "id"}),
+         scd2_intervals(rd(), "k", "ts", ["state"],
+                        tie_break="id").to_pandas()),
+        (run("feature_hash", {"id_col": "id", "text_col": "text",
+                              "n_buckets": 8, "hash_mode": "md5"}),
+         feature_hash(rd(), "id", "text", n_buckets=8,
+                      hash_mode="md5").to_pandas()),
+        (run("target_encode", {"cat_col": "k", "target_col": "y",
+                               "smoothing_m": 2}),
+         target_encode(rd(), "k", "y", smoothing_m=2).to_pandas()),
+        (run("checksum", {"cols": ["id", "state"], "group_col": "k"}),
+         table_checksum(rd(), ["id", "state"],
+                        group_col="k").to_pandas()),
+    ]
+    for built, direct in pairs:
+        assert canon(built).equals(canon(direct))
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("scd2").create({"key": "k"})
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("feature_hash").create({"id_col": "id"})
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("target_encode").create({"cat_col": "k"})
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("checksum").create({})
