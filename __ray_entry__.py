@@ -5174,6 +5174,61 @@ def _q_events_rolling_outliers(sf_dir: str):
     return w.map_batches(flag, batch_format="pyarrow")
 
 
+def _q_events_corr_parts(sf_dir: str):
+    """Per-group Pearson correlation in EXACT integer parts (one
+    two-phase aggregate, same convention as the OLS trend /
+    chi-square parts queries): per event_type the six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) between value-cents and
+    hour-of-day — r and its sign/strength derive from the parts
+    without any float drift crossing the gate. Oracle = the same six
+    integer sums in SQL."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    ev = _read_co(sf_dir, "events", ["event_type", "ts", "value"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t.column("value"))
+        y = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"), "x": x, "y": y,
+            "xy": pc.multiply_checked(x, y),
+            "xx": pc.multiply_checked(x, x),
+            "yy": pc.multiply_checked(y, y)})
+
+    return grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type"], count_name="n",
+                       sum_cols={"sx": "x", "sy": "y", "sxy": "xy",
+                                 "sxx": "xx", "syy": "yy"},
+                       strategy="tree")
+
+
+def _q_events_json_extract(sf_dir: str):
+    """Vectorized JSON-path attribute extraction (functions/text.py
+    json_path_str through the OTTL ``JSONPath`` converter — the
+    ParseJSON analog): pull ``$.k`` out of the props JSON column with
+    polars' Rust kernel, cast, and roll up value stats per extracted
+    key. Oracle = DuckDB ``json_extract_string`` + the same integer
+    aggregate."""
+    from opentelemetry_collector_ray.functions.ottl import (
+        compile_statements)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    fn = compile_statements(['set(k_str, JSONPath(props, "$.k"))'])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = fn(t)
+        return pa.table({
+            "k": pc.cast(t.column("k_str"), pa.int64()),
+            "cents": _cents(t.column("value"))})
+
+    ev = _read_co(sf_dir, "events", ["props", "value"], floor=8)
+    return grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                       ["k"], count_name="n",
+                       sum_cols={"sum_cents": "cents"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5296,6 +5351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_target_encode": _q_custs_target_encode,
         "lineitem_basket_pairs": _q_lineitem_basket_pairs,
         "events_rolling_outliers": _q_events_rolling_outliers,
+        "events_corr_parts": _q_events_corr_parts,
+        "events_json_extract": _q_events_json_extract,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7683,6 +7740,27 @@ w AS (SELECT event_id, user_id, x,
                            AND CURRENT ROW))
 SELECT event_id, user_id FROM w
 WHERE n >= 5 AND (n*x - s)*(n*x - s) > 9*(n*q - s*s)
+""",
+        "events_corr_parts": """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                  CAST(hour(ts) AS BIGINT) AS y
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy
+FROM v GROUP BY event_type
+""",
+        "events_json_extract": """
+WITH v AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      AS k,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM v GROUP BY k
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

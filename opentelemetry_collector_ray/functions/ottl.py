@@ -20,6 +20,7 @@ Grammar subset::
     target    := column | MAP["key"]
     expr      := literal | target | Converter(expr, ...)
     Converter := ConvertCase | Substring | SHA256 | MD5 | Concat
+               | JSONPath
     boolexpr  := or-chain of and-chains of [not] comparisons
                  (== != < <= > >=), IsMatch(expr, "re"), parentheses
 
@@ -60,7 +61,7 @@ _TOKEN_RE = re.compile(r"""
 _EDITORS = ("set", "replace_pattern", "delete_key", "rename_key",
             "keep_keys")
 _CONVERTERS = ("ConvertCase", "Substring", "SHA256", "MD5", "Concat",
-               "IsMatch")
+               "IsMatch", "JSONPath")
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -244,6 +245,10 @@ def _eval(node, t: pa.Table, map_col: str):
             sep = str(ev[-1])
             parts = [_as_str(x) for x in ev[:-1]]
             return pc.binary_join_element_wise(*parts, sep)
+        if name == "JSONPath":
+            from .text import json_path_str
+
+            return json_path_str(_as_str(ev[0]), str(ev[1]))
         if name == "IsMatch":
             return pc.match_substring_regex(_as_str(ev[0]), str(ev[1]))
         raise ValueError(f"OTTL: unhandled converter {name}")

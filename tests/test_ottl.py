@@ -113,3 +113,36 @@ def test_yaml_transform_parity(ray_session, tmp_path):
         fn, batch_format="pyarrow").to_pandas() \
         .sort_values("body").reset_index(drop=True)
     assert (y.astype(str).values == d.astype(str).values).all()
+
+
+def test_jsonpath_converter_and_kernel(ray_session, monkeypatch):
+    """JSONPath converter (functions/ottl.py) and json_path_str kernel
+    (functions/text.py): polars path and the stdlib fallback agree,
+    malformed JSON and missing paths go null."""
+    import sys
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.ottl import (
+        compile_statements)
+    from opentelemetry_collector_ray.functions.text import json_path_str
+
+    col = pa.array(['{"k": 87}', '{"k": 0, "j": "x y"}', None,
+                    'not json', '{"j": 5}', '{"a": {"b": true}}',
+                    '{"k": 1.5}'], pa.string())
+    want = ["87", "0", None, None, None, None, "1.5"]
+    got = json_path_str(col, "$.k").to_pylist()
+    assert got == want
+    assert json_path_str(col, "$.a.b").to_pylist() == \
+        [None, None, None, None, None, "true", None]
+
+    # stdlib fallback (polars hidden) must agree exactly
+    monkeypatch.setitem(sys.modules, "polars", None)
+    assert json_path_str(col, "$.k").to_pylist() == want
+    assert json_path_str(col, "$.a.b").to_pylist() == \
+        [None, None, None, None, None, "true", None]
+    monkeypatch.delitem(sys.modules, "polars")
+
+    t = pa.table({"props": col})
+    fn = compile_statements(['set(k, JSONPath(props, "$.k"))'])
+    assert fn(t).column("k").to_pylist() == want
