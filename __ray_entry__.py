@@ -5229,6 +5229,66 @@ def _q_events_json_extract(sf_dir: str):
                        strategy="tree")
 
 
+def _q_events_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC stream wire end-to-end (sources/arrow_ipc.py): the
+    events table is exported block-per-file to ``.arrows`` IPC stream
+    shards (one uncompressed dir + one zstd size-prefix-framed dir,
+    exercising both wire paths), read back with one C++ stream-reader
+    call per file, and rolled up per event_type against pure SQL over
+    the original table — proving the sink/source pair inverts exactly.
+    The derivation caches under a content-deterministic /tmp path
+    (staged + atomic rename) like the JSONL fixture; real inputs live
+    on shared storage."""
+    import os
+    import shutil
+    import uuid
+
+    from opentelemetry_collector_ray.sources.arrow_ipc import (
+        read_ipc, write_ipc)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/graft_ipc_{tag}"
+    if not os.path.isdir(out_dir):
+        ev = _read_co(sf_dir, "events",
+                      ["event_id", "user_id", "event_type", "ts"],
+                      floor=8)
+        stage = f"{out_dir}.stage-{uuid.uuid4().hex[:8]}"
+        half = ev.map_batches(
+            lambda t: t.filter(pc.equal(
+                pc.bit_wise_and(t.column("event_id"), 1), 0)),
+            batch_format="pyarrow")
+        other = ev.map_batches(
+            lambda t: t.filter(pc.equal(
+                pc.bit_wise_and(t.column("event_id"), 1), 1)),
+            batch_format="pyarrow")
+        write_ipc(half, f"{stage}/plain", compression="none")
+        write_ipc(other, f"{stage}/zstd", compression="zstd")
+        try:
+            os.rename(stage, out_dir)
+        except OSError:  # concurrent run won the rename
+            shutil.rmtree(stage, ignore_errors=True)
+
+    files = sorted(
+        f"{out_dir}/{sub}/{n}"
+        for sub in ("plain", "zstd")
+        for n in os.listdir(f"{out_dir}/{sub}"))
+    logs = read_ipc(files)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.int64())})
+
+    return grouped_agg(logs.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type"], count_name="n",
+                       sum_cols={"sum_uid": "user_id"},
+                       min_cols={"min_ts_us": "ts_us"},
+                       max_cols={"max_ts_us": "ts_us"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5353,6 +5413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_outliers": _q_events_rolling_outliers,
         "events_corr_parts": _q_events_corr_parts,
         "events_json_extract": _q_events_json_extract,
+        "events_ipc_roundtrip": _q_events_ipc_roundtrip,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7761,6 +7822,13 @@ WITH v AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
 SELECT k, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM v GROUP BY k
+""",
+        "events_ipc_roundtrip": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events GROUP BY event_type
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

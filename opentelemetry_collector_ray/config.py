@@ -244,6 +244,7 @@ def _register_builtins() -> None:
     # receiver per signal, we wire a derivation per signal)
     register("csv", Factory("receiver", lambda cfg: cfg))
     register("jsonl", Factory("receiver", lambda cfg: cfg))
+    register("ipc", Factory("receiver", lambda cfg: cfg))
     register("textlog", Factory("receiver", lambda cfg: cfg))
     register("multiline", Factory("receiver", lambda cfg: cfg))
     register("turns", Factory("receiver", lambda cfg: cfg))
@@ -1100,6 +1101,7 @@ def _register_builtins() -> None:
     register("filter", Factory("processor", make_filter))
     register("parquet_sink", Factory("exporter", lambda cfg: cfg))
     register("jsonl_sink", Factory("exporter", lambda cfg: cfg))
+    register("ipc_sink", Factory("exporter", lambda cfg: cfg))
     register("debug", Factory("exporter", lambda cfg: cfg))
 
 

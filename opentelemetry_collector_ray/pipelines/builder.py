@@ -83,6 +83,10 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
                     fields.append((c, _types[tname]))
                 schema = _pa.schema(fields)
             datasets.append(read_jsonl(rpaths, schema=schema))
+        elif rtype == "ipc":
+            from ..sources.arrow_ipc import read_ipc
+
+            datasets.append(read_ipc(rpaths))
         elif rtype == "textlog":
             from ..sources.textlog import read_text_logs
 
@@ -200,6 +204,15 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
             target = os.path.join(out_root,
                                   ecfg.get("path", name.replace("/", "_")))
             counts[name] = write_otlp_json_spans(
+                ds, target, compression=ecfg.get("compression", "none"))
+        elif type_name == "ipc_sink":
+            # Arrow IPC stream files, one per block — the zero-parse
+            # pipeline-to-pipeline wire (inverse of the ipc receiver)
+            from ..sources.arrow_ipc import write_ipc
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_ipc(
                 ds, target, compression=ecfg.get("compression", "none"))
         elif type_name == "jsonl_sink":
             # newline-delimited JSON, one file per block (pandas
