@@ -5289,6 +5289,30 @@ def _q_events_ipc_roundtrip(sf_dir: str):
                        strategy="tree")
 
 
+def _q_lineitem_weighted_median(sf_dir: str):
+    """Exact quantity-weighted median price per return flag
+    (spanops.grouped_weighted_median — the volume-weighted central
+    tendency): smallest price-cents whose cumulative quantity reaches
+    half the flag's total, all integer (rank rule 2·cum >= tot).
+    Oracle = the same rule over window cumsums in SQL."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_median)
+
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_returnflag", "l_extendedprice", "l_quantity"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "cents": _cents(t.column("l_extendedprice")),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    return grouped_weighted_median(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag", "cents", "qty")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5414,6 +5438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr_parts": _q_events_corr_parts,
         "events_json_extract": _q_events_json_extract,
         "events_ipc_roundtrip": _q_events_ipc_roundtrip,
+        "lineitem_weighted_median": _q_lineitem_weighted_median,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7829,6 +7854,20 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
        CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
 FROM events GROUP BY event_type
+""",
+        "lineitem_weighted_median": """
+WITH d AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      AS v,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+c AS (SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM d)
+SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
+       CAST(min(v) AS BIGINT) AS wmedian
+FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

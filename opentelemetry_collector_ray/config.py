@@ -464,6 +464,16 @@ def _register_builtins() -> None:
             sep=str(cfg.get("sep", ":")),
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_weighted_median(cfg: dict):
+        from .stages.spanops import grouped_weighted_median
+
+        for req in ("key", "value_col", "weight_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"weighted_median: {req} is required")
+        return DatasetTransform(lambda ds: grouped_weighted_median(
+            ds, cfg["key"], cfg["value_col"], cfg["weight_col"],
+            n_buckets=cfg.get("n_buckets", 64)))
+
     def make_k_anonymize(cfg: dict):
         from .stages.privacy import k_anonymize
 
@@ -1065,6 +1075,8 @@ def _register_builtins() -> None:
     register("feature_hash", Factory("processor", make_feature_hash))
     register("target_encode", Factory("processor", make_target_encode))
     register("checksum", Factory("processor", make_checksum))
+    register("weighted_median",
+             Factory("processor", make_weighted_median))
     register("rollup", Factory("processor", make_rollup))
     register("resample", Factory("processor", make_resample))
     register("dup_stats", Factory("processor", make_dup_stats))

@@ -1010,3 +1010,37 @@ def test_final_session_yaml_processors(ray_session, tmp_path):
         get_factory("target_encode").create({"cat_col": "k"})
     with pytest.raises(ConfigError, match="required"):
         get_factory("checksum").create({})
+
+
+def test_weighted_median_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_median)
+
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "v": pa.array([1, 3, 9], pa.int64()),
+        "w": pa.array([1, 2, 5], pa.int64())}), str(p))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"weighted_median": {
+            "key": "k", "value_col": "v", "weight_col": "w"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["weighted_median"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("k").reset_index(drop=True)
+    direct = grouped_weighted_median(
+        ray.data.read_parquet(str(p)), "k", "v", "w"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert built.equals(direct)
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("weighted_median").create({"key": "k"})

@@ -291,3 +291,51 @@ SELECT k, i, CAST(pre - LEAST(runmin, 0) AS BIGINT) AS cusum FROM r
     cols = ["k", "i", "cusum"]
     assert sorted(map(tuple, got[cols].values.tolist())) == \
         sorted(map(tuple, want[cols].values.tolist()))
+
+
+def test_grouped_weighted_median(ray_session):
+    """Planted + randomized weighted-median parity with the SQL window
+    rule 2*cum >= tot (lower weighted median)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_median)
+
+    # planted: k=a values 1,2,3 weights 1,1,2 -> tot 4, 2*cum>=4 at v=2
+    #          k=b single value; k=c zero-weight then heavy value
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "c", "c"]),
+        "v": pa.array([1, 2, 3, 7, 1, 5], pa.int64()),
+        "w": pa.array([1, 1, 2, 3, 0, 4], pa.int64())})
+    out = grouped_weighted_median(
+        ray.data.from_arrow(tbl).repartition(3), "k", "v", "w"
+        ).to_pandas().set_index("k")
+    assert out.loc["a", "wmedian"] == 2 and out.loc["a", "tot_w"] == 4
+    assert out.loc["b", "wmedian"] == 7
+    assert out.loc["c", "wmedian"] == 5 and out.loc["c", "tot_w"] == 4
+
+    rng = np.random.default_rng(11)
+    big = pa.table({
+        "k": pa.array(np.char.add("g", rng.integers(0, 9, 2000)
+                                  .astype("U2"))),
+        "v": pa.array(rng.integers(-50, 50, 2000), pa.int64()),
+        "w": pa.array(rng.integers(1, 9, 2000), pa.int64())})
+    got = grouped_weighted_median(
+        ray.data.from_arrow(big).repartition(5), "k", "v", "w"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", big)
+    want = con.execute("""
+        WITH d AS (SELECT k, v, CAST(sum(w) AS BIGINT) w
+                   FROM t GROUP BY k, v),
+        c AS (SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) cum,
+                     sum(w) OVER (PARTITION BY k) tot FROM d)
+        SELECT k, CAST(min(tot) AS BIGINT) tot_w,
+               CAST(min(v) AS BIGINT) wmedian
+        FROM c WHERE 2*cum >= tot GROUP BY k ORDER BY k""").df()
+    assert (got[["k", "tot_w", "wmedian"]].values
+            == want[["k", "tot_w", "wmedian"]].values).all()
