@@ -5247,8 +5247,11 @@ def _q_events_ipc_roundtrip(sf_dir: str):
         read_ipc, write_ipc)
     from opentelemetry_collector_ray.stages.aggregate import grouped_agg
 
+    import pyarrow.parquet as _pq
+
     tag = sf_dir.rstrip("/").split("/")[-1]
-    out_dir = f"/tmp/graft_ipc_{tag}"
+    n_rows = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    out_dir = f"/tmp/graft_ipc_{tag}_{n_rows}"
     if not os.path.isdir(out_dir):
         ev = _read_co(sf_dir, "events",
                       ["event_id", "user_id", "event_type", "ts"],

@@ -382,7 +382,20 @@ def json_path_str(col: pa.ChunkedArray | pa.Array, path: str) -> pa.Array:
     Polars' Rust ``str.json_path_match`` kernel does the whole column
     at native speed (verified value-parity with DuckDB on scalars,
     nested paths, bools and floats); a stdlib-json per-row fallback
-    covers environments without polars."""
+    covers environments without polars. The path contract is validated
+    UP FRONT to the dotted-key subset both branches implement
+    identically (``$.a`` / ``$.a.b`` — no array indexing), so an
+    environment change can't silently alter which paths are accepted.
+    Residual fallback divergence: a float literal re-renders through
+    ``json.dumps`` (``1.50`` → ``1.5``) while polars returns the raw
+    matched text — canonical-form literals only if the fallback must
+    be bit-identical."""
+    import re as _re
+
+    if not _re.fullmatch(r"\$(\.[A-Za-z_]\w*)+", path):
+        raise ValueError(
+            f"json_path_str: unsupported path {path!r} — the portable "
+            "subset is dotted keys only ($.a / $.a.b)")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     try:
@@ -394,9 +407,6 @@ def json_path_str(col: pa.ChunkedArray | pa.Array, path: str) -> pa.Array:
     except ImportError:
         import json
 
-        if not path.startswith("$."):
-            raise ValueError(f"json_path_str: path must start with "
-                             f"'$.', got {path!r}")
         keys = path[2:].split(".")
 
         def pull(s):
@@ -412,9 +422,9 @@ def json_path_str(col: pa.ChunkedArray | pa.Array, path: str) -> pa.Array:
                 v = v[k]
             if isinstance(v, (dict, list)) or v is None:
                 return None
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            return str(v)
+            if isinstance(v, str):
+                return v
+            return json.dumps(v)  # bools -> true/false, ints exact
 
         return pa.array([pull(s) for s in col.to_pylist()], pa.string())
 

@@ -20,6 +20,28 @@ from ..state.manifest import ManifestStore, PartitionTask, run_resumable
 from ..stages.parse import ParseStage
 
 
+def _schema_from_cfg(rcfg: dict, receiver: str):
+    """Optional pinned-schema config (`schema: {col: type}`) shared by
+    the jsonl and ipc receivers."""
+    import pyarrow as pa
+
+    if not rcfg.get("schema"):
+        return None
+    types = {"int64": pa.int64(), "int32": pa.int32(),
+             "float64": pa.float64(), "float32": pa.float32(),
+             "string": pa.string(), "bool": pa.bool_(),
+             "timestamp_us": pa.timestamp("us"),
+             "binary": pa.binary()}
+    fields = []
+    for c, tname in rcfg["schema"].items():
+        if tname not in types:
+            raise ValueError(
+                f"{receiver} receiver: unknown type {tname!r} for "
+                f"column {c!r}; one of {sorted(types)}")
+        fields.append((c, types[tname]))
+    return pa.schema(fields)
+
+
 def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
                   ) -> ray.data.Dataset:
     """receivers → processors: compose the Dataset chain."""
@@ -62,31 +84,18 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
             datasets.append(read_otlp_json_spans(rpaths))
         elif rtype == "jsonl":
             # filelog-receiver analog: JSONL files, optional pinned schema
-            import pyarrow as _pa
-
             from ..sources.textlog import read_jsonl
 
-            _types = {"int64": _pa.int64(), "int32": _pa.int32(),
-                      "float64": _pa.float64(), "float32": _pa.float32(),
-                      "string": _pa.string(), "bool": _pa.bool_(),
-                      "timestamp_us": _pa.timestamp("us"),
-                      "binary": _pa.binary()}
-            schema = None
-            if rcfg.get("schema"):
-                fields = []
-                for c, tname in rcfg["schema"].items():
-                    if tname not in _types:
-                        raise ValueError(
-                            f"jsonl receiver: unknown type {tname!r} "
-                            f"for column {c!r}; one of "
-                            f"{sorted(_types)}")
-                    fields.append((c, _types[tname]))
-                schema = _pa.schema(fields)
-            datasets.append(read_jsonl(rpaths, schema=schema))
+            datasets.append(read_jsonl(
+                rpaths, schema=_schema_from_cfg(rcfg, "jsonl")))
         elif rtype == "ipc":
             from ..sources.arrow_ipc import read_ipc
 
-            datasets.append(read_ipc(rpaths))
+            # schema pin (same contract as jsonl): REQUIRED for
+            # schema-evolving directories — one task per file means
+            # union-by-name can't see across files
+            datasets.append(read_ipc(
+                rpaths, schema=_schema_from_cfg(rcfg, "ipc")))
         elif rtype == "textlog":
             from ..sources.textlog import read_text_logs
 

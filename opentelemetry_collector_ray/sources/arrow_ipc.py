@@ -48,9 +48,17 @@ def write_ipc(ds: ray.data.Dataset, out_dir: str,
                                compression=compression)
 
 
-def read_ipc(paths) -> ray.data.Dataset:
-    """IPC stream files → Dataset. One reader call per file; files may
-    disagree on column order/presence (union-by-name promotion)."""
+def read_ipc(paths, *, schema: pa.Schema | None = None
+             ) -> ray.data.Dataset:
+    """IPC stream files → Dataset. One reader call per file.
+
+    Files may disagree on column order/presence. Union-by-name
+    promotion runs WITHIN a read task; files large enough to occupy
+    one task each never meet, so a schema-evolving directory must pin
+    ``schema=`` — each file is then null-filled/reordered to it (the
+    ``read_jsonl`` schema-pin convention) and every block agrees. A
+    same-schema directory (the common wire case — one writer) needs no
+    pin."""
     raw = read_decompressed_files(paths)
 
     def parse(t: pa.Table) -> pa.Table:
@@ -60,6 +68,14 @@ def read_ipc(paths) -> ray.data.Dataset:
             if buf:
                 tables.append(pa.ipc.open_stream(io.BytesIO(buf))
                               .read_all())
+        if schema is not None:
+            tables = [pa.table(
+                {f.name: (tb.column(f.name).cast(f.type)
+                          if f.name in tb.column_names
+                          else pa.nulls(tb.num_rows, f.type))
+                 for f in schema}) for tb in tables]
+            if not tables:
+                return schema.empty_table()
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables, promote_options="default") \

@@ -171,6 +171,13 @@ def scd2_intervals(ds: ray.data.Dataset, key: str, order_col: str,
     """
     if not value_cols:
         raise ValueError("scd2_intervals: value_cols must be non-empty")
+    reserved = {"valid_from", "valid_to", "is_current"}
+    clash = reserved & {key, order_col, *value_cols}
+    if clash:
+        raise ValueError(
+            f"scd2_intervals: column(s) {sorted(clash)} collide with "
+            "the reserved output columns valid_from/valid_to/"
+            "is_current — rename them upstream")
     order_by = [order_col] + ([tie_break] if tie_break else [])
 
     def bucket_fn(t: pa.Table) -> pa.Table:

@@ -119,7 +119,8 @@ def feature_hash(ds: ray.data.Dataset, id_col: str, text_col: str,
             from ..functions.hashing import hash64
 
             b = (hash64(flat) % np.uint64(nb)).astype(np.int64)
-        ids = ids_col.take(parent).to_numpy(zero_copy_only=False)
+        ids = ids_col.take(parent).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)  # int32 ids would wrap in the packing
         if len(ids):
             lo, hi = int(ids.min()), int(ids.max())
             if lo < 0 or hi > (2**62) // nb:
@@ -166,10 +167,21 @@ def target_encode(ds: ray.data.Dataset, cat_col: str, target_col: str,
         count_name="n", sum_cols={"s": target_col},
         strategy="shuffle").materialize()
     pdf = parts.to_pandas()
-    gn = int(pdf["n"].sum())
-    gs = int(pdf["s"].sum())
+    # Ray's to_pandas drops ALL columns on a fully-empty dataset
+    empty_in = len(pdf) == 0 or "n" not in pdf.columns
+    gn = 0 if empty_in else int(pdf["n"].sum())
+    gs = 0 if empty_in else int(pdf["s"].sum())
     if gn == 0:
-        empty = pa.schema([pa.field(cat_col, pa.string()),
+        # keep the category column's REAL type on the empty path — the
+        # aggregate's empty exchange loses its schema, so read it off
+        # the INPUT dataset (known without execution for materialized
+        # sources); string as the last resort
+        cat_type = pa.string()
+        sch = ds.schema(fetch_if_missing=True)  # input is empty: the
+        # probe re-executes a plan that produced zero rows — cheap
+        if sch is not None and cat_col in sch.names:
+            cat_type = dict(zip(sch.names, sch.types))[cat_col]
+        empty = pa.schema([pa.field(cat_col, cat_type),
                            ("n", pa.int64()), ("s", pa.int64()),
                            (out_name, pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)

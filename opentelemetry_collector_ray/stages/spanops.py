@@ -266,14 +266,22 @@ def grouped_weighted_median(ds: ray.data.Dataset, key: str,
         change, _ = key_segments(k)
         starts = np.flatnonzero(change)
         cum = np.cumsum(w)
+        if len(cum) and int(cum[-1]) > 2**62:
+            raise ValueError(
+                "grouped_weighted_median: bucket weight total exceeds "
+                "2^62 — 2·cum would wrap int64; scale the weights down")
         ends = np.append(starts[1:], len(k)) - 1
         seg_base = np.concatenate([[0], cum])[starts]
         totals = (cum[ends] - seg_base) if len(starts) \
             else np.empty(0, np.int64)
         # first index per segment where 2·(cum − base) >= tot: cum is
         # non-decreasing within a segment, so one global searchsorted
-        # over 2·cum against 2·base + tot lands on it
-        pos = np.searchsorted(2 * cum, 2 * seg_base + totals)
+        # over 2·cum against 2·base + tot lands on it. An all-zero-
+        # weight key's target equals the PREVIOUS segment's cumsum
+        # plateau, so clamp to the segment start (= SQL's min(v) where
+        # 2·cum >= 0).
+        pos = np.maximum(np.searchsorted(2 * cum, 2 * seg_base + totals),
+                         starts)
         return pa.table({
             key: t.column(key).take(pa.array(starts.astype(np.int64))),
             "tot_w": pa.array(totals.astype(np.int64)),

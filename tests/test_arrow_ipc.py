@@ -101,3 +101,28 @@ def test_ipc_yaml_receiver_and_sink(ray_session, tmp_path):
         .reset_index(drop=True)
     assert back.equals(tbl.to_pandas().sort_values("id")
                        .reset_index(drop=True)[back.columns])
+
+
+def test_ipc_schema_pin_null_fills_per_file(ray_session, tmp_path):
+    """schema= pins every block to one schema regardless of how files
+    split across read tasks (review finding: promotion is per-batch)."""
+    import os
+
+    a = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "x": pa.array(["a", "b"])})
+    b = pa.table({"id": pa.array([3], pa.int32()),  # narrower int
+                  "y": pa.array([9.5], pa.float64())})
+    write_ipc(ray.data.from_arrow(a), str(tmp_path), "none")
+    write_ipc(ray.data.from_arrow(b), str(tmp_path), "none")
+    schema = pa.schema([("id", pa.int64()), ("x", pa.string()),
+                        ("y", pa.float64())])
+    files = [str(tmp_path / f) for f in sorted(os.listdir(tmp_path))]
+    # force one file per read task: read each file as its own dataset
+    # and union — every block must already match the pinned schema
+    parts = [read_ipc([f], schema=schema) for f in files]
+    ds = parts[0].union(*parts[1:])
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "x", "y"]
+    assert list(df["id"]) == [1, 2, 3]
+    assert df["x"].isna().tolist() == [False, False, True]
+    assert df["y"].isna().tolist() == [True, True, False]

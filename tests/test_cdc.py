@@ -221,3 +221,14 @@ def test_scd2_intervals_null_state_and_guard(ray_session):
     assert list(out["is_current"]) == [False, False, True]
     with pytest.raises(ValueError, match="value_cols"):
         scd2_intervals(ray.data.from_arrow(tbl), "k", "ts", [])
+
+
+def test_scd2_reserved_name_collision(ray_session):
+    from opentelemetry_collector_ray.stages.cdc import scd2_intervals
+
+    tbl = pa.table({"k": pa.array(["a"]),
+                    "ts": pa.array([1], pa.int64()),
+                    "valid_from": pa.array(["x"])})
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_intervals(ray.data.from_arrow(tbl), "k", "ts",
+                       ["valid_from"])

@@ -158,3 +158,25 @@ def test_target_encode_matches_sql_and_guards(ray_session):
                                                           pa.int64())})
     with pytest.raises(ValueError, match="negative"):
         target_encode(ray.data.from_arrow(neg), "cat", "y")
+
+
+def test_feature_hash_int32_ids(ray_session):
+    """int32 id columns must not wrap in the packed (id, bucket) key —
+    review-found numpy value-based-cast bug."""
+    docs = pa.table({"doc_id": pa.array([40_000_000, 7], pa.int32()),
+                     "text": pa.array(["a b", "c"], pa.string())})
+    out = feature_hash(ray.data.from_arrow(docs), "doc_id", "text",
+                       n_buckets=64).to_pandas()
+    assert set(out["doc_id"]) == {40_000_000, 7}
+    assert (out["doc_id"] >= 0).all() and (out["n"] > 0).all()
+
+
+def test_target_encode_empty_keeps_cat_type(ray_session):
+    """Empty input returns the category column's REAL type, not a
+    hardcoded string (review finding)."""
+    tbl = pa.table({"cat": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64())})
+    out = target_encode(ray.data.from_arrow(tbl), "cat", "y")
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["cat"] == pa.int64()
+    assert out.count() == 0

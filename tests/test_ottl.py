@@ -146,3 +146,17 @@ def test_jsonpath_converter_and_kernel(ray_session, monkeypatch):
     t = pa.table({"props": col})
     fn = compile_statements(['set(k, JSONPath(props, "$.k"))'])
     assert fn(t).column("k").to_pylist() == want
+
+
+def test_jsonpath_rejects_unportable_paths(ray_session):
+    """Path contract validated up front in BOTH branches (review
+    finding: the fallback rejected paths polars accepted)."""
+    import pyarrow as pa
+    import pytest
+
+    from opentelemetry_collector_ray.functions.text import json_path_str
+
+    col = pa.array(['{"a": [1]}'], pa.string())
+    for bad in ("$[0]", "$.a[1]", "a.b", "$."):
+        with pytest.raises(ValueError, match="dotted keys"):
+            json_path_str(col, bad)

@@ -339,3 +339,25 @@ def test_grouped_weighted_median(ray_session):
         FROM c WHERE 2*cum >= tot GROUP BY k ORDER BY k""").df()
     assert (got[["k", "tot_w", "wmedian"]].values
             == want[["k", "tot_w", "wmedian"]].values).all()
+
+
+def test_grouped_weighted_median_zero_weight_key(ray_session):
+    """An all-zero-weight key must answer its OWN smallest value (SQL
+    2*cum >= 0 holds at the first row), not the previous segment's —
+    review-found searchsorted plateau bug."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_median)
+
+    tbl = pa.table({
+        "k": pa.array(["a", "b", "b"]),
+        "v": pa.array([100, 5, 7], pa.int64()),
+        "w": pa.array([1, 0, 0], pa.int64())})
+    out = grouped_weighted_median(
+        ray.data.from_arrow(tbl), "k", "v", "w",
+        n_buckets=1).to_pandas().set_index("k")
+    assert out.loc["a", "wmedian"] == 100
+    assert out.loc["b", "wmedian"] == 5 and out.loc["b", "tot_w"] == 0
