@@ -5316,6 +5316,118 @@ def _q_lineitem_weighted_median(sf_dir: str):
         "l_returnflag", "cents", "qty")
 
 
+def _q_events_trending(sf_dir: str):
+    """Trending items: top-3 event types per day by count with a
+    deterministic tie-break (aggregate.grouped_topk over the bounded
+    day×type count table — per-block top-k pre-reduction bounds the
+    exchange). Oracle = row_number() over (n DESC, type) <= 3."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_topk)
+
+    ev = _read_co(sf_dir, "events", ["event_type", "ts"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "event_type": t.column("event_type")})
+
+    counts = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                         ["day", "event_type"], count_name="n",
+                         strategy="tree")
+    return grouped_topk(counts, "day", "n", k=3, descending=True,
+                        tiebreak="event_type")
+
+
+def _q_events_debounced(sf_dir: str):
+    """Alert-style spacing throttle (per_key_window lag composition):
+    keep an event only when it is the (user, type) stream's first or
+    lies more than 5 minutes after the PREVIOUS RAW event — the
+    lag-spacing rule (one vectorized window pass; the reference's
+    repeated-log suppression analog). Oracle = the same lag filter in
+    SQL."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["event_id", "user_id", "event_type", "ts"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.binary_join_element_wise(
+                pc.cast(t.column("user_id"), pa.string()),
+                t.column("event_type"), ":"),
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.int64())})
+
+    w = per_key_window(
+        ev.map_batches(prep, batch_format="pyarrow"), "k",
+        ["ts_us", "event_id"], {"prev_us": ("lag", "ts_us")})
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.or_kleene(
+            pc.is_null(t.column("prev_us")),
+            pc.greater(pc.subtract(t.column("ts_us"),
+                                   t.column("prev_us")),
+                       pa.scalar(300_000_000, pa.int64())))
+        t = t.filter(pc.fill_null(m, False))
+        return t.select(["event_id", "user_id", "event_type"])
+
+    return w.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_custs_rfm(sf_dir: str):
+    """RFM segmentation mart (grouped_agg + three constant-key ntile
+    window passes over the BOUNDED per-customer dimension): per
+    customer the recency in whole days behind the corpus max order
+    date, order count, monetary cents, and ntile(5) quintile scores
+    for each — ties broken by custkey so every rank is total. Oracle =
+    the identical ntile windows in SQL."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    DAY_US = 86_400_000_000
+    orders = _read_co(sf_dir, "orders",
+                      ["o_custkey", "o_orderdate", "o_totalprice"],
+                      floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "date_us": t.column("o_orderdate").cast(pa.int64()),
+            "cents": _cents(t.column("o_totalprice"))})
+
+    agg = grouped_agg(orders.map_batches(prep, batch_format="pyarrow"),
+                      ["o_custkey"], count_name="freq",
+                      sum_cols={"monetary": "cents"},
+                      max_cols={"last_us": "date_us"},
+                      strategy="shuffle").materialize()
+    gmax = int(agg.max("last_us"))
+
+    def derive(t: pa.Table) -> pa.Table:
+        rec = pc.divide(pc.subtract(pa.scalar(gmax, pa.int64()),
+                                    t.column("last_us")),
+                        pa.scalar(DAY_US, pa.int64()))
+        return pa.table({"_all": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "o_custkey": t.column("o_custkey"),
+                         "recency_days": rec,
+                         "freq": t.column("freq"),
+                         "monetary": t.column("monetary")})
+
+    # three ntile passes over the small per-customer dimension (the
+    # constant key puts it in ONE bucket task — bounded by design:
+    # this is the post-aggregate mart, not the raw fact table)
+    d = agg.map_batches(derive, batch_format="pyarrow")
+    d = per_key_window(d, "_all", ["recency_days", "o_custkey"],
+                       {"r_q": ("ntile", 5)}, n_buckets=1)
+    d = per_key_window(d, "_all", ["freq", "o_custkey"],
+                       {"f_q": ("ntile", 5)}, n_buckets=1)
+    d = per_key_window(d, "_all", ["monetary", "o_custkey"],
+                       {"m_q": ("ntile", 5)}, n_buckets=1)
+    return d.map_batches(lambda t: t.drop_columns(["_all"]),
+                         batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5442,6 +5554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": _q_events_json_extract,
         "events_ipc_roundtrip": _q_events_ipc_roundtrip,
         "lineitem_weighted_median": _q_lineitem_weighted_median,
+        "events_trending": _q_events_trending,
+        "events_debounced": _q_events_debounced,
+        "custs_rfm": _q_custs_rfm,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7871,6 +7986,46 @@ c AS (SELECT l_returnflag, v,
 SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) AS BIGINT) AS wmedian
 FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+""",
+        "events_trending": """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT day, event_type, n, rk FROM (
+  SELECT day, event_type, n,
+         CAST(row_number() OVER (PARTITION BY day
+              ORDER BY n DESC, event_type) AS BIGINT) AS rk
+  FROM c)
+WHERE rk <= 3
+""",
+        "events_debounced": """
+WITH w AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events)
+SELECT event_id, user_id, event_type FROM w
+WHERE prev IS NULL OR ts_us - prev > 300000000
+""",
+        "custs_rfm": """
+WITH a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS monetary,
+                  max(epoch_us(o_orderdate)) AS last_us
+           FROM orders GROUP BY o_custkey),
+g AS (SELECT max(last_us) AS gmax FROM a),
+d AS (SELECT o_custkey,
+             CAST((gmax - last_us) // 86400000000 AS BIGINT)
+                 AS recency_days,
+             freq, monetary
+      FROM a, g)
+SELECT o_custkey, recency_days, freq, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+            AS BIGINT) AS r_q,
+       CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_q,
+       CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+            AS BIGINT) AS m_q
+FROM d
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
