@@ -180,3 +180,44 @@ def test_target_encode_empty_keeps_cat_type(ray_session):
     sch = out.schema()
     assert dict(zip(sch.names, sch.types))["cat"] == pa.int64()
     assert out.count() == 0
+
+
+def test_replication_check_example_yaml(ray_session, tmp_path,
+                                        monkeypatch):
+    """examples/replication_check.yaml: the YAML pipeline's whole-table
+    checksum equals the direct call AND survives an IPC export/reimport
+    round trip (the replication-validation pattern it documents)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.sources.arrow_ipc import (
+        read_ipc, write_ipc)
+
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(300), pa.int64()),
+        "user_id": pa.array(np.arange(300) % 17, pa.int64()),
+        "event_type": pa.array(
+            np.char.add("t", (np.arange(300) % 5).astype("U2")))})
+    p = tmp_path / "events.parquet"
+    pq.write_table(tbl, str(p))
+    monkeypatch.setenv("EVENTS_DIR", str(p))
+    cfg = PipelineConfig.from_yaml(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "replication_check.yaml"))
+    src_sum = build_dataset(cfg).to_pandas()
+    assert list(src_sum.columns) == ["n", "checksum"]
+    assert int(src_sum["n"][0]) == 300
+
+    # replicate over the IPC wire (different sharding), re-checksum
+    wire = str(tmp_path / "wire")
+    write_ipc(ray.data.from_arrow(tbl).repartition(7), wire, "zstd")
+    files = [f"{wire}/{f}" for f in sorted(os.listdir(wire))]
+    copy_sum = table_checksum(
+        read_ipc(files), ["event_id", "user_id", "event_type"]
+        ).to_pandas()
+    assert copy_sum["checksum"][0] == src_sum["checksum"][0]
+    assert int(copy_sum["n"][0]) == 300
