@@ -5428,6 +5428,16 @@ def _q_custs_rfm(sf_dir: str):
                          batch_format="pyarrow")
 
 
+def _q_spans_self_time(sf_dir: str):
+    """Flame-graph exclusive time (spanops.span_self_time): each
+    span's duration minus its direct children's — one trace-bucket
+    exchange, one Arrow group_by + index_in per bucket. Oracle = the
+    LEFT JOIN against the per-parent child-duration sums."""
+    from opentelemetry_collector_ray.stages.spanops import span_self_time
+
+    return span_self_time(_spans(sf_dir))
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -5557,6 +5567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trending": _q_events_trending,
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
+        "spans_self_time": _q_spans_self_time,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7194,6 +7205,18 @@ d AS (
     ON s.trace_id = d.trace_id AND s.parent_span_id = d.span_id
 )
 SELECT trace_id, span_id, depth FROM d
+""",
+        "spans_self_time": f"""
+WITH {SPANS_CTE.strip()},
+k AS (SELECT trace_id, parent_span_id AS span_id,
+             CAST(sum(duration_us) AS BIGINT) AS child_us
+      FROM spans WHERE parent_span_id <> '' GROUP BY 1, 2)
+SELECT s.trace_id, s.span_id, s.service,
+       CAST(s.duration_us AS BIGINT) AS duration_us,
+       CAST(s.duration_us - COALESCE(k.child_us, 0) AS BIGINT)
+           AS self_us
+FROM spans s LEFT JOIN k
+  ON s.trace_id = k.trace_id AND s.span_id = k.span_id
 """,
         "spans_parent_join": f"""
 WITH {SPANS_CTE.strip()}

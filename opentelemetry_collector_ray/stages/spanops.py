@@ -292,6 +292,52 @@ def grouped_weighted_median(ds: ray.data.Dataset, key: str,
                                n_buckets=n_buckets)
 
 
+def span_self_time(spans: ray.data.Dataset,
+                   n_buckets: int | str = 64) -> ray.data.Dataset:
+    """Per-span SELF time — own duration minus the sum of direct
+    children's durations: the flame-graph exclusive-time metric (what
+    a profiler charges to the frame itself; reference semantics =
+    ptrace parent links, `pdata/ptrace/generated_span.go` ParentSpanID).
+    Negative values are legitimate signal (children overlapping /
+    outliving the parent — async fire-and-forget).
+
+    One exchange: traces co-partition by trace_id (parent links are
+    trace-local), then per bucket ONE Arrow group_by sums child
+    durations per parent and one ``pc.index_in`` joins them back —
+    no global join, no per-span Python. Returns
+    ``(trace_id, span_id, service, duration_us, self_us)``."""
+    from .bucketing import bucketed_map_groups
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        sep = "\x1f"
+        has_parent = pc.and_kleene(
+            pc.is_valid(t.column("parent_span_id")),
+            pc.not_equal(t.column("parent_span_id"), ""))
+        kids = t.filter(has_parent)
+        k = kids.group_by(["trace_id", "parent_span_id"]) \
+            .aggregate([("duration_us", "sum")])
+        parent_key = pc.binary_join_element_wise(
+            pc.cast(k.column("trace_id"), pa.string()),
+            pc.cast(k.column("parent_span_id"), pa.string()), sep)
+        span_key = pc.binary_join_element_wise(
+            pc.cast(t.column("trace_id"), pa.string()),
+            pc.cast(t.column("span_id"), pa.string()), sep)
+        idx = pc.index_in(span_key, value_set=parent_key)
+        child_us = pc.fill_null(
+            pc.take(k.column("duration_us_sum"), idx), 0)
+        return pa.table({
+            "trace_id": t.column("trace_id"),
+            "span_id": t.column("span_id"),
+            "service": t.column("service"),
+            "duration_us": t.column("duration_us"),
+            "self_us": pc.subtract(
+                t.column("duration_us").cast(pa.int64()),
+                child_us.cast(pa.int64()))})
+
+    return bucketed_map_groups(spans, "trace_id", per_bucket,
+                               n_buckets=n_buckets)
+
+
 def tail_sample(spans: ray.data.Dataset, n_buckets: int | str = 64,
                 ) -> ray.data.Dataset:
     """Tail-based sampling (the tailsampling processor analog): keep ALL
