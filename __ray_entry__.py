@@ -5428,6 +5428,21 @@ def _q_custs_rfm(sf_dir: str):
                          batch_format="pyarrow")
 
 
+def _q_events_type_users_approx(sf_dir: str):
+    """Per-key approximate COUNT DISTINCT (sketch.grouped_approx_distinct
+    — one 2^p-byte HLL register row per key per batch, element-wise-max
+    merge, ~3.2% error at p=10): the 100 TB scale path beside the exact
+    events_type_users gate. Rows-only by design (an estimate has no
+    SQL mirror); pytest asserts the error band against exact counts
+    and shard-insensitivity."""
+    from opentelemetry_collector_ray.stages.sketch import (
+        grouped_approx_distinct)
+
+    return grouped_approx_distinct(
+        _read_co(sf_dir, "events", ["event_type", "user_id"], floor=8),
+        "event_type", "user_id", p=10, out_name="approx_users")
+
+
 def _q_spans_self_time(sf_dir: str):
     """Flame-graph exclusive time (spanops.span_self_time): each
     span's duration minus its direct children's — one trace-bucket
@@ -5701,6 +5716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pagerank": _q_parts_pagerank,
         "docs_lang_divergence": _q_docs_lang_divergence,
         "events_dp_counts": _q_events_dp_counts,
+        "events_type_users_approx": _q_events_type_users_approx,
     }
     return {**oracle_checked, **rows_only}
 

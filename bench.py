@@ -139,7 +139,14 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              # round-5 late additions
              "tpch_q9", "tpch_q21", "events_clustered_prune",
              "custs_pareto", "parts_triangles", "events_attribution",
-             "events_compacted", "orders_merge_upsert"]
+             "events_compacted", "orders_merge_upsert",
+             # round-5 closing-session additions
+             "orders_scd2", "docs_feature_hash", "events_day_checksum",
+             "custs_target_encode", "lineitem_basket_pairs",
+             "events_rolling_outliers", "events_corr_parts",
+             "events_json_extract", "events_ipc_roundtrip",
+             "lineitem_weighted_median", "events_trending",
+             "events_debounced", "custs_rfm", "spans_self_time"]
     q = m.queries()
     for name in names:
         t0 = time.time()

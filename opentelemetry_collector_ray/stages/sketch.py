@@ -15,16 +15,17 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..functions.hashing import hash64
 
 
-def _registers(col: pa.ChunkedArray | pa.Array, p: int) -> np.ndarray:
-    """One HLL register array (2^p uint8) for a column chunk."""
+def _row_ranks(col: pa.ChunkedArray | pa.Array, p: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row HLL (register index, rank) pairs for a column chunk."""
     h = hash64(col)
-    m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)
     # rank = leading zeros of remaining bits + 1 (cap at 64-p+1)
@@ -40,6 +41,13 @@ def _registers(col: pa.ChunkedArray | pa.Array, p: int) -> np.ndarray:
     rank_nz = lz + 1
     rank[nz] = rank_nz
     rank[~nz] = 64 - p + 1
+    return idx, rank
+
+
+def _registers(col: pa.ChunkedArray | pa.Array, p: int) -> np.ndarray:
+    """One HLL register array (2^p uint8) for a column chunk."""
+    m = 1 << p
+    idx, rank = _row_ranks(col, p)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -85,6 +93,74 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12,
     if row is None:  # empty stream has 0 distinct values
         return 0.0
     return _estimate(np.frombuffer(row["regs"], dtype=np.uint8))
+
+
+def grouped_approx_distinct(ds: ray.data.Dataset, key: str, col: str,
+                            p: int = 10, n_buckets: int | str = "auto",
+                            out_name: str = "approx_distinct"
+                            ) -> ray.data.Dataset:
+    """Approximate per-key COUNT(DISTINCT col) — the 100 TB scale path
+    beside the exact ``aggregate.grouped_count_distinct`` (whose
+    distinct (key, value) exchange grows with the data): each batch
+    reduces to ONE 2^p-byte HLL register row per key it contains, so
+    only ``keys-per-batch × 2^p`` bytes ever shuffle regardless of the
+    value cardinality; registers merge by element-wise max (order- and
+    shard-insensitive) on one bucket exchange. Relative error ≈
+    1.04/√(2^p) (~3.2% at p=10). Nulls in ``col`` are skipped (SQL
+    COUNT DISTINCT convention). Returns ``(key, out_name)`` int64
+    rows.
+    """
+    m = 1 << p
+    if not 4 <= p <= 16:
+        raise ValueError(f"grouped_approx_distinct: p must be in "
+                         f"[4, 16], got {p}")
+    from .bucketing import bucketed_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key, col]).filter(pc.is_valid(t.column(col)))
+        keys = t.column(key)
+        if keys.null_count:
+            raise ValueError(f"grouped_approx_distinct: {key!r} has "
+                             "nulls")
+        enc = pc.dictionary_encode(keys.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx, rank = _row_ranks(t.column(col), p)
+        n_keys = len(enc.dictionary)
+        flat = np.zeros(n_keys * m, np.uint8)
+        np.maximum.at(flat, codes * m + idx, rank)
+        return pa.table({
+            key: enc.dictionary,
+            "_regs": pa.array([flat[i * m:(i + 1) * m].tobytes()
+                               for i in range(n_keys)], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        blobs = t.column("_regs").take(
+            pa.array(order, pa.int64())).to_pylist()
+        mat = np.frombuffer(b"".join(blobs), np.uint8) \
+            .reshape(len(blobs), m)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        # vectorized estimate across keys + linear-counting correction
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(
+            2.0 ** -merged.astype(np.float64), axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(m / np.maximum(zeros, 1))
+        est = np.where(small, lc, est)
+        return pa.table({
+            key: pa.array(k[starts]),
+            out_name: pa.array(np.rint(est).astype(np.int64))})
+
+    return bucketed_map_groups(partials, key, combine,
+                               n_buckets=n_buckets)
 
 
 # ------------------------------------------------------------- KLL quantiles

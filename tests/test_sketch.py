@@ -129,3 +129,47 @@ def test_cms_overestimate_bound_and_merge_equality(ray_session):
 
     with pytest.raises(ValueError):
         cms_build(ray.data.from_arrow(tbl), "term", width=1)
+
+
+def test_grouped_approx_distinct_accuracy_and_merge(ray_session):
+    """Per-key HLL: estimates within the p=10 error band of exact
+    per-key distinct counts, shard-insensitive, nulls skipped."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import (
+        grouped_approx_distinct)
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    keys = np.char.add("k", rng.integers(0, 6, n).astype("U2"))
+    # per-key value universes of very different sizes
+    vals = rng.integers(0, 1 + 500 * (rng.integers(0, 6, n) + 1), n)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    est = grouped_approx_distinct(
+        ray.data.from_arrow(tbl).repartition(6), "k", "v",
+        p=10).to_pandas().set_index("k")["approx_distinct"]
+    import pandas as pd
+
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"] \
+        .nunique()
+    for k, e in exact.items():
+        assert abs(int(est[k]) - int(e)) <= max(5, 0.12 * e), \
+            (k, int(est[k]), int(e))
+    # different sharding -> identical registers -> identical estimates
+    est2 = grouped_approx_distinct(
+        ray.data.from_arrow(tbl).repartition(13), "k", "v",
+        p=10).to_pandas().set_index("k")["approx_distinct"]
+    assert (est.sort_index() == est2.sort_index()).all()
+
+    # nulls in the value column are skipped (SQL COUNT DISTINCT)
+    tn = pa.table({"k": pa.array(["a", "a", "a"]),
+                   "v": pa.array([1, None, 1], pa.int64())})
+    one = grouped_approx_distinct(ray.data.from_arrow(tn), "k", "v",
+                                  p=10).to_pandas()
+    assert int(one["approx_distinct"][0]) == 1
+    with pytest.raises(ValueError, match="p must be"):
+        grouped_approx_distinct(ray.data.from_arrow(tn), "k", "v", p=2)
