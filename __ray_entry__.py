@@ -5463,6 +5463,46 @@ def _q_events_type_users_approx(sf_dir: str):
         "event_type", "user_id", p=10, out_name="approx_users")
 
 
+def _q_events_point_lookup(sf_dir: str):
+    """Bloom-filter point lookup over the zone-mapped layout
+    (stages/layout.py cluster_write bloom_cols= + read_pruned eq=):
+    events laid out clustered by event_id with a per-file Bloom on
+    user_id; the probe reads only the files whose filter might contain
+    the user, then the exact residual + rollup. Oracle = plain SQL
+    WHERE user_id = 7 — pruning must never change semantics. Layout
+    cached under a row-count-keyed /tmp path (manifest written LAST =
+    commit marker, so a half-written cache is rebuilt)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.layout import (
+        MANIFEST_NAME, cluster_write, read_pruned)
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    n_rows = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    cache = f"/tmp/graft_bloomzm_{tag}_{n_rows}"
+    if not os.path.exists(os.path.join(cache, MANIFEST_NAME)):
+        cluster_write(
+            lambda: _read_co(sf_dir, "events",
+                             ["event_id", "user_id", "event_type",
+                              "value"], floor=8),
+            cache, keys="event_id", stats_cols=["event_id"],
+            bloom_cols=["user_id"], num_partitions=16)
+
+    ds, report = read_pruned(cache, {}, eq={"user_id": 7})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type"], count_name="n",
+                       sum_cols={"sum_cents": "cents"},
+                       strategy="tree")
+
+
 def _q_spans_self_time(sf_dir: str):
     """Flame-graph exclusive time (spanops.span_self_time): each
     span's duration minus its direct children's — one trace-bucket
@@ -5603,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
         "spans_self_time": _q_spans_self_time,
+        "events_point_lookup": _q_events_point_lookup,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8045,6 +8086,12 @@ c AS (SELECT l_returnflag, v,
 SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) AS BIGINT) AS wmedian
 FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+""",
+        "events_point_lookup": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events WHERE user_id = 7 GROUP BY event_type
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -79,9 +79,48 @@ def zorder_sort(make_ds, x_col: str, y_col: str, tie_break: str,
 MANIFEST_NAME = "_zonemap.parquet"
 
 
+_BLOOM_K = 4  # double-hashing probe count
+
+
+def _bloom_build(col: pa.ChunkedArray | pa.Array, m_bits: int
+                 ) -> bytes:
+    """Per-file Bloom bitmap over a column (k=4 double hashing,
+    packbits layout — m_bits/8 bytes in the manifest)."""
+    from ..functions.hashing import hash64, hash64_ints
+
+    h1 = hash64(col)
+    h2 = hash64_ints(h1, seed=7) | np.uint64(1)  # odd -> full cycle
+    bits = np.zeros(m_bits, np.uint8)
+    for i in range(_BLOOM_K):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bits[pos.astype(np.int64)] = 1
+    return np.packbits(bits).tobytes()
+
+
+def _bloom_maybe_contains(blob, value_arr: pa.Array, m_bits: int
+                          ) -> bool:
+    """False = the value is DEFINITELY absent from the file."""
+    from ..functions.hashing import hash64, hash64_ints
+
+    if blob is None:
+        return True  # no filter recorded -> cannot prove exclusion
+    bits = np.unpackbits(np.frombuffer(blob, np.uint8))
+    h1 = hash64(value_arr)
+    h2 = hash64_ints(h1, seed=7) | np.uint64(1)
+    for i in range(_BLOOM_K):
+        with np.errstate(over="ignore"):
+            pos = int((h1[0] + np.uint64(i) * h2[0])
+                      % np.uint64(m_bits))
+        if not bits[pos]:
+            return False
+    return True
+
+
 def cluster_write(make_ds, out_dir: str, keys, stats_cols,
                   num_partitions: int | None = None,
                   sample_per_block: int = 64,
+                  bloom_cols=None, bloom_bits: int = 16384,
                   persist: str = "none") -> pa.Table:
     """Range-clustered, zone-mapped parquet layout — the data-skipping
     write a 100 TB lakehouse runs before serving range queries (the
@@ -98,7 +137,12 @@ def cluster_write(make_ds, out_dir: str, keys, stats_cols,
 
     Files are disjoint in ``keys[0]`` by construction, so a range
     predicate prunes to the few files whose [min, max] intersect —
-    see :func:`read_pruned`."""
+    see :func:`read_pruned`. ``bloom_cols`` additionally records a
+    per-file Bloom bitmap (``bloom_bits`` bits, k=4, ~2 KB each at the
+    default) for POINT lookups on columns the range layout does NOT
+    cluster — the Parquet/Iceberg bloom-filter analog: an ``eq=``
+    probe at read time skips every file whose filter proves the value
+    absent."""
     import os
     import uuid
 
@@ -108,6 +152,11 @@ def cluster_write(make_ds, out_dir: str, keys, stats_cols,
     keys = [keys] if isinstance(keys, str) else list(keys)
     stats_cols = ([stats_cols] if isinstance(stats_cols, str)
                   else list(stats_cols))
+    bloom_cols = ([bloom_cols] if isinstance(bloom_cols, str)
+                  else list(bloom_cols or []))
+    if bloom_bits < 64 or bloom_bits & (bloom_bits - 1):
+        raise ValueError("cluster_write: bloom_bits must be a power "
+                         f"of two >= 64, got {bloom_bits}")
     primary = keys[0]
     if primary not in stats_cols:
         stats_cols = [primary] + stats_cols
@@ -133,6 +182,11 @@ def cluster_write(make_ds, out_dir: str, keys, stats_cols,
             col = t.column(c)
             row[f"min_{c}"] = pa.array([pc.min(col).as_py()], col.type)
             row[f"max_{c}"] = pa.array([pc.max(col).as_py()], col.type)
+        for c in bloom_cols:
+            row[f"bloom_{c}"] = pa.array(
+                [_bloom_build(t.column(c), bloom_bits)], pa.binary())
+        if bloom_cols:
+            row["bloom_bits"] = pa.array([bloom_bits], pa.int64())
         return pa.table(row)
 
     manifest = make_ds().map_batches(
@@ -157,14 +211,19 @@ def cluster_write(make_ds, out_dir: str, keys, stats_cols,
     return man_tbl
 
 
-def read_pruned(out_dir: str, ranges: dict, columns=None):
+def read_pruned(out_dir: str, ranges: dict, columns=None,
+                eq: dict | None = None):
     """Zone-map-pruned read of a :func:`cluster_write` layout: keep only
     the files whose per-column [min, max] intersects EVERY requested
     ``ranges[col] = (lo, hi)`` band (``None`` bound = unbounded; a file
     with all-null stats can never prove exclusion and is kept), then
     apply the predicate exactly as a residual batch filter — pruning is
-    an optimization, never a semantics change. Returns
-    ``(dataset, report)`` where report = {files_total, files_scanned}.
+    an optimization, never a semantics change. ``eq[col] = value``
+    point predicates additionally consult the per-file Bloom filters
+    recorded by ``bloom_cols`` (files whose filter proves the value
+    absent are skipped; the equality still applies exactly in the
+    residual). Returns ``(dataset, report)`` where report =
+    {files_total, files_scanned}.
 
     At 100 TB this is the difference between touching every file and
     touching the handful whose key range overlaps the query."""
@@ -172,9 +231,29 @@ def read_pruned(out_dir: str, ranges: dict, columns=None):
 
     import pyarrow.parquet as pq
 
+    eq = dict(eq or {})
     man = pq.read_table(os.path.join(out_dir, MANIFEST_NAME))
     keep = np.ones(man.num_rows, bool)
-    for col, (lo, hi) in ranges.items():
+    if eq:
+        first = man.column("file")[0].as_py()
+        fsch = pq.read_schema(os.path.join(out_dir, first))
+        m_bits = (int(man.column("bloom_bits")[0].as_py())
+                  if "bloom_bits" in man.column_names else 0)
+        for col, v in eq.items():
+            # probe with the COLUMN's storage type — the hash is
+            # type-sensitive (int32 vs int64 rows hash differently)
+            probe = pa.array([v]).cast(fsch.field(col).type)
+            name = f"bloom_{col}"
+            if name in man.column_names and m_bits:
+                blooms = man.column(name).to_pylist()
+                hit = np.array([_bloom_maybe_contains(b, probe, m_bits)
+                                for b in blooms])
+                keep &= hit
+    band_preds = dict(ranges)
+    for col, v in eq.items():  # an eq probe is also a [v, v] band
+        if f"min_{col}" in man.column_names and col not in band_preds:
+            band_preds[col] = (v, v)
+    for col, (lo, hi) in band_preds.items():
         mn = man.column(f"min_{col}").to_numpy(zero_copy_only=False)
         mx = man.column(f"max_{col}").to_numpy(zero_copy_only=False)
         known = ~(pd_isna(mn) | pd_isna(mx))
@@ -207,6 +286,9 @@ def read_pruned(out_dir: str, ranges: dict, columns=None):
             if hi is not None:
                 c = pc.less_equal(t.column(col), hi)
                 cond = c if cond is None else pc.and_(cond, c)
+        for col, v in eq.items():
+            c = pc.equal(t.column(col), v)
+            cond = c if cond is None else pc.and_(cond, c)
         return t.filter(cond) if cond is not None else t
 
     ds = ray.data.read_parquet(files, columns=columns)

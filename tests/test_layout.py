@@ -118,3 +118,47 @@ def test_read_pruned_halfopen_and_residual(ray_session, tmp_path):
     got = sorted(ds.to_pandas()["k"])
     want = sorted(v for v in tbl.column("k").to_pylist() if v <= 50.0)
     assert got == pytest.approx(want)
+
+
+def test_bloom_point_lookup_prunes_and_is_exact(ray_session, tmp_path):
+    """bloom_cols point lookups: the eq= probe skips files whose filter
+    proves the value absent, result equals the exact filter, and a
+    value placed in exactly one file scans (almost) one file."""
+    rng = np.random.default_rng(21)
+    n = 4000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "user": pa.array(rng.integers(0, 50_000, n), pa.int64()),
+        "payload": pa.array(rng.integers(0, 10**9, n))})
+    out = str(tmp_path / "bl")
+    man = cluster_write(
+        lambda: ray.data.from_arrow(tbl).repartition(8),
+        out, keys="k", stats_cols=["k"], num_partitions=16,
+        bloom_cols=["user"], bloom_bits=4096)
+    assert "bloom_user" in man.column_names
+
+    probe = int(tbl.column("user")[7].as_py())
+    ds, report = read_pruned(out, {}, eq={"user": probe})
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    want = tbl.to_pandas().query("user == @probe") \
+        .sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the value occurs in few files; bloom must prune most of them
+    assert report["files_scanned"] < report["files_total"]
+
+    # a value NOT in the data: with high probability every file prunes
+    ds2, rep2 = read_pruned(out, {}, eq={"user": 99_999_999})
+    assert rep2["files_scanned"] <= 2
+    assert ds2.count() == 0
+
+    # eq composes with a range band; residual still exact
+    ds3, rep3 = read_pruned(out, {"k": (0, 999)}, eq={"user": probe})
+    got3 = ds3.to_pandas()
+    want3 = tbl.to_pandas().query("user == @probe and k <= 999")
+    assert len(got3) == len(want3)
+    with pytest.raises(ValueError, match="power of two"):
+        cluster_write(lambda: ray.data.from_arrow(tbl), out,
+                      keys="k", stats_cols=["k"], bloom_cols=["user"],
+                      bloom_bits=1000)
