@@ -871,6 +871,121 @@ def _q_events_user_rolling(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_events_moving_avg(sf_dir: str):
+    """ROWS-frame moving window per key (stages/window.py moving_sum /
+    moving_count): per-user trailing-4-row spend and frame size in
+    (ts, event_id) order — SQL ``ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW`` exactly (the unique event_id tie-break keeps a ROWS frame
+    deterministic through ts ties, which RANGE frames never face).
+    Integer lanes only — the moving average is the caller's division
+    of two exact columns. Oracle = the same ROWS frame in DuckDB."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "value"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "value_cents": _cents(t.column("value"))})
+
+    out = per_key_window(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id",
+        ["ts", "event_id"],
+        {"m4_cents": ("moving_sum", "value_cents", 3),
+         "m4_n": ("moving_count", 3)})
+    return out.map_batches(lambda t: t.drop_columns(["ts"]),
+                           batch_format="pyarrow")
+
+
+def _q_events_type_p_cont(sf_dir: str):
+    """Exact per-key CONTINUOUS quantiles (stages/spanops.py
+    grouped_cont_quantiles): median / p90 / p99 of event cents per
+    event type with SQL ``quantile_cont`` interpolation, returned as
+    EXACT scaled integers (interpolated value × den) so the hash gate
+    is bit-stable — no libm anywhere. Oracle = ordered-list indexing
+    in DuckDB computing the same ``v_lo·(den−rem)+v_hi·rem`` integers
+    (cross-checked against quantile_cont in the unit tests)."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_cont_quantiles)
+
+    ev = _read_co(sf_dir, "events", ["event_type", "value"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    return grouped_cont_quantiles(
+        ev.map_batches(prep, batch_format="pyarrow"), "event_type",
+        "cents", qs=((1, 2), (9, 10), (99, 100)),
+        count_strategy="tree")
+
+
+def _q_docs_extract_matches(sf_dir: str):
+    """All-matches regex extraction exploded to rows
+    (stages/parse.extract_all_explode — polars Rust-regex kernel, one
+    vectorized pass per batch) then a tree grouped count per matched
+    token: the every-IP-in-a-line / every-tag-in-a-message pull that
+    first-match ParseStage cannot express. Oracle = DuckDB
+    ``unnest(regexp_extract_all(...))`` + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.parse import extract_all_explode
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ex = extract_all_explode(ds, "text", "[a-z]{6,}", keep=["doc_id"],
+                             out="tok")
+    return grouped_count(ex, ["tok"], count_name="n", strategy="tree")
+
+
+def _q_orders_incr_agg(sf_dir: str):
+    """Incremental aggregate-view maintenance (stages/incragg.py):
+    yesterday's materialized per-priority count/sum plus a +1/−1
+    row-level changelog (inserts = orderkey%10≥8, retractions =
+    orderkey%7==0 of the base) folds to today's view WITHOUT
+    rescanning base facts — the self-maintainable-view identity
+    ``groupsum(state ∪ signed partials)``. Oracle = full recompute
+    over the effective row set in DuckDB; the gate proves maintained
+    state ≡ recomputed state."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.incragg import apply_agg_delta
+
+    def facts():
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": _cents(t.column("o_totalprice"))})
+
+        return _read_co(sf_dir, "orders",
+                        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+                        floor=8).map_batches(prep, batch_format="pyarrow")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 10 < 8))
+
+    def changelog_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ins = t.filter(pa.array(k % 10 >= 8))
+        dels = t.filter(pa.array((k % 10 < 8) & (k % 7 == 0)))
+        return pa.concat_tables([
+            ins.append_column("op", pa.array(
+                np.ones(ins.num_rows, np.int64))),
+            dels.append_column("op", pa.array(
+                -np.ones(dels.num_rows, np.int64)))])
+
+    base_agg = grouped_agg(
+        facts().map_batches(base_rows, batch_format="pyarrow"),
+        ["o_orderpriority"], count_name="n",
+        sum_cols={"sum_cents": "cents"}, strategy="tree")
+    return apply_agg_delta(
+        base_agg,
+        facts().map_batches(changelog_rows, batch_format="pyarrow"),
+        ["o_orderpriority"], count_name="n",
+        sum_cols={"sum_cents": "cents"})
+
+
 def _q_docs_above_lang_median(sf_dir: str):
     """Per-GROUP quantile thresholding (the per-language curation
     screen): keep documents strictly above their language's exact
@@ -5644,6 +5759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_rfm": _q_custs_rfm,
         "spans_self_time": _q_spans_self_time,
         "events_point_lookup": _q_events_point_lookup,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_type_p_cont": _q_events_type_p_cont,
+        "docs_extract_matches": _q_docs_extract_matches,
+        "orders_incr_agg": _q_orders_incr_agg,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8092,6 +8211,56 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_cents
 FROM events WHERE user_id = 7 GROUP BY event_type
+""",
+        "events_moving_avg": """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+           FROM events)
+SELECT user_id, event_id, value_cents,
+       CAST(sum(value_cents) OVER w AS BIGINT) AS m4_cents,
+       CAST(count(*) OVER w AS BIGINT) AS m4_n
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+        "events_type_p_cont": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT event_type, list(cents ORDER BY cents) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type)
+SELECT event_type, n,
+       CAST(arr[CAST((n-1)//2 AS BIGINT) + 1] * (2 - (n-1)%2)
+            + arr[CAST((n-1)//2 AS BIGINT) + 1
+                  + CASE WHEN (n-1)%2 > 0 THEN 1 ELSE 0 END]
+              * ((n-1)%2) AS BIGINT) AS p1_2_x2,
+       CAST(arr[CAST(((n-1)*9)//10 AS BIGINT) + 1] * (10 - ((n-1)*9)%10)
+            + arr[CAST(((n-1)*9)//10 AS BIGINT) + 1
+                  + CASE WHEN ((n-1)*9)%10 > 0 THEN 1 ELSE 0 END]
+              * (((n-1)*9)%10) AS BIGINT) AS p9_10_x10,
+       CAST(arr[CAST(((n-1)*99)//100 AS BIGINT) + 1]
+              * (100 - ((n-1)*99)%100)
+            + arr[CAST(((n-1)*99)//100 AS BIGINT) + 1
+                  + CASE WHEN ((n-1)*99)%100 > 0 THEN 1 ELSE 0 END]
+              * (((n-1)*99)%100) AS BIGINT) AS p99_100_x100
+FROM s
+""",
+        "docs_extract_matches": """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{6,}')) AS tok
+      FROM documents)
+GROUP BY tok
+""",
+        "orders_incr_agg": """
+WITH f AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM f
+WHERE (o_orderkey % 10 < 8 AND o_orderkey % 7 != 0)
+   OR o_orderkey % 10 >= 8
+GROUP BY o_orderpriority
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

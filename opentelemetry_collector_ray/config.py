@@ -374,6 +374,28 @@ def _register_builtins() -> None:
             ds, cfg["key"], list(cfg["order_by"]), ops,
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_cont_quantiles(cfg: dict):
+        from .stages.spanops import grouped_cont_quantiles
+
+        if not cfg.get("key") or not cfg.get("value"):
+            raise ConfigError("cont_quantiles: key and value are required")
+        qs = tuple((int(n), int(d)) for n, d in
+                   (cfg.get("qs") or [[1, 2]]))
+        return DatasetTransform(lambda ds: grouped_cont_quantiles(
+            ds, cfg["key"], cfg["value"], qs=qs,
+            n_buckets=cfg.get("n_buckets", 64),
+            count_strategy=cfg.get("count_strategy", "shuffle")))
+
+    def make_extract_explode(cfg: dict):
+        from .stages.parse import extract_all_explode
+
+        if not cfg.get("pattern"):
+            raise ConfigError("extract_explode: pattern is required")
+        return DatasetTransform(lambda ds: extract_all_explode(
+            ds, cfg.get("text_col", "text"), cfg["pattern"],
+            keep=[str(c) for c in cfg.get("keep", [])],
+            out=cfg.get("out", "match")))
+
     def make_latest_by(cfg: dict):
         from .stages.cdc import latest_by_key
 
@@ -1051,6 +1073,8 @@ def _register_builtins() -> None:
     register("semdedup", Factory("processor", make_semdedup))
     register("window", Factory("processor", make_window))
     register("latest_by", Factory("processor", make_latest_by))
+    register("cont_quantiles", Factory("processor", make_cont_quantiles))
+    register("extract_explode", Factory("processor", make_extract_explode))
     register("mode_agg", Factory("processor", make_mode_agg))
     register("range_lookup", Factory("processor", make_range_lookup))
     register("label_encode", Factory("processor", make_label_encode))

@@ -429,6 +429,46 @@ def json_path_str(col: pa.ChunkedArray | pa.Array, path: str) -> pa.Array:
         return pa.array([pull(s) for s in col.to_pylist()], pa.string())
 
 
+def extract_all(col: pa.ChunkedArray | pa.Array,
+                pattern: str) -> pa.Array:
+    """OTTL ``ExtractPatterns`` generalized to ALL matches (contrib
+    ``ottl/ottlfuncs/func_extract_patterns.go`` returns the first
+    match; log pipelines routinely need every one — every IP in a
+    line, every tag in a message): the leftmost non-overlapping
+    matches of ``pattern`` per row as a ``list<string>`` column —
+    SQL ``regexp_extract_all``. Null input → null list; no match →
+    empty list (both engines agree).
+
+    Primary kernel: polars ``str.extract_all`` (vectorized Rust
+    regex over the whole column); stdlib ``re.findall`` per row is
+    the no-polars fallback. Capture groups are rejected up front:
+    the engines disagree on group-vs-match extraction, so the
+    portable contract is whole-match only (use ``(?:...)`` for
+    grouping)."""
+    import re as _re
+
+    if _re.compile(pattern).groups:
+        raise ValueError(
+            "extract_all: capture groups are not portable across "
+            "engines (polars returns the whole match, SQL "
+            "regexp_extract_all(x, p) ditto, but re.findall returns "
+            "the group) — use non-capturing (?:...) groups")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import polars as pl
+
+        out = pl.from_arrow(col).str.extract_all(pattern).to_arrow()
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return out.cast(pa.list_(pa.string()))
+    except ImportError:
+        rx = _re.compile(pattern)
+        return pa.array(
+            [None if s is None else rx.findall(s)
+             for s in col.to_pylist()], pa.list_(pa.string()))
+
+
 def split_count(col: pa.ChunkedArray | pa.Array, sep: str) -> pa.Array:
     """Number of parts ``Split(target, sep)`` would return (SQL
     ``len(string_split(x, sep))``) — the common analytic use of the

@@ -149,3 +149,39 @@ class ParseStage:
         for g in self.all_groups:
             res = res.append_column(g, out[g])
         return res.append_column("parse_rule", pa.array(rule_ix, pa.int8()))
+
+
+def extract_all_explode(ds, text_col: str, pattern: str,
+                        keep: list[str] | None = None,
+                        out: str = "match"):
+    """Explode EVERY regex match of ``pattern`` in ``text_col`` to its
+    own output row carrying the ``keep`` columns — the all-matches
+    generalization of the first-match ParseStage (contrib OTTL
+    ``ExtractPatterns`` returns one match; a log pipeline pulling
+    every IP / tag / token from a line needs them all). SQL mirror:
+    ``unnest(regexp_extract_all(text, pattern))``. Rows with no match
+    (or null text) contribute no output rows — exactly unnest's
+    semantics.
+
+    Scale shape: map-only — :func:`~..functions.text.extract_all`
+    runs one vectorized Rust-regex pass per batch, the explode is an
+    Arrow ``list_parent_indices`` take; nothing shuffles and output
+    rows are skinny (keep + match only)."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    from ..functions.text import extract_all
+
+    keep = list(keep or [])
+    if out in keep or out == text_col:
+        raise ValueError(
+            f"extract_all_explode: output column {out!r} collides")
+
+    def f(t: pa_.Table) -> pa_.Table:
+        lists = extract_all(t.column(text_col), pattern)
+        idx = pc_.list_parent_indices(lists)
+        lanes = {k: t.column(k).take(idx) for k in keep}
+        lanes[out] = pc_.list_flatten(lists)
+        return pa_.table(lanes)
+
+    return ds.map_batches(f, batch_format="pyarrow")

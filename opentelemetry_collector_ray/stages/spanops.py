@@ -225,6 +225,81 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
     return bucketed_map_groups(counts, key, pick_bucket, n_buckets=n_buckets)
 
 
+def grouped_cont_quantiles(ds: ray.data.Dataset, key: str,
+                           value_col: str,
+                           qs: tuple[tuple[int, int], ...] = ((1, 2),),
+                           n_buckets: int | str = 64,
+                           count_strategy: str = "shuffle"
+                           ) -> ray.data.Dataset:
+    """Exact per-key CONTINUOUS (interpolated) quantiles of an integer
+    value — SQL ``quantile_cont`` / ``percentile_cont`` semantics with
+    NO floating point anywhere: each quantile is a rational ``num/den``
+    pair and the answer is returned as the EXACT scaled integer
+    ``v_lo·(den−rem) + v_hi·rem`` where ``h = (n−1)·num/den``,
+    ``rank_lo = floor(h)``, ``rem = (n−1)·num mod den`` — i.e. the
+    interpolated value times ``den``, named ``p{num}_{den}_x{den}``
+    (``(1,2)`` → ``p1_2_x2`` = twice the median). Dividing by ``den``
+    recovers ``percentile_cont`` exactly; keeping the integer keeps the
+    driver's hash gate bit-stable (no libm in the loop).
+
+    Scale shape: identical to :func:`grouped_exact_quantiles` — one
+    grouped count to |keys|×|distinct values| rows, then ONE sort +
+    global searchsorted per hash bucket answers every key's bracketing
+    ranks at once. cf. reference
+    processor/transformprocessor (percentile analytics live outside the
+    collector; this is the batch generalization)."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    for num, den in qs:
+        if not (0 <= num <= den) or den <= 0:
+            raise ValueError(
+                f"grouped_cont_quantiles: q must be num/den in [0,1] "
+                f"with den > 0, got {num}/{den}")
+
+    counts = grouped_count(ds.select_columns([key, value_col]),
+                           [key, value_col], count_name="_n",
+                           strategy=count_strategy)
+
+    def pick_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        n_ = t.column("_n").to_numpy(zero_copy_only=False)
+        change, _ = key_segments(k)
+        starts = np.flatnonzero(change)
+        cum = np.cumsum(n_)
+        ends = np.append(starts[1:], len(k)) - 1
+        seg_base = np.concatenate([[0], cum])[starts]
+        totals = (cum[ends] - seg_base) if len(starts) \
+            else np.empty(0, np.int64)
+        max_den = max(d for _, d in qs)
+        if len(v) and int(np.abs(v).max()) > (2 ** 62) // max_den:
+            raise ValueError(
+                "grouped_cont_quantiles: |value|·den would overflow "
+                f"int64 (max |v| = {int(np.abs(v).max())}, den = "
+                f"{max_den}); rescale the value column first")
+        out: dict = {
+            key: t.column(key).take(pa.array(starts.astype(np.int64))),
+            "n": pa.array(totals.astype(np.int64))}
+        for num, den in qs:
+            h_num = (totals - 1) * num  # h = h_num / den, exact ints
+            r_lo = h_num // den
+            rem = h_num % den
+            pos_lo = np.searchsorted(cum, seg_base + r_lo + 1)
+            # rem > 0 implies h < n-1, so r_lo+1 <= n-1 is in range
+            pos_hi = np.searchsorted(cum, seg_base + r_lo + 1 + (rem > 0))
+            v_lo = v[pos_lo].astype(np.int64) if len(pos_lo) \
+                else np.empty(0, np.int64)
+            v_hi = v[pos_hi].astype(np.int64) if len(pos_hi) \
+                else np.empty(0, np.int64)
+            out[f"p{num}_{den}_x{den}"] = pa.array(
+                v_lo * (den - rem) + v_hi * rem)
+        return pa.table(out)
+
+    return bucketed_map_groups(counts, key, pick_bucket,
+                               n_buckets=n_buckets)
+
+
 def grouped_weighted_median(ds: ray.data.Dataset, key: str,
                             value_col: str, weight_col: str,
                             n_buckets: int | str = 64

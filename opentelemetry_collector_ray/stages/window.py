@@ -34,7 +34,8 @@ from .bucketing import bucketed_map_groups, key_segments
 
 _OPS = ("lag", "lead", "delta", "cumsum", "row_number", "rolling_sum",
         "rolling_count", "rank", "dense_rank", "ntile", "percent_rank",
-        "cume_dist", "first_value", "last_value", "ffill")
+        "cume_dist", "first_value", "last_value", "ffill",
+        "moving_sum", "moving_count")
 
 
 def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
@@ -58,7 +59,12 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
       the partition whose order value lies in ``[cur - window, cur]``
       (both inclusive, ALL ties included) — SQL ``RANGE BETWEEN window
       PRECEDING AND CURRENT ROW`` semantics exactly. ``window`` is in
-      the order column's units (microseconds for timestamps).
+      the order column's units (microseconds for timestamps);
+      ``("moving_sum", col, k)`` / ``("moving_count", k)`` — ROW-count
+      window: the current row and the ``k`` rows before it within the
+      partition (fewer near the partition start) — SQL ``ROWS BETWEEN
+      k PRECEDING AND CURRENT ROW`` exactly (use a unique tie-break in
+      ``order_by``: a ROWS frame cuts through order ties).
     Output rows are the input rows (order within blocks follows the
     bucket sort, not input order)."""
     rolling_requested = False
@@ -67,18 +73,22 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             raise ValueError(
                 f"per_key_window: op {out!r} must start with one of "
                 f"{_OPS}, got {spec!r}")
-        if spec[0] == "rolling_sum" and len(spec) != 3:
+        if spec[0] in ("rolling_sum", "moving_sum") and len(spec) != 3:
             raise ValueError(
-                "per_key_window: rolling_sum takes (col, window)")
-        if spec[0] == "rolling_count" and len(spec) != 2:
+                f"per_key_window: {spec[0]} takes (col, window)")
+        if spec[0] in ("rolling_count", "moving_count") \
+                and len(spec) != 2:
             raise ValueError(
-                "per_key_window: rolling_count takes (window,)")
+                f"per_key_window: {spec[0]} takes (window,)")
         if spec[0] == "ntile":
             if len(spec) != 2 or int(spec[1]) < 1:
                 raise ValueError(
                     "per_key_window: ntile takes one tile count >= 1")
         elif spec[0] in ("rolling_sum", "rolling_count"):
             rolling_requested = True
+            if int(spec[-1]) < 0:
+                raise ValueError("per_key_window: window must be >= 0")
+        elif spec[0] in ("moving_sum", "moving_count"):
             if int(spec[-1]) < 0:
                 raise ValueError("per_key_window: window must be >= 0")
         elif spec[0] in ("row_number", "rank", "dense_rank",
@@ -271,6 +281,11 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                 t = t.append_column(out, pa.array(
                     (hi - lo_of[int(spec[1])]).astype(np.int64)))
                 continue
+            if op == "moving_count":
+                # ROWS frame: min(rows-before-me-in-partition, k) + 1
+                t = t.append_column(out, pa.array(np.minimum(
+                    pos - seg_start, int(spec[1])).astype(np.int64) + 1))
+                continue
             col = t.column(spec[1])
             if col.null_count:
                 raise ValueError(
@@ -297,6 +312,24 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                                          np.cumsum(acc)])
                 lo = lo_of[int(spec[2])]
                 t = t.append_column(out, pa.array(prefix[hi] - prefix[lo]))
+                continue
+            if op == "moving_sum":
+                if v.dtype.kind in "mM":
+                    raise ValueError(
+                        "per_key_window: moving_sum over a temporal "
+                        "column is undefined; delta it to numbers first")
+                acc = v.astype(
+                    np.int64 if v.dtype.kind in "iub" else np.float64)
+                if acc.dtype.kind == "f" and np.isnan(acc).any():
+                    raise ValueError(
+                        f"per_key_window: value column {spec[1]!r} has "
+                        "NaNs — moving_sum via prefix sums would "
+                        "corrupt later frames; fill or drop them first")
+                prefix = np.concatenate([[acc.dtype.type(0)],
+                                         np.cumsum(acc)])
+                lo = np.maximum(seg_start, pos - int(spec[2]))
+                t = t.append_column(
+                    out, pa.array(prefix[pos + 1] - prefix[lo]))
                 continue
             if op in ("lag", "delta"):
                 lag = np.empty_like(v)

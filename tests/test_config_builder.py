@@ -1044,3 +1044,58 @@ def test_weighted_median_yaml_parity(ray_session, tmp_path):
     from opentelemetry_collector_ray.config import ConfigError, get_factory
     with pytest.raises(ConfigError, match="required"):
         get_factory("weighted_median").create({"key": "k"})
+
+
+def test_cont_quantiles_and_extract_explode_yaml_parity(
+        ray_session, tmp_path):
+    """YAML cont_quantiles / extract_explode == direct stage calls."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.parse import extract_all_explode
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_cont_quantiles)
+
+    rng = np.random.default_rng(9)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 7, 300).astype("str")),
+        "v": pa.array(rng.integers(0, 900, 300)),
+        "text": pa.array(
+            [" ".join(rng.choice(
+                ["aaaaaa", "bb", "cccccc", "dddddd"], 4))
+             for _ in range(300)]),
+    })
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    y = run("cont_quantiles", {"key": "k", "value": "v",
+                               "qs": [[1, 2], [9, 10]]}) \
+        .sort_values("k").reset_index(drop=True)
+    d = grouped_cont_quantiles(
+        ray.data.read_parquet(str(p)), "k", "v",
+        qs=((1, 2), (9, 10))).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert y.equals(d)
+
+    y = run("extract_explode", {"pattern": "[a-z]{6,}", "keep": ["k"],
+                                "out": "tok"}) \
+        .sort_values(["k", "tok"]).reset_index(drop=True)
+    d = extract_all_explode(
+        ray.data.read_parquet(str(p)), "text", "[a-z]{6,}",
+        keep=["k"], out="tok").to_pandas() \
+        .sort_values(["k", "tok"]).reset_index(drop=True)
+    assert y.equals(d)

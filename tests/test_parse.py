@@ -4,6 +4,8 @@ mirrors the reference's exact count/content assertion style
 
 import re
 
+import pytest
+
 import pyarrow as pa
 
 from opentelemetry_collector_ray.stages.parse import (
@@ -63,3 +65,53 @@ def test_ruleset_hash_stable_and_sensitive():
     assert h1 == h2
     h3 = ruleset_hash(DEFAULT_PARSE_RULES[:1])
     assert h3 != h1
+
+
+def test_extract_all_matches_duckdb_and_fallback(ray_session, monkeypatch):
+    """functions.text.extract_all == DuckDB regexp_extract_all on
+    nulls / empties / no-match rows, polars kernel and stdlib
+    fallback agree, capture groups rejected up front."""
+    import sys
+
+    import duckdb
+    import pytest as _pytest
+
+    from opentelemetry_collector_ray.functions.text import extract_all
+
+    vals = ["foo barbar bazbazbaz", None, "", "no", "aaaaaa bb cccccc"]
+    col = pa.chunked_array([pa.array(vals, pa.string())])
+    want = [r[0] for r in duckdb.sql(
+        "SELECT regexp_extract_all(s, '[a-z]{6,}') FROM "
+        "(SELECT unnest($1) s)", params=[vals]).fetchall()]
+    got = extract_all(col, "[a-z]{6,}").to_pylist()
+    assert got == want
+    monkeypatch.setitem(sys.modules, "polars", None)
+    assert extract_all(col, "[a-z]{6,}").to_pylist() == want
+    monkeypatch.delitem(sys.modules, "polars")
+    with _pytest.raises(ValueError, match="capture groups"):
+        extract_all(col, "([a-z]{6,})")
+    # non-capturing groups are the portable spelling
+    assert extract_all(col, "(?:bar){2}").to_pylist() == \
+        [["barbar"], None, [], [], []]
+
+
+def test_extract_all_explode_stage(ray_session):
+    """extract_all_explode: one output row per match carrying keep
+    columns; null/empty/no-match rows contribute nothing (unnest
+    semantics); collision validated."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.parse import (
+        extract_all_explode)
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "txt": ["aaaaaa x bbbbbb", None, "zz", "cccccc"]})
+    out = extract_all_explode(
+        ray.data.from_arrow(t).repartition(2), "txt", "[a-z]{6,}",
+        keep=["id"], out="m").to_pandas().sort_values(
+        ["id", "m"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["m"].tolist() == ["aaaaaa", "bbbbbb", "cccccc"]
+    with pytest.raises(ValueError, match="collides"):
+        extract_all_explode(ray.data.from_arrow(t), "txt", "x",
+                            keep=["id"], out="id")

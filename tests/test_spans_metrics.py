@@ -361,3 +361,53 @@ def test_grouped_weighted_median_zero_weight_key(ray_session):
         n_buckets=1).to_pandas().set_index("k")
     assert out.loc["a", "wmedian"] == 100
     assert out.loc["b", "wmedian"] == 5 and out.loc["b", "tot_w"] == 0
+
+
+def test_cont_quantiles_match_quantile_cont(ray_session):
+    """grouped_cont_quantiles scaled integers / den == DuckDB
+    quantile_cont exactly (the scaled-int form IS the interpolated
+    value times den), plus the exact-integer identity on small cases."""
+    import duckdb
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_cont_quantiles)
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table({"k": pa.array(rng.integers(0, 29, n).astype("str")),
+                  "v": pa.array(rng.integers(-200, 3000, n))})
+    out = grouped_cont_quantiles(
+        ray.data.from_arrow(t).repartition(5), "k", "v",
+        qs=((1, 2), (1, 4), (99, 100)), n_buckets=8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    ref = duckdb.sql("""
+        SELECT k, quantile_cont(v, 0.5) q50, quantile_cont(v, 0.25) q25,
+               quantile_cont(v, 0.99) q99, count(*) n
+        FROM t GROUP BY k""").df().sort_values("k").reset_index(drop=True)
+    assert out["n"].tolist() == ref["n"].tolist()
+    assert np.allclose(out["p1_2_x2"] / 2.0, ref["q50"], rtol=0, atol=0)
+    assert np.allclose(out["p1_4_x4"] / 4.0, ref["q25"], rtol=0, atol=0)
+    assert np.allclose(out["p99_100_x100"] / 100.0, ref["q99"],
+                       rtol=0, atol=1e-9)
+    # exact identity: single-key 4-row case, q=1/2 -> v2+v3
+    t2 = pa.table({"k": ["a"] * 4, "v": [10, 20, 30, 40]})
+    o2 = grouped_cont_quantiles(ray.data.from_arrow(t2), "k", "v",
+                                qs=((1, 2),)).to_pandas()
+    assert o2["p1_2_x2"].tolist() == [50]  # (20+30)/2 * 2
+
+
+def test_cont_quantiles_guards(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_cont_quantiles)
+
+    with pytest.raises(ValueError, match="num/den"):
+        grouped_cont_quantiles(
+            ray.data.from_arrow(pa.table({"k": ["a"], "v": [1]})),
+            "k", "v", qs=((3, 2),))
+    big = pa.table({"k": ["a"], "v": [2 ** 61]})
+    with pytest.raises(Exception, match="overflow"):
+        grouped_cont_quantiles(ray.data.from_arrow(big), "k", "v",
+                               qs=((1, 10),)).to_pandas()

@@ -305,3 +305,49 @@ def test_ffill_matches_duckdb(ray_session):
     got = out["f"].astype("object").where(out["f"].notna(), None).tolist()
     exp = want["f"].astype("object").where(want["f"].notna(), None).tolist()
     assert got == exp
+
+
+def test_moving_rows_frames_match_duckdb(ray_session):
+    """moving_sum / moving_count = SQL ROWS BETWEEN k PRECEDING AND
+    CURRENT ROW — randomized DuckDB parity with a unique tie-break
+    (a ROWS frame cuts through order ties, so determinism needs it)."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 31, n).astype("str")),
+        "o": pa.array(rng.integers(0, 200, n)),   # heavy ties
+        "id": pa.array(np.arange(n)),
+        "v": pa.array(rng.integers(-40, 60, n)),
+    })
+    for k in (0, 1, 5):
+        out = per_key_window(
+            ray.data.from_arrow(tbl).repartition(6), "k", ["o", "id"],
+            {"ms": ("moving_sum", "v", k), "mc": ("moving_count", k)},
+            n_buckets=8).to_pandas().sort_values(
+            ["k", "id"]).reset_index(drop=True)
+        ref = duckdb.sql(f"""
+            SELECT k, id,
+              CAST(sum(v) OVER w AS BIGINT) ms,
+              CAST(count(*) OVER w AS BIGINT) mc
+            FROM tbl WINDOW w AS (PARTITION BY k ORDER BY o, id
+              ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)
+            """).df().sort_values(["k", "id"]).reset_index(drop=True)
+        assert out["ms"].tolist() == ref["ms"].tolist(), f"k={k}"
+        assert out["mc"].tolist() == ref["mc"].tolist(), f"k={k}"
+
+
+def test_moving_validation(ray_session):
+    tbl = pa.table({"k": ["a"], "o": [1], "v": [1]})
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="moving_sum takes"):
+        per_key_window(ds, "k", ["o"], {"m": ("moving_sum", "v")})
+    with pytest.raises(ValueError, match="window must be >= 0"):
+        per_key_window(ds, "k", ["o"], {"m": ("moving_count", -1)})
+    with pytest.raises(ValueError, match="temporal"):
+        per_key_window(
+            ray.data.from_arrow(pa.table({
+                "k": ["a"], "o": [1],
+                "t": pa.array([0], pa.timestamp("us"))})),
+            "k", ["o"], {"m": ("moving_sum", "t", 2)}).to_pandas()
