@@ -4800,14 +4800,16 @@ def _q_tpch_q20(sf_dir: str):
 def _q_tpch_q21(sf_dir: str):
     """TPC-H Q21 shape (suppliers who kept orders waiting — adapted: no
     commit/receipt dates, so "late" is l_shipdate > o_orderdate + 365
-    days, status 'F'). One shuffle join lineitem↔orders, then the
-    EXISTS / NOT EXISTS pair collapses to one bucket roll-up of
-    per-(order, supplier) late flags + one per-order reduce: keep pairs
-    where the order has ≥ 2 suppliers and EXACTLY this one late. The
-    correlated double subquery never materializes — two skinny
-    integer exchanges."""
-    from opentelemetry_collector_ray.stages.aggregate import (
-        grouped_agg, grouped_count)
+    days, status 'F'). ONE shuffle join lineitem↔orders whose
+    ``bucket_fn`` runs the whole correlated EXISTS / NOT-EXISTS
+    reduction inside the join task (every row of an order is in its
+    bucket): per-(order, supplier) late flags → per-order supplier /
+    late counts → keep pairs where the order has ≥ 2 suppliers and
+    EXACTLY this one late → per-bucket partial supplier counts. Only
+    ≤ |suppliers| partial rows leave each bucket; one small shuffle
+    sums them. Was three extra keyed exchanges before the fusion
+    lever (4.9 s → 0.9 s at sf0.1)."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
     from opentelemetry_collector_ray.stages.join import (
         broadcast_join, shuffle_hash_join)
 
@@ -4820,36 +4822,41 @@ def _q_tpch_q21(sf_dir: str):
         .select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow")
     li = _read_co(sf_dir, "lineitem",
                   ["l_orderkey", "l_suppkey", "l_shipdate"], floor=8)
-    j = shuffle_hash_join(li, orders, key="l_orderkey",
-                          right_key="o_orderkey", how="inner")
 
-    def flag(t: pa.Table) -> pa.Table:
-        ship = pc.cast(pc.cast(t.column("l_shipdate"),
+    def per_order(joined: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(joined.column("l_shipdate"),
                                pa.timestamp("us")), pa.int64())
-        odate = pc.cast(pc.cast(t.column("o_orderdate"),
+        odate = pc.cast(pc.cast(joined.column("o_orderdate"),
                                 pa.timestamp("us")), pa.int64())
         late = pc.cast(pc.greater(pc.subtract(ship, odate),
                                   pa.scalar(LATE_US, pa.int64())),
                        pa.int64())
-        return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "l_suppkey": t.column("l_suppkey"),
-                         "late": late})
+        pairs = pa.table({
+            "l_orderkey": joined.column("l_orderkey"),
+            "l_suppkey": joined.column("l_suppkey"),
+            "late": late,
+        }).group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")])
+        po = pairs.group_by("l_orderkey").aggregate(
+            [("late_max", "sum"), ("late_max", "count")])
+        m = pairs.join(po, keys="l_orderkey")
+        culp = m.filter(pc.and_(
+            pc.equal(m.column("late_max"), 1),
+            pc.and_(pc.greater_equal(m.column("late_max_count"), 2),
+                    pc.equal(m.column("late_max_sum"), 1))))
+        part = culp.group_by("l_suppkey").aggregate(
+            [("late_max", "count")])
+        return pa.table({
+            "l_suppkey": part.column("l_suppkey"),
+            "numwait_part": part.column("late_max_count")
+            .cast(pa.int64())})
 
-    pairs = grouped_agg(j.map_batches(flag, batch_format="pyarrow"),
-                        ["l_orderkey", "l_suppkey"],
-                        max_cols={"late": "late"}, strategy="bucket")
-    per_order = grouped_agg(pairs, ["l_orderkey"], count_name="n_supp",
-                            sum_cols={"n_late": "late"},
-                            strategy="bucket")
-    culprits = shuffle_hash_join(pairs, per_order, key="l_orderkey",
-                                 how="inner").map_batches(
-        lambda t: t.filter(pc.and_(
-            pc.equal(t.column("late"), 1),
-            pc.and_(pc.greater_equal(t.column("n_supp"), 2),
-                    pc.equal(t.column("n_late"), 1))))
-        .select(["l_suppkey"]), batch_format="pyarrow")
-    counts = grouped_count(culprits, ["l_suppkey"], count_name="numwait",
-                           strategy="shuffle")
+    partials = shuffle_hash_join(li, orders, key="l_orderkey",
+                                 right_key="o_orderkey", how="inner",
+                                 bucket_fn=per_order)
+    counts = grouped_agg(partials, ["l_suppkey"],
+                         sum_cols={"numwait": "numwait_part"},
+                         strategy="shuffle")
     names = _side_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
     return broadcast_join(counts, names, key="l_suppkey",
                           right_key="s_suppkey").map_batches(

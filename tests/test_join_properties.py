@@ -385,3 +385,42 @@ def test_bloom_prefiltered_join_parity_and_validation(ray_session):
                               bloom_bits=1 << 20)
     with pytest.raises(ValueError, match="multiple of 8"):
         build_key_bloom(ray.data.from_arrow(right), ["k2"], m_bits=9)
+
+
+def test_bucket_fn_join_group_fusion(ray_session):
+    """bucket_fn sees complete key groups per bucket: per-key partial
+    counts summed across buckets == a global post-join groupby; salt>1
+    is rejected (it splits key groups)."""
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    left = pa.table({"k": pa.array(rng.integers(0, 40, n)),
+                     "lv": pa.array(rng.integers(0, 9, n))})
+    right = pa.table({"k": pa.array(np.arange(40)),
+                      "rv": pa.array(np.arange(40) % 3)})
+
+    def per_key(joined: pa.Table) -> pa.Table:
+        g = joined.group_by("k").aggregate([("lv", "sum"),
+                                            ("lv", "count")])
+        return pa.table({"k": g.column("k"),
+                         "s": g.column("lv_sum").cast(pa.int64()),
+                         "c": g.column("lv_count").cast(pa.int64())})
+
+    out = shuffle_hash_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right), key="k", how="inner",
+        bucket_fn=per_key, n_buckets=8).to_pandas()
+    # each key lives in exactly one bucket -> one row per key already
+    assert out["k"].is_unique
+    ref = left.to_pandas().groupby("k").agg(
+        s=("lv", "sum"), c=("lv", "size")).reset_index()
+    got = out.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == ref["k"].tolist()
+    assert got["s"].tolist() == ref["s"].tolist()
+    assert got["c"].tolist() == ref["c"].tolist()
+
+    with pytest.raises(ValueError, match="bucket_fn"):
+        shuffle_hash_join(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right), key="k",
+                          salt=2, bucket_fn=per_key)
