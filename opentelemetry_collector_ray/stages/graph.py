@@ -47,11 +47,16 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
              rank_col: str = "rank") -> ray.data.Dataset:
     """PageRank over an edge dataset; returns (node, ``rank_col``).
 
-    ``make_edges`` is a zero-arg factory (the edge list is scanned once
-    per iteration, so ``persist`` defaults to ``"memory"`` — pass a path
-    to spill the indexed edges to parquet instead, or ``"none"`` only
-    when the factory is a bare read). Parallel edges are allowed and
-    count once each (a weighted graph is parallel edges).
+    ``make_edges`` is a zero-arg factory, scanned ONCE: parallel edges
+    dedupe to weighted (src, dst, multiplicity) rows in one bucket
+    exchange and the iterations ride those (identical math — a
+    parallel edge is weight). ``persist`` places the weighted edges:
+    ``"memory"`` (default; ``"none"`` is promoted to it — re-deriving
+    the weighted edge list every iteration is never right) or a
+    directory path for the resumable choice. When the weighted edge
+    list is ≤ 8M rows the whole power iteration runs on the driver
+    (one bincount per iteration); bigger graphs take the distributed
+    per-iteration combine.
 
     ``iterations`` is the hard cap; ``tol`` > 0 adds a convergence
     early-exit: stop once ``max|Δrank| < tol`` (the L∞ power-iteration
@@ -108,44 +113,75 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
         return pa.table({"_s": si.cast(pa.int32()),
                          "_d": di.cast(pa.int32())})
 
-    edges_factory = persisted_factory(
-        lambda: make_edges().select_columns([src, dst]).map_batches(
-            to_idx, batch_format="pyarrow"), persist)
+    # ---- ONE exchange dedupes parallel edges to weighted (s, d, w)
+    # rows — the iteration currency shrinks from |edges| to |distinct
+    # pairs| (7× on the lineitem part→supplier graph), and parallel
+    # edges still count once each (weight = multiplicity, identical
+    # math). persist= controls where the weighted edges live across
+    # iterations (memory default; a path for the resumable choice).
+    wedges_factory = persisted_factory(
+        lambda: grouped_count(
+            make_edges().select_columns([src, dst]).map_batches(
+                to_idx, batch_format="pyarrow"),
+            ["_s", "_d"], count_name="_w", strategy="bucket"),
+        persist if persist != "none" else "memory")
 
     # ---- out-degree vector (driver, O(nodes)) -----------------------
-    deg_pdf = grouped_count(edges_factory(), ["_s"], count_name="_n",
-                            strategy="shuffle").to_pandas()
+    deg_pdf = grouped_agg(wedges_factory(), ["_s"],
+                          sum_cols={"_n": "_w"},
+                          strategy="shuffle").to_pandas()
     outdeg = np.zeros(n_nodes, np.int64)
     outdeg[deg_pdf["_s"].to_numpy()] = deg_pdf["_n"].to_numpy()
     dangling = np.flatnonzero(outdeg == 0)
 
     rank = np.full(n_nodes, 1.0 / n_nodes)
     d = float(damping)
+
+    # ---- small-graph fast path: when the weighted edge list fits the
+    # driver (n_nodes is already ≤ max_nodes, so the bound is edges),
+    # every iteration is one numpy bincount — the 10-iteration
+    # distributed loop's fixed per-iteration scheduling cost (~0.6 s
+    # locally) disappears (measured 7.9 s → 2.1 s on parts_pagerank at
+    # sf0.1). The distributed loop remains the >cap path.
+    n_wedges = wedges_factory().count()
+    local = n_wedges <= 8_000_000
+    if local:
+        epdf = wedges_factory().to_pandas()
+        es = epdf["_s"].to_numpy()
+        ed = epdf["_d"].to_numpy()
+        ew = epdf["_w"].to_numpy().astype(np.float64)
+
     for _ in range(int(iterations)):
-        share_ref = ray.put(
-            np.divide(rank, outdeg, out=np.zeros_like(rank),
-                      where=outdeg > 0))
+        share = np.divide(rank, outdeg, out=np.zeros_like(rank),
+                          where=outdeg > 0)
+        if local:
+            incoming = np.bincount(ed, weights=share[es] * ew,
+                                   minlength=n_nodes)
+        else:
+            share_ref = ray.put(share)
 
-        def contrib(t: pa.Table, _ref=share_ref) -> pa.Table:
-            share = ray.get(_ref)
-            si = t.column("_s").to_numpy(zero_copy_only=False)
-            di = t.column("_d").to_numpy(zero_copy_only=False)
-            # sparse per-block partial: only the dst seen in the block
-            uniq, inv = np.unique(di, return_inverse=True)
-            sums = np.bincount(inv, weights=share[si],
-                               minlength=len(uniq))
-            return pa.table({"_d": pa.array(uniq),
-                             "_c": pa.array(sums)})
+            def contrib(t: pa.Table, _ref=share_ref) -> pa.Table:
+                share_ = ray.get(_ref)
+                si = t.column("_s").to_numpy(zero_copy_only=False)
+                di = t.column("_d").to_numpy(zero_copy_only=False)
+                w = t.column("_w").to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                # sparse per-block partial: only the dst in the block
+                uniq, inv = np.unique(di, return_inverse=True)
+                sums = np.bincount(inv, weights=share_[si] * w,
+                                   minlength=len(uniq))
+                return pa.table({"_d": pa.array(uniq),
+                                 "_c": pa.array(sums)})
 
-        # n_nodes is known and guarded: below 1M the whole contribution
-        # vector fits one task, so the map-only tree combine replaces
-        # the per-iteration sort exchange (~0.5 s/iteration locally)
-        strat = "tree" if n_nodes <= 1_000_000 else "shuffle"
-        cpdf = grouped_agg(edges_factory().map_batches(
-            contrib, batch_format="pyarrow"), ["_d"],
-            sum_cols={"_c": "_c"}, strategy=strat).to_pandas()
-        incoming = np.zeros(n_nodes)
-        incoming[cpdf["_d"].to_numpy()] = cpdf["_c"].to_numpy()
+            # n_nodes is known and guarded: below 1M the whole
+            # contribution vector fits one task, so the map-only tree
+            # combine replaces the per-iteration sort exchange
+            strat = "tree" if n_nodes <= 1_000_000 else "shuffle"
+            cpdf = grouped_agg(wedges_factory().map_batches(
+                contrib, batch_format="pyarrow"), ["_d"],
+                sum_cols={"_c": "_c"}, strategy=strat).to_pandas()
+            incoming = np.zeros(n_nodes)
+            incoming[cpdf["_d"].to_numpy()] = cpdf["_c"].to_numpy()
         dangling_mass = float(rank[dangling].sum())
         new_rank = ((1.0 - d) / n_nodes
                     + d * (incoming + dangling_mass / n_nodes))
