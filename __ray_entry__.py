@@ -986,6 +986,88 @@ def _q_orders_incr_agg(sf_dir: str):
         sum_cols={"sum_cents": "cents"})
 
 
+def _q_parts_pair_cosine(sf_dir: str):
+    """Item-item cosine similarity (stages/graph.py
+    cooccurrence_cosine): the collaborative-filtering score over order
+    baskets — support / sqrt(n_a·n_b) for part pairs co-ordered ≥ 3
+    times. The float IS hash-gate safe: each row derives from three
+    exact integers through correctly-rounded sqrt and divide only (no
+    accumulation), so numpy and DuckDB agree bit-for-bit. Oracle = the
+    distinct self-join + degree join computing the same expression."""
+    from opentelemetry_collector_ray.stages.graph import (
+        cooccurrence_cosine)
+
+    return cooccurrence_cosine(
+        lambda: _read_co(sf_dir, "lineitem",
+                         ["l_orderkey", "l_partkey"], floor=8),
+        "l_orderkey", "l_partkey", min_support=3)
+
+
+def _q_events_path_trigrams(sf_dir: str):
+    """Sequential-pattern mining at length 3 (stages/window.py lead
+    with OFFSET): each user's consecutive event-type triples in
+    (ts, event_id) order counted corpus-wide — ONE bucket exchange
+    computes both leads, then a bounded tree count over the ≤ |types|³
+    triple space. Oracle = lead(type, 1) / lead(type, 2) window
+    composition in DuckDB."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    ev = _read_co(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "event_type"], floor=8)
+    w = per_key_window(ev, "user_id", ["ts", "event_id"],
+                       {"t2": ("lead", "event_type", 1),
+                        "t3": ("lead", "event_type", 2)})
+
+    def triples(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("t2")),
+                       pc.is_valid(t.column("t3")))
+        t = t.filter(keep)
+        return pa.table({"t1": t.column("event_type"),
+                         "t2": t.column("t2"), "t3": t.column("t3")})
+
+    return grouped_count(w.map_batches(triples, batch_format="pyarrow"),
+                         ["t1", "t2", "t3"], count_name="n",
+                         strategy="tree")
+
+
+def _q_orders_scd2_asof(sf_dir: str):
+    """Time-travel read over the SCD2 dimension (stages/cdc.py
+    scd2_intervals + an interval point filter): each customer's order
+    status AS OF 1996-06-01 — the interval containing T
+    (valid_from ≤ T < valid_to, open current interval included). The
+    snapshot goes THROUGH the versioned dimension, proving interval
+    reconstruction ≡ the direct latest-row-at-T query the oracle
+    runs."""
+    from opentelemetry_collector_ray.stages.cdc import scd2_intervals
+
+    T_US = 833_587_200_000_000  # 1996-06-01 in epoch microseconds
+
+    iv = scd2_intervals(
+        _read_co(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate",
+                  "o_orderstatus"], floor=8),
+        "o_custkey", "o_orderdate", ["o_orderstatus"],
+        tie_break="o_orderkey")
+
+    def asof(t: pa.Table) -> pa.Table:
+        frm = pc.cast(pc.cast(t.column("valid_from"),
+                              pa.timestamp("us")), pa.int64())
+        to = pc.cast(pc.cast(t.column("valid_to"),
+                             pa.timestamp("us")), pa.int64())
+        # or_kleene: TRUE OR NULL = TRUE (plain or_ would null out the
+        # open current interval and drop it at fill_null)
+        keep = pc.and_(
+            pc.less_equal(frm, pa.scalar(T_US, pa.int64())),
+            pc.or_kleene(pc.is_null(to),
+                         pc.greater(to, pa.scalar(T_US, pa.int64()))))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "o_orderstatus": t.column("o_orderstatus")})
+
+    return iv.map_batches(asof, batch_format="pyarrow")
+
+
 def _q_docs_above_lang_median(sf_dir: str):
     """Per-GROUP quantile thresholding (the per-language curation
     screen): keep documents strictly above their language's exact
@@ -5770,6 +5852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_p_cont": _q_events_type_p_cont,
         "docs_extract_matches": _q_docs_extract_matches,
         "orders_incr_agg": _q_orders_incr_agg,
+        "parts_pair_cosine": _q_parts_pair_cosine,
+        "events_path_trigrams": _q_events_path_trigrams,
+        "orders_scd2_asof": _q_orders_scd2_asof,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8268,6 +8353,34 @@ FROM f
 WHERE (o_orderkey % 10 < 8 AND o_orderkey % 7 != 0)
    OR o_orderkey % 10 >= 8
 GROUP BY o_orderpriority
+""",
+        "parts_pair_cosine": """
+WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+p AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS support
+      FROM d x JOIN d y ON x.g = y.g AND x.i < y.i
+      GROUP BY x.i, y.i HAVING count(*) >= 3),
+c AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY i)
+SELECT p.a, p.b, p.support, ca.n AS n_a, cb.n AS n_b,
+       p.support / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+FROM p JOIN c ca ON p.a = ca.i JOIN c cb ON p.b = cb.i
+""",
+        "events_path_trigrams": """
+WITH w AS (SELECT event_type AS t1,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS t2,
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS t3
+           FROM events)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY t1, t2, t3
+""",
+        "orders_scd2_asof": """
+SELECT o_custkey, o_orderstatus FROM (
+  SELECT o_custkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1996-06-01')
+WHERE rn = 1
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -38,7 +38,8 @@ import ray.data
 from .aggregate import grouped_agg, grouped_count
 from .bucketing import key_segments, persisted_factory
 
-__all__ = ["pagerank", "cooccurrence_edges", "triangle_count"]
+__all__ = ["pagerank", "cooccurrence_edges", "cooccurrence_cosine",
+           "triangle_count"]
 
 
 def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
@@ -249,6 +250,84 @@ def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
                 pa.scalar(min_support, pa.int64()))),
             batch_format="pyarrow")
     return edges
+
+
+def cooccurrence_cosine(make_ds, group_col: str, item_col: str, *,
+                        min_support: int = 1,
+                        max_items: int = 5_000_000,
+                        n_buckets: int | str = "auto"
+                        ) -> ray.data.Dataset:
+    """Item-item cosine similarity from co-occurrence — the classic
+    memory-based collaborative-filtering score over binary group
+    membership: ``cosine(a, b) = support(a, b) / sqrt(n_a · n_b)``
+    where ``n_i`` counts DISTINCT groups containing item ``i`` and
+    ``support`` counts groups containing both (so cosine ≤ 1, equality
+    iff the items always co-occur). Returns
+    ``(a, b, support, n_a, n_b, cosine)``.
+
+    The float is HASH-GATE SAFE despite being a float: each row's
+    cosine is computed independently from three exact integers via
+    IEEE-correctly-rounded ops only (int product < 2^53 → exact
+    double; ``sqrt`` and ``/`` are correctly rounded in both numpy and
+    SQL engines), so there is no accumulation order to diverge.
+
+    ``make_ds`` is a zero-arg factory — the input is scanned twice
+    (pair expansion + per-item degrees; pass a parquet-backed factory
+    or persist upstream). Per-item degree table is broadcast
+    (``ray.put`` once), count-guarded by ``max_items``."""
+    if min_support < 1:
+        raise ValueError("cooccurrence_cosine: min_support must be >= 1")
+    edges = cooccurrence_edges(make_ds(), group_col, item_col,
+                               min_support=min_support,
+                               n_buckets=n_buckets)
+    dedup = grouped_count(
+        make_ds().select_columns([group_col, item_col]),
+        [group_col, item_col], count_name="_n", strategy="bucket",
+        n_buckets=n_buckets)
+    counts_ds = grouped_count(dedup, [item_col], count_name="n",
+                              strategy="shuffle").materialize()
+    n_items = counts_ds.count()
+    if n_items > int(max_items):
+        raise ValueError(
+            f"cooccurrence_cosine: {n_items:,} distinct items "
+            f"(> max_items={int(max_items):,}) — the degree table "
+            "would not broadcast; raise the cap or pre-filter items")
+    parts = [t for t in ray.get(counts_ds.to_arrow_refs())
+             if t.num_rows]
+    if parts:
+        cnt = pa.concat_tables(parts).combine_chunks()
+        items_arr = cnt.column(item_col).combine_chunks()
+        n_arr = cnt.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    else:
+        items_arr = pa.array([], pa.int64())
+        n_arr = np.zeros(0, np.int64)
+    ref = ray.put((items_arr, n_arr))
+
+    def add_cosine(t: pa.Table) -> pa.Table:
+        items, counts = ray.get(ref)
+        ia = pc.index_in(t.column("a"), items)
+        ib = pc.index_in(t.column("b"), items)
+        if ia.null_count or ib.null_count:
+            raise ValueError(
+                "cooccurrence_cosine: edge item missing from the "
+                "degree table — the two passes saw different inputs")
+        na = counts[ia.to_numpy(zero_copy_only=False)]
+        nb = counts[ib.to_numpy(zero_copy_only=False)]
+        sup = t.column("support").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        prod = na * nb
+        if len(prod) and int(prod.max()) > (1 << 53):
+            raise ValueError(
+                "cooccurrence_cosine: n_a*n_b exceeds 2^53 — the "
+                "double product is no longer exact; rescale upstream")
+        cos = sup.astype(np.float64) / np.sqrt(prod.astype(np.float64))
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "support": t.column("support"),
+                         "n_a": pa.array(na), "n_b": pa.array(nb),
+                         "cosine": pa.array(cos)})
+
+    return edges.map_batches(add_cosine, batch_format="pyarrow")
 
 
 def triangle_count(edges: ray.data.Dataset, a: str = "a", b: str = "b",

@@ -46,7 +46,9 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
 
     ``ops`` maps output column → spec tuple:
       ``("lag", col)`` / ``("lead", col)`` — previous/next value in the
-      partition (null at the edge);
+      partition (null at the edge); ``("lag", col, k)`` /
+      ``("lead", col, k)`` — the value ``k`` rows back/ahead (SQL
+      ``lag(col, k)``; null when the partition edge is nearer);
       ``("delta", col)`` — ``col - lag(col)`` (null on first row);
       ``("cumsum", col)`` — running total including the current row;
       ``("row_number",)`` — 0-based ordinal within the partition;
@@ -96,6 +98,12 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             if len(spec) != 1:
                 raise ValueError(
                     f"per_key_window: {spec[0]} takes no arguments")
+        elif spec[0] in ("lag", "lead"):
+            if len(spec) not in (2, 3) or \
+                    (len(spec) == 3 and int(spec[2]) < 1):
+                raise ValueError(
+                    f"per_key_window: {spec[0]} takes (col) or "
+                    "(col, offset >= 1)")
         elif len(spec) != 2:
             raise ValueError(
                 f"per_key_window: {spec[0]} takes exactly one column")
@@ -332,10 +340,13 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                     out, pa.array(prefix[pos + 1] - prefix[lo]))
                 continue
             if op in ("lag", "delta"):
+                k_off = int(spec[2]) if (op == "lag" and len(spec) == 3) \
+                    else 1
                 lag = np.empty_like(v)
-                if n:
-                    lag[1:] = v[:-1]
-                mask = change  # first row of each partition has no lag
+                if n > k_off:
+                    lag[k_off:] = v[:-k_off]
+                # no value k_off rows back within the partition
+                mask = (pos - seg_start) < k_off
                 if op == "lag":
                     t = t.append_column(
                         out, pa.array(lag, col.type, mask=mask))
@@ -350,13 +361,14 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                     t = t.append_column(
                         out, pa.array(d, typ, mask=mask))
             elif op == "lead":
+                k_off = int(spec[2]) if len(spec) == 3 else 1
                 lead = np.empty_like(v)
-                if n:
-                    lead[:-1] = v[1:]
-                mask = np.zeros(n, bool)
-                if n:
-                    mask[:-1] = change[1:]
-                    mask[-1] = True  # last row of its partition
+                if n > k_off:
+                    lead[:-k_off] = v[k_off:]
+                mask = np.ones(n, bool)
+                if n > k_off:
+                    # valid iff the row k_off ahead is in my partition
+                    mask[:-k_off] = seg_start[k_off:] != seg_start[:-k_off]
                 t = t.append_column(
                     out, pa.array(lead, col.type, mask=mask))
             else:  # cumsum: global cumsum minus exclusive segment base

@@ -192,3 +192,33 @@ def test_triangle_count_empty_graph_keeps_schema(ray_session):
     got = triangle_count(ray.data.from_arrow(edges))
     assert got.count() == 0
     assert set(got.schema().names) == {"node", "n_triangles"}
+
+
+def test_cooccurrence_cosine_planted(ray_session):
+    """cosine = support / sqrt(n_a*n_b) on a planted basket set; items
+    always co-occurring score exactly 1.0."""
+    from opentelemetry_collector_ray.stages.graph import (
+        cooccurrence_cosine)
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (3, "y"), (4, "w"), (4, "w")]  # dup membership dedupes
+    t = pa.table({"g": pa.array([r[0] for r in rows]),
+                  "i": pa.array([r[1] for r in rows])})
+    out = cooccurrence_cosine(
+        lambda: ray.data.from_arrow(t).repartition(2), "g", "i",
+        min_support=1).to_pandas().sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    got = {(r.a, r.b): (r.support, r.n_a, r.n_b, r.cosine)
+           for r in out.itertuples()}
+    # x and y co-occur in all 3 of their baskets -> cosine 1.0 exactly
+    assert got[("x", "y")] == (3, 3, 3, 1.0)
+    assert got[("x", "z")][:3] == (1, 3, 1)
+    assert got[("x", "z")][3] == 1 / np.sqrt(3.0)
+    assert ("w", "w") not in got and not any(
+        a == b for a, b in got)  # no self pairs
+    with pytest.raises(ValueError, match="min_support"):
+        cooccurrence_cosine(lambda: ray.data.from_arrow(t), "g", "i",
+                            min_support=0)
+    with pytest.raises(Exception, match="max_items"):
+        cooccurrence_cosine(lambda: ray.data.from_arrow(t), "g", "i",
+                            max_items=1).to_pandas()

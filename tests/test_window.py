@@ -351,3 +351,33 @@ def test_moving_validation(ray_session):
                 "k": ["a"], "o": [1],
                 "t": pa.array([0], pa.timestamp("us"))})),
             "k", ["o"], {"m": ("moving_sum", "t", 2)}).to_pandas()
+
+
+def test_lag_lead_offsets_match_duckdb(ray_session):
+    """lag/lead with offset k == SQL lag(col, k)/lead(col, k)."""
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 17, n).astype("str")),
+        "o": pa.array(np.arange(n)),
+        "v": pa.array(rng.integers(0, 999, n)),
+    })
+    out = per_key_window(
+        ray.data.from_arrow(tbl).repartition(4), "k", ["o"],
+        {"l2": ("lag", "v", 2), "f3": ("lead", "v", 3),
+         "l1": ("lag", "v")}, n_buckets=8).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    ref = duckdb.sql("""
+        SELECT k, o, lag(v, 2) OVER w l2, lead(v, 3) OVER w f3,
+               lag(v) OVER w l1
+        FROM tbl WINDOW w AS (PARTITION BY k ORDER BY o)
+        """).df().sort_values(["k", "o"]).reset_index(drop=True)
+    for c in ("l2", "f3", "l1"):
+        assert np.array_equal(out[c].to_numpy(dtype=float),
+                              ref[c].to_numpy(dtype=float),
+                              equal_nan=True), c
+    with pytest.raises(ValueError, match="offset"):
+        per_key_window(ray.data.from_arrow(tbl), "k", ["o"],
+                       {"x": ("lag", "v", 0)})
