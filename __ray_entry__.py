@@ -1068,6 +1068,28 @@ def _q_orders_scd2_asof(sf_dir: str):
     return iv.map_batches(asof, batch_format="pyarrow")
 
 
+def _q_parts_bfs_depth(sf_dir: str):
+    """BFS hop distance over the part↔supplier co-purchase graph
+    (stages/graph.py bfs_layers): every node within 3 undirected hops
+    of part p1, with its exact minimum hop count — the crawl-frontier
+    / blast-radius primitive, SQL-exact vs DuckDB's recursive-CTE
+    min-hop closure (the iterative-graph gate pattern proven by
+    orders_cc)."""
+    from opentelemetry_collector_ray.stages.graph import bfs_layers
+
+    def make():
+        return _read_co(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey"], floor=8).map_batches(
+            lambda t: pa.table({
+                "src": pc.binary_join_element_wise(
+                    "p", pc.cast(t.column("l_partkey"), pa.string()), ""),
+                "dst": pc.binary_join_element_wise(
+                    "s", pc.cast(t.column("l_suppkey"), pa.string()), ""),
+            }), batch_format="pyarrow")
+
+    return bfs_layers(make, "src", "dst", seeds=["p1"], max_depth=3)
+
+
 def _q_docs_above_lang_median(sf_dir: str):
     """Per-GROUP quantile thresholding (the per-language curation
     screen): keep documents strictly above their language's exact
@@ -5855,6 +5877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pair_cosine": _q_parts_pair_cosine,
         "events_path_trigrams": _q_events_path_trigrams,
         "orders_scd2_asof": _q_orders_scd2_asof,
+        "parts_bfs_depth": _q_parts_bfs_depth,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8381,6 +8404,19 @@ SELECT o_custkey, o_orderstatus FROM (
              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
   FROM orders WHERE o_orderdate <= TIMESTAMP '1996-06-01')
 WHERE rn = 1
+""",
+        "parts_bfs_depth": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem),
+u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+r AS (
+  SELECT 'p1' AS node, 0 AS d
+  UNION
+  SELECT u.b, r.d + 1 FROM r JOIN u ON u.a = r.node WHERE r.d < 3
+)
+SELECT node, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY node
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -949,6 +949,30 @@ def _register_builtins() -> None:
             tol=float(cfg.get("tol", 0.0)),
             rank_col=cfg.get("rank_col", "rank")))
 
+    def make_pair_cosine(cfg: dict):
+        from .stages.graph import cooccurrence_cosine
+
+        for req in ("group", "item"):
+            if not cfg.get(req):
+                raise ConfigError(f"pair_cosine: {req} is required")
+        return DatasetTransform(lambda ds: cooccurrence_cosine(
+            lambda: ds, cfg["group"], cfg["item"],
+            min_support=int(cfg.get("min_support", 1)),
+            max_items=int(cfg.get("max_items", 5_000_000))))
+
+    def make_bfs(cfg: dict):
+        from .stages.graph import bfs_layers
+
+        for req in ("src", "dst", "seeds"):
+            if not cfg.get(req):
+                raise ConfigError(f"bfs: {req} is required")
+        return DatasetTransform(lambda ds: bfs_layers(
+            lambda: ds, cfg["src"], cfg["dst"],
+            seeds=list(cfg["seeds"]),
+            max_depth=int(cfg.get("max_depth", 10)),
+            directed=bool(cfg.get("directed", False)),
+            max_nodes=int(cfg.get("max_nodes", 5_000_000))))
+
     def make_robust_scale(cfg: dict):
         from .stages.normalize import robust_scale
 
@@ -1110,6 +1134,8 @@ def _register_builtins() -> None:
     register("robust_scale", Factory("processor", make_robust_scale))
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("pagerank", Factory("processor", make_pagerank))
+    register("pair_cosine", Factory("processor", make_pair_cosine))
+    register("bfs", Factory("processor", make_bfs))
     register("mad_outliers", Factory("processor", make_mad_outliers))
     register("cohort", Factory("processor", make_cohort))
     register("concurrency", Factory("processor", make_concurrency))

@@ -39,13 +39,37 @@ from .aggregate import grouped_agg, grouped_count
 from .bucketing import key_segments, persisted_factory
 
 __all__ = ["pagerank", "cooccurrence_edges", "cooccurrence_cosine",
-           "triangle_count"]
+           "triangle_count", "bfs_layers"]
+
+
+
+def _check_node_types(ds: ray.data.Dataset, src: str, dst: str,
+                      op: str) -> None:
+    """src and dst are ONE node id space — a type mismatch would die
+    deep inside the node-union concat with an opaque Arrow error."""
+    # fetch_if_missing=False: on a derived (map_batches) plan schema()
+    # would probe-execute the upstream — validate only when the schema
+    # is already known (bare reads / from_arrow), skip otherwise
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        return
+    types = dict(zip(sch.names, sch.types))
+    if src not in types or dst not in types:
+        missing = [c for c in (src, dst) if c not in types]
+        raise ValueError(f"{op}: edge column(s) {missing} not in input "
+                         f"schema {list(types)}")
+    if types[src] != types[dst]:
+        raise ValueError(
+            f"{op}: src ({types[src]}) and dst ({types[dst]}) must "
+            "share one type — node ids are one id space; cast or "
+            "prefix-tag them upstream")
 
 
 def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
              iterations: int = 20, max_nodes: int = 5_000_000,
              persist: str = "memory", tol: float = 0.0,
-             rank_col: str = "rank") -> ray.data.Dataset:
+             rank_col: str = "rank",
+             max_local_edges: int = 8_000_000) -> ray.data.Dataset:
     """PageRank over an edge dataset; returns (node, ``rank_col``).
 
     ``make_edges`` is a zero-arg factory, scanned ONCE: parallel edges
@@ -69,6 +93,7 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0,1), "
                          f"got {damping}")
+    _check_node_types(make_edges(), src, dst, "pagerank")
 
     # ---- node table: distinct src ∪ dst, bounded + guarded ----------
     # ONE scan of the edge list: each batch emits src and dst stacked
@@ -145,7 +170,7 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     # locally) disappears (measured 7.9 s → 2.1 s on parts_pagerank at
     # sf0.1). The distributed loop remains the >cap path.
     n_wedges = wedges_factory().count()
-    local = n_wedges <= 8_000_000
+    local = n_wedges <= int(max_local_edges)
     if local:
         epdf = wedges_factory().to_pandas()
         es = epdf["_s"].to_numpy()
@@ -197,7 +222,8 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
 
 def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
                        item_col: str, min_support: int = 1,
-                       n_buckets: int | str = "auto") -> ray.data.Dataset:
+                       n_buckets: int | str = "auto",
+                       pre_deduped: bool = False) -> ray.data.Dataset:
     """Undirected co-occurrence edges — items appearing in the same
     group (parts in an order, terms in a doc, services in a trace)
     become canonical ``(a < b)`` pairs weighted by the number of groups
@@ -209,12 +235,19 @@ def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
     arithmetic — no Python loop over groups): a group with k items
     emits k·(k−1)/2 pairs, so pathological mega-groups cost quadratic
     output — dedupe/cap group size upstream if k is unbounded. Returns
-    (a, b, support) with ``support >= min_support``."""
+    (a, b, support) with ``support >= min_support``.
+
+    ``pre_deduped=True`` asserts the input already has DISTINCT
+    (group, item) rows and skips the dedup exchange — the contract for
+    callers that materialized the distinct membership themselves
+    (:func:`cooccurrence_cosine` reuses one dedup for edges AND
+    degrees); duplicate rows under this flag would inflate supports."""
     from .bucketing import bucketed_map_groups
 
-    dedup = grouped_count(ds.select_columns([group_col, item_col]),
-                          [group_col, item_col], count_name="_n",
-                          strategy="bucket", n_buckets=n_buckets)
+    dedup = ds if pre_deduped else grouped_count(
+        ds.select_columns([group_col, item_col]),
+        [group_col, item_col], count_name="_n",
+        strategy="bucket", n_buckets=n_buckets)
 
     def expand(t: pa.Table) -> pa.Table:
         t = t.sort_by([(group_col, "ascending"),
@@ -271,21 +304,25 @@ def cooccurrence_cosine(make_ds, group_col: str, item_col: str, *,
     double; ``sqrt`` and ``/`` are correctly rounded in both numpy and
     SQL engines), so there is no accumulation order to diverge.
 
-    ``make_ds`` is a zero-arg factory — the input is scanned twice
-    (pair expansion + per-item degrees; pass a parquet-backed factory
-    or persist upstream). Per-item degree table is broadcast
-    (``ray.put`` once), count-guarded by ``max_items``."""
+    ``make_ds`` is a zero-arg factory, scanned ONCE: the distinct
+    (group, item) membership materializes from one dedup exchange and
+    feeds BOTH the pair expansion and the per-item degrees. Degree
+    table is broadcast (``ray.put`` once), count-guarded by
+    ``max_items``."""
     if min_support < 1:
         raise ValueError("cooccurrence_cosine: min_support must be >= 1")
-    edges = cooccurrence_edges(make_ds(), group_col, item_col,
-                               min_support=min_support,
-                               n_buckets=n_buckets)
     dedup = grouped_count(
         make_ds().select_columns([group_col, item_col]),
         [group_col, item_col], count_name="_n", strategy="bucket",
-        n_buckets=n_buckets)
+        n_buckets=n_buckets).materialize()
+    edges = cooccurrence_edges(dedup, group_col, item_col,
+                               min_support=min_support,
+                               n_buckets=n_buckets, pre_deduped=True)
+    # items are bounded (max_items guard below) so the map-only tree
+    # combine applies — the shuffle-strategy exchange on these skinny
+    # partials measured 3.4 s of a 4.1 s total at sf0.1
     counts_ds = grouped_count(dedup, [item_col], count_name="n",
-                              strategy="shuffle").materialize()
+                              strategy="tree").materialize()
     n_items = counts_ds.count()
     if n_items > int(max_items):
         raise ValueError(
@@ -374,3 +411,127 @@ def triangle_count(edges: ray.data.Dataset, a: str = "a", b: str = "b",
         return ray.data.from_arrow(pa.schema(
             [("node", node_t), ("n_triangles", pa.int64())]).empty_table())
     return out
+
+
+def bfs_layers(make_edges, src: str, dst: str, *, seeds,
+               max_depth: int = 10, directed: bool = False,
+               max_nodes: int = 5_000_000,
+               max_local_edges: int = 8_000_000,
+               n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Breadth-first hop distance from a seed set — ``(node, depth)``
+    for every node reachable within ``max_depth`` hops (seeds at depth
+    0; unreachable nodes absent). The link-graph neighborhood /
+    blast-radius primitive (crawl frontier expansion, service-graph
+    impact analysis); SQL-exact vs a recursive-CTE min-hop oracle.
+
+    Scale shape mirrors :func:`pagerank`: nodes are bounded
+    (``max_nodes`` count-before-pull guard) so the frontier/visited
+    state is a driver bit-vector; the EDGE list is the big table —
+    deduped and index-encoded ONCE (one bucket exchange), then every
+    layer is one sparse sweep: a numpy ``unique`` gather when the
+    distinct edge list fits the driver (≤ 8M rows), else one
+    distributed pass emitting per-block frontier-neighbor partials.
+    ``directed=False`` (default) follows edges both ways."""
+    if max_depth < 0:
+        raise ValueError("bfs_layers: max_depth must be >= 0")
+    seeds = list(seeds)
+    if not seeds:
+        raise ValueError("bfs_layers: seeds must be non-empty")
+    _check_node_types(make_edges(), src, dst, "bfs_layers")
+
+    def both_cols(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            t.select([src]).rename_columns(["node"]),
+            t.select([dst]).rename_columns(["node"])]).combine_chunks()
+
+    nodes_ds = grouped_count(
+        make_edges().select_columns([src, dst]).map_batches(
+            both_cols, batch_format="pyarrow"),
+        ["node"], count_name="_n", strategy="bucket").materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes > int(max_nodes):
+        raise ValueError(
+            f"bfs_layers: graph has {n_nodes:,} nodes (> max_nodes="
+            f"{int(max_nodes):,}); the frontier vector would not fit "
+            "the driver. Partition the graph or raise the cap.")
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int64())}))
+    nodes_col = nodes_ds.to_pandas()["node"]
+    if nodes_col.isna().any():
+        raise ValueError("bfs_layers: edge list contains null src/dst "
+                         "values — filter them out before calling")
+    nodes = nodes_col.to_numpy()
+    nodes_pa = pa.array(nodes)
+    nodes_ref = ray.put(nodes_pa)
+    seed_idx = pc.index_in(pa.array(seeds, nodes_pa.type), nodes_pa)
+    if seed_idx.null_count:
+        missing = [s for s, i in zip(seeds, seed_idx.to_pylist())
+                   if i is None]
+        raise ValueError(
+            f"bfs_layers: seed(s) {missing[:3]} not present in the "
+            "edge list")
+
+    def to_idx(t: pa.Table) -> pa.Table:
+        node_arr = ray.get(nodes_ref)
+        si = pc.index_in(t.column(src), node_arr)
+        di = pc.index_in(t.column(dst), node_arr)
+        return pa.table({"_s": si.cast(pa.int32()),
+                         "_d": di.cast(pa.int32())})
+
+    wedges = grouped_count(
+        make_edges().select_columns([src, dst]).map_batches(
+            to_idx, batch_format="pyarrow"),
+        ["_s", "_d"], count_name="_w", strategy="bucket",
+        n_buckets=n_buckets).materialize()
+    n_wedges = wedges.count()
+
+    depth = np.full(n_nodes, -1, np.int64)
+    frontier = np.zeros(n_nodes, bool)
+    frontier[seed_idx.to_numpy(zero_copy_only=False)] = True
+    depth[frontier] = 0
+
+    local = n_wedges <= int(max_local_edges)
+    if local:
+        epdf = wedges.to_pandas()
+        es = epdf["_s"].to_numpy()
+        ed = epdf["_d"].to_numpy()
+        if not directed:
+            es, ed = np.concatenate([es, ed]), np.concatenate([ed, es])
+
+    for d in range(1, int(max_depth) + 1):
+        if not frontier.any():
+            break
+        if local:
+            hits = ed[frontier[es]]
+        else:
+            f_ref = ray.put(frontier)
+            want_rev = not directed
+
+            def expand(t: pa.Table, _ref=f_ref) -> pa.Table:
+                f = ray.get(_ref)
+                si = t.column("_s").to_numpy(zero_copy_only=False)
+                di = t.column("_d").to_numpy(zero_copy_only=False)
+                outs = [di[f[si]]]
+                if want_rev:
+                    outs.append(si[f[di]])
+                return pa.table({"_n": pa.array(
+                    np.unique(np.concatenate(outs)))})
+
+            parts = [t for t in ray.get(
+                wedges.map_batches(expand, batch_format="pyarrow")
+                .materialize().to_arrow_refs()) if t.num_rows]
+            hits = (pa.concat_tables(parts).column("_n")
+                    .to_numpy(zero_copy_only=False)
+                    if parts else np.zeros(0, np.int64))
+        nxt = np.zeros(n_nodes, bool)
+        nxt[hits] = True
+        nxt &= depth < 0
+        depth[nxt] = d
+        frontier = nxt
+
+    reached = depth >= 0
+    return ray.data.from_arrow(pa.table({
+        "node": nodes_pa.filter(pa.array(reached)),
+        "depth": pa.array(depth[reached])}))

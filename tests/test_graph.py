@@ -222,3 +222,121 @@ def test_cooccurrence_cosine_planted(ray_session):
     with pytest.raises(Exception, match="max_items"):
         cooccurrence_cosine(lambda: ray.data.from_arrow(t), "g", "i",
                             max_items=1).to_pandas()
+
+
+def _bfs_ref(edges, seeds, max_depth, directed=False):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+        adj.setdefault(b, set())
+        adj.setdefault(a, set())
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_depth + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())
+               if v not in depth}
+        for v in nxt:
+            depth[v] = d
+        frontier = nxt
+    return depth
+
+
+def test_bfs_layers_matches_reference(ray_session):
+    from opentelemetry_collector_ray.stages.graph import bfs_layers
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [(nodes[a], nodes[b]) for a, b in
+             zip(rng.integers(0, 40, 120), rng.integers(0, 40, 120))
+             if a != b]
+    for directed in (False, True):
+        for md in (0, 1, 3):
+            out = bfs_layers(_edges_ds(edges), "src", "dst",
+                             seeds=["n0", "n7"], max_depth=md,
+                             directed=directed).to_pandas()
+            want = _bfs_ref(edges, ["n0", "n7"], md, directed)
+            got = dict(zip(out["node"], out["depth"]))
+            assert got == want, (directed, md)
+
+
+def test_bfs_layers_distributed_path_and_guards(ray_session):
+    from opentelemetry_collector_ray.stages.graph import bfs_layers
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    out = bfs_layers(_edges_ds(edges), "src", "dst", seeds=["a"],
+                     max_depth=5, max_local_edges=0).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # x/y unreachable
+    # directed distributed: only forward edges
+    out = bfs_layers(_edges_ds(edges), "src", "dst", seeds=["b"],
+                     max_depth=5, directed=True,
+                     max_local_edges=0).to_pandas()
+    assert dict(zip(out["node"], out["depth"])) == \
+        {"b": 0, "c": 1, "d": 2}
+    with pytest.raises(ValueError, match="seed"):
+        bfs_layers(_edges_ds(edges), "src", "dst", seeds=["zz"])
+    with pytest.raises(ValueError, match="seeds must be non-empty"):
+        bfs_layers(_edges_ds(edges), "src", "dst", seeds=[])
+    with pytest.raises(ValueError, match="max_depth"):
+        bfs_layers(_edges_ds(edges), "src", "dst", seeds=["a"],
+                   max_depth=-1)
+
+
+def test_pagerank_distributed_path_matches_local(ray_session):
+    """max_local_edges=0 forces the distributed per-iteration combine;
+    ranks must match the driver fast path to float jitter."""
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [(nodes[a], nodes[b]) for a, b in
+             zip(rng.integers(0, 20, 150), rng.integers(0, 20, 150))]
+    a = pagerank(_edges_ds(edges), "src", "dst",
+                 iterations=8).to_pandas()
+    b = pagerank(_edges_ds(edges), "src", "dst", iterations=8,
+                 max_local_edges=0).to_pandas()
+    ga = dict(zip(a["node"], a["rank"]))
+    gb = dict(zip(b["node"], b["rank"]))
+    assert set(ga) == set(gb)
+    for v in ga:
+        assert ga[v] == pytest.approx(gb[v], rel=1e-9), v
+
+
+def test_graph_yaml_parity(ray_session, tmp_path):
+    """YAML pair_cosine / bfs == direct stage calls."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.graph import (
+        bfs_layers, cooccurrence_cosine)
+
+    t = pa.table({"g": pa.array(["g1", "g1", "g2", "g2", "g3", "g3"]),
+                  "i": pa.array(["x", "y", "x", "y", "y", "z"])})
+    p = tmp_path / "g.parquet"
+    pq.write_table(t, str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    y = run("pair_cosine", {"group": "g", "item": "i"}) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    d = cooccurrence_cosine(
+        lambda: ray.data.read_parquet(str(p)), "g", "i") \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert y.equals(d)
+
+    y = run("bfs", {"src": "g", "dst": "i", "seeds": ["g1"],
+                    "max_depth": 2}) \
+        .sort_values("node").reset_index(drop=True)
+    d = bfs_layers(lambda: ray.data.read_parquet(str(p)), "g", "i",
+                   seeds=["g1"], max_depth=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert y.equals(d)
