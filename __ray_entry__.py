@@ -950,16 +950,21 @@ def _q_orders_incr_agg(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import grouped_agg
     from opentelemetry_collector_ray.stages.incragg import apply_agg_delta
 
-    def facts():
-        def prep(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "o_orderkey": t.column("o_orderkey"),
-                "o_orderpriority": t.column("o_orderpriority"),
-                "cents": _cents(t.column("o_totalprice"))})
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "cents": _cents(t.column("o_totalprice"))})
 
-        return _read_co(sf_dir, "orders",
+    # materialized ONCE — base partition and changelog derive from the
+    # same scan (review finding: two factory calls paid the read twice)
+    facts_ds = _read_co(sf_dir, "orders",
                         ["o_orderkey", "o_orderpriority", "o_totalprice"],
-                        floor=8).map_batches(prep, batch_format="pyarrow")
+                        floor=8).map_batches(
+        prep, batch_format="pyarrow").materialize()
+
+    def facts():
+        return facts_ds
 
     def base_rows(t: pa.Table) -> pa.Table:
         k = t.column("o_orderkey").to_numpy(zero_copy_only=False)

@@ -146,7 +146,12 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_rolling_outliers", "events_corr_parts",
              "events_json_extract", "events_ipc_roundtrip",
              "lineitem_weighted_median", "events_trending",
-             "events_debounced", "custs_rfm", "spans_self_time"]
+             "events_debounced", "custs_rfm", "spans_self_time",
+             # round-5 final-session additions
+             "events_moving_avg", "events_type_p_cont",
+             "docs_extract_matches", "orders_incr_agg",
+             "parts_pair_cosine", "events_path_trigrams",
+             "orders_scd2_asof", "parts_bfs_depth"]
     q = m.queries()
     for name in names:
         t0 = time.time()

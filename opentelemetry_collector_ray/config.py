@@ -379,8 +379,14 @@ def _register_builtins() -> None:
 
         if not cfg.get("key") or not cfg.get("value"):
             raise ConfigError("cont_quantiles: key and value are required")
-        qs = tuple((int(n), int(d)) for n, d in
-                   (cfg.get("qs") or [[1, 2]]))
+        try:
+            qs = tuple((int(n), int(d)) for n, d in
+                       (cfg.get("qs") or [[1, 2]]))
+        except (TypeError, ValueError):
+            raise ConfigError(
+                "cont_quantiles: qs must be [[num, den], ...] integer "
+                "rational pairs (e.g. [[1, 2], [9, 10]]), not flat "
+                f"floats — got {cfg.get('qs')!r}") from None
         return DatasetTransform(lambda ds: grouped_cont_quantiles(
             ds, cfg["key"], cfg["value"], qs=qs,
             n_buckets=cfg.get("n_buckets", 64),

@@ -458,7 +458,14 @@ def extract_all(col: pa.ChunkedArray | pa.Array,
     try:
         import polars as pl
 
-        out = pl.from_arrow(col).str.extract_all(pattern).to_arrow()
+        try:
+            out = pl.from_arrow(col).str.extract_all(pattern).to_arrow()
+        except Exception as ex:  # Rust regex rejects some patterns
+            raise ValueError(
+                f"extract_all: pattern {pattern!r} rejected by the "
+                "polars (Rust) regex engine — lookaround and "
+                "backreferences are not portable; restrict the "
+                f"pattern to the RE2-safe subset ({ex})") from None
         if isinstance(out, pa.ChunkedArray):
             out = out.combine_chunks()
         return out.cast(pa.list_(pa.string()))

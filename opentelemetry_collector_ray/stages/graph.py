@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from .aggregate import grouped_agg, grouped_count
-from .bucketing import key_segments, persisted_factory
+from .bucketing import key_segments
 
 __all__ = ["pagerank", "cooccurrence_edges", "cooccurrence_cosine",
            "triangle_count", "bfs_layers"]
@@ -63,6 +63,74 @@ def _check_node_types(ds: ray.data.Dataset, src: str, dst: str,
             f"{op}: src ({types[src]}) and dst ({types[dst]}) must "
             "share one type — node ids are one id space; cast or "
             "prefix-tag them upstream")
+
+
+def _node_type(ds: ray.data.Dataset, src: str) -> pa.DataType:
+    """Node column type for empty-graph returns — string when the
+    schema cannot be known without a probe execution."""
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        return pa.string()
+    try:
+        return dict(zip(sch.names, sch.types))[src]
+    except KeyError:
+        return pa.string()
+
+
+def _index_graph(make_edges, src: str, dst: str, max_nodes: int,
+                 op: str, n_buckets: int | str = "auto"):
+    """Shared graph prep for the iterative operators (pagerank / BFS):
+    distinct node table (bounded, ``max_nodes`` count-before-pull
+    guard, null check), node→int32 index encoding ONCE, and parallel
+    edges deduped to weighted ``(_s, _d, _w)`` rows in one bucket
+    exchange. Returns ``(n_nodes, nodes_pa, wedges)`` —
+    ``(0, None, None)`` for an empty graph; ``wedges`` is
+    MATERIALIZED."""
+    _check_node_types(make_edges(), src, dst, op)
+
+    def both_cols(t: pa.Table) -> pa.Table:
+        # ONE scan: src and dst stacked into a single 'node' column
+        # (a per-column union would execute the upstream twice)
+        return pa.concat_tables([
+            t.select([src]).rename_columns(["node"]),
+            t.select([dst]).rename_columns(["node"])]).combine_chunks()
+
+    nodes_ds = grouped_count(
+        make_edges().select_columns([src, dst]).map_batches(
+            both_cols, batch_format="pyarrow"),
+        ["node"], count_name="_n", strategy="bucket").materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes > int(max_nodes):
+        raise ValueError(
+            f"{op}: graph has {n_nodes:,} nodes (> max_nodes="
+            f"{int(max_nodes):,}); the per-node driver state would "
+            "not fit. Partition the graph or raise the cap.")
+    if n_nodes == 0:
+        return 0, None, None
+    nodes_col = nodes_ds.to_pandas()["node"]
+    if nodes_col.isna().any():
+        raise ValueError(f"{op}: edge list contains null src/dst "
+                         "values — filter them out before calling")
+    nodes_pa = pa.array(nodes_col.to_numpy())
+    nodes_ref = ray.put(nodes_pa)
+
+    def to_idx(t: pa.Table) -> pa.Table:
+        node_arr = ray.get(nodes_ref)
+        si = pc.index_in(t.column(src), node_arr)
+        di = pc.index_in(t.column(dst), node_arr)
+        if si.null_count or di.null_count:
+            raise ValueError(
+                f"{op}: edge list contains null src/dst values — "
+                "filter them out before calling")
+        return pa.table({"_s": si.cast(pa.int32()),
+                         "_d": di.cast(pa.int32())})
+
+    wedges = grouped_count(
+        make_edges().select_columns([src, dst]).map_batches(
+            to_idx, batch_format="pyarrow"),
+        ["_s", "_d"], count_name="_w", strategy="bucket",
+        n_buckets=n_buckets).materialize()
+    return n_nodes, nodes_pa, wedges
 
 
 def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
@@ -93,67 +161,25 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0,1), "
                          f"got {damping}")
-    _check_node_types(make_edges(), src, dst, "pagerank")
 
-    # ---- node table: distinct src ∪ dst, bounded + guarded ----------
-    # ONE scan of the edge list: each batch emits src and dst stacked
-    # into a single 'node' column (review finding: a per-column union
-    # executed the upstream twice)
-    def both_cols(t: pa.Table) -> pa.Table:
-        return pa.concat_tables([
-            t.select([src]).rename_columns(["node"]),
-            t.select([dst]).rename_columns(["node"])]).combine_chunks()
-
-    nodes_ds = grouped_count(
-        make_edges().select_columns([src, dst]).map_batches(
-            both_cols, batch_format="pyarrow"),
-        ["node"], count_name="_n", strategy="bucket").materialize()
-    n_nodes = nodes_ds.count()
-    if n_nodes > int(max_nodes):
-        raise ValueError(
-            f"pagerank: graph has {n_nodes:,} nodes "
-            f"(> max_nodes={int(max_nodes):,}); the rank vector would "
-            "not fit the driver. Partition the graph or raise the cap.")
+    # ---- shared prep: node table + int32-indexed weighted edges ----
+    # (dedupe shrinks the iteration currency from |edges| to |distinct
+    # pairs| — 7× on the lineitem part→supplier graph; parallel edges
+    # still count once each, weight = multiplicity, identical math)
+    n_nodes, nodes_pa, wedges = _index_graph(
+        make_edges, src, dst, max_nodes, "pagerank")
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
-            "node": pa.array([], pa.string()),
+            "node": pa.array([], _node_type(make_edges(), src)),
             rank_col: pa.array([], pa.float64())}))
-    nodes_col = nodes_ds.to_pandas()["node"]
-    if nodes_col.isna().any():
-        raise ValueError(
-            "pagerank: edge list contains null src/dst values — "
-            "filter them out before calling")
-    nodes = nodes_col.to_numpy()
-    nodes_pa = pa.array(nodes)
-    nodes_ref = ray.put(nodes_pa)
-
-    # ---- index the edges once; iterations ride int32 only ----------
-    def to_idx(t: pa.Table) -> pa.Table:
-        node_arr = ray.get(nodes_ref)
-        si = pc.index_in(t.column(src), node_arr)
-        di = pc.index_in(t.column(dst), node_arr)
-        if si.null_count or di.null_count:
-            raise ValueError(
-                "pagerank: edge list contains null src/dst values — "
-                "filter them out before calling")
-        return pa.table({"_s": si.cast(pa.int32()),
-                         "_d": di.cast(pa.int32())})
-
-    # ---- ONE exchange dedupes parallel edges to weighted (s, d, w)
-    # rows — the iteration currency shrinks from |edges| to |distinct
-    # pairs| (7× on the lineitem part→supplier graph), and parallel
-    # edges still count once each (weight = multiplicity, identical
-    # math). persist= controls where the weighted edges live across
-    # iterations (memory default; a path for the resumable choice).
-    wedges_factory = persisted_factory(
-        lambda: grouped_count(
-            make_edges().select_columns([src, dst]).map_batches(
-                to_idx, batch_format="pyarrow"),
-            ["_s", "_d"], count_name="_w", strategy="bucket"),
-        persist if persist != "none" else "memory")
+    if persist not in ("none", "memory"):
+        # the resumable choice: weighted edges to parquet, iterations
+        # re-read from disk instead of holding object-store memory
+        wedges.write_parquet(persist)
+        wedges = ray.data.read_parquet(persist).materialize()
 
     # ---- out-degree vector (driver, O(nodes)) -----------------------
-    deg_pdf = grouped_agg(wedges_factory(), ["_s"],
+    deg_pdf = grouped_agg(wedges, ["_s"],
                           sum_cols={"_n": "_w"},
                           strategy="shuffle").to_pandas()
     outdeg = np.zeros(n_nodes, np.int64)
@@ -169,10 +195,10 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     # distributed loop's fixed per-iteration scheduling cost (~0.6 s
     # locally) disappears (measured 7.9 s → 2.1 s on parts_pagerank at
     # sf0.1). The distributed loop remains the >cap path.
-    n_wedges = wedges_factory().count()
+    n_wedges = wedges.count()
     local = n_wedges <= int(max_local_edges)
     if local:
-        epdf = wedges_factory().to_pandas()
+        epdf = wedges.to_pandas()
         es = epdf["_s"].to_numpy()
         ed = epdf["_d"].to_numpy()
         ew = epdf["_w"].to_numpy().astype(np.float64)
@@ -203,7 +229,7 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
             # contribution vector fits one task, so the map-only tree
             # combine replaces the per-iteration sort exchange
             strat = "tree" if n_nodes <= 1_000_000 else "shuffle"
-            cpdf = grouped_agg(wedges_factory().map_batches(
+            cpdf = grouped_agg(wedges.map_batches(
                 contrib, batch_format="pyarrow"), ["_d"],
                 sum_cols={"_c": "_c"}, strategy=strat).to_pandas()
             incoming = np.zeros(n_nodes)
@@ -318,9 +344,22 @@ def cooccurrence_cosine(make_ds, group_col: str, item_col: str, *,
     edges = cooccurrence_edges(dedup, group_col, item_col,
                                min_support=min_support,
                                n_buckets=n_buckets, pre_deduped=True)
-    # items are bounded (max_items guard below) so the map-only tree
-    # combine applies — the shuffle-strategy exchange on these skinny
-    # partials measured 3.4 s of a 4.1 s total at sf0.1
+    # items are bounded (max_items) so the map-only tree combine
+    # applies — the shuffle-strategy exchange on these skinny partials
+    # measured 3.4 s of a 4.1 s total at sf0.1. The tree's final
+    # combine holds the WHOLE distinct item set in one task, so a
+    # cheap HLL screen fires loudly BEFORE that task can exist (the
+    # guard must bound the step, not run after it — review finding,
+    # same class as the exact-quantile screen)
+    from .sketch import approx_distinct
+
+    est = approx_distinct(dedup.select_columns([item_col]), item_col)
+    if est > 1.2 * int(max_items):
+        raise ValueError(
+            f"cooccurrence_cosine: ~{int(est):,} distinct items (HLL "
+            f"estimate, max_items={int(max_items):,}) — the degree "
+            "table would neither tree-combine nor broadcast; raise "
+            "the cap or pre-filter items")
     counts_ds = grouped_count(dedup, [item_col], count_name="n",
                               strategy="tree").materialize()
     n_items = counts_ds.count()
@@ -437,34 +476,14 @@ def bfs_layers(make_edges, src: str, dst: str, *, seeds,
     seeds = list(seeds)
     if not seeds:
         raise ValueError("bfs_layers: seeds must be non-empty")
-    _check_node_types(make_edges(), src, dst, "bfs_layers")
 
-    def both_cols(t: pa.Table) -> pa.Table:
-        return pa.concat_tables([
-            t.select([src]).rename_columns(["node"]),
-            t.select([dst]).rename_columns(["node"])]).combine_chunks()
-
-    nodes_ds = grouped_count(
-        make_edges().select_columns([src, dst]).map_batches(
-            both_cols, batch_format="pyarrow"),
-        ["node"], count_name="_n", strategy="bucket").materialize()
-    n_nodes = nodes_ds.count()
-    if n_nodes > int(max_nodes):
-        raise ValueError(
-            f"bfs_layers: graph has {n_nodes:,} nodes (> max_nodes="
-            f"{int(max_nodes):,}); the frontier vector would not fit "
-            "the driver. Partition the graph or raise the cap.")
+    n_nodes, nodes_pa, wedges = _index_graph(
+        make_edges, src, dst, max_nodes, "bfs_layers",
+        n_buckets=n_buckets)
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
-            "node": pa.array([], pa.string()),
+            "node": pa.array([], _node_type(make_edges(), src)),
             "depth": pa.array([], pa.int64())}))
-    nodes_col = nodes_ds.to_pandas()["node"]
-    if nodes_col.isna().any():
-        raise ValueError("bfs_layers: edge list contains null src/dst "
-                         "values — filter them out before calling")
-    nodes = nodes_col.to_numpy()
-    nodes_pa = pa.array(nodes)
-    nodes_ref = ray.put(nodes_pa)
     seed_idx = pc.index_in(pa.array(seeds, nodes_pa.type), nodes_pa)
     if seed_idx.null_count:
         missing = [s for s, i in zip(seeds, seed_idx.to_pylist())
@@ -472,19 +491,6 @@ def bfs_layers(make_edges, src: str, dst: str, *, seeds,
         raise ValueError(
             f"bfs_layers: seed(s) {missing[:3]} not present in the "
             "edge list")
-
-    def to_idx(t: pa.Table) -> pa.Table:
-        node_arr = ray.get(nodes_ref)
-        si = pc.index_in(t.column(src), node_arr)
-        di = pc.index_in(t.column(dst), node_arr)
-        return pa.table({"_s": si.cast(pa.int32()),
-                         "_d": di.cast(pa.int32())})
-
-    wedges = grouped_count(
-        make_edges().select_columns([src, dst]).map_batches(
-            to_idx, batch_format="pyarrow"),
-        ["_s", "_d"], count_name="_w", strategy="bucket",
-        n_buckets=n_buckets).materialize()
     n_wedges = wedges.count()
 
     depth = np.full(n_nodes, -1, np.int64)

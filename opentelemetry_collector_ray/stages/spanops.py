@@ -171,6 +171,11 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
     """
     from .bucketing import bucketed_map_groups, key_segments
 
+    if key == "n":
+        raise ValueError(
+            "grouped_exact_quantiles: key 'n' collides with the count "
+            "output column — rename the key upstream")
+
     # count_strategy="shuffle" (default) is the unbounded-key-safe
     # choice; callers whose distinct (key, value) table fits one task
     # (bounded keys x bounded value domain, e.g. the broadcast-stats
@@ -250,6 +255,10 @@ def grouped_cont_quantiles(ds: ray.data.Dataset, key: str,
     collector; this is the batch generalization)."""
     from .bucketing import bucketed_map_groups, key_segments
 
+    if key == "n":
+        raise ValueError(
+            "grouped_cont_quantiles: key 'n' collides with the count "
+            "output column — rename the key upstream")
     for num, den in qs:
         if not (0 <= num <= den) or den <= 0:
             raise ValueError(
