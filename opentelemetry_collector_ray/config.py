@@ -953,7 +953,25 @@ def _register_builtins() -> None:
             max_nodes=int(cfg.get("max_nodes", 5_000_000)),
             persist=cfg.get("persist", "memory"),
             tol=float(cfg.get("tol", 0.0)),
-            rank_col=cfg.get("rank_col", "rank")))
+            rank_col=cfg.get("rank_col", "rank"),
+            weight_col=cfg.get("weight_col"),
+            personalize=cfg.get("personalize")))
+
+    def make_agg_delta(cfg: dict):
+        import ray.data as _rd
+
+        from .stages.incragg import apply_agg_delta
+
+        if not cfg.get("keys") or not cfg.get("base_path"):
+            raise ConfigError("agg_delta: keys and base_path (the "
+                              "materialized view parquet) are required")
+        return DatasetTransform(lambda ds: apply_agg_delta(
+            _rd.read_parquet(cfg["base_path"]),
+            ds, [str(k) for k in cfg["keys"]],
+            count_name=cfg.get("count_name", "n"),
+            sum_cols=dict(cfg.get("sum_cols") or {}),
+            op_col=cfg.get("op_col", "op"),
+            strategy=cfg.get("strategy", "tree")))
 
     def make_pair_cosine(cfg: dict):
         from .stages.graph import cooccurrence_cosine
@@ -1142,6 +1160,7 @@ def _register_builtins() -> None:
     register("pagerank", Factory("processor", make_pagerank))
     register("pair_cosine", Factory("processor", make_pair_cosine))
     register("bfs", Factory("processor", make_bfs))
+    register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))
     register("cohort", Factory("processor", make_cohort))
     register("concurrency", Factory("processor", make_concurrency))

@@ -78,15 +78,18 @@ def _node_type(ds: ray.data.Dataset, src: str) -> pa.DataType:
 
 
 def _index_graph(make_edges, src: str, dst: str, max_nodes: int,
-                 op: str, n_buckets: int | str = "auto"):
+                 op: str, n_buckets: int | str = "auto",
+                 weight_col: str | None = None):
     """Shared graph prep for the iterative operators (pagerank / BFS):
     distinct node table (bounded, ``max_nodes`` count-before-pull
     guard, null check), node→int32 index encoding ONCE, and parallel
     edges deduped to weighted ``(_s, _d, _w)`` rows in one bucket
-    exchange. Returns ``(n_nodes, nodes_pa, wedges)`` —
-    ``(0, None, None)`` for an empty graph; ``wedges`` is
-    MATERIALIZED."""
+    exchange — ``_w`` is the edge multiplicity, or the SUM of
+    ``weight_col`` (validated non-null, non-negative) when given.
+    Returns ``(n_nodes, nodes_pa, wedges)`` — ``(0, None, None)`` for
+    an empty graph; ``wedges`` is MATERIALIZED."""
     _check_node_types(make_edges(), src, dst, op)
+    edge_cols = [src, dst] + ([weight_col] if weight_col else [])
 
     def both_cols(t: pa.Table) -> pa.Table:
         # ONE scan: src and dst stacked into a single 'node' column
@@ -122,14 +125,29 @@ def _index_graph(make_edges, src: str, dst: str, max_nodes: int,
             raise ValueError(
                 f"{op}: edge list contains null src/dst values — "
                 "filter them out before calling")
-        return pa.table({"_s": si.cast(pa.int32()),
-                         "_d": di.cast(pa.int32())})
+        lanes = {"_s": si.cast(pa.int32()), "_d": di.cast(pa.int32())}
+        if weight_col:
+            w = t.column(weight_col)
+            if w.null_count:
+                raise ValueError(f"{op}: weight column {weight_col!r} "
+                                 "has nulls")
+            w = w.cast(pa.float64())
+            if t.num_rows and pc.min(w).as_py() < 0:
+                raise ValueError(f"{op}: weight column {weight_col!r} "
+                                 "has negative values")
+            lanes["_wt"] = w
+        return pa.table(lanes)
 
-    wedges = grouped_count(
-        make_edges().select_columns([src, dst]).map_batches(
-            to_idx, batch_format="pyarrow"),
-        ["_s", "_d"], count_name="_w", strategy="bucket",
-        n_buckets=n_buckets).materialize()
+    indexed = make_edges().select_columns(edge_cols).map_batches(
+        to_idx, batch_format="pyarrow")
+    if weight_col:
+        wedges = grouped_agg(indexed, ["_s", "_d"],
+                             sum_cols={"_w": "_wt"}, strategy="bucket",
+                             n_buckets=n_buckets).materialize()
+    else:
+        wedges = grouped_count(indexed, ["_s", "_d"], count_name="_w",
+                               strategy="bucket",
+                               n_buckets=n_buckets).materialize()
     return n_nodes, nodes_pa, wedges
 
 
@@ -137,7 +155,9 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
              iterations: int = 20, max_nodes: int = 5_000_000,
              persist: str = "memory", tol: float = 0.0,
              rank_col: str = "rank",
-             max_local_edges: int = 8_000_000) -> ray.data.Dataset:
+             max_local_edges: int = 8_000_000,
+             weight_col: str | None = None,
+             personalize=None) -> ray.data.Dataset:
     """PageRank over an edge dataset; returns (node, ``rank_col``).
 
     ``make_edges`` is a zero-arg factory, scanned ONCE: parallel edges
@@ -157,6 +177,16 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     graphs ``tol=1e-6`` halves the work vs the fixed-20 default while
     leaving top-k ordering identical (planted-graph test); ``tol=0``
     keeps the exact fixed-iteration semantics.
+
+    ``weight_col`` makes the graph explicitly WEIGHTED: out-mass
+    splits proportionally to edge weight (non-null, non-negative;
+    identical to replicating an edge ``w`` times — identity-tested).
+    ``personalize`` is a node list for PERSONALIZED PageRank: the
+    teleport (and dangling) mass lands uniformly on those nodes
+    instead of all nodes — the random-walk-with-restart relatedness
+    score (recommendation / similar-items ranking); ``None`` keeps
+    the standard uniform teleport (``personalize=all nodes`` is
+    identity-tested equal).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0,1), "
@@ -167,11 +197,26 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     # pairs| — 7× on the lineitem part→supplier graph; parallel edges
     # still count once each, weight = multiplicity, identical math)
     n_nodes, nodes_pa, wedges = _index_graph(
-        make_edges, src, dst, max_nodes, "pagerank")
+        make_edges, src, dst, max_nodes, "pagerank",
+        weight_col=weight_col)
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], _node_type(make_edges(), src)),
             rank_col: pa.array([], pa.float64())}))
+    if personalize is not None:
+        pidx = pc.index_in(pa.array(list(personalize), nodes_pa.type),
+                           nodes_pa)
+        if pidx.null_count or len(pidx) == 0:
+            missing = [s for s, i in zip(list(personalize),
+                                         pidx.to_pylist()) if i is None]
+            raise ValueError(
+                f"pagerank: personalize node(s) {missing[:3]} not "
+                "present in the edge list (or empty list)")
+        uniq = np.unique(pidx.to_numpy(zero_copy_only=False))
+        teleport = np.zeros(n_nodes)
+        teleport[uniq] = 1.0 / len(uniq)
+    else:
+        teleport = np.full(n_nodes, 1.0 / n_nodes)
     if persist not in ("none", "memory"):
         # the resumable choice: weighted edges to parquet, iterations
         # re-read from disk instead of holding object-store memory
@@ -182,11 +227,11 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
     deg_pdf = grouped_agg(wedges, ["_s"],
                           sum_cols={"_n": "_w"},
                           strategy="shuffle").to_pandas()
-    outdeg = np.zeros(n_nodes, np.int64)
+    outdeg = np.zeros(n_nodes)  # float: weighted graphs sum doubles
     outdeg[deg_pdf["_s"].to_numpy()] = deg_pdf["_n"].to_numpy()
     dangling = np.flatnonzero(outdeg == 0)
 
-    rank = np.full(n_nodes, 1.0 / n_nodes)
+    rank = teleport.copy()
     d = float(damping)
 
     # ---- small-graph fast path: when the weighted edge list fits the
@@ -235,8 +280,8 @@ def pagerank(make_edges, src: str, dst: str, *, damping: float = 0.85,
             incoming = np.zeros(n_nodes)
             incoming[cpdf["_d"].to_numpy()] = cpdf["_c"].to_numpy()
         dangling_mass = float(rank[dangling].sum())
-        new_rank = ((1.0 - d) / n_nodes
-                    + d * (incoming + dangling_mass / n_nodes))
+        new_rank = ((1.0 - d) * teleport
+                    + d * (incoming + dangling_mass * teleport))
         delta = float(np.max(np.abs(new_rank - rank)))
         rank = new_rank
         if tol > 0.0 and delta < tol:

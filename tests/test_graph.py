@@ -340,3 +340,48 @@ def test_graph_yaml_parity(ray_session, tmp_path):
                    seeds=["g1"], max_depth=2).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     assert y.equals(d)
+
+
+def test_pagerank_weighted_and_personalized(ray_session):
+    """weight_col w == the edge replicated w times (bit-identical
+    math); personalize=all nodes == standard pagerank; a personalized
+    seed concentrates rank around the seed."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    # weighted: a->b has weight 3
+    wt = pa.table({"src": pa.array([e[0] for e in edges]),
+                   "dst": pa.array([e[1] for e in edges]),
+                   "w": pa.array([3.0, 1.0, 1.0, 1.0])})
+    rep_edges = [("a", "b")] * 3 + edges[1:]
+    a = pagerank(lambda: ray.data.from_arrow(wt), "src", "dst",
+                 iterations=12, weight_col="w").to_pandas()
+    b = pagerank(_edges_ds(rep_edges), "src", "dst",
+                 iterations=12).to_pandas()
+    ga = dict(zip(a["node"], a["rank"]))
+    gb = dict(zip(b["node"], b["rank"]))
+    for v in gb:
+        assert ga[v] == pytest.approx(gb[v], rel=1e-12), v
+
+    # personalize over ALL nodes == standard
+    std = pagerank(_edges_ds(edges), "src", "dst",
+                   iterations=10).to_pandas()
+    allp = pagerank(_edges_ds(edges), "src", "dst", iterations=10,
+                    personalize=["a", "b", "c"]).to_pandas()
+    gs = dict(zip(std["node"], std["rank"]))
+    gp = dict(zip(allp["node"], allp["rank"]))
+    for v in gs:
+        assert gp[v] == pytest.approx(gs[v], rel=1e-12), v
+
+    # restart at 'a': a outranks its standard self, mass sums to 1
+    pers = pagerank(_edges_ds(edges), "src", "dst", iterations=30,
+                    personalize=["a"]).to_pandas()
+    g1 = dict(zip(pers["node"], pers["rank"]))
+    assert g1["a"] > gs["a"]
+    assert pers["rank"].sum() == pytest.approx(1.0, rel=1e-9)
+
+    with pytest.raises(ValueError, match="personalize"):
+        pagerank(_edges_ds(edges), "src", "dst",
+                 personalize=["zz"]).to_pandas()
+    bad = pa.table({"src": ["a"], "dst": ["b"], "w": [-1.0]})
+    with pytest.raises(Exception, match="negative"):
+        pagerank(lambda: ray.data.from_arrow(bad), "src", "dst",
+                 weight_col="w").to_pandas()

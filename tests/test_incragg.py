@@ -100,3 +100,40 @@ def test_changelog_contract_validation(ray_session):
             ["k"], count_name="n", sum_cols={"sv": "v"}).to_pandas()
     with pytest.raises(ValueError, match="collide"):
         apply_agg_delta(base_agg, base_agg, ["n"], count_name="n")
+
+
+def test_agg_delta_yaml_parity(ray_session, tmp_path):
+    """YAML agg_delta (base view from parquet) == direct call."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    base = pa.table({"k": ["a", "b"], "v": [5, 7]})
+    base_agg = grouped_agg(ray.data.from_arrow(base), ["k"],
+                           count_name="n", sum_cols={"sv": "v"})
+    bdir = tmp_path / "base"
+    base_agg.write_parquet(str(bdir))
+    chg = pa.table({"k": ["a", "c"], "v": [9, 4], "op": [1, 1]})
+    cpath = tmp_path / "chg.parquet"
+    pq.write_table(chg, str(cpath))
+
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(cpath)}},
+        "processors": {"agg_delta": {
+            "keys": ["k"], "base_path": str(bdir),
+            "count_name": "n", "sum_cols": {"sv": "v"}}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["agg_delta"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("k").reset_index(drop=True)
+    d = apply_agg_delta(
+        ray.data.read_parquet(str(bdir)),
+        ray.data.read_parquet(str(cpath)), ["k"], count_name="n",
+        sum_cols={"sv": "v"}).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert y.equals(d)
+    assert y["k"].tolist() == ["a", "b", "c"]
+    assert y["n"].tolist() == [2, 1, 1]
+    assert y["sv"].tolist() == [14, 7, 4]
