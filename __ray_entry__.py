@@ -5547,6 +5547,51 @@ def _q_lineitem_weighted_median(sf_dir: str):
         "l_returnflag", "cents", "qty")
 
 
+def _q_lineitem_weighted_p90(sf_dir: str):
+    """Exact quantity-weighted QUANTILES at arbitrary rationals
+    (spanops.grouped_weighted_quantiles — generalizes the weighted
+    median): smallest price-cents whose cumulative quantity reaches
+    q of the flag's total, rank rule den·cum >= num·tot, all
+    integer. Oracle = the same rule via FILTERed min over window
+    cumsums."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_quantiles)
+
+    li = _read_co(sf_dir, "lineitem",
+                  ["l_returnflag", "l_extendedprice", "l_quantity"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "cents": _cents(t.column("l_extendedprice")),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    return grouped_weighted_quantiles(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag", "cents", "qty", qs=((1, 4), (9, 10)))
+
+
+def _q_events_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift distance
+    (normalize.ks_two_sample): the exact D between the click and view
+    spend distributions as integer lanes (n_a, n_b, d_num) plus the
+    single correctly-rounded float d = d_num/(n_a·n_b) — the
+    deploy-A-vs-deploy-B drift detector with a bit-stable gate.
+    Oracle = the window-cumsum ECDF difference in SQL."""
+    from opentelemetry_collector_ray.stages.normalize import (
+        ks_two_sample)
+
+    ev = _read_co(sf_dir, "events", ["event_type", "value"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    return ks_two_sample(ev.map_batches(prep, batch_format="pyarrow"),
+                         "event_type", "cents", "click", "view")
+
+
 def _q_events_trending(sf_dir: str):
     """Trending items: top-3 event types per day by count with a
     deterministic tie-break (aggregate.grouped_topk over the bounded
@@ -5870,6 +5915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": _q_events_json_extract,
         "events_ipc_roundtrip": _q_events_ipc_roundtrip,
         "lineitem_weighted_median": _q_lineitem_weighted_median,
+        "lineitem_weighted_p90": _q_lineitem_weighted_p90,
+        "events_ks_drift": _q_events_ks_drift,
         "events_trending": _q_events_trending,
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
@@ -8325,6 +8372,41 @@ c AS (SELECT l_returnflag, v,
 SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) AS BIGINT) AS wmedian
 FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+""",
+        "lineitem_weighted_p90": """
+WITH d AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      AS v,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+c AS (SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM d)
+SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
+       CAST(min(v) FILTER (WHERE 4 * cum >= tot) AS BIGINT) AS p1_4_w,
+       CAST(min(v) FILTER (WHERE 10 * cum >= 9 * tot) AS BIGINT)
+           AS p9_10_w
+FROM c GROUP BY l_returnflag
+""",
+        "events_ks_drift": """
+WITH e AS (SELECT event_type AS g,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'view')),
+c AS (SELECT v,
+             CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS cb
+      FROM e GROUP BY v),
+w AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb FROM c),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+SELECT t.n_a, t.n_b,
+       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+           AS d_num,
+       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+           / CAST(t.n_a * t.n_b AS DOUBLE) AS d
+FROM w, t GROUP BY t.n_a, t.n_b
 """,
         "events_point_lookup": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

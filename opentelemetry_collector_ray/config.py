@@ -502,6 +502,36 @@ def _register_builtins() -> None:
             ds, cfg["key"], cfg["value_col"], cfg["weight_col"],
             n_buckets=cfg.get("n_buckets", 64)))
 
+    def make_weighted_quantiles(cfg: dict):
+        from .stages.spanops import grouped_weighted_quantiles
+
+        for req in ("key", "value_col", "weight_col"):
+            if not cfg.get(req):
+                raise ConfigError(
+                    f"weighted_quantiles: {req} is required")
+        try:
+            qs = tuple((int(n), int(d)) for n, d in
+                       (cfg.get("qs") or [[1, 2]]))
+        except (TypeError, ValueError):
+            raise ConfigError(
+                "weighted_quantiles: qs must be [[num, den], ...] "
+                f"integer rational pairs — got {cfg.get('qs')!r}") \
+                from None
+        return DatasetTransform(lambda ds: grouped_weighted_quantiles(
+            ds, cfg["key"], cfg["value_col"], cfg["weight_col"],
+            qs=qs, n_buckets=cfg.get("n_buckets", 64)))
+
+    def make_ks_drift(cfg: dict):
+        from .stages.normalize import ks_two_sample
+
+        for req in ("group_col", "value_col", "group_a", "group_b"):
+            if cfg.get(req) is None:
+                raise ConfigError(f"ks_drift: {req} is required")
+        return DatasetTransform(lambda ds: ks_two_sample(
+            ds, cfg["group_col"], cfg["value_col"],
+            cfg["group_a"], cfg["group_b"],
+            max_distinct=int(cfg.get("max_distinct", 20_000_000))))
+
     def make_k_anonymize(cfg: dict):
         from .stages.privacy import k_anonymize
 
@@ -1147,6 +1177,9 @@ def _register_builtins() -> None:
     register("feature_hash", Factory("processor", make_feature_hash))
     register("target_encode", Factory("processor", make_target_encode))
     register("checksum", Factory("processor", make_checksum))
+    register("weighted_quantiles",
+             Factory("processor", make_weighted_quantiles))
+    register("ks_drift", Factory("processor", make_ks_drift))
     register("weighted_median",
              Factory("processor", make_weighted_median))
     register("rollup", Factory("processor", make_rollup))

@@ -425,3 +425,77 @@ def robust_scale(make_ds, col: str, key: str | None = None,
         return t.append_column(out_col, pa.array(scaled))
 
     return make_ds().map_batches(apply, batch_format="pyarrow")
+
+
+def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
+                  group_a, group_b,
+                  max_distinct: int = 20_000_000) -> ray.data.Dataset:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two slices — the exact drift detector (deploy A
+    vs deploy B, yesterday vs today): ``D = max_v |ecdf_a(v) −
+    ecdf_b(v)|`` returned as EXACT integer lanes ``(n_a, n_b, d_num)``
+    with ``D = d_num / (n_a·n_b)`` — the single ``d`` float division
+    is correctly rounded, so even the float column is hash-gate
+    stable. Integer value domains only (cents-style lanes).
+
+    Scale shape: ONE grouped count reduces the input to
+    |distinct values| × 2 rows (tree combine behind an HLL screen that
+    fires BEFORE the single combine task exists — the guard bounds the
+    step); the KS sweep itself is a driver sort + cumsum over that
+    bounded table. Rows not in either group are ignored."""
+    from .sketch import approx_distinct
+
+    ga, gb = str(group_a), str(group_b)
+    if ga == gb:
+        raise ValueError("ks_two_sample: group_a and group_b must "
+                         "differ")
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        m = pc.or_(pc.equal(g, ga), pc.equal(g, gb))
+        t = t.filter(pc.fill_null(m, False))
+        v = t.column(value_col)
+        if v.null_count:
+            raise ValueError(
+                f"ks_two_sample: {value_col!r} has nulls — a null has "
+                "no place on an ECDF")
+        return pa.table({"_g": pc.cast(t.column(group_col),
+                                       pa.string()),
+                         "_v": v})
+
+    skinny = ds.map_batches(keep, batch_format="pyarrow")
+    est = approx_distinct(skinny.map_batches(
+        lambda t: pa.table({"_v": t.column("_v")}),
+        batch_format="pyarrow"), "_v")
+    if est > max_distinct:
+        raise ValueError(
+            f"ks_two_sample: ~{int(est):,} distinct values (HLL "
+            f"estimate, max_distinct={max_distinct:,}) — the count "
+            "table would not fit one combine task; band the values "
+            "upstream or raise the cap")
+    counts = grouped_agg(skinny.map_batches(
+        lambda t: pa.table({
+            "_v": t.column("_v"),
+            "_ca": pc.cast(pc.equal(t.column("_g"), ga), pa.int64()),
+            "_cb": pc.cast(pc.equal(t.column("_g"), gb), pa.int64())}),
+        batch_format="pyarrow"), ["_v"],
+        sum_cols={"ca": "_ca", "cb": "_cb"}, strategy="tree")
+    pdf = counts.to_pandas().sort_values("_v")
+    ca = pdf["ca"].to_numpy()
+    cb = pdf["cb"].to_numpy()
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"ks_two_sample: empty slice (n_a={n_a}, n_b={n_b}) — "
+            "both groups must be present")
+    # |n_b·cuma − n_a·cumb| ≤ n_a·n_b, so int64 is safe below 2^62
+    if n_a * n_b > 2 ** 62:
+        raise ValueError("ks_two_sample: n_a*n_b would wrap int64; "
+                         "subsample the slices")
+    cuma = np.cumsum(ca)
+    cumb = np.cumsum(cb)
+    d_num = int(np.abs(n_b * cuma - n_a * cumb).max()) if len(ca) else 0
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([n_a]), "n_b": pa.array([n_b]),
+        "d_num": pa.array([d_num]),
+        "d": pa.array([d_num / float(n_a * n_b)])}))

@@ -376,6 +376,83 @@ def grouped_weighted_median(ds: ray.data.Dataset, key: str,
                                n_buckets=n_buckets)
 
 
+def grouped_weighted_quantiles(ds: ray.data.Dataset, key: str,
+                               value_col: str, weight_col: str,
+                               qs: tuple[tuple[int, int], ...] = ((1, 2),),
+                               n_buckets: int | str = 64
+                               ) -> ray.data.Dataset:
+    """Exact per-key WEIGHTED quantiles at arbitrary rational
+    ``num/den`` — generalizes :func:`grouped_weighted_median` (whose
+    rule is the ``(1, 2)`` case): the smallest value whose cumulative
+    weight reaches ``q`` of the key's total, rank rule
+    ``den·cum(w) >= num·tot(w)`` — all-integer, mirrored exactly by
+    the SQL window oracle. Output columns ``p{num}_{den}_w``
+    (volume-weighted p90 spend, duration-weighted p99 latency).
+
+    Scale shape identical to the weighted median: per-batch Arrow
+    pre-reduction bounds hot keys to one partial row per batch per
+    value, ONE bucket exchange, then one sort + segment cumsum +
+    global searchsorted per bucket answers every (key, q) at once."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if key == "tot_w":
+        raise ValueError(
+            "grouped_weighted_quantiles: key 'tot_w' collides with "
+            "the total output column — rename the key upstream")
+    for num, den in qs:
+        if not (0 <= num <= den) or den <= 0:
+            raise ValueError(
+                f"grouped_weighted_quantiles: q must be num/den in "
+                f"[0,1] with den > 0, got {num}/{den}")
+    max_den = max(d for _, d in qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key, value_col, weight_col]) \
+            .group_by([key, value_col]).aggregate([(weight_col, "sum")])
+        return g.rename_columns([key, value_col, "_w"])
+
+    sums = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pick_bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by([key, value_col]).aggregate([("_w", "sum")]) \
+            .rename_columns([key, value_col, "_w"])
+        t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        w = t.column("_w").to_numpy(zero_copy_only=False)
+        if len(w) and int(w.min()) < 0:
+            raise ValueError(
+                "grouped_weighted_quantiles: negative weights")
+        change, _ = key_segments(k)
+        starts = np.flatnonzero(change)
+        cum = np.cumsum(w)
+        if len(cum) and int(cum[-1]) > (2 ** 62) // max_den:
+            raise ValueError(
+                "grouped_weighted_quantiles: bucket weight total × den "
+                "would wrap int64; scale the weights down")
+        ends = np.append(starts[1:], len(k)) - 1
+        seg_base = np.concatenate([[0], cum])[starts]
+        totals = (cum[ends] - seg_base) if len(starts) \
+            else np.empty(0, np.int64)
+        out: dict = {
+            key: t.column(key).take(pa.array(starts.astype(np.int64))),
+            "tot_w": pa.array(totals.astype(np.int64))}
+        for num, den in qs:
+            # first index per segment where den·(cum−base) >= num·tot;
+            # all-zero-weight keys clamp to the segment start (same
+            # plateau fix as the weighted median)
+            pos = np.maximum(
+                np.searchsorted(den * cum, den * seg_base + num * totals),
+                starts)
+            out[f"p{num}_{den}_w"] = pa.array(
+                v[pos].astype(np.int64) if len(pos)
+                else np.empty(0, np.int64))
+        return pa.table(out)
+
+    return bucketed_map_groups(sums, key, pick_bucket,
+                               n_buckets=n_buckets)
+
+
 def span_self_time(spans: ray.data.Dataset,
                    n_buckets: int | str = 64) -> ray.data.Dataset:
     """Per-span SELF time — own duration minus the sum of direct

@@ -274,3 +274,97 @@ def test_robust_scale_int_overflow_guard(ray_session):
                        scale=100).to_pandas().sort_values("v")
     # median=2, IQR=p75-p25=3-1=2 -> (0-2)*100//2=-100
     assert out["v_rscaled"].tolist()[0] == -100
+
+
+def test_ks_two_sample_planted(ray_session):
+    """KS distance: identical slices -> 0, disjoint -> 1, shifted ->
+    matches the numpy ECDF reference exactly (integer lanes)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import (
+        ks_two_sample)
+
+    def ks(t):
+        return ks_two_sample(ray.data.from_arrow(t).repartition(3),
+                             "g", "v", "a", "b").to_pandas().iloc[0]
+
+    rng = np.random.default_rng(3)
+    va = rng.integers(0, 100, 800)
+    r = ks(pa.table({"g": ["a"] * 800 + ["b"] * 800,
+                     "v": np.concatenate([va, va])}))
+    assert r["d_num"] == 0 and r["d"] == 0.0
+
+    r = ks(pa.table({"g": ["a"] * 300 + ["b"] * 200,
+                     "v": np.concatenate([rng.integers(0, 50, 300),
+                                          rng.integers(100, 150, 200)])}))
+    assert r["d"] == 1.0 and r["d_num"] == r["n_a"] * r["n_b"]
+
+    vb = rng.integers(10, 110, 500)
+    va2 = rng.integers(0, 100, 700)
+    tbl = pa.table({"g": ["a"] * 700 + ["b"] * 500 + ["other"] * 50,
+                    "v": np.concatenate([va2, vb,
+                                         rng.integers(0, 9, 50)])})
+    r = ks(tbl)
+    # numpy reference over the union grid
+    grid = np.unique(np.concatenate([va2, vb]))
+    ea = np.searchsorted(np.sort(va2), grid, side="right")
+    eb = np.searchsorted(np.sort(vb), grid, side="right")
+    want = np.abs(500 * ea - 700 * eb).max()
+    assert r["n_a"] == 700 and r["n_b"] == 500
+    assert r["d_num"] == want
+    assert r["d"] == want / float(700 * 500)
+
+    with pytest.raises(ValueError, match="must differ"):
+        ks_two_sample(ray.data.from_arrow(tbl), "g", "v", "a", "a")
+    with pytest.raises(Exception, match="empty slice"):
+        ks_two_sample(ray.data.from_arrow(tbl), "g", "v", "a",
+                      "zz").to_pandas()
+    with pytest.raises(Exception, match="nulls"):
+        ks_two_sample(ray.data.from_arrow(pa.table(
+            {"g": ["a", "b"], "v": pa.array([1, None])})),
+            "g", "v", "a", "b").to_pandas()
+
+
+def test_weighted_quantiles_and_ks_yaml_parity(ray_session, tmp_path):
+    """YAML weighted_quantiles / ks_drift == direct stage calls."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.normalize import ks_two_sample
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_quantiles)
+
+    rng = np.random.default_rng(8)
+    t = pa.table({"k": pa.array(rng.integers(0, 5, 400).astype("str")),
+                  "v": pa.array(rng.integers(0, 200, 400)),
+                  "w": pa.array(rng.integers(1, 6, 400))})
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    y = run("weighted_quantiles", {"key": "k", "value_col": "v",
+                                   "weight_col": "w",
+                                   "qs": [[1, 2], [9, 10]]}) \
+        .sort_values("k").reset_index(drop=True)
+    d = grouped_weighted_quantiles(
+        ray.data.read_parquet(str(p)), "k", "v", "w",
+        qs=((1, 2), (9, 10))).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert y.equals(d)
+
+    y = run("ks_drift", {"group_col": "k", "value_col": "v",
+                         "group_a": "0", "group_b": "1"})
+    d = ks_two_sample(ray.data.read_parquet(str(p)), "k", "v",
+                      "0", "1").to_pandas()
+    assert y.equals(d)

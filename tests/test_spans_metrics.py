@@ -411,3 +411,44 @@ def test_cont_quantiles_guards(ray_session):
     with pytest.raises(Exception, match="overflow"):
         grouped_cont_quantiles(ray.data.from_arrow(big), "k", "v",
                                qs=((1, 10),)).to_pandas()
+
+
+def test_weighted_quantiles_generalize_median(ray_session):
+    """(1,2) == grouped_weighted_median; q=0/1 hit segment ends;
+    zero-weight keys clamp to their own segment (plateau fix)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_median, grouped_weighted_quantiles)
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    t = pa.table({"k": pa.array(rng.integers(0, 19, n).astype("str")),
+                  "v": pa.array(rng.integers(0, 500, n)),
+                  "w": pa.array(rng.integers(0, 7, n))})
+    med = grouped_weighted_median(
+        ray.data.from_arrow(t).repartition(4), "k", "v", "w") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    gen = grouped_weighted_quantiles(
+        ray.data.from_arrow(t).repartition(4), "k", "v", "w",
+        qs=((1, 2), (0, 1), (1, 1))).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert gen["p1_2_w"].tolist() == med["wmedian"].tolist()
+    assert gen["tot_w"].tolist() == med["tot_w"].tolist()
+    # q=0 -> first value of the key; q=1 -> last positive-weight value
+    ref = t.to_pandas()
+    for k, grp in ref.groupby("k"):
+        grp = grp.sort_values("v")
+        row = gen[gen["k"] == k].iloc[0]
+        assert row["p0_1_w"] == grp["v"].min()
+        pos = grp[grp["w"] > 0]
+        if len(pos):
+            cum = pos.groupby("v")["w"].sum().sort_index().cumsum()
+            assert row["p1_1_w"] == cum.index[
+                np.searchsorted(cum.to_numpy(), cum.iloc[-1])]
+    with pytest.raises(ValueError, match="num/den"):
+        grouped_weighted_quantiles(ray.data.from_arrow(t), "k", "v",
+                                   "w", qs=((3, 2),))
+    with pytest.raises(ValueError, match="tot_w"):
+        grouped_weighted_quantiles(ray.data.from_arrow(t), "tot_w",
+                                   "v", "w")
