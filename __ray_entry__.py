@@ -8397,7 +8397,7 @@ c AS (SELECT v,
              CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS ca,
              CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS cb
       FROM e GROUP BY v),
-w AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+w AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
              sum(cb) OVER (ORDER BY v) AS cumb FROM c),
 t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
              CAST(sum(cb) AS BIGINT) AS n_b FROM c)
@@ -8405,7 +8405,8 @@ SELECT t.n_a, t.n_b,
        CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
            AS d_num,
        CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
-           / CAST(t.n_a * t.n_b AS DOUBLE) AS d
+           / CAST(t.n_a * t.n_b AS DOUBLE) AS d,
+       CAST(sum(w.ca * (2 * w.cumb - w.cb)) AS BIGINT) AS u2
 FROM w, t GROUP BY t.n_a, t.n_b
 """,
         "events_point_lookup": """

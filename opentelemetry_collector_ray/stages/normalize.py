@@ -438,6 +438,12 @@ def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
     is correctly rounded, so even the float column is hash-gate
     stable. Integer value domains only (cents-style lanes).
 
+    The same counts pass also yields the Mann–Whitney rank-sum
+    statistic ``u2 = 2·U_a = Σ_v ca(v)·(2·cumb(v) − cb(v))`` (ties
+    counted half, doubled to stay integer; ``u2/(2·n_a·n_b)`` is the
+    probability a random A value exceeds a random B value — the
+    effect-size companion to the KS distance).
+
     Scale shape: ONE grouped count reduces the input to
     |distinct values| × 2 rows (tree combine behind an HLL screen that
     fires BEFORE the single combine task exists — the guard bounds the
@@ -495,7 +501,9 @@ def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
     cuma = np.cumsum(ca)
     cumb = np.cumsum(cb)
     d_num = int(np.abs(n_b * cuma - n_a * cumb).max()) if len(ca) else 0
+    u2 = int((ca * (2 * cumb - cb)).sum()) if len(ca) else 0
     return ray.data.from_arrow(pa.table({
         "n_a": pa.array([n_a]), "n_b": pa.array([n_b]),
         "d_num": pa.array([d_num]),
-        "d": pa.array([d_num / float(n_a * n_b)])}))
+        "d": pa.array([d_num / float(n_a * n_b)]),
+        "u2": pa.array([u2])}))

@@ -368,3 +368,22 @@ def test_weighted_quantiles_and_ks_yaml_parity(ray_session, tmp_path):
     d = ks_two_sample(ray.data.read_parquet(str(p)), "k", "v",
                       "0", "1").to_pandas()
     assert y.equals(d)
+
+
+def test_ks_u2_matches_bruteforce(ray_session):
+    """u2 = 2*U_a (ties half) == the O(n^2) pair count on small data."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import (
+        ks_two_sample)
+
+    rng = np.random.default_rng(5)
+    va = rng.integers(0, 30, 150)
+    vb = rng.integers(5, 35, 120)
+    t = pa.table({"g": ["a"] * 150 + ["b"] * 120,
+                  "v": np.concatenate([va, vb])})
+    r = ks_two_sample(ray.data.from_arrow(t).repartition(2),
+                      "g", "v", "a", "b").to_pandas().iloc[0]
+    brute = 2 * (va[:, None] > vb[None, :]).sum() + \
+        (va[:, None] == vb[None, :]).sum()
+    assert r["u2"] == brute
