@@ -5572,6 +5572,47 @@ def _q_lineitem_weighted_p90(sf_dir: str):
         "l_returnflag", "cents", "qty", qs=((1, 4), (9, 10)))
 
 
+def _q_events_survival(sf_dir: str):
+    """Kaplan–Meier life table (stages/survival.py km_parts): per-user
+    time-to-first-purchase in days from the first observed event,
+    right-censored at the user's last event when no purchase happens —
+    exact integer lanes (duration, d, c, at_risk); the KM survival
+    product is the caller's float. One shuffle reduces events to
+    |users| subject rows; the banded life table tree-combines behind
+    an HLL screen. Oracle = the same subject derivation + reverse
+    window sum in SQL."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.survival import km_parts
+
+    ev = _read_co(sf_dir, "events", ["user_id", "ts", "event_type"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        is_p = pc.equal(t.column("event_type"), "purchase")
+        return pa.table({
+            "user_id": t.column("user_id"), "_ts": ts,
+            "_tp": pc.if_else(is_p, ts, pa.scalar(None, pa.int64()))})
+
+    subj = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], min_cols={"t0": "_ts", "tp": "_tp"},
+                       max_cols={"tl": "_ts"}, strategy="shuffle")
+
+    def to_subject(t: pa.Table) -> pa.Table:
+        end = pc.coalesce(t.column("tp"), t.column("tl"))
+        dur = pc.divide(pc.subtract(end, t.column("t0")),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "duration": dur,
+            "observed": pc.cast(pc.is_valid(t.column("tp")),
+                                pa.int64())})
+
+    return km_parts(subj.map_batches(to_subject,
+                                     batch_format="pyarrow"),
+                    "duration", "observed")
+
+
 def _q_events_ks_drift(sf_dir: str):
     """Two-sample Kolmogorov–Smirnov drift distance
     (normalize.ks_two_sample): the exact D between the click and view
@@ -5917,6 +5958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": _q_lineitem_weighted_median,
         "lineitem_weighted_p90": _q_lineitem_weighted_p90,
         "events_ks_drift": _q_events_ks_drift,
+        "events_survival": _q_events_survival,
         "events_trending": _q_events_trending,
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
@@ -8388,6 +8430,24 @@ SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) FILTER (WHERE 10 * cum >= 9 * tot) AS BIGINT)
            AS p9_10_w
 FROM c GROUP BY l_returnflag
+""",
+        "events_survival": """
+WITH s AS (SELECT user_id, epoch_us(min(ts)) AS t0,
+                  epoch_us(min(ts) FILTER (WHERE event_type = 'purchase'))
+                      AS tp,
+                  epoch_us(max(ts)) AS tl
+           FROM events GROUP BY user_id),
+subj AS (SELECT (coalesce(tp, tl) - t0) // 86400000000 AS duration,
+                CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+         FROM s),
+c AS (SELECT duration, CAST(sum(observed) AS BIGINT) AS d,
+             CAST(sum(1 - observed) AS BIGINT) AS c
+      FROM subj GROUP BY duration)
+SELECT CAST(duration AS BIGINT) AS duration, d, c,
+       CAST(sum(d + c) OVER (ORDER BY duration
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS BIGINT) AS at_risk
+FROM c
 """,
         "events_ks_drift": """
 WITH e AS (SELECT event_type AS g,

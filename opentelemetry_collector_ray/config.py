@@ -521,6 +521,16 @@ def _register_builtins() -> None:
             ds, cfg["key"], cfg["value_col"], cfg["weight_col"],
             qs=qs, n_buckets=cfg.get("n_buckets", 64)))
 
+    def make_km(cfg: dict):
+        from .stages.survival import km_parts
+
+        for req in ("duration_col", "observed_col"):
+            if not cfg.get(req):
+                raise ConfigError(f"km: {req} is required")
+        return DatasetTransform(lambda ds: km_parts(
+            ds, cfg["duration_col"], cfg["observed_col"],
+            max_durations=int(cfg.get("max_durations", 20_000_000))))
+
     def make_ks_drift(cfg: dict):
         from .stages.normalize import ks_two_sample
 
@@ -1180,6 +1190,7 @@ def _register_builtins() -> None:
     register("weighted_quantiles",
              Factory("processor", make_weighted_quantiles))
     register("ks_drift", Factory("processor", make_ks_drift))
+    register("km", Factory("processor", make_km))
     register("weighted_median",
              Factory("processor", make_weighted_median))
     register("rollup", Factory("processor", make_rollup))
