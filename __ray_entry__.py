@@ -5613,6 +5613,32 @@ def _q_events_survival(sf_dir: str):
                     "duration", "observed")
 
 
+def _q_events_lag_xcorr(sf_dir: str):
+    """Lead/lag cross-correlation parts (stages/resample.py
+    lagged_xcorr_parts): daily click vs purchase counts zero-filled
+    over the union span, exact integer sufficient statistics (n, sx,
+    sy, sxy, sxx, syy) per lag in ±3 days — "do clicks lead
+    purchases?" with the per-lag Pearson r left as the caller's
+    float. Oracle = dense generate_series grid + offset self-join in
+    SQL."""
+    from opentelemetry_collector_ray.stages.resample import (
+        lagged_xcorr_parts)
+
+    ev = _read_co(sf_dir, "events", ["ts", "event_type"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                    pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"day": day,
+                         "event_type": t.column("event_type")})
+
+    return lagged_xcorr_parts(
+        ev.map_batches(prep, batch_format="pyarrow"), "day",
+        "event_type", "click", "purchase")
+
+
 def _q_events_ks_drift(sf_dir: str):
     """Two-sample Kolmogorov–Smirnov drift distance
     (normalize.ks_two_sample): the exact D between the click and view
@@ -5959,6 +5985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_p90": _q_lineitem_weighted_p90,
         "events_ks_drift": _q_events_ks_drift,
         "events_survival": _q_events_survival,
+        "events_lag_xcorr": _q_events_lag_xcorr,
         "events_trending": _q_events_trending,
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
@@ -8430,6 +8457,27 @@ SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) FILTER (WHERE 10 * cum >= 9 * tot) AS BIGINT)
            AS p9_10_w
 FROM c GROUP BY l_returnflag
+""",
+        "events_lag_xcorr": """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS b, event_type AS g
+           FROM events WHERE event_type IN ('click', 'purchase')),
+bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM e),
+grid AS (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds))) AS b),
+ca AS (SELECT b, count(*) AS c FROM e WHERE g = 'click' GROUP BY b),
+cb AS (SELECT b, count(*) AS c FROM e WHERE g = 'purchase' GROUP BY b),
+g2 AS (SELECT grid.b AS b, coalesce(ca.c, 0) AS a,
+              coalesce(cb.c, 0) AS v
+       FROM grid LEFT JOIN ca ON ca.b = grid.b
+                 LEFT JOIN cb ON cb.b = grid.b),
+l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
+SELECT CAST(l.lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x.a) AS BIGINT) AS sx, CAST(sum(y.v) AS BIGINT) AS sy,
+       CAST(sum(x.a * y.v) AS BIGINT) AS sxy,
+       CAST(sum(x.a * x.a) AS BIGINT) AS sxx,
+       CAST(sum(y.v * y.v) AS BIGINT) AS syy
+FROM l JOIN g2 x ON TRUE JOIN g2 y ON y.b = x.b + l.lag
+GROUP BY l.lag
 """,
         "events_survival": """
 WITH s AS (SELECT user_id, epoch_us(min(ts)) AS t0,

@@ -521,6 +521,19 @@ def _register_builtins() -> None:
             ds, cfg["key"], cfg["value_col"], cfg["weight_col"],
             qs=qs, n_buckets=cfg.get("n_buckets", 64)))
 
+    def make_lag_xcorr(cfg: dict):
+        from .stages.resample import lagged_xcorr_parts
+
+        for req in ("bucket_col", "group_col", "group_a", "group_b"):
+            if cfg.get(req) is None:
+                raise ConfigError(f"lag_xcorr: {req} is required")
+        return DatasetTransform(lambda ds: lagged_xcorr_parts(
+            ds, cfg["bucket_col"], cfg["group_col"],
+            cfg["group_a"], cfg["group_b"],
+            lags=tuple(int(x) for x in
+                       cfg.get("lags", [-3, -2, -1, 0, 1, 2, 3])),
+            max_span=int(cfg.get("max_span", 20_000_000))))
+
     def make_km(cfg: dict):
         from .stages.survival import km_parts
 
@@ -1191,6 +1204,7 @@ def _register_builtins() -> None:
              Factory("processor", make_weighted_quantiles))
     register("ks_drift", Factory("processor", make_ks_drift))
     register("km", Factory("processor", make_km))
+    register("lag_xcorr", Factory("processor", make_lag_xcorr))
     register("weighted_median",
              Factory("processor", make_weighted_median))
     register("rollup", Factory("processor", make_rollup))

@@ -192,3 +192,96 @@ def resample_asof(ds_factory, key: str, ts_col: str, every_us: int,
                      n_buckets=n_buckets).map_batches(
         lambda t: t.select([key, grid_name, *value_cols]),
         batch_format="pyarrow")
+
+
+def lagged_xcorr_parts(ds: ray.data.Dataset, bucket_col: str,
+                       group_col: str, group_a, group_b,
+                       lags: tuple[int, ...] = (-3, -2, -1, 0, 1, 2, 3),
+                       max_span: int = 20_000_000
+                       ) -> ray.data.Dataset:
+    """Lead/lag cross-correlation PARTS between two event-count series
+    — "does A lead B?" (errors preceding latency, clicks preceding
+    purchases): both slices are counted per integer ``bucket_col``
+    (pre-banded time bucket — days/hours), zero-filled over the union
+    span [lo, hi], and for each lag ``k`` the pairs ``(a_t, b_{t+k})``
+    yield EXACT integer sufficient statistics ``(lag, n, sx, sy, sxy,
+    sxx, syy)`` — the per-lag Pearson r is the caller's float, same
+    lanes-only discipline as the correlation/PMI parts operators.
+
+    Scale shape: one grouped count reduces the input to
+    |buckets| × 2 rows (tree combine behind the span guard — the
+    union span is checked BEFORE the dense driver arrays exist); the
+    lag sweep is numpy dot products over the dense span."""
+    import pyarrow.compute as _pc
+
+    from .aggregate import grouped_agg
+
+    ga, gb = str(group_a), str(group_b)
+    if ga == gb:
+        raise ValueError("lagged_xcorr_parts: groups must differ")
+    if not lags:
+        raise ValueError("lagged_xcorr_parts: lags must be non-empty")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        g = _pc.cast(t.column(group_col), pa.string())
+        m = _pc.or_(_pc.equal(g, ga), _pc.equal(g, gb))
+        t = t.filter(_pc.fill_null(m, False))
+        b = t.column(bucket_col)
+        if b.null_count:
+            raise ValueError(
+                "lagged_xcorr_parts: bucket column has nulls")
+        bv = b.to_numpy(zero_copy_only=False)
+        if bv.dtype.kind not in "iu":
+            raise ValueError(
+                "lagged_xcorr_parts: bucket must be an integer time "
+                f"band (got {bv.dtype}) — band timestamps upstream")
+        g = _pc.cast(t.column(group_col), pa.string())
+        return pa.table({
+            "_b": pa.array(bv.astype(np.int64)),
+            "_ca": _pc.cast(_pc.equal(g, ga), pa.int64()),
+            "_cb": _pc.cast(_pc.equal(g, gb), pa.int64())})
+
+    counts = grouped_agg(
+        ds.map_batches(lanes, batch_format="pyarrow"), ["_b"],
+        sum_cols={"ca": "_ca", "cb": "_cb"}, strategy="shuffle")
+    pdf = counts.to_pandas()
+    if not len(pdf):
+        raise ValueError("lagged_xcorr_parts: no rows in either group")
+    lo, hi = int(pdf["_b"].min()), int(pdf["_b"].max())
+    span = hi - lo + 1
+    if span > max_span:
+        raise ValueError(
+            f"lagged_xcorr_parts: union span {span:,} buckets "
+            f"(> max_span={max_span:,}) — band coarser or raise "
+            "the cap")
+    a = np.zeros(span, np.int64)
+    b = np.zeros(span, np.int64)
+    idx = pdf["_b"].to_numpy() - lo
+    a[idx] = pdf["ca"].to_numpy()
+    b[idx] = pdf["cb"].to_numpy()
+    max_c = int(max(a.max(), b.max())) if span else 0
+    if max_c and max_c * max_c > (2 ** 62) // max(span, 1):
+        raise ValueError(
+            "lagged_xcorr_parts: per-bucket counts too large — "
+            "sum of squares would wrap int64; band finer")
+    rows = {"lag": [], "n": [], "sx": [], "sy": [], "sxy": [],
+            "sxx": [], "syy": []}
+    for k in lags:
+        k = int(k)
+        # pairs (a_t, b_{t+k}) with both indices inside the span
+        t_lo, t_hi = max(0, -k), min(span, span - k)
+        if t_hi <= t_lo:
+            x = np.zeros(0, np.int64)
+            y = np.zeros(0, np.int64)
+        else:
+            x = a[t_lo:t_hi]
+            y = b[t_lo + k:t_hi + k]
+        rows["lag"].append(k)
+        rows["n"].append(len(x))
+        rows["sx"].append(int(x.sum()))
+        rows["sy"].append(int(y.sum()))
+        rows["sxy"].append(int((x * y).sum()))
+        rows["sxx"].append(int((x * x).sum()))
+        rows["syy"].append(int((y * y).sum()))
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array(v, pa.int64()) for k, v in rows.items()}))

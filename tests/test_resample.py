@@ -168,3 +168,79 @@ def test_hopping_window_validation(ray_session):
             ray.data.from_arrow(pa.table(
                 {"ts": pa.array([1, None], pa.int64())})),
             "ts", size_us=10, slide_us=10).materialize()
+
+
+def test_lagged_xcorr_parts_planted(ray_session):
+    """Planted shifted series: b = a shifted by +2 buckets; the lag=2
+    stats equal the lag-0 stats of the unshifted pair; numpy reference
+    parity on every lane; guards."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.resample import (
+        lagged_xcorr_parts)
+
+    rng = np.random.default_rng(6)
+    span = 40
+    a_counts = rng.integers(0, 5, span)
+    rows_b, rows_g = [], []
+    for t, c in enumerate(a_counts):
+        rows_b += [t] * int(c) + [t + 2] * int(c)
+        rows_g += ["a"] * int(c) + ["b"] * int(c)
+    t = pa.table({"b": pa.array(rows_b, pa.int64()),
+                  "g": pa.array(rows_g)})
+    out = lagged_xcorr_parts(
+        ray.data.from_arrow(t).repartition(3), "b", "g", "a", "b",
+        lags=(0, 2)).to_pandas().set_index("lag")
+    # dense arrays over union span [0, span+1]
+    A = np.zeros(span + 2, np.int64)
+    B = np.zeros(span + 2, np.int64)
+    A[:span] = a_counts
+    B[2:span + 2] = a_counts
+    for k in (0, 2):
+        x = A[:len(A) - k]
+        y = B[k:]
+        r = out.loc[k]
+        assert r["n"] == len(x)
+        assert r["sx"] == x.sum() and r["sy"] == y.sum()
+        assert r["sxy"] == (x * y).sum()
+        assert r["sxx"] == (x * x).sum() and r["syy"] == (y * y).sum()
+    # perfect alignment at lag 2: sxy == sxx restricted to the overlap
+    assert out.loc[2, "sxy"] == (a_counts * a_counts).sum()
+
+    with pytest.raises(ValueError, match="differ"):
+        lagged_xcorr_parts(ray.data.from_arrow(t), "b", "g", "a", "a")
+    with pytest.raises(ValueError, match="lags"):
+        lagged_xcorr_parts(ray.data.from_arrow(t), "b", "g", "a", "b",
+                           lags=())
+    with pytest.raises(Exception, match="no rows"):
+        lagged_xcorr_parts(ray.data.from_arrow(t), "b", "g", "zz",
+                           "ww").to_pandas()
+
+
+def test_lag_xcorr_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.resample import (
+        lagged_xcorr_parts)
+
+    rng = np.random.default_rng(2)
+    t = pa.table({"b": pa.array(rng.integers(0, 20, 300), pa.int64()),
+                  "g": pa.array(rng.choice(["a", "b"], 300))})
+    p = tmp_path / "x.parquet"
+    pq.write_table(t, str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"lag_xcorr": {
+            "bucket_col": "b", "group_col": "g", "group_a": "a",
+            "group_b": "b", "lags": [-1, 0, 1]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["lag_xcorr"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    d = lagged_xcorr_parts(ray.data.read_parquet(str(p)), "b", "g",
+                           "a", "b", lags=(-1, 0, 1)).to_pandas()
+    assert y.equals(d)
