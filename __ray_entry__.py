@@ -5613,6 +5613,20 @@ def _q_events_survival(sf_dir: str):
                     "duration", "observed")
 
 
+def _q_events_log_dedup(sf_dir: str):
+    """Interval log deduplication (stages/cdc.py log_dedup — the
+    contrib logdeduplication processor's batch analog): identical
+    (event_type, props) rows within each hour collapse to one row
+    with the duplicate count and first/last timestamps. Oracle = the
+    same floor-window GROUP BY in SQL."""
+    from opentelemetry_collector_ray.stages.cdc import log_dedup
+
+    ev = _read_co(sf_dir, "events", ["ts", "event_type", "props"],
+                  floor=8)
+    return log_dedup(ev, ["event_type", "props"], "ts",
+                     3_600_000_000)
+
+
 def _q_events_lag_xcorr(sf_dir: str):
     """Lead/lag cross-correlation parts (stages/resample.py
     lagged_xcorr_parts): daily click vs purchase counts zero-filled
@@ -5986,6 +6000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_drift": _q_events_ks_drift,
         "events_survival": _q_events_survival,
         "events_lag_xcorr": _q_events_lag_xcorr,
+        "events_log_dedup": _q_events_log_dedup,
         "events_trending": _q_events_trending,
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
@@ -8457,6 +8472,16 @@ SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) FILTER (WHERE 10 * cum >= 9 * tot) AS BIGINT)
            AS p9_10_w
 FROM c GROUP BY l_returnflag
+""",
+        "events_log_dedup": """
+WITH e AS (SELECT epoch_us(ts) AS tus, event_type, props FROM events)
+SELECT CAST((tus // 3600000000) * 3600000000 AS BIGINT)
+           AS window_start,
+       event_type, props,
+       CAST(count(*) AS BIGINT) AS log_count,
+       CAST(min(tus) AS BIGINT) AS first_ts,
+       CAST(max(tus) AS BIGINT) AS last_ts
+FROM e GROUP BY 1, 2, 3
 """,
         "events_lag_xcorr": """
 WITH e AS (SELECT epoch_us(ts) // 86400000000 AS b, event_type AS g

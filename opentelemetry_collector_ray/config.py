@@ -521,6 +521,20 @@ def _register_builtins() -> None:
             ds, cfg["key"], cfg["value_col"], cfg["weight_col"],
             qs=qs, n_buckets=cfg.get("n_buckets", 64)))
 
+    def make_log_dedup(cfg: dict):
+        from .stages.cdc import log_dedup
+
+        if not cfg.get("match_cols") or not cfg.get("ts_col") \
+                or not cfg.get("interval_us"):
+            raise ConfigError(
+                "log_dedup: match_cols, ts_col and interval_us are "
+                "required")
+        return DatasetTransform(lambda ds: log_dedup(
+            ds, [str(c) for c in cfg["match_cols"]], cfg["ts_col"],
+            int(cfg["interval_us"]),
+            count_name=cfg.get("count_name", "log_count"),
+            strategy=cfg.get("strategy", "shuffle")))
+
     def make_lag_xcorr(cfg: dict):
         from .stages.resample import lagged_xcorr_parts
 
@@ -1205,6 +1219,7 @@ def _register_builtins() -> None:
     register("ks_drift", Factory("processor", make_ks_drift))
     register("km", Factory("processor", make_km))
     register("lag_xcorr", Factory("processor", make_lag_xcorr))
+    register("log_dedup", Factory("processor", make_log_dedup))
     register("weighted_median",
              Factory("processor", make_weighted_median))
     register("rollup", Factory("processor", make_rollup))

@@ -206,3 +206,58 @@ def scd2_intervals(ds: ray.data.Dataset, key: str, order_col: str,
         return pa.table(cols)
 
     return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def log_dedup(ds: ray.data.Dataset, match_cols: list[str],
+              ts_col: str, interval_us: int,
+              count_name: str = "log_count",
+              strategy: str = "shuffle",
+              n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Interval log deduplication — the contrib logdedup processor's
+    batch analog (opentelemetry-collector-contrib
+    processor/logdeduplicationprocessor; core reference has only the
+    OTLP/nop receivers, this mirrors the contrib semantics): within
+    each ``interval_us`` window, rows identical on ``match_cols``
+    collapse to ONE row carrying the duplicate count and the first /
+    last observed timestamps — the "same error logged 40,000 times"
+    compactor.
+
+    One two-phase grouped aggregate (count + min/max ts per
+    (window, match...)); ``strategy="shuffle"`` for unbounded match
+    keys (default — log bodies are unbounded), ``"tree"`` when the
+    distinct (window, match) set is known-bounded. Returns
+    ``(window_start, *match_cols, count_name, first_ts, last_ts)``."""
+    from .aggregate import grouped_agg
+
+    if interval_us <= 0:
+        raise ValueError("log_dedup: interval_us must be positive")
+    if not match_cols:
+        raise ValueError("log_dedup: match_cols must be non-empty")
+    reserved = {"window_start", count_name, "first_ts", "last_ts"}
+    clash = reserved & set(match_cols)
+    if clash:
+        raise ValueError(f"log_dedup: match column(s) {sorted(clash)} "
+                         "collide with output columns")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if col.null_count:
+            raise ValueError(f"log_dedup: {ts_col!r} has nulls — a "
+                             "null has no window")
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // interval_us) * interval_us  # numpy // floors
+        out = {"window_start": pa.array(w)}
+        for c in match_cols:
+            out[c] = t.column(c)
+        out["_ts"] = pa.array(ts)
+        return pa.table(out)
+
+    agg = grouped_agg(ds.map_batches(lanes, batch_format="pyarrow"),
+                      ["window_start", *match_cols],
+                      count_name=count_name,
+                      min_cols={"first_ts": "_ts"},
+                      max_cols={"last_ts": "_ts"},
+                      strategy=strategy, n_buckets=n_buckets)
+    return agg

@@ -232,3 +232,60 @@ def test_scd2_reserved_name_collision(ray_session):
     with pytest.raises(ValueError, match="reserved"):
         scd2_intervals(ray.data.from_arrow(tbl), "k", "ts",
                        ["valid_from"])
+
+
+def test_log_dedup_collapses_identical_rows(ray_session):
+    """Contrib logdedup analog: identical (match) rows in one interval
+    collapse with count + first/last ts; different windows stay
+    separate; guards."""
+    from opentelemetry_collector_ray.stages.cdc import log_dedup
+
+    us = 1_000_000
+    t = pa.table({
+        "ts": pa.array([1 * us, 2 * us, 3 * us, 61 * us, 62 * us],
+                       pa.timestamp("us")),
+        "body": ["oom", "oom", "disk", "oom", "oom"],
+    })
+    out = log_dedup(ray.data.from_arrow(t).repartition(2), ["body"],
+                    "ts", 60 * us).to_pandas() \
+        .sort_values(["window_start", "body"]).reset_index(drop=True)
+    assert out["body"].tolist() == ["disk", "oom", "oom"]
+    assert out["log_count"].tolist() == [1, 2, 2]
+    assert out["first_ts"].tolist() == [3 * us, 1 * us, 61 * us]
+    assert out["last_ts"].tolist() == [3 * us, 2 * us, 62 * us]
+    assert out["window_start"].tolist() == [0, 0, 60 * us]
+
+    with pytest.raises(ValueError, match="interval_us"):
+        log_dedup(ray.data.from_arrow(t), ["body"], "ts", 0)
+    with pytest.raises(ValueError, match="match_cols"):
+        log_dedup(ray.data.from_arrow(t), [], "ts", us)
+    with pytest.raises(ValueError, match="collide"):
+        log_dedup(ray.data.from_arrow(t.rename_columns(
+            ["ts", "first_ts"])), ["first_ts"], "ts", us)
+
+
+def test_log_dedup_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.cdc import log_dedup
+
+    t = _events(n=80, seed=9)
+    p = tmp_path / "l.parquet"
+    pq.write_table(t, str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"log_dedup": {
+            "match_cols": ["k", "state"], "ts_col": "ts",
+            "interval_us": 1_000_000}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["log_dedup"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values(
+        ["window_start", "k", "state"]).reset_index(drop=True)
+    d = log_dedup(ray.data.read_parquet(str(p)), ["k", "state"],
+                  "ts", 1_000_000).to_pandas().sort_values(
+        ["window_start", "k", "state"]).reset_index(drop=True)
+    assert y.equals(d)
