@@ -8530,17 +8530,26 @@ c AS (SELECT v,
              CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS ca,
              CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS cb
       FROM e GROUP BY v),
-w AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
+w AS (SELECT v, ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
              sum(cb) OVER (ORDER BY v) AS cumb FROM c),
+w2 AS (SELECT v, ca, cb, cuma, cumb,
+              lead(v) OVER (ORDER BY v) AS nv FROM w),
 t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
              CAST(sum(cb) AS BIGINT) AS n_b FROM c)
 SELECT t.n_a, t.n_b,
-       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+       CAST(max(abs(t.n_b * w2.cuma - t.n_a * w2.cumb)) AS BIGINT)
            AS d_num,
-       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+       CAST(max(abs(t.n_b * w2.cuma - t.n_a * w2.cumb)) AS BIGINT)
            / CAST(t.n_a * t.n_b AS DOUBLE) AS d,
-       CAST(sum(w.ca * (2 * w.cumb - w.cb)) AS BIGINT) AS u2
-FROM w, t GROUP BY t.n_a, t.n_b
+       CAST(sum(w2.ca * (2 * w2.cumb - w2.cb)) AS BIGINT) AS u2,
+       CAST(sum(CASE WHEN w2.nv IS NULL THEN 0
+                ELSE abs(t.n_b * w2.cuma - t.n_a * w2.cumb)
+                     * (w2.nv - w2.v) END) AS BIGINT) AS w1_num,
+       CAST(sum(CASE WHEN w2.nv IS NULL THEN 0
+                ELSE abs(t.n_b * w2.cuma - t.n_a * w2.cumb)
+                     * (w2.nv - w2.v) END) AS BIGINT)
+           / CAST(t.n_a * t.n_b AS DOUBLE) AS w1
+FROM w2, t GROUP BY t.n_a, t.n_b
 """,
         "events_point_lookup": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -442,7 +442,11 @@ def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
     statistic ``u2 = 2·U_a = Σ_v ca(v)·(2·cumb(v) − cb(v))`` (ties
     counted half, doubled to stay integer; ``u2/(2·n_a·n_b)`` is the
     probability a random A value exceeds a random B value — the
-    effect-size companion to the KS distance).
+    effect-size companion to the KS distance) and the Wasserstein-1
+    (earth-mover) distance ``w1_num = Σ_i |n_b·cuma − n_a·cumb|·Δv``
+    over consecutive observed values (``W1 = w1_num/(n_a·n_b)`` in
+    value units — how FAR the distributions moved, where KS says how
+    MUCH disagrees; magnitude-guarded before the sum).
 
     Scale shape: ONE grouped count reduces the input to
     |distinct values| × 2 rows (tree combine behind an HLL screen that
@@ -500,10 +504,24 @@ def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
                          "subsample the slices")
     cuma = np.cumsum(ca)
     cumb = np.cumsum(cb)
+    vv = pdf["_v"].to_numpy()
     d_num = int(np.abs(n_b * cuma - n_a * cumb).max()) if len(ca) else 0
     u2 = int((ca * (2 * cumb - cb)).sum()) if len(ca) else 0
+    if len(vv) > 1:
+        vrange = int(vv.max()) - int(vv.min())
+        # Σ|diff|·Δv ≤ n_a·n_b·range — guard before the product sum
+        if vrange and n_a * n_b > (2 ** 62) // vrange:
+            raise ValueError(
+                "ks_two_sample: n_a*n_b*value_range would wrap int64 "
+                "in the W1 sum; band the values or subsample")
+        dv = np.diff(vv.astype(np.int64))
+        w1_num = int((np.abs(n_b * cuma - n_a * cumb)[:-1] * dv).sum())
+    else:
+        w1_num = 0
     return ray.data.from_arrow(pa.table({
         "n_a": pa.array([n_a]), "n_b": pa.array([n_b]),
         "d_num": pa.array([d_num]),
         "d": pa.array([d_num / float(n_a * n_b)]),
-        "u2": pa.array([u2])}))
+        "u2": pa.array([u2]),
+        "w1_num": pa.array([w1_num]),
+        "w1": pa.array([w1_num / float(n_a * n_b)])}))

@@ -387,3 +387,33 @@ def test_ks_u2_matches_bruteforce(ray_session):
     brute = 2 * (va[:, None] > vb[None, :]).sum() + \
         (va[:, None] == vb[None, :]).sum()
     assert r["u2"] == brute
+
+
+def test_ks_w1_matches_scipy_style_reference(ray_session):
+    """w1/(na*nb) == the classic 1-D Wasserstein distance (numpy
+    reference over sorted samples / ECDF integral); shift-by-c moves
+    W1 by exactly c."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import (
+        ks_two_sample)
+
+    rng = np.random.default_rng(9)
+    va = rng.integers(0, 60, 400)
+    vb = rng.integers(0, 60, 250)
+    t = pa.table({"g": ["a"] * 400 + ["b"] * 250,
+                  "v": np.concatenate([va, vb])})
+    r = ks_two_sample(ray.data.from_arrow(t).repartition(2),
+                      "g", "v", "a", "b").to_pandas().iloc[0]
+    # reference: integral of |ECDF_a - ECDF_b| over the value axis
+    grid = np.unique(np.concatenate([va, vb]))
+    ea = np.searchsorted(np.sort(va), grid, side="right") / len(va)
+    eb = np.searchsorted(np.sort(vb), grid, side="right") / len(vb)
+    want = float((np.abs(ea - eb)[:-1] * np.diff(grid)).sum())
+    assert r["w1"] == pytest.approx(want, rel=1e-12)
+    # pure shift: b = a + 7 -> W1 == 7 exactly (integer lanes)
+    t2 = pa.table({"g": ["a"] * 400 + ["b"] * 400,
+                   "v": np.concatenate([va, va + 7])})
+    r2 = ks_two_sample(ray.data.from_arrow(t2), "g", "v",
+                       "a", "b").to_pandas().iloc[0]
+    assert r2["w1_num"] == 7 * 400 * 400 and r2["w1"] == 7.0
