@@ -5613,6 +5613,33 @@ def _q_events_survival(sf_dir: str):
                     "duration", "observed")
 
 
+def _q_events_type_drift(sf_dir: str):
+    """PER-KEY KS drift (normalize.grouped_ks — the distributed scale
+    path beside the global driver sweep): for every event type, the
+    exact KS distance between its first-half and second-half spend
+    distributions — segment-vectorized cumsums + maximum.reduceat on
+    one bucket exchange, keys unbounded. Oracle = per-key window
+    cumsums in SQL with a both-slices-present HAVING."""
+    from opentelemetry_collector_ray.stages.normalize import grouped_ks
+
+    T_US = 1_705_363_200_000_000  # 2024-01-16 epoch microseconds
+
+    ev = _read_co(sf_dir, "events", ["event_type", "ts", "value"],
+                  floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        period = pc.if_else(
+            pc.less(ts, pa.scalar(T_US, pa.int64())), "early", "late")
+        return pa.table({"event_type": t.column("event_type"),
+                         "period": period,
+                         "cents": _cents(t.column("value"))})
+
+    return grouped_ks(ev.map_batches(prep, batch_format="pyarrow"),
+                      "event_type", "period", "cents", "early", "late")
+
+
 def _q_events_log_dedup(sf_dir: str):
     """Interval log deduplication (stages/cdc.py log_dedup — the
     contrib logdeduplication processor's batch analog): identical
@@ -6001,6 +6028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival": _q_events_survival,
         "events_lag_xcorr": _q_events_lag_xcorr,
         "events_log_dedup": _q_events_log_dedup,
+        "events_type_drift": _q_events_type_drift,
         "events_trending": _q_events_trending,
         "events_debounced": _q_events_debounced,
         "custs_rfm": _q_custs_rfm,
@@ -8472,6 +8500,29 @@ SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS tot_w,
        CAST(min(v) FILTER (WHERE 10 * cum >= 9 * tot) AS BIGINT)
            AS p9_10_w
 FROM c GROUP BY l_returnflag
+""",
+        "events_type_drift": """
+WITH e AS (SELECT event_type AS k,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN 'early' ELSE 'late' END AS g,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events),
+c AS (SELECT k, v,
+             CAST(count(*) FILTER (WHERE g = 'early') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE g = 'late') AS BIGINT) AS cb
+      FROM e GROUP BY k, v),
+w AS (SELECT k, sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+             sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb FROM c),
+t AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM c GROUP BY k)
+SELECT t.k AS event_type, t.n_a, t.n_b,
+       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+           AS d_num,
+       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+           / CAST(t.n_a * t.n_b AS DOUBLE) AS d
+FROM w JOIN t ON w.k = t.k
+GROUP BY t.k, t.n_a, t.n_b
+HAVING t.n_a > 0 AND t.n_b > 0
 """,
         "events_log_dedup": """
 WITH e AS (SELECT epoch_us(ts) AS tus, event_type, props FROM events)

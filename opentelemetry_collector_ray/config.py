@@ -559,11 +559,16 @@ def _register_builtins() -> None:
             max_durations=int(cfg.get("max_durations", 20_000_000))))
 
     def make_ks_drift(cfg: dict):
-        from .stages.normalize import ks_two_sample
+        from .stages.normalize import grouped_ks, ks_two_sample
 
         for req in ("group_col", "value_col", "group_a", "group_b"):
             if cfg.get(req) is None:
                 raise ConfigError(f"ks_drift: {req} is required")
+        if cfg.get("key"):  # per-key distributed variant
+            return DatasetTransform(lambda ds: grouped_ks(
+                ds, cfg["key"], cfg["group_col"], cfg["value_col"],
+                cfg["group_a"], cfg["group_b"],
+                n_buckets=cfg.get("n_buckets", "auto")))
         return DatasetTransform(lambda ds: ks_two_sample(
             ds, cfg["group_col"], cfg["value_col"],
             cfg["group_a"], cfg["group_b"],

@@ -33,7 +33,7 @@ from .aggregate import grouped_agg
 from .bucketing import persisted_factory
 
 __all__ = ["minmax_scale", "sigma_outliers", "mad_outliers",
-           "robust_scale"]
+           "robust_scale", "ks_two_sample", "grouped_ks"]
 
 
 def minmax_scale(make_ds, col: str, key: str | None = None,
@@ -525,3 +525,92 @@ def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
         "u2": pa.array([u2]),
         "w1_num": pa.array([w1_num]),
         "w1": pa.array([w1_num / float(n_a * n_b)])}))
+
+
+def grouped_ks(ds: ray.data.Dataset, key: str, group_col: str,
+               value_col: str, group_a, group_b,
+               n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """PER-KEY two-sample KS distance — drift per service / event type
+    / tenant in one distributed pass (the scale path beside the global
+    :func:`ks_two_sample`, which drives a driver-side sweep): for each
+    key, ``D = max_v |ecdf_a(v) − ecdf_b(v)|`` between the key's two
+    slices, as exact integer lanes ``(key, n_a, n_b, d_num)`` plus the
+    row-wise correctly-rounded float ``d``. Keys with either slice
+    empty are dropped (no ECDF to compare — mirror the oracle with a
+    ``HAVING`` on both counts).
+
+    Scale shape: per-batch Arrow pre-reduction to (key, value, ca, cb)
+    partial rows, ONE bucket exchange on the key, then per bucket a
+    sort + segment cumsum + ``maximum.reduceat`` answers every key at
+    once — no per-key Python, keys unbounded."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    ga, gb = str(group_a), str(group_b)
+    if ga == gb:
+        raise ValueError("grouped_ks: group_a and group_b must differ")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        m = pc.or_(pc.equal(g, ga), pc.equal(g, gb))
+        t = t.filter(pc.fill_null(m, False))
+        v = t.column(value_col)
+        if v.null_count or t.column(key).null_count:
+            raise ValueError(
+                "grouped_ks: key/value columns must be non-null")
+        g = pc.cast(t.column(group_col), pa.string())
+        lanes = pa.table({
+            key: t.column(key), "_v": v,
+            "_ca": pc.cast(pc.equal(g, ga), pa.int64()),
+            "_cb": pc.cast(pc.equal(g, gb), pa.int64())})
+        out = lanes.group_by([key, "_v"]).aggregate(
+            [("_ca", "sum"), ("_cb", "sum")])
+        return out.rename_columns([key, "_v", "_ca", "_cb"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by([key, "_v"]).aggregate(
+            [("_ca", "sum"), ("_cb", "sum")]) \
+            .rename_columns([key, "_v", "_ca", "_cb"])
+        t = t.sort_by([(key, "ascending"), ("_v", "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        ca = t.column("_ca").to_numpy(zero_copy_only=False)
+        cb = t.column("_cb").to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return pa.table({key: t.column(key),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "d_num": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.float64())})
+        change, seg_start = key_segments(k)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n) - 1
+        cum_a = np.cumsum(ca)
+        cum_b = np.cumsum(cb)
+        base_a = np.concatenate([[0], cum_a])[starts]
+        base_b = np.concatenate([[0], cum_b])[starts]
+        na_seg = cum_a[ends] - base_a
+        nb_seg = cum_b[ends] - base_b
+        if len(na_seg) and int(na_seg.max()) * max(
+                int(nb_seg.max()), 1) > 2 ** 62:
+            raise ValueError("grouped_ks: n_a*n_b would wrap int64 "
+                             "for a key; subsample the slices")
+        seg_of = np.cumsum(change) - 1
+        na_row = na_seg[seg_of]
+        nb_row = nb_seg[seg_of]
+        diff = np.abs(nb_row * (cum_a - base_a[seg_of])
+                      - na_row * (cum_b - base_b[seg_of]))
+        d_num = np.maximum.reduceat(diff, starts)
+        keep = (na_seg > 0) & (nb_seg > 0)
+        kk = t.column(key).take(pa.array(starts.astype(np.int64)))
+        out = pa.table({
+            key: kk, "n_a": pa.array(na_seg.astype(np.int64)),
+            "n_b": pa.array(nb_seg.astype(np.int64)),
+            "d_num": pa.array(d_num.astype(np.int64)),
+            "d": pa.array(d_num / (na_seg * nb_seg).clip(1)
+                          .astype(np.float64))})
+        return out.filter(pa.array(keep))
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               n_buckets=n_buckets)

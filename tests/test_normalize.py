@@ -417,3 +417,72 @@ def test_ks_w1_matches_scipy_style_reference(ray_session):
     r2 = ks_two_sample(ray.data.from_arrow(t2), "g", "v",
                        "a", "b").to_pandas().iloc[0]
     assert r2["w1_num"] == 7 * 400 * 400 and r2["w1"] == 7.0
+
+
+def test_grouped_ks_matches_global(ray_session):
+    """Per-key KS == one global ks_two_sample per key; empty-slice
+    keys dropped; identical-slice key scores 0."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import (
+        grouped_ks, ks_two_sample)
+
+    rng = np.random.default_rng(12)
+    rows_k, rows_g, rows_v = [], [], []
+    for k, shift in (("s1", 0), ("s2", 15), ("s3", 40)):
+        va = rng.integers(0, 50, 120)
+        vb = rng.integers(shift, 50 + shift, 90)
+        rows_k += [k] * 210
+        rows_g += ["a"] * 120 + ["b"] * 90
+        rows_v += list(va) + list(vb)
+    # s4: only slice a -> dropped; s5: identical -> D=0
+    rows_k += ["s4"] * 10 + ["s5"] * 20
+    rows_g += ["a"] * 10 + ["a"] * 10 + ["b"] * 10
+    ident = list(rng.integers(0, 9, 10))
+    rows_v += list(rng.integers(0, 9, 10)) + ident + ident
+    t = pa.table({"k": pa.array(rows_k), "g": pa.array(rows_g),
+                  "v": pa.array(rows_v, pa.int64())})
+    out = grouped_ks(ray.data.from_arrow(t).repartition(4), "k", "g",
+                     "v", "a", "b", n_buckets=8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == ["s1", "s2", "s3", "s5"]
+    for _, row in out.iterrows():
+        sub = t.filter(pa.compute.equal(t.column("k"), row["k"]))
+        ref = ks_two_sample(ray.data.from_arrow(sub), "g", "v",
+                            "a", "b").to_pandas().iloc[0]
+        assert row["n_a"] == ref["n_a"] and row["n_b"] == ref["n_b"]
+        assert row["d_num"] == ref["d_num"] and row["d"] == ref["d"]
+    assert out.set_index("k").loc["s5", "d_num"] == 0
+    # the fully-disjoint shift should score higher than the small one
+    g = out.set_index("k")
+    assert g.loc["s3", "d"] > g.loc["s2", "d"] > g.loc["s1", "d"]
+
+
+def test_grouped_ks_yaml_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.normalize import grouped_ks
+
+    rng = np.random.default_rng(7)
+    t = pa.table({"k": pa.array(rng.choice(["x", "y"], 300)),
+                  "g": pa.array(rng.choice(["a", "b"], 300)),
+                  "v": pa.array(rng.integers(0, 40, 300), pa.int64())})
+    p = tmp_path / "gks.parquet"
+    pq.write_table(t, str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"ks_drift": {
+            "key": "k", "group_col": "g", "value_col": "v",
+            "group_a": "a", "group_b": "b"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["ks_drift"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("k").reset_index(drop=True)
+    d = grouped_ks(ray.data.read_parquet(str(p)), "k", "g", "v",
+                   "a", "b").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert y.equals(d)
