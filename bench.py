@@ -151,7 +151,10 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_moving_avg", "events_type_p_cont",
              "docs_extract_matches", "orders_incr_agg",
              "parts_pair_cosine", "events_path_trigrams",
-             "orders_scd2_asof", "parts_bfs_depth"]
+             "orders_scd2_asof", "parts_bfs_depth",
+             "lineitem_weighted_p90", "events_ks_drift",
+             "events_survival", "events_lag_xcorr",
+             "events_log_dedup", "events_type_drift"]
     q = m.queries()
     for name in names:
         t0 = time.time()

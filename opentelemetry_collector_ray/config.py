@@ -525,7 +525,7 @@ def _register_builtins() -> None:
         from .stages.cdc import log_dedup
 
         if not cfg.get("match_cols") or not cfg.get("ts_col") \
-                or not cfg.get("interval_us"):
+                or cfg.get("interval_us") is None:
             raise ConfigError(
                 "log_dedup: match_cols, ts_col and interval_us are "
                 "required")
@@ -533,7 +533,8 @@ def _register_builtins() -> None:
             ds, [str(c) for c in cfg["match_cols"]], cfg["ts_col"],
             int(cfg["interval_us"]),
             count_name=cfg.get("count_name", "log_count"),
-            strategy=cfg.get("strategy", "shuffle")))
+            strategy=cfg.get("strategy", "shuffle"),
+            n_buckets=cfg.get("n_buckets", "auto")))
 
     def make_lag_xcorr(cfg: dict):
         from .stages.resample import lagged_xcorr_parts

@@ -233,11 +233,12 @@ def log_dedup(ds: ray.data.Dataset, match_cols: list[str],
         raise ValueError("log_dedup: interval_us must be positive")
     if not match_cols:
         raise ValueError("log_dedup: match_cols must be non-empty")
-    reserved = {"window_start", count_name, "first_ts", "last_ts"}
+    reserved = {"window_start", count_name, "first_ts", "last_ts",
+                "_ts"}
     clash = reserved & set(match_cols)
     if clash:
         raise ValueError(f"log_dedup: match column(s) {sorted(clash)} "
-                         "collide with output columns")
+                         "collide with output/internal columns")
 
     def lanes(t: pa.Table) -> pa.Table:
         col = t.column(ts_col)

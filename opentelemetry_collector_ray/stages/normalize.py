@@ -469,14 +469,17 @@ def ks_two_sample(ds: ray.data.Dataset, group_col: str, value_col: str,
             raise ValueError(
                 f"ks_two_sample: {value_col!r} has nulls — a null has "
                 "no place on an ECDF")
+        if not (pa.types.is_integer(v.type)):
+            raise ValueError(
+                f"ks_two_sample: {value_col!r} must be an integer "
+                f"domain (got {v.type}) — the W1 lane truncates "
+                "floats silently; integerize first (cents)")
         return pa.table({"_g": pc.cast(t.column(group_col),
                                        pa.string()),
                          "_v": v})
 
     skinny = ds.map_batches(keep, batch_format="pyarrow")
-    est = approx_distinct(skinny.map_batches(
-        lambda t: pa.table({"_v": t.column("_v")}),
-        batch_format="pyarrow"), "_v")
+    est = approx_distinct(skinny, "_v")
     if est > max_distinct:
         raise ValueError(
             f"ks_two_sample: ~{int(est):,} distinct values (HLL "
@@ -548,6 +551,10 @@ def grouped_ks(ds: ray.data.Dataset, key: str, group_col: str,
     ga, gb = str(group_a), str(group_b)
     if ga == gb:
         raise ValueError("grouped_ks: group_a and group_b must differ")
+    if key in ("_v", "_ca", "_cb", "n_a", "n_b", "d_num", "d"):
+        raise ValueError(
+            f"grouped_ks: key {key!r} collides with an internal or "
+            "output column — rename the key upstream")
 
     def partial(t: pa.Table) -> pa.Table:
         g = pc.cast(t.column(group_col), pa.string())

@@ -395,15 +395,16 @@ def grouped_weighted_quantiles(ds: ray.data.Dataset, key: str,
     global searchsorted per bucket answers every (key, q) at once."""
     from .bucketing import bucketed_map_groups, key_segments
 
-    if key == "tot_w":
-        raise ValueError(
-            "grouped_weighted_quantiles: key 'tot_w' collides with "
-            "the total output column — rename the key upstream")
     for num, den in qs:
         if not (0 <= num <= den) or den <= 0:
             raise ValueError(
                 f"grouped_weighted_quantiles: q must be num/den in "
                 f"[0,1] with den > 0, got {num}/{den}")
+    reserved = {"tot_w", "_w"} | {f"p{n}_{d}_w" for n, d in qs}
+    if key in reserved:
+        raise ValueError(
+            f"grouped_weighted_quantiles: key {key!r} collides with "
+            "an internal or output column — rename the key upstream")
     max_den = max(d for _, d in qs)
 
     def partial(t: pa.Table) -> pa.Table:

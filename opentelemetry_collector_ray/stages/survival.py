@@ -55,9 +55,7 @@ def km_parts(subjects: ray.data.Dataset, duration_col: str,
                          "_c": pa.array(1 - ov.astype(np.int64))})
 
     skinny = subjects.map_batches(lanes, batch_format="pyarrow")
-    est = approx_distinct(skinny.map_batches(
-        lambda t: pa.table({"_t": t.column("_t")}),
-        batch_format="pyarrow"), "_t")
+    est = approx_distinct(skinny, "_t")
     if est > max_durations:
         raise ValueError(
             f"km_parts: ~{int(est):,} distinct durations (HLL "

@@ -289,3 +289,11 @@ def test_log_dedup_yaml_parity(ray_session, tmp_path):
                   "ts", 1_000_000).to_pandas().sort_values(
         ["window_start", "k", "state"]).reset_index(drop=True)
     assert y.equals(d)
+
+
+def test_log_dedup_internal_lane_guard(ray_session):
+    from opentelemetry_collector_ray.stages.cdc import log_dedup
+
+    t = pa.table({"ts": pa.array([0], pa.int64()), "_ts": ["x"]})
+    with pytest.raises(ValueError, match="collide"):
+        log_dedup(ray.data.from_arrow(t), ["_ts"], "ts", 1000)

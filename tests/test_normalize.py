@@ -486,3 +486,21 @@ def test_grouped_ks_yaml_parity(ray_session, tmp_path):
                    "a", "b").to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert y.equals(d)
+
+
+def test_ks_and_grouped_ks_guards(ray_session):
+    """Review-fix regressions: float value domain rejected (the W1
+    lane would truncate silently); key colliding with internal/output
+    columns rejected."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import (
+        grouped_ks, ks_two_sample)
+
+    t = pa.table({"g": ["a", "b"], "v": [0.1, 0.9]})
+    with pytest.raises(Exception, match="integer"):
+        ks_two_sample(ray.data.from_arrow(t), "g", "v",
+                      "a", "b").to_pandas()
+    t2 = pa.table({"n_a": ["x", "x"], "g": ["a", "b"], "v": [1, 2]})
+    with pytest.raises(ValueError, match="collides"):
+        grouped_ks(ray.data.from_arrow(t2), "n_a", "g", "v", "a", "b")

@@ -452,3 +452,15 @@ def test_weighted_quantiles_generalize_median(ray_session):
     with pytest.raises(ValueError, match="tot_w"):
         grouped_weighted_quantiles(ray.data.from_arrow(t), "tot_w",
                                    "v", "w")
+
+
+def test_weighted_quantiles_key_collision_guard(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_weighted_quantiles)
+
+    t = pa.table({"p1_2_w": ["a"], "v": [1], "w": [1]})
+    with pytest.raises(ValueError, match="collides"):
+        grouped_weighted_quantiles(ray.data.from_arrow(t), "p1_2_w",
+                                   "v", "w", qs=((1, 2),))
