@@ -211,7 +211,7 @@ def scd2_intervals(ds: ray.data.Dataset, key: str, order_col: str,
 def log_dedup(ds: ray.data.Dataset, match_cols: list[str],
               ts_col: str, interval_us: int,
               count_name: str = "log_count",
-              strategy: str = "shuffle",
+              strategy: str = "bucket",
               n_buckets: int | str = "auto") -> ray.data.Dataset:
     """Interval log deduplication — the contrib logdedup processor's
     batch analog (opentelemetry-collector-contrib
@@ -222,10 +222,16 @@ def log_dedup(ds: ray.data.Dataset, match_cols: list[str],
     last observed timestamps — the "same error logged 40,000 times"
     compactor.
 
-    One two-phase grouped aggregate (count + min/max ts per
-    (window, match...)); ``strategy="shuffle"`` for unbounded match
-    keys (default — log bodies are unbounded), ``"tree"`` when the
-    distinct (window, match) set is known-bounded. Returns
+    One grouped aggregate keyed on (window, match...).
+    ``strategy="bucket"`` (default) exchanges the raw skinny rows by
+    window hash and runs one Arrow group_by per bucket — near-unique
+    string match keys make the shuffle strategy's sort exchange pay
+    full freight on the composite (measured 18 s vs 0.3 s at sf0.1
+    on 2M rows, the weighted-median lesson); a bucket task holds at
+    most its windows' rows, so skew is bounded by window size. Pass
+    ``"shuffle"`` only for a pathological single-window corpus,
+    ``"tree"`` when the distinct (window, match) set is known-bounded.
+    Returns
     ``(window_start, *match_cols, count_name, first_ts, last_ts)``."""
     from .aggregate import grouped_agg
 
