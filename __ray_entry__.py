@@ -5897,6 +5897,68 @@ def _q_spans_self_time(sf_dir: str):
     return span_self_time(_spans(sf_dir))
 
 
+def _q_events_chi2_drift(sf_dir: str):
+    """Chi-square categorical drift (normalize.chi2_two_sample): the
+    even-vs-odd user-cohort event-type mix compared cell by cell —
+    exact observed counts plus each category's (O−E)²/E contribution
+    as truncated scale=10⁶ integers (Python big-int rational over the
+    bounded contingency table; the SQL mirror squares in HUGEINT).
+    The categorical lane of the drift panel beside KS/MW/W1/JSD —
+    KS needs an ordered domain, event types have none."""
+    from opentelemetry_collector_ray.stages.normalize import chi2_two_sample
+
+    ev = _read_co(sf_dir, "events", ["user_id", "event_type"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            # user_id % 2 — ids are non-negative so the bit mask is the
+            # same value SQL's % computes
+            "coh": pc.bit_wise_and(t.column("user_id"), 1),
+            "event_type": t.column("event_type")})
+
+    return chi2_two_sample(ev.map_batches(prep, batch_format="pyarrow"),
+                           "coh", "event_type", 0, 1)
+
+
+# Benford's-law expected first-digit mass, floor(log10(1+1/d)·10⁶) —
+# hardcoded so neither engine touches libm in the gate.
+_BENFORD_PPM = {"1": 301029, "2": 176091, "3": 124938, "4": 96910,
+                "5": 79181, "6": 66946, "7": 57991, "8": 51152,
+                "9": 45757}
+
+
+def _q_orders_benford(sf_dir: str):
+    """Benford first-digit audit — the classic fabricated-numbers
+    screen for a numeric column: first significant digit of the order
+    price in cents (prices are strictly positive, asserted), counted
+    over the 9-digit domain (tree grouped count), with the Benford
+    expectation permille attached as a constant lane so the consumer
+    reads observed-vs-expected in one row. Oracle = substr of the
+    cents cast in SQL with the same hardcoded log10(1+1/d) constants."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    ords = _read_co(sf_dir, "orders", ["o_totalprice"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        lo = pc.min(cents).as_py()
+        if lo is not None and lo <= 0:
+            raise ValueError("orders_benford: non-positive price — "
+                             "the first-digit domain assumes cents>0")
+        digit = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        return pa.table({"digit": digit})
+
+    counts = grouped_count(ords.map_batches(prep, batch_format="pyarrow"),
+                           ["digit"], count_name="n", strategy="tree")
+
+    def attach(t: pa.Table) -> pa.Table:
+        exp = pa.array([_BENFORD_PPM[d] for d in
+                        t.column("digit").to_pylist()], pa.int64())
+        return t.append_column("expected_ppm", exp)
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6042,6 +6104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_path_trigrams": _q_events_path_trigrams,
         "orders_scd2_asof": _q_orders_scd2_asof,
         "parts_bfs_depth": _q_parts_bfs_depth,
+        "events_chi2_drift": _q_events_chi2_drift,
+        "orders_benford": _q_orders_benford,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8698,6 +8762,38 @@ r AS (
   SELECT u.b, r.d + 1 FROM r JOIN u ON u.a = r.node WHERE r.d < 3
 )
 SELECT node, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY node
+""",
+        "events_chi2_drift": """
+WITH c AS (SELECT event_type, user_id % 2 AS coh,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nt,
+               CAST(sum(CASE WHEN coh = 0 THEN n ELSE 0 END) AS HUGEINT) AS na,
+               CAST(sum(CASE WHEN coh = 1 THEN n ELSE 0 END) AS HUGEINT) AS nb
+        FROM c),
+col AS (SELECT event_type,
+               CAST(sum(CASE WHEN coh = 0 THEN n ELSE 0 END) AS HUGEINT) AS oa,
+               CAST(sum(CASE WHEN coh = 1 THEN n ELSE 0 END) AS HUGEINT) AS ob
+        FROM c GROUP BY event_type)
+SELECT event_type,
+       CAST(oa AS BIGINT) AS o_a, CAST(ob AS BIGINT) AS o_b,
+       CAST((oa*nt - na*(oa+ob)) * (oa*nt - na*(oa+ob)) * 1000000
+                // (nt * na * (oa+ob))
+          + (ob*nt - nb*(oa+ob)) * (ob*nt - nb*(oa+ob)) * 1000000
+                // (nt * nb * (oa+ob)) AS BIGINT) AS chi2_scaled
+FROM col CROSS JOIN tot
+""",
+        "orders_benford": """
+WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1)
+SELECT digit, n,
+       CAST(CASE digit WHEN '1' THEN 301029 WHEN '2' THEN 176091
+            WHEN '3' THEN 124938 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+            WHEN '6' THEN 66946 WHEN '7' THEN 57991 WHEN '8' THEN 51152
+            WHEN '9' THEN 45757 END AS BIGINT) AS expected_ppm
+FROM c
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

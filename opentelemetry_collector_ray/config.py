@@ -575,6 +575,18 @@ def _register_builtins() -> None:
             cfg["group_a"], cfg["group_b"],
             max_distinct=int(cfg.get("max_distinct", 20_000_000))))
 
+    def make_chi2_drift(cfg: dict):
+        from .stages.normalize import chi2_two_sample
+
+        for req in ("group_col", "cell_col", "group_a", "group_b"):
+            if cfg.get(req) is None:
+                raise ConfigError(f"chi2_drift: {req} is required")
+        return DatasetTransform(lambda ds: chi2_two_sample(
+            ds, cfg["group_col"], cfg["cell_col"],
+            cfg["group_a"], cfg["group_b"],
+            scale=int(cfg.get("scale", 1_000_000)),
+            max_cells=int(cfg.get("max_cells", 100_000))))
+
     def make_k_anonymize(cfg: dict):
         from .stages.privacy import k_anonymize
 
@@ -1223,6 +1235,7 @@ def _register_builtins() -> None:
     register("weighted_quantiles",
              Factory("processor", make_weighted_quantiles))
     register("ks_drift", Factory("processor", make_ks_drift))
+    register("chi2_drift", Factory("processor", make_chi2_drift))
     register("km", Factory("processor", make_km))
     register("lag_xcorr", Factory("processor", make_lag_xcorr))
     register("log_dedup", Factory("processor", make_log_dedup))

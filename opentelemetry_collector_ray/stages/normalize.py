@@ -621,3 +621,91 @@ def grouped_ks(ds: ray.data.Dataset, key: str, group_col: str,
 
     return bucketed_map_groups(partials, key, per_bucket,
                                n_buckets=n_buckets)
+
+
+def chi2_two_sample(ds: ray.data.Dataset, group_col: str, cell_col: str,
+                    group_a, group_b, scale: int = 1_000_000,
+                    max_cells: int = 100_000) -> ray.data.Dataset:
+    """Two-sample chi-square drift over a CATEGORICAL column — the
+    categorical companion to :func:`ks_two_sample` (which needs an
+    ordered value domain): for each category ``c`` the exact observed
+    counts ``(o_a, o_b)`` in the two slices plus the category's
+    chi-square contribution as a scaled integer::
+
+        term(o, r) = (o·N − r·C)² · scale // (N·r·C)
+        chi2_scaled(c) = term(o_a, n_a) + term(o_b, n_b)
+
+    where ``N`` is the grand total, ``r`` the slice row-total and ``C``
+    the category column-total — algebraically ``(O−E)²/E · scale``
+    with ``E = r·C/N``, truncated per cell (both engines truncate the
+    same way, so the gate is bit-stable; Python big ints make the
+    squared products exact, the SQL mirror uses HUGEINT).
+
+    Scale shape: ONE bounded grouped count (tree — the category×2
+    domain is a roll-up key) reduces the corpus to ≤ ``max_cells``
+    rows (count-before-pull guard); the chi-square sweep is driver
+    arithmetic over that table. Cells absent from one slice contribute
+    ``term(0, r) = r·C²·scale // (N·r·C)`` like the SQL mirror's
+    COALESCE(0) cell. Rows outside both slices are ignored; null
+    categories raise (a null has no cell).
+
+    Reference analog: none — the collector computes no cross-slice
+    statistics; this is the drift-monitoring engine addition
+    (deploy-A-vs-B event-mix shift) beside KS/MW/W1/JSD.
+    """
+    from .aggregate import grouped_agg
+
+    ga, gb = str(group_a), str(group_b)
+    if ga == gb:
+        raise ValueError("chi2_two_sample: group_a and group_b must "
+                         "differ")
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        m = pc.or_(pc.equal(g, ga), pc.equal(g, gb))
+        t2 = pa.table({"_g": g, "_c": t.column(cell_col)}).filter(
+            pc.fill_null(m, False))
+        if t2.column("_c").null_count:
+            raise ValueError(
+                f"chi2_two_sample: {cell_col!r} has nulls — a null "
+                "has no contingency cell; fill or filter upstream")
+        return pa.table({
+            "_c": pc.cast(t2.column("_c"), pa.string()),
+            "_oa": pc.cast(pc.equal(t2.column("_g"), ga), pa.int64()),
+            "_ob": pc.cast(pc.equal(t2.column("_g"), gb), pa.int64())})
+
+    counts = grouped_agg(ds.map_batches(keep, batch_format="pyarrow"),
+                         ["_c"], sum_cols={"o_a": "_oa", "o_b": "_ob"},
+                         strategy="tree")
+    counts = counts.materialize()
+    ncells = counts.count()
+    if ncells > max_cells:
+        raise ValueError(
+            f"chi2_two_sample: {ncells:,} categories exceeds "
+            f"max_cells={max_cells:,} — band the column upstream or "
+            "raise the cap")
+    pdf = counts.to_pandas().sort_values("_c")
+    o_a = [int(x) for x in pdf["o_a"]]
+    o_b = [int(x) for x in pdf["o_b"]]
+    n_a, n_b = sum(o_a), sum(o_b)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"chi2_two_sample: empty slice (n_a={n_a}, n_b={n_b}) — "
+            "both groups must be present")
+    n_tot = n_a + n_b
+
+    def term(o: int, r: int, c: int) -> int:
+        # exact big-int rational, truncated like DuckDB // (numerator
+        # is a square, so floor == trunc)
+        return (o * n_tot - r * c) ** 2 * scale // (n_tot * r * c)
+
+    chi2 = [term(oa, n_a, oa + ob) + term(ob, n_b, oa + ob)
+            for oa, ob in zip(o_a, o_b)]
+    if chi2 and max(chi2) > 2 ** 62:
+        raise ValueError("chi2_two_sample: a scaled term exceeds "
+                         "int64 — lower scale=")
+    return ray.data.from_arrow(pa.table({
+        cell_col: pa.array(pdf["_c"], pa.string()),
+        "o_a": pa.array(o_a, pa.int64()),
+        "o_b": pa.array(o_b, pa.int64()),
+        "chi2_scaled": pa.array(chi2, pa.int64())}))

@@ -1099,3 +1099,36 @@ def test_cont_quantiles_and_extract_explode_yaml_parity(
         keep=["k"], out="tok").to_pandas() \
         .sort_values(["k", "tok"]).reset_index(drop=True)
     assert y.equals(d)
+
+
+def test_chi2_drift_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.normalize import chi2_two_sample
+
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({
+        "g": pa.array(["a"] * 30 + ["b"] * 30),
+        "c": pa.array(["x"] * 10 + ["y"] * 20 + ["x"] * 30)}), str(p))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"chi2_drift": {
+            "group_col": "g", "cell_col": "c",
+            "group_a": "a", "group_b": "b"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["chi2_drift"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("c").reset_index(drop=True)
+    direct = chi2_two_sample(
+        ray.data.read_parquet(str(p)), "g", "c", "a", "b"
+        ).to_pandas().sort_values("c").reset_index(drop=True)
+    assert built.equals(direct)
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("chi2_drift").create({"group_col": "g"})

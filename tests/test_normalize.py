@@ -504,3 +504,52 @@ def test_ks_and_grouped_ks_guards(ray_session):
     t2 = pa.table({"n_a": ["x", "x"], "g": ["a", "b"], "v": [1, 2]})
     with pytest.raises(ValueError, match="collides"):
         grouped_ks(ray.data.from_arrow(t2), "n_a", "g", "v", "a", "b")
+
+
+def test_chi2_two_sample_exact(ray_session):
+    """Hand-computed 2×2 contingency: a=(10 x, 20 y), b=(30 x, 0 y).
+    N=60, na=30, nb=30, C_x=40, C_y=20; every term checked against the
+    big-int formula by hand."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import chi2_two_sample
+
+    t = pa.table({"g": ["a"] * 30 + ["b"] * 30,
+                  "c": ["x"] * 10 + ["y"] * 20 + ["x"] * 30})
+    df = chi2_two_sample(ray.data.from_arrow(t), "g", "c", "a", "b") \
+        .to_pandas().sort_values("c").reset_index(drop=True)
+    assert list(df["c"]) == ["x", "y"]
+    assert list(df["o_a"]) == [10, 30] or list(df["o_a"]) == [10, 20]
+    # x: E_a = 30*40/60 = 20 -> (10*60-30*40)^2*1e6 // (60*30*40)
+    tx_a = (10 * 60 - 30 * 40) ** 2 * 1_000_000 // (60 * 30 * 40)
+    tx_b = (30 * 60 - 30 * 40) ** 2 * 1_000_000 // (60 * 30 * 40)
+    ty_a = (20 * 60 - 30 * 20) ** 2 * 1_000_000 // (60 * 30 * 20)
+    ty_b = (0 * 60 - 30 * 20) ** 2 * 1_000_000 // (60 * 30 * 20)
+    assert df.loc[0, "chi2_scaled"] == tx_a + tx_b == 10_000_000
+    assert df.loc[1, "chi2_scaled"] == ty_a + ty_b == 20_000_000
+    # cross-check the float value against the classic chi2 statistic
+    assert abs((tx_a + tx_b + ty_a + ty_b) / 1e6 - 30.0) < 1e-9
+
+
+def test_chi2_two_sample_guards(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import chi2_two_sample
+
+    t = pa.table({"g": ["a", "b"], "c": ["x", "y"]})
+    with pytest.raises(ValueError, match="differ"):
+        chi2_two_sample(ray.data.from_arrow(t), "g", "c", "a", "a")
+    tn = pa.table({"g": ["a", "b"], "c": pa.array(["x", None])})
+    with pytest.raises(Exception, match="null"):
+        chi2_two_sample(ray.data.from_arrow(tn), "g", "c", "a", "b") \
+            .to_pandas()
+    # one slice empty
+    te = pa.table({"g": ["a", "a"], "c": ["x", "y"]})
+    with pytest.raises(Exception, match="empty slice"):
+        chi2_two_sample(ray.data.from_arrow(te), "g", "c", "a", "b") \
+            .to_pandas()
+    # cell cap
+    tb = pa.table({"g": ["a", "b"] * 4, "c": [str(i) for i in range(8)]})
+    with pytest.raises(Exception, match="max_cells"):
+        chi2_two_sample(ray.data.from_arrow(tb), "g", "c", "a", "b",
+                        max_cells=3).to_pandas()
