@@ -5959,6 +5959,30 @@ def _q_orders_benford(sf_dir: str):
     return counts.map_batches(attach, batch_format="pyarrow")
 
 
+def _q_events_rolling_users(sf_dir: str):
+    """Rolling 7-day distinct active users per day (rolling-WAU)
+    via intervals.rolling_distinct_count: per-user coverage-interval
+    union + one bounded boundary-delta tree sum — exact, with no
+    per-window COUNT(DISTINCT) anywhere. Output = every covered day
+    (including zero-event days inside some user's window) with its
+    distinct-active count; oracle = generate_series day spine joined
+    on BETWEEN with COUNT(DISTINCT)."""
+    from opentelemetry_collector_ray.stages.intervals import (
+        rolling_distinct_count)
+
+    ev = _read_co(sf_dir, "events", ["user_id", "ts"], floor=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())  # native unit: us
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))})
+
+    return rolling_distinct_count(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "day", 7, out_time="t", out_count="n_active")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6106,6 +6130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_bfs_depth": _q_parts_bfs_depth,
         "events_chi2_drift": _q_events_chi2_drift,
         "orders_benford": _q_orders_benford,
+        "events_rolling_users": _q_events_rolling_users,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8794,6 +8819,16 @@ SELECT digit, n,
             WHEN '6' THEN 66946 WHEN '7' THEN 57991 WHEN '8' THEN 51152
             WHEN '9' THEN 45757 END AS BIGINT) AS expected_ppm
 FROM c
+""",
+        "events_rolling_users": """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+b AS (SELECT min(day) AS lo, max(day) + 6 AS hi FROM ud),
+d AS (SELECT unnest(generate_series(lo, hi)) AS t FROM b)
+SELECT d.t, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active
+FROM d JOIN ud u ON u.day BETWEEN d.t - 6 AND d.t
+GROUP BY d.t
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -587,6 +587,19 @@ def _register_builtins() -> None:
             scale=int(cfg.get("scale", 1_000_000)),
             max_cells=int(cfg.get("max_cells", 100_000))))
 
+    def make_rolling_distinct(cfg: dict):
+        from .stages.intervals import rolling_distinct_count
+
+        for req in ("entity_col", "time_col", "window"):
+            if cfg.get(req) is None:
+                raise ConfigError(f"rolling_distinct: {req} is required")
+        return DatasetTransform(lambda ds: rolling_distinct_count(
+            ds, cfg["entity_col"], cfg["time_col"], int(cfg["window"]),
+            out_time=str(cfg.get("out_time", "t")),
+            out_count=str(cfg.get("out_count", "n_active")),
+            max_times=int(cfg.get("max_times", 5_000_000)),
+            n_buckets=cfg.get("n_buckets", "auto")))
+
     def make_k_anonymize(cfg: dict):
         from .stages.privacy import k_anonymize
 
@@ -1236,6 +1249,8 @@ def _register_builtins() -> None:
              Factory("processor", make_weighted_quantiles))
     register("ks_drift", Factory("processor", make_ks_drift))
     register("chi2_drift", Factory("processor", make_chi2_drift))
+    register("rolling_distinct",
+             Factory("processor", make_rolling_distinct))
     register("km", Factory("processor", make_km))
     register("lag_xcorr", Factory("processor", make_lag_xcorr))
     register("log_dedup", Factory("processor", make_log_dedup))

@@ -294,3 +294,111 @@ def overlap_pair_count(ds: ray.data.Dataset, key: str, start_col: str,
     skinny = ds.select_columns([key, start_col, end_col])
     return bucketed_map_groups(skinny, key, bucket_fn,
                                n_buckets=n_buckets)
+
+
+def rolling_distinct_count(ds: ray.data.Dataset, entity_col: str,
+                           time_col: str, window: int, *,
+                           out_time: str = "t",
+                           out_count: str = "n_active",
+                           max_times: int = 5_000_000,
+                           n_buckets: int | str = "auto"
+                           ) -> ray.data.Dataset:
+    """Rolling-window distinct-entity count — the rolling WAU/MAU
+    rollup: for every time unit ``t`` in the covered range, how many
+    DISTINCT entities had at least one row in ``[t-window+1, t]``.
+    Exact, and computed WITHOUT any per-window COUNT(DISTINCT): an
+    entity active at time ``d`` covers the units ``[d, d+window-1]``,
+    so the answer at ``t`` is the number of entities whose coverage
+    union contains ``t`` — per-entity interval union
+    (:func:`merge_intervals`, associative pre-merge + one bucket
+    exchange on the entity), then each merged period contributes
+    ``+1`` at its start and ``-1`` past its end, one BOUNDED tree sum
+    over the time-unit domain, and a driver prefix-sum sweep expands
+    the piecewise-constant counts to per-unit rows. Only
+    (entity, start, end) interval rows ever shuffle — never raw
+    event rows, never per-window entity lists.
+
+    ``time_col`` must be integer time units (days/hours — the repo's
+    cast-timestamps-first convention); output rows are exactly the
+    units where the count is positive. The time DOMAIN must be
+    bounded (``max_times``, HLL-screened before the tree combine
+    exists and re-checked on the covered span); entity cardinality is
+    unbounded. Nulls in either column raise — a null has no window.
+
+    Reference analog: none — this is the drift/engagement engine
+    addition (rolling actives panel) beside the resample/window ops.
+    """
+    from .aggregate import grouped_agg
+    from .sketch import approx_distinct
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"rolling_distinct_count: window must be "
+                         f">= 1, got {window}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ent = t.column(entity_col)
+        tv = t.column(time_col)
+        if ent.null_count or tv.null_count:
+            raise ValueError(
+                "rolling_distinct_count: null entity/time — a null "
+                "has no window; fill or filter upstream")
+        if not pa.types.is_integer(tv.type):
+            raise TypeError(
+                f"rolling_distinct_count: {time_col!r} must be an "
+                f"integer time-unit column, got {tv.type} (cast "
+                "timestamps to epoch units first)")
+        tv = pc.cast(tv, pa.int64())
+        return pa.table({
+            "_ent": ent, "_s": tv,
+            "_e": pc.add_checked(tv, pa.scalar(w - 1, pa.int64()))})
+
+    iv = ds.select_columns([entity_col, time_col]).map_batches(
+        prep, batch_format="pyarrow")
+    merged = merge_intervals(iv, "_ent", "_s", "_e", min_gap=0,
+                             n_buckets=n_buckets)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t.column("merged_start").to_numpy(zero_copy_only=False)
+        e = t.column("merged_end").to_numpy(zero_copy_only=False)
+        n = len(s)
+        return pa.table({
+            "_t": pa.array(np.concatenate([s, e + 1]).astype(np.int64)),
+            "_d": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)]))})
+
+    dl = merged.map_batches(deltas, batch_format="pyarrow")
+    dl = dl.materialize()  # feeds the HLL screen AND the tree sum
+    est = approx_distinct(dl, "_t")
+    if est > 1.2 * int(max_times):
+        raise ValueError(
+            f"rolling_distinct_count: ~{int(est):,} distinct time "
+            f"units (HLL estimate, max_times={int(max_times):,}) — "
+            "coarsen the time unit or raise the cap")
+    sums = grouped_agg(dl, ["_t"], sum_cols={"_d": "_d"},
+                       strategy="tree").materialize()
+    out_schema = pa.schema([(out_time, pa.int64()),
+                            (out_count, pa.int64())])
+    parts = [t for t in ray.get(sums.to_arrow_refs()) if t.num_rows]
+    if not parts:  # empty input: to_pandas would drop the columns
+        return ray.data.from_arrow(out_schema.empty_table())
+    pdf = pa.concat_tables(parts).to_pandas().sort_values("_t")
+    ts = pdf["_t"].to_numpy().astype(np.int64)
+    active = np.cumsum(pdf["_d"].to_numpy().astype(np.int64))
+    # piecewise-constant between boundaries; expand covered units
+    span = int(ts[-1] - ts[0])
+    if span > int(max_times):
+        raise ValueError(
+            f"rolling_distinct_count: covered span {span:,} time "
+            f"units exceeds max_times={int(max_times):,} — coarsen "
+            "the time unit or raise the cap")
+    seg_len = np.diff(ts)           # last boundary has active == 0
+    pos = active[:-1] > 0
+    starts, lens, counts = ts[:-1][pos], seg_len[pos], active[:-1][pos]
+    days = np.repeat(starts, lens) + (
+        np.arange(int(lens.sum()))
+        - np.repeat(np.cumsum(lens) - lens, lens))
+    return ray.data.from_arrow(pa.table({
+        out_time: pa.array(days, pa.int64()),
+        out_count: pa.array(np.repeat(counts, lens), pa.int64())},
+        schema=out_schema))

@@ -1132,3 +1132,36 @@ def test_chi2_drift_yaml_parity(ray_session, tmp_path):
     from opentelemetry_collector_ray.config import ConfigError, get_factory
     with pytest.raises(ConfigError, match="required"):
         get_factory("chi2_drift").create({"group_col": "g"})
+
+
+def test_rolling_distinct_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.intervals import (
+        rolling_distinct_count)
+
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({
+        "u": pa.array(["u1", "u1", "u1", "u2"]),
+        "d": pa.array([1, 3, 10, 3], pa.int64())}), str(p))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"rolling_distinct": {
+            "entity_col": "u", "time_col": "d", "window": 3}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["rolling_distinct"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("t").reset_index(drop=True)
+    direct = rolling_distinct_count(
+        ray.data.read_parquet(str(p)), "u", "d", 3
+        ).to_pandas().sort_values("t").reset_index(drop=True)
+    assert built.equals(direct)
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("rolling_distinct").create({"entity_col": "u"})

@@ -250,3 +250,51 @@ def test_overlap_pair_count_validation(ray_session):
         "e": pa.array([2, 3], pa.int64())}))
     with pytest.raises(Exception, match="null"):
         overlap_pair_count(nulls, "k", "s", "e").materialize()
+
+
+def test_rolling_distinct_count_hand_case(ray_session):
+    """u1 active days {1,3,10}, u2 day {3}, window=3: coverage unions
+    u1=[1,5]+[10,12], u2=[3,5] -> counts 1,1,2,2,2,0...,1,1,1."""
+    from opentelemetry_collector_ray.stages.intervals import (
+        rolling_distinct_count)
+
+    t = pa.table({"u": ["u1", "u1", "u1", "u2"],
+                  "d": pa.array([1, 3, 10, 3], pa.int64())})
+    out = rolling_distinct_count(ray.data.from_arrow(t), "u", "d", 3) \
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    assert list(out["t"]) == [1, 2, 3, 4, 5, 10, 11, 12]
+    assert list(out["n_active"]) == [1, 1, 2, 2, 2, 1, 1, 1]
+    # window=1 degenerates to per-day distinct count
+    out1 = rolling_distinct_count(ray.data.from_arrow(t), "u", "d", 1) \
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    assert list(out1["t"]) == [1, 3, 10]
+    assert list(out1["n_active"]) == [1, 2, 1]
+
+
+def test_rolling_distinct_count_empty_and_guards(ray_session):
+    from opentelemetry_collector_ray.stages.intervals import (
+        rolling_distinct_count)
+
+    empty = ray.data.from_arrow(pa.table({
+        "u": pa.array([], pa.string()), "d": pa.array([], pa.int64())}))
+    out = rolling_distinct_count(empty, "u", "d", 7)
+    assert out.to_pandas().shape[0] == 0
+    assert [f.name for f in out.schema().base_schema] == ["t", "n_active"]
+
+    t = pa.table({"u": ["a"], "d": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="window"):
+        rolling_distinct_count(ray.data.from_arrow(t), "u", "d", 0)
+    tn = pa.table({"u": ["a", None], "d": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        rolling_distinct_count(ray.data.from_arrow(tn), "u", "d", 3) \
+            .materialize()
+    tf = pa.table({"u": ["a"], "d": pa.array([1.5], pa.float64())})
+    with pytest.raises(Exception, match="integer"):
+        rolling_distinct_count(ray.data.from_arrow(tf), "u", "d", 3) \
+            .materialize()
+    # span cap fires on the driver sweep
+    tw = pa.table({"u": ["a", "a"],
+                   "d": pa.array([0, 10_000], pa.int64())})
+    with pytest.raises(Exception, match="span"):
+        rolling_distinct_count(ray.data.from_arrow(tw), "u", "d", 3,
+                               max_times=100).materialize()
