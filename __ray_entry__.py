@@ -5983,6 +5983,25 @@ def _q_events_rolling_users(sf_dir: str):
         "user_id", "day", 7, out_time="t", out_count="n_active")
 
 
+def _q_parts_assoc_rules(sf_dir: str):
+    """Market-basket association rules (graph.association_rules) over
+    order→part baskets: every directed part pair with co-occurrence
+    support >= 2, its exact truncated-ppm confidence
+    (support·10⁶ // n_ante) and lift (support·N·10⁶ //
+    (n_ante·n_cons)) — integer rationals on both engines, nothing
+    float crosses the gate. One distinct-membership exchange feeds
+    pairs, broadcast degrees AND the distinct-basket count."""
+    from opentelemetry_collector_ray.stages.graph import (
+        association_rules)
+
+    def make_ds():
+        return _read_co(sf_dir, "lineitem",
+                        ["l_orderkey", "l_partkey"], floor=8)
+
+    return association_rules(make_ds, "l_orderkey", "l_partkey",
+                             min_support=2)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6131,6 +6150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2_drift": _q_events_chi2_drift,
         "orders_benford": _q_orders_benford,
         "events_rolling_users": _q_events_rolling_users,
+        "parts_assoc_rules": _q_parts_assoc_rules,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8829,6 +8849,26 @@ d AS (SELECT unnest(generate_series(lo, hi)) AS t FROM b)
 SELECT d.t, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active
 FROM d JOIN ud u ON u.day BETWEEN d.t - 6 AND d.t
 GROUP BY d.t
+""",
+        "parts_assoc_rules": """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+           FROM lineitem),
+deg AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY i),
+tot AS (SELECT CAST(count(DISTINCT g) AS HUGEINT) AS nb FROM m),
+p AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS sup
+      FROM m x JOIN m y ON x.g = y.g AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+d AS (SELECT a AS ante, b AS cons, sup FROM p
+      UNION ALL SELECT b, a, sup FROM p)
+SELECT d.ante AS antecedent, d.cons AS consequent, d.sup AS support,
+       da.n AS n_ante, dc.n AS n_cons,
+       CAST(CAST(d.sup AS HUGEINT) * 1000000 // da.n AS BIGINT)
+           AS conf_ppm,
+       CAST(CAST(d.sup AS HUGEINT) * nb * 1000000
+                // (CAST(da.n AS HUGEINT) * dc.n) AS BIGINT)
+           AS lift_ppm
+FROM d JOIN deg da ON da.i = d.ante JOIN deg dc ON dc.i = d.cons
+CROSS JOIN tot
 """,
         "events_trending": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

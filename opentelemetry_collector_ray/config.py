@@ -1082,6 +1082,18 @@ def _register_builtins() -> None:
             min_support=int(cfg.get("min_support", 1)),
             max_items=int(cfg.get("max_items", 5_000_000))))
 
+    def make_assoc_rules(cfg: dict):
+        from .stages.graph import association_rules
+
+        for req in ("group", "item"):
+            if not cfg.get(req):
+                raise ConfigError(f"assoc_rules: {req} is required")
+        return DatasetTransform(lambda ds: association_rules(
+            lambda: ds, cfg["group"], cfg["item"],
+            min_support=int(cfg.get("min_support", 1)),
+            scale=int(cfg.get("scale", 1_000_000)),
+            max_items=int(cfg.get("max_items", 5_000_000))))
+
     def make_bfs(cfg: dict):
         from .stages.graph import bfs_layers
 
@@ -1266,6 +1278,7 @@ def _register_builtins() -> None:
     register("sigma_outliers", Factory("processor", make_sigma_outliers))
     register("pagerank", Factory("processor", make_pagerank))
     register("pair_cosine", Factory("processor", make_pair_cosine))
+    register("assoc_rules", Factory("processor", make_assoc_rules))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))

@@ -356,6 +356,48 @@ def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
     return edges
 
 
+def _broadcast_item_degrees(dedup: ray.data.Dataset, item_col: str,
+                            max_items: int, op: str):
+    """Per-item DISTINCT-group degree table, broadcast once: from a
+    materialized distinct (group, item) membership, count groups per
+    item and ``ray.put`` the (items, counts) pair. Items are bounded
+    (``max_items``) so the map-only tree combine applies — the
+    shuffle-strategy exchange on these skinny partials measured 3.4 s
+    of a 4.1 s total at sf0.1. The tree's final combine holds the
+    WHOLE distinct item set in one task, so a cheap HLL screen fires
+    loudly BEFORE that task can exist (the guard must bound the step,
+    not run after it — review finding, same class as the
+    exact-quantile screen)."""
+    from .sketch import approx_distinct
+
+    est = approx_distinct(dedup.select_columns([item_col]), item_col)
+    if est > 1.2 * int(max_items):
+        raise ValueError(
+            f"{op}: ~{int(est):,} distinct items (HLL estimate, "
+            f"max_items={int(max_items):,}) — the degree table would "
+            "neither tree-combine nor broadcast; raise the cap or "
+            "pre-filter items")
+    counts_ds = grouped_count(dedup, [item_col], count_name="n",
+                              strategy="tree").materialize()
+    n_items = counts_ds.count()
+    if n_items > int(max_items):
+        raise ValueError(
+            f"{op}: {n_items:,} distinct items "
+            f"(> max_items={int(max_items):,}) — the degree table "
+            "would not broadcast; raise the cap or pre-filter items")
+    parts = [t for t in ray.get(counts_ds.to_arrow_refs())
+             if t.num_rows]
+    if parts:
+        cnt = pa.concat_tables(parts).combine_chunks()
+        items_arr = cnt.column(item_col).combine_chunks()
+        n_arr = cnt.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    else:
+        items_arr = pa.array([], pa.int64())
+        n_arr = np.zeros(0, np.int64)
+    return ray.put((items_arr, n_arr))
+
+
 def cooccurrence_cosine(make_ds, group_col: str, item_col: str, *,
                         min_support: int = 1,
                         max_items: int = 5_000_000,
@@ -389,41 +431,8 @@ def cooccurrence_cosine(make_ds, group_col: str, item_col: str, *,
     edges = cooccurrence_edges(dedup, group_col, item_col,
                                min_support=min_support,
                                n_buckets=n_buckets, pre_deduped=True)
-    # items are bounded (max_items) so the map-only tree combine
-    # applies — the shuffle-strategy exchange on these skinny partials
-    # measured 3.4 s of a 4.1 s total at sf0.1. The tree's final
-    # combine holds the WHOLE distinct item set in one task, so a
-    # cheap HLL screen fires loudly BEFORE that task can exist (the
-    # guard must bound the step, not run after it — review finding,
-    # same class as the exact-quantile screen)
-    from .sketch import approx_distinct
-
-    est = approx_distinct(dedup.select_columns([item_col]), item_col)
-    if est > 1.2 * int(max_items):
-        raise ValueError(
-            f"cooccurrence_cosine: ~{int(est):,} distinct items (HLL "
-            f"estimate, max_items={int(max_items):,}) — the degree "
-            "table would neither tree-combine nor broadcast; raise "
-            "the cap or pre-filter items")
-    counts_ds = grouped_count(dedup, [item_col], count_name="n",
-                              strategy="tree").materialize()
-    n_items = counts_ds.count()
-    if n_items > int(max_items):
-        raise ValueError(
-            f"cooccurrence_cosine: {n_items:,} distinct items "
-            f"(> max_items={int(max_items):,}) — the degree table "
-            "would not broadcast; raise the cap or pre-filter items")
-    parts = [t for t in ray.get(counts_ds.to_arrow_refs())
-             if t.num_rows]
-    if parts:
-        cnt = pa.concat_tables(parts).combine_chunks()
-        items_arr = cnt.column(item_col).combine_chunks()
-        n_arr = cnt.column("n").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-    else:
-        items_arr = pa.array([], pa.int64())
-        n_arr = np.zeros(0, np.int64)
-    ref = ray.put((items_arr, n_arr))
+    ref = _broadcast_item_degrees(dedup, item_col, max_items,
+                                  "cooccurrence_cosine")
 
     def add_cosine(t: pa.Table) -> pa.Table:
         items, counts = ray.get(ref)
@@ -449,6 +458,112 @@ def cooccurrence_cosine(make_ds, group_col: str, item_col: str, *,
                          "cosine": pa.array(cos)})
 
     return edges.map_batches(add_cosine, batch_format="pyarrow")
+
+
+def association_rules(make_ds, group_col: str, item_col: str, *,
+                      min_support: int = 1, scale: int = 1_000_000,
+                      max_items: int = 5_000_000,
+                      n_buckets: int | str = "auto"
+                      ) -> ray.data.Dataset:
+    """Pairwise association rules with EXACT scaled-integer confidence
+    and lift — the market-basket rule miner over binary group
+    membership: for every ordered item pair (antecedent → consequent)
+    whose co-occurrence support clears ``min_support``::
+
+        conf_ppm = support · scale // n_ante
+        lift_ppm = support · N · scale // (n_ante · n_cons)
+
+    where ``n_i`` counts DISTINCT groups containing item ``i`` and
+    ``N`` counts distinct groups — lift > scale means the pair
+    co-occurs more than independence predicts. Truncated integer
+    rationals (both engines truncate identically), so the gate is
+    bit-stable with no float crossing it.
+
+    Scale shape (same as :func:`cooccurrence_cosine`): the corpus
+    reduces to one distinct-membership exchange feeding the pair
+    expansion, the broadcast degree table AND an exact distinct-group
+    count; each undirected edge then emits its two directed rules in
+    one vectorized pass. Groups are unbounded; items are bounded
+    (``max_items``). The int64 products are guarded loudly —
+    ``support·N·scale`` must fit; lower ``scale`` on huge corpora.
+
+    Output: (antecedent, consequent, support, n_ante, n_cons,
+    conf_ppm, lift_ppm). Reference analog: none — engine addition in
+    the corpus-analysis family beside the cosine/triangle miners.
+    """
+    if min_support < 1:
+        raise ValueError("association_rules: min_support must be >= 1")
+    if scale < 1:
+        raise ValueError("association_rules: scale must be >= 1")
+    src = make_ds().select_columns([group_col, item_col])
+    src_schema = src.schema(fetch_if_missing=True)
+    dedup = grouped_count(
+        src, [group_col, item_col], count_name="_n",
+        strategy="bucket", n_buckets=n_buckets).materialize()
+    edges = cooccurrence_edges(dedup, group_col, item_col,
+                               min_support=min_support,
+                               n_buckets=n_buckets, pre_deduped=True)
+    ref = _broadcast_item_degrees(dedup, item_col, max_items,
+                                  "association_rules")
+    # exact distinct-group count: dedup rows are distinct (g, i), so
+    # one more bucketed count collapses to distinct g — groups stay
+    # unbounded, only the scalar N comes back to the driver
+    n_groups = grouped_count(
+        dedup.select_columns([group_col]), [group_col],
+        count_name="_n", strategy="bucket", n_buckets=n_buckets).count()
+
+    # a fully-empty materialized dedup reports no schema — fall back
+    # to the source schema captured before the exchange
+    sch = dedup.schema(fetch_if_missing=False) or src_schema
+    item_type = sch.base_schema.field(item_col).type
+    out_schema = pa.schema([
+        ("antecedent", item_type), ("consequent", item_type),
+        ("support", pa.int64()), ("n_ante", pa.int64()),
+        ("n_cons", pa.int64()), ("conf_ppm", pa.int64()),
+        ("lift_ppm", pa.int64())])
+
+    def to_rules(t: pa.Table) -> pa.Table:
+        items, counts = ray.get(ref)
+        ia = pc.index_in(t.column("a"), items)
+        ib = pc.index_in(t.column("b"), items)
+        if ia.null_count or ib.null_count:
+            raise ValueError(
+                "association_rules: edge item missing from the degree "
+                "table — the two passes saw different inputs")
+        na = counts[ia.to_numpy(zero_copy_only=False)]
+        nb = counts[ib.to_numpy(zero_copy_only=False)]
+        sup = t.column("support").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(sup):
+            md = max(int(na.max()), int(nb.max()))
+            if (int(sup.max()) * n_groups * scale >= (1 << 62)
+                    or md * md >= (1 << 62)):
+                raise ValueError(
+                    "association_rules: support·N·scale or "
+                    "n_ante·n_cons exceeds int64 — lower scale= or "
+                    "pre-filter items")
+        ante = pa.chunked_array(
+            [t.column("a"), t.column("b")]).combine_chunks()
+        cons = pa.chunked_array(
+            [t.column("b"), t.column("a")]).combine_chunks()
+        s2 = np.concatenate([sup, sup])
+        d_ante = np.concatenate([na, nb])
+        d_cons = np.concatenate([nb, na])
+        conf = s2 * scale // d_ante
+        lift = s2 * n_groups * scale // (d_ante * d_cons)
+        return pa.table({
+            "antecedent": ante, "consequent": cons,
+            "support": pa.array(s2, pa.int64()),
+            "n_ante": pa.array(d_ante, pa.int64()),
+            "n_cons": pa.array(d_cons, pa.int64()),
+            "conf_ppm": pa.array(conf, pa.int64()),
+            "lift_ppm": pa.array(lift, pa.int64())},
+            schema=out_schema)
+
+    # the empty-table union pins the output schema even when edges is
+    # empty (min_support pruned everything) — no extra execution
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        edges.map_batches(to_rules, batch_format="pyarrow"))
 
 
 def triangle_count(edges: ray.data.Dataset, a: str = "a", b: str = "b",

@@ -224,6 +224,90 @@ def test_cooccurrence_cosine_planted(ray_session):
                             max_items=1).to_pandas()
 
 
+def test_association_rules_planted(ray_session):
+    """conf_ppm = sup*1e6 // n_ante, lift_ppm = sup*N*1e6 //
+    (n_ante*n_cons) on a planted basket set — each undirected pair
+    emits BOTH directed rules, duplicate memberships dedupe."""
+    from opentelemetry_collector_ray.stages.graph import (
+        association_rules)
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (3, "y"), (4, "w"), (4, "w")]
+    t = pa.table({"g": pa.array([r[0] for r in rows]),
+                  "i": pa.array([r[1] for r in rows])})
+    out = association_rules(
+        lambda: ray.data.from_arrow(t).repartition(2), "g", "i",
+        min_support=1).to_pandas()
+    got = {(r.antecedent, r.consequent):
+           (r.support, r.n_ante, r.n_cons, r.conf_ppm, r.lift_ppm)
+           for r in out.itertuples()}
+    # N = 4 distinct baskets; x:3 y:3 z:1 w:1
+    # x->y: sup 3, conf 3e6//3 = 1e6, lift 3*4e6//9 = 1333333
+    assert got[("x", "y")] == (3, 3, 3, 1_000_000, 1_333_333)
+    assert got[("y", "x")] == (3, 3, 3, 1_000_000, 1_333_333)
+    # z->x: sup 1, conf 1e6//1 = 1e6, lift 1*4e6//3 = 1333333
+    assert got[("z", "x")] == (1, 1, 3, 1_000_000, 1_333_333)
+    # x->z: conf 1e6//3 = 333333
+    assert got[("x", "z")] == (1, 3, 1, 333_333, 1_333_333)
+    assert not any(a == b for a, b in got)
+    assert ("w", "x") not in got  # w never co-occurs
+    # min_support prunes pairs before the rule expansion
+    out2 = association_rules(
+        lambda: ray.data.from_arrow(t), "g", "i",
+        min_support=2).to_pandas()
+    assert set(zip(out2.antecedent, out2.consequent)) == {
+        ("x", "y"), ("y", "x")}
+    with pytest.raises(ValueError, match="min_support"):
+        association_rules(lambda: ray.data.from_arrow(t), "g", "i",
+                          min_support=0)
+    with pytest.raises(ValueError, match="scale"):
+        association_rules(lambda: ray.data.from_arrow(t), "g", "i",
+                          scale=0)
+    with pytest.raises(Exception, match="max_items"):
+        association_rules(lambda: ray.data.from_arrow(t), "g", "i",
+                          max_items=1).to_pandas()
+
+
+def test_association_rules_empty_and_yaml(ray_session, tmp_path):
+    """Empty input keeps the 7-column schema; the assoc_rules YAML
+    component matches the direct call."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import (
+        build_dataset)
+    from opentelemetry_collector_ray.stages.graph import (
+        association_rules)
+
+    empty = pa.table({"g": pa.array([], pa.int64()),
+                      "i": pa.array([], pa.int64())})
+    got = association_rules(lambda: ray.data.from_arrow(empty),
+                            "g", "i")
+    assert got.count() == 0
+    assert set(got.schema().names) == {
+        "antecedent", "consequent", "support", "n_ante", "n_cons",
+        "conf_ppm", "lift_ppm"}
+
+    t = pa.table({"g": [1, 1, 2, 2, 3], "i": [10, 11, 10, 11, 10]})
+    src = tmp_path / "m.parquet"
+    pq.write_table(t, str(src))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(src)}},
+        "processors": {"assoc_rules": {"group": "g", "item": "i",
+                                       "min_support": 2}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["assoc_rules"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values(["antecedent", "consequent"]) \
+        .reset_index(drop=True)
+    want = association_rules(lambda: ray.data.from_arrow(t), "g", "i",
+                             min_support=2).to_pandas() \
+        .sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(y, want, check_dtype=False)
+
+
 def _bfs_ref(edges, seeds, max_depth, directed=False):
     adj = {}
     for a, b in edges:
