@@ -6002,6 +6002,20 @@ def _q_parts_assoc_rules(sf_dir: str):
                              min_support=2)
 
 
+def _q_turns_templates(sf_dir: str):
+    """Log template mining (templates.mine_templates) over the derived
+    turn stream: uuid/hex/number fragments masked to typed placeholders
+    in one vectorized regex chain per batch, then the bounded template
+    set counted with a deterministic min-example — the Drain-style
+    reduction a log pipeline runs before storage, as an exact
+    deterministic masker so DuckDB's identical regexp_replace chain is
+    a bit-stable oracle."""
+    from opentelemetry_collector_ray.stages.templates import (
+        mine_templates)
+
+    return mine_templates(_turns(sf_dir), "text")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6151,6 +6165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": _q_orders_benford,
         "events_rolling_users": _q_events_rolling_users,
         "parts_assoc_rules": _q_parts_assoc_rules,
+        "turns_templates": _q_turns_templates,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6355,6 +6370,10 @@ def oracle_sql() -> dict[str, str]:
     r1 = DEFAULT_PARSE_RULES[1].pattern
     with_turns = "WITH " + TURNS_CTE.strip()
 
+    from opentelemetry_collector_ray.stages.templates import (
+        mask_templates_sql)
+    _mask_sql = mask_templates_sql("text")
+
     parse_sql = f"""
 {with_turns}
 SELECT conv_id, turn_idx,
@@ -6431,6 +6450,12 @@ FROM routed GROUP BY route, role, tool, bucket
         "turns_route": route_sql,
         "turns_agg": agg_sql,
         "turns_agg_yaml": agg_sql,  # config parity: same result by contract
+        "turns_templates": f"""
+{with_turns}
+SELECT {_mask_sql} AS template, CAST(count(*) AS BIGINT) AS n,
+       min(text) AS example
+FROM turns GROUP BY template
+""",
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
            FROM documents)

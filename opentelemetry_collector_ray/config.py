@@ -1082,6 +1082,22 @@ def _register_builtins() -> None:
             min_support=int(cfg.get("min_support", 1)),
             max_items=int(cfg.get("max_items", 5_000_000))))
 
+    def make_log_templates(cfg: dict):
+        from .stages.templates import DEFAULT_MASK_RULES, mine_templates
+
+        rules = DEFAULT_MASK_RULES
+        if "rules" in cfg:
+            raw = cfg["rules"]
+            if not isinstance(raw, list) or not raw:
+                raise ConfigError(
+                    "log_templates: rules must be a non-empty list of "
+                    "{name, pattern, token} maps")
+            rules = tuple(
+                (r["name"], r["pattern"], r["token"]) for r in raw)
+        return DatasetTransform(lambda ds: mine_templates(
+            ds, cfg.get("text", "text"), rules=rules,
+            strategy=cfg.get("strategy", "bucket")))
+
     def make_assoc_rules(cfg: dict):
         from .stages.graph import association_rules
 
@@ -1279,6 +1295,7 @@ def _register_builtins() -> None:
     register("pagerank", Factory("processor", make_pagerank))
     register("pair_cosine", Factory("processor", make_pair_cosine))
     register("assoc_rules", Factory("processor", make_assoc_rules))
+    register("log_templates", Factory("processor", make_log_templates))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))
