@@ -6016,6 +6016,30 @@ def _q_turns_templates(sf_dir: str):
     return mine_templates(_turns(sf_dir), "text")
 
 
+def _q_events_cardinality_cap(sf_dir: str):
+    """Cardinality limiter (stages/cardinality.py::cardinality_cap) —
+    the OTel SDK metrics cardinality-limit semantic: per event_type,
+    keep the top-5 users by event count (ties by user_id ASC) and fold
+    every other user's count/cents into ONE overflow series
+    (user_id = -1), so output cardinality is ≤ 6 rows per type no
+    matter how many users exist. Raw rows reduce once to the skinny
+    series table; the cap is one more bucket pass over those rows.
+    Oracle = ROW_NUMBER() ranked series + UNION ALL overflow rollup."""
+    from opentelemetry_collector_ray.stages.cardinality import (
+        cardinality_cap)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "user_id": t.column("user_id"),
+                         "cents_src": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events", ["event_type", "user_id", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return cardinality_cap(ds, "event_type", "user_id", 5,
+                           overflow_value=-1, count_name="n",
+                           sum_cols={"cents": "cents_src"})
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6166,6 +6190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_users": _q_events_rolling_users,
         "parts_assoc_rules": _q_parts_assoc_rules,
         "turns_templates": _q_turns_templates,
+        "events_cardinality_cap": _q_events_cardinality_cap,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6455,6 +6480,22 @@ FROM routed GROUP BY route, role, tool, bucket
 SELECT {_mask_sql} AS template, CAST(count(*) AS BIGINT) AS n,
        min(text) AS example
 FROM turns GROUP BY template
+""",
+        "events_cardinality_cap": """
+WITH series AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY n DESC, user_id ASC) AS rk
+  FROM series)
+SELECT event_type, user_id, n, cents FROM ranked WHERE rk <= 5
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT) AS user_id,
+       CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+FROM ranked WHERE rk > 5 GROUP BY event_type
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

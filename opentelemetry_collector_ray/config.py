@@ -1110,6 +1110,20 @@ def _register_builtins() -> None:
             scale=int(cfg.get("scale", 1_000_000)),
             max_items=int(cfg.get("max_items", 5_000_000))))
 
+    def make_cardinality_cap(cfg: dict):
+        from .stages.cardinality import cardinality_cap
+
+        for req in ("group", "series"):
+            if not cfg.get(req):
+                raise ConfigError(f"cardinality_cap: {req} is required")
+        if "overflow_value" not in cfg:
+            raise ConfigError("cardinality_cap: overflow_value is required")
+        return DatasetTransform(lambda ds: cardinality_cap(
+            ds, cfg["group"], cfg["series"], int(cfg.get("k", 2000)),
+            overflow_value=cfg["overflow_value"],
+            count_name=cfg.get("count_name", "n"),
+            sum_cols=dict(cfg.get("sum_cols") or {}) or None))
+
     def make_bfs(cfg: dict):
         from .stages.graph import bfs_layers
 
@@ -1296,6 +1310,7 @@ def _register_builtins() -> None:
     register("pair_cosine", Factory("processor", make_pair_cosine))
     register("assoc_rules", Factory("processor", make_assoc_rules))
     register("log_templates", Factory("processor", make_log_templates))
+    register("cardinality_cap", Factory("processor", make_cardinality_cap))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))
