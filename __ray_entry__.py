@@ -6040,6 +6040,40 @@ def _q_events_cardinality_cap(sf_dir: str):
                            sum_cols={"cents": "cents_src"})
 
 
+def _q_events_late_arrivals(sf_dir: str):
+    """Watermark / late-data audit (stages/temporal.py::late_arrivals)
+    — the streaming allowed-lateness accounting, batch-exact: arrival
+    order is simulated with a deterministic md5 network delay (first
+    12 hex digits of md5(event_id) mod 24 h, the checksum lane's
+    digest convention) added to event time; within each user's stream
+    in arrival order, an event is late when its event time trails the
+    running max of preceding event times by more than 1 h. One bucket
+    exchange; lifted maximum.accumulate gives every stream's watermark
+    at once. Oracle = MAX() OVER (... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING) on the identical md5 arrival composite."""
+    from opentelemetry_collector_ray.functions.text import md5_hex
+    from opentelemetry_collector_ray.stages.temporal import late_arrivals
+
+    day_us = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64())  # timestamp[us] native
+        eid = t.column("event_id")
+        hexes = md5_hex(pc.cast(eid, pa.string()))
+        delay = np.fromiter(
+            (int(h[:12], 16) % day_us for h in hexes.to_pylist()),
+            np.int64, count=len(hexes))
+        arr = pc.add(ts_us, pa.array(delay))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": eid, "ts_us": ts_us,
+                         "arr_us": arr})
+
+    ds = _read_co(sf_dir, "events", ["event_id", "ts", "user_id"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return late_arrivals(ds, "user_id", ["arr_us", "event_id"], "ts_us",
+                         allowed_lateness=3_600_000_000)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6191,6 +6225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_assoc_rules": _q_parts_assoc_rules,
         "turns_templates": _q_turns_templates,
         "events_cardinality_cap": _q_events_cardinality_cap,
+        "events_late_arrivals": _q_events_late_arrivals,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6496,6 +6531,27 @@ UNION ALL
 SELECT event_type, CAST(-1 AS BIGINT) AS user_id,
        CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
 FROM ranked WHERE rk > 5 GROUP BY event_type
+""",
+        "events_late_arrivals": """
+WITH a AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                              1, 12))::UBIGINT % 86400000000 AS BIGINT)
+           AS arr_us
+  FROM events
+), w AS (
+  SELECT user_id, ts_us,
+         MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wm
+  FROM a)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE wm - ts_us > 3600000000) AS BIGINT)
+         AS n_late,
+       CAST(coalesce(max(wm - ts_us)
+                     FILTER (WHERE wm - ts_us > 3600000000), 0) AS BIGINT)
+         AS max_late_us
+FROM w GROUP BY user_id
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -1110,6 +1110,19 @@ def _register_builtins() -> None:
             scale=int(cfg.get("scale", 1_000_000)),
             max_items=int(cfg.get("max_items", 5_000_000))))
 
+    def make_late_arrivals(cfg: dict):
+        from .stages.temporal import late_arrivals
+
+        for req in ("key", "arrival", "ts"):
+            if not cfg.get(req):
+                raise ConfigError(f"late_arrivals: {req} is required")
+        arrival = cfg["arrival"]
+        if isinstance(arrival, str):
+            arrival = [arrival]
+        return DatasetTransform(lambda ds: late_arrivals(
+            ds, cfg["key"], list(arrival), cfg["ts"],
+            allowed_lateness=int(cfg.get("allowed_lateness", 0))))
+
     def make_cardinality_cap(cfg: dict):
         from .stages.cardinality import cardinality_cap
 
@@ -1311,6 +1324,7 @@ def _register_builtins() -> None:
     register("assoc_rules", Factory("processor", make_assoc_rules))
     register("log_templates", Factory("processor", make_log_templates))
     register("cardinality_cap", Factory("processor", make_cardinality_cap))
+    register("late_arrivals", Factory("processor", make_late_arrivals))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))

@@ -68,3 +68,82 @@ def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
         return t.append_column(out_col, pa.array(out))
 
     return bucketed_map_groups(ds, key, diff, n_buckets=n_buckets)
+
+
+def late_arrivals(ds: ray.data.Dataset, key: str, arrival_cols: list[str],
+                  ts_col: str, *, allowed_lateness: int = 0,
+                  n_buckets: int | str = N_BUCKETS) -> ray.data.Dataset:
+    """Watermark audit — the batch analog of streaming late-data
+    accounting: within each ``key`` stream ordered by ``arrival_cols``
+    (processing/arrival order, which must be a TOTAL order per key —
+    pass a tiebreaker), the watermark at a row is the maximum event
+    time ``ts_col`` over all STRICTLY PRECEDING arrivals; the row is
+    late when ``ts + allowed_lateness < watermark``. Emits one row per
+    key: ``n_events``, ``n_late``, and ``max_late_us`` (the largest
+    ``watermark − ts`` over late rows; 0 when none — the number a
+    pipeline operator reads to size its allowed-lateness window).
+
+    ``ts_col`` and every arrival column must be integers (µs
+    convention; cast ``timestamp[us]`` with ``.cast(int64)`` — the
+    cast keeps the NATIVE unit, normalize ns first). Integer
+    discipline keeps the gate hash-exact vs the SQL window mirror
+    ``MAX(ts) OVER (PARTITION BY key ORDER BY arrival
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Scale shape: ONE hash-bucket exchange by ``key`` (complete streams
+    per bucket), then per bucket a single sort + lifted
+    ``np.maximum.accumulate`` gives every stream's running max at once
+    (no per-key Python); per-key rollups are ``reduceat`` at segment
+    starts. The lifted composite is magnitude-guarded loudly."""
+    if allowed_lateness < 0:
+        raise ValueError("late_arrivals: allowed_lateness must be >= 0")
+    order = [(key, "ascending")] + [(c, "ascending") for c in arrival_cols]
+
+    def audit(t: pa.Table) -> pa.Table:
+        for c in [key, ts_col, *arrival_cols]:
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"late_arrivals: column {c!r} has nulls — SQL window "
+                    "ordering over nulls would silently diverge")
+        t = t.sort_by(order)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        if ts.dtype.kind not in "iu":
+            raise ValueError(
+                f"late_arrivals: {ts_col!r} must be an integer column "
+                "(µs); cast timestamps explicitly")
+        n = len(ts)
+        keys_np = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys_np)
+        if n == 0:
+            return pa.table({key: t.column(key),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64()),
+                             "max_late_us": pa.array([], pa.int64())})
+        ts = ts.astype(np.int64)
+        seg_id = np.cumsum(change) - 1
+        lo = int(ts.min())
+        stride = (int(ts.max()) - lo) + 2
+        n_seg = int(seg_id[-1]) + 1
+        if stride > (2 ** 62) // max(n_seg, 1):
+            raise ValueError(
+                "late_arrivals: lifted composite would overflow "
+                f"(ts range {stride - 2:,} x {n_seg:,} key segments in "
+                "one task); raise n_buckets or narrow the ts range")
+        acc = np.maximum.accumulate((ts - lo) + seg_id * stride)
+        wm = np.empty(n, np.int64)
+        wm[1:] = acc[:-1] - seg_id[1:] * stride + lo
+        wm[0] = ts[0]  # no predecessor; row 0 is masked by ~change below
+        # first row of each segment has no preceding arrival
+        lateness = wm - ts
+        late = (~change) & (lateness > allowed_lateness)
+        starts = np.flatnonzero(change)
+        n_events = np.diff(np.append(starts, n)).astype(np.int64)
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        late_amt = np.where(late, lateness, 0)
+        max_late = np.maximum.reduceat(late_amt, starts)
+        return pa.table({key: t.column(key).take(pa.array(starts)),
+                         "n_events": pa.array(n_events),
+                         "n_late": pa.array(n_late),
+                         "max_late_us": pa.array(max_late)})
+
+    return bucketed_map_groups(ds, key, audit, n_buckets=n_buckets)

@@ -24,3 +24,100 @@ def test_delta_cumulative_round_trip(ray_session):
     assert (out["v2"].to_numpy() == exp["v"].to_numpy()).all()
     # cumulative is monotone per series
     assert (out.groupby("series")["cum"].diff().dropna() >= 0).all()
+
+
+def _late(rows, **kw):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.temporal import late_arrivals
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    return late_arrivals(ds, "k", ["arr"], "ts", **kw).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+
+def test_late_arrivals_planted(ray_session):
+    # stream u: arrivals 1..5 carry event times 10, 50, 20, 49, 60
+    #   row 3 (ts=20) trails watermark 50 by 30 -> late at L<30
+    #   row 4 (ts=49) trails watermark 50 by 1  -> late only at L=0
+    rows = [{"k": "u", "arr": a, "ts": t}
+            for a, t in [(1, 10), (2, 50), (3, 20), (4, 49), (5, 60)]]
+    rows += [{"k": "v", "arr": 1, "ts": 100}]  # single-row stream
+    out = _late(rows, allowed_lateness=0)
+    u = out[out.k == "u"].iloc[0]
+    assert (u.n_events, u.n_late, u.max_late_us) == (5, 2, 30)
+    v = out[out.k == "v"].iloc[0]
+    assert (v.n_events, v.n_late, v.max_late_us) == (1, 0, 0)
+    out5 = _late(rows, allowed_lateness=5)
+    u5 = out5[out5.k == "u"].iloc[0]
+    assert (u5.n_late, u5.max_late_us) == (1, 30)
+
+
+def test_late_arrivals_matches_pandas_window(ray_session):
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], n),
+        "arr": rng.permutation(n).astype(np.int64),
+        "ts": rng.integers(0, 10_000, n, dtype=np.int64),
+    })
+    out = _late(df.to_dict("records"), allowed_lateness=7)
+    ref = []
+    for k, g in df.sort_values(["k", "arr"]).groupby("k"):
+        ts = g.ts.to_numpy()
+        wm = np.maximum.accumulate(ts)[:-1]
+        lateness = wm - ts[1:]
+        late = lateness > 7
+        ref.append((k, len(ts), int(late.sum()),
+                    int(lateness[late].max()) if late.any() else 0))
+    ref = pd.DataFrame(ref, columns=["k", "n_events", "n_late",
+                                     "max_late_us"])
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_late_arrivals_rejects_nulls_and_floats(ray_session):
+    import pytest
+
+    rows = [{"k": "u", "arr": 1, "ts": None},
+            {"k": "u", "arr": 2, "ts": 5}]
+    with pytest.raises(Exception, match="nulls"):
+        _late(rows)
+    rows = [{"k": "u", "arr": 1, "ts": 1.5}]
+    with pytest.raises(Exception, match="integer"):
+        _late(rows)
+    import pytest as _pt
+
+    from opentelemetry_collector_ray.stages.temporal import late_arrivals
+    with _pt.raises(ValueError, match="allowed_lateness"):
+        late_arrivals(None, "k", ["arr"], "ts", allowed_lateness=-1)
+
+
+def test_late_arrivals_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.temporal import late_arrivals
+
+    rows = [{"k": "u", "arr": a, "ts": t}
+            for a, t in [(1, 10), (2, 50), (3, 20)]]
+    p = tmp_path / "l.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"late_arrivals": {
+            "key": "k", "arrival": "arr", "ts": "ts",
+            "allowed_lateness": 0}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["late_arrivals"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    want = late_arrivals(ray.data.read_parquet(str(p)), "k", ["arr"],
+                         "ts", allowed_lateness=0).to_pandas()
+    pd.testing.assert_frame_equal(y, want, check_dtype=False)
