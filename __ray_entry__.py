@@ -6074,6 +6074,24 @@ def _q_events_late_arrivals(sf_dir: str):
                          allowed_lateness=3_600_000_000)
 
 
+def _q_turns_oov_rate(sf_dir: str):
+    """Vocabulary-coverage audit (stages/corpusstats.py::oov_stats)
+    over the derived turn stream: vocabulary = terms with frequency
+    >= 2 (a frequency threshold, not top-N — no tie-at-the-boundary
+    nondeterminism), tokens = [a-z0-9]+ runs so the high-cardinality
+    trace/uuid fragments in log lines register as singletons (the
+    letters-only class was vacuous here — every letter run repeats);
+    per turn: token count + how many fall outside the vocab. Two
+    passes; the vocab is count-guarded, ray.put once, fetched once per
+    actor; the turn pass never shuffles. Oracle = token explode +
+    HAVING-thresholded term table + LEFT JOIN miss count."""
+    from opentelemetry_collector_ray.stages.corpusstats import oov_stats
+
+    return oov_stats(lambda: _turns(sf_dir), text_col="text",
+                     id_cols=["conv_id", "turn_idx"], min_count=2,
+                     split_pattern="[^a-z0-9]+")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6226,6 +6244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_templates": _q_turns_templates,
         "events_cardinality_cap": _q_events_cardinality_cap,
         "events_late_arrivals": _q_events_late_arrivals,
+        "turns_oov_rate": _q_turns_oov_rate,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6552,6 +6571,22 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                      FILTER (WHERE wm - ts_us > 3600000000), 0) AS BIGINT)
          AS max_late_us
 FROM w GROUP BY user_id
+""",
+        "turns_oov_rate": f"""
+{with_turns},
+tok AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM turns),
+tf AS (SELECT term FROM tok GROUP BY term HAVING count(*) >= 2),
+per AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE tf.term IS NULL) AS BIGINT) AS n_oov
+  FROM tok LEFT JOIN tf USING (term) GROUP BY conv_id, turn_idx)
+SELECT t.conv_id, t.turn_idx,
+       CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov
+FROM turns t LEFT JOIN per USING (conv_id, turn_idx)
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

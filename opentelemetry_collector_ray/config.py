@@ -933,6 +933,17 @@ def _register_builtins() -> None:
             text_col=cfg.get("text_col", "text"),
             persist=cfg.get("persist", "none")))
 
+    def make_oov_stats(cfg: dict):
+        from .stages.corpusstats import TOKEN_SPLIT_RE, oov_stats
+
+        ids = cfg.get("id_cols", "doc_id")
+        return DatasetTransform(lambda ds: oov_stats(
+            lambda: ds, text_col=cfg.get("text_col", "text"),
+            id_cols=ids, min_count=int(cfg.get("min_count", 2)),
+            max_vocab=int(cfg.get("max_vocab", 2_000_000)),
+            split_pattern=cfg.get("split_pattern", TOKEN_SPLIT_RE),
+            persist=cfg.get("persist", "none")))
+
     def make_repetition(cfg: dict):
         import pyarrow as pa
 
@@ -1325,6 +1336,7 @@ def _register_builtins() -> None:
     register("log_templates", Factory("processor", make_log_templates))
     register("cardinality_cap", Factory("processor", make_cardinality_cap))
     register("late_arrivals", Factory("processor", make_late_arrivals))
+    register("oov_stats", Factory("processor", make_oov_stats))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))

@@ -27,11 +27,14 @@ import ray.data
 TOKEN_SPLIT_RE = "[^a-z]+"  # must mirror the oracle's '[a-z]+' extract
 
 
-def _tokens_with_rows(col) -> tuple[pa.Array, np.ndarray]:
+def _tokens_with_rows(col, split_pattern: str = TOKEN_SPLIT_RE
+                      ) -> tuple[pa.Array, np.ndarray]:
     """Whole-column tokenization → (flat non-empty tokens, row id per
-    token)."""
+    token). ``split_pattern`` is the SPLIT regex — its complement must
+    mirror the oracle's ``regexp_extract_all`` class (default
+    ``[^a-z]+`` ↔ ``[a-z]+``)."""
     split = pc.split_pattern_regex(pc.utf8_lower(col),
-                                   pattern=TOKEN_SPLIT_RE)
+                                   pattern=split_pattern)
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()
     flat = split.flatten()
@@ -47,13 +50,14 @@ def _tokens_with_rows(col) -> tuple[pa.Array, np.ndarray]:
 
 
 def term_counts(ds: ray.data.Dataset, text_col: str = "text",
-                ) -> ray.data.Dataset:
+                split_pattern: str = TOKEN_SPLIT_RE) -> ray.data.Dataset:
     """Corpus term-frequency table (term, n) — bucket-strategy grouped
     count over the exploded tokens."""
     from .aggregate import grouped_count
 
     def explode(t: pa.Table) -> pa.Table:
-        flat, _rows = _tokens_with_rows(t.column(text_col))
+        flat, _rows = _tokens_with_rows(t.column(text_col),
+                                        split_pattern)
         return pa.table({"term": flat})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
@@ -223,6 +227,95 @@ class UnigramMassStage:
         return pa.table({self.id_col: t.column(self.id_col),
                          "n_tokens": pa.array(ntok),
                          "freq_mass": pa.array(mass)})
+
+
+class OOVStage:
+    """Per-doc out-of-vocabulary accounting: token count + how many
+    tokens are NOT in the broadcast vocabulary (fetched once per
+    actor). The tokenizer-coverage QA metric: a corpus slice with a
+    high OOV rate against the training vocab inflates the unknown-token
+    rate downstream."""
+
+    def __init__(self, vocab: pa.Array | None = None, vocab_ref=None,
+                 text_col: str = "text", id_cols=("doc_id",),
+                 split_pattern: str = TOKEN_SPLIT_RE):
+        if vocab is None:
+            import ray
+
+            vocab = ray.get(vocab_ref)  # broadcast fetch, once per actor
+        self.terms = vocab.combine_chunks() \
+            if isinstance(vocab, pa.ChunkedArray) else vocab
+        self.text_col, self.id_cols = text_col, list(id_cols)
+        self.split_pattern = split_pattern
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, rows = _tokens_with_rows(t.column(self.text_col),
+                                       self.split_pattern)
+        ntok = np.zeros(n, np.int64)
+        noov = np.zeros(n, np.int64)
+        if len(rows):
+            oov = pc.invert(pc.is_in(flat, value_set=self.terms)) \
+                .to_numpy(zero_copy_only=False)
+            np.add.at(ntok, rows, 1)
+            np.add.at(noov, rows, oov.astype(np.int64))
+        return pa.table({**{c: t.column(c) for c in self.id_cols},
+                         "n_tokens": pa.array(ntok),
+                         "n_oov": pa.array(noov)})
+
+
+def oov_stats(ds_factory, text_col: str = "text",
+              id_cols: str | list[str] = "doc_id",
+              *, min_count: int = 2, max_vocab: int = 2_000_000,
+              split_pattern: str = TOKEN_SPLIT_RE,
+              concurrency=(1, 8), persist: str = "none"
+              ) -> ray.data.Dataset:
+    """Two-pass vocabulary-coverage audit: pass 1 builds the vocabulary
+    (corpus terms with frequency ≥ ``min_count`` — the frequency
+    threshold avoids the tie-at-the-boundary nondeterminism a top-N
+    vocabulary has), pass 2 counts each document's tokens and
+    out-of-vocabulary tokens against the broadcast vocab. Output:
+    ``(*id_cols, n_tokens, n_oov)`` — exact integers.
+
+    Same cost contract as :func:`unigram_mass`: ``ds_factory`` is
+    invoked once per pass; pass ``persist=`` to execute an expensive
+    upstream exactly once. Scale shape: the corpus reduces to one row
+    per distinct term (bucket-strategy grouped count); the vocabulary
+    is ``count()``-guarded by ``max_vocab`` BEFORE the driver pull,
+    ``ray.put`` once, fetched once per actor; the doc pass never
+    shuffles (a document never spans batches)."""
+    import ray
+
+    from .bucketing import persisted_factory
+
+    if min_count < 1:
+        raise ValueError("oov_stats: min_count must be >= 1")
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    ds_factory = persisted_factory(ds_factory, persist)
+    counts = term_counts(ds_factory(), text_col,
+                         split_pattern=split_pattern).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_count)),
+        batch_format="pyarrow").materialize()
+    nv = counts.count()
+    if nv > int(max_vocab):
+        raise ValueError(
+            f"oov_stats: vocabulary {nv:,} exceeds max_vocab="
+            f"{int(max_vocab):,}; broadcast would be too large — join "
+            "against term_counts() instead")
+    tables = [ray.get(r) for r in counts.to_arrow_refs()]
+    parts = [t.column("term") for t in tables if t.num_rows]
+    terms = pa.concat_arrays(
+        [c for p in parts for c in
+         (p.chunks if isinstance(p, pa.ChunkedArray) else [p])]) \
+        if parts else pa.array([], pa.string())
+    ref = ray.put(terms)
+    return ds_factory().map_batches(
+        OOVStage,
+        fn_constructor_kwargs=dict(vocab_ref=ref, text_col=text_col,
+                                   id_cols=id_cols,
+                                   split_pattern=split_pattern),
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 def unigram_mass(ds_factory, text_col: str = "text",

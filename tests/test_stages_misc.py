@@ -1267,3 +1267,92 @@ def test_compact_files_schema_mismatch_raises(ray_session, tmp_path):
                    str(src / "y.parquet"))
     with _pt.raises(Exception, match="schemas differ|union_by_name"):
         compact_files(str(src), str(src / "out"), target_bytes=1 << 30)
+
+
+def test_oov_stats_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import oov_stats
+
+    docs = [
+        {"doc_id": 1, "text": "red red blue"},     # blue is a singleton
+        {"doc_id": 2, "text": "red green green"},
+        {"doc_id": 3, "text": "zebra"},             # all-OOV doc
+        {"doc_id": 4, "text": "..."},               # zero tokens
+    ]
+    tbl = pa.Table.from_pylist(docs)
+    out = oov_stats(lambda: ray.data.from_arrow(tbl), min_count=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # vocab = {red (3), green (2)}; blue/zebra are OOV
+    assert list(out.n_tokens) == [3, 3, 1, 0]
+    assert list(out.n_oov) == [1, 0, 1, 0]
+
+
+def test_oov_stats_split_pattern_and_multi_id(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import oov_stats
+
+    docs = [
+        {"a": "x", "b": 1, "text": "id9 id9 7f3k"},
+        {"a": "x", "b": 2, "text": "id9"},
+    ]
+    tbl = pa.Table.from_pylist(docs)
+    out = oov_stats(lambda: ray.data.from_arrow(tbl),
+                    id_cols=["a", "b"], min_count=2,
+                    split_pattern="[^a-z0-9]+") \
+        .to_pandas().sort_values("b").reset_index(drop=True)
+    assert list(out.columns) == ["a", "b", "n_tokens", "n_oov"]
+    # alnum tokens: id9 x3 in vocab; 7f3k singleton OOV
+    assert list(out.n_tokens) == [3, 1]
+    assert list(out.n_oov) == [1, 0]
+
+
+def test_oov_stats_guards(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.corpusstats import oov_stats
+
+    with pytest.raises(ValueError, match="min_count"):
+        oov_stats(lambda: None, min_count=0)
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": 1, "text": "a b c d e f g h"}])
+    with pytest.raises(ValueError, match="max_vocab"):
+        oov_stats(lambda: ray.data.from_arrow(tbl), min_count=1,
+                  max_vocab=3)
+
+
+def test_oov_stats_yaml_parity(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.corpusstats import oov_stats
+
+    docs = [{"doc_id": i, "text": t} for i, t in
+            enumerate(["red red blue", "red green green", "zebra"])]
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.Table.from_pylist(docs), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"oov_stats": {"min_count": 2}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["oov_stats"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = oov_stats(lambda: ray.data.read_parquet(str(p)),
+                     min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(y, want, check_dtype=False)
