@@ -6092,6 +6092,19 @@ def _q_turns_oov_rate(sf_dir: str):
                      split_pattern="[^a-z0-9]+")
 
 
+def _q_spans_head_sampled(sf_dir: str):
+    """Head-based consistent probability sampling
+    (stages/spanops.py::head_sample — the probabilisticsampler analog;
+    tail_sample is its whole-trace counterpart): keep all spans of
+    traces whose md5(trace_id) 12-hex digest mod 1000 < 200. The
+    decision is a pure function of the trace id, so this is a map-only
+    filter with NO exchange — the head-sampling property itself.
+    Oracle = identical digest predicate over SPANS_CTE."""
+    from opentelemetry_collector_ray.stages.spanops import head_sample
+
+    return head_sample(_spans(sf_dir), 200)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6245,6 +6258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cardinality_cap": _q_events_cardinality_cap,
         "events_late_arrivals": _q_events_late_arrivals,
         "turns_oov_rate": _q_turns_oov_rate,
+        "spans_head_sampled": _q_spans_head_sampled,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8037,6 +8051,11 @@ FROM ranked GROUP BY service
 WITH {SPANS_CTE.strip()}
 SELECT * FROM spans WHERE trace_id IN
   (SELECT trace_id FROM spans WHERE status_code = 2)
+""",
+        "spans_head_sampled": f"""
+WITH {SPANS_CTE.strip()}
+SELECT * FROM spans
+WHERE ('0x' || substr(md5(trace_id), 1, 12))::UBIGINT % 1000 < 200
 """,
         "turns_count_connector": f"""
 {with_turns}

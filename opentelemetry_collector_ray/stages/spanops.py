@@ -523,6 +523,36 @@ def tail_sample(spans: ray.data.Dataset, n_buckets: int | str = 64,
                                n_buckets=n_buckets)
 
 
+def head_sample(spans: ray.data.Dataset, permille: int,
+                trace_col: str = "trace_id") -> ray.data.Dataset:
+    """Head-based consistent probability sampling (the
+    probabilisticsampler analog of :func:`tail_sample`): keep ALL spans
+    of a trace when a deterministic digest of its trace id falls under
+    the ``permille`` threshold. Head sampling's defining property —
+    the decision is a pure function of the trace id, so every span of
+    a trace gets the same verdict with NO coordination — makes this a
+    map-only filter: no exchange at all, in contrast to tail sampling
+    which must co-locate whole traces before it can decide.
+
+    The digest is the first 12 hex digits of md5(trace_id) mod 1000
+    (the checksum lane's external-standard digest, exactly mirrorable
+    in SQL as ``('0x' || substr(md5(trace_id),1,12))::UBIGINT % 1000``);
+    trace-rate ≈ permille/1000 with sampling consistency across
+    re-executions, retries and pipeline stages."""
+    if not 0 <= permille <= 1000:
+        raise ValueError("head_sample: permille must be in [0, 1000]")
+    from ..functions.text import md5_hex
+
+    def keep(t: pa.Table) -> pa.Table:
+        hexes = md5_hex(t.column(trace_col))
+        h = np.fromiter((int(x[:12], 16) % 1000
+                         for x in hexes.to_pylist()),
+                        np.int64, count=len(hexes))
+        return t.filter(pa.array(h < permille))
+
+    return spans.map_batches(keep, batch_format="pyarrow")
+
+
 def span_depth(spans: ray.data.Dataset, n_buckets: int = 64
                ) -> ray.data.Dataset:
     """Tree depth of every span — the flame-level coordinate: number of

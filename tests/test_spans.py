@@ -32,3 +32,35 @@ def test_span_depth_branching_orphans_and_cycles(ray_session):
     })
     with pytest.raises(Exception, match="cyclic"):
         span_depth(ray.data.from_arrow(cyc)).to_pandas()
+
+
+def test_head_sample_consistency_and_bounds(ray_session):
+    from opentelemetry_collector_ray.sources.spans import (
+        read_derived_spans)
+    from opentelemetry_collector_ray.stages.spanops import head_sample
+
+    spans = read_derived_spans("/root/testdata/sf0.001")
+    kept = head_sample(spans, 200).to_pandas()
+    allsp = spans.to_pandas()
+    # trace-consistent: a kept trace keeps ALL its spans
+    per_trace = allsp.groupby("trace_id").size()
+    kept_trace = kept.groupby("trace_id").size()
+    for tid, n in kept_trace.items():
+        assert n == per_trace[tid]
+    # rate lands near permille/1000 at the trace level
+    rate = len(kept_trace) / len(per_trace)
+    assert 0.1 < rate < 0.3
+    # degenerate thresholds
+    assert head_sample(spans, 0).count() == 0
+    assert head_sample(spans, 1000).count() == len(allsp)
+
+
+def test_head_sample_validates_permille():
+    import pytest
+
+    from opentelemetry_collector_ray.stages.spanops import head_sample
+
+    with pytest.raises(ValueError, match="permille"):
+        head_sample(None, -1)
+    with pytest.raises(ValueError, match="permille"):
+        head_sample(None, 1001)
