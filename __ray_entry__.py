@@ -6105,6 +6105,67 @@ def _q_spans_head_sampled(sf_dir: str):
     return head_sample(_spans(sf_dir), 200)
 
 
+def _q_events_user_coverage(sf_dir: str):
+    """Per-user active-time coverage: each event opens a 5-minute
+    activity interval; merged per user (stages/intervals.py
+    merge_intervals — associative per-block pre-merge, one bucket
+    exchange), then one grouped rollup: how many distinct activity
+    periods and how much total covered wall time each user has. The
+    per-key aggregate ON TOP of the gaps-and-islands chain (the busy-
+    periods gate checks the periods themselves). Oracle = SQL island
+    chain + per-user SUM of merged lengths."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.intervals import (
+        merge_intervals)
+
+    WIN_US = 300_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "s": s,
+                         "e": pc.add(s, pa.scalar(WIN_US, pa.int64()))})
+
+    pre = _read_co(sf_dir, "events", ["user_id", "ts"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    merged = merge_intervals(pre, "user_id", "s", "e")
+
+    def lengths(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "len_us": pc.subtract(t.column("merged_end"),
+                                  t.column("merged_start"))})
+
+    per = merged.map_batches(lengths, batch_format="pyarrow")
+    return grouped_count(per, ["user_id"], count_name="n_periods",
+                         sum_cols={"covered_us": "len_us"},
+                         strategy="bucket")
+
+
+def _q_events_alert_hysteresis(sf_dir: str):
+    """Threshold alerting with hysteresis (stages/metricsops.py::
+    hysteresis_alerts — the alertmanager firing/cleared state machine):
+    per user in (ts, event_id) order, spend above 8000 cents fires,
+    below 3500 clears, the dead band carries state (no flapping).
+    The recurrence is LOCF over definitive signals, so one segment-
+    lifted maximum.accumulate per bucket computes every user's alert
+    state at once; per user: rows, firing rows, distinct episodes.
+    Oracle = last_value(sig IGNORE NULLS) window + lag edge count."""
+    from opentelemetry_collector_ray.stages.metricsops import (
+        hysteresis_alerts)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "event_id": t.column("event_id"),
+                         "cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return hysteresis_alerts(ds, "user_id", ["ts_us", "event_id"],
+                             "cents", high=8000, low=3500)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6259,6 +6320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_arrivals": _q_events_late_arrivals,
         "turns_oov_rate": _q_turns_oov_rate,
         "spans_head_sampled": _q_spans_head_sampled,
+        "events_user_coverage": _q_events_user_coverage,
+        "events_alert_hysteresis": _q_events_alert_hysteresis,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6601,6 +6664,54 @@ SELECT t.conv_id, t.turn_idx,
        CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov
 FROM turns t LEFT JOIN per USING (conv_id, turn_idx)
+""",
+        "events_user_coverage": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM w),
+per AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me
+  FROM isl GROUP BY user_id, island)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
+       CAST(sum(me - ms) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id
+""",
+        "events_alert_hysteresis": """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 8000 THEN 1
+              WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) < 3500 THEN 0
+         END AS sig
+  FROM events),
+a AS (
+  SELECT user_id, ts, event_id,
+         coalesce(last_value(sig IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS alert
+  FROM s),
+l AS (
+  SELECT user_id, alert,
+         coalesce(lag(alert) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id), 0) AS prev
+  FROM a)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(alert) AS BIGINT) AS n_firing,
+       CAST(count(*) FILTER (WHERE alert = 1 AND prev = 0) AS BIGINT)
+         AS n_alerts
+FROM l GROUP BY user_id
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -933,6 +933,21 @@ def _register_builtins() -> None:
             text_col=cfg.get("text_col", "text"),
             persist=cfg.get("persist", "none")))
 
+    def make_hysteresis(cfg: dict):
+        from .stages.metricsops import hysteresis_alerts
+
+        for req in ("key", "order_by", "value"):
+            if not cfg.get(req):
+                raise ConfigError(f"hysteresis_alerts: {req} is required")
+        if "high" not in cfg or "low" not in cfg:
+            raise ConfigError("hysteresis_alerts: high and low are required")
+        order = cfg["order_by"]
+        if isinstance(order, str):
+            order = [order]
+        return DatasetTransform(lambda ds: hysteresis_alerts(
+            ds, cfg["key"], list(order), cfg["value"],
+            high=int(cfg["high"]), low=int(cfg["low"])))
+
     def make_oov_stats(cfg: dict):
         from .stages.corpusstats import TOKEN_SPLIT_RE, oov_stats
 
@@ -1337,6 +1352,7 @@ def _register_builtins() -> None:
     register("cardinality_cap", Factory("processor", make_cardinality_cap))
     register("late_arrivals", Factory("processor", make_late_arrivals))
     register("oov_stats", Factory("processor", make_oov_stats))
+    register("hysteresis_alerts", Factory("processor", make_hysteresis))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))

@@ -282,3 +282,80 @@ def cusum_scores(ds, key: str, order_by: list[str], value_col: str, *,
         return t.append_column("cusum", pa.array(s.astype(np.int64)))
 
     return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def hysteresis_alerts(ds, key: str, order_by: list[str], value_col: str,
+                      *, high: int, low: int,
+                      n_buckets="auto"):
+    """Per-key threshold alerting WITH HYSTERESIS — the alertmanager
+    firing/cleared state machine, batch-exact: within each key's stream
+    a value above ``high`` fires the alert, below ``low`` clears it,
+    and anything in the dead band carries the previous state forward
+    (that carry is what stops a series hovering at one threshold from
+    flapping). The recurrence is exactly LOCF over the definitive
+    signals (1 above high, 0 below low, null in the band; initial
+    state cleared), so the whole per-key scan is one segment-lifted
+    ``maximum.accumulate`` — and the SQL mirror is
+    ``last_value(sig IGNORE NULLS) OVER (... ROWS UNBOUNDED
+    PRECEDING)`` + ``lag`` for the edges.
+
+    Emits one row per key: ``n_rows``, ``n_firing`` (rows in the
+    firing state) and ``n_alerts`` (rising edges — distinct alert
+    episodes). All integer. Keys unbounded (bucket idiom)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if int(low) > int(high):
+        raise ValueError(
+            f"hysteresis_alerts: low={low} must be <= high={high}")
+    sort_spec = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_by]
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        for c in [key, value_col, *order_by]:
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"hysteresis_alerts: column {c!r} has nulls — SQL "
+                    "window ordering over nulls would silently diverge")
+        t = t.sort_by(sort_spec)
+        x = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(x.dtype, np.integer):
+            raise TypeError(
+                f"hysteresis_alerts: {value_col!r} must be an integer "
+                f"column, got {x.dtype} (scale to cents first)")
+        n = len(x)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys)
+        if n == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({key: t.column(key), "n_rows": empty,
+                             "n_firing": empty, "n_alerts": empty})
+        sig = np.where(x > int(high), 1,
+                       np.where(x < int(low), 0, -1)).astype(np.int64)
+        valid = sig >= 0
+        pos = np.arange(n, dtype=np.int64)
+        seg_id = np.cumsum(change) - 1
+        # LOCF via lifted cummax over last-definitive positions;
+        # rows before a segment's first definitive signal stay cleared
+        comp = seg_id * (n + 1) + np.where(valid, pos + 1, 0)
+        acc = np.maximum.accumulate(comp)
+        last_pos = acc - seg_id * (n + 1) - 1
+        alert = np.where(last_pos < 0, 0,
+                         sig[np.clip(last_pos, 0, None)])
+        prev = np.empty(n, np.int64)
+        prev[0] = 0
+        prev[1:] = alert[:-1]
+        prev[change] = 0  # a new key starts cleared
+        rising = (alert == 1) & (prev == 0)
+        starts = np.flatnonzero(change)
+        return pa.table({
+            key: t.column(key).take(pa.array(starts)),
+            "n_rows": pa.array(np.diff(np.append(starts, n))
+                               .astype(np.int64)),
+            "n_firing": pa.array(np.add.reduceat(alert, starts)),
+            "n_alerts": pa.array(np.add.reduceat(
+                rising.astype(np.int64), starts))})
+
+    return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)

@@ -464,3 +464,84 @@ def test_weighted_quantiles_key_collision_guard(ray_session):
     with pytest.raises(ValueError, match="collides"):
         grouped_weighted_quantiles(ray.data.from_arrow(t), "p1_2_w",
                                    "v", "w", qs=((1, 2),))
+
+
+def test_hysteresis_alerts_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import (
+        hysteresis_alerts)
+
+    # high=10, low=5. Stream u:
+    #   3 (clear) 12 (fire) 7 (band->carry firing) 11 (still firing)
+    #   4 (clear) 8 (band->carry cleared) 15 (fire again) = 2 episodes,
+    #   4 firing rows. The two band rows prove hysteresis: a plain
+    #   threshold would flap on them.
+    vals = [3, 12, 7, 11, 4, 8, 15]
+    rows = [{"k": "u", "i": i, "v": v} for i, v in enumerate(vals)]
+    # stream w starts in the band: stays cleared until a definitive fire
+    rows += [{"k": "w", "i": 0, "v": 7}, {"k": "w", "i": 1, "v": 11}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = hysteresis_alerts(ds, "k", ["i"], "v", high=10, low=5) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    u = out[out.k == "u"].iloc[0]
+    assert (u.n_rows, u.n_firing, u.n_alerts) == (7, 4, 2)
+    w = out[out.k == "w"].iloc[0]
+    assert (w.n_rows, w.n_firing, w.n_alerts) == (2, 1, 1)
+
+
+def test_hysteresis_alerts_guards(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.metricsops import (
+        hysteresis_alerts)
+
+    with pytest.raises(ValueError, match="low"):
+        hysteresis_alerts(None, "k", ["i"], "v", high=5, low=10)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"k": "u", "i": 0, "v": 1.5}]))
+    with pytest.raises(Exception, match="integer"):
+        hysteresis_alerts(ds, "k", ["i"], "v",
+                          high=10, low=5).materialize()
+    ds2 = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"k": "u", "i": 0, "v": None}, {"k": "u", "i": 1, "v": 3}]))
+    with pytest.raises(Exception, match="nulls"):
+        hysteresis_alerts(ds2, "k", ["i"], "v",
+                          high=10, low=5).materialize()
+
+
+def test_hysteresis_alerts_yaml_parity(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.metricsops import (
+        hysteresis_alerts)
+
+    rows = [{"k": "u", "i": i, "v": v}
+            for i, v in enumerate([3, 12, 7, 4, 15])]
+    p = tmp_path / "h.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"hysteresis_alerts": {
+            "key": "k", "order_by": "i", "value": "v",
+            "high": 10, "low": 5}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["hysteresis_alerts"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    want = hysteresis_alerts(ray.data.read_parquet(str(p)), "k", ["i"],
+                             "v", high=10, low=5).to_pandas()
+    pd.testing.assert_frame_equal(y, want, check_dtype=False)
