@@ -6166,6 +6166,58 @@ def _q_events_alert_hysteresis(sf_dir: str):
                              "cents", high=8000, low=3500)
 
 
+def _q_events_rank_movers(sf_dir: str):
+    """Day-over-day rank movers — the trending-dashboard composition:
+    per-day event-type leaderboard (counts → grouped_topk row_number
+    rank, count DESC / type ASC total order), self-joined to the
+    previous day on (type, day-1) through the bucket exchange, emitting
+    each type's rank delta. Composes three existing operators (tree
+    grouped count, top-k rank, composite-key shuffle join); oracle =
+    window row_number + dated self-join."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count, grouped_topk)
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        day_us = pc.floor_temporal(t.column("ts"), unit="day") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"day_us": day_us,
+                         "event_type": t.column("event_type")})
+
+    ds = _read_co(sf_dir, "events", ["ts", "event_type"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    counts = grouped_count(ds, ["day_us", "event_type"],
+                           count_name="n", strategy="tree")
+    ranked = grouped_topk(counts, "day_us", "n", k=1_000_000,
+                          tiebreak="event_type", rank_name="rk")
+
+    def mk_prev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "prev_day_us": pc.add(t.column("day_us"),
+                                  pa.scalar(DAY_US, pa.int64())),
+            "prev_rk": t.column("rk")})
+
+    prev = ranked.map_batches(mk_prev, batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        ranked, prev, key=["event_type", "day_us"],
+        right_key=["event_type", "prev_day_us"], how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("day_us").cast(pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        return pa.table({"day": day,
+                         "event_type": t.column("event_type"),
+                         "n": t.column("n"), "rk": t.column("rk"),
+                         "prev_rk": t.column("prev_rk"),
+                         "rank_delta": pc.subtract(t.column("prev_rk"),
+                                                   t.column("rk"))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6322,6 +6374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_head_sampled": _q_spans_head_sampled,
         "events_user_coverage": _q_events_user_coverage,
         "events_alert_hysteresis": _q_events_alert_hysteresis,
+        "events_rank_movers": _q_events_rank_movers,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6712,6 +6765,21 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) FILTER (WHERE alert = 1 AND prev = 0) AS BIGINT)
          AS n_alerts
 FROM l GROUP BY user_id
+""",
+        "events_rank_movers": """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day, event_type),
+r AS (
+  SELECT day, event_type, n,
+         CAST(row_number() OVER (PARTITION BY day
+              ORDER BY n DESC, event_type) AS BIGINT) AS rk
+  FROM c)
+SELECT a.day, a.event_type, a.n, a.rk, b.rk AS prev_rk,
+       b.rk - a.rk AS rank_delta
+FROM r a JOIN r b ON a.event_type = b.event_type
+  AND b.day = strftime(CAST(a.day AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d')
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
