@@ -6218,6 +6218,31 @@ def _q_events_rank_movers(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_t_closeness(sf_dir: str):
+    """t-closeness audit (stages/privacy.py::t_closeness — the third
+    rung of the release ladder after k-anonymity/l-diversity): per
+    (event_type # day-of-week) quasi group, the Wasserstein-1 distance
+    between the group's spend-band distribution and the corpus's, as
+    the exact integer lane w1_num = sum |N*cumG - n_g*cumA| * dv over
+    the corpus grid (W1 = w1_num / (n_g*N); suppress when w1_num*den >
+    num*n_g*N — no floats). One shuffle-partial (group, band) count,
+    bounded grid broadcast, dense scatter + axis cumsum per bucket.
+    Oracle = CROSS JOIN grid + per-group running sums."""
+    from opentelemetry_collector_ray.stages.privacy import t_closeness
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow = pc.strftime(t.column("ts"), format="%w")
+        grp = pc.binary_join_element_wise(
+            t.column("event_type"), dow, "#")
+        band = pc.divide(_cents(t.column("value")),
+                         pa.scalar(2000, pa.int64()))
+        return pa.table({"grp": grp, "band": band})
+
+    ds = _read_co(sf_dir, "events", ["ts", "event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return t_closeness(ds, "grp", "band")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6375,6 +6400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_coverage": _q_events_user_coverage,
         "events_alert_hysteresis": _q_events_alert_hysteresis,
         "events_rank_movers": _q_events_rank_movers,
+        "events_t_closeness": _q_events_t_closeness,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6780,6 +6806,35 @@ SELECT a.day, a.event_type, a.n, a.rk, b.rk AS prev_rk,
        b.rk - a.rk AS rank_delta
 FROM r a JOIN r b ON a.event_type = b.event_type
   AND b.day = strftime(CAST(a.day AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d')
+""",
+        "events_t_closeness": """
+WITH src AS (
+  SELECT event_type || '#' || strftime(ts, '%w') AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 2000 AS band
+  FROM events),
+g AS (SELECT grp, band, CAST(count(*) AS BIGINT) AS c
+      FROM src GROUP BY grp, band),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+agrid AS (SELECT band, CAST(sum(c) AS BIGINT) AS cb
+          FROM g GROUP BY band),
+grid AS (
+  SELECT band, CAST(sum(cb) OVER (ORDER BY band) AS BIGINT) AS cuma,
+         lead(band) OVER (ORDER BY band) AS nxt
+  FROM agrid),
+gn AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g FROM g GROUP BY grp),
+cg AS (
+  SELECT q.grp, q.n_g, r.band, r.cuma, r.nxt,
+         CAST(coalesce(sum(g.c) OVER (
+             PARTITION BY q.grp ORDER BY r.band
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS BIGINT) AS cumg
+  FROM gn q CROSS JOIN grid r
+  LEFT JOIN g ON g.grp = q.grp AND g.band = r.band)
+SELECT grp, n_g, (SELECT n FROM tot) AS n_total,
+       CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                ELSE abs((SELECT n FROM tot) * cumg - n_g * cuma)
+                     * (nxt - band) END) AS BIGINT) AS w1_num
+FROM cg GROUP BY grp, n_g
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -933,6 +933,16 @@ def _register_builtins() -> None:
             text_col=cfg.get("text_col", "text"),
             persist=cfg.get("persist", "none")))
 
+    def make_t_closeness(cfg: dict):
+        from .stages.privacy import t_closeness
+
+        for req in ("group", "sensitive"):
+            if not cfg.get(req):
+                raise ConfigError(f"t_closeness: {req} is required")
+        return DatasetTransform(lambda ds: t_closeness(
+            ds, cfg["group"], cfg["sensitive"],
+            max_grid=int(cfg.get("max_grid", 10_000))))
+
     def make_hysteresis(cfg: dict):
         from .stages.metricsops import hysteresis_alerts
 
@@ -1353,6 +1363,7 @@ def _register_builtins() -> None:
     register("late_arrivals", Factory("processor", make_late_arrivals))
     register("oov_stats", Factory("processor", make_oov_stats))
     register("hysteresis_alerts", Factory("processor", make_hysteresis))
+    register("t_closeness", Factory("processor", make_t_closeness))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))

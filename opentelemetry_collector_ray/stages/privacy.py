@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-__all__ = ["k_anonymize", "dp_count_release"]
+__all__ = ["k_anonymize", "dp_count_release", "t_closeness"]
 
 
 def k_anonymize(ds: ray.data.Dataset, quasi_cols: list[str], k: int, *,
@@ -125,6 +125,132 @@ def k_anonymize(ds: ray.data.Dataset, quasi_cols: list[str], k: int, *,
         return checked.map_batches(keep, batch_format="pyarrow")
     return shuffle_hash_join(checked, ok, key=quasi, how="semi",
                              n_buckets=n_buckets)
+
+
+def t_closeness(ds: ray.data.Dataset, group_col: str, sensitive_col: str,
+                *, max_grid: int = 10_000, n_buckets: int | str = "auto"
+                ) -> ray.data.Dataset:
+    """t-closeness audit (Li et al. 2007) — the third rung of the
+    release ladder after :func:`k_anonymize`'s suppression/l-diversity
+    and before :func:`dp_count_release`: a quasi-identifier group leaks
+    when its SENSITIVE-VALUE DISTRIBUTION sits far from the corpus
+    distribution, even if the group is large and diverse. Distance is
+    Wasserstein-1 over the ordered sensitive domain (the metric the
+    paper recommends for numeric attributes), emitted as EXACT integer
+    lanes: per group ``w1_num = Σ_i |N·cumG(v_i) − n_g·cumA(v_i)|·Δv_i``
+    over the corpus's sorted distinct sensitive values, so
+    ``W1 = w1_num / (n_g·N)`` and the release rule "suppress when
+    W1 > t = num/den" is the integer inequality
+    ``w1_num·den > num·n_g·N`` — no floats anywhere, the drift panel's
+    W1 lane discipline applied per group.
+
+    Output: one row per group — ``group_col``, ``n_g`` (group size),
+    ``n_total`` (corpus size, constant), ``w1_num``.
+
+    ``sensitive_col`` must be integer (band/bucket it first — cents,
+    deciles; the value domain is the grid and is ``count()``-guarded by
+    ``max_grid`` BEFORE the driver pull). Groups are unbounded: the
+    (group, value) count rows ride one shuffle-partial grouped count,
+    then one hash-bucket exchange by group; inside a bucket every
+    group's cum-curve evaluates at once on a dense (groups × grid)
+    scatter + axis cumsum — no Python per group. Magnitude is guarded
+    loudly: ``N · max(n_g) · value-range`` must fit int64 (at 10^12
+    rows, band the domain and audit per partition instead)."""
+    import ray
+
+    from .aggregate import grouped_count
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def check(t: pa.Table) -> pa.Table:
+        for c in (group_col, sensitive_col):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"t_closeness: column {c!r} has nulls — SQL groups "
+                    "nulls, the exchange would drop them; fill or drop "
+                    "nulls first")
+        st = t.column(sensitive_col)
+        if not pa.types.is_integer(st.type):
+            raise TypeError(
+                f"t_closeness: {sensitive_col!r} must be integer "
+                f"(got {st.type}); band the domain first")
+        return t
+
+    checked = ds.select_columns([group_col, sensitive_col]).map_batches(
+        check, batch_format="pyarrow")
+    gv = grouped_count(checked, [group_col, sensitive_col],
+                       count_name="_c", strategy="shuffle").materialize()
+    # corpus grid: global per-value counts — bounded by the (banded)
+    # value domain, guarded BEFORE the pull
+    grid_ds = grouped_count(
+        gv.select_columns([sensitive_col, "_c"]),
+        [sensitive_col], count_name="_n", sum_cols={"_ca": "_c"},
+        strategy="shuffle").materialize()
+    m = grid_ds.count()
+    if m > int(max_grid):
+        raise ValueError(
+            f"t_closeness: {m:,} distinct sensitive values exceed "
+            f"max_grid={int(max_grid):,} — band the domain first")
+    parts = [ray.get(r) for r in grid_ds.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    if parts:
+        gt = pa.concat_tables(parts).sort_by(
+            [(sensitive_col, "ascending")])
+        grid = gt.column(sensitive_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum_a = np.cumsum(gt.column("_ca").to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+    else:
+        grid = np.zeros(0, np.int64)
+        cum_a = np.zeros(0, np.int64)
+    n_total = int(cum_a[-1]) if len(cum_a) else 0
+    dv = np.zeros(len(grid), np.int64)
+    if len(grid) > 1:
+        dv[:-1] = np.diff(grid)
+    # loud int64 magnitude guard: the largest |N·cumG − n_g·cumA| is
+    # ≤ N·n_g ≤ N²; summed over the grid it is bounded by N²·range
+    rng = int(grid[-1] - grid[0]) if len(grid) > 1 else 1
+    if n_total and rng and n_total > (2 ** 62) // max(n_total * rng, 1):
+        raise ValueError(
+            "t_closeness: w1_num would overflow int64 "
+            f"(N={n_total:,} × range={rng:,}); band the sensitive "
+            "domain or audit per partition")
+    ref = ray.put((grid, cum_a, dv, n_total))
+
+    def audit(t: pa.Table) -> pa.Table:
+        grid_v, cumA, dv_v, N = ray.get(ref)
+        if t.num_rows == 0 or len(grid_v) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({group_col: t.column(group_col).slice(0, 0),
+                             "n_g": e, "n_total": e, "w1_num": e})
+        t = t.sort_by([(group_col, "ascending"),
+                       (sensitive_col, "ascending")])
+        keys = t.column(group_col).to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys)
+        starts = np.flatnonzero(change)
+        g_of_row = np.cumsum(change) - 1
+        n_groups = len(starts)
+        mm = len(grid_v)
+        if n_groups * mm > 100_000_000:
+            raise ValueError(
+                f"t_closeness: {n_groups:,} groups × {mm:,} grid values "
+                "in one bucket task — raise n_buckets or band harder")
+        vals = t.column(sensitive_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnts = t.column("_c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        col = np.searchsorted(grid_v, vals)  # exact: vals ⊆ grid
+        dense = np.zeros((n_groups, mm), np.int64)
+        dense[g_of_row, col] = cnts
+        cum_g = np.cumsum(dense, axis=1)
+        n_g = cum_g[:, -1]
+        w1 = np.abs(N * cum_g - n_g[:, None] * cumA[None, :]) @ dv_v
+        return pa.table({
+            group_col: t.column(group_col).take(pa.array(starts)),
+            "n_g": pa.array(n_g),
+            "n_total": pa.array(np.full(n_groups, N, np.int64)),
+            "w1_num": pa.array(w1.astype(np.int64))})
+
+    return bucketed_map_groups(gv, group_col, audit, n_buckets=n_buckets)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:

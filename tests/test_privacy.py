@@ -207,3 +207,112 @@ def test_broadcast_mode_group_guard(ray_session):
                     max_broadcast_groups=5).materialize()
     with pytest.raises(ValueError, match="mode"):
         k_anonymize(ds, ["zip3"], 2, mode="nope")
+
+
+def _tc_ds(rows):
+    import pyarrow as pa
+
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+
+
+def test_t_closeness_planted(ray_session):
+    from opentelemetry_collector_ray.stages.privacy import t_closeness
+
+    # corpus: a = {0,0,10,10}, b = {0,0,0,0} -> N=8, grid [0,10],
+    # cumA = [6, 8], dv = [10, 0].
+    #   a: cumG=[2,4], n_g=4 -> |8*2 - 4*6|*10 = 80
+    #   b: cumG=[4,4], n_g=4 -> |8*4 - 4*6|*10 = 80
+    # (both sit 0.25 mass away from the 75/25 corpus mix, from
+    # opposite sides — symmetric by construction)
+    rows = ([{"g": "a", "v": 0}] * 2 + [{"g": "a", "v": 10}] * 2
+            + [{"g": "b", "v": 0}] * 4)
+    out = t_closeness(_tc_ds(rows), "g", "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(out.g) == ["a", "b"]
+    assert list(out.n_g) == [4, 4]
+    assert list(out.n_total) == [8, 8]
+    assert list(out.w1_num) == [80, 80]
+    # threshold rule: suppress when W1 > t -> w1_num > t*n_g*N;
+    # W1 here = 80/32 = 2.5 units: t=2 suppresses both, t=3 keeps both
+    assert (out.w1_num > 2 * out.n_g * out.n_total).all()
+    assert not (out.w1_num > 3 * out.n_g * out.n_total).any()
+
+
+def test_t_closeness_whole_corpus_group_is_zero(ray_session):
+    from opentelemetry_collector_ray.stages.privacy import t_closeness
+
+    rows = [{"g": "only", "v": v} for v in (1, 5, 5, 9, 9, 9)]
+    out = t_closeness(_tc_ds(rows), "g", "v").to_pandas()
+    # a group that IS the corpus is at distance zero by identity
+    assert list(out.w1_num) == [0]
+    assert list(out.n_g) == [6] and list(out.n_total) == [6]
+
+
+def test_t_closeness_matches_scipy_style_reference(ray_session):
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.privacy import t_closeness
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 20, 400)
+    grps = rng.choice(["x", "y", "z"], 400)
+    rows = [{"g": g, "v": int(v)} for g, v in zip(grps, vals)]
+    out = t_closeness(_tc_ds(rows), "g", "v").to_pandas() \
+        .set_index("g")
+    grid = np.unique(vals)
+    dv = np.append(np.diff(grid), 0)
+    N = len(vals)
+    cuma = np.cumsum([np.sum(vals == u) for u in grid])
+    for g in "xyz":
+        gv = vals[grps == g]
+        cumg = np.cumsum([np.sum(gv == u) for u in grid])
+        w1 = int(np.sum(np.abs(N * cumg - len(gv) * cuma) * dv))
+        assert out.loc[g, "w1_num"] == w1
+        assert out.loc[g, "n_g"] == len(gv)
+
+
+def test_t_closeness_guards(ray_session):
+    import pytest
+
+    from opentelemetry_collector_ray.stages.privacy import t_closeness
+
+    with pytest.raises(Exception, match="integer"):
+        t_closeness(_tc_ds([{"g": "a", "v": 1.5}]), "g",
+                    "v").materialize()
+    with pytest.raises(Exception, match="nulls"):
+        t_closeness(_tc_ds([{"g": "a", "v": None},
+                            {"g": "a", "v": 1}]), "g", "v").materialize()
+    with pytest.raises(ValueError, match="max_grid"):
+        t_closeness(_tc_ds([{"g": "a", "v": i} for i in range(50)]),
+                    "g", "v", max_grid=10)
+
+
+def test_t_closeness_yaml_parity(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.privacy import t_closeness
+
+    rows = ([{"g": "a", "v": 0}] * 2 + [{"g": "a", "v": 10}] * 2
+            + [{"g": "b", "v": 0}] * 4)
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    y = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"t_closeness": {"group": "g", "sensitive": "v"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": ["t_closeness"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("g").reset_index(drop=True)
+    want = t_closeness(ray.data.read_parquet(str(p)), "g",
+                       "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(y, want, check_dtype=False)
