@@ -6243,6 +6243,18 @@ def _q_events_t_closeness(sf_dir: str):
     return t_closeness(ds, "grp", "band")
 
 
+def _q_spans_apdex(sf_dir: str):
+    """Apdex score per service (stages/spanops.py::apdex — the APM
+    dashboard index over the spanmetrics-connector stream): satisfied
+    <= 30 ms, tolerating <= 120 ms, apdex_permille = (2*sat+tol)*500
+    // total as exact integers beside the raw counts. One indicator-
+    lane map + the bounded-key tree aggregate. Oracle = FILTER counts
+    + the same truncating integer division."""
+    from opentelemetry_collector_ray.stages.spanops import apdex
+
+    return apdex(_spans(sf_dir), 30_000)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6401,6 +6413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_alert_hysteresis": _q_events_alert_hysteresis,
         "events_rank_movers": _q_events_rank_movers,
         "events_t_closeness": _q_events_t_closeness,
+        "spans_apdex": _q_spans_apdex,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8290,6 +8303,20 @@ SELECT * FROM spans WHERE trace_id IN
 WITH {SPANS_CTE.strip()}
 SELECT * FROM spans
 WHERE ('0x' || substr(md5(trace_id), 1, 12))::UBIGINT % 1000 < 200
+""",
+        "spans_apdex": f"""
+WITH {SPANS_CTE.strip()}
+SELECT service, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE duration_us <= 30000) AS BIGINT)
+         AS n_satisfied,
+       CAST(count(*) FILTER (WHERE duration_us > 30000
+                               AND duration_us <= 120000) AS BIGINT)
+         AS n_tolerating,
+       CAST((2 * count(*) FILTER (WHERE duration_us <= 30000)
+             + count(*) FILTER (WHERE duration_us > 30000
+                                  AND duration_us <= 120000)) * 500
+            // count(*) AS BIGINT) AS apdex_permille
+FROM spans GROUP BY service
 """,
         "turns_count_connector": f"""
 {with_turns}

@@ -154,7 +154,16 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "orders_scd2_asof", "parts_bfs_depth",
              "lineitem_weighted_p90", "events_ks_drift",
              "events_survival", "events_lag_xcorr",
-             "events_log_dedup", "events_type_drift"]
+             "events_log_dedup", "events_type_drift",
+             # round-5 drift-panel-session additions
+             "events_chi2_drift", "orders_benford",
+             "events_rolling_users", "parts_assoc_rules",
+             "turns_templates",
+             # round-5 sixth-session additions
+             "events_cardinality_cap", "events_late_arrivals",
+             "turns_oov_rate", "spans_head_sampled",
+             "events_user_coverage", "events_alert_hysteresis",
+             "events_rank_movers", "events_t_closeness"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -553,6 +553,47 @@ def head_sample(spans: ray.data.Dataset, permille: int,
     return spans.map_batches(keep, batch_format="pyarrow")
 
 
+def apdex(spans: ray.data.Dataset, t_us: int, *, key: str = "service",
+          duration_col: str = "duration_us") -> ray.data.Dataset:
+    """Apdex score (the Application Performance Index standard the APM
+    dashboards the spanmetrics connector feeds all compute): per key,
+    satisfied = duration ≤ T, tolerating = T < duration ≤ 4T, and
+    ``apdex = (satisfied + tolerating/2) / total``. Emitted as exact
+    integers — ``apdex_permille = (2·sat + tol)·500 // total``
+    (truncation, mirroring SQL ``//``) beside the raw counts, so the
+    gate never touches a float.
+
+    Scale shape: one map pass turns duration into two 0/1 indicator
+    lanes, then the bounded-key two-phase tree aggregate — the
+    north-star counting shape; nothing but (key, 3 ints) rows move."""
+    if t_us <= 0:
+        raise ValueError("apdex: t_us must be positive")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        d = t.column(duration_col)
+        sat = pc.cast(pc.less_equal(d, t_us), pa.int64())
+        tol = pc.cast(pc.and_(pc.greater(d, t_us),
+                              pc.less_equal(d, 4 * t_us)), pa.int64())
+        return pa.table({key: t.column(key), "_sat": sat, "_tol": tol})
+
+    counts = grouped_count(
+        spans.map_batches(lanes, batch_format="pyarrow"), [key],
+        count_name="n", sum_cols={"n_satisfied": "_sat",
+                                  "n_tolerating": "_tol"},
+        strategy="tree")
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sat = t.column("n_satisfied").to_numpy(zero_copy_only=False)
+        tol = t.column("n_tolerating").to_numpy(zero_copy_only=False)
+        permille = np.zeros(len(n), np.int64)
+        nz = n > 0
+        permille[nz] = (2 * sat[nz] + tol[nz]) * 500 // n[nz]
+        return t.append_column("apdex_permille", pa.array(permille))
+
+    return counts.map_batches(score, batch_format="pyarrow")
+
+
 def span_depth(spans: ray.data.Dataset, n_buckets: int = 64
                ) -> ray.data.Dataset:
     """Tree depth of every span — the flame-level coordinate: number of

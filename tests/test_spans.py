@@ -64,3 +64,31 @@ def test_head_sample_validates_permille():
         head_sample(None, -1)
     with pytest.raises(ValueError, match="permille"):
         head_sample(None, 1001)
+
+
+def test_apdex_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.spanops import apdex
+
+    # T=100: a = [50 sat, 150 tol, 500 frustrated] -> (2+1)*500//3 = 500
+    #        b = [100 sat, 400 tol] -> (2+1)*500//2 = 750
+    rows = [{"service": "a", "duration_us": d} for d in (50, 150, 500)]
+    rows += [{"service": "b", "duration_us": d} for d in (100, 400)]
+    out = apdex(ray.data.from_arrow(pa.Table.from_pylist(rows)), 100) \
+        .to_pandas().sort_values("service").reset_index(drop=True)
+    assert list(out.n) == [3, 2]
+    assert list(out.n_satisfied) == [1, 1]
+    assert list(out.n_tolerating) == [1, 1]
+    assert list(out.apdex_permille) == [500, 750]
+
+
+def test_apdex_validates_t():
+    import pytest
+
+    from opentelemetry_collector_ray.stages.spanops import apdex
+
+    with pytest.raises(ValueError, match="t_us"):
+        apdex(None, 0)

@@ -545,3 +545,27 @@ def test_hysteresis_alerts_yaml_parity(ray_session, tmp_path):
     want = hysteresis_alerts(ray.data.read_parquet(str(p)), "k", ["i"],
                              "v", high=10, low=5).to_pandas()
     pd.testing.assert_frame_equal(y, want, check_dtype=False)
+
+
+def test_alerting_example_yaml(ray_session, tmp_path, monkeypatch):
+    """examples/alerting_pipeline.yaml end to end: parquet receiver →
+    hysteresis state machine over a planted flapping series."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rows = [{"series": "cpu", "ts_us": i, "value_scaled": v}
+            for i, v in enumerate([1000, 9000, 5000, 2000, 9500])]
+    p = tmp_path / "m.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    monkeypatch.setenv("METRICS_PATH", str(p))
+    from pathlib import Path
+
+    yml = Path(__file__).resolve().parent.parent / "examples" \
+        / "alerting_pipeline.yaml"
+    out = build_dataset(PipelineConfig.from_yaml(str(yml))).to_pandas()
+    row = out.iloc[0]
+    # fire at 9000, band-carry at 5000, clear at 2000, fire at 9500
+    assert (row.n_rows, row.n_firing, row.n_alerts) == (5, 3, 2)
