@@ -6255,6 +6255,86 @@ def _q_spans_apdex(sf_dir: str):
     return apdex(_spans(sf_dir), 30_000)
 
 
+def _q_events_delta_rate(sf_dir: str):
+    """Delta→rate conversion (stages/temporal.py::delta_to_rate — the
+    deltatorate processor analog): each user's spend delta becomes
+    cents-per-second, exactly — value*1e6 // Δt_us with SQL-matching
+    truncation (non-negative deltas validated loudly); a series' first
+    point gets NULL, mirroring the reference dropping it. One bucket
+    exchange. Oracle = lag() window + the same integer division."""
+    from opentelemetry_collector_ray.stages.temporal import delta_to_rate
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "cents": _cents(t.column("value"))})
+
+    ds = _read_co(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    out = delta_to_rate(ds, "user_id", "ts_us", "cents", "ts_us")
+    return out.select_columns(["user_id", "event_id", "rate_scaled"])
+
+
+def _q_spans_traceparent(sf_dir: str):
+    """W3C traceparent propagation parse (functions/tracectx.py::
+    parse_traceparent): headers synthesized from the span stream
+    (version 00, md5 trace hex, span id, sampled = error status),
+    ~1/16 deterministically corrupted; the parser's spec rules (shape
+    regex, version != ff, non-zero ids) null out malformed rows, and
+    the rollup counts version × sampled × parsed-or-not. One map pass
+    (regex + fixed slices) + bounded tree aggregate. Oracle = same
+    synth + substr/CASE rules."""
+    from opentelemetry_collector_ray.functions.text import md5_hex
+    from opentelemetry_collector_ray.functions.tracectx import (
+        parse_traceparent)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        trace_hex = md5_hex(t.column("trace_id"))
+        flags = pc.if_else(pc.equal(t.column("status_code"), 2),
+                           "01", "00")
+        tp = pc.binary_join_element_wise(
+            pa.array(["00"] * t.num_rows), trace_hex,
+            t.column("span_id").combine_chunks()
+            if isinstance(t.column("span_id"), pa.ChunkedArray)
+            else t.column("span_id"), flags, "-")
+        corrupt = pc.equal(pc.utf8_slice_codeunits(
+            md5_hex(t.column("span_id")), 0, 1), "0")
+        tp = pc.if_else(corrupt, "garbage", tp)
+        parsed = parse_traceparent(tp)
+        return pa.table({"tp_version": parsed["tp_version"],
+                         "tp_sampled": parsed["tp_sampled"]})
+
+    pre = _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return grouped_count(pre, ["tp_version", "tp_sampled"],
+                         count_name="n", strategy="tree")
+
+
+def _q_events_syslog_pri(sf_dir: str):
+    """Syslog PRI decode (functions/severity.py::decode_syslog_pri —
+    the syslog receiver's RFC 5424 §6.2.1 ingest rule): PRI = facility*8
+    + severity, mapped onto the plog severity bands; out-of-range PRI
+    (192-199 planted via event_id % 200) nulls all three fields — the
+    record survives, the priority doesn't. Pure integer lanes + the
+    bounded tree aggregate. Oracle = // and % + a CASE band map."""
+    from opentelemetry_collector_ray.functions.severity import (
+        decode_syslog_pri)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        d = decode_syslog_pri(pa.array(eid % 200, pa.int64()))
+        return pa.table(d)
+
+    pre = _read_co(sf_dir, "events", ["event_id"], floor=8) \
+        .map_batches(prep, batch_format="pyarrow")
+    return grouped_count(
+        pre, ["facility", "syslog_severity", "severity_number"],
+        count_name="n", strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6414,6 +6494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_movers": _q_events_rank_movers,
         "events_t_closeness": _q_events_t_closeness,
         "spans_apdex": _q_spans_apdex,
+        "events_delta_rate": _q_events_delta_rate,
+        "spans_traceparent": _q_spans_traceparent,
+        "events_syslog_pri": _q_events_syslog_pri,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6848,6 +6931,32 @@ SELECT grp, n_g, (SELECT n FROM tot) AS n_total,
                 ELSE abs((SELECT n FROM tot) * cumg - n_g * cuma)
                      * (nxt - band) END) AS BIGINT) AS w1_num
 FROM cg GROUP BY grp, n_g
+""",
+        "events_delta_rate": """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, event_id,
+       CASE WHEN lag(ts_us) OVER w IS NULL THEN NULL
+            ELSE cents * 1000000 // (ts_us - lag(ts_us) OVER w)
+       END AS rate_scaled
+FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+""",
+        "events_syslog_pri": """
+WITH s AS (SELECT event_id % 200 AS pri FROM events),
+d AS (
+  SELECT CASE WHEN pri BETWEEN 0 AND 191 THEN pri // 8 END AS facility,
+         CASE WHEN pri BETWEEN 0 AND 191 THEN pri % 8 END
+           AS syslog_severity
+  FROM s)
+SELECT facility, syslog_severity,
+       CASE syslog_severity
+            WHEN 0 THEN 21 WHEN 1 THEN 22 WHEN 2 THEN 23 WHEN 3 THEN 17
+            WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 WHEN 7 THEN 5
+       END AS severity_number,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY facility, syslog_severity, severity_number
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
@@ -8317,6 +8426,28 @@ SELECT service, CAST(count(*) AS BIGINT) AS n,
                                   AND duration_us <= 120000)) * 500
             // count(*) AS BIGINT) AS apdex_permille
 FROM spans GROUP BY service
+""",
+        "spans_traceparent": "WITH " + SPANS_CTE.strip() + """,
+h AS (
+  SELECT CASE WHEN substr(md5(span_id), 1, 1) = '0' THEN 'garbage'
+         ELSE '00-' || md5(trace_id) || '-' || span_id || '-' ||
+              CASE WHEN status_code = 2 THEN '01' ELSE '00' END
+         END AS tp
+  FROM spans),
+p AS (
+  SELECT tp,
+         regexp_matches(tp,
+           '^[0-9a-f]{2}-[0-9a-f]{32}-[0-9a-f]{16}-[0-9a-f]{2}$')
+           AND substr(tp, 1, 2) != 'ff'
+           AND substr(tp, 4, 32) != repeat('0', 32)
+           AND substr(tp, 37, 16) != repeat('0', 16) AS ok
+  FROM h)
+SELECT CASE WHEN ok THEN substr(tp, 1, 2) END AS tp_version,
+       CASE WHEN ok THEN CASE WHEN substr(tp, 55, 1) IN
+            ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END
+       END AS tp_sampled,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY tp_version, tp_sampled
 """,
         "turns_count_connector": f"""
 {with_turns}

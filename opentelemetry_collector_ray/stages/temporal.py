@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -68,6 +69,62 @@ def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
         return t.append_column(out_col, pa.array(out))
 
     return bucketed_map_groups(ds, key, diff, n_buckets=n_buckets)
+
+
+def delta_to_rate(ds: ray.data.Dataset, key: str, order_col: str,
+                  value_col: str, ts_col: str, *,
+                  scale: int = 1_000_000, out_col: str = "rate_scaled",
+                  n_buckets: int | str = N_BUCKETS) -> ray.data.Dataset:
+    """Delta→rate conversion (the deltatorate processor analog): each
+    delta point becomes ``value · scale // Δt`` where Δt is the time
+    since the key's previous point (``ts_col``, integer µs) — with the
+    default ``scale=1_000_000`` the output is value-per-second, scaled
+    to stay an EXACT integer (SQL mirror: the same truncating ``//``;
+    value must be non-negative for floor==trunc to hold, validated
+    loudly). A key's first point has no interval and is emitted with a
+    NULL rate (the reference processor drops the first point of a
+    series for the same reason).
+
+    Same bucket idiom as the temporality conversions above; ``Δt <= 0``
+    (duplicate or non-monotone timestamps within a key's order) raises
+    loudly rather than emitting an infinite/negative-interval rate."""
+
+    def rate(t: pa.Table) -> pa.Table:
+        t, change, _ = _sorted_with_segments(t, key, order_col)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(ts.dtype, np.integer):
+            raise TypeError(
+                f"delta_to_rate: {ts_col!r} must be integer µs")
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"delta_to_rate: {value_col!r} must be integer")
+        if len(v) and int(v.min()) < 0:
+            raise ValueError(
+                "delta_to_rate: negative deltas — floor division would "
+                "diverge from SQL truncation; split signs upstream")
+        n = len(ts)
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        ts = ts.astype(np.int64)
+        dt = np.empty(n, np.int64)
+        dt[0] = 0
+        dt[1:] = ts[1:] - ts[:-1]
+        inner = ~change  # rows with a same-key predecessor
+        if inner.any() and (dt[inner] <= 0).any():
+            raise ValueError(
+                f"delta_to_rate: non-increasing {ts_col!r} within a key "
+                "— deduplicate or fix the order column")
+        dt[change] = 0  # first point of each key: no interval
+        out = np.zeros(n, np.int64)
+        out[inner] = (v[inner].astype(np.int64) * int(scale)) // dt[inner]
+        arr = pa.array(out, pa.int64())
+        if (~inner).any():
+            arr = pc.if_else(pa.array(inner), arr,
+                             pa.scalar(None, pa.int64()))
+        return t.append_column(out_col, arr)
+
+    return bucketed_map_groups(ds, key, rate, n_buckets=n_buckets)
 
 
 def late_arrivals(ds: ray.data.Dataset, key: str, arrival_cols: list[str],

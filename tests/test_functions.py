@@ -262,3 +262,45 @@ def test_convert_case_modes():
         substring(x, -1, 2)
     assert split_count(pa.array(["a,b", "", "x"]), ",").to_pylist() == \
         [2, 1, 1]
+
+
+def test_parse_traceparent_spec_rules():
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.tracectx import (
+        parse_traceparent)
+
+    good = "00-" + "ab" * 16 + "-" + "12" * 8 + "-01"
+    unsampled = "00-" + "ab" * 16 + "-" + "12" * 8 + "-00"
+    cases = [
+        good,
+        unsampled,
+        "ff-" + "ab" * 16 + "-" + "12" * 8 + "-01",   # forbidden version
+        "00-" + "0" * 32 + "-" + "12" * 8 + "-01",    # zero trace id
+        "00-" + "ab" * 16 + "-" + "0" * 16 + "-01",   # zero span id
+        "00-" + "AB" * 16 + "-" + "12" * 8 + "-01",   # uppercase hex
+        "garbage",
+        None,
+    ]
+    out = parse_traceparent(pa.array(cases, pa.string()))
+    assert out["tp_version"].to_pylist() == \
+        ["00", "00", None, None, None, None, None, None]
+    assert out["tp_trace_id"].to_pylist()[0] == "ab" * 16
+    assert out["tp_span_id"].to_pylist()[1] == "12" * 8
+    assert out["tp_sampled"].to_pylist() == \
+        [1, 0, None, None, None, None, None, None]
+
+
+def test_decode_syslog_pri_rfc5424():
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.severity import (
+        decode_syslog_pri)
+
+    #        kern.emerg  user.err  local0.info  daemon.debug  invalid
+    pri = pa.array([0, 11, 134, 31, 192, -1], pa.int64())
+    d = decode_syslog_pri(pri)
+    assert d["facility"].to_pylist() == [0, 1, 16, 3, None, None]
+    assert d["syslog_severity"].to_pylist() == [0, 3, 6, 7, None, None]
+    # emergency->FATAL(21), err->ERROR(17), info->INFO(9), debug->DEBUG(5)
+    assert d["severity_number"].to_pylist() == [21, 17, 9, 5, None, None]

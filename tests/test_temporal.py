@@ -121,3 +121,39 @@ def test_late_arrivals_yaml_parity(ray_session, tmp_path):
     want = late_arrivals(ray.data.read_parquet(str(p)), "k", ["arr"],
                          "ts", allowed_lateness=0).to_pandas()
     pd.testing.assert_frame_equal(y, want, check_dtype=False)
+
+
+def test_delta_to_rate_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.temporal import delta_to_rate
+
+    rows = [{"k": "a", "t": 0, "v": 10}, {"k": "a", "t": 2, "v": 10},
+            {"k": "a", "t": 3, "v": 7}, {"k": "b", "t": 5, "v": 4}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = delta_to_rate(ds, "k", "t", "v", "t", scale=10) \
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    # a: first NULL, then 10*10//2 = 50, 7*10//1 = 70; b: first NULL
+    assert out.rate_scaled.tolist()[0] != out.rate_scaled.tolist()[0] \
+        or out.rate_scaled.isna().tolist() == [True, False, False, True]
+    assert out.rate_scaled.dropna().tolist() == [50, 70]
+
+
+def test_delta_to_rate_guards(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.temporal import delta_to_rate
+
+    dup = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"k": "a", "t": 1, "v": 1}, {"k": "a", "t": 1, "v": 2}]))
+    with pytest.raises(Exception, match="non-increasing"):
+        delta_to_rate(dup, "k", "t", "v", "t").materialize()
+    neg = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"k": "a", "t": 1, "v": -1}]))
+    with pytest.raises(Exception, match="negative"):
+        delta_to_rate(neg, "k", "t", "v", "t").materialize()
