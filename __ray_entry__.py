@@ -6335,6 +6335,25 @@ def _q_events_syslog_pri(sf_dir: str):
         count_name="n", strategy="tree")
 
 
+def _q_docs_index_phrase(sf_dir: str):
+    """Exact phrase query over the POSITIONAL inverted index
+    (stages/ranking.py::build_positional_index / query_phrase): docs
+    containing the exact token sequence 'table hash' — adjacency as
+    integer arithmetic on (term, doc, pos) postings, partition-pruned
+    reads per term, one skinny (doc, anchor) SEMI join. Oracle = token
+    stream rebuilt in SQL (array_to_string of the same [a-z]+ extract)
+    + a padded substring containment check — exact token adjacency."""
+    import tempfile
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_positional_index, query_phrase)
+
+    idx = tempfile.mkdtemp(prefix="posindex_", dir="/tmp")
+    build_positional_index(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8), idx)
+    return query_phrase(idx, ["table", "hash"])
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6497,6 +6516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_delta_rate": _q_events_delta_rate,
         "spans_traceparent": _q_spans_traceparent,
         "events_syslog_pri": _q_events_syslog_pri,
+        "docs_index_phrase": _q_docs_index_phrase,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6957,6 +6977,13 @@ SELECT facility, syslog_severity,
        END AS severity_number,
        CAST(count(*) AS BIGINT) AS n
 FROM d GROUP BY facility, syslog_severity, severity_number
+""",
+        "docs_index_phrase": """
+SELECT doc_id FROM documents
+WHERE contains(
+  ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')
+      || ' ',
+  ' table hash ')
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -310,6 +310,96 @@ def query_inverted_index(index_dir: str, terms, mode: str = "any",
         batch_format="pyarrow")
 
 
+def build_positional_index(ds: ray.data.Dataset, index_dir: str,
+                           n_buckets: int = 64, text_col: str = "text",
+                           id_col: str = "doc_id") -> None:
+    """Positional inverted index — the phrase-query upgrade over
+    :func:`build_inverted_index`: postings are (term, doc, pos) rows
+    with ``pos`` the token's 0-based offset in the document's token
+    stream, so adjacency IS integer arithmetic. Same layout contract:
+    one bucket exchange on hash(term), per-bucket (term, doc, pos)
+    sort, Hive-partitioned write — a term's postings stay one
+    contiguous pruned run. All occurrences are kept (a phrase needs
+    every position, not the distinct (term, doc) set)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, rows = _tokens_with_rows(t.column(text_col))
+        if len(rows) == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                id_col: pa.array([], t.column(id_col).type),
+                "pos": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64())})
+        # rows is non-decreasing (np.repeat order): position within the
+        # doc = global index minus the doc's first index
+        first = np.zeros(len(rows), np.int64)
+        change = np.ones(len(rows), dtype=bool)
+        change[1:] = rows[1:] != rows[:-1]
+        starts = np.flatnonzero(change)
+        first = np.repeat(starts, np.diff(np.append(starts, len(rows))))
+        pos = np.arange(len(rows), dtype=np.int64) - first
+        docs = t.column(id_col).take(pa.array(rows))
+        return pa.table({
+            "term": flat,
+            id_col: docs,
+            "pos": pa.array(pos),
+            "bucket": pa.array(bucket_of(flat, n_buckets)),
+        })
+
+    posts = ds.map_batches(explode, batch_format="pyarrow")
+    sorted_buckets = posts.groupby("bucket").map_groups(
+        lambda t: t.sort_by([("term", "ascending"),
+                             (id_col, "ascending"),
+                             ("pos", "ascending")]),
+        batch_format="pyarrow")
+    sorted_buckets.write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def query_phrase(index_dir: str, phrase_terms, n_buckets: int = 64,
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact phrase query over the positional index: a document matches
+    when some anchor position p has ``phrase_terms[i]`` at ``p + i``
+    for every i. Each term's postings are read partition-pruned and
+    shifted to anchor coordinates (``pos − i``); the anchors then
+    survive a chain of composite-key SEMI joins — (doc, anchor) rows
+    are the only exchange currency, so a 2-term phrase costs one
+    pruned read per term plus one skinny join. Returns the distinct
+    matching doc ids."""
+    from .aggregate import grouped_count
+    from .join import shuffle_hash_join
+
+    terms = _check_terms(phrase_terms)
+    if len(terms) < 2:
+        raise ValueError("query_phrase: need at least 2 terms "
+                         "(use query_inverted_index for single terms)")
+
+    def posts_for(i: int) -> ray.data.Dataset:
+        term = terms[i]
+        paths = probe_paths(index_dir, [term], n_buckets)
+        if not paths:
+            return ray.data.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "_apos": pa.array([], pa.int64())}))
+        return ray.data.read_parquet(paths).map_batches(
+            lambda t, term=term, i=i: pa.table({
+                id_col: t.filter(pc.equal(t.column("term"),
+                                          term)).column(id_col),
+                "_apos": pc.subtract(
+                    t.filter(pc.equal(t.column("term"),
+                                      term)).column("pos"),
+                    pa.scalar(i, pa.int64()))}),
+            batch_format="pyarrow")
+
+    anchors = posts_for(0)
+    for i in range(1, len(terms)):
+        anchors = shuffle_hash_join(anchors, posts_for(i),
+                                    key=[id_col, "_apos"], how="semi")
+    # distinct docs (exists semantics)
+    docs = grouped_count(anchors.select_columns([id_col]), [id_col],
+                         count_name="_n", strategy="bucket")
+    return docs.select_columns([id_col])
+
+
 def rrf_fuse(rankings: list, id_col: str = "doc_id",
              rank_col: str = "rank", k: int = 60,
              topk: int | None = None) -> ray.data.Dataset:

@@ -121,3 +121,42 @@ def test_inverted_index_prunes_partitions(ray_session, tmp_path):
     # and the pruned query still answers correctly
     posts = R.query_inverted_index(idx, ["alpha"], n_buckets=32).to_pandas()
     assert set(posts["doc_id"]) == {"d1", "d3", "d6"}
+
+
+def test_positional_phrase_query(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_positional_index, query_phrase)
+
+    docs = [
+        {"doc_id": 1, "text": "big red fox"},          # match
+        {"doc_id": 2, "text": "red, fox"},              # punctuation
+        {"doc_id": 3, "text": "red and fox"},           # NOT adjacent
+        {"doc_id": 4, "text": "fox red"},               # wrong order
+        {"doc_id": 5, "text": "red red fox"},           # match via pos 1
+        {"doc_id": 6, "text": "RED FOX"},               # lowercased
+    ]
+    idx = str(tmp_path / "pidx")
+    build_positional_index(
+        ray.data.from_arrow(pa.Table.from_pylist(docs)), idx,
+        n_buckets=8)
+    out = query_phrase(idx, ["red", "fox"], n_buckets=8).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1, 2, 5, 6]
+    # 3-term phrase
+    out3 = query_phrase(idx, ["big", "red", "fox"],
+                        n_buckets=8).to_pandas()
+    assert out3.doc_id.tolist() == [1]
+    # absent term -> empty
+    assert query_phrase(idx, ["red", "wolf"], n_buckets=8).count() == 0
+
+
+def test_query_phrase_validates_terms(tmp_path):
+    import pytest
+
+    from opentelemetry_collector_ray.stages.ranking import query_phrase
+
+    with pytest.raises(ValueError, match="2 terms"):
+        query_phrase(str(tmp_path), ["solo"])
