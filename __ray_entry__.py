@@ -6354,6 +6354,33 @@ def _q_docs_index_phrase(sf_dir: str):
     return query_phrase(idx, ["table", "hash"])
 
 
+def _q_turns_conv_digest(sf_dir: str):
+    """Per-conversation ordered-content digest — the north rule's
+    byte-equality invariant ('per-turn text byte-equal under stable
+    (conv_id, turn_idx) ordering') as a direct hash gate: each conv's
+    turn texts concatenated in turn order (grouped_string_agg — one
+    bucket exchange, one binary_join per bucket) and md5-digested, so
+    ANY byte drift, reorder, or lost turn anywhere in the derive path
+    flips the value hash. Oracle = md5(string_agg(text ORDER BY
+    turn_idx))."""
+    from opentelemetry_collector_ray.functions.text import md5_hex
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_string_agg)
+
+    agg = grouped_string_agg(_turns(sf_dir), "conv_id", ["turn_idx"],
+                             "text", sep="\n", out_name="joined")
+
+    def digest(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "n_turns": pc.add(pc.count_substring(
+                t.column("joined"), pattern="\n"),
+                pa.scalar(1, pa.int64())).cast(pa.int64()),
+            "content_md5": md5_hex(t.column("joined"))})
+
+    return agg.map_batches(digest, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6517,6 +6544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_traceparent": _q_spans_traceparent,
         "events_syslog_pri": _q_events_syslog_pri,
         "docs_index_phrase": _q_docs_index_phrase,
+        "turns_conv_digest": _q_turns_conv_digest,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -6984,6 +7012,12 @@ WHERE contains(
   ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')
       || ' ',
   ' table hash ')
+""",
+        "turns_conv_digest": f"""
+{with_turns}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS content_md5
+FROM turns GROUP BY conv_id
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
