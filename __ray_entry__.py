@@ -6051,7 +6051,7 @@ def _q_events_late_arrivals(sf_dir: str):
     exchange; lifted maximum.accumulate gives every stream's watermark
     at once. Oracle = MAX() OVER (... ROWS BETWEEN UNBOUNDED PRECEDING
     AND 1 PRECEDING) on the identical md5 arrival composite."""
-    from opentelemetry_collector_ray.functions.text import md5_hex
+    from opentelemetry_collector_ray.functions.text import md5_mod
     from opentelemetry_collector_ray.stages.temporal import late_arrivals
 
     day_us = 86_400_000_000
@@ -6059,10 +6059,7 @@ def _q_events_late_arrivals(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         ts_us = t.column("ts").cast(pa.int64())  # timestamp[us] native
         eid = t.column("event_id")
-        hexes = md5_hex(pc.cast(eid, pa.string()))
-        delay = np.fromiter(
-            (int(h[:12], 16) % day_us for h in hexes.to_pylist()),
-            np.int64, count=len(hexes))
+        delay = md5_mod(pc.cast(eid, pa.string()), day_us)
         arr = pc.add(ts_us, pa.array(delay))
         return pa.table({"user_id": t.column("user_id"),
                          "event_id": eid, "ts_us": ts_us,
@@ -6367,7 +6364,21 @@ def _q_turns_conv_digest(sf_dir: str):
     from opentelemetry_collector_ray.stages.aggregate import (
         grouped_string_agg)
 
-    agg = grouped_string_agg(_turns(sf_dir), "conv_id", ["turn_idx"],
+    def check_sep(t: pa.Table) -> pa.Table:
+        # the digest's injectivity requires the separator to be absent
+        # from every turn text — a newline INSIDE a turn would make
+        # ['a\nb'] and ['a','b'] collide and skew the separator-derived
+        # n_turns; raise loudly instead of hashing a lie
+        hits = pc.sum(pc.count_substring(t.column("text"),
+                                         pattern="\n")).as_py()
+        if hits:
+            raise ValueError(
+                "turns_conv_digest: turn text contains the '\\n' "
+                "separator — pick a separator outside the alphabet")
+        return t
+
+    turns = _turns(sf_dir).map_batches(check_sep, batch_format="pyarrow")
+    agg = grouped_string_agg(turns, "conv_id", ["turn_idx"],
                              "text", sep="\n", out_name="joined")
 
     def digest(t: pa.Table) -> pa.Table:

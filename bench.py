@@ -163,7 +163,10 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_cardinality_cap", "events_late_arrivals",
              "turns_oov_rate", "spans_head_sampled",
              "events_user_coverage", "events_alert_hysteresis",
-             "events_rank_movers", "events_t_closeness"]
+             "events_rank_movers", "events_t_closeness",
+             "spans_apdex", "events_delta_rate", "spans_traceparent",
+             "events_syslog_pri", "docs_index_phrase",
+             "turns_conv_digest"]
     q = m.queries()
     for name in names:
         t0 = time.time()

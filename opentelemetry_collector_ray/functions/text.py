@@ -121,6 +121,22 @@ def md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
+def md5_mod(col: pa.ChunkedArray | pa.Array, mod: int,
+            width: int = 12) -> "np.ndarray":
+    """The checksum-lane digest convention as ONE shared helper:
+    ``int(md5(s)[:width], 16) % mod`` per row, matching the DuckDB
+    expression ``('0x' || substr(md5(s), 1, width))::UBIGINT % mod``.
+    Used by the deterministic sampling/jitter lanes (head sampling,
+    simulated arrival delay); a single implementation keeps every site
+    on the same width and signedness as the SQL mirror."""
+    import numpy as np
+
+    hexes = md5_hex(col)
+    return np.fromiter((int(h[:width], 16) % mod
+                        for h in hexes.to_pylist()),
+                       np.int64, count=len(hexes))
+
+
 def fingerprint_minima(col: pa.ChunkedArray | pa.Array, k: int = 5, window: int = 8,
                        ) -> pa.ListArray:
     """Winnowing-style rolling-hash fingerprint: k-gram word shingles hashed

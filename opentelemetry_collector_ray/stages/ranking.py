@@ -332,7 +332,6 @@ def build_positional_index(ds: ray.data.Dataset, index_dir: str,
                 "bucket": pa.array([], pa.int64())})
         # rows is non-decreasing (np.repeat order): position within the
         # doc = global index minus the doc's first index
-        first = np.zeros(len(rows), np.int64)
         change = np.ones(len(rows), dtype=bool)
         change[1:] = rows[1:] != rows[:-1]
         starts = np.flatnonzero(change)
@@ -373,12 +372,26 @@ def query_phrase(index_dir: str, phrase_terms, n_buckets: int = 64,
         raise ValueError("query_phrase: need at least 2 terms "
                          "(use query_inverted_index for single terms)")
 
+    def _indexed_id_type() -> pa.DataType:
+        # keep the indexed id TYPE on the no-partition path (same
+        # review-finding convention as query_inverted_index: a
+        # hardcoded type diverges from the index and breaks the join)
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        any_file = sorted(glob.glob(os.path.join(
+            index_dir, "bucket=*", "*.parquet")))
+        return pq.read_schema(any_file[0]).field(id_col).type \
+            if any_file else pa.int64()
+
     def posts_for(i: int) -> ray.data.Dataset:
         term = terms[i]
         paths = probe_paths(index_dir, [term], n_buckets)
         if not paths:
             return ray.data.from_arrow(pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], _indexed_id_type()),
                 "_apos": pa.array([], pa.int64())}))
         return ray.data.read_parquet(paths).map_batches(
             lambda t, term=term, i=i: pa.table({

@@ -541,13 +541,10 @@ def head_sample(spans: ray.data.Dataset, permille: int,
     re-executions, retries and pipeline stages."""
     if not 0 <= permille <= 1000:
         raise ValueError("head_sample: permille must be in [0, 1000]")
-    from ..functions.text import md5_hex
+    from ..functions.text import md5_mod
 
     def keep(t: pa.Table) -> pa.Table:
-        hexes = md5_hex(t.column(trace_col))
-        h = np.fromiter((int(x[:12], 16) % 1000
-                         for x in hexes.to_pylist()),
-                        np.int64, count=len(hexes))
+        h = md5_mod(t.column(trace_col), 1000)
         return t.filter(pa.array(h < permille))
 
     return spans.map_batches(keep, batch_format="pyarrow")

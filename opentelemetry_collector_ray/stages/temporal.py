@@ -103,6 +103,10 @@ def delta_to_rate(ds: ray.data.Dataset, key: str, order_col: str,
             raise ValueError(
                 "delta_to_rate: negative deltas — floor division would "
                 "diverge from SQL truncation; split signs upstream")
+        if len(v) and int(v.max()) > (2 ** 62) // max(int(scale), 1):
+            raise ValueError(
+                f"delta_to_rate: value {int(v.max()):,} × scale={scale} "
+                "would overflow int64 — shrink scale or pre-divide")
         n = len(ts)
         if n == 0:
             return t.append_column(out_col, pa.array([], pa.int64()))

@@ -304,3 +304,17 @@ def test_decode_syslog_pri_rfc5424():
     assert d["syslog_severity"].to_pylist() == [0, 3, 6, 7, None, None]
     # emergency->FATAL(21), err->ERROR(17), info->INFO(9), debug->DEBUG(5)
     assert d["severity_number"].to_pylist() == [21, 17, 9, 5, None, None]
+
+
+def test_md5_mod_matches_duckdb_expression():
+    import duckdb
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.text import md5_mod
+
+    vals = ["a", "trace-123", "00000000-000000042"]
+    got = md5_mod(pa.array(vals, pa.string()), 1000).tolist()
+    want = [duckdb.sql(
+        f"SELECT ('0x' || substr(md5('{v}'), 1, 12))::UBIGINT % 1000"
+    ).fetchone()[0] for v in vals]
+    assert got == want

@@ -160,3 +160,26 @@ def test_query_phrase_validates_terms(tmp_path):
 
     with pytest.raises(ValueError, match="2 terms"):
         query_phrase(str(tmp_path), ["solo"])
+
+
+def test_query_phrase_string_ids_absent_term(ray_session, tmp_path):
+    """Review regression: the absent-term empty path must carry the
+    INDEXED id type (string here), not a hardcoded int64 — otherwise
+    the semi-join chain type-mismatches."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_positional_index, query_phrase)
+
+    docs = [{"doc_id": "d1", "text": "red fox runs"},
+            {"doc_id": "d2", "text": "red wolf"}]
+    idx = str(tmp_path / "sidx")
+    build_positional_index(
+        ray.data.from_arrow(pa.Table.from_pylist(docs)), idx,
+        n_buckets=4)
+    out = query_phrase(idx, ["red", "zebra"], n_buckets=4)
+    assert out.count() == 0
+    ok = query_phrase(idx, ["red", "fox"], n_buckets=4).to_pandas()
+    assert ok.doc_id.tolist() == ["d1"]

@@ -157,3 +157,18 @@ def test_delta_to_rate_guards(ray_session):
         [{"k": "a", "t": 1, "v": -1}]))
     with pytest.raises(Exception, match="negative"):
         delta_to_rate(neg, "k", "t", "v", "t").materialize()
+
+
+def test_delta_to_rate_overflow_guard(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.temporal import delta_to_rate
+
+    big = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"k": "a", "t": 0, "v": 2 ** 61}, {"k": "a", "t": 1, "v": 1}]))
+    with pytest.raises(Exception, match="overflow"):
+        delta_to_rate(big, "k", "t", "v", "t",
+                      scale=1_000_000).materialize()
