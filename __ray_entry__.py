@@ -6392,6 +6392,79 @@ def _q_turns_conv_digest(sf_dir: str):
     return agg.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_turns_response_latency(sf_dir: str):
+    """Per-conversation assistant response latency — the transcript-
+    analytics rollup a conversation pipeline reports: for every
+    assistant turn, the gap to the PRECEDING turn (any role), then per
+    conv the response count and total/max latency. One per_key_window
+    lag pass + one bucket grouped_agg (count/sum/max in a single
+    exchange). Oracle = lag() window + FILTERed aggregates."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "role": t.column("role"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    lagged = per_key_window(
+        _turns(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"], {"prev_ts": ("lag", "ts_us")})
+
+    def lat(t: pa.Table) -> pa.Table:
+        is_resp = pc.and_(pc.equal(t.column("role"), "assistant"),
+                          pc.is_valid(t.column("prev_ts")))
+        f = t.filter(is_resp)
+        return pa.table({
+            "conv_id": f.column("conv_id"),
+            "lat_us": pc.subtract(f.column("ts_us"),
+                                  f.column("prev_ts"))})
+
+    per = lagged.map_batches(lat, batch_format="pyarrow")
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    return grouped_agg(per, ["conv_id"], count_name="n_responses",
+                       sum_cols={"total_lat_us": "lat_us"},
+                       max_cols={"max_lat_us": "lat_us"},
+                       strategy="bucket")
+
+
+def _q_events_snowflake(sf_dir: str):
+    """Snowflake-id decode (functions/timefn.py::decode_snowflake —
+    the [41-bit ms ts | 10-bit machine | 12-bit seq] layout): ids
+    synthesized from the event stream (ts ms << 22 | user%1024 << 12 |
+    event_id%4096), decoded back with pure bit arithmetic, and rolled
+    up per machine: id count, distinct sequence values, min/max
+    embedded timestamp — the id-forensics pass a log pipeline runs on
+    ingest. Oracle = the same shifts/masks in SQL."""
+    from opentelemetry_collector_ray.functions.timefn import (
+        decode_snowflake)
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_count_distinct)
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_ms = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1000
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        sf = (ts_ms << 22) | ((uid % 1024) << 12) | (eid % 4096)
+        d = decode_snowflake(pa.array(sf, pa.int64()))
+        return pa.table(d)
+
+    ds = _read_co(sf_dir, "events", ["ts", "user_id", "event_id"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    rollup = grouped_agg(ds, ["sf_machine"], count_name="n",
+                         min_cols={"first_ts_ms": "sf_ts_ms"},
+                         max_cols={"last_ts_ms": "sf_ts_ms"},
+                         strategy="bucket")
+    nseq = grouped_count_distinct(ds, ["sf_machine"], "sf_seq",
+                                  out_name="n_seqs",
+                                  final_strategy="shuffle")
+    return shuffle_hash_join(rollup, nseq, key=["sf_machine"],
+                             how="inner")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6556,6 +6629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_syslog_pri": _q_events_syslog_pri,
         "docs_index_phrase": _q_docs_index_phrase,
         "turns_conv_digest": _q_turns_conv_digest,
+        "turns_response_latency": _q_turns_response_latency,
+        "events_snowflake": _q_events_snowflake,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7029,6 +7104,34 @@ WHERE contains(
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS content_md5
 FROM turns GROUP BY conv_id
+""",
+        "turns_response_latency": f"""
+{with_turns},
+l AS (
+  SELECT conv_id, role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx) AS lat_us
+  FROM turns)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(lat_us) AS BIGINT) AS total_lat_us,
+       CAST(max(lat_us) AS BIGINT) AS max_lat_us
+FROM l WHERE role = 'assistant' AND lat_us IS NOT NULL
+GROUP BY conv_id
+""",
+        "events_snowflake": """
+WITH sf AS (
+  SELECT ((epoch_us(ts) // 1000) << 22)
+         | ((user_id % 1024) << 12) | (event_id % 4096) AS id
+  FROM events),
+d AS (
+  SELECT id >> 22 AS sf_ts_ms, (id >> 12) & 1023 AS sf_machine,
+         id & 4095 AS sf_seq
+  FROM sf)
+SELECT sf_machine, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(sf_ts_ms) AS BIGINT) AS first_ts_ms,
+       CAST(max(sf_ts_ms) AS BIGINT) AS last_ts_ms,
+       CAST(count(DISTINCT sf_seq) AS BIGINT) AS n_seqs
+FROM d GROUP BY sf_machine
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -19,3 +19,36 @@ def bucket_ts(col: pa.ChunkedArray | pa.Array, unit: str = "hour") -> pa.Chunked
     if unit not in _UNITS:
         raise ValueError(f"unsupported bucket unit: {unit}")
     return pc.floor_temporal(col, unit=unit)
+
+
+def decode_snowflake(ids: pa.ChunkedArray | pa.Array, *,
+                     epoch_ms: int = 0, machine_bits: int = 10,
+                     seq_bits: int = 12) -> dict[str, pa.Array]:
+    """Decode Snowflake-style ids (the Twitter layout every log
+    pipeline meets in practice: ``[41-bit ms timestamp | machine |
+    sequence]``) into ``sf_ts_ms`` (epoch ms, ``epoch_ms`` added
+    back), ``sf_machine`` and ``sf_seq`` — pure bit arithmetic, so the
+    SQL mirror is ``id >> 22`` / ``(id >> 12) & 1023`` / ``id &
+    4095``. Negative ids (not a snowflake) yield NULLs in all three
+    fields rather than garbage."""
+    import numpy as np
+
+    if machine_bits < 0 or seq_bits < 0 or machine_bits + seq_bits > 22:
+        raise ValueError(
+            "decode_snowflake: machine_bits/seq_bits must be >= 0 and "
+            "sum to <= 22 (the standard layout is 10 + 12)")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    v = np.asarray(ids.to_numpy(zero_copy_only=False), np.int64)
+    shift = machine_bits + seq_bits
+    ok = v >= 0
+    ts_ms = (v >> shift) + int(epoch_ms)
+    machine = (v >> seq_bits) & ((1 << machine_bits) - 1)
+    seq = v & ((1 << seq_bits) - 1)
+    mask = pa.array(ok)
+    null64 = pa.scalar(None, pa.int64())
+    return {
+        "sf_ts_ms": pc.if_else(mask, pa.array(ts_ms), null64),
+        "sf_machine": pc.if_else(mask, pa.array(machine), null64),
+        "sf_seq": pc.if_else(mask, pa.array(seq), null64),
+    }

@@ -318,3 +318,31 @@ def test_md5_mod_matches_duckdb_expression():
         f"SELECT ('0x' || substr(md5('{v}'), 1, 12))::UBIGINT % 1000"
     ).fetchone()[0] for v in vals]
     assert got == want
+
+
+def test_decode_snowflake_layout():
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.timefn import (
+        decode_snowflake)
+
+    ts_ms, machine, seq = 1_700_000_000_123, 517, 2049
+    sid = (ts_ms << 22) | (machine << 12) | seq
+    d = decode_snowflake(pa.array([sid, -5], pa.int64()))
+    assert d["sf_ts_ms"].to_pylist() == [ts_ms, None]
+    assert d["sf_machine"].to_pylist() == [machine, None]
+    assert d["sf_seq"].to_pylist() == [seq, None]
+    # custom epoch is added back
+    d2 = decode_snowflake(pa.array([sid], pa.int64()),
+                          epoch_ms=1_288_834_974_657)
+    assert d2["sf_ts_ms"].to_pylist() == [ts_ms + 1_288_834_974_657]
+
+
+def test_decode_snowflake_validates_bits():
+    import pytest
+
+    from opentelemetry_collector_ray.functions.timefn import (
+        decode_snowflake)
+
+    with pytest.raises(ValueError, match="machine_bits"):
+        decode_snowflake(None, machine_bits=20, seq_bits=20)
