@@ -6465,6 +6465,42 @@ def _q_events_snowflake(sf_dir: str):
                              how="inner")
 
 
+def _q_turns_span_correlation(sf_dir: str):
+    """Logs ↔ traces correlation — the cross-signal join every OTel
+    backend offers ('show me the logs for this trace'): the parse
+    stage's extracted trace attribute joins the span stream on span id
+    (one composite bucket exchange), then a per-(service, level)
+    rollup of correlated log lines and error-status spans. Oracle =
+    the same regex extract + equi-join over both derived CTEs."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    logs = _parsed(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("trace")))
+        .select(["trace", "level"]),
+        batch_format="pyarrow")
+    spans = _spans(sf_dir).map_batches(
+        lambda t: pa.table({"span_id": t.column("span_id"),
+                            "service": t.column("service"),
+                            "status_code": t.column("status_code")}),
+        batch_format="pyarrow")
+    joined = shuffle_hash_join(logs, spans, key=["trace"],
+                               right_key=["span_id"], how="inner")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "service": t.column("service"),
+            "level": t.column("level"),
+            "_err": pc.cast(pc.equal(t.column("status_code"), 2),
+                            pa.int64())})
+
+    return grouped_count(joined.map_batches(lanes,
+                                            batch_format="pyarrow"),
+                         ["service", "level"], count_name="n_logs",
+                         sum_cols={"n_error_spans": "_err"},
+                         strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6631,6 +6667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_conv_digest": _q_turns_conv_digest,
         "turns_response_latency": _q_turns_response_latency,
         "events_snowflake": _q_events_snowflake,
+        "turns_span_correlation": _q_turns_span_correlation,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7132,6 +7169,18 @@ SELECT sf_machine, CAST(count(*) AS BIGINT) AS n,
        CAST(max(sf_ts_ms) AS BIGINT) AS last_ts_ms,
        CAST(count(DISTINCT sf_seq) AS BIGINT) AS n_seqs
 FROM d GROUP BY sf_machine
+""",
+        "turns_span_correlation": f"""
+WITH {TURNS_CTE.strip()}, {SPANS_CTE.strip()},
+logs AS (
+  SELECT regexp_extract(text, '{r0}', 5) AS trace,
+         regexp_extract(text, '{r1}', 1) AS level
+  FROM turns WHERE regexp_matches(text, '{r0}'))
+SELECT s.service, l.level, CAST(count(*) AS BIGINT) AS n_logs,
+       CAST(count(*) FILTER (WHERE s.status_code = 2) AS BIGINT)
+         AS n_error_spans
+FROM logs l JOIN spans s ON l.trace = s.span_id
+GROUP BY s.service, l.level
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -166,7 +166,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_rank_movers", "events_t_closeness",
              "spans_apdex", "events_delta_rate", "spans_traceparent",
              "events_syslog_pri", "docs_index_phrase",
-             "turns_conv_digest"]
+             "turns_conv_digest", "turns_response_latency",
+             "events_snowflake", "turns_span_correlation"]
     q = m.queries()
     for name in names:
         t0 = time.time()
