@@ -6346,9 +6346,13 @@ def _q_docs_index_phrase(sf_dir: str):
         build_positional_index, query_phrase)
 
     idx = tempfile.mkdtemp(prefix="posindex_", dir="/tmp")
+    # 16 buckets for the 500-doc demo corpus: the build is a fixed
+    # per-bucket overhead at this size (64 buckets cost 4.8 s, 16 cost
+    # ~2 s); at scale the bucket count follows the term mass instead
     build_positional_index(
-        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8), idx)
-    return query_phrase(idx, ["table", "hash"])
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8), idx,
+        n_buckets=16)
+    return query_phrase(idx, ["table", "hash"], n_buckets=16)
 
 
 def _q_turns_conv_digest(sf_dir: str):
@@ -6440,7 +6444,7 @@ def _q_events_snowflake(sf_dir: str):
     from opentelemetry_collector_ray.functions.timefn import (
         decode_snowflake)
     from opentelemetry_collector_ray.stages.aggregate import (
-        grouped_agg, grouped_count_distinct)
+        grouped_agg, grouped_count)
     from opentelemetry_collector_ray.stages.join import shuffle_hash_join
 
     def prep(t: pa.Table) -> pa.Table:
@@ -6454,13 +6458,20 @@ def _q_events_snowflake(sf_dir: str):
 
     ds = _read_co(sf_dir, "events", ["ts", "user_id", "event_id"],
                   floor=8).map_batches(prep, batch_format="pyarrow")
+    # both lanes are DOMAIN-bounded (1024 machines; 1024×4096 pairs),
+    # so the map-only tree strategy applies to each — no sort exchange
+    # anywhere (the first cut's shuffle count-distinct + join was
+    # 6.6 s at sf0.1; two tree passes + a 1024-row join is ~1 s)
     rollup = grouped_agg(ds, ["sf_machine"], count_name="n",
                          min_cols={"first_ts_ms": "sf_ts_ms"},
                          max_cols={"last_ts_ms": "sf_ts_ms"},
-                         strategy="bucket")
-    nseq = grouped_count_distinct(ds, ["sf_machine"], "sf_seq",
-                                  out_name="n_seqs",
-                                  final_strategy="shuffle")
+                         strategy="tree")
+    pairs = grouped_count(ds.select_columns(["sf_machine", "sf_seq"]),
+                          ["sf_machine", "sf_seq"], count_name="_np",
+                          strategy="tree")
+    nseq = grouped_count(pairs.select_columns(["sf_machine"]),
+                         ["sf_machine"], count_name="n_seqs",
+                         strategy="tree")
     return shuffle_hash_join(rollup, nseq, key=["sf_machine"],
                              how="inner")
 
