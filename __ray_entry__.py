@@ -6512,6 +6512,84 @@ def _q_turns_span_correlation(sf_dir: str):
                          strategy="tree")
 
 
+def _q_events_bounce_rate(sf_dir: str):
+    """Sessionized bounce rate — the web-analytics rollup ON TOP of
+    the 30-minute-gap sessionizer: per user, session count, single-
+    event ('bounce') session count, and bounce permille with
+    SQL-matching truncation. One composition: session_stats (bucket
+    exchange) → indicator lanes → bucket grouped count. Oracle = the
+    session window chain + FILTERed counts + the same // division."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.sessionize import session_stats
+
+    ev = _read_co(sf_dir, "events", ["user_id", "event_id", "ts"],
+                  floor=8)
+    sess = session_stats(ev, key="user_id", ts_col="ts",
+                         gap_minutes=30)
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "_b": pc.cast(pc.equal(t.column("n_events"), 1),
+                          pa.int64())})
+
+    per = grouped_count(sess.map_batches(lanes, batch_format="pyarrow"),
+                        ["user_id"], count_name="n_sessions",
+                        sum_cols={"n_bounce": "_b"}, strategy="bucket")
+
+    def permille(t: pa.Table) -> pa.Table:
+        ns = t.column("n_sessions").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bounce").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(ns), np.int64)
+        nz = ns > 0
+        out[nz] = nb[nz] * 1000 // ns[nz]
+        return t.append_column("bounce_permille", pa.array(out))
+
+    return per.map_batches(permille, batch_format="pyarrow")
+
+
+def _q_events_iat_parts(sf_dir: str):
+    """Inter-arrival burstiness lanes — the traffic-shape statistic
+    behind rate forecasting and anomaly baselines: per user, the
+    sufficient statistics (n_gaps, sum_s, sum_s2) of inter-arrival
+    SECONDS (truncated; non-negative so floor == SQL //), from which
+    the caller derives mean/variance/CV² as their floats — the
+    corr_parts lanes-only discipline. One per_key_window delta pass +
+    one bucket grouped sum; sum_s2 magnitude fits int64 by the 30-day
+    gap bound (loudly guarded). Oracle = lag() window + the same
+    truncating division and sums."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    lagged = per_key_window(
+        _read_co(sf_dir, "events", ["user_id", "event_id", "ts"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"],
+        {"dt_us": ("delta", "ts_us")})
+
+    def lanes(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t.column("dt_us")))
+        dt = f.column("dt_us").to_numpy(zero_copy_only=False)
+        dt_s = dt // 1_000_000
+        if len(dt_s) and int(dt_s.max()) > 3_000_000_000:
+            raise ValueError("events_iat_parts: a gap above ~95 years "
+                             "would overflow the squared lane")
+        return pa.table({"user_id": f.column("user_id"),
+                         "_s": pa.array(dt_s),
+                         "_s2": pa.array(dt_s * dt_s)})
+
+    return grouped_count(lagged.map_batches(lanes,
+                                            batch_format="pyarrow"),
+                         ["user_id"], count_name="n_gaps",
+                         sum_cols={"sum_s": "_s", "sum_s2": "_s2"},
+                         strategy="bucket")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6679,6 +6757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_response_latency": _q_turns_response_latency,
         "events_snowflake": _q_events_snowflake,
         "turns_span_correlation": _q_turns_span_correlation,
+        "events_bounce_rate": _q_events_bounce_rate,
+        "events_iat_parts": _q_events_iat_parts,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7192,6 +7272,39 @@ SELECT s.service, l.level, CAST(count(*) AS BIGINT) AS n_logs,
          AS n_error_spans
 FROM logs l JOIN spans s ON l.trace = s.span_id
 GROUP BY s.service, l.level
+""",
+        "events_bounce_rate": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_sess AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounce,
+       CAST(count(*) FILTER (WHERE n_events = 1) * 1000 // count(*)
+            AS BIGINT) AS bounce_permille
+FROM per_sess GROUP BY user_id
+""",
+        "events_iat_parts": """
+WITH l AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+           AS dt_s
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(dt_s) AS BIGINT) AS sum_s,
+       CAST(sum(dt_s * dt_s) AS BIGINT) AS sum_s2
+FROM l WHERE dt_s IS NOT NULL GROUP BY user_id
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang
