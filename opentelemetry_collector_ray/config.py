@@ -933,6 +933,36 @@ def _register_builtins() -> None:
             text_col=cfg.get("text_col", "text"),
             persist=cfg.get("persist", "none")))
 
+    def make_apdex(cfg: dict):
+        from .stages.spanops import apdex
+
+        if not cfg.get("t_us"):
+            raise ConfigError("apdex: t_us (satisfied threshold) is "
+                              "required")
+        return DatasetTransform(lambda ds: apdex(
+            ds, int(cfg["t_us"]), key=cfg.get("key", "service"),
+            duration_col=cfg.get("duration", "duration_us")))
+
+    def make_head_sample(cfg: dict):
+        from .stages.spanops import head_sample
+
+        if "permille" not in cfg:
+            raise ConfigError("head_sample: permille is required")
+        return DatasetTransform(lambda ds: head_sample(
+            ds, int(cfg["permille"]),
+            trace_col=cfg.get("trace_col", "trace_id")))
+
+    def make_delta_to_rate(cfg: dict):
+        from .stages.temporal import delta_to_rate
+
+        for req in ("key", "order_by", "value", "ts"):
+            if not cfg.get(req):
+                raise ConfigError(f"delta_to_rate: {req} is required")
+        return DatasetTransform(lambda ds: delta_to_rate(
+            ds, cfg["key"], cfg["order_by"], cfg["value"], cfg["ts"],
+            scale=int(cfg.get("scale", 1_000_000)),
+            out_col=cfg.get("out", "rate_scaled")))
+
     def make_t_closeness(cfg: dict):
         from .stages.privacy import t_closeness
 
@@ -1364,6 +1394,9 @@ def _register_builtins() -> None:
     register("oov_stats", Factory("processor", make_oov_stats))
     register("hysteresis_alerts", Factory("processor", make_hysteresis))
     register("t_closeness", Factory("processor", make_t_closeness))
+    register("apdex", Factory("processor", make_apdex))
+    register("head_sample", Factory("processor", make_head_sample))
+    register("delta_to_rate", Factory("processor", make_delta_to_rate))
     register("bfs", Factory("processor", make_bfs))
     register("agg_delta", Factory("processor", make_agg_delta))
     register("mad_outliers", Factory("processor", make_mad_outliers))

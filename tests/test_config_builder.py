@@ -1165,3 +1165,56 @@ def test_rolling_distinct_yaml_parity(ray_session, tmp_path):
     from opentelemetry_collector_ray.config import ConfigError, get_factory
     with pytest.raises(ConfigError, match="required"):
         get_factory("rolling_distinct").create({"entity_col": "u"})
+
+
+def test_apdex_head_sample_delta_rate_yaml(ray_session, tmp_path):
+    """YAML parity for the sixth-session span/metric components."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.spanops import (
+        apdex, head_sample)
+    from opentelemetry_collector_ray.stages.temporal import delta_to_rate
+
+    def run(proc_name, cfg, path):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(path)}},
+            "processors": {proc_name: cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    spans = pa.Table.from_pylist(
+        [{"service": "a", "trace_id": f"t{i}", "duration_us": d}
+         for i, d in enumerate([50, 150, 500, 90])])
+    p1 = tmp_path / "s.parquet"
+    pq.write_table(spans, str(p1))
+    y = run("apdex", {"t_us": 100}, p1)
+    want = apdex(ray.data.read_parquet(str(p1)), 100).to_pandas()
+    pd.testing.assert_frame_equal(y, want, check_dtype=False)
+
+    y2 = run("head_sample", {"permille": 500}, p1).sort_values(
+        "trace_id").reset_index(drop=True)
+    want2 = head_sample(ray.data.read_parquet(str(p1)), 500) \
+        .to_pandas().sort_values("trace_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(y2, want2, check_dtype=False)
+
+    deltas = pa.Table.from_pylist(
+        [{"k": "a", "t": i, "v": v}
+         for i, v in enumerate([5, 10, 3])])
+    p2 = tmp_path / "d.parquet"
+    pq.write_table(deltas, str(p2))
+    y3 = run("delta_to_rate",
+             {"key": "k", "order_by": "t", "value": "v", "ts": "t",
+              "scale": 10}, p2).sort_values("t").reset_index(drop=True)
+    want3 = delta_to_rate(ray.data.read_parquet(str(p2)), "k", "t",
+                          "v", "t", scale=10).to_pandas() \
+        .sort_values("t").reset_index(drop=True)
+    pd.testing.assert_frame_equal(y3, want3, check_dtype=False)
