@@ -167,7 +167,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "spans_apdex", "events_delta_rate", "spans_traceparent",
              "events_syslog_pri", "docs_index_phrase",
              "turns_conv_digest", "turns_response_latency",
-             "events_snowflake", "turns_span_correlation"]
+             "events_snowflake", "turns_span_correlation",
+             "events_bounce_rate", "events_iat_parts"]
     q = m.queries()
     for name in names:
         t0 = time.time()
