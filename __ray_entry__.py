@@ -6590,6 +6590,25 @@ def _q_events_iat_parts(sf_dir: str):
                          strategy="bucket")
 
 
+def _q_events_ring_assign(sf_dir: str):
+    """Consistent-hash ring routing (stages/route.py::ring_assign —
+    the loadbalancing exporter's keying rule): four backends × 8
+    vnodes on the md5 12-hex ring; every event's user keys to the
+    first ring position at or after its own hash (wrapping), and the
+    rollup counts events per (backend, event_type). Map-only — the
+    ring rides the closure, assignment is one searchsorted per batch,
+    NO exchange. Oracle = identical md5 ring + MIN-over-ring lookup."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.route import ring_assign
+
+    ds = _read_co(sf_dir, "events", ["user_id", "event_type"], floor=8)
+    assigned = ring_assign(ds, "user_id",
+                           ["be-a", "be-b", "be-c", "be-d"], vnodes=8)
+    return grouped_count(
+        assigned.select_columns(["backend", "event_type"]),
+        ["backend", "event_type"], count_name="n", strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6759,6 +6778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_span_correlation": _q_turns_span_correlation,
         "events_bounce_rate": _q_events_bounce_rate,
         "events_iat_parts": _q_events_iat_parts,
+        "events_ring_assign": _q_events_ring_assign,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7305,6 +7325,28 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(dt_s) AS BIGINT) AS sum_s,
        CAST(sum(dt_s * dt_s) AS BIGINT) AS sum_s2
 FROM l WHERE dt_s IS NOT NULL GROUP BY user_id
+""",
+        "events_ring_assign": """
+WITH ring AS (
+  SELECT b, ('0x' || substr(md5(b || '#' || CAST(j AS VARCHAR)), 1, 12))
+           ::UBIGINT AS pos
+  FROM (VALUES ('be-a'), ('be-b'), ('be-c'), ('be-d')) AS t(b)
+  CROSS JOIN generate_series(0, 7) AS g(j)),
+k AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+           ::UBIGINT AS h
+  FROM events),
+a AS (
+  SELECT event_type,
+         coalesce(
+           (SELECT r.b FROM ring r WHERE r.pos >= k.h
+            ORDER BY r.pos, r.b LIMIT 1),
+           (SELECT r.b FROM ring r ORDER BY r.pos, r.b LIMIT 1))
+           AS backend
+  FROM k)
+SELECT backend, event_type, CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY backend, event_type
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

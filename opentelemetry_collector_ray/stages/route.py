@@ -80,3 +80,54 @@ class RouteStage:
             route[m] = rule.sink
             claimed |= m
         return batch.append_column("route", pa.array(route, pa.string()))
+
+
+def ring_assign(ds, key_col: str, backends: list[str], *,
+                vnodes: int = 8, out_col: str = "backend"):
+    """Consistent-hash ring assignment — the loadbalancing exporter's
+    routing rule (contrib ``loadbalancingexporter``: each stream keyed
+    to one backend via a hash ring, stable under backend churn): every
+    backend contributes ``vnodes`` ring positions at
+    ``md5(backend + '#' + j)`` (the 12-hex checksum-lane digest), a
+    key hashes the same way and lands on the first ring position at or
+    after it (wrapping) — so the SQL mirror is the identical md5
+    expressions plus a MIN-over-ring lookup, and reassignment when a
+    backend leaves only moves the keys in its arcs.
+
+    Map-only: the ring (|backends|·vnodes rows) is built once on the
+    driver and rides the closure; per batch the assignment is one
+    md5 pass + one ``np.searchsorted`` against the sorted ring — NO
+    exchange. Ties on a ring position resolve to the lexicographically
+    smallest backend (total order, SQL ``ORDER BY pos, backend``)."""
+    from ..functions.text import md5_mod
+
+    if not backends:
+        raise ValueError("ring_assign: backends must be non-empty")
+    if len(set(backends)) != len(backends):
+        raise ValueError("ring_assign: duplicate backend names")
+    if vnodes < 1:
+        raise ValueError("ring_assign: vnodes must be >= 1")
+    full = 1 << 48  # the 12-hex digest domain
+    labels = []
+    pos = []
+    for b in sorted(backends):
+        points = md5_mod(
+            pa.array([f"{b}#{j}" for j in range(vnodes)], pa.string()),
+            full)
+        labels += [b] * vnodes
+        pos += points.tolist()
+    order = sorted(range(len(pos)), key=lambda i: (pos[i], labels[i]))
+    ring_pos = np.array([pos[i] for i in order], np.int64)
+    ring_lab = np.array([labels[i] for i in order], object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if not pa.types.is_string(keys.type):
+            keys = pc.cast(keys, pa.string())
+        h = md5_mod(keys, full)
+        idx = np.searchsorted(ring_pos, h, side="left")
+        idx[idx == len(ring_pos)] = 0  # wrap past the last point
+        return t.append_column(out_col,
+                               pa.array(ring_lab[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -80,3 +80,45 @@ def test_route_first_match_priority_and_null_safety():
     got = RouteStage(RULES)(t).column("route").to_pylist()
     # row0: both left+right match -> left (priority). row1: right beats views.
     assert got == ["left", "right", "default"]
+
+
+def test_ring_assign_consistency_under_churn(ray_session):
+    """THE consistent-hashing property: removing one backend only
+    moves the keys that were on it — every other key keeps its
+    assignment (a mod-N partitioner would reshuffle nearly all)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.route import ring_assign
+
+    rows = [{"k": f"user-{i}"} for i in range(500)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    four = ring_assign(ds, "k", ["a", "b", "c", "d"]) \
+        .to_pandas().set_index("k")["backend"]
+    three = ring_assign(ds, "k", ["a", "b", "c"]) \
+        .to_pandas().set_index("k")["backend"]
+    moved = 0
+    for k in four.index:
+        if four[k] == "d":
+            assert three[k] in ("a", "b", "c")
+            moved += 1
+        else:
+            assert three[k] == four[k], k
+    # backend d held a real share of the ring
+    assert 50 < moved < 250
+    # all four backends actually receive keys
+    assert set(four.unique()) == {"a", "b", "c", "d"}
+
+
+def test_ring_assign_validation():
+    import pytest
+
+    from opentelemetry_collector_ray.stages.route import ring_assign
+
+    with pytest.raises(ValueError, match="non-empty"):
+        ring_assign(None, "k", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        ring_assign(None, "k", ["a", "a"])
+    with pytest.raises(ValueError, match="vnodes"):
+        ring_assign(None, "k", ["a"], vnodes=0)
