@@ -6609,6 +6609,32 @@ def _q_events_ring_assign(sf_dir: str):
         ["backend", "event_type"], count_name="n", strategy="tree")
 
 
+def _q_events_fair_quota(sf_dir: str):
+    """Max-min fair quota (stages/mixing.py::fair_quota — the
+    water-filling admission rule for multi-tenant ingest): 25 tenants
+    (event_type # user%5) demand their event counts against a
+    capacity of 60% of the stream; every tenant gets min(demand,
+    floor(water level)), small tenants never starved. Exact integers
+    end to end; only the skinny demand table reaches the driver.
+    Oracle = window prefix sums + the same truncating division."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.stages.mixing import fair_quota
+
+    total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    cap = 3 * total // 5
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = pa.array((uid % 5).astype("U1"))
+        return pa.table({"tenant": pc.binary_join_element_wise(
+            t.column("event_type"), part, "#")})
+
+    ds = _read_co(sf_dir, "events", ["event_type", "user_id"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return fair_quota(ds, "tenant", cap)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6779,6 +6805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bounce_rate": _q_events_bounce_rate,
         "events_iat_parts": _q_events_iat_parts,
         "events_ring_assign": _q_events_ring_assign,
+        "events_fair_quota": _q_events_fair_quota,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7347,6 +7374,33 @@ a AS (
   FROM k)
 SELECT backend, event_type, CAST(count(*) AS BIGINT) AS n
 FROM a GROUP BY backend, event_type
+""",
+        "events_fair_quota": """
+WITH src AS (
+  SELECT event_type || '#' || CAST(user_id % 5 AS VARCHAR) AS tenant
+  FROM events),
+d AS (SELECT tenant, CAST(count(*) AS BIGINT) AS demand
+      FROM src GROUP BY tenant),
+cap AS (SELECT 3 * count(*) // 5 AS c FROM src),
+o AS (
+  SELECT tenant, demand,
+         row_number() OVER (ORDER BY demand, tenant) AS rn,
+         sum(demand) OVER (ORDER BY demand, tenant
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER () AS n
+  FROM d),
+th AS (
+  SELECT ((SELECT c FROM cap) - (cum - demand)) AS num,
+         (n - rn + 1) AS den
+  FROM o WHERE (cum - demand) + demand * (n - rn + 1)
+               > (SELECT c FROM cap)
+  ORDER BY rn LIMIT 1)
+SELECT tenant, demand,
+       CAST(CASE WHEN (SELECT count(*) FROM th) = 0 THEN demand
+            ELSE least(demand,
+                       (SELECT num FROM th) // (SELECT den FROM th))
+       END AS BIGINT) AS alloc
+FROM d
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

@@ -315,3 +315,72 @@ def select_budget_by(ds: ray.data.Dataset, key: str, value_col: str,
         return t.filter(pa.array(csum - base <= budget))
 
     return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def fair_quota(ds: ray.data.Dataset, tenant_col: str, capacity: int, *,
+               max_tenants: int = 1_000_000) -> ray.data.Dataset:
+    """Max-min fair (water-filling) quota allocation — the multi-tenant
+    admission rule a shared ingest pipeline applies when demand exceeds
+    capacity: every tenant gets min(demand, T) where the water level T
+    is the unique threshold making the grants sum to the capacity;
+    small tenants are never starved by large ones. Exact integers:
+    with demands sorted ascending, the first tenant j whose full grant
+    would blow the budget (cum_{j-1} + d_j·(n−j+1) > C) fixes
+    T = (C − cum_{j-1}) / (n−j+1), and the emitted grant is
+    min(d_i, T_num // T_den) — the SQL mirror is the same window
+    prefix sums and truncating division (all terms non-negative, so
+    floor == trunc). No contention (Σd ≤ C) grants every demand.
+
+    Output: one row per tenant — ``tenant_col``, ``demand``,
+    ``alloc``. Ties in demand order by tenant for a total order.
+
+    Scale shape: the raw rows reduce once to per-tenant demand counts
+    (shuffle-partial grouped count, tenants unbounded); only that
+    skinny table — ``count()``-guarded by ``max_tenants`` BEFORE the
+    pull — reaches the driver for the closed-form threshold, and the
+    result IS the small table (no second pass over the data)."""
+    import ray
+
+    from .aggregate import grouped_count
+
+    if capacity < 0:
+        raise ValueError("fair_quota: capacity must be >= 0")
+    demands = grouped_count(ds.select_columns([tenant_col]),
+                            [tenant_col], count_name="demand",
+                            strategy="shuffle").materialize()
+    n = demands.count()
+    if n > int(max_tenants):
+        raise ValueError(
+            f"fair_quota: {n:,} tenants exceed max_tenants="
+            f"{int(max_tenants):,} — allocate per partition instead")
+    parts = [ray.get(r) for r in demands.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            tenant_col: pa.array([], pa.string()),
+            "demand": pa.array([], pa.int64()),
+            "alloc": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(parts).sort_by(
+        [("demand", "ascending"), (tenant_col, "ascending")])
+    d = tbl.column("demand").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cum = np.cumsum(d)
+    total = int(cum[-1])
+    if total <= capacity:
+        alloc = d
+    else:
+        nn = len(d)
+        ranks = np.arange(nn, dtype=np.int64)
+        # first j where granting d_j to everyone not yet capped blows
+        # the budget: cum_{j-1} + d_j * (n - j) > C  (0-based)
+        prev = cum - d
+        blow = prev + d * (nn - ranks) > capacity
+        j = int(np.argmax(blow))  # blow is monotone once true
+        t_num = capacity - int(prev[j])
+        t_den = nn - j
+        level = t_num // t_den
+        alloc = np.minimum(d, level)
+    out = pa.table({tenant_col: tbl.column(tenant_col),
+                    "demand": pa.array(d),
+                    "alloc": pa.array(alloc.astype(np.int64))})
+    return ray.data.from_arrow(out)

@@ -134,3 +134,61 @@ def test_select_budget_by_validation(ray_session):
         {"k": ["a"], "v": [1.5], "id": pa.array([1], pa.int64())}))
     with pytest.raises(Exception, match="integer lane"):
         select_budget_by(floats, "k", "v", "id", budget=5).materialize()
+
+
+def _fq(rows, cap, **kw):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.mixing import fair_quota
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    return fair_quota(ds, "t", cap, **kw).to_pandas() \
+        .sort_values("t").reset_index(drop=True)
+
+
+def test_fair_quota_water_filling(ray_session):
+    # demands a=1, b=4, c=10; capacity 9 -> level (9-1)/2 = 4 -> floor 4
+    # a keeps 1, b capped 4, c capped 4 (sum 9 = capacity exactly)
+    rows = ([{"t": "a"}] * 1 + [{"t": "b"}] * 4 + [{"t": "c"}] * 10)
+    out = _fq(rows, 9)
+    assert list(out.demand) == [1, 4, 10]
+    assert list(out.alloc) == [1, 4, 4]
+    # no contention: everyone granted in full
+    out2 = _fq(rows, 100)
+    assert list(out2.alloc) == [1, 4, 10]
+    # zero capacity: nobody granted
+    out3 = _fq(rows, 0)
+    assert list(out3.alloc) == [0, 0, 0]
+
+
+def test_fair_quota_small_tenants_never_starved(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, d in enumerate(rng.integers(1, 200, 30)):
+        rows += [{"t": f"t{i:02d}"}] * int(d)
+    total = len(rows)
+    out = _fq(rows, total // 2)
+    # feasibility + max-min property: every capped tenant sits at one
+    # common level; every uncapped tenant gets its full demand
+    assert out.alloc.sum() <= total // 2
+    capped = out[out.alloc < out.demand]
+    assert capped.alloc.nunique() <= 1
+    level = int(capped.alloc.max()) if len(capped) else 0
+    uncapped = out[out.alloc == out.demand]
+    assert (uncapped.demand <= max(level + 1, 1) * 200).all()
+
+
+def test_fair_quota_guards(ray_session):
+    import pytest
+
+    from opentelemetry_collector_ray.stages.mixing import fair_quota
+
+    with pytest.raises(ValueError, match="capacity"):
+        fair_quota(None, "t", -1)
+    rows = [{"t": f"t{i}"} for i in range(20)]
+    with pytest.raises(ValueError, match="max_tenants"):
+        _fq(rows, 10, max_tenants=5)
