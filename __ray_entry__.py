@@ -6635,6 +6635,35 @@ def _q_events_fair_quota(sf_dir: str):
     return fair_quota(ds, "tenant", cap)
 
 
+def _q_events_interpolated(sf_dir: str):
+    """Linear-interpolation gap fill (stages/resample.py::
+    resample_interp — the LOCF resampler's sibling for continuous
+    gauges): per user, a daily grid carries the value linearly
+    interpolated between the surrounding observations as exact
+    integers (truncation-toward-zero mirrors SQL //; negative deltas
+    are where Python floor would silently diverge). Observations
+    pre-aggregated to one per (user, ts); ONE bucket exchange, grids
+    generated in-task, both neighbors via one lifted searchsorted.
+    Oracle = generate_series grid + correlated neighbor lookups + the
+    same truncating division."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.resample import (
+        resample_interp)
+
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "tu": t.column("ts").cast(pa.int64()),
+                         "cents": _cents(t.column("value"))})
+
+    obs = grouped_agg(
+        _read_co(sf_dir, "events", ["user_id", "ts", "value"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "tu"], max_cols={"cv": "cents"}, strategy="bucket")
+    return resample_interp(obs, "user_id", "tu", "cv", DAY_US)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6806,6 +6835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iat_parts": _q_events_iat_parts,
         "events_ring_assign": _q_events_ring_assign,
         "events_fair_quota": _q_events_fair_quota,
+        "events_interpolated": _q_events_interpolated,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7401,6 +7431,36 @@ SELECT tenant, demand,
                        (SELECT num FROM th) // (SELECT den FROM th))
        END AS BIGINT) AS alloc
 FROM d
+""",
+        "events_interpolated": """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cv
+  FROM events GROUP BY user_id, epoch_us(ts)),
+b AS (SELECT user_id, min(tu) AS mn, max(tu) AS mx
+      FROM obs GROUP BY user_id),
+g AS (
+  SELECT user_id,
+         unnest(generate_series(
+           CASE WHEN (mn // 86400000000) * 86400000000 < mn
+                THEN (mn // 86400000000) * 86400000000 + 86400000000
+                ELSE mn END,
+           mx, 86400000000)) AS grid_ts
+  FROM b),
+nb AS (
+  SELECT g.user_id, g.grid_ts,
+         (SELECT max(o.tu) FROM obs o
+          WHERE o.user_id = g.user_id AND o.tu <= g.grid_ts) AS pt,
+         (SELECT min(o.tu) FROM obs o
+          WHERE o.user_id = g.user_id AND o.tu >= g.grid_ts) AS nt
+  FROM g)
+SELECT nb.user_id, nb.grid_ts,
+       CAST(po.cv + CASE WHEN nb.nt = nb.pt THEN 0
+            ELSE (no.cv - po.cv) * (nb.grid_ts - nb.pt)
+                 // (nb.nt - nb.pt) END AS BIGINT) AS v_interp
+FROM nb
+JOIN obs po ON po.user_id = nb.user_id AND po.tu = nb.pt
+JOIN obs no ON no.user_id = nb.user_id AND no.tu = nb.nt
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

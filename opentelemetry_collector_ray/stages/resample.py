@@ -285,3 +285,116 @@ def lagged_xcorr_parts(ds: ray.data.Dataset, bucket_col: str,
         rows["syy"].append(int((y * y).sum()))
     return ray.data.from_arrow(pa.table(
         {k: pa.array(v, pa.int64()) for k, v in rows.items()}))
+
+
+def resample_interp(ds: ray.data.Dataset, key: str, ts_col: str,
+                    value_col: str, every_us: int, *,
+                    grid_name: str = "grid_ts",
+                    out_col: str = "v_interp",
+                    max_points_per_key: int = 1_000_000,
+                    n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Linear-interpolation gap fill — the :func:`resample_asof`
+    (LOCF) sibling for continuous gauges: one row per (key, grid
+    point) with the value LINEARLY interpolated between the
+    surrounding observations, as EXACT integers —
+    ``pv + trunc((nv − pv)·(g − pt) / (nt − pt))`` with
+    truncation-toward-zero mirroring SQL ``//`` (the delta can be
+    negative, where Python's floor would silently diverge — the
+    engine computes ``sign · (|num| // den)`` explicitly). Grid points
+    start at ``floor(first_ts / every_us) · every_us`` (the
+    resample_asof alignment) and leading points BEFORE the first
+    observation are dropped (nothing to interpolate from); a grid
+    point on an observation returns that value exactly. Duplicate
+    timestamps within a key must be pre-aggregated (raises loudly —
+    an ambiguous neighbor would be nondeterministic).
+
+    Scale shape: ONE hash-bucket exchange of the skinny (key, ts,
+    value) rows; per bucket each key's grid is generated in-task
+    (``max_points_per_key``-guarded) and both neighbors resolve with
+    two vectorized ``searchsorted`` calls — no second input pass, no
+    per-key Python."""
+    if every_us <= 0:
+        raise ValueError("resample_interp: every_us must be positive")
+
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def interp(t: pa.Table) -> pa.Table:
+        for c in (key, ts_col, value_col):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"resample_interp: column {c!r} has nulls")
+        t = t.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if not (np.issubdtype(ts.dtype, np.integer)
+                and np.issubdtype(v.dtype, np.integer)):
+            raise TypeError(
+                "resample_interp: ts and value must be integer columns "
+                "(µs / scaled ints)")
+        n = len(ts)
+        empty = pa.table({key: t.column(key).slice(0, 0),
+                          grid_name: pa.array([], pa.int64()),
+                          out_col: pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        ts = ts.astype(np.int64)
+        v = v.astype(np.int64)
+        keys_np = t.column(key).to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys_np)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        if ((~change) & np.r_[True, ts[1:] == ts[:-1]]).any():
+            raise ValueError(
+                "resample_interp: duplicate timestamps within a key — "
+                "pre-aggregate observations first")
+        # vectorized per-segment grids: no Python per key
+        first, last = ts[starts], ts[ends - 1]
+        g0 = (first // every_us) * every_us
+        g0 = np.where(g0 < first, g0 + every_us, g0)
+        npts = np.maximum((last - g0) // every_us + 1, 0)
+        if npts.size and int(npts.max()) > max_points_per_key:
+            raise ValueError(
+                f"resample_interp: {int(npts.max()):,} grid points for "
+                f"one key exceed max_points_per_key="
+                f"{max_points_per_key:,}")
+        total = int(npts.sum())
+        if total == 0:
+            return empty
+        seg_rep = np.repeat(np.arange(len(starts)), npts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(npts) - npts, npts)
+        grid = g0[seg_rep] + within * every_us
+        # one global searchsorted over the segment-lifted composite
+        lo = int(ts.min())
+        stride = (int(ts.max()) - lo) + int(every_us) + 2
+        n_seg = len(starts)
+        if stride > (2 ** 62) // max(n_seg, 1):
+            raise ValueError(
+                "resample_interp: lifted composite would overflow — "
+                "raise n_buckets or narrow the ts range")
+        seg_id_row = np.cumsum(change) - 1
+        comp_ts = (ts - lo) + seg_id_row * stride
+        comp_grid = (grid - lo) + seg_rep * stride
+        nxt = np.searchsorted(comp_ts, comp_grid, side="left")
+        prv = np.searchsorted(comp_ts, comp_grid, side="right") - 1
+        pt, nt = ts[prv], ts[nxt]
+        pv, nv = v[prv], v[nxt]
+        den = nt - pt
+        dv_max = int(np.abs(nv - pv).max()) if total else 0
+        if dv_max and dv_max > (2 ** 62) // max(int(every_us), 1):
+            raise ValueError(
+                "resample_interp: value delta × grid step would "
+                "overflow int64 — rescale the value column")
+        num = (nv - pv) * (grid - pt)
+        # truncation toward zero = SQL // (num may be negative)
+        q = np.where(den > 0,
+                     np.sign(num) * (np.abs(num) // np.maximum(den, 1)),
+                     0)
+        karr = (t.column(key).combine_chunks()
+                if isinstance(t.column(key), pa.ChunkedArray)
+                else t.column(key)).take(pa.array(starts[seg_rep]))
+        return pa.table({key: karr,
+                         grid_name: pa.array(grid),
+                         out_col: pa.array(pv + q)})
+
+    return bucketed_map_groups(ds, key, interp, n_buckets=n_buckets)

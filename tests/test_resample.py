@@ -244,3 +244,55 @@ def test_lag_xcorr_yaml_parity(ray_session, tmp_path):
     d = lagged_xcorr_parts(ray.data.read_parquet(str(p)), "b", "g",
                            "a", "b", lags=(-1, 0, 1)).to_pandas()
     assert y.equals(d)
+
+
+def _ri(rows, every, **kw):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.resample import (
+        resample_interp)
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    return resample_interp(ds, "k", "t", "v", every, **kw).to_pandas() \
+        .sort_values(["k", "grid_ts"]).reset_index(drop=True)
+
+
+def test_resample_interp_planted(ray_session):
+    rows = [{"k": "a", "t": t, "v": v}
+            for t, v in [(0, 0), (10, 100), (30, 50)]]
+    out = _ri(rows, 5)
+    # grid 0,5,10,...,30; linear 0->100 over [0,10], 100->50 over [10,30]
+    assert out.grid_ts.tolist() == [0, 5, 10, 15, 20, 25, 30]
+    # 15: 100 + (50-100)*5//20 = 100 + trunc(-12.5) = 100 - 12 = 88
+    assert out.v_interp.tolist() == [0, 50, 100, 88, 75, 63, 50]
+
+
+def test_resample_interp_truncates_toward_zero(ray_session):
+    # pv=10 -> nv=0 over den=3, grid at +1: num=-10 -> trunc = -3
+    # (Python floor would give -4 and silently diverge from SQL //)
+    rows = [{"k": "a", "t": 0, "v": 10}, {"k": "a", "t": 3, "v": 0}]
+    out = _ri(rows, 1)
+    assert out.v_interp.tolist() == [10, 7, 4, 0]
+
+
+def test_resample_interp_leading_drop_and_alignment(ray_session):
+    # first obs at t=7, every=5: grid starts at 10 (5 < 7 has no left
+    # neighbor), ends at 12's last grid point 10
+    rows = [{"k": "a", "t": 7, "v": 0}, {"k": "a", "t": 12, "v": 100}]
+    out = _ri(rows, 5)
+    assert out.grid_ts.tolist() == [10]
+    assert out.v_interp.tolist() == [60]
+
+
+def test_resample_interp_guards(ray_session):
+    import pytest
+
+    rows = [{"k": "a", "t": 1, "v": 5}, {"k": "a", "t": 1, "v": 6}]
+    with pytest.raises(Exception, match="duplicate timestamps"):
+        _ri(rows, 5)
+    with pytest.raises(Exception, match="max_points_per_key"):
+        _ri([{"k": "a", "t": 0, "v": 0},
+             {"k": "a", "t": 10_000, "v": 1}], 1,
+            max_points_per_key=100)
