@@ -6664,6 +6664,29 @@ def _q_events_interpolated(sf_dir: str):
     return resample_interp(obs, "user_id", "tu", "cv", DAY_US)
 
 
+def _q_events_quantile_map(sf_dir: str):
+    """Quantile mapping (stages/normalize.py::quantile_map — the
+    distribution-matching remap for score harmonization): every other
+    event type's spend-band distribution mapped onto 'view''s scale —
+    each distinct band goes to the reference band at the same quantile
+    position, via the exact integer rank rule (n_ref−1)·r // (n_S−1)
+    and the quantile_disc cumulative lookup. The corpus reduces once
+    to the (slice, value) count table; the mapping is one driver pass
+    over that skinny table. Oracle = window cumsums + the same
+    truncating division + MIN-over-cumulative lookup."""
+    from opentelemetry_collector_ray.stages.normalize import quantile_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        band = pc.divide(_cents(t.column("value")),
+                         pa.scalar(100, pa.int64()))
+        return pa.table({"event_type": t.column("event_type"),
+                         "v": band})
+
+    ds = _read_co(sf_dir, "events", ["event_type", "value"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return quantile_map(ds, "event_type", "v", "view")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6836,6 +6859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ring_assign": _q_events_ring_assign,
         "events_fair_quota": _q_events_fair_quota,
         "events_interpolated": _q_events_interpolated,
+        "events_quantile_map": _q_events_quantile_map,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7461,6 +7485,29 @@ SELECT nb.user_id, nb.grid_ts,
 FROM nb
 JOIN obs po ON po.user_id = nb.user_id AND po.tu = nb.pt
 JOIN obs no ON no.user_id = nb.user_id AND no.tu = nb.nt
+""",
+        "events_quantile_map": """
+WITH src AS (
+  SELECT event_type AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS v
+  FROM events),
+vc AS (SELECT s, v, CAST(count(*) AS BIGINT) AS c
+       FROM src GROUP BY s, v),
+ref AS (SELECT v, sum(c) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vc WHERE s = 'view'),
+refn AS (SELECT max(cum) AS nr FROM ref),
+sv AS (
+  SELECT s, v,
+         sum(c) OVER (PARTITION BY s ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) - 1 AS r,
+         sum(c) OVER (PARTITION BY s) AS n
+  FROM vc WHERE s != 'view')
+SELECT s AS event_type, v,
+       CAST((SELECT min(ref.v) FROM ref
+             WHERE ref.cum > ((SELECT nr FROM refn) - 1) * sv.r
+                             // (sv.n - 1)) AS BIGINT) AS mapped
+FROM sv WHERE n > 1
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

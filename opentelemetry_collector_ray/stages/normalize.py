@@ -709,3 +709,86 @@ def chi2_two_sample(ds: ray.data.Dataset, group_col: str, cell_col: str,
         "o_a": pa.array(o_a, pa.int64()),
         "o_b": pa.array(o_b, pa.int64()),
         "chi2_scaled": pa.array(chi2, pa.int64())}))
+
+
+def quantile_map(ds: ray.data.Dataset, slice_col: str, value_col: str,
+                 ref_slice, *, max_table: int = 4_000_000
+                 ) -> ray.data.Dataset:
+    """Quantile mapping (distribution matching / harmonization — the
+    remap applied when one slice's score scale must be made comparable
+    to a reference slice's: sensor recalibration, judge-score
+    normalization, domain transfer): every distinct value ``x`` of a
+    non-reference slice maps to the reference value at the same
+    quantile position, with the exact integer rank rule
+    ``idx = (n_ref − 1) · r // (n_S − 1)`` where ``r`` is x's 0-based
+    LAST-row rank within its own slice and the lookup is DuckDB's
+    ``quantile_disc`` rule (first reference value whose cumulative
+    count exceeds ``idx``). All integers — the SQL mirror is the same
+    window cumsums and truncating division.
+
+    Emits the mapping table ``(slice_col, value_col, mapped)`` for
+    every slice ≠ ``ref_slice`` with ≥ 2 rows — apply it to the raw
+    rows with a broadcast join. Scale shape: the corpus reduces ONCE
+    to the (slice, value) count table (shuffle partials, domain- not
+    row-bounded, ``count()``-guarded by ``max_table`` BEFORE the
+    pull); the mapping itself is one driver-side vectorized pass over
+    that skinny table — raw rows never move."""
+    import ray
+
+    from .aggregate import grouped_count
+
+    vc = grouped_count(ds.select_columns([slice_col, value_col]),
+                       [slice_col, value_col], count_name="_c",
+                       strategy="shuffle").materialize()
+    nt = vc.count()
+    if nt > int(max_table):
+        raise ValueError(
+            f"quantile_map: {nt:,} (slice, value) rows exceed "
+            f"max_table={int(max_table):,} — band the value domain")
+    parts = [ray.get(r) for r in vc.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    out_schema = pa.schema([
+        pa.field(slice_col, pa.string()), pa.field(value_col, pa.int64()),
+        pa.field("mapped", pa.int64())])
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    tbl = pa.concat_tables(parts).sort_by(
+        [(slice_col, "ascending"), (value_col, "ascending")])
+    sl = tbl.column(slice_col).to_numpy(zero_copy_only=False)
+    v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+    if not np.issubdtype(v.dtype, np.integer):
+        raise TypeError(
+            f"quantile_map: {value_col!r} must be integer (band first)")
+    v = v.astype(np.int64)
+    c = tbl.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+    is_ref = sl == ref_slice
+    if not is_ref.any():
+        raise ValueError(
+            f"quantile_map: reference slice {ref_slice!r} not present")
+    ref_v = v[is_ref]
+    ref_cum = np.cumsum(c[is_ref])
+    n_ref = int(ref_cum[-1])
+    keep = ~is_ref
+    sl_k, v_k, c_k = sl[keep], v[keep], c[keep]
+    # per-slice cumulative counts (rows already sorted by slice, value)
+    change = np.ones(len(sl_k), dtype=bool)
+    if len(sl_k) > 1:
+        change[1:] = sl_k[1:] != sl_k[:-1]
+    seg_start = np.flatnonzero(change)
+    seg_of = np.repeat(np.arange(len(seg_start)),
+                       np.diff(np.append(seg_start, len(sl_k))))
+    cum = np.cumsum(c_k)
+    base = cum[seg_start] - c_k[seg_start]
+    cum_in = cum - base[seg_of]           # cumulative count within slice
+    n_s = np.add.reduceat(c_k, seg_start)[seg_of] if len(c_k) else c_k
+    r = cum_in - 1                        # 0-based LAST-row rank of x
+    ok = n_s > 1
+    idx = np.zeros(len(r), np.int64)
+    idx[ok] = (n_ref - 1) * r[ok] // (n_s[ok] - 1)
+    pos = np.searchsorted(ref_cum, idx, side="right")
+    mapped = ref_v[np.clip(pos, 0, len(ref_v) - 1)]
+    out = pa.table({slice_col: tbl.column(slice_col).filter(
+                        pa.array(keep)).filter(pa.array(ok)),
+                    value_col: pa.array(v_k[ok]),
+                    "mapped": pa.array(mapped[ok])})
+    return ray.data.from_arrow(out)

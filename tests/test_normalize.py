@@ -553,3 +553,52 @@ def test_chi2_two_sample_guards(ray_session):
     with pytest.raises(Exception, match="max_cells"):
         chi2_two_sample(ray.data.from_arrow(tb), "g", "c", "a", "b",
                         max_cells=3).to_pandas()
+
+
+def test_quantile_map_planted(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import quantile_map
+
+    # ref slice: values 10 x2, 20 x2 (n_ref=4, cum 2/4)
+    # slice b: 100, 200 (n=2): r=0 -> idx 0 -> first cum>0 = 10;
+    #                          r=1 -> idx (3*1)//1 = 3 -> cum>3 = 20
+    rows = ([{"s": "ref", "v": 10}] * 2 + [{"s": "ref", "v": 20}] * 2
+            + [{"s": "b", "v": 100}, {"s": "b", "v": 200}]
+            + [{"s": "solo", "v": 7}])  # n=1 slice: dropped
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = quantile_map(ds, "s", "v", "ref").to_pandas() \
+        .sort_values(["s", "v"]).reset_index(drop=True)
+    assert out.s.tolist() == ["b", "b"]
+    assert out.v.tolist() == [100, 200]
+    assert out.mapped.tolist() == [10, 20]
+    # identity: mapping the reference distribution onto itself via a
+    # copy slice reproduces its own values
+    rows2 = ([{"s": "ref", "v": x} for x in (1, 2, 3, 4)]
+             + [{"s": "copy", "v": x} for x in (1, 2, 3, 4)])
+    ds2 = ray.data.from_arrow(pa.Table.from_pylist(rows2))
+    out2 = quantile_map(ds2, "s", "v", "ref").to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert out2.mapped.tolist() == [1, 2, 3, 4]
+
+
+def test_quantile_map_guards(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.normalize import quantile_map
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"s": "a", "v": 1}, {"s": "a", "v": 2}]))
+    with pytest.raises(ValueError, match="not present"):
+        quantile_map(ds, "s", "v", "missing")
+    dsf = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"s": "a", "v": 1.5}, {"s": "ref", "v": 1.0}]))
+    with pytest.raises(Exception, match="integer"):
+        quantile_map(dsf, "s", "v", "ref")
+    with pytest.raises(ValueError, match="max_table"):
+        quantile_map(ds, "s", "v", "a", max_table=1)
