@@ -39,6 +39,11 @@ def decode_snowflake(ids: pa.ChunkedArray | pa.Array, *,
             "sum to <= 22 (the standard layout is 10 + 12)")
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
+    if ids.null_count:
+        # a null would force the numpy conversion through float64 and
+        # silently corrupt every id above 2^53 — map nulls to the
+        # negative (→ NULL-output) lane instead
+        ids = pc.fill_null(ids, -1)
     v = np.asarray(ids.to_numpy(zero_copy_only=False), np.int64)
     shift = machine_bits + seq_bits
     ok = v >= 0

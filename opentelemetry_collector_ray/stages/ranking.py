@@ -355,7 +355,9 @@ def build_positional_index(ds: ray.data.Dataset, index_dir: str,
 
 
 def query_phrase(index_dir: str, phrase_terms, n_buckets: int = 64,
-                 id_col: str = "doc_id") -> ray.data.Dataset:
+                 id_col: str = "doc_id",
+                 exchange_buckets: int | str = "auto"
+                 ) -> ray.data.Dataset:
     """Exact phrase query over the positional index: a document matches
     when some anchor position p has ``phrase_terms[i]`` at ``p + i``
     for every i. Each term's postings are read partition-pruned and
@@ -366,7 +368,13 @@ def query_phrase(index_dir: str, phrase_terms, n_buckets: int = 64,
     total for any phrase length (the first cut's per-term SEMI-join
     chain paid one exchange per term plus a distinct pass: 4.6 s →
     ~1.5 s at sf0.1). Skinny (doc, anchor, ordinal) rows are the only
-    exchange currency. Returns the distinct matching doc ids."""
+    exchange currency. Returns the distinct matching doc ids.
+
+    ``n_buckets`` is the INDEX-LAYOUT contract and must equal the
+    value the index was built with (it drives partition pruning — a
+    mismatch would hash terms into the wrong ``bucket=`` partitions
+    and silently drop postings); tune the doc-id exchange width with
+    the independent ``exchange_buckets`` knob instead."""
     from .bucketing import bucketed_map_groups
 
     terms = _check_terms(phrase_terms)
@@ -428,7 +436,7 @@ def query_phrase(index_dir: str, phrase_terms, n_buckets: int = 64,
         return pa.table({id_col: pc.unique(docs)})
 
     return bucketed_map_groups(tagged, id_col, match,
-                               n_buckets=n_buckets)
+                               n_buckets=exchange_buckets)
 
 
 def rrf_fuse(rankings: list, id_col: str = "doc_id",

@@ -380,11 +380,18 @@ def resample_interp(ds: ray.data.Dataset, key: str, ts_col: str,
         pt, nt = ts[prv], ts[nxt]
         pv, nv = v[prv], v[nxt]
         den = nt - pt
+        # the multiply is (nv − pv) · (grid − pt) with grid − pt
+        # bounded by the OBSERVATION GAP den, not the grid step —
+        # guard max|Δv| · max(gap) (conservative cross-product, exact
+        # Python ints; a 30-day gap × a large delta is exactly the
+        # sparse-gauge case this function targets)
         dv_max = int(np.abs(nv - pv).max()) if total else 0
-        if dv_max and dv_max > (2 ** 62) // max(int(every_us), 1):
+        gap_max = int(den.max()) if total else 0
+        if dv_max and gap_max and dv_max > (2 ** 62) // gap_max:
             raise ValueError(
-                "resample_interp: value delta × grid step would "
-                "overflow int64 — rescale the value column")
+                "resample_interp: value delta × observation gap would "
+                "overflow int64 — rescale the value column or band "
+                "the gaps")
         num = (nv - pv) * (grid - pt)
         # truncation toward zero = SQL // (num may be negative)
         q = np.where(den > 0,

@@ -338,6 +338,23 @@ def test_decode_snowflake_layout():
     assert d2["sf_ts_ms"].to_pylist() == [ts_ms + 1_288_834_974_657]
 
 
+def test_decode_snowflake_null_beside_large_id():
+    # a null in the int64 column must not push the numpy conversion
+    # through float64 — ids above 2^53 would silently lose low bits
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.functions.timefn import (
+        decode_snowflake)
+
+    ts_ms, machine, seq = 1_700_000_000_123, 517, 2049
+    sid = (ts_ms << 22) | (machine << 12) | seq  # ≫ 2^53
+    d = decode_snowflake(pa.array([sid, None, sid + (1 << 12)],
+                                  pa.int64()))
+    assert d["sf_ts_ms"].to_pylist() == [ts_ms, None, ts_ms]
+    assert d["sf_machine"].to_pylist() == [machine, None, machine + 1]
+    assert d["sf_seq"].to_pylist() == [seq, None, seq]
+
+
 def test_decode_snowflake_validates_bits():
     import pytest
 

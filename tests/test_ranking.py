@@ -153,6 +153,34 @@ def test_positional_phrase_query(ray_session, tmp_path):
     assert query_phrase(idx, ["red", "wolf"], n_buckets=8).count() == 0
 
 
+def test_query_phrase_exchange_buckets_independent(ray_session,
+                                                   tmp_path):
+    """`n_buckets` is the index-layout contract (partition pruning);
+    the doc-id exchange width is the separate ``exchange_buckets``
+    knob — any value must give identical matches."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_positional_index, query_phrase)
+
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["big red fox", "red fox", "fox red", "red and fox"] * 3)]
+    idx = str(tmp_path / "xidx")
+    build_positional_index(
+        ray.data.from_arrow(pa.Table.from_pylist(docs)), idx,
+        n_buckets=8)
+    want = sorted(query_phrase(idx, ["red", "fox"], n_buckets=8)
+                  .to_pandas().doc_id.tolist())
+    assert want == sorted([0, 1, 4, 5, 8, 9])
+    for xb in (1, 3):
+        got = sorted(query_phrase(idx, ["red", "fox"], n_buckets=8,
+                                  exchange_buckets=xb)
+                     .to_pandas().doc_id.tolist())
+        assert got == want
+
+
 def test_query_phrase_validates_terms(tmp_path):
     import pytest
 

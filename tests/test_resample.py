@@ -296,3 +296,19 @@ def test_resample_interp_guards(ray_session):
         _ri([{"k": "a", "t": 0, "v": 0},
              {"k": "a", "t": 10_000, "v": 1}], 1,
             max_points_per_key=100)
+
+
+def test_resample_interp_guards_gap_not_grid_step(ray_session):
+    # the multiply is dv * (grid - pt) with grid - pt bounded by the
+    # OBSERVATION GAP, not `every`: dv=2^40 over a 2^23-us gap wraps
+    # int64 even at every=1 — the old every-based guard missed this
+    import pytest
+
+    rows = [{"k": "a", "t": 0, "v": 0},
+            {"k": "a", "t": 2 ** 23, "v": 2 ** 40}]
+    with pytest.raises(Exception, match="observation gap"):
+        _ri(rows, 2 ** 21, max_points_per_key=10)
+    # same dv over a small gap is fine (dv * gap fits comfortably)
+    ok = _ri([{"k": "a", "t": 0, "v": 0},
+              {"k": "a", "t": 4, "v": 2 ** 40}], 2)
+    assert ok.v_interp.tolist() == [0, 2 ** 39, 2 ** 40]
