@@ -2676,6 +2676,29 @@ def _q_docs_frequent_terms(sf_dir: str):
         num=1, den=200)
 
 
+def _q_docs_heavy_tokens(sf_dir: str):
+    """Misra–Gries heavy hitters (stages/sketch.py::heavy_hitters —
+    the BOUNDED-MEMORY exact frequent-items path, complementing
+    docs_frequent_terms' pigeonhole variant whose candidate set grows
+    with block count): pass 1 merges per-batch value_counts compressed
+    to a fixed 80-entry summary (candidate completeness per Agarwal et
+    al. mergeable-summaries bound), pass 2 recounts the candidates
+    exactly and keeps tokens with freq·40 > n — strict >, so the SQL
+    HAVING mirrors bit-exact."""
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        _tokens_with_rows)
+    from opentelemetry_collector_ray.stages.sketch import heavy_hitters
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, _rows = _tokens_with_rows(t.column("text"))
+        return pa.table({"tok": flat})
+
+    return heavy_hitters(
+        lambda: _read_co(sf_dir, "documents", ["text"], floor=8)
+        .map_batches(explode, batch_format="pyarrow"),
+        "tok", 40, count_name="n_tok")
+
+
 def _q_docs_term_cms(sf_dir: str):
     """Count-Min frequency sketch (stages/sketch.py cms_build /
     cms_query — completing the mergeable-sketch triad: HLL distinct,
@@ -6860,6 +6883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fair_quota": _q_events_fair_quota,
         "events_interpolated": _q_events_interpolated,
         "events_quantile_map": _q_events_quantile_map,
+        "docs_heavy_tokens": _q_docs_heavy_tokens,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8003,6 +8027,15 @@ SELECT k.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
 FROM (SELECT DISTINCT user_id FROM events) k
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
+""",
+        "docs_heavy_tokens": """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM tok)
+SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+FROM tok, tot GROUP BY tok, tot.c
+HAVING count(*) * 40 > tot.c
 """,
         "docs_frequent_terms": """
 WITH tok AS (

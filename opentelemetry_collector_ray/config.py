@@ -933,6 +933,17 @@ def _register_builtins() -> None:
             text_col=cfg.get("text_col", "text"),
             persist=cfg.get("persist", "none")))
 
+    def make_heavy_hitters(cfg: dict):
+        from .stages.sketch import heavy_hitters
+
+        if not cfg.get("col") or not cfg.get("k"):
+            raise ConfigError("heavy_hitters: col and k are required")
+        return DatasetTransform(lambda ds: heavy_hitters(
+            lambda: ds, cfg["col"], int(cfg["k"]),
+            capacity=int(cfg["capacity"]) if cfg.get("capacity") else None,
+            count_name=cfg.get("count_name", "n"),
+            persist=cfg.get("persist", "none")))
+
     def make_apdex(cfg: dict):
         from .stages.spanops import apdex
 
@@ -1413,6 +1424,7 @@ def _register_builtins() -> None:
     register("sample_by", Factory("processor", make_sample_by))
     register("quantize", Factory("processor", make_quantize))
     register("frequent_terms", Factory("processor", make_frequent_terms))
+    register("heavy_hitters", Factory("processor", make_heavy_hitters))
     register("mix", Factory("processor", make_mix))
     register("global_sort", Factory("processor", make_global_sort))
     register("contamination", Factory("processor", make_contamination))

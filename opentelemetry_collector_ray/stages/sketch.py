@@ -447,3 +447,148 @@ def cms_query(sketch: np.ndarray, items) -> np.ndarray:
         idx = (hash64_ints(base, seed=r) % np.uint64(w)).astype(np.int64)
         est = np.minimum(est, sketch[r][idx])
     return est
+
+
+# ---------------------------------------------------------------- MG --
+# Misra-Gries heavy hitters: the mergeable frequent-items summary
+# (Misra & Gries 1982; merge-then-compress bound per Agarwal et al.,
+# "Mergeable Summaries", PODS 2012). Unlike HLL/KLL/CMS above, the
+# final answer here is EXACT: pass 1 produces a candidate superset
+# (guaranteed to contain every value with freq > n/k when capacity >=
+# k), pass 2 recounts only the <= capacity candidates exactly and
+# applies the threshold. Complements corpusstats.frequent_terms (the
+# pigeonhole per-block-threshold variant): that one's candidate set
+# grows with the BLOCK COUNT (union of per-block locals, guarded by
+# MAX_HH_CANDIDATES), while MG's stays <= capacity no matter how many
+# blocks — the right choice when blocks are small or the stream is
+# adversarial. Reference parity: the collector has no frequent-items
+# processor; this is the scale path for "which label values dominate
+# a stream" that the cardinality limiter (stages/cardinality.py)
+# answers with a full groupby.
+
+def _mg_compress(values: pa.Array, counts: np.ndarray, capacity: int
+                 ) -> tuple[pa.Array, np.ndarray]:
+    """Keep <= capacity (value, count) pairs: subtract the
+    (capacity+1)-th largest count from all and drop the non-positive
+    remainder — the classic MG decrement, vectorized."""
+    if len(counts) <= capacity:
+        return values, counts
+    order = np.argsort(-counts, kind="stable")
+    sub = counts[order[capacity]]
+    keep = counts > sub
+    return values.filter(pa.array(keep)), counts[keep] - sub
+
+
+class MgPartial:
+    """Per-batch MG summary rows: exact ``value_counts`` (error-free
+    summaries) compressed to ``capacity`` survivors, plus the batch's
+    exact non-null row count on a dedicated null-value carrier row
+    (compression can legitimately evict EVERY value — equal counts,
+    distinct > capacity — so the total must not ride a value row)."""
+
+    def __init__(self, col: str, capacity: int):
+        self.col, self.capacity = col, capacity
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col.drop_null())
+        values = vc.field("values")
+        counts = np.asarray(vc.field("counts").to_numpy(
+            zero_copy_only=False), np.int64)
+        total = int(counts.sum())
+        values, counts = _mg_compress(values, counts, self.capacity)
+        vtype = values.type
+        return pa.table({
+            "v": pa.concat_arrays([values, pa.array([None], vtype)]),
+            "c": pa.array(np.append(counts, 0), pa.int64()),
+            "tot": pa.array([0] * len(counts) + [total], pa.int64()),
+        })
+
+
+def _mg_merge(capacity: int):
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("v").aggregate([("c", "sum"), ("tot", "sum")])
+        mask = pc.is_valid(g.column("v")).to_numpy(zero_copy_only=False)
+        vals = g.column("v").combine_chunks().filter(pa.array(mask))
+        cnts = np.asarray(g.column("c_sum").to_numpy(
+            zero_copy_only=False), np.int64)[mask]
+        total = int(pc.sum(t.column("tot")).as_py() or 0)
+        vals, cnts = _mg_compress(vals, cnts, capacity)
+        return pa.table({
+            "v": pa.concat_arrays([vals, pa.array([None], vals.type)]),
+            "c": pa.array(np.append(cnts, 0), pa.int64()),
+            "tot": pa.array([0] * len(cnts) + [total], pa.int64()),
+        })
+    return merge
+
+
+def heavy_hitters(make_ds, col: str, k: int, *, capacity: int | None = None,
+                  count_name: str = "n", persist: str = "none",
+                  fanin: int = 8) -> ray.data.Dataset:
+    """EXACT frequent items: every value whose frequency exceeds n/k
+    (strictly; n = non-null rows, SQL ``HAVING count(*)*k > n``), found
+    without ever shuffling the raw column.
+
+    Pass 1: per-batch exact value_counts compressed to ``capacity``
+    (default 2k) -> associative merge-then-compress tree (the whole
+    exchange moves fanin+1 summaries of <= capacity+1 skinny rows).
+    The merged summary's undercount is bounded by n/(capacity+1), so
+    with capacity >= k it contains every above-threshold value
+    (validated loudly). Pass 2: exact tree recount of only the
+    candidates (bounded key domain <= capacity) and the true-count
+    threshold filter — false candidates die here, so the result is
+    exact, not approximate. ``make_ds`` is a zero-arg dataset factory
+    (two passes; see ``bucketing.persisted_factory`` for ``persist=``)."""
+    from .aggregate import grouped_count
+    from .bucketing import persisted_factory
+
+    if k < 2:
+        raise ValueError("heavy_hitters: need k >= 2")
+    capacity = 2 * k if capacity is None else capacity
+    if capacity < k:
+        raise ValueError(
+            f"heavy_hitters: capacity={capacity} < k={k} breaks the "
+            "candidate-completeness bound (undercount <= n/(capacity+1) "
+            "must not exceed the n/k threshold)")
+    make_ds = persisted_factory(make_ds, persist)
+
+    summary = make_ds().select_columns([col]).map_batches(
+        MgPartial(col, capacity), batch_format="pyarrow") \
+        .repartition(fanin).map_batches(
+            _mg_merge(capacity), batch_format="pyarrow", batch_size=None) \
+        .repartition(1).map_batches(
+            _mg_merge(capacity), batch_format="pyarrow", batch_size=None)
+    # <= capacity+1 skinny rows — bounded; pull as ARROW to keep the
+    # value column's exact type for is_in and the empty-path schema
+    # (materialize first: to_arrow_refs on a lazy dataset re-executes
+    # the plan for its internal schema fetch on Ray 2.49)
+    mat = summary.materialize()
+    tbl = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+    n = int(pc.sum(tbl.column("tot")).as_py() or 0)
+    cand_arr = tbl.column("v").combine_chunks().drop_null()
+    if n > (2 ** 62) // max(k, 1):
+        raise ValueError(
+            f"heavy_hitters: n={n:,} * k={k} would overflow int64")
+
+    empty = pa.schema([pa.field(col, tbl.schema.field("v").type),
+                       pa.field(count_name, pa.int64())])
+    if not len(cand_arr) or n == 0:
+        return ray.data.from_arrow(empty.empty_table())
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(col), value_set=cand_arr))
+
+    counted = grouped_count(
+        make_ds().select_columns([col]).map_batches(
+            keep_cands, batch_format="pyarrow"),
+        [col], count_name=count_name, strategy="tree", fanin=fanin)
+
+    def threshold(t: pa.Table) -> pa.Table:
+        ok = pc.greater(pc.multiply_checked(
+            t.column(count_name), pa.scalar(k, pa.int64())),
+            pa.scalar(n, pa.int64()))
+        return t.filter(ok)
+
+    return counted.map_batches(threshold, batch_format="pyarrow")

@@ -1218,3 +1218,37 @@ def test_apdex_head_sample_delta_rate_yaml(ray_session, tmp_path):
                           "v", "t", scale=10).to_pandas() \
         .sort_values("t").reset_index(drop=True)
     pd.testing.assert_frame_equal(y3, want3, check_dtype=False)
+
+
+def test_heavy_hitters_yaml_parity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.stages.sketch import heavy_hitters
+
+    p = tmp_path / "h.parquet"
+    pq.write_table(pa.table({
+        "v": pa.array(["hot"] * 40 + ["warm"] * 20
+                      + [f"t{i}" for i in range(40)])}), str(p))
+    built = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p)}},
+        "processors": {"heavy_hitters": {"col": "v", "k": 4,
+                                         "capacity": 8}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["heavy_hitters"],
+            "exporters": ["debug"]}}},
+    })).to_pandas().sort_values("v").reset_index(drop=True)
+    direct = heavy_hitters(
+        lambda: ray.data.read_parquet(str(p)), "v", 4, capacity=8
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert built.equals(direct)
+    # n=100, threshold 25: only "hot" (40)
+    assert built.v.tolist() == ["hot"]
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    with pytest.raises(ConfigError, match="required"):
+        get_factory("heavy_hitters").create({"col": "v"})

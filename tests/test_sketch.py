@@ -173,3 +173,81 @@ def test_grouped_approx_distinct_accuracy_and_merge(ray_session):
     assert int(one["approx_distinct"][0]) == 1
     with pytest.raises(ValueError, match="p must be"):
         grouped_approx_distinct(ray.data.from_arrow(tn), "k", "v", p=2)
+
+
+def test_heavy_hitters_exact_threshold(ray_session):
+    """The two-pass MG result must EQUAL brute force {v: freq(v) > n/k}
+    even when the summary capacity is far below the distinct count
+    (eviction exercised: 200 singletons beside 3 hitters)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    vals = (["alpha"] * 300 + ["beta"] * 150 + ["gamma"] * 90
+            + [f"tail{i}" for i in range(200)])
+    rng.shuffle(vals)
+    tbl = pa.table({"v": pa.array(vals)})
+    n = len(vals)
+    for k in (3, 8, 40):
+        got = heavy_hitters(
+            lambda: ray.data.from_arrow(tbl).repartition(9), "v", k,
+            capacity=max(k, 16)).to_pandas()
+        want = {v: c for v, c in collections.Counter(vals).items()
+                if c * k > n}
+        assert dict(zip(got["v"], got["n"])) == want, k
+
+
+def test_heavy_hitters_nulls_empty_and_guards(ray_session):
+    import pyarrow as pa
+
+    import pytest
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import heavy_hitters
+
+    # nulls are not values and do not count toward n (SQL count(col))
+    t = pa.table({"v": pa.array(["x", "x", "x", None, None, "y"])})
+    out = heavy_hitters(lambda: ray.data.from_arrow(t), "v", 2) \
+        .to_pandas()  # n=4, threshold 2: x(3) passes, y(1) fails
+    assert dict(zip(out["v"], out["n"])) == {"x": 3}
+
+    # all-null input -> empty result with the input's value type
+    tn = pa.table({"v": pa.array([None, None], pa.string())})
+    empty = heavy_hitters(lambda: ray.data.from_arrow(tn), "v", 2)
+    assert empty.count() == 0
+    assert empty.schema().base_schema.field("v").type == pa.string()
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(lambda: ray.data.from_arrow(t), "v", 10,
+                      capacity=5)
+    with pytest.raises(ValueError, match="k >= 2"):
+        heavy_hitters(lambda: ray.data.from_arrow(t), "v", 1)
+
+
+def test_heavy_hitters_integer_column_and_sharding(ray_session):
+    """Result is sharding-invariant and keeps the input's value type
+    (int64 here) through is_in and the output schema."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.sketch import heavy_hitters
+
+    vals = [7] * 50 + [11] * 30 + list(range(100, 160))
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    outs = []
+    for parts in (1, 4, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = heavy_hitters(lambda ds=ds: ds, "v", 4,
+                            capacity=8).to_pandas()
+        outs.append(sorted(zip(got["v"], got["n"])))
+    # n=140, threshold 35: only 7 (50) passes; 11 (30) fails
+    assert outs[0] == [(7, 50)]
+    assert outs[0] == outs[1] == outs[2]
