@@ -2699,6 +2699,44 @@ def _q_docs_heavy_tokens(sf_dir: str):
         "tok", 40, count_name="n_tok")
 
 
+def _q_events_ip_nets(sf_dir: str):
+    """Client-address lanes (functions/net.py — the client.Info.Addr
+    attribute surface, reference client/client.go:67): a deterministic
+    md5 ip per user (md5_mod convention, ~1/16 corrupted with a junk
+    suffix), formatted to dotted-quad, re-parsed with the validating
+    RE2 lane (malformed → NULL, never a guess), classified first-match
+    against the RFC 1918 / loopback / CGNAT ranges, and rolled up by
+    (class, first octet) — a bounded key domain, so one tree
+    aggregate. Oracle = same md5 synth + integer range CASE; the
+    corrupt lane surfaces as class 'invalid' with a NULL octet."""
+    from opentelemetry_collector_ray.functions.net import (
+        classify_cidr, ipv4_format, ipv4_parse)
+    from opentelemetry_collector_ray.functions.text import md5_mod
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    rules = [("loopback", "127.0.0.0/8"), ("private", "10.0.0.0/8"),
+             ("private", "172.16.0.0/12"), ("private", "192.168.0.0/16"),
+             ("cgnat", "100.64.0.0/10")]
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.string())
+        ip = pa.array(md5_mod(uid, 2 ** 32), pa.int64())
+        s = ipv4_format(ip)
+        bad = pc.equal(pc.bit_wise_and(t.column("event_id"),
+                                       pa.scalar(15, pa.int64())), 0)
+        corrupted = pc.binary_join_element_wise(
+            s, pc.if_else(bad, ".x", ""), "")
+        parsed = ipv4_parse(corrupted)
+        cls = pc.fill_null(classify_cidr(parsed, rules), "invalid")
+        octet1 = pc.shift_right(parsed, pa.scalar(24, pa.int64()))
+        return pa.table({"net_class": cls, "octet1": octet1})
+
+    ds = _read_co(sf_dir, "events", ["event_id", "user_id"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_count(ds, ["net_class", "octet1"], count_name="n",
+                         strategy="tree")
+
+
 def _q_docs_term_cms(sf_dir: str):
     """Count-Min frequency sketch (stages/sketch.py cms_build /
     cms_query — completing the mergeable-sketch triad: HLL distinct,
@@ -6884,6 +6922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interpolated": _q_events_interpolated,
         "events_quantile_map": _q_events_quantile_map,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
+        "events_ip_nets": _q_events_ip_nets,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8027,6 +8066,32 @@ SELECT k.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
 FROM (SELECT DISTINCT user_id FROM events) k
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
+""",
+        "events_ip_nets": """
+WITH s AS (
+  SELECT event_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT
+           % 4294967296 AS ip0
+  FROM events),
+p AS (  -- the '.x' suffix corrupts exactly the event_id%16=0 rows
+  SELECT CASE WHEN event_id % 16 = 0 THEN NULL
+              ELSE CAST(ip0 AS BIGINT) END AS ip
+  FROM s),
+c AS (
+  SELECT CASE
+           WHEN ip IS NULL THEN 'invalid'
+           WHEN ip BETWEEN 2130706432 AND 2147483647 THEN 'loopback'
+           WHEN ip BETWEEN 167772160 AND 184549375 THEN 'private'
+           WHEN ip BETWEEN 2886729728 AND 2887778303 THEN 'private'
+           WHEN ip BETWEEN 3232235520 AND 3232301055 THEN 'private'
+           WHEN ip BETWEEN 1681915904 AND 1686110207 THEN 'cgnat'
+           ELSE 'public'
+         END AS net_class,
+         ip // 16777216 AS octet1
+  FROM p)
+SELECT net_class, CAST(octet1 AS BIGINT) AS octet1,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY net_class, octet1
 """,
         "docs_heavy_tokens": """
 WITH tok AS (

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.groupsafe import group_aggregate
+
 
 class PartialCountStage:
     """Combiner for count/sum aggregates: batch → one row per distinct key.
@@ -42,7 +44,7 @@ class PartialCountStage:
         aggs = [([], "count_all")]
         for out, src in self.sum_cols.items():
             aggs.append((src, "sum"))
-        g = batch.group_by(self.keys, use_threads=False).aggregate(aggs)
+        g = group_aggregate(batch, self.keys, aggs)
         names = list(self.keys) + [self.count_name] + list(self.sum_cols.keys())
         # pyarrow emits key cols AFTER aggregate cols in some versions; select
         # by generated names to be explicit.
@@ -86,7 +88,7 @@ class PartialAggStage:
             aggs.append((src, "min"))
         for src in self.max_cols.values():
             aggs.append((src, "max"))
-        g = batch.group_by(self.keys, use_threads=False).aggregate(aggs)
+        g = group_aggregate(batch, self.keys, aggs)
         cols = {k: g.column(k) for k in self.keys}
         if self.count_name:
             cols[self.count_name] = g.column("count_all").cast(pa.int64())
@@ -114,8 +116,8 @@ class CombineStage:
             "max" if c in self.max_cols else "sum"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        g = batch.group_by(self.keys, use_threads=False).aggregate(
-            [(c, self._fn(c)) for c in self.value_cols])
+        g = group_aggregate(batch, self.keys,
+                            [(c, self._fn(c)) for c in self.value_cols])
         cols = {k: g.column(k) for k in self.keys}
         for c in self.value_cols:
             cols[c] = g.column(f"{c}_{self._fn(c)}")
@@ -236,14 +238,14 @@ def count_distinct(ds: Dataset, cols: list[str], out_name: str = "n_distinct",
     Shuffle-free; requires the distinct set to fit one task (else use the
     grouped shuffle path or an approximate sketch)."""
     def distinct(batch: pa.Table) -> pa.Table:
-        return batch.group_by(cols, use_threads=False).aggregate([])
+        return group_aggregate(batch, cols, [])
 
     partial = ds.select_columns(cols).map_batches(distinct, batch_format="pyarrow")
     merged = partial.repartition(fanin).map_batches(
         distinct, batch_format="pyarrow", batch_size=None)
     final = merged.repartition(1).map_batches(
         lambda t: pa.table({out_name: pa.array(
-            [t.group_by(cols, use_threads=False).aggregate([]).num_rows],
+            [group_aggregate(t, cols, []).num_rows],
             pa.int64())}),
         batch_format="pyarrow", batch_size=None)
     return final

@@ -43,8 +43,10 @@ def check_metadata_cardinality(ds, keys: list[str],
     two-phase distinct (unique on the key projection)."""
     import pyarrow.compute as pc  # noqa: F401
 
+    from ..functions.groupsafe import group_aggregate
+
     distinct = ds.select_columns(keys).map_batches(
-        lambda t: t.group_by(keys, use_threads=False).aggregate([]),
+        lambda t: group_aggregate(t, keys, []),
         batch_format="pyarrow",
     ).groupby(keys).count().count()
     if distinct > limit:

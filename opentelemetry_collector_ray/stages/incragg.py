@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions.groupsafe import group_aggregate
 from .aggregate import grouped_agg
 
 
@@ -89,7 +90,7 @@ def apply_agg_delta(base_agg: ray.data.Dataset,
                     "does not cancel exactly")
             lanes[out] = pa.array(opv * vv.astype(np.int64))
         skinny = pa.table(lanes)
-        g = skinny.group_by(keys).aggregate(
+        g = group_aggregate(skinny, keys,
             [(c, "sum") for c in (count_name, *sum_cols)])
         return g.rename_columns(state_cols)
 

@@ -36,6 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.groupsafe import group_aggregate
+
 import ray.data
 
 __all__ = ["profile_table"]
@@ -79,7 +81,7 @@ def profile_table(ds: ray.data.Dataset,
     def combine(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return _SCHEMA.empty_table()
-        g = t.group_by(["column", "val"], use_threads=False).aggregate(
+        g = group_aggregate(t, ["column", "val"],
             [("n_rows", "sum"), ("n_null", "sum")])
         return pa.table({"column": g.column("column"),
                          "val": g.column("val"),

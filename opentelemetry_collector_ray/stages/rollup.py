@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
+from ..functions.groupsafe import group_aggregate
 from .aggregate import grouped_agg
 
 
@@ -35,7 +36,7 @@ def _agg_table(t: pa.Table, keep: tuple[str, ...], value_cols: list[str],
     """One grouping set over the fine aggregate: sum the additive
     columns (counts re-sum), min/max the order statistics."""
     if keep:
-        g = t.group_by(list(keep)).aggregate(
+        g = group_aggregate(t, list(keep),
             [(c, how[c]) for c in value_cols])
         cols = {k: g.column(k) for k in keep}
         for c in value_cols:

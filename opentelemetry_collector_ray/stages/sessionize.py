@@ -20,6 +20,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions.groupsafe import group_aggregate
 from .bucketing import bucketed_map_groups, key_segments
 
 N_SESSION_BUCKETS = 64
@@ -79,7 +80,7 @@ def session_stats(events: ray.data.Dataset, key: str = "user_id",
             else [ts_col]
         t, sid = _session_ids(t, key, ts_col, order, gap_us)
         t = t.append_column("session_id", pa.array(sid))
-        g = t.group_by([key, "session_id"], use_threads=False).aggregate(
+        g = group_aggregate(t, [key, "session_id"],
             [(ts_col, "count"), (ts_col, "min"), (ts_col, "max")])
         return pa.table({
             key: g.column(key),

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import bucket_of
+from ..functions.groupsafe import group_aggregate
 from .aggregate import grouped_count
 
 
@@ -332,14 +333,14 @@ def grouped_weighted_median(ds: ray.data.Dataset, key: str,
     from .bucketing import bucketed_map_groups, key_segments
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.select([key, value_col, weight_col]) \
-            .group_by([key, value_col]).aggregate([(weight_col, "sum")])
+        g = group_aggregate(t.select([key, value_col, weight_col]),
+                            [key, value_col], [(weight_col, "sum")])
         return g.rename_columns([key, value_col, "_w"])
 
     sums = ds.map_batches(partial, batch_format="pyarrow")
 
     def pick_bucket(t: pa.Table) -> pa.Table:
-        t = t.group_by([key, value_col]).aggregate([("_w", "sum")]) \
+        t = group_aggregate(t, [key, value_col], [("_w", "sum")]) \
             .rename_columns([key, value_col, "_w"])
         t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
         k = t.column(key).to_numpy(zero_copy_only=False)
@@ -408,14 +409,14 @@ def grouped_weighted_quantiles(ds: ray.data.Dataset, key: str,
     max_den = max(d for _, d in qs)
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.select([key, value_col, weight_col]) \
-            .group_by([key, value_col]).aggregate([(weight_col, "sum")])
+        g = group_aggregate(t.select([key, value_col, weight_col]),
+                            [key, value_col], [(weight_col, "sum")])
         return g.rename_columns([key, value_col, "_w"])
 
     sums = ds.map_batches(partial, batch_format="pyarrow")
 
     def pick_bucket(t: pa.Table) -> pa.Table:
-        t = t.group_by([key, value_col]).aggregate([("_w", "sum")]) \
+        t = group_aggregate(t, [key, value_col], [("_w", "sum")]) \
             .rename_columns([key, value_col, "_w"])
         t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
         k = t.column(key).to_numpy(zero_copy_only=False)
