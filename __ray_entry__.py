@@ -2737,6 +2737,61 @@ def _q_events_ip_nets(sf_dir: str):
                          strategy="tree")
 
 
+def _q_spans_maint_overlap(sf_dir: str):
+    """Interval-overlap join (stages/join.py overlap_join — the
+    interval×interval sibling of range_join): spans against planted
+    per-service 30-minute maintenance windows (every event_id%97==0
+    event opens one on its service). Per window: how many spans
+    intersected it and the exact intersected microseconds
+    (min(e,we)−max(s,ws) summed — integer lanes). With only four
+    service keys the bucket exchange is maximally skewed, so the join
+    runs salted (salt=8: left split across sub-buckets, windows
+    replicated — each pair still formed once). Oracle = the same
+    OVERLAPS predicate as a SQL join."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.join import overlap_join
+
+    WIN_US = 1_800_000_000
+
+    def span_iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t.column("start_ts"), pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({"service": t.column("service"), "s": s,
+                         "e": pc.add(s, t.column("duration_us"))})
+
+    from opentelemetry_collector_ray.sources.spans import service_of
+
+    def win_iv(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 97 == 0))
+        ws = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"service": service_of(t.column("event_type")),
+                         "ws": ws,
+                         "we": pc.add(ws, pa.scalar(WIN_US, pa.int64()))})
+
+    spans = _spans(sf_dir).map_batches(span_iv, batch_format="pyarrow")
+    wins = _read_co(sf_dir, "events", ["event_id", "event_type", "ts"],
+                    floor=4).map_batches(win_iv, batch_format="pyarrow")
+    pairs = overlap_join(spans, wins, by="service",
+                         left_start="s", left_end="e",
+                         right_start="ws", right_end="we",
+                         max_interval=WIN_US, salt=8)
+
+    def ov(t: pa.Table) -> pa.Table:
+        lo = pc.max_element_wise(t.column("s"), t.column("ws"))
+        hi = pc.min_element_wise(t.column("e"), t.column("we"))
+        return pa.table({"service": t.column("service"),
+                         "win_start_us": t.column("ws"),
+                         "ov_us": pc.subtract(hi, lo)})
+
+    return grouped_count(pairs.map_batches(ov, batch_format="pyarrow"),
+                         ["service", "win_start_us"],
+                         count_name="n_spans",
+                         sum_cols={"overlap_us": "ov_us"},
+                         strategy="tree")
+
+
 def _q_docs_term_cms(sf_dir: str):
     """Count-Min frequency sketch (stages/sketch.py cms_build /
     cms_query — completing the mergeable-sketch triad: HLL distinct,
@@ -6923,6 +6978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_map": _q_events_quantile_map,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
         "events_ip_nets": _q_events_ip_nets,
+        "spans_maint_overlap": _q_spans_maint_overlap,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8066,6 +8122,26 @@ SELECT k.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
 FROM (SELECT DISTINCT user_id FROM events) k
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
+""",
+        "spans_maint_overlap": f"""
+WITH {SPANS_CTE.strip()},
+w AS (
+  SELECT CASE event_type WHEN 'signup' THEN 'auth'
+              WHEN 'purchase' THEN 'checkout'
+              WHEN 'error' THEN 'backend' ELSE 'frontend' END AS service,
+         CAST(epoch_us(ts) AS BIGINT) AS ws
+  FROM events WHERE event_id % 97 = 0),
+p AS (
+  SELECT s.service, w.ws,
+         CAST(epoch_us(s.start_ts) AS BIGINT) AS ss,
+         CAST(epoch_us(s.start_ts) AS BIGINT) + s.duration_us AS se
+  FROM spans s JOIN w ON s.service = w.service
+   AND CAST(epoch_us(s.start_ts) AS BIGINT) < w.ws + 1800000000
+   AND w.ws < CAST(epoch_us(s.start_ts) AS BIGINT) + s.duration_us)
+SELECT service, ws AS win_start_us, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(LEAST(se, ws + 1800000000) - GREATEST(ss, ws)) AS BIGINT)
+           AS overlap_us
+FROM p GROUP BY service, ws
 """,
         "events_ip_nets": """
 WITH s AS (

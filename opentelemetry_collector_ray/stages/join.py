@@ -716,3 +716,132 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return bucketed.groupby("_bucket").map_groups(
         lambda t: bucket_range(t.drop_columns(["_bucket"])),
         batch_format="pyarrow")
+
+
+def overlap_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                 by, right_by=None,
+                 left_start: str, left_end: str,
+                 right_start: str, right_end: str,
+                 max_interval: int, salt: int = 1,
+                 n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Distributed equality + INTERVAL-OVERLAP join: emit every
+    (left, right) pair with equal ``by`` key whose half-open intervals
+    intersect — ``left_start < right_end AND right_start < left_end``
+    (the ANSI ``OVERLAPS``-style predicate; touching endpoints do NOT
+    overlap). The interval×interval sibling of :func:`range_join`
+    (point-in-interval); spans×maintenance-windows, sessions×deploys,
+    contention audits.
+
+    ``max_interval`` must bound every RIGHT interval's length
+    (validated per bucket, loud). It caps the candidate window: a right
+    interval overlapping ``[ls, le)`` must start in
+    ``(ls - max_interval, le)``, so per-bucket work is O(candidates)
+    after one ``searchsorted`` pair — never O(|L|·|R-per-key|). Long
+    LEFT intervals are fine (they only widen their own window).
+
+    Scale shape is range_join's: ONE int-bucket co-partition exchange,
+    right sorted by (key, start) per bucket, dense collision-free
+    (segment, time-rank) composites, ``np.repeat`` pair expansion, the
+    exact ``right_end > left_start`` filter last. ``salt > 1`` splits a
+    hot key's left rows across sub-buckets (right replicated; each pair
+    still formed exactly once).
+    """
+    from .bucketing import with_hash_bucket
+
+    rb = right_by or by
+    bys = [by] if isinstance(by, str) else list(by)
+    rbs = [rb] if isinstance(rb, str) else list(rb)
+    unioned, lnames, right_cols = _pad_union(left, right, bys, rbs)
+
+    def rcol(src: str) -> str:
+        return src + "_r" if (src in lnames and src not in rbs) else src
+
+    rstart, rend = rcol(right_start), rcol(right_end)
+    for c in (rstart, rend):
+        if c not in right_cols:
+            raise ValueError(f"right side has no column {c!r}")
+    nb = _resolve_join_buckets(left, right, n_buckets)
+    payload = list(right_cols)
+
+    def as_int64(tbl: pa.Table, col: str) -> np.ndarray:
+        c = tbl.column(col)
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.int64())
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def bucket_overlap(t: pa.Table) -> pa.Table:
+        side_col = t.column("_side")
+        lt = t.filter(pc.equal(side_col, 0)).select(lnames)
+        rt = t.filter(pc.equal(side_col, 1)).select(bys + payload)
+        out_schema = pa.schema(
+            [lt.schema.field(n) for n in lnames]
+            + [rt.schema.field(c) for c in payload])
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({f.name: pa.nulls(0, f.type)
+                             for f in out_schema})
+        r_start = as_int64(rt, rstart)
+        r_end = as_int64(rt, rend)
+        if np.any(r_end - r_start > int(max_interval)):
+            raise ValueError(
+                "overlap_join: a right interval exceeds max_interval — "
+                "raise max_interval to cover the longest right interval")
+        l_s, l_e = as_int64(lt, left_start), as_int64(lt, left_end)
+        all_keys = None
+        for kc in bys:
+            lk = lt.column(kc).to_numpy(zero_copy_only=False)
+            rk = rt.column(kc).to_numpy(zero_copy_only=False)
+            col = np.unique(np.concatenate([rk, lk]),
+                            return_inverse=True)[1].astype(np.int64)
+            all_keys = col if all_keys is None else \
+                all_keys * (int(col.max()) + 1 if len(col) else 1) + col
+        rk_ = all_keys[: rt.num_rows]
+        lk_ = all_keys[rt.num_rows:]
+        r_order = np.lexsort((r_start, rk_))
+        rk_s, rs_s = rk_[r_order], r_start[r_order]
+        re_s = r_end[r_order]
+        # dense ranks over the union of right starts and both left
+        # window edges → collision-free (segment, rank) composites
+        union_vals = np.concatenate([rs_s, l_s - int(max_interval), l_e])
+        uniq, inv = np.unique(union_vals, return_inverse=True)
+        K = len(uniq) + 1
+        rs_rank = inv[: len(rs_s)]
+        lo_rank = inv[len(rs_s): len(rs_s) + len(l_s)]
+        hi_rank = inv[len(rs_s) + len(l_s):]
+        seg_keys = np.unique(rk_s)
+        r_comp = np.searchsorted(seg_keys, rk_s).astype(np.int64) * K \
+            + rs_rank
+        l_seg = np.searchsorted(seg_keys, lk_)
+        has_key = (l_seg < len(seg_keys))
+        has_key &= np.where(has_key, seg_keys[np.minimum(
+            l_seg, len(seg_keys) - 1)] == lk_, False)
+        # r_start > l_s - max_interval  (side=right: strictly greater)
+        lo = np.searchsorted(r_comp, l_seg * K + lo_rank, side="right")
+        # r_start < l_e                (side=left: strictly less)
+        hi = np.searchsorted(r_comp, l_seg * K + hi_rank, side="left")
+        counts = np.where(has_key, np.maximum(hi - lo, 0), 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({f.name: pa.nulls(0, f.type)
+                             for f in out_schema})
+        li = np.repeat(np.arange(lt.num_rows), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        ri = np.repeat(lo, counts) + offs
+        exact = re_s[ri] > l_s[li]          # r_start < l_e by construction
+        li, ri = li[exact], ri[exact]
+        out = lt.take(pa.array(li.astype(np.int64)))
+        rt_sorted = rt.take(pa.array(r_order.astype(np.int64)))
+        take_r = pa.array(ri.astype(np.int64))
+        for c in payload:
+            out = out.append_column(c, rt_sorted.column(c).take(take_r))
+        return out
+
+    if int(salt) > 1:
+        bucketed = _salted_bucketed(unioned, bys, nb, int(salt))
+    elif len(bys) > 1:
+        bucketed = _with_composite_bucket(unioned, bys, nb)
+    else:
+        bucketed = with_hash_bucket(unioned, bys[0], nb)
+    return bucketed.groupby("_bucket").map_groups(
+        lambda t: bucket_overlap(t.drop_columns(["_bucket"])),
+        batch_format="pyarrow")
