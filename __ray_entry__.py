@@ -6803,6 +6803,141 @@ def _q_events_quantile_map(sf_dir: str):
     return quantile_map(ds, "event_type", "v", "view")
 
 
+def _q_turns_context_window(sf_dir: str):
+    """Context-window truncation (stages/packing.py::tail_budget — the
+    chat-assembly step of LLM serving/training): per conversation keep
+    the TRAILING turns whose whitespace-token count, summed from the
+    last turn backward, fits a 64-token model context; ``suffix_tok``
+    carries the running budget use. ONE bucket exchange, one sort +
+    rebased cumsum per bucket. Oracle = the reverse-ordered ROWS-frame
+    SUM with the same <= filter."""
+    from opentelemetry_collector_ray.stages.packing import tail_budget
+
+    def prep(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "),
+                       pa.scalar(1, pa.int32()))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "n_tok": pc.cast(n_tok, pa.int64())})
+
+    ds = _turns(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return tail_budget(ds, "conv_id", ["turn_idx"], "n_tok", 64,
+                       out_col="suffix_tok")
+
+
+def _q_spans_slo_burn(sf_dir: str):
+    """Multi-window SLO burn-rate alert (stages/metricsops.py::slo_burn
+    — the SRE-workbook multiwindow policy over the span feed): per
+    service, the trailing 1 h / 6 h latency-SLO violation counts
+    (duration > 75 ms) and span totals at every span; ``burning`` when
+    the violation rate exceeds 250 permille in BOTH windows — integer
+    inequality, never a float rate. All four RANGE lanes ride ONE
+    bucket exchange (the frames share the segment-lifted searchsorted
+    composite). Oracle = two SQL RANGE frames + the same inequality."""
+    from opentelemetry_collector_ray.stages.metricsops import slo_burn
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("start_ts"), pa.timestamp("us")),
+                        pa.int64())
+        slow = pc.greater(t.column("duration_us"),
+                          pa.scalar(75_000, pa.int64()))
+        return pa.table({"service": t.column("service"),
+                         "span_id": t.column("span_id"),
+                         "ts_us": ts_us,
+                         "is_err": pc.cast(slow, pa.int64())})
+
+    pre = _spans(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return slo_burn(pre, "service", "ts_us", "is_err",
+                    3_600_000_000, 21_600_000_000, 250,
+                    id_cols=["span_id"])
+
+
+def _q_events_exphist_downscale(sf_dir: str):
+    """Exponential-histogram downscale (stages/metricsops.py::
+    exphist_downscale — the OTel bucket-budget scale reduction,
+    reference pmetric/exponential_histogram_data_point.go): the scale-0
+    cents histogram per event type merged to scale −2 via idx >> 2,
+    zero bucket (NULL idx) passing through. Perfect subsetting means
+    the result equals the coarse histogram computed directly — which is
+    exactly what the oracle does, with the SQL floor-div identity
+    (DuckDB // truncates; idx can be −1)."""
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exp_histogram, exphist_downscale)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    hist = exp_histogram(pre, keys=["event_type"], value_col="cents",
+                         scale=0)
+    return exphist_downscale(hist, ["event_type"], shift=2)
+
+
+def _q_docs_rater_kappa(sf_dir: str):
+    """Cohen's kappa between two rule raters per language
+    (stages/agreement.py::rater_agreement — the annotation-quality
+    audit): rater A bands n_chars at (250, 400), rater B bands the
+    whitespace token count at (45, 72) — correlated but not identical,
+    so chance-corrected agreement is informative. Exact integer lanes
+    (n, n_agree, pe_num) + truncating kappa permille; the corpus
+    reduces once to the (lang, a, b) count table."""
+    from opentelemetry_collector_ray.stages.agreement import rater_agreement
+
+    def prep(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars")
+        a = pc.add(pc.cast(pc.greater_equal(nc, 250), pa.int64()),
+                   pc.cast(pc.greater_equal(nc, 400), pa.int64()))
+        ntok = pc.add(pc.count_substring(t.column("text"), " "),
+                      pa.scalar(1, pa.int32()))
+        b = pc.add(pc.cast(pc.greater_equal(ntok, 45), pa.int64()),
+                   pc.cast(pc.greater_equal(ntok, 72), pa.int64()))
+        return pa.table({"lang": t.column("lang"), "a": a, "b": b})
+
+    ds = _read_co(sf_dir, "documents", ["lang", "n_chars", "text"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return rater_agreement(ds, "lang", "a", "b")
+
+
+def _q_turns_alternation(sf_dir: str):
+    """Chat-template alternation audit (per_key_window lag/first/last
+    values + one bucket aggregate — the validation every SFT data-prep
+    pass runs before templating): per conversation the turn count, the
+    adjacent same-role repeats (strict alternation violations), and the
+    opening/closing roles. Oracle = SQL lag/first_value/last_value +
+    GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "role": t.column("role")})
+
+    win = per_key_window(
+        _turns(sf_dir).map_batches(proj, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"],
+        {"prev_role": ("lag", "role"),
+         "first_role": ("first_value", "role"),
+         "last_role": ("last_value", "role")})
+
+    def lanes(t: pa.Table) -> pa.Table:
+        rep = pc.cast(pc.equal(t.column("role"),
+                               pc.fill_null(t.column("prev_role"), "")),
+                      pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "first_role": t.column("first_role"),
+                         "last_role": t.column("last_role"),
+                         "is_repeat": rep})
+
+    pre = win.map_batches(lanes, batch_format="pyarrow")
+    return grouped_agg(pre, ["conv_id", "first_role", "last_role"],
+                       count_name="n_turns",
+                       sum_cols={"n_repeats": "is_repeat"},
+                       strategy="bucket")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -6979,6 +7114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_tokens": _q_docs_heavy_tokens,
         "events_ip_nets": _q_events_ip_nets,
         "spans_maint_overlap": _q_spans_maint_overlap,
+        "turns_context_window": _q_turns_context_window,
+        "spans_slo_burn": _q_spans_slo_burn,
+        "events_exphist_downscale": _q_events_exphist_downscale,
+        "docs_rater_kappa": _q_docs_rater_kappa,
+        "turns_alternation": _q_turns_alternation,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7627,6 +7767,104 @@ SELECT s AS event_type, v,
              WHERE ref.cum > ((SELECT nr FROM refn) - 1) * sv.r
                              // (sv.n - 1)) AS BIGINT) AS mapped
 FROM sv WHERE n > 1
+""",
+        "turns_context_window": f"""
+WITH {TURNS_CTE.strip()},
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(1 + length(text) - length(replace(text, ' ', ''))
+              AS BIGINT) AS n_tok
+  FROM turns),
+s AS (
+  SELECT conv_id, turn_idx, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS suffix_tok
+  FROM tok)
+SELECT conv_id, turn_idx, n_tok, suffix_tok FROM s WHERE suffix_tok <= 64
+""",
+        "spans_slo_burn": f"""
+WITH {SPANS_CTE.strip()},
+x AS (
+  SELECT service, span_id, CAST(epoch_us(start_ts) AS BIGINT) AS ts_us,
+         CASE WHEN duration_us > 75000 THEN 1 ELSE 0 END AS is_err
+  FROM spans),
+w AS (
+  SELECT service, span_id, ts_us,
+         CAST(sum(is_err) OVER s AS BIGINT) AS n_err_short,
+         CAST(count(*) OVER s AS BIGINT) AS n_short,
+         CAST(sum(is_err) OVER l AS BIGINT) AS n_err_long,
+         CAST(count(*) OVER l AS BIGINT) AS n_long
+  FROM x WINDOW
+  s AS (PARTITION BY service ORDER BY ts_us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  l AS (PARTITION BY service ORDER BY ts_us
+        RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
+SELECT service, span_id, ts_us, n_err_short, n_short, n_err_long, n_long,
+       CAST(CASE WHEN n_err_short * 1000 > 250 * n_short
+                  AND n_err_long * 1000 > 250 * n_long
+            THEN 1 ELSE 0 END AS BIGINT) AS burning
+FROM w
+""",
+        "events_exphist_downscale": """
+WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)
+               AS cents FROM events),
+i AS (SELECT event_type,
+             CASE WHEN cents > 0
+                  THEN CAST(length(bin(cents)) - 1
+                       - CASE WHEN (cents & (cents - 1)) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) END AS idx0
+      FROM c)
+SELECT event_type,
+       CASE WHEN idx0 IS NOT NULL
+            THEN (idx0 - ((idx0 % 4 + 4) % 4)) // 4 END AS idx,
+       CAST(count(*) AS BIGINT) AS n
+FROM i GROUP BY event_type, idx
+""",
+        "docs_rater_kappa": """
+WITH r AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 400 THEN 2
+              WHEN n_chars >= 250 THEN 1 ELSE 0 END AS a,
+         CASE WHEN 1 + length(text) - length(replace(text, ' ', '')) >= 72
+              THEN 2
+              WHEN 1 + length(text) - length(replace(text, ' ', '')) >= 45
+              THEN 1 ELSE 0 END AS b
+  FROM documents),
+c AS (SELECT lang, a, b, count(*) AS n FROM r GROUP BY lang, a, b),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM c GROUP BY lang),
+ma AS (SELECT lang, a AS cls, sum(n) AS na FROM c GROUP BY lang, a),
+mb AS (SELECT lang, b AS cls, sum(n) AS nb FROM c GROUP BY lang, b),
+pe AS (SELECT ma.lang, CAST(sum(ma.na * mb.nb) AS BIGINT) AS pe_num
+       FROM ma JOIN mb ON ma.lang = mb.lang AND ma.cls = mb.cls
+       GROUP BY ma.lang)
+SELECT t.lang, t.n, t.n_agree, COALESCE(p.pe_num, 0) AS pe_num,
+       CASE WHEN t.n * t.n - COALESCE(p.pe_num, 0) <> 0
+            THEN CAST((1000 * (t.n * t.n_agree - COALESCE(p.pe_num, 0)))
+                 // (t.n * t.n - COALESCE(p.pe_num, 0)) AS BIGINT)
+       END AS kappa_permille
+FROM tot t LEFT JOIN pe p ON t.lang = p.lang
+""",
+        "turns_alternation": f"""
+WITH {TURNS_CTE.strip()},
+w AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role,
+         first_value(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS first_role,
+         last_value(role) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_role
+  FROM turns)
+SELECT conv_id, first_role, last_role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeats
+FROM w GROUP BY conv_id, first_role, last_role
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

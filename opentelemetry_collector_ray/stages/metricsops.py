@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -359,3 +360,94 @@ def hysteresis_alerts(ds, key: str, order_by: list[str], value_col: str,
                 rising.astype(np.int64), starts))})
 
     return bucketed_map_groups(ds, key, bucket_fn, n_buckets=n_buckets)
+
+
+def exphist_downscale(hist: ray.data.Dataset, keys: list[str], shift: int,
+                      idx_col: str = "idx", count_col: str = "n",
+                      strategy: str = "tree") -> ray.data.Dataset:
+    """OTel exponential-histogram downscale (the scale-reduction merge
+    of ``pmetric/exponential_histogram_data_point.go`` — applied when a
+    series' range outgrows its bucket budget): at scale ``s``, bucket
+    ``i`` covers ``(base^i, base^(i+1)]`` with ``base = 2^(2^-s)``, and
+    moving to ``s - shift`` maps ``i → floor(i / 2^shift)`` — an
+    arithmetic right shift, exact for negative indexes too. The OTel
+    *perfect subsetting* invariant holds by construction:
+    ``downscale(hist(s), k) == hist(s - k)`` bucket-for-bucket (asserted
+    directly in tests and by the SQL oracle, which recomputes the
+    coarse histogram from raw values).
+
+    Input is an ``exp_histogram`` output — (keys..., [sign,] idx, n)
+    with the zero bucket as a NULL idx, which passes through untouched
+    (zero is scale-invariant). Counts re-aggregate with the same
+    bounded-key two-phase strategy as the original histogram; a sign
+    column, when present, is just another group key."""
+    k = int(shift)
+    if k < 0:
+        raise ValueError("exphist_downscale: shift must be >= 0")
+    group_keys = list(keys) + [idx_col]
+
+    def remap(t: pa.Table) -> pa.Table:
+        col = t.column(idx_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = col.to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        coarse = np.where(valid, idx, 0).astype(np.int64) >> k
+        cols = {c: t.column(c) for c in t.column_names}
+        cols[idx_col] = pa.array(coarse, pa.int64(), mask=~valid)
+        return pa.table(cols)
+
+    from .aggregate import grouped_agg
+
+    pre = hist.map_batches(remap, batch_format="pyarrow")
+    return grouped_agg(pre, group_keys, sum_cols={count_col: count_col},
+                       strategy=strategy)
+
+
+def slo_burn(ds: ray.data.Dataset, key: str, ts_col: str, err_col: str,
+             short_us: int, long_us: int, err_permille: int,
+             id_cols: list[str] | None = None,
+             n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Multi-window SLO burn-rate alert (the Google SRE workbook
+    multiwindow policy — the alerting rule every collector's metrics
+    feed ultimately drives): per ``key`` series, the trailing error
+    count and event total over a SHORT and a LONG value-range window
+    ending at each row, and a ``burning`` lane set when the error rate
+    exceeds the budget threshold in BOTH windows — the short window
+    gives fast detection, the long window suppresses blips. All lanes
+    are exact integers; the rate compare is ``err·1000 >
+    permille·total`` (never a float division).
+
+    ONE bucket exchange: all four rolling lanes ride the same
+    ``per_key_window`` searchsorted pass (the RANGE frames share the
+    segment-lifted composite, so the second window adds one binary
+    search, not a second exchange)."""
+    p = int(err_permille)
+    if not (0 <= p <= 1000):
+        raise ValueError("slo_burn: err_permille must be in [0, 1000]")
+    s_us, l_us = int(short_us), int(long_us)
+    if not (0 < s_us <= l_us):
+        raise ValueError("slo_burn: need 0 < short_us <= long_us")
+    from .window import per_key_window
+
+    win = per_key_window(
+        ds, key, [ts_col],
+        {"n_err_short": ("rolling_sum", err_col, s_us),
+         "n_short": ("rolling_count", s_us),
+         "n_err_long": ("rolling_sum", err_col, l_us),
+         "n_long": ("rolling_count", l_us)},
+        n_buckets=n_buckets)
+    keep = [key] + (list(id_cols) if id_cols else []) + [
+        ts_col, "n_err_short", "n_short", "n_err_long", "n_long"]
+
+    def lanes(t: pa.Table) -> pa.Table:
+        es = t.column("n_err_short").to_numpy(zero_copy_only=False)
+        ns = t.column("n_short").to_numpy(zero_copy_only=False)
+        el = t.column("n_err_long").to_numpy(zero_copy_only=False)
+        nl = t.column("n_long").to_numpy(zero_copy_only=False)
+        burn = ((es * 1000 > p * ns) & (el * 1000 > p * nl))
+        out = {c: t.column(c) for c in keep}
+        out["burning"] = pa.array(burn.astype(np.int64))
+        return pa.table(out)
+
+    return win.map_batches(lanes, batch_format="pyarrow")

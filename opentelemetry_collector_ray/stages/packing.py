@@ -230,3 +230,58 @@ def chunk_sliding(ds: ray.data.Dataset, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow")
+
+
+def tail_budget(ds: ray.data.Dataset, key: str, order_by: list[str],
+                weight_col: str, budget: int,
+                out_col: str = "suffix_w",
+                n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Context-window truncation (the chat-assembly step of every
+    LLM serving/training pipeline): per ``key`` partition, keep the
+    TRAILING rows in ``order_by`` order whose running ``weight_col``
+    sum, accumulated from the END backward, stays within ``budget`` —
+    exactly "fit the most recent turns into the model's context
+    window". A row is kept iff its suffix-cumulative weight (itself
+    included) is <= budget, so even the final row drops when it alone
+    exceeds the budget (mirror: SQL reverse-ordered ROWS-frame SUM).
+
+    Scale shape: ONE bucket exchange (``bucketed_map_groups``), then
+    one sort per bucket (key asc, order desc) + one global cumsum
+    rebased per segment — no Python per key. ``out_col`` carries the
+    suffix sum for auditability. Weights must be non-negative ints
+    (a negative weight breaks the monotone suffix sum and would make
+    "fits in the window" order-dependent — rejected loudly)."""
+    b = int(budget)
+    if b < 0:
+        raise ValueError("tail_budget: budget must be >= 0")
+    sort_spec = [(key, "ascending")] + [(c, "descending")
+                                        for c in order_by]
+
+    def fn(t: pa.Table) -> pa.Table:
+        from .bucketing import key_segments
+
+        t = t.sort_by(sort_spec)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        _change, seg_start = key_segments(keys)
+        wc = t.column(weight_col)
+        if wc.null_count:
+            raise ValueError(
+                f"tail_budget: weight column {weight_col!r} has nulls")
+        w = wc.to_numpy(zero_copy_only=False)
+        if w.dtype.kind not in "iu":
+            raise ValueError(
+                f"tail_budget: weight column {weight_col!r} must be "
+                f"integer, got {w.dtype}")
+        w = w.astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError(
+                "tail_budget: negative weights break the suffix sum")
+        cum = np.cumsum(w)
+        excl = cum - w                       # exclusive global prefix
+        suffix = cum - excl[seg_start]       # inclusive within-segment
+        t = t.append_column(out_col, pa.array(suffix))
+        return t.filter(pa.array(suffix <= b))
+
+    from .bucketing import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key, fn, n_buckets=n_buckets)

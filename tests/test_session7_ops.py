@@ -1,0 +1,194 @@
+"""Unit tests for the seventh-session operator batch: tail_budget
+(context-window truncation), slo_burn (multiwindow burn-rate alert),
+exphist_downscale (OTel exponential-histogram scale reduction), and
+rater_agreement (Cohen's kappa integer lanes)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opentelemetry_collector_ray.stages.agreement import rater_agreement
+from opentelemetry_collector_ray.stages.metricsops import (
+    exp_histogram, exphist_downscale, slo_burn)
+from opentelemetry_collector_ray.stages.packing import tail_budget
+
+
+def _ds(tbl: pa.Table, n_blocks: int = 3) -> ray.data.Dataset:
+    return ray.data.from_arrow(tbl).repartition(n_blocks)
+
+
+# ------------------------------------------------------------ tail_budget
+
+def test_tail_budget_keeps_trailing_rows(ray_session):
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 3),
+        "i": pa.array([0, 1, 2, 3, 4, 0, 1, 2]),
+        "w": pa.array([10, 10, 10, 10, 10, 100, 1, 2], pa.int64()),
+    })
+    out = tail_budget(_ds(t), "k", ["i"], "w", 30).to_pandas()
+    out = out.sort_values(["k", "i"]).reset_index(drop=True)
+    # a: suffix sums from the end are 10,20,30,(40,50) -> keep i=2,3,4
+    assert out[out.k == "a"].i.tolist() == [2, 3, 4]
+    assert out[out.k == "a"].suffix_tok.tolist() if "suffix_tok" in out else True
+    assert out[out.k == "a"].suffix_w.tolist() == [30, 20, 10]
+    # b: last two fit (2, then 2+1=3); the 100-weight head drops
+    assert out[out.k == "b"].i.tolist() == [1, 2]
+    assert out[out.k == "b"].suffix_w.tolist() == [3, 2]
+
+
+def test_tail_budget_single_row_over_budget_drops(ray_session):
+    t = pa.table({"k": ["x"], "i": [0], "w": pa.array([99], pa.int64())})
+    out = tail_budget(_ds(t, 1), "k", ["i"], "w", 50).to_pandas()
+    assert len(out) == 0
+
+
+def test_tail_budget_rejects_bad_weights(ray_session):
+    neg = pa.table({"k": ["x", "x"], "i": [0, 1],
+                    "w": pa.array([-1, 5], pa.int64())})
+    with pytest.raises(Exception, match="negative"):
+        tail_budget(_ds(neg, 1), "k", ["i"], "w", 10).materialize()
+    nulls = pa.table({"k": ["x"], "i": [0], "w": pa.array([None], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        tail_budget(_ds(nulls, 1), "k", ["i"], "w", 10).materialize()
+    flo = pa.table({"k": ["x"], "i": [0], "w": pa.array([1.5])})
+    with pytest.raises(Exception, match="integer"):
+        tail_budget(_ds(flo, 1), "k", ["i"], "w", 10).materialize()
+    with pytest.raises(ValueError, match="budget"):
+        tail_budget(_ds(neg, 1), "k", ["i"], "w", -1)
+
+
+# --------------------------------------------------------------- slo_burn
+
+def test_slo_burn_both_windows_required(ray_session):
+    # one service; errors concentrated at the head so the long window
+    # is burning there but the short window recovers later.
+    ts = np.arange(10, dtype=np.int64) * 10
+    err = np.array([1, 1, 1, 1, 0, 0, 0, 0, 0, 0], dtype=np.int64)
+    t = pa.table({"svc": pa.array(["s"] * 10), "ts": pa.array(ts),
+                  "e": pa.array(err)})
+    out = slo_burn(_ds(t), "svc", "ts", "e", short_us=20, long_us=90,
+                   err_permille=500).to_pandas().sort_values("ts")
+    # at ts=30: short window [10,30] = rows 1,2,3 all err -> 3/3;
+    # long window covers all 4 rows err 4/4 -> burning
+    row = out[out.ts == 30].iloc[0]
+    assert (row.n_err_short, row.n_short) == (3, 3)
+    assert row.burning == 1
+    # at ts=90: short [70,90] err 0/3 -> not burning even though the
+    # long window still carries head errors
+    row = out[out.ts == 90].iloc[0]
+    assert row.n_err_short == 0 and row.burning == 0
+    # rate compare is strict: exactly at threshold is NOT burning
+    out2 = slo_burn(_ds(t), "svc", "ts", "e", 20, 90, 1000).to_pandas()
+    assert out2.burning.sum() == 0
+
+
+def test_slo_burn_validates_params(ray_session):
+    t = pa.table({"svc": ["s"], "ts": pa.array([0], pa.int64()),
+                  "e": pa.array([0], pa.int64())})
+    with pytest.raises(ValueError, match="permille"):
+        slo_burn(_ds(t, 1), "svc", "ts", "e", 10, 20, 1500)
+    with pytest.raises(ValueError, match="short_us"):
+        slo_burn(_ds(t, 1), "svc", "ts", "e", 30, 20, 500)
+
+
+# ------------------------------------------------------ exphist_downscale
+
+def test_exphist_downscale_perfect_subsetting(ray_session):
+    # downscale(hist(scale=2), 2) must equal hist(scale=0) directly.
+    rng = np.random.default_rng(7)
+    v = rng.integers(1, 100_000, 500)
+    t = pa.table({"k": pa.array(rng.choice(["a", "b"], 500)),
+                  "v": pa.array(v, pa.int64())})
+    fine = exp_histogram(_ds(t), keys=["k"], value_col="v", scale=2)
+    coarse = exphist_downscale(fine, ["k"], shift=2).to_pandas()
+    direct = exp_histogram(_ds(t), keys=["k"], value_col="v",
+                           scale=0).to_pandas()
+    c = coarse.sort_values(["k", "idx"]).reset_index(drop=True)
+    d = direct.sort_values(["k", "idx"]).reset_index(drop=True)
+    assert c[["k", "idx", "n"]].equals(d[["k", "idx", "n"]])
+
+
+def test_exphist_downscale_zero_bucket_and_negatives(ray_session):
+    # zero values land in the NULL-idx bucket and pass through; a
+    # negative index (value < 1 at scale 0) shifts arithmetically.
+    t = pa.table({"k": pa.array(["a"] * 4),
+                  "v": pa.array([0, 0, 1, 6], pa.int64())})
+    fine = exp_histogram(_ds(t, 1), keys=["k"], value_col="v", scale=0)
+    out = exphist_downscale(fine, ["k"], shift=1).to_pandas()
+    zero = out[out.idx.isna()]
+    assert zero.n.tolist() == [2]
+    # scale 0: 1 -> idx -1 (v=1 is the upper edge of (1/2,1]); 6 -> idx 2.
+    # shift 1: -1 >> 1 = -1, 2 >> 1 = 1.
+    nz = out[out.idx.notna()].sort_values("idx")
+    assert nz.idx.tolist() == [-1, 1]
+    assert nz.n.tolist() == [1, 1]
+    with pytest.raises(ValueError, match="shift"):
+        exphist_downscale(fine, ["k"], shift=-1)
+
+
+def test_exphist_downscale_shift0_identity(ray_session):
+    t = pa.table({"k": pa.array(["a"] * 3),
+                  "v": pa.array([1, 5, 9], pa.int64())})
+    fine = exp_histogram(_ds(t, 1), keys=["k"], value_col="v", scale=1)
+    a = exphist_downscale(fine, ["k"], shift=0).to_pandas()
+    b = exp_histogram(_ds(t, 1), keys=["k"], value_col="v",
+                      scale=1).to_pandas()
+    a = a.sort_values(["k", "idx"]).reset_index(drop=True)
+    b = b.sort_values(["k", "idx"]).reset_index(drop=True)
+    assert a[["k", "idx", "n"]].equals(b[["k", "idx", "n"]])
+
+
+# --------------------------------------------------------- rater_agreement
+
+def test_rater_agreement_known_values(ray_session):
+    # classic 2x2: n=100, agree=70, marginals A(50,50) B(60,40)
+    # pe_num = 50*60 + 50*40 = 5000; kappa = (7000-5000)/(10000-5000) = .4
+    a = [0] * 50 + [1] * 50
+    b = ([0] * 40 + [1] * 10) + ([0] * 20 + [1] * 30)
+    t = pa.table({"g": pa.array(["x"] * 100),
+                  "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    out = rater_agreement(_ds(t), "g", "a", "b").to_pandas()
+    row = out.iloc[0]
+    assert (row.n, row.n_agree, row.pe_num) == (100, 70, 5000)
+    assert row.kappa_permille == 400
+
+
+def test_rater_agreement_edge_cases(ray_session):
+    # perfect agreement -> 1000; constant raters -> NULL kappa;
+    # nulls on either side excluded.
+    t = pa.table({
+        "g": pa.array(["p"] * 4 + ["c"] * 3 + ["n"] * 3),
+        "a": pa.array([0, 1, 2, 0, 1, 1, 1, 0, None, 1], pa.int64()),
+        "b": pa.array([0, 1, 2, 0, 1, 1, 1, 0, 1, None], pa.int64()),
+    })
+    out = rater_agreement(_ds(t), "g", "a", "b").to_pandas().set_index("g")
+    assert out.loc["p"].kappa_permille == 1000
+    assert out.loc["c"].n == 3 and np.isnan(out.loc["c"].kappa_permille)
+    assert out.loc["n"].n == 1  # two null-bearing rows dropped
+    # worse-than-chance kappa truncates toward zero like DuckDB //
+    t2 = pa.table({"g": ["x"] * 4, "a": pa.array([0, 0, 1, 1], pa.int64()),
+                   "b": pa.array([1, 1, 0, 0], pa.int64())})
+    out2 = rater_agreement(_ds(t2, 1), "g", "a", "b").to_pandas()
+    assert out2.iloc[0].kappa_permille == -1000
+
+
+def test_rater_agreement_validates(ray_session):
+    t = pa.table({"g": ["x"], "a": pa.array([99], pa.int64()),
+                  "b": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        rater_agreement(_ds(t, 1), "g", "a", "b", max_classes=16)
+    flo = pa.table({"g": ["x"], "a": pa.array([0.5]),
+                    "b": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="integer"):
+        rater_agreement(_ds(flo, 1), "g", "a", "b")
+    with pytest.raises(ValueError, match="max_classes"):
+        rater_agreement(_ds(t, 1), "g", "a", "b", max_classes=1)
+    empty = pa.table({"g": pa.array([], pa.string()),
+                      "a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    out = rater_agreement(_ds(empty, 1), "g", "a", "b")
+    assert out.num_rows == 0
+    assert out.schema.names == ["g", "n", "n_agree", "pe_num",
+                                "kappa_permille"]
