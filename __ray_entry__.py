@@ -6938,6 +6938,68 @@ def _q_turns_alternation(sf_dir: str):
                        strategy="bucket")
 
 
+def _q_docs_screen_eval(sf_dir: str):
+    """Screening-model scorecard (stages/agreement.py::binary_eval —
+    the confusion-matrix + precision/recall/F1 gate every quality-model
+    deploy reads): per language, a char-length screen (n_chars ≥ 280)
+    evaluated against the token-count ground truth (whitespace tokens ≥
+    50). All lanes exact integers; permilles truncate like DuckDB //.
+    Four indicator lanes, ONE two-phase aggregate."""
+    from opentelemetry_collector_ray.stages.agreement import binary_eval
+
+    def prep(t: pa.Table) -> pa.Table:
+        pred = pc.cast(pc.greater_equal(t.column("n_chars"),
+                                        pa.scalar(280, pa.int64())),
+                       pa.int64())
+        ntok = pc.add(pc.count_substring(t.column("text"), " "),
+                      pa.scalar(1, pa.int32()))
+        label = pc.cast(pc.greater_equal(ntok, pa.scalar(50, pa.int32())),
+                        pa.int64())
+        return pa.table({"lang": t.column("lang"), "pred": pred,
+                         "label": label})
+
+    ds = _read_co(sf_dir, "documents", ["lang", "n_chars", "text"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return binary_eval(ds, ["lang"], "pred", "label")
+
+
+def _q_events_value_auc(sf_dir: str):
+    """Exact per-slice ROC AUC (stages/agreement.py::grouped_auc — the
+    threshold-free ranking audit of a score against binary truth, via
+    the Mann–Whitney midrank identity): per event type, how well the
+    dime-banded spend ranks even event ids. Dime banding forces heavy
+    score ties, exercising the half-credit midrank lane; u2 keeps
+    everything integer. Oracle = the SQL rank()/peer-count identity
+    2·R_pos − n_pos·(n_pos+1)."""
+    from opentelemetry_collector_ray.stages.agreement import grouped_auc
+
+    def prep(t: pa.Table) -> pa.Table:
+        dimes = pc.cast(pc.floor(pc.multiply(t.column("value"),
+                                             pa.scalar(10.0))), pa.int64())
+        label = pc.cast(pc.equal(pc.bit_wise_and(t.column("event_id"),
+                                                 pa.scalar(1, pa.int64())),
+                                 pa.scalar(0, pa.int64())), pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "score": dimes, "label": label})
+
+    ds = _read_co(sf_dir, "events", ["event_type", "value", "event_id"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_auc(ds, "event_type", "score", "label")
+
+
+def _q_events_user_gini(sf_dir: str):
+    """Per-user event-mix Gini impurity (stages/agreement.py::
+    gini_impurity — the class-diversity lane behind slice-skew audits):
+    1 − Σp_c² over each user's event types as exact rationals
+    (gini_num = n² − Σn_c², permille floor-divided — numerator is
+    non-negative so floor == truncate). Keys unbounded: the corpus
+    reduces to the (user, type) count table first."""
+    from opentelemetry_collector_ray.stages.agreement import gini_impurity
+
+    ds = _read_co(sf_dir, "events", ["user_id", "event_type"], floor=8)
+    return gini_impurity(ds, "user_id", "event_type")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7119,6 +7181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_exphist_downscale": _q_events_exphist_downscale,
         "docs_rater_kappa": _q_docs_rater_kappa,
         "turns_alternation": _q_turns_alternation,
+        "docs_screen_eval": _q_docs_screen_eval,
+        "events_value_auc": _q_events_value_auc,
+        "events_user_gini": _q_events_user_gini,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7865,6 +7930,68 @@ SELECT conv_id, first_role, last_role,
        CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
            AS n_repeats
 FROM w GROUP BY conv_id, first_role, last_role
+""",
+        "docs_screen_eval": """
+WITH x AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS p,
+         CASE WHEN 1 + length(text) - length(replace(text, ' ', '')) >= 50
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+c AS (
+  SELECT lang,
+         CAST(sum(p * y) AS BIGINT) AS tp,
+         CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+         CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+         CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+  FROM x GROUP BY lang)
+SELECT lang, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(1000 * tp // (tp + fp) AS BIGINT) END
+           AS precision_permille,
+       CASE WHEN tp + fn > 0
+            THEN CAST(1000 * tp // (tp + fn) AS BIGINT) END
+           AS recall_permille,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2000 * tp // (2 * tp + fp + fn) AS BIGINT) END
+           AS f1_permille
+FROM c
+""",
+        "events_value_auc": """
+WITH x AS (
+  SELECT event_type,
+         CAST(floor(value * 10) AS BIGINT) AS score,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS label
+  FROM events),
+w AS (
+  SELECT event_type, label,
+         rank() OVER (PARTITION BY event_type ORDER BY score) AS r,
+         count(*) OVER (PARTITION BY event_type, score) AS c
+  FROM x),
+a AS (
+  SELECT event_type,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(1 - label) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END)
+              - sum(label) * (sum(label) + 1) AS BIGINT) AS u2
+  FROM w GROUP BY event_type)
+SELECT event_type, n_pos, n_neg, u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(1000 * u2 // (2 * n_pos * n_neg) AS BIGINT) END
+           AS auc_permille
+FROM a
+""",
+        "events_user_gini": """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS nc
+  FROM events GROUP BY user_id, event_type),
+g AS (
+  SELECT user_id, CAST(sum(nc) AS BIGINT) AS n,
+         CAST(sum(nc * nc) AS BIGINT) AS sq
+  FROM c GROUP BY user_id)
+SELECT user_id, n, n * n - sq AS gini_num,
+       CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
+FROM g
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

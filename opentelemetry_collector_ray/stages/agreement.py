@@ -153,3 +153,232 @@ def rater_agreement(ds: ray.data.Dataset, group_key: str, a_col: str,
         "pe_num": pa.array(out["pe_num"], pa.int64()),
         "kappa_permille": pa.array(out["kappa_permille"], pa.int64()),
     })
+
+
+def binary_eval(ds: ray.data.Dataset, keys: list[str], pred_col: str,
+                label_col: str, *, strategy: str = "shuffle",
+                n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-``keys`` binary-classifier evaluation as exact integer lanes
+    — the confusion matrix plus truncating-permille precision / recall /
+    F1 (the model-vs-ground-truth scorecard every screening-model
+    deploy gate reads):
+
+        tp fp fn tn                 confusion counts
+        precision_permille          trunc(1000·tp / (tp+fp))
+        recall_permille             trunc(1000·tp / (tp+fn))
+        f1_permille                 trunc(1000·2·tp / (2·tp+fp+fn))
+
+    permilles are NULL when their denominator is zero (no predicted /
+    no actual positives). ``pred_col`` and ``label_col`` must be 0/1
+    integers (validated per batch); rows with a NULL on either side are
+    excluded (SQL COUNT-over-pair semantics).
+
+    Scale shape: four indicator lanes reduce through ONE two-phase
+    ``grouped_agg`` (partials per batch, so keys may be unbounded with
+    strategy="shuffle"); the permille arithmetic is one vectorized pass
+    over the skinny per-key table. Nothing wide ever shuffles."""
+    import numpy as np
+
+    from .aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        p, y = t.column(pred_col), t.column(label_col)
+        ok = pc.and_(pc.is_valid(p), pc.is_valid(y))
+        t = t.filter(ok)
+        p, y = t.column(pred_col), t.column(label_col)
+        for name, col in ((pred_col, p), (label_col, y)):
+            if not pa.types.is_integer(col.type):
+                raise ValueError(
+                    f"binary_eval: {name!r} must be 0/1 integer, "
+                    f"got {col.type}")
+            if t.num_rows:
+                lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+                if lo < 0 or hi > 1:
+                    raise ValueError(
+                        f"binary_eval: {name!r} has values outside "
+                        f"{{0,1}} (saw [{lo}, {hi}])")
+        p64 = pc.cast(p, pa.int64())
+        y64 = pc.cast(y, pa.int64())
+        one = pa.scalar(1, pa.int64())
+        cols = {k: t.column(k) for k in keys}
+        cols["_tp"] = pc.multiply(p64, y64)
+        cols["_fp"] = pc.multiply(p64, pc.subtract(one, y64))
+        cols["_fn"] = pc.multiply(pc.subtract(one, p64), y64)
+        cols["_tn"] = pc.multiply(pc.subtract(one, p64),
+                                  pc.subtract(one, y64))
+        return pa.table(cols)
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(pre, list(keys),
+                      sum_cols={"tp": "_tp", "fp": "_fp",
+                                "fn": "_fn", "tn": "_tn"},
+                      strategy=strategy, n_buckets=n_buckets)
+
+    def lanes(t: pa.Table) -> pa.Table:
+        tp = t.column("tp").to_numpy(zero_copy_only=False)
+        fp = t.column("fp").to_numpy(zero_copy_only=False)
+        fn = t.column("fn").to_numpy(zero_copy_only=False)
+        # counts are corpus-bounded ints; 2000*tp fits int64 far below
+        # any realistic corpus (tp < 4.6e15 rows per key).
+        def permille(num, den):
+            ok = den > 0
+            q = np.zeros(len(num), dtype=np.int64)
+            np.floor_divide(1000 * num, den, out=q, where=ok)
+            return pa.array(q, pa.int64(), mask=~ok)
+        out = {c: t.column(c) for c in t.column_names}
+        out["precision_permille"] = permille(tp, tp + fp)
+        out["recall_permille"] = permille(tp, tp + fn)
+        out["f1_permille"] = permille(2 * tp, 2 * tp + fp + fn)
+        return pa.table(out)
+
+    return agg.map_batches(lanes, batch_format="pyarrow")
+
+
+def grouped_auc(ds: ray.data.Dataset, key: str, score_col: str,
+                label_col: str,
+                n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-``key`` exact ROC AUC as integer lanes — the
+    threshold-free ranking quality of a scoring model against binary
+    ground truth, computed through the Mann–Whitney identity with
+    midrank tie handling (ties contribute 1/2):
+
+        n_pos n_neg      class counts
+        u2               2·U = Σ_pos(2·rank + peers − 1) − n_pos·(n_pos+1)
+        auc_permille     trunc(1000·u2 / (2·n_pos·n_neg))
+
+    so ``AUC = u2 / (2·n_pos·n_neg)`` exactly (doubling keeps the
+    half-credit ties integer). NULL permille when a class is absent.
+    Scores must be integers (exact rank arithmetic — band floats to
+    cents first); labels 0/1.
+
+    Scale shape: ONE bucket exchange on ``key``; per bucket one sort
+    (key, score) + segment-rebased ranks and tie runs via
+    ``key_segments`` — no Python per key, keys unbounded."""
+    import numpy as np
+
+    from .bucketing import bucketed_map_groups, key_segments
+
+    def fn(t: pa.Table) -> pa.Table:
+        s, y = t.column(score_col), t.column(label_col)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        t = t.filter(ok)
+        if not pa.types.is_integer(t.column(score_col).type):
+            raise ValueError(
+                f"grouped_auc: {score_col!r} must be integer (band "
+                f"float scores to cents first), got "
+                f"{t.column(score_col).type}")
+        y_col = t.column(label_col)
+        if not pa.types.is_integer(y_col.type):
+            raise ValueError(
+                f"grouped_auc: {label_col!r} must be 0/1 integer, got "
+                f"{y_col.type}")
+        if t.num_rows:
+            lo, hi = pc.min(y_col).as_py(), pc.max(y_col).as_py()
+            if lo < 0 or hi > 1:
+                raise ValueError(
+                    f"grouped_auc: {label_col!r} outside {{0,1}} "
+                    f"(saw [{lo}, {hi}])")
+        kt = t.column(key).type
+        if t.num_rows == 0:
+            return pa.schema([
+                (key, kt), ("n_pos", pa.int64()), ("n_neg", pa.int64()),
+                ("u2", pa.int64()),
+                ("auc_permille", pa.int64())]).empty_table()
+        t = t.sort_by([(key, "ascending"), (score_col, "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(k)
+        _, seg_start = key_segments(k)
+        # per-key 1-based SQL rank(): ties share the rank of their
+        # first row; peers = tie-run length on (key, score).
+        pos = np.arange(n, dtype=np.int64)
+        tie_new = np.ones(n, dtype=bool)
+        tie_new[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        tie_start = pos[tie_new][np.cumsum(tie_new) - 1]
+        run_len = np.diff(np.append(np.flatnonzero(tie_new), n))
+        peers = np.repeat(run_len, run_len)
+        rank = tie_start - seg_start + 1
+        # guard the u2 arithmetic: midrank2 <= 2n per segment; the
+        # positive-rank sum is bounded by n^2 per key — loud check.
+        midrank2 = 2 * rank + peers - 1
+        # segment reduce via reduceat on the SORTED int64 lanes — exact
+        # (a float-weighted bincount would lose bits above 2^53).
+        bounds = np.flatnonzero(np.append(True, k[1:] != k[:-1]))
+        seg_len = np.diff(np.append(bounds, n))
+        if seg_len.max() > 400_000_000:
+            raise ValueError(
+                "grouped_auc: a key exceeds 4e8 rows — 1000·u2 would "
+                "overflow int64; pre-slice the corpus")
+        npos = np.add.reduceat(y, bounds)
+        nneg = np.add.reduceat(1 - y, bounds)
+        rpos2 = np.add.reduceat(np.where(y == 1, midrank2, 0), bounds)
+        u2 = rpos2 - npos * (npos + 1)
+        den = 2 * npos * nneg
+        ok_den = den > 0
+        # u2 >= 0 always, so floor == DuckDB's truncating //.
+        permille = np.zeros(len(bounds), dtype=np.int64)
+        np.floor_divide(1000 * u2, den, out=permille, where=ok_den)
+        return pa.table({
+            key: pa.array(k[bounds], type=kt),
+            "n_pos": pa.array(npos), "n_neg": pa.array(nneg),
+            "u2": pa.array(u2),
+            "auc_permille": pa.array(permille, pa.int64(), mask=~ok_den)})
+
+    return bucketed_map_groups(ds, key, fn, n_buckets=n_buckets)
+
+
+def gini_impurity(ds: ray.data.Dataset, key: str, cat_col: str,
+                  n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-``key`` Gini impurity of a categorical column as exact
+    rationals — the class-mix diversity lane (1 − Σ p_c²) behind
+    split-quality and slice-skew audits:
+
+        n               rows in the group
+        gini_num        n² − Σ_c n_c²     (impurity numerator, × n²)
+        gini_permille   1000·gini_num // n²   (floor: numerator ≥ 0)
+
+    Scale shape: the corpus reduces to the (key, cat) count table via
+    per-batch partials + ONE bucket exchange on ``key`` (keys and
+    categories both unbounded — a key's distinct cats land in one
+    bucket task, bounded by the shuffle partials); the Σn_c² fold is a
+    segment reduce over that skinny table."""
+    import numpy as np
+
+    from .aggregate import grouped_count
+    from .bucketing import bucketed_map_groups, key_segments
+
+    counts = grouped_count(ds.select_columns([key, cat_col]),
+                           [key, cat_col], count_name="_c",
+                           strategy="shuffle")
+
+    def fold(t: pa.Table) -> pa.Table:
+        kt = t.column(key).type
+        if t.num_rows == 0:
+            return pa.schema([
+                (key, kt), ("n", pa.int64()), ("gini_num", pa.int64()),
+                ("gini_permille", pa.int64())]).empty_table()
+        t = t.sort_by([(key, "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.append(True, k[1:] != k[:-1])
+        seg_id = np.cumsum(new) - 1
+        n_seg = seg_id[-1] + 1
+        n = np.bincount(seg_id, weights=c, minlength=n_seg).astype(
+            np.int64)
+        if len(n) and n.max() > 3_000_000_000:
+            raise ValueError(
+                "gini_impurity: a key exceeds 3e9 rows — n² would "
+                "overflow int64; pre-slice the corpus")
+        sq = np.bincount(seg_id, weights=c * c, minlength=n_seg).astype(
+            np.int64)
+        num = n * n - sq
+        permille = (1000 * num) // (n * n)
+        return pa.table({
+            key: pa.array(k[np.flatnonzero(new)], type=kt),
+            "n": pa.array(n), "gini_num": pa.array(num),
+            "gini_permille": pa.array(permille)})
+
+    return bucketed_map_groups(counts, key, fold, n_buckets=n_buckets)

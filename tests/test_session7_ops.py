@@ -192,3 +192,97 @@ def test_rater_agreement_validates(ray_session):
     assert out.num_rows == 0
     assert out.schema.names == ["g", "n", "n_agree", "pe_num",
                                 "kappa_permille"]
+
+
+# -------------------------------------------------------------- binary_eval
+
+def test_binary_eval_known_confusion(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import binary_eval
+    # tp=3 fp=1 fn=2 tn=4 -> precision 750, recall 600, f1 2*3/(6+3)=666
+    p = [1, 1, 1, 1, 0, 0, 0, 0, 0, 0]
+    y = [1, 1, 1, 0, 1, 1, 0, 0, 0, 0]
+    t = pa.table({"g": pa.array(["x"] * 10),
+                  "p": pa.array(p, pa.int64()), "y": pa.array(y, pa.int64())})
+    out = binary_eval(_ds(t), ["g"], "p", "y").to_pandas().iloc[0]
+    assert (out.tp, out.fp, out.fn, out.tn) == (3, 1, 2, 4)
+    assert out.precision_permille == 750
+    assert out.recall_permille == 600
+    assert out.f1_permille == 666
+
+
+def test_binary_eval_null_denominators_and_validation(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import binary_eval
+    # no predicted positives -> precision NULL; no actual -> recall NULL
+    t = pa.table({"g": ["a", "a", "b", "b", "c"],
+                  "p": pa.array([0, 0, 1, 1, None], pa.int64()),
+                  "y": pa.array([1, 0, 0, 0, 1], pa.int64())})
+    out = binary_eval(_ds(t), ["g"], "p", "y").to_pandas().set_index("g")
+    assert np.isnan(out.loc["a"].precision_permille)
+    assert out.loc["a"].recall_permille == 0
+    assert np.isnan(out.loc["b"].recall_permille)
+    assert out.loc["b"].precision_permille == 0
+    assert "c" not in out.index  # null pred row dropped
+    bad = pa.table({"g": ["x"], "p": pa.array([2], pa.int64()),
+                    "y": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        binary_eval(_ds(bad, 1), ["g"], "p", "y").materialize()
+
+
+# -------------------------------------------------------------- grouped_auc
+
+def test_grouped_auc_perfect_and_ties(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import grouped_auc
+    # perfect separation -> AUC 1000; all-tied scores -> AUC 500
+    t = pa.table({
+        "g": pa.array(["p"] * 4 + ["t"] * 4),
+        "s": pa.array([1, 2, 3, 4, 7, 7, 7, 7], pa.int64()),
+        "y": pa.array([0, 0, 1, 1, 0, 1, 0, 1], pa.int64()),
+    })
+    out = grouped_auc(_ds(t), "g", "s", "y").to_pandas().set_index("g")
+    assert out.loc["p"].auc_permille == 1000
+    assert out.loc["p"].u2 == 2 * (2 * 2)  # 2 * n_pos*n_neg
+    assert out.loc["t"].auc_permille == 500
+
+
+def test_grouped_auc_matches_sklearn_formula(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import grouped_auc
+    rng = np.random.default_rng(3)
+    s = rng.integers(0, 20, 300)          # heavy ties
+    y = (rng.random(300) < 1 / (1 + np.exp(-(s - 10)))).astype(np.int64)
+    t = pa.table({"g": pa.array(["k"] * 300),
+                  "s": pa.array(s, pa.int64()), "y": pa.array(y)})
+    out = grouped_auc(_ds(t), "g", "s", "y").to_pandas().iloc[0]
+    # reference: pairwise count with half-credit ties (O(n^2) oracle)
+    pos, neg = s[y == 1], s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    assert out.u2 == 2 * wins + ties
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+
+
+def test_grouped_auc_single_class_null(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import grouped_auc
+    t = pa.table({"g": ["x", "x"], "s": pa.array([1, 2], pa.int64()),
+                  "y": pa.array([1, 1], pa.int64())})
+    out = grouped_auc(_ds(t, 1), "g", "s", "y").to_pandas().iloc[0]
+    assert out.n_neg == 0 and np.isnan(out.auc_permille)
+    flo = pa.table({"g": ["x"], "s": pa.array([0.5]),
+                    "y": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="integer"):
+        grouped_auc(_ds(flo, 1), "g", "s", "y").materialize()
+
+
+# ------------------------------------------------------------ gini_impurity
+
+def test_gini_impurity_known_values(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import gini_impurity
+    # pure group -> 0; 50/50 -> 500; 4-way uniform -> 750
+    t = pa.table({
+        "k": ["p"] * 3 + ["h"] * 4 + ["u"] * 4,
+        "c": ["a", "a", "a", "a", "a", "b", "b", "w", "x", "y", "z"],
+    })
+    out = gini_impurity(_ds(t), "k", "c").to_pandas().set_index("k")
+    assert out.loc["p"].gini_permille == 0 and out.loc["p"].gini_num == 0
+    assert out.loc["h"].gini_permille == 500
+    assert out.loc["u"].gini_permille == 750
+    assert out.loc["u"].n == 4 and out.loc["u"].gini_num == 12
