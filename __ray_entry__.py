@@ -7000,6 +7000,101 @@ def _q_events_user_gini(sf_dir: str):
     return gini_impurity(ds, "user_id", "event_type")
 
 
+def _q_events_exphist_p99(sf_dir: str):
+    """p99 FROM the exponential histogram (stages/metricsops.py::
+    exphist_quantile — the DDSketch-style read side of the OTel
+    exp-histogram pair): per event type, the scale-0 bucket index
+    holding the 99th-percentile spend. The bucket decision is exact
+    integer arithmetic (quantile_disc rank rule, zero bucket NULLS
+    FIRST); the oracle recomputes the histogram and walks the same
+    cumulative in SQL."""
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exp_histogram, exphist_quantile)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    hist = exp_histogram(pre, keys=["event_type"], value_col="cents",
+                         scale=0)
+    return exphist_quantile(hist, "event_type", 990)
+
+
+def _q_events_logfmt(sf_dir: str):
+    """Logfmt parse (functions/text.py::parse_kv — the OTTL
+    ParseKeyValue converter analog, reference
+    ottl/ottlfuncs/func_parse_key_value.go): render each event as a
+    ``k=v`` log line (with a quoted free-text field), then invert it
+    with one RE2 extract per key. Both engines construct the identical
+    line and run the identical RE2 pattern, so the parser sits behind
+    the exact hash gate."""
+    from opentelemetry_collector_ray.functions.text import parse_kv
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.string())
+        cents = pc.cast(_cents(t.column("value")), pa.string())
+        et = t.column("event_type")
+        line = pc.binary_join_element_wise(
+            "level=", et, " user=", uid, " cents=", cents,
+            ' note="user ', uid, " did ", et, '"', "")
+        kv = parse_kv(line, ["level", "user", "cents", "note"])
+        return pa.table({"event_id": t.column("event_id"),
+                         "level": kv["level"], "user_s": kv["user"],
+                         "cents_s": kv["cents"], "note": kv["note"]})
+
+    return _read_co(sf_dir, "events",
+                    ["event_id", "event_type", "user_id", "value"],
+                    floor=8).map_batches(prep, batch_format="pyarrow")
+
+
+def _q_spans_deepest_path(sf_dir: str):
+    """Per-trace deepest root-to-leaf duration sum
+    (stages/spanops.py::trace_deepest_path — the flame-graph "longest
+    chain" rollup, an upper bound on the critical path): pointer
+    doubling with value accumulation inside one trace-bucket exchange,
+    O(log depth) numpy rounds. Oracle = a recursive CTE accumulating
+    duration along parent links (orphan links = chain roots, matching
+    span_depth)."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        trace_deepest_path)
+
+    return trace_deepest_path(_spans(sf_dir))
+
+
+def _q_events_series_staleness(sf_dir: str):
+    """Series lifecycle / staleness audit (the metrics-SDK "stale
+    series" sweep over an unbounded series keyspace): per user series
+    the first/last timestamp and point count, plus a ``stale`` flag —
+    no point in the trailing 24 h relative to the corpus watermark.
+    Two-phase min/max aggregate; the watermark is ONE tiny driver
+    scalar broadcast into the flag lane (never a per-row join)."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "ts_us": ts_us})
+
+    pre = _read_co(sf_dir, "events", ["user_id", "ts"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["user_id"], count_name="n_points",
+                      min_cols={"first_us": "ts_us"},
+                      max_cols={"last_us": "ts_us"},
+                      strategy="shuffle").materialize()
+    import pyarrow.compute as _pc
+    wm = agg.max("last_us")
+
+    def flag(t: pa.Table) -> pa.Table:
+        stale = _pc.cast(_pc.less(t.column("last_us"),
+                                  pa.scalar(int(wm) - 86_400_000_000,
+                                            pa.int64())), pa.int64())
+        return t.append_column("stale", stale)
+
+    return agg.map_batches(flag, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7184,6 +7279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_screen_eval": _q_docs_screen_eval,
         "events_value_auc": _q_events_value_auc,
         "events_user_gini": _q_events_user_gini,
+        "events_exphist_p99": _q_events_exphist_p99,
+        "events_logfmt": _q_events_logfmt,
+        "spans_deepest_path": _q_spans_deepest_path,
+        "events_series_staleness": _q_events_series_staleness,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7992,6 +8091,82 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_exphist_p99": """
+WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)
+               AS cents FROM events),
+i AS (SELECT event_type,
+             CASE WHEN cents > 0
+                  THEN CAST(length(bin(cents)) - 1
+                       - CASE WHEN (cents & (cents - 1)) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) END AS idx
+      FROM c),
+g AS (SELECT event_type, idx, CAST(count(*) AS BIGINT) AS n
+      FROM i GROUP BY event_type, idx),
+w AS (SELECT event_type, idx, n,
+             sum(n) OVER (PARTITION BY event_type
+                          ORDER BY idx ASC NULLS FIRST) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM g)
+SELECT event_type, CAST(tot AS BIGINT) AS n_total, idx AS q_idx
+FROM w
+WHERE cum > (tot - 1) * 990 // 1000
+  AND cum - n <= (tot - 1) * 990 // 1000
+""",
+        "events_logfmt": """
+WITH l AS (
+  SELECT event_id,
+         'level=' || event_type || ' user=' ||
+         CAST(user_id AS VARCHAR) || ' cents=' ||
+         CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) ||
+         ' note="user ' || CAST(user_id AS VARCHAR) || ' did ' ||
+         event_type || '"' AS line
+  FROM events),
+x AS (
+  SELECT event_id,
+         regexp_extract(line, '(?:^| )level=("[^"]*"|[^ ]+)', 1) AS lv,
+         regexp_extract(line, '(?:^| )user=("[^"]*"|[^ ]+)', 1) AS us,
+         regexp_extract(line, '(?:^| )cents=("[^"]*"|[^ ]+)', 1) AS ce,
+         regexp_extract(line, '(?:^| )note=("[^"]*"|[^ ]+)', 1) AS no
+  FROM l)
+SELECT event_id,
+       CASE WHEN lv LIKE '"%' THEN substr(lv, 2, length(lv) - 2)
+            ELSE lv END AS level,
+       CASE WHEN us LIKE '"%' THEN substr(us, 2, length(us) - 2)
+            ELSE us END AS user_s,
+       CASE WHEN ce LIKE '"%' THEN substr(ce, 2, length(ce) - 2)
+            ELSE ce END AS cents_s,
+       CASE WHEN no LIKE '"%' THEN substr(no, 2, length(no) - 2)
+            ELSE no END AS note
+FROM x
+""",
+        "spans_deepest_path": f"""
+WITH RECURSIVE {SPANS_CTE.strip()},
+p AS (
+  SELECT trace_id, span_id, CAST(duration_us AS BIGINT) AS total
+  FROM spans WHERE parent_span_id = ''
+  UNION ALL
+  SELECT s.trace_id, s.span_id, p.total + s.duration_us
+  FROM spans s JOIN p
+    ON s.trace_id = p.trace_id AND s.parent_span_id = p.span_id)
+SELECT t.trace_id, t.n_spans, m.critical_us
+FROM (SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY trace_id) t
+JOIN (SELECT trace_id, CAST(max(total) AS BIGINT) AS critical_us
+      FROM p GROUP BY trace_id) m USING (trace_id)
+""",
+        "events_series_staleness": """
+WITH s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM events GROUP BY user_id)
+SELECT user_id, n_points, first_us, last_us,
+       CAST(CASE WHEN last_us < (SELECT max(last_us) FROM s)
+                                - 86400000000
+            THEN 1 ELSE 0 END AS BIGINT) AS stale
+FROM s
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

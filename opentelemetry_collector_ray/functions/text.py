@@ -9,6 +9,7 @@ except the explicitly-documented md5 oracle helper.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -563,3 +564,36 @@ def gopher_quality(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
             "n_alpha_words": n_alpha_words,
             "n_stopwords": n_stop,
             "keep": pa.array(keep)}
+
+
+def parse_kv(col: pa.ChunkedArray | pa.Array, keys: list[str],
+             ) -> dict[str, pa.Array]:
+    """Logfmt key=value extraction (the OTTL ``ParseKeyValue``
+    converter analog, reference
+    ottl/ottlfuncs/func_parse_key_value.go): pull the named ``keys``
+    out of space-separated ``k=v`` lines. A value is either a
+    double-quoted run (``k="v with spaces"`` — no embedded quotes) or
+    a bare token (``k=v``); the surrounding quotes are stripped.
+    Missing key → NULL. One RE2 ``extract_regex`` per requested key —
+    vectorized over the whole column, never per row; DuckDB's
+    ``regexp_extract`` runs the identical RE2 pattern, so the lanes
+    sit behind exact SQL oracles."""
+    out: dict[str, pa.Array] = {}
+    for k in keys:
+        if not _KV_KEY_RE.match(k):
+            raise ValueError(
+                f"parse_kv: key {k!r} must be a bare logfmt key "
+                "([A-Za-z0-9_.-]+)")
+        pat = rf'(?:^| ){re.escape(k)}=(?P<v>"[^"]*"|[^ ]+)'
+        st = pc.extract_regex(col, pat)
+        v = pc.struct_field(st, "v")
+        quoted = pc.and_kleene(pc.starts_with(v, '"'),
+                               pc.ends_with(v, '"'))
+        stripped = pc.utf8_slice_codeunits(v, 1, -1)
+        out[k] = pc.if_else(quoted, stripped, v).combine_chunks() \
+            if isinstance(v, pa.ChunkedArray) else pc.if_else(
+                quoted, stripped, v)
+    return out
+
+
+_KV_KEY_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")

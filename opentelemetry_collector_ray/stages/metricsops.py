@@ -451,3 +451,74 @@ def slo_burn(ds: ray.data.Dataset, key: str, ts_col: str, err_col: str,
         return pa.table(out)
 
     return win.map_batches(lanes, batch_format="pyarrow")
+
+
+def exphist_quantile(hist: ray.data.Dataset, key: str, q_permille: int,
+                     idx_col: str = "idx", count_col: str = "n",
+                     n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Quantile estimate FROM an exponential histogram — the read side
+    of the OTel exp-histogram pair (a DDSketch-style relative-error
+    quantile: the answer is the BUCKET holding the target rank, exact
+    as an integer decision). Per ``key``: order the zero bucket (NULL
+    idx — value 0, below every positive bucket) first, then idx
+    ascending; the discrete-quantile rank rule ``target =
+    (N−1)·q//1000`` (DuckDB ``quantile_disc``) picks the bucket whose
+    cumulative count first exceeds target. Output per key: ``n_total``
+    and the nullable ``q_idx`` (NULL = the quantile is zero).
+
+    Scale shape: the histogram table is already reduced (keys ×
+    ~O(160) buckets); ONE bucket exchange on ``key``, one sort +
+    segment cumsum + searchsorted per bucket."""
+    q = int(q_permille)
+    if not (0 <= q <= 1000):
+        raise ValueError("exphist_quantile: q_permille must be in "
+                         "[0, 1000]")
+    _SENT = -(1 << 61)          # sorts before any real bucket index
+
+    def fn(t: pa.Table) -> pa.Table:
+        kt = t.column(key).type
+        out_schema = pa.schema([(key, kt), ("n_total", pa.int64()),
+                                ("q_idx", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = t.column(idx_col)
+        if pc.any(pc.less_equal(pc.fill_null(idx, 0),
+                                pa.scalar(_SENT, pa.int64()))).as_py():
+            raise ValueError("exphist_quantile: bucket index collides "
+                             "with the null sentinel")
+        t = t.append_column("_ord", pc.fill_null(
+            pc.cast(idx, pa.int64()), _SENT))
+        t = t.sort_by([(key, "ascending"), ("_ord", "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        o = t.column("_ord").to_numpy(zero_copy_only=False)
+        c = t.column(count_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(c) and c.min() < 0:
+            raise ValueError("exphist_quantile: negative bucket count")
+        new = np.append(True, k[1:] != k[:-1])
+        bounds = np.flatnonzero(new)
+        seg_start = bounds[np.cumsum(new) - 1]
+        cum = np.cumsum(c)
+        excl = cum - c
+        seg_cum = cum - excl[seg_start]          # within-key cumulative
+        totals = np.add.reduceat(c, bounds)
+        target = (totals - 1) * q // 1000        # quantile_disc rank
+        # first row of each segment whose cumulative exceeds its key's
+        # target — one vectorized min-reduceat over masked ordinals
+        # (empty-count rows can't be picked: cum > target fails there
+        # only if a later row satisfies it, and totals >= 1 guarantees
+        # the last row of the segment always does).
+        seg_of_row = np.cumsum(new) - 1
+        ordinal = np.arange(len(k), dtype=np.int64)
+        cand = np.where(seg_cum > target[seg_of_row], ordinal, len(k))
+        pick = np.minimum.reduceat(cand, bounds)
+        q_idx = o[pick]
+        return pa.table({
+            key: pa.array(k[bounds], type=kt),
+            "n_total": pa.array(totals),
+            "q_idx": pa.array(q_idx, pa.int64(),
+                              mask=(q_idx == _SENT))})
+
+    from .bucketing import bucketed_map_groups
+
+    return bucketed_map_groups(hist, key, fn, n_buckets=n_buckets)

@@ -651,3 +651,81 @@ def span_depth(spans: ray.data.Dataset, n_buckets: int = 64
         add_bucket, batch_format="pyarrow")
     return pre.groupby("_bucket").map_groups(depth_bucket,
                                              batch_format="pyarrow")
+
+
+def trace_deepest_path(spans: ray.data.Dataset, n_buckets: int = 64,
+                       value_col: str = "duration_us"
+                       ) -> ray.data.Dataset:
+    """Per-trace maximum root-to-leaf ``value_col`` sum — the
+    flame-graph "deepest path" rollup (an upper bound on the trace's
+    critical path; the true critical path additionally subtracts
+    overlap between siblings, which needs interval logic — see
+    ``span_self_time`` for the exclusive-time lane). A span whose
+    parent id is absent from the data starts its own chain (orphans =
+    roots), matching ``span_depth``.
+
+    POINTER DOUBLING with value accumulation: same O(log depth) jump
+    loop as ``span_depth`` but carrying ``s[i] += s[p[i]]`` — the
+    chain sum from each span up to its root — then one segment max per
+    trace. ONE exchange co-partitions traces by bucket; everything
+    else is numpy int64 on the bucket. Output: (trace_id, n_spans,
+    critical_us = max over spans of the ancestor-chain sum)."""
+    from .bucketing import bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            bucket_of(t.column("trace_id"), n_buckets)))
+
+    def path_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("trace_id", pa.string()),
+                              ("n_spans", pa.int64()),
+                              ("critical_us", pa.int64())]).empty_table()
+        tid = t.column("trace_id")
+        key = pc.binary_join_element_wise(
+            tid, t.column("span_id"), "\x1f")
+        pkey = pc.binary_join_element_wise(
+            tid, t.column("parent_span_id"), "\x1f")
+        p = pc.index_in(pkey, key.combine_chunks()) \
+            .fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = t.column(value_col)
+        if vc.null_count:
+            raise ValueError(
+                f"trace_deepest_path: {value_col!r} has nulls")
+        s = vc.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and s.min() < 0:
+            raise ValueError(
+                f"trace_deepest_path: negative {value_col!r} breaks "
+                "the max-path identity")
+        n = t.num_rows
+        rounds, max_rounds = 0, int(np.ceil(np.log2(max(n, 2)))) + 1
+        while (p >= 0).any():
+            if rounds >= max_rounds:
+                raise ValueError(
+                    "trace_deepest_path: cyclic parent_span_id links")
+            live = p >= 0
+            pi = p[live]
+            s_new = s.copy()
+            s_new[live] = s[live] + s[pi]
+            p_new = p.copy()
+            p_new[live] = p[pi]
+            s, p = s_new, p_new
+            rounds += 1
+        # segment max per trace over the sorted bucket
+        order = pc.sort_indices(tid).to_numpy(zero_copy_only=False)
+        tk = tid.to_numpy(zero_copy_only=False)[order]
+        sv = s[order]
+        new = np.append(True, tk[1:] != tk[:-1])
+        bounds = np.flatnonzero(new)
+        crit = np.maximum.reduceat(sv, bounds)
+        n_spans = np.diff(np.append(bounds, n))
+        return pa.table({
+            "trace_id": pa.array(tk[bounds], type=tid.type),
+            "n_spans": pa.array(n_spans.astype(np.int64)),
+            "critical_us": pa.array(crit)})
+
+    pre = spans.select_columns(
+        ["trace_id", "span_id", "parent_span_id", value_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return pre.groupby("_bucket").map_groups(path_bucket,
+                                             batch_format="pyarrow")

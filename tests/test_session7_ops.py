@@ -286,3 +286,102 @@ def test_gini_impurity_known_values(ray_session):
     assert out.loc["h"].gini_permille == 500
     assert out.loc["u"].gini_permille == 750
     assert out.loc["u"].n == 4 and out.loc["u"].gini_num == 12
+
+
+# ---------------------------------------------------------- exphist_quantile
+
+def test_exphist_quantile_rank_rule(ray_session):
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exphist_quantile)
+    # buckets: idx 0 x3, idx 1 x3, idx 2 x4 -> N=10
+    # q=500: target=(10-1)*500//1000=4 -> first cum>4 is idx 1 (cum 6)
+    # q=1000: target=9 -> idx 2; q=0: target=0 -> idx 0
+    h = pa.table({"k": ["a"] * 3, "idx": pa.array([0, 1, 2], pa.int64()),
+                  "n": pa.array([3, 3, 4], pa.int64())})
+    for q, want in ((500, 1), (1000, 2), (0, 0)):
+        out = exphist_quantile(_ds(h, 1), "k", q).to_pandas()
+        assert out.iloc[0].q_idx == want and out.iloc[0].n_total == 10
+    with pytest.raises(ValueError, match="q_permille"):
+        exphist_quantile(_ds(h, 1), "k", 1001)
+
+
+def test_exphist_quantile_zero_bucket_first(ray_session):
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exphist_quantile)
+    # zero bucket (NULL idx) holds the low ranks: 6 zeros + 4 at idx 3
+    h = pa.table({"k": ["a", "a"], "idx": pa.array([None, 3], pa.int64()),
+                  "n": pa.array([6, 4], pa.int64())})
+    lo = exphist_quantile(_ds(h, 1), "k", 250).to_pandas().iloc[0]
+    assert np.isnan(lo.q_idx)         # p25 is in the zero bucket
+    hi = exphist_quantile(_ds(h, 1), "k", 900).to_pandas().iloc[0]
+    assert hi.q_idx == 3
+
+
+def test_exphist_quantile_end_to_end_matches_direct(ray_session):
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exp_bucket_index, exp_histogram, exphist_quantile)
+    rng = np.random.default_rng(11)
+    v = rng.integers(1, 10_000, 400)
+    ks = rng.choice(["x", "y"], 400)
+    t = pa.table({"k": pa.array(ks), "v": pa.array(v, pa.int64())})
+    hist = exp_histogram(_ds(t), keys=["k"], value_col="v", scale=0)
+    out = exphist_quantile(hist, "k", 990).to_pandas().set_index("k")
+    for key in ("x", "y"):
+        vals = np.sort(v[ks == key])
+        direct = vals[(len(vals) - 1) * 990 // 1000]
+        assert out.loc[key].q_idx == exp_bucket_index(
+            np.array([direct], dtype=np.float64))[0]
+
+
+# ----------------------------------------------------------------- parse_kv
+
+def test_parse_kv_quoted_bare_missing():
+    from opentelemetry_collector_ray.functions.text import parse_kv
+    c = pa.array(['a=1 b="two words" c=x', 'b=bare', 'none here', None,
+                  'b=""', 'prefab=9 b=2'])
+    out = parse_kv(c, ["a", "b"])
+    assert out["a"].to_pylist() == ["1", None, None, None, None, None]
+    # 'prefab=9' must NOT match key 'b' mid-token ((?:^| ) anchor)
+    assert out["b"].to_pylist() == ["two words", "bare", None, None,
+                                    "", "2"]
+    with pytest.raises(ValueError, match="bare logfmt key"):
+        parse_kv(c, ["bad key"])
+
+
+# ------------------------------------------------------- trace_deepest_path
+
+def test_trace_deepest_path_chains_and_orphans(ray_session):
+    from opentelemetry_collector_ray.stages.spanops import (
+        trace_deepest_path)
+    # trace t1: root(10) -> a(5) -> b(3); root -> c(20): deepest 10+20=30
+    # trace t2: orphan parent link = its own root: single span 7
+    t = pa.table({
+        "trace_id": ["t1", "t1", "t1", "t1", "t2"],
+        "span_id": ["r", "a", "b", "c", "z"],
+        "parent_span_id": ["", "r", "a", "r", "missing"],
+        "duration_us": pa.array([10, 5, 3, 20, 7], pa.int64()),
+    })
+    out = trace_deepest_path(_ds(t)).to_pandas().set_index("trace_id")
+    assert out.loc["t1"].critical_us == 30 and out.loc["t1"].n_spans == 4
+    assert out.loc["t2"].critical_us == 7 and out.loc["t2"].n_spans == 1
+
+
+def test_trace_deepest_path_deep_chain_and_cycle(ray_session):
+    from opentelemetry_collector_ray.stages.spanops import (
+        trace_deepest_path)
+    # 64-deep linear chain: sum of 1..64
+    n = 64
+    t = pa.table({
+        "trace_id": ["t"] * n,
+        "span_id": [f"s{i}" for i in range(n)],
+        "parent_span_id": [""] + [f"s{i - 1}" for i in range(1, n)],
+        "duration_us": pa.array(list(range(1, n + 1)), pa.int64()),
+    })
+    out = trace_deepest_path(_ds(t, 2)).to_pandas()
+    assert out.iloc[0].critical_us == n * (n + 1) // 2
+    cyc = pa.table({
+        "trace_id": ["c", "c"], "span_id": ["a", "b"],
+        "parent_span_id": ["b", "a"],
+        "duration_us": pa.array([1, 1], pa.int64())})
+    with pytest.raises(Exception, match="cyclic"):
+        trace_deepest_path(_ds(cyc, 1)).materialize()
