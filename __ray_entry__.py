@@ -7095,6 +7095,32 @@ def _q_events_series_staleness(sf_dir: str):
     return agg.map_batches(flag, batch_format="pyarrow")
 
 
+def _q_customers_near_names(sf_dir: str):
+    """Blocked edit-distance SELF-join (stages/fuzzy.py::
+    edit_distance_pairs — the entity-resolution pair-discovery step;
+    fuzzy_lookup is the broadcast small-dictionary sibling): all
+    customer-name pairs within Levenshtein distance 1, blocked on the
+    first SEVEN digits of the customer number — blocks of 100
+    consecutive ids, so pairs differing in a higher digit are excluded
+    by design (the standard blocking recall trade) — and length-banded
+    inside the block. The pairwise prefix-min DP scores every
+    candidate pair in one vectorized pass; DuckDB's character-level
+    levenshtein equals the byte-level lane on this ASCII corpus."""
+    from opentelemetry_collector_ray.stages.fuzzy import (
+        edit_distance_pairs)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "blk": pc.utf8_slice_codeunits(t.column("c_name"), 9, 16)})
+
+    ds = _read_co(sf_dir, "customer", ["c_custkey", "c_name"],
+                  floor=4).map_batches(prep, batch_format="pyarrow")
+    return edit_distance_pairs(ds, "c_custkey", "c_name", 1,
+                               block_col="blk")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7283,6 +7309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_logfmt": _q_events_logfmt,
         "spans_deepest_path": _q_spans_deepest_path,
         "events_series_staleness": _q_events_series_staleness,
+        "customers_near_names": _q_customers_near_names,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8167,6 +8194,14 @@ SELECT user_id, n_points, first_us, last_us,
                                 - 86400000000
             THEN 1 ELSE 0 END AS BIGINT) AS stale
 FROM s
+""",
+        "customers_near_names": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON substr(a.c_name, 10, 7) = substr(b.c_name, 10, 7)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
         "docs_attrs_nested": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, lang

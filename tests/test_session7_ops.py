@@ -385,3 +385,68 @@ def test_trace_deepest_path_deep_chain_and_cycle(ray_session):
         "duration_us": pa.array([1, 1], pa.int64())})
     with pytest.raises(Exception, match="cyclic"):
         trace_deepest_path(_ds(cyc, 1)).materialize()
+
+
+# ------------------------------------------------------- edit_distance_pairs
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_pairs_matches_reference():
+    from opentelemetry_collector_ray.stages.fuzzy import levenshtein_pairs
+    rng = np.random.default_rng(5)
+    words = ["".join(rng.choice(list("abcd"), rng.integers(0, 9)))
+             for _ in range(40)]
+    ia = rng.integers(0, 40, 120)
+    ib = rng.integers(0, 40, 120)
+    got = levenshtein_pairs(pa.array(words), ia, ib, chunk=37)
+    want = [_lev_ref(words[x], words[y]) for x, y in zip(ia, ib)]
+    assert got.tolist() == want
+
+
+def test_edit_distance_pairs_cross_band_and_dedup(ray_session):
+    from opentelemetry_collector_ray.stages.fuzzy import edit_distance_pairs
+    # lengths 3,4 land in adjacent bands at max_dist=1 (w=2): the
+    # insert pair (abc, abcd) must still be found, and every pair
+    # exactly once.
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "s": ["abc", "abcd", "abd", "zzzzzz"]})
+    out = edit_distance_pairs(_ds(t), "id", "s", 1).to_pandas()
+    pairs = sorted(map(tuple, out[["id_a", "id_b", "dist"]].values.tolist()))
+    assert pairs == [(1, 2, 1), (1, 3, 1), (2, 3, 1)] or \
+        pairs == [(1, 2, 1), (1, 3, 1)]
+    # (2,3): 'abcd' vs 'abd' -> one deletion = dist 1, same band pair
+    assert (2, 3, 1) in pairs
+    assert len(pairs) == len(set((a, b) for a, b, _ in pairs))
+
+
+def test_edit_distance_pairs_blocking_and_guards(ray_session):
+    from opentelemetry_collector_ray.stages.fuzzy import edit_distance_pairs
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "s": ["aaa", "aab", "aaa", "aab"],
+                  "blk": ["x", "x", "y", "y"]})
+    out = edit_distance_pairs(_ds(t), "id", "s", 1,
+                              block_col="blk").to_pandas()
+    got = sorted(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert got == [(1, 2), (3, 4)]        # cross-block pairs excluded
+    dup = pa.table({"id": pa.array([7, 7], pa.int64()), "s": ["aa", "ab"]})
+    with pytest.raises(Exception, match="unique"):
+        edit_distance_pairs(_ds(dup, 1), "id", "s", 1).materialize()
+    long = pa.table({"id": pa.array([1], pa.int64()), "s": ["x" * 600]})
+    with pytest.raises(Exception, match="max_len"):
+        edit_distance_pairs(_ds(long, 1), "id", "s", 1).materialize()
+    tight = pa.table({"id": pa.array(list(range(100)), pa.int64()),
+                      "s": ["ab"] * 100})
+    with pytest.raises(Exception, match="max_block_pairs"):
+        edit_distance_pairs(_ds(tight, 1), "id", "s", 1,
+                            max_block_pairs=10).materialize()
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(_ds(t, 1), "id", "s", -1)
