@@ -1339,7 +1339,133 @@ def _register_builtins() -> None:
         return DatasetTransform(lambda ds: ray.data.from_arrow(
             profile_table(ds, [str(c) for c in cfg["columns"]])))
 
+    def make_tail_budget(cfg: dict):
+        from .stages.packing import tail_budget
+
+        for req in ("key", "order_by", "weight"):
+            if not cfg.get(req):
+                raise ConfigError(f"tail_budget: {req} is required")
+        if "budget" not in cfg:
+            raise ConfigError("tail_budget: budget is required")
+        order = cfg["order_by"]
+        if isinstance(order, str):
+            order = [order]
+        return DatasetTransform(lambda ds: tail_budget(
+            ds, cfg["key"], list(order), cfg["weight"],
+            int(cfg["budget"]), out_col=cfg.get("out", "suffix_w")))
+
+    def make_slo_burn(cfg: dict):
+        from .stages.metricsops import slo_burn
+
+        for req in ("key", "ts", "err"):
+            if not cfg.get(req):
+                raise ConfigError(f"slo_burn: {req} is required")
+        for req in ("short_us", "long_us", "err_permille"):
+            if req not in cfg:
+                raise ConfigError(f"slo_burn: {req} is required")
+        ids = cfg.get("id_cols")
+        if isinstance(ids, str):
+            ids = [ids]
+        return DatasetTransform(lambda ds: slo_burn(
+            ds, cfg["key"], cfg["ts"], cfg["err"],
+            int(cfg["short_us"]), int(cfg["long_us"]),
+            int(cfg["err_permille"]),
+            id_cols=list(ids) if ids else None))
+
+    def make_exphist_downscale(cfg: dict):
+        from .stages.metricsops import exphist_downscale
+
+        if not cfg.get("keys"):
+            raise ConfigError("exphist_downscale: keys is required")
+        if "shift" not in cfg:
+            raise ConfigError("exphist_downscale: shift is required")
+        keys = cfg["keys"]
+        if isinstance(keys, str):
+            keys = [keys]
+        return DatasetTransform(lambda ds: exphist_downscale(
+            ds, list(keys), int(cfg["shift"])))
+
+    def make_exphist_quantile(cfg: dict):
+        from .stages.metricsops import exphist_quantile
+
+        if not cfg.get("key"):
+            raise ConfigError("exphist_quantile: key is required")
+        if "q_permille" not in cfg:
+            raise ConfigError("exphist_quantile: q_permille is required")
+        return DatasetTransform(lambda ds: exphist_quantile(
+            ds, cfg["key"], int(cfg["q_permille"])))
+
+    def make_binary_eval(cfg: dict):
+        from .stages.agreement import binary_eval
+
+        for req in ("keys", "pred", "label"):
+            if not cfg.get(req):
+                raise ConfigError(f"binary_eval: {req} is required")
+        keys = cfg["keys"]
+        if isinstance(keys, str):
+            keys = [keys]
+        return DatasetTransform(lambda ds: binary_eval(
+            ds, list(keys), cfg["pred"], cfg["label"],
+            strategy=cfg.get("strategy", "shuffle")))
+
+    def make_grouped_auc(cfg: dict):
+        from .stages.agreement import grouped_auc
+
+        for req in ("key", "score", "label"):
+            if not cfg.get(req):
+                raise ConfigError(f"auc: {req} is required")
+        return DatasetTransform(lambda ds: grouped_auc(
+            ds, cfg["key"], cfg["score"], cfg["label"]))
+
+    def make_rater_kappa(cfg: dict):
+        import ray.data
+
+        from .stages.agreement import rater_agreement
+
+        for req in ("key", "a", "b"):
+            if not cfg.get(req):
+                raise ConfigError(f"rater_kappa: {req} is required")
+        return DatasetTransform(lambda ds: ray.data.from_arrow(
+            rater_agreement(
+                ds, cfg["key"], cfg["a"], cfg["b"],
+                max_classes=int(cfg.get("max_classes", 16)),
+                max_groups=int(cfg.get("max_groups", 10_000)))))
+
+    def make_gini_impurity(cfg: dict):
+        from .stages.agreement import gini_impurity
+
+        for req in ("key", "cat"):
+            if not cfg.get(req):
+                raise ConfigError(f"gini_impurity: {req} is required")
+        return DatasetTransform(lambda ds: gini_impurity(
+            ds, cfg["key"], cfg["cat"]))
+
+    def make_edit_pairs(cfg: dict):
+        from .stages.fuzzy import edit_distance_pairs
+
+        for req in ("id", "text"):
+            if not cfg.get(req):
+                raise ConfigError(f"edit_pairs: {req} is required")
+        if "max_dist" not in cfg:
+            raise ConfigError("edit_pairs: max_dist is required")
+        return DatasetTransform(lambda ds: edit_distance_pairs(
+            ds, cfg["id"], cfg["text"], int(cfg["max_dist"]),
+            block_col=cfg.get("block"),
+            max_len=int(cfg.get("max_len", 512)),
+            max_block_pairs=int(cfg.get("max_block_pairs", 20_000_000))))
+
     register("parse", Factory("processor", make_parse))
+    register("tail_budget", Factory("processor", make_tail_budget))
+    register("slo_burn", Factory("processor", make_slo_burn))
+    register("exphist_downscale",
+             Factory("processor", make_exphist_downscale))
+    register("exphist_quantile",
+             Factory("processor", make_exphist_quantile))
+    register("binary_eval", Factory("processor", make_binary_eval))
+    register("auc", Factory("processor", make_grouped_auc))
+    register("rater_kappa", Factory("processor", make_rater_kappa))
+    register("gini_impurity", Factory("processor", make_gini_impurity))
+    register("edit_pairs", Factory("processor", make_edit_pairs))
     register("validate", Factory("processor", make_validate))
     register("profile", Factory("processor", make_profile))
     register("split", Factory("processor", make_split))

@@ -450,3 +450,85 @@ def test_edit_distance_pairs_blocking_and_guards(ray_session):
                             max_block_pairs=10).materialize()
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_pairs(_ds(t, 1), "id", "s", -1)
+
+
+# ------------------------------------------------------ YAML builder parity
+
+def _build_one(tmp_path, table: pa.Table, proc_name: str, proc_cfg: dict):
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    src = tmp_path / "in.parquet"
+    pq.write_table(table, str(src))
+    return build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(src)}},
+        "processors": {proc_name: proc_cfg},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "processors": [proc_name],
+            "exporters": ["debug"]}}},
+    }))
+
+
+def test_yaml_session7_processors(ray_session, tmp_path):
+    from opentelemetry_collector_ray.config import ConfigError
+
+    t = pa.table({
+        "k": pa.array(["a"] * 6),
+        "i": pa.array(range(6), pa.int64()),
+        "w": pa.array([5] * 6, pa.int64()),
+        "p": pa.array([1, 0, 1, 0, 1, 0], pa.int64()),
+        "y": pa.array([1, 0, 0, 0, 1, 1], pa.int64()),
+    })
+    out = _build_one(tmp_path / "tb", t, "tail_budget",
+                     {"key": "k", "order_by": "i", "weight": "w",
+                      "budget": 12}).to_pandas()
+    assert sorted(out.i.tolist()) == [4, 5]
+    out = _build_one(tmp_path / "be", t, "binary_eval",
+                     {"keys": "k", "pred": "p", "label": "y"}).to_pandas()
+    assert out.iloc[0].tp == 2 and out.iloc[0].fn == 1
+    out = _build_one(tmp_path / "auc", t, "auc",
+                     {"key": "k", "score": "i", "label": "y"}).to_pandas()
+    assert out.iloc[0].n_pos == 3
+    out = _build_one(tmp_path / "gi", t, "gini_impurity",
+                     {"key": "k", "cat": "p"}).to_pandas()
+    assert out.iloc[0].gini_permille == 500
+    out = _build_one(tmp_path / "ka", t, "rater_kappa",
+                     {"key": "k", "a": "p", "b": "y"}).to_pandas()
+    assert out.iloc[0].n == 6
+    sb = pa.table({"svc": ["s"] * 4, "ts": pa.array([0, 1, 2, 3],
+                                                    pa.int64()),
+                   "e": pa.array([1, 1, 1, 1], pa.int64())})
+    out = _build_one(tmp_path / "slo", sb, "slo_burn",
+                     {"key": "svc", "ts": "ts", "err": "e",
+                      "short_us": 1, "long_us": 3,
+                      "err_permille": 500}).to_pandas()
+    assert out.burning.sum() == 4
+    ep = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "s": ["abc", "abd", "xyz"]})
+    out = _build_one(tmp_path / "ep", ep, "edit_pairs",
+                     {"id": "id", "text": "s", "max_dist": 1}).to_pandas()
+    assert sorted(map(tuple, out[["id_a", "id_b"]].values.tolist())) == \
+        [(1, 2)]
+    h = pa.table({"k": ["a", "a"], "idx": pa.array([2, 5], pa.int64()),
+                  "n": pa.array([3, 1], pa.int64())})
+    out = _build_one(tmp_path / "ed", h, "exphist_downscale",
+                     {"keys": "k", "shift": 1}).to_pandas()
+    assert sorted(out.idx.tolist()) == [1, 2]
+    out = _build_one(tmp_path / "eq", h, "exphist_quantile",
+                     {"key": "k", "q_permille": 1000}).to_pandas()
+    assert out.iloc[0].q_idx == 5
+    for name, cfg in (("tail_budget", {"key": "k"}),
+                      ("slo_burn", {"key": "s", "ts": "t", "err": "e"}),
+                      ("binary_eval", {"keys": "k", "pred": "p"}),
+                      ("auc", {"key": "k", "score": "s"}),
+                      ("rater_kappa", {"key": "k", "a": "a"}),
+                      ("gini_impurity", {"key": "k"}),
+                      ("edit_pairs", {"id": "i", "text": "t"}),
+                      ("exphist_downscale", {"keys": "k"}),
+                      ("exphist_quantile", {"key": "k"})):
+        with pytest.raises(ConfigError):
+            _build_one(tmp_path / f"err_{name}", t, name, cfg)
