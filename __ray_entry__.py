@@ -7121,6 +7121,34 @@ def _q_customers_near_names(sf_dir: str):
                                block_col="blk")
 
 
+def _q_events_rolling_extrema(sf_dir: str):
+    """Rolling window extrema (stages/window.py::per_key_window
+    rolling_max/rolling_min/moving_max — the sparse-table range-query
+    lanes completing the window family): per user the 7-day trailing
+    max and min spend (RANGE frame) and the 3-row trailing max (ROWS
+    frame), all riding ONE bucket exchange. Oracle = the same three
+    SQL frames."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts_us": ts_us,
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events",
+                   ["user_id", "event_id", "ts", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    week = 7 * 86_400_000_000
+    return per_key_window(
+        pre, "user_id", ["ts_us", "event_id"],
+        {"max_7d": ("rolling_max", "cents", week),
+         "min_7d": ("rolling_min", "cents", week),
+         "max_3r": ("moving_max", "cents", 3)})
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7310,6 +7338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_deepest_path": _q_spans_deepest_path,
         "events_series_staleness": _q_events_series_staleness,
         "customers_near_names": _q_customers_near_names,
+        "events_rolling_extrema": _q_events_rolling_extrema,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8118,6 +8147,21 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_rolling_extrema": """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT user_id, event_id, ts_us, cents,
+       CAST(max(cents) OVER r AS BIGINT) AS max_7d,
+       CAST(min(cents) OVER r AS BIGINT) AS min_7d,
+       CAST(max(cents) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS max_3r
+FROM e WINDOW r AS (PARTITION BY user_id ORDER BY ts_us
+     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
 """,
         "events_exphist_p99": """
 WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)

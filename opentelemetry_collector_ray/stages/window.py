@@ -35,7 +35,34 @@ from .bucketing import bucketed_map_groups, key_segments
 _OPS = ("lag", "lead", "delta", "cumsum", "row_number", "rolling_sum",
         "rolling_count", "rank", "dense_rank", "ntile", "percent_rank",
         "cume_dist", "first_value", "last_value", "ffill",
-        "moving_sum", "moving_count")
+        "moving_sum", "moving_count", "rolling_max", "rolling_min",
+        "moving_max", "moving_min")
+
+
+def _range_extreme(v: np.ndarray, lo: np.ndarray, pos: np.ndarray,
+                   kind: str) -> np.ndarray:
+    """Windowed max/min over inclusive per-row frames ``[lo[t], t]`` —
+    the sparse-table (range-max query) construction: level j holds the
+    extreme of the 2^j-window ending at each row, a frame of width w
+    is the overlap of the two 2^floor(log2 w) windows ending at ``t``
+    and at ``lo + 2^p − 1``. O(n log maxw) build, fully vectorized —
+    no monotonic-deque scan, and per-row widths (RANGE frames,
+    partition starts) come for free."""
+    n = len(v)
+    if n == 0:
+        return v.copy()
+    op = np.maximum if kind == "max" else np.minimum
+    w = pos - lo + 1
+    levels = max(1, int(w.max()).bit_length())
+    table = np.empty((levels, n), dtype=v.dtype)
+    table[0] = v
+    for j in range(1, levels):
+        d = 1 << (j - 1)
+        table[j, :d] = table[j - 1, :d]
+        table[j, d:] = op(table[j - 1, d:], table[j - 1, :-d])
+    # exact floor(log2 w): frexp is exact for ints < 2^53
+    p = (np.frexp(w.astype(np.float64))[1] - 1).astype(np.int64)
+    return op(table[p, pos], table[p, lo + (1 << p) - 1])
 
 
 def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
@@ -75,7 +102,9 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             raise ValueError(
                 f"per_key_window: op {out!r} must start with one of "
                 f"{_OPS}, got {spec!r}")
-        if spec[0] in ("rolling_sum", "moving_sum") and len(spec) != 3:
+        if spec[0] in ("rolling_sum", "moving_sum", "rolling_max",
+                       "rolling_min", "moving_max", "moving_min") \
+                and len(spec) != 3:
             raise ValueError(
                 f"per_key_window: {spec[0]} takes (col, window)")
         if spec[0] in ("rolling_count", "moving_count") \
@@ -86,11 +115,13 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
             if len(spec) != 2 or int(spec[1]) < 1:
                 raise ValueError(
                     "per_key_window: ntile takes one tile count >= 1")
-        elif spec[0] in ("rolling_sum", "rolling_count"):
+        elif spec[0] in ("rolling_sum", "rolling_count",
+                         "rolling_max", "rolling_min"):
             rolling_requested = True
             if int(spec[-1]) < 0:
                 raise ValueError("per_key_window: window must be >= 0")
-        elif spec[0] in ("moving_sum", "moving_count"):
+        elif spec[0] in ("moving_sum", "moving_count", "moving_max",
+                         "moving_min"):
             if int(spec[-1]) < 0:
                 raise ValueError("per_key_window: window must be >= 0")
         elif spec[0] in ("row_number", "rank", "dense_rank",
@@ -111,7 +142,8 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
     sort_spec = [(key, "ascending")] + [(c, "ascending")
                                         for c in order_by]
     windows = sorted({int(spec[-1]) for spec in ops.values()
-                      if spec[0] in ("rolling_sum", "rolling_count")})
+                      if spec[0] in ("rolling_sum", "rolling_count",
+                                     "rolling_max", "rolling_min")})
 
     def bucket_fn(t: pa.Table) -> pa.Table:
         t = t.sort_by(sort_spec)
@@ -338,6 +370,27 @@ def per_key_window(ds: ray.data.Dataset, key: str, order_by: list[str],
                 lo = np.maximum(seg_start, pos - int(spec[2]))
                 t = t.append_column(
                     out, pa.array(prefix[pos + 1] - prefix[lo]))
+                continue
+            if op in ("rolling_max", "rolling_min", "moving_max",
+                      "moving_min"):
+                if v.dtype.kind not in "iuf" or (
+                        v.dtype.kind == "f" and np.isnan(v).any()):
+                    raise ValueError(
+                        f"per_key_window: {op} needs a numeric NaN-free "
+                        f"column, got {v.dtype} for {spec[1]!r}")
+                ext = v.astype(
+                    np.int64 if v.dtype.kind in "iub" else np.float64)
+                if op.startswith("rolling"):
+                    # RANGE frame = [lo, hi) row span: later order TIES
+                    # belong to the frame too (SQL CURRENT ROW = peer
+                    # group), so the window ends at hi - 1, not pos.
+                    lo = lo_of[int(spec[2])]
+                    end = hi - 1
+                else:
+                    lo = np.maximum(seg_start, pos - int(spec[2]))
+                    end = pos
+                t = t.append_column(out, pa.array(_range_extreme(
+                    ext, lo, end, op[-3:])))
                 continue
             if op in ("lag", "delta"):
                 k_off = int(spec[2]) if (op == "lag" and len(spec) == 3) \

@@ -532,3 +532,47 @@ def test_yaml_session7_processors(ray_session, tmp_path):
                       ("exphist_quantile", {"key": "k"})):
         with pytest.raises(ConfigError):
             _build_one(tmp_path / f"err_{name}", t, name, cfg)
+
+
+# ------------------------------------------------- window extremum lanes
+
+def test_window_extrema_brute_force(ray_session):
+    from opentelemetry_collector_ray.stages.window import per_key_window
+    rng = np.random.default_rng(9)
+    n = 400
+    keys = rng.choice(["a", "b", "c"], n)
+    order = np.sort(rng.integers(0, 500, n))  # duplicates = RANGE ties
+    rid = np.arange(n)
+    vals = rng.integers(-50, 50, n)
+    t = pa.table({"k": pa.array(keys), "o": pa.array(order, pa.int64()),
+                  "rid": pa.array(rid, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    out = per_key_window(
+        ray.data.from_arrow(t).repartition(3), "k", ["o", "rid"],
+        {"mx": ("rolling_max", "v", 20), "mn": ("rolling_min", "v", 20),
+         "rmx": ("moving_max", "v", 5),
+         "rmn": ("moving_min", "v", 5)}).to_pandas()
+    out = out.sort_values(["k", "o", "rid"]).reset_index(drop=True)
+    for kk in ("a", "b", "c"):
+        g = out[out.k == kk].reset_index(drop=True)
+        ov = g.o.to_numpy()
+        vv = g.v.to_numpy()
+        for i in range(len(g)):
+            in_range = (ov >= ov[i] - 20) & (ov <= ov[i])
+            assert g.mx[i] == vv[in_range].max()
+            assert g.mn[i] == vv[in_range].min()
+            lo = max(0, i - 5)
+            assert g.rmx[i] == vv[lo:i + 1].max()
+            assert g.rmn[i] == vv[lo:i + 1].min()
+
+
+def test_window_extrema_validation(ray_session):
+    from opentelemetry_collector_ray.stages.window import per_key_window
+    t = pa.table({"k": ["a"], "o": pa.array([1], pa.int64()),
+                  "v": pa.array([float("nan")])})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="NaN-free"):
+        per_key_window(ds, "k", ["o"],
+                       {"m": ("moving_max", "v", 2)}).materialize()
+    with pytest.raises(ValueError, match="takes"):
+        per_key_window(ds, "k", ["o"], {"m": ("rolling_max", "v")})
