@@ -7149,6 +7149,74 @@ def _q_events_rolling_extrema(sf_dir: str):
          "max_3r": ("moving_max", "cents", 3)})
 
 
+def _q_events_exemplars(sf_dir: str):
+    """Exemplar selection per histogram bucket (the OTel exemplar
+    semantic — pmetric keeps a representative recorded value per
+    bucket; reference pdata/pmetric/generated_exemplar.go): for every
+    (event_type, scale-0 bucket) the single highest-spend event wins,
+    ties broken by the smallest event id. One latest_by_key compaction
+    over the composite bucket key — order (cents asc, -id asc) makes
+    'last' = (max cents, min id). Oracle = the ROW_NUMBER() = 1
+    window."""
+    from opentelemetry_collector_ray.stages.cdc import latest_by_key
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exp_bucket_index)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        cn = cents.to_numpy(zero_copy_only=False)
+        nonzero = cn > 0
+        idx = np.where(nonzero,
+                       exp_bucket_index(np.where(nonzero, cn, 1.0)), 0)
+        idx_arr = pa.array(idx.astype(np.int64), pa.int64(),
+                           mask=~nonzero)
+        ek = pc.binary_join_element_wise(
+            t.column("event_type"),
+            pc.fill_null(pc.cast(idx_arr, pa.string()), "zero"), "\x1f")
+        return pa.table({
+            "_ek": ek, "event_type": t.column("event_type"),
+            "idx": idx_arr, "cents": cents,
+            "event_id": t.column("event_id"),
+            "_neg_id": pc.negate(t.column("event_id"))})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "value", "event_id"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    best = latest_by_key(pre, "_ek", ["cents", "_neg_id"], keep="last")
+    return best.select_columns(["event_type", "idx", "cents",
+                                "event_id"])
+
+
+def _q_docs_calibration(sf_dir: str):
+    """Reliability-diagram bins (the calibration audit behind every
+    score-threshold decision): documents bucketed by a char-length
+    score band, per bin the count, positives (token-rich docs) and the
+    truncating positive-rate permille — all exact integers through one
+    two-phase aggregate."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        bin_ = np.minimum(nc // 50, 9).astype(np.int64)
+        ntok = pc.add(pc.count_substring(t.column("text"), " "),
+                      pa.scalar(1, pa.int32()))
+        pos = pc.cast(pc.greater_equal(ntok, pa.scalar(50, pa.int32())),
+                      pa.int64())
+        return pa.table({"bin": pa.array(bin_), "pos": pos})
+
+    pre = _read_co(sf_dir, "documents", ["n_chars", "text"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["bin"], count_name="n",
+                      sum_cols={"n_pos": "pos"}, strategy="tree")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        p = t.column("n_pos").to_numpy(zero_copy_only=False)
+        return t.append_column("pos_permille",
+                               pa.array((1000 * p) // n, pa.int64()))
+
+    return agg.map_batches(lanes, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7339,6 +7407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_series_staleness": _q_events_series_staleness,
         "customers_near_names": _q_customers_near_names,
         "events_rolling_extrema": _q_events_rolling_extrema,
+        "events_exemplars": _q_events_exemplars,
+        "docs_calibration": _q_docs_calibration,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8147,6 +8217,33 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_exemplars": """
+WITH c AS (SELECT event_type, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+i AS (SELECT event_type, event_id, cents,
+             CASE WHEN cents > 0
+                  THEN CAST(length(bin(cents)) - 1
+                       - CASE WHEN (cents & (cents - 1)) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) END AS idx
+      FROM c),
+r AS (SELECT event_type, idx, cents, event_id,
+             row_number() OVER (PARTITION BY event_type, idx
+                 ORDER BY cents DESC, event_id ASC) AS rn
+      FROM i)
+SELECT event_type, idx, cents, event_id FROM r WHERE rn = 1
+""",
+        "docs_calibration": """
+WITH x AS (
+  SELECT least(n_chars // 50, 9) AS bin,
+         CASE WHEN 1 + length(text) - length(replace(text, ' ', '')) >= 50
+              THEN 1 ELSE 0 END AS pos
+  FROM documents)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(1000 * sum(pos) // count(*) AS BIGINT) AS pos_permille
+FROM x GROUP BY bin
 """,
         "events_rolling_extrema": """
 WITH e AS (SELECT user_id, event_id,
