@@ -7217,6 +7217,87 @@ def _q_docs_calibration(sf_dir: str):
     return agg.map_batches(lanes, batch_format="pyarrow")
 
 
+def _q_events_user_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user
+    (stages/sessionize.py::longest_run — the gaps-and-islands idiom as
+    segment arithmetic: island id = day − rank, run lengths via one
+    reduceat). Oracle = the classic SQL row_number() islands CTE."""
+    from opentelemetry_collector_ray.stages.sessionize import longest_run
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        day = pc.divide(ts_us, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": t.column("user_id"), "day": day})
+
+    pre = _read_co(sf_dir, "events", ["user_id", "ts"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return longest_run(pre, "user_id", "day")
+
+
+def _q_turns_qa_pairs(sf_dir: str):
+    """SFT (prompt, response) pair extraction (per_key_window lag over
+    two columns — the pairing step of every instruction-tuning data
+    build): each assistant turn whose immediate predecessor in its
+    conversation is a user turn yields one training pair. Oracle = the
+    SQL lag window + role filter."""
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "role": t.column("role"),
+                         "text": t.column("text")})
+
+    win = per_key_window(
+        _turns(sf_dir).map_batches(proj, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"],
+        {"prev_role": ("lag", "role"), "prev_text": ("lag", "text")})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t.column("role"), "assistant"),
+                       pc.equal(pc.fill_null(t.column("prev_role"), ""),
+                                "user"))
+        t = t.filter(keep)
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "prompt": t.column("prev_text"),
+                         "response": t.column("text")})
+
+    return win.map_batches(pairs, batch_format="pyarrow")
+
+
+def _q_events_folds(sf_dir: str):
+    """Stratified k-fold assignment (per_key_window row_number % k —
+    the CV-split prep step): events get fold ids round-robin within
+    their event-type stratum in (ts, event_id) order, then the
+    per-(stratum, fold) counts prove balance (counts differ by at most
+    one inside a stratum). Oracle = SQL row_number() % k + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "ts_us": ts_us,
+                         "event_id": t.column("event_id")})
+
+    win = per_key_window(
+        _read_co(sf_dir, "events", ["event_type", "ts", "event_id"],
+                 floor=8).map_batches(prep, batch_format="pyarrow"),
+        "event_type", ["ts_us", "event_id"], {"rn": ("row_number",)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t.column("event_type"),
+                         "fold": pa.array(rn % 5, pa.int64())})
+
+    pre = win.map_batches(fold, batch_format="pyarrow")
+    return grouped_agg(pre, ["event_type", "fold"], count_name="n",
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7409,6 +7490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_extrema": _q_events_rolling_extrema,
         "events_exemplars": _q_events_exemplars,
         "docs_calibration": _q_docs_calibration,
+        "events_user_streak": _q_events_user_streak,
+        "turns_qa_pairs": _q_turns_qa_pairs,
+        "events_folds": _q_events_folds,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8217,6 +8301,44 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_user_streak": """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+             AS isl
+  FROM d),
+i AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, isl)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_ordinals,
+       CAST(max(len) AS BIGINT) AS longest_run
+FROM i GROUP BY user_id
+""",
+        "turns_qa_pairs": f"""
+WITH {TURNS_CTE.strip()},
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_text
+  FROM turns)
+SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+FROM w WHERE role = 'assistant' AND prev_role = 'user'
+""",
+        "events_folds": """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY epoch_us(ts), event_id) - 1 AS rn
+  FROM events)
+SELECT event_type, CAST(rn % 5 AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY event_type, rn % 5
 """,
         "events_exemplars": """
 WITH c AS (SELECT event_type, event_id,

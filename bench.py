@@ -168,7 +168,16 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_syslog_pri", "docs_index_phrase",
              "turns_conv_digest", "turns_response_latency",
              "events_snowflake", "turns_span_correlation",
-             "events_bounce_rate", "events_iat_parts"]
+             "events_bounce_rate", "events_iat_parts",
+             # round-5 seventh-session additions
+             "turns_context_window", "spans_slo_burn",
+             "events_exphist_downscale", "docs_rater_kappa",
+             "turns_alternation", "docs_screen_eval",
+             "events_value_auc", "events_user_gini",
+             "events_exphist_p99", "events_logfmt",
+             "spans_deepest_path", "events_series_staleness",
+             "customers_near_names", "events_rolling_extrema",
+             "events_exemplars", "docs_calibration"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -155,3 +155,66 @@ def sliding_window_count(events: ray.data.Dataset, key: str,
         explode, batch_format="pyarrow")
     return grouped_count(exploded, [key, "window_start"],
                          count_name="n_events")
+
+
+def longest_run(ds: ray.data.Dataset, key: str, ordinal_col: str,
+                n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-``key`` longest CONSECUTIVE run of distinct integer ordinals
+    — the gaps-and-islands streak metric (longest consecutive-day
+    activity streak, longest unbroken epoch sequence). Input rows are
+    (key, ordinal) observations; duplicates collapse first. Output:
+    ``(key, n_ordinals, longest_run)``.
+
+    Scale shape: dedupe via per-batch partials + ONE bucket exchange
+    (``grouped_count`` shuffle partials bound a hot key's traffic to
+    one row per batch per ordinal), then per bucket the classic
+    island id ``ordinal − rank`` is pure segment arithmetic on the
+    sorted table — islands are runs of constant id, their lengths one
+    ``reduceat`` away. No Python per key."""
+    import numpy as np
+
+    from .aggregate import grouped_count
+    from .bucketing import bucketed_map_groups, key_segments
+
+    distinct = grouped_count(ds.select_columns([key, ordinal_col]),
+                             [key, ordinal_col], count_name="_n",
+                             strategy="shuffle")
+
+    def fold(t: pa.Table) -> pa.Table:
+        kt = t.column(key).type
+        if t.num_rows == 0:
+            return pa.schema([(key, kt), ("n_ordinals", pa.int64()),
+                              ("longest_run", pa.int64())]).empty_table()
+        oc = t.column(ordinal_col)
+        if oc.null_count:
+            raise ValueError(
+                f"longest_run: {ordinal_col!r} has nulls — a null has "
+                "no place on the number line; filter them first")
+        t = t.sort_by([(key, "ascending"), (ordinal_col, "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        o = t.column(ordinal_col).to_numpy(zero_copy_only=False)
+        if o.dtype.kind not in "iu":
+            raise ValueError(
+                f"longest_run: {ordinal_col!r} must be integer "
+                f"(day number, epoch index), got {o.dtype}")
+        o = o.astype(np.int64)
+        n = len(k)
+        _, seg_start = key_segments(k)
+        pos = np.arange(n, dtype=np.int64)
+        rank = pos - seg_start
+        island = o - rank                    # constant within a run
+        isl_new = np.append(True, (k[1:] != k[:-1]) |
+                            (island[1:] != island[:-1]))
+        isl_len = np.diff(np.append(np.flatnonzero(isl_new), n))
+        # longest island per key: max-reduceat over per-row island
+        # lengths at key boundaries
+        per_row_len = np.repeat(isl_len, isl_len)
+        bounds = np.flatnonzero(np.append(True, k[1:] != k[:-1]))
+        longest = np.maximum.reduceat(per_row_len, bounds)
+        n_ord = np.diff(np.append(bounds, n))
+        return pa.table({
+            key: pa.array(k[bounds], type=kt),
+            "n_ordinals": pa.array(n_ord.astype(np.int64)),
+            "longest_run": pa.array(longest.astype(np.int64))})
+
+    return bucketed_map_groups(distinct, key, fold, n_buckets=n_buckets)

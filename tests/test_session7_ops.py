@@ -576,3 +576,22 @@ def test_window_extrema_validation(ray_session):
                        {"m": ("moving_max", "v", 2)}).materialize()
     with pytest.raises(ValueError, match="takes"):
         per_key_window(ds, "k", ["o"], {"m": ("rolling_max", "v")})
+
+
+# ---------------------------------------------------------------- longest_run
+
+def test_longest_run_streaks(ray_session):
+    from opentelemetry_collector_ray.stages.sessionize import longest_run
+    t = pa.table({
+        "k": ["a"] * 6 + ["b"] * 3 + ["c"],
+        # a: days {1,2,3, 7,8} with a duplicate 2 -> longest 3, n=5
+        # b: {10, 12, 14} -> longest 1, n=3; c: {5} -> 1, 1
+        "d": pa.array([1, 2, 2, 3, 7, 8, 10, 12, 14, 5], pa.int64()),
+    })
+    out = longest_run(_ds(t), "k", "d").to_pandas().set_index("k")
+    assert (out.loc["a"].n_ordinals, out.loc["a"].longest_run) == (5, 3)
+    assert (out.loc["b"].n_ordinals, out.loc["b"].longest_run) == (3, 1)
+    assert (out.loc["c"].n_ordinals, out.loc["c"].longest_run) == (1, 1)
+    neg = pa.table({"k": ["x"], "d": pa.array([1.5])})
+    with pytest.raises(Exception, match="integer"):
+        longest_run(_ds(neg, 1), "k", "d").materialize()
