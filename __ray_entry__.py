@@ -7298,6 +7298,42 @@ def _q_events_folds(sf_dir: str):
                        strategy="tree")
 
 
+def _q_docs_slice_odds(sf_dir: str):
+    """Corpus keyness (stages/corpusstats.py::keyness_odds — the
+    Fightin'-Words log-odds idea kept exactly rational): the 20 terms
+    most characteristic of English vs German documents by add-one
+    smoothed odds ratio, ``1000·(a+1)·(N_b+V) // ((b+1)·(N_a+V))``.
+    Tokens explode once into two slice lanes and reduce through ONE
+    bucket aggregate; totals come from the reduced vocabulary table."""
+    from opentelemetry_collector_ray.stages.corpusstats import (
+        keyness_odds)
+
+    ds = _read_co(sf_dir, "documents", ["lang", "text"], floor=8)
+    return keyness_odds(ds, "lang", "en", "de", top_k=20)
+
+
+def _q_events_audience_overlap(sf_dir: str):
+    """Day-over-day audience Jaccard (stages/cohort.py::
+    audience_overlap — the population-drift lane): per event type and
+    day, how much of today's distinct user set was also active
+    yesterday. Consecutive-day membership is one lag compare per
+    (type, user) day list — never a user-level self-join; the oracle
+    IS that self-join."""
+    from opentelemetry_collector_ray.stages.cohort import (
+        audience_overlap)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        day = pc.divide(ts_us, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day, "user_id": t.column("user_id")})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "ts", "user_id"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return audience_overlap(pre, "event_type", "day", "user_id")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7493,6 +7529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streak": _q_events_user_streak,
         "turns_qa_pairs": _q_turns_qa_pairs,
         "events_folds": _q_events_folds,
+        "docs_slice_odds": _q_docs_slice_odds,
+        "events_audience_overlap": _q_events_audience_overlap,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8301,6 +8339,44 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "docs_slice_odds": """
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents WHERE lang IN ('en', 'de')),
+c AS (SELECT term,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM tok GROUP BY term),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM c)
+SELECT term, a, b,
+       CAST(1000 * (a + 1) * (nb + v) // ((b + 1) * (na + v))
+            AS BIGINT) AS odds_permille
+FROM c, t
+ORDER BY odds_permille DESC, term ASC LIMIT 20
+""",
+        "events_audience_overlap": """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events),
+i AS (SELECT a.event_type, a.day, CAST(count(*) AS BIGINT) AS n_inter
+      FROM d a JOIN d b ON a.event_type = b.event_type
+       AND a.user_id = b.user_id AND b.day = a.day - 1
+      GROUP BY a.event_type, a.day),
+n AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_today
+      FROM d GROUP BY event_type, day)
+SELECT n.event_type, n.day, n.n_today, p.n_today AS n_prev,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       CAST(1000 * COALESCE(i.n_inter, 0)
+            // (n.n_today + p.n_today - COALESCE(i.n_inter, 0))
+            AS BIGINT) AS jaccard_permille
+FROM n JOIN n p ON p.event_type = n.event_type AND p.day = n.day - 1
+LEFT JOIN i ON i.event_type = n.event_type AND i.day = n.day
 """,
         "events_user_streak": """
 WITH d AS (

@@ -82,3 +82,100 @@ def cohort_retention(ds: ray.data.Dataset, user_col: str = "user_id",
         lambda t: t.rename_columns([f"cohort_{period}", "offset",
                                     "n_users"]),
         batch_format="pyarrow")
+
+
+def audience_overlap(ds: "ray.data.Dataset", group_col: str,
+                     day_col: str, user_col: str,
+                     n_buckets: int | str = "auto"
+                     ) -> "ray.data.Dataset":
+    """Day-over-day audience overlap per group — the population-drift
+    lane (how much of today's active user set is yesterday's): for
+    every (group, day) with an active previous day, the distinct-user
+    counts, the returning-user intersection, and the exact Jaccard
+    permille ``1000·|A∩B| // |A∪B|``.
+
+    Scale shape (users unbounded, groups×days bounded by the corpus
+    span): the (group, day, user) triple deduplicates through shuffle
+    partials; per (group, user) the sorted day list marks consecutive
+    days with one lag compare inside a bucket task (the intersection
+    membership — never a user-level self-join); both lanes then reduce
+    to the tiny (group, day) table, where yesterday's total arrives
+    via one more lag window. No driver-side merge."""
+    import ray.data  # noqa: F401  (signature type)
+
+    from .aggregate import grouped_agg, grouped_count
+    from .bucketing import bucketed_map_groups, key_segments
+    from .window import per_key_window
+
+    distinct = grouped_count(
+        ds.select_columns([group_col, day_col, user_col]),
+        [group_col, day_col, user_col], count_name="_n",
+        strategy="shuffle")
+
+    def mark(t: pa.Table) -> pa.Table:
+        gt = t.column(group_col).type
+        if t.num_rows == 0:
+            return pa.schema([(group_col, gt), (day_col, pa.int64()),
+                              ("_present", pa.int64()),
+                              ("_inter", pa.int64())]).empty_table()
+        dc = t.column(day_col)
+        if dc.null_count:
+            raise ValueError(
+                f"audience_overlap: {day_col!r} has nulls")
+        t = t.sort_by([("_gu", "ascending"), (day_col, "ascending")])
+        gu = t.column("_gu").to_numpy(zero_copy_only=False)
+        d = t.column(day_col).to_numpy(zero_copy_only=False)
+        if d.dtype.kind not in "iu":
+            raise ValueError(
+                f"audience_overlap: {day_col!r} must be an integer day "
+                f"ordinal, got {d.dtype}")
+        d = d.astype(np.int64)
+        change, _ = key_segments(gu)
+        prev_same = ~change
+        inter = np.zeros(len(d), np.int64)
+        if len(d) > 1:
+            inter[1:] = (prev_same[1:] & (d[1:] == d[:-1] + 1)
+                         ).astype(np.int64)
+        return pa.table({group_col: t.column(group_col),
+                         day_col: pa.array(d),
+                         "_present": pa.array(np.ones(len(d), np.int64)),
+                         "_inter": pa.array(inter)})
+
+    def add_gu(t: pa.Table) -> pa.Table:
+        gu = pc.binary_join_element_wise(
+            pc.cast(t.column(group_col), pa.string()),
+            pc.cast(t.column(user_col), pa.string()), "\x1f")
+        return t.append_column("_gu", gu)
+
+    marked = bucketed_map_groups(
+        distinct.map_batches(add_gu, batch_format="pyarrow"),
+        "_gu", mark, n_buckets=n_buckets)
+    daily = grouped_agg(marked, [group_col, day_col],
+                        sum_cols={"n_today": "_present",
+                                  "n_inter": "_inter"},
+                        strategy="tree")
+    win = per_key_window(daily, group_col, [day_col],
+                         {"_prev_day": ("lag", day_col),
+                          "n_prev": ("lag", "n_today")})
+
+    def lanes(t: pa.Table) -> pa.Table:
+        pd_ = t.column("_prev_day")
+        d = t.column(day_col)
+        contig = pc.fill_null(
+            pc.equal(pd_, pc.add(pc.cast(d, pa.int64()),
+                                 pa.scalar(-1, pa.int64()))), False)
+        t = t.filter(contig)
+        nt = t.column("n_today").to_numpy(zero_copy_only=False)
+        np_ = t.column("n_prev").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ni = t.column("n_inter").to_numpy(zero_copy_only=False)
+        union = nt + np_ - ni
+        jac = np.zeros(len(nt), np.int64)
+        np.floor_divide(1000 * ni, union, out=jac, where=union > 0)
+        out = {group_col: t.column(group_col), day_col: t.column(day_col),
+               "n_today": t.column("n_today"),
+               "n_prev": pa.array(np_), "n_inter": t.column("n_inter"),
+               "jaccard_permille": pa.array(jac)}
+        return pa.table(out)
+
+    return win.map_batches(lanes, batch_format="pyarrow")

@@ -538,3 +538,73 @@ def grouped_gini(ds: ray.data.Dataset, key: str, value_col: str, *,
     skinny = ds.select_columns([key, value_col])
     return bucketed_map_groups(skinny, key, bucket_fn,
                                n_buckets=n_buckets)
+
+
+def keyness_odds(ds: ray.data.Dataset, slice_col: str, slice_a: str,
+                 slice_b: str, text_col: str = "text", top_k: int = 20,
+                 split_pattern: str = TOKEN_SPLIT_RE
+                 ) -> ray.data.Dataset:
+    """Corpus keyness — which terms CHARACTERIZE slice A against slice
+    B (the "Fightin' Words" log-odds idea, Monroe et al. 2008, kept
+    exactly rational): per term the add-one-smoothed odds ratio
+
+        odds = ((a+1) / (N_a+V)) / ((b+1) / (N_b+V))
+
+    as a truncating ``odds_permille`` integer lane plus the raw counts,
+    top-``top_k`` by (odds desc, term asc). N_a/N_b are slice token
+    totals, V the joint vocabulary — the +1/+V Laplace prior keeps
+    slice-exclusive terms finite and the arithmetic integer.
+
+    Scale shape: tokens explode once with two 0/1 slice lanes and
+    reduce through ONE bucket-strategy grouped sum to the (term, a, b)
+    table; totals are two sums and a count over that reduced table
+    (never a second input scan); the permille is one vectorized pass,
+    magnitude-guarded loudly (a corpus whose token totals push
+    ``1000·(a+1)·(N_b+V)`` past int64 needs sharded slices, not a
+    silent wrap); top-k is a sort+limit on the skinny lanes."""
+    if top_k <= 0:
+        raise ValueError("keyness_odds: top_k must be positive")
+    if slice_a == slice_b:
+        raise ValueError("keyness_odds: slices must differ")
+    from .aggregate import grouped_agg
+
+    def explode(t: pa.Table) -> pa.Table:
+        sl = t.column(slice_col)
+        keep = pc.or_(pc.equal(sl, slice_a), pc.equal(sl, slice_b))
+        t = t.filter(pc.fill_null(keep, False))
+        flat, rows = _tokens_with_rows(t.column(text_col),
+                                       split_pattern)
+        is_a = pc.equal(t.column(slice_col), slice_a).to_numpy(
+            zero_copy_only=False)[rows]
+        return pa.table({"term": flat,
+                         "_a": pa.array(is_a.astype(np.int64)),
+                         "_b": pa.array((~is_a).astype(np.int64))})
+
+    counts = grouped_agg(
+        ds.select_columns([slice_col, text_col]).map_batches(
+            explode, batch_format="pyarrow"),
+        ["term"], sum_cols={"a": "_a", "b": "_b"},
+        strategy="bucket").materialize()
+    v = counts.count()
+    if v == 0:
+        return counts
+    # distributed scalar sums over the REDUCED table — the vocabulary
+    # may be large; never pull it to the driver.
+    na = int(counts.sum("a"))
+    nb = int(counts.sum("b"))
+    ka, kb = na + v, nb + v
+
+    def lanes(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        amax = int(a.max()) if len(a) else 0
+        if kb and 1000 * (amax + 1) > (2 ** 63 - 1) // kb:
+            raise ValueError(
+                "keyness_odds: 1000·(a+1)·(N_b+V) exceeds int64 — "
+                "shard the slices or subsample before keyness")
+        odds = (1000 * (a + 1) * kb) // ((b + 1) * ka)
+        return t.append_column("odds_permille", pa.array(odds))
+
+    scored = counts.map_batches(lanes, batch_format="pyarrow")
+    return scored.sort(["odds_permille", "term"],
+                       descending=[True, False]).limit(top_k)

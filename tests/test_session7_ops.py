@@ -595,3 +595,39 @@ def test_longest_run_streaks(ray_session):
     neg = pa.table({"k": ["x"], "d": pa.array([1.5])})
     with pytest.raises(Exception, match="integer"):
         longest_run(_ds(neg, 1), "k", "d").materialize()
+
+
+# ---------------------------------------------------- keyness / overlap
+
+def test_keyness_odds_planted(ray_session):
+    from opentelemetry_collector_ray.stages.corpusstats import keyness_odds
+    t = pa.table({
+        "sl": ["a"] * 3 + ["b"] * 3 + ["x"],
+        "text": ["cat cat dog", "cat fish", "cat",
+                 "dog dog fish", "dog", "bird", "ignored slice"],
+    })
+    out = keyness_odds(_ds(t), "sl", "a", "b", top_k=10).to_pandas()
+    out = out.set_index("term")
+    # a: cat=4 dog=1 fish=1 (Na=6); b: dog=3 fish=1 bird=1 (Nb=5); V=4
+    assert out.loc["cat"].a == 4 and out.loc["cat"].b == 0
+    assert out.loc["cat"].odds_permille == 1000 * 5 * 9 // (1 * 10)
+    assert out.loc["bird"].odds_permille == 1000 * 1 * 9 // (2 * 10)
+    assert out.index[0] == "cat"           # highest keyness first
+    with pytest.raises(ValueError, match="differ"):
+        keyness_odds(_ds(t, 1), "sl", "a", "a")
+
+
+def test_audience_overlap_planted(ray_session):
+    from opentelemetry_collector_ray.stages.cohort import audience_overlap
+    # day 1: {u1,u2}; day 2: {u2,u3} -> inter 1, union 3; day 4 not
+    # contiguous with day 2 -> no output row for day 4.
+    t = pa.table({
+        "g": ["x"] * 6,
+        "day": pa.array([1, 1, 2, 2, 4, 4], pa.int64()),
+        "u": pa.array([1, 2, 2, 3, 1, 2], pa.int64()),
+    })
+    out = audience_overlap(_ds(t), "g", "day", "u").to_pandas()
+    assert out.day.tolist() == [2]
+    row = out.iloc[0]
+    assert (row.n_today, row.n_prev, row.n_inter) == (2, 2, 1)
+    assert row.jaccard_permille == 333
