@@ -7334,6 +7334,36 @@ def _q_events_audience_overlap(sf_dir: str):
     return audience_overlap(pre, "event_type", "day", "user_id")
 
 
+def _q_docs_lang_eval(sf_dir: str):
+    """Multiclass classifier scorecard (stages/agreement.py::
+    multiclass_eval — one-vs-rest tp/fp/fn + truncating P/R/F1 per
+    class): a marker-word rule classifier judged against the gold
+    ``lang`` labels. Both engines run the identical rule (substring
+    containment with priority order), so the confusion table — and
+    every lane derived from it — sits behind the exact hash gate."""
+    from opentelemetry_collector_ray.stages.agreement import (
+        multiclass_eval)
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t.column("text"))
+
+        def has(word):
+            return pc.greater(
+                pc.count_substring(txt, f" {word} "),
+                pa.scalar(0, pa.int32()))
+
+        pred = pc.if_else(
+            has("der"), "de",
+            pc.if_else(has("el"), "es",
+                       pc.if_else(has("le"), "fr",
+                                  pc.if_else(has("the"), "en", "und"))))
+        return pa.table({"pred": pred, "label": t.column("lang")})
+
+    ds = _read_co(sf_dir, "documents", ["text", "lang"],
+                  floor=8).map_batches(prep, batch_format="pyarrow")
+    return multiclass_eval(ds, "pred", "label")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7531,6 +7561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_folds": _q_events_folds,
         "docs_slice_odds": _q_docs_slice_odds,
         "events_audience_overlap": _q_events_audience_overlap,
+        "docs_lang_eval": _q_docs_lang_eval,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8339,6 +8370,42 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "docs_lang_eval": """
+WITH x AS (
+  SELECT CASE WHEN contains(lower(text), ' der ') THEN 'de'
+              WHEN contains(lower(text), ' el ') THEN 'es'
+              WHEN contains(lower(text), ' le ') THEN 'fr'
+              WHEN contains(lower(text), ' the ') THEN 'en'
+              ELSE 'und' END AS pred,
+         lang AS label
+  FROM documents),
+c AS (SELECT pred, label, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY pred, label),
+cls AS (SELECT pred AS cls FROM c UNION SELECT label FROM c),
+m AS (
+  SELECT cls,
+         CAST(COALESCE((SELECT sum(n) FROM c
+                        WHERE pred = cls AND label = cls), 0)
+              AS BIGINT) AS tp,
+         CAST(COALESCE((SELECT sum(n) FROM c
+                        WHERE pred = cls AND label <> cls), 0)
+              AS BIGINT) AS fp,
+         CAST(COALESCE((SELECT sum(n) FROM c
+                        WHERE label = cls AND pred <> cls), 0)
+              AS BIGINT) AS fn
+  FROM cls)
+SELECT cls, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(1000 * tp // (tp + fp) AS BIGINT) END
+           AS precision_permille,
+       CASE WHEN tp + fn > 0
+            THEN CAST(1000 * tp // (tp + fn) AS BIGINT) END
+           AS recall_permille,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2000 * tp // (2 * tp + fp + fn) AS BIGINT) END
+           AS f1_permille
+FROM m
 """,
         "docs_slice_odds": """
 WITH tok AS (

@@ -382,3 +382,84 @@ def gini_impurity(ds: ray.data.Dataset, key: str, cat_col: str,
             "gini_permille": pa.array(permille)})
 
     return bucketed_map_groups(counts, key, fold, n_buckets=n_buckets)
+
+
+def multiclass_eval(ds: ray.data.Dataset, pred_col: str, label_col: str,
+                    *, max_classes: int = 1000) -> pa.Table:
+    """Per-class one-vs-rest evaluation of a multiclass classifier —
+    for every class appearing as a prediction or a label: tp / fp / fn
+    plus truncating precision / recall / F1 permilles (NULL when the
+    denominator is zero). Rows with a NULL on either side are excluded.
+
+    Scale shape: the corpus reduces ONCE to the (pred, label) confusion
+    table — at most ``max_classes``² rows, verified on the REDUCED
+    table's count before anything lands on the driver — then the
+    one-vs-rest lanes are a driver pass over that skinny table in
+    Python ints."""
+    from .aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        p, y = t.column(pred_col), t.column(label_col)
+        return t.filter(pc.and_(pc.is_valid(p), pc.is_valid(y))).select(
+            [pred_col, label_col])
+
+    labeled = ds.map_batches(prep, batch_format="pyarrow")
+    counts = grouped_count(labeled, [pred_col, label_col],
+                           count_name="_n",
+                           strategy="shuffle").materialize()
+    n_cells = counts.count()
+    if n_cells > int(max_classes) ** 2:
+        raise ValueError(
+            f"multiclass_eval: {n_cells:,} confusion cells exceed "
+            f"max_classes²={int(max_classes) ** 2:,} — the label domain "
+            "is not categorical; band it first")
+    cs = counts.schema(fetch_if_missing=False)
+    if cs is not None and pred_col in cs.base_schema.names:
+        ctype = cs.base_schema.field(pred_col).type
+    else:
+        ctype = pa.string()
+    out_schema = pa.schema([
+        ("cls", ctype), ("tp", pa.int64()), ("fp", pa.int64()),
+        ("fn", pa.int64()), ("precision_permille", pa.int64()),
+        ("recall_permille", pa.int64()), ("f1_permille", pa.int64())])
+    pdf = counts.to_pandas()
+    if not len(pdf):
+        return out_schema.empty_table()
+    tp: dict = {}
+    pred_tot: dict = {}
+    label_tot: dict = {}
+    for rec in pdf.to_dict("records"):
+        p, y, n = rec[pred_col], rec[label_col], int(rec["_n"])
+        pred_tot[p] = pred_tot.get(p, 0) + n
+        label_tot[y] = label_tot.get(y, 0) + n
+        if p == y:
+            tp[p] = tp.get(p, 0) + n
+    classes = sorted(set(pred_tot) | set(label_tot),
+                     key=lambda x: (x is None, x))
+    out = {"cls": [], "tp": [], "fp": [], "fn": [],
+           "precision_permille": [], "recall_permille": [],
+           "f1_permille": []}
+
+    def permille(num: int, den: int):
+        return (1000 * num) // den if den else None
+
+    for c in classes:
+        t_ = tp.get(c, 0)
+        fp_ = pred_tot.get(c, 0) - t_
+        fn_ = label_tot.get(c, 0) - t_
+        out["cls"].append(c)
+        out["tp"].append(t_)
+        out["fp"].append(fp_)
+        out["fn"].append(fn_)
+        out["precision_permille"].append(permille(t_, t_ + fp_))
+        out["recall_permille"].append(permille(t_, t_ + fn_))
+        out["f1_permille"].append(permille(2 * t_, 2 * t_ + fp_ + fn_))
+    return pa.table({
+        "cls": pa.array(out["cls"], ctype),
+        "tp": pa.array(out["tp"], pa.int64()),
+        "fp": pa.array(out["fp"], pa.int64()),
+        "fn": pa.array(out["fn"], pa.int64()),
+        "precision_permille": pa.array(out["precision_permille"],
+                                       pa.int64()),
+        "recall_permille": pa.array(out["recall_permille"], pa.int64()),
+        "f1_permille": pa.array(out["f1_permille"], pa.int64())})

@@ -631,3 +631,30 @@ def test_audience_overlap_planted(ray_session):
     row = out.iloc[0]
     assert (row.n_today, row.n_prev, row.n_inter) == (2, 2, 1)
     assert row.jaccard_permille == 333
+
+
+# ------------------------------------------------------------ multiclass_eval
+
+def test_multiclass_eval_known(ray_session):
+    from opentelemetry_collector_ray.stages.agreement import multiclass_eval
+    t = pa.table({
+        "p": ["a", "a", "b", "b", "c", None],
+        "y": ["a", "b", "b", "b", "a", "a"],
+    })
+    out = multiclass_eval(_ds(t), "p", "y").to_pandas().set_index("cls")
+    # a: tp 1, fp 1 (pred a label b), fn 1 (label a pred c)
+    assert (out.loc["a"].tp, out.loc["a"].fp, out.loc["a"].fn) == (1, 1, 1)
+    assert out.loc["a"].precision_permille == 500
+    assert out.loc["a"].f1_permille == 500
+    # b: tp 2, fp 0, fn 1 -> recall 666
+    assert (out.loc["b"].tp, out.loc["b"].recall_permille) == (2, 666)
+    # c: predicted only, never a label -> recall NULL
+    assert out.loc["c"].tp == 0 and np.isnan(out.loc["c"].recall_permille)
+    empty = pa.table({"p": pa.array([], pa.string()),
+                      "y": pa.array([], pa.string())})
+    res = multiclass_eval(_ds(empty, 1), "p", "y")
+    assert res.num_rows == 0 and res.schema.names[0] == "cls"
+    with pytest.raises(ValueError, match="max_classes"):
+        big = pa.table({"p": [str(i) for i in range(40)],
+                        "y": [str(i + 1) for i in range(40)]})
+        multiclass_eval(_ds(big, 1), "p", "y", max_classes=3)
