@@ -587,8 +587,9 @@ def parse_kv(col: pa.ChunkedArray | pa.Array, keys: list[str],
         pat = rf'(?:^| ){re.escape(k)}=(?P<v>"[^"]*"|[^ ]+)'
         st = pc.extract_regex(col, pat)
         v = pc.struct_field(st, "v")
-        quoted = pc.and_kleene(pc.starts_with(v, '"'),
-                               pc.ends_with(v, '"'))
+        quoted = pc.and_kleene(
+            pc.and_kleene(pc.starts_with(v, '"'), pc.ends_with(v, '"')),
+            pc.greater_equal(pc.utf8_length(v), 2))
         stripped = pc.utf8_slice_codeunits(v, 1, -1)
         out[k] = pc.if_else(quoted, stripped, v).combine_chunks() \
             if isinstance(v, pa.ChunkedArray) else pc.if_else(

@@ -83,7 +83,10 @@ def rater_agreement(ds: ray.data.Dataset, group_key: str, a_col: str,
     from .aggregate import grouped_count
     from .sketch import approx_distinct
 
-    est = approx_distinct(labeled.select_columns([group_key]), group_key)
+    # approx_distinct projects internally; select_columns on the
+    # schema-less post-map_batches dataset would trigger a limit-1
+    # schema-probe execution of the whole upstream (Ray 2.49).
+    est = approx_distinct(labeled, group_key)
     if est > float(max_groups):
         raise ValueError(
             f"rater_agreement: ~{int(est):,} groups (HLL estimate > "
@@ -308,10 +311,12 @@ def grouped_auc(ds: ray.data.Dataset, key: str, score_col: str,
         # (a float-weighted bincount would lose bits above 2^53).
         bounds = np.flatnonzero(np.append(True, k[1:] != k[:-1]))
         seg_len = np.diff(np.append(bounds, n))
-        if seg_len.max() > 400_000_000:
+        # 1000·u2 <= 2000·n_pos·n_neg <= 500·n² must fit int64 ->
+        # n <= sqrt((2^63-1)/500) ≈ 1.35e8 per key
+        if seg_len.max() > 135_000_000:
             raise ValueError(
-                "grouped_auc: a key exceeds 4e8 rows — 1000·u2 would "
-                "overflow int64; pre-slice the corpus")
+                "grouped_auc: a key exceeds 1.35e8 rows — 1000·u2 "
+                "would overflow int64; pre-slice the corpus")
         npos = np.add.reduceat(y, bounds)
         nneg = np.add.reduceat(1 - y, bounds)
         rpos2 = np.add.reduceat(np.where(y == 1, midrank2, 0), bounds)
@@ -364,20 +369,20 @@ def gini_impurity(ds: ray.data.Dataset, key: str, cat_col: str,
         k = t.column(key).to_numpy(zero_copy_only=False)
         c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
         new = np.append(True, k[1:] != k[:-1])
-        seg_id = np.cumsum(new) - 1
-        n_seg = seg_id[-1] + 1
-        n = np.bincount(seg_id, weights=c, minlength=n_seg).astype(
-            np.int64)
-        if len(n) and n.max() > 3_000_000_000:
+        bounds = np.flatnonzero(new)
+        # exact int64 segment sums (a float-weighted bincount loses
+        # bits above 2^53); guard BEFORE squaring: 1000·(n²−Σc²) needs
+        # 1000·n² <= 2^63-1 -> n <= sqrt((2^63-1)/1000) ≈ 9.5e7
+        n = np.add.reduceat(c, bounds)
+        if len(n) and n.max() > 95_000_000:
             raise ValueError(
-                "gini_impurity: a key exceeds 3e9 rows — n² would "
-                "overflow int64; pre-slice the corpus")
-        sq = np.bincount(seg_id, weights=c * c, minlength=n_seg).astype(
-            np.int64)
+                "gini_impurity: a key exceeds 9.5e7 rows — 1000·n² "
+                "would overflow int64; pre-slice the corpus")
+        sq = np.add.reduceat(c * c, bounds)
         num = n * n - sq
         permille = (1000 * num) // (n * n)
         return pa.table({
-            key: pa.array(k[np.flatnonzero(new)], type=kt),
+            key: pa.array(k[bounds], type=kt),
             "n": pa.array(n), "gini_num": pa.array(num),
             "gini_permille": pa.array(permille)})
 

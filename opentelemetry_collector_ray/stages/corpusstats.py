@@ -587,7 +587,12 @@ def keyness_odds(ds: ray.data.Dataset, slice_col: str, slice_a: str,
         strategy="bucket").materialize()
     v = counts.count()
     if v == 0:
-        return counts
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.schema(
+            [("term", pa.string()), ("a", pa.int64()),
+             ("b", pa.int64()),
+             ("odds_permille", pa.int64())]).empty_table())
     # distributed scalar sums over the REDUCED table — the vocabulary
     # may be large; never pull it to the driver.
     na = int(counts.sum("a"))
@@ -598,10 +603,15 @@ def keyness_odds(ds: ray.data.Dataset, slice_col: str, slice_a: str,
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
         amax = int(a.max()) if len(a) else 0
+        bmax = int(b.max()) if len(b) else 0
         if kb and 1000 * (amax + 1) > (2 ** 63 - 1) // kb:
             raise ValueError(
                 "keyness_odds: 1000·(a+1)·(N_b+V) exceeds int64 — "
                 "shard the slices or subsample before keyness")
+        if ka and (bmax + 1) > (2 ** 63 - 1) // ka:
+            raise ValueError(
+                "keyness_odds: (b+1)·(N_a+V) exceeds int64 — shard "
+                "the slices or subsample before keyness")
         odds = (1000 * (a + 1) * kb) // ((b + 1) * ka)
         return t.append_column("odds_permille", pa.array(odds))
 

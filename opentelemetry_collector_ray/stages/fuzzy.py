@@ -275,8 +275,15 @@ def edit_distance_pairs(ds: "ray.data.Dataset", id_col: str,
                 f"{max_len} bytes; truncate or raise the cap")
         band = pc.divide(pc.cast(nb, pa.int64()),
                          pa.scalar(w, pa.int64()))
-        blk = pc.cast(t.column(block_col), pa.string()) if block_col \
-            else pa.nulls(t.num_rows, pa.string()).fill_null("")
+        if block_col:
+            blk = pc.cast(t.column(block_col), pa.string())
+            if blk.null_count:
+                raise ValueError(
+                    f"edit_distance_pairs: {block_col!r} has nulls — a "
+                    "null block would collapse the band encoding; "
+                    "filter or fill them first")
+        else:
+            blk = pa.nulls(t.num_rows, pa.string()).fill_null("")
         ids = t.column(id_col)
         orig = pa.table({
             "_blk": pc.binary_join_element_wise(

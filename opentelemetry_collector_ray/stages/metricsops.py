@@ -502,6 +502,10 @@ def exphist_quantile(hist: ray.data.Dataset, key: str, q_permille: int,
         excl = cum - c
         seg_cum = cum - excl[seg_start]          # within-key cumulative
         totals = np.add.reduceat(c, bounds)
+        if len(totals) and totals.min() <= 0:
+            raise ValueError(
+                "exphist_quantile: a key's bucket counts sum to zero — "
+                "no rank to pick; drop empty histograms first")
         target = (totals - 1) * q // 1000        # quantile_disc rank
         # first row of each segment whose cumulative exceeds its key's
         # target — one vectorized min-reduceat over masked ordinals

@@ -658,3 +658,40 @@ def test_multiclass_eval_known(ray_session):
         big = pa.table({"p": [str(i) for i in range(40)],
                         "y": [str(i + 1) for i in range(40)]})
         multiclass_eval(_ds(big, 1), "p", "y", max_classes=3)
+
+
+# ------------------------------------------------ review-fix regressions
+
+def test_exphist_quantile_zero_total_raises(ray_session):
+    from opentelemetry_collector_ray.stages.metricsops import (
+        exphist_quantile)
+    h = pa.table({"k": ["a"], "idx": pa.array([3], pa.int64()),
+                  "n": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="sum to zero"):
+        exphist_quantile(_ds(h, 1), "k", 0).materialize()
+
+
+def test_edit_pairs_null_block_raises(ray_session):
+    from opentelemetry_collector_ray.stages.fuzzy import edit_distance_pairs
+    t = pa.table({"id": pa.array([1, 2], pa.int64()), "s": ["aa", "ab"],
+                  "blk": pa.array(["x", None])})
+    with pytest.raises(Exception, match="nulls"):
+        edit_distance_pairs(_ds(t, 1), "id", "s", 1,
+                            block_col="blk").materialize()
+
+
+def test_keyness_empty_path_schema(ray_session):
+    from opentelemetry_collector_ray.stages.corpusstats import keyness_odds
+    t = pa.table({"sl": ["z"], "text": ["nothing in either slice"]})
+    out = keyness_odds(_ds(t, 1), "sl", "a", "b")
+    assert out.count() == 0
+    assert out.schema().base_schema.names == \
+        ["term", "a", "b", "odds_permille"]
+
+
+def test_parse_kv_lone_quote_value():
+    from opentelemetry_collector_ray.functions.text import parse_kv
+    out = parse_kv(pa.array(['k=" x=1', 'k="ab x=1']), ["k"])
+    # a lone quote and an unterminated quote are bare tokens: returned
+    # verbatim, never stripped to ''.
+    assert out["k"].to_pylist() == ['"', '"ab']
