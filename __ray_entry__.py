@@ -7364,6 +7364,31 @@ def _q_docs_lang_eval(sf_dir: str):
     return multiclass_eval(ds, "pred", "label")
 
 
+def _q_customers_entity_groups(sf_dir: str):
+    """End-to-end entity resolution (edit_distance_pairs →
+    connected_components — the pair-discovery + clustering composition
+    every record-linkage pipeline runs): near-duplicate customer-name
+    pairs (dist ≤ 1, 7-digit-prefix blocks) become an undirected edge
+    list whose components get min-id canonical labels. Oracle = the
+    same pair SQL + a recursive-CTE transitive closure."""
+    from opentelemetry_collector_ray.stages.dedup import (
+        connected_components)
+    from opentelemetry_collector_ray.stages.fuzzy import (
+        edit_distance_pairs)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "blk": pc.utf8_slice_codeunits(t.column("c_name"), 9, 16)})
+
+    ds = _read_co(sf_dir, "customer", ["c_custkey", "c_name"],
+                  floor=4).map_batches(prep, batch_format="pyarrow")
+    pairs = edit_distance_pairs(ds, "c_custkey", "c_name", 1,
+                                block_col="blk")
+    return connected_components(pairs.select_columns(["id_a", "id_b"]))
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7562,6 +7587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_slice_odds": _q_docs_slice_odds,
         "events_audience_overlap": _q_events_audience_overlap,
         "docs_lang_eval": _q_docs_lang_eval,
+        "customers_entity_groups": _q_customers_entity_groups,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8370,6 +8396,23 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "customers_entity_groups": """
+WITH RECURSIVE
+e AS (
+  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+  FROM customer a JOIN customer b
+    ON substr(a.c_name, 10, 7) = substr(b.c_name, 10, 7)
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+nodes AS (SELECT ea AS n FROM e UNION SELECT eb FROM e),
+bid AS (SELECT ea AS s, eb AS d FROM e UNION SELECT eb, ea FROM e),
+reach(x, y) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.x, b.d FROM reach r JOIN bid b ON b.s = r.y
+)
+SELECT x AS node, CAST(min(y) AS BIGINT) AS label FROM reach GROUP BY x
 """,
         "docs_lang_eval": """
 WITH x AS (

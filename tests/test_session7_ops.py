@@ -695,3 +695,26 @@ def test_parse_kv_lone_quote_value():
     # a lone quote and an unterminated quote are bare tokens: returned
     # verbatim, never stripped to ''.
     assert out["k"].to_pylist() == ['"', '"ab']
+
+
+def test_model_eval_example_yaml(ray_session, tmp_path, monkeypatch):
+    """examples/model_eval.yaml end to end: parquet receiver ->
+    binary_eval scorecard over a planted confusion matrix."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import PipelineConfig
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rows = [{"slice": "s", "pred": p, "label": y}
+            for p, y in [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0)]]
+    p = tmp_path / "e.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    monkeypatch.setenv("EVAL_PATH", str(p))
+    yml = Path(__file__).resolve().parent.parent / "examples" \
+        / "model_eval.yaml"
+    out = build_dataset(PipelineConfig.from_yaml(str(yml))).to_pandas()
+    row = out.iloc[0]
+    assert (row.tp, row.fp, row.fn, row.tn) == (2, 1, 1, 1)
+    assert row.precision_permille == 666 and row.recall_permille == 666
