@@ -7389,6 +7389,47 @@ def _q_customers_entity_groups(sf_dir: str):
     return connected_components(pairs.select_columns(["id_a", "id_b"]))
 
 
+def _q_events_path_rollup(sf_dir: str):
+    """Hierarchical path-prefix rollup (stages/rollup.py::path_rollup —
+    the URL/file-path analog of SQL ROLLUP, the "traffic by /api,
+    /api/v2, /api/v2/users" log-analytics view): every event's
+    synthetic request path contributes one count to each of its
+    depth-1..3 prefixes. One vectorized explode (a <=3-iteration depth
+    loop over whole columns), two-phase count over unbounded prefix
+    keys. Oracle = three UNION ALL list-slice selects."""
+    from opentelemetry_collector_ray.stages.rollup import path_rollup
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        path = pc.binary_join_element_wise(
+            t.column("event_type"), "/u",
+            pc.cast(pc.bit_wise_and(uid, pa.scalar(7, pa.int64())),
+                    pa.string()),
+            "/", pc.cast(uid, pa.string()), "")
+        return pa.table({"path": path})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "user_id"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return path_rollup(pre, "path", 3)
+
+
+def _q_docs_compress_ratio(sf_dir: str):
+    """zlib redundancy screen (functions/text.compression_ratio — the
+    classic compression-based boilerplate detector beside the Gopher
+    repetition lanes). Rows-only: DEFLATE has no SQL oracle;
+    planted-truth tests pin the ordering (repetitive text compresses
+    harder than prose)."""
+    from opentelemetry_collector_ray.functions.text import (
+        compression_ratio)
+
+    def f(t: pa.Table) -> pa.Table:
+        lanes = compression_ratio(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), **lanes})
+
+    return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                    floor=8).map_batches(f, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7588,6 +7629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_audience_overlap": _q_events_audience_overlap,
         "docs_lang_eval": _q_docs_lang_eval,
         "customers_entity_groups": _q_customers_entity_groups,
+        "events_path_rollup": _q_events_path_rollup,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7722,6 +7764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_divergence": _q_docs_lang_divergence,
         "events_dp_counts": _q_events_dp_counts,
         "events_type_users_approx": _q_events_type_users_approx,
+        "docs_compress_ratio": _q_docs_compress_ratio,
     }
     return {**oracle_checked, **rows_only}
 
@@ -8396,6 +8439,23 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_path_rollup": """
+WITH p AS (
+  SELECT string_split(event_type || '/u' ||
+                      CAST(user_id % 8 AS VARCHAR) || '/' ||
+                      CAST(user_id AS VARCHAR), '/') AS parts
+  FROM events),
+x AS (
+  SELECT array_to_string(parts[1:1], '/') AS prefix, 1 AS depth
+  FROM p WHERE len(parts) >= 1
+  UNION ALL
+  SELECT array_to_string(parts[1:2], '/'), 2 FROM p WHERE len(parts) >= 2
+  UNION ALL
+  SELECT array_to_string(parts[1:3], '/'), 3 FROM p WHERE len(parts) >= 3)
+SELECT prefix, CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY prefix, depth
 """,
         "customers_entity_groups": """
 WITH RECURSIVE

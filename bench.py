@@ -177,7 +177,10 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_exphist_p99", "events_logfmt",
              "spans_deepest_path", "events_series_staleness",
              "customers_near_names", "events_rolling_extrema",
-             "events_exemplars", "docs_calibration"]
+             "events_exemplars", "docs_calibration",
+             "events_user_streak", "turns_qa_pairs", "events_folds",
+             "docs_slice_odds", "events_audience_overlap",
+             "docs_lang_eval", "customers_entity_groups"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -598,3 +598,38 @@ def parse_kv(col: pa.ChunkedArray | pa.Array, keys: list[str],
 
 
 _KV_KEY_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+def compression_ratio(col: pa.ChunkedArray | pa.Array, *,
+                      level: int = 6) -> dict[str, pa.Array]:
+    """zlib compression ratio per document — the classic redundancy
+    screen (highly repetitive boilerplate compresses far below natural
+    prose, a standard web-corpus quality signal alongside the Gopher
+    repetition lanes). Returns ``n_bytes``, ``n_compressed`` and
+    ``ratio_permille = 1000·compressed // raw`` (NULL for empty/null
+    text). Per-row zlib like the md5/sha digest helpers (DEFLATE is
+    inherently per-document and C-speed); run it inside an actor-pool
+    ``map_batches`` stage at scale. No SQL oracle exists for DEFLATE —
+    planted-truth tested instead."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raw, comp = [], []
+    for s in col.to_pylist():
+        if s is None:
+            raw.append(None)
+            comp.append(None)
+            continue
+        b = s.encode()
+        raw.append(len(b))
+        comp.append(len(zlib.compress(b, level)))
+    n = pa.array(raw, pa.int64())
+    c = pa.array(comp, pa.int64())
+    nn = np.array([x if x else 0 for x in raw], np.int64)
+    cc = np.array([x if x else 0 for x in comp], np.int64)
+    ok = nn > 0
+    ratio = np.zeros(len(nn), np.int64)
+    np.floor_divide(1000 * cc, nn, out=ratio, where=ok)
+    return {"n_bytes": n, "n_compressed": c,
+            "ratio_permille": pa.array(ratio, pa.int64(), mask=~ok)}

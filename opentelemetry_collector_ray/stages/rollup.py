@@ -149,3 +149,56 @@ def rollup_agg(ds: Dataset, keys: list[str],
 
     return fine.repartition(1).map_batches(derive, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def path_rollup(ds: Dataset, path_col: str, max_depth: int,
+                sep: str = "/", count_name: str = "n",
+                strategy: str = "bucket") -> Dataset:
+    """Hierarchical path-prefix rollup — the URL/file-path analog of
+    SQL ROLLUP (the log-analytics "traffic by /api, /api/v2,
+    /api/v2/users" view): every row contributes one count to each of
+    its depth-1..``max_depth`` prefixes. Output: (prefix, depth, n).
+
+    Vectorized explode: one Arrow split per batch, then per depth one
+    ``list_slice`` + ``binary_join`` over the whole column (the depth
+    loop is ≤ ``max_depth`` iterations, never per row); leading/
+    trailing separators are trimmed so '/a/b' and 'a/b/' roll up
+    identically. Counting is the standard two-phase grouped count —
+    prefixes are unbounded keys, so partials bound the exchange."""
+    k = int(max_depth)
+    if k < 1:
+        raise ValueError("path_rollup: max_depth must be >= 1")
+    if not sep:
+        raise ValueError("path_rollup: sep must be non-empty")
+    from .aggregate import grouped_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column(path_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            # SQL's unnest drops NULL paths — mirror that, never count
+            # a null as the '' prefix.
+            col = col.drop_null()
+        trimmed = pc.utf8_trim(col, sep)
+        parts = pc.split_pattern(trimmed, pattern=sep)
+        nparts = pc.list_value_length(parts)
+        outs = []
+        for d in range(1, k + 1):
+            keep = pc.greater_equal(nparts, d)
+            sel = parts.filter(keep)
+            if len(sel) == 0:
+                continue
+            prefix = pc.binary_join(pc.list_slice(sel, 0, d), sep)
+            outs.append(pa.table({
+                "prefix": prefix,
+                "depth": pa.nulls(len(sel), pa.int64()).fill_null(d)}))
+        if not outs:
+            return pa.schema([("prefix", pa.string()),
+                              ("depth", pa.int64())]).empty_table()
+        return pa.concat_tables(outs)
+
+    exploded = ds.select_columns([path_col]).map_batches(
+        explode, batch_format="pyarrow")
+    return grouped_count(exploded, ["prefix", "depth"],
+                         count_name=count_name, strategy=strategy)

@@ -718,3 +718,32 @@ def test_model_eval_example_yaml(ray_session, tmp_path, monkeypatch):
     row = out.iloc[0]
     assert (row.tp, row.fp, row.fn, row.tn) == (2, 1, 1, 1)
     assert row.precision_permille == 666 and row.recall_permille == 666
+
+
+# --------------------------------------------- path rollup / compression
+
+def test_path_rollup_counts(ray_session):
+    from opentelemetry_collector_ray.stages.rollup import path_rollup
+    t = pa.table({"p": ["/a/b/c/", "a/b", "a", "x/y", None]})
+    out = path_rollup(_ds(t), "p", 2).to_pandas()
+    got = {(r.prefix, r.depth): r.n for r in out.itertuples()}
+    assert got[("a", 1)] == 3 and got[("a/b", 2)] == 2
+    assert got[("x", 1)] == 1 and got[("x/y", 2)] == 1
+    assert ("", 1) not in got          # null path dropped, not counted
+    with pytest.raises(ValueError, match="max_depth"):
+        path_rollup(_ds(t, 1), "p", 0)
+
+
+def test_compression_ratio_ordering():
+    from opentelemetry_collector_ray.functions.text import (
+        compression_ratio)
+    rep = "spam ham " * 200
+    import random
+    rng = random.Random(7)
+    prose = "".join(rng.choice("abcdefghijklmnop qrstuvwxyz.,!?")
+                    for _ in range(len(rep)))
+    d = compression_ratio(pa.array([rep, prose, None, ""]))
+    r = d["ratio_permille"].to_pylist()
+    assert r[0] < r[1]                 # repetition compresses harder
+    assert r[2] is None and r[3] is None
+    assert d["n_bytes"].to_pylist()[:2] == [len(rep), len(prose)]
