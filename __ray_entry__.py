@@ -7430,6 +7430,29 @@ def _q_docs_compress_ratio(sf_dir: str):
                     floor=8).map_batches(f, batch_format="pyarrow")
 
 
+def _q_orders_hist_rebucket(sf_dir: str):
+    """Explicit-bounds histogram re-bucketing (stages/metricsops.py::
+    explicit_histogram + hist_rebucket — the fixed-bounds sibling of
+    exphist_downscale): per order status, the fine 5k-dollar price
+    histogram merged to 20k-dollar buckets (every coarse bound IS a
+    fine bound, so the merge is exact — validated loudly). The oracle
+    computes the coarse histogram directly, proving the subsetting
+    identity end to end."""
+    from opentelemetry_collector_ray.stages.metricsops import (
+        explicit_histogram, hist_rebucket)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderstatus": t.column("o_orderstatus"),
+                         "cents": _cents(t.column("o_totalprice"))})
+
+    pre = _read_co(sf_dir, "orders", ["o_orderstatus", "o_totalprice"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    fine = [500_000 * i for i in range(1, 61)]
+    coarse = [2_000_000 * i for i in range(1, 16)]
+    hist = explicit_histogram(pre, ["o_orderstatus"], "cents", fine)
+    return hist_rebucket(hist, ["o_orderstatus"], fine, coarse)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7630,6 +7653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_eval": _q_docs_lang_eval,
         "customers_entity_groups": _q_customers_entity_groups,
         "events_path_rollup": _q_events_path_rollup,
+        "orders_hist_rebucket": _q_orders_hist_rebucket,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8439,6 +8463,17 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "orders_hist_rebucket": """
+WITH c AS (SELECT o_orderstatus,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS cents
+           FROM orders)
+SELECT o_orderstatus,
+       CAST(LEAST((cents + 2000000 - 1) // 2000000 - 1, 15)
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY o_orderstatus, bucket
 """,
         "events_path_rollup": """
 WITH p AS (

@@ -526,3 +526,92 @@ def exphist_quantile(hist: ray.data.Dataset, key: str, q_permille: int,
     from .bucketing import bucketed_map_groups
 
     return bucketed_map_groups(hist, key, fn, n_buckets=n_buckets)
+
+
+def explicit_histogram(ds: ray.data.Dataset, keys: list[str],
+                       value_col: str, bounds: list[int],
+                       strategy: str = "tree") -> ray.data.Dataset:
+    """Explicit-bounds histogram — the pmetric Histogram bucket rule
+    (reference ``pdata/pmetric/generated_histogram_data_point.go``:
+    upper-INCLUSIVE explicit bounds): bucket ``i`` covers
+    ``(bounds[i-1], bounds[i]]``, index ``len(bounds)`` is the
+    overflow bucket. Bounds must be strictly increasing integers so
+    the bucket decision is exact. Output (keys..., bucket, n)."""
+    b = np.asarray(list(bounds), dtype=np.int64)
+    if len(b) == 0 or (len(b) > 1 and not (np.diff(b) > 0).all()):
+        raise ValueError(
+            "explicit_histogram: bounds must be non-empty and strictly "
+            "increasing")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        if v.null_count:
+            raise ValueError(
+                f"explicit_histogram: {value_col!r} has nulls")
+        vn = v.to_numpy(zero_copy_only=False)
+        if vn.dtype.kind not in "iu":
+            raise ValueError(
+                f"explicit_histogram: {value_col!r} must be integer "
+                f"(scale floats to cents first), got {vn.dtype}")
+        idx = np.searchsorted(b, vn.astype(np.int64), side="left")
+        cols = {k: t.column(k) for k in keys}
+        cols["bucket"] = pa.array(idx.astype(np.int64))
+        return pa.table(cols)
+
+    pre = ds.select_columns(keys + [value_col]).map_batches(
+        bucketize, batch_format="pyarrow")
+    return grouped_count(pre, keys + ["bucket"], count_name="n",
+                         strategy=strategy)
+
+
+def hist_rebucket(hist: ray.data.Dataset, keys: list[str],
+                  old_bounds: list[int], new_bounds: list[int],
+                  bucket_col: str = "bucket", count_col: str = "n",
+                  strategy: str = "tree") -> ray.data.Dataset:
+    """Re-bucket an explicit-bounds histogram to COARSER bounds — the
+    fixed-bounds sibling of :func:`exphist_downscale` (what a
+    collector does when downstream wants fewer buckets): exact only
+    when every new bound IS an old bound (validated loudly — merging
+    across a split boundary would have to guess where counts fall).
+    Old bucket ``i`` (upper edge ``old_bounds[i]``, overflow for
+    ``i == len(old)``) maps to the new bucket whose interval contains
+    its whole span; counts re-aggregate with the same two-phase
+    strategy."""
+    ob = np.asarray(list(old_bounds), dtype=np.int64)
+    nb = np.asarray(list(new_bounds), dtype=np.int64)
+    for name, arr in (("old_bounds", ob), ("new_bounds", nb)):
+        if len(arr) == 0 or (len(arr) > 1 and not (np.diff(arr) > 0).all()):
+            raise ValueError(
+                f"hist_rebucket: {name} must be non-empty and strictly "
+                "increasing")
+    if not np.isin(nb, ob).all():
+        raise ValueError(
+            "hist_rebucket: every new bound must be one of the old "
+            "bounds — merging across a split boundary is not exact")
+    # old bucket i has upper edge ob[i]; its new index is the first new
+    # bound >= that edge. The old overflow bucket maps to the new
+    # overflow — always valid: the subset check above guarantees
+    # nb[-1] <= ob[-1], so new bounds can never split it.
+    edge_map = np.searchsorted(nb, ob, side="left")
+    mapping = np.append(edge_map, len(nb))   # overflow -> overflow
+
+    def remap(t: pa.Table) -> pa.Table:
+        col = t.column(bucket_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(idx) and (idx.min() < 0 or idx.max() > len(ob)):
+            raise ValueError(
+                "hist_rebucket: bucket index outside the old histogram "
+                f"(saw [{idx.min()}, {idx.max()}], expected "
+                f"[0, {len(ob)}])")
+        cols = {c: t.column(c) for c in t.column_names}
+        cols[bucket_col] = pa.array(mapping[idx])
+        return pa.table(cols)
+
+    from .aggregate import grouped_agg
+
+    pre = hist.map_batches(remap, batch_format="pyarrow")
+    return grouped_agg(pre, list(keys) + [bucket_col],
+                       sum_cols={count_col: count_col},
+                       strategy=strategy)

@@ -747,3 +747,28 @@ def test_compression_ratio_ordering():
     assert r[0] < r[1]                 # repetition compresses harder
     assert r[2] is None and r[3] is None
     assert d["n_bytes"].to_pylist()[:2] == [len(rep), len(prose)]
+
+
+# ----------------------------------------------------------- hist_rebucket
+
+def test_hist_rebucket_subsetting_and_guards(ray_session):
+    from opentelemetry_collector_ray.stages.metricsops import (
+        explicit_histogram, hist_rebucket)
+    rng = np.random.default_rng(13)
+    t = pa.table({"k": pa.array(rng.choice(["a", "b"], 300)),
+                  "v": pa.array(rng.integers(1, 1000, 300), pa.int64())})
+    fine = list(range(50, 1001, 50))
+    coarse = list(range(200, 1001, 200))
+    merged = hist_rebucket(
+        explicit_histogram(_ds(t), ["k"], "v", fine), ["k"],
+        fine, coarse).to_pandas().sort_values(["k", "bucket"])
+    direct = explicit_histogram(_ds(t), ["k"], "v",
+                                coarse).to_pandas().sort_values(
+        ["k", "bucket"])
+    assert merged.reset_index(drop=True)[["k", "bucket", "n"]].equals(
+        direct.reset_index(drop=True)[["k", "bucket", "n"]])
+    with pytest.raises(ValueError, match="must be one of the old"):
+        hist_rebucket(explicit_histogram(_ds(t), ["k"], "v", fine),
+                      ["k"], fine, [75, 400])
+    with pytest.raises(ValueError, match="strictly"):
+        explicit_histogram(_ds(t), ["k"], "v", [100, 100])
