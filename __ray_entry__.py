@@ -7386,7 +7386,11 @@ def _q_customers_entity_groups(sf_dir: str):
                   floor=4).map_batches(prep, batch_format="pyarrow")
     pairs = edit_distance_pairs(ds, "c_custkey", "c_name", 1,
                                 block_col="blk")
-    return connected_components(pairs.select_columns(["id_a", "id_b"]))
+    # no select_columns: the pairs dataset is schema-less (post
+    # map_groups) and the projection would re-execute the whole DP as a
+    # Ray 2.49 schema probe; connected_components reads id_a/id_b and
+    # ignores the dist lane.
+    return connected_components(pairs)
 
 
 def _q_events_path_rollup(sf_dir: str):

@@ -180,7 +180,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_exemplars", "docs_calibration",
              "events_user_streak", "turns_qa_pairs", "events_folds",
              "docs_slice_odds", "events_audience_overlap",
-             "docs_lang_eval", "customers_entity_groups"]
+             "docs_lang_eval", "customers_entity_groups",
+             "events_path_rollup", "orders_hist_rebucket",
+             "docs_compress_ratio"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -553,13 +553,21 @@ def explicit_histogram(ds: ray.data.Dataset, keys: list[str],
             raise ValueError(
                 f"explicit_histogram: {value_col!r} must be integer "
                 f"(scale floats to cents first), got {vn.dtype}")
+        if vn.dtype.kind == "u" and len(vn) and \
+                int(vn.max()) > (1 << 63) - 1:
+            raise ValueError(
+                "explicit_histogram: unsigned value exceeds int64 — "
+                "the cast would wrap it below every bound")
         idx = np.searchsorted(b, vn.astype(np.int64), side="left")
         cols = {k: t.column(k) for k in keys}
         cols["bucket"] = pa.array(idx.astype(np.int64))
         return pa.table(cols)
 
-    pre = ds.select_columns(keys + [value_col]).map_batches(
-        bucketize, batch_format="pyarrow")
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None and all(c in sch.base_schema.names
+                               for c in keys + [value_col]):
+        ds = ds.select_columns(keys + [value_col])
+    pre = ds.map_batches(bucketize, batch_format="pyarrow")
     return grouped_count(pre, keys + ["bucket"], count_name="n",
                          strategy=strategy)
 

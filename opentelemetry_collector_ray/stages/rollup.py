@@ -168,8 +168,11 @@ def path_rollup(ds: Dataset, path_col: str, max_depth: int,
     k = int(max_depth)
     if k < 1:
         raise ValueError("path_rollup: max_depth must be >= 1")
-    if not sep:
-        raise ValueError("path_rollup: sep must be non-empty")
+    if len(sep) != 1:
+        raise ValueError(
+            "path_rollup: sep must be a single character — utf8_trim "
+            "(and SQL trim) treat multi-character seps as a character "
+            "SET, which would strip legitimate segment edges")
     from .aggregate import grouped_count
 
     def explode(t: pa.Table) -> pa.Table:
@@ -198,7 +201,9 @@ def path_rollup(ds: Dataset, path_col: str, max_depth: int,
                               ("depth", pa.int64())]).empty_table()
         return pa.concat_tables(outs)
 
-    exploded = ds.select_columns([path_col]).map_batches(
-        explode, batch_format="pyarrow")
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None and path_col in sch.base_schema.names:
+        ds = ds.select_columns([path_col])  # prune only when schema known
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
     return grouped_count(exploded, ["prefix", "depth"],
                          count_name=count_name, strategy=strategy)

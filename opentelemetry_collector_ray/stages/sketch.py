@@ -87,8 +87,14 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12,
     (~1.6% at p=12); the whole exchange moves fanin+1 rows of 2^p bytes."""
     from .treereduce import tree_reduce_single
 
-    partial = ds.select_columns([col]).map_batches(
-        HllPartial(col, p), batch_format="pyarrow")
+    # project only when the schema is already known: select_columns on a
+    # schema-less post-map_batches dataset triggers a limit-1 probe that
+    # executes the WHOLE upstream once (Ray 2.49); HllPartial ignores
+    # extra columns anyway.
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None and col in sch.base_schema.names:
+        ds = ds.select_columns([col])
+    partial = ds.map_batches(HllPartial(col, p), batch_format="pyarrow")
     row = tree_reduce_single(partial, _merge_regs, fanin=fanin)
     if row is None:  # empty stream has 0 distinct values
         return 0.0
