@@ -7457,6 +7457,63 @@ def _q_orders_hist_rebucket(sf_dir: str):
     return hist_rebucket(hist, ["o_orderstatus"], fine, coarse)
 
 
+def _q_events_base64(sf_dir: str):
+    """OTTL Base64 pair (functions/text.base64_encode/base64_decode —
+    reference ottl/ottlfuncs/func_base64decode.go): each event's
+    payload string encoded with the standard alphabet and decoded
+    back; the encode lane is checked against DuckDB's to_base64 over
+    the identical payload, the decode lane proves the inverse."""
+    from opentelemetry_collector_ray.functions.text import (
+        base64_decode, base64_encode)
+
+    def f(t: pa.Table) -> pa.Table:
+        payload = pc.binary_join_element_wise(
+            t.column("event_type"), ":",
+            pc.cast(t.column("user_id"), pa.string()), ":",
+            pc.cast(_cents(t.column("value")), pa.string()), "")
+        b64 = base64_encode(payload)
+        return pa.table({"event_id": t.column("event_id"),
+                         "b64": b64,
+                         "roundtrip": base64_decode(b64)})
+
+    return _read_co(sf_dir, "events",
+                    ["event_id", "event_type", "user_id", "value"],
+                    floor=8).map_batches(f, batch_format="pyarrow")
+
+
+def _q_events_duration_parse(sf_dir: str):
+    """Go-style Duration() parse (functions/text.parse_duration_us —
+    the OTTL converter, integer h/m/s/ms lanes kept exact): a
+    synthesized duration string per event ('2h17m45s', 1/16
+    deterministically malformed) parsed to microseconds with one RE2
+    extract per unit; the oracle runs the identical pattern through
+    regexp_extract and the same unit arithmetic, malformed → NULL in
+    both engines."""
+    from opentelemetry_collector_ray.functions.text import (
+        parse_duration_us)
+
+    def f(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        cents = _cents(t.column("value"))
+        eid = t.column("event_id")
+        h = pc.cast(pc.bit_wise_and(uid, pa.scalar(3, pa.int64())),
+                    pa.string())
+        m = pc.cast(pc.bit_wise_and(cents, pa.scalar(63, pa.int64())),
+                    pa.string())
+        sec = pc.cast(pc.bit_wise_and(eid, pa.scalar(63, pa.int64())),
+                      pa.string())
+        dur = pc.binary_join_element_wise(h, "h", m, "m", sec, "s", "")
+        bogus = pc.equal(pc.bit_wise_and(eid, pa.scalar(15, pa.int64())),
+                         pa.scalar(0, pa.int64()))
+        dur = pc.if_else(bogus, pa.scalar("b0gus"), dur)
+        return pa.table({"event_id": eid, "dur": dur,
+                         "dur_us": parse_duration_us(dur)})
+
+    return _read_co(sf_dir, "events",
+                    ["event_id", "user_id", "value"],
+                    floor=8).map_batches(f, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7658,6 +7715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_entity_groups": _q_customers_entity_groups,
         "events_path_rollup": _q_events_path_rollup,
         "orders_hist_rebucket": _q_orders_hist_rebucket,
+        "events_base64": _q_events_base64,
+        "events_duration_parse": _q_events_duration_parse,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8467,6 +8526,50 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_base64": """
+WITH p AS (
+  SELECT event_id,
+         event_type || ':' || CAST(user_id AS VARCHAR) || ':' ||
+         CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             AS payload
+  FROM events)
+SELECT event_id, to_base64(encode(payload)) AS b64,
+       payload AS roundtrip
+FROM p
+""",
+        "events_duration_parse": """
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_id % 16 = 0 THEN 'b0gus'
+              ELSE CAST(user_id % 4 AS VARCHAR) || 'h' ||
+                   CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) % 64
+                        AS VARCHAR) || 'm' ||
+                   CAST(event_id % 64 AS VARCHAR) || 's' END AS dur
+  FROM events),
+x AS (
+  SELECT event_id, dur,
+         regexp_extract(dur,
+           '^(?:(\\d+)h)?(?:(\\d+)m)?(?:(\\d+)s)?(?:(\\d+)ms)?$', 1)
+             AS gh,
+         regexp_extract(dur,
+           '^(?:(\\d+)h)?(?:(\\d+)m)?(?:(\\d+)s)?(?:(\\d+)ms)?$', 2)
+             AS gm,
+         regexp_extract(dur,
+           '^(?:(\\d+)h)?(?:(\\d+)m)?(?:(\\d+)s)?(?:(\\d+)ms)?$', 3)
+             AS gs,
+         regexp_extract(dur,
+           '^(?:(\\d+)h)?(?:(\\d+)m)?(?:(\\d+)s)?(?:(\\d+)ms)?$', 4)
+             AS gms
+  FROM d)
+SELECT event_id, dur,
+       CASE WHEN gh = '' AND gm = '' AND gs = '' AND gms = '' THEN NULL
+            ELSE CAST(COALESCE(NULLIF(gh, '')::BIGINT, 0) * 3600000000
+                 + COALESCE(NULLIF(gm, '')::BIGINT, 0) * 60000000
+                 + COALESCE(NULLIF(gs, '')::BIGINT, 0) * 1000000
+                 + COALESCE(NULLIF(gms, '')::BIGINT, 0) * 1000
+                 AS BIGINT) END AS dur_us
+FROM x
 """,
         "orders_hist_rebucket": """
 WITH c AS (SELECT o_orderstatus,

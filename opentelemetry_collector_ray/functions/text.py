@@ -633,3 +633,81 @@ def compression_ratio(col: pa.ChunkedArray | pa.Array, *,
     np.floor_divide(1000 * cc, nn, out=ratio, where=ok)
     return {"n_bytes": n, "n_compressed": c,
             "ratio_permille": pa.array(ratio, pa.int64(), mask=~ok)}
+
+
+def base64_encode(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """OTTL Base64 of a string column (the counterpart of the
+    reference's ottlfuncs Base64Decode converter): standard alphabet
+    with padding, matching DuckDB ``to_base64(CAST(x AS BLOB))`` for
+    the oracle gate. Per-row binascii (C speed) like the digest
+    helpers."""
+    import base64 as _b64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(
+        [_b64.b64encode(s.encode()).decode() if s is not None else None
+         for s in col.to_pylist()], pa.string())
+
+
+def base64_decode(col: pa.ChunkedArray | pa.Array, *,
+                  strict: bool = True) -> pa.Array:
+    """OTTL Base64Decode (reference
+    ottl/ottlfuncs/func_base64decode.go): decode standard-alphabet
+    base64 back to the original string. Malformed input raises when
+    ``strict`` (the reference errors too), else yields NULL."""
+    import base64 as _b64
+    import binascii
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for s in col.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            out.append(_b64.b64decode(s, validate=True).decode())
+        except (binascii.Error, UnicodeDecodeError) as exc:
+            if strict:
+                raise ValueError(
+                    f"base64_decode: malformed payload {s[:32]!r}: "
+                    f"{exc}") from exc
+            out.append(None)
+    return pa.array(out, pa.string())
+
+
+_DUR_RE = re.compile(r"^(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?(?:(\d+)ms)?$")
+
+
+def parse_duration_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Go-style duration parse → microseconds (the OTTL ``Duration()``
+    converter, reference ottl/ottlfuncs/func_duration.go, restricted
+    to the integer h/m/s/ms lanes so the result is exact): '1h30m',
+    '45s', '250ms', '2h0m5s'. One RE2 ``extract_regex`` over the whole
+    column per unit — vectorized, and the identical pattern runs in
+    DuckDB regexp_extract for the oracle. Empty/malformed → NULL
+    (mirror with a NULLIF-guarded SQL CASE)."""
+    pat = (r"^(?:(?P<h>\d+)h)?(?:(?P<m>\d+)m)?"
+           r"(?:(?P<s>\d+)s)?(?:(?P<ms>\d+)ms)?$")
+    st = pc.extract_regex(col, pat)
+    if isinstance(st, pa.ChunkedArray):
+        st = st.combine_chunks()
+    total = None
+    for name, mult in (("h", 3_600_000_000), ("m", 60_000_000),
+                       ("s", 1_000_000), ("ms", 1_000)):
+        part = pc.struct_field(st, name)
+        # non-participating group -> '' -> null after cast guard
+        num = pc.cast(pc.if_else(pc.equal(part, ""),
+                                 pa.scalar("0"), part), pa.int64())
+        term = pc.multiply(num, pa.scalar(mult, pa.int64()))
+        total = term if total is None else pc.add(total, term)
+    # whole-string mismatch (or empty string) -> extract_regex null;
+    # an empty-but-matching '' input parses as 0 under the regex, which
+    # Go rejects — treat all-groups-empty as NULL too.
+    all_empty = None
+    for name in ("h", "m", "s", "ms"):
+        e = pc.equal(pc.struct_field(st, name), "")
+        all_empty = e if all_empty is None else pc.and_(all_empty, e)
+    return pc.if_else(pc.fill_null(all_empty, True),
+                      pa.scalar(None, pa.int64()), total)

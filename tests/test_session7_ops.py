@@ -772,3 +772,28 @@ def test_hist_rebucket_subsetting_and_guards(ray_session):
                       ["k"], fine, [75, 400])
     with pytest.raises(ValueError, match="strictly"):
         explicit_histogram(_ds(t), ["k"], "v", [100, 100])
+
+
+# -------------------------------------------------- base64 / duration
+
+def test_base64_roundtrip_and_strict():
+    from opentelemetry_collector_ray.functions.text import (
+        base64_decode, base64_encode)
+    src = pa.array(["hello", "", "ünïcode ✓", None])
+    enc = base64_encode(src)
+    assert base64_decode(enc).to_pylist() == src.to_pylist()
+    with pytest.raises(ValueError, match="malformed"):
+        base64_decode(pa.array(["not base64!!"]))
+    assert base64_decode(pa.array(["not base64!!"]),
+                         strict=False).to_pylist() == [None]
+
+
+def test_parse_duration_us_lanes():
+    from opentelemetry_collector_ray.functions.text import (
+        parse_duration_us)
+    got = parse_duration_us(pa.array(
+        ["1h30m", "45s", "250ms", "2h0m5s", "0s", "", "nope",
+         "5m250ms", None]))
+    assert got.to_pylist() == [
+        5_400_000_000, 45_000_000, 250_000, 7_205_000_000, 0, None,
+        None, 300_250_000, None]
