@@ -103,14 +103,19 @@ def audience_overlap(ds: "ray.data.Dataset", group_col: str,
     via one more lag window. No driver-side merge."""
     import ray.data  # noqa: F401  (signature type)
 
-    from .aggregate import grouped_agg, grouped_count
+    from .aggregate import grouped_agg
     from .bucketing import bucketed_map_groups, key_segments
     from .window import per_key_window
 
-    distinct = grouped_count(
-        ds.select_columns([group_col, day_col, user_col]),
-        [group_col, day_col, user_col], count_name="_n",
-        strategy="shuffle")
+    def batch_unique(t: pa.Table) -> pa.Table:
+        # per-batch pre-dedupe (one Arrow group_by) so only unique
+        # triples ride the bucket exchange; cross-batch duplicates are
+        # dropped inside the bucket task below — ONE exchange total
+        # (a separate distinct pass cost a full second exchange).
+        return t.select([group_col, day_col, user_col]).group_by(
+            [group_col, day_col, user_col]).aggregate([])
+
+    distinct = ds.map_batches(batch_unique, batch_format="pyarrow")
 
     def mark(t: pa.Table) -> pa.Table:
         gt = t.column(group_col).type
@@ -132,6 +137,17 @@ def audience_overlap(ds: "ray.data.Dataset", group_col: str,
         d = d.astype(np.int64)
         change, _ = key_segments(gu)
         prev_same = ~change
+        # cross-batch duplicate (gu, day) rows survive the per-batch
+        # pre-dedupe — drop them here (sorted, so duplicates adjoin)
+        if len(d) > 1:
+            dup = np.append(False, prev_same[1:] & (d[1:] == d[:-1]))
+            if dup.any():
+                keep = ~dup
+                t = t.filter(pa.array(keep))
+                gu = gu[keep]
+                d = d[keep]
+                change, _ = key_segments(gu)
+                prev_same = ~change
         inter = np.zeros(len(d), np.int64)
         if len(d) > 1:
             inter[1:] = (prev_same[1:] & (d[1:] == d[:-1] + 1)
