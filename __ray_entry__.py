@@ -7514,6 +7514,48 @@ def _q_events_duration_parse(sf_dir: str):
                     floor=8).map_batches(f, batch_format="pyarrow")
 
 
+def _q_events_dow_hour_heatmap(sf_dir: str):
+    """Traffic heatmap (day-of-week × hour grid — the first dashboard
+    every log pipeline serves): counts per (dow, hour) cell from pure
+    epoch arithmetic (day ordinal mod 7 / in-day microseconds div
+    3600e6 — no calendar library on either engine), two-phase tree
+    aggregate over the bounded 168-cell grid."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    # numpy lanes: dow = day % 7, hour = (us % 86400e6) // 3600e6
+    def lanes(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return pa.table({
+            "dow": pa.array((day % 7).astype(np.int64)),
+            "hour": pa.array(((us % 86_400_000_000) // 3_600_000_000
+                              ).astype(np.int64))})
+
+    pre = _read_co(sf_dir, "events", ["ts"], floor=8).map_batches(
+        lanes, batch_format="pyarrow")
+    return grouped_count(pre, ["dow", "hour"], count_name="n",
+                         strategy="tree")
+
+
+def _q_parts_degree_hist(sf_dir: str):
+    """Graph degree distribution (the power-law tail audit of the
+    part–supplier bipartite graph): per part the count of DISTINCT
+    suppliers (exact per-key count distinct), then the bounded-domain
+    degree histogram — two shuffles over skinny id pairs, one tree
+    rollup."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_count, grouped_count_distinct)
+
+    ds = _read_co(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+                  floor=8)
+    deg = grouped_count_distinct(ds, ["l_partkey"], "l_suppkey",
+                                 out_name="degree",
+                                 final_strategy="shuffle")
+    return grouped_count(deg, ["degree"], count_name="n_parts",
+                         strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -7717,6 +7759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_hist_rebucket": _q_orders_hist_rebucket,
         "events_base64": _q_events_base64,
         "events_duration_parse": _q_events_duration_parse,
+        "events_dow_hour_heatmap": _q_events_dow_hour_heatmap,
+        "parts_degree_hist": _q_parts_degree_hist,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -8526,6 +8570,22 @@ g AS (
 SELECT user_id, n, n * n - sq AS gini_num,
        CAST(1000 * (n * n - sq) // (n * n) AS BIGINT) AS gini_permille
 FROM g
+""",
+        "events_dow_hour_heatmap": """
+WITH x AS (
+  SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow,
+         CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
+             AS hour
+  FROM events)
+SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY dow, hour
+""",
+        "parts_degree_hist": """
+WITH d AS (
+  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS degree
+  FROM lineitem GROUP BY l_partkey)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_parts
+FROM d GROUP BY degree
 """,
         "events_base64": """
 WITH p AS (

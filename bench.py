@@ -183,7 +183,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "docs_lang_eval", "customers_entity_groups",
              "events_path_rollup", "orders_hist_rebucket",
              "docs_compress_ratio", "events_base64",
-             "events_duration_parse"]
+             "events_duration_parse", "events_dow_hour_heatmap",
+             "parts_degree_hist"]
     q = m.queries()
     for name in names:
         t0 = time.time()
