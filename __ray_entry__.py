@@ -3557,6 +3557,75 @@ def _q_spans_tail_sampled(sf_dir: str):
     return tail_sample(_spans(sf_dir))
 
 
+def _q_spans_tail_policy(sf_dir: str):
+    """Composite tail-based sampling (stages/spanops.py::
+    tail_sample_policies — the multi-policy tailsampling form: ordered
+    error > latency > probabilistic legs, OR-combined per trace, the
+    winning policy tagged on every kept span). One trace-bucket
+    exchange; segment reduceat decides all traces in a bucket at once,
+    the probabilistic leg hashes each DISTINCT trace id exactly once.
+    Oracle = the same per-trace predicates as a SQL GROUP BY + join."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        tail_sample_policies)
+
+    out = tail_sample_policies(_spans(sf_dir),
+                               latency_us=1_800_000_000, permille=100)
+    return out.select_columns(["trace_id", "span_id", "service",
+                               "duration_us", "status_code", "policy"])
+
+
+def _q_docs_readability(sf_dir: str):
+    """Flesch reading-ease screen (functions/text.py::
+    readability_counts): per-doc word / sentence / vowel-group-syllable
+    counts and the integer-millis Flesch score — map-only, one RE2 pass
+    per lane, no shuffle. Oracle = the identical RE2 counting rules via
+    DuckDB regexp_extract_all and the identical floor-divided formula."""
+    from opentelemetry_collector_ray.functions.text import (
+        readability_counts)
+
+    def lanes(t: pa.Table) -> pa.Table:
+        r = readability_counts(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), **r})
+
+    return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                    floor=8).map_batches(lanes, batch_format="pyarrow")
+
+
+_BLOCKLIST = ["slow", "dup", "bug"]
+
+
+def _q_docs_blocklist(sf_dir: str):
+    """C4-style blocklist screen (functions/text.py::blocklist_counts):
+    whole-word hits against a small blocklist, keep = zero hits —
+    map-only, ONE compiled RE2 alternation per batch regardless of
+    list size. Oracle runs the identical RE2 via regexp_extract_all."""
+    from opentelemetry_collector_ray.functions.text import blocklist_counts
+
+    def lanes(t: pa.Table) -> pa.Table:
+        r = blocklist_counts(t.column("text"), _BLOCKLIST)
+        return pa.table({"doc_id": t.column("doc_id"), **r})
+
+    return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                    floor=8).map_batches(lanes, batch_format="pyarrow")
+
+
+def _q_events_trimmed_mean(sf_dir: str):
+    """Per-type 10% trimmed mean (stages/aggregate.py::grouped_trimmed
+    — the robust-location aggregate): exact integer lanes computed from
+    the (key, value, count) reduction, so raw rows never ride the
+    exchange. Oracle = the SQL rank-window trim filter + FILTER sums
+    with the identical truncating mean."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_trimmed
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_trimmed(pre, "event_type", "cents", trim_permille=100)
+
+
 def _q_turns_count_connector(sf_dir: str):
     """Count connector analog (logs → metrics): per-severity-band counts
     of parsed turns — a counting metric derived from the log stream."""
@@ -7761,6 +7830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_duration_parse": _q_events_duration_parse,
         "events_dow_hour_heatmap": _q_events_dow_hour_heatmap,
         "parts_degree_hist": _q_parts_degree_hist,
+        "spans_tail_policy": _q_spans_tail_policy,
+        "docs_readability": _q_docs_readability,
+        "docs_blocklist": _q_docs_blocklist,
+        "events_trimmed_mean": _q_events_trimmed_mean,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -10423,6 +10496,77 @@ SELECT * FROM spans WHERE trace_id IN
 WITH {SPANS_CTE.strip()}
 SELECT * FROM spans
 WHERE ('0x' || substr(md5(trace_id), 1, 12))::UBIGINT % 1000 < 200
+""",
+        "events_trimmed_mean": """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents)
+             AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE rn > (n * 100) // 1000
+                               AND rn <= n - (n * 100) // 1000)
+            AS BIGINT) AS n_mid,
+       CAST(sum(cents) FILTER (WHERE rn > (n * 100) // 1000
+                                 AND rn <= n - (n * 100) // 1000)
+            AS BIGINT) AS sum_mid,
+       CAST(1000 * sum(cents) FILTER (WHERE rn > (n * 100) // 1000
+                                        AND rn <= n - (n * 100) // 1000)
+            // (max(n) - 2 * ((max(n) * 100) // 1000)) AS BIGINT)
+           AS mean_milli
+FROM r GROUP BY event_type
+""",
+        "docs_blocklist": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+                '\b(?:slow|dup|bug)\b')) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN len(regexp_extract_all(lower(text),
+                '\b(?:slow|dup|bug)\b')) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents
+""",
+        "docs_readability": """
+WITH x AS (SELECT doc_id, lower(text) AS t FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '[a-z0-9]+')) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(t, '[.!?]+')) + 1 AS BIGINT)
+        AS n_sentences,
+    CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+        AS n_syllables
+  FROM x)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN 206835 - (1015 * n_words) // n_sentences
+                 - (84600 * n_syllables) // n_words
+       END AS ease_milli
+FROM c
+""",
+        "spans_tail_policy": f"""
+WITH {SPANS_CTE.strip()},
+tr AS (
+  SELECT trace_id,
+         max(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS has_err,
+         max(epoch_us(start_ts) + duration_us)
+           - min(epoch_us(start_ts)) AS win
+  FROM spans GROUP BY trace_id),
+verdict AS (
+  SELECT trace_id,
+         CASE WHEN has_err = 1 THEN 'error'
+              WHEN win >= 1800000000 THEN 'latency'
+              WHEN ('0x' || substr(md5(trace_id), 1, 12))::UBIGINT
+                   % 1000 < 100 THEN 'prob'
+         END AS policy
+  FROM tr)
+SELECT s.trace_id, s.span_id, s.service, s.duration_us, s.status_code,
+       v.policy
+FROM spans s JOIN verdict v USING (trace_id)
+WHERE v.policy IS NOT NULL
 """,
         "spans_apdex": f"""
 WITH {SPANS_CTE.strip()}

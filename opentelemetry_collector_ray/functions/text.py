@@ -566,6 +566,76 @@ def gopher_quality(col: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
             "keep": pa.array(keep)}
 
 
+def blocklist_counts(col: pa.ChunkedArray | pa.Array, words: list[str],
+                     ) -> dict[str, pa.Array]:
+    """Word-boundary blocklist screen — the C4-style "bad words" filter
+    (Raffel et al. 2020 dropped any page containing a listed word):
+    per row, ``n_hits`` = whole-word occurrences of ANY listed word
+    (case-insensitive) and ``keep`` = 1 iff no hits.
+
+    One compiled RE2 alternation ``\\b(?:w1|w2|...)\\b`` over the
+    lowered text — a single vectorized kernel regardless of list size,
+    never a per-word pass; both Arrow and DuckDB run RE2, so SQL
+    ``len(regexp_extract_all(lower(text), pattern))`` mirrors exactly.
+    Words must be plain ``[a-z0-9]+`` tokens (validated loudly — a
+    metacharacter would silently change the pattern)."""
+    if not words:
+        raise ValueError("blocklist_counts: words must be non-empty")
+    for w in words:
+        if not _BLOCK_WORD_RE.match(w):
+            raise ValueError(
+                f"blocklist_counts: word {w!r} is not a plain [a-z0-9]+ "
+                "token — regex metacharacters are not allowed")
+    pattern = r"\b(?:" + "|".join(words) + r")\b"
+    low = pc.utf8_lower(col)
+    hits = pc.count_substring_regex(low, pattern=pattern).cast(pa.int64())
+    keep = pc.cast(pc.equal(hits, 0), pa.int64())
+    return {"n_hits": hits, "keep": keep}
+
+
+_BLOCK_WORD_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def readability_counts(col: pa.ChunkedArray | pa.Array
+                       ) -> dict[str, pa.Array]:
+    """Flesch reading-ease lanes as EXACT integers — the classic
+    readability screen (Flesch 1948; the document-quality rung between
+    the length heuristics of :func:`quality_features` and the Gopher
+    rules of :func:`gopher_quality`).
+
+    Counting rules, chosen so BOTH engines run the identical RE2 on the
+    identical lowered text (DuckDB ``len(regexp_extract_all(...))``):
+
+    - words     = ``[a-z0-9]+`` runs,
+    - sentences = 1 + ``[.!?]+`` runs (a final sentence needs no
+      terminator; punctuation-free corpora degrade to whole-doc = one
+      sentence, which keeps the formula defined rather than vacuous),
+    - syllables = ``[aeiouy]+`` vowel-group runs (the standard cheap
+      syllable proxy; exact syllabification needs a dictionary).
+
+    The score itself stays integer: with w words, s sentences, y
+    syllable groups, ``ease_milli = 206835 − 1015·w//s − 84600·y//w``
+    (each term floor-divided exactly as SQL ``//`` on non-negative
+    operands — Flesch's 206.835 − 1.015·w/s − 84.6·y/w in millis).
+    Empty docs (w == 0) emit null lanes rather than a fake score."""
+    low = pc.utf8_lower(col)
+    w = pc.count_substring_regex(low, pattern=r"[a-z0-9]+").cast(pa.int64())
+    s = pc.add(pc.count_substring_regex(low, pattern=r"[.!?]+")
+               .cast(pa.int64()), 1)
+    y = pc.count_substring_regex(low, pattern=r"[aeiouy]+").cast(pa.int64())
+    wn = (w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w) \
+        .to_numpy(zero_copy_only=False)
+    sn = (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s) \
+        .to_numpy(zero_copy_only=False)
+    yn = (y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y) \
+        .to_numpy(zero_copy_only=False)
+    ok = wn > 0
+    wp, sp, yp = (np.maximum(wn, 1), np.maximum(sn, 1), yn)
+    ease = 206835 - (1015 * wp) // sp - (84600 * yp) // wp
+    return {"n_words": w, "n_sentences": s, "n_syllables": y,
+            "ease_milli": pa.array(ease.astype(np.int64), mask=~ok)}
+
+
 def parse_kv(col: pa.ChunkedArray | pa.Array, keys: list[str],
              ) -> dict[str, pa.Array]:
     """Logfmt key=value extraction (the OTTL ``ParseKeyValue``

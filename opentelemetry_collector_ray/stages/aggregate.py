@@ -513,6 +513,92 @@ def grouped_mode(ds: Dataset, key: str, value_col: str,
     return bucketed_map_groups(counts, key, pick, n_buckets=n_buckets)
 
 
+def grouped_trimmed(ds: Dataset, key: str, value_col: str,
+                    trim_permille: int = 100,
+                    n_buckets: int | str = "auto") -> Dataset:
+    """EXACT per-key trimmed mean — the robust-location aggregate
+    between the plain mean and :func:`grouped_mode`/median: drop the
+    lowest and highest ``floor(n·trim_permille/1000)`` values of each
+    key, then average what remains. Emitted as exact integer lanes
+    (``n``, ``n_mid``, ``sum_mid``, ``mean_milli = 1000·sum_mid //
+    n_mid``) so the SQL mirror (rank-window filter + FILTER sums)
+    hash-matches bit for bit.
+
+    Scale shape: the corpus first reduces to its distinct (key, value,
+    count) rows — the grouped-exact-quantiles discipline, so a 10^12-row
+    input with a bounded integer value domain ships |keys|×|values|
+    fixed-width rows, never raw rows. Inside one hash-bucket exchange of
+    that count table, every key's trim window falls out of one cumsum +
+    two clips (the multiset in ranks (d, n−d] is tie-order-independent,
+    which is what makes the value-only ordering exact). ``value_col``
+    must be integer (integerize first — cents); magnitude is guarded
+    loudly so Σ|v|·count stays in int64."""
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if not 0 <= int(trim_permille) < 500:
+        raise ValueError(
+            "grouped_trimmed: trim_permille must be in [0, 500)")
+    tp = int(trim_permille)
+
+    def check(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.column(value_col).type):
+            raise TypeError(
+                f"grouped_trimmed: {value_col!r} must be integer "
+                f"(got {t.column(value_col).type}); integerize first")
+        return t.filter(pc.is_valid(t.column(value_col)))
+
+    counts = grouped_count(
+        ds.select_columns([key, value_col]).map_batches(
+            check, batch_format="pyarrow"),
+        [key, value_col], count_name="_c", strategy="shuffle")
+
+    def trim(t: pa.Table) -> pa.Table:
+        e = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key).slice(0, 0), "n": e,
+                             "n_mid": e, "sum_mid": e, "mean_milli": e})
+        t = t.sort_by([(key, "ascending"), (value_col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, seg_start = key_segments(keys)
+        starts = np.flatnonzero(change)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(c)
+        base = np.zeros(len(c), np.int64)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        base = np.maximum.accumulate(base)  # per-row segment offset
+        cum_in = cum - base                 # cumulative count within key
+        prev_in = cum_in - c
+        n = np.add.reduceat(c, starts)
+        if len(v) and len(n):
+            vmax = int(np.abs(v).max())
+            if vmax and int(n.max()) > (2 ** 62) // max(vmax, 1):
+                raise ValueError(
+                    "grouped_trimmed: sum_mid would overflow int64 "
+                    f"(max|v|={vmax:,} × max n={int(n.max()):,}) — "
+                    "rescale the value domain first")
+        d = (n * tp) // 1000
+        n_row = n[np.cumsum(change) - 1]
+        d_row = d[np.cumsum(change) - 1]
+        lo = np.maximum(prev_in, d_row)
+        hi = np.minimum(cum_in, n_row - d_row)
+        take = np.maximum(hi - lo, 0)
+        sum_mid = np.add.reduceat(v * take, starts)
+        n_mid = n - 2 * d
+        # truncating division (DuckDB // truncates toward zero; numpy
+        # floors) — sign-split so negative sums still hash-match
+        num = 1000 * sum_mid
+        mean = np.sign(num) * (np.abs(num) // np.maximum(n_mid, 1))
+        return pa.table({
+            key: t.column(key).take(pa.array(starts)),
+            "n": pa.array(n), "n_mid": pa.array(n_mid),
+            "sum_mid": pa.array(sum_mid),
+            "mean_milli": pa.array(mean, mask=n_mid <= 0)})
+
+    return bucketed_map_groups(counts, key, trim, n_buckets=n_buckets)
+
+
 def grouped_string_agg(ds: Dataset, key: str, order_by: list[str],
                        value_col: str, sep: str = ",",
                        out_name: str = "agg",

@@ -551,6 +551,70 @@ def head_sample(spans: ray.data.Dataset, permille: int,
     return spans.map_batches(keep, batch_format="pyarrow")
 
 
+def tail_sample_policies(spans: ray.data.Dataset, *, latency_us: int,
+                         permille: int, n_buckets: int | str = 64,
+                         policy_col: str = "policy") -> ray.data.Dataset:
+    """Composite tail-based sampling — the multi-policy form of
+    :func:`tail_sample` (the tailsampling processor evaluates an ordered
+    list of policies per trace and keeps the trace when ANY matches;
+    single-policy error sampling is the degenerate case above). Three
+    OR-combined policies, evaluated in fixed priority order so every
+    kept span carries the FIRST matching policy name in ``policy_col``:
+
+    1. ``error``   — any span in the trace has status_code == 2,
+    2. ``latency`` — the trace's wall window (max span end − min span
+       start) is ≥ ``latency_us``,
+    3. ``prob``    — md5(trace_id) permille < ``permille`` (the
+       consistent-hash lane shared with :func:`head_sample`, so the
+       probabilistic leg stays decision-stable across re-executions).
+
+    Scale shape: identical to :func:`tail_sample` — ONE hash-bucket
+    exchange on trace_id co-locates whole traces, then each bucket task
+    decides all its traces vectorized (segment reduceat for the error
+    and window lanes, one digest per DISTINCT trace for the prob lane,
+    never per span). No second shuffle, no driver state."""
+    from ..functions.text import md5_mod
+    from .bucketing import bucketed_map_groups, key_segments
+
+    if not 0 <= permille <= 1000:
+        raise ValueError("tail_sample_policies: permille must be in [0, 1000]")
+    if latency_us < 0:
+        raise ValueError("tail_sample_policies: latency_us must be >= 0")
+    names = np.array(["error", "latency", "prob", ""])
+
+    def decide(t: pa.Table) -> pa.Table:
+        if policy_col in t.column_names:
+            raise ValueError(
+                f"tail_sample_policies: column {policy_col!r} already exists")
+        if t.num_rows == 0:
+            return t.append_column(policy_col, pa.array([], pa.string()))
+        t = t.sort_by([("trace_id", "ascending")])
+        keys = t.column("trace_id").to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys)
+        starts = np.flatnonzero(change)
+        seg_of = np.cumsum(change) - 1
+        start_us = pc.cast(pc.cast(t.column("start_ts"), pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        end_us = start_us + t.column("duration_us").to_numpy(
+            zero_copy_only=False)
+        is_err = pc.equal(t.column("status_code"), 2).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        has_err = np.maximum.reduceat(is_err, starts) > 0
+        window = (np.maximum.reduceat(end_us, starts)
+                  - np.minimum.reduceat(start_us, starts))
+        h = md5_mod(t.column("trace_id").take(pa.array(starts)), 1000)
+        codes = np.where(has_err, 0,
+                         np.where(window >= latency_us, 1,
+                                  np.where(h < permille, 2, 3)))
+        row_codes = codes[seg_of]
+        keep = row_codes != 3
+        return t.filter(pa.array(keep)).append_column(
+            policy_col, pa.array(names[row_codes[keep]]))
+
+    return bucketed_map_groups(spans, "trace_id", decide,
+                               n_buckets=n_buckets)
+
+
 def apdex(spans: ray.data.Dataset, t_us: int, *, key: str = "service",
           duration_col: str = "duration_us") -> ray.data.Dataset:
     """Apdex score (the Application Performance Index standard the APM
