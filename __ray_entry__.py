@@ -6794,6 +6794,126 @@ def _q_events_ring_assign(sf_dir: str):
         ["backend", "event_type"], count_name="n", strategy="tree")
 
 
+def _q_events_hrw_assign(sf_dir: str):
+    """Rendezvous-hash routing (stages/route.py::rendezvous_assign —
+    highest-random-weight, the vnode-free sibling of the ring): four
+    backends compete per user key via md5 weights, argmax wins; the
+    rollup counts events per (backend, event_type). Map-only, NO
+    exchange. Oracle = the identical md5 weight expression +
+    row_number() pick per user."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.route import rendezvous_assign
+
+    ds = _read_co(sf_dir, "events", ["user_id", "event_type"], floor=8)
+    assigned = rendezvous_assign(ds, "user_id",
+                                 ["be-a", "be-b", "be-c", "be-d"])
+    return grouped_count(
+        assigned.select_columns(["backend", "event_type"]),
+        ["backend", "event_type"], count_name="n", strategy="tree")
+
+
+def _q_turns_missing_idx(sf_dir: str):
+    """Sequence-completeness audit (stages/validate.py::sequence_gaps —
+    the dropped-record detector over dense per-stream indices): a
+    deterministic md5 rule drops ~10% of turns to plant real gaps, then
+    every conversation reports present/missing counts and its FIRST
+    missing turn_idx. One conv-bucket exchange, segment-vectorized.
+    Oracle = the identical md5 drop + rank-window min-gap SQL."""
+    from opentelemetry_collector_ray.functions.text import md5_mod
+    from opentelemetry_collector_ray.stages.validate import sequence_gaps
+
+    def drop(t: pa.Table) -> pa.Table:
+        keyed = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"),
+                                         pa.string()), "#")
+        h = md5_mod(keyed, 1000)
+        return t.filter(pa.array(h >= 100))
+
+    turns = _turns(sf_dir).select_columns(["conv_id", "turn_idx"]) \
+        .map_batches(drop, batch_format="pyarrow")
+    return sequence_gaps(turns, "conv_id", "turn_idx")
+
+
+def _q_events_seasonal_outliers(sf_dir: str):
+    """Seasonal-baseline anomaly cells: hourly traffic compared against
+    its own (day-of-week × hour-of-day) history — the composition of
+    the heatmap rollup with sigma_outliers' exact integer inequality
+    ((n·c − s1)² > k²·(n·s2 − s1²) per seasonal slot). The corpus
+    reduces once to (day, slot, count) cells (persist='memory' so the
+    two-pass operator never re-scans), then both sigma passes run over
+    the tiny cell table. k=1 deliberately — the synthetic traffic is
+    seasonless, a 1-sigma fence is where the gate has teeth."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.normalize import sigma_outliers
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        dh = (day % 7) * 24 + hour
+        return pa.table({"day": pa.array(day.astype(np.int64)),
+                         "dh": pa.array(dh.astype(np.int64))})
+
+    def make():
+        return grouped_count(
+            _read_co(sf_dir, "events", ["ts"], floor=8)
+            .map_batches(prep, batch_format="pyarrow"),
+            ["day", "dh"], count_name="c", strategy="shuffle")
+
+    return sigma_outliers(make, "c", key="dh", k=1,
+                          flag_col="is_anomaly", persist="memory")
+
+
+def _q_events_balanced_sample(sf_dir: str):
+    """Class-balanced downsample (the class-imbalance fix before
+    training a classifier): every event_type keeps exactly
+    min-class-size rows via the deterministic md5 bottom-k rule. The
+    class-count table is BOUNDED (5 types) — one tree aggregate pulls
+    it to the driver to fix k, then sample_bottom_k_by does the
+    unbounded-group work. Oracle = the same md5 rank window with k
+    from a scalar subquery."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.sampling import (
+        sample_bottom_k_by)
+
+    ds = _read_co(sf_dir, "events", ["event_id", "event_type"], floor=8)
+    counts = grouped_count(ds, ["event_type"], count_name="n",
+                           strategy="tree").to_pandas()
+    k = int(counts["n"].min())
+    return sample_bottom_k_by(ds, k, "event_id", "event_type",
+                              hash_mode="md5")
+
+
+def _q_parts_kcore(sf_dir: str):
+    """k-core of the part↔supplier co-purchase graph (stages/graph.py::
+    kcore — iterative peeling; rows-only like pagerank: the fixpoint
+    is planted-truth-tested, not SQL-expressible without iteration).
+    k is data-relative — the median per-part distinct-supplier degree,
+    read off a bounded count table — so the core stays non-trivial at
+    every scale factor (a fixed k is vacuous: degrees grow with SF).
+    Surviving nodes with their in-core degree."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.graph import kcore
+
+    def make():
+        return _read_co(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey"], floor=8).map_batches(
+            lambda t: pa.table({
+                "src": pc.binary_join_element_wise(
+                    "p", pc.cast(t.column("l_partkey"), pa.string()), ""),
+                "dst": pc.binary_join_element_wise(
+                    "s", pc.cast(t.column("l_suppkey"), pa.string()), ""),
+            }), batch_format="pyarrow")
+
+    pairs = grouped_count(make(), ["src", "dst"], count_name="_m",
+                          strategy="bucket")
+    pdeg = grouped_count(pairs.select_columns(["src"]), ["src"],
+                         count_name="n", strategy="shuffle").to_pandas()
+    k = int(np.median(pdeg["n"].to_numpy()))
+    return kcore(make, "src", "dst", k=k)
+
+
 def _q_events_fair_quota(sf_dir: str):
     """Max-min fair quota (stages/mixing.py::fair_quota — the
     water-filling admission rule for multi-tenant ingest): 25 tenants
@@ -7336,6 +7456,73 @@ def _q_turns_qa_pairs(sf_dir: str):
     return win.map_batches(pairs, batch_format="pyarrow")
 
 
+def _q_turns_qa_rouge(sf_dir: str):
+    """ROUGE-1 overlap of each SFT (prompt, response) pair
+    (stages/agreement.py::unigram_overlap — the reference-based eval
+    lane over the qa_pairs extraction): multiset token intersection,
+    token counts and the exact f1 permille, all decided inside each
+    batch with Arrow group_by/join kernels — map-only after the pairing
+    window. Oracle = unnest(regexp_extract_all) token counts joined on
+    (pair, token) with sum(least(ca, cb))."""
+    from opentelemetry_collector_ray.stages.agreement import (
+        unigram_overlap)
+
+    pairs = _q_turns_qa_pairs(sf_dir)
+    return unigram_overlap(pairs, "prompt", "response",
+                           id_cols=["conv_id", "turn_idx"])
+
+
+def _q_events_burstiness(sf_dir: str):
+    """Per-user burstiness as the Fano factor over hourly activity
+    windows (index of dispersion — the traffic-shape audit behind
+    rate-limit and anomaly tuning): variance/mean of the user's
+    per-active-hour event counts as exact rationals,
+    ``fano_permille = 1000·(W·Q − S²) // (W·S)`` with W active windows,
+    S = Σc, Q = Σc² (Cauchy–Schwarz keeps the numerator ≥ 0, so floor
+    == truncate). Two shuffle-partial aggregates: the corpus reduces to
+    (user, hour) cells, the cells to one lane row per user — raw rows
+    never ride the second exchange."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        hr = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"user_id": t.column("user_id"), "hr": hr})
+
+    cells = grouped_count(
+        _read_co(sf_dir, "events", ["user_id", "ts"], floor=8)
+        .map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "hr"], count_name="_c", strategy="shuffle")
+
+    def square(t: pa.Table) -> pa.Table:
+        c = t.column("_c")
+        return pa.table({"user_id": t.column("user_id"), "_c": c,
+                         "_c2": pc.multiply(c, c)})
+
+    g = grouped_count(cells.map_batches(square, batch_format="pyarrow"),
+                      ["user_id"], count_name="w",
+                      sum_cols={"s": "_c", "q": "_c2"},
+                      strategy="shuffle")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and (int(w.max()) * int(q.max()) > 2 ** 62
+                       or 1000 * int(w.max()) * int(q.max()) > 2 ** 62):
+            raise ValueError(
+                "events_burstiness: W·Q would overflow int64 — band the "
+                "window unit coarser")
+        fano = (1000 * (w * q - s * s)) // (w * s)
+        return pa.table({"user_id": t.column("user_id"),
+                         "w": t.column("w"), "s": t.column("s"),
+                         "q": t.column("q"),
+                         "fano_permille": pa.array(fano)})
+
+    return g.map_batches(lanes, batch_format="pyarrow")
+
+
 def _q_events_folds(sf_dir: str):
     """Stratified k-fold assignment (per_key_window row_number % k —
     the CV-split prep step): events get fold ids round-robin within
@@ -7834,6 +8021,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": _q_docs_readability,
         "docs_blocklist": _q_docs_blocklist,
         "events_trimmed_mean": _q_events_trimmed_mean,
+        "turns_qa_rouge": _q_turns_qa_rouge,
+        "events_burstiness": _q_events_burstiness,
+        "events_hrw_assign": _q_events_hrw_assign,
+        "turns_missing_idx": _q_turns_missing_idx,
+        "events_seasonal_outliers": _q_events_seasonal_outliers,
+        "events_balanced_sample": _q_events_balanced_sample,
         # --- round-4 driver-green entries pushed past the 50-cap ---
         "join_priority_revenue": _q_join_priority_revenue,
         "customers_order_counts": _q_customers_order_counts,
@@ -7969,6 +8162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dp_counts": _q_events_dp_counts,
         "events_type_users_approx": _q_events_type_users_approx,
         "docs_compress_ratio": _q_docs_compress_ratio,
+        "parts_kcore": _q_parts_kcore,
     }
     return {**oracle_checked, **rows_only}
 
@@ -10496,6 +10690,134 @@ SELECT * FROM spans WHERE trace_id IN
 WITH {SPANS_CTE.strip()}
 SELECT * FROM spans
 WHERE ('0x' || substr(md5(trace_id), 1, 12))::UBIGINT % 1000 < 200
+""",
+        "events_balanced_sample": """
+WITH k AS (
+  SELECT min(n) AS k FROM (
+    SELECT count(*) AS n FROM events GROUP BY event_type)),
+r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events)
+SELECT event_id, event_type FROM r WHERE rn <= (SELECT k FROM k)
+""",
+        "events_seasonal_outliers": """
+WITH cells AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ((epoch_us(ts) // 86400000000) % 7) * 24
+           + (epoch_us(ts) % 86400000000) // 3600000000 AS dh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY day, dh),
+g AS (
+  SELECT dh, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+  FROM cells GROUP BY dh)
+SELECT cells.day, cells.dh, cells.c,
+       CAST(CASE WHEN (n * c - s1) * (n * c - s1)
+                      > (n * s2 - s1 * s1)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM cells JOIN g USING (dh)
+""",
+        "turns_missing_idx": f"""
+WITH {TURNS_CTE.strip()},
+t AS (
+  SELECT conv_id, turn_idx FROM turns
+  WHERE ('0x' || substr(md5(conv_id || '#'
+                             || CAST(turn_idx AS VARCHAR)), 1, 12)
+        )::UBIGINT % 1000 >= 100),
+g AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_present,
+         CAST(max(turn_idx) AS BIGINT) AS max_idx
+  FROM t GROUP BY conv_id),
+r AS (
+  SELECT conv_id, turn_idx,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+             AS rk
+  FROM t),
+fg AS (
+  SELECT conv_id, CAST(min(rk) AS BIGINT) AS first_gap
+  FROM r WHERE turn_idx > rk GROUP BY conv_id)
+SELECT g.conv_id, n_present, max_idx,
+       max_idx + 1 - n_present AS n_missing, fg.first_gap
+FROM g LEFT JOIN fg USING (conv_id)
+""",
+        "events_hrw_assign": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+w AS (
+  SELECT u.user_id, b.backend,
+         ('0x' || substr(md5(b.backend || '#'
+                              || CAST(u.user_id AS VARCHAR)), 1, 12)
+         )::UBIGINT AS wt
+  FROM u CROSS JOIN (VALUES ('be-a'), ('be-b'), ('be-c'), ('be-d'))
+       AS b(backend)),
+pick AS (
+  SELECT user_id, backend FROM (
+    SELECT user_id, backend,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY wt DESC, backend) AS rn
+    FROM w) WHERE rn = 1)
+SELECT p.backend, e.event_type, CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN pick p USING (user_id)
+GROUP BY p.backend, e.event_type
+""",
+        "events_burstiness": """
+WITH cells AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, hr),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM cells GROUP BY user_id)
+SELECT user_id, w, s, q,
+       CAST(1000 * (w * q - s * s) // (w * s) AS BIGINT)
+           AS fano_permille
+FROM g
+""",
+        "turns_qa_rouge": f"""
+WITH {TURNS_CTE.strip()},
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_text
+  FROM turns),
+p AS (
+  SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+  FROM w WHERE role = 'assistant' AND prev_role = 'user'),
+ta AS (
+  SELECT conv_id, turn_idx, tok, count(*) AS ca
+  FROM (SELECT conv_id, turn_idx,
+               unnest(regexp_extract_all(lower(prompt), '[a-z0-9]+'))
+                   AS tok FROM p)
+  GROUP BY conv_id, turn_idx, tok),
+tb AS (
+  SELECT conv_id, turn_idx, tok, count(*) AS cb
+  FROM (SELECT conv_id, turn_idx,
+               unnest(regexp_extract_all(lower(response), '[a-z0-9]+'))
+                   AS tok FROM p)
+  GROUP BY conv_id, turn_idx, tok),
+o AS (
+  SELECT ta.conv_id, ta.turn_idx, sum(least(ca, cb)) AS ov
+  FROM ta JOIN tb USING (conv_id, turn_idx, tok)
+  GROUP BY ta.conv_id, ta.turn_idx)
+SELECT p.conv_id, p.turn_idx,
+       CAST(len(regexp_extract_all(lower(prompt), '[a-z0-9]+'))
+            AS BIGINT) AS n_a,
+       CAST(len(regexp_extract_all(lower(response), '[a-z0-9]+'))
+            AS BIGINT) AS n_b,
+       CAST(COALESCE(ov, 0) AS BIGINT) AS overlap,
+       CAST(CASE WHEN len(regexp_extract_all(lower(prompt), '[a-z0-9]+'))
+                    + len(regexp_extract_all(lower(response), '[a-z0-9]+'))
+                    > 0
+            THEN 2000 * COALESCE(ov, 0)
+                 // (len(regexp_extract_all(lower(prompt), '[a-z0-9]+'))
+                     + len(regexp_extract_all(lower(response),
+                                              '[a-z0-9]+')))
+       END AS BIGINT) AS f1_permille
+FROM p LEFT JOIN o USING (conv_id, turn_idx)
 """,
         "events_trimmed_mean": """
 WITH v AS (

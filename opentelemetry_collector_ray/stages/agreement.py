@@ -468,3 +468,59 @@ def multiclass_eval(ds: ray.data.Dataset, pred_col: str, label_col: str,
                                        pa.int64()),
         "recall_permille": pa.array(out["recall_permille"], pa.int64()),
         "f1_permille": pa.array(out["f1_permille"], pa.int64())})
+
+
+def unigram_overlap(ds: ray.data.Dataset, a_col: str, b_col: str, *,
+                    id_cols: list[str],
+                    pattern: str = r"[a-z0-9]+") -> ray.data.Dataset:
+    """ROUGE-1 multiset overlap per row — the reference-based text-eval
+    lane (Lin 2004) beside the label metrics above: for each (candidate,
+    reference) pair, ``overlap = Σ_w min(count_a(w), count_b(w))`` over
+    the token multisets, with ``n_a``/``n_b`` token counts and the exact
+    ``f1_permille = 2000·overlap // (n_a + n_b)`` (for multiset overlap
+    2PR/(P+R) collapses to exactly that rational — P = o/n_a, R = o/n_b).
+
+    Map-only: every pair is decided inside its own batch — tokens flatten
+    to one (row, token) table per side, one Arrow group_by counts them,
+    one Arrow inner join + min/scatter folds the intersection back to a
+    per-row lane. No exchange, no per-row Python. A null text on either
+    side yields null lanes (SQL join semantics would silently drop the
+    row instead — the mask keeps the row visible)."""
+    import numpy as np
+
+    from ..functions.text import extract_all
+
+    def counts(lst: pa.Array) -> pa.Table:
+        flat = pc.list_flatten(lst)
+        par = pc.list_parent_indices(lst)
+        return pa.table({"r": par, "tok": flat}).group_by(
+            ["r", "tok"]).aggregate([("tok", "count")])
+
+    def lanes(t: pa.Table) -> pa.Table:
+        la = extract_all(pc.utf8_lower(t.column(a_col)), pattern)
+        lb = extract_all(pc.utf8_lower(t.column(b_col)), pattern)
+        n = t.num_rows
+        n_a = pc.list_value_length(la).cast(pa.int64())
+        n_b = pc.list_value_length(lb).cast(pa.int64())
+        overlap = np.zeros(n, np.int64)
+        j = counts(la).join(counts(lb), keys=["r", "tok"],
+                            join_type="inner", right_suffix="_b")
+        if j.num_rows:
+            mins = pc.min_element_wise(
+                j.column("tok_count"), j.column("tok_count_b")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(overlap, j.column("r").to_numpy(
+                zero_copy_only=False), mins)
+        valid = np.asarray(pc.and_(pc.is_valid(n_a), pc.is_valid(n_b)))
+        na = np.asarray(pc.fill_null(n_a, 0))
+        nb = np.asarray(pc.fill_null(n_b, 0))
+        denom = na + nb
+        f1 = (2000 * overlap) // np.maximum(denom, 1)
+        cols = {c: t.column(c) for c in id_cols}
+        cols["n_a"] = n_a
+        cols["n_b"] = n_b
+        cols["overlap"] = pa.array(overlap, mask=~valid)
+        cols["f1_permille"] = pa.array(f1, mask=~(valid & (denom > 0)))
+        return pa.table(cols)
+
+    return ds.map_batches(lanes, batch_format="pyarrow")

@@ -701,3 +701,94 @@ def bfs_layers(make_edges, src: str, dst: str, *, seeds,
     return ray.data.from_arrow(pa.table({
         "node": nodes_pa.filter(pa.array(reached)),
         "depth": pa.array(depth[reached])}))
+
+
+def kcore(make_edges, src: str, dst: str, *, k: int,
+          max_nodes: int = 5_000_000, max_local_edges: int = 8_000_000,
+          n_buckets: int | str = "auto",
+          core_col: str = "core_degree") -> ray.data.Dataset:
+    """k-core decomposition by iterative peeling (Seidman 1983) — the
+    densest-region screen beside :func:`pagerank` (influence) and
+    :func:`triangle_count` (clustering): repeatedly delete every node
+    whose degree in the REMAINING graph is < ``k``; what survives is
+    the maximal subgraph where every node keeps ≥ k neighbors (spam
+    farms, core communities, crawl seeds). Returns ``(node,
+    core_degree)`` for surviving nodes — ``core_degree`` is the
+    node's degree INSIDE the k-core.
+
+    Semantics: undirected SIMPLE graph — edges symmetrize, parallel
+    edges collapse, self-loops drop (the standard k-core definition;
+    a multigraph variant would just skip the collapse).
+
+    Scale shape mirrors :func:`pagerank`: nodes are bounded
+    (``max_nodes`` count-before-pull via the shared ``_index_graph``)
+    so the alive bit-vector is driver state; edges are the big table,
+    index-encoded and deduped ONCE. Peeling sweeps are one numpy
+    bincount per round when the unique undirected pair list fits the
+    driver (≤ ``max_local_edges``), else one distributed pass emitting
+    per-block degree partials for the still-alive endpoints (bounded
+    int keys → tree combine). Each round kills ≥ 1 node or stops, so
+    rounds ≤ peel depth (worst case a path: O(n) — real graphs peel in
+    a handful)."""
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    n_nodes, nodes_pa, wedges = _index_graph(
+        make_edges, src, dst, max_nodes, "kcore", n_buckets=n_buckets)
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], _node_type(make_edges(), src)),
+            core_col: pa.array([], pa.int64())}))
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t.column("_s")
+        d = t.column("_d")
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        keep = pc.not_equal(lo, hi)  # self-loops never satisfy degree
+        return pa.table({"_a": lo.filter(keep), "_b": hi.filter(keep)})
+
+    pairs = grouped_count(wedges.map_batches(sym, batch_format="pyarrow"),
+                          ["_a", "_b"], count_name="_m",
+                          strategy="bucket",
+                          n_buckets=n_buckets).materialize()
+    n_pairs = pairs.count()
+    alive = np.ones(n_nodes, bool)
+    local = n_pairs <= int(max_local_edges)
+    if local:
+        ppdf = pairs.to_pandas()
+        ea = ppdf["_a"].to_numpy()
+        eb = ppdf["_b"].to_numpy()
+
+    deg = np.zeros(n_nodes, np.int64)
+    while True:
+        if local:
+            m = alive[ea] & alive[eb]
+            deg = (np.bincount(ea[m], minlength=n_nodes)
+                   + np.bincount(eb[m], minlength=n_nodes))
+        else:
+            alive_ref = ray.put(alive)
+
+            def degrees(t: pa.Table, _ref=alive_ref) -> pa.Table:
+                al = ray.get(_ref)
+                a = t.column("_a").to_numpy(zero_copy_only=False)
+                b = t.column("_b").to_numpy(zero_copy_only=False)
+                m_ = al[a] & al[b]
+                both = np.concatenate([a[m_], b[m_]])
+                uniq, cnt = np.unique(both, return_counts=True)
+                return pa.table({"_n": pa.array(uniq),
+                                 "_c": pa.array(cnt.astype(np.int64))})
+
+            strat = "tree" if n_nodes <= 1_000_000 else "shuffle"
+            dpdf = grouped_agg(pairs.map_batches(
+                degrees, batch_format="pyarrow"), ["_n"],
+                sum_cols={"_c": "_c"}, strategy=strat).to_pandas()
+            deg = np.zeros(n_nodes, np.int64)
+            deg[dpdf["_n"].to_numpy()] = dpdf["_c"].to_numpy()
+        dead = alive & (deg < k)
+        if not dead.any():
+            break
+        alive &= ~dead
+
+    return ray.data.from_arrow(pa.table({
+        "node": nodes_pa.filter(pa.array(alive)),
+        core_col: pa.array(deg[alive])}))

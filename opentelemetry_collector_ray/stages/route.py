@@ -131,3 +131,44 @@ def ring_assign(ds, key_col: str, backends: list[str], *,
                                pa.array(ring_lab[idx], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def rendezvous_assign(ds, key_col: str, backends: list[str], *,
+                      out_col: str = "backend"):
+    """Rendezvous (highest-random-weight) hashing — the OTHER classic
+    consistent routing rule beside :func:`ring_assign` (Thaler &
+    Ravishankar 1998): a key goes to the backend with the LARGEST
+    ``md5(backend + '#' + key)`` weight. No ring to build or balance —
+    every backend competes for every key, so losing a backend moves
+    exactly that backend's keys and nothing else, and load spreads
+    evenly without vnodes.
+
+    Map-only like the ring: per batch, one digest pass per backend
+    (|backends| is small — it is a routing table, not a key domain)
+    then one vectorized argmax; NO exchange. Ties (a 48-bit digest
+    collision) resolve to the lexicographically smallest backend, the
+    same total order the SQL mirror's ``ORDER BY wt DESC, backend``
+    yields."""
+    from ..functions.text import md5_mod
+
+    if not backends:
+        raise ValueError("rendezvous_assign: backends must be non-empty")
+    if len(set(backends)) != len(backends):
+        raise ValueError("rendezvous_assign: duplicate backend names")
+    full = 1 << 48  # the 12-hex digest domain
+    blist = sorted(backends)  # ascending: later ties never win argmax
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if not pa.types.is_string(keys.type):
+            keys = pc.cast(keys, pa.string())
+        weights = np.stack([
+            md5_mod(pc.binary_join_element_wise(
+                pa.scalar(f"{b}#"), keys, ""), full)
+            for b in blist])
+        # argmax returns the FIRST maximal row index = smallest backend
+        idx = np.argmax(weights, axis=0)
+        lab = np.array(blist, object)[idx]
+        return t.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

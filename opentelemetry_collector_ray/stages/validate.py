@@ -113,3 +113,56 @@ def validate_rules(ds: ray.data.Dataset, rules: dict[str, tuple],
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def sequence_gaps(ds: ray.data.Dataset, key: str, idx_col: str, *,
+                  n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Per-key sequence-completeness audit — the dropped-record detector
+    a log pipeline runs when records carry a dense per-stream index
+    (turn_idx, offset, sequence number): for each key, how many indices
+    below the observed maximum are missing, and which is the FIRST gap?
+
+    Output: one row per key — ``n_present``, ``max_idx``,
+    ``n_missing = max_idx + 1 − n_present`` (indices assumed unique and
+    0-based; duplicates are a different contract, use validate_rules'
+    ``unique``), and ``first_gap`` (the smallest missing index; null
+    when the prefix is complete).
+
+    Scale shape: ONE hash-bucket exchange on ``key`` co-locates each
+    stream, then every stream in a bucket resolves vectorized — sort by
+    (key, idx), rank-within-segment via one global cumsum, and the
+    first index≠rank mismatch per segment via one minimum.reduceat.
+    The SQL mirror is ``min(rk) FILTER (WHERE idx > rk)`` over the
+    rank window."""
+    from .bucketing import key_segments
+
+    def audit(t: pa.Table) -> pa.Table:
+        e = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table({key: t.column(key).slice(0, 0),
+                             "n_present": e, "max_idx": e,
+                             "n_missing": e, "first_gap": e})
+        t = t.sort_by([(key, "ascending"), (idx_col, "ascending")])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        change, _ = key_segments(keys)
+        starts = np.flatnonzero(change)
+        idx = t.column(idx_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.arange(len(idx), dtype=np.int64)
+        rank = pos - starts[np.cumsum(change) - 1]
+        n = np.diff(np.append(starts, len(idx)))
+        max_idx = idx[np.append(starts[1:] - 1, len(idx) - 1)]
+        # first gap: min rank where idx > rank, per segment (sentinel
+        # for complete prefixes)
+        sent = np.int64(2 ** 62)
+        cand = np.where(idx > rank, rank, sent)
+        fg = np.minimum.reduceat(cand, starts)
+        return pa.table({
+            key: t.column(key).take(pa.array(starts)),
+            "n_present": pa.array(n),
+            "max_idx": pa.array(max_idx),
+            "n_missing": pa.array(max_idx + 1 - n),
+            "first_gap": pa.array(fg, mask=fg == sent)})
+
+    return bucketed_map_groups(ds.select_columns([key, idx_col]), key,
+                               audit, n_buckets=n_buckets)
