@@ -7812,6 +7812,216 @@ def _q_parts_degree_hist(sf_dir: str):
                          strategy="tree")
 
 
+# ------------------------------------------- ninth-session operator batch
+
+def _q_turns_tool_chains(sf_dir: str):
+    """Tool-call transition bigrams (per_key_window lag over the
+    tool-turn subsequence — the agent-behavior audit every transcript
+    pipeline runs to see which tool follows which): within each
+    conversation, consecutive tool turns (tool != '') yield one
+    (prev_tool → tool) pair, counted corpus-wide. The lag window keys
+    on conv_id (the ONE partitioning key, SURVEY.md §4.3); the final
+    rollup is a bounded-domain tree aggregate. Oracle = SQL lag over
+    the filtered subsequence + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("tool"), ""))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "tool": t.column("tool")})
+
+    win = per_key_window(
+        _turns(sf_dir).map_batches(proj, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"], {"prev_tool": ("lag", "tool")})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev_tool")))
+        return pa.table({"prev_tool": t.column("prev_tool"),
+                         "tool": t.column("tool")})
+
+    pre = win.map_batches(pairs, batch_format="pyarrow")
+    return grouped_count(pre, ["prev_tool", "tool"], count_name="n_pairs",
+                         strategy="tree")
+
+
+def _q_turns_role_tokens(sf_dir: str):
+    """Per-conversation role token balance (the chat-mix audit every
+    SFT data build reports: how many tokens each side contributed):
+    whitespace token counts laned per role inside one map, ONE bucket
+    aggregate on conv_id (unbounded keys), assistant/user share as a
+    truncating permille. All exact integers; oracle = the same CASE
+    lanes + GROUP BY + integer division."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def lanes(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(pc.add(pc.count_substring(t.column("text"), " "),
+                              pa.scalar(1, pa.int32())), pa.int64())
+        role = t.column("role")
+        out = {"conv_id": t.column("conv_id")}
+        for r in ("user", "assistant", "system", "tool"):
+            out[f"{r}_tokens"] = pc.if_else(
+                pc.equal(role, r), ntok, pa.scalar(0, pa.int64()))
+        return pa.table(out)
+
+    pre = _turns(sf_dir).map_batches(lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["conv_id"], count_name="n_turns",
+                      sum_cols={f"{r}_tokens": f"{r}_tokens"
+                                for r in ("user", "assistant",
+                                          "system", "tool")},
+                      strategy="bucket")
+
+    def ratio(t: pa.Table) -> pa.Table:
+        u = t.column("user_tokens")
+        a = t.column("assistant_tokens")
+        pm = pc.if_else(
+            pc.greater(u, 0),
+            pc.divide(pc.multiply(a, pa.scalar(1000, pa.int64())), u),
+            pa.scalar(None, pa.int64()))
+        return t.append_column("asst_user_permille", pm)
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def _q_events_apportion(sf_dir: str):
+    """Largest-remainder quota apportionment (stages/allocate.py — the
+    fixed-budget fair-share primitive behind sampling quotas and shard
+    budgets): 1000 seats across event types proportional to row count;
+    ``Σ seats == 1000`` exactly. Oracle = the same base//remainder
+    arithmetic with row_number() over (rem DESC, type ASC)."""
+    from opentelemetry_collector_ray.stages.allocate import apportion
+
+    return apportion(_read_co(sf_dir, "events", ["event_type"], floor=8),
+                     ["event_type"], 1000)
+
+
+def _q_events_ohlc(sf_dir: str):
+    """Daily OHLC candles per event type (stages/metricsops.py::
+    grouped_ohlc — the gauge first/last/min/max downsample every
+    metrics backend materializes): open/close = cents value at the
+    min/max (ts, event_id) tuple, low/high = min/max, all mergeable
+    two-phase partials (each partial carries its candidate's order
+    tuple) → tree combine over the bounded day×type domain. Oracle =
+    two row_number windows + one GROUP BY."""
+    from opentelemetry_collector_ray.stages.metricsops import grouped_ohlc
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "event_type": t.column("event_type"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events",
+                   ["ts", "event_type", "event_id", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_ohlc(pre, ["day", "event_type"], ["ts", "event_id"],
+                        "cents")
+
+
+def _q_lineitem_ship_bd(sf_dir: str):
+    """Business-day fulfillment lag (functions/timefn.py::
+    busday_count_col — the calendar-aware SLA metric): Mon–Fri days in
+    [o_orderdate, l_shipdate) per lineitem via one distributed hash
+    join on orderkey + vectorized np.busday_count, rolled up per ship
+    month (tree — bounded domain). Oracle = the closed-form weekday
+    formula (verified against np.busday_count on a 560-case lattice in
+    tests) + the same join."""
+    from opentelemetry_collector_ray.functions.timefn import (
+        busday_count_col)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    li = _read_co(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read_co(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = shuffle_hash_join(li, orders, key="l_orderkey",
+                          right_key="o_orderkey")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        bd = busday_count_col(t.column("o_orderdate"),
+                              t.column("l_shipdate"))
+        return pa.table({
+            "ship_month": pc.strftime(t.column("l_shipdate"),
+                                      format="%Y-%m"),
+            "bd": bd})
+
+    pre = j.map_batches(lanes, batch_format="pyarrow")
+    return grouped_agg(pre, ["ship_month"], count_name="n_items",
+                       sum_cols={"sum_bd": "bd"},
+                       min_cols={"min_bd": "bd"},
+                       max_cols={"max_bd": "bd"}, strategy="tree")
+
+
+def _q_docs_sentence_stats(sf_dir: str):
+    """Sentence segmentation stats (functions/text.py::sentence_stats —
+    the granularity screen under readability / chunking passes): per
+    doc the sentence count, longest sentence, and truncating mean
+    sentence length in chars; RE2 split identical to DuckDB
+    string_split_regex, flatten + reduceat segment kernels (map-only,
+    no shuffle). Oracle = list_transform/list_max/list_sum over the
+    same split."""
+    from opentelemetry_collector_ray.functions.text import sentence_stats
+
+    def fn(t: pa.Table) -> pa.Table:
+        st = sentence_stats(t.column("text"))
+        avg = pc.divide(st["sum_sent_chars"], st["n_sents"])
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_sents": st["n_sents"],
+                         "max_sent_chars": st["max_sent_chars"],
+                         "avg_sent_chars": avg})
+
+    return _read_co(sf_dir, "documents", ["doc_id", "text"],
+                    floor=8).map_batches(fn, batch_format="pyarrow")
+
+
+def _q_events_csv_roundtrip(sf_dir: str):
+    """csv-receiver analog end-to-end (the filelog/csv sibling of
+    events_jsonl_roundtrip): the events table is serialized to 8
+    sharded CSV files (pyarrow.csv writer, integer cents lane computed
+    at write time with the _cents expression), read back through
+    ray.data.read_csv — the same reader the YAML ``csv`` receiver uses
+    (pipelines/builder.py) — and aggregated; compared to pure SQL over
+    the original table, proving the CSV wire path inverts the
+    serialization exactly. The /tmp fixture is content-deterministic
+    (staged + atomic rename) and single-node, like the JSONL one."""
+    import os
+    import uuid
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    src = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "value"])
+    cents = _cents(src.column("value"))
+    tbl = pa.table({"event_id": src.column("event_id"),
+                    "user_id": src.column("user_id"),
+                    "event_type": src.column("event_type"),
+                    "cents": cents})
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/graft_csv_{tag}_{tbl.num_rows}"
+    if not os.path.isdir(out_dir):
+        stage = f"{out_dir}.stage-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        shard = tbl.column("event_id").to_numpy(zero_copy_only=False) % 8
+        for s in range(8):
+            part = tbl.filter(pa.array(shard == s))
+            pacsv.write_csv(part, f"{stage}/events-{s}.csv")
+        os.rename(stage, out_dir)
+
+    ds = ray.data.read_csv(out_dir)
+    return grouped_agg(ds, ["event_type"], count_name="n",
+                       sum_cols={"sum_cents": "cents"},
+                       min_cols={"min_cents": "cents"},
+                       max_cols={"max_cents": "cents"}, strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8113,6 +8323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profiles_flame_edges": _q_profiles_flame_edges,
         "emb_knn": _q_emb_knn,
         "emb_centroids": _q_emb_centroids,
+        # --- round-5 ninth-session additions (pytest-oracled + sweep) ---
+        "turns_tool_chains": _q_turns_tool_chains,
+        "turns_role_tokens": _q_turns_role_tokens,
+        "events_apportion": _q_events_apportion,
+        "events_ohlc": _q_events_ohlc,
+        "lineitem_ship_bd": _q_lineitem_ship_bd,
+        "docs_sentence_stats": _q_docs_sentence_stats,
+        "events_csv_roundtrip": _q_events_csv_roundtrip,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -11954,6 +12172,121 @@ SELECT o_custkey, recency_days, freq, monetary,
        CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
             AS BIGINT) AS m_q
 FROM d
+""",
+        "turns_tool_chains": f"""
+WITH {TURNS_CTE.strip()},
+tt AS (SELECT conv_id, turn_idx, tool FROM turns WHERE tool <> ''),
+w AS (SELECT conv_id, tool,
+             lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS prev_tool
+      FROM tt)
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n_pairs
+FROM w WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool
+""",
+        "turns_role_tokens": f"""
+WITH {TURNS_CTE.strip()},
+l AS (SELECT conv_id, role,
+             CAST(1 + length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) AS ntok
+      FROM turns),
+a AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+      CAST(sum(CASE WHEN role = 'user' THEN ntok ELSE 0 END)
+           AS BIGINT) AS user_tokens,
+      CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)
+           AS BIGINT) AS assistant_tokens,
+      CAST(sum(CASE WHEN role = 'system' THEN ntok ELSE 0 END)
+           AS BIGINT) AS system_tokens,
+      CAST(sum(CASE WHEN role = 'tool' THEN ntok ELSE 0 END)
+           AS BIGINT) AS tool_tokens
+      FROM l GROUP BY conv_id)
+SELECT conv_id, n_turns, user_tokens, assistant_tokens, system_tokens,
+       tool_tokens,
+       CASE WHEN user_tokens > 0
+            THEN CAST(1000 * assistant_tokens // user_tokens AS BIGINT)
+       END AS asst_user_permille
+FROM a
+""",
+        "events_apportion": """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+b AS (SELECT event_type, n,
+             (1000 * n) // (SELECT sum(n) FROM c) AS base,
+             (1000 * n) % (SELECT sum(n) FROM c) AS rem
+      FROM c),
+r AS (SELECT event_type, n, base, rem,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+      FROM b)
+SELECT event_type, n,
+       CAST(base + CASE WHEN rk <= 1000 - (SELECT sum(base) FROM b)
+                        THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
+""",
+        "events_ohlc": """
+WITH x AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, ts,
+                  event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT day, event_type, cents,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM x),
+a AS (SELECT day, event_type, CAST(min(cents) AS BIGINT) AS low,
+             CAST(max(cents) AS BIGINT) AS high,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY day, event_type)
+SELECT a.day, a.event_type, f.cents AS open, l.cents AS close,
+       a.low, a.high, a.n
+FROM a
+JOIN w f ON f.day = a.day AND f.event_type = a.event_type AND f.rf = 1
+JOIN w l ON l.day = a.day AND l.event_type = a.event_type AND l.rl = 1
+""",
+        # closed-form weekday count verified against np.busday_count on a
+        # 14×80 signed lattice (tests/test_ninth_batch.py)
+        "lineitem_ship_bd": """
+WITH j AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                  datediff('day', LEAST(o_orderdate, l_shipdate),
+                           GREATEST(o_orderdate, l_shipdate)) AS dd,
+                  isodow(LEAST(o_orderdate, l_shipdate)) - 1 AS s,
+                  l_shipdate >= o_orderdate AS fwd
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+b AS (SELECT ship_month,
+             CASE WHEN fwd THEN 1 ELSE -1 END *
+             (5 * (dd // 7)
+              + GREATEST(0, LEAST(s + dd % 7, 7) - s
+                            - GREATEST(0, LEAST(s + dd % 7, 7) - 5))
+              + GREATEST(0, s + dd % 7 - 7)) AS bd
+      FROM j)
+SELECT ship_month, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(bd) AS BIGINT) AS sum_bd,
+       CAST(min(bd) AS BIGINT) AS min_bd,
+       CAST(max(bd) AS BIGINT) AS max_bd
+FROM b GROUP BY ship_month
+""",
+        "docs_sentence_stats": """
+WITH s AS (SELECT doc_id,
+                  string_split_regex(text, '[.!?]+ +') AS ss
+           FROM documents),
+x AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sents,
+             CAST(list_max(list_transform(ss, t -> length(t)))
+                  AS BIGINT) AS max_sent_chars,
+             CAST(list_sum(list_transform(ss, t -> length(t)))
+                  AS BIGINT) AS sum_chars
+      FROM s)
+SELECT doc_id, n_sents, max_sent_chars,
+       CAST(sum_chars // n_sents AS BIGINT) AS avg_sent_chars
+FROM x
+""",
+        "events_csv_roundtrip": """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM c GROUP BY event_type
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -184,7 +184,11 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_path_rollup", "orders_hist_rebucket",
              "docs_compress_ratio", "events_base64",
              "events_duration_parse", "events_dow_hour_heatmap",
-             "parts_degree_hist"]
+             "parts_degree_hist",
+             # round-5 ninth-session additions
+             "turns_tool_chains", "turns_role_tokens",
+             "events_apportion", "events_ohlc", "lineitem_ship_bd",
+             "docs_sentence_stats", "events_csv_roundtrip"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -781,3 +781,36 @@ def parse_duration_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         all_empty = e if all_empty is None else pc.and_(all_empty, e)
     return pc.if_else(pc.fill_null(all_empty, True),
                       pa.scalar(None, pa.int64()), total)
+
+
+SENTENCE_RE = "[.!?]+ +"
+
+
+def sentence_stats(col: pa.ChunkedArray | pa.Array,
+                   pattern: str = SENTENCE_RE) -> dict[str, pa.Array]:
+    """Per-document sentence segmentation stats (the granularity screen
+    under every readability / chunking pass): split on ``pattern``
+    (RE2 — identical semantics to DuckDB ``string_split_regex``) and
+    emit ``n_sents``, ``max_sent_chars``, ``sum_sent_chars`` as exact
+    integers. A split always yields ≥1 segment (``'' → ['']``), so the
+    segment reduces are total. One flatten + two ``reduceat`` passes —
+    no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("sentence_stats: null text")
+    sents = pc.split_pattern_regex(col, pattern=pattern)
+    n = pc.list_value_length(sents).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(sents)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(n):
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        mx = np.maximum.reduceat(lens, starts)
+        sm = np.add.reduceat(lens, starts)
+    else:
+        mx = sm = np.empty(0, np.int64)
+    return {"n_sents": pa.array(n),
+            "max_sent_chars": pa.array(mx),
+            "sum_sent_chars": pa.array(sm)}

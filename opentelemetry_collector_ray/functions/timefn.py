@@ -57,3 +57,28 @@ def decode_snowflake(ids: pa.ChunkedArray | pa.Array, *,
         "sf_machine": pc.if_else(mask, pa.array(machine), null64),
         "sf_seq": pc.if_else(mask, pa.array(seq), null64),
     }
+
+
+def busday_count_col(start: pa.ChunkedArray | pa.Array,
+                     end: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Business days (Mon–Fri) in ``[start, end)`` per row — the
+    calendar-aware SLA lag every ops pipeline reports. Exact integers,
+    ANTISYMMETRIC for reversed ranges: ``bd(a, b) == -bd(b, a)``
+    (weekdays in ``[min, max)``, signed) — deliberately NOT raw
+    ``np.busday_count``, whose reversed-range convention counts
+    ``(end, begin]`` instead. Vectorized over day-truncated
+    timestamps; nulls are rejected loudly — fill or filter upstream."""
+    import numpy as np
+
+    def to_days(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError("busday_count_col: null timestamps")
+        return col.cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[D]")
+
+    a, b = to_days(start), to_days(end)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    bd = np.busday_count(lo, hi).astype("int64")
+    return pa.array(np.where(b >= a, bd, -bd))

@@ -623,3 +623,105 @@ def hist_rebucket(hist: ray.data.Dataset, keys: list[str],
     return grouped_agg(pre, list(keys) + [bucket_col],
                        sum_cols={count_col: count_col},
                        strategy=strategy)
+
+
+def _multi_key_change(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Row-change mask over a table SORTED by ``keys`` (first row True)."""
+    n = t.num_rows
+    mask = np.zeros(n, dtype=bool)
+    if n:
+        mask[0] = True
+    for k in keys:
+        a = t.column(k).to_numpy(zero_copy_only=False)
+        if n > 1:
+            mask[1:] |= a[1:] != a[:-1]
+    return mask
+
+
+def grouped_ohlc(ds: ray.data.Dataset, keys: list[str],
+                 order_cols: list[str], value_col: str, *,
+                 fanin: int = 16) -> ray.data.Dataset:
+    """Per-key OHLC candle — the classic gauge downsample every metrics
+    backend materializes (the Gauge last-sample semantic of
+    ``pdata/pmetric/metric_type.go:11-17`` extended to the full candle):
+    ``open``/``close`` = value at the minimum / maximum ``order_cols``
+    tuple, ``low``/``high`` = min/max value, ``n`` = count.
+
+    Two-phase mergeable aggregate: per-batch partials (ONE Arrow sort +
+    segment head/tail per 64k batch — each partial carries the order
+    tuple of its open/close candidate, which is what makes first/last
+    mergeable) → tree combine. Map-only; requires the distinct key set
+    to fit one task (bounded roll-up keys, e.g. day×type), same
+    precondition as ``grouped_agg(strategy="tree")``. ``value_col``
+    must be integer (cents-style lanes) so min/max/count stay exact."""
+    ocols = list(order_cols)
+    sort_spec = [(k, "ascending") for k in keys] \
+        + [(c, "ascending") for c in ocols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_spec)
+        mask = _multi_key_change(t, keys)
+        starts = np.flatnonzero(mask)
+        n_rows = t.num_rows
+        ends = np.append(starts[1:], n_rows) - 1
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        lo = np.minimum.reduceat(v, starts) if len(starts) else v[:0]
+        hi = np.maximum.reduceat(v, starts) if len(starts) else v[:0]
+        cnt = np.diff(np.append(starts, n_rows))
+        heads = t.take(pa.array(starts.astype(np.int64)))
+        tails = t.take(pa.array(ends.astype(np.int64)))
+        out = {k: heads.column(k) for k in keys}
+        for i, c in enumerate(ocols):
+            out[f"_o{i}"] = heads.column(c)
+            out[f"_c{i}"] = tails.column(c)
+        out["open"] = heads.column(value_col)
+        out["close"] = tails.column(value_col)
+        out["low"] = pa.array(lo)
+        out["high"] = pa.array(hi)
+        out["n"] = pa.array(cnt.astype(np.int64))
+        return pa.table(out)
+
+    o_spec = [(k, "ascending") for k in keys] \
+        + [(f"_o{i}", "ascending") for i in range(len(ocols))]
+    c_spec = [(k, "ascending") for k in keys] \
+        + [(f"_c{i}", "ascending") for i in range(len(ocols))]
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        so = t.sort_by(o_spec)
+        mask = _multi_key_change(so, keys)
+        starts = np.flatnonzero(mask)
+        lo = np.minimum.reduceat(
+            so.column("low").to_numpy(zero_copy_only=False), starts)
+        hi = np.maximum.reduceat(
+            so.column("high").to_numpy(zero_copy_only=False), starts)
+        cnt = np.add.reduceat(
+            so.column("n").to_numpy(zero_copy_only=False), starts)
+        heads = so.take(pa.array(starts.astype(np.int64)))
+        # same key segments in both sort orders (keys lead both specs)
+        sc = t.sort_by(c_spec)
+        ends = np.append(starts[1:], t.num_rows) - 1
+        tails = sc.take(pa.array(ends.astype(np.int64)))
+        out = {k: heads.column(k) for k in keys}
+        for i in range(len(ocols)):
+            out[f"_o{i}"] = heads.column(f"_o{i}")
+            out[f"_c{i}"] = tails.column(f"_c{i}")
+        out["open"] = heads.column("open")
+        out["close"] = tails.column("close")
+        out["low"] = pa.array(lo)
+        out["high"] = pa.array(hi)
+        out["n"] = pa.array(cnt.astype(np.int64))
+        return pa.table(out)
+
+    drop = [f"_o{i}" for i in range(len(ocols))] \
+        + [f"_c{i}" for i in range(len(ocols))]
+    sel = ds.select_columns(list(keys) + ocols + [value_col])
+    part = sel.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    lvl1 = part.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+    fin = lvl1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+    return fin.map_batches(lambda t: t.drop_columns(drop),
+                           batch_format="pyarrow")

@@ -1,0 +1,146 @@
+"""Unit coverage for the ninth-session batch: signed business-day
+counts, sentence segmentation stats, largest-remainder apportionment
+and the mergeable OHLC aggregate."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opentelemetry_collector_ray.functions.text import sentence_stats
+from opentelemetry_collector_ray.functions.timefn import busday_count_col
+from opentelemetry_collector_ray.stages.allocate import apportion
+from opentelemetry_collector_ray.stages.metricsops import grouped_ohlc
+
+
+def _ts(*dates):
+    return pa.array([datetime.datetime.fromisoformat(d) for d in dates],
+                    pa.timestamp("us"))
+
+
+class TestBusday:
+    def test_known_values(self):
+        # Fri→Mon = 1 (Fri counts, [start, end)); Sat→Mon = 0
+        out = busday_count_col(
+            _ts("2024-01-05", "2024-01-06", "2024-01-01"),
+            _ts("2024-01-08", "2024-01-08", "2024-01-15"))
+        assert out.to_pylist() == [1, 0, 10]
+
+    def test_antisymmetric_on_lattice(self):
+        base = datetime.date(2023, 12, 25)
+        a, b = [], []
+        for s in range(14):
+            for d in range(-40, 40):
+                x = base + datetime.timedelta(days=s)
+                a.append(x.isoformat())
+                b.append((x + datetime.timedelta(days=d)).isoformat())
+        fwd = np.array(busday_count_col(_ts(*a), _ts(*b)).to_pylist())
+        rev = np.array(busday_count_col(_ts(*b), _ts(*a)).to_pylist())
+        assert (fwd == -rev).all()
+        # forward ranges agree with raw np.busday_count
+        ad = np.array(a, "datetime64[D]")
+        bd = np.array(b, "datetime64[D]")
+        m = bd >= ad
+        assert (fwd[m] == np.busday_count(ad[m], bd[m])).all()
+
+    def test_null_rejected(self):
+        col = pa.array([None], pa.timestamp("us"))
+        with pytest.raises(ValueError, match="null"):
+            busday_count_col(col, col)
+
+
+class TestSentenceStats:
+    def test_basic(self):
+        st = sentence_stats(pa.array(
+            ["one. two! three? four", "", "no punct", "trail.", "a.  b"]))
+        assert st["n_sents"].to_pylist() == [4, 1, 1, 1, 2]
+        assert st["max_sent_chars"].to_pylist() == [5, 0, 8, 6, 1]
+        assert st["sum_sent_chars"].to_pylist() == [15, 0, 8, 6, 2]
+
+    def test_unicode_chars_not_bytes(self):
+        st = sentence_stats(pa.array(["ünïcødé ✓. ok"]))
+        assert st["n_sents"].to_pylist() == [2]
+        assert st["max_sent_chars"].to_pylist() == [9]
+
+    def test_null_rejected(self):
+        with pytest.raises(ValueError, match="null"):
+            sentence_stats(pa.array(["x", None]))
+
+
+class TestApportion:
+    def _run(self, counts, seats, **kw):
+        rows = [{"k": k} for k, n in counts.items() for _ in range(n)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = apportion(ds, ["k"], seats, **kw).to_pandas()
+        return dict(zip(out["k"], out["seats"])), out
+
+    def test_sums_to_seats_and_proportional(self, ray_session):
+        alloc, out = self._run({"a": 50, "b": 30, "c": 20}, 10)
+        assert alloc == {"a": 5, "b": 3, "c": 2}
+        assert out["seats"].sum() == 10
+
+    def test_largest_remainder_tie_breaks_by_key(self, ray_session):
+        # n = 1,1,1 over 2 seats: base 0 each, rem equal → first keys win
+        alloc, out = self._run({"a": 1, "b": 1, "c": 1}, 2)
+        assert out["seats"].sum() == 2
+        assert alloc == {"a": 1, "b": 1, "c": 0}
+
+    def test_remainder_order(self, ray_session):
+        # 7 seats over 400/350/250: quotas 2.8/2.45/1.75 → bases 2/2/1,
+        # remainders .8/.45/.75 → a and c get the 2 extras
+        alloc, _ = self._run({"a": 400, "b": 350, "c": 250}, 7)
+        assert alloc == {"a": 3, "b": 2, "c": 2}
+
+    def test_overflow_guard(self, ray_session):
+        ds = ray.data.from_arrow(pa.table({"k": ["a"], "w": [2**40]}))
+        with pytest.raises(Exception, match="overflow"):
+            apportion(ds, ["k"], 2**40, weight_col="w").to_pandas()
+
+    def test_max_groups_guard(self, ray_session):
+        ds = ray.data.from_arrow(pa.table({"k": [str(i) for i in range(64)]}))
+        with pytest.raises(Exception, match="max_groups"):
+            apportion(ds, ["k"], 10, max_groups=8).to_pandas()
+
+
+class TestGroupedOhlc:
+    def _ref(self, df):
+        import pandas as pd
+
+        out = []
+        for (k,), g in df.groupby(["k"]):
+            g = g.sort_values(["t", "tb"], kind="mergesort")
+            out.append({"k": k, "open": g["v"].iloc[0],
+                        "close": g["v"].iloc[-1], "low": g["v"].min(),
+                        "high": g["v"].max(), "n": len(g)})
+        return pd.DataFrame(out).sort_values("k").reset_index(drop=True)
+
+    def test_matches_pandas_across_blocks(self, ray_session):
+        rng = np.random.default_rng(7)
+        n = 5000
+        df_cols = {"k": rng.choice(["a", "b", "c", "d"], n),
+                   "t": rng.integers(0, 500, n),
+                   "tb": np.arange(n, dtype=np.int64),
+                   "v": rng.integers(-1000, 1000, n)}
+        t = pa.table(df_cols)
+        # many input blocks → partials must merge correctly
+        ds = ray.data.from_arrow(t).repartition(13)
+        got = grouped_ohlc(ds, ["k"], ["t", "tb"], "v").to_pandas()
+        got = got[["k", "open", "close", "low", "high", "n"]] \
+            .sort_values("k").reset_index(drop=True)
+        import pandas as pd
+
+        want = self._ref(pd.DataFrame(df_cols))
+        want = want[["k", "open", "close", "low", "high", "n"]]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_order_ties_resolved_by_tiebreak(self, ray_session):
+        # identical t everywhere: open/close decided by tb alone
+        t = pa.table({"k": ["x"] * 4, "t": [1, 1, 1, 1],
+                      "tb": [3, 1, 2, 0], "v": [30, 10, 20, 5]})
+        ds = ray.data.from_arrow(t).repartition(2)
+        out = grouped_ohlc(ds, ["k"], ["t", "tb"], "v").to_pandas()
+        assert out.iloc[0]["open"] == 5 and out.iloc[0]["close"] == 30
+        assert out.iloc[0]["low"] == 5 and out.iloc[0]["high"] == 30
