@@ -7960,12 +7960,20 @@ def _q_docs_sentence_stats(sf_dir: str):
     doc the sentence count, longest sentence, and truncating mean
     sentence length in chars; RE2 split identical to DuckDB
     string_split_regex, flatten + reduceat segment kernels (map-only,
-    no shuffle). Oracle = list_transform/list_max/list_sum over the
+    no shuffle). The synthetic corpus is punctuation-free (every doc
+    would be ONE sentence — a vacuous gate), so the query first
+    synthesizes deterministic sentence breaks after three common
+    terms — the same regexp_replace in both engines, non-overlapping
+    RE2 left-to-right in both — giving per-doc variance the hash gate
+    can bite on. Oracle = list_transform/list_max/list_sum over the
     same split."""
     from opentelemetry_collector_ray.functions.text import sentence_stats
 
     def fn(t: pa.Table) -> pa.Table:
-        st = sentence_stats(t.column("text"))
+        punct = pc.replace_substring_regex(
+            t.column("text"), pattern=" (row|table|value) ",
+            replacement=" \\1. ")
+        st = sentence_stats(punct)
         avg = pc.divide(st["sum_sent_chars"], st["n_sents"])
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_sents": st["n_sents"],
@@ -8020,6 +8028,143 @@ def _q_events_csv_roundtrip(sf_dir: str):
                        sum_cols={"sum_cents": "cents"},
                        min_cols={"min_cents": "cents"},
                        max_cols={"max_cents": "cents"}, strategy="tree")
+
+
+def _q_events_l_diversity(sf_dir: str):
+    """l-diversity audit (stages/privacy.py::l_diversity — the privacy
+    rung between the existing k-anonymity and t-closeness gates,
+    Machanavajjhala et al. 2007): per (event_type, dow) quasi-group
+    the row count, EXACT distinct sensitive users, truncating
+    diversity ratio permille and the l >= 120 flag (mixed at the
+    driver's sf0.01 — groups span ~113-140 distinct users; the exact
+    count lanes carry the teeth at every scale). dow = epoch-day mod 7
+    (pure integer arithmetic, no calendar parity risk). Oracle =
+    COUNT + COUNT(DISTINCT) + the same integer lanes."""
+    from opentelemetry_collector_ray.stages.privacy import l_diversity
+
+    def lanes(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "dow": pa.array(((us // 86_400_000_000) % 7)
+                            .astype(np.int64)),
+            "user_id": t.column("user_id")})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "ts", "user_id"],
+                   floor=8).map_batches(lanes, batch_format="pyarrow")
+    return l_diversity(pre, ["event_type", "dow"], "user_id", 120)
+
+
+_HISTQ_BOUNDS = [500, 1000, 2000, 5000, 10000, 20000, 50000]
+# SQL mirrors of explicit_histogram's searchsorted(bounds, v, 'left')
+# bucket rule and the bucket→bound anchors (first bucket anchored at 0)
+_HISTQ_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN cents > {b} THEN 1 ELSE 0 END)" for b in _HISTQ_BOUNDS)
+_HISTQ_LO_SQL = ("CASE bucket "
+                 + " ".join(f"WHEN {i} THEN {lo}" for i, lo in
+                            enumerate([0] + _HISTQ_BOUNDS))
+                 + " END")
+_HISTQ_HI_SQL = ("CASE bucket "
+                 + " ".join(f"WHEN {i} THEN {hi}" for i, hi in
+                            enumerate(_HISTQ_BOUNDS))
+                 + " END")
+
+
+def _q_events_hist_p90(sf_dir: str):
+    """PromQL histogram_quantile parity (stages/metricsops.py::
+    hist_quantile_linear over explicit_histogram — the
+    Prometheus-compatible read side every metrics consumer expects):
+    per event type the LINEAR-interpolated p90 of cents from
+    explicit-bounds bucket counts, exact ×1000 integer arithmetic
+    with one truncating division; first bucket anchored at 0,
+    overflow clamped to the last bound. Oracle = the same bucket
+    CASE + window cumsum + interpolation formula."""
+    from opentelemetry_collector_ray.stages.metricsops import (
+        explicit_histogram, hist_quantile_linear)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    hist = explicit_histogram(pre, ["event_type"], "cents",
+                              _HISTQ_BOUNDS)
+    return hist_quantile_linear(hist, ["event_type"], _HISTQ_BOUNDS,
+                                900, out_col="p90_permille")
+
+
+def _q_orders_partition_diff(sf_dir: str):
+    """Anti-entropy partition diff (composition on
+    stages/checksum.py::table_checksum — the merkle-style replication
+    repair primitive: find WHICH day-partitions of two table versions
+    diverge WITHOUT comparing rows): per-day order-insensitive
+    checksums of (orderkey, cents) for the orders table and a derived
+    second version (every 10th key dropped, urgent prices bumped 100
+    cents — the orders_snapshot_diff derivation), full-outer-joined on
+    day, emitting only days whose (n, checksum) differ. Only the
+    skinny per-day digest rows ever meet — at 100 TB the row-level
+    diff would then run on the ~handful of flagged partitions only.
+    Oracle = the same md5-prefix wrap-sum per day + FULL JOIN +
+    IS DISTINCT FROM."""
+    from opentelemetry_collector_ray.stages.checksum import table_checksum
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t.column("o_orderdate"),
+                               format="%Y-%m-%d"),
+            "id": t.column("o_orderkey"),
+            "cents": _cents(t.column("o_totalprice"))})
+
+    def new_side(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.subtract(t.column("o_orderkey"),
+                        pc.multiply(pc.divide(t.column("o_orderkey"),
+                                              10), 10)), 0)
+        t = t.filter(keep)
+        bump = pc.if_else(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT"),
+            pa.scalar(100, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "day": pc.strftime(t.column("o_orderdate"),
+                               format="%Y-%m-%d"),
+            "id": t.column("o_orderkey"),
+            "cents": pc.add(_cents(t.column("o_totalprice")), bump)})
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority"]
+    old_cs = table_checksum(
+        _read_co(sf_dir, "orders", cols, floor=8).map_batches(
+            old_side, batch_format="pyarrow"),
+        ["id", "cents"], group_col="day")
+    new_cs = table_checksum(
+        _read_co(sf_dir, "orders", cols, floor=8).map_batches(
+            new_side, batch_format="pyarrow"),
+        ["id", "cents"], group_col="day")
+
+    def tag(suffix):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"day": t.column("day"),
+                             f"n_{suffix}": t.column("n"),
+                             f"checksum_{suffix}": t.column("checksum")})
+        return f
+
+    j = shuffle_hash_join(
+        old_cs.map_batches(tag("old"), batch_format="pyarrow"),
+        new_cs.map_batches(tag("new"), batch_format="pyarrow"),
+        key="day", how="full")
+
+    def diff(t: pa.Table) -> pa.Table:
+        n_o = pc.fill_null(t.column("n_old"), -1)
+        n_n = pc.fill_null(t.column("n_new"), -1)
+        c_o = pc.fill_null(t.column("checksum_old"), "")
+        c_n = pc.fill_null(t.column("checksum_new"), "")
+        mism = pc.or_(pc.not_equal(n_o, n_n), pc.not_equal(c_o, c_n))
+        return t.filter(mism)
+
+    return j.map_batches(diff, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- driver surface
@@ -8331,6 +8476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ship_bd": _q_lineitem_ship_bd,
         "docs_sentence_stats": _q_docs_sentence_stats,
         "events_csv_roundtrip": _q_events_csv_roundtrip,
+        "events_l_diversity": _q_events_l_diversity,
+        "events_hist_p90": _q_events_hist_p90,
+        "orders_partition_diff": _q_orders_partition_diff,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -12266,7 +12414,10 @@ FROM b GROUP BY ship_month
 """,
         "docs_sentence_stats": """
 WITH s AS (SELECT doc_id,
-                  string_split_regex(text, '[.!?]+ +') AS ss
+                  string_split_regex(
+                      regexp_replace(text, ' (row|table|value) ',
+                                     ' \\1. ', 'g'),
+                      '[.!?]+ +') AS ss
            FROM documents),
 x AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sents,
              CAST(list_max(list_transform(ss, t -> length(t)))
@@ -12287,6 +12438,76 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(min(cents) AS BIGINT) AS min_cents,
        CAST(max(cents) AS BIGINT) AS max_cents
 FROM c GROUP BY event_type
+""",
+        "events_l_diversity": """
+WITH x AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) % 7 AS dow, user_id
+           FROM events),
+g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+      FROM x GROUP BY event_type, dow)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n, n_sensitive,
+       CAST(1000 * n_sensitive // n AS BIGINT) AS diversity_permille,
+       CAST(CASE WHEN n_sensitive >= 120 THEN 1 ELSE 0 END AS BIGINT)
+           AS is_diverse
+FROM g
+""",
+        "events_hist_p90": f"""
+WITH x AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT event_type, {_HISTQ_BUCKET_SQL} AS bucket FROM x),
+c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY event_type, bucket),
+w AS (SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type
+                          ORDER BY bucket) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c),
+sel AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY bucket) AS rn
+        FROM w WHERE 1000 * cum >= 900 * tot),
+f AS (SELECT * FROM sel WHERE rn = 1)
+SELECT event_type, CAST(tot AS BIGINT) AS n_total,
+       CAST(CASE WHEN bucket >= {len(_HISTQ_BOUNDS)}
+                 THEN 1000 * {_HISTQ_BOUNDS[-1]}
+                 ELSE 1000 * ({_HISTQ_LO_SQL})
+                      + (({_HISTQ_HI_SQL}) - ({_HISTQ_LO_SQL}))
+                        * (900 * tot - 1000 * (cum - n)) // n
+            END AS BIGINT) AS p90_permille
+FROM f
+""",
+        "orders_partition_diff": """
+WITH oldt AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     o_orderkey AS id,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders),
+newt AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                o_orderkey AS id,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                + CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 100 ELSE 0 END AS cents
+         FROM orders WHERE o_orderkey % 10 <> 0),
+co AS (SELECT day, CAST(count(*) AS BIGINT) AS n_old,
+              CAST(CAST(sum(CAST(('0x' || substr(md5(
+                  CAST(id AS VARCHAR) || ':' ||
+                  CAST(cents AS VARCHAR)), 1, 12))::UBIGINT
+                  AS HUGEINT)) AS HUGEINT)
+                  % 18446744073709551616 AS VARCHAR) AS checksum_old
+       FROM oldt GROUP BY day),
+cn AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new,
+              CAST(CAST(sum(CAST(('0x' || substr(md5(
+                  CAST(id AS VARCHAR) || ':' ||
+                  CAST(cents AS VARCHAR)), 1, 12))::UBIGINT
+                  AS HUGEINT)) AS HUGEINT)
+                  % 18446744073709551616 AS VARCHAR) AS checksum_new
+       FROM newt GROUP BY day)
+SELECT COALESCE(co.day, cn.day) AS day, n_old, n_new,
+       checksum_old, checksum_new
+FROM co FULL JOIN cn ON co.day = cn.day
+WHERE n_old IS DISTINCT FROM n_new
+   OR checksum_old IS DISTINCT FROM checksum_new
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

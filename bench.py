@@ -188,7 +188,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              # round-5 ninth-session additions
              "turns_tool_chains", "turns_role_tokens",
              "events_apportion", "events_ohlc", "lineitem_ship_bd",
-             "docs_sentence_stats", "events_csv_roundtrip"]
+             "docs_sentence_stats", "events_csv_roundtrip",
+             "events_l_diversity", "events_hist_p90",
+             "orders_partition_diff"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -725,3 +725,82 @@ def grouped_ohlc(ds: ray.data.Dataset, keys: list[str],
         combine, batch_format="pyarrow", batch_size=None)
     return fin.map_batches(lambda t: t.drop_columns(drop),
                            batch_format="pyarrow")
+
+
+def hist_quantile_linear(hist: ray.data.Dataset, keys: list[str],
+                         bounds: list[int], q_permille: int, *,
+                         out_col: str = "q_permille",
+                         max_groups: int = 1_000_000) -> ray.data.Dataset:
+    """PromQL ``histogram_quantile`` read side over explicit-bounds
+    bucket counts (the companion of ``explicit_histogram``; Prometheus
+    promql/quantile.go semantics): rank = q·N against the cumulative
+    bucket CDF, LINEAR interpolation inside the selected bucket, the
+    first bucket anchored at 0 and a rank beyond the last finite
+    bound clamped to it. Exact integer arithmetic throughout: the
+    output is the interpolated value ×1000 with ONE truncating
+    division —
+
+        out = 1000·lo + (hi−lo)·(q_permille·N − 1000·cumPrev) // cnt
+
+    ``hist`` is (keys..., bucket, n) as produced by
+    ``explicit_histogram`` with the SAME ``bounds``. The read side is
+    a driver-free final task over the bounded key×bucket table
+    (``max_groups`` raises loudly if the domain explodes)."""
+    b = np.asarray(list(bounds), dtype=np.int64)
+    if len(b) == 0 or (len(b) > 1 and not (np.diff(b) > 0).all()):
+        raise ValueError("hist_quantile_linear: bounds must be "
+                         "non-empty and strictly increasing")
+    if not (0 < q_permille < 1000):
+        raise ValueError("hist_quantile_linear: q_permille in (0,1000)")
+    lo_of = np.concatenate(([0], b))          # bucket i lower bound
+    hi_of = np.concatenate((b, [b[-1]]))      # overflow clamps to last
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows > max_groups:
+            raise ValueError(
+                f"hist_quantile_linear: {t.num_rows} bucket rows exceeds "
+                f"max_groups={max_groups}")
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: t.column(k) for k in keys},
+                 "n_total": pa.array([], pa.int64()),
+                 out_col: pa.array([], pa.int64())})
+        t = t.sort_by([(k, "ascending") for k in keys]
+                      + [("bucket", "ascending")])
+        mask = _multi_key_change(t, keys)
+        starts = np.flatnonzero(mask)
+        ends = np.append(starts[1:], t.num_rows)
+        cnt = t.column("n").to_numpy(zero_copy_only=False)
+        bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        heads = t.take(pa.array(starts.astype(np.int64)))
+        outs = np.empty(len(starts), np.int64)
+        tots = np.empty(len(starts), np.int64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            c = cnt[s:e]
+            cum = np.cumsum(c)
+            tot = int(cum[-1])
+            tots[gi] = tot
+            if q_permille * tot > 2**62:
+                raise ValueError(
+                    "hist_quantile_linear: q_permille*N overflows")
+            rank1000 = q_permille * tot      # rank ×1000
+            pos = int(np.searchsorted(cum * 1000, rank1000, side="left"))
+            bidx = int(bk[s + pos])
+            if bidx >= len(b):
+                outs[gi] = 1000 * int(b[-1])
+                continue
+            lo, hi = int(lo_of[bidx]), int(hi_of[bidx])
+            cum_prev = int(cum[pos - 1]) if pos else 0
+            num = (hi - lo) * (rank1000 - 1000 * cum_prev)
+            if abs(hi - lo) and abs(num) > 2**62:
+                raise ValueError(
+                    "hist_quantile_linear: interpolation numerator "
+                    "overflows int64 — rescale the bounds")
+            outs[gi] = 1000 * lo + num // int(c[pos])
+        return pa.table(
+            {**{k: heads.column(k) for k in keys},
+             "n_total": pa.array(tots),
+             out_col: pa.array(outs)})
+
+    return hist.repartition(1).map_batches(fin, batch_format="pyarrow",
+                                           batch_size=None)

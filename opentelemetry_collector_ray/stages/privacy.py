@@ -321,3 +321,43 @@ def dp_count_release(ds: ray.data.Dataset, keys: list[str], *,
         return out
 
     return counts.map_batches(add_noise, batch_format="pyarrow")
+
+
+def l_diversity(ds: ray.data.Dataset, quasi_cols: list[str],
+                sensitive_col: str, l: int, *,
+                final_strategy: str = "shuffle") -> ray.data.Dataset:
+    """l-diversity audit — the rung between k-anonymity and
+    t-closeness (Machanavajjhala et al. 2007): a quasi-identifier
+    group is l-diverse when it contains ≥ ``l`` DISTINCT sensitive
+    values, so an attacker who locates a group still can't infer the
+    sensitive attribute. Emits per group the row count, the exact
+    distinct-sensitive count, a truncating diversity ratio permille
+    and the ``is_diverse`` flag.
+
+    Distribution shape: the row count and the exact count-distinct
+    each ride the two-phase partial pattern (nothing holds a group's
+    raw rows in one task); the two skinny grouped tables meet in one
+    hash-bucket join on the quasi key."""
+    from .aggregate import grouped_count, grouped_count_distinct
+    from .join import shuffle_hash_join
+
+    if l < 1:
+        raise ValueError("l_diversity: l must be >= 1")
+    nrows = grouped_count(ds.select_columns(list(quasi_cols)),
+                          list(quasi_cols), count_name="n",
+                          strategy=final_strategy)
+    nd = grouped_count_distinct(ds, list(quasi_cols), sensitive_col,
+                                out_name="n_sensitive",
+                                final_strategy=final_strategy)
+    j = shuffle_hash_join(nrows, nd, key=list(quasi_cols))
+
+    def lanes(t: pa.Table) -> pa.Table:
+        nd_ = t.column("n_sensitive")
+        ratio = pc.divide(pc.multiply(nd_, pa.scalar(1000, pa.int64())),
+                          t.column("n"))
+        flag = pc.cast(pc.greater_equal(nd_, pa.scalar(l, pa.int64())),
+                       pa.int64())
+        return t.append_column("diversity_permille", ratio) \
+                .append_column("is_diverse", flag)
+
+    return j.map_batches(lanes, batch_format="pyarrow")

@@ -144,3 +144,81 @@ class TestGroupedOhlc:
         out = grouped_ohlc(ds, ["k"], ["t", "tb"], "v").to_pandas()
         assert out.iloc[0]["open"] == 5 and out.iloc[0]["close"] == 30
         assert out.iloc[0]["low"] == 5 and out.iloc[0]["high"] == 30
+
+
+class TestLDiversity:
+    def test_counts_and_flag(self, ray_session):
+        from opentelemetry_collector_ray.stages.privacy import l_diversity
+
+        t = pa.table({"q": ["a"] * 4 + ["b"] * 3,
+                      "s": [1, 1, 2, 3, 9, 9, 9]})
+        out = l_diversity(ray.data.from_arrow(t), ["q"], "s", 2) \
+            .to_pandas().set_index("q").sort_index()
+        assert out.loc["a", "n"] == 4 and out.loc["a", "n_sensitive"] == 3
+        assert out.loc["b", "n"] == 3 and out.loc["b", "n_sensitive"] == 1
+        assert out.loc["a", "is_diverse"] == 1
+        assert out.loc["b", "is_diverse"] == 0
+        assert out.loc["a", "diversity_permille"] == 750
+
+    def test_null_sensitive_ignored_in_distinct(self, ray_session):
+        from opentelemetry_collector_ray.stages.privacy import l_diversity
+
+        t = pa.table({"q": ["a", "a", "a"],
+                      "s": pa.array([1, None, None], pa.int64())})
+        out = l_diversity(ray.data.from_arrow(t), ["q"], "s", 1) \
+            .to_pandas()
+        # n counts all rows (SQL COUNT(*)), distinct ignores NULLs
+        assert out.iloc[0]["n"] == 3 and out.iloc[0]["n_sensitive"] == 1
+
+
+class TestHistQuantileLinear:
+    def _hist(self, rows):
+        return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    def test_interpolation(self, ray_session):
+        from opentelemetry_collector_ray.stages.metricsops import (
+            hist_quantile_linear)
+
+        # key k: 10 in (0,100], 10 in (100,200] → p50 rank=10 → hits
+        # first bucket exactly (cum=10 ≥ rank): v = 0+100*(10-0)/10=100
+        rows = [{"k": "k", "bucket": 0, "n": 10},
+                {"k": "k", "bucket": 1, "n": 10}]
+        out = hist_quantile_linear(self._hist(rows), ["k"], [100, 200],
+                                   500).to_pandas()
+        assert out.iloc[0]["q_permille"] == 100_000
+        assert out.iloc[0]["n_total"] == 20
+        # p75: rank=15 → second bucket, v = 100 + 100*(15-10)/10 = 150
+        out = hist_quantile_linear(self._hist(rows), ["k"], [100, 200],
+                                   750).to_pandas()
+        assert out.iloc[0]["q_permille"] == 150_000
+
+    def test_overflow_clamps_to_last_bound(self, ray_session):
+        from opentelemetry_collector_ray.stages.metricsops import (
+            hist_quantile_linear)
+
+        rows = [{"k": "k", "bucket": 2, "n": 100}]  # all overflow
+        out = hist_quantile_linear(self._hist(rows), ["k"], [100, 200],
+                                   900).to_pandas()
+        assert out.iloc[0]["q_permille"] == 200_000
+
+    def test_missing_buckets_and_truncation(self, ray_session):
+        from opentelemetry_collector_ray.stages.metricsops import (
+            hist_quantile_linear)
+
+        # sparse buckets: 0 present, 1 absent, 2 present
+        rows = [{"k": "k", "bucket": 0, "n": 7},
+                {"k": "k", "bucket": 2, "n": 3}]
+        # p90 rank = 9 → bucket 2 (cum 7→10): v = 200+100*(9-7)/3
+        # ×1000 = 200000 + 100*2000//3 = 200000+66666
+        out = hist_quantile_linear(self._hist(rows), ["k"],
+                                   [100, 200, 300], 900).to_pandas()
+        assert out.iloc[0]["q_permille"] == 266_666
+
+    def test_validation(self, ray_session):
+        from opentelemetry_collector_ray.stages.metricsops import (
+            hist_quantile_linear)
+
+        with pytest.raises(ValueError, match="increasing"):
+            hist_quantile_linear(self._hist([]), ["k"], [5, 5], 500)
+        with pytest.raises(ValueError, match="q_permille"):
+            hist_quantile_linear(self._hist([]), ["k"], [5], 0)
