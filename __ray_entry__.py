@@ -8167,6 +8167,52 @@ def _q_orders_partition_diff(sf_dir: str):
     return j.map_batches(diff, batch_format="pyarrow")
 
 
+def _q_turns_tool_latency(sf_dir: str):
+    """Log-to-metrics latency SLO (the spanmetrics-connector story on
+    the PARSED turn stream: grok-extracted latency_ms rolled into
+    exact per-tool percentiles via the bounded-integer value-count
+    path of stages/spanops.py::grouped_exact_quantiles): p50/p95/p99
+    per tool over the rows the ruleset actually parsed. Oracle = the
+    same regexp extract + the row_number rank rule."""
+    from opentelemetry_collector_ray.stages.spanops import (
+        grouped_exact_quantiles)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("tool_attr")),
+                    pc.is_valid(t.column("latency_ms")))
+        t = t.filter(m)
+        return pa.table({"tool_attr": t.column("tool_attr"),
+                         "latency_ms": t.column("latency_ms")})
+
+    pre = _parsed(sf_dir).map_batches(keep, batch_format="pyarrow")
+    # bounded tools × bounded latency domain → map-only tree count
+    return grouped_exact_quantiles(pre, key="tool_attr",
+                                   value_col="latency_ms",
+                                   count_strategy="tree")
+
+
+def _q_events_user_day_grid(sf_dir: str):
+    """Dense matrix zero-fill (stages/resample.py::grid_densify — the
+    dashboard "no gaps" contract and the routing fan-out's
+    every-sink-reports analog): the user × day activity matrix with
+    EXPLICIT zeros for absent combinations (~11% of cells at every sf
+    — day×type and user×type spines were fully dense, vacuous gates);
+    spine = cross product of the observed value sets, built in one
+    final task with a vectorized Arrow left join behind the max_cells
+    guard. Oracle = CROSS JOIN of the DISTINCT sets + LEFT JOIN +
+    COALESCE 0."""
+    from opentelemetry_collector_ray.stages.resample import grid_densify
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
+
+    pre = _read_co(sf_dir, "events", ["user_id", "ts"],
+                   floor=8).map_batches(lanes, batch_format="pyarrow")
+    return grid_densify(pre, "user_id", "day")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8479,6 +8525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_l_diversity": _q_events_l_diversity,
         "events_hist_p90": _q_events_hist_p90,
         "orders_partition_diff": _q_orders_partition_diff,
+        "turns_tool_latency": _q_turns_tool_latency,
+        "events_user_day_grid": _q_events_user_day_grid,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -12508,6 +12556,37 @@ SELECT COALESCE(co.day, cn.day) AS day, n_old, n_new,
 FROM co FULL JOIN cn ON co.day = cn.day
 WHERE n_old IS DISTINCT FROM n_new
    OR checksum_old IS DISTINCT FROM checksum_new
+""",
+        "turns_tool_latency": f"""
+WITH {TURNS_CTE.strip()},
+x AS (SELECT tool AS tool_attr,
+             CAST(regexp_extract(text, 'latency_ms=(\\d+)', 1)
+                  AS BIGINT) AS latency_ms
+      FROM turns WHERE tool <> ''),
+ranked AS (
+  SELECT tool_attr, latency_ms,
+         row_number() OVER (PARTITION BY tool_attr
+                            ORDER BY latency_ms) AS rn,
+         count(*) OVER (PARTITION BY tool_attr) AS cnt
+  FROM x)
+SELECT tool_attr, CAST(max(cnt) AS BIGINT) AS n,
+  max(CASE WHEN rn = CAST(floor((cnt-1)*0.5) AS BIGINT)+1
+       THEN latency_ms END) AS p50,
+  max(CASE WHEN rn = CAST(floor((cnt-1)*0.95) AS BIGINT)+1
+       THEN latency_ms END) AS p95,
+  max(CASE WHEN rn = CAST(floor((cnt-1)*0.99) AS BIGINT)+1
+       THEN latency_ms END) AS p99
+FROM ranked GROUP BY tool_attr
+""",
+        "events_user_day_grid": """
+WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id, day),
+g AS (SELECT user_id, day
+      FROM (SELECT DISTINCT user_id FROM c)
+      CROSS JOIN (SELECT DISTINCT day FROM c))
+SELECT g.user_id, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

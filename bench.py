@@ -190,7 +190,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_apportion", "events_ohlc", "lineitem_ship_bd",
              "docs_sentence_stats", "events_csv_roundtrip",
              "events_l_diversity", "events_hist_p90",
-             "orders_partition_diff"]
+             "orders_partition_diff", "turns_tool_latency",
+             "events_user_day_grid"]
     q = m.queries()
     for name in names:
         t0 = time.time()

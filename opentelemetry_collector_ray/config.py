@@ -492,6 +492,83 @@ def _register_builtins() -> None:
             sep=str(cfg.get("sep", ":")),
             n_buckets=cfg.get("n_buckets", "auto")))
 
+    def make_apportion(cfg: dict):
+        from .stages.allocate import apportion
+
+        if not cfg.get("keys") or "seats" not in cfg:
+            raise ConfigError("apportion: keys and seats are required")
+        return DatasetTransform(lambda ds: apportion(
+            ds, [str(k) for k in cfg["keys"]], int(cfg["seats"]),
+            weight_col=cfg.get("weight_col"),
+            max_groups=int(cfg.get("max_groups", 1_000_000))))
+
+    def make_ohlc(cfg: dict):
+        from .stages.metricsops import grouped_ohlc
+
+        for req in ("keys", "order_by", "value"):
+            if not cfg.get(req):
+                raise ConfigError(f"ohlc: {req} is required")
+        return DatasetTransform(lambda ds: grouped_ohlc(
+            ds, [str(k) for k in cfg["keys"]],
+            [str(c) for c in cfg["order_by"]], str(cfg["value"])))
+
+    def make_l_diversity(cfg: dict):
+        from .stages.privacy import l_diversity
+
+        for req in ("quasi", "sensitive", "l"):
+            if cfg.get(req) in (None, [], ""):
+                raise ConfigError(f"l_diversity: {req} is required")
+        return DatasetTransform(lambda ds: l_diversity(
+            ds, [str(k) for k in cfg["quasi"]], str(cfg["sensitive"]),
+            int(cfg["l"])))
+
+    def make_hist_quantile(cfg: dict):
+        from .stages.metricsops import (explicit_histogram,
+                                        hist_quantile_linear)
+
+        for req in ("keys", "value", "bounds", "q_permille"):
+            if cfg.get(req) in (None, [], ""):
+                raise ConfigError(f"hist_quantile: {req} is required")
+        bounds = [int(b) for b in cfg["bounds"]]
+        keys = [str(k) for k in cfg["keys"]]
+
+        def build(ds):
+            hist = explicit_histogram(ds, keys, str(cfg["value"]), bounds)
+            return hist_quantile_linear(
+                hist, keys, bounds, int(cfg["q_permille"]),
+                out_col=str(cfg.get("out_col", "q_permille")))
+
+        return DatasetTransform(build)
+
+    def make_sentence_stats(cfg: dict):
+        from .functions.text import SENTENCE_RE, sentence_stats
+
+        if not cfg.get("column"):
+            raise ConfigError("sentence_stats: column is required")
+        pattern = str(cfg.get("pattern", SENTENCE_RE))
+
+        def fn(t):
+            import pyarrow as pa
+
+            st = sentence_stats(t.column(str(cfg["column"])), pattern)
+            out = {c: t.column(c) for c in t.column_names}
+            out.update(st)
+            return pa.table(out)
+
+        return DatasetTransform(lambda ds: ds.map_batches(
+            fn, batch_format="pyarrow"))
+
+    def make_grid_densify(cfg: dict):
+        from .stages.resample import grid_densify
+
+        if not cfg.get("row") or not cfg.get("col"):
+            raise ConfigError("grid_densify: row and col are required")
+        return DatasetTransform(lambda ds: grid_densify(
+            ds, str(cfg["row"]), str(cfg["col"]),
+            count_name=str(cfg.get("count_name", "n")),
+            strategy=str(cfg.get("strategy", "tree")),
+            max_cells=int(cfg.get("max_cells", 5_000_000))))
+
     def make_weighted_median(cfg: dict):
         from .stages.spanops import grouped_weighted_median
 
@@ -1514,6 +1591,13 @@ def _register_builtins() -> None:
     register("log_dedup", Factory("processor", make_log_dedup))
     register("weighted_median",
              Factory("processor", make_weighted_median))
+    register("apportion", Factory("processor", make_apportion))
+    register("ohlc", Factory("processor", make_ohlc))
+    register("l_diversity", Factory("processor", make_l_diversity))
+    register("hist_quantile", Factory("processor", make_hist_quantile))
+    register("sentence_stats",
+             Factory("processor", make_sentence_stats))
+    register("grid_densify", Factory("processor", make_grid_densify))
     register("rollup", Factory("processor", make_rollup))
     register("resample", Factory("processor", make_resample))
     register("dup_stats", Factory("processor", make_dup_stats))

@@ -405,3 +405,45 @@ def resample_interp(ds: ray.data.Dataset, key: str, ts_col: str,
                          out_col: pa.array(pv + q)})
 
     return bucketed_map_groups(ds, key, interp, n_buckets=n_buckets)
+
+
+def grid_densify(ds: ray.data.Dataset, row_col: str, col_col: str, *,
+                 count_name: str = "n", strategy: str = "tree",
+                 max_cells: int = 5_000_000) -> ray.data.Dataset:
+    """Dense grid zero-fill — the dashboard "no gaps in the series"
+    contract: count rows per (row_col, col_col) and emit EVERY
+    observed-row × observed-col cell, absent combinations as explicit
+    zeros (the routing-connector fan-out's "every sink reports, even
+    empty" analog). The spine is the cross product of the OBSERVED
+    row and column value sets (no calendar synthesis — engine-parity
+    by construction). Counts ride the two-phase aggregate; the grid is
+    built in ONE final task over the bounded count table with a
+    vectorized Arrow left join; ``max_cells`` raises loudly before the
+    cross product materializes."""
+    from .aggregate import grouped_count
+
+    counts = grouped_count(ds.select_columns([row_col, col_col]),
+                           [row_col, col_col], count_name=count_name,
+                           strategy=strategy)
+
+    def fin(t: pa.Table) -> pa.Table:
+        rows = pc.unique(t.column(row_col).combine_chunks())
+        cols = pc.unique(t.column(col_col).combine_chunks())
+        n_cells = len(rows) * len(cols)
+        if n_cells > max_cells:
+            raise ValueError(
+                f"grid_densify: {len(rows)}×{len(cols)} = {n_cells} "
+                f"cells exceeds max_cells={max_cells}")
+        grid = pa.table({
+            row_col: pa.concat_arrays([rows] * len(cols))
+            if len(cols) else rows.slice(0, 0),
+            col_col: cols.take(pa.array(
+                np.repeat(np.arange(len(cols)), len(rows))))})
+        j = grid.join(t, keys=[row_col, col_col], join_type="left outer")
+        filled = pc.fill_null(j.column(count_name),
+                              pa.scalar(0, pa.int64()))
+        return j.set_column(j.column_names.index(count_name),
+                            count_name, filled)
+
+    return counts.repartition(1).map_batches(fin, batch_format="pyarrow",
+                                             batch_size=None)

@@ -1252,3 +1252,75 @@ def test_heavy_hitters_yaml_parity(ray_session, tmp_path):
     from opentelemetry_collector_ray.config import ConfigError, get_factory
     with pytest.raises(ConfigError, match="required"):
         get_factory("heavy_hitters").create({"col": "v"})
+
+
+def test_ninth_session_yaml_processors(ray_session, tmp_path):
+    """Builder parity for the ninth-session components: apportion,
+    ohlc, l_diversity, hist_quantile, sentence_stats, grid_densify."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    p = tmp_path / "g.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "c2": pa.array(["x", "y", "x", "x", "x", "y"]),
+        "o": pa.array([3, 1, 2, 5, 4, 9], pa.int64()),
+        "v": pa.array([30, 10, 20, 50, 40, 90], pa.int64())}), str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"],
+                "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    ap = run("apportion", {"keys": ["k"], "seats": 6}) \
+        .set_index("k")["seats"]
+    assert ap.sum() == 6 and ap["a"] == 3
+
+    oh = run("ohlc", {"keys": ["k"], "order_by": ["o"], "value": "v"}) \
+        .set_index("k")
+    assert oh.loc["a", "open"] == 10 and oh.loc["a", "close"] == 30
+    assert oh.loc["b", "low"] == 40 and oh.loc["b", "high"] == 50
+
+    ld = run("l_diversity", {"quasi": ["k"], "sensitive": "c2", "l": 2}) \
+        .set_index("k")
+    assert ld.loc["a", "n_sensitive"] == 2 and ld.loc["a", "is_diverse"] == 1
+    assert ld.loc["b", "is_diverse"] == 0
+
+    hq = run("hist_quantile", {"keys": ["k"], "value": "v",
+                               "bounds": [25, 100], "q_permille": 500})
+    assert set(hq.columns) == {"k", "n_total", "q_permille"}
+
+    gd = run("grid_densify", {"row": "k", "col": "c2"})
+    assert len(gd) == 6 and (gd["n"] == 0).sum() == 2  # b×y, c×x absent
+
+    p2 = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"text": ["one. two", "three"]}), str(p2))
+    ss = build_dataset(PipelineConfig.from_dict({
+        "receivers": {"parquet": {"paths": str(p2)}},
+        "processors": {"sentence_stats": {"column": "text"}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"],
+            "processors": ["sentence_stats"],
+            "exporters": ["debug"]}}},
+    })).to_pandas()
+    assert ss["n_sents"].tolist() == [2, 1]
+
+    for name, bad in [("apportion", {"keys": ["k"]}),
+                      ("ohlc", {"keys": ["k"], "order_by": ["o"]}),
+                      ("l_diversity", {"quasi": ["k"], "l": 2}),
+                      ("hist_quantile", {"keys": ["k"], "value": "v"}),
+                      ("sentence_stats", {}),
+                      ("grid_densify", {"row": "k"})]:
+        with pytest.raises(ConfigError, match="required"):
+            get_factory(name).create(bad)
