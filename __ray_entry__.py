@@ -8213,6 +8213,78 @@ def _q_events_user_day_grid(sf_dir: str):
     return grid_densify(pre, "user_id", "day")
 
 
+def _q_events_moment_parts(sf_dir: str):
+    """Distribution-shape sufficient statistics (stages/normalize.py::
+    grouped_moments — the higher-moment siblings of grouped_trend /
+    events_corr_parts, from which variance/skewness/kurtosis read
+    off): per event type the exact (n, Σx, Σx², Σx³, Σx⁴, min, max)
+    over whole-unit values, every lane re-bounded by n·max|x|⁴ before
+    the total is trusted. Oracle = the same integer power sums."""
+    from opentelemetry_collector_ray.stages.normalize import (
+        grouped_moments)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "x": pc.cast(pc.floor(t.column("value")), pa.int64())})
+
+    pre = _read_co(sf_dir, "events", ["event_type", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return grouped_moments(pre, ["event_type"], "x")
+
+
+def _q_spans_retry_rate(sf_dir: str):
+    """Retry-storm audit (the trace-integrity screen every APM backend
+    runs: the SAME operation executing more than once inside one
+    trace): per (trace_id, name) occurrence counts — unbounded keys,
+    one shuffle of skinny partials — laned into per-service group
+    count / retried-group count / retry permille / worst repeat. The
+    service is a pure function of the span name here, so no join back
+    is needed. Oracle = two GROUP BYs + integer division."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_count)
+
+    per = grouped_count(
+        _spans(sf_dir).select_columns(["trace_id", "name", "service"]),
+        ["trace_id", "name", "service"], count_name="c",
+        strategy="shuffle")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        retried = pc.cast(pc.greater(t.column("c"), 1), pa.int64())
+        return pa.table({"service": t.column("service"),
+                         "is_retried": retried, "c": t.column("c")})
+
+    pre = per.map_batches(lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["service"], count_name="n_groups",
+                      sum_cols={"n_retried": "is_retried"},
+                      max_cols={"max_repeat": "c"}, strategy="tree")
+
+    def pm(t: pa.Table) -> pa.Table:
+        r = pc.divide(pc.multiply(t.column("n_retried"),
+                                  pa.scalar(1000, pa.int64())),
+                      t.column("n_groups"))
+        return t.append_column("retry_permille", r)
+
+    return agg.map_batches(pm, batch_format="pyarrow")
+
+
+def _q_orders_revenue_apportion(sf_dir: str):
+    """Weighted largest-remainder apportionment (the weight_col lane
+    of stages/allocate.py::apportion under the hash gate — seats
+    proportional to SUMMED revenue cents rather than row count): 1000
+    budget seats across order priorities by total order value.
+    Oracle = the same base//remainder arithmetic over sum(cents)."""
+    from opentelemetry_collector_ray.stages.allocate import apportion
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "cents": _cents(t.column("o_totalprice"))})
+
+    pre = _read_co(sf_dir, "orders", ["o_orderpriority", "o_totalprice"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    return apportion(pre, ["o_orderpriority"], 1000, weight_col="cents")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8527,6 +8599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_partition_diff": _q_orders_partition_diff,
         "turns_tool_latency": _q_turns_tool_latency,
         "events_user_day_grid": _q_events_user_day_grid,
+        "events_moment_parts": _q_events_moment_parts,
+        "spans_retry_rate": _q_spans_retry_rate,
+        "orders_revenue_apportion": _q_orders_revenue_apportion,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -12587,6 +12662,49 @@ g AS (SELECT user_id, day
       CROSS JOIN (SELECT DISTINCT day FROM c))
 SELECT g.user_id, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
+""",
+        "events_moment_parts": """
+WITH x AS (SELECT event_type,
+                  CAST(floor(value) AS BIGINT) AS v FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_x,
+       CAST(sum(v*v) AS BIGINT) AS sum_x2,
+       CAST(sum(v*v*v) AS BIGINT) AS sum_x3,
+       CAST(sum(v*v*v*v) AS BIGINT) AS sum_x4,
+       CAST(min(v) AS BIGINT) AS min_x,
+       CAST(max(v) AS BIGINT) AS max_x
+FROM x GROUP BY event_type
+""",
+        "spans_retry_rate": f"""
+WITH {SPANS_CTE.strip()},
+per AS (SELECT trace_id, name, service, CAST(count(*) AS BIGINT) AS c
+        FROM spans GROUP BY trace_id, name, service),
+agg AS (SELECT service, CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retried,
+               CAST(max(c) AS BIGINT) AS max_repeat
+        FROM per GROUP BY service)
+SELECT service, n_groups, n_retried, max_repeat,
+       CAST(1000 * n_retried // n_groups AS BIGINT) AS retry_permille
+FROM agg
+""",
+        "orders_revenue_apportion": """
+WITH c AS (SELECT o_orderpriority,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderpriority),
+b AS (SELECT o_orderpriority, n,
+             (1000 * n) // (SELECT sum(n) FROM c) AS base,
+             (1000 * n) % (SELECT sum(n) FROM c) AS rem
+      FROM c),
+r AS (SELECT o_orderpriority, n, base, rem,
+             row_number() OVER (ORDER BY rem DESC, o_orderpriority)
+                 AS rk
+      FROM b)
+SELECT o_orderpriority, n,
+       CAST(base + CASE WHEN rk <= 1000 - (SELECT sum(base) FROM b)
+                        THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

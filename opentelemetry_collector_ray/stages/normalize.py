@@ -792,3 +792,73 @@ def quantile_map(ds: ray.data.Dataset, slice_col: str, value_col: str,
                     value_col: pa.array(v_k[ok]),
                     "mapped": pa.array(mapped[ok])})
     return ray.data.from_arrow(out)
+
+
+def grouped_moments(ds: ray.data.Dataset, keys: list[str],
+                    value_col: str, *,
+                    strategy: str = "tree") -> ray.data.Dataset:
+    """Distribution-shape sufficient statistics per key — the exact
+    integer lanes (n, Σx, Σx², Σx³, Σx⁴, min, max) from which a reader
+    derives variance / skewness / kurtosis (the higher-moment siblings
+    of ``grouped_trend``'s first-order lanes). ``value_col`` must be
+    integer.
+
+    Overflow discipline (the full-expression-guard convention): every
+    per-batch partial proves ``n_batch · max|x|⁴ < 2⁶²`` BEFORE
+    summing — |Σx⁴| ≤ n·max⁴ bounds every lane, so a passing batch can
+    never wrap int64; the batch size caps n at 65536, so the guard
+    only bites when |x| is large (rescale upstream). The combine adds
+    ≤ #batches partial rows per key whose TRUE total is re-bounded by
+    the merged (n, max|x|) pair before the final sum is trusted."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        if v.null_count:
+            raise ValueError(f"grouped_moments: {value_col!r} has nulls")
+        x = v.to_numpy(zero_copy_only=False)
+        if x.dtype.kind not in "iu":
+            raise ValueError(
+                f"grouped_moments: {value_col!r} must be integer "
+                f"(scale floats upstream), got {x.dtype}")
+        x = x.astype(np.int64)
+        n_b = len(x)
+        mx = int(np.abs(x).max()) if n_b else 0
+        if n_b and n_b * mx**4 > 2**62:
+            raise ValueError(
+                f"grouped_moments: n·max|x|⁴ = {n_b}·{mx}⁴ could "
+                "overflow int64 — rescale the value column")
+        cols = {k: t.column(k) for k in keys}
+        cols["n"] = pa.array(np.ones(n_b, np.int64))
+        cols["sum_x"] = pa.array(x)
+        cols["sum_x2"] = pa.array(x * x)
+        cols["sum_x3"] = pa.array(x * x * x)
+        cols["sum_x4"] = pa.array(x * x * x * x)
+        cols["min_x"] = pa.array(x)
+        cols["max_x"] = pa.array(x)
+        cols["abs_x"] = pa.array(np.abs(x))
+        return pa.table(cols)
+
+    pre = ds.select_columns(keys + [value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    agg = grouped_agg(pre, keys, sum_cols={c: c for c in
+                                           ("n", "sum_x", "sum_x2",
+                                            "sum_x3", "sum_x4")},
+                      min_cols={"min_x": "min_x"},
+                      max_cols={"max_x": "max_x", "abs_x": "abs_x"},
+                      strategy=strategy)
+
+    def check(t: pa.Table) -> pa.Table:
+        # exact Python-int bound over the (bounded) grouped table: every
+        # intermediate partial sum is ≤ n_total·max|x|⁴ in magnitude, so
+        # a passing total proves no int64 wrap happened anywhere
+        n = t.column("n").to_pylist()
+        mx = t.column("abs_x").to_pylist()
+        for n_k, mx_k in zip(n, mx):
+            if n_k * mx_k**4 > 2**62:
+                raise ValueError(
+                    f"grouped_moments: n·max|x|⁴ = {n_k}·{mx_k}⁴ > 2^62 "
+                    "— the combined sum cannot be trusted in int64; "
+                    "rescale the value column")
+        return t.drop_columns(["abs_x"])
+
+    return agg.map_batches(check, batch_format="pyarrow")

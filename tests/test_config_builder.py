@@ -1324,3 +1324,27 @@ def test_ninth_session_yaml_processors(ray_session, tmp_path):
                       ("grid_densify", {"row": "k"})]:
         with pytest.raises(ConfigError, match="required"):
             get_factory(name).create(bad)
+
+
+def test_ops_dashboard_example_yaml(ray_session, tmp_path, monkeypatch):
+    """examples/ops_dashboard.yaml end to end: parquet receiver → daily
+    OHLC candles per series."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rows = [{"day": "2024-01-01", "series": "cpu", "ts_us": i,
+             "sample_id": i, "value_scaled": v}
+            for i, v in enumerate([40, 90, 10, 70])]
+    p = tmp_path / "s.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    monkeypatch.setenv("SAMPLES_PATH", str(p))
+    from pathlib import Path
+
+    yml = Path(__file__).resolve().parent.parent / "examples" \
+        / "ops_dashboard.yaml"
+    out = build_dataset(PipelineConfig.from_yaml(str(yml))).to_pandas()
+    row = out.iloc[0]
+    assert (row["open"], row["high"], row["low"], row["close"],
+            row["n"]) == (40, 90, 10, 70, 4)

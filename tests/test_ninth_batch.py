@@ -222,3 +222,42 @@ class TestHistQuantileLinear:
             hist_quantile_linear(self._hist([]), ["k"], [5, 5], 500)
         with pytest.raises(ValueError, match="q_permille"):
             hist_quantile_linear(self._hist([]), ["k"], [5], 0)
+
+
+class TestGroupedMoments:
+    def test_matches_numpy(self, ray_session):
+        from opentelemetry_collector_ray.stages.normalize import (
+            grouped_moments)
+
+        rng = np.random.default_rng(3)
+        k = rng.choice(["a", "b"], 2000)
+        x = rng.integers(-50, 50, 2000)
+        ds = ray.data.from_arrow(pa.table({"k": k, "x": x})).repartition(7)
+        out = grouped_moments(ds, ["k"], "x").to_pandas() \
+            .set_index("k").sort_index()
+        for key in ("a", "b"):
+            v = x[k == key].astype(object)
+            assert out.loc[key, "n"] == len(v)
+            assert out.loc[key, "sum_x"] == v.sum()
+            assert out.loc[key, "sum_x2"] == (v**2).sum()
+            assert out.loc[key, "sum_x3"] == (v**3).sum()
+            assert out.loc[key, "sum_x4"] == (v**4).sum()
+            assert out.loc[key, "min_x"] == v.min()
+            assert out.loc[key, "max_x"] == v.max()
+
+    def test_overflow_guard(self, ray_session):
+        from opentelemetry_collector_ray.stages.normalize import (
+            grouped_moments)
+
+        ds = ray.data.from_arrow(pa.table(
+            {"k": ["a"], "x": pa.array([2**16], pa.int64())}))
+        with pytest.raises(Exception, match="rescale"):
+            grouped_moments(ds, ["k"], "x").to_pandas()
+
+    def test_float_rejected(self, ray_session):
+        from opentelemetry_collector_ray.stages.normalize import (
+            grouped_moments)
+
+        ds = ray.data.from_arrow(pa.table({"k": ["a"], "x": [1.5]}))
+        with pytest.raises(Exception, match="integer"):
+            grouped_moments(ds, ["k"], "x").to_pandas()
