@@ -192,7 +192,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_l_diversity", "events_hist_p90",
              "orders_partition_diff", "turns_tool_latency",
              "events_user_day_grid", "events_moment_parts",
-             "spans_retry_rate", "orders_revenue_apportion"]
+             "spans_retry_rate", "orders_revenue_apportion",
+             "events_promtext_roundtrip"]
     q = m.queries()
     for name in names:
         t0 = time.time()

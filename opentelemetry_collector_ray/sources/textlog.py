@@ -140,3 +140,71 @@ def read_multiline_logs(paths, start_pattern: str,
 
     return read_decompressed_files(paths).map_batches(
         group, batch_format="pyarrow")
+
+
+PROM_LINE_RE = (r'^(?P<metric>[a-zA-Z_:][a-zA-Z0-9_:]*)'
+                r'(?:\{(?P<labels>[^}]*)\})?'
+                r' (?P<value>[^ ]+)'
+                r'(?: (?P<ts_ms>-?[0-9]+))?$')
+
+
+def read_prom_text(paths, *, strict: bool = True) -> ray.data.Dataset:
+    """Prometheus text exposition format → one row per sample (the
+    prometheusreceiver's wire analog for scraped ``/metrics`` pages):
+    ``metric{label="v",...} value [timestamp_ms]``. Comment (``#``)
+    and blank lines are skipped; every other line must parse
+    (``strict=True`` raises on garbage — wire fidelity fails loudly;
+    ``strict=False`` drops). One vectorized RE2 extract per batch.
+    Output: ``metric`` / ``labels`` (raw ``k="v"`` body, '' when
+    absent) / ``value`` (string — cast downstream; exposition floats
+    round-trip as text) / ``ts_ms`` (int64, null when absent). Pull a
+    single label out with :func:`prom_label`."""
+    import pyarrow.compute as pc
+
+    lines = read_text_logs(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        keep = pc.and_(pc.invert(pc.starts_with(txt, "#")),
+                       pc.not_equal(txt, ""))
+        txt = txt.filter(keep)
+        st = pc.extract_regex(txt, pattern=PROM_LINE_RE)
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        bad = pc.is_null(st)
+        if pc.any(bad).as_py() if len(st) else False:
+            if strict:
+                first = txt.filter(bad)[0].as_py()
+                raise ValueError(
+                    f"read_prom_text: unparsable sample line {first!r}")
+            st = st.filter(pc.invert(bad))
+            txt = txt.filter(pc.invert(bad))
+        # unmatched OPTIONAL groups come back as '' (not null) from
+        # Arrow extract_regex — '' ts means "no timestamp" → null
+        ts_raw = st.field("ts_ms")
+        ts = pc.cast(pc.if_else(pc.equal(ts_raw, ""),
+                                pa.scalar(None, pa.string()), ts_raw),
+                     pa.int64())
+        return pa.table({
+            "metric": st.field("metric"),
+            "labels": st.field("labels"),
+            "value": st.field("value"),
+            "ts_ms": ts})
+
+    return lines.map_batches(parse, batch_format="pyarrow")
+
+
+def prom_label(labels: pa.ChunkedArray | pa.Array,
+               name: str) -> pa.Array:
+    """Extract one label's value from the raw ``k="v",...`` body (null
+    when absent). RE2, identical to DuckDB ``regexp_extract``."""
+    import pyarrow.compute as pc
+
+    if isinstance(labels, pa.ChunkedArray):
+        labels = labels.combine_chunks()
+    st = pc.extract_regex(labels,
+                          pattern=name + r'="(?P<v>[^"]*)"')
+    return pc.if_else(pc.is_null(st), pa.scalar(None, pa.string()),
+                      st.field("v"))

@@ -261,3 +261,34 @@ class TestGroupedMoments:
         ds = ray.data.from_arrow(pa.table({"k": ["a"], "x": [1.5]}))
         with pytest.raises(Exception, match="integer"):
             grouped_moments(ds, ["k"], "x").to_pandas()
+
+
+class TestBucketCountDistinct:
+    def test_bucket_path_matches_default(self, ray_session):
+        from opentelemetry_collector_ray.stages.aggregate import (
+            grouped_count_distinct)
+
+        rng = np.random.default_rng(11)
+        t = pa.table({
+            "k": rng.choice([f"k{i}" for i in range(40)], 5000),
+            "v": pa.array(rng.integers(0, 200, 5000), pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(9)
+        a = grouped_count_distinct(ds, ["k"], "v", out_name="d") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        b = grouped_count_distinct(ds, ["k"], "v", out_name="d",
+                                   final_strategy="bucket") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_bucket_path_ignores_nulls(self, ray_session):
+        from opentelemetry_collector_ray.stages.aggregate import (
+            grouped_count_distinct)
+
+        t = pa.table({"k": ["a", "a", "a"],
+                      "v": pa.array([7, None, None], pa.int64())})
+        out = grouped_count_distinct(
+            ray.data.from_arrow(t), ["k"], "v", out_name="d",
+            final_strategy="bucket").to_pandas()
+        assert out.iloc[0]["d"] == 1
