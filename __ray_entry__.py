@@ -8237,18 +8237,21 @@ def _q_events_moment_parts(sf_dir: str):
 def _q_spans_retry_rate(sf_dir: str):
     """Retry-storm audit (the trace-integrity screen every APM backend
     runs: the SAME operation executing more than once inside one
-    trace): per (trace_id, name) occurrence counts — unbounded keys,
-    one shuffle of skinny partials — laned into per-service group
-    count / retried-group count / retry permille / worst repeat. The
-    service is a pure function of the span name here, so no join back
-    is needed. Oracle = two GROUP BYs + integer division."""
+    trace): per (trace_id, name) occurrence counts — unbounded
+    NEAR-UNIQUE composite keys, so the bucket strategy (one int-bucket
+    exchange + Arrow group_by per bucket) beats the sort-aggregate
+    partials 3.7 s → 0.5 s at sf0.1 (the weighted-median lesson) —
+    laned into per-service group count / retried-group count / retry
+    permille / worst repeat. The service is a pure function of the
+    span name here, so no join back is needed. Oracle = two GROUP BYs
+    + integer division."""
     from opentelemetry_collector_ray.stages.aggregate import (
         grouped_agg, grouped_count)
 
     per = grouped_count(
         _spans(sf_dir).select_columns(["trace_id", "name", "service"]),
         ["trace_id", "name", "service"], count_name="c",
-        strategy="shuffle")
+        strategy="bucket")
 
     def lanes(t: pa.Table) -> pa.Table:
         retried = pc.cast(pc.greater(t.column("c"), 1), pa.int64())
@@ -8347,6 +8350,88 @@ def _q_events_promtext_roundtrip(sf_dir: str):
                        sum_cols={"sum_cents": "cents"},
                        max_cols={"max_ts_ms": "ts_ms"},
                        strategy="tree")
+
+
+def _q_events_orc_roundtrip(sf_dir: str):
+    """ORC wire path end-to-end (sources/orcfile.py — the columnar
+    sibling of the parquet/IPC lanes; Ray 2.49 has no read_orc, so
+    the reader rides read_binary_files + one pyarrow.orc parse per
+    file): the events table is written to 8 ORC shards THROUGH
+    write_orc (atomic-rename sink convention) and read back through
+    read_orc with column pruning, aggregated, and compared to pure
+    SQL over the original parquet — both directions of the format
+    proven. /tmp fixture is content-deterministic like the
+    CSV/JSONL/prom siblings."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.orcfile import (
+        read_orc, write_orc)
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    src = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+    tbl = pa.table({"event_id": src.column("event_id"),
+                    "event_type": src.column("event_type"),
+                    "cents": _cents(src.column("value"))})
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/graft_orc_{tag}_{tbl.num_rows}"
+    if not os.path.isdir(out_dir):
+        stage = f"{out_dir}.stage-{uuid.uuid4().hex[:8]}"
+        write_orc(ray.data.from_arrow(tbl).repartition(8), stage)
+        os.rename(stage, out_dir)
+
+    ds = read_orc([f"{out_dir}/{f}" for f in sorted(os.listdir(out_dir))],
+                  columns=["event_type", "cents"])
+    return grouped_agg(ds, ["event_type"], count_name="n",
+                       sum_cols={"sum_cents": "cents"},
+                       min_cols={"min_cents": "cents"},
+                       max_cols={"max_cents": "cents"}, strategy="tree")
+
+
+def _q_turns_sum_connector(sf_dir: str):
+    """Sum connector (the contrib sumconnector analog beside the
+    existing count connector: SUM a numeric attribute into a metric
+    per dimension set): parsed latency_ms summed per (tool, status)
+    from the grok-extracted turn attributes — logs in, metrics out.
+    Oracle = the same regexp extracts + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("tool_attr")),
+                    pc.is_valid(t.column("latency_ms")))
+        t = t.filter(m)
+        return pa.table({"tool": t.column("tool_attr"),
+                         "status": t.column("status"),
+                         "latency_ms": t.column("latency_ms")})
+
+    pre = _parsed(sf_dir).map_batches(keep, batch_format="pyarrow")
+    return grouped_agg(pre, ["tool", "status"], count_name="n_calls",
+                       sum_cols={"sum_latency_ms": "latency_ms"},
+                       strategy="tree")
+
+
+_DECAY_ANCHOR_US = 1_706_659_200_000_000  # 2024-01-31T00:00:00Z in µs
+
+
+def _q_events_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed counters (stages/temporal.py::
+    decayed_count — the "recent items weigh more" trending primitive,
+    exact as integers: weight 2^(30−h), h = age in 3-day half-lives
+    below the 2024-01-31 anchor, pure floor arithmetic mirrored by
+    SQL ``//``): per event type the decayed mass and raw count; the
+    n·2^30 ≤ 2^62 guard fails loudly instead of wrapping. Oracle =
+    SUM(1 << (30 − LEAST(age_halvings, 30)))."""
+    from opentelemetry_collector_ray.stages.temporal import decayed_count
+
+    return decayed_count(
+        _read_co(sf_dir, "events", ["event_type", "ts"], floor=8),
+        ["event_type"], "ts", _DECAY_ANCHOR_US, half_life_days=3,
+        max_halvings=30)
 
 
 # ----------------------------------------------------------- driver surface
@@ -8667,6 +8752,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_retry_rate": _q_spans_retry_rate,
         "orders_revenue_apportion": _q_orders_revenue_apportion,
         "events_promtext_roundtrip": _q_events_promtext_roundtrip,
+        "events_orc_roundtrip": _q_events_orc_roundtrip,
+        "turns_sum_connector": _q_turns_sum_connector,
+        "events_decayed_counts": _q_events_decayed_counts,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -12780,6 +12868,36 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cents) AS BIGINT) AS sum_cents,
        CAST(max(ts_ms) AS BIGINT) AS max_ts_ms
 FROM c GROUP BY event_type
+""",
+        "events_orc_roundtrip": """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM c GROUP BY event_type
+""",
+        "turns_sum_connector": f"""
+WITH {TURNS_CTE.strip()},
+x AS (SELECT tool,
+             regexp_extract(text, 'status=(ok|err)', 1) AS status,
+             CAST(regexp_extract(text, 'latency_ms=(\\d+)', 1)
+                  AS BIGINT) AS latency_ms
+      FROM turns WHERE tool <> '')
+SELECT tool, status, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(latency_ms) AS BIGINT) AS sum_latency_ms
+FROM x GROUP BY tool, status
+""",
+        "events_decayed_counts": """
+WITH x AS (SELECT event_type,
+                  LEAST(GREATEST((1706659200000000 - epoch_us(ts))
+                                 // (3 * 86400000000), 0), 30) AS h
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(1 AS BIGINT) << (30 - h)) AS BIGINT) AS decayed
+FROM x GROUP BY event_type
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

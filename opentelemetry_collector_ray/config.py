@@ -243,6 +243,8 @@ def _register_builtins() -> None:
     # profile-frames tables (signal-typed pipelines; the collector wires a
     # receiver per signal, we wire a derivation per signal)
     register("csv", Factory("receiver", lambda cfg: cfg))
+    register("orc", Factory("receiver", lambda cfg: cfg))
+    register("promtext", Factory("receiver", lambda cfg: cfg))
     register("jsonl", Factory("receiver", lambda cfg: cfg))
     register("ipc", Factory("receiver", lambda cfg: cfg))
     register("textlog", Factory("receiver", lambda cfg: cfg))

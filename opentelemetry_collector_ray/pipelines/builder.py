@@ -96,6 +96,16 @@ def build_dataset(cfg: PipelineConfig, paths: list[str] | None = None,
             # union-by-name can't see across files
             datasets.append(read_ipc(
                 rpaths, schema=_schema_from_cfg(rcfg, "ipc")))
+        elif rtype == "orc":
+            from ..sources.orcfile import read_orc
+
+            datasets.append(read_orc(rpaths,
+                                     columns=rcfg.get("columns")))
+        elif rtype == "promtext":
+            from ..sources.textlog import read_prom_text
+
+            datasets.append(read_prom_text(
+                rpaths, strict=bool(rcfg.get("strict", True))))
         elif rtype == "textlog":
             from ..sources.textlog import read_text_logs
 

@@ -208,3 +208,54 @@ def late_arrivals(ds: ray.data.Dataset, key: str, arrival_cols: list[str],
                          "max_late_us": pa.array(max_late)})
 
     return bucketed_map_groups(ds, key, audit, n_buckets=n_buckets)
+
+
+def decayed_count(ds: ray.data.Dataset, keys: list[str], ts_col: str,
+                  anchor_us: int, *, half_life_days: int = 3,
+                  max_halvings: int = 30,
+                  strategy: str = "tree") -> ray.data.Dataset:
+    """Exponentially time-decayed counter per key — the streaming
+    "recent items weigh more" primitive (frequency-with-decay of every
+    trending/alerting backend), kept EXACT as integers: each row
+    contributes weight ``2^(max_halvings − h)`` where ``h`` is its age
+    in half-lives below ``anchor_us`` (clamped to [0, max_halvings] —
+    rows older than ``max_halvings`` half-lives keep weight 1, future
+    rows weigh the maximum). ``decayed = Σ weights`` halves per
+    half-life exactly; readers compare keys by the integer. Pure
+    integer floor arithmetic end to end (identical ``//`` in the SQL
+    mirror). The combine is guarded by ``n · 2^max_halvings ≤ 2^62``
+    — raise loudly rather than wrap (lower ``max_halvings`` for
+    larger corpora; resolution degrades gracefully)."""
+    if half_life_days < 1 or not (0 < max_halvings < 62):
+        raise ValueError("decayed_count: half_life_days >= 1 and "
+                         "0 < max_halvings < 62")
+    hl_us = half_life_days * 86_400_000_000
+
+    def lanes(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        h = np.clip((anchor_us - us) // hl_us, 0, max_halvings)
+        w = np.int64(1) << (max_halvings - h.astype(np.int64))
+        cols = {k: t.column(k) for k in keys}
+        cols["_w"] = pa.array(w)
+        cols["_one"] = pa.array(np.ones(len(us), np.int64))
+        return pa.table(cols)
+
+    from .aggregate import grouped_agg
+
+    pre = ds.select_columns(keys + [ts_col]).map_batches(
+        lanes, batch_format="pyarrow", batch_size=65536)
+    agg = grouped_agg(pre, keys, sum_cols={"n": "_one",
+                                           "decayed": "_w"},
+                      strategy=strategy)
+
+    def check(t: pa.Table) -> pa.Table:
+        for n_k in t.column("n").to_pylist():
+            if n_k * 2**max_halvings > 2**62:
+                raise ValueError(
+                    f"decayed_count: n·2^max_halvings = "
+                    f"{n_k}·2^{max_halvings} > 2^62 — lower "
+                    "max_halvings")
+        return t
+
+    return agg.map_batches(check, batch_format="pyarrow")

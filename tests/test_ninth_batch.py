@@ -292,3 +292,91 @@ class TestBucketCountDistinct:
             ray.data.from_arrow(t), ["k"], "v", out_name="d",
             final_strategy="bucket").to_pandas()
         assert out.iloc[0]["d"] == 1
+
+
+class TestPromText:
+    def _write(self, tmp_path, lines):
+        p = tmp_path / "m.txt"
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_parse_and_labels(self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.textlog import (
+            prom_label, read_prom_text)
+
+        p = self._write(tmp_path, [
+            "# HELP m doc", "# TYPE m counter", "",
+            'm{a="x",b="y"} 5 100', "m 7", 'm{a="z"} -2.5'])
+        out = read_prom_text(p).to_pandas()
+        assert out["metric"].tolist() == ["m", "m", "m"]
+        assert out["value"].tolist() == ["5", "7", "-2.5"]
+        assert out["ts_ms"].tolist()[0] == 100
+        assert pa.Array.from_pandas(out["ts_ms"]).null_count == 2
+        labs = prom_label(pa.array(out["labels"].tolist()), "a")
+        assert labs.to_pylist() == ["x", None, "z"]
+
+    def test_strict_raises_on_garbage(self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.textlog import (
+            read_prom_text)
+
+        p = self._write(tmp_path, ["not a metric line ( ???"])
+        with pytest.raises(Exception, match="unparsable"):
+            read_prom_text(p).to_pandas()
+        # non-strict drops it
+        out = read_prom_text(p, strict=False).to_pandas()
+        assert len(out) == 0
+
+
+class TestDecayedCount:
+    def test_halving_weights(self, ray_session):
+        import datetime
+
+        from opentelemetry_collector_ray.stages.temporal import (
+            decayed_count)
+
+        anchor = int(datetime.datetime(2024, 1, 31).timestamp() * 1e6)
+        ts = [datetime.datetime(2024, 1, 30, 12),   # h=0
+              datetime.datetime(2024, 1, 27),        # h=1 (4 days/3)
+              datetime.datetime(2024, 1, 1),         # h=10
+              datetime.datetime(2024, 2, 5)]         # future → h=0
+        t = pa.table({"k": ["a"] * 4,
+                      "ts": pa.array(ts, pa.timestamp("us"))})
+        out = decayed_count(ray.data.from_arrow(t), ["k"], "ts",
+                            anchor, half_life_days=3,
+                            max_halvings=30).to_pandas()
+        want = 2**30 + 2**29 + 2**20 + 2**30
+        assert out.iloc[0]["decayed"] == want and out.iloc[0]["n"] == 4
+
+    def test_overflow_guard(self, ray_session):
+        import datetime
+
+        from opentelemetry_collector_ray.stages.temporal import (
+            decayed_count)
+
+        anchor = int(datetime.datetime(2024, 1, 31).timestamp() * 1e6)
+        t = pa.table({"k": ["a"],
+                      "ts": pa.array([datetime.datetime(2024, 1, 30)],
+                                     pa.timestamp("us"))})
+        with pytest.raises(Exception, match="2\\^62|max_halvings"):
+            decayed_count(ray.data.from_arrow(t), ["k"], "ts", anchor,
+                          max_halvings=63).to_pandas()
+
+
+class TestOrcRoundtrip:
+    def test_write_read(self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.orcfile import (
+            read_orc, write_orc)
+
+        t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                      "b": ["x", "y", "z"]})
+        d = tmp_path / "orc"
+        n = write_orc(ray.data.from_arrow(t).repartition(2), str(d))
+        assert n == 3
+        import os
+
+        files = [str(d / f) for f in sorted(os.listdir(d))]
+        back = read_orc(files).to_pandas().sort_values("a") \
+            .reset_index(drop=True)
+        assert back["a"].tolist() == [1, 2, 3]
+        pruned = read_orc(files, columns=["b"]).to_pandas()
+        assert list(pruned.columns) == ["b"]
