@@ -142,10 +142,12 @@ def read_multiline_logs(paths, start_pattern: str,
         group, batch_format="pyarrow")
 
 
+# label values are quoted strings that may contain '}' and escaped
+# quotes/backslashes; fields are separated by one or more spaces/tabs
 PROM_LINE_RE = (r'^(?P<metric>[a-zA-Z_:][a-zA-Z0-9_:]*)'
-                r'(?:\{(?P<labels>[^}]*)\})?'
-                r' (?P<value>[^ ]+)'
-                r'(?: (?P<ts_ms>-?[0-9]+))?$')
+                r'(?:\{(?P<labels>(?:[^{}"]|"(?:[^"\\]|\\.)*")*)\})?'
+                r'[ \t]+(?P<value>[^ \t]+)'
+                r'(?:[ \t]+(?P<ts_ms>-?[0-9]+))?[ \t]*$')
 
 
 def read_prom_text(paths, *, strict: bool = True) -> ray.data.Dataset:
@@ -199,12 +201,19 @@ def read_prom_text(paths, *, strict: bool = True) -> ray.data.Dataset:
 def prom_label(labels: pa.ChunkedArray | pa.Array,
                name: str) -> pa.Array:
     """Extract one label's value from the raw ``k="v",...`` body (null
-    when absent). RE2, identical to DuckDB ``regexp_extract``."""
+    when absent). Anchored at the body start or a comma so a label
+    whose name is a SUFFIX of another (``type`` vs ``subtype``) never
+    matches inside the longer name; the name itself is regex-escaped.
+    Escaped quotes/backslashes inside the value are preserved RAW (no
+    unescape pass). RE2, identical to DuckDB ``regexp_extract``."""
+    import re
+
     import pyarrow.compute as pc
 
     if isinstance(labels, pa.ChunkedArray):
         labels = labels.combine_chunks()
-    st = pc.extract_regex(labels,
-                          pattern=name + r'="(?P<v>[^"]*)"')
+    st = pc.extract_regex(
+        labels, pattern=r'(?:^|,)' + re.escape(name)
+        + r'="(?P<v>(?:[^"\\]|\\.)*)"')
     return pc.if_else(pc.is_null(st), pa.scalar(None, pa.string()),
                       st.field("v"))

@@ -284,26 +284,24 @@ def grouped_count_distinct(ds: Dataset, keys: list[str],
     if final_strategy == "bucket":
         from .bucketing import bucketed_map_groups
 
+        from .bucketing import multi_key_change
+
         def batch_distinct(t: pa.Table) -> pa.Table:
+            for k in keys:
+                if t.column(k).null_count:
+                    raise ValueError(
+                        f"grouped_count_distinct(bucket): key column "
+                        f"{k!r} has nulls — SQL groups nulls together, "
+                        "the vectorized mask would not; use the "
+                        "default strategy or fill them upstream")
             return t.group_by(keys + [distinct_col]).aggregate([])
 
         def per_bucket(t: pa.Table) -> pa.Table:
             t = t.sort_by([(k, "ascending") for k in
                            keys + [distinct_col]])
-            mask = np.zeros(t.num_rows, dtype=bool)
-            if t.num_rows:
-                mask[0] = True
-            for k in keys + [distinct_col]:
-                a = t.column(k).to_numpy(zero_copy_only=False)
-                if t.num_rows > 1:
-                    mask[1:] |= a[1:] != a[:-1]
-            kmask = np.zeros(t.num_rows, dtype=bool)
-            if t.num_rows:
-                kmask[0] = True
-            for k in keys:
-                a = t.column(k).to_numpy(zero_copy_only=False)
-                if t.num_rows > 1:
-                    kmask[1:] |= a[1:] != a[:-1]
+            # distinct_col is null-free here (drop_nulls upstream)
+            mask = multi_key_change(t, keys + [distinct_col])
+            kmask = multi_key_change(t, keys)
             starts = np.flatnonzero(kmask)
             counts = np.add.reduceat(mask.astype(np.int64), starts) \
                 if len(starts) else np.empty(0, np.int64)

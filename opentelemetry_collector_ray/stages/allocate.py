@@ -49,11 +49,18 @@ def apportion(ds: ray.data.Dataset, keys: list[str], n_seats: int, *,
                 f"apportion: {t.num_rows} groups exceeds max_groups="
                 f"{max_groups} — apportionment needs a bounded domain")
         n = t.column(count_name).to_numpy(zero_copy_only=False)
-        if t.num_rows == 0 or n.sum() == 0:
+        if t.num_rows == 0:
             return t.append_column(
-                seat_name, pa.array(np.zeros(t.num_rows, np.int64)))
+                seat_name, pa.array(np.empty(0, np.int64)))
         if (n < 0).any():
             raise ValueError("apportion: negative weights")
+        if n.sum() == 0:
+            # Σ seats == n_seats is the documented invariant; with zero
+            # total weight there is no proportional answer (the SQL
+            # mirror divides by zero here) — fail loudly
+            raise ValueError(
+                "apportion: total weight is 0 — cannot apportion "
+                f"{n_seats} seats proportionally")
         tot = int(n.sum())
         if n_seats and tot > (2**63 - 1) // n_seats:
             raise ValueError(

@@ -107,3 +107,29 @@ def persisted_factory(make_ds, persist: str = "none"):
     path = persist
     make_ds().write_parquet(path)
     return lambda: ray.data.read_parquet(path)
+
+
+def multi_key_change(t, cols):
+    """Row-change mask over a table SORTED by ``cols`` (first row True)
+    — the multi-column sibling of :func:`key_segments`, shared by the
+    OHLC / count-distinct / l-diversity bucket passes. Raises on null
+    key cells: numpy converts null numerics to NaN and ``NaN != NaN``
+    would silently start a new group per null row, unlike SQL GROUP BY
+    (and unlike Arrow group_by) which collapse nulls into one group."""
+    import pyarrow as pa  # noqa: F401  (kept local: cheap, avoids cycle)
+
+    n = t.num_rows
+    mask = np.zeros(n, dtype=bool)
+    if n:
+        mask[0] = True
+    for k in cols:
+        col = t.column(k)
+        if col.null_count:
+            raise ValueError(
+                f"multi_key_change: key column {k!r} has nulls — SQL "
+                "groups nulls together, the vectorized mask would "
+                "not; fill or drop them upstream")
+        a = col.to_numpy(zero_copy_only=False)
+        if n > 1:
+            mask[1:] |= a[1:] != a[:-1]
+    return mask

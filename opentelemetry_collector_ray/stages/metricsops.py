@@ -626,16 +626,11 @@ def hist_rebucket(hist: ray.data.Dataset, keys: list[str],
 
 
 def _multi_key_change(t: pa.Table, keys: list[str]) -> np.ndarray:
-    """Row-change mask over a table SORTED by ``keys`` (first row True)."""
-    n = t.num_rows
-    mask = np.zeros(n, dtype=bool)
-    if n:
-        mask[0] = True
-    for k in keys:
-        a = t.column(k).to_numpy(zero_copy_only=False)
-        if n > 1:
-            mask[1:] |= a[1:] != a[:-1]
-    return mask
+    """Shared sorted-key change mask (null-rejecting) — see
+    :func:`..bucketing.multi_key_change`."""
+    from .bucketing import multi_key_change
+
+    return multi_key_change(t, keys)
 
 
 def grouped_ohlc(ds: ray.data.Dataset, keys: list[str],
@@ -663,8 +658,15 @@ def grouped_ohlc(ds: ray.data.Dataset, keys: list[str],
         mask = _multi_key_change(t, keys)
         starts = np.flatnonzero(mask)
         n_rows = t.num_rows
-        ends = np.append(starts[1:], n_rows) - 1
+        # empty batch: append(starts[1:], 0) - 1 == [-1] would make
+        # take() raise — short-circuit to an empty (typed) partial
+        ends = (np.append(starts[1:], n_rows) - 1) if len(starts) \
+            else np.empty(0, np.int64)
         v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if len(v) and v.dtype.kind not in "iu":
+            raise ValueError(
+                f"grouped_ohlc: {value_col!r} must be integer (scale "
+                f"floats to cents first), got {v.dtype}")
         lo = np.minimum.reduceat(v, starts) if len(starts) else v[:0]
         hi = np.maximum.reduceat(v, starts) if len(starts) else v[:0]
         cnt = np.diff(np.append(starts, n_rows))

@@ -358,19 +358,13 @@ def l_diversity(ds: ray.data.Dataset, quasi_cols: list[str],
             .rename_columns(quasi + [sensitive_col, "_c"])
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        from .bucketing import multi_key_change
+
         t = t.sort_by([(k, "ascending") for k in quasi]
                       + [(sensitive_col, "ascending")])
         n_rows = t.num_rows
-        kmask = np.zeros(n_rows, dtype=bool)
-        pmask = np.zeros(n_rows, dtype=bool)
-        if n_rows:
-            kmask[0] = pmask[0] = True
-        for k in quasi:
-            a = t.column(k).to_numpy(zero_copy_only=False)
-            if n_rows > 1:
-                d = a[1:] != a[:-1]
-                kmask[1:] |= d
-                pmask[1:] |= d
+        kmask = multi_key_change(t, quasi)
+        pmask = kmask.copy()
         s = t.column(sensitive_col)
         if n_rows > 1:
             sv = s.to_numpy(zero_copy_only=False)

@@ -427,6 +427,13 @@ def grid_densify(ds: ray.data.Dataset, row_col: str, col_col: str, *,
                            strategy=strategy)
 
     def fin(t: pa.Table) -> pa.Table:
+        for c in (row_col, col_col):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"grid_densify: {c!r} has null key values — "
+                    "Arrow's left join never matches null keys, so "
+                    "the real count would be silently replaced by "
+                    "the zero fill; fill them upstream")
         rows = pc.unique(t.column(row_col).combine_chunks())
         cols = pc.unique(t.column(col_col).combine_chunks())
         n_cells = len(rows) * len(cols)

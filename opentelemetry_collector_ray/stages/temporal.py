@@ -232,7 +232,12 @@ def decayed_count(ds: ray.data.Dataset, keys: list[str], ts_col: str,
     hl_us = half_life_days * 86_400_000_000
 
     def lanes(t: pa.Table) -> pa.Table:
-        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+        col = t.column(ts_col)
+        if col.null_count:
+            raise ValueError(
+                f"decayed_count: {ts_col!r} has nulls — a null "
+                "timestamp has no age; fill or filter upstream")
+        us = pc.cast(pc.cast(col, pa.timestamp("us")),
                      pa.int64()).to_numpy(zero_copy_only=False)
         h = np.clip((anchor_us - us) // hl_us, 0, max_halvings)
         w = np.int64(1) << (max_halvings - h.astype(np.int64))

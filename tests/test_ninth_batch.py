@@ -357,9 +357,27 @@ class TestDecayedCount:
         t = pa.table({"k": ["a"],
                       "ts": pa.array([datetime.datetime(2024, 1, 30)],
                                      pa.timestamp("us"))})
-        with pytest.raises(Exception, match="2\\^62|max_halvings"):
+        # argument-range check
+        with pytest.raises(Exception, match="max_halvings"):
             decayed_count(ray.data.from_arrow(t), ["k"], "ts", anchor,
                           max_halvings=63).to_pandas()
+        # the COMBINE guard itself: 3 rows at weight 2^61 → n·2^61 > 2^62
+        t3 = pa.table({"k": ["a"] * 3,
+                       "ts": pa.array([datetime.datetime(2024, 1, 30)] * 3,
+                                      pa.timestamp("us"))})
+        with pytest.raises(Exception, match="2\\^62"):
+            decayed_count(ray.data.from_arrow(t3), ["k"], "ts", anchor,
+                          max_halvings=61).to_pandas()
+
+    def test_null_ts_rejected(self, ray_session):
+        from opentelemetry_collector_ray.stages.temporal import (
+            decayed_count)
+
+        t = pa.table({"k": ["a"],
+                      "ts": pa.array([None], pa.timestamp("us"))})
+        with pytest.raises(Exception, match="null"):
+            decayed_count(ray.data.from_arrow(t), ["k"], "ts",
+                          0).to_pandas()
 
 
 class TestOrcRoundtrip:
@@ -380,3 +398,69 @@ class TestOrcRoundtrip:
         assert back["a"].tolist() == [1, 2, 3]
         pruned = read_orc(files, columns=["b"]).to_pandas()
         assert list(pruned.columns) == ["b"]
+
+
+class TestReviewRegressions:
+    """Regressions for the ninth-session review findings."""
+
+    def test_ohlc_empty_block_and_float_reject(self, ray_session):
+        from opentelemetry_collector_ray.stages.metricsops import (
+            grouped_ohlc)
+
+        # empty blocks (7 rows over 13 partitions) must not crash
+        t = pa.table({"k": ["a"] * 7, "o": list(range(7)),
+                      "v": pa.array(range(7), pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(13)
+        out = grouped_ohlc(ds, ["k"], ["o"], "v").to_pandas()
+        assert out.iloc[0]["open"] == 0 and out.iloc[0]["close"] == 6
+        fds = ray.data.from_arrow(pa.table(
+            {"k": ["a"], "o": [1], "v": [1.5]}))
+        with pytest.raises(Exception, match="integer"):
+            grouped_ohlc(fds, ["k"], ["o"], "v").to_pandas()
+
+    def test_prom_label_suffix_name(self):
+        from opentelemetry_collector_ray.sources.textlog import (
+            prom_label)
+
+        labs = pa.array(['subtype="a",type="b"', 'type="c"',
+                         'subtype="a"'])
+        assert prom_label(labs, "type").to_pylist() == ["b", "c", None]
+
+    def test_prom_line_brace_in_value_and_multispace(
+            self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.textlog import (
+            prom_label, read_prom_text)
+
+        p = tmp_path / "m.txt"
+        p.write_text('m{msg="a}b",x="q\\"z"} 1\nm  2  300\n')
+        out = read_prom_text(str(p)).to_pandas()
+        assert out["value"].tolist() == ["1", "2"]
+        assert out["ts_ms"].tolist()[1] == 300
+        assert prom_label(pa.array(out["labels"].tolist()),
+                          "msg").to_pylist()[0] == "a}b"
+
+    def test_count_distinct_bucket_null_key_rejected(self, ray_session):
+        from opentelemetry_collector_ray.stages.aggregate import (
+            grouped_count_distinct)
+
+        t = pa.table({"k": pa.array([1, None], pa.int64()),
+                      "v": pa.array([1, 2], pa.int64())})
+        with pytest.raises(Exception, match="null"):
+            grouped_count_distinct(ray.data.from_arrow(t), ["k"], "v",
+                                   final_strategy="bucket").to_pandas()
+
+    def test_apportion_zero_total_raises(self, ray_session):
+        from opentelemetry_collector_ray.stages.allocate import apportion
+
+        ds = ray.data.from_arrow(pa.table(
+            {"k": ["a", "b"], "w": pa.array([0, 0], pa.int64())}))
+        with pytest.raises(Exception, match="total weight is 0"):
+            apportion(ds, ["k"], 10, weight_col="w").to_pandas()
+
+    def test_grid_densify_null_key_rejected(self, ray_session):
+        from opentelemetry_collector_ray.stages.resample import (
+            grid_densify)
+
+        t = pa.table({"r": pa.array(["a", None]), "c": ["x", "y"]})
+        with pytest.raises(Exception, match="null"):
+            grid_densify(ray.data.from_arrow(t), "r", "c").to_pandas()
