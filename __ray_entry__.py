@@ -8434,6 +8434,79 @@ def _q_events_decayed_counts(sf_dir: str):
         max_halvings=30)
 
 
+def _q_events_counter_resets(sf_dir: str):
+    """Counter-reset handling (stages/temporal.py::cumulative_to_delta
+    resets="otel" — the cumulativetodelta processor's restart rule:
+    a cumulative value that DROPS means the counter restarted, so the
+    delta is the new value, never negative): a synthetic cumulative
+    series with genuine resets (per-user running cents cumsum mod
+    100000) is converted back to deltas with the reset rule and
+    rolled up per user — n / resets / recovered monotone mass. One
+    window pass + one bucket diff pass + one bucket aggregate, all on
+    the same user partitioning key. Oracle = SQL windows + the same
+    CASE."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.temporal import (
+        cumulative_to_delta)
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "cents": _cents(t.column("value"))})
+
+    pre = _read_co(sf_dir, "events",
+                   ["user_id", "ts", "event_id", "value"],
+                   floor=8).map_batches(prep, batch_format="pyarrow")
+    # ONE window pass carries both the running sum and the per-user
+    # ordinal (cumulative_to_delta's order_col must be a single
+    # column, and event_id alone is not the event-time order)
+    win = per_key_window(pre, "user_id", ["ts", "event_id"],
+                         {"cum_raw": ("cumsum", "cents"),
+                          "rn": ("row_number",)})
+
+    def modded(t: pa.Table) -> pa.Table:
+        cum = pc.subtract(
+            t.column("cum_raw"),
+            pc.multiply(pc.divide(t.column("cum_raw"),
+                                  pa.scalar(100000, pa.int64())),
+                        pa.scalar(100000, pa.int64())))
+        return pa.table({"user_id": t.column("user_id"),
+                         "rn": t.column("rn"), "cum": cum})
+
+    cummed = win.map_batches(modded, batch_format="pyarrow")
+    deltas = cumulative_to_delta(cummed, "user_id", "rn", "cum",
+                                 out_col="delta", resets="otel",
+                                 reset_col="is_reset")
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "delta": t.column("delta"),
+                         "is_reset": t.column("is_reset")})
+
+    pre2 = deltas.map_batches(lanes, batch_format="pyarrow")
+    return grouped_agg(pre2, ["user_id"], count_name="n",
+                       sum_cols={"n_resets": "is_reset",
+                                 "sum_delta": "delta"},
+                       strategy="bucket")
+
+
+def _q_events_quota_sample(sf_dir: str):
+    """Quota sampling (stages/sampling.py::quota_sample — the
+    apportionment made actionable: EXACTLY 1000 rows total, each
+    event type keeping its largest-remainder share, membership
+    decided by smallest-md5 hash order so re-sharding never changes
+    the kept set): the deterministic "balanced eval set" draw. Block
+    prereduce bounds the exchange to ≤ quota rows per key per block.
+    Oracle = the apportion CTE + row_number over (md5, id) ≤ seats."""
+    from opentelemetry_collector_ray.stages.sampling import quota_sample
+
+    pre = _read_co(sf_dir, "events", ["event_id", "event_type"],
+                   floor=8)
+    return quota_sample(pre, "event_type", 1000, "event_id")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8755,6 +8828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orc_roundtrip": _q_events_orc_roundtrip,
         "turns_sum_connector": _q_turns_sum_connector,
         "events_decayed_counts": _q_events_decayed_counts,
+        "events_counter_resets": _q_events_counter_resets,
+        "events_quota_sample": _q_events_quota_sample,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -12898,6 +12973,53 @@ WITH x AS (SELECT event_type,
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(1 AS BIGINT) << (30 - h)) AS BIGINT) AS decayed
 FROM x GROUP BY event_type
+""",
+        "events_counter_resets": """
+WITH x AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT user_id,
+             sum(cents) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) % 100000 AS cum,
+             ts, event_id
+      FROM x),
+d AS (SELECT user_id, cum,
+             lag(cum) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev
+      FROM w),
+e AS (SELECT user_id,
+             CASE WHEN prev IS NULL THEN cum
+                  WHEN cum < prev THEN cum
+                  ELSE cum - prev END AS delta,
+             CASE WHEN prev IS NOT NULL AND cum < prev
+                  THEN 1 ELSE 0 END AS is_reset
+      FROM d)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets,
+       CAST(sum(delta) AS BIGINT) AS sum_delta
+FROM e GROUP BY user_id
+""",
+        "events_quota_sample": """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+b AS (SELECT event_type, n,
+             (1000 * n) // (SELECT sum(n) FROM c) AS base,
+             (1000 * n) % (SELECT sum(n) FROM c) AS rem
+      FROM c),
+s AS (SELECT event_type,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                 event_type)
+                         <= 1000 - (SELECT sum(base) FROM b)
+                    THEN 1 ELSE 0 END AS seats
+      FROM b),
+rk AS (SELECT event_id, event_type,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                          event_id) AS rn
+       FROM events)
+SELECT rk.event_id, rk.event_type
+FROM rk JOIN s ON rk.event_type = s.event_type
+WHERE rn <= s.seats
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -194,7 +194,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_user_day_grid", "events_moment_parts",
              "spans_retry_rate", "orders_revenue_apportion",
              "events_promtext_roundtrip", "events_orc_roundtrip",
-             "turns_sum_connector", "events_decayed_counts"]
+             "turns_sum_connector", "events_decayed_counts",
+             "events_counter_resets", "events_quota_sample"]
     q = m.queries()
     for name in names:
         t0 = time.time()

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -255,3 +256,67 @@ def assign_split(ds: ray.data.Dataset, key: str,
         return t.append_column(out_col, pa.array(labels[idx], pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def quota_sample(ds: ray.data.Dataset, key: str, n_seats: int,
+                 id_col: str, *, max_groups: int = 100_000,
+                 n_buckets: int | str = "auto") -> ray.data.Dataset:
+    """Quota sampling — largest-remainder apportionment made
+    ACTIONABLE: allocate ``n_seats`` across the ``key`` categories
+    proportionally (``allocate.apportion``), then deterministically
+    keep exactly each category's quota — the rows with the SMALLEST
+    ``md5(id)`` digests (hash order = a fixed uniform permutation, so
+    re-running or re-sharding never changes the kept set).
+
+    Scale shape: pass 1 is the apportion count (two-phase; the seat
+    table is ≤ ``max_groups`` rows, pulled once and broadcast); pass 2
+    prereduces every block to ≤ max-quota rows per key it contains
+    (exact — the global smallest-k by hash is a subset of the union
+    of per-block smallest-k) before ONE bucket exchange ranks and
+    cuts each category at its quota."""
+    import ray
+
+    from ..functions.text import md5_hex
+    from .allocate import apportion
+    from .bucketing import bucketed_map_groups, multi_key_change
+
+    seats_ds = apportion(ds.select_columns([key]), [key], n_seats,
+                         max_groups=max_groups)
+    seats_tbl = pa.concat_tables(
+        [t for t in ray.get(seats_ds.to_arrow_refs()) if t.num_rows])
+    seats = dict(zip(seats_tbl.column(key).to_pylist(),
+                     seats_tbl.column("seats").to_pylist()))
+    kmax = max(seats.values(), default=0)
+    ref = ray.put(seats)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = md5_hex(pc.cast(t.column(id_col), pa.string()))
+        return t.append_column("_h", h)
+
+    def cut(t: pa.Table, quota_of) -> pa.Table:
+        t = t.sort_by([(key, "ascending"), ("_h", "ascending"),
+                       (id_col, "ascending")])
+        mask = multi_key_change(t, [key])
+        starts = np.flatnonzero(mask)
+        if not len(starts):
+            return t.drop_columns(["_h"])
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, t.num_rows)))
+        rank = np.arange(t.num_rows) - starts[seg]
+        kvals = t.column(key).take(
+            pa.array(starts.astype(np.int64))).to_pylist()
+        quota = np.array([quota_of(v) for v in kvals], np.int64)[seg]
+        return t.filter(pa.array(rank < quota)).drop_columns(["_h"])
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            batch_size=65536)
+    # per-block prereduce: smallest kmax per key bounds the exchange
+    pre = hashed.map_batches(lambda t: cut(t, lambda _v: kmax),
+                             batch_format="pyarrow", batch_size=65536) \
+        .map_batches(add_hash, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        return cut(t, lambda v: s.get(v, 0))
+
+    return bucketed_map_groups(pre, key, final, n_buckets=n_buckets)

@@ -54,9 +54,23 @@ def delta_to_cumulative(ds: ray.data.Dataset, key: str, order_col: str,
 
 def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
                         value_col: str, out_col: str = "delta",
+                        resets: str = "diff",
+                        reset_col: str | None = None,
                         n_buckets: int | str = N_BUCKETS) -> ray.data.Dataset:
     """Inverse conversion: per-key ordered difference (first point keeps its
-    value — the series start resets, matching cumulative semantics)."""
+    value — the series start resets, matching cumulative semantics).
+
+    ``resets="otel"`` applies the cumulativetodelta processor's
+    counter-RESET rule (reference
+    ``processor/cumulativetodeltaprocessor`` semantics / the OTLP sum
+    monotonic contract): when a cumulative value DROPS below its
+    predecessor the counter restarted, so the delta is the new value
+    itself rather than a negative difference. ``reset_col`` (optional)
+    additionally emits a 0/1 lane marking the reset points — the
+    restart-frequency audit. ``resets="diff"`` (default) keeps the
+    plain ordered difference."""
+    if resets not in ("diff", "otel"):
+        raise ValueError(f"cumulative_to_delta: unknown resets={resets!r}")
 
     def diff(t: pa.Table) -> pa.Table:
         t, change, _ = _sorted_with_segments(t, key, order_col)
@@ -66,6 +80,15 @@ def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
             prev[0] = 0
             prev[1:] = vals[:-1]
         out = np.where(change, vals, vals - prev).astype(vals.dtype)
+        if resets == "otel":
+            reset = (~change) & (vals < prev)
+            out = np.where(reset, vals, out).astype(vals.dtype)
+            if reset_col is not None:
+                t = t.append_column(
+                    reset_col, pa.array(reset.astype(np.int64)))
+        elif reset_col is not None:
+            raise ValueError(
+                "cumulative_to_delta: reset_col needs resets='otel'")
         return t.append_column(out_col, pa.array(out))
 
     return bucketed_map_groups(ds, key, diff, n_buckets=n_buckets)

@@ -464,3 +464,23 @@ class TestReviewRegressions:
         t = pa.table({"r": pa.array(["a", None]), "c": ["x", "y"]})
         with pytest.raises(Exception, match="null"):
             grid_densify(ray.data.from_arrow(t), "r", "c").to_pandas()
+
+
+class TestQuotaSample:
+    def test_exact_total_and_reshard_invariance(self, ray_session):
+        from opentelemetry_collector_ray.stages.sampling import (
+            quota_sample)
+
+        rng = np.random.default_rng(5)
+        t = pa.table({"id": pa.array(np.arange(3000), pa.int64()),
+                      "k": rng.choice(["a", "b", "c"], 3000,
+                                      p=[0.5, 0.3, 0.2])})
+        a = quota_sample(ray.data.from_arrow(t).repartition(3),
+                         "k", 100, "id").to_pandas()
+        b = quota_sample(ray.data.from_arrow(t).repartition(17),
+                         "k", 100, "id").to_pandas()
+        assert len(a) == 100 and len(b) == 100
+        assert sorted(a["id"]) == sorted(b["id"])  # reshard-invariant
+        # proportional: a≈50, b≈30, c≈20 (exact by apportionment)
+        counts = a.groupby("k")["id"].count()
+        assert counts.sum() == 100 and abs(counts["a"] - 50) <= 1

@@ -172,3 +172,31 @@ def test_delta_to_rate_overflow_guard(ray_session):
     with pytest.raises(Exception, match="overflow"):
         delta_to_rate(big, "k", "t", "v", "t",
                       scale=1_000_000).materialize()
+
+
+def test_cumulative_to_delta_otel_resets(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.temporal import (
+        cumulative_to_delta)
+
+    # series: 5, 12, 3(reset), 7 → deltas 5, 7, 3, 4; one reset
+    t = pa.table({"series": ["s"] * 4, "t": [1, 2, 3, 4],
+                  "cum": pa.array([5, 12, 3, 7], pa.int64())})
+    out = cumulative_to_delta(
+        ray.data.from_arrow(t), "series", "t", "cum", out_col="d",
+        resets="otel", reset_col="r").to_pandas().sort_values("t")
+    assert out["d"].tolist() == [5, 7, 3, 4]
+    assert out["r"].tolist() == [0, 0, 1, 0]
+    # plain diff path keeps the negative delta and rejects reset_col
+    plain = cumulative_to_delta(
+        ray.data.from_arrow(t), "series", "t", "cum",
+        out_col="d").to_pandas().sort_values("t")
+    assert plain["d"].tolist() == [5, 7, -9, 4]
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="resets='otel'"):
+        cumulative_to_delta(ray.data.from_arrow(t), "series", "t",
+                            "cum", reset_col="r").to_pandas()
