@@ -8507,6 +8507,93 @@ def _q_events_quota_sample(sf_dir: str):
     return quota_sample(pre, "event_type", 1000, "event_id")
 
 
+def _q_docs_index_near(sf_dir: str):
+    """Proximity (NEAR) query over the positional index
+    (stages/ranking.py::query_near — the relevance rung between the
+    bag-of-words conjunction and the exact phrase): docs where
+    'table' and 'hash' occur within 3 token positions in either
+    order (126 of the 312 co-occurring docs at sf0.001 — teeth
+    verified). Partition-pruned postings, ONE doc-bucket exchange,
+    one searchsorted per bucket answers every b-position's ±window
+    probe. Oracle = generate_subscripts token positions + |Δpos|≤3
+    self-join."""
+    import tempfile
+
+    from opentelemetry_collector_ray.stages.ranking import (
+        build_positional_index, query_near)
+
+    idx = tempfile.mkdtemp(prefix="nearindex_", dir="/tmp")
+    build_positional_index(
+        _read_co(sf_dir, "documents", ["doc_id", "text"], floor=8), idx,
+        n_buckets=16)
+    return query_near(idx, "table", "hash", 3, n_buckets=16)
+
+
+def _q_turns_tool_streak(sf_dir: str):
+    """Longest unbroken tool-call run per conversation
+    (sessionize.longest_run over the tool-turn subsequence — the
+    agentic-loop audit: how deep does the assistant chain tool calls
+    before a view breaks the streak): gaps-and-islands on turn_idx
+    among turns with a tool attr. Oracle = the classic ordinal −
+    row_number island id."""
+    from opentelemetry_collector_ray.stages.sessionize import longest_run
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("tool"), ""))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": pc.cast(t.column("turn_idx"),
+                                             pa.int64())})
+
+    pre = _turns(sf_dir).map_batches(proj, batch_format="pyarrow")
+    return longest_run(pre, "conv_id", "turn_idx")
+
+
+def _q_events_ab_lift(sf_dir: str):
+    """A/B experiment readout (deterministic hash assignment + exact
+    sufficient statistics — the two-proportion comparison every
+    experimentation pipeline materializes): variant = user_id parity,
+    conversion = purchase event; per variant the users, trials,
+    conversions and the truncating conversion-rate permille, plus
+    per-variant distinct converting users (fused bucket
+    count-distinct). The z-score itself needs a sqrt, so the exact
+    integer PARTS are the contract (the drift-panel convention).
+    Oracle = the same CASE lanes + COUNT(DISTINCT)."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_count_distinct)
+    from opentelemetry_collector_ray.stages.join import shuffle_hash_join
+
+    def lanes(t: pa.Table) -> pa.Table:
+        variant = pc.cast(
+            pc.bit_wise_and(t.column("user_id"),
+                            pa.scalar(1, pa.int64())), pa.int64())
+        conv = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                       pa.int64())
+        return pa.table({"variant": variant,
+                         "user_id": t.column("user_id"),
+                         "is_conv": conv})
+
+    pre = _read_co(sf_dir, "events", ["user_id", "event_type"],
+                   floor=8).map_batches(lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["variant"], count_name="n_trials",
+                      sum_cols={"n_conversions": "is_conv"},
+                      strategy="tree")
+    conv_users = grouped_count_distinct(
+        pre.map_batches(
+            lambda t: t.filter(pc.equal(t.column("is_conv"), 1)),
+            batch_format="pyarrow"),
+        ["variant"], "user_id", out_name="n_conv_users",
+        final_strategy="bucket")
+    j = shuffle_hash_join(agg, conv_users, key="variant")
+
+    def pm(t: pa.Table) -> pa.Table:
+        r = pc.divide(pc.multiply(t.column("n_conversions"),
+                                  pa.scalar(1000, pa.int64())),
+                      t.column("n_trials"))
+        return t.append_column("conv_permille", r)
+
+    return j.map_batches(pm, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8830,6 +8917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_counts": _q_events_decayed_counts,
         "events_counter_resets": _q_events_counter_resets,
         "events_quota_sample": _q_events_quota_sample,
+        "docs_index_near": _q_docs_index_near,
+        "turns_tool_streak": _q_turns_tool_streak,
+        "events_ab_lift": _q_events_ab_lift,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13020,6 +13110,45 @@ rk AS (SELECT event_id, event_type,
 SELECT rk.event_id, rk.event_type
 FROM rk JOIN s ON rk.event_type = s.event_type
 WHERE rn <= s.seats
+""",
+        "docs_index_near": """
+WITH tok AS (SELECT doc_id, unnest(l) AS term,
+                    generate_subscripts(l, 1) AS pos
+             FROM (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z]+') AS l
+                   FROM documents)),
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
+SELECT DISTINCT a.doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 3
+""",
+        "turns_tool_streak": f"""
+WITH {TURNS_CTE.strip()},
+tt AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS ordinal
+       FROM turns WHERE tool <> ''),
+i AS (SELECT conv_id, ordinal,
+             ordinal - row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY ordinal) AS island
+      FROM tt),
+r AS (SELECT conv_id, island, CAST(count(*) AS BIGINT) AS run
+      FROM i GROUP BY conv_id, island)
+SELECT conv_id,
+       CAST(sum(run) AS BIGINT) AS n_ordinals,
+       CAST(max(run) AS BIGINT) AS longest_run
+FROM r GROUP BY conv_id
+""",
+        "events_ab_lift": """
+WITH x AS (SELECT user_id & 1 AS variant, user_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS is_conv
+           FROM events)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_trials,
+       CAST(sum(is_conv) AS BIGINT) AS n_conversions,
+       CAST(count(DISTINCT CASE WHEN is_conv = 1 THEN user_id END)
+            AS BIGINT) AS n_conv_users,
+       CAST(1000 * sum(is_conv) // count(*) AS BIGINT)
+           AS conv_permille
+FROM x GROUP BY variant
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

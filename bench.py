@@ -195,7 +195,9 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "spans_retry_rate", "orders_revenue_apportion",
              "events_promtext_roundtrip", "events_orc_roundtrip",
              "turns_sum_connector", "events_decayed_counts",
-             "events_counter_resets", "events_quota_sample"]
+             "events_counter_resets", "events_quota_sample",
+             "docs_index_near", "turns_tool_streak",
+             "events_ab_lift"]
     q = m.queries()
     for name in names:
         t0 = time.time()

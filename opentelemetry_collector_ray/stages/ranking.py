@@ -527,3 +527,67 @@ def eval_ranking(results: ray.data.Dataset, qrels: ray.data.Dataset, *,
                                           pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def query_near(index_dir: str, term_a: str, term_b: str, window: int,
+               n_buckets: int = 64, id_col: str = "doc_id",
+               exchange_buckets: int | str = "auto"
+               ) -> ray.data.Dataset:
+    """Proximity (NEAR) query over the positional index: documents
+    where ``term_a`` and ``term_b`` occur within ``window`` token
+    positions of each other, in either order — the relevance upgrade
+    between the bag-of-words conjunction and the exact phrase. Both
+    terms' postings are read partition-pruned, tagged, and ride ONE
+    hash-bucket exchange on the doc id; per bucket a single
+    searchsorted over the (doc, pos)-sorted a-positions answers every
+    b-position's "is an a within ±window?" at once. Returns the
+    distinct matching doc ids.
+
+    ``n_buckets`` is the index-layout contract (must equal the build
+    value — it drives partition pruning); ``exchange_buckets`` tunes
+    the doc exchange independently."""
+    from .bucketing import bucketed_map_groups
+
+    terms = _check_terms([term_a, term_b])
+    if window < 0:
+        raise ValueError("query_near: window must be >= 0")
+
+    def posts_for(term: str, tag: int) -> ray.data.Dataset:
+        paths = probe_paths(index_dir, [term], n_buckets)
+        if not paths:
+            return ray.data.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "_t": pa.array([], pa.int64())}))
+        return ray.data.read_parquet(paths).map_batches(
+            lambda t, term=term, tag=tag: (lambda f: pa.table({
+                id_col: f.column(id_col),
+                "pos": f.column("pos"),
+                "_t": pa.array(np.full(f.num_rows, tag, np.int64))}))(
+                t.filter(pc.equal(t.column("term"), term))),
+            batch_format="pyarrow")
+
+    tagged = posts_for(terms[0], 0).union(posts_for(terms[1], 1))
+
+    def match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t.column(id_col).slice(0, 0)})
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        tag = t.column("_t").to_numpy(zero_copy_only=False)
+        uniq, dense = np.unique(doc, return_inverse=True)
+        span = int(pos.max()) + window + 2
+        comp = dense.astype(np.int64) * span + pos
+        a_comp = np.sort(comp[tag == 0])
+        b_mask = tag == 1
+        b_comp = comp[b_mask]
+        b_doc = dense[b_mask]
+        lo = np.searchsorted(a_comp, b_comp - window, side="left")
+        hi = np.searchsorted(a_comp, b_comp + window, side="right")
+        # the ±window composite range stays inside the doc's band
+        # because span > max_pos + window
+        hit_docs = np.unique(b_doc[hi > lo])
+        return pa.table({id_col: pa.array(uniq[hit_docs])})
+
+    return bucketed_map_groups(tagged, id_col, match,
+                               n_buckets=exchange_buckets)

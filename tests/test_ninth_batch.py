@@ -484,3 +484,30 @@ class TestQuotaSample:
         # proportional: a≈50, b≈30, c≈20 (exact by apportionment)
         counts = a.groupby("k")["id"].count()
         assert counts.sum() == 100 and abs(counts["a"] - 50) <= 1
+
+
+class TestQueryNear:
+    def test_window_semantics(self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.stages.ranking import (
+            build_positional_index, query_near)
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["alpha x y z beta",      # dist 4
+                     "beta alpha",            # dist 1, reversed order
+                     "alpha only here",       # no beta
+                     "x alpha beta y"]})      # dist 1
+        idx = str(tmp_path / "idx")
+        build_positional_index(ray.data.from_arrow(docs), idx,
+                               n_buckets=4)
+        near1 = sorted(query_near(idx, "alpha", "beta", 1,
+                                  n_buckets=4).to_pandas()["doc_id"])
+        assert near1 == [2, 4]
+        near4 = sorted(query_near(idx, "alpha", "beta", 4,
+                                  n_buckets=4).to_pandas()["doc_id"])
+        assert near4 == [1, 2, 4]  # boundary inclusive
+        none = query_near(idx, "alpha", "zzz", 9,
+                          n_buckets=4).to_pandas()
+        assert len(none) == 0
+        with pytest.raises(Exception, match="window"):
+            query_near(idx, "alpha", "beta", -1, n_buckets=4)
