@@ -8594,6 +8594,79 @@ def _q_events_ab_lift(sf_dir: str):
     return j.map_batches(pm, batch_format="pyarrow")
 
 
+def _q_turns_pii_screen(sf_dir: str):
+    """Transcript PII screen (functions/redact.py on the NORTH-RULE
+    payload: deterministic emails + IPs are injected into assistant
+    turns, the full 5-rule RE2 chain scrubs them, and each
+    conversation's REDACTED content is digest-gated — proving the
+    scrub byte-for-byte under the stable (conv_id, turn_idx)
+    ordering, not just counting matches): per conversation the turn
+    count, email/IP match counts and the md5 of the redacted
+    ordered concat. Oracle = the same injection + regexp_replace
+    chain + string_agg digest."""
+    from opentelemetry_collector_ray.functions.redact import (
+        pii_counts, redact)
+
+    def inject(t: pa.Table) -> pa.Table:
+        uid = pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99)
+        pii = pc.binary_join_element_wise(
+            " contact u", uid, "@example.com from 10.1.2.3", "")
+        txt = pc.if_else(pc.equal(t.column("role"), "assistant"),
+                         pc.binary_join_element_wise(
+                             t.column("text"), pii, ""),
+                         t.column("text"))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "text": txt})
+
+    injected = _turns(sf_dir).map_batches(inject, batch_format="pyarrow")
+
+    def scrub(t: pa.Table) -> pa.Table:
+        counts = pii_counts(t.column("text"))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "clean": redact(t.column("text")),
+                         "n_email": counts["n_email"],
+                         "n_ipv4": counts["n_ipv4"]})
+
+    scrubbed = injected.map_batches(scrub, batch_format="pyarrow")
+
+    # counts AND the ordered digest share the conv_id partitioning —
+    # ONE bucket exchange computes both (no join, no second exchange)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from opentelemetry_collector_ray.functions.text import md5_hex
+        from opentelemetry_collector_ray.stages.bucketing import (
+            multi_key_change)
+
+        t = t.sort_by([("conv_id", "ascending"),
+                       ("turn_idx", "ascending")])
+        mask = multi_key_change(t, ["conv_id"])
+        starts = np.flatnonzero(mask)
+        n = np.diff(np.append(starts, t.num_rows))
+        em = np.add.reduceat(
+            t.column("n_email").to_numpy(zero_copy_only=False), starts) \
+            if len(starts) else np.empty(0, np.int64)
+        ip = np.add.reduceat(
+            t.column("n_ipv4").to_numpy(zero_copy_only=False), starts) \
+            if len(starts) else np.empty(0, np.int64)
+        offsets = np.append(starts, t.num_rows).astype(np.int32)
+        clean = t.column("clean").combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         clean)
+        joined = pc.binary_join(lists, "\n")
+        heads = t.take(pa.array(starts.astype(np.int64)))
+        return pa.table({"conv_id": heads.column("conv_id"),
+                         "n_turns": pa.array(n.astype(np.int64)),
+                         "n_emails": pa.array(em.astype(np.int64)),
+                         "n_ips": pa.array(ip.astype(np.int64)),
+                         "redacted_md5": md5_hex(joined)})
+
+    from opentelemetry_collector_ray.stages.bucketing import (
+        bucketed_map_groups)
+
+    return bucketed_map_groups(scrubbed, "conv_id", per_bucket)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8920,6 +8993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_index_near": _q_docs_index_near,
         "turns_tool_streak": _q_turns_tool_streak,
         "events_ab_lift": _q_events_ab_lift,
+        "turns_pii_screen": _q_turns_pii_screen,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13149,6 +13223,41 @@ SELECT variant, CAST(count(*) AS BIGINT) AS n_trials,
        CAST(1000 * sum(is_conv) // count(*) AS BIGINT)
            AS conv_permille
 FROM x GROUP BY variant
+""",
+        "turns_pii_screen": f"""
+WITH {TURNS_CTE.strip()},
+inj AS (SELECT conv_id, turn_idx,
+               CASE WHEN role = 'assistant'
+                    THEN text || ' contact u' || substr(conv_id, 6)
+                         || '@example.com from 10.1.2.3'
+                    ELSE text END AS text
+        FROM turns),
+scr AS (SELECT conv_id, turn_idx,
+  regexp_replace(
+   regexp_replace(
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(text,
+       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}',
+       '<EMAIL>', 'g'),
+      '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+     '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b', '<CC>', 'g'),
+    '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>',
+   'g') AS clean,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}'))
+      AS n_email,
+  len(regexp_extract_all(text,
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+      AS n_ipv4
+ FROM inj)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ips,
+       md5(string_agg(clean, chr(10) ORDER BY turn_idx))
+           AS redacted_md5
+FROM scr GROUP BY conv_id
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
