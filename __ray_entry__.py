@@ -8667,6 +8667,56 @@ def _q_turns_pii_screen(sf_dir: str):
     return bucketed_map_groups(scrubbed, "conv_id", per_bucket)
 
 
+def _q_events_funnel_latency(sf_dir: str):
+    """Time-to-convert distribution (composition on stages/funnel.py:
+    the latency between a user's FIRST view and the funnel-completing
+    purchase, the product metric beside the conversion rate): whole
+    days via integer floor division, reduced to the bounded day
+    value-count table (tree — the domain is the observation window),
+    then the exact row_number rank rule reads p50/p90 off it in one
+    final task. Oracle = the funnel CTEs + the same rank rule."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.funnel import funnel
+
+    ev = _read_co(sf_dir, "events", ["user_id", "ts", "event_type"],
+                  floor=8)
+    fu = funnel(ev, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"])
+
+    def days_lane(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts_3")))
+        d = pc.divide(
+            pc.subtract(pc.cast(pc.cast(t.column("ts_3"),
+                                        pa.timestamp("us")), pa.int64()),
+                        pc.cast(pc.cast(t.column("ts_1"),
+                                        pa.timestamp("us")), pa.int64())),
+            pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"days": d})
+
+    counts = grouped_count(fu.map_batches(days_lane,
+                                          batch_format="pyarrow"),
+                           ["days"], count_name="_n", strategy="tree")
+
+    def rank_read(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("days", "ascending")])
+        d = t.column("days").to_numpy(zero_copy_only=False)
+        c = t.column("_n").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(c)
+        n = int(cum[-1]) if len(cum) else 0
+        out = {"n": pa.array([n], pa.int64())}
+        for q, name in ((0.5, "p50_days"), (0.9, "p90_days")):
+            if n:
+                r = int(np.floor((n - 1) * q))
+                out[name] = pa.array(
+                    [int(d[np.searchsorted(cum, r + 1)])], pa.int64())
+            else:
+                out[name] = pa.array([None], pa.int64())
+        return pa.table(out)
+
+    return counts.repartition(1).map_batches(
+        rank_read, batch_format="pyarrow", batch_size=None)
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -8994,6 +9044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_tool_streak": _q_turns_tool_streak,
         "events_ab_lift": _q_events_ab_lift,
         "turns_pii_screen": _q_turns_pii_screen,
+        "events_funnel_latency": _q_events_funnel_latency,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13258,6 +13309,30 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        md5(string_agg(clean, chr(10) ORDER BY turn_idx))
            AS redacted_md5
 FROM scr GROUP BY conv_id
+""",
+        "events_funnel_latency": """
+WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.ts_1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.ts_2
+       GROUP BY e.user_id),
+d AS (SELECT (epoch_us(s3.ts_3) - epoch_us(s1.ts_1))
+             // 86400000000 AS days
+      FROM s3 JOIN s1 USING (user_id)),
+ranked AS (SELECT days, row_number() OVER (ORDER BY days) AS rn,
+                  count(*) OVER () AS cnt
+           FROM d)
+SELECT CAST(max(cnt) AS BIGINT) AS n,
+  CAST(max(CASE WHEN rn = CAST(floor((cnt-1)*0.5) AS BIGINT)+1
+            THEN days END) AS BIGINT) AS p50_days,
+  CAST(max(CASE WHEN rn = CAST(floor((cnt-1)*0.9) AS BIGINT)+1
+            THEN days END) AS BIGINT) AS p90_days
+FROM ranked
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -197,7 +197,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "turns_sum_connector", "events_decayed_counts",
              "events_counter_resets", "events_quota_sample",
              "docs_index_near", "turns_tool_streak",
-             "events_ab_lift", "turns_pii_screen"]
+             "events_ab_lift", "turns_pii_screen",
+             "events_funnel_latency"]
     q = m.queries()
     for name in names:
         t0 = time.time()
