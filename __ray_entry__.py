@@ -8717,6 +8717,72 @@ def _q_events_funnel_latency(sf_dir: str):
         rank_read, batch_format="pyarrow", batch_size=None)
 
 
+def _q_docs_dedup_keep_best(sf_dir: str):
+    """Survivorship dedup — keep the BEST duplicate, not the first
+    (the NeMo-Curator-style selection rule every curation stack
+    prefers over arbitrary keep-first: among rows sharing a content
+    hash, survive the highest token count, doc_id as tie-break):
+    content md5 lane (text itself never shuffles), one bucket pass
+    via cdc.latest_by_key. The synthetic corpus has NO exact
+    duplicates (the gate would be vacuous), so every 7th doc is
+    first re-injected as a higher-id copy — the survivor set then
+    genuinely differs from the input (the injected ids win their
+    groups on the tie-break). Oracle = the same UNION ALL +
+    row_number over (hash ORDER BY quality DESC, doc_id DESC) = 1."""
+    from opentelemetry_collector_ray.functions.text import md5_hex
+    from opentelemetry_collector_ray.stages.cdc import latest_by_key
+
+    def lanes(t: pa.Table) -> pa.Table:
+        dup_mask = pc.equal(
+            pc.subtract(t.column("doc_id"),
+                        pc.multiply(pc.divide(t.column("doc_id"), 7),
+                                    7)), 0)
+        d = t.filter(dup_mask)
+        ids = pa.concat_arrays(
+            [t.column("doc_id").combine_chunks(),
+             pc.add(d.column("doc_id"),
+                    pa.scalar(1_000_000, pa.int64())).combine_chunks()])
+        txt = pa.concat_arrays([t.column("text").combine_chunks(),
+                                d.column("text").combine_chunks()])
+        q = pc.cast(pc.add(pc.count_substring(txt, " "),
+                           pa.scalar(1, pa.int32())), pa.int64())
+        return pa.table({"hh": md5_hex(txt), "doc_id": ids, "q": q})
+
+    pre = _read_co(sf_dir, "documents", ["doc_id", "text"],
+                   floor=8).map_batches(lanes, batch_format="pyarrow")
+    best = latest_by_key(pre, "hh", ["q", "doc_id"], keep="last")
+    return best.select_columns(["doc_id", "q"])
+
+
+def _q_docs_mixture_temp(sf_dir: str):
+    """Power-weighted mixture quotas (the temperature knob on corpus
+    mixing, at α=2 — the exactly-representable integer power:
+    source budget share ∝ n², then largest-remainder apportionment of
+    the 1000-seat token budget; α<1 flattening needs roots and stays
+    outside the exact gate by design). Composition: bounded source
+    counts (tree) → squared weights (int64-guarded) →
+    allocate.apportion weight path. Oracle = the same n² + remainder
+    arithmetic."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.allocate import apportion
+
+    counts = grouped_count(
+        _read_co(sf_dir, "documents", ["source"], floor=8),
+        ["source"], count_name="n", strategy="tree")
+
+    def squared(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        if len(n) and int(n.max()) > 3_000_000_000:
+            raise ValueError("docs_mixture_temp: n² would overflow "
+                             "int64 — rescale")
+        return pa.table({"source": t.column("source"),
+                         "w": pa.array((n * n).astype(np.int64))})
+
+    pre = counts.map_batches(squared, batch_format="pyarrow")
+    return apportion(pre, ["source"], 1000, weight_col="w",
+                     count_name="w")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9045,6 +9111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_lift": _q_events_ab_lift,
         "turns_pii_screen": _q_turns_pii_screen,
         "events_funnel_latency": _q_events_funnel_latency,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
+        "docs_mixture_temp": _q_docs_mixture_temp,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13333,6 +13401,37 @@ SELECT CAST(max(cnt) AS BIGINT) AS n,
   CAST(max(CASE WHEN rn = CAST(floor((cnt-1)*0.9) AS BIGINT)+1
             THEN days END) AS BIGINT) AS p90_days
 FROM ranked
+""",
+        "docs_dedup_keep_best": """
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 7 = 0),
+h AS (SELECT doc_id, md5(text) AS hh,
+             CAST(1 + length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) AS q
+      FROM u),
+r AS (SELECT doc_id, q,
+             row_number() OVER (PARTITION BY hh
+                                ORDER BY q DESC, doc_id DESC) AS rn
+      FROM h)
+SELECT doc_id, q FROM r WHERE rn = 1
+""",
+        "docs_mixture_temp": """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+w AS (SELECT source, n * n AS w FROM c),
+b AS (SELECT source, w,
+             (1000 * w) // (SELECT sum(w) FROM w) AS base,
+             (1000 * w) % (SELECT sum(w) FROM w) AS rem
+      FROM w),
+r AS (SELECT source, w, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b)
+SELECT source, CAST(w AS BIGINT) AS w,
+       CAST(base + CASE WHEN rk <= 1000 - (SELECT sum(base) FROM b)
+                        THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

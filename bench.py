@@ -198,7 +198,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_counter_resets", "events_quota_sample",
              "docs_index_near", "turns_tool_streak",
              "events_ab_lift", "turns_pii_screen",
-             "events_funnel_latency"]
+             "events_funnel_latency", "docs_dedup_keep_best",
+             "docs_mixture_temp"]
     q = m.queries()
     for name in names:
         t0 = time.time()
