@@ -1651,6 +1651,9 @@ def _register_builtins() -> None:
     register("parquet_sink", Factory("exporter", lambda cfg: cfg))
     register("jsonl_sink", Factory("exporter", lambda cfg: cfg))
     register("ipc_sink", Factory("exporter", lambda cfg: cfg))
+    register("csv_sink", Factory("exporter", lambda cfg: cfg))
+    register("orc_sink", Factory("exporter", lambda cfg: cfg))
+    register("prom_sink", Factory("exporter", lambda cfg: cfg))
     register("debug", Factory("exporter", lambda cfg: cfg))
 
 

@@ -241,6 +241,31 @@ def run_exporters(cfg: PipelineConfig, ds: ray.data.Dataset, out_root: str) -> d
                                   ecfg.get("path", name.replace("/", "_")))
             ds.write_json(target)
             counts[name] = "written"
+        elif type_name == "csv_sink":
+            # delimited text, one file per block (Arrow CSV writer) —
+            # the inverse of the csv receiver
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            ds.write_csv(target)
+            counts[name] = "written"
+        elif type_name == "orc_sink":
+            from ..sources.orcfile import write_orc
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_orc(ds, target)
+        elif type_name == "prom_sink":
+            from ..sources.textlog import write_prom_text
+
+            target = os.path.join(out_root,
+                                  ecfg.get("path", name.replace("/", "_")))
+            counts[name] = write_prom_text(
+                ds, target,
+                metric_col=ecfg.get("metric_col", "metric"),
+                labels_col=ecfg.get("labels_col", "labels"),
+                value_col=ecfg.get("value_col", "value"),
+                ts_col=ecfg.get("ts_col", "ts_ms"),
+                help_text=ecfg.get("help"))
         elif type_name == "debug":
             counts[name] = DebugSink(ecfg.get("verbosity", "basic")).consume(ds)
         else:

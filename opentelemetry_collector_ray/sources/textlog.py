@@ -217,3 +217,58 @@ def prom_label(labels: pa.ChunkedArray | pa.Array,
         + r'="(?P<v>(?:[^"\\]|\\.)*)"')
     return pc.if_else(pc.is_null(st), pa.scalar(None, pa.string()),
                       st.field("v"))
+
+
+def write_prom_text(ds: ray.data.Dataset, out_dir: str, *,
+                    metric_col: str = "metric",
+                    labels_col: str | None = "labels",
+                    value_col: str = "value",
+                    ts_col: str | None = "ts_ms",
+                    help_text: str | None = None) -> int:
+    """Render sample rows back to Prometheus text exposition pages —
+    the write side of :func:`read_prom_text` (one page per block,
+    atomic rename; optional # HELP header). ``labels_col`` holds the
+    raw ``k="v",...`` body ('' → no braces); values/timestamps are
+    cast to string verbatim, so integer lanes round-trip exactly.
+    Returns rows written."""
+    import os
+    import uuid
+
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n:
+            metric = batch.column(metric_col).combine_chunks()
+            val = pc.cast(batch.column(value_col),
+                          pa.string()).combine_chunks()
+            if labels_col is not None:
+                lab = pc.fill_null(batch.column(labels_col),
+                                   "").combine_chunks()
+                body = pc.if_else(
+                    pc.equal(lab, ""), metric,
+                    pc.binary_join_element_wise(metric, "{", lab, "}",
+                                                ""))
+            else:
+                body = metric
+            line = pc.binary_join_element_wise(body, " ", val, "")
+            if ts_col is not None:
+                ts = batch.column(ts_col)
+                ts_s = pc.fill_null(pc.cast(ts, pa.string()), "")
+                line = pc.if_else(
+                    pc.equal(ts_s, ""), line,
+                    pc.binary_join_element_wise(line, " ", ts_s, ""))
+            head = [f"# HELP {help_text}", ""] if help_text else []
+            blob = "\n".join(head + line.to_pylist()) + "\n"
+            name = f"metrics-{uuid.uuid4().hex[:12]}.txt"
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "w") as f:
+                f.write(blob)
+            os.rename(tmp, os.path.join(out_dir, name))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(emit, batch_format="pyarrow",
+                           batch_size=None)
+    return int(sum(r["n"] for r in parts.take_all()))

@@ -1348,3 +1348,61 @@ def test_ops_dashboard_example_yaml(ray_session, tmp_path, monkeypatch):
     row = out.iloc[0]
     assert (row["open"], row["high"], row["low"], row["close"],
             row["n"]) == (40, 90, 10, 70, 4)
+
+
+def test_format_sinks_roundtrip(ray_session, tmp_path):
+    """csv_sink / orc_sink / prom_sink exporters invert through their
+    matching receivers/readers."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.pipelines.builder import (
+        build_dataset, run_exporters)
+    from opentelemetry_collector_ray.sources.orcfile import read_orc
+    from opentelemetry_collector_ray.sources.textlog import (
+        prom_label, read_prom_text)
+
+    p = tmp_path / "in.parquet"
+    pq.write_table(pa.table({
+        "metric": ["m", "m", "m"],
+        "labels": ['k="a"', 'k="b"', ""],
+        "value": pa.array([5, 7, 9], pa.int64()),
+        "ts_ms": pa.array([100, None, 300], pa.int64())}), str(p))
+
+    def run(sink, scfg):
+        cfg = PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {},
+            "exporters": {sink: scfg},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"], "processors": [],
+                "exporters": [sink]}}},
+        })
+        return run_exporters(cfg, build_dataset(cfg), str(tmp_path))
+
+    run("csv_sink", {"path": "csvout"})
+    back = ray.data.read_csv(
+        str(tmp_path / "csvout")).to_pandas().sort_values("value")
+    assert back["value"].tolist() == [5, 7, 9]
+
+    counts = run("orc_sink", {"path": "orcout"})
+    assert counts["orc_sink"] == 3
+    files = [str(tmp_path / "orcout" / f)
+             for f in sorted(os.listdir(tmp_path / "orcout"))]
+    oback = read_orc(files).to_pandas().sort_values("value")
+    assert oback["metric"].tolist() == ["m", "m", "m"]
+
+    counts = run("prom_sink", {"path": "promout", "help": "m doc"})
+    assert counts["prom_sink"] == 3
+    pfiles = [str(tmp_path / "promout" / f)
+              for f in sorted(os.listdir(tmp_path / "promout"))]
+    pb = read_prom_text(pfiles).to_pandas().sort_values("value")
+    assert pb["value"].tolist() == ["5", "7", "9"]
+    assert pb["ts_ms"].tolist() == [100.0, None, 300.0] or \
+        [x if x == x else None for x in pb["ts_ms"].tolist()] \
+        == [100, None, 300]
+    labs = prom_label(pa.array(pb["labels"].tolist()), "k")
+    assert labs.to_pylist() == ["a", "b", None]
