@@ -8783,6 +8783,40 @@ def _q_docs_mixture_temp(sf_dir: str):
                      count_name="w")
 
 
+def _q_events_metric_ratio(sf_dir: str):
+    """Derived-metric generation (the metricsgeneration processor
+    analog: a NEW metric computed from two existing series — here the
+    daily click-through rate = clicks/views permille): per-day lane
+    counts in ONE tree aggregate, ratio as truncating integer
+    division, NULL when the denominator is absent. Oracle = the same
+    CASE sums + integer division."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def lanes(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "n_clicks": pc.cast(pc.equal(et, "click"), pa.int64()),
+            "n_views": pc.cast(pc.equal(et, "view"), pa.int64())})
+
+    pre = _read_co(sf_dir, "events", ["ts", "event_type"],
+                   floor=8).map_batches(lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["day"],
+                      sum_cols={"n_clicks": "n_clicks",
+                                "n_views": "n_views"}, strategy="tree")
+
+    def ratio(t: pa.Table) -> pa.Table:
+        pm = pc.if_else(
+            pc.greater(t.column("n_views"), 0),
+            pc.divide(pc.multiply(t.column("n_clicks"),
+                                  pa.scalar(1000, pa.int64())),
+                      t.column("n_views")),
+            pa.scalar(None, pa.int64()))
+        return t.append_column("ctr_permille", pm)
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9113,6 +9147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_latency": _q_events_funnel_latency,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_mixture_temp": _q_docs_mixture_temp,
+        "events_metric_ratio": _q_events_metric_ratio,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13432,6 +13467,19 @@ SELECT source, CAST(w AS BIGINT) AS w,
        CAST(base + CASE WHEN rk <= 1000 - (SELECT sum(base) FROM b)
                         THEN 1 ELSE 0 END AS BIGINT) AS seats
 FROM r
+""",
+        "events_metric_ratio": """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                  CAST(sum(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_views
+           FROM events GROUP BY day)
+SELECT day, n_clicks, n_views,
+       CASE WHEN n_views > 0
+            THEN CAST(1000 * n_clicks // n_views AS BIGINT) END
+           AS ctr_permille
+FROM c
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
