@@ -8817,6 +8817,74 @@ def _q_events_metric_ratio(sf_dir: str):
     return agg.map_batches(ratio, batch_format="pyarrow")
 
 
+def _q_turns_handoff_matrix(sf_dir: str):
+    """Role handoff matrix (the conversation-flow audit beside
+    turns_alternation's repeat counter: WHO follows WHOM, the full
+    prev-role × role transition counts): one conv_id lag window +
+    one bounded tree rollup. Oracle = SQL lag + GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_count
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "role": t.column("role")})
+
+    win = per_key_window(
+        _turns(sf_dir).map_batches(proj, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"], {"prev_role": ("lag", "role")})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev_role")))
+        return pa.table({"prev_role": t.column("prev_role"),
+                         "role": t.column("role")})
+
+    pre = win.map_batches(pairs, batch_format="pyarrow")
+    return grouped_count(pre, ["prev_role", "role"],
+                         count_name="n_handoffs", strategy="tree")
+
+
+def _q_events_dwell_time(sf_dir: str):
+    """Transition dwell times (the pair-conditioned sibling of the
+    inter-arrival stats: how long users linger between one event type
+    and the next): per-user lag window over (ts, event_id), dwell
+    lanes rolled into the bounded (prev_type, type) matrix — n, total
+    and max dwell µs, all exact integers. Oracle = epoch_us lag +
+    GROUP BY."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(pc.cast(t.column("ts"),
+                                     pa.timestamp("us")), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type")})
+
+    pre = _read_co(sf_dir, "events",
+                   ["user_id", "ts", "event_id", "event_type"],
+                   floor=8).map_batches(proj, batch_format="pyarrow")
+    win = per_key_window(pre, "user_id", ["ts_us", "event_id"],
+                         {"prev_ts": ("lag", "ts_us"),
+                          "prev_type": ("lag", "event_type")})
+
+    def lanes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev_ts")))
+        return pa.table({
+            "prev_type": t.column("prev_type"),
+            "event_type": t.column("event_type"),
+            "dwell_us": pc.subtract(t.column("ts_us"),
+                                    t.column("prev_ts"))})
+
+    mid = win.map_batches(lanes, batch_format="pyarrow")
+    return grouped_agg(mid, ["prev_type", "event_type"],
+                       count_name="n",
+                       sum_cols={"sum_dwell_us": "dwell_us"},
+                       max_cols={"max_dwell_us": "dwell_us"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9148,6 +9216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_mixture_temp": _q_docs_mixture_temp,
         "events_metric_ratio": _q_events_metric_ratio,
+        "turns_handoff_matrix": _q_turns_handoff_matrix,
+        "events_dwell_time": _q_events_dwell_time,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13480,6 +13550,28 @@ SELECT day, n_clicks, n_views,
             THEN CAST(1000 * n_clicks // n_views AS BIGINT) END
            AS ctr_permille
 FROM c
+""",
+        "turns_handoff_matrix": f"""
+WITH {TURNS_CTE.strip()},
+w AS (SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS prev_role
+      FROM turns)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_handoffs
+FROM w WHERE prev_role IS NOT NULL GROUP BY prev_role, role
+""",
+        "events_dwell_time": """
+WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) AS prev_ts,
+                  lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ts_us - prev_ts) AS BIGINT) AS sum_dwell_us,
+       CAST(max(ts_us - prev_ts) AS BIGINT) AS max_dwell_us
+FROM w WHERE prev_ts IS NOT NULL
+GROUP BY prev_type, event_type
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
