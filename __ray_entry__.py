@@ -8885,6 +8885,50 @@ def _q_events_dwell_time(sf_dir: str):
                        strategy="tree")
 
 
+def _q_profiles_diff(sf_dir: str):
+    """Differential flamegraph (the regression-detection read of the
+    profiles signal: per function the total µs in a BASELINE vs a
+    CANDIDATE sample set — here split by event_id parity — and the
+    signed delta): frames explode once with side lanes, one bounded
+    tree rollup; negative deltas are real signal. Oracle = the same
+    frame UNION ALL + parity CASE lanes."""
+    from opentelemetry_collector_ray.sources.profiles import FRAME_COLS
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    frames = _profile_frames(sf_dir)
+
+    def lanes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        names = pa.concat_arrays([
+            (t.column(c).combine_chunks()
+             if isinstance(t.column(c), pa.ChunkedArray)
+             else t.column(c)).cast(pa.string()) for c in FRAME_COLS])
+        us = t.column("value_us").to_numpy(zero_copy_only=False)
+        odd = (t.column("event_id").to_numpy(zero_copy_only=False)
+               & 1).astype(bool)
+        us3 = np.tile(us, 3)
+        odd3 = np.tile(odd, 3)
+        return pa.table({
+            "name": names,
+            "base_us": pa.array(np.where(odd3, 0, us3)),
+            "cand_us": pa.array(np.where(odd3, us3, 0)),
+            "n_base": pa.array((~odd3).astype(np.int64)),
+            "n_cand": pa.array(odd3.astype(np.int64))})
+
+    pre = frames.map_batches(lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["name"],
+                      sum_cols={c: c for c in
+                                ("base_us", "cand_us",
+                                 "n_base", "n_cand")}, strategy="tree")
+
+    def delta(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "delta_us", pc.subtract(t.column("cand_us"),
+                                    t.column("base_us")))
+
+    return agg.map_batches(delta, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9218,6 +9262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_metric_ratio": _q_events_metric_ratio,
         "turns_handoff_matrix": _q_turns_handoff_matrix,
         "events_dwell_time": _q_events_dwell_time,
+        "profiles_diff": _q_profiles_diff,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13572,6 +13617,35 @@ SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(max(ts_us - prev_ts) AS BIGINT) AS max_dwell_us
 FROM w WHERE prev_ts IS NOT NULL
 GROUP BY prev_type, event_type
+""",
+        "profiles_diff": """
+WITH fr AS (
+  SELECT event_id,
+         'proc::' || CASE event_type WHEN 'signup' THEN 'auth'
+              WHEN 'purchase' THEN 'checkout'
+              WHEN 'error' THEN 'backend' ELSE 'frontend' END AS name,
+         CAST(floor(value * 1000) AS BIGINT) AS us
+  FROM events
+  UNION ALL
+  SELECT event_id, 'op::' || event_type,
+         CAST(floor(value * 1000) AS BIGINT) FROM events
+  UNION ALL
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN 'status::err'
+              ELSE 'status::ok' END,
+         CAST(floor(value * 1000) AS BIGINT) FROM events),
+x AS (SELECT name,
+             CASE WHEN event_id % 2 = 0 THEN us ELSE 0 END AS b,
+             CASE WHEN event_id % 2 = 1 THEN us ELSE 0 END AS c,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS nb,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS nc
+      FROM fr)
+SELECT name, CAST(sum(b) AS BIGINT) AS base_us,
+       CAST(sum(c) AS BIGINT) AS cand_us,
+       CAST(sum(nb) AS BIGINT) AS n_base,
+       CAST(sum(nc) AS BIGINT) AS n_cand,
+       CAST(sum(c) - sum(b) AS BIGINT) AS delta_us
+FROM x GROUP BY name
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -200,7 +200,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_ab_lift", "turns_pii_screen",
              "events_funnel_latency", "docs_dedup_keep_best",
              "docs_mixture_temp", "events_metric_ratio",
-             "turns_handoff_matrix", "events_dwell_time"]
+             "turns_handoff_matrix", "events_dwell_time",
+             "profiles_diff"]
     q = m.queries()
     for name in names:
         t0 = time.time()
