@@ -8929,6 +8929,26 @@ def _q_profiles_diff(sf_dir: str):
     return agg.map_batches(delta, batch_format="pyarrow")
 
 
+def _q_spans_slow_exemplars(sf_dir: str):
+    """Slowest-trace exemplars (the drill-down link every latency
+    dashboard carries: per service, WHICH trace to open — the one
+    with the largest total span time): per-(service, trace) sums ride
+    the bucket aggregate (unbounded trace keys, near-unique composite
+    → the bucket strategy, the weighted-median lesson), then one
+    argmax per service via cdc.latest_by_key. Oracle = row_number
+    over (total DESC, trace DESC) = 1."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.cdc import latest_by_key
+
+    per_trace = grouped_agg(
+        _spans(sf_dir).select_columns(["service", "trace_id",
+                                       "duration_us"]),
+        ["service", "trace_id"], count_name="n_spans",
+        sum_cols={"total_us": "duration_us"}, strategy="bucket")
+    return latest_by_key(per_trace, "service",
+                         ["total_us", "trace_id"], keep="last")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9263,6 +9283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_handoff_matrix": _q_turns_handoff_matrix,
         "events_dwell_time": _q_events_dwell_time,
         "profiles_diff": _q_profiles_diff,
+        "spans_slow_exemplars": _q_spans_slow_exemplars,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13646,6 +13667,18 @@ SELECT name, CAST(sum(b) AS BIGINT) AS base_us,
        CAST(sum(nc) AS BIGINT) AS n_cand,
        CAST(sum(c) - sum(b) AS BIGINT) AS delta_us
 FROM x GROUP BY name
+""",
+        "spans_slow_exemplars": f"""
+WITH {SPANS_CTE.strip()},
+pt AS (SELECT service, trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(sum(duration_us) AS BIGINT) AS total_us
+       FROM spans GROUP BY service, trace_id),
+r AS (SELECT service, trace_id, n_spans, total_us,
+             row_number() OVER (PARTITION BY service
+                                ORDER BY total_us DESC,
+                                         trace_id DESC) AS rn
+      FROM pt)
+SELECT service, trace_id, n_spans, total_us FROM r WHERE rn = 1
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
