@@ -8949,6 +8949,42 @@ def _q_spans_slow_exemplars(sf_dir: str):
                          ["total_us", "trace_id"], keep="last")
 
 
+def _q_spans_trace_assembly(sf_dir: str):
+    """Whole-trace assembly under a digest gate (the groupbytrace
+    processor analog: gather every span of a trace in start order —
+    here gated byte-exactly via the md5 of the ordered span-id
+    concat, the turns_conv_digest discipline applied to traces): one
+    bucket exchange (grouped_string_agg), n_spans recovered from the
+    separator count (span ids are fixed 16-hex, ',' never occurs).
+    Oracle = string_agg(span_id ORDER BY start_ts, span_id) + md5."""
+    from opentelemetry_collector_ray.functions.text import md5_hex
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_string_agg)
+
+    def lanes(t: pa.Table) -> pa.Table:
+        # the tie-break column must be distinct from the value column
+        # (grouped_string_agg selects both)
+        return pa.table({"trace_id": t.column("trace_id"),
+                         "span_id": t.column("span_id"),
+                         "start_ts": t.column("start_ts"),
+                         "sid": t.column("span_id")})
+
+    sel = _spans(sf_dir).select_columns(
+        ["trace_id", "span_id", "start_ts"]).map_batches(
+        lanes, batch_format="pyarrow")
+    agg = grouped_string_agg(sel, "trace_id", ["start_ts", "sid"],
+                             "span_id", sep=",", out_name="joined")
+
+    def digest(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.count_substring(t.column("joined"), ","),
+                           pa.scalar(1, pa.int32())), pa.int64())
+        return pa.table({"trace_id": t.column("trace_id"),
+                         "n_spans": n,
+                         "trace_md5": md5_hex(t.column("joined"))})
+
+    return agg.map_batches(digest, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9284,6 +9320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dwell_time": _q_events_dwell_time,
         "profiles_diff": _q_profiles_diff,
         "spans_slow_exemplars": _q_spans_slow_exemplars,
+        "spans_trace_assembly": _q_spans_trace_assembly,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13679,6 +13716,13 @@ r AS (SELECT service, trace_id, n_spans, total_us,
                                          trace_id DESC) AS rn
       FROM pt)
 SELECT service, trace_id, n_spans, total_us FROM r WHERE rn = 1
+""",
+        "spans_trace_assembly": f"""
+WITH {SPANS_CTE.strip()}
+SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+       md5(string_agg(span_id, ',' ORDER BY start_ts, span_id))
+           AS trace_md5
+FROM spans GROUP BY trace_id
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

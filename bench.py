@@ -201,7 +201,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "events_funnel_latency", "docs_dedup_keep_best",
              "docs_mixture_temp", "events_metric_ratio",
              "turns_handoff_matrix", "events_dwell_time",
-             "profiles_diff", "spans_slow_exemplars"]
+             "profiles_diff", "spans_slow_exemplars",
+             "spans_trace_assembly"]
     q = m.queries()
     for name in names:
         t0 = time.time()
