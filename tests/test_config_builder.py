@@ -1406,3 +1406,35 @@ def test_format_sinks_roundtrip(ray_session, tmp_path):
         == [100, None, 300]
     labs = prom_label(pa.array(pb["labels"].tolist()), "k")
     assert labs.to_pylist() == ["a", "b", None]
+
+
+def test_privacy_release_example_yaml(ray_session, tmp_path,
+                                      monkeypatch):
+    """examples/privacy_release.yaml end to end: k-anonymity
+    suppression chained into the l-diversity audit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    rows = (
+        # group (111, a): 4 members, 2 diagnoses → survives, diverse
+        [{"zip3": "111", "age_band": "a", "diagnosis": d}
+         for d in ["flu", "flu", "cold", "flu"]]
+        # group (222, b): 3 members, ONE diagnosis → survives k, fails l
+        + [{"zip3": "222", "age_band": "b", "diagnosis": "flu"}] * 3
+        # group (333, c): 2 members → suppressed by k=3
+        + [{"zip3": "333", "age_band": "c", "diagnosis": "cold"}] * 2)
+    p = tmp_path / "r.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    monkeypatch.setenv("RELEASE_PATH", str(p))
+    from pathlib import Path
+
+    yml = Path(__file__).resolve().parent.parent / "examples" \
+        / "privacy_release.yaml"
+    out = build_dataset(PipelineConfig.from_yaml(str(yml))) \
+        .to_pandas().set_index("zip3").sort_index()
+    assert "333" not in out.index          # suppressed by k
+    assert out.loc["111", "is_diverse"] == 1
+    assert out.loc["222", "is_diverse"] == 0
+    assert out.loc["111", "n_sensitive"] == 2
