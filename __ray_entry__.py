@@ -8583,9 +8583,16 @@ def _q_events_ab_lift(sf_dir: str):
             batch_format="pyarrow"),
         ["variant"], "user_id", out_name="n_conv_users",
         final_strategy="bucket")
-    j = shuffle_hash_join(agg, conv_users, key="variant")
+    # LEFT join + zero-fill: a variant with zero conversions has no
+    # conv_users row, but the oracle's COUNT(DISTINCT CASE...) still
+    # emits it with 0 (review finding — inner join dropped the row)
+    j = shuffle_hash_join(agg, conv_users, key="variant", how="left")
 
     def pm(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("n_conv_users"), "n_conv_users",
+            pc.fill_null(t.column("n_conv_users"),
+                         pa.scalar(0, pa.int64())))
         r = pc.divide(pc.multiply(t.column("n_conversions"),
                                   pa.scalar(1000, pa.int64())),
                       t.column("n_trials"))

@@ -241,6 +241,12 @@ def write_prom_text(ds: ray.data.Dataset, out_dir: str, *,
     def emit(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n:
+            for c in (metric_col, value_col):
+                if batch.column(c).null_count:
+                    raise ValueError(
+                        f"write_prom_text: column {c!r} has nulls — "
+                        "a sample line needs both a metric name and "
+                        "a value; fill or filter upstream")
             metric = batch.column(metric_col).combine_chunks()
             val = pc.cast(batch.column(value_col),
                           pa.string()).combine_chunks()
@@ -264,7 +270,9 @@ def write_prom_text(ds: ray.data.Dataset, out_dir: str, *,
             blob = "\n".join(head + line.to_pylist()) + "\n"
             name = f"metrics-{uuid.uuid4().hex[:12]}.txt"
             tmp = os.path.join(out_dir, f".{name}.tmp")
-            with open(tmp, "w") as f:
+            # explicit utf-8: the read path decodes bytes as utf-8, a
+            # locale-default text write would break the symmetry
+            with open(tmp, "w", encoding="utf-8") as f:
                 f.write(blob)
             os.rename(tmp, os.path.join(out_dir, name))
         return pa.table({"n": pa.array([n], pa.int64())})

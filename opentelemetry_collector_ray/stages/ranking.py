@@ -552,11 +552,25 @@ def query_near(index_dir: str, term_a: str, term_b: str, window: int,
     if window < 0:
         raise ValueError("query_near: window must be >= 0")
 
+    def _indexed_id_type() -> pa.DataType:
+        # preserve the index's real id type on the no-partition path
+        # (the query_phrase review-finding convention: a hardcoded
+        # type breaks the union when the other term HAS postings)
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        any_file = sorted(glob.glob(os.path.join(
+            index_dir, "bucket=*", "*.parquet")))
+        return pq.read_schema(any_file[0]).field(id_col).type \
+            if any_file else pa.int64()
+
     def posts_for(term: str, tag: int) -> ray.data.Dataset:
         paths = probe_paths(index_dir, [term], n_buckets)
         if not paths:
             return ray.data.from_arrow(pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], _indexed_id_type()),
                 "pos": pa.array([], pa.int64()),
                 "_t": pa.array([], pa.int64())}))
         return ray.data.read_parquet(paths).map_batches(

@@ -260,7 +260,8 @@ def assign_split(ds: ray.data.Dataset, key: str,
 
 def quota_sample(ds: ray.data.Dataset, key: str, n_seats: int,
                  id_col: str, *, max_groups: int = 100_000,
-                 n_buckets: int | str = "auto") -> ray.data.Dataset:
+                 n_buckets: int | str = "auto",
+                 persist: str = "none") -> ray.data.Dataset:
     """Quota sampling — largest-remainder apportionment made
     ACTIONABLE: allocate ``n_seats`` across the ``key`` categories
     proportionally (``allocate.apportion``), then deterministically
@@ -273,19 +274,30 @@ def quota_sample(ds: ray.data.Dataset, key: str, n_seats: int,
     prereduces every block to ≤ max-quota rows per key it contains
     (exact — the global smallest-k by hash is a subset of the union
     of per-block smallest-k) before ONE bucket exchange ranks and
-    cuts each category at its quota."""
+    cuts each category at its quota. The input plan executes twice
+    (count pass + sample pass); ``persist="memory"`` materializes the
+    input once when the upstream is expensive to recompute (the
+    two-pass idiom — free to skip when ``ds`` is a bare parquet
+    read)."""
     import ray
 
     from ..functions.text import md5_hex
     from .allocate import apportion
     from .bucketing import bucketed_map_groups, multi_key_change
 
+    if persist not in ("none", "memory"):
+        raise ValueError(f"quota_sample: unknown persist={persist!r}")
+    if persist == "memory":
+        ds = ds.materialize()
     seats_ds = apportion(ds.select_columns([key]), [key], n_seats,
                          max_groups=max_groups)
-    seats_tbl = pa.concat_tables(
-        [t for t in ray.get(seats_ds.to_arrow_refs()) if t.num_rows])
-    seats = dict(zip(seats_tbl.column(key).to_pylist(),
-                     seats_tbl.column("seats").to_pylist()))
+    parts = [t for t in ray.get(seats_ds.to_arrow_refs())
+             if t.num_rows]
+    seats = {}
+    if parts:
+        seats_tbl = pa.concat_tables(parts)
+        seats = dict(zip(seats_tbl.column(key).to_pylist(),
+                         seats_tbl.column("seats").to_pylist()))
     kmax = max(seats.values(), default=0)
     ref = ray.put(seats)
 
@@ -293,30 +305,33 @@ def quota_sample(ds: ray.data.Dataset, key: str, n_seats: int,
         h = md5_hex(pc.cast(t.column(id_col), pa.string()))
         return t.append_column("_h", h)
 
-    def cut(t: pa.Table, quota_of) -> pa.Table:
+    def cut(t: pa.Table, quota_of, drop: bool) -> pa.Table:
         t = t.sort_by([(key, "ascending"), ("_h", "ascending"),
                        (id_col, "ascending")])
         mask = multi_key_change(t, [key])
         starts = np.flatnonzero(mask)
-        if not len(starts):
-            return t.drop_columns(["_h"])
-        seg = np.repeat(np.arange(len(starts)),
-                        np.diff(np.append(starts, t.num_rows)))
-        rank = np.arange(t.num_rows) - starts[seg]
-        kvals = t.column(key).take(
-            pa.array(starts.astype(np.int64))).to_pylist()
-        quota = np.array([quota_of(v) for v in kvals], np.int64)[seg]
-        return t.filter(pa.array(rank < quota)).drop_columns(["_h"])
+        if len(starts):
+            seg = np.repeat(np.arange(len(starts)),
+                            np.diff(np.append(starts, t.num_rows)))
+            rank = np.arange(t.num_rows) - starts[seg]
+            kvals = t.column(key).take(
+                pa.array(starts.astype(np.int64))).to_pylist()
+            quota = np.array([quota_of(v) for v in kvals],
+                             np.int64)[seg]
+            t = t.filter(pa.array(rank < quota))
+        return t.drop_columns(["_h"]) if drop else t
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow",
                             batch_size=65536)
-    # per-block prereduce: smallest kmax per key bounds the exchange
-    pre = hashed.map_batches(lambda t: cut(t, lambda _v: kmax),
-                             batch_format="pyarrow", batch_size=65536) \
-        .map_batches(add_hash, batch_format="pyarrow")
+    # per-block prereduce: smallest kmax per key bounds the exchange;
+    # the _h lane rides through (review finding: dropping it forced a
+    # full second md5 pass over every survivor)
+    pre = hashed.map_batches(
+        lambda t: cut(t, lambda _v: kmax, drop=False),
+        batch_format="pyarrow", batch_size=65536)
 
     def final(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        return cut(t, lambda v: s.get(v, 0))
+        return cut(t, lambda v: s.get(v, 0), drop=True)
 
     return bucketed_map_groups(pre, key, final, n_buckets=n_buckets)

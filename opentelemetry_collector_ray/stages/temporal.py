@@ -54,9 +54,9 @@ def delta_to_cumulative(ds: ray.data.Dataset, key: str, order_col: str,
 
 def cumulative_to_delta(ds: ray.data.Dataset, key: str, order_col: str,
                         value_col: str, out_col: str = "delta",
+                        n_buckets: int | str = N_BUCKETS, *,
                         resets: str = "diff",
-                        reset_col: str | None = None,
-                        n_buckets: int | str = N_BUCKETS) -> ray.data.Dataset:
+                        reset_col: str | None = None) -> ray.data.Dataset:
     """Inverse conversion: per-key ordered difference (first point keeps its
     value — the series start resets, matching cumulative semantics).
 

@@ -511,3 +511,92 @@ class TestQueryNear:
         assert len(none) == 0
         with pytest.raises(Exception, match="window"):
             query_near(idx, "alpha", "beta", -1, n_buckets=4)
+
+
+class TestSecondReviewRegressions:
+    """Regressions for the second-session review findings."""
+
+    def test_query_near_missing_partition_id_type(
+            self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.stages.ranking import (
+            build_positional_index, query_near)
+
+        docs = pa.table({"doc_id": pa.array(["d1", "d2"]),
+                         "text": ["alpha beta", "alpha gamma"]})
+        idx = str(tmp_path / "idx")
+        build_positional_index(ray.data.from_arrow(docs), idx,
+                               n_buckets=2, id_col="doc_id")
+        # 'zzz' hashes to some bucket; whether or not its partition
+        # exists, the empty side must carry the index's STRING id type
+        out = query_near(idx, "alpha", "zzz", 5,
+                         n_buckets=2, id_col="doc_id").to_pandas()
+        assert len(out) == 0
+
+    def test_write_prom_text_null_rejected_and_utf8(
+            self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.textlog import (
+            read_prom_text, write_prom_text)
+
+        bad = ray.data.from_arrow(pa.table({
+            "metric": pa.array(["m", None]),
+            "labels": ["", ""],
+            "value": pa.array([1, 2], pa.int64()),
+            "ts_ms": pa.array([None, None], pa.int64())}))
+        with pytest.raises(Exception, match="null"):
+            write_prom_text(bad, str(tmp_path / "p1"))
+        ok = ray.data.from_arrow(pa.table({
+            "metric": ["m"], "labels": ['svc="Ünïcode"'],
+            "value": pa.array([7], pa.int64()),
+            "ts_ms": pa.array([None], pa.int64())}))
+        n = write_prom_text(ok, str(tmp_path / "p2"))
+        assert n == 1
+        import os
+
+        files = [str(tmp_path / "p2" / f)
+                 for f in os.listdir(tmp_path / "p2")]
+        back = read_prom_text(files).to_pandas()
+        assert back["labels"].tolist() == ['svc="Ünïcode"']
+
+    def test_ab_lift_zero_conversion_variant_kept(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as em
+
+        # events where odd users never purchase
+        t = pa.table({
+            "user_id": pa.array([0, 0, 1, 1, 2, 3], pa.int64()),
+            "event_type": ["purchase", "view", "view", "click",
+                           "purchase", "view"]})
+        import pyarrow.parquet as pq
+
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ablift_", dir="/tmp")
+        pq.write_table(t, f"{d}/events.parquet")
+        out = em._q_events_ab_lift(d).to_pandas() \
+            .set_index("variant").sort_index()
+        assert out.loc[1, "n_conv_users"] == 0
+        assert out.loc[0, "n_conv_users"] == 2
+        assert len(out) == 2
+
+    def test_quota_sample_empty_input(self, ray_session):
+        from opentelemetry_collector_ray.stages.sampling import (
+            quota_sample)
+
+        t = pa.table({"k": pa.array([], pa.string()),
+                      "id": pa.array([], pa.int64())})
+        out = quota_sample(ray.data.from_arrow(t), "k", 10,
+                           "id").to_pandas()
+        assert len(out) == 0
+
+    def test_cumulative_to_delta_positional_nbuckets(self, ray_session):
+        from opentelemetry_collector_ray.stages.temporal import (
+            cumulative_to_delta)
+
+        t = pa.table({"s": ["a", "a"], "o": [1, 2],
+                      "c": pa.array([5, 9], pa.int64())})
+        # n_buckets passed POSITIONALLY (5th arg after out_col) must
+        # still bind to n_buckets, not the new keyword-only resets
+        out = cumulative_to_delta(ray.data.from_arrow(t), "s", "o",
+                                  "c", "d", 4).to_pandas()
+        assert sorted(out["d"].tolist()) == [4, 5]
