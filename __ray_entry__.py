@@ -8992,6 +8992,57 @@ def _q_spans_trace_assembly(sf_dir: str):
     return agg.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_turns_subsessions(sf_dir: str):
+    """Conversation sub-session segmentation (the sessionize semantic
+    applied WITHIN conversations: a >6h silence splits an episode —
+    the multi-sitting-chat audit): per conversation the episode
+    count, the longest silence and the active span, from one conv_id
+    lag window + one bucket aggregate. Oracle = SQL lag + CASE."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "ts_us": pc.cast(pc.cast(t.column("ts"),
+                                     pa.timestamp("us")), pa.int64())})
+
+    win = per_key_window(
+        _turns(sf_dir).map_batches(proj, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"], {"prev_ts": ("lag", "ts_us")})
+    gap_thr = 6 * 3_600_000_000
+
+    def lanes(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t.column("ts_us"),
+                          pc.fill_null(t.column("prev_ts"),
+                                       t.column("ts_us")))
+        brk = pc.cast(pc.greater(gap, pa.scalar(gap_thr, pa.int64())),
+                      pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "is_break": brk, "gap_us": gap,
+                         "ts_us": t.column("ts_us")})
+
+    pre = win.map_batches(lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["conv_id"], count_name="n_turns",
+                      sum_cols={"n_breaks": "is_break"},
+                      max_cols={"max_gap_us": "gap_us",
+                                "last_ts": "ts_us"},
+                      min_cols={"first_ts": "ts_us"},
+                      strategy="bucket")
+
+    def fin(t: pa.Table) -> pa.Table:
+        eps = pc.add(t.column("n_breaks"), pa.scalar(1, pa.int64()))
+        span = pc.subtract(t.column("last_ts"), t.column("first_ts"))
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "n_turns": t.column("n_turns"),
+                         "n_episodes": eps,
+                         "max_gap_us": t.column("max_gap_us"),
+                         "span_us": span})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9328,6 +9379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profiles_diff": _q_profiles_diff,
         "spans_slow_exemplars": _q_spans_slow_exemplars,
         "spans_trace_assembly": _q_spans_trace_assembly,
+        "turns_subsessions": _q_turns_subsessions,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13730,6 +13782,23 @@ SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
        md5(string_agg(span_id, ',' ORDER BY start_ts, span_id))
            AS trace_md5
 FROM spans GROUP BY trace_id
+""",
+        "turns_subsessions": f"""
+WITH {TURNS_CTE.strip()},
+w AS (SELECT conv_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_ts
+      FROM turns),
+l AS (SELECT conv_id, ts_us,
+             ts_us - COALESCE(prev_ts, ts_us) AS gap_us,
+             CASE WHEN ts_us - COALESCE(prev_ts, ts_us)
+                       > 21600000000 THEN 1 ELSE 0 END AS is_break
+      FROM w)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(is_break) + 1 AS BIGINT) AS n_episodes,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+FROM l GROUP BY conv_id
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic
