@@ -9043,6 +9043,39 @@ def _q_turns_subsessions(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_events_negative_samples(sf_dir: str):
+    """Negative sampling for training pairs (the recommender /
+    contrastive-learning prep step: deterministic draws from the
+    ABSENT cells of the interaction matrix): the user×day zero-fill
+    spine (grid_densify) filtered to its true zeros, thinned to ~half
+    by the md5 permille of the composite key — membership is a pure
+    content hash, so re-sharding or re-running never changes the
+    sample. Oracle = the same spine + anti-join + md5 filter."""
+    from opentelemetry_collector_ray.functions.text import md5_mod
+    from opentelemetry_collector_ray.stages.resample import grid_densify
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
+
+    pre = _read_co(sf_dir, "events", ["user_id", "ts"],
+                   floor=8).map_batches(lanes, batch_format="pyarrow")
+    grid = grid_densify(pre, "user_id", "day")
+
+    def negatives(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("n"), 0))
+        comp = pc.binary_join_element_wise(
+            pc.cast(t.column("user_id"), pa.string()), "|",
+            t.column("day"), "")
+        keep = pa.array(md5_mod(comp, 1000) < 500)
+        t = t.filter(keep)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": t.column("day")})
+
+    return grid.map_batches(negatives, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9380,6 +9413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_slow_exemplars": _q_spans_slow_exemplars,
         "spans_trace_assembly": _q_spans_trace_assembly,
         "turns_subsessions": _q_turns_subsessions,
+        "events_negative_samples": _q_events_negative_samples,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13799,6 +13833,20 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us,
        CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
 FROM l GROUP BY conv_id
+""",
+        "events_negative_samples": """
+WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                  count(*) AS n
+           FROM events GROUP BY user_id, day),
+g AS (SELECT user_id, day
+      FROM (SELECT DISTINCT user_id FROM c)
+      CROSS JOIN (SELECT DISTINCT day FROM c)),
+z AS (SELECT g.user_id, g.day
+      FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
+      WHERE c.n IS NULL)
+SELECT user_id, day FROM z
+WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || day),
+                      1, 12))::UBIGINT % 1000 < 500
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

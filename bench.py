@@ -202,7 +202,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "docs_mixture_temp", "events_metric_ratio",
              "turns_handoff_matrix", "events_dwell_time",
              "profiles_diff", "spans_slow_exemplars",
-             "spans_trace_assembly", "turns_subsessions"]
+             "spans_trace_assembly", "turns_subsessions",
+             "events_negative_samples"]
     q = m.queries()
     for name in names:
         t0 = time.time()
