@@ -9076,6 +9076,69 @@ def _q_events_negative_samples(sf_dir: str):
     return grid.map_batches(negatives, batch_format="pyarrow")
 
 
+def _q_turns_length_drift(sf_dir: str):
+    """Transcript length drift (normalize.grouped_ks on the NORTH-RULE
+    payload: per role, the exact KS distance between early and late
+    turn-text length distributions — the "did the chat template
+    change mid-corpus" screen): one bucket exchange, segment cumsums
+    + maximum.reduceat. Oracle = the standard KS window SQL over the
+    same char-length lanes."""
+    from opentelemetry_collector_ray.stages.normalize import grouped_ks
+
+    T_US = 1_705_363_200_000_000  # 2024-01-16 epoch microseconds
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        period = pc.if_else(
+            pc.less(ts, pa.scalar(T_US, pa.int64())), "early", "late")
+        return pa.table({"role": t.column("role"),
+                         "period": period,
+                         "nchars": pc.cast(
+                             pc.utf8_length(t.column("text")),
+                             pa.int64())})
+
+    pre = _turns(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return grouped_ks(pre, "role", "period", "nchars",
+                      "early", "late")
+
+
+def _q_events_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest (the baseline every capacity
+    forecast is judged against: predict today's per-type traffic as
+    LAST WEEK's same-weekday count, score the absolute error): daily
+    counts (tree) → lag-7 window per type → exact integer error lanes
+    (n scored days, Σ|err|, Σ actual — MAE/WAPE read off as
+    rationals). Oracle = the same lag window + HAVING."""
+    from opentelemetry_collector_ray.stages.aggregate import (
+        grouped_agg, grouped_count)
+    from opentelemetry_collector_ray.stages.window import per_key_window
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
+
+    daily = grouped_count(
+        _read_co(sf_dir, "events", ["ts", "event_type"],
+                 floor=8).map_batches(lanes, batch_format="pyarrow"),
+        ["event_type", "day"], count_name="n", strategy="tree")
+    win = per_key_window(daily, "event_type", ["day"],
+                         {"pred": ("lag", "n", 7)})
+
+    def err(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("pred")))
+        e = pc.abs(pc.subtract(t.column("n"), t.column("pred")))
+        return pa.table({"event_type": t.column("event_type"),
+                         "abs_err": e, "actual": t.column("n")})
+
+    pre = win.map_batches(err, batch_format="pyarrow")
+    return grouped_agg(pre, ["event_type"], count_name="n_days",
+                       sum_cols={"sum_abs_err": "abs_err",
+                                 "sum_actual": "actual"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9414,6 +9477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_trace_assembly": _q_spans_trace_assembly,
         "turns_subsessions": _q_turns_subsessions,
         "events_negative_samples": _q_events_negative_samples,
+        "turns_length_drift": _q_turns_length_drift,
+        "events_forecast_backtest": _q_events_forecast_backtest,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13847,6 +13912,43 @@ z AS (SELECT g.user_id, g.day
 SELECT user_id, day FROM z
 WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || day),
                       1, 12))::UBIGINT % 1000 < 500
+""",
+        "turns_length_drift": f"""
+WITH {TURNS_CTE.strip()},
+e AS (SELECT role AS k,
+             CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 'early' ELSE 'late' END AS g,
+             CAST(length(text) AS BIGINT) AS v
+      FROM turns),
+c AS (SELECT k, v,
+             CAST(count(*) FILTER (WHERE g = 'early') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE g = 'late') AS BIGINT) AS cb
+      FROM e GROUP BY k, v),
+w AS (SELECT k, sum(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+             sum(cb) OVER (PARTITION BY k ORDER BY v) AS cumb FROM c),
+t AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM c GROUP BY k)
+SELECT t.k AS role, t.n_a, t.n_b,
+       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+           AS d_num,
+       CAST(max(abs(t.n_b * w.cuma - t.n_a * w.cumb)) AS BIGINT)
+           / CAST(t.n_a * t.n_b AS DOUBLE) AS d
+FROM w JOIN t ON w.k = t.k
+GROUP BY t.k, t.n_a, t.n_b
+HAVING t.n_a > 0 AND t.n_b > 0
+""",
+        "events_forecast_backtest": """
+WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, day),
+w AS (SELECT event_type, day, n,
+             lag(n, 7) OVER (PARTITION BY event_type
+                             ORDER BY day) AS pred
+      FROM daily)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(n - pred)) AS BIGINT) AS sum_abs_err,
+       CAST(sum(n) AS BIGINT) AS sum_actual
+FROM w WHERE pred IS NOT NULL GROUP BY event_type
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

@@ -203,7 +203,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "turns_handoff_matrix", "events_dwell_time",
              "profiles_diff", "spans_slow_exemplars",
              "spans_trace_assembly", "turns_subsessions",
-             "events_negative_samples"]
+             "events_negative_samples", "turns_length_drift",
+             "events_forecast_backtest"]
     q = m.queries()
     for name in names:
         t0 = time.time()
