@@ -571,6 +571,38 @@ def _register_builtins() -> None:
             strategy=str(cfg.get("strategy", "tree")),
             max_cells=int(cfg.get("max_cells", 5_000_000))))
 
+    def make_decayed_count(cfg: dict):
+        from .stages.temporal import decayed_count
+
+        for req in ("keys", "ts", "anchor_us"):
+            if cfg.get(req) in (None, [], ""):
+                raise ConfigError(f"decayed_count: {req} is required")
+        return DatasetTransform(lambda ds: decayed_count(
+            ds, [str(k) for k in cfg["keys"]], str(cfg["ts"]),
+            int(cfg["anchor_us"]),
+            half_life_days=int(cfg.get("half_life_days", 3)),
+            max_halvings=int(cfg.get("max_halvings", 30))))
+
+    def make_quota_sample(cfg: dict):
+        from .stages.sampling import quota_sample
+
+        for req in ("key", "seats", "id"):
+            if cfg.get(req) in (None, ""):
+                raise ConfigError(f"quota_sample: {req} is required")
+        return DatasetTransform(lambda ds: quota_sample(
+            ds, str(cfg["key"]), int(cfg["seats"]), str(cfg["id"]),
+            max_groups=int(cfg.get("max_groups", 100_000)),
+            persist=str(cfg.get("persist", "none"))))
+
+    def make_moments(cfg: dict):
+        from .stages.normalize import grouped_moments
+
+        if not cfg.get("keys") or not cfg.get("value"):
+            raise ConfigError("moments: keys and value are required")
+        return DatasetTransform(lambda ds: grouped_moments(
+            ds, [str(k) for k in cfg["keys"]], str(cfg["value"]),
+            strategy=str(cfg.get("strategy", "tree"))))
+
     def make_weighted_median(cfg: dict):
         from .stages.spanops import grouped_weighted_median
 
@@ -1600,6 +1632,9 @@ def _register_builtins() -> None:
     register("sentence_stats",
              Factory("processor", make_sentence_stats))
     register("grid_densify", Factory("processor", make_grid_densify))
+    register("decayed_count", Factory("processor", make_decayed_count))
+    register("quota_sample", Factory("processor", make_quota_sample))
+    register("moments", Factory("processor", make_moments))
     register("rollup", Factory("processor", make_rollup))
     register("resample", Factory("processor", make_resample))
     register("dup_stats", Factory("processor", make_dup_stats))

@@ -1438,3 +1438,52 @@ def test_privacy_release_example_yaml(ray_session, tmp_path,
     assert out.loc["111", "is_diverse"] == 1
     assert out.loc["222", "is_diverse"] == 0
     assert out.loc["111", "n_sensitive"] == 2
+
+
+def test_tenth_batch_yaml_processors(ray_session, tmp_path):
+    """Builder parity for decayed_count / quota_sample / moments."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.config import ConfigError, get_factory
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+
+    anchor = int(datetime.datetime(2024, 1, 31).timestamp() * 1e6)
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({
+        "k": ["a", "a", "b", "b", "b", "b"],
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "x": pa.array([3, -4, 5, 0, 2, 1], pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 30)] * 6,
+                       pa.timestamp("us"))}), str(p))
+
+    def run(proc_name, proc_cfg):
+        return build_dataset(PipelineConfig.from_dict({
+            "receivers": {"parquet": {"paths": str(p)}},
+            "processors": {proc_name: proc_cfg},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["parquet"],
+                "processors": [proc_name],
+                "exporters": ["debug"]}}},
+        })).to_pandas()
+
+    dc = run("decayed_count", {"keys": ["k"], "ts": "ts",
+                               "anchor_us": anchor}) \
+        .set_index("k").sort_index()
+    assert dc.loc["a", "decayed"] == 2 * 2**30
+
+    qs = run("quota_sample", {"key": "k", "seats": 3, "id": "id"})
+    assert len(qs) == 3 and (qs["k"] == "b").sum() == 2
+
+    mo = run("moments", {"keys": ["k"], "value": "x"}) \
+        .set_index("k").sort_index()
+    assert mo.loc["a", "sum_x2"] == 25 and mo.loc["a", "sum_x3"] == -37
+
+    for name, bad in [("decayed_count", {"keys": ["k"], "ts": "ts"}),
+                      ("quota_sample", {"key": "k", "seats": 3}),
+                      ("moments", {"keys": ["k"]})]:
+        with pytest.raises(ConfigError, match="required"):
+            get_factory(name).create(bad)
