@@ -270,10 +270,14 @@ def grouped_count_distinct(ds: Dataset, keys: list[str],
     ``keys[0]`` and a single vectorized distinct-count pass per bucket
     — the weighted-median lesson applied to count-distinct: a
     near-unique (key, value) composite pays full sort-exchange freight
-    twice on the default path (measured 10.2 s → 1.9 s on the sf0.1
-    part–supplier degree query). Prefer it whenever distinct pairs per
-    batch are numerous; the default remains right when per-batch
-    dedupe collapses most rows (few distinct pairs, heavy repeats)."""
+    twice on the default path (measured 10.2 s → 0.4 s on the sf0.1
+    part–supplier degree query, and 23.1 s → 0.6 s on a 4M-row /
+    100k-key synthetic with a 20% hot key — the sort freight
+    dominates even under skew). The REAL bucket-path limit is memory
+    shape, not speed: ONE key's whole distinct-value set must fit its
+    bucket task (the default path bounds a hot key to one partial row
+    per batch per value instead) — keep the default when a single key
+    may carry hundreds of millions of distinct values."""
     def drop_nulls(t: pa.Table) -> pa.Table:
         # SQL COUNT(DISTINCT) ignores NULLs; Arrow group_by would count
         # the null group as a distinct value (review finding)
