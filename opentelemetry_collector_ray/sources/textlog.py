@@ -224,18 +224,24 @@ def write_prom_text(ds: ray.data.Dataset, out_dir: str, *,
                     labels_col: str | None = "labels",
                     value_col: str = "value",
                     ts_col: str | None = "ts_ms",
-                    help_text: str | None = None) -> int:
+                    help_text: str | None = None,
+                    compression: str = "none") -> int:
     """Render sample rows back to Prometheus text exposition pages —
     the write side of :func:`read_prom_text` (one page per block,
     atomic rename; optional # HELP header). ``labels_col`` holds the
     raw ``k="v",...`` body ('' → no braces); values/timestamps are
     cast to string verbatim, so integer lanes round-trip exactly.
-    Returns rows written."""
+    ``compression="gzip"`` writes ``.txt.gz`` pages (scrape payloads
+    ship gzipped in practice; the read path auto-decompresses by
+    suffix). Returns rows written."""
     import os
     import uuid
 
     import pyarrow.compute as pc
 
+    if compression not in ("none", "gzip"):
+        raise ValueError(
+            f"write_prom_text: unknown compression={compression!r}")
     os.makedirs(out_dir, exist_ok=True)
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -268,12 +274,18 @@ def write_prom_text(ds: ray.data.Dataset, out_dir: str, *,
                     pc.binary_join_element_wise(line, " ", ts_s, ""))
             head = [f"# HELP {help_text}", ""] if help_text else []
             blob = "\n".join(head + line.to_pylist()) + "\n"
-            name = f"metrics-{uuid.uuid4().hex[:12]}.txt"
+            suffix = ".txt.gz" if compression == "gzip" else ".txt"
+            name = f"metrics-{uuid.uuid4().hex[:12]}{suffix}"
             tmp = os.path.join(out_dir, f".{name}.tmp")
             # explicit utf-8: the read path decodes bytes as utf-8, a
             # locale-default text write would break the symmetry
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(blob)
+            payload = blob.encode("utf-8")
+            if compression == "gzip":
+                import gzip
+
+                payload = gzip.compress(payload)
+            with open(tmp, "wb") as f:
+                f.write(payload)
             os.rename(tmp, os.path.join(out_dir, name))
         return pa.table({"n": pa.array([n], pa.int64())})
 

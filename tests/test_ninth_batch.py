@@ -600,3 +600,27 @@ class TestSecondReviewRegressions:
         out = cumulative_to_delta(ray.data.from_arrow(t), "s", "o",
                                   "c", "d", 4).to_pandas()
         assert sorted(out["d"].tolist()) == [4, 5]
+
+
+class TestPromGzip:
+    def test_gzip_roundtrip(self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.textlog import (
+            read_prom_text, write_prom_text)
+
+        ds = ray.data.from_arrow(pa.table({
+            "metric": ["m", "m"], "labels": ['k="a"', ""],
+            "value": pa.array([1, 2], pa.int64()),
+            "ts_ms": pa.array([10, None], pa.int64())}))
+        n = write_prom_text(ds, str(tmp_path / "gz"),
+                            compression="gzip")
+        assert n == 2
+        import os
+
+        files = [str(tmp_path / "gz" / f)
+                 for f in os.listdir(tmp_path / "gz")]
+        assert all(f.endswith(".txt.gz") for f in files)
+        back = read_prom_text(files).to_pandas().sort_values("value")
+        assert back["value"].tolist() == ["1", "2"]
+        with pytest.raises(ValueError, match="compression"):
+            write_prom_text(ds, str(tmp_path / "x"),
+                            compression="lz77")
