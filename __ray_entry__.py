@@ -9107,11 +9107,15 @@ def _q_events_forecast_backtest(sf_dir: str):
     """Seasonal-naive forecast backtest (the baseline every capacity
     forecast is judged against: predict today's per-type traffic as
     LAST WEEK's same-weekday count, score the absolute error): daily
-    counts (tree) → lag-7 window per type → exact integer error lanes
-    (n scored days, Σ|err|, Σ actual — MAE/WAPE read off as
-    rationals). Oracle = the same lag window + HAVING."""
-    from opentelemetry_collector_ray.stages.aggregate import (
-        grouped_agg, grouped_count)
+    counts ZERO-FILLED on the observed type×day spine (grid_densify —
+    a review finding: a row-lag over the sparse count table would
+    step back 7 ROWS, not 7 calendar days, silently misaligning the
+    weekday whenever a type has an empty day) → lag-7 window per type
+    → exact integer error lanes (n scored days, Σ|err|, Σ actual —
+    MAE/WAPE read off as rationals). Oracle = the same spine +
+    COALESCE 0 + lag window."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+    from opentelemetry_collector_ray.stages.resample import grid_densify
     from opentelemetry_collector_ray.stages.window import per_key_window
 
     def lanes(t: pa.Table) -> pa.Table:
@@ -9119,10 +9123,10 @@ def _q_events_forecast_backtest(sf_dir: str):
             "event_type": t.column("event_type"),
             "day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
 
-    daily = grouped_count(
+    daily = grid_densify(
         _read_co(sf_dir, "events", ["ts", "event_type"],
                  floor=8).map_batches(lanes, batch_format="pyarrow"),
-        ["event_type", "day"], count_name="n", strategy="tree")
+        "event_type", "day")
     win = per_key_window(daily, "event_type", ["day"],
                          {"pred": ("lag", "n", 7)})
 
@@ -13938,9 +13942,16 @@ GROUP BY t.k, t.n_a, t.n_b
 HAVING t.n_a > 0 AND t.n_b > 0
 """,
         "events_forecast_backtest": """
-WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                      CAST(count(*) AS BIGINT) AS n
-               FROM events GROUP BY event_type, day),
+WITH c AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, day),
+g AS (SELECT event_type, day
+      FROM (SELECT DISTINCT event_type FROM c)
+      CROSS JOIN (SELECT DISTINCT day FROM c)),
+daily AS (SELECT g.event_type, g.day,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM g LEFT JOIN c ON g.event_type = c.event_type
+                            AND g.day = c.day),
 w AS (SELECT event_type, day, n,
              lag(n, 7) OVER (PARTITION BY event_type
                              ORDER BY day) AS pred

@@ -281,9 +281,12 @@ def write_prom_text(ds: ray.data.Dataset, out_dir: str, *,
             # locale-default text write would break the symmetry
             payload = blob.encode("utf-8")
             if compression == "gzip":
-                import gzip
+                # shared helper pins gzip mtime to 0 — identical input
+                # must produce byte-identical pages (replication-check
+                # flows hash the output directory)
+                from .compression import compress_payload
 
-                payload = gzip.compress(payload)
+                payload = compress_payload(payload, "gzip")
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.rename(tmp, os.path.join(out_dir, name))

@@ -624,3 +624,64 @@ class TestPromGzip:
         with pytest.raises(ValueError, match="compression"):
             write_prom_text(ds, str(tmp_path / "x"),
                             compression="lz77")
+
+
+class TestThirdReviewRegressions:
+    def test_prom_gzip_deterministic(self, ray_session, tmp_path):
+        from opentelemetry_collector_ray.sources.textlog import (
+            write_prom_text)
+
+        ds_t = pa.table({"metric": ["m"], "labels": [""],
+                         "value": pa.array([5], pa.int64()),
+                         "ts_ms": pa.array([None], pa.int64())})
+        import os
+
+        blobs = []
+        for d in ("a", "b"):
+            write_prom_text(ray.data.from_arrow(ds_t),
+                            str(tmp_path / d), compression="gzip")
+            f = [x for x in os.listdir(tmp_path / d)][0]
+            blobs.append(open(tmp_path / d / f, "rb").read())
+        assert blobs[0] == blobs[1]  # gzip mtime pinned → byte-equal
+
+    def test_forecast_backtest_weekday_alignment(self, ray_session):
+        """A type with an EMPTY day must still predict from 7 calendar
+        days back (zero-filled spine), not 7 rows back."""
+        import datetime
+
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as em
+
+        rows = []
+        base = datetime.datetime(2024, 1, 1)
+        for d in range(15):
+            day = base + datetime.timedelta(days=d)
+            # type 'b' keeps every day populated (spine carries all days)
+            rows.append({"user_id": 1, "ts": day, "event_id": 1000 + d,
+                         "event_type": "b", "value": 1.0,
+                         "props": "{}"})
+            # type 'a': 2 events per day EXCEPT day 3 (gap)
+            if d != 3:
+                for i in range(2):
+                    rows.append({"user_id": 1, "ts": day,
+                                 "event_id": d * 10 + i,
+                                 "event_type": "a", "value": 1.0,
+                                 "props": "{}"})
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.column_names.index("ts"), "ts",
+                         t.column("ts").cast(pa.timestamp("us")))
+        d = tempfile.mkdtemp(prefix="fcst_", dir="/tmp")
+        pq.write_table(t, f"{d}/events.parquet")
+        out = em._q_events_forecast_backtest(d).to_pandas() \
+            .set_index("event_type")
+        # type a: zero-filled spine scores days 7..14 (8 days); day 10
+        # predicts day 3's ZERO (the gap) → |2-0| = 2, every other day
+        # errs 0 → sum_abs_err = 2. A row-lag over the sparse table
+        # would instead score only 7 rows with zero total error — the
+        # regression this gate distinguishes.
+        assert out.loc["a", "n_days"] == 8
+        assert out.loc["a", "sum_abs_err"] == 2
+        assert out.loc["b", "sum_abs_err"] == 0
