@@ -9143,6 +9143,73 @@ def _q_events_forecast_backtest(sf_dir: str):
                        strategy="tree")
 
 
+def _q_spans_error_budget(sf_dir: str):
+    """Error-budget remaining (the SRE readout beside slo_burn's
+    instantaneous rate: given a 99.5% success SLO, how many failures
+    the service can still absorb this period): per service the
+    request/error counts, the integer budget 5·n//1000, and the
+    SIGNED remainder (negative = budget blown). One tree aggregate +
+    integer lanes. Oracle = the same CASE + // arithmetic."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    def lanes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "service": t.column("service"),
+            "is_err": pc.cast(pc.equal(t.column("status_code"), 2),
+                              pa.int64())})
+
+    pre = _spans(sf_dir).select_columns(
+        ["service", "status_code"]).map_batches(
+        lanes, batch_format="pyarrow")
+    agg = grouped_agg(pre, ["service"], count_name="n_requests",
+                      sum_cols={"n_errors": "is_err"}, strategy="tree")
+
+    def budget(t: pa.Table) -> pa.Table:
+        allowed = pc.divide(pc.multiply(t.column("n_requests"),
+                                        pa.scalar(5, pa.int64())),
+                            pa.scalar(1000, pa.int64()))
+        rem = pc.subtract(allowed, t.column("n_errors"))
+        return t.append_column("budget_allowed", allowed) \
+                .append_column("budget_remaining", rem)
+
+    return agg.map_batches(budget, batch_format="pyarrow")
+
+
+def _q_orders_aging_buckets(sf_dir: str):
+    """Open-order aging report (the accounts-receivable staple: how
+    old is the open backlog, in watermark-relative bands): orders
+    still 'O'pen bucketed by age vs the corpus max order date — the
+    watermark is ONE tiny driver scalar (the series-staleness
+    convention), the bands 0-30 / 31-90 / 91-365 / 365+ days are a
+    pure integer CASE, cents summed per band. Oracle = the same
+    max() scalar subquery + CASE."""
+    from opentelemetry_collector_ray.stages.aggregate import grouped_agg
+
+    base = _read_co(sf_dir, "orders",
+                    ["o_orderstatus", "o_orderdate", "o_totalprice"],
+                    floor=8)
+    wm = base.max("o_orderdate")
+    wm_us = int(wm.value // 1000) if hasattr(wm, "value") else int(
+        wm.timestamp() * 1e6)
+
+    def lanes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "O"))
+        us = pc.cast(pc.cast(t.column("o_orderdate"),
+                             pa.timestamp("us")), pa.int64())
+        age = pc.divide(pc.subtract(pa.scalar(wm_us, pa.int64()), us),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        a = age.to_numpy(zero_copy_only=False)
+        band = np.select([a <= 30, a <= 90, a <= 365],
+                         ["0-30", "31-90", "91-365"], "365+")
+        return pa.table({"age_band": pa.array(band),
+                         "cents": _cents(t.column("o_totalprice"))})
+
+    pre = base.map_batches(lanes, batch_format="pyarrow")
+    return grouped_agg(pre, ["age_band"], count_name="n_orders",
+                       sum_cols={"sum_cents": "cents"},
+                       strategy="tree")
+
+
 # ----------------------------------------------------------- driver surface
 
 def entry() -> Any:
@@ -9483,6 +9550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_negative_samples": _q_events_negative_samples,
         "turns_length_drift": _q_turns_length_drift,
         "events_forecast_backtest": _q_events_forecast_backtest,
+        "spans_error_budget": _q_spans_error_budget,
+        "orders_aging_buckets": _q_orders_aging_buckets,
         # --- cap-overflow tail: multi-round driver-green veterans,
         # pytest-oracled + DuckDB-mirrored every run ---
         "turns_derive": _q_turns_derive,
@@ -13960,6 +14029,38 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(abs(n - pred)) AS BIGINT) AS sum_abs_err,
        CAST(sum(n) AS BIGINT) AS sum_actual
 FROM w WHERE pred IS NOT NULL GROUP BY event_type
+""",
+        "spans_error_budget": f"""
+WITH {SPANS_CTE.strip()},
+a AS (SELECT service, CAST(count(*) AS BIGINT) AS n_requests,
+             CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM spans GROUP BY service)
+SELECT service, n_requests, n_errors,
+       CAST(5 * n_requests // 1000 AS BIGINT) AS budget_allowed,
+       CAST(5 * n_requests // 1000 - n_errors AS BIGINT)
+           AS budget_remaining
+FROM a
+""",
+        "orders_aging_buckets": """
+WITH o AS (SELECT o_orderdate,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS cents,
+                  (SELECT epoch_us(max(o_orderdate)) FROM orders)
+                      AS wm_us
+           FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT CASE
+        WHEN (wm_us - epoch_us(o_orderdate)) // 86400000000 <= 30
+             THEN '0-30'
+        WHEN (wm_us - epoch_us(o_orderdate)) // 86400000000 <= 90
+             THEN '31-90'
+        WHEN (wm_us - epoch_us(o_orderdate)) // 86400000000 <= 365
+             THEN '91-365'
+        ELSE '365+' END AS age_band, cents
+      FROM o)
+SELECT age_band, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY age_band
 """,
         # docs_quality, docs_minhash_dedup, docs_simhash, docs_ngram_jaccard,
         # emb_ann_lsh: intentionally omitted (rows-only check) — heuristic

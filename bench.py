@@ -204,7 +204,8 @@ def run_secondary(sf_dir: str) -> dict[str, float]:
              "profiles_diff", "spans_slow_exemplars",
              "spans_trace_assembly", "turns_subsessions",
              "events_negative_samples", "turns_length_drift",
-             "events_forecast_backtest"]
+             "events_forecast_backtest", "spans_error_budget",
+             "orders_aging_buckets"]
     q = m.queries()
     for name in names:
         t0 = time.time()
